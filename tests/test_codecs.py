@@ -1,0 +1,96 @@
+import numpy as np
+import pytest
+
+from web_scrapper_ray import codecs
+
+
+def _rand_img(seed, h, w):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (32, 48), (33, 17), (64, 64)])
+def test_png_roundtrip_exact(h, w):
+    img = _rand_img(h * 100 + w, h, w)
+    data = codecs.png_encode(img)
+    assert data[:8] == b"\x89PNG\r\n\x1a\n"
+    out = codecs.png_decode(data)
+    assert np.array_equal(out, img)
+
+
+def test_png_decode_filters():
+    # Exercise the unfiltering paths by hand-building filtered scanlines.
+    import struct
+    import zlib
+
+    img = _rand_img(7, 8, 8)
+    h, w = img.shape[:2]
+    rows = []
+    for y, f in zip(range(h), [0, 1, 2, 3, 4, 0, 2, 1]):
+        line = img[y].reshape(-1).astype(np.int32)
+        prev = img[y - 1].reshape(-1).astype(np.int32) if y else np.zeros(w * 3, np.int32)
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line.copy()
+            enc[3:] = (line[3:] - line[:-3]) % 256
+        elif f == 2:
+            enc = (line - prev) % 256
+        elif f == 3:
+            enc = line.copy()
+            for x in range(w * 3):
+                a = line[x - 3] if x >= 3 else 0
+                enc[x] = (line[x] - ((a + prev[x]) >> 1)) % 256
+        else:
+            enc = line.copy()
+            for x in range(w * 3):
+                a = line[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                p = a + b - c
+                pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa_ <= pb and pa_ <= pc) else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) % 256
+        rows.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + codecs._chunk(b"IHDR", ihdr)
+        + codecs._chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + codecs._chunk(b"IEND", b"")
+    )
+    assert np.array_equal(codecs.png_decode(data), img)
+
+
+@pytest.mark.parametrize("h,w", [(16, 16), (48, 64), (33, 41)])
+def test_sjpg_psnr_above_40(h, w):
+    # Worst case for DCT quantization is uniform noise; must still clear 40 dB.
+    img = _rand_img(h + w, h, w)
+    out = codecs.sjpg_decode(codecs.sjpg_encode(img))
+    assert out.shape == img.shape
+    assert codecs.psnr(img, out) >= 40.0
+
+
+def test_sjpg_deterministic():
+    img = _rand_img(3, 32, 32)
+    assert codecs.sjpg_encode(img) == codecs.sjpg_encode(img)
+
+
+def test_phash_properties():
+    img = _rand_img(11, 64, 64)
+    p1 = codecs.phash64(img)
+    assert -(2**63) <= p1 < 2**63
+    # Identical image → identical hash; lossy roundtrip → small hamming dist.
+    assert codecs.phash64(img.copy()) == p1
+    lossy = codecs.sjpg_decode(codecs.sjpg_encode(img))
+    assert codecs.hamming64(p1, codecs.phash64(lossy)) <= 6
+    # A very different image → large distance.
+    img2 = _rand_img(999, 64, 64)
+    assert codecs.hamming64(p1, codecs.phash64(img2)) > 10
+
+
+def test_decode_dispatch():
+    img = _rand_img(5, 16, 16)
+    assert np.array_equal(codecs.decode_image(codecs.encode_image(img, "png")), img)
+    out = codecs.decode_image(codecs.encode_image(img, "jpeg"))
+    assert codecs.psnr(img, out) >= 40.0

@@ -1,0 +1,90 @@
+from web_scrapper_ray.functions import text as T
+from web_scrapper_ray.functions import validators as V
+from web_scrapper_ray.functions.urlnorm import canonicalize_url, host_of
+
+
+def test_clean_text():
+    assert T.clean_text("  a\t\nb\xa0c  ") == "a b c"
+    assert T.clean_text("x\x00y\x07z") == "xyz"
+    assert T.clean_text("“q” ‘s’") == "\"q\" 's'"
+    assert T.clean_text(None) == ""
+
+
+def test_clean_html():
+    assert T.clean_html("<p>Hello &amp; <b>world</b>&#33;</p>") == "Hello world"
+    assert T.clean_html("") == ""
+
+
+def test_summarize():
+    assert T.summarize_text("short text.", 150) == "short text."
+    s = T.summarize_text("One sentence here. Two sentence here. " * 10, 40)
+    assert s == "One sentence here. Two sentence here."
+    long_word = "a" * 200
+    assert T.summarize_text(long_word, 50).endswith("...")
+
+
+def test_keywords_tiebreak_first_occurrence():
+    txt = "zebra apple zebra banana apple cherry"
+    # zebra=2, apple=2, banana=1, cherry=1 → stable order of first occurrence
+    assert T.extract_keywords(txt, 3) == ["zebra", "apple", "banana"]
+    assert T.extract_keywords("the and of to", 5) == []
+
+
+def test_word_count_reading_time():
+    assert T.word_count("one two three") == 3
+    assert T.word_count("") == 0
+    assert T.estimate_reading_time("word " * 500) == 2
+    assert T.estimate_reading_time("tiny") == 1
+    # banker's rounding edge: 100 words / 200 wpm = 0.5 → round→0 → max(1,·)=1
+    assert T.estimate_reading_time("w " * 100) == 1
+    # 300/200 = 1.5 → banker's → 2
+    assert T.estimate_reading_time("w " * 300) == 2
+
+
+def test_entities():
+    e = T.extract_entities(
+        "Email a@b.org, call 555-123-4567, see https://x.org/page "
+        "on 2023-01-02. Dr. John Smith of Acme Corp in Boston, Massachusetts."
+    )
+    assert "a@b.org" in e["emails"]
+    assert "https://x.org/page" in e["urls"]
+    assert any("555" in p for p in e["phone_numbers"])
+    assert "2023-01-02" in e["dates"]
+    assert "Dr. John Smith" in e["people"]
+    assert "Acme Corp" in e["organizations"]
+    assert "Boston, Massachusetts" in e["locations"]
+
+
+def test_validators():
+    assert V.is_valid_email("a.b@real-domain.org")
+    assert not V.is_valid_email("a@example.com")
+    assert not V.is_valid_email("nope")
+    assert V.is_valid_phone("(555) 123-4567")
+    assert not V.is_valid_phone("1111111")
+    assert not V.is_valid_phone("1234567")
+    assert V.is_valid_url("https://real.org/x")
+    assert not V.is_valid_url("http://localhost/x")
+    assert not V.is_valid_url("http://127.0.0.1/")
+    assert V.is_valid_date("2023-05-01") and V.is_valid_date("May 01, 2023")
+    assert not V.is_valid_date("not a date")
+    assert V.is_valid_ip("10.0.0.1") and not V.is_valid_ip("300.1.1.1")
+    assert V.is_valid_credit_card("4539 1488 0343 6467")
+    assert not V.is_valid_credit_card("1234 5678 9012 3456")
+    assert V.is_valid_json('{"a": 1}') and not V.is_valid_json("{nope")
+    assert V.is_valid_numeric("3.5", 0, 10) and not V.is_valid_numeric("x")
+
+
+def test_canonicalize_url():
+    assert (
+        canonicalize_url("HTTP://WWW.Example.COM:80/a/./b/../c?b=2&a=1#frag")
+        == "http://www.example.com/a/c?a=1&b=2"
+    )
+    assert canonicalize_url("https://h.org:443/") == "https://h.org/"
+    assert canonicalize_url("https://h.org:8443/x") == "https://h.org:8443/x"
+    assert canonicalize_url("example.org") == "http://example.org/"
+    assert canonicalize_url("http://h.org/%7euser/%2d") == "http://h.org/~user/-"
+    # punycode
+    assert canonicalize_url("http://bücher.example/x") == "http://xn--bcher-kva.example/x"
+    assert host_of("HTTPS://A.B.C:9/x") == "a.b.c"
+    # duplicate query keys preserved, sorted by (key,value)
+    assert canonicalize_url("http://h.org/?b=1&a=2&a=1") == "http://h.org/?a=1&a=2&b=1"

@@ -1,0 +1,401 @@
+"""Minimal HTML DOM + CSS selector engine (stdlib only).
+
+The reference engine parses pages with BeautifulSoup + soupsieve
+(`/root/reference/src/webscraper/scrapers/content.py:126`); neither is
+installed in this container, so this module provides the subset both the
+engine's parse stages and the vendored sequential oracle need:
+
+* an ``html.parser``-based tree (``Node``) with ``get_text``,
+  ``find`` / ``find_all`` (by tag, class_ predicate, attrs, text regex),
+  ``find_next_sibling``, attribute access;
+* a CSS selector engine covering the selector shapes the reference
+  actually uses: tag, ``*``, ``.class``, ``#id``, ``[attr]``,
+  ``[attr=v]``, ``[attr^=v]``, ``[attr$=v]``, ``[attr*=v]``, compound
+  simple selectors, descendant / child combinators, comma groups and
+  ``:first-of-type``.
+
+``:contains(...)`` is intentionally UNSUPPORTED and raises
+``SelectorError`` — matching modern soupsieve, where the reference's
+``a:contains('Next')`` selectors raise and are swallowed by the
+``except Exception: continue`` in ``content.py:375-385``.  Reproducing
+that failure mode is part of behavioral parity.
+
+Semantics notes (matched against bs4 behavior):
+* ``get_text(strip=True)`` concatenates the **stripped** text segments
+  with no separator, dropping whitespace-only segments.
+* ``find(text=regex)`` returns the matching text-node *string* in
+  document order (bs4 returns a NavigableString).
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+from typing import Callable, Iterable, Iterator, Optional, Union
+
+_VOID = {
+    "area", "base", "br", "col", "embed", "hr", "img", "input",
+    "link", "meta", "param", "source", "track", "wbr",
+}
+
+
+class SelectorError(ValueError):
+    """Raised for unsupported selector syntax (mirrors soupsieve errors)."""
+
+
+class Node:
+    __slots__ = ("name", "attrs", "children", "parent")
+
+    def __init__(self, name: str, attrs: dict[str, str], parent: Optional["Node"]):
+        self.name = name
+        self.attrs = attrs
+        self.children: list[Union["Node", str]] = []
+        self.parent = parent
+
+    # -- attribute access -------------------------------------------------
+    def has_attr(self, key: str) -> bool:
+        return key in self.attrs
+
+    def get(self, key: str, default=None):
+        return self.attrs.get(key, default)
+
+    def __getitem__(self, key: str) -> str:
+        return self.attrs[key]
+
+    @property
+    def classes(self) -> list[str]:
+        return self.attrs.get("class", "").split()
+
+    # -- traversal --------------------------------------------------------
+    def iter_desc(self) -> Iterator["Node"]:
+        """All descendant element nodes in document order (excluding self)."""
+        for child in self.children:
+            if isinstance(child, Node):
+                yield child
+                yield from child.iter_desc()
+
+    def iter_text(self) -> Iterator[str]:
+        for child in self.children:
+            if isinstance(child, Node):
+                yield from child.iter_text()
+            else:
+                yield child
+
+    def element_children(self) -> list["Node"]:
+        return [c for c in self.children if isinstance(c, Node)]
+
+    def find_next_sibling(self) -> Optional["Node"]:
+        if self.parent is None:
+            return None
+        sibs = self.parent.element_children()
+        try:
+            i = sibs.index(self)
+        except ValueError:
+            return None
+        return sibs[i + 1] if i + 1 < len(sibs) else None
+
+    # -- text -------------------------------------------------------------
+    def get_text(self, separator: str = "", strip: bool = False) -> str:
+        parts = list(self.iter_text())
+        if strip:
+            parts = [p.strip() for p in parts]
+            parts = [p for p in parts if p]
+        return separator.join(parts)
+
+    # -- bs4-style find ---------------------------------------------------
+    def _match_find(
+        self,
+        node: "Node",
+        name,
+        class_,
+        attrs: dict,
+        href,
+        src,
+    ) -> bool:
+        if name is not None:
+            names = [name] if isinstance(name, str) else list(name)
+            if node.name not in names:
+                return False
+        if class_ is not None:
+            cval = node.attrs.get("class")
+            if callable(class_):
+                if not class_(cval):
+                    return False
+            else:
+                if cval is None or class_ not in cval.split():
+                    return False
+        if href is not None:
+            v = node.attrs.get("href")
+            if href is True:
+                if v is None:
+                    return False
+            elif hasattr(href, "search"):
+                if v is None or not href.search(v):
+                    return False
+            elif v != href:
+                return False
+        if src is not None:
+            v = node.attrs.get("src")
+            if src is True:
+                if v is None:
+                    return False
+            elif hasattr(src, "search"):
+                if v is None or not src.search(v):
+                    return False
+            elif v != src:
+                return False
+        for k, want in attrs.items():
+            v = node.attrs.get(k)
+            if want is True:
+                if v is None:
+                    return False
+            elif callable(want):
+                if not want(v):
+                    return False
+            elif v != want:
+                return False
+        return True
+
+    def find_all(
+        self,
+        name=None,
+        class_=None,
+        text=None,
+        href=None,
+        src=None,
+        attrs: Optional[dict] = None,
+        limit: Optional[int] = None,
+        **kw,
+    ):
+        """bs4-compatible-enough find_all. With ``text=`` returns matching
+        text-node strings; otherwise matching Nodes."""
+        merged = dict(attrs or {})
+        merged.update(kw)
+        out: list = []
+        if text is not None and name is None and class_ is None and not merged:
+            rx = text if hasattr(text, "search") else re.compile(re.escape(text))
+            for node in [self, *self.iter_desc()]:
+                for child in node.children:
+                    if isinstance(child, str) and rx.search(child):
+                        out.append(child)
+                        if limit and len(out) >= limit:
+                            return out
+            return out
+        for node in self.iter_desc():
+            if self._match_find(node, name, class_, merged, href, src):
+                if text is not None:
+                    rx = text if hasattr(text, "search") else re.compile(re.escape(text))
+                    if not rx.search(node.get_text()):
+                        continue
+                out.append(node)
+                if limit and len(out) >= limit:
+                    break
+        return out
+
+    def find(self, name=None, class_=None, text=None, href=None, src=None,
+             attrs: Optional[dict] = None, **kw):
+        res = self.find_all(name, class_=class_, text=text, href=href, src=src,
+                            attrs=attrs, limit=1, **kw)
+        return res[0] if res else None
+
+    # -- CSS selectors ----------------------------------------------------
+    def select(self, selector: str) -> list["Node"]:
+        groups = _parse_selector(selector)
+        out, seen = [], set()
+        for node in self.iter_desc():
+            if id(node) in seen:
+                continue
+            if any(_match_chain(node, chain, scope=self) for chain in groups):
+                seen.add(id(node))
+                out.append(node)
+        return out
+
+    def select_one(self, selector: str) -> Optional["Node"]:
+        groups = _parse_selector(selector)
+        for node in self.iter_desc():
+            if any(_match_chain(node, chain, scope=self) for chain in groups):
+                return node
+        return None
+
+    def __repr__(self) -> str:  # pragma: no cover
+        return f"<{self.name} {self.attrs}>"
+
+
+# ---------------------------------------------------------------------------
+# Selector parsing / matching
+# ---------------------------------------------------------------------------
+
+_SIMPLE_RX = re.compile(
+    r"""
+    (?P<tag>\*|[a-zA-Z][\w-]*)
+  | \.(?P<cls>[\w-]+)
+  | \#(?P<id>[\w-]+)
+  | \[(?P<attr>[\w:-]+)\s*(?:(?P<op>[\^\$\*]?=)\s*(?P<q>['"]?)(?P<val>[^\]'"]*)(?P=q))?\]
+  | :(?P<pseudo>[\w-]+)(?P<parg>\([^)]*\))?
+    """,
+    re.VERBOSE,
+)
+
+_SUPPORTED_PSEUDO = {"first-of-type"}
+
+
+def _parse_compound(token: str) -> list[tuple]:
+    """Parse one compound simple selector like ``a.btn[href^='x']``."""
+    parts: list[tuple] = []
+    pos = 0
+    while pos < len(token):
+        m = _SIMPLE_RX.match(token, pos)
+        if not m:
+            raise SelectorError(f"bad selector near {token[pos:]!r}")
+        pos = m.end()
+        if m.group("tag"):
+            parts.append(("tag", m.group("tag").lower()))
+        elif m.group("cls"):
+            parts.append(("class", m.group("cls")))
+        elif m.group("id"):
+            parts.append(("id", m.group("id")))
+        elif m.group("attr"):
+            parts.append(("attr", m.group("attr"), m.group("op"), m.group("val")))
+        elif m.group("pseudo"):
+            name = m.group("pseudo")
+            if name not in _SUPPORTED_PSEUDO or m.group("parg"):
+                raise SelectorError(f"unsupported pseudo-class :{name}")
+            parts.append(("pseudo", name))
+    if not parts:
+        raise SelectorError(f"empty selector token {token!r}")
+    return parts
+
+
+def _parse_selector(selector: str) -> list[list[tuple]]:
+    """→ list of chains; each chain is [(combinator, compound), ...] with
+    combinator ∈ {' ', '>'} (first entry's combinator ignored)."""
+    if not selector or not selector.strip():
+        raise SelectorError("empty selector")
+    groups = []
+    for part in selector.split(","):
+        part = part.strip()
+        if not part:
+            raise SelectorError("empty selector group")
+        toks = re.split(r"\s*(>)\s*|\s+", part)
+        chain: list[tuple] = []
+        comb = " "
+        for tok in toks:
+            if tok is None or tok == "":
+                continue
+            if tok == ">":
+                comb = ">"
+                continue
+            chain.append((comb, _parse_compound(tok)))
+            comb = " "
+        if not chain:
+            raise SelectorError(f"bad selector {part!r}")
+        groups.append(chain)
+    return groups
+
+
+def _match_compound(node: Node, parts: list[tuple]) -> bool:
+    for p in parts:
+        kind = p[0]
+        if kind == "tag":
+            if p[1] != "*" and node.name != p[1]:
+                return False
+        elif kind == "class":
+            if p[1] not in node.classes:
+                return False
+        elif kind == "id":
+            if node.attrs.get("id") != p[1]:
+                return False
+        elif kind == "attr":
+            _, aname, op, val = p
+            v = node.attrs.get(aname)
+            if v is None:
+                return False
+            if op is None:
+                continue
+            if op == "=" and v != val:
+                return False
+            if op == "^=" and not v.startswith(val):
+                return False
+            if op == "$=" and not v.endswith(val):
+                return False
+            if op == "*=" and val not in v:
+                return False
+        elif kind == "pseudo":  # first-of-type
+            parent = node.parent
+            if parent is None:
+                return False
+            for sib in parent.element_children():
+                if sib.name == node.name:
+                    if sib is not node:
+                        return False
+                    break
+    return True
+
+
+def _match_chain(node: Node, chain: list[tuple], scope: Node) -> bool:
+    comb, compound = chain[-1]
+    if not _match_compound(node, compound):
+        return False
+    rest = chain[:-1]
+    if not rest:
+        return True
+    cur = node.parent
+    if comb == ">":
+        if cur is None or cur is scope.parent:
+            return False
+        return _in_scope(cur, scope) and _match_chain(cur, rest, scope)
+    # descendant: try every ancestor within scope
+    while cur is not None and _in_scope(cur, scope):
+        if _match_chain(cur, rest, scope):
+            return True
+        cur = cur.parent
+    return False
+
+
+def _in_scope(node: Node, scope: Node) -> bool:
+    cur = node
+    while cur is not None:
+        if cur is scope:
+            return True
+        cur = cur.parent
+    return False
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]", {}, None)
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        self.stack[-1].children.append(node)
+        if tag not in _VOID:
+            self.stack.append(node)
+
+    def handle_startendtag(self, tag, attrs):
+        node = Node(tag, {k: (v if v is not None else "") for k, v in attrs}, self.stack[-1])
+        self.stack[-1].children.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].name == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].children.append(data)
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a document root Node."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
