@@ -58,9 +58,12 @@ def test_select_child_and_first_of_type():
     assert first["src"] == "/img/one.png"
 
 
-def test_contains_raises_like_soupsieve():
+def test_contains_pseudo():
+    el = DOC.select_one("a:contains('Next')")
+    assert el is not None and el["href"] == "?page=2"
+    assert DOC.select_one("a:contains('Nope')") is None
     with pytest.raises(SelectorError):
-        DOC.select_one("a:contains('Next')")
+        DOC.select_one("a:nth-child(2)")
 
 
 def test_get_text_strip_concatenates():

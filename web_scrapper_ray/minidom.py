@@ -14,11 +14,11 @@ engine's parse stages and the vendored sequential oracle need:
   simple selectors, descendant / child combinators, comma groups and
   ``:first-of-type``.
 
-``:contains(...)`` is intentionally UNSUPPORTED and raises
-``SelectorError`` — matching modern soupsieve, where the reference's
-``a:contains('Next')`` selectors raise and are swallowed by the
-``except Exception: continue`` in ``content.py:375-385``.  Reproducing
-that failure mode is part of behavioral parity.
+``:contains(text)`` matches soupsieve's non-standard pseudo-class
+(substring of the element's text), used by the reference's
+``a:contains('Next')`` next-page selectors (``content.py:363-372``).
+Other unsupported pseudo-classes raise ``SelectorError``, which callers
+swallow exactly like the reference's ``except Exception: continue``.
 
 Semantics notes (matched against bs4 behavior):
 * ``get_text(strip=True)`` concatenates the **stripped** text segments
@@ -236,7 +236,7 @@ _SIMPLE_RX = re.compile(
     re.VERBOSE,
 )
 
-_SUPPORTED_PSEUDO = {"first-of-type"}
+_SUPPORTED_PSEUDO = {"first-of-type", "contains"}
 
 
 def _parse_compound(token: str) -> list[tuple]:
@@ -258,9 +258,17 @@ def _parse_compound(token: str) -> list[tuple]:
             parts.append(("attr", m.group("attr"), m.group("op"), m.group("val")))
         elif m.group("pseudo"):
             name = m.group("pseudo")
-            if name not in _SUPPORTED_PSEUDO or m.group("parg"):
+            arg = m.group("parg")
+            if name not in _SUPPORTED_PSEUDO:
                 raise SelectorError(f"unsupported pseudo-class :{name}")
-            parts.append(("pseudo", name))
+            if name == "contains":
+                if not arg:
+                    raise SelectorError(":contains needs an argument")
+                parts.append(("contains", arg[1:-1].strip("'\"")))
+            else:
+                if arg:
+                    raise SelectorError(f"unsupported pseudo-class :{name}(...)")
+                parts.append(("pseudo", name))
     if not parts:
         raise SelectorError(f"empty selector token {token!r}")
     return parts
@@ -319,6 +327,9 @@ def _match_compound(node: Node, parts: list[tuple]) -> bool:
             if op == "$=" and not v.endswith(val):
                 return False
             if op == "*=" and val not in v:
+                return False
+        elif kind == "contains":
+            if p[1] not in node.get_text():
                 return False
         elif kind == "pseudo":  # first-of-type
             parent = node.parent
