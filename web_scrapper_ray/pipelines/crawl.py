@@ -1,0 +1,326 @@
+"""Wave-based distributed crawl driver (the engine's flagship pipeline).
+
+Replaces the reference's sequential seed loop
+(`/root/reference/src/webscraper/scrapers/base.py:173-216`) with an
+iterative frontier engine: each pagination/detail hop is one wave; a
+wave is one Ray Data pass
+
+    read frontier segment (parquet)
+      → canonicalize (map_batches, Arrow)
+      → seen-filter (sharded cuckoo actors; seeds bypass the drop —
+        the reference fetches duplicate config URLs twice, base.py:188-195)
+      → groupby(host) shuffle → fused fetch+parse per host group
+        (politeness actors pace per-host fetch starts by robots delay)
+      → write the wave's typed output rows to a parquet segment
+
+The frontier/waves never live in driver memory — each wave's output is a
+parquet segment and the next wave reads ``row_kind == 'frontier'`` rows
+back with predicate pushdown.  Per-wave checkpoints (manifest JSON +
+cuckoo shard snapshots) give mid-crawl resume with per-partition
+lineage.  Finalization assembles the canonical crawl log / article
+table (sorted by the reference's program-order keys) and runs the image
+decode pipeline into a host-hash-partitioned parquet (Lance is named by
+the north rule but not installed here — the sink keeps an identical
+schema behind a format switch).
+
+Pagination chains are inherently sequential per seed (page N+1's URL
+comes from page N — content.py:351-456), so wave count ≈ max_pages+1;
+all seeds, details and hosts progress in parallel within a wave.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+from dataclasses import dataclass, field
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..oracle import CONTENT_SELECTORS
+from ..stages.crawl_stage import make_fetch_parse_fn
+from ..stages.decode import DecodeImages
+from ..state.cuckoo import SeenSet, hash64_batch
+from ..state.politeness import PolitenessBoard
+
+
+@dataclass
+class CrawlConfig:
+    world_dir: str
+    out_dir: str
+    selectors: dict = field(default_factory=lambda: dict(CONTENT_SELECTORS))
+    opts: dict = field(default_factory=dict)  # max_pages, follow_next_page, ...
+    seeds: Optional[list[str]] = None         # default: world seeds.parquet
+    n_seen_shards: int = 4
+    n_politeness_shards: int = 4
+    politeness: bool = True
+    decode_concurrency: int = 4
+    images_partitions: int = 16
+    run_ts: str = "2023-01-01T00:00:00"       # deterministic scraped_at stamp
+    max_waves: int = 64
+    # Seen-set drop policy. The reference performs NO membership check
+    # before fetching (base.py:188-195): duplicate seeds refetch their
+    # whole chains. "per_seed" scopes the cuckoo key by seed_index, so
+    # cross-seed duplicates refetch (reference parity) while a runaway
+    # loop within one seed's expansion is still cut. "global" is the
+    # production crawl policy (each canonical URL fetched once);
+    # "off" registers but never drops.
+    dedup_scope: str = "per_seed"
+
+
+def _read_seeds(cfg: CrawlConfig) -> list[str]:
+    if cfg.seeds is not None:
+        return cfg.seeds
+    t = pq.read_table(os.path.join(cfg.world_dir, "seeds.parquet"))
+    return t.column("url").to_pylist()
+
+
+def _frontier0(cfg: CrawlConfig, seeds: list[str], path: str) -> int:
+    from ..functions.urlnorm import canonicalize_batch, host_of
+
+    canon = canonicalize_batch(seeds)
+    t = pa.table(
+        {
+            "kind": pa.array(["seed"] * len(seeds)),
+            "seed_index": pa.array(range(len(seeds)), pa.int64()),
+            "page_idx": pa.array([1] * len(seeds), pa.int64()),
+            "sub_idx": pa.array([0] * len(seeds), pa.int64()),
+            "url": pa.array(seeds),
+            "url_canon": pa.array(canon),
+            "host": pa.array([host_of(u) for u in canon]),
+            "payload": pa.array([""] * len(seeds)),
+        }
+    )
+    pq.write_table(t, path)
+    return len(seeds)
+
+
+def _wave_paths(cfg: CrawlConfig, k: int) -> dict:
+    return {
+        "frontier": os.path.join(cfg.out_dir, "frontier", f"wave_{k:03d}.parquet"),
+        "wave_out": os.path.join(cfg.out_dir, "waves", f"wave_{k:03d}"),
+        "cuckoo": os.path.join(cfg.out_dir, "checkpoints", f"cuckoo_{k:03d}"),
+        "manifest": os.path.join(cfg.out_dir, "checkpoints", f"wave_{k:03d}.json"),
+    }
+
+
+def _last_complete_wave(cfg: CrawlConfig) -> int:
+    last = -1
+    for f in sorted(glob.glob(os.path.join(cfg.out_dir, "checkpoints", "wave_*.json"))):
+        try:
+            with open(f) as fh:
+                m = json.load(fh)
+            if m.get("complete"):
+                last = max(last, m["wave"])
+        except Exception:
+            continue
+    return last
+
+
+def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
+    """Run (or resume) the crawl; returns paths + counters. Ray must be
+    initialised by the caller."""
+    import ray.data as rd
+
+    for sub in ("frontier", "waves", "checkpoints", "out"):
+        os.makedirs(os.path.join(cfg.out_dir, sub), exist_ok=True)
+
+    seeds = _read_seeds(cfg)
+    opts = {"max_pages": 1, "follow_next_page": True, **cfg.opts}
+    seen = SeenSet(n_shards=cfg.n_seen_shards)
+    board = PolitenessBoard(cfg.n_politeness_shards) if cfg.politeness else None
+
+    start_wave = 0
+    if resume:
+        last = _last_complete_wave(cfg)
+        if last >= 0:
+            with open(_wave_paths(cfg, last)["manifest"]) as fh:
+                manifest = json.load(fh)
+            seen.restore(manifest["cuckoo_dir"])
+            start_wave = last + 1
+    if start_wave == 0:
+        _frontier0(cfg, seeds, _wave_paths(cfg, 0)["frontier"])
+
+    fetch_parse = make_fetch_parse_fn(
+        cfg.world_dir, cfg.selectors, opts, seeds[0],
+        board.shards if board else None,
+        cfg.n_politeness_shards if board else 0,
+    )
+
+    counters = {"waves": 0, "fetches": 0, "records": 0}
+    k = start_wave
+    while k < cfg.max_waves:
+        paths = _wave_paths(cfg, k)
+        if not os.path.exists(paths["frontier"]):
+            break
+        frontier = pq.read_table(paths["frontier"])
+        if frontier.num_rows == 0:
+            break
+        ds = rd.from_arrow(frontier)
+
+        # seen-filter: register every canonical URL; drop repeats per policy
+        # (seeds always bypass the drop — reference fetches dups twice).
+        scope = cfg.dedup_scope
+
+        def seen_filter(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return batch
+            urls = batch.column("url_canon").to_pylist()
+            if scope == "per_seed":
+                sidx = batch.column("seed_index").to_pylist()
+                keys = [f"{s}|{u}" for s, u in zip(sidx, urls)]
+            else:
+                keys = urls
+            already = seen.contains_or_add_hashes(hash64_batch(keys))
+            if scope == "off":
+                return batch
+            keep = (~already) | pc.equal(batch.column("kind"), "seed").to_numpy(
+                zero_copy_only=False
+            )
+            return batch.filter(pa.array(keep))
+
+        ds = ds.map_batches(seen_filter, batch_format="pyarrow")
+        out = ds.groupby("host").map_groups(fetch_parse, batch_format="pandas")
+        if os.path.exists(paths["wave_out"]):
+            shutil.rmtree(paths["wave_out"])
+        out.write_parquet(paths["wave_out"])
+
+        # next frontier from this wave's output (predicate pushdown read)
+        wave_ds = pads.dataset(paths["wave_out"])
+        nxt = wave_ds.to_table(
+            filter=pc.equal(pc.field("row_kind"), "frontier"),
+            columns=["kind", "seed_index", "page_idx", "sub_idx", "url",
+                     "url_canon", "host", "payload"],
+        )
+        n_log = wave_ds.count_rows(filter=pc.equal(pc.field("row_kind"), "log"))
+        n_rec = wave_ds.count_rows(filter=pc.equal(pc.field("row_kind"), "record"))
+        counters["fetches"] += n_log
+        counters["records"] += n_rec
+        counters["waves"] += 1
+        if nxt.num_rows:
+            pq.write_table(nxt, _wave_paths(cfg, k + 1)["frontier"])
+        cuckoo_dir = paths["cuckoo"]
+        seen.snapshot(cuckoo_dir)
+        manifest = {
+            "wave": k, "complete": True, "cuckoo_dir": cuckoo_dir,
+            "frontier_in": paths["frontier"], "wave_out": paths["wave_out"],
+            "next_frontier_rows": nxt.num_rows, "counters": dict(counters),
+        }
+        tmp = paths["manifest"] + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        os.replace(tmp, paths["manifest"])
+        if nxt.num_rows == 0:
+            k += 1
+            break
+        k += 1
+
+    result = finalize_crawl(cfg)
+    result["counters"] = counters
+    return result
+
+
+def finalize_crawl(cfg: CrawlConfig) -> dict:
+    """Assemble canonical outputs from wave segments (idempotent)."""
+    import ray.data as rd
+
+    wave_files = sorted(
+        glob.glob(os.path.join(cfg.out_dir, "waves", "wave_*", "*.parquet"))
+    )
+    out_dir = os.path.join(cfg.out_dir, "out")
+    all_ds = pads.dataset(wave_files)
+
+    # canonical crawl log — program-order sort over the sequence keys
+    log = all_ds.to_table(
+        filter=pc.equal(pc.field("row_kind"), "log"),
+        columns=["seed_index", "page_idx", "sub_idx", "url_canon", "outcome", "fetch_ts"],
+    ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"), ("sub_idx", "ascending")])
+    log = log.add_column(0, "fetch_seq", pa.array(range(log.num_rows), pa.int64()))
+    pq.write_table(log, os.path.join(out_dir, "crawl_log.parquet"))
+
+    # seed outcomes (visited_urls / failed_urls of base.py:195,199)
+    seeds_t = all_ds.to_table(
+        filter=pc.equal(pc.field("row_kind"), "seed_outcome"),
+        columns=["seed_index", "url", "outcome"],
+    ).sort_by([("seed_index", "ascending")])
+    pq.write_table(seeds_t, os.path.join(out_dir, "seed_outcomes.parquet"))
+
+    # article records (typed)
+    rec = all_ds.to_table(
+        filter=pc.equal(pc.field("row_kind"), "record"),
+        columns=["seed_index", "page_idx", "sub_idx", "payload"],
+    ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"), ("sub_idx", "ascending")])
+    records = [json.loads(p) for p in rec.column("payload").to_pylist()]
+    articles = pa.table(
+        {
+            "seed_index": rec.column("seed_index"),
+            "page_idx": rec.column("page_idx"),
+            "sub_idx": rec.column("sub_idx"),
+            "title": pa.array([r.get("title") for r in records], pa.string()),
+            "url": pa.array([r.get("url") for r in records], pa.string()),
+            "date": pa.array([r.get("date") for r in records], pa.string()),
+            "author": pa.array([r.get("author") for r in records], pa.string()),
+            "excerpt": pa.array([r.get("excerpt") for r in records], pa.string()),
+            "content": pa.array([r.get("content") for r in records], pa.string()),
+            "image": pa.array([r.get("image") for r in records], pa.string()),
+            "images": pa.array([r.get("images") or [] for r in records], pa.list_(pa.string())),
+            "categories": pa.array([r.get("categories") or [] for r in records], pa.list_(pa.string())),
+            "keywords": pa.array([r.get("keywords") or [] for r in records], pa.list_(pa.string())),
+            "metadata_json": pa.array(
+                [json.dumps(r.get("metadata") or {}, sort_keys=True) for r in records],
+                pa.string(),
+            ),
+            "scraped_at": pa.array([cfg.run_ts] * len(records), pa.string()),
+        }
+    )
+    pq.write_table(articles, os.path.join(out_dir, "articles.parquet"))
+
+    # image refs → dedup (groupby url, max caption) → decode → partitioned sink
+    refs = all_ds.to_table(
+        filter=pc.equal(pc.field("row_kind"), "image_ref"),
+        columns=["url_canon", "host", "caption"],
+    )
+    images_out = os.path.join(out_dir, "images")
+    if os.path.exists(images_out):
+        shutil.rmtree(images_out)
+    n_images = 0
+    if refs.num_rows:
+        import pandas as pd
+
+        refs_ds = rd.from_arrow(refs)
+
+        def dedup(group: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url_canon": [group["url_canon"].iloc[0]],
+                    "host": [group["host"].iloc[0]],
+                    "caption": [group["caption"].max()],
+                }
+            )
+
+        deduped = refs_ds.groupby("url_canon").map_groups(dedup, batch_format="pandas")
+        images = deduped.map_batches(
+            DecodeImages,
+            fn_constructor_args=(cfg.world_dir, cfg.images_partitions),
+            batch_format="pyarrow",
+            batch_size=256,
+            concurrency=cfg.decode_concurrency,
+        )
+        images.write_parquet(images_out, partition_cols=["part"])
+        n_images = pads.dataset(images_out, partitioning="hive").count_rows()
+
+    return {
+        "out_dir": out_dir,
+        "crawl_log": os.path.join(out_dir, "crawl_log.parquet"),
+        "seed_outcomes": os.path.join(out_dir, "seed_outcomes.parquet"),
+        "articles": os.path.join(out_dir, "articles.parquet"),
+        "images_dir": images_out,
+        "n_images": n_images,
+        "n_articles": articles.num_rows,
+        "n_log": log.num_rows,
+    }

@@ -1,0 +1,235 @@
+"""Fused per-host fetch+parse stage (the crawl engine's hot loop).
+
+One crawl wave is ``groupby("host")``-shuffled and each host group runs
+through :func:`make_fetch_parse_fn`'s closure inside ``map_groups``:
+politeness-reserve → fetch pages sequentially in program order → parse
+immediately (HTML bodies never leave the task — at 100 TB the raw page
+bytes are the dominant volume, so parse-at-fetch avoids shipping them
+through the object store) → emit typed output rows:
+
+=============  =========================================================
+row_kind       meaning
+=============  =========================================================
+``record``     a final article record (payload = JSON, already
+               transformed+validated per reference T5/T6 semantics)
+``log``        one fetch attempt (ordering keys seed_index/page_idx/
+               sub_idx reproduce the reference's program order —
+               base.py:188 seed order, content.py:146 DOM order,
+               content.py:177-227 pagination chain)
+``seed_outcome``  raw seed URL → visited|failed (base.py:195,199)
+``frontier``   next-wave input (kind=detail|next)
+``image_ref``  (image url, caption alt) pair for the decode pipeline
+=============  =========================================================
+
+Orchestration parity notes vs the reference ContentScraper:
+* detail fetch failure keeps the listing record (content.py:166-172);
+* pagination only starts when page 1 yielded ≥1 url-bearing entry
+  (content.py:177) and continues while entries exist (content.py:190);
+* ``next`` pages are parsed as listings without the is_article check;
+* detail pages are parsed with base_url = the listing-extracted URL.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pandas as pd
+
+from .. import extract
+from ..functions.urlnorm import canonicalize_url, host_of
+from ..minidom import parse_html
+from ..oracle import collect_image_caption_pairs
+from ..sources.site_store import worker_site_store
+from ..state.cuckoo import hash64
+from ..state.politeness import parse_robots_delay
+
+OUT_COLUMNS = [
+    "row_kind", "kind", "seed_index", "page_idx", "sub_idx",
+    "url", "url_canon", "host", "payload", "caption", "outcome", "fetch_ts",
+]
+
+
+def _row(row_kind, *, kind="", seed_index=-1, page_idx=-1, sub_idx=-1, url="",
+         url_canon="", host="", payload="", caption="", outcome="", fetch_ts=0.0):
+    return {
+        "row_kind": row_kind, "kind": kind, "seed_index": int(seed_index),
+        "page_idx": int(page_idx), "sub_idx": int(sub_idx), "url": url,
+        "url_canon": url_canon, "host": host, "payload": payload,
+        "caption": caption, "outcome": outcome, "fetch_ts": float(fetch_ts),
+    }
+
+
+def empty_out_df() -> pd.DataFrame:
+    return pd.DataFrame({c: pd.Series(dtype="float64" if c == "fetch_ts" else
+                                      ("int64" if c in ("seed_index", "page_idx", "sub_idx") else "object"))
+                         for c in OUT_COLUMNS})
+
+
+def _image_refs_for_record(rec: dict, pairs: dict[str, str], feat_caption: str,
+                           out: list[dict], seed_index: int) -> None:
+    urls = []
+    if rec.get("image"):
+        urls.append(rec["image"])
+    urls.extend(rec.get("images") or [])
+    for u in urls:
+        if not u or u.startswith("data:"):
+            continue
+        canon = canonicalize_url(u)
+        fallback = feat_caption if u == rec.get("image") else ""
+        out.append(
+            _row(
+                "image_ref",
+                url_canon=canon,
+                host=host_of(canon),
+                caption=pairs.get(canon, fallback),
+                seed_index=seed_index,
+            )
+        )
+
+
+def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
+                        first_seed_url: str, politeness_shards: list | None,
+                        n_politeness_shards: int = 0):
+    """Build the map_groups callable. ``politeness_shards`` is the actor
+    handle list (closure-captured; serialized into the tasks)."""
+    max_pages = opts.get("max_pages", 1)
+    follow_next = opts.get("follow_next_page", True)
+
+    def fetch_parse(group: pd.DataFrame) -> pd.DataFrame:
+        import ray
+
+        if len(group) == 0:
+            return empty_out_df()
+        store = worker_site_store(world_dir)
+        group = group.sort_values(["seed_index", "page_idx", "sub_idx"])
+        host = group["host"].iloc[0]
+        out: list[dict] = []
+
+        # -- politeness: robots crawl-delay + cross-wave reservation ------
+        delay_s = 0.0
+        t0 = time.time()
+        if politeness_shards:
+            robots_body, _ = store.get(f"http://{host}/robots.txt", host)
+            delay_s = parse_robots_delay(robots_body)
+            shard = politeness_shards[hash64(host) % n_politeness_shards]
+            t0 = ray.get(shard.reserve.remote(host, len(group), delay_s))
+
+        fetch_i = 0
+
+        def paced_get(url: str):
+            nonlocal fetch_i
+            if delay_s > 0:
+                target = t0 + fetch_i * delay_s
+                now = time.time()
+                if target > now:
+                    time.sleep(target - now)
+            fetch_i += 1
+            body, status = store.get(url, host)
+            return body, status, time.time()
+
+        for r in group.itertuples(index=False):
+            kind, url = r.kind, r.url
+            seed_i, page_i, sub_i = int(r.seed_index), int(r.page_idx), int(r.sub_idx)
+            body, status, ts = paced_get(url)
+            ok = body is not None and status < 400
+            canon = canonicalize_url(url)
+            out.append(
+                _row("log", seed_index=seed_i, page_idx=page_i, sub_idx=sub_i,
+                     url=url, url_canon=canon, host=host,
+                     outcome="visited" if ok else "failed", fetch_ts=ts)
+            )
+            if kind == "seed":
+                out.append(_row("seed_outcome", url=url,
+                                seed_index=seed_i,
+                                outcome="visited" if ok else "failed"))
+
+            if kind == "detail":
+                # A failed detail fetch keeps the listing-only record
+                # (reference content.py:166-172 swallows the error).
+                listing = json.loads(r.payload)
+                pairs = dict(json.loads(listing.pop("_pairs", None) or "{}"))
+                feat_caption = listing.pop("_feat_caption", "")
+                merged = listing
+                if ok:
+                    full = extract.extract_single_article(
+                        parse_html(body.decode()), listing["url"], selectors, opts
+                    )
+                    if full:
+                        merged = extract.merge_listing_detail(listing, full)
+                        pairs.update(
+                            collect_image_caption_pairs(body.decode(), listing["url"])
+                        )
+                merged.pop("fetch_full", None)
+                rec = extract.transform_article(merged, first_seed_url)
+                rec = extract.validate_article(rec) if rec else None
+                if rec:
+                    out.append(_row("record", seed_index=seed_i, page_idx=page_i,
+                                    sub_idx=sub_i, host=host, payload=json.dumps(rec)))
+                    _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
+                continue
+
+            if not ok:
+                continue
+
+            # kind in (seed, next): a page to route/parse
+            html = body.decode()
+            doc = parse_html(html)
+            if kind == "seed" and extract.is_article_page(doc):
+                article = extract.extract_single_article(doc, url, selectors, opts)
+                if article:
+                    pairs = dict(collect_image_caption_pairs(html, url))
+                    rec = extract.transform_article(article, first_seed_url)
+                    rec = extract.validate_article(rec) if rec else None
+                    if rec:
+                        out.append(_row("record", seed_index=seed_i, page_idx=page_i,
+                                        sub_idx=0, host=host, payload=json.dumps(rec)))
+                        _image_refs_for_record(rec, pairs, "", out, seed_i)
+                continue
+
+            elements = extract.find_article_elements(doc, selectors)
+            if not elements:
+                continue
+            pairs = dict(collect_image_caption_pairs(html, url))
+            n_valid = 0
+            for dom_i, el in enumerate(elements):
+                entry = extract.extract_article_listing(el, url, selectors, opts)
+                if not (entry and entry.get("url")):
+                    continue
+                n_valid += 1
+                feat = entry.get("image")
+                feat_caption = pairs.get(canonicalize_url(feat), "") if feat else ""
+                if entry.get("fetch_full"):
+                    entry["_feat_caption"] = feat_caption
+                    entry["_pairs"] = json.dumps(pairs)
+                    out.append(
+                        _row("frontier", kind="detail", seed_index=seed_i,
+                             page_idx=page_i, sub_idx=1 + dom_i,
+                             url=entry["url"], url_canon=canonicalize_url(entry["url"]),
+                             host=host_of(entry["url"]), payload=json.dumps(entry))
+                    )
+                else:
+                    entry.pop("fetch_full", None)
+                    rec = extract.transform_article(entry, first_seed_url)
+                    rec = extract.validate_article(rec) if rec else None
+                    if rec:
+                        out.append(_row("record", seed_index=seed_i, page_idx=page_i,
+                                        sub_idx=1 + dom_i, host=host,
+                                        payload=json.dumps(rec)))
+                        _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
+            # pagination (content.py:177-227)
+            proceed = (n_valid > 0) if kind == "seed" else True
+            if follow_next and proceed and max_pages > 1 and page_i < max_pages:
+                next_url = extract.find_next_page(doc, url)
+                if next_url:
+                    out.append(
+                        _row("frontier", kind="next", seed_index=seed_i,
+                             page_idx=page_i + 1, sub_idx=0, url=next_url,
+                             url_canon=canonicalize_url(next_url),
+                             host=host_of(next_url))
+                    )
+        if not out:
+            return empty_out_df()
+        return pd.DataFrame(out, columns=OUT_COLUMNS)
+
+    return fetch_parse

@@ -1,0 +1,77 @@
+"""Per-host politeness scheduler (north-rule ST6/ST7).
+
+The reference stores a ``delay`` and ``max_concurrent`` but never uses
+them (verified: no sleep/threading in the reference ``src/`` —
+`/root/reference/src/webscraper/scrapers/base.py:62,65`); the north rule
+makes politeness a first-class component.  Design:
+
+* Each crawl wave is shuffled ``groupby(host)`` so ALL of a host's
+  fetches in a wave run inside one task, sequentially, in program order
+  — per-host in-flight = 1 by construction.
+* A sharded ``PolitenessShard`` actor pool (route: host-hash % shards)
+  carries ``next_allowed_fetch_time`` per host *across* waves: the
+  fetch task calls ``reserve(host, n, delay)`` once per group and gets
+  the scheduled start; it then paces fetch *starts* ``delay`` apart.
+* The crawl-delay comes from the host's robots.txt (fetched through the
+  content store and parsed per group, cached per worker).
+
+Shard count scales with the pool so no single actor serializes the
+crawl (the N→4N scaling criterion).
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+_DELAY_RX = re.compile(r"crawl-delay:\s*([0-9.]+)", re.IGNORECASE)
+
+
+def parse_robots_delay(robots_body: bytes | None) -> float:
+    """Crawl-delay seconds from a robots.txt body (0.0 when absent)."""
+    if not robots_body:
+        return 0.0
+    m = _DELAY_RX.search(robots_body.decode(errors="replace"))
+    return float(m.group(1)) if m else 0.0
+
+
+def _make_shard_actor():
+    import ray
+
+    @ray.remote(num_cpus=0.05)
+    class PolitenessShard:
+        def __init__(self) -> None:
+            self.next_allowed: dict[str, float] = {}
+
+        def reserve(self, host: str, n: int, delay_s: float) -> float:
+            """Reserve n fetch slots spaced ``delay_s`` apart; returns the
+            scheduled start time (wall clock)."""
+            now = time.time()
+            t0 = max(now, self.next_allowed.get(host, 0.0))
+            self.next_allowed[host] = t0 + n * delay_s
+            return t0
+
+        def snapshot(self) -> dict[str, float]:
+            return dict(self.next_allowed)
+
+    return PolitenessShard
+
+
+class PolitenessBoard:
+    """Driver-side handle; shard actors are created in the caller's Ray
+    session and routed by stable host hash."""
+
+    def __init__(self, n_shards: int = 4):
+        Shard = _make_shard_actor()
+        self.n_shards = n_shards
+        self.shards = [Shard.remote() for _ in range(n_shards)]
+
+    def shard_for(self, host: str):
+        from .cuckoo import hash64
+
+        return self.shards[hash64(host) % self.n_shards]
+
+    def reserve(self, host: str, n: int, delay_s: float) -> float:
+        import ray
+
+        return ray.get(self.shard_for(host).reserve.remote(host, n, delay_s))
