@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship crawl (synthetic t1 world → wave engine →
+image+caption table, the BASELINE.json input_hint shape).  ``queries()``
+exposes one callable per implemented operator family from SURVEY.md §2
+over the driver's parquet tables; ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible one (column names match exactly).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,296 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from web_scrapper_ray.functions.text import STOP_WORDS
+
+_SF0001 = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: wave-crawl the t1 synthetic world (seed canonicalize →
+    cuckoo seen-set → politeness groupby-host fetch/parse → decode+phash)
+    and return the north-rule image+caption table."""
+    import pyarrow.dataset as pads
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    res = ensure_tier_crawl("t1")
+    table = pads.dataset(res["images_dir"], partitioning="hive").to_table(
+        columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+    return table.sort_by("image_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def _crawl_articles(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    res = ensure_tier_crawl("t1")
+    return pq.read_table(res["articles"])
+
+
+def _crawl_log(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    res = ensure_tier_crawl("t1")
+    return pq.read_table(res["crawl_log"]).drop_columns(["fetch_ts"])
+
+
+def _crawl_images(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    res = ensure_tier_crawl("t1")
+    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
+        columns=["image_id", "w", "h", "fmt", "caption", "phash"]
+    )
+    return t.sort_by("image_id")
+
+
+def _shop_products(sf_dir: str):
+    import pandas as pd
+
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.pipelines.scrape import run_page_scrape
+
+    world = synth.ensure_world("t1")
+    spec = synth.TIERS["t1"]
+    seeds = [f"http://{synth.host_name(spec, i)}/shop" for i in range(spec.n_hosts)]
+    recs = run_page_scrape(world, seeds, "ecommerce")
+    return pd.DataFrame(
+        [
+            {"name": r["name"], "price": r["price"], "currency": r["currency"],
+             "url": r["url"], "availability": r["availability"],
+             "n_images": len(r.get("images") or []),
+             "rating": (r.get("reviews") or {}).get("rating"),
+             "review_count": (r.get("reviews") or {}).get("count")}
+            for r in recs
+        ]
+    )
+
+
+def _directory_businesses(sf_dir: str):
+    import pandas as pd
+
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.pipelines.scrape import run_page_scrape
+
+    world = synth.ensure_world("t1")
+    spec = synth.TIERS["t1"]
+    seeds = [f"http://{synth.host_name(spec, i)}/directory" for i in range(spec.n_hosts)]
+    recs = run_page_scrape(world, seeds, "business")
+    return pd.DataFrame(
+        [
+            {"name": r["name"], "address": r["address"], "phone": r["phone"],
+             "email": r["email"], "website": r["website"],
+             "n_social": len(r.get("social_media") or {}),
+             "n_categories": len(r.get("categories") or [])}
+            for r in recs
+        ]
+    )
+
+
+def _image_features(sf_dir: str):
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.stages.multimodal import ImageFeatures
+
+    res = ensure_tier_crawl("t1")
+    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
+        columns=["image_id", "bytes"]
+    )
+    out = rd.from_arrow(t).map_batches(
+        ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=2
+    ).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from web_scrapper_ray.pipelines import dedup, relational, similarity, textops
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational / generic engine ops
+        "q01_lineitem_agg": relational.q_lineitem_agg,
+        "q02_top_customers": relational.q_top_customers,
+        "q03_orders_filter_topk": relational.q_orders_filter_topk,
+        "q04_events_window": relational.q_events_window,
+        "q05_order_priority_join": relational.q_order_priority_join,
+        # text analysis
+        "q10_token_count": textops.q_token_count,
+        "q11_reading_time": textops.q_reading_time,
+        "q12_clean_text": textops.q_clean_text,
+        "q13_keywords_topk": textops.q_keywords_topk,
+        "q14_fingerprint": textops.q_fingerprint,
+        "q15_quality": textops.q_quality,
+        "q16_lang_id": textops.q_lang_id,
+        "q17_json_valid": textops.q_json_valid,
+        "q18_phone_digits": textops.q_phone_digits,
+        # dedup
+        "q20_exact_dedup": dedup.q_exact_dedup,
+        "q21_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "q23_simhash": dedup.q_simhash,
+        # similarity search
+        "q24_knn_bruteforce": similarity.q_knn_bruteforce,
+        "q25_knn_lsh": similarity.q_knn_lsh,
+        "q27_neardup_cosine": similarity.q_neardup_cosine,
+        # crawl engine (synthetic world; oracle-checked in pytest)
+        "q30_crawl_articles": _crawl_articles,
+        "q31_crawl_log": _crawl_log,
+        "q32_crawl_images": _crawl_images,
+        "q33_shop_products": _shop_products,
+        "q34_directory_businesses": _directory_businesses,
+        "q35_image_features": _image_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL
+# ---------------------------------------------------------------------------
+
+_STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
+
+_CLEAN_SQL = (
+    "regexp_replace("
+    "replace(replace(replace(replace(replace("
+    "trim(regexp_replace(text, '\\s+', ' ', 'g')), chr(160), ' '), "
+    "'“', '\"'), '”', '\"'), '‘', ''''), '’', ''''), "
+    "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
+)
+
+_TOKS = "regexp_extract_all(lower(text), '\\w+')"
+_NSTOP = f"len(list_filter({_TOKS}, x -> list_contains([{_STOPLIST_SQL}], x)))"
+_WC = "len(regexp_extract_all(text, '\\w+'))"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q01_lineitem_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*)::BIGINT AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q02_top_customers": """
+            SELECT o_custkey AS c_custkey, any_value(c_name) AS c_name,
+                   round(sum(o_totalprice), 2) AS revenue,
+                   count(*)::BIGINT AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY o_custkey
+            ORDER BY revenue DESC, c_custkey LIMIT 10
+        """,
+        "q03_orders_filter_topk": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+        """,
+        "q04_events_window": """
+            SELECT event_type,
+                   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS window_start,
+                   count(*)::BIGINT AS n_events,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q05_order_priority_join": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q10_token_count": f"""
+            SELECT doc_id, {_WC}::BIGINT AS n_tokens FROM documents ORDER BY doc_id
+        """,
+        "q11_reading_time": f"""
+            SELECT doc_id,
+                   greatest(1, CASE WHEN {_WC} % 200 = 100
+                       THEN ({_WC} // 200) + (({_WC} // 200) % 2)
+                       ELSE CAST(round({_WC} / 200.0) AS BIGINT) END)::BIGINT AS reading_min
+            FROM documents ORDER BY doc_id
+        """,
+        "q12_clean_text": f"""
+            SELECT doc_id, {_CLEAN_SQL} AS clean FROM documents ORDER BY doc_id
+        """,
+        "q13_keywords_topk": f"""
+            SELECT word, count(*)::BIGINT AS n_total FROM (
+                SELECT unnest({_TOKS}) AS word FROM documents
+            ) WHERE length(word) > 2 AND word NOT IN ({_STOPLIST_SQL})
+            GROUP BY word ORDER BY n_total DESC, word ASC LIMIT 20
+        """,
+        "q14_fingerprint": """
+            SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id
+        """,
+        "q15_quality": f"""
+            SELECT doc_id, len(toks)::BIGINT AS n_tokens, n_stop::BIGINT AS n_stop,
+                   (len(toks) BETWEEN 10 AND 1000) AND (20 * n_stop > len(toks)) AS is_good
+            FROM (
+                SELECT doc_id, {_TOKS} AS toks,
+                       len(list_filter({_TOKS}, x -> list_contains([{_STOPLIST_SQL}], x))) AS n_stop
+                FROM documents
+            ) ORDER BY doc_id
+        """,
+        "q16_lang_id": f"""
+            SELECT doc_id,
+                   CASE WHEN 10 * {_NSTOP} > len({_TOKS}) THEN 'en' ELSE 'other' END AS lang_pred
+            FROM documents ORDER BY doc_id
+        """,
+        "q17_json_valid": """
+            SELECT event_id, coalesce(json_valid(props), false) AS valid_json
+            FROM events ORDER BY event_id
+        """,
+        "q18_phone_digits": """
+            SELECT c_custkey, digits,
+                   (length(digits) BETWEEN 7 AND 15
+                    AND NOT (length(digits) >= 7 AND digits = repeat(digits[1], length(digits)))
+                    AND NOT starts_with(digits, '12345')) AS valid
+            FROM (SELECT c_custkey,
+                         regexp_replace(
+                             '(' || (200 + c_custkey % 800) || ') '
+                             || (100 + c_custkey % 900) || '-'
+                             || lpad((c_custkey % 10000)::VARCHAR, 4, '0'),
+                             '[^0-9+]', '', 'g') AS digits
+                  FROM customer) ORDER BY c_custkey
+        """,
+        "q20_exact_dedup": """
+            SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,
+                   count(*)::BIGINT AS n_docs
+            FROM documents GROUP BY md5(text) ORDER BY content_hash
+        """,
+        "q24_knn_bruteforce": """
+            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                       WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         list_cosine_similarity(e.embedding, q.qe) AS sim
+                  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+            SELECT query_id, rank, neighbor_id FROM (
+                SELECT query_id, neighbor_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rank
+                FROM s)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q27_neardup_cosine": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+              AND list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+            ORDER BY vec_a, vec_b
+        """,
+    }

@@ -1,0 +1,125 @@
+"""Local stand-in for the driver's correctness gate: run every
+``queries()`` entry and its ``oracle_sql()`` twin on the same sf dir,
+compare row count + column names + order-insensitive values.
+
+Usage: python scripts/check_queries.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif str(df[c].dtype).startswith("float"):
+            df[c] = df[c].round(9)
+        elif str(df[c].dtype) == "bool":
+            df[c] = df[c].astype(bool)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False,
+                 logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import __ray_entry__ as entrymod
+
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            mine = normalize(to_pandas(fn(sf_dir)))
+        except Exception as e:
+            print(f"FAIL {name}: engine error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        dt = time.time() - t0
+        if name not in sqls:
+            print(f"ok   {name}: rows={len(mine)} cols={list(mine.columns)} "
+                  f"[rows-only, {dt:.1f}s]")
+            continue
+        try:
+            theirs = normalize(con.execute(sqls[name]).df())
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        probs = []
+        if len(mine) != len(theirs):
+            probs.append(f"rows {len(mine)} vs {len(theirs)}")
+        if list(mine.columns) != list(theirs.columns):
+            probs.append(f"cols {list(mine.columns)} vs {list(theirs.columns)}")
+        if not probs:
+            try:
+                eq = mine.equals(theirs)
+                if not eq:
+                    # locate first differing cell
+                    for c in mine.columns:
+                        a, b = mine[c].to_numpy(), theirs[c].to_numpy()
+                        if a.dtype.kind == "f":
+                            bad = ~(np.isclose(a, b, rtol=0, atol=0) | (pd.isna(a) & pd.isna(b)))
+                        else:
+                            bad = a != b
+                        if bad.any():
+                            i = int(np.argmax(bad))
+                            probs.append(f"col {c} row {i}: {a[i]!r} vs {b[i]!r}")
+                            break
+                    else:
+                        probs.append("dtype-level mismatch "
+                                     + str([(c, str(mine[c].dtype), str(theirs[c].dtype)) for c in mine.columns]))
+            except Exception as e:
+                probs.append(f"compare error: {e}")
+        if probs:
+            print(f"FAIL {name}: {'; '.join(probs)}")
+            failures += 1
+        else:
+            print(f"PASS {name}: rows={len(mine)} [{dt:.1f}s]")
+    ray.shutdown()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,75 @@
+"""Cuckoo seen-set and politeness scheduler tests (SURVEY.md §5.1 item 5)."""
+
+import time
+
+import numpy as np
+import pytest
+
+from web_scrapper_ray.state.cuckoo import CuckooFilter, SeenSet, hash64_batch
+from web_scrapper_ray.state.politeness import PolitenessBoard, parse_robots_delay
+
+
+def test_cuckoo_filter_exactness_at_capacity_margin():
+    f = CuckooFilter(capacity=1 << 14)
+    rng = np.random.default_rng(7)
+    items = rng.integers(0, 2**63, size=5000, dtype=np.uint64)
+    first = f.contains_or_add(items)
+    # fresh random hashes: false-positive probability ~2^-16 per probe;
+    # a generously-sized filter must report all-new
+    assert not first.any()
+    again = f.contains_or_add(items)
+    assert again.all()
+
+
+def test_cuckoo_within_batch_duplicates():
+    f = CuckooFilter(capacity=1 << 10)
+    items = np.array([42, 42, 43, 42], dtype=np.uint64)
+    out = f.contains_or_add(items)
+    assert list(out) == [False, True, False, True]
+
+
+def test_cuckoo_snapshot_roundtrip(tmp_path):
+    f = CuckooFilter(capacity=1 << 10)
+    items = np.arange(100, dtype=np.uint64) * 2654435761
+    f.contains_or_add(items)
+    p = str(tmp_path / "snap.npz")
+    f.save(p)
+    g = CuckooFilter.load(p)
+    assert g.contains_or_add(items).all()
+    assert g.count == f.count
+
+
+def test_seen_set_sharded_vs_exact_oracle(ray_session):
+    urls = [f"http://h{i % 37}.org/p/{i % 201}" for i in range(1000)]
+    seen = SeenSet(n_shards=3, capacity_per_shard=1 << 12)
+    mask = seen.contains_or_add(urls)
+    exact: set[str] = set()
+    expected = []
+    for u in urls:
+        expected.append(u in exact)
+        exact.add(u)
+    assert list(mask) == expected
+    assert seen.total_count() == len(set(urls))
+
+
+def test_hash64_deterministic_across_calls():
+    a = hash64_batch(["x", "y"])
+    b = hash64_batch(["x", "y"])
+    assert (a == b).all()
+
+
+def test_parse_robots_delay():
+    assert parse_robots_delay(b"User-agent: *\nCrawl-delay: 0.05\n") == 0.05
+    assert parse_robots_delay(b"User-agent: *\n") == 0.0
+    assert parse_robots_delay(None) == 0.0
+
+
+def test_politeness_reserve_spacing(ray_session):
+    board = PolitenessBoard(n_shards=2)
+    t0 = board.reserve("h.org", 5, 0.05)
+    t1 = board.reserve("h.org", 1, 0.05)
+    # the second reservation starts after the first's 5 slots
+    assert t1 >= t0 + 5 * 0.05 - 1e-6
+    # an unrelated host is not delayed by h.org's budget
+    t2 = board.reserve("other.org", 1, 0.05)
+    assert t2 <= time.time() + 0.01

@@ -225,6 +225,36 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
     return result
 
 
+def ensure_tier_crawl(tier: str = "t1", out_root: str = "/tmp/wsr_crawl",
+                      politeness: bool = True) -> dict:
+    """Run (once; memoized on disk) the flagship crawl for a synthetic
+    tier and return its output paths."""
+    from .. import synth
+
+    world = synth.ensure_world(tier)
+    out = os.path.join(out_root, tier)
+    marker = os.path.join(out, "out", "articles.parquet")
+    cfg = CrawlConfig(
+        world_dir=world, out_dir=out,
+        opts={"max_pages": synth.TIERS[tier].max_pages},
+        politeness=politeness,
+    )
+    if os.path.exists(marker):
+        return finalize_paths(cfg)
+    return run_crawl(cfg)
+
+
+def finalize_paths(cfg: CrawlConfig) -> dict:
+    out_dir = os.path.join(cfg.out_dir, "out")
+    return {
+        "out_dir": out_dir,
+        "crawl_log": os.path.join(out_dir, "crawl_log.parquet"),
+        "seed_outcomes": os.path.join(out_dir, "seed_outcomes.parquet"),
+        "articles": os.path.join(out_dir, "articles.parquet"),
+        "images_dir": os.path.join(out_dir, "images"),
+    }
+
+
 def finalize_crawl(cfg: CrawlConfig) -> dict:
     """Assemble canonical outputs from wave segments (idempotent)."""
     import ray.data as rd
@@ -304,12 +334,16 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
             )
 
         deduped = refs_ds.groupby("url_canon").map_groups(dedup, batch_format="pandas")
+        # fractional num_cpus + autoscaling pool: the decode actors must
+        # not reserve the whole cluster or they starve the upstream
+        # groupby tasks (deadlocks a small CI cluster outright)
         images = deduped.map_batches(
             DecodeImages,
             fn_constructor_args=(cfg.world_dir, cfg.images_partitions),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=cfg.decode_concurrency,
+            concurrency=(1, cfg.decode_concurrency),
+            num_cpus=0.5,
         )
         images.write_parquet(images_out, partition_cols=["part"])
         n_images = pads.dataset(images_out, partitioning="hive").count_rows()

@@ -1,0 +1,175 @@
+"""Deduplication pipelines over the ``documents`` table (north-brief
+training-data ops): exact content-hash dedup, MinHash+LSH near-dup,
+SimHash, n-gram Jaccard verification.
+
+Scale shapes:
+* exact — hash column added vectorized, then ONE groupby(hash) shuffle;
+* MinHash-LSH — shingle→minhash per batch (numpy), explode to
+  (band_id, band_hash, doc_id) rows (16 bands × 4 rows/doc), groupby
+  the band key, pairs within buckets, exact-Jaccard verify on the
+  candidate set only (never all-pairs);
+* SimHash — 64-bit signature per doc; near-dup = equal signature
+  buckets (hamming-ball probing is the multi-table extension).
+
+All hashing is blake2b-derived and deterministic (no Python hash()).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN_RX = re.compile(r"\w+")
+N_PERM = 64
+N_BANDS = 16
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int = N_PERM) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(42)
+    a = rng.integers(1, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, size=n_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+_A, _B = _perm_params()
+
+
+def _shingles(text: str, n: int = 3) -> set[int]:
+    toks = _TOKEN_RX.findall(text.lower())
+    out = set()
+    for i in range(max(0, len(toks) - n + 1)):
+        sh = " ".join(toks[i : i + n])
+        out.add(int.from_bytes(hashlib.blake2b(sh.encode(), digest_size=8).digest(), "big") % _MERSENNE)
+    return out
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    sh = _shingles(text)
+    if not sh:
+        return np.full(N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
+    hv = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+    # (a*x + b) mod p, vectorized over perms × shingles
+    prod = (hv[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup groups: (content md5, keeper = min doc_id, group size).
+    Hash-partition + per-group first (SURVEY.md §2.7 D3 engine policy)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"content_hash": pa.array(hs), "doc_id": batch.column("doc_id")})
+
+    out = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs"))
+        .to_pandas()
+    )
+    return out.sort_values("content_hash").reset_index(drop=True)
+
+
+def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """MinHash+LSH candidate generation + exact shingle-Jaccard verify.
+    Returns (doc_a, doc_b, jaccard) pairs above threshold, doc_a < doc_b.
+    Non-SQL-expressible → rows-only driver check; invariants pytest'd."""
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        doc_ids, band_ids, band_hashes = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            sig = minhash_signature(t)
+            for b in range(N_BANDS):
+                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
+                doc_ids.append(d)
+                band_ids.append(b)
+                band_hashes.append(h)
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "band_id": pa.array(band_ids, pa.int32()),
+            "band_hash": pa.array(band_hashes),
+        })
+
+    def pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(group["doc_id"].unique())
+        out = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
+        if not out:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame(out, columns=["doc_a", "doc_b"])
+
+    cand = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    cand = cand.drop_duplicates().reset_index(drop=True)
+    if len(cand) == 0:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "jaccard": pd.Series(dtype="float64")})
+    # verify: broadcast the shingle sets of candidate docs only
+    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
+    texts = {
+        r["doc_id"]: r["text"]
+        for r in _docs(sf_dir, ["doc_id", "text"]).to_pandas().to_dict("records")
+        if r["doc_id"] in set(need)
+    }
+    sh = {d: _shingles(t) for d, t in texts.items()}
+    jac = []
+    for a, b in zip(cand["doc_a"], cand["doc_b"]):
+        sa, sb = sh[a], sh[b]
+        inter = len(sa & sb)
+        union = len(sa | sb)
+        jac.append(inter / union if union else 0.0)
+    cand["jaccard"] = jac
+    out = cand[cand["jaccard"] >= jaccard_threshold]
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def simhash64(text: str) -> int:
+    toks = _TOKEN_RX.findall(text.lower())
+    if not toks:
+        return 0
+    acc = np.zeros(64, dtype=np.int64)
+    for w in toks:
+        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
+        bits = (h >> np.arange(64)) & 1
+        acc += np.where(bits == 1, 1, -1)
+    val = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash signature per document (int64, same convention as phash)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "simhash": pa.array(vals, pa.int64())})
+
+    return ds.map_batches(sig, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)

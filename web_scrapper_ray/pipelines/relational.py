@@ -1,0 +1,169 @@
+"""Generic relational pipelines over the driver testdata tables.
+
+These exercise the engine's generic operators (SURVEY.md §2.5/§2.6:
+A1/A2 aggregation analogs, O1/O2 sort/limit, J-ops joins) as Ray-Data
+idioms: column-pruned reads, vectorized Arrow batch transforms, partial
+pre-aggregation before the shuffle, broadcast joins for small sides and
+an explicit bucketed hash join for large-large.
+
+Every function takes ``sf_dir`` and returns a small result table;
+matching oracle SQL lives in ``__ray_entry__.oracle_sql``.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style grouped aggregate. Revenue is computed vectorized
+    per batch (Arrow kernels); the groupby shuffles only the needed
+    columns."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount"],
+    )
+
+    def add_revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return batch.append_column("revenue", rev)
+
+    ds = ds.map_batches(add_revenue, batch_format="pyarrow")
+    out = (
+        ds.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("revenue", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    # rounding pins the value-hash against float summation order
+    for col, nd in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
+                    ("avg_qty", 4)]:
+        out[col] = out[col].round(nd)
+    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def q_top_customers(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: the customer dimension is ray.put once and read
+    inside each batch task — no shuffle for the join, one for the agg."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    agg = (
+        orders.groupby("o_custkey")
+        .aggregate(Sum("o_totalprice", alias_name="revenue"),
+                   Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    names = ray.get(cust_ref)
+    agg["revenue"] = agg["revenue"].round(2)
+    agg["c_name"] = agg["o_custkey"].map(names)
+    agg = agg.rename(columns={"o_custkey": "c_custkey"})
+    agg = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
+    return agg[["c_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
+
+
+def q_orders_filter_topk(sf_dir: str) -> pd.DataFrame:
+    """Filter (vectorized predicate) → project → global sort → limit."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow",
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    return top.to_pandas()[["o_orderkey", "o_custkey", "o_totalprice"]]
+
+
+def q_events_window(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window per event_type (streaming-shaped op over
+    the ordered log — SURVEY.md §2.8 analog): pre-bucket per batch, one
+    small groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), 3600.0)
+        return batch.append_column("window_start", pc.cast(win, pa.int64()))
+
+    ds = ds.map_batches(bucket, batch_format="pyarrow").select_columns(
+        ["event_type", "window_start", "value"]
+    )
+    out = (
+        ds.groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+        .to_pandas()
+    )
+    out["sum_value"] = out["sum_value"].round(4)
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
+    """Large⋈large explicit bucketed hash join: both sides get
+    ``bucket = key % B``, groups co-locate via one shuffle, pandas merge
+    per bucket (the portable partitioned-hash-join pattern; B=32, salt
+    would go here for hot keys)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    B = 32
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+
+    def tag_li(t: pa.Table) -> pa.Table:
+        t = t.append_column("bucket", pc.cast(pc.bit_wise_and(t.column("l_orderkey"), B - 1), pa.int32()))
+        t = t.append_column("side", pa.array(["L"] * t.num_rows))
+        return pa.table({"bucket": t.column("bucket"), "side": t.column("side"),
+                         "key": t.column("l_orderkey"),
+                         "payload": pa.array([""] * t.num_rows)})
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t.column("o_orderkey"), B - 1), pa.int32()),
+            "side": pa.array(["R"] * t.num_rows),
+            "key": t.column("o_orderkey"),
+            "payload": t.column("o_orderpriority"),
+        })
+
+    both = li.map_batches(tag_li, batch_format="pyarrow").union(
+        od.map_batches(tag_od, batch_format="pyarrow")
+    )
+
+    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "L"][["key"]]
+        right = g[g["side"] == "R"][["key", "payload"]]
+        m = left.merge(right, on="key", how="inner")
+        out = m.groupby("payload").size().reset_index(name="n_items")
+        return out.rename(columns={"payload": "o_orderpriority"})
+
+    per_bucket = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+    # merge the per-bucket partials (small) on the driver
+    parts = per_bucket.to_pandas()
+    out = parts.groupby("o_orderpriority", as_index=False)["n_items"].sum()
+    return out.sort_values("o_orderpriority").reset_index(drop=True)

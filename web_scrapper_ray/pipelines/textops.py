@@ -1,0 +1,213 @@
+"""Text-analysis pipelines over the ``documents`` table.
+
+Large-scale training-data ops: token counting, quality scoring,
+language-ID (stopword heuristic), document fingerprinting, global
+keyword top-k, reading time, clean-text — each a vectorized
+``map_batches`` stage; aggregations pre-combine per batch before the
+groupby shuffle (A1 global analog, SURVEY.md §2.5).
+
+Integer-arithmetic score rules keep the DuckDB oracle SQL bit-exact.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from collections import Counter
+
+import pandas as pd
+import pyarrow as pa
+
+from ..functions.text import STOP_WORDS, clean_text, estimate_reading_time
+
+_TOKEN_RX = re.compile(r"\w+")
+
+
+def _docs(sf_dir: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def q_token_count(sf_dir: str) -> pd.DataFrame:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        toks = [len(_TOKEN_RX.findall(t)) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_tokens": pa.array(toks, pa.int64())})
+
+    out = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_reading_time(sf_dir: str) -> pd.DataFrame:
+    """Reference F2 semantics: max(1, banker's-round(word_count/200))."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def rt(batch: pa.Table) -> pa.Table:
+        vals = [estimate_reading_time(t) for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "reading_min": pa.array(vals, pa.int64())})
+
+    return ds.map_batches(rt, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_clean_text(sf_dir: str) -> pd.DataFrame:
+    """Reference T7 clean_text over the corpus."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def clean(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "clean": pa.array([clean_text(t) for t in batch.column("text").to_pylist()]),
+        })
+
+    return ds.map_batches(clean, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprint = md5 hex of the raw text (content-hash
+    column reused by exact dedup)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        fps = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
+
+    return ds.map_batches(fp, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality signals with integer-exact rules: token count, stopword
+    count, is_good = (10 ≤ n_tokens ≤ 1000) ∧ (20·n_stop > n_tokens)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        doc_ids, n_tok, n_stop, good = [], [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            toks = _TOKEN_RX.findall(t.lower())
+            ns = sum(1 for w in toks if w in STOP_WORDS)
+            doc_ids.append(d)
+            n_tok.append(len(toks))
+            n_stop.append(ns)
+            good.append(10 <= len(toks) <= 1000 and 20 * ns > len(toks))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "n_tokens": pa.array(n_tok, pa.int64()),
+            "n_stop": pa.array(n_stop, pa.int64()),
+            "is_good": pa.array(good, pa.bool_()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Stopword-ratio language heuristic: 'en' iff 10·n_stop > n_tokens."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def lang(batch: pa.Table) -> pa.Table:
+        doc_ids, preds = [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            toks = _TOKEN_RX.findall(t.lower())
+            ns = sum(1 for w in toks if w in STOP_WORDS)
+            doc_ids.append(d)
+            preds.append("en" if 10 * ns > len(toks) else "other")
+        return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                         "lang_pred": pa.array(preds)})
+
+    return ds.map_batches(lang, batch_format="pyarrow").to_pandas().sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def q_keywords_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global keyword top-k (A1 global analog): per-batch Counter partial
+    → small (word, n) stream → groupby-sum → sort. The shuffle carries
+    one row per distinct word per batch, not one per token."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in _TOKEN_RX.findall(t.lower()):
+                if len(w) > 2 and w not in STOP_WORDS:
+                    counter[w] += 1
+        if not counter:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, ns = zip(*counter.items())
+        return pa.table({"word": pa.array(list(words)), "n": pa.array(list(ns), pa.int64())})
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n_total"))
+        .to_pandas()
+    )
+    agg = agg.sort_values(["n_total", "word"], ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
+
+
+def q_json_valid(sf_dir: str) -> pd.DataFrame:
+    """F8 is_valid_json over the events props column."""
+    import ray.data as rd
+
+    from ..functions.validators import is_valid_json_batch
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+
+    def valid(batch: pa.Table) -> pa.Table:
+        mask = is_valid_json_batch(batch.column("props").to_pylist())
+        return pa.table({"event_id": batch.column("event_id"),
+                         "valid_json": pa.array(mask, pa.bool_())})
+
+    return ds.map_batches(valid, batch_format="pyarrow").to_pandas().sort_values(
+        "event_id"
+    ).reset_index(drop=True)
+
+
+def q_phone_digits(sf_dir: str) -> pd.DataFrame:
+    """F5-adjacent validator exercise: the testdata customer table has no
+    phone column, so a deterministic phone string is derived from
+    c_custkey identically on both sides (engine + oracle SQL), then
+    digit-normalized and checked with the RE2-expressible validity
+    subset (length bounds, repeated-digit / sequential fakes)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"),
+                         columns=["c_custkey"])
+    non_digit = re.compile(r"[^\d+]")
+
+    def digits(batch: pa.Table) -> pa.Table:
+        keys, digs, valid = [], [], []
+        for k in batch.column("c_custkey").to_pylist():
+            phone = f"({200 + k % 800}) {100 + k % 900}-{k % 10000:04d}"
+            d = non_digit.sub("", phone)
+            ok = (
+                7 <= len(d) <= 15
+                and not (len(d) >= 7 and d == d[0] * len(d))
+                and not d.startswith("12345")
+            )
+            keys.append(k)
+            digs.append(d)
+            valid.append(ok)
+        return pa.table({"c_custkey": pa.array(keys, pa.int64()),
+                         "digits": pa.array(digs),
+                         "valid": pa.array(valid, pa.bool_())})
+
+    return ds.map_batches(digits, batch_format="pyarrow").to_pandas().sort_values(
+        "c_custkey"
+    ).reset_index(drop=True)

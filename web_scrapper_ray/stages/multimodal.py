@@ -1,0 +1,130 @@
+"""Multimodal actor-pool stages over binary media columns.
+
+Treats image/audio/video as opaque ``binary`` columns with typed
+metadata (the north-rule images table).  The image path is fully real
+(pure-numpy codecs); audio decode and video frame-sampling are STUBS —
+the container ships no media libraries — with real Ray-side plumbing
+(schema, batch size, actor signature, output layout) and deterministic
+fakes where a test needs flowing data.  Swap ``_decode_audio`` /
+``_sample_frames`` for pyav/soundfile-backed bodies on a real cluster.
+
+All stages are callable classes → ``map_batches(Cls, concurrency=N,
+batch_size=B)`` actor pools: setup cost (codec tables, plane matrices)
+is paid once per actor, per the stateful-stage rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .. import codecs
+
+
+class ResizeImages:
+    """Decode → area-mean resize to (out_w, out_h) → re-encode PNG.
+    Real end-to-end (no stub)."""
+
+    def __init__(self, out_w: int = 16, out_h: int = 16):
+        self.out_w, self.out_h = out_w, out_h
+
+    def _resize(self, px: np.ndarray) -> np.ndarray:
+        h, w = px.shape[:2]
+        ys = (np.arange(self.out_h) * h // self.out_h).astype(np.int64)
+        xs = (np.arange(self.out_w) * w // self.out_w).astype(np.int64)
+        return px[np.ix_(ys, xs)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_bytes, ws, hs = [], [], []
+        for payload in batch.column("bytes").to_pylist():
+            px = self._resize(codecs.decode_image(payload))
+            out_bytes.append(codecs.png_encode(px))
+            ws.append(px.shape[1])
+            hs.append(px.shape[0])
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "bytes": pa.array(out_bytes, pa.binary()),
+            "w": pa.array(ws, pa.int32()),
+            "h": pa.array(hs, pa.int32()),
+            "fmt": pa.array(["png"] * len(ws), pa.string()),
+        })
+
+
+class ImageFeatures:
+    """Deterministic image descriptor: per-channel means/stds + 2-D
+    gradient energy → 8-dim float32 vector (a stand-in for a CNN
+    embedding; the model-load-once-per-actor pattern is the point)."""
+
+    def __init__(self) -> None:
+        self.dim = 8  # "model load" placeholder
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = []
+        for payload in batch.column("bytes").to_pylist():
+            px = codecs.decode_image(payload).astype(np.float64)
+            gy = np.abs(np.diff(px, axis=0)).mean()
+            gx = np.abs(np.diff(px, axis=1)).mean()
+            f = np.array(
+                [px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
+                 px[..., 0].std(), px[..., 1].std(), px[..., 2].std(), gx, gy],
+                dtype=np.float32,
+            )
+            feats.append(f)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "feature": pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        })
+
+
+class DecodeAudio:
+    """STUB: audio decode → PCM stats. No audio codec ships in this
+    container; raises unless ``fake=True`` (deterministic byte-stats
+    fake keeps the pipeline testable)."""
+
+    def __init__(self, fake: bool = False):
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError(
+                "audio decode requires soundfile/ffmpeg; run with fake=True "
+                "for the deterministic stand-in"
+            )
+        ids = batch.column("media_id").to_pylist()
+        stats = []
+        for payload in batch.column("bytes").to_pylist():
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            stats.append((float(arr.mean()) if arr.size else 0.0, int(arr.size)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "mean_amplitude": pa.array([s[0] for s in stats], pa.float64()),
+            "n_samples": pa.array([s[1] for s in stats], pa.int64()),
+        })
+
+
+class SampleFrames:
+    """STUB: video frame sampling (every k-th frame → images rows).
+    Schema/actor plumbing real; decode raises without a video lib."""
+
+    def __init__(self, every_k: int = 30, fake: bool = False):
+        self.every_k = every_k
+        self.fake = fake
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if not self.fake:
+            raise NotImplementedError("video decode requires pyav/ffmpeg")
+        ids, frames, idxs = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("bytes").to_pylist()):
+            # deterministic fake: derive k 8×8 "frames" from the payload hash
+            rng = np.random.default_rng(np.frombuffer(payload[:8].ljust(8, b"\0"), dtype=np.uint64))
+            for i in range(3):
+                px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+                ids.append(mid)
+                idxs.append(i * self.every_k)
+                frames.append(codecs.png_encode(px))
+        return pa.table({
+            "media_id": pa.array(ids, pa.string()),
+            "frame_index": pa.array(idxs, pa.int32()),
+            "bytes": pa.array(frames, pa.binary()),
+        })
