@@ -1,0 +1,181 @@
+"""Benchmark harness (driver contract).
+
+Default mode: runs the headline crawl+decode pipeline on the synthetic
+bench world plus the query battery over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) under ``ray.init(num_cpus=$RAY_GRAFT_CPUS)``
+(default 32), and prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N,
+     "crawl": {"fetches": n, "images": n, "urls_per_s": ..., "rows_per_s": ...}}
+
+``--scaling`` runs the headline crawl twice in fresh subprocesses at 8
+and 32 CPUs on the SAME (pre-generated, page-cache-warm) world and
+reports throughput at both plus ``efficiency = T_8 / (4 * T_32)``
+(sandbox stand-in for the north rule's N→4N-node criterion).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+BENCH_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+QUERY_NAMES = [
+    "q01_lineitem_agg", "q02_top_customers", "q03_orders_filter_topk",
+    "q04_events_window", "q05_order_priority_join",
+    "q10_token_count", "q13_keywords_topk", "q14_fingerprint",
+    "q15_quality", "q16_lang_id", "q17_json_valid",
+    "q20_exact_dedup", "q21_minhash_lsh_pairs", "q23_simhash",
+    "q24_knn_bruteforce", "q27_neardup_cosine",
+]
+
+
+def run_headline(num_cpus: int, out_dir: str) -> dict:
+    """Crawl + decode the bench world; returns timing/throughput."""
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    world = synth.ensure_world(BENCH_TIER, use_ray=True)
+    # warm the page cache so we measure compute+shuffle, not cold reads
+    for root, _dirs, files in os.walk(world):
+        for f in files:
+            with open(os.path.join(root, f), "rb") as fh:
+                while fh.read(1 << 22):
+                    pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    spec = synth.TIERS[BENCH_TIER]
+    cfg = CrawlConfig(
+        world_dir=world, out_dir=out_dir,
+        opts={"max_pages": spec.max_pages},
+        politeness=True,
+        n_seen_shards=max(4, num_cpus // 4),
+        n_politeness_shards=max(4, num_cpus // 4),
+        decode_concurrency=max(2, num_cpus - 2),
+        images_partitions=64,
+    )
+    t0 = time.time()
+    res = run_crawl(cfg)
+    dt = time.time() - t0
+    fetches = res["counters"]["fetches"]
+    images = res["n_images"]
+    return {
+        "sec": round(dt, 2),
+        "fetches": fetches,
+        "images": images,
+        "records": res["n_articles"],
+        "urls_per_s": round(fetches / dt, 1),
+        "rows_per_s": round((fetches + images) / dt, 1),
+    }
+
+
+def run_queries(sf_dir: str) -> dict[str, float]:
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    out = {}
+    for name in QUERY_NAMES:
+        t0 = time.time()
+        res = qs[name](sf_dir)
+        # force execution for lazy returns
+        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+            res = res.to_pandas()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def bench_once() -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    try:
+        crawl = run_headline(NUM_CPUS, f"/tmp/wsr_bench_crawl_{NUM_CPUS}")
+        queries = run_queries(SF_DIR)
+        total = crawl["sec"] + sum(queries.values())
+        return {
+            "metric": "crawl+decode headline sec (bench world) + query battery sec",
+            "value": round(total, 2),
+            "unit": "sec",
+            "queries": queries,
+            "sf": SF_DIR,
+            "num_cpus": NUM_CPUS,
+            "crawl": crawl,
+        }
+    finally:
+        ray.shutdown()
+
+
+def run_scaling() -> dict:
+    """Same job at 8 and 32 CPUs in fresh processes → scaling efficiency."""
+    # pre-generate the world once so both runs see a warm store
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from web_scrapper_ray import synth
+
+    synth.ensure_world(BENCH_TIER, use_ray=True)
+    ray.shutdown()
+
+    def one(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   WSR_BENCH_MODE="headline_only")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = one(lo), one(hi)
+    t_lo, t_hi = r_lo["crawl"]["sec"], r_hi["crawl"]["sec"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    report = {
+        "metric": "crawl+decode scaling efficiency (8→32 CPUs, fresh processes)",
+        "sec_8": t_lo, "sec_32": t_hi,
+        "urls_per_s_8": r_lo["crawl"]["urls_per_s"],
+        "urls_per_s_32": r_hi["crawl"]["urls_per_s"],
+        "rows_per_s_8": r_lo["crawl"]["rows_per_s"],
+        "rows_per_s_32": r_hi["crawl"]["rows_per_s"],
+        "scaling_efficiency": round(eff, 3),
+    }
+    return report
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    if os.environ.get("WSR_BENCH_MODE") == "headline_only":
+        import ray
+
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        try:
+            crawl = run_headline(NUM_CPUS, f"/tmp/wsr_bench_crawl_{NUM_CPUS}")
+        finally:
+            ray.shutdown()
+        print(json.dumps({"metric": "headline crawl sec", "value": crawl["sec"],
+                          "unit": "sec", "num_cpus": NUM_CPUS, "crawl": crawl}))
+        return
+    print(json.dumps(bench_once()))
+
+
+if __name__ == "__main__":
+    main()

@@ -185,6 +185,13 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             return batch.filter(pa.array(keep))
 
         ds = ds.map_batches(seen_filter, batch_format="pyarrow")
+        # spread host groups across many tasks: the sort-shuffle keeps the
+        # input block count, and a single-block wave would serialize every
+        # host's politeness sleep into one task
+        import ray as _ray
+
+        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+        ds = ds.repartition(min(max(frontier.num_rows // 8, 1), n_cpus * 4))
         out = ds.groupby("host").map_groups(fetch_parse, batch_format="pandas")
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
@@ -320,30 +327,22 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         shutil.rmtree(images_out)
     n_images = 0
     if refs.num_rows:
-        import pandas as pd
+        from ray.data.aggregate import Max
+
+        from ..stages.decode import make_decode_fn
 
         refs_ds = rd.from_arrow(refs)
-
-        def dedup(group: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "url_canon": [group["url_canon"].iloc[0]],
-                    "host": [group["host"].iloc[0]],
-                    "caption": [group["caption"].max()],
-                }
-            )
-
-        deduped = refs_ds.groupby("url_canon").map_groups(dedup, batch_format="pandas")
-        # fractional num_cpus + autoscaling pool: the decode actors must
-        # not reserve the whole cluster or they starve the upstream
-        # groupby tasks (deadlocks a small CI cluster outright)
+        # one shuffle dedups refs and resolves the order-free caption rule
+        # (max over observed alts); decode runs as stateless tasks — the
+        # only state (store shard cache) is per-process and shared
+        deduped = refs_ds.groupby("url_canon").aggregate(
+            Max("caption", alias_name="caption"),
+            Max("host", alias_name="host"),
+        )
         images = deduped.map_batches(
-            DecodeImages,
-            fn_constructor_args=(cfg.world_dir, cfg.images_partitions),
+            make_decode_fn(cfg.world_dir, cfg.images_partitions),
             batch_format="pyarrow",
             batch_size=256,
-            concurrency=(1, cfg.decode_concurrency),
-            num_cpus=0.5,
         )
         images.write_parquet(images_out, partition_cols=["part"])
         n_images = pads.dataset(images_out, partitioning="hive").count_rows()

@@ -154,10 +154,10 @@ def simhash64(text: str) -> int:
         return 0
     acc = np.zeros(64, dtype=np.int64)
     for w in toks:
-        h = int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "big")
-        bits = (h >> np.arange(64)) & 1
-        acc += np.where(bits == 1, 1, -1)
-    val = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
+        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
+        acc += bits * 2 - 1
+    val = int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 
 

@@ -20,18 +20,33 @@ from ..sources.site_store import worker_site_store
 from ..synth import shard_of
 
 
+def make_decode_fn(world_dir: str, n_partitions: int = 16):
+    """Stateless-task variant: the only state (content-store shard cache)
+    is process-level via ``worker_site_store``, so plain tasks amortize it
+    exactly like an actor pool without pool-startup latency."""
+
+    def decode(batch: pa.Table) -> pa.Table:
+        return _decode_batch(worker_site_store(world_dir), batch, n_partitions)
+
+    return decode
+
+
 class DecodeImages:
     def __init__(self, world_dir: str, n_partitions: int = 16):
         self.store = worker_site_store(world_dir)
         self.n_partitions = n_partitions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        return _decode_batch(self.store, batch, self.n_partitions)
+
+
+def _decode_batch(store, batch: pa.Table, n_partitions: int) -> pa.Table:
         urls = batch.column("url_canon").to_pylist()
         hosts = batch.column("host").to_pylist()
         captions = batch.column("caption").to_pylist()
         out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part")}
         for url, host, caption in zip(urls, hosts, captions):
-            body, status = self.store.get(url, host)
+            body, status = store.get(url, host)
             if body is None or status >= 400:
                 continue
             try:
@@ -47,7 +62,7 @@ class DecodeImages:
             out["fmt"].append("png" if ext == "png" else "jpeg")
             out["caption"].append(caption or "")
             out["phash"].append(codecs.phash64(pixels))
-            out["part"].append(shard_of(host, self.n_partitions))
+            out["part"].append(shard_of(host, n_partitions))
         return pa.table(
             {
                 "image_id": pa.array(out["image_id"], pa.string()),
