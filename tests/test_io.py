@@ -1,0 +1,76 @@
+"""Sources/sinks + export converter + RSS formatter (SURVEY.md §2.1)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from web_scrapper_ray.sources.io import (
+    export_data,
+    generate_rss,
+    infer_format,
+    load_dataset,
+    save_dataset,
+)
+
+
+@pytest.fixture()
+def sample_parquet(tmp_path):
+    import pyarrow as pa
+
+    t = pa.table({"a": [1, 2, 3], "b": ["x", "y", "z"]})
+    p = str(tmp_path / "in.parquet")
+    pq.write_table(t, p)
+    return p
+
+
+def test_infer_format():
+    assert infer_format("x.csv") == "csv"
+    assert infer_format("x.parquet") == "parquet"
+    assert infer_format("x.lance") == "lance"
+    with pytest.raises(ValueError):
+        infer_format("x.weird")
+
+
+def test_roundtrip_csv_json_parquet(ray_session, sample_parquet, tmp_path):
+    ds = load_dataset(sample_parquet)
+    csv_dir = str(tmp_path / "out_csv")
+    save_dataset(ds, csv_dir, fmt="csv")
+    back = load_dataset(csv_dir, fmt="csv").to_pandas().sort_values("a")
+    assert back["b"].tolist() == ["x", "y", "z"]
+
+    json_dir = str(tmp_path / "out_json")
+    save_dataset(load_dataset(sample_parquet), json_dir, fmt="json")
+    back = load_dataset(json_dir, fmt="json").to_pandas().sort_values("a")
+    assert back["a"].tolist() == [1, 2, 3]
+
+
+def test_export_data_converter(ray_session, sample_parquet, tmp_path):
+    out = str(tmp_path / "conv_csv")
+    export_data(sample_parquet, out, output_format="csv")
+    assert load_dataset(out, fmt="csv").count() == 3
+
+
+def test_sqlite_sink_roundtrip(ray_session, sample_parquet, tmp_path):
+    db = str(tmp_path / "out.db")
+    save_dataset(load_dataset(sample_parquet), db, fmt="sql", table="data")
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT a, b FROM data ORDER BY a").fetchall()
+    con.close()
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]
+
+
+def test_generate_rss():
+    arts = [
+        {"title": "T1 & Co", "url": "http://h/a1", "date": "2023-05-01",
+         "author": "Jane", "excerpt": "E1", "categories": ["x"],
+         "image": "http://h/i.png", "content": "C1"},
+        {"title": None, "url": "http://h/skip"},
+    ]
+    xml = generate_rss(arts, "Feed", "Desc", "http://h/feed")
+    assert xml.count("<item>") == 1
+    assert "T1 &amp; Co" in xml
+    assert "<pubDate>Mon, 01 May 2023 00:00:00 +0000</pubDate>" in xml
+    assert '<enclosure url="http://h/i.png"' in xml

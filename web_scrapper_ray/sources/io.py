@@ -1,0 +1,171 @@
+"""Format sources/sinks + export converter (SURVEY.md §2.1 S2-S11).
+
+The reference's storage handlers materialize whole result sets into
+pandas (`/root/reference/src/webscraper/storage/csv_handler.py:64`,
+`json_handler.py:23-141`, `database_handler.py:34-208`); here every
+format maps to a streaming Ray Data reader/writer:
+
+=========  ==============================  ==========================
+format     load                            save
+=========  ==============================  ==========================
+csv        ``ray.data.read_csv``           ``ds.write_csv``
+json       ``ray.data.read_json``          ``ds.write_json``
+parquet    ``ray.data.read_parquet``       ``ds.write_parquet``
+lance      parquet fallback (see note)     parquet fallback
+sql        ``ray.data.read_sql``           per-batch executemany
+excel      driver-side pandas (niche)      driver-side pandas
+=========  ==============================  ==========================
+
+Lance note: the north rule names Lance as the image-table format but
+``pylance`` is not installed in this container (and installs are
+disallowed), so the "lance" alias maps to a parquet directory with the
+identical schema behind this format switch — swap the two write calls
+when the wheel is available.
+
+``export_data`` reproduces the CLI converter
+(`cli/main.py:275-334`) as a streaming read→write with format
+inference by extension.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+_EXT_TO_FORMAT = {
+    ".csv": "csv", ".json": "json", ".jsonl": "json", ".parquet": "parquet",
+    ".pq": "parquet", ".lance": "lance", ".xlsx": "excel", ".xls": "excel",
+    ".db": "sql", ".sqlite": "sql",
+}
+
+FORMAT_ALIASES = {
+    "csv": "csv", "json": "json", "jsonl": "json", "parquet": "parquet",
+    "pq": "parquet", "lance": "lance", "excel": "excel", "xlsx": "excel",
+    "db": "sql", "sql": "sql", "sqlite": "sql", "database": "sql",
+}
+
+
+def infer_format(path: str) -> str:
+    ext = os.path.splitext(path)[1].lower()
+    if ext not in _EXT_TO_FORMAT:
+        raise ValueError(f"cannot infer format from {path!r}")
+    return _EXT_TO_FORMAT[ext]
+
+
+def load_dataset(path: str, fmt: Optional[str] = None, **kwargs):
+    """→ ray.data.Dataset (streaming; never a driver-side list-of-dicts)."""
+    import ray.data as rd
+
+    fmt = FORMAT_ALIASES[fmt or infer_format(path)]
+    if fmt == "csv":
+        return rd.read_csv(path, **kwargs)
+    if fmt == "json":
+        return rd.read_json(path, **kwargs)
+    if fmt in ("parquet", "lance"):
+        return rd.read_parquet(path, **kwargs)
+    if fmt == "excel":
+        import pandas as pd
+
+        return rd.from_pandas(pd.read_excel(path, **kwargs))
+    if fmt == "sql":
+        import sqlite3
+
+        table = kwargs.pop("table", "data")
+        return rd.read_sql(f"SELECT * FROM {table}",
+                           lambda: sqlite3.connect(path), **kwargs)
+    raise ValueError(f"unsupported format {fmt!r}")
+
+
+def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
+    fmt = FORMAT_ALIASES[fmt or infer_format(path)]
+    if fmt == "csv":
+        ds.write_csv(path, **kwargs)
+    elif fmt == "json":
+        ds.write_json(path, **kwargs)
+    elif fmt in ("parquet", "lance"):
+        ds.write_parquet(path, **kwargs)
+    elif fmt == "excel":
+        ds.to_pandas().to_excel(path, index=False, **kwargs)
+    elif fmt == "sql":
+        _write_sqlite(ds, path, kwargs.pop("table", "data"))
+    else:
+        raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _write_sqlite(ds, path: str, table: str) -> None:
+    """Per-batch executemany writer (S9). Single local file → driver-side
+    batches; on a cluster this becomes ds.write_sql with a pooled DSN."""
+    import sqlite3
+
+    con = sqlite3.connect(path)
+    first = True
+    try:
+        for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+            batch.to_sql(table, con, if_exists="replace" if first else "append",
+                         index=False)
+            first = False
+    finally:
+        con.close()
+
+
+def export_data(input_path: str, output_path: str,
+                input_format: Optional[str] = None,
+                output_format: Optional[str] = None) -> None:
+    """Streaming format converter (reference ``export-data`` CLI)."""
+    ds = load_dataset(input_path, input_format)
+    save_dataset(ds, output_path, output_format)
+
+
+# ---------------------------------------------------------------------------
+# RSS 2.0 sink (S10 — content.py:1179-1248; driver-side over small results)
+# ---------------------------------------------------------------------------
+
+
+def generate_rss(articles, title: str, description: str, link: str,
+                 now_utc: Optional[str] = None) -> str:
+    """Articles (iterable of dicts) → RSS 2.0 XML. ``now_utc`` pins the
+    build-date stamp for determinism (reference used utcnow)."""
+    from datetime import datetime
+    from xml.sax.saxutils import escape
+
+    stamp = now_utc or "Thu, 01 Jan 1970 00:00:00 +0000"
+    out = [
+        '<?xml version="1.0" encoding="UTF-8" ?>',
+        '<rss version="2.0" xmlns:atom="http://www.w3.org/2005/Atom">',
+        "<channel>",
+        f"<title>{escape(title)}</title>",
+        f"<description>{escape(description)}</description>",
+        f"<link>{escape(link)}</link>",
+        f'<atom:link href="{escape(link)}" rel="self" type="application/rss+xml" />',
+        f"<lastBuildDate>{stamp}</lastBuildDate>",
+    ]
+    for a in articles:
+        if not a.get("title") or not a.get("url"):
+            continue
+        pub = stamp
+        if a.get("date"):
+            try:
+                pub = datetime.fromisoformat(a["date"]).strftime(
+                    "%a, %d %b %Y %H:%M:%S +0000"
+                )
+            except ValueError:
+                pass
+        out.append("<item>")
+        out.append(f"<title>{escape(a['title'])}</title>")
+        out.append(f"<link>{escape(a['url'])}</link>")
+        out.append(f"<guid>{escape(a['url'])}</guid>")
+        if a.get("author"):
+            out.append(f"<author>{escape(a['author'])}</author>")
+        out.append(f"<pubDate>{pub}</pubDate>")
+        if a.get("excerpt"):
+            out.append(f"<description>{escape(a['excerpt'])}</description>")
+        if a.get("content"):
+            out.append(f"<content:encoded><![CDATA[{a['content']}]]></content:encoded>")
+        for c in a.get("categories") or []:
+            out.append(f"<category>{escape(c)}</category>")
+        if a.get("image"):
+            out.append(f'<enclosure url="{escape(a["image"])}" type="image/jpeg" />')
+        out.append("</item>")
+    out.append("</channel>")
+    out.append("</rss>")
+    return "\n".join(out)
