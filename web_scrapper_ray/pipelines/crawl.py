@@ -152,6 +152,9 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         cfg.n_politeness_shards if board else 0,
     )
 
+    import time as _time
+
+    debug_timing = bool(os.environ.get("WSR_TIMING"))
     counters = {"waves": 0, "fetches": 0, "records": 0}
     k = start_wave
     while k < cfg.max_waves:
@@ -161,6 +164,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         frontier = pq.read_table(paths["frontier"])
         if frontier.num_rows == 0:
             break
+        _t_wave = _time.time()
         ds = rd.from_arrow(frontier)
 
         # seen-filter: register every canonical URL; drop repeats per policy
@@ -196,6 +200,9 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
         out.write_parquet(paths["wave_out"])
+        if debug_timing:
+            print(f"[wave {k}] rows={frontier.num_rows} exec={_time.time() - _t_wave:.2f}s",
+                  flush=True)
 
         # next frontier from this wave's output (predicate pushdown read)
         wave_ds = pads.dataset(paths["wave_out"])
