@@ -191,11 +191,10 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         ds = ds.map_batches(seen_filter, batch_format="pyarrow")
         # spread host groups across many tasks: the sort-shuffle keeps the
         # input block count, and a single-block wave would serialize every
-        # host's politeness sleep into one task
-        import ray as _ray
-
-        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
-        ds = ds.repartition(min(max(frontier.num_rows // 8, 1), n_cpus * 4))
+        # host's politeness sleep into one task. Partition count is
+        # CPU-independent: shuffle cost grows with partitions, so scaling
+        # runs must pay the same fixed cost at every cluster size.
+        ds = ds.repartition(min(max(frontier.num_rows // 32, 8), 64))
         out = ds.groupby("host").map_groups(fetch_parse, batch_format="pandas")
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
@@ -338,7 +337,13 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
 
         from ..stages.decode import make_decode_fn
 
-        refs_ds = rd.from_arrow(refs)
+        import ray as _ray
+
+        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
+        # block counts drive task parallelism: from_arrow gives ONE block
+        # and the groupby keeps block count — without repartition the
+        # whole decode runs in 2-3 tasks regardless of batch_size
+        refs_ds = rd.from_arrow(refs).repartition(n_cpus * 2)
         # one shuffle dedups refs and resolves the order-free caption rule
         # (max over observed alts); decode runs as stateless tasks — the
         # only state (store shard cache) is per-process and shared
@@ -346,6 +351,9 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
             Max("caption", alias_name="caption"),
             Max("host", alias_name="host"),
         )
+        # re-cluster by host (shard-cache locality), then split into many
+        # blocks (order-preserving) so decode fans out across the cluster
+        deduped = deduped.sort("host").repartition(n_cpus * 4)
         images = deduped.map_batches(
             make_decode_fn(cfg.world_dir, cfg.images_partitions),
             batch_format="pyarrow",

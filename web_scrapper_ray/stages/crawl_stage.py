@@ -118,6 +118,8 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         fetch_i = 0
 
         def paced_get(url: str):
+            # politeness budget is on fetch STARTS; the returned timestamp
+            # is the start time (the crawl log's politeness evidence)
             nonlocal fetch_i
             if delay_s > 0:
                 target = t0 + fetch_i * delay_s
@@ -125,8 +127,9 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                 if target > now:
                     time.sleep(target - now)
             fetch_i += 1
+            start = time.time()
             body, status = store.get(url, host)
-            return body, status, time.time()
+            return body, status, start
 
         for r in group.itertuples(index=False):
             kind, url = r.kind, r.url

@@ -56,6 +56,7 @@ AUTHORS = ["Jane Roe", "Sam Park", "Ada Vale", "Omar Reed", "Lin Chen", "Max Sto
 @dataclass(frozen=True)
 class WorldSpec:
     tier: str = "t1"
+    gen_version: int = 2  # bump to invalidate cached worlds on disk
     n_hosts: int = 8
     listing_pages: int = 2        # pages in each host's blog chain
     entries_per_page: int = 4
@@ -84,7 +85,7 @@ TIERS = {
     # scaling criterion must measure.
     "bench": WorldSpec(
         tier="bench", n_hosts=256, listing_pages=4, entries_per_page=16,
-        images_per_article=4, max_pages=4, paragraphs=(2, 4),
+        images_per_article=3, max_pages=4, paragraphs=(4, 7),
         crawl_delay_ms_choices=(0, 5, 10),
     ),
 }
@@ -124,8 +125,8 @@ def caption_for(image_id: str) -> str:
 
 def image_spec(image_id: str) -> tuple[int, int, str]:
     rng = _rng(_stable_hash(image_id), 7)
-    w = int(rng.choice([16, 32, 48, 64]))
-    h = int(rng.choice([16, 32, 48, 64]))
+    w = int(rng.choice([32, 48, 64, 96]))
+    h = int(rng.choice([32, 48, 64, 96]))
     fmt = "png" if int(rng.integers(0, 2)) == 0 else "jpeg"
     return w, h, fmt
 
