@@ -1,0 +1,137 @@
+"""Dedup / similarity / text pipeline invariants over the sf0.001 tables
+(the SQL-equivalence gate runs driver-side; these pin the non-SQL ops)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_minhash_lsh_finds_planted_duplicates(ray_session, tmp_path):
+    """Plant exact+near duplicates in a parquet copy; LSH must recover
+    them with exact-Jaccard verification."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.dedup import q_minhash_lsh_pairs
+
+    base = pq.read_table(f"{SF}/documents.parquet").to_pylist()[:50]
+    rows = list(base)
+    # plant: 9000/9001 exact dup of doc 0; 9002 near-dup (one word changed)
+    rows.append({**base[0], "doc_id": 9000})
+    rows.append({**base[0], "doc_id": 9001})
+    words = base[1]["text"].split()
+    words[len(words) // 2] = "zzzchanged"
+    rows.append({**base[1], "doc_id": 9002, "text": " ".join(words)})
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+
+    pairs = q_minhash_lsh_pairs(d, jaccard_threshold=0.5)
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (base[0]["doc_id"], 9000) in got
+    assert (base[0]["doc_id"], 9001) in got
+    assert (9000, 9001) in got
+    near = [j for a, b, j in zip(pairs["doc_a"], pairs["doc_b"], pairs["jaccard"])
+            if (a, b) == (base[1]["doc_id"], 9002)]
+    assert near and 0.5 <= near[0] < 1.0
+
+
+def test_exact_dedup_groups(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.dedup import q_exact_dedup
+
+    base = pq.read_table(f"{SF}/documents.parquet").to_pylist()[:20]
+    rows = list(base) + [{**base[3], "doc_id": 7777}]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+    out = q_exact_dedup(d)
+    dup = out[out["n_docs"] > 1]
+    assert len(dup) == 1
+    assert dup["keep_doc_id"].iloc[0] == base[3]["doc_id"]
+    assert dup["n_docs"].iloc[0] == 2
+
+
+def test_simhash_near_for_near_texts(ray_session):
+    from web_scrapper_ray.pipelines.dedup import simhash64
+
+    t1 = "the quick brown fox jumps over the lazy dog again and again today"
+    t2 = t1.replace("today", "tomorrow")
+    t3 = "completely different words about elephants pianos galaxies rivers"
+    h1, h2, h3 = simhash64(t1), simhash64(t2), simhash64(t3)
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    assert ham(h1, h2) < ham(h1, h3)
+    assert simhash64(t1) == h1  # deterministic
+
+
+def test_knn_lsh_recall_vs_bruteforce(ray_session):
+    from web_scrapper_ray.pipelines.similarity import q_knn_bruteforce, q_knn_lsh
+
+    bf = q_knn_bruteforce(SF, query_ids=(0, 1, 2, 3), k=5)
+    lsh = q_knn_lsh(SF, query_ids=(0, 1, 2, 3), k=5)
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    lsh_sets = lsh.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = []
+    for q in bf_sets.index:
+        got = lsh_sets.get(q, set())
+        recalls.append(len(got & bf_sets[q]) / len(bf_sets[q]))
+    # approximate by design; hyperplane LSH on 64-dim random data has
+    # modest recall — the invariant is "finds real neighbors, cheaply"
+    assert np.mean(recalls) >= 0.15, recalls
+
+
+def test_keywords_topk_deterministic(ray_session):
+    from web_scrapper_ray.pipelines.textops import q_keywords_topk
+
+    a = q_keywords_topk(SF)
+    b = q_keywords_topk(SF)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_total"].values[:-1] >= a["n_total"].values[1:]).all()
+
+
+def test_multimodal_stages(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray import codecs, synth
+    from web_scrapper_ray.stages.multimodal import (
+        DecodeAudio,
+        ImageFeatures,
+        ResizeImages,
+        SampleFrames,
+    )
+
+    imgs = []
+    for i in range(6):
+        iid = f"mm-{i}"
+        w, h, fmt = synth.image_spec(iid)
+        px = synth.image_pixels(iid, w, h)
+        imgs.append({"image_id": iid, "bytes": codecs.encode_image(px, fmt)})
+    ds = rd.from_arrow(pa.Table.from_pylist(imgs))
+    rs = ds.map_batches(ResizeImages, fn_constructor_args=(16, 16),
+                        batch_format="pyarrow", concurrency=1, num_cpus=0.5).to_pandas()
+    assert (rs["w"] == 16).all() and (rs["h"] == 16).all()
+    for b in rs["bytes"]:
+        assert codecs.decode_image(b).shape == (16, 16, 3)
+    ft = ds.map_batches(ImageFeatures, batch_format="pyarrow",
+                        concurrency=1, num_cpus=0.5).to_pandas()
+    assert len(ft) == 6 and all(len(f) == 8 for f in ft["feature"])
+
+    # stubs: raise without fake, flow with fake
+    media = rd.from_arrow(pa.Table.from_pylist(
+        [{"media_id": "m1", "bytes": b"\x01\x02\x03\x04"}]))
+    with pytest.raises(Exception):
+        media.map_batches(DecodeAudio, batch_format="pyarrow").to_pandas()
+    out = media.map_batches(DecodeAudio, fn_constructor_args=(True,),
+                            batch_format="pyarrow", concurrency=1,
+                            num_cpus=0.5).to_pandas()
+    assert out["n_samples"].iloc[0] == 4
+    frames = media.map_batches(SampleFrames, fn_constructor_kwargs={"fake": True},
+                               batch_format="pyarrow", concurrency=1,
+                               num_cpus=0.5).to_pandas()
+    assert len(frames) == 3

@@ -37,6 +37,7 @@ import shutil
 from dataclasses import dataclass, field
 from typing import Optional
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -165,7 +166,26 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         if frontier.num_rows == 0:
             break
         _t_wave = _time.time()
-        ds = rd.from_arrow(frontier)
+
+        # Host-hash partition the wave WITHOUT a Ray shuffle: the frontier
+        # segment is tiny relative to the page/image volume, so the driver
+        # splits it into host-disjoint Arrow tables (one block each) and
+        # the whole wave becomes read → N independent tasks → write. (A
+        # Ray `repartition`+`groupby(host)` here measured ~6s of pure
+        # coordination latency per wave regardless of cluster size; at
+        # 10^10-URL scale the same host-disjoint layout comes for free by
+        # writing frontier segments with partition_cols=[host_hash].)
+        from ..synth import shard_of as _shard_of
+
+        P = 64
+        host_col = frontier.column("host").to_pylist()
+        part_ids = np.fromiter(
+            (_shard_of(h, P) for h in host_col), dtype=np.int64, count=len(host_col)
+        )
+        tables = [
+            frontier.filter(pa.array(part_ids == p)) for p in np.unique(part_ids)
+        ]
+        ds = rd.from_arrow(tables)
 
         # seen-filter: register every canonical URL; drop repeats per policy
         # (seeds always bypass the drop — reference fetches dups twice).
@@ -188,14 +208,11 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             )
             return batch.filter(pa.array(keep))
 
-        ds = ds.map_batches(seen_filter, batch_format="pyarrow")
-        # spread host groups across many tasks: the sort-shuffle keeps the
-        # input block count, and a single-block wave would serialize every
-        # host's politeness sleep into one task. Partition count is
-        # CPU-independent: shuffle cost grows with partitions, so scaling
-        # runs must pay the same fixed cost at every cluster size.
-        ds = ds.repartition(min(max(frontier.num_rows // 32, 8), 64))
-        out = ds.groupby("host").map_groups(fetch_parse, batch_format="pandas")
+        # batch_size=None → whole host-disjoint block per call, which the
+        # politeness/ordering logic requires; the two map stages fuse into
+        # one task per partition
+        ds = ds.map_batches(seen_filter, batch_format="pyarrow", batch_size=None)
+        out = ds.map_batches(fetch_parse, batch_format="pandas", batch_size=None)
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
         out.write_parquet(paths["wave_out"])
@@ -203,17 +220,14 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             print(f"[wave {k}] rows={frontier.num_rows} exec={_time.time() - _t_wave:.2f}s",
                   flush=True)
 
-        # next frontier from this wave's output (predicate pushdown read)
+        # next frontier from this wave's output (predicate pushdown read);
+        # log/record totals are tallied once in finalize — no extra scans
         wave_ds = pads.dataset(paths["wave_out"])
         nxt = wave_ds.to_table(
             filter=pc.equal(pc.field("row_kind"), "frontier"),
             columns=["kind", "seed_index", "page_idx", "sub_idx", "url",
                      "url_canon", "host", "payload"],
         )
-        n_log = wave_ds.count_rows(filter=pc.equal(pc.field("row_kind"), "log"))
-        n_rec = wave_ds.count_rows(filter=pc.equal(pc.field("row_kind"), "record"))
-        counters["fetches"] += n_log
-        counters["records"] += n_rec
         counters["waves"] += 1
         if nxt.num_rows:
             pq.write_table(nxt, _wave_paths(cfg, k + 1)["frontier"])
@@ -234,6 +248,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         k += 1
 
     result = finalize_crawl(cfg)
+    counters["fetches"] = result["n_log"]
+    counters["records"] = result["n_articles"]
     result["counters"] = counters
     return result
 
@@ -333,27 +349,28 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         shutil.rmtree(images_out)
     n_images = 0
     if refs.num_rows:
-        from ray.data.aggregate import Max
-
         from ..stages.decode import make_decode_fn
+        from ..synth import shard_of as _shard_of
 
-        import ray as _ray
-
-        n_cpus = int(_ray.cluster_resources().get("CPU", 8))
-        # block counts drive task parallelism: from_arrow gives ONE block
-        # and the groupby keeps block count — without repartition the
-        # whole decode runs in 2-3 tasks regardless of batch_size
-        refs_ds = rd.from_arrow(refs).repartition(n_cpus * 2)
-        # one shuffle dedups refs and resolves the order-free caption rule
-        # (max over observed alts); decode runs as stateless tasks — the
-        # only state (store shard cache) is per-process and shared
-        deduped = refs_ds.groupby("url_canon").aggregate(
-            Max("caption", alias_name="caption"),
-            Max("host", alias_name="host"),
+        # Dedup (max-caption rule) on the driver: refs are (url, host,
+        # caption) triples — a sliver of the data volume — and the Ray
+        # groupby/sort barriers here cost seconds of pure coordination.
+        # Then split host-hash-partitioned (shard-cache locality) into one
+        # block per partition so decode fans out with zero shuffles. At
+        # 10^10 scale the refs stream would instead be written
+        # partition_cols=[host_hash] per wave and deduped per partition.
+        rdf = refs.to_pandas()
+        # max-caption per url via sort + keep-last (a per-group Python
+        # max over 60k string groups costs seconds; the sort is ~50ms)
+        rdf = rdf.sort_values(["url_canon", "caption"]).drop_duplicates(
+            "url_canon", keep="last"
         )
-        # re-cluster by host (shard-cache locality), then split into many
-        # blocks (order-preserving) so decode fans out across the cluster
-        deduped = deduped.sort("host").repartition(n_cpus * 4)
+        part = rdf["host"].map(lambda h: _shard_of(h, 64))
+        tables = [
+            pa.Table.from_pandas(g, preserve_index=False)
+            for _, g in rdf.groupby(part)
+        ]
+        deduped = rd.from_arrow(tables)
         images = deduped.map_batches(
             make_decode_fn(cfg.world_dir, cfg.images_partitions),
             batch_format="pyarrow",

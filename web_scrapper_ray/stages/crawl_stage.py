@@ -1,11 +1,12 @@
 """Fused per-host fetch+parse stage (the crawl engine's hot loop).
 
-One crawl wave is ``groupby("host")``-shuffled and each host group runs
-through :func:`make_fetch_parse_fn`'s closure inside ``map_groups``:
-politeness-reserve → fetch pages sequentially in program order → parse
-immediately (HTML bodies never leave the task — at 100 TB the raw page
-bytes are the dominant volume, so parse-at-fetch avoids shipping them
-through the object store) → emit typed output rows:
+One crawl wave arrives as host-hash-disjoint blocks (partitioned at the
+frontier layer — see pipelines/crawl.py); each block runs through
+:func:`make_fetch_parse_fn`'s closure inside ``map_batches``: per host
+(sequentially, in host order): politeness-reserve → fetch pages in
+program order → parse immediately (HTML bodies never leave the task —
+at 100 TB the raw page bytes are the dominant volume, so parse-at-fetch
+avoids shipping them through the object store) → emit typed output rows:
 
 =============  =========================================================
 row_kind       meaning
@@ -96,15 +97,24 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
     max_pages = opts.get("max_pages", 1)
     follow_next = opts.get("follow_next_page", True)
 
-    def fetch_parse(group: pd.DataFrame) -> pd.DataFrame:
+    def fetch_parse(batch: pd.DataFrame) -> pd.DataFrame:
+        """Process a host-hash partition: hosts are disjoint across
+        partitions, so per-host ordering + politeness hold; hosts within
+        a partition run sequentially in host order."""
+        if len(batch) == 0:
+            return empty_out_df()
+        out: list[dict] = []
+        batch = batch.sort_values(["host", "seed_index", "page_idx", "sub_idx"])
+        for host, group in batch.groupby("host", sort=True):
+            _fetch_parse_host(host, group, out)
+        if not out:
+            return empty_out_df()
+        return pd.DataFrame(out, columns=OUT_COLUMNS)
+
+    def _fetch_parse_host(host: str, group: pd.DataFrame, out: list) -> None:
         import ray
 
-        if len(group) == 0:
-            return empty_out_df()
         store = worker_site_store(world_dir)
-        group = group.sort_values(["seed_index", "page_idx", "sub_idx"])
-        host = group["host"].iloc[0]
-        out: list[dict] = []
 
         # -- politeness: robots crawl-delay + cross-wave reservation ------
         delay_s = 0.0
@@ -231,8 +241,5 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                              url_canon=canonicalize_url(next_url),
                              host=host_of(next_url))
                     )
-        if not out:
-            return empty_out_df()
-        return pd.DataFrame(out, columns=OUT_COLUMNS)
 
     return fetch_parse

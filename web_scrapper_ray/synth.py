@@ -56,7 +56,7 @@ AUTHORS = ["Jane Roe", "Sam Park", "Ada Vale", "Omar Reed", "Lin Chen", "Max Sto
 @dataclass(frozen=True)
 class WorldSpec:
     tier: str = "t1"
-    gen_version: int = 2  # bump to invalidate cached worlds on disk
+    gen_version: int = 3  # bump to invalidate cached worlds on disk
     n_hosts: int = 8
     listing_pages: int = 2        # pages in each host's blog chain
     entries_per_page: int = 4
@@ -66,6 +66,7 @@ class WorldSpec:
     crawl_delay_ms_choices: tuple = (0,)
     products_per_host: int = 8
     businesses_per_host: int = 6
+    image_sizes: tuple = (32, 48, 64, 96)
     seed: int = 42
 
     def cache_key(self) -> str:
@@ -83,10 +84,15 @@ TIERS = {
     # (16 entries, 4 images/article) — wall time is dominated by the
     # parallel fetch+parse+decode compute, which is what the N→4N
     # scaling criterion must measure.
+    # Bench pages/images are sized so per-wave compute dominates the
+    # fixed per-wave coordination cost — the regime a real 100 TB crawl
+    # (100 KB pages, full-size images) lives in; a feather-weight world
+    # would measure Ray's constant overheads, not the engine.
     "bench": WorldSpec(
-        tier="bench", n_hosts=256, listing_pages=4, entries_per_page=16,
-        images_per_article=3, max_pages=4, paragraphs=(4, 7),
+        tier="bench", n_hosts=256, listing_pages=4, entries_per_page=20,
+        images_per_article=5, max_pages=4, paragraphs=(5, 8),
         crawl_delay_ms_choices=(0, 5, 10),
+        image_sizes=(64, 96, 128),
     ),
 }
 
@@ -123,10 +129,10 @@ def caption_for(image_id: str) -> str:
     return " ".join(WORDS[int(j)] for j in rng.integers(0, len(WORDS), n))
 
 
-def image_spec(image_id: str) -> tuple[int, int, str]:
+def image_spec(image_id: str, sizes: tuple = (32, 48, 64, 96)) -> tuple[int, int, str]:
     rng = _rng(_stable_hash(image_id), 7)
-    w = int(rng.choice([32, 48, 64, 96]))
-    h = int(rng.choice([32, 48, 64, 96]))
+    w = int(rng.choice(list(sizes)))
+    h = int(rng.choice(list(sizes)))
     fmt = "png" if int(rng.integers(0, 2)) == 0 else "jpeg"
     return w, h, fmt
 
@@ -196,7 +202,7 @@ def render_listing(spec: WorldSpec, host_idx: int, page: int) -> str:
         excerpt = _sentence(rng) + " " + _sentence(rng)
         cats = sorted({CATEGORIES[int(j)] for j in rng.integers(0, len(CATEGORIES), 2)})
         thumb_id = f"img-{aid}-th"
-        _, _, tfmt = image_spec(thumb_id)
+        _, _, tfmt = image_spec(thumb_id, spec.image_sizes)
         # Every ~9th entry links to a missing detail page (404 → listing
         # data survives, reference content.py:166-167).
         missing = (host_idx + page + k) % 9 == 4
@@ -234,7 +240,7 @@ def render_article(spec: WorldSpec, host_idx: int, page: int, k: int) -> str:
     img_tags = []
     for j in range(spec.images_per_article):
         iid = f"img-{aid}-{j:02d}"
-        _, _, fmt = image_spec(iid)
+        _, _, fmt = image_spec(iid, spec.image_sizes)
         img_tags.append(f'<img src="{_img_url(host, iid, fmt)}" alt="{caption_for(iid)}">')
     body_parts = []
     for i, p in enumerate(paras):
@@ -243,7 +249,7 @@ def render_article(spec: WorldSpec, host_idx: int, page: int, k: int) -> str:
             body_parts.append(img_tags[i])
     cats = sorted({CATEGORIES[int(j)] for j in rng.integers(0, len(CATEGORIES), 3)})
     feat_id = f"img-{aid}-th"
-    _, _, ffmt = image_spec(feat_id)
+    _, _, ffmt = image_spec(feat_id, spec.image_sizes)
     return f"""<html><head>
 <title>{title} — {host}</title>
 <meta property="og:type" content="article">
@@ -277,7 +283,7 @@ def render_shop(spec: WorldSpec, host_idx: int) -> str:
         rating = round(float(rng.uniform(1, 5)), 1)
         count = int(rng.integers(0, 500))
         pid = f"img-{host_idx:04d}-prod-{k:02d}"
-        _, _, pfmt = image_spec(pid)
+        _, _, pfmt = image_spec(pid, spec.image_sizes)
         items.append(
             f"""<div class="product-item">
   <h3 class="product-title">Product {host_idx:03d}-{k:02d} {name}</h3>
@@ -380,7 +386,7 @@ def build_host_rows(spec: WorldSpec, host_idx: int) -> list[dict]:
     if host_idx % 4 == 1:
         add(f"http://{host}/broken", "listing", b"server error", status=500)
     for iid in sorted(image_ids):
-        w, h, fmt = image_spec(iid)
+        w, h, fmt = image_spec(iid, spec.image_sizes)
         payload = codecs.encode_image(image_pixels(iid, w, h), fmt)
         add(_img_url(host, iid, fmt), "image", payload)
     return rows
