@@ -1,0 +1,117 @@
+"""CLI entry points (reference surface: `/root/reference/src/webscraper/
+cli/main.py:30-334` — scrape / export-data, with dot-path config
+overrides).
+
+The cron scheduler layer (`schedulers/job_scheduler.py`) is out of the
+dataplane by design (north rule): each scheduled run is a
+``ray job submit`` of this CLI.  This module owns its Ray session
+(guarded init), unlike the library code.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ensure_ray(num_cpus: int | None) -> None:
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": "ERROR"}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    try:
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+    except Exception:
+        pass
+
+
+def cmd_scrape(args: argparse.Namespace) -> int:
+    from .config import ConfigManager, get_pipeline
+
+    cm = ConfigManager(args.config)
+    for override in args.set or []:
+        key, _, value = override.partition("=")
+        try:
+            value = json.loads(value)
+        except ValueError:
+            pass
+        cm.set(key, value)
+    cm.validate()
+    _ensure_ray(args.num_cpus)
+    sc = cm.get("scraper")
+    pipeline = get_pipeline(sc["type"])
+    world = cm.get("scraper.world_dir") or args.world_dir
+    if not world:
+        print("error: scraper.world_dir (content store) required in this "
+              "sandbox build", file=sys.stderr)
+        return 2
+    if sc["type"] == "content":
+        res = pipeline(world, sc["urls"], sc.get("selectors"),
+                       out_dir=args.out_dir or "/tmp/wsr_cli_crawl",
+                       opts={k: sc[k] for k in ("max_pages", "follow_next_page")
+                             if k in sc})
+        print(json.dumps({k: v for k, v in res.items() if isinstance(v, (str, int, dict))},
+                         default=str))
+    else:
+        records = pipeline(world, sc["urls"], sc.get("selectors"))
+        out = sc.get("output") or {}
+        if out.get("format") and out.get("path"):
+            import ray.data as rd
+
+            from .sources.io import save_dataset
+
+            flat = [{k: json.dumps(v) if isinstance(v, (dict, list)) else v
+                     for k, v in r.items()} for r in records]
+            save_dataset(rd.from_items(flat), out["path"], out["format"])
+        print(json.dumps({"records": len(records)}))
+    return 0
+
+
+def cmd_export_data(args: argparse.Namespace) -> int:
+    from .sources.io import export_data
+
+    _ensure_ray(args.num_cpus)
+    export_data(args.input, args.output, args.input_format, args.format)
+    print(json.dumps({"exported": args.output}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="wsr", description="Ray-Data crawl engine CLI")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("scrape", help="run a configured scrape/crawl")
+    ps.add_argument("--config", required=True)
+    ps.add_argument("--set", action="append", metavar="dot.path=value",
+                    help="config override (repeatable)")
+    ps.add_argument("--world-dir", default=None)
+    ps.add_argument("--out-dir", default=None)
+    ps.set_defaults(fn=cmd_scrape)
+
+    pe = sub.add_parser("export-data", help="convert between storage formats")
+    pe.add_argument("-i", "--input", required=True)
+    pe.add_argument("-o", "--output", required=True)
+    pe.add_argument("-f", "--format", default=None)
+    pe.add_argument("--input-format", default=None)
+    pe.set_defaults(fn=cmd_export_data)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,144 @@
+"""Config tree + pipeline registry (reference semantics:
+`/root/reference/src/webscraper/utils/config.py:41-217`,
+`scrapers/__init__.py:13-49`, `storage/__init__.py:15-48`).
+
+Same user surface as the reference — YAML/JSON config with dot-path
+get/set, required-field validation, a scraper-type registry and a
+storage-format alias table — but the factories return Ray pipeline
+builders instead of sequential scraper objects.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, Optional
+
+
+class ConfigError(Exception):
+    pass
+
+
+VALID_SCRAPER_TYPES = ("ecommerce", "business", "content")
+VALID_OUTPUT_FORMATS = (
+    "csv", "json", "excel", "db", "database", "xlsx", "sqlite",
+    "postgresql", "postgres", "mysql", "parquet", "lance",
+)
+_PATHLESS_FORMATS = ("database", "db", "sqlite", "postgresql", "postgres", "mysql")
+
+
+class ConfigManager:
+    def __init__(self, config_path: Optional[str] = None):
+        self.config: dict[str, Any] = {}
+        self.config_path: Optional[str] = None
+        if config_path:
+            self.load_config(config_path)
+
+    def load_config(self, config_path: str) -> dict[str, Any]:
+        if not os.path.exists(config_path):
+            raise ConfigError(f"Configuration file not found: {config_path}")
+        ext = os.path.splitext(config_path)[1].lower()
+        try:
+            with open(config_path, encoding="utf-8") as f:
+                if ext in (".yml", ".yaml"):
+                    import yaml
+
+                    self.config = yaml.safe_load(f)
+                elif ext == ".json":
+                    self.config = json.load(f)
+                else:
+                    raise ConfigError(f"Unsupported configuration format: {ext}")
+        except ConfigError:
+            raise
+        except Exception as e:
+            raise ConfigError(f"Failed to load configuration: {e}") from e
+        self.config_path = config_path
+        self.validate()
+        return self.config
+
+    def validate(self) -> None:
+        """Required sections/fields + whitelists (config.py:91-157)."""
+        if not self.config:
+            raise ConfigError("Configuration is empty")
+        if "scraper" not in self.config:
+            raise ConfigError("Missing required configuration section: scraper")
+        sc = self.config["scraper"]
+        for field in ("type", "urls"):
+            if field not in sc:
+                raise ConfigError(f"Missing required field in scraper configuration: {field}")
+        if sc["type"] not in VALID_SCRAPER_TYPES:
+            raise ConfigError(f"Invalid scraper type: {sc['type']}")
+        if not isinstance(sc["urls"], list) or not sc["urls"]:
+            raise ConfigError("URLs must be a non-empty list")
+        out = sc.get("output")
+        if out is not None:
+            if "format" not in out:
+                raise ConfigError("Missing required field in output configuration: format")
+            if out["format"] not in VALID_OUTPUT_FORMATS:
+                raise ConfigError(f"Invalid output format: {out['format']}")
+            if "path" not in out and out["format"] not in _PATHLESS_FORMATS:
+                raise ConfigError("Missing required field in output configuration: path")
+
+    def get(self, key: str, default: Any = None) -> Any:
+        value: Any = self.config
+        for k in key.split("."):
+            if isinstance(value, dict) and k in value:
+                value = value[k]
+            else:
+                return default
+        return value
+
+    def set(self, key: str, value: Any) -> None:
+        keys = key.split(".")
+        node = self.config
+        for k in keys[:-1]:
+            if k not in node or not isinstance(node[k], dict):
+                node[k] = {}
+            node = node[k]
+        node[keys[-1]] = value
+
+    def save_config(self, config_path: Optional[str] = None) -> None:
+        path = config_path or self.config_path
+        if not path:
+            raise ConfigError("No config path to save to")
+        ext = os.path.splitext(path)[1].lower()
+        with open(path, "w", encoding="utf-8") as f:
+            if ext in (".yml", ".yaml"):
+                import yaml
+
+                yaml.safe_dump(self.config, f)
+            else:
+                json.dump(self.config, f, indent=2)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline registry (scrapers/__init__.py factory analog)
+# ---------------------------------------------------------------------------
+
+
+def get_pipeline(scraper_type: str) -> Callable:
+    """→ a callable (world_dir, seeds, selectors) → records, mirroring
+    ``get_scraper``'s 3-type whitelist."""
+    from .pipelines.scrape import run_page_scrape
+
+    if scraper_type == "ecommerce":
+        return lambda world, seeds, selectors=None: run_page_scrape(
+            world, seeds, "ecommerce", selectors
+        )
+    if scraper_type == "business":
+        return lambda world, seeds, selectors=None: run_page_scrape(
+            world, seeds, "business", selectors
+        )
+    if scraper_type == "content":
+        from .oracle import CONTENT_SELECTORS
+        from .pipelines.crawl import CrawlConfig, run_crawl
+
+        def content_pipeline(world, seeds, selectors=None, out_dir="/tmp/wsr_cli_crawl",
+                             opts=None):
+            cfg = CrawlConfig(world_dir=world, out_dir=out_dir, seeds=seeds,
+                              selectors=selectors or dict(CONTENT_SELECTORS),
+                              opts=opts or {})
+            return run_crawl(cfg)
+
+        return content_pipeline
+    raise ConfigError(f"Unknown scraper type: {scraper_type}")

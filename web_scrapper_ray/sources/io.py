@@ -64,6 +64,14 @@ def load_dataset(path: str, fmt: Optional[str] = None, **kwargs):
     if fmt in ("parquet", "lance"):
         return rd.read_parquet(path, **kwargs)
     if fmt == "excel":
+        # S4/S8: excel needs openpyxl/xlsxwriter, absent in this
+        # container — the path is wired but gated (import-try per spec)
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "excel support requires openpyxl (not installed here)"
+            ) from e
         import pandas as pd
 
         return rd.from_pandas(pd.read_excel(path, **kwargs))
@@ -85,6 +93,12 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
     elif fmt in ("parquet", "lance"):
         ds.write_parquet(path, **kwargs)
     elif fmt == "excel":
+        try:
+            import openpyxl  # noqa: F401
+        except ImportError as e:
+            raise NotImplementedError(
+                "excel support requires openpyxl (not installed here)"
+            ) from e
         ds.to_pandas().to_excel(path, index=False, **kwargs)
     elif fmt == "sql":
         _write_sqlite(ds, path, kwargs.pop("table", "data"))
