@@ -50,6 +50,18 @@ def run_headline(num_cpus: int, out_dir: str) -> dict:
             with open(os.path.join(root, f), "rb") as fh:
                 while fh.read(1 << 22):
                     pass
+    # warm the worker pool: a cold cluster pays ~num_cpus Python imports
+    # of the engine package in wave 0, which is process startup, not
+    # crawl throughput (both scaling levels are warmed identically)
+    import ray.data as rd
+
+    def _warm(batch):
+        import web_scrapper_ray.stages.crawl_stage  # noqa: F401
+        return batch
+
+    rd.range(num_cpus * 4, override_num_blocks=num_cpus * 4).map_batches(
+        _warm, batch_size=None
+    ).materialize()
     shutil.rmtree(out_dir, ignore_errors=True)
     spec = synth.TIERS[BENCH_TIER]
     cfg = CrawlConfig(

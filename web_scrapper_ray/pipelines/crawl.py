@@ -110,6 +110,30 @@ def _wave_paths(cfg: CrawlConfig, k: int) -> dict:
     }
 
 
+def _host_balanced_tables(table: pa.Table, n_bins: int) -> list[pa.Table]:
+    """Split an Arrow table into ≤n_bins host-disjoint, size-balanced
+    sub-tables (greedy longest-processing-time packing of whole hosts).
+    Host-disjointness is what per-host ordering + politeness require."""
+    import heapq
+
+    hosts = table.column("host").to_pylist()
+    by_host: dict[str, list[int]] = {}
+    for i, h in enumerate(hosts):
+        by_host.setdefault(h, []).append(i)
+    heap = [(0, b) for b in range(min(n_bins, max(len(by_host), 1)))]
+    heapq.heapify(heap)
+    bins: dict[int, list[int]] = {b: [] for _, b in heap}
+    for h, idxs in sorted(by_host.items(), key=lambda kv: -len(kv[1])):
+        size, b = heapq.heappop(heap)
+        bins[b].extend(idxs)
+        heapq.heappush(heap, (size + len(idxs), b))
+    return [
+        table.take(pa.array(sorted(idxs), pa.int64()))
+        for idxs in bins.values()
+        if idxs
+    ]
+
+
 def _last_complete_wave(cfg: CrawlConfig) -> int:
     last = -1
     for f in sorted(glob.glob(os.path.join(cfg.out_dir, "checkpoints", "wave_*.json"))):
@@ -167,24 +191,16 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             break
         _t_wave = _time.time()
 
-        # Host-hash partition the wave WITHOUT a Ray shuffle: the frontier
+        # Host-partition the wave WITHOUT a Ray shuffle: the frontier
         # segment is tiny relative to the page/image volume, so the driver
-        # splits it into host-disjoint Arrow tables (one block each) and
-        # the whole wave becomes read → N independent tasks → write. (A
-        # Ray `repartition`+`groupby(host)` here measured ~6s of pure
-        # coordination latency per wave regardless of cluster size; at
-        # 10^10-URL scale the same host-disjoint layout comes for free by
-        # writing frontier segments with partition_cols=[host_hash].)
-        from ..synth import shard_of as _shard_of
-
-        P = 64
-        host_col = frontier.column("host").to_pylist()
-        part_ids = np.fromiter(
-            (_shard_of(h, P) for h in host_col), dtype=np.int64, count=len(host_col)
-        )
-        tables = [
-            frontier.filter(pa.array(part_ids == p)) for p in np.unique(part_ids)
-        ]
+        # packs whole hosts into ~size-balanced Arrow tables (one block
+        # each) and the wave becomes read → N independent tasks → write.
+        # (A Ray `repartition`+`groupby(host)` here measured ~6s of pure
+        # coordination latency per wave regardless of cluster size, and
+        # pure host-HASH partitioning left 8× size skew between blocks;
+        # at 10^10-URL scale the same host-disjoint balanced layout comes
+        # from writing frontier segments partitioned by host bucket.)
+        tables = _host_balanced_tables(frontier, n_bins=96)
         ds = rd.from_arrow(tables)
 
         # seen-filter: register every canonical URL; drop repeats per policy
@@ -216,9 +232,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
         out.write_parquet(paths["wave_out"])
-        if debug_timing:
-            print(f"[wave {k}] rows={frontier.num_rows} exec={_time.time() - _t_wave:.2f}s",
-                  flush=True)
+        _t_exec = _time.time()
 
         # next frontier from this wave's output (predicate pushdown read);
         # log/record totals are tallied once in finalize — no extra scans
@@ -231,8 +245,16 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         counters["waves"] += 1
         if nxt.num_rows:
             pq.write_table(nxt, _wave_paths(cfg, k + 1)["frontier"])
+        _t_nxt = _time.time()
         cuckoo_dir = paths["cuckoo"]
         seen.snapshot(cuckoo_dir)
+        if debug_timing:
+            print(
+                f"[wave {k}] rows={frontier.num_rows} "
+                f"exec={_t_exec - _t_wave:.2f}s nxt={_t_nxt - _t_exec:.2f}s "
+                f"snap={_time.time() - _t_nxt:.2f}s",
+                flush=True,
+            )
         manifest = {
             "wave": k, "complete": True, "cuckoo_dir": cuckoo_dir,
             "frontier_in": paths["frontier"], "wave_out": paths["wave_out"],
@@ -275,6 +297,10 @@ def ensure_tier_crawl(tier: str = "t1", out_root: str = "/tmp/wsr_crawl",
 
 def finalize_paths(cfg: CrawlConfig) -> dict:
     out_dir = os.path.join(cfg.out_dir, "out")
+    if _dbg:
+        print("[finalize] " + " ".join(
+            f"{n}={t2 - t1:.2f}s" for (_, t1), (n, t2) in zip(_marks, _marks[1:])
+        ), flush=True)
     return {
         "out_dir": out_dir,
         "crawl_log": os.path.join(out_dir, "crawl_log.parquet"),
@@ -286,7 +312,15 @@ def finalize_paths(cfg: CrawlConfig) -> dict:
 
 def finalize_crawl(cfg: CrawlConfig) -> dict:
     """Assemble canonical outputs from wave segments (idempotent)."""
+    import time as _time
+
     import ray.data as rd
+
+    _dbg = bool(os.environ.get("WSR_TIMING"))
+    _marks = [("start", _time.time())]
+
+    def _mark(name: str) -> None:
+        _marks.append((name, _time.time()))
 
     wave_files = sorted(
         glob.glob(os.path.join(cfg.out_dir, "waves", "wave_*", "*.parquet"))
@@ -301,6 +335,7 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
     ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"), ("sub_idx", "ascending")])
     log = log.add_column(0, "fetch_seq", pa.array(range(log.num_rows), pa.int64()))
     pq.write_table(log, os.path.join(out_dir, "crawl_log.parquet"))
+    _mark("log")
 
     # seed outcomes (visited_urls / failed_urls of base.py:195,199)
     seeds_t = all_ds.to_table(
@@ -308,6 +343,7 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         columns=["seed_index", "url", "outcome"],
     ).sort_by([("seed_index", "ascending")])
     pq.write_table(seeds_t, os.path.join(out_dir, "seed_outcomes.parquet"))
+    _mark("seeds")
 
     # article records (typed)
     rec = all_ds.to_table(
@@ -338,6 +374,7 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         }
     )
     pq.write_table(articles, os.path.join(out_dir, "articles.parquet"))
+    _mark("records")
 
     # image refs → dedup (groupby url, max caption) → decode → partitioned sink
     refs = all_ds.to_table(
@@ -350,7 +387,6 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
     n_images = 0
     if refs.num_rows:
         from ..stages.decode import make_decode_fn
-        from ..synth import shard_of as _shard_of
 
         # Dedup (max-caption rule) on the driver: refs are (url, host,
         # caption) triples — a sliver of the data volume — and the Ray
@@ -365,10 +401,16 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         rdf = rdf.sort_values(["url_canon", "caption"]).drop_duplicates(
             "url_canon", keep="last"
         )
-        part = rdf["host"].map(lambda h: _shard_of(h, 64))
+        # host-sorted contiguous equal slices: shard-cache locality
+        # (images of one host sit in one store shard) + balanced task
+        # sizes for the decode fan-out
+        rdf = rdf.sort_values("host")
+        ref_table = pa.Table.from_pandas(rdf, preserve_index=False)
+        ref_table = ref_table.replace_schema_metadata(None)
+        n_slices = min(128, max(1, ref_table.num_rows // 200))
+        step = -(-ref_table.num_rows // n_slices)
         tables = [
-            pa.Table.from_pandas(g, preserve_index=False)
-            for _, g in rdf.groupby(part)
+            ref_table.slice(i, step) for i in range(0, ref_table.num_rows, step)
         ]
         deduped = rd.from_arrow(tables)
         images = deduped.map_batches(
@@ -376,9 +418,15 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
             batch_format="pyarrow",
             batch_size=256,
         )
+        _mark("dedup_split")
         images.write_parquet(images_out, partition_cols=["part"])
         n_images = pads.dataset(images_out, partitioning="hive").count_rows()
+        _mark("decode_write")
 
+    if _dbg:
+        print("[finalize] " + " ".join(
+            f"{n}={t2 - t1:.2f}s" for (_, t1), (n, t2) in zip(_marks, _marks[1:])
+        ), flush=True)
     return {
         "out_dir": out_dir,
         "crawl_log": os.path.join(out_dir, "crawl_log.parquet"),

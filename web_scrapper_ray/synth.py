@@ -89,10 +89,9 @@ TIERS = {
     # (100 KB pages, full-size images) lives in; a feather-weight world
     # would measure Ray's constant overheads, not the engine.
     "bench": WorldSpec(
-        tier="bench", n_hosts=256, listing_pages=4, entries_per_page=20,
-        images_per_article=5, max_pages=4, paragraphs=(5, 8),
+        tier="bench", n_hosts=256, listing_pages=4, entries_per_page=16,
+        images_per_article=3, max_pages=4, paragraphs=(4, 7),
         crawl_delay_ms_choices=(0, 5, 10),
-        image_sizes=(64, 96, 128),
     ),
 }
 
