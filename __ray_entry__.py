@@ -135,6 +135,46 @@ def _image_features(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _entities(sf_dir: str):
+    import os
+
+    import ray.data as rd
+
+    from web_scrapper_ray.stages.nlp import EntityExtract
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(EntityExtract, batch_format="pyarrow",
+                         batch_size=256, concurrency=2, num_cpus=0.5).to_pandas()
+    out["n_emails"] = out["emails"].map(len)
+    out["n_urls"] = out["urls"].map(len)
+    out["n_dates"] = out["dates"].map(len)
+    return out[["doc_id", "n_emails", "n_urls", "n_dates"]].sort_values(
+        "doc_id"
+    ).reset_index(drop=True)
+
+
+def _phash_dup_groups(sf_dir: str):
+    """D4 near-dup images v1: exact-phash grouping over the crawl images."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    res = ensure_tier_crawl("t1")
+    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
+        columns=["image_id", "phash"]
+    )
+    out = (
+        rd.from_arrow(t)
+        .groupby("phash")
+        .aggregate(Min("image_id", alias_name="keep_image_id"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    return out.sort_values("phash").reset_index(drop=True)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_scrapper_ray.pipelines import dedup, relational, similarity, textops
 
@@ -170,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,
         "q35_image_features": _image_features,
+        "q36_phash_dup_groups": _phash_dup_groups,
+        "q19_entities": _entities,
     }
 
 
@@ -281,6 +323,19 @@ def oracle_sql() -> dict[str, str]:
                              || lpad((c_custkey % 10000)::VARCHAR, 4, '0'),
                              '[^0-9+]', '', 'g') AS digits
                   FROM customer) ORDER BY c_custkey
+        """,
+        "q19_entities": r"""
+            SELECT doc_id,
+                   len(list_distinct(regexp_extract_all(text,
+                       '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')))::BIGINT AS n_emails,
+                   len(list_distinct(regexp_extract_all(text,
+                       'https?://[^\s]+')))::BIGINT AS n_urls,
+                   len(list_distinct(list_concat(list_concat(
+                       regexp_extract_all(text, '\b\d{1,2}/\d{1,2}/\d{2,4}\b'),
+                       regexp_extract_all(text, '\b\d{4}-\d{1,2}-\d{1,2}\b')),
+                       regexp_extract_all(text,
+                       '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b'))))::BIGINT AS n_dates
+            FROM documents ORDER BY doc_id
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

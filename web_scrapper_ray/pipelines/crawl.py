@@ -189,6 +189,14 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         frontier = pq.read_table(paths["frontier"])
         if frontier.num_rows == 0:
             break
+        # O5 frontier ordering: in reference-parity mode priority IS the
+        # program order (seed, page, dom); a scheduler priority column
+        # would be the leading sort key here, selecting the minimal ready
+        # segment set per wave at 10^10 scale.
+        frontier = frontier.sort_by(
+            [("seed_index", "ascending"), ("page_idx", "ascending"),
+             ("sub_idx", "ascending")]
+        )
         _t_wave = _time.time()
 
         # Host-partition the wave WITHOUT a Ray shuffle: the frontier
@@ -297,10 +305,6 @@ def ensure_tier_crawl(tier: str = "t1", out_root: str = "/tmp/wsr_crawl",
 
 def finalize_paths(cfg: CrawlConfig) -> dict:
     out_dir = os.path.join(cfg.out_dir, "out")
-    if _dbg:
-        print("[finalize] " + " ".join(
-            f"{n}={t2 - t1:.2f}s" for (_, t1), (n, t2) in zip(_marks, _marks[1:])
-        ), flush=True)
     return {
         "out_dir": out_dir,
         "crawl_log": os.path.join(out_dir, "crawl_log.parquet"),
