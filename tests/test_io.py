@@ -51,7 +51,7 @@ def test_export_data_converter(ray_session, sample_parquet, tmp_path):
     assert load_dataset(out, fmt="csv").count() == 3
 
 
-def test_sqlite_sink_roundtrip(ray_session, sample_parquet, tmp_path):
+def test_sqlite_sink_and_source_roundtrip(ray_session, sample_parquet, tmp_path):
     db = str(tmp_path / "out.db")
     save_dataset(load_dataset(sample_parquet), db, fmt="sql", table="data")
     import sqlite3
@@ -60,6 +60,9 @@ def test_sqlite_sink_roundtrip(ray_session, sample_parquet, tmp_path):
     rows = con.execute("SELECT a, b FROM data ORDER BY a").fetchall()
     con.close()
     assert rows == [(1, "x"), (2, "y"), (3, "z")]
+    # S5: SQL source via ray.data.read_sql
+    back = load_dataset(db, fmt="sql", table="data").to_pandas().sort_values("a")
+    assert back["b"].tolist() == ["x", "y", "z"]
 
 
 def test_generate_rss():
