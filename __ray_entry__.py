@@ -175,6 +175,21 @@ def _phash_dup_groups(sf_dir: str):
     return out.sort_values("phash").reset_index(drop=True)
 
 
+def _phash_neardup(sf_dir: str):
+    import pyarrow.dataset as pads
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.pipelines.dedup import phash_neardup_pairs
+
+    res = ensure_tier_crawl("t1")
+    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
+        columns=["image_id", "phash"]
+    )
+    return phash_neardup_pairs(
+        t.column("image_id").to_pylist(), t.column("phash").to_pylist(), 10
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_scrapper_ray.pipelines import dedup, relational, similarity, textops
 
@@ -185,6 +200,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q03_orders_filter_topk": relational.q_orders_filter_topk,
         "q04_events_window": relational.q_events_window,
         "q05_order_priority_join": relational.q_order_priority_join,
+        "q06_orders_page2": relational.q_orders_page2,
+        "q07_user_sessions": relational.q_user_sessions,
         # text analysis
         "q10_token_count": textops.q_token_count,
         "q11_reading_time": textops.q_reading_time,
@@ -211,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q34_directory_businesses": _directory_businesses,
         "q35_image_features": _image_features,
         "q36_phash_dup_groups": _phash_dup_groups,
+        "q37_phash_neardup": _phash_neardup,
         "q19_entities": _entities,
     }
 
@@ -270,6 +288,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_orderpriority, count(*)::BIGINT AS n_items
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q06_orders_page2": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_orderstatus = 'F'
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 50 OFFSET 50
+        """,
+        "q07_user_sessions": """
+            WITH gaps AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gaps
+            ), per AS (
+                SELECT user_id, session_id, count(*) AS n FROM sess
+                GROUP BY user_id, session_id
+            )
+            SELECT user_id, count(*)::BIGINT AS n_sessions,
+                   sum(n)::BIGINT AS n_events,
+                   max(n)::BIGINT AS max_session_events
+            FROM per GROUP BY user_id ORDER BY user_id
         """,
         "q10_token_count": f"""
             SELECT doc_id, {_WC}::BIGINT AS n_tokens FROM documents ORDER BY doc_id

@@ -85,6 +85,30 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.15, recalls
 
 
+def test_phash_neardup_hamming_ball(ray_session):
+    """Planted near-dups: a lossy re-encode of the same pixels must land
+    within the hamming ball; unrelated images must not."""
+    from web_scrapper_ray import codecs, synth
+    from web_scrapper_ray.pipelines.dedup import phash_neardup_pairs
+
+    ids, hashes = [], []
+    for i in range(12):
+        iid = f"nd-{i}"
+        px = synth.image_pixels(iid, 64, 64)
+        ids.append(iid)
+        hashes.append(codecs.phash64(px))
+        if i < 3:  # plant lossy twins
+            twin = codecs.sjpg_decode(codecs.sjpg_encode(px))
+            ids.append(f"{iid}-twin")
+            hashes.append(codecs.phash64(twin))
+    pairs = phash_neardup_pairs(ids, hashes, max_hamming=10)
+    got = {tuple(sorted((a, b))) for a, b in zip(pairs["image_a"], pairs["image_b"])}
+    for i in range(3):
+        assert (f"nd-{i}", f"nd-{i}-twin") in got
+    # no unrelated pair below the ball (independent random-ish images)
+    assert all("twin" in a or "twin" in b for a, b in got)
+
+
 def test_keywords_topk_deterministic(ray_session):
     from web_scrapper_ray.pipelines.textops import q_keywords_topk
 

@@ -161,6 +161,73 @@ def simhash64(text: str) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+def phash_neardup_pairs(ids, phashes, max_hamming: int = 10) -> pd.DataFrame:
+    """Hamming-ball near-dup over 64-bit perceptual hashes (SURVEY.md
+    §2.7 D4 stretch): split each hash into 4×16-bit bands; by pigeonhole
+    any pair within hamming ≤ 48/4·… shares a band when distance ≤ 3·16;
+    practically, near-dups (≤10 bits) almost surely collide in ≥1 band.
+    Candidates = band-bucket groups; verify exact hamming. Scale shape:
+    explode → groupby(band, value) → pairwise within bucket (buckets are
+    tiny for non-degenerate image sets).
+    """
+    import ray.data as rd
+
+    table = pa.table({
+        "image_id": pa.array(list(ids), pa.string()),
+        "phash": pa.array(list(phashes), pa.int64()),
+    })
+
+    def bands(batch: pa.Table) -> pa.Table:
+        out_id, out_band, out_val, out_hash = [], [], [], []
+        for iid, ph in zip(batch.column("image_id").to_pylist(),
+                           batch.column("phash").to_pylist()):
+            u = ph & 0xFFFFFFFFFFFFFFFF
+            for b in range(4):
+                out_id.append(iid)
+                out_band.append(b)
+                out_val.append((u >> (16 * b)) & 0xFFFF)
+                out_hash.append(ph)
+        return pa.table({
+            "image_id": pa.array(out_id, pa.string()),
+            "band": pa.array(out_band, pa.int32()),
+            "val": pa.array(out_val, pa.int32()),
+            "phash": pa.array(out_hash, pa.int64()),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = g.drop_duplicates("image_id").sort_values("image_id")
+        out = []
+        items = list(zip(rows["image_id"], rows["phash"]))
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                a, b = items[i], items[j]
+                d = bin((a[1] ^ b[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
+                if d <= max_hamming:
+                    out.append((a[0], b[0], d))
+        if not out:
+            return pd.DataFrame({"image_a": pd.Series(dtype="object"),
+                                 "image_b": pd.Series(dtype="object"),
+                                 "hamming": pd.Series(dtype="int64")})
+        return pd.DataFrame(out, columns=["image_a", "image_b", "hamming"])
+
+    cand = (
+        rd.from_arrow(table)
+        .map_batches(bands, batch_format="pyarrow")
+        .groupby(["band", "val"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if cand.empty:
+        return pd.DataFrame({"image_a": pd.Series(dtype="object"),
+                             "image_b": pd.Series(dtype="object"),
+                             "hamming": pd.Series(dtype="int64")})
+    return (
+        cand.drop_duplicates(["image_a", "image_b"])
+        .sort_values(["image_a", "image_b"])
+        .reset_index(drop=True)
+    )
+
+
 def q_simhash(sf_dir: str) -> pd.DataFrame:
     """SimHash signature per document (int64, same convention as phash)."""
     ds = _docs(sf_dir, ["doc_id", "text"])

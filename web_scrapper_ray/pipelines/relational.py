@@ -124,6 +124,50 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def q_orders_page2(sf_dir: str) -> pd.DataFrame:
+    """O2 ORDER BY/LIMIT/OFFSET pushdown analog: rows 51..100 of the
+    price-ranked 'F' orders — sort → limit(off+n) → driver-side slice
+    (the offset tail of a top-k is small by construction)."""
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
+    ds = ds.map_batches(
+        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")),
+        batch_format="pyarrow",
+    )
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
+    out = top.to_pandas()[["o_orderkey", "o_custkey", "o_totalprice"]]
+    return out.iloc[50:100].reset_index(drop=True)
+
+
+def q_user_sessions(sf_dir: str) -> pd.DataFrame:
+    """Session windows over the ordered event log (SURVEY.md §2.8 shape):
+    per user, a >30-minute gap starts a new session. Partition by key,
+    sort by ts within the group, cumulative gap-count — the canonical
+    groupby(key).map_groups windowing pattern."""
+    import ray.data as rd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        gap = g["ts"].diff().dt.total_seconds().fillna(0)
+        sid = (gap > 1800).cumsum()
+        agg = g.groupby(sid).agg(
+            n_events=("ts", "size"), sum_value=("value", "sum")
+        )
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_sessions": [int(len(agg))],
+                "n_events": [int(agg["n_events"].sum())],
+                "max_session_events": [int(agg["n_events"].max())],
+            }
+        )
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
 def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
     """Large⋈large explicit bucketed hash join: both sides get
     ``bucket = key % B``, groups co-locate via one shuffle, pandas merge
