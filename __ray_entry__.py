@@ -219,6 +219,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "q24_knn_bruteforce": similarity.q_knn_bruteforce,
         "q25_knn_lsh": similarity.q_knn_lsh,
+        "q26_knn_ivf": similarity.q_knn_ivf,
         "q27_neardup_cosine": similarity.q_neardup_cosine,
         # crawl engine (synthetic world; oracle-checked in pytest)
         "q30_crawl_articles": _crawl_articles,

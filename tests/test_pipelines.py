@@ -85,6 +85,20 @@ def test_knn_lsh_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.15, recalls
 
 
+def test_knn_ivf_recall_vs_bruteforce(ray_session):
+    from web_scrapper_ray.pipelines.similarity import q_knn_bruteforce, q_knn_ivf
+
+    bf = q_knn_bruteforce(SF, query_ids=(0, 1, 2, 3), k=5)
+    ivf = q_knn_ivf(SF, query_ids=(0, 1, 2, 3), k=5, n_lists=16, n_probe=4)
+    bf_sets = bf.groupby("query_id")["neighbor_id"].apply(set)
+    iv_sets = ivf.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [
+        len(iv_sets.get(q, set()) & bf_sets[q]) / len(bf_sets[q]) for q in bf_sets.index
+    ]
+    # probing 4/16 lists on near-uniform random data
+    assert np.mean(recalls) >= 0.25, recalls
+
+
 def test_phash_neardup_hamming_ball(ray_session):
     """Planted near-dups: a lossy re-encode of the same pixels must land
     within the hamming ball; unrelated images must not."""

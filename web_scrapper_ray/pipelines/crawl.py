@@ -171,10 +171,14 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
     if start_wave == 0:
         _frontier0(cfg, seeds, _wave_paths(cfg, 0)["frontier"])
 
+    from ..state.metrics import Metrics
+
+    metrics = Metrics()
     fetch_parse = make_fetch_parse_fn(
         cfg.world_dir, cfg.selectors, opts, seeds[0],
         board.shards if board else None,
         cfg.n_politeness_shards if board else 0,
+        metrics_actor=metrics.actor,
     )
 
     import time as _time
@@ -267,6 +271,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             "wave": k, "complete": True, "cuckoo_dir": cuckoo_dir,
             "frontier_in": paths["frontier"], "wave_out": paths["wave_out"],
             "next_frontier_rows": nxt.num_rows, "counters": dict(counters),
+            "metrics": metrics.snapshot(),
         }
         tmp = paths["manifest"] + ".tmp"
         with open(tmp, "w") as fh:

@@ -112,6 +112,61 @@ def q_neardup_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
+def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
+              n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF ANN (the coarse-quantizer scale path): deterministic k-means
+    centroids (seeded sample, 5 Lloyd iterations) → per-batch assignment
+    via map_batches → queries scan only the n_probe nearest lists.
+    Approximate → rows-only driver check; recall pytest'd."""
+    import ray
+
+    ds = _emb(sf_dir)
+    sample = ds.random_sample(min(1.0, 2000 / max(ds.count(), 1)), seed=42).to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(42)
+    centroids = smat[rng.choice(len(smat), size=min(n_lists, len(smat)), replace=False)]
+    for _ in range(5):  # Lloyd iterations on the sample
+        assign = np.argmax(smat @ centroids.T, axis=1)
+        for c in range(len(centroids)):
+            members = smat[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                centroids[c] = v / max(np.linalg.norm(v), 1e-12)
+    cref = ray.put(centroids)
+
+    def assign_batch(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cref)
+        ids, mat = _batch_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        unit = mat / norms
+        lists = np.argmax(unit @ cents.T, axis=1)
+        return pa.table({
+            "vec_id": pa.array(ids.astype("int64")),
+            "list_id": pa.array(lists.astype("int32")),
+            "unit": pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
+        })
+
+    assigned = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
+    units = np.stack(assigned["unit"].to_numpy())
+    ids = assigned["vec_id"].to_numpy()
+    lists = assigned["list_id"].to_numpy()
+    id_to_idx = {int(v): i for i, v in enumerate(ids)}
+    rows = []
+    for q in query_ids:
+        qi = id_to_idx[int(q)]
+        probe = np.argsort(-(centroids @ units[qi]))[:n_probe]
+        cand = np.nonzero(np.isin(lists, probe))[0]
+        cand = cand[ids[cand] != q]
+        if cand.size == 0:
+            continue
+        sims = units[cand] @ units[qi]
+        order = np.lexsort((ids[cand], -sims))[:k]
+        for rank, oi in enumerate(order, 1):
+            rows.append((int(q), rank, int(ids[cand[oi]])))
+    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+
+
 N_PLANES = 6  # 64 buckets; multi-probe on 1-bit flips → ~11% of space scanned
 
 

@@ -91,9 +91,10 @@ def _image_refs_for_record(rec: dict, pairs: dict[str, str], feat_caption: str,
 
 def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                         first_seed_url: str, politeness_shards: list | None,
-                        n_politeness_shards: int = 0):
-    """Build the map_groups callable. ``politeness_shards`` is the actor
-    handle list (closure-captured; serialized into the tasks)."""
+                        n_politeness_shards: int = 0, metrics_actor=None):
+    """Build the map_batches callable. ``politeness_shards`` /
+    ``metrics_actor`` are actor handles (closure-captured; serialized
+    into the tasks)."""
     max_pages = opts.get("max_pages", 1)
     follow_next = opts.get("follow_next_page", True)
 
@@ -107,6 +108,14 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         batch = batch.sort_values(["host", "seed_index", "page_idx", "sub_idx"])
         for host, group in batch.groupby("host", sort=True):
             _fetch_parse_host(host, group, out)
+        if metrics_actor is not None:
+            tally: dict[str, int] = {}
+            for r in out:
+                if r["row_kind"] == "log":
+                    tally[r["outcome"]] = tally.get(r["outcome"], 0) + 1
+                elif r["row_kind"] in ("record", "frontier", "image_ref"):
+                    tally[r["row_kind"]] = tally.get(r["row_kind"], 0) + 1
+            metrics_actor.add.remote(tally)  # fire-and-forget, 1 msg/task
         if not out:
             return empty_out_df()
         return pd.DataFrame(out, columns=OUT_COLUMNS)
