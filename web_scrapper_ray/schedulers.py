@@ -1,0 +1,119 @@
+"""Job scheduler surface (reference ST5/§3.2:
+`/root/reference/src/webscraper/schedulers/job_scheduler.py:43-603`).
+
+The reference runs scrapes on APScheduler threads with SQLite job
+metadata. Per the north rule the cron layer sits OUTSIDE the dataplane:
+each fire is an independent engine run (`ray job submit` on a cluster;
+a `python -m web_scrapper_ray.cli scrape` subprocess here). This module
+keeps the reference's job-metadata surface — schedule/list/remove,
+last_run/last_status, email/webhook notification hooks — backed by a
+JSON store (SQLite adds nothing for a metadata table this small), with
+an interval/cron-lite trigger.
+
+Notifications are STUBS (no network in this sandbox): they append to a
+``notifications.log`` next to the store; swap ``_notify`` for
+smtplib/requests in a connected deployment.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+import uuid
+from typing import Any, Optional
+
+
+def _parse_trigger(trigger: str) -> int:
+    """'every 5m' / 'every 2h' / 'every 30s' / plain seconds → seconds."""
+    t = trigger.strip().lower()
+    if t.startswith("every "):
+        t = t[6:].strip()
+    mult = {"s": 1, "m": 60, "h": 3600, "d": 86400}
+    if t and t[-1] in mult:
+        return int(float(t[:-1]) * mult[t[-1]])
+    return int(float(t))
+
+
+class JobScheduler:
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+        self.jobs: dict[str, dict[str, Any]] = {}
+        if os.path.exists(store_path):
+            with open(store_path) as f:
+                self.jobs = json.load(f)
+
+    def _save(self) -> None:
+        os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
+        tmp = self.store_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self.jobs, f, indent=2)
+        os.replace(tmp, self.store_path)
+
+    def schedule_job(self, name: str, config_path: str, trigger: str,
+                     email: Optional[str] = None,
+                     webhook: Optional[str] = None) -> str:
+        interval = _parse_trigger(trigger)
+        if interval <= 0:
+            raise ValueError("trigger interval must be positive")
+        job_id = uuid.uuid4().hex[:12]
+        self.jobs[job_id] = {
+            "job_id": job_id, "name": name, "config_path": config_path,
+            "trigger": trigger, "interval_s": interval,
+            "email": email, "webhook": webhook,
+            "status": "scheduled", "created_at": time.time(),
+            "last_run": None, "last_status": None, "next_run": time.time() + interval,
+        }
+        self._save()
+        return job_id
+
+    def list_jobs(self) -> list[dict[str, Any]]:
+        return sorted(self.jobs.values(), key=lambda j: j["created_at"])
+
+    def get_job(self, job_id: str) -> Optional[dict[str, Any]]:
+        return self.jobs.get(job_id)
+
+    def remove_job(self, job_id: str) -> bool:
+        if self.jobs.pop(job_id, None) is None:
+            return False
+        self._save()
+        return True
+
+    def due_jobs(self, now: Optional[float] = None) -> list[dict[str, Any]]:
+        now = time.time() if now is None else now
+        return [j for j in self.list_jobs() if j["next_run"] <= now]
+
+    def _notify(self, job: dict, message: str) -> None:
+        log = os.path.join(os.path.dirname(self.store_path) or ".",
+                           "notifications.log")
+        with open(log, "a") as f:
+            for channel in ("email", "webhook"):
+                if job.get(channel):
+                    f.write(json.dumps({"ts": time.time(), "channel": channel,
+                                        "to": job[channel], "job": job["job_id"],
+                                        "message": message}) + "\n")
+
+    def run_job(self, job_id: str, extra_args: Optional[list[str]] = None,
+                now: Optional[float] = None) -> dict[str, Any]:
+        """One fire = one engine subprocess (the `ray job submit` analog)."""
+        job = self.jobs[job_id]
+        cmd = [sys.executable, "-m", "web_scrapper_ray.cli", "scrape",
+               "--config", job["config_path"], *(extra_args or [])]
+        result = subprocess.run(cmd, capture_output=True, text=True)
+        now = time.time() if now is None else now
+        job["last_run"] = now
+        job["last_status"] = "success" if result.returncode == 0 else "failed"
+        job["next_run"] = now + job["interval_s"]
+        self._save()
+        self._notify(job, f"job {job['name']} finished: {job['last_status']}")
+        return {"returncode": result.returncode, "stdout": result.stdout[-2000:],
+                "stderr": result.stderr[-2000:]}
+
+    def run_due(self, now: Optional[float] = None, **kw) -> list[str]:
+        ran = []
+        for job in self.due_jobs(now):
+            self.run_job(job["job_id"], now=now, **kw)
+            ran.append(job["job_id"])
+        return ran
