@@ -274,9 +274,15 @@ def _parse_compound(token: str) -> list[tuple]:
     return parts
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4096)
 def _parse_selector(selector: str) -> list[list[tuple]]:
     """→ list of chains; each chain is [(combinator, compound), ...] with
-    combinator ∈ {' ', '>'} (first entry's combinator ignored)."""
+    combinator ∈ {' ', '>'} (first entry's combinator ignored).
+    Memoized: parse stages evaluate the same fixed selector chains on
+    every element, so parsing cost would otherwise dominate matching."""
     if not selector or not selector.strip():
         raise SelectorError("empty selector")
     groups = []
