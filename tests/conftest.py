@@ -1,5 +1,15 @@
 import pytest
 
+try:
+    from hypothesis import settings as _hyp_settings
+
+    # deterministic example generation: a driver/CI run must not discover
+    # fresh random counterexamples that local runs never saw
+    _hyp_settings.register_profile("ci", derandomize=True)
+    _hyp_settings.load_profile("ci")
+except ImportError:  # pragma: no cover
+    pass
+
 
 @pytest.fixture(scope="session")
 def ray_session():

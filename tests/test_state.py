@@ -73,3 +73,16 @@ def test_politeness_reserve_spacing(ray_session):
     # an unrelated host is not delayed by h.org's budget
     t2 = board.reserve("other.org", 1, 0.05)
     assert t2 <= time.time() + 0.01
+
+
+def test_parse_robots_disallow():
+    from web_scrapper_ray.state.politeness import is_disallowed, parse_robots
+
+    body = b"User-agent: *\nCrawl-delay: 0.02\nDisallow: /private/\nDisallow: /tmp\nDisallow: /\n"
+    delay, dis = parse_robots(body)
+    assert delay == 0.02
+    assert dis == ["/private/", "/tmp"]  # bare "/" ignored (would kill the host)
+    assert is_disallowed("/private/x", dis)
+    assert is_disallowed("/tmpfile", dis)
+    assert not is_disallowed("/public", dis)
+    assert parse_robots(None) == (0.0, [])

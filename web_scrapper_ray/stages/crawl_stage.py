@@ -43,7 +43,7 @@ from ..minidom import parse_html
 from ..oracle import collect_image_caption_pairs
 from ..sources.site_store import worker_site_store
 from ..state.cuckoo import hash64
-from ..state.politeness import parse_robots_delay
+from ..state.politeness import is_disallowed, parse_robots
 
 OUT_COLUMNS = [
     "row_kind", "kind", "seed_index", "page_idx", "sub_idx",
@@ -127,12 +127,18 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
 
         # -- politeness: robots crawl-delay + cross-wave reservation ------
         delay_s = 0.0
+        disallow: list[str] = []
         t0 = time.time()
         if politeness_shards:
             robots_body, _ = store.get(f"http://{host}/robots.txt", host)
-            delay_s = parse_robots_delay(robots_body)
+            delay_s, disallow = parse_robots(robots_body)
             shard = politeness_shards[hash64(host) % n_politeness_shards]
             t0 = ray.get(shard.reserve.remote(host, len(group), delay_s))
+        # Disallow enforcement is opt-in (opts["respect_disallow"]): the
+        # reference never reads robots.txt at all, so parity mode must
+        # fetch everything; a production crawl flips the flag.
+        if not opts.get("respect_disallow"):
+            disallow = []
 
         fetch_i = 0
 
@@ -153,6 +159,17 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         for r in group.itertuples(index=False):
             kind, url = r.kind, r.url
             seed_i, page_i, sub_i = int(r.seed_index), int(r.page_idx), int(r.sub_idx)
+            if disallow:
+                from urllib.parse import urlsplit
+
+                if is_disallowed(urlsplit(canonicalize_url(url)).path, disallow):
+                    out.append(
+                        _row("log", seed_index=seed_i, page_idx=page_i,
+                             sub_idx=sub_i, url=url,
+                             url_canon=canonicalize_url(url), host=host,
+                             outcome="disallowed", fetch_ts=time.time())
+                    )
+                    continue
             body, status, ts = paced_get(url)
             ok = body is not None and status < 400
             canon = canonicalize_url(url)

@@ -25,6 +25,7 @@ import re
 import time
 
 _DELAY_RX = re.compile(r"crawl-delay:\s*([0-9.]+)", re.IGNORECASE)
+_DISALLOW_RX = re.compile(r"^disallow:\s*(\S+)", re.IGNORECASE | re.MULTILINE)
 
 
 def parse_robots_delay(robots_body: bytes | None) -> float:
@@ -33,6 +34,23 @@ def parse_robots_delay(robots_body: bytes | None) -> float:
         return 0.0
     m = _DELAY_RX.search(robots_body.decode(errors="replace"))
     return float(m.group(1)) if m else 0.0
+
+
+def parse_robots(robots_body: bytes | None) -> tuple[float, list[str]]:
+    """(crawl-delay seconds, Disallow path prefixes). Simplified single
+    user-agent-group semantics — sufficient for the synthetic worlds and
+    the politeness budget definition; a production crawler would use a
+    full RFC 9309 matcher here."""
+    if not robots_body:
+        return 0.0, []
+    text = robots_body.decode(errors="replace")
+    m = _DELAY_RX.search(text)
+    delay = float(m.group(1)) if m else 0.0
+    return delay, [p for p in _DISALLOW_RX.findall(text) if p != "/"]
+
+
+def is_disallowed(url_path: str, disallow: list[str]) -> bool:
+    return any(url_path.startswith(p) for p in disallow)
 
 
 def _make_shard_actor():
