@@ -62,6 +62,15 @@ class SiteStore:
             return None, 404
         return row
 
+    def get_canonical(self, url_canon: str, host: str) -> tuple[bytes | None, int]:
+        """Fast path for already-canonical URLs (the decode stage's input
+        is canonical by construction; re-canonicalizing 10^5+ image URLs
+        costs seconds of pure regex work)."""
+        row = self._shard(host).get(url_canon)
+        if row is None:
+            return None, 404
+        return row
+
 
 _STORES: dict[str, SiteStore] = {}
 

@@ -46,7 +46,7 @@ def _decode_batch(store, batch: pa.Table, n_partitions: int) -> pa.Table:
         captions = batch.column("caption").to_pylist()
         out = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "part")}
         for url, host, caption in zip(urls, hosts, captions):
-            body, status = store.get(url, host)
+            body, status = store.get_canonical(url, host)
             if body is None or status >= 400:
                 continue
             try:
