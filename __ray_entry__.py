@@ -202,6 +202,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q05_order_priority_join": relational.q_order_priority_join,
         "q06_orders_page2": relational.q_orders_page2,
         "q07_user_sessions": relational.q_user_sessions,
+        "q08_suppliers_per_region": relational.q_suppliers_per_region,
+        "q09_part_type_stats": relational.q_part_type_stats,
+        "q28_docs_by_lang_source": relational.q_docs_by_lang_source,
         # text analysis
         "q10_token_count": textops.q_token_count,
         "q11_reading_time": textops.q_reading_time,
@@ -314,6 +317,25 @@ def oracle_sql() -> dict[str, str]:
                    sum(n)::BIGINT AS n_events,
                    max(n)::BIGINT AS max_session_events
             FROM per GROUP BY user_id ORDER BY user_id
+        """,
+        "q08_suppliers_per_region": """
+            SELECT r_name, count(*)::BIGINT AS n_suppliers,
+                   round(sum(s_acctbal), 2) AS sum_acctbal
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                          JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name ORDER BY r_name
+        """,
+        "q09_part_type_stats": """
+            SELECT p_type, count(*)::BIGINT AS n_parts,
+                   round(avg(p_size), 4) AS avg_size,
+                   round(min(p_retailprice), 2) AS min_price,
+                   round(max(p_retailprice), 2) AS max_price
+            FROM part GROUP BY p_type ORDER BY p_type
+        """,
+        "q28_docs_by_lang_source": """
+            SELECT lang, source, count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "q10_token_count": f"""
             SELECT doc_id, {_WC}::BIGINT AS n_tokens FROM documents ORDER BY doc_id

@@ -168,6 +168,69 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
+def q_suppliers_per_region(sf_dir: str) -> pd.DataFrame:
+    """Two-hop broadcast join over tiny dimensions (region ⟕ nation ⟕
+    supplier): both lookup maps are ray.put once; supplier streams."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    ref = ray.put((n2r, r2name))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        n2r_, r2name_ = ray.get(ref)
+        names = [r2name_.get(n2r_.get(nk)) for nk in batch.column("s_nationkey").to_pylist()]
+        return pa.table({"r_name": pa.array(names, pa.string()),
+                         "s_acctbal": batch.column("s_acctbal")})
+
+    sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+    out = (
+        sup.map_batches(tag, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="sum_acctbal"))
+        .to_pandas()
+    )
+    out["sum_acctbal"] = out["sum_acctbal"].round(2)
+    return out.sort_values("r_name").reset_index(drop=True)
+
+
+def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
+    """Grouped stats over parts (count / avg size / price extremes)."""
+    from ray.data.aggregate import Count, Max, Mean, Min
+
+    ds = _read(sf_dir, "part", columns=["p_type", "p_size", "p_retailprice"])
+    out = (
+        ds.groupby("p_type")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_size", alias_name="avg_size"),
+            Min("p_retailprice", alias_name="min_price"),
+            Max("p_retailprice", alias_name="max_price"),
+        )
+        .to_pandas()
+    )
+    out["avg_size"] = out["avg_size"].round(4)
+    out["min_price"] = out["min_price"].round(2)
+    out["max_price"] = out["max_price"].round(2)
+    return out.sort_values("p_type").reset_index(drop=True)
+
+
+def q_docs_by_lang_source(sf_dir: str) -> pd.DataFrame:
+    """Corpus composition: doc counts + char volume per (lang, source)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+    out = (
+        ds.groupby(["lang", "source"])
+        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
+        .to_pandas()
+    )
+    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+
+
 def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
     """Large⋈large explicit bucketed hash join: both sides get
     ``bucket = key % B``, groups co-locate via one shuffle, pandas merge
