@@ -205,6 +205,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q08_suppliers_per_region": relational.q_suppliers_per_region,
         "q09_part_type_stats": relational.q_part_type_stats,
         "q28_docs_by_lang_source": relational.q_docs_by_lang_source,
+        "q41_events_sliding_window": relational.q_events_sliding_window,
+        "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
         # text analysis
         "q10_token_count": textops.q_token_count,
         "q11_reading_time": textops.q_reading_time,
@@ -336,6 +338,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "q41_events_sliding_window": """
+            SELECT event_type, window_start, count(*)::BIGINT AS n_events
+            FROM (
+                SELECT event_type,
+                       unnest([CAST(epoch(date_trunc('hour', ts)) AS BIGINT),
+                               CAST(epoch(date_trunc('hour', ts)) AS BIGINT) - 3600]) AS window_start
+                FROM events
+            ) GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "q42_top_customers_per_segment": """
+            SELECT c_mktsegment, rank, c_custkey, c_acctbal FROM (
+                SELECT c_mktsegment, c_custkey, c_acctbal,
+                       row_number() OVER (PARTITION BY c_mktsegment
+                           ORDER BY c_acctbal DESC, c_custkey) AS rank
+                FROM customer
+            ) WHERE rank <= 5 ORDER BY c_mktsegment, rank
         """,
         "q10_token_count": f"""
             SELECT doc_id, {_WC}::BIGINT AS n_tokens FROM documents ORDER BY doc_id

@@ -231,6 +231,52 @@ def q_docs_by_lang_source(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["lang", "source"]).reset_index(drop=True)
 
 
+def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
+    """Sliding window (2 h width, 1 h slide) per event_type: each event
+    lands in two hourly-aligned windows; emitted vectorized per batch,
+    pre-aggregated, then one small groupby shuffle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
+        w0 = pc.multiply(
+            pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), pa.int64()),
+            3600,
+        )
+        et = batch.column("event_type")
+        starts = pa.concat_arrays([
+            pc.cast(w0, pa.int64()).combine_chunks(),
+            pc.cast(pc.subtract(w0, 3600), pa.int64()).combine_chunks(),
+        ])
+        types = pa.concat_arrays([et.combine_chunks(), et.combine_chunks()])
+        return pa.table({"event_type": types, "window_start": starts})
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_start"])
+        .aggregate(Count(alias_name="n_events"))
+        .to_pandas()
+    )
+    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def q_top_customers_per_segment(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-group top-k (groupby → map_groups nlargest): top customers by
+    account balance within each market segment."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey", "c_acctbal"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(k)
+        g = g.copy()
+        g["rank"] = range(1, len(g) + 1)
+        return g[["c_mktsegment", "rank", "c_custkey", "c_acctbal"]]
+
+    out = ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas").to_pandas()
+    return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+
+
 def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
     """Large⋈large explicit bucketed hash join: both sides get
     ``bucket = key % B``, groups co-locate via one shuffle, pandas merge
