@@ -5,7 +5,6 @@ outputs identical to the uninterrupted run."""
 import glob
 import json
 import os
-import shutil
 
 import pyarrow.parquet as pq
 import pytest

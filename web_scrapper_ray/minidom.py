@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import re
 from html.parser import HTMLParser
-from typing import Callable, Iterable, Iterator, Optional, Union
+from typing import Iterator, Optional, Union
 
 _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",

@@ -37,7 +37,6 @@ import shutil
 from dataclasses import dataclass, field
 from typing import Optional
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
@@ -45,7 +44,6 @@ import pyarrow.parquet as pq
 
 from ..oracle import CONTENT_SELECTORS
 from ..stages.crawl_stage import make_fetch_parse_fn
-from ..stages.decode import DecodeImages
 from ..state.cuckoo import SeenSet, hash64_batch
 from ..state.politeness import PolitenessBoard
 
