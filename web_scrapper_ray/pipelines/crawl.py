@@ -5,11 +5,12 @@ Replaces the reference's sequential seed loop
 iterative frontier engine: each pagination/detail hop is one wave; a
 wave is one Ray Data pass
 
-    read frontier segment (parquet)
-      → canonicalize (map_batches, Arrow)
+    read frontier segment (parquet, priority-ordered)
+      → host-balanced, host-disjoint blocks (layout-level partitioning,
+        no Ray shuffle — see _host_balanced_tables)
       → seen-filter (sharded cuckoo actors; seeds bypass the drop —
         the reference fetches duplicate config URLs twice, base.py:188-195)
-      → groupby(host) shuffle → fused fetch+parse per host group
+      → fused fetch+parse per block, sequential per host
         (politeness actors pace per-host fetch starts by robots delay)
       → write the wave's typed output rows to a parquet segment
 
