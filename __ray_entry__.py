@@ -205,7 +205,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q08_suppliers_per_region": relational.q_suppliers_per_region,
         "q09_part_type_stats": relational.q_part_type_stats,
         "q28_docs_by_lang_source": relational.q_docs_by_lang_source,
+        "q29_events_value_stats": relational.q_events_value_stats,
         "q41_events_sliding_window": relational.q_events_sliding_window,
+        "q44_distinct_event_types": relational.q_distinct_event_types,
         "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
         # text analysis
         "q10_token_count": textops.q_token_count,
@@ -338,6 +340,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, source, count(*)::BIGINT AS n_docs,
                    sum(n_chars)::BIGINT AS total_chars
             FROM documents GROUP BY lang, source ORDER BY lang, source
+        """,
+        "q29_events_value_stats": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(avg(value), 4) AS avg_value,
+                   round(stddev_samp(value), 4) AS std_value
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q44_distinct_event_types": """
+            SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
         "q41_events_sliding_window": """
             SELECT event_type, window_start, count(*)::BIGINT AS n_events

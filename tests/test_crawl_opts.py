@@ -1,0 +1,43 @@
+"""Content-scraper option surface parity (reference __init__ kwargs,
+content.py:50-57): non-default generate_summary / keywords / summary
+lengths must flow identically through engine and oracle."""
+
+import shutil
+
+import pyarrow.parquet as pq
+
+from web_scrapper_ray import oracle, synth
+from web_scrapper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+OPTS = {
+    "max_pages": 2,
+    "generate_summary": False,   # excerpt falls back to _extract_excerpt
+    "extract_keywords": True,
+    "max_keywords": 3,
+    "summary_length": 80,
+    "extract_metadata": False,   # no metadata map on single articles
+}
+
+
+def test_non_default_content_options(ray_session, tmp_path):
+    world = synth.ensure_world("t1")
+    seeds = pq.read_table(world + "/seeds.parquet").column("url").to_pylist()
+    out = str(tmp_path / "opts")
+    shutil.rmtree(out, ignore_errors=True)
+    res = run_crawl(CrawlConfig(world_dir=world, out_dir=out, opts=OPTS,
+                                politeness=False))
+    ores = oracle.oracle_crawl_content(world, seeds, opts=OPTS)
+    ea = pq.read_table(res["articles"]).to_pylist()
+    assert len(ea) == len(ores.records)
+    saw_keywords = False
+    for e, o in zip(ea, ores.records):
+        assert e["title"] == o.get("title")
+        assert e["excerpt"] == o.get("excerpt")
+        assert (e["keywords"] or []) == (o.get("keywords") or [])
+        if e["keywords"]:
+            saw_keywords = True
+            assert len(e["keywords"]) <= 3
+        import json
+
+        assert json.loads(e["metadata_json"]) == (o.get("metadata") or {})
+    assert saw_keywords

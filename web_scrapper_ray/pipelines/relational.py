@@ -276,6 +276,30 @@ def q_top_customers_per_segment(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
 
 
+def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
+    """Set op: distinct values of one column (Dataset.unique → shuffle)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    vals = sorted(ds.unique("event_type"))
+    return pd.DataFrame({"event_type": vals})
+
+
+def q_events_value_stats(sf_dir: str) -> pd.DataFrame:
+    """Count/mean/sample-stddev of value per event_type (Std ddof=1,
+    matching SQL stddev_samp)."""
+    from ray.data.aggregate import Count, Mean, Std
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    out = (
+        ds.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value"),
+                   Std("value", alias_name="std_value"))
+        .to_pandas()
+    )
+    out["avg_value"] = out["avg_value"].round(4)
+    out["std_value"] = out["std_value"].round(4)
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
     """Large⋈large explicit bucketed hash join: both sides get
     ``bucket = key % B``, groups co-locate via one shuffle, pandas merge
