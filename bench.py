@@ -31,10 +31,13 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 QUERY_NAMES = [
     "q01_lineitem_agg", "q02_top_customers", "q03_orders_filter_topk",
     "q04_events_window", "q05_order_priority_join", "q06_orders_page2",
-    "q07_user_sessions", "q10_token_count", "q13_keywords_topk",
-    "q14_fingerprint", "q15_quality", "q16_lang_id", "q17_json_valid",
-    "q19_entities", "q20_exact_dedup", "q21_minhash_lsh_pairs",
-    "q23_simhash", "q24_knn_bruteforce", "q27_neardup_cosine",
+    "q07_user_sessions", "q08_suppliers_per_region", "q09_part_type_stats",
+    "q10_token_count", "q13_keywords_topk", "q14_fingerprint",
+    "q15_quality", "q16_lang_id", "q17_json_valid", "q19_entities",
+    "q20_exact_dedup", "q21_minhash_lsh_pairs", "q23_simhash",
+    "q24_knn_bruteforce", "q27_neardup_cosine", "q28_docs_by_lang_source",
+    "q29_events_value_stats", "q41_events_sliding_window",
+    "q42_top_customers_per_segment", "q44_distinct_event_types",
 ]
 
 
