@@ -208,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q29_events_value_stats": relational.q_events_value_stats,
         "q41_events_sliding_window": relational.q_events_sliding_window,
         "q44_distinct_event_types": relational.q_distinct_event_types,
+        "q45_brand_revenue_native_join": relational.q_brand_revenue_native_join,
         "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
         # text analysis
         "q10_token_count": textops.q_token_count,
@@ -349,6 +350,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "q45_brand_revenue_native_join": """
+            SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*)::BIGINT AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
         """,
         "q41_events_sliding_window": """
             SELECT event_type, window_start, count(*)::BIGINT AS n_events

@@ -276,6 +276,33 @@ def q_top_customers_per_segment(sf_dir: str, k: int = 5) -> pd.DataFrame:
     return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
 
 
+def q_brand_revenue_native_join(sf_dir: str) -> pd.DataFrame:
+    """Large⋈large via Ray Data's native hash-partitioned ``Dataset.join``
+    (available in this Ray release; the explicit bucketed join in
+    q_order_priority_join remains the portable pattern)."""
+    from ray.data.aggregate import Count, Sum
+
+    li = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_extendedprice", "l_discount"])
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = li.join(part, join_type="inner", num_partitions=16,
+                     on=("l_partkey",), right_on=("p_partkey",))
+
+    def revenue(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(batch.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
+        return pa.table({"p_brand": batch.column("p_brand"), "revenue": rev})
+
+    out = (
+        joined.map_batches(revenue, batch_format="pyarrow")
+        .groupby("p_brand")
+        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("p_brand").reset_index(drop=True)
+
+
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     """Set op: distinct values of one column (Dataset.unique → shuffle)."""
     ds = _read(sf_dir, "events", columns=["event_type"])
