@@ -128,6 +128,7 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         # -- politeness: robots crawl-delay + cross-wave reservation ------
         delay_s = 0.0
         disallow: list[str] = []
+        shard = None
         t0 = time.time()
         if politeness_shards:
             robots_body, _ = store.get(f"http://{host}/robots.txt", host)
@@ -142,17 +143,23 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
 
         fetch_i = 0
 
+        last_start = t0 - delay_s
+
         def paced_get(url: str):
-            # politeness budget is on fetch STARTS; the returned timestamp
-            # is the start time (the crawl log's politeness evidence)
-            nonlocal fetch_i
+            # politeness budget is on fetch STARTS, relative to the
+            # PREVIOUS actual start: an absolute schedule alone would let
+            # a fetch that overran its slot be followed immediately by
+            # the next one. The returned timestamp is the start time
+            # (the crawl log's politeness evidence).
+            nonlocal fetch_i, last_start
             if delay_s > 0:
-                target = t0 + fetch_i * delay_s
+                target = max(t0 + fetch_i * delay_s, last_start + delay_s)
                 now = time.time()
                 if target > now:
                     time.sleep(target - now)
             fetch_i += 1
             start = time.time()
+            last_start = start
             body, status = store.get(url, host)
             return body, status, start
 
@@ -267,5 +274,9 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                              url_canon=canonicalize_url(next_url),
                              host=host_of(next_url))
                     )
+        if shard is not None and delay_s > 0:
+            # actual starts may have drifted past the reservation (slow
+            # parses); push next_allowed so the next wave keeps the gap
+            shard.advance.remote(host, last_start + delay_s)
 
     return fetch_parse

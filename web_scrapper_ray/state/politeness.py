@@ -69,6 +69,13 @@ def _make_shard_actor():
             self.next_allowed[host] = t0 + n * delay_s
             return t0
 
+        def advance(self, host: str, until: float) -> None:
+            """Push next_allowed forward when actual fetch starts ran
+            later than the reservation (slow parses) — keeps the
+            cross-wave gap honest."""
+            if until > self.next_allowed.get(host, 0.0):
+                self.next_allowed[host] = until
+
         def snapshot(self) -> dict[str, float]:
             return dict(self.next_allowed)
 
