@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q25_knn_lsh": similarity.q_knn_lsh,
         "q26_knn_ivf": similarity.q_knn_ivf,
         "q27_neardup_cosine": similarity.q_neardup_cosine,
+        "q38_neardup_cosine_lsh": similarity.q_neardup_cosine_lsh,
         # crawl engine (synthetic world; oracle-checked in pytest)
         "q30_crawl_articles": _crawl_articles,
         "q31_crawl_log": _crawl_log,

@@ -99,6 +99,46 @@ def test_knn_ivf_recall_vs_bruteforce(ray_session):
     assert np.mean(recalls) >= 0.25, recalls
 
 
+def test_neardup_cosine_exact_and_lsh_planted(ray_session, tmp_path):
+    """Plant near-duplicate embeddings; the exact blocked cross-join must
+    find exactly the planted pairs, and the sub-quadratic LSH variant
+    must recover them (its recall at cos≥0.95 is ~0.996 by design)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import (
+        q_neardup_cosine,
+        q_neardup_cosine_lsh,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 64))
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(base)]
+    # plant 5 near-dups: tiny perturbations of vectors 0..4
+    for i in range(5):
+        v = base[i] + 0.02 * rng.normal(size=64)
+        rows.append({"vec_id": 1000 + i, "embedding": v.tolist()})
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array([r["embedding"] for r in rows],
+                                  pa.list_(pa.float32())),
+        }),
+        f"{d}/embeddings.parquet",
+    )
+    exact = q_neardup_cosine(d, threshold=0.95)
+    got_exact = set(zip(exact["vec_a"], exact["vec_b"]))
+    for i in range(5):
+        assert (i, 1000 + i) in got_exact
+    assert len(got_exact) == 5  # independent gaussians don't collide
+
+    lsh = q_neardup_cosine_lsh(d, threshold=0.95)
+    got_lsh = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert got_lsh <= got_exact          # exact verify → no false positives
+    assert len(got_lsh & got_exact) >= 4  # ≥0.8 recall on 5 planted pairs
+
+
 def test_phash_neardup_hamming_ball(ray_session):
     """Planted near-dups: a lossy re-encode of the same pixels must land
     within the hamming ball; unrelated images must not."""

@@ -23,6 +23,7 @@ import re
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TOKEN_RX = re.compile(r"\w+")
 N_PERM = 64
@@ -129,33 +130,45 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataF
             "band_hash": pa.array(band_hashes),
         })
 
-    # Signatures are computed distributed; the band table is a fixed-size
-    # sketch (N_BANDS rows/doc), so bucket-pairing runs driver-side in
-    # pandas — a Ray groupby here makes one task per (band, hash) bucket,
-    # i.e. ~#docs×16 tiny tasks. (At 10^10 docs the buckets would instead
-    # be hash-partitioned and paired inside map_batches per partition.)
-    band_df = ds.map_batches(bands, batch_format="pyarrow").to_pandas()
-    out_pairs: set[tuple[int, int]] = set()
-    for _, grp in band_df.groupby(["band_id", "band_hash"]):
-        ids = sorted(grp["doc_id"].unique())
-        if len(ids) > 1:
-            out_pairs.update(
-                (a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]
-            )
-    cand = pd.DataFrame(sorted(out_pairs), columns=["doc_a", "doc_b"]) if out_pairs \
-        else pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                           "doc_b": pd.Series(dtype="int64")})
+    # Bucket pairing runs IN Ray: one groupby((band_id, band_hash))
+    # shuffle of the fixed-size band sketch (N_BANDS rows/doc), pairs
+    # emitted inside map_groups — the same banded shape as the phash
+    # near-dup path below. Only the candidate pair list (small by
+    # construction: docs sharing a full band) reaches the driver.
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64")})
+        return pd.DataFrame(
+            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
+            columns=["doc_a", "doc_b"],
+        )
+
+    cand = (
+        ds.map_batches(bands, batch_format="pyarrow")
+        .groupby(["band_id", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()  # candidate pairs only — never the band table
+    )
+    cand = cand.drop_duplicates(["doc_a", "doc_b"]).sort_values(
+        ["doc_a", "doc_b"]
+    ).reset_index(drop=True)
     if len(cand) == 0:
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
-    # verify: broadcast the shingle sets of candidate docs only
+    # verify: fetch ONLY the candidate docs' texts via a predicate-
+    # pushdown read (semi-join of the parquet against the candidate ids),
+    # then exact shingle-Jaccard on that small set.
+    import pyarrow.dataset as pads
+
     need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    texts = {
-        r["doc_id"]: r["text"]
-        for r in _docs(sf_dir, ["doc_id", "text"]).to_pandas().to_dict("records")
-        if r["doc_id"] in set(need)
-    }
+    doc_t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
+        filter=pc.field("doc_id").isin(need), columns=["doc_id", "text"]
+    )
+    texts = dict(zip(doc_t.column("doc_id").to_pylist(),
+                     doc_t.column("text").to_pylist()))
     sh = {d: _shingles(t) for d, t in texts.items()}
     jac = []
     for a, b in zip(cand["doc_a"], cand["doc_b"]):
@@ -169,14 +182,16 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataF
 
 
 def simhash64(text: str) -> int:
+    """64-bit SimHash. Vectorized: one cached blake2b per UNIQUE token
+    (the shared ``_token_hash`` cache), then a single unpackbits + sum
+    over the (n_tokens × 64) bit matrix — no per-token digest loop."""
     toks = _TOKEN_RX.findall(text.lower())
     if not toks:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for w in toks:
-        digest = hashlib.blake2b(w.encode(), digest_size=8).digest()
-        bits = np.unpackbits(np.frombuffer(digest, dtype=np.uint8)).astype(np.int64)
-        acc += bits * 2 - 1
+    th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
+    bytes_be = np.frombuffer(th.astype(">u8").tobytes(), dtype=np.uint8)
+    bits = np.unpackbits(bytes_be.reshape(len(toks), 8), axis=1)
+    acc = bits.astype(np.int64).sum(axis=0) * 2 - len(toks)
     val = int.from_bytes(np.packbits((acc > 0).astype(np.uint8)).tobytes(), "big")
     return val - (1 << 64) if val >= (1 << 63) else val
 

@@ -1,11 +1,30 @@
 """Similarity search over the ``embeddings`` table (list<float> column).
 
-* brute-force cosine top-k: the query matrix is broadcast (``ray.put``
-  once, read per batch), each batch does one numpy matmul and emits its
-  local top-k; a tiny driver-side merge finishes — the canonical
-  map_batches + partial top-k pattern.
-* LSH-bucketed ANN (random-hyperplane signatures): the scale path —
-  candidates only within matching buckets, then exact re-rank.
+All four operators follow the same scale discipline: the *query* side is
+tiny by definition (a handful of vectors, or a sketch of the corpus) and
+is broadcast once (``ray.put``, read per batch); the *corpus* side only
+ever streams through ``map_batches`` — no ``to_pandas()`` of the table,
+no driver-side scans. Driver code touches only final small results
+(top-k partials, pair lists, seeded samples).
+
+* brute-force cosine top-k  — per-batch matmul against the broadcast
+  query matrix + local top-k; tiny driver merge (canonical pattern).
+* LSH ANN                   — random-hyperplane codes computed per batch;
+  a batch row is a candidate iff its code is in the query's multiprobe
+  set (broadcast); re-rank inside the batch. Equivalent to the
+  groupby(code) formulation but with zero shuffle: the probe set is
+  query-side metadata, so membership is a broadcast filter.
+* IVF ANN                   — coarse centroids trained on a seeded
+  distributed sample; per-batch assignment + probe-list membership
+  filter + local re-rank. The inverted lists are never materialized:
+  ``list_id`` exists only transiently inside each batch.
+* exact cosine near-dup     — inherently all-pairs (it has an exact SQL
+  oracle), done as a *blocked self-cross-join*: corpus blocks stay in
+  the object store (``to_arrow_refs``), the driver only groups block
+  refs into ~G chunks and launches one Ray task per chunk pair
+  (G·(G+1)/2 tasks, each one matmul). O(N²/G²) memory per task, zero
+  driver materialization. The sub-quadratic scale path is
+  ``q_neardup_cosine_lsh`` (bucketed candidates, exact verify).
 """
 
 from __future__ import annotations
@@ -15,6 +34,8 @@ import os
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
 
 _DIM_CACHE: dict = {}
 
@@ -34,26 +55,46 @@ def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return ids, mat
 
 
+def _unit(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return mat / norms
+
+
+def _query_matrix(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
+    """Fetch the query vectors with a predicate-pushdown read (a few rows
+    — the one place a driver-side read is the right call)."""
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pc.field("vec_id").isin([int(q) for q in query_ids]),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    ids, mat = _batch_matrix(t)
+    return ids, _unit(mat)
+
+
+def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
+    """Final merge of per-batch top-k partials (tiny: ≤ k·n_batches rows)."""
+    partials = partials[partials["query_id"] != partials["neighbor_id"]]
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
+    )
+    top = partials.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+
+
 def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.DataFrame:
     """Top-k cosine neighbors for each query vector (excluding self).
     Returns (query_id, rank, neighbor_id); ties broken by neighbor_id."""
     import ray
 
-    ds = _emb(sf_dir)
-    qset = set(int(q) for q in query_ids)
-    qrows = ds.filter(lambda r: r["vec_id"] in qset).to_pandas()
-    qrows = qrows.sort_values("vec_id")
-    qids = qrows["vec_id"].to_numpy()
-    qmat = np.stack(qrows["embedding"].to_numpy()).astype(np.float64)
-    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    qids, qmat = _query_matrix(sf_dir, query_ids)
     qref = ray.put((qids, qmat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_ = ray.get(qref)
         ids, mat = _batch_matrix(batch)
-        norms = np.linalg.norm(mat, axis=1, keepdims=True)
-        norms[norms == 0] = 1.0
-        sims = (mat / norms) @ qmat_.T  # (n, nq)
+        sims = _unit(mat) @ qmat_.T  # (n, nq)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, len(ids))
         for j, q in enumerate(qids_):
@@ -67,60 +108,139 @@ def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -
                          "neighbor_id": pa.array(out_n, pa.int64()),
                          "sim": pa.array(out_s, pa.float64())})
 
-    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
-    partials = partials[partials["query_id"] != partials["neighbor_id"]]
-    partials = partials.sort_values(
-        ["query_id", "sim", "neighbor_id"], ascending=[True, False, True]
-    )
-    top = partials.groupby("query_id", as_index=False).head(k).copy()
-    top["rank"] = top.groupby("query_id").cumcount() + 1
-    return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
+    partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    return _merge_topk(partials, k)
+
+
+# ---------------------------------------------------------------------------
+# exact near-dup (blocked self-cross-join)
+# ---------------------------------------------------------------------------
+
+N_CHUNKS = 8  # chunk groups per side → G(G+1)/2 pair tasks
 
 
 def q_neardup_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, vec_a < vec_b.
-    Batch-vs-broadcast-matrix matmul; at larger scale swap the broadcast
-    side for the LSH buckets below."""
+
+    Exact all-pairs (matches the SQL oracle) as a distributed blocked
+    cross product: corpus blocks remain object-store refs; each Ray task
+    loads one chunk pair and emits only the qualifying (a, b) rows.
+    At 100 TB the same layout holds per-task memory at |chunk|²-free
+    (two chunk matrices + a boolean mask); the driver sees refs and the
+    final (small) pair list only. Sub-quadratic variant:
+    :func:`q_neardup_cosine_lsh`."""
     import ray
 
-    ds = _emb(sf_dir)
-    full = ds.to_pandas()
-    ids = full["vec_id"].to_numpy()
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    mat = mat / norms
-    ref = ray.put((ids, mat))
+    refs = _emb(sf_dir).to_arrow_refs()  # refs only — blocks stay put
+    groups: list[list] = [[] for _ in range(min(N_CHUNKS, max(len(refs), 1)))]
+    for i, r in enumerate(refs):
+        groups[i % len(groups)].append(r)
 
-    def pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids, bmat = _batch_matrix(batch)
-        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
-        bn[bn == 0] = 1.0
-        sims = (bmat / bn) @ all_mat.T
+    @ray.remote
+    def chunk_pairs(same: bool, refs_a: list, refs_b: list) -> pa.Table:
+        def load(rs):
+            # refs are nested in a list → resolve explicitly (zero-copy
+            # object-store reads on whichever node runs the task)
+            t = pa.concat_tables([ray.get(r) for r in rs])
+            ids, mat = _batch_matrix(t)
+            return ids, _unit(mat)
+
+        ids_a, ua = load(refs_a)
+        ids_b, ub = (ids_a, ua) if same else load(refs_b)
+        sims = ua @ ub.T
         ii, jj = np.nonzero(sims >= threshold)
-        keep = bids[ii] < all_ids[jj]
+        keep = ids_a[ii] < ids_b[jj]
         return pa.table({
-            "vec_a": pa.array(bids[ii][keep].astype("int64")),
-            "vec_b": pa.array(all_ids[jj][keep].astype("int64")),
+            "vec_a": pa.array(ids_a[ii][keep].astype("int64")),
+            "vec_b": pa.array(ids_b[jj][keep].astype("int64")),
         })
 
-    out = ds.map_batches(pairs, batch_format="pyarrow").to_pandas()
-    if out.empty:
+    futs = []
+    for i in range(len(groups)):
+        futs.append(chunk_pairs.remote(True, groups[i], []))
+        for j in range(i + 1, len(groups)):
+            futs.append(chunk_pairs.remote(False, groups[i], groups[j]))
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64")})
+    out = pa.concat_tables(tables).to_pandas()
     return out.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
 
 
-def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
-              n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
-    """IVF ANN (the coarse-quantizer scale path): deterministic k-means
-    centroids (seeded sample, 5 Lloyd iterations) → per-batch assignment
-    via map_batches → queries scan only the n_probe nearest lists.
-    Approximate → rows-only driver check; recall pytest'd."""
-    import ray
+def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
+                         n_tables: int = 8, n_planes: int = 10) -> pd.DataFrame:
+    """Sub-quadratic near-dup (the 100-TB path): n_tables independent
+    random-hyperplane codes per vector; candidate pairs = same code in
+    ≥1 table (Ray groupby per table key, pairing inside map_groups —
+    the banded-LSH shape shared with MinHash dedup); exact cosine verify
+    on candidates only. Recall is probabilistic: P(detect | cos=t) =
+    1-(1-(1-θ/π)^p)^T ≈ 0.996 for t=.95, p=10, T=8. Approximate by
+    design → no SQL oracle; planted-pair recall is pytest'd."""
+    import ray.data as rd
 
     ds = _emb(sf_dir)
+
+    def codes(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        planes = _nd_planes(mat.shape[1], n_tables, n_planes)
+        unit = _unit(mat)
+        out_tab, out_code, out_id, out_unit = [], [], [], []
+        for t in range(n_tables):
+            bits = (mat @ planes[t].T > 0).astype(np.uint64)
+            code = (bits << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+            out_tab.extend([t] * len(ids))
+            out_code.extend(int(c) for c in code)
+            out_id.extend(int(i) for i in ids)
+            out_unit.extend(u.tolist() for u in unit)
+        return pa.table({
+            "table_id": pa.array(out_tab, pa.int32()),
+            "code": pa.array(out_code, pa.int64()),
+            "vec_id": pa.array(out_id, pa.int64()),
+            "unit": pa.array(out_unit, pa.list_(pa.float64())),
+        })
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id").sort_values("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64")})
+        ids = g["vec_id"].to_numpy()
+        mat = np.stack(g["unit"].to_numpy())
+        sims = mat @ mat.T
+        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({"vec_a": ids[ii].astype("int64"),
+                             "vec_b": ids[jj].astype("int64")})
+
+    out = (
+        ds.map_batches(codes, batch_format="pyarrow")
+        .groupby(["table_id", "code"])
+        .map_groups(pairs, batch_format="pandas")
+        .to_pandas()  # final candidate pairs — small by construction
+    )
+    if out.empty:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64")})
+    return (out.drop_duplicates(["vec_a", "vec_b"])
+            .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
+def _nd_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
+    key = ("nd_planes", dim, n_tables, n_planes)
+    if key not in _DIM_CACHE:
+        rng = np.random.default_rng(4242)
+        _DIM_CACHE[key] = rng.normal(size=(n_tables, n_planes, dim))
+    return _DIM_CACHE[key]
+
+
+# ---------------------------------------------------------------------------
+# IVF ANN
+# ---------------------------------------------------------------------------
+
+
+def _train_centroids(ds, n_lists: int) -> np.ndarray:
+    """Seeded distributed sample → tiny driver-side Lloyd refinement.
+    The sample (≤2000 rows) is the only data the driver touches."""
     sample = ds.random_sample(min(1.0, 2000 / max(ds.count(), 1)), seed=42).to_pandas()
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
@@ -133,41 +253,63 @@ def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
             if len(members):
                 v = members.mean(axis=0)
                 centroids[c] = v / max(np.linalg.norm(v), 1e-12)
-    cref = ray.put(centroids)
+    return centroids
 
-    def assign_batch(batch: pa.Table) -> pa.Table:
-        cents = ray.get(cref)
+
+def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
+              n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF ANN: coarse centroids (seeded sample + Lloyd) → each query
+    probes its n_probe nearest lists. Distributed shape: centroids +
+    per-query probe lists are broadcast; every corpus batch assigns its
+    own rows (argmax over centroids), keeps rows whose list is probed by
+    a query, re-ranks locally, emits per-batch top-k. The inverted index
+    never materializes — assignment is recomputed per batch, which at
+    scale is one small matmul against the cached centroid matrix.
+    Approximate → rows-only driver check; recall pytest'd."""
+    import ray
+
+    ds = _emb(sf_dir)
+    centroids = _train_centroids(ds, n_lists)
+    qids, qmat = _query_matrix(sf_dir, query_ids)
+    # probe lists per query (n_probe nearest centroids)
+    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
+    bref = ray.put((centroids, qids, qmat, probes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        cents, qids_, qmat_, probes_ = ray.get(bref)
         ids, mat = _batch_matrix(batch)
-        norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        unit = mat / norms
+        unit = _unit(mat)
         lists = np.argmax(unit @ cents.T, axis=1)
-        return pa.table({
-            "vec_id": pa.array(ids.astype("int64")),
-            "list_id": pa.array(lists.astype("int32")),
-            "unit": pa.array([u.tolist() for u in unit], pa.list_(pa.float64())),
-        })
+        out_q, out_n, out_s = [], [], []
+        for j, q in enumerate(qids_):
+            mask = np.isin(lists, probes_[j]) & (ids != q)
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            sims = unit[cand] @ qmat_[j]
+            kk = min(k, cand.size)
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            for i in top:
+                out_q.append(int(q))
+                out_n.append(int(ids[cand[i]]))
+                out_s.append(float(sims[i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
 
-    assigned = ds.map_batches(assign_batch, batch_format="pyarrow").to_pandas()
-    units = np.stack(assigned["unit"].to_numpy())
-    ids = assigned["vec_id"].to_numpy()
-    lists = assigned["list_id"].to_numpy()
-    id_to_idx = {int(v): i for i, v in enumerate(ids)}
-    rows = []
-    for q in query_ids:
-        qi = id_to_idx[int(q)]
-        probe = np.argsort(-(centroids @ units[qi]))[:n_probe]
-        cand = np.nonzero(np.isin(lists, probe))[0]
-        cand = cand[ids[cand] != q]
-        if cand.size == 0:
-            continue
-        sims = units[cand] @ units[qi]
-        order = np.lexsort((ids[cand], -sims))[:k]
-        for rank, oi in enumerate(order, 1):
-            rows.append((int(q), rank, int(ids[cand[oi]])))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+    partials = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64")})
+    return _merge_topk(partials, k)
 
 
-N_PLANES = 6  # 64 buckets; multi-probe on 1-bit flips → ~11% of space scanned
+# ---------------------------------------------------------------------------
+# LSH ANN
+# ---------------------------------------------------------------------------
+
+N_PLANES = 6  # 64 buckets; multi-probe on 1- and 2-bit flips
 
 
 def _planes(dim: int) -> np.ndarray:
@@ -178,39 +320,59 @@ def _planes(dim: int) -> np.ndarray:
     return _DIM_CACHE[key]
 
 
+def _probe_set(c0: int) -> set[int]:
+    # exact bucket + 1- and 2-bit flips (random 64-dim embeddings have no
+    # cluster structure, so deeper probing is the recall lever; still
+    # scans ~1/3 of buckets, not all-pairs)
+    return {c0} | {c0 ^ (1 << b) for b in range(N_PLANES)} | {
+        c0 ^ (1 << a) ^ (1 << b)
+        for a in range(N_PLANES) for b in range(a + 1, N_PLANES)
+    }
+
+
 def q_knn_lsh(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.DataFrame:
-    """LSH-bucketed ANN: random-hyperplane signature → groupby bucket →
-    exact re-rank within the query's bucket (multi-probe on 1-bit flips).
-    Approximate by design → rows-only driver check; recall is pytest'd
-    against the brute-force result."""
-    ds = _emb(sf_dir)
-    full = ds.to_pandas()  # bucket assignment demo; the groupby path is
-    ids = full["vec_id"].to_numpy()  # exercised in q_minhash_lsh_pairs
-    mat = np.stack(full["embedding"].to_numpy()).astype(np.float64)
-    planes = _planes(mat.shape[1])
-    sigs = (mat @ planes.T > 0).astype(np.uint32)
-    codes = (sigs << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    unit = mat / norms
-    id_to_idx = {int(v): i for i, v in enumerate(ids)}
-    rows = []
-    for q in query_ids:
-        qi = id_to_idx[int(q)]
-        c0 = int(codes[qi])
-        # multi-probe: exact bucket + 1- and 2-bit flips (random 64-dim
-        # embeddings have no cluster structure, so deeper probing is the
-        # recall lever; still scans ~1/3 of buckets, not all-pairs)
-        probe = {c0} | {c0 ^ (1 << b) for b in range(N_PLANES)} | {
-            c0 ^ (1 << a) ^ (1 << b)
-            for a in range(N_PLANES) for b in range(a + 1, N_PLANES)
-        }
-        cand = np.nonzero(np.isin(codes, list(probe)))[0]
-        cand = cand[ids[cand] != q]
-        if cand.size == 0:
-            continue
-        sims = unit[cand] @ unit[qi]
-        order = np.lexsort((ids[cand], -sims))[:k]
-        for rank, oi in enumerate(order, 1):
-            rows.append((int(q), rank, int(ids[cand[oi]])))
-    return pd.DataFrame(rows, columns=["query_id", "rank", "neighbor_id"])
+    """LSH-bucketed ANN: random-hyperplane code per vector; a corpus row
+    is a candidate for query q iff its code lies in q's multiprobe set.
+    The probe sets are query-side metadata (≤22 codes each) broadcast to
+    every batch, so bucket membership is a vectorized filter inside
+    map_batches — same candidates as a groupby(code) join, zero shuffle.
+    Approximate by design → rows-only driver check; recall pytest'd."""
+    import ray
+
+    qids, qmat = _query_matrix(sf_dir, query_ids)
+    planes = _planes(qmat.shape[1])
+    qsigs = (qmat @ planes.T > 0).astype(np.uint32)
+    qcodes = (qsigs << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
+    probe_lists = [np.fromiter(_probe_set(int(c)), dtype=np.int64) for c in qcodes]
+    bref = ray.put((qids, qmat, probe_lists))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, probes_ = ray.get(bref)
+        ids, mat = _batch_matrix(batch)
+        pl = _planes(mat.shape[1])
+        sigs = (mat @ pl.T > 0).astype(np.uint32)
+        codes = (sigs << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1).astype(np.int64)
+        unit = _unit(mat)
+        out_q, out_n, out_s = [], [], []
+        for j, q in enumerate(qids_):
+            mask = np.isin(codes, probes_[j]) & (ids != q)
+            cand = np.nonzero(mask)[0]
+            if cand.size == 0:
+                continue
+            sims = unit[cand] @ qmat_[j]
+            kk = min(k, cand.size)
+            top = np.argpartition(-sims, kk - 1)[:kk]
+            for i in top:
+                out_q.append(int(q))
+                out_n.append(int(ids[cand[i]]))
+                out_s.append(float(sims[i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = _emb(sf_dir).map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                             "rank": pd.Series(dtype="int64"),
+                             "neighbor_id": pd.Series(dtype="int64")})
+    return _merge_topk(partials, k)
