@@ -47,6 +47,11 @@ from ..oracle import CONTENT_SELECTORS
 from ..stages.crawl_stage import make_fetch_parse_fn
 from ..state.cuckoo import SeenSet, hash64_batch
 from ..state.politeness import PolitenessBoard
+from ..synth import shard_of
+
+# Bump when the wave-output / refs / articles layout changes: cached
+# crawl dirs (ensure_tier_crawl memoization) are invalidated on mismatch.
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -168,6 +173,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             seen.restore(manifest["cuckoo_dir"])
             start_wave = last + 1
     if start_wave == 0:
+        shutil.rmtree(os.path.join(cfg.out_dir, "refs"), ignore_errors=True)
         _frontier0(cfg, seeds, _wave_paths(cfg, 0)["frontier"])
 
     from ..state.metrics import Metrics
@@ -239,7 +245,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         # politeness/ordering logic requires; the two map stages fuse into
         # one task per partition
         ds = ds.map_batches(seen_filter, batch_format="pyarrow", batch_size=None)
-        out = ds.map_batches(fetch_parse, batch_format="pandas", batch_size=None)
+        out = ds.map_batches(fetch_parse, batch_format="pyarrow", batch_size=None)
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
         out.write_parquet(paths["wave_out"])
@@ -256,6 +262,29 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         counters["waves"] += 1
         if nxt.num_rows:
             pq.write_table(nxt, _wave_paths(cfg, k + 1)["frontier"])
+        # image refs: append this wave's slice into a host-hash-
+        # partitioned layout (part id == decode/sink partition), so
+        # finalize dedups + decodes each part INDEPENDENTLY — no global
+        # shuffle and no driver-side materialization of the full ref set.
+        # Per-wave driver handling of wave-sized metadata is the engine's
+        # standing invariant (same as the frontier segment above);
+        # overwriting wave-named files keeps resume idempotent.
+        refs = wave_ds.to_table(
+            filter=pc.equal(pc.field("row_kind"), "image_ref"),
+            columns=["url_canon", "host", "caption"],
+        )
+        if refs.num_rows:
+            host_part = {h: shard_of(h, cfg.images_partitions)
+                         for h in set(refs.column("host").to_pylist())}
+            parts = pa.array(
+                [host_part[h] for h in refs.column("host").to_pylist()],
+                pa.int32(),
+            )
+            for p in sorted(set(host_part.values())):
+                sub = refs.filter(pc.equal(parts, p))
+                d = os.path.join(cfg.out_dir, "refs", f"part={p}")
+                os.makedirs(d, exist_ok=True)
+                pq.write_table(sub, os.path.join(d, f"wave_{k:03d}.parquet"))
         _t_nxt = _time.time()
         cuckoo_dir = paths["cuckoo"]
         seen.snapshot(cuckoo_dir)
@@ -297,13 +326,22 @@ def ensure_tier_crawl(tier: str = "t1", out_root: str = "/tmp/wsr_crawl",
     world = synth.ensure_world(tier)
     out = os.path.join(out_root, tier)
     marker = os.path.join(out, "out", "articles.parquet")
+    fmt_marker = os.path.join(out, "out", "format.json")
     cfg = CrawlConfig(
         world_dir=world, out_dir=out,
         opts={"max_pages": synth.TIERS[tier].max_pages},
         politeness=politeness,
     )
-    if os.path.exists(marker):
+    fmt_ok = False
+    if os.path.exists(fmt_marker):
+        try:
+            with open(fmt_marker) as fh:
+                fmt_ok = json.load(fh).get("v") == FORMAT_VERSION
+        except Exception:
+            fmt_ok = False
+    if os.path.exists(marker) and fmt_ok:
         return finalize_paths(cfg)
+    shutil.rmtree(out, ignore_errors=True)  # stale layout → full re-run
     return run_crawl(cfg)
 
 
@@ -353,84 +391,77 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
     pq.write_table(seeds_t, os.path.join(out_dir, "seed_outcomes.parquet"))
     _mark("seeds")
 
-    # article records (typed)
+    # article records: the wave output already carries TYPED columns
+    # (crawl_stage OUT_SCHEMA), so this is a column projection + program-
+    # order sort — no per-row JSON decode. Like the crawl log above, the
+    # table assembled here is record metadata (a sliver of the page/image
+    # volume); at larger scale the same line becomes a Ray sort+write.
     rec = all_ds.to_table(
         filter=pc.equal(pc.field("row_kind"), "record"),
-        columns=["seed_index", "page_idx", "sub_idx", "payload"],
+        columns=["seed_index", "page_idx", "sub_idx", "title", "url", "date",
+                 "author", "excerpt", "content", "image", "images",
+                 "categories", "keywords", "metadata_json"],
     ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"), ("sub_idx", "ascending")])
-    records = [json.loads(p) for p in rec.column("payload").to_pylist()]
-    articles = pa.table(
-        {
-            "seed_index": rec.column("seed_index"),
-            "page_idx": rec.column("page_idx"),
-            "sub_idx": rec.column("sub_idx"),
-            "title": pa.array([r.get("title") for r in records], pa.string()),
-            "url": pa.array([r.get("url") for r in records], pa.string()),
-            "date": pa.array([r.get("date") for r in records], pa.string()),
-            "author": pa.array([r.get("author") for r in records], pa.string()),
-            "excerpt": pa.array([r.get("excerpt") for r in records], pa.string()),
-            "content": pa.array([r.get("content") for r in records], pa.string()),
-            "image": pa.array([r.get("image") for r in records], pa.string()),
-            "images": pa.array([r.get("images") or [] for r in records], pa.list_(pa.string())),
-            "categories": pa.array([r.get("categories") or [] for r in records], pa.list_(pa.string())),
-            "keywords": pa.array([r.get("keywords") or [] for r in records], pa.list_(pa.string())),
-            "metadata_json": pa.array(
-                [json.dumps(r.get("metadata") or {}, sort_keys=True) for r in records],
-                pa.string(),
-            ),
-            "scraped_at": pa.array([cfg.run_ts] * len(records), pa.string()),
-        }
+    articles = rec.append_column(
+        "scraped_at", pa.array([cfg.run_ts] * rec.num_rows, pa.string())
     )
     pq.write_table(articles, os.path.join(out_dir, "articles.parquet"))
     _mark("records")
 
-    # image refs → dedup (groupby url, max caption) → decode → partitioned sink
-    refs = all_ds.to_table(
-        filter=pc.equal(pc.field("row_kind"), "image_ref"),
-        columns=["url_canon", "host", "caption"],
-    )
+    # image refs were written host-hash-partitioned per wave (see the
+    # wave loop): refs/part=P/wave_k.parquet, with P == the decode/sink
+    # partition. Each part is deduped (max-caption per url) + decoded in
+    # ONE independent task — dup urls share a host, hosts share a part,
+    # so per-part dedup IS global dedup, with zero shuffle and no
+    # driver-side ref materialization.
+    refs_root = os.path.join(cfg.out_dir, "refs")
+    part_dirs = sorted(glob.glob(os.path.join(refs_root, "part=*")))
     images_out = os.path.join(out_dir, "images")
     if os.path.exists(images_out):
         shutil.rmtree(images_out)
     n_images = 0
-    if refs.num_rows:
+    if part_dirs:
         from ..stages.decode import make_decode_fn
 
-        # Dedup (max-caption rule) on the driver: refs are (url, host,
-        # caption) triples — a sliver of the data volume — and the Ray
-        # groupby/sort barriers here cost seconds of pure coordination.
-        # Then split host-hash-partitioned (shard-cache locality) into one
-        # block per partition so decode fans out with zero shuffles. At
-        # 10^10 scale the refs stream would instead be written
-        # partition_cols=[host_hash] per wave and deduped per partition.
-        rdf = refs.to_pandas()
-        # max-caption per url via sort + keep-last (a per-group Python
-        # max over 60k string groups costs seconds; the sort is ~50ms)
-        rdf = rdf.sort_values(["url_canon", "caption"]).drop_duplicates(
-            "url_canon", keep="last"
+        decode_fn = make_decode_fn(cfg.world_dir, cfg.images_partitions)
+
+        def decode_part(batch: pa.Table) -> pa.Table:
+            outs = []
+            for pdir in batch.column("part_dir").to_pylist():
+                t = pads.dataset(pdir).to_table()
+                # max-caption per url via sort + keep-last boundary mask
+                t = t.sort_by([("url_canon", "ascending"), ("caption", "ascending")])
+                t = t.combine_chunks()
+                urls = t.column("url_canon").combine_chunks()
+                if t.num_rows > 1:
+                    keep = pc.not_equal(urls.slice(0, t.num_rows - 1),
+                                        urls.slice(1)).to_pylist() + [True]
+                    t = t.filter(pa.array(keep))
+                # host-sorted: store-shard cache locality within the task
+                t = t.sort_by("host")
+                for off in range(0, t.num_rows, 256):
+                    outs.append(decode_fn(t.slice(off, 256)))
+            if not outs:
+                return decode_fn(pa.table(
+                    {"url_canon": pa.array([], pa.string()),
+                     "host": pa.array([], pa.string()),
+                     "caption": pa.array([], pa.string())}))
+            return pa.concat_tables(outs)
+
+        parts_ds = rd.from_items(
+            [{"part_dir": d} for d in part_dirs],
+            override_num_blocks=len(part_dirs),
         )
-        # host-sorted contiguous equal slices: shard-cache locality
-        # (images of one host sit in one store shard) + balanced task
-        # sizes for the decode fan-out
-        rdf = rdf.sort_values("host")
-        ref_table = pa.Table.from_pandas(rdf, preserve_index=False)
-        ref_table = ref_table.replace_schema_metadata(None)
-        n_slices = min(128, max(1, ref_table.num_rows // 200))
-        step = -(-ref_table.num_rows // n_slices)
-        tables = [
-            ref_table.slice(i, step) for i in range(0, ref_table.num_rows, step)
-        ]
-        deduped = rd.from_arrow(tables)
-        images = deduped.map_batches(
-            make_decode_fn(cfg.world_dir, cfg.images_partitions),
-            batch_format="pyarrow",
-            batch_size=256,
+        images = parts_ds.map_batches(
+            decode_part, batch_format="pyarrow", batch_size=None
         )
         _mark("dedup_split")
         images.write_parquet(images_out, partition_cols=["part"])
         n_images = pads.dataset(images_out, partitioning="hive").count_rows()
         _mark("decode_write")
 
+    with open(os.path.join(out_dir, "format.json"), "w") as fh:
+        json.dump({"v": FORMAT_VERSION}, fh)
     if _dbg:
         print("[finalize] " + " ".join(
             f"{n}={t2 - t1:.2f}s" for (_, t1), (n, t2) in zip(_marks, _marks[1:])

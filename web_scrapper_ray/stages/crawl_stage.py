@@ -2,23 +2,30 @@
 
 One crawl wave arrives as host-hash-disjoint blocks (partitioned at the
 frontier layer — see pipelines/crawl.py); each block runs through
-:func:`make_fetch_parse_fn`'s closure inside ``map_batches``: per host
-(sequentially, in host order): politeness-reserve → fetch pages in
-program order → parse immediately (HTML bodies never leave the task —
-at 100 TB the raw page bytes are the dominant volume, so parse-at-fetch
-avoids shipping them through the object store) → emit typed output rows:
+:func:`make_fetch_parse_fn`'s closure inside ``map_batches`` (Arrow in,
+Arrow out): per host (sequentially, in host order): politeness-reserve →
+fetch pages in program order → parse immediately (HTML bodies never
+leave the task — at 100 TB the raw page bytes are the dominant volume,
+so parse-at-fetch avoids shipping them through the object store) → emit
+typed output rows in :data:`OUT_SCHEMA`:
 
 =============  =========================================================
 row_kind       meaning
 =============  =========================================================
-``record``     a final article record (payload = JSON, already
-               transformed+validated per reference T5/T6 semantics)
+``record``     a final article record — TYPED columns (title/url/date/
+               author/excerpt/content/image + list columns images/
+               categories/keywords + metadata_json), already
+               transformed+validated per reference T5/T6 semantics, so
+               finalize assembles articles.parquet with a column
+               projection instead of a per-row JSON decode
 ``log``        one fetch attempt (ordering keys seed_index/page_idx/
                sub_idx reproduce the reference's program order —
                base.py:188 seed order, content.py:146 DOM order,
                content.py:177-227 pagination chain)
 ``seed_outcome``  raw seed URL → visited|failed (base.py:195,199)
-``frontier``   next-wave input (kind=detail|next)
+``frontier``   next-wave input (kind=detail|next); ``payload`` JSON is
+               used ONLY here, for the transient listing state a detail
+               fetch needs (content.py:153-170 merge semantics)
 ``image_ref``  (image url, caption alt) pair for the decode pipeline
 =============  =========================================================
 
@@ -35,7 +42,7 @@ from __future__ import annotations
 import json
 import time
 
-import pandas as pd
+import pyarrow as pa
 
 from .. import extract
 from ..functions.urlnorm import canonicalize_url, host_of
@@ -45,10 +52,31 @@ from ..sources.site_store import worker_site_store
 from ..state.cuckoo import hash64
 from ..state.politeness import is_disallowed, parse_robots
 
-OUT_COLUMNS = [
-    "row_kind", "kind", "seed_index", "page_idx", "sub_idx",
-    "url", "url_canon", "host", "payload", "caption", "outcome", "fetch_ts",
-]
+OUT_SCHEMA = pa.schema([
+    ("row_kind", pa.string()),
+    ("kind", pa.string()),
+    ("seed_index", pa.int64()),
+    ("page_idx", pa.int64()),
+    ("sub_idx", pa.int64()),
+    ("url", pa.string()),
+    ("url_canon", pa.string()),
+    ("host", pa.string()),
+    ("payload", pa.string()),
+    ("caption", pa.string()),
+    ("outcome", pa.string()),
+    ("fetch_ts", pa.float64()),
+    # typed record fields (null on non-record rows)
+    ("title", pa.string()),
+    ("date", pa.string()),
+    ("author", pa.string()),
+    ("excerpt", pa.string()),
+    ("content", pa.string()),
+    ("image", pa.string()),
+    ("images", pa.list_(pa.string())),
+    ("categories", pa.list_(pa.string())),
+    ("keywords", pa.list_(pa.string())),
+    ("metadata_json", pa.string()),
+])
 
 
 def _row(row_kind, *, kind="", seed_index=-1, page_idx=-1, sub_idx=-1, url="",
@@ -61,10 +89,23 @@ def _row(row_kind, *, kind="", seed_index=-1, page_idx=-1, sub_idx=-1, url="",
     }
 
 
-def empty_out_df() -> pd.DataFrame:
-    return pd.DataFrame({c: pd.Series(dtype="float64" if c == "fetch_ts" else
-                                      ("int64" if c in ("seed_index", "page_idx", "sub_idx") else "object"))
-                         for c in OUT_COLUMNS})
+def _record_row(rec: dict, *, seed_index: int, page_idx: int, sub_idx: int,
+                host: str) -> dict:
+    r = _row("record", seed_index=seed_index, page_idx=page_idx,
+             sub_idx=sub_idx, host=host, url=rec.get("url") or "")
+    r.update(
+        title=rec.get("title"), date=rec.get("date"), author=rec.get("author"),
+        excerpt=rec.get("excerpt"), content=rec.get("content"),
+        image=rec.get("image"), images=rec.get("images") or [],
+        categories=rec.get("categories") or [],
+        keywords=rec.get("keywords") or [],
+        metadata_json=json.dumps(rec.get("metadata") or {}, sort_keys=True),
+    )
+    return r
+
+
+def empty_out_table() -> pa.Table:
+    return OUT_SCHEMA.empty_table()
 
 
 def _image_refs_for_record(rec: dict, pairs: dict[str, str], feat_caption: str,
@@ -98,16 +139,30 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
     max_pages = opts.get("max_pages", 1)
     follow_next = opts.get("follow_next_page", True)
 
-    def fetch_parse(batch: pd.DataFrame) -> pd.DataFrame:
+    def fetch_parse(batch: pa.Table) -> pa.Table:
         """Process a host-hash partition: hosts are disjoint across
         partitions, so per-host ordering + politeness hold; hosts within
-        a partition run sequentially in host order."""
-        if len(batch) == 0:
-            return empty_out_df()
+        a partition run sequentially in host order. Arrow in → Arrow
+        out; the per-page row loop is inherent (fetch+parse is
+        per-page), but no pandas frame is ever built."""
+        if batch.num_rows == 0:
+            return empty_out_table()
         out: list[dict] = []
-        batch = batch.sort_values(["host", "seed_index", "page_idx", "sub_idx"])
-        for host, group in batch.groupby("host", sort=True):
-            _fetch_parse_host(host, group, out)
+        batch = batch.sort_by([
+            ("host", "ascending"), ("seed_index", "ascending"),
+            ("page_idx", "ascending"), ("sub_idx", "ascending"),
+        ])
+        cols = {
+            name: batch.column(name).to_pylist()
+            for name in ("host", "kind", "url", "seed_index", "page_idx",
+                         "sub_idx", "payload")
+        }
+        hosts = cols["host"]
+        start = 0
+        for i in range(1, len(hosts) + 1):
+            if i == len(hosts) or hosts[i] != hosts[start]:
+                _fetch_parse_host(hosts[start], cols, start, i, out)
+                start = i
         if metrics_actor is not None:
             tally: dict[str, int] = {}
             for r in out:
@@ -117,13 +172,15 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                     tally[r["row_kind"]] = tally.get(r["row_kind"], 0) + 1
             metrics_actor.add.remote(tally)  # fire-and-forget, 1 msg/task
         if not out:
-            return empty_out_df()
-        return pd.DataFrame(out, columns=OUT_COLUMNS)
+            return empty_out_table()
+        return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
 
-    def _fetch_parse_host(host: str, group: pd.DataFrame, out: list) -> None:
+    def _fetch_parse_host(host: str, cols: dict, lo: int, hi: int,
+                          out: list) -> None:
         import ray
 
         store = worker_site_store(world_dir)
+        n_rows = hi - lo
 
         # -- politeness: robots crawl-delay + cross-wave reservation ------
         delay_s = 0.0
@@ -134,7 +191,7 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             robots_body, _ = store.get(f"http://{host}/robots.txt", host)
             delay_s, disallow = parse_robots(robots_body)
             shard = politeness_shards[hash64(host) % n_politeness_shards]
-            t0 = ray.get(shard.reserve.remote(host, len(group), delay_s))
+            t0 = ray.get(shard.reserve.remote(host, n_rows, delay_s))
         # Disallow enforcement is opt-in (opts["respect_disallow"]): the
         # reference never reads robots.txt at all, so parity mode must
         # fetch everything; a production crawl flips the flag.
@@ -163,9 +220,11 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             body, status = store.get(url, host)
             return body, status, start
 
-        for r in group.itertuples(index=False):
-            kind, url = r.kind, r.url
-            seed_i, page_i, sub_i = int(r.seed_index), int(r.page_idx), int(r.sub_idx)
+        for ri in range(lo, hi):
+            kind, url = cols["kind"][ri], cols["url"][ri]
+            seed_i = int(cols["seed_index"][ri])
+            page_i = int(cols["page_idx"][ri])
+            sub_i = int(cols["sub_idx"][ri])
             if disallow:
                 from urllib.parse import urlsplit
 
@@ -193,7 +252,7 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             if kind == "detail":
                 # A failed detail fetch keeps the listing-only record
                 # (reference content.py:166-172 swallows the error).
-                listing = json.loads(r.payload)
+                listing = json.loads(cols["payload"][ri])
                 pairs = dict(json.loads(listing.pop("_pairs", None) or "{}"))
                 feat_caption = listing.pop("_feat_caption", "")
                 merged = listing
@@ -210,8 +269,9 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                 rec = extract.transform_article(merged, first_seed_url)
                 rec = extract.validate_article(rec) if rec else None
                 if rec:
-                    out.append(_row("record", seed_index=seed_i, page_idx=page_i,
-                                    sub_idx=sub_i, host=host, payload=json.dumps(rec)))
+                    out.append(_record_row(rec, seed_index=seed_i,
+                                           page_idx=page_i, sub_idx=sub_i,
+                                           host=host))
                     _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
                 continue
 
@@ -228,8 +288,9 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                     rec = extract.transform_article(article, first_seed_url)
                     rec = extract.validate_article(rec) if rec else None
                     if rec:
-                        out.append(_row("record", seed_index=seed_i, page_idx=page_i,
-                                        sub_idx=0, host=host, payload=json.dumps(rec)))
+                        out.append(_record_row(rec, seed_index=seed_i,
+                                               page_idx=page_i, sub_idx=0,
+                                               host=host))
                         _image_refs_for_record(rec, pairs, "", out, seed_i)
                 continue
 
@@ -259,9 +320,9 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                     rec = extract.transform_article(entry, first_seed_url)
                     rec = extract.validate_article(rec) if rec else None
                     if rec:
-                        out.append(_row("record", seed_index=seed_i, page_idx=page_i,
-                                        sub_idx=1 + dom_i, host=host,
-                                        payload=json.dumps(rec)))
+                        out.append(_record_row(rec, seed_index=seed_i,
+                                               page_idx=page_i,
+                                               sub_idx=1 + dom_i, host=host))
                         _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
             # pagination (content.py:177-227)
             proceed = (n_valid > 0) if kind == "seed" else True
