@@ -68,6 +68,10 @@ class CrawlConfig:
     images_partitions: int = 16
     run_ts: str = "2023-01-01T00:00:00"       # deterministic scraped_at stamp
     max_waves: int = 64
+    # Fetch backend spec (sources/fetch.py): None → synthetic site
+    # store; {"kind": "http", ...} → requests.Session with the
+    # reference's retry policy + UA rotation (wired per worker).
+    fetch_backend: Optional[dict] = None
     # Seen-set drop policy. The reference performs NO membership check
     # before fetching (base.py:188-195): duplicate seeds refetch their
     # whole chains. "per_seed" scopes the cuckoo key by seed_index, so
@@ -184,6 +188,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         board.shards if board else None,
         cfg.n_politeness_shards if board else 0,
         metrics_actor=metrics.actor,
+        backend_spec=cfg.fetch_backend,
     )
 
     import time as _time

@@ -1,0 +1,172 @@
+"""Fetch backends: the engine's pluggable "network" (reference ST1/S1).
+
+The crawl stage talks to a :class:`FetchBackend` — ``get(url, host) ->
+(body_bytes | None, status)`` — so the same wave engine runs against:
+
+* :class:`StoreBackend` — the synthetic parquet site store (the sandbox
+  default and the deterministic test/bench world);
+* :class:`HTTPBackend` — a real ``requests.Session`` with the
+  reference's session surface (persistent connection pool, User-Agent,
+  Accept headers, proxy/headers/cookies —
+  `/root/reference/src/webscraper/scrapers/content.py:60-82`) and its
+  retry policy (3 attempts, exponential backoff 2–10 s, retried only on
+  ``RequestException``, re-raised → caller marks the URL failed —
+  `content.py:84-90`). User-agent rotation (reference ST2,
+  `utils/user_agents.py:15-141`) is per-backend state: each worker's
+  backend owns a :class:`UserAgentManager`; ``rotate="sequential"``
+  reproduces the reference's sequential mode, ``"random"`` its default.
+
+Backends are built once per worker process (``worker_backend`` cache)
+— exactly the reference's one-Session-per-scraper-instance lifetime,
+lifted to one-per-worker so the connection pool is reused across every
+batch the worker runs.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional, Protocol
+
+from ..functions.user_agents import UserAgentManager, get_random_user_agent
+from .site_store import worker_site_store
+
+# reference retry policy (content.py:84-90): tenacity
+# retry_if_exception_type(RequestException), stop_after_attempt(3),
+# wait_exponential(multiplier=1, min=2, max=10)
+MAX_ATTEMPTS = 3
+BACKOFF_MULTIPLIER = 1.0
+BACKOFF_MIN_S = 2.0
+BACKOFF_MAX_S = 10.0
+
+DEFAULT_HEADERS = {
+    "Accept": "text/html,application/xhtml+xml,application/xml;q=0.9,"
+              "image/webp,*/*;q=0.8",
+    "Accept-Language": "en-US,en;q=0.5",
+}
+
+
+class FetchBackend(Protocol):
+    def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
+        """Fetch one URL → (body bytes | None, HTTP status)."""
+        ...
+
+
+class StoreBackend:
+    """Synthetic-world backend: lookups into the host-sharded parquet
+    site store (per-worker shard LRU — see site_store.py)."""
+
+    def __init__(self, world_dir: str):
+        self.store = worker_site_store(world_dir)
+
+    def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
+        return self.store.get(url, host)
+
+
+def backoff_s(attempt: int) -> float:
+    """Wait before retry ``attempt`` (1-based), tenacity wait_exponential
+    semantics: multiplier·2^attempt clamped to [min, max] → 2 s, 4 s."""
+    return min(max(BACKOFF_MULTIPLIER * (2 ** attempt), BACKOFF_MIN_S), BACKOFF_MAX_S)
+
+
+class HTTPBackend:
+    """requests.Session-backed fetcher with the reference retry policy.
+
+    Parameters mirror the reference scraper __init__ surface:
+    ``user_agent`` (default: one random pick per session, like
+    ``get_random_user_agent()``), ``proxy``, ``headers``, ``cookies``,
+    ``timeout``. ``ua_rotate`` additionally rotates the User-Agent
+    per request ("sequential" | "random") — the ST2 pool wired into the
+    dataplane. ``rewrite_netloc`` redirects every request to a fixed
+    host:port while sending the original host as the ``Host`` header
+    (sandbox/integration use: crawl a synthetic world through a real
+    local HTTP server). ``sleep`` is injectable for tests; ``backoff``
+    False disables retry waits without changing attempt semantics.
+    """
+
+    def __init__(self, user_agent: Optional[str] = None,
+                 proxy: Optional[str] = None,
+                 headers: Optional[dict] = None,
+                 cookies: Optional[dict] = None,
+                 timeout: float = 30.0,
+                 ua_rotate: Optional[str] = None,
+                 ua_seed: Optional[int] = None,
+                 rewrite_netloc: Optional[str] = None,
+                 backoff: bool = True,
+                 sleep=time.sleep):
+        import requests
+
+        self._requests = requests
+        self.session = requests.Session()
+        self.timeout = timeout
+        self.backoff = backoff
+        self.sleep = sleep
+        self.rewrite_netloc = rewrite_netloc
+        self.ua_manager = (
+            UserAgentManager(rotate=ua_rotate, seed=ua_seed) if ua_rotate else None
+        )
+        ua = user_agent or get_random_user_agent(seed=ua_seed)
+        self.session.headers.update({"User-Agent": ua, **DEFAULT_HEADERS})
+        if proxy:
+            self.session.proxies = {"http": proxy, "https": proxy}
+        if headers:
+            self.session.headers.update(headers)
+        if cookies:
+            self.session.cookies.update(cookies)
+
+    def _target(self, url: str, host: Optional[str]) -> tuple[str, dict]:
+        if not self.rewrite_netloc:
+            return url, {}
+        from urllib.parse import urlsplit, urlunsplit
+
+        parts = urlsplit(url)
+        target = urlunsplit((parts.scheme or "http", self.rewrite_netloc,
+                             parts.path, parts.query, parts.fragment))
+        h = host or parts.hostname or ""
+        try:
+            h = h.encode("idna").decode("ascii")  # unicode host → punycode
+        except UnicodeError:
+            pass
+        return target, {"Host": h}
+
+    def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
+        target, extra = self._target(url, host)
+        last_status = 0
+        for attempt in range(1, MAX_ATTEMPTS + 1):
+            if self.ua_manager is not None:
+                extra = {**extra, "User-Agent": self.ua_manager.get()}
+            try:
+                resp = self.session.get(target, timeout=self.timeout,
+                                        headers=extra or None)
+                last_status = resp.status_code
+                resp.raise_for_status()
+                return resp.content, resp.status_code
+            except self._requests.RequestException:
+                # reference: retried (incl. HTTPError from
+                # raise_for_status), re-raised after the final attempt —
+                # the caller records the URL as failed. We return
+                # (None, status) for the same downstream semantics.
+                if attempt < MAX_ATTEMPTS and self.backoff:
+                    self.sleep(backoff_s(attempt))
+        return None, last_status
+
+
+_BACKENDS: dict = {}
+
+
+def worker_backend(world_dir: str, spec: Optional[dict]) -> FetchBackend:
+    """Process-level backend cache (one per worker, reused across
+    batches). ``spec`` None or {"kind": "store"} → StoreBackend;
+    {"kind": "http", ...HTTPBackend kwargs} → HTTPBackend."""
+    key = (world_dir, None if spec is None else tuple(sorted(
+        (k, str(v)) for k, v in spec.items())))
+    be = _BACKENDS.get(key)
+    if be is None:
+        if spec is None or spec.get("kind", "store") == "store":
+            be = StoreBackend(world_dir)
+        elif spec["kind"] == "http":
+            kwargs = {k: v for k, v in spec.items() if k != "kind"}
+            be = HTTPBackend(**kwargs)
+        else:
+            raise ValueError(f"unknown fetch backend kind: {spec['kind']}")
+        _BACKENDS[key] = be
+    return be

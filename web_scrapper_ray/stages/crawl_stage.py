@@ -48,7 +48,7 @@ from .. import extract
 from ..functions.urlnorm import canonicalize_url, host_of
 from ..minidom import parse_html
 from ..oracle import collect_image_caption_pairs
-from ..sources.site_store import worker_site_store
+from ..sources.fetch import worker_backend
 from ..state.cuckoo import hash64
 from ..state.politeness import is_disallowed, parse_robots
 
@@ -132,10 +132,13 @@ def _image_refs_for_record(rec: dict, pairs: dict[str, str], feat_caption: str,
 
 def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                         first_seed_url: str, politeness_shards: list | None,
-                        n_politeness_shards: int = 0, metrics_actor=None):
+                        n_politeness_shards: int = 0, metrics_actor=None,
+                        backend_spec: dict | None = None):
     """Build the map_batches callable. ``politeness_shards`` /
     ``metrics_actor`` are actor handles (closure-captured; serialized
-    into the tasks)."""
+    into the tasks). ``backend_spec`` selects the fetch backend
+    (sources/fetch.py): None → synthetic site store; {"kind": "http",
+    ...} → real requests.Session with the reference retry/UA policy."""
     max_pages = opts.get("max_pages", 1)
     follow_next = opts.get("follow_next_page", True)
 
@@ -179,7 +182,7 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                           out: list) -> None:
         import ray
 
-        store = worker_site_store(world_dir)
+        store = worker_backend(world_dir, backend_spec)
         n_rows = hi - lo
 
         # -- politeness: robots crawl-delay + cross-wave reservation ------
