@@ -1,8 +1,16 @@
 """Job-scheduler surface (ST5 analog; out-of-dataplane per north rule)."""
 
+import datetime as dt
 import json
 
-from web_scrapper_ray.schedulers import JobScheduler, _parse_trigger
+import pytest
+
+from web_scrapper_ray.schedulers import (
+    JobScheduler,
+    _parse_trigger,
+    next_cron_fire,
+    parse_cron,
+)
 
 
 def test_parse_trigger():
@@ -10,6 +18,53 @@ def test_parse_trigger():
     assert _parse_trigger("2h") == 7200
     assert _parse_trigger("every 30s") == 30
     assert _parse_trigger("45") == 45
+
+
+def _ts(*a):
+    return dt.datetime(*a).timestamp()
+
+
+def test_cron_next_fire():
+    # nightly at 03:00
+    assert next_cron_fire("0 3 * * *", _ts(2026, 8, 17, 2, 59)) == _ts(2026, 8, 17, 3, 0)
+    assert next_cron_fire("0 3 * * *", _ts(2026, 8, 17, 3, 0)) == _ts(2026, 8, 18, 3, 0)
+    # every 15 min
+    assert next_cron_fire("*/15 * * * *", _ts(2026, 8, 17, 10, 7)) == _ts(2026, 8, 17, 10, 15)
+    # weekdays at 9 (2026-08-17 is a Monday; Friday 21st → Monday 24th)
+    assert next_cron_fire("0 9 * * 1-5", _ts(2026, 8, 21, 10, 0)) == _ts(2026, 8, 24, 9, 0)
+    # first of month
+    assert next_cron_fire("30 0 1 * *", _ts(2026, 8, 17, 0, 0)) == _ts(2026, 9, 1, 0, 30)
+    # dom/dow OR quirk: 13th OR friday, whichever first
+    assert next_cron_fire("0 0 13 * 5", _ts(2026, 8, 17, 0, 0)) == _ts(2026, 8, 21, 0, 0)
+    # ranges with step + lists
+    assert sorted(parse_cron("1,2,10-14/2 * * * *")[0][0]) == [1, 2, 10, 12, 14]
+
+
+def test_cron_invalid():
+    with pytest.raises(ValueError):
+        parse_cron("0 3 * *")          # 4 fields
+    with pytest.raises(ValueError):
+        parse_cron("61 * * * *")       # out of range
+    with pytest.raises(ValueError):
+        parse_cron("*/0 * * * *")      # zero step
+
+
+def test_cron_job_schedule_and_missed_fire_catchup(tmp_path):
+    s = JobScheduler(str(tmp_path / "jobs.json"))
+    jid = s.schedule_job("nightly", str(tmp_path / "missing.yaml"), "0 3 * * *")
+    job = s.get_job(jid)
+    assert job["interval_s"] is None
+    nxt = dt.datetime.fromtimestamp(job["next_run"])
+    assert (nxt.hour, nxt.minute) == (3, 0)
+    # runner was down for 3 days → job is due; ONE catch-up run, then
+    # the next fire is the next 03:00 after "now"
+    later = job["next_run"] + 3 * 86400 + 1800
+    assert [j["job_id"] for j in s.due_jobs(now=later)] == [jid]
+    s.run_job(jid, now=later)
+    job = s.get_job(jid)
+    assert job["last_status"] == "failed"  # missing config → subprocess fails
+    assert job["next_run"] == next_cron_fire("0 3 * * *", later)
+    assert s.due_jobs(now=later) == []
 
 
 def test_schedule_list_due_remove(tmp_path):

@@ -83,6 +83,40 @@ def cmd_export_data(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_schedule(args: argparse.Namespace) -> int:
+    """Reference `webscraper schedule` surface (cli/main.py:179-224):
+    cron/interval jobs persisted to a store, fired as CLI subprocesses
+    (the `ray job submit` analog). No Ray session needed here."""
+    from .schedulers import JobScheduler
+
+    s = JobScheduler(args.store)
+    if args.action == "add":
+        if not (args.name and args.config):
+            print("error: --name and --config required for add", file=sys.stderr)
+            return 2
+        trigger = args.cron or args.trigger
+        if not trigger:
+            print("error: --cron or --trigger required", file=sys.stderr)
+            return 2
+        try:
+            jid = s.schedule_job(args.name, args.config, trigger,
+                                 email=args.email, webhook=args.webhook)
+        except ValueError as e:
+            print(f"error: invalid trigger: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps({"job_id": jid, "next_run": s.get_job(jid)["next_run"]}))
+    elif args.action == "list":
+        print(json.dumps(s.list_jobs(), default=str))
+    elif args.action == "remove":
+        ok = s.remove_job(args.job_id or "")
+        print(json.dumps({"removed": bool(ok)}))
+        return 0 if ok else 1
+    elif args.action == "run-due":
+        ran = s.run_due()
+        print(json.dumps({"ran": ran}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="wsr", description="Ray-Data crawl engine CLI")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -102,6 +136,18 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("-f", "--format", default=None)
     pe.add_argument("--input-format", default=None)
     pe.set_defaults(fn=cmd_export_data)
+
+    pj = sub.add_parser("schedule", help="manage scheduled jobs (cron/interval)")
+    pj.add_argument("action", choices=["add", "list", "remove", "run-due"])
+    pj.add_argument("--store", default="/tmp/wsr_jobs/jobs.json")
+    pj.add_argument("--name", default=None)
+    pj.add_argument("--config", default=None)
+    pj.add_argument("--cron", default=None, metavar='"0 3 * * *"')
+    pj.add_argument("--trigger", default=None, metavar='"every 1h"')
+    pj.add_argument("--email", default=None)
+    pj.add_argument("--webhook", default=None)
+    pj.add_argument("--job-id", default=None)
+    pj.set_defaults(fn=cmd_schedule)
 
     args = p.parse_args(argv)
     try:

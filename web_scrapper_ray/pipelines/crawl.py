@@ -72,6 +72,17 @@ class CrawlConfig:
     # store; {"kind": "http", ...} → requests.Session with the
     # reference's retry policy + UA rotation (wired per worker).
     fetch_backend: Optional[dict] = None
+    # O5 frontier scheduling (SURVEY.md §2.6). "program_order" = parity
+    # mode: priority IS the reference program order (seed, page, dom).
+    # "priority": rows are ordered by (seed priority desc, program
+    # order) and each wave takes only the max_urls_per_wave head (the
+    # minimal ready segment); the tail is deferred to the next wave's
+    # frontier. Final outputs are identical either way (the canonical
+    # log/articles are program-order sorted); what changes is WHEN each
+    # URL is fetched — the production lever for freshness/quotas.
+    frontier_policy: str = "program_order"
+    seed_priorities: Optional[dict] = None    # seed_index -> int (higher first)
+    max_urls_per_wave: Optional[int] = None
     # Seen-set drop policy. The reference performs NO membership check
     # before fetching (base.py:188-195): duplicate seeds refetch their
     # whole chains. "per_seed" scopes the cuckoo key by seed_index, so
@@ -203,14 +214,31 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         frontier = pq.read_table(paths["frontier"])
         if frontier.num_rows == 0:
             break
-        # O5 frontier ordering: in reference-parity mode priority IS the
-        # program order (seed, page, dom); a scheduler priority column
-        # would be the leading sort key here, selecting the minimal ready
-        # segment set per wave at 10^10 scale.
+        # O5 frontier ordering: parity mode sorts by program order; in
+        # priority mode a per-seed priority leads the sort key and the
+        # wave takes only the minimal ready segment (max_urls_per_wave
+        # head) — deferred rows rejoin the next wave's frontier. At
+        # 10^10 scale the same policy selects which priority-ordered
+        # frontier SEGMENTS a wave reads, rather than slicing one file.
         frontier = frontier.sort_by(
             [("seed_index", "ascending"), ("page_idx", "ascending"),
              ("sub_idx", "ascending")]
         )
+        deferred = None
+        if cfg.frontier_policy == "priority":
+            prio = cfg.seed_priorities or {}
+            pr = [int(prio.get(int(s), prio.get(str(s), 0)))
+                  for s in frontier.column("seed_index").to_pylist()]
+            frontier = frontier.append_column("priority", pa.array(pr, pa.int64()))
+            frontier = frontier.sort_by(
+                [("priority", "descending"), ("seed_index", "ascending"),
+                 ("page_idx", "ascending"), ("sub_idx", "ascending")]
+            )
+            cap = cfg.max_urls_per_wave
+            if cap and frontier.num_rows > cap:
+                deferred = frontier.slice(cap).drop_columns(["priority"])
+                frontier = frontier.slice(0, cap)
+            frontier = frontier.drop_columns(["priority"])
         _t_wave = _time.time()
 
         # Host-partition the wave WITHOUT a Ray shuffle: the frontier
@@ -265,6 +293,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                      "url_canon", "host", "payload"],
         )
         counters["waves"] += 1
+        if deferred is not None and deferred.num_rows:
+            nxt = pa.concat_tables([nxt, deferred.select(nxt.column_names)])
         if nxt.num_rows:
             pq.write_table(nxt, _wave_paths(cfg, k + 1)["frontier"])
         # image refs: append this wave's slice into a host-hash-

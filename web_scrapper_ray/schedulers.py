@@ -37,6 +37,86 @@ def _parse_trigger(trigger: str) -> int:
     return int(float(t))
 
 
+# ---------------------------------------------------------------------------
+# 5-field cron (reference `--cron` surface: APScheduler CronTrigger at
+# job_scheduler.py:64-75,522-603 — minute hour day-of-month month
+# day-of-week, standard syntax incl. "*", "*/n", "a-b", "a-b/n",
+# lists, and the dom/dow OR quirk)
+# ---------------------------------------------------------------------------
+
+_CRON_BOUNDS = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
+
+
+def _parse_cron_field(spec: str, lo: int, hi: int) -> tuple[set, bool]:
+    """One cron field → (allowed values, was_wildcard)."""
+    vals: set[int] = set()
+    wild = spec == "*"
+    for part in spec.split(","):
+        step = 1
+        if "/" in part:
+            part, step_s = part.split("/", 1)
+            step = int(step_s)
+            if step <= 0:
+                raise ValueError("cron step must be positive")
+        if part == "*":
+            a, b = lo, hi
+        elif "-" in part:
+            a_s, b_s = part.split("-", 1)
+            a, b = int(a_s), int(b_s)
+        else:
+            a = b = int(part)
+        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+            raise ValueError(f"cron value out of range [{lo},{hi}]: {part}")
+        vals.update(range(a, b + 1, step))
+    return vals, wild
+
+
+def parse_cron(expr: str) -> list[tuple[set, bool]]:
+    fields = expr.split()
+    if len(fields) != 5:
+        raise ValueError(f"cron expression needs 5 fields, got {len(fields)}: {expr!r}")
+    return [
+        _parse_cron_field(f, lo, hi)
+        for f, (lo, hi) in zip(fields, _CRON_BOUNDS)
+    ]
+
+
+def next_cron_fire(expr: str, after: float) -> float:
+    """Next fire time strictly after ``after`` (epoch seconds, local
+    time). Day-level scan (≤ ~4 years for Feb-29 crons) then first
+    matching (hour, minute) in the day. dom/dow semantics: when both
+    are restricted, a day matches if EITHER does (cron standard)."""
+    import datetime as dt
+
+    (mins, _), (hrs, _), (dom, dom_wild), (mon, _), (dow, dow_wild) = parse_cron(expr)
+    t = dt.datetime.fromtimestamp(after).replace(second=0, microsecond=0)
+    t += dt.timedelta(minutes=1)
+    day = t.date()
+    for _ in range(366 * 4 + 2):
+        if day.month in mon:
+            dom_ok = day.day in dom
+            dow_ok = day.isoweekday() % 7 in dow  # cron: 0=Sunday
+            day_ok = (dom_ok or dow_ok) if (not dom_wild and not dow_wild) \
+                else (dom_ok and dow_ok)
+            if day_ok:
+                start = t if day == t.date() else dt.datetime.combine(
+                    day, dt.time(0, 0))
+                for h in sorted(hrs):
+                    if h < start.hour:
+                        continue
+                    for m in sorted(mins):
+                        if h == start.hour and m < start.minute:
+                            continue
+                        return dt.datetime.combine(
+                            day, dt.time(h, m)).timestamp()
+        day += dt.timedelta(days=1)
+    raise ValueError(f"cron expression never fires: {expr!r}")
+
+
+def is_cron(trigger: str) -> bool:
+    return len(trigger.strip().split()) == 5
+
+
 class JobScheduler:
     def __init__(self, store_path: str):
         self.store_path = store_path
@@ -55,16 +135,27 @@ class JobScheduler:
     def schedule_job(self, name: str, config_path: str, trigger: str,
                      email: Optional[str] = None,
                      webhook: Optional[str] = None) -> str:
-        interval = _parse_trigger(trigger)
-        if interval <= 0:
-            raise ValueError("trigger interval must be positive")
+        """``trigger``: either an interval ("every 5m", "2h", "45") or a
+        5-field cron expression ("0 3 * * *") — the reference's
+        ``--cron`` surface (job_scheduler.py:522-603). Both are
+        validated here; invalid specs raise before anything persists."""
+        now = time.time()
+        if is_cron(trigger):
+            parse_cron(trigger)  # validate
+            interval = None
+            next_run = next_cron_fire(trigger, now)
+        else:
+            interval = _parse_trigger(trigger)
+            if interval <= 0:
+                raise ValueError("trigger interval must be positive")
+            next_run = now + interval
         job_id = uuid.uuid4().hex[:12]
         self.jobs[job_id] = {
             "job_id": job_id, "name": name, "config_path": config_path,
             "trigger": trigger, "interval_s": interval,
             "email": email, "webhook": webhook,
-            "status": "scheduled", "created_at": time.time(),
-            "last_run": None, "last_status": None, "next_run": time.time() + interval,
+            "status": "scheduled", "created_at": now,
+            "last_run": None, "last_status": None, "next_run": next_run,
         }
         self._save()
         return job_id
@@ -105,7 +196,13 @@ class JobScheduler:
         now = time.time() if now is None else now
         job["last_run"] = now
         job["last_status"] = "success" if result.returncode == 0 else "failed"
-        job["next_run"] = now + job["interval_s"]
+        # reschedule from NOW: a job that missed several fires while the
+        # runner was down catches up with ONE run (APScheduler's default
+        # coalescing), then resumes its normal cadence
+        if job.get("interval_s"):
+            job["next_run"] = now + job["interval_s"]
+        else:
+            job["next_run"] = next_cron_fire(job["trigger"], now)
         self._save()
         self._notify(job, f"job {job['name']} finished: {job['last_status']}")
         return {"returncode": result.returncode, "stdout": result.stdout[-2000:],
