@@ -146,10 +146,10 @@ def _entities(sf_dir: str):
                          columns=["doc_id", "text"])
     out = ds.map_batches(EntityExtract, batch_format="pyarrow",
                          batch_size=256, concurrency=2, num_cpus=0.5).to_pandas()
-    out["n_emails"] = out["emails"].map(len)
-    out["n_urls"] = out["urls"].map(len)
-    out["n_dates"] = out["dates"].map(len)
-    return out[["doc_id", "n_emails", "n_urls", "n_dates"]].sort_values(
+    for col in ("emails", "urls", "dates", "people", "organizations", "locations"):
+        out["n_" + col] = out[col].map(len)
+    return out[["doc_id", "n_emails", "n_urls", "n_dates", "n_people",
+                "n_organizations", "n_locations"]].sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
@@ -210,6 +210,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_distinct_event_types": relational.q_distinct_event_types,
         "q45_brand_revenue_native_join": relational.q_brand_revenue_native_join,
         "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
+        "q46_custkeys_intersect": relational.q_custkeys_intersect,
+        "q47_custkeys_except": relational.q_custkeys_except,
         # text analysis
         "q10_token_count": textops.q_token_count,
         "q11_reading_time": textops.q_reading_time,
@@ -220,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_lang_id": textops.q_lang_id,
         "q17_json_valid": textops.q_json_valid,
         "q18_phone_digits": textops.q_phone_digits,
+        "q39_bpe_token_count": textops.q_bpe_token_count,
+        "q40_label_centroids": similarity.q_label_centroids,
         # dedup
         "q20_exact_dedup": dedup.q_exact_dedup,
         "q21_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
@@ -352,6 +356,18 @@ def oracle_sql() -> dict[str, str]:
         "q44_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
         """,
+        "q46_custkeys_intersect": """
+            SELECT o_custkey AS custkey FROM orders
+            INTERSECT
+            SELECT c_custkey FROM customer
+            ORDER BY custkey
+        """,
+        "q47_custkeys_except": """
+            SELECT c_custkey AS custkey FROM customer
+            EXCEPT
+            SELECT o_custkey FROM orders
+            ORDER BY custkey
+        """,
         "q45_brand_revenue_native_join": """
             SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                    count(*)::BIGINT AS n_items
@@ -439,8 +455,35 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(text, '\b\d{1,2}/\d{1,2}/\d{2,4}\b'),
                        regexp_extract_all(text, '\b\d{4}-\d{1,2}-\d{1,2}\b')),
                        regexp_extract_all(text,
-                       '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b'))))::BIGINT AS n_dates
+                       '(?i)\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)[a-z]* \d{1,2},? \d{4}\b'))))::BIGINT AS n_dates,
+                   len(list_distinct(list_concat(list_concat(list_concat(list_concat(
+                       regexp_extract_all(text, 'Mr\.\s+[A-Z][a-z]+(?: [A-Z][a-z]+)*'),
+                       regexp_extract_all(text, 'Ms\.\s+[A-Z][a-z]+(?: [A-Z][a-z]+)*')),
+                       regexp_extract_all(text, 'Mrs\.\s+[A-Z][a-z]+(?: [A-Z][a-z]+)*')),
+                       regexp_extract_all(text, 'Dr\.\s+[A-Z][a-z]+(?: [A-Z][a-z]+)*')),
+                       regexp_extract_all(text, 'Prof\.\s+[A-Z][a-z]+(?: [A-Z][a-z]+)*'))))::BIGINT AS n_people,
+                   len(list_distinct(regexp_extract_all(text,
+                       '(?:[A-Z][a-z]*\s+)+(?:Inc|Corp|Corporation|LLC|Company|Ltd|Limited|Association|Foundation|Institute)')))::BIGINT AS n_organizations,
+                   len(list_distinct(list_concat(list_concat(list_concat(
+                       regexp_extract_all(text, 'in ([A-Z][a-z]+(?:,\s+[A-Z][a-z]+)*)', 1),
+                       regexp_extract_all(text, 'at ([A-Z][a-z]+(?:,\s+[A-Z][a-z]+)*)', 1)),
+                       regexp_extract_all(text, 'from ([A-Z][a-z]+(?:,\s+[A-Z][a-z]+)*)', 1)),
+                       regexp_extract_all(text, 'to ([A-Z][a-z]+(?:,\s+[A-Z][a-z]+)*)', 1))))::BIGINT AS n_locations
             FROM documents ORDER BY doc_id
+        """,
+        "q39_bpe_token_count": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))::BIGINT
+                       AS n_bpe_tokens
+            FROM documents ORDER BY doc_id
+        """,
+        "q40_label_centroids": """
+            SELECT label, pos, round(avg(v), 6) AS c
+            FROM (SELECT label, unnest(embedding) AS v,
+                         generate_subscripts(embedding, 1) AS pos
+                  FROM embeddings)
+            GROUP BY label, pos ORDER BY label, pos
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

@@ -7,7 +7,7 @@ reference scrapers' extraction/transform/validation behavior:
 * ecommerce: `/root/reference/src/webscraper/scrapers/ecommerce.py:144-629`
 * business:  `/root/reference/src/webscraper/scrapers/business.py:147-677`
 
-These functions are shared by the Ray parse stages (stages/parse.py) and
+These functions are shared by the Ray parse stages (stages/crawl_stage.py, pipelines/scrape.py) and
 the vendored sequential oracle (oracle.py); the two sides implement the
 *orchestration* (wave-parallel crawl vs sequential loop) independently,
 so the oracle equivalence tests exercise ordering / seen-set / merge /

@@ -284,14 +284,20 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         out.write_parquet(paths["wave_out"])
         _t_exec = _time.time()
 
-        # next frontier from this wave's output (predicate pushdown read);
-        # log/record totals are tallied once in finalize — no extra scans
+        # next frontier + image refs from this wave's output: ONE
+        # predicate-pushdown pass (row_kind ∈ {frontier, image_ref}),
+        # split driver-side — log/record totals are tallied once in
+        # finalize, no extra scans
         wave_ds = pads.dataset(paths["wave_out"])
-        nxt = wave_ds.to_table(
-            filter=pc.equal(pc.field("row_kind"), "frontier"),
-            columns=["kind", "seed_index", "page_idx", "sub_idx", "url",
-                     "url_canon", "host", "payload"],
+        both = wave_ds.to_table(
+            filter=pc.field("row_kind").isin(["frontier", "image_ref"]),
+            columns=["row_kind", "kind", "seed_index", "page_idx", "sub_idx",
+                     "url", "url_canon", "host", "payload", "caption"],
         )
+        is_frontier = pc.equal(both.column("row_kind"), "frontier")
+        nxt = both.filter(is_frontier).select(
+            ["kind", "seed_index", "page_idx", "sub_idx", "url",
+             "url_canon", "host", "payload"])
         counters["waves"] += 1
         if deferred is not None and deferred.num_rows:
             nxt = pa.concat_tables([nxt, deferred.select(nxt.column_names)])
@@ -304,10 +310,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         # Per-wave driver handling of wave-sized metadata is the engine's
         # standing invariant (same as the frontier segment above);
         # overwriting wave-named files keeps resume idempotent.
-        refs = wave_ds.to_table(
-            filter=pc.equal(pc.field("row_kind"), "image_ref"),
-            columns=["url_canon", "host", "caption"],
-        )
+        refs = both.filter(pc.invert(is_frontier)).select(
+            ["url_canon", "host", "caption"])
         if refs.num_rows:
             host_part = {h: shard_of(h, cfg.images_partitions)
                          for h in set(refs.column("host").to_pylist())}
@@ -409,39 +413,63 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
     out_dir = os.path.join(cfg.out_dir, "out")
     all_ds = pads.dataset(wave_files)
 
-    # canonical crawl log — program-order sort over the sequence keys
-    log = all_ds.to_table(
-        filter=pc.equal(pc.field("row_kind"), "log"),
-        columns=["seed_index", "page_idx", "sub_idx", "url_canon", "outcome", "fetch_ts"],
-    ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"), ("sub_idx", "ascending")])
-    log = log.add_column(0, "fetch_seq", pa.array(range(log.num_rows), pa.int64()))
-    pq.write_table(log, os.path.join(out_dir, "crawl_log.parquet"))
-    _mark("log")
+    n_log = 0
+    n_articles = 0
+    meta_err: list[BaseException] = []
 
-    # seed outcomes (visited_urls / failed_urls of base.py:195,199)
-    seeds_t = all_ds.to_table(
-        filter=pc.equal(pc.field("row_kind"), "seed_outcome"),
-        columns=["seed_index", "url", "outcome"],
-    ).sort_by([("seed_index", "ascending")])
-    pq.write_table(seeds_t, os.path.join(out_dir, "seed_outcomes.parquet"))
-    _mark("seeds")
+    def assemble_metadata() -> None:
+        """Driver-side assembly of the metadata-sized outputs (crawl log,
+        seed outcomes, typed articles). Runs on a thread CONCURRENTLY
+        with the decode fan-out below — Arrow's parquet/sort kernels
+        release the GIL, and decode's wall time is worker-side waiting,
+        so the two genuinely overlap."""
+        nonlocal n_log, n_articles
+        try:
+            # canonical crawl log — program-order sort over the sequence keys
+            log = all_ds.to_table(
+                filter=pc.equal(pc.field("row_kind"), "log"),
+                columns=["seed_index", "page_idx", "sub_idx", "url_canon",
+                         "outcome", "fetch_ts"],
+            ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"),
+                       ("sub_idx", "ascending")])
+            log = log.add_column(0, "fetch_seq",
+                                 pa.array(range(log.num_rows), pa.int64()))
+            pq.write_table(log, os.path.join(out_dir, "crawl_log.parquet"))
+            n_log = log.num_rows
+            _mark("log")
 
-    # article records: the wave output already carries TYPED columns
-    # (crawl_stage OUT_SCHEMA), so this is a column projection + program-
-    # order sort — no per-row JSON decode. Like the crawl log above, the
-    # table assembled here is record metadata (a sliver of the page/image
-    # volume); at larger scale the same line becomes a Ray sort+write.
-    rec = all_ds.to_table(
-        filter=pc.equal(pc.field("row_kind"), "record"),
-        columns=["seed_index", "page_idx", "sub_idx", "title", "url", "date",
-                 "author", "excerpt", "content", "image", "images",
-                 "categories", "keywords", "metadata_json"],
-    ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"), ("sub_idx", "ascending")])
-    articles = rec.append_column(
-        "scraped_at", pa.array([cfg.run_ts] * rec.num_rows, pa.string())
-    )
-    pq.write_table(articles, os.path.join(out_dir, "articles.parquet"))
-    _mark("records")
+            # seed outcomes (visited_urls / failed_urls of base.py:195,199)
+            seeds_t = all_ds.to_table(
+                filter=pc.equal(pc.field("row_kind"), "seed_outcome"),
+                columns=["seed_index", "url", "outcome"],
+            ).sort_by([("seed_index", "ascending")])
+            pq.write_table(seeds_t, os.path.join(out_dir, "seed_outcomes.parquet"))
+            _mark("seeds")
+
+            # article records: the wave output already carries TYPED
+            # columns (crawl_stage OUT_SCHEMA), so this is a column
+            # projection + program-order sort — no per-row JSON decode.
+            # Metadata-sized; at larger scale becomes a Ray sort+write.
+            rec = all_ds.to_table(
+                filter=pc.equal(pc.field("row_kind"), "record"),
+                columns=["seed_index", "page_idx", "sub_idx", "title", "url",
+                         "date", "author", "excerpt", "content", "image",
+                         "images", "categories", "keywords", "metadata_json"],
+            ).sort_by([("seed_index", "ascending"), ("page_idx", "ascending"),
+                       ("sub_idx", "ascending")])
+            articles = rec.append_column(
+                "scraped_at", pa.array([cfg.run_ts] * rec.num_rows, pa.string())
+            )
+            pq.write_table(articles, os.path.join(out_dir, "articles.parquet"))
+            n_articles = articles.num_rows
+            _mark("records")
+        except BaseException as e:  # surfaced after join
+            meta_err.append(e)
+
+    import threading
+
+    meta_thread = threading.Thread(target=assemble_metadata, daemon=True)
+    meta_thread.start()
 
     # image refs were written host-hash-partitioned per wave (see the
     # wave loop): refs/part=P/wave_k.parquet, with P == the decode/sink
@@ -492,9 +520,13 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         )
         _mark("dedup_split")
         images.write_parquet(images_out, partition_cols=["part"])
-        n_images = pads.dataset(images_out, partitioning="hive").count_rows()
         _mark("decode_write")
+        n_images = pads.dataset(images_out, partitioning="hive").count_rows()
+        _mark("count")
 
+    meta_thread.join()
+    if meta_err:
+        raise meta_err[0]
     with open(os.path.join(out_dir, "format.json"), "w") as fh:
         json.dump({"v": FORMAT_VERSION}, fh)
     if _dbg:
@@ -508,6 +540,6 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         "articles": os.path.join(out_dir, "articles.parquet"),
         "images_dir": images_out,
         "n_images": n_images,
-        "n_articles": articles.num_rows,
-        "n_log": log.num_rows,
+        "n_articles": n_articles,
+        "n_log": n_log,
     }

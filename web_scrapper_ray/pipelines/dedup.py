@@ -130,25 +130,37 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataF
             "band_hash": pa.array(band_hashes),
         })
 
-    # Bucket pairing runs IN Ray: one groupby((band_id, band_hash))
-    # shuffle of the fixed-size band sketch (N_BANDS rows/doc), pairs
-    # emitted inside map_groups — the same banded shape as the phash
-    # near-dup path below. Only the candidate pair list (small by
-    # construction: docs sharing a full band) reaches the driver.
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(g["doc_id"].unique())
-        if len(ids) < 2:
+    # Bucket pairing runs IN Ray with ONE coarse shuffle: band rows are
+    # hash-partitioned on band_hash into ~P partitions (a (band_id,
+    # band_hash) bucket never straddles partitions), and each partition
+    # pairs ALL its buckets vectorized in one pandas self-merge — P
+    # map_groups calls instead of one per bucket (most buckets are
+    # singletons; per-group dispatch dominated the old wall time).
+    # Only the candidate pair list (small by construction: docs sharing
+    # a full band) reaches the driver.
+    P = 64
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        parts = [int(h[:4], 16) % P for h in batch.column("band_hash").to_pylist()]
+        return batch.append_column("bucket", pa.array(parts, pa.int32()))
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g[["band_id", "band_hash", "doc_id"]].drop_duplicates()
+        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+        if dup.empty:
             return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                  "doc_b": pd.Series(dtype="int64")})
-        return pd.DataFrame(
-            [(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]],
-            columns=["doc_a", "doc_b"],
-        )
+        m = dup.merge(dup, on=["band_id", "band_hash"])
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        return (m[["doc_id_x", "doc_id_y"]]
+                .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
+                .drop_duplicates())
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band_id", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()  # candidate pairs only — never the band table
     )
     cand = cand.drop_duplicates(["doc_a", "doc_b"]).sort_values(

@@ -370,3 +370,51 @@ def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
     parts = per_bucket.to_pandas()
     out = parts.groupby("o_orderpriority", as_index=False)["n_items"].sum()
     return out.sort_values("o_orderpriority").reset_index(drop=True)
+
+
+def _set_op_membership(sf_dir: str) -> pd.DataFrame:
+    """Shared scan for INTERSECT/EXCEPT (SURVEY.md §2.7 set ops): tag
+    each side, ONE groupby(key) shuffle, per-key membership flags via
+    Max aggregation — duplicates collapse for free (set semantics), and
+    pre-aggregating 0/1 flags per batch would be the combiner at scale."""
+    from ray.data.aggregate import Max
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"custkey": t.column("o_custkey"),
+                         "in_orders": pa.array([1] * n, pa.int32()),
+                         "in_customer": pa.array([0] * n, pa.int32())})
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table({"custkey": t.column("c_custkey"),
+                         "in_orders": pa.array([0] * n, pa.int32()),
+                         "in_customer": pa.array([1] * n, pa.int32())})
+
+    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
+        cust.map_batches(tag_cust, batch_format="pyarrow")
+    )
+    out = (
+        both.groupby("custkey")
+        .aggregate(Max("in_orders", alias_name="in_o"),
+                   Max("in_customer", alias_name="in_c"))
+        .to_pandas()
+    )
+    return out
+
+
+def q_custkeys_intersect(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT: customer keys present in BOTH orders and customer."""
+    m = _set_op_membership(sf_dir)
+    out = m[(m["in_o"] == 1) & (m["in_c"] == 1)][["custkey"]]
+    return out.sort_values("custkey").reset_index(drop=True)
+
+
+def q_custkeys_except(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT: customers with no orders (distinct left anti-join)."""
+    m = _set_op_membership(sf_dir)
+    out = m[(m["in_c"] == 1) & (m["in_o"] == 0)][["custkey"]]
+    return out.sort_values("custkey").reset_index(drop=True)

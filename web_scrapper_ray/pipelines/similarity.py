@@ -376,3 +376,42 @@ def q_knn_lsh(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.Da
                              "rank": pd.Series(dtype="int64"),
                              "neighbor_id": pd.Series(dtype="int64")})
     return _merge_topk(partials, k)
+
+
+def q_label_centroids(sf_dir: str) -> pd.DataFrame:
+    """Per-label mean embedding (the training-data "class centroid"
+    aggregate). Scale shape: each batch pre-combines to one
+    (label, count, sum-vector) row per label — the vector-valued
+    combiner — so the shuffle/merge sees n_labels×n_batches tiny rows,
+    never the embeddings. Output exploded to (label, pos, c) rows to
+    match the SQL oracle's unnest."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["label", "embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        mat = flat.reshape(len(labels), -1).astype(np.float64)
+        out_l, out_n, out_s = [], [], []
+        for lb in np.unique(labels):
+            rows = mat[labels == lb]
+            out_l.append(int(lb))
+            out_n.append(int(len(rows)))
+            out_s.append(rows.sum(axis=0).tolist())
+        return pa.table({"label": pa.array(out_l, pa.int32()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "vsum": pa.array(out_s, pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    rows = []
+    for lb, grp in parts.groupby("label"):
+        total = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+        n = grp["n"].sum()
+        for pos, v in enumerate(total / n, start=1):
+            rows.append((int(lb), pos, round(float(v), 6)))
+    out = pd.DataFrame(rows, columns=["label", "pos", "c"])
+    out["label"] = out["label"].astype("int32")  # match the parquet dtype
+    return out

@@ -225,3 +225,30 @@ def q_phone_digits(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(digits, batch_format="pyarrow").to_pandas().sort_values(
         "c_custkey"
     ).reset_index(drop=True)
+
+
+# GPT-2-style pretokenizer, restricted to an ASCII-expressible subset so
+# the Python `re` engine and DuckDB's RE2 oracle match token-for-token:
+# contractions | space+letters | space+digits | space+punct-run | whitespace
+BPE_SPLIT_RX_STR = (
+    r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+)
+_BPE_SPLIT_RX = re.compile(BPE_SPLIT_RX_STR)
+
+
+def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
+    """BPE-ish token counting (pretokenizer piece count — the standard
+    proxy for LLM token budgets when the merges table isn't loaded).
+    Vectorized pyarrow.compute regex kernel per batch."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), BPE_SPLIT_RX_STR)
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pc.cast(n, pa.int64())})
+
+    out = ds.map_batches(count, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)

@@ -64,14 +64,18 @@ def load_dataset(path: str, fmt: Optional[str] = None, **kwargs):
     if fmt in ("parquet", "lance"):
         return rd.read_parquet(path, **kwargs)
     if fmt == "excel":
-        # S4/S8: excel needs openpyxl/xlsxwriter, absent in this
-        # container — the path is wired but gated (import-try per spec)
+        # S4: prefer pandas/openpyxl when present; otherwise the
+        # pure-stdlib codec (sources/xlsx.py) reads the same files.
         try:
             import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "excel support requires openpyxl (not installed here)"
-            ) from e
+        except ImportError:
+            from .xlsx import read_xlsx
+
+            sheet = kwargs.pop("sheet_name", None)
+            data = read_xlsx(path, sheet_name=sheet)
+            if isinstance(data, dict):  # all sheets → first (pd.read_excel default)
+                data = next(iter(data.values()), [])
+            return rd.from_items(data)
         import pandas as pd
 
         return rd.from_pandas(pd.read_excel(path, **kwargs))
@@ -93,13 +97,20 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
     elif fmt in ("parquet", "lance"):
         ds.write_parquet(path, **kwargs)
     elif fmt == "excel":
+        # S8: small-output interchange sink (reference keeps Excel
+        # driver-side too). Multi-sheet / freeze / autofilter via the
+        # pure-stdlib writer; openpyxl used when available for parity
+        # with pandas defaults.
         try:
             import openpyxl  # noqa: F401
-        except ImportError as e:
-            raise NotImplementedError(
-                "excel support requires openpyxl (not installed here)"
-            ) from e
-        ds.to_pandas().to_excel(path, index=False, **kwargs)
+
+            ds.to_pandas().to_excel(path, index=False, **kwargs)
+        except ImportError:
+            from .xlsx import write_xlsx
+
+            sheet = kwargs.pop("sheet_name", "Sheet1")
+            rows = [dict(r) for r in ds.to_pandas().to_dict("records")]
+            write_xlsx(path, {sheet: rows}, **kwargs)
     elif fmt == "sql":
         _write_sqlite(ds, path, kwargs.pop("table", "data"))
     else:

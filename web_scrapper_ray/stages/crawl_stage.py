@@ -144,10 +144,17 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
 
     def fetch_parse(batch: pa.Table) -> pa.Table:
         """Process a host-hash partition: hosts are disjoint across
-        partitions, so per-host ordering + politeness hold; hosts within
-        a partition run sequentially in host order. Arrow in → Arrow
-        out; the per-page row loop is inherent (fetch+parse is
-        per-page), but no pandas frame is ever built."""
+        partitions, so per-host ordering + politeness hold. Hosts within
+        a partition are INTERLEAVED on an earliest-ready heap: while one
+        host waits out its crawl-delay, the task fetches+parses other
+        hosts' pages — politeness latency overlaps compute instead of
+        holding the worker (the SURVEY §7.4 "politeness vs throughput"
+        lever). Per-host program order is untouched (one cursor per
+        host); zero-delay hosts degrade to the old sequential order.
+        Arrow in → Arrow out; the per-page row loop is inherent
+        (fetch+parse is per-page), but no pandas frame is ever built."""
+        import heapq
+
         if batch.num_rows == 0:
             return empty_out_table()
         out: list[dict] = []
@@ -161,11 +168,30 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                          "sub_idx", "payload")
         }
         hosts = cols["host"]
+        states = []
         start = 0
         for i in range(1, len(hosts) + 1):
             if i == len(hosts) or hosts[i] != hosts[start]:
-                _fetch_parse_host(hosts[start], cols, start, i, out)
+                states.append(_init_host(hosts[start], start, i))
                 start = i
+        heap = [(st["ready"], gi) for gi, st in enumerate(states)]
+        heapq.heapify(heap)
+        while heap:
+            ready, gi = heapq.heappop(heap)
+            now = time.time()
+            if ready > now:
+                # heap min → NO host is ready; the unavoidable residue
+                time.sleep(ready - now)
+            st = states[gi]
+            _process_row(st, cols, out)
+            st["idx"] += 1
+            if st["idx"] < st["hi"]:
+                heapq.heappush(heap, (st["ready"], gi))
+            elif st["shard"] is not None and st["delay"] > 0:
+                # actual starts may have drifted past the reservation
+                # (slow parses); push next_allowed so the next wave
+                # keeps the gap
+                st["shard"].advance.remote(st["host"], st["last_start"] + st["delay"])
         if metrics_actor is not None:
             tally: dict[str, int] = {}
             for r in out:
@@ -178,12 +204,10 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             return empty_out_table()
         return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
 
-    def _fetch_parse_host(host: str, cols: dict, lo: int, hi: int,
-                          out: list) -> None:
+    def _init_host(host: str, lo: int, hi: int) -> dict:
         import ray
 
         store = worker_backend(world_dir, backend_spec)
-        n_rows = hi - lo
 
         # -- politeness: robots crawl-delay + cross-wave reservation ------
         delay_s = 0.0
@@ -194,153 +218,145 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             robots_body, _ = store.get(f"http://{host}/robots.txt", host)
             delay_s, disallow = parse_robots(robots_body)
             shard = politeness_shards[hash64(host) % n_politeness_shards]
-            t0 = ray.get(shard.reserve.remote(host, n_rows, delay_s))
+            t0 = ray.get(shard.reserve.remote(host, hi - lo, delay_s))
         # Disallow enforcement is opt-in (opts["respect_disallow"]): the
         # reference never reads robots.txt at all, so parity mode must
         # fetch everything; a production crawl flips the flag.
         if not opts.get("respect_disallow"):
             disallow = []
+        return {
+            "host": host, "idx": lo, "hi": hi, "store": store,
+            "delay": delay_s, "disallow": disallow, "shard": shard,
+            "t0": t0, "fetch_i": 0, "last_start": t0 - delay_s,
+            "ready": t0 if delay_s > 0 else 0.0,
+        }
 
-        fetch_i = 0
+    def _process_row(st: dict, cols: dict, out: list) -> None:
+        host, store = st["host"], st["store"]
+        ri = st["idx"]
+        kind, url = cols["kind"][ri], cols["url"][ri]
+        seed_i = int(cols["seed_index"][ri])
+        page_i = int(cols["page_idx"][ri])
+        sub_i = int(cols["sub_idx"][ri])
+        if st["disallow"]:
+            from urllib.parse import urlsplit
 
-        last_start = t0 - delay_s
+            if is_disallowed(urlsplit(canonicalize_url(url)).path, st["disallow"]):
+                out.append(
+                    _row("log", seed_index=seed_i, page_idx=page_i,
+                         sub_idx=sub_i, url=url,
+                         url_canon=canonicalize_url(url), host=host,
+                         outcome="disallowed", fetch_ts=time.time())
+                )
+                return
+        # fetch NOW (the heap guaranteed start ≥ both the reservation
+        # schedule and last_start + delay; budget is on fetch STARTS,
+        # relative to the PREVIOUS actual start). The logged timestamp
+        # is the start time — the crawl log's politeness evidence.
+        ts = time.time()
+        st["fetch_i"] += 1
+        st["last_start"] = ts
+        if st["delay"] > 0:
+            st["ready"] = max(st["t0"] + st["fetch_i"] * st["delay"],
+                              ts + st["delay"])
+        body, status = store.get(url, host)
+        ok = body is not None and status < 400
+        canon = canonicalize_url(url)
+        out.append(
+            _row("log", seed_index=seed_i, page_idx=page_i, sub_idx=sub_i,
+                 url=url, url_canon=canon, host=host,
+                 outcome="visited" if ok else "failed", fetch_ts=ts)
+        )
+        if kind == "seed":
+            out.append(_row("seed_outcome", url=url,
+                            seed_index=seed_i,
+                            outcome="visited" if ok else "failed"))
 
-        def paced_get(url: str):
-            # politeness budget is on fetch STARTS, relative to the
-            # PREVIOUS actual start: an absolute schedule alone would let
-            # a fetch that overran its slot be followed immediately by
-            # the next one. The returned timestamp is the start time
-            # (the crawl log's politeness evidence).
-            nonlocal fetch_i, last_start
-            if delay_s > 0:
-                target = max(t0 + fetch_i * delay_s, last_start + delay_s)
-                now = time.time()
-                if target > now:
-                    time.sleep(target - now)
-            fetch_i += 1
-            start = time.time()
-            last_start = start
-            body, status = store.get(url, host)
-            return body, status, start
-
-        for ri in range(lo, hi):
-            kind, url = cols["kind"][ri], cols["url"][ri]
-            seed_i = int(cols["seed_index"][ri])
-            page_i = int(cols["page_idx"][ri])
-            sub_i = int(cols["sub_idx"][ri])
-            if disallow:
-                from urllib.parse import urlsplit
-
-                if is_disallowed(urlsplit(canonicalize_url(url)).path, disallow):
-                    out.append(
-                        _row("log", seed_index=seed_i, page_idx=page_i,
-                             sub_idx=sub_i, url=url,
-                             url_canon=canonicalize_url(url), host=host,
-                             outcome="disallowed", fetch_ts=time.time())
+        if kind == "detail":
+            # A failed detail fetch keeps the listing-only record
+            # (reference content.py:166-172 swallows the error).
+            listing = json.loads(cols["payload"][ri])
+            pairs = dict(json.loads(listing.pop("_pairs", None) or "{}"))
+            feat_caption = listing.pop("_feat_caption", "")
+            merged = listing
+            if ok:
+                full = extract.extract_single_article(
+                    parse_html(body.decode()), listing["url"], selectors, opts
+                )
+                if full:
+                    merged = extract.merge_listing_detail(listing, full)
+                    pairs.update(
+                        collect_image_caption_pairs(body.decode(), listing["url"])
                     )
-                    continue
-            body, status, ts = paced_get(url)
-            ok = body is not None and status < 400
-            canon = canonicalize_url(url)
-            out.append(
-                _row("log", seed_index=seed_i, page_idx=page_i, sub_idx=sub_i,
-                     url=url, url_canon=canon, host=host,
-                     outcome="visited" if ok else "failed", fetch_ts=ts)
-            )
-            if kind == "seed":
-                out.append(_row("seed_outcome", url=url,
-                                seed_index=seed_i,
-                                outcome="visited" if ok else "failed"))
+            merged.pop("fetch_full", None)
+            rec = extract.transform_article(merged, first_seed_url)
+            rec = extract.validate_article(rec) if rec else None
+            if rec:
+                out.append(_record_row(rec, seed_index=seed_i,
+                                       page_idx=page_i, sub_idx=sub_i,
+                                       host=host))
+                _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
+            return
 
-            if kind == "detail":
-                # A failed detail fetch keeps the listing-only record
-                # (reference content.py:166-172 swallows the error).
-                listing = json.loads(cols["payload"][ri])
-                pairs = dict(json.loads(listing.pop("_pairs", None) or "{}"))
-                feat_caption = listing.pop("_feat_caption", "")
-                merged = listing
-                if ok:
-                    full = extract.extract_single_article(
-                        parse_html(body.decode()), listing["url"], selectors, opts
-                    )
-                    if full:
-                        merged = extract.merge_listing_detail(listing, full)
-                        pairs.update(
-                            collect_image_caption_pairs(body.decode(), listing["url"])
-                        )
-                merged.pop("fetch_full", None)
-                rec = extract.transform_article(merged, first_seed_url)
+        if not ok:
+            return
+
+        # kind in (seed, next): a page to route/parse
+        html = body.decode()
+        doc = parse_html(html)
+        if kind == "seed" and extract.is_article_page(doc):
+            article = extract.extract_single_article(doc, url, selectors, opts)
+            if article:
+                pairs = dict(collect_image_caption_pairs(html, url))
+                rec = extract.transform_article(article, first_seed_url)
                 rec = extract.validate_article(rec) if rec else None
                 if rec:
                     out.append(_record_row(rec, seed_index=seed_i,
-                                           page_idx=page_i, sub_idx=sub_i,
+                                           page_idx=page_i, sub_idx=0,
                                            host=host))
+                    _image_refs_for_record(rec, pairs, "", out, seed_i)
+            return
+
+        elements = extract.find_article_elements(doc, selectors)
+        if not elements:
+            return
+        pairs = dict(collect_image_caption_pairs(html, url))
+        n_valid = 0
+        for dom_i, el in enumerate(elements):
+            entry = extract.extract_article_listing(el, url, selectors, opts)
+            if not (entry and entry.get("url")):
+                continue
+            n_valid += 1
+            feat = entry.get("image")
+            feat_caption = pairs.get(canonicalize_url(feat), "") if feat else ""
+            if entry.get("fetch_full"):
+                entry["_feat_caption"] = feat_caption
+                entry["_pairs"] = json.dumps(pairs)
+                out.append(
+                    _row("frontier", kind="detail", seed_index=seed_i,
+                         page_idx=page_i, sub_idx=1 + dom_i,
+                         url=entry["url"], url_canon=canonicalize_url(entry["url"]),
+                         host=host_of(entry["url"]), payload=json.dumps(entry))
+                )
+            else:
+                entry.pop("fetch_full", None)
+                rec = extract.transform_article(entry, first_seed_url)
+                rec = extract.validate_article(rec) if rec else None
+                if rec:
+                    out.append(_record_row(rec, seed_index=seed_i,
+                                           page_idx=page_i,
+                                           sub_idx=1 + dom_i, host=host))
                     _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
-                continue
-
-            if not ok:
-                continue
-
-            # kind in (seed, next): a page to route/parse
-            html = body.decode()
-            doc = parse_html(html)
-            if kind == "seed" and extract.is_article_page(doc):
-                article = extract.extract_single_article(doc, url, selectors, opts)
-                if article:
-                    pairs = dict(collect_image_caption_pairs(html, url))
-                    rec = extract.transform_article(article, first_seed_url)
-                    rec = extract.validate_article(rec) if rec else None
-                    if rec:
-                        out.append(_record_row(rec, seed_index=seed_i,
-                                               page_idx=page_i, sub_idx=0,
-                                               host=host))
-                        _image_refs_for_record(rec, pairs, "", out, seed_i)
-                continue
-
-            elements = extract.find_article_elements(doc, selectors)
-            if not elements:
-                continue
-            pairs = dict(collect_image_caption_pairs(html, url))
-            n_valid = 0
-            for dom_i, el in enumerate(elements):
-                entry = extract.extract_article_listing(el, url, selectors, opts)
-                if not (entry and entry.get("url")):
-                    continue
-                n_valid += 1
-                feat = entry.get("image")
-                feat_caption = pairs.get(canonicalize_url(feat), "") if feat else ""
-                if entry.get("fetch_full"):
-                    entry["_feat_caption"] = feat_caption
-                    entry["_pairs"] = json.dumps(pairs)
-                    out.append(
-                        _row("frontier", kind="detail", seed_index=seed_i,
-                             page_idx=page_i, sub_idx=1 + dom_i,
-                             url=entry["url"], url_canon=canonicalize_url(entry["url"]),
-                             host=host_of(entry["url"]), payload=json.dumps(entry))
-                    )
-                else:
-                    entry.pop("fetch_full", None)
-                    rec = extract.transform_article(entry, first_seed_url)
-                    rec = extract.validate_article(rec) if rec else None
-                    if rec:
-                        out.append(_record_row(rec, seed_index=seed_i,
-                                               page_idx=page_i,
-                                               sub_idx=1 + dom_i, host=host))
-                        _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
-            # pagination (content.py:177-227)
-            proceed = (n_valid > 0) if kind == "seed" else True
-            if follow_next and proceed and max_pages > 1 and page_i < max_pages:
-                next_url = extract.find_next_page(doc, url)
-                if next_url:
-                    out.append(
-                        _row("frontier", kind="next", seed_index=seed_i,
-                             page_idx=page_i + 1, sub_idx=0, url=next_url,
-                             url_canon=canonicalize_url(next_url),
-                             host=host_of(next_url))
-                    )
-        if shard is not None and delay_s > 0:
-            # actual starts may have drifted past the reservation (slow
-            # parses); push next_allowed so the next wave keeps the gap
-            shard.advance.remote(host, last_start + delay_s)
+        # pagination (content.py:177-227)
+        proceed = (n_valid > 0) if kind == "seed" else True
+        if follow_next and proceed and max_pages > 1 and page_i < max_pages:
+            next_url = extract.find_next_page(doc, url)
+            if next_url:
+                out.append(
+                    _row("frontier", kind="next", seed_index=seed_i,
+                         page_idx=page_i + 1, sub_idx=0, url=next_url,
+                         url_canon=canonicalize_url(next_url),
+                         host=host_of(next_url))
+                )
 
     return fetch_parse

@@ -45,5 +45,8 @@ class EntityExtract:
                 "organizations": pa.array(
                     [e.get("organizations", []) for e in ents], pa.list_(pa.string())
                 ),
+                "locations": pa.array(
+                    [e.get("locations", []) for e in ents], pa.list_(pa.string())
+                ),
             }
         )
