@@ -383,14 +383,16 @@ def _set_op_membership(sf_dir: str) -> pd.DataFrame:
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
 
     def tag_orders(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"custkey": t.column("o_custkey"),
+        keys = pc.unique(t.column("o_custkey"))  # per-batch combiner:
+        n = len(keys)                            # dup keys never shuffle
+        return pa.table({"custkey": keys,
                          "in_orders": pa.array([1] * n, pa.int32()),
                          "in_customer": pa.array([0] * n, pa.int32())})
 
     def tag_cust(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table({"custkey": t.column("c_custkey"),
+        keys = pc.unique(t.column("c_custkey"))
+        n = len(keys)
+        return pa.table({"custkey": keys,
                          "in_orders": pa.array([0] * n, pa.int32()),
                          "in_customer": pa.array([1] * n, pa.int32())})
 
