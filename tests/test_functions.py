@@ -88,3 +88,36 @@ def test_canonicalize_url():
     assert host_of("HTTPS://A.B.C:9/x") == "a.b.c"
     # duplicate query keys preserved, sorted by (key,value)
     assert canonicalize_url("http://h.org/?b=1&a=2&a=1") == "http://h.org/?a=1&a=2&b=1"
+
+
+def test_exception_hierarchy_and_logging(tmp_path):
+    """Reference utility surface (utils/exceptions.py, utils/logging.py)."""
+    import logging
+
+    from web_scrapper_ray.functions import errors
+
+    for name in ("ScraperError", "StorageError", "ValidationError",
+                 "ConfigError", "ConnectionError", "RateLimitError",
+                 "ParsingError", "CaptchaError", "ProxyError",
+                 "AuthenticationError", "SchedulingError",
+                 "DataProcessingError"):
+        exc = getattr(errors, name)
+        assert issubclass(exc, Exception)
+        if name != "ConfigError":  # ConfigError predates the hierarchy
+            assert issubclass(exc, errors.WebScraperError)
+
+    log_file = str(tmp_path / "x.log")
+    lg = errors.configure_logging(level="DEBUG", log_file=log_file,
+                                  log_to_file=True, log_to_console=False,
+                                  logger_name="wsr.test")
+    lg.debug("hello-debug")
+    for h in lg.handlers:
+        h.flush()
+    text = open(log_file).read()
+    assert "hello-debug" in text and "wsr.test" in text
+    assert lg.propagate is False
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        errors.configure_logging(level="NOPE", logger_name="wsr.test2")
+    assert errors.get_logger("abc") is logging.getLogger("abc")

@@ -94,3 +94,39 @@ def test_run_updates_metadata_and_notifies(tmp_path):
     assert job["last_run"] is not None
     notes = (tmp_path / "notifications.log").read_text().strip().splitlines()
     assert len(notes) == 1 and json.loads(notes[0])["channel"] == "webhook"
+
+
+def test_webhook_notification_delivery(tmp_path):
+    """Real webhook POST (reference job_scheduler.py:450-484 payload
+    shape) against a local HTTP server."""
+    import threading
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    received = []
+
+    class Hook(BaseHTTPRequestHandler):
+        def do_POST(self):  # noqa: N802
+            body = self.rfile.read(int(self.headers.get("Content-Length", 0)))
+            received.append((self.path, json.loads(body)))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *a):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Hook)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        s = JobScheduler(str(tmp_path / "jobs.json"))
+        jid = s.schedule_job("hooked", str(tmp_path / "missing.yaml"), "1m",
+                             webhook=f"http://127.0.0.1:{srv.server_port}/notify")
+        s.run_job(jid)
+        assert len(received) == 1
+        path, payload = received[0]
+        assert path == "/notify"
+        assert payload["job_id"] == jid and payload["job_name"] == "hooked"
+        assert payload["status"] == "failed" and "error" in payload
+        notes = (tmp_path / "notifications.log").read_text().strip().splitlines()
+        assert json.loads(notes[-1])["sent"] is True
+    finally:
+        srv.shutdown()

@@ -67,3 +67,43 @@ def test_export_data_csv_to_excel(ray_session, tmp_path):
     export_data(csv, out, "csv", "excel")
     back = load_dataset(out, "excel").to_pandas().sort_values("k")
     assert list(back["k"]) == list(range(5))
+
+
+def test_xlsx_roundtrip_property(tmp_path):
+    """Property: any table of str/int/float/bool/None cells survives a
+    write→read roundtrip (hypothesis-driven)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cell = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(max_size=40),
+    )
+    colname = st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N")),
+        min_size=1, max_size=8)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(colname, min_size=1, max_size=5, unique=True),
+           st.integers(min_value=0, max_value=6), st.data())
+    def run(cols, n_rows, data):
+        rows = [
+            {c: data.draw(cell) for c in cols}
+            for _ in range(n_rows)
+        ]
+        p = str(tmp_path / "prop.xlsx")
+        write_xlsx(p, {"S": rows})
+        back = read_xlsx(p, sheet_name="S")
+        assert len(back) == n_rows
+        for orig, got in zip(rows, back):
+            for c in cols:
+                o, g = orig[c], got[str(c)]
+                if isinstance(o, float):
+                    assert g == float(repr(o)), (o, g)
+                else:
+                    assert g == o, (o, g)
+
+    run()

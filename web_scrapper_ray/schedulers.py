@@ -177,14 +177,78 @@ class JobScheduler:
         return [j for j in self.list_jobs() if j["next_run"] <= now]
 
     def _notify(self, job: dict, message: str) -> None:
+        """Reference notification semantics (job_scheduler.py:259-484):
+        webhook = requests.post JSON with job_id/name/status/timestamp
+        (+error on failure); email = smtplib via WEBSCRAPER_SMTP_* env
+        vars, silently skipped when credentials are absent. Sender
+        errors are logged, never raised (reference swallows them). An
+        audit line is always appended to notifications.log — also the
+        deterministic test surface."""
         log = os.path.join(os.path.dirname(self.store_path) or ".",
                            "notifications.log")
+        status = job.get("last_status") or "unknown"
+        payload = {
+            "job_id": job["job_id"], "job_name": job["name"],
+            "status": status, "timestamp": time.time(),
+        }
+        if status != "success":
+            payload["error"] = message
         with open(log, "a") as f:
             for channel in ("email", "webhook"):
-                if job.get(channel):
-                    f.write(json.dumps({"ts": time.time(), "channel": channel,
-                                        "to": job[channel], "job": job["job_id"],
-                                        "message": message}) + "\n")
+                if not job.get(channel):
+                    continue
+                sent, err = False, None
+                try:
+                    if channel == "webhook":
+                        sent = self._send_webhook(job["webhook"], payload)
+                    else:
+                        sent = self._send_email(job["email"], payload)
+                except Exception as e:  # reference logs and continues
+                    err = f"{type(e).__name__}: {e}"
+                f.write(json.dumps({"ts": time.time(), "channel": channel,
+                                    "to": job[channel], "job": job["job_id"],
+                                    "message": message, "sent": sent,
+                                    "error": err}) + "\n")
+
+    @staticmethod
+    def _send_webhook(url: str, payload: dict) -> bool:
+        import requests
+
+        resp = requests.post(url, json=payload,
+                             headers={"Content-Type": "application/json"},
+                             timeout=10)
+        return 200 <= resp.status_code < 300
+
+    @staticmethod
+    def _send_email(to: str, payload: dict) -> bool:
+        import smtplib
+        from email.mime.text import MIMEText
+
+        server = os.environ.get("WEBSCRAPER_SMTP_SERVER", "smtp.gmail.com")
+        port = int(os.environ.get("WEBSCRAPER_SMTP_PORT", "587"))
+        user = os.environ.get("WEBSCRAPER_SMTP_USERNAME")
+        password = os.environ.get("WEBSCRAPER_SMTP_PASSWORD")
+        if not user or not password:
+            return False  # reference: warn + skip without credentials
+        ok = payload["status"] == "success"
+        msg = MIMEText(
+            f"<html><body><h2>Web Scraper Job "
+            f"{'Completed Successfully' if ok else 'Failed'}</h2>"
+            f"<p><b>Job ID:</b> {payload['job_id']}</p>"
+            f"<p><b>Job Name:</b> {payload['job_name']}</p>"
+            f"<p><b>Status:</b> {payload['status']}</p></body></html>",
+            "html",
+        )
+        msg["From"], msg["To"] = user, to
+        msg["Subject"] = (
+            f"Web Scraper Job '{payload['job_name']}' "
+            + ("Completed Successfully" if ok else "Failed")
+        )
+        with smtplib.SMTP(server, port) as s:
+            s.starttls()
+            s.login(user, password)
+            s.send_message(msg)
+        return True
 
     def run_job(self, job_id: str, extra_args: Optional[list[str]] = None,
                 now: Optional[float] = None) -> dict[str, Any]:

@@ -37,6 +37,25 @@ def col_letter(i: int) -> str:
     return out
 
 
+_ESCAPE_RX = re.compile(r"_x[0-9A-Fa-f]{4}_")
+# XML-1.0-illegal chars, plus \r (parsers normalize literal CR to LF)
+_BAD_CHAR_RX = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\r]")
+_UNESCAPE_RX = re.compile(r"_x([0-9A-Fa-f]{4})_")
+
+
+def _esc_text(s: str) -> str:
+    """OOXML string escaping (ECMA-376 §18.4): chars XML can't carry are
+    written ``_xHHHH_``; pre-existing ``_xHHHH_`` literals self-escape
+    their underscore as ``_x005F_``."""
+    s = _ESCAPE_RX.sub(lambda m: "_x005F" + m.group(0), s)
+    s = _BAD_CHAR_RX.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
+    return escape(s)
+
+
+def _unesc_text(s: str) -> str:
+    return _UNESCAPE_RX.sub(lambda m: chr(int(m.group(1), 16)), s)
+
+
 def _cell_xml(ref: str, value: Any) -> str:
     if value is None:
         return ""
@@ -46,7 +65,7 @@ def _cell_xml(ref: str, value: Any) -> str:
         if isinstance(value, float) and (value != value or value in (float("inf"), float("-inf"))):
             return f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
-    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{escape(str(value))}</t></is></c>'
+    return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc_text(str(value))}</t></is></c>'
 
 
 def _sheet_xml(rows: list[dict], columns: list[str],
@@ -171,7 +190,7 @@ def _cell_value(c: ET.Element, shared: list[str]) -> Any:
     t = c.get("t", "n")
     if t == "inlineStr":
         tnode = c.find(f"{{{_NS}}}is/{{{_NS}}}t")
-        return tnode.text or "" if tnode is not None else ""
+        return _unesc_text(tnode.text or "") if tnode is not None else ""
     v = c.find(f"{{{_NS}}}v")
     if v is None or v.text is None:
         return None
@@ -202,7 +221,8 @@ def read_xlsx(path: str, sheet_name: Optional[str] = None
         if "xl/sharedStrings.xml" in z.namelist():
             ss = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in ss.findall(f"{{{_NS}}}si"):
-                shared.append("".join(t.text or "" for t in si.iter(f"{{{_NS}}}t")))
+                shared.append(_unesc_text(
+                    "".join(t.text or "" for t in si.iter(f"{{{_NS}}}t"))))
         out: dict[str, list[dict]] = {}
         for sheet in wb.find(f"{{{_NS}}}sheets"):
             name = sheet.get("name")
@@ -215,9 +235,9 @@ def read_xlsx(path: str, sheet_name: Optional[str] = None
             grid: dict[int, dict[int, Any]] = {}
             for row in ws.iter(f"{{{_NS}}}row"):
                 ri = int(row.get("r"))
+                grid.setdefault(ri, {})  # keep all-empty rows
                 for c in row.findall(f"{{{_NS}}}c"):
-                    grid.setdefault(ri, {})[_ref_to_col(c.get("r"))] = \
-                        _cell_value(c, shared)
+                    grid[ri][_ref_to_col(c.get("r"))] = _cell_value(c, shared)
             if not grid:
                 out[name] = []
                 continue
