@@ -227,7 +227,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup
         "q20_exact_dedup": dedup.q_exact_dedup,
         "q21_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
+        "q22_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
         "q23_simhash": dedup.q_simhash,
+        "q48_dedup_corpus": dedup.q_dedup_corpus,
         # similarity search
         "q24_knn_bruteforce": similarity.q_knn_bruteforce,
         "q25_knn_lsh": similarity.q_knn_lsh,
@@ -489,6 +491,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,
                    count(*)::BIGINT AS n_docs
             FROM documents GROUP BY md5(text) ORDER BY content_hash
+        """,
+        "q48_dedup_corpus": """
+            SELECT doc_id, text FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+            ORDER BY doc_id
         """,
         "q24_knn_bruteforce": """
             WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings

@@ -287,3 +287,45 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
     return ds.map_batches(sig, batch_format="pyarrow").to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
+
+
+def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """The training-data op behind exact dedup: EMIT the deduplicated
+    corpus (keep min doc_id per content hash). Keeper ids are a small
+    aggregate → broadcast set → streaming membership filter; the corpus
+    itself never leaves map_batches except as the final result."""
+    import ray
+    from ray.data.aggregate import Min
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        hs = [hashlib.md5(t.encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
+        return pa.table({"content_hash": pa.array(hs),
+                         "doc_id": batch.column("doc_id")})
+
+    keepers = (
+        ds.map_batches(add_hash, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="keep"))
+        .to_pandas()["keep"]
+    )
+    kref = ray.put(frozenset(int(k) for k in keepers))
+
+    def keep_only(batch: pa.Table) -> pa.Table:
+        ks = ray.get(kref)
+        mask = [int(d) in ks for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask))
+
+    out = ds.map_batches(keep_only, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
+    """n-gram Jaccard near-dup as its own operator: banded-MinHash
+    candidate generation + exact 3-gram-shingle Jaccard verification at
+    a lower threshold than q21 (banding recall at j≈0.3 with 16 bands
+    of 4 rows is ~1-(1-0.3^4)^16 ≈ 12% per band family — the exactness
+    is in the verify, the bands only bound the candidate set)."""
+    return q_minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold)
