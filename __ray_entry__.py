@@ -119,17 +119,14 @@ def _directory_businesses(sf_dir: str):
 
 
 def _image_features(sf_dir: str):
-    import pyarrow.dataset as pads
     import ray.data as rd
 
     from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
     from web_scrapper_ray.stages.multimodal import ImageFeatures
 
     res = ensure_tier_crawl("t1")
-    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
-        columns=["image_id", "bytes"]
-    )
-    out = rd.from_arrow(t).map_batches(
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "bytes"])
+    out = ds.map_batches(
         ImageFeatures, batch_format="pyarrow", batch_size=128, concurrency=2
     ).to_pandas()
     return out.sort_values("image_id").reset_index(drop=True)
@@ -155,19 +152,16 @@ def _entities(sf_dir: str):
 
 
 def _phash_dup_groups(sf_dir: str):
-    """D4 near-dup images v1: exact-phash grouping over the crawl images."""
-    import pyarrow.dataset as pads
+    """D4 near-dup images v1: exact-phash grouping over the crawl images
+    (streaming parquet read → groupby; no driver-side table)."""
     import ray.data as rd
     from ray.data.aggregate import Count, Min
 
     from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
 
     res = ensure_tier_crawl("t1")
-    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
-        columns=["image_id", "phash"]
-    )
     out = (
-        rd.from_arrow(t)
+        rd.read_parquet(res["images_dir"], columns=["image_id", "phash"])
         .groupby("phash")
         .aggregate(Min("image_id", alias_name="keep_image_id"), Count(alias_name="n"))
         .to_pandas()
@@ -176,18 +170,14 @@ def _phash_dup_groups(sf_dir: str):
 
 
 def _phash_neardup(sf_dir: str):
-    import pyarrow.dataset as pads
+    import ray.data as rd
 
     from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
-    from web_scrapper_ray.pipelines.dedup import phash_neardup_pairs
+    from web_scrapper_ray.pipelines.dedup import phash_neardup_pairs_ds
 
     res = ensure_tier_crawl("t1")
-    t = pads.dataset(res["images_dir"], partitioning="hive").to_table(
-        columns=["image_id", "phash"]
-    )
-    return phash_neardup_pairs(
-        t.column("image_id").to_pylist(), t.column("phash").to_pylist(), 10
-    )
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "phash"])
+    return phash_neardup_pairs_ds(ds, 10)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

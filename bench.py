@@ -73,7 +73,6 @@ def run_headline(num_cpus: int, out_dir: str) -> dict:
         politeness=True,
         n_seen_shards=max(4, num_cpus // 4),
         n_politeness_shards=max(4, num_cpus // 4),
-        decode_concurrency=max(2, num_cpus - 2),
         images_partitions=128,
     )
     t0 = time.time()

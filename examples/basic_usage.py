@@ -61,6 +61,34 @@ def main() -> None:
     xml = generate_rss(articles, "Example Feed", "Synthetic crawl", "http://h/feed")
     print("rss items:", xml.count("<item>"))
 
+    # 6. priority scheduling: the last seed jumps the backlog
+    prio = run_crawl(CrawlConfig(
+        world_dir=world, out_dir="/tmp/wsr_example_prio",
+        seeds=[synth.listing_url(spec, i, 1) for i in range(4)],
+        opts={"max_pages": 2}, politeness=False,
+        frontier_policy="priority", seed_priorities={3: 10},
+        max_urls_per_wave=2))
+    log = pq.read_table(prio["crawl_log"]).to_pandas()
+    first = log[log["page_idx"] == 1].groupby("seed_index")["fetch_ts"].min()
+    print("priority fetch order:", list(first.sort_values().index))
+
+    # 7. Excel interchange (pure-stdlib codec; multi-sheet + options)
+    from web_scrapper_ray.sources.xlsx import read_xlsx, write_xlsx
+
+    write_xlsx("/tmp/wsr_example/report.xlsx",
+               {"products": products[:3], "businesses": businesses[:3]},
+               freeze_panes=(1, 0), autofilter=True)
+    print("xlsx sheets:", list(read_xlsx("/tmp/wsr_example/report.xlsx")))
+
+    # 8. cron-scheduled jobs (validated 5-field cron, webhook notify)
+    from web_scrapper_ray.schedulers import JobScheduler, next_cron_fire
+
+    sched = JobScheduler("/tmp/wsr_example/jobs.json")
+    jid = sched.schedule_job("nightly", "/tmp/cfg.yaml", "0 3 * * *")
+    print("cron job next fire:", sched.get_job(jid)["next_run"],
+          "(= next_cron_fire:", next_cron_fire("0 3 * * *", __import__("time").time()), ")")
+    sched.remove_job(jid)
+
     ray.shutdown()
 
 

@@ -10,8 +10,9 @@ wave is one Ray Data pass
         no Ray shuffle — see _host_balanced_tables)
       → seen-filter (sharded cuckoo actors; seeds bypass the drop —
         the reference fetches duplicate config URLs twice, base.py:188-195)
-      → fused fetch+parse per block, sequential per host
-        (politeness actors pace per-host fetch starts by robots delay)
+      → fused fetch+parse per block, hosts interleaved on an
+        earliest-ready heap (politeness actors + robots delay pace each
+        host's fetch starts; waiting hosts never hold the worker)
       → write the wave's typed output rows to a parquet segment
 
 The frontier/waves never live in driver memory — each wave's output is a
@@ -64,7 +65,6 @@ class CrawlConfig:
     n_seen_shards: int = 4
     n_politeness_shards: int = 4
     politeness: bool = True
-    decode_concurrency: int = 4
     images_partitions: int = 16
     run_ts: str = "2023-01-01T00:00:00"       # deterministic scraped_at stamp
     max_waves: int = 64

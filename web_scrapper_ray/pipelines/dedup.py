@@ -208,21 +208,14 @@ def simhash64(text: str) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
-def phash_neardup_pairs(ids, phashes, max_hamming: int = 10) -> pd.DataFrame:
+def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
     """Hamming-ball near-dup over 64-bit perceptual hashes (SURVEY.md
-    §2.7 D4 stretch): split each hash into 4×16-bit bands; by pigeonhole
-    any pair within hamming ≤ 48/4·… shares a band when distance ≤ 3·16;
-    practically, near-dups (≤10 bits) almost surely collide in ≥1 band.
-    Candidates = band-bucket groups; verify exact hamming. Scale shape:
-    explode → groupby(band, value) → pairwise within bucket (buckets are
-    tiny for non-degenerate image sets).
-    """
-    import ray.data as rd
-
-    table = pa.table({
-        "image_id": pa.array(list(ids), pa.string()),
-        "phash": pa.array(list(phashes), pa.int64()),
-    })
+    §2.7 D4 stretch), streaming form: ``ds`` is a Ray Dataset with
+    (image_id, phash) columns — typically a parquet read of the images
+    table, never a driver-side list. Split each hash into 4×16-bit
+    bands; near-dups (≤10 bits) almost surely collide in ≥1 band.
+    Candidates = band-bucket groups; verify exact hamming inside
+    map_groups. Only the (small) pair list reaches the driver."""
 
     def bands(batch: pa.Table) -> pa.Table:
         out_id, out_band, out_val, out_hash = [], [], [], []
@@ -258,8 +251,7 @@ def phash_neardup_pairs(ids, phashes, max_hamming: int = 10) -> pd.DataFrame:
         return pd.DataFrame(out, columns=["image_a", "image_b", "hamming"])
 
     cand = (
-        rd.from_arrow(table)
-        .map_batches(bands, batch_format="pyarrow")
+        ds.map_batches(bands, batch_format="pyarrow")
         .groupby(["band", "val"])
         .map_groups(pairs, batch_format="pandas")
         .to_pandas()
@@ -273,6 +265,18 @@ def phash_neardup_pairs(ids, phashes, max_hamming: int = 10) -> pd.DataFrame:
         .sort_values(["image_a", "image_b"])
         .reset_index(drop=True)
     )
+
+
+def phash_neardup_pairs(ids, phashes, max_hamming: int = 10) -> pd.DataFrame:
+    """List-input convenience wrapper over :func:`phash_neardup_pairs_ds`
+    (tests / small ad-hoc sets)."""
+    import ray.data as rd
+
+    table = pa.table({
+        "image_id": pa.array(list(ids), pa.string()),
+        "phash": pa.array(list(phashes), pa.int64()),
+    })
+    return phash_neardup_pairs_ds(rd.from_arrow(table), max_hamming)
 
 
 def q_simhash(sf_dir: str) -> pd.DataFrame:
