@@ -130,3 +130,59 @@ def test_webhook_notification_delivery(tmp_path):
         assert json.loads(notes[-1])["sent"] is True
     finally:
         srv.shutdown()
+
+
+def test_cron_next_fire_property():
+    """Property: next_cron_fire returns a time strictly after `after`
+    whose local datetime satisfies every cron field (dom/dow OR rule)."""
+    import datetime as dtm
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    field = st.one_of(
+        st.just("*"),
+        st.integers(0, 59).map(str),
+        st.tuples(st.integers(0, 20), st.integers(1, 20)).map(
+            lambda t: f"{t[0]}-{t[0] + t[1]}"),
+        st.just("*/5"), st.just("*/15"),
+    )
+
+    def clamp(spec, lo, hi):
+        # rewrite numeric parts into range
+        out = []
+        for part in spec.split(","):
+            if part.startswith("*"):
+                out.append(part)
+                continue
+            if "-" in part:
+                a, b = part.split("-")
+                a, b = max(lo, min(hi, int(a))), max(lo, min(hi, int(b)))
+                out.append(f"{min(a, b)}-{max(a, b)}")
+            else:
+                out.append(str(max(lo, min(hi, int(part)))))
+        return ",".join(out)
+
+    @settings(max_examples=60, deadline=None)
+    @given(field, field, field, field, field,
+           st.integers(1_600_000_000, 1_900_000_000))
+    def run(m, h, dom, mon, dow, after):
+        expr = " ".join([clamp(m, 0, 59), clamp(h, 0, 23), clamp(dom, 1, 31),
+                         clamp(mon, 1, 12), clamp(dow, 0, 6)])
+        try:
+            fire = next_cron_fire(expr, after)
+        except ValueError as e:
+            assert "never fires" in str(e)  # e.g. dom=31 in Feb-only crons
+            return
+        assert fire > after
+        d = dtm.datetime.fromtimestamp(fire)
+        (mins, _), (hrs, _), (doms, dom_w), (mons, _), (dows, dow_w) = \
+            parse_cron(expr)
+        assert d.minute in mins and d.hour in hrs and d.month in mons
+        dom_ok, dow_ok = d.day in doms, d.isoweekday() % 7 in dows
+        if not dom_w and not dow_w:
+            assert dom_ok or dow_ok
+        else:
+            assert dom_ok and dow_ok
+
+    run()
