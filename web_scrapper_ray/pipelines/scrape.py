@@ -20,7 +20,7 @@ from .. import extract
 from ..functions.urlnorm import canonicalize_batch, host_of
 from ..minidom import parse_html
 from ..oracle import BIZ_SELECTORS, ECOM_SELECTORS
-from ..sources.site_store import worker_site_store
+from ..sources.fetch import worker_backend
 
 _OUT_COLS = ["row_kind", "seed_index", "dom_idx", "url", "payload", "outcome"]
 
@@ -32,11 +32,12 @@ def _empty_df() -> pd.DataFrame:
     )
 
 
-def _make_scrape_fn(world_dir: str, kind: str, selectors: dict, first_seed_url: str):
+def _make_scrape_fn(world_dir: str, kind: str, selectors: dict,
+                    first_seed_url: str, backend_spec: dict | None = None):
     def scrape(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) == 0:
             return _empty_df()
-        store = worker_site_store(world_dir)
+        store = worker_backend(world_dir, backend_spec)
         group = group.sort_values(["seed_index"])
         out: list[dict] = []
         for r in group.itertuples(index=False):
@@ -68,9 +69,13 @@ def _make_scrape_fn(world_dir: str, kind: str, selectors: dict, first_seed_url: 
 
 
 def run_page_scrape(world_dir: str, seeds: list[str], kind: str,
-                    selectors: dict | None = None) -> list[dict]:
-    """Distributed scrape; returns records as dicts in reference order.
+                    selectors: dict | None = None,
+                    fetch_backend: dict | None = None) -> list[dict]:
+    """Distributed scrape; returns records as dicts in reference order
+    (the reference's small-result list-of-dicts API). ``fetch_backend``
+    selects the network (sources/fetch.py) exactly like CrawlConfig.
     Ray session owned by the caller."""
+    import pyarrow.compute as pc
     import ray.data as rd
 
     selectors = selectors or (ECOM_SELECTORS if kind == "ecommerce" else BIZ_SELECTORS)
@@ -83,8 +88,11 @@ def run_page_scrape(world_dir: str, seeds: list[str], kind: str,
             "host": pa.array([host_of(u) for u in canon]),
         }
     )
-    fn = _make_scrape_fn(world_dir, kind, selectors, seeds[0])
+    fn = _make_scrape_fn(world_dir, kind, selectors, seeds[0], fetch_backend)
     out = rd.from_arrow(t).groupby("host").map_groups(fn, batch_format="pandas")
-    rows = out.filter(lambda r: r["row_kind"] == "record").to_pandas()
+    rows = out.map_batches(
+        lambda b: b.filter(pc.equal(b.column("row_kind"), "record")),
+        batch_format="pyarrow",
+    ).to_pandas()
     rows = rows.sort_values(["seed_index", "dom_idx"])
     return [json.loads(p) for p in rows["payload"]]
