@@ -41,3 +41,32 @@ def test_non_default_content_options(ray_session, tmp_path):
 
         assert json.loads(e["metadata_json"]) == (o.get("metadata") or {})
     assert saw_keywords
+
+
+def test_speculative_decode_output_identical(ray_session, tmp_path):
+    """Opt-in speculative decode lanes converge to the exact same
+    images table as the default path (reconciliation invariant)."""
+    import pyarrow.dataset as pads
+
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    world = synth.ensure_world("t1")
+
+    def one(spec, out):
+        cfg = CrawlConfig(world_dir=world, out_dir=str(tmp_path / out),
+                          opts={"max_pages": 2}, politeness=False,
+                          speculative_decode=spec, spec_decode_lanes=2)
+        return run_crawl(cfg)
+
+    a = one(False, "plain")
+    b = one(True, "spec")
+    ta = pads.dataset(a["images_dir"], partitioning="hive").to_table().sort_by("image_id")
+    tb = pads.dataset(b["images_dir"], partitioning="hive").to_table().sort_by("image_id")
+    assert ta.num_rows == tb.num_rows and ta.num_rows > 0
+    da = {r["image_id"]: r for r in ta.to_pylist()}
+    db = {r["image_id"]: r for r in tb.to_pylist()}
+    assert da == db
+    # and the lanes actually produced tmp output (speculation ran)
+    import glob as g
+    assert g.glob(str(tmp_path / "spec" / "images_tmp" / "part=*" / "wave_*.parquet"))

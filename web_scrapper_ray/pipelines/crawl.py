@@ -91,6 +91,19 @@ class CrawlConfig:
     # production crawl policy (each canonical URL fetched once);
     # "off" registers but never drops.
     dedup_scope: str = "per_seed"
+    # Speculative decode: each wave's newly-seen image urls are decoded
+    # by background task LANES (≤ spec_decode_lanes concurrent, chained
+    # per part so a part's waves stay ordered) WHILE later waves fetch.
+    # Purely opportunistic: finalize reconciles exactly (decodes any
+    # url the lanes didn't reach at FULL cluster width, attaches final
+    # max-captions), so a crash, a slow lane or speculative_decode=False
+    # all converge to identical output. Default OFF: on the synthetic
+    # bench the interleaved waves are already CPU-saturated, so lanes
+    # only add contention (measured +3 s/5 waves at 32 CPUs); the win
+    # is IO-bound crawls — real HTTP fetch latency leaves workers idle
+    # exactly where the lanes run.
+    speculative_decode: bool = False
+    spec_decode_lanes: Optional[int] = None   # default: cluster CPUs // 4
 
 
 def _read_seeds(cfg: CrawlConfig) -> list[str]:
@@ -153,6 +166,42 @@ def _host_balanced_tables(table: pa.Table, n_bins: int) -> list[pa.Table]:
     ]
 
 
+def _spec_decode_task(prev, world_dir: str, refs_file: str, tmp_dir: str,
+                      wave_k: int, n_partitions: int) -> int:
+    """Background decode of one wave×part refs slice. ``prev`` is the
+    same lane's previous future — a pure ordering dependency so a
+    part's waves never race on the already-decoded set. Idempotent
+    (atomic rename; partial files from crashes are skipped here and
+    reconciled at finalize)."""
+    from ..sources.site_store import worker_site_store
+    from ..stages.decode import decode_urls
+
+    refs = pq.read_table(refs_file, columns=["url_canon", "host"])
+    done: set[str] = set()
+    for f in glob.glob(os.path.join(tmp_dir, "wave_*.parquet")):
+        try:
+            done.update(pq.read_table(f, columns=["url_canon"])
+                        .column("url_canon").to_pylist())
+        except Exception:
+            continue
+    urls, hosts = [], []
+    for u, h in zip(refs.column("url_canon").to_pylist(),
+                    refs.column("host").to_pylist()):
+        if u in done:
+            continue
+        done.add(u)
+        urls.append(u)
+        hosts.append(h)
+    if not urls:
+        return 0
+    t = decode_urls(worker_site_store(world_dir), urls, hosts, n_partitions)
+    os.makedirs(tmp_dir, exist_ok=True)
+    tmp = os.path.join(tmp_dir, f".wave_{wave_k:03d}.tmp")
+    pq.write_table(t, tmp)
+    os.replace(tmp, os.path.join(tmp_dir, f"wave_{wave_k:03d}.parquet"))
+    return t.num_rows
+
+
 def _last_complete_wave(cfg: CrawlConfig) -> int:
     last = -1
     for f in sorted(glob.glob(os.path.join(cfg.out_dir, "checkpoints", "wave_*.json"))):
@@ -189,7 +238,20 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             start_wave = last + 1
     if start_wave == 0:
         shutil.rmtree(os.path.join(cfg.out_dir, "refs"), ignore_errors=True)
+        shutil.rmtree(os.path.join(cfg.out_dir, "images_tmp"), ignore_errors=True)
         _frontier0(cfg, seeds, _wave_paths(cfg, 0)["frontier"])
+
+    spec_remote = None
+    spec_lanes: dict[int, object] = {}
+    n_lanes = 0
+    if cfg.speculative_decode:
+        import ray
+
+        # lanes get a bounded slice of the cluster so waves keep their
+        # cores; chained submission caps concurrency at n_lanes tasks
+        n_lanes = cfg.spec_decode_lanes or max(
+            2, int(ray.cluster_resources().get("CPU", 8)) // 4)
+        spec_remote = ray.remote(num_cpus=1)(_spec_decode_task)
 
     from ..state.metrics import Metrics
 
@@ -323,7 +385,18 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 sub = refs.filter(pc.equal(parts, p))
                 d = os.path.join(cfg.out_dir, "refs", f"part={p}")
                 os.makedirs(d, exist_ok=True)
-                pq.write_table(sub, os.path.join(d, f"wave_{k:03d}.parquet"))
+                refs_file = os.path.join(d, f"wave_{k:03d}.parquet")
+                pq.write_table(sub, refs_file)
+                if spec_remote is not None:
+                    # speculative decode lane (chained per lane so one
+                    # part's waves stay ordered); runs while the NEXT
+                    # waves fetch — see CrawlConfig.speculative_decode
+                    lane = p % n_lanes
+                    spec_lanes[lane] = spec_remote.remote(
+                        spec_lanes.get(lane), cfg.world_dir, refs_file,
+                        os.path.join(cfg.out_dir, "images_tmp", f"part={p}"),
+                        k, cfg.images_partitions,
+                    )
         _t_nxt = _time.time()
         cuckoo_dir = paths["cuckoo"]
         seen.snapshot(cuckoo_dir)
@@ -348,6 +421,20 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             k += 1
             break
         k += 1
+
+    if spec_lanes:
+        # stop the lanes rather than wait: whatever they finished is in
+        # images_tmp (atomic renames); finalize decodes the remainder at
+        # FULL cluster width, so waiting on a few lanes only serializes
+        import ray
+
+        for fut in spec_lanes.values():
+            ray.cancel(fut, force=False, recursive=False)
+        for fut in spec_lanes.values():
+            try:
+                ray.get(fut)
+            except Exception:
+                pass
 
     result = finalize_crawl(cfg)
     counters["fetches"] = result["n_log"]
@@ -484,9 +571,12 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         shutil.rmtree(images_out)
     n_images = 0
     if part_dirs:
-        from ..stages.decode import make_decode_fn
+        from ..sources.site_store import worker_site_store
+        from ..stages.decode import decode_urls
 
-        decode_fn = make_decode_fn(cfg.world_dir, cfg.images_partitions)
+        world_dir = cfg.world_dir
+        n_parts = cfg.images_partitions
+        tmp_root = os.path.join(cfg.out_dir, "images_tmp")
 
         def decode_part(batch: pa.Table) -> pa.Table:
             outs = []
@@ -495,20 +585,49 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
                 # max-caption per url via sort + keep-last boundary mask
                 t = t.sort_by([("url_canon", "ascending"), ("caption", "ascending")])
                 t = t.combine_chunks()
-                urls = t.column("url_canon").combine_chunks()
+                urls_arr = t.column("url_canon").combine_chunks()
                 if t.num_rows > 1:
-                    keep = pc.not_equal(urls.slice(0, t.num_rows - 1),
-                                        urls.slice(1)).to_pylist() + [True]
+                    keep = pc.not_equal(urls_arr.slice(0, t.num_rows - 1),
+                                        urls_arr.slice(1)).to_pylist() + [True]
                     t = t.filter(pa.array(keep))
-                # host-sorted: store-shard cache locality within the task
-                t = t.sort_by("host")
-                for off in range(0, t.num_rows, 256):
-                    outs.append(decode_fn(t.slice(off, 256)))
-            if not outs:
-                return decode_fn(pa.table(
-                    {"url_canon": pa.array([], pa.string()),
-                     "host": pa.array([], pa.string()),
-                     "caption": pa.array([], pa.string())}))
+                captions = dict(zip(t.column("url_canon").to_pylist(),
+                                    t.column("caption").to_pylist()))
+                # reconcile with the speculative lanes' output: rows
+                # already decoded during the crawl are reused; whatever
+                # the lanes didn't reach is decoded here (exactness does
+                # not depend on the lanes at all)
+                part_id = pdir.rsplit("part=", 1)[1]
+                tmp_dir = os.path.join(tmp_root, f"part={part_id}")
+                done: dict[str, int] = {}
+                decoded: list[pa.Table] = []
+                for f in sorted(glob.glob(os.path.join(tmp_dir, "wave_*.parquet"))):
+                    try:
+                        tab = pq.read_table(f)
+                    except Exception:
+                        continue  # partial file from a crash
+                    mask = []
+                    for u in tab.column("url_canon").to_pylist():
+                        fresh = u in captions and u not in done
+                        mask.append(fresh)
+                        if fresh:
+                            done[u] = 1
+                    decoded.append(tab.filter(pa.array(mask)))
+                missing = t.filter(pa.array(
+                    [u not in done for u in t.column("url_canon").to_pylist()]
+                ))
+                if missing.num_rows:
+                    missing = missing.sort_by("host")  # shard-cache locality
+                    decoded.append(decode_urls(
+                        worker_site_store(world_dir),
+                        missing.column("url_canon").to_pylist(),
+                        missing.column("host").to_pylist(), n_parts))
+                full = pa.concat_tables(decoded) if decoded else decode_urls(
+                    worker_site_store(world_dir), [], [], n_parts)
+                caps = pa.array(
+                    [captions.get(u) or "" for u in
+                     full.column("url_canon").to_pylist()], pa.string())
+                outs.append(full.drop_columns(["url_canon"]).add_column(
+                    5, "caption", caps))
             return pa.concat_tables(outs)
 
         parts_ds = rd.from_items(
