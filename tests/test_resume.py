@@ -44,3 +44,47 @@ def test_resume_after_interrupt_matches_uninterrupted(ray_session, tmp_path):
     arts_a = pq.read_table(res_full["articles"]).to_pylist()
     arts_b = pq.read_table(res_resumed["articles"]).to_pylist()
     assert arts_a == arts_b
+
+
+def test_politeness_state_survives_resume(ray_session, tmp_path):
+    """ST6 checkpoint lineage: the per-host next-allowed map is
+    snapshotted per wave and restored on resume, so cross-restart
+    fetch spacing stays honest."""
+    import json
+
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.state.politeness import PolitenessBoard
+
+    world = synth.ensure_world("t1")
+    out = str(tmp_path / "pol")
+    cfg = CrawlConfig(world_dir=world, out_dir=out, opts={"max_pages": 2},
+                      politeness=True, max_waves=1)
+    run_crawl(cfg)  # stops after wave 0 (checkpoint written)
+
+    manifest = json.load(open(out + "/checkpoints/wave_000.json"))
+    pol_dir = manifest["politeness_dir"]
+    assert pol_dir and json.load(open(pol_dir + "/shard_00.json")) is not None
+
+    # a fresh board restores the persisted next-allowed map exactly
+    board = PolitenessBoard(cfg.n_politeness_shards)
+    board.restore(pol_dir)
+    import ray
+    restored = {}
+    for sh in board.shards:
+        restored.update(ray.get(sh.snapshot.remote()))
+    persisted = {}
+    for i in range(cfg.n_politeness_shards):
+        persisted.update(json.load(open(f"{pol_dir}/shard_{i:02d}.json")))
+    assert restored == persisted and len(persisted) > 0
+
+    # and the resumed crawl completes to the same artifacts as a
+    # non-interrupted run (resume path exercises board.restore)
+    cfg_resume = CrawlConfig(world_dir=world, out_dir=out,
+                             opts={"max_pages": 2}, politeness=True)
+    res = run_crawl(cfg_resume, resume=True)
+    full = run_crawl(CrawlConfig(world_dir=world, out_dir=str(tmp_path / "full"),
+                                 opts={"max_pages": 2}, politeness=True))
+    import pyarrow.parquet as pq
+    a = pq.read_table(res["crawl_log"]).drop_columns(["fetch_ts"])
+    b = pq.read_table(full["crawl_log"]).drop_columns(["fetch_ts"])
+    assert a.equals(b)

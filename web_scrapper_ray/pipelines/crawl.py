@@ -138,6 +138,7 @@ def _wave_paths(cfg: CrawlConfig, k: int) -> dict:
         "frontier": os.path.join(cfg.out_dir, "frontier", f"wave_{k:03d}.parquet"),
         "wave_out": os.path.join(cfg.out_dir, "waves", f"wave_{k:03d}"),
         "cuckoo": os.path.join(cfg.out_dir, "checkpoints", f"cuckoo_{k:03d}"),
+        "politeness": os.path.join(cfg.out_dir, "checkpoints", f"politeness_{k:03d}"),
         "manifest": os.path.join(cfg.out_dir, "checkpoints", f"wave_{k:03d}.json"),
     }
 
@@ -235,6 +236,9 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             with open(_wave_paths(cfg, last)["manifest"]) as fh:
                 manifest = json.load(fh)
             seen.restore(manifest["cuckoo_dir"])
+            pol_dir = manifest.get("politeness_dir")
+            if board is not None and pol_dir and os.path.isdir(pol_dir):
+                board.restore(pol_dir)
             start_wave = last + 1
     if start_wave == 0:
         shutil.rmtree(os.path.join(cfg.out_dir, "refs"), ignore_errors=True)
@@ -400,6 +404,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         _t_nxt = _time.time()
         cuckoo_dir = paths["cuckoo"]
         seen.snapshot(cuckoo_dir)
+        if board is not None:
+            board.snapshot(paths["politeness"])
         if debug_timing:
             print(
                 f"[wave {k}] rows={frontier.num_rows} "
@@ -409,6 +415,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             )
         manifest = {
             "wave": k, "complete": True, "cuckoo_dir": cuckoo_dir,
+            "politeness_dir": paths["politeness"] if board is not None else None,
             "frontier_in": paths["frontier"], "wave_out": paths["wave_out"],
             "next_frontier_rows": nxt.num_rows, "counters": dict(counters),
             "metrics": metrics.snapshot(),

@@ -79,6 +79,9 @@ def _make_shard_actor():
         def snapshot(self) -> dict[str, float]:
             return dict(self.next_allowed)
 
+        def restore(self, state: dict[str, float]) -> None:
+            self.next_allowed = dict(state)
+
     return PolitenessShard
 
 
@@ -100,3 +103,39 @@ class PolitenessBoard:
         import ray
 
         return ray.get(self.shard_for(host).reserve.remote(host, n, delay_s))
+
+    def snapshot(self, out_dir: str) -> None:
+        """Persist every shard's next-allowed map (checkpoint lineage:
+        per-host politeness state survives resume alongside the cuckoo
+        shards — SURVEY §2.8)."""
+        import json
+        import os
+
+        import ray
+
+        os.makedirs(out_dir, exist_ok=True)
+        states = ray.get([s.snapshot.remote() for s in self.shards])
+        for i, st in enumerate(states):
+            tmp = os.path.join(out_dir, f".shard_{i:02d}.tmp")
+            with open(tmp, "w") as f:
+                json.dump(st, f)
+            os.replace(tmp, os.path.join(out_dir, f"shard_{i:02d}.json"))
+
+    def restore(self, in_dir: str) -> None:
+        """Restore shard states written by :meth:`snapshot`. Shard count
+        must match (it is part of the checkpoint contract, like the
+        cuckoo shard count)."""
+        import glob
+        import json
+        import os
+
+        import ray
+
+        files = sorted(glob.glob(os.path.join(in_dir, "shard_*.json")))
+        futs = []
+        for f in files:
+            i = int(os.path.basename(f)[6:8])
+            if i < len(self.shards):
+                with open(f) as fh:
+                    futs.append(self.shards[i].restore.remote(json.load(fh)))
+        ray.get(futs)
