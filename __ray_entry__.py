@@ -200,6 +200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q44_distinct_event_types": relational.q_distinct_event_types,
         "q45_brand_revenue_native_join": relational.q_brand_revenue_native_join,
         "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
+        "q43_events_asof_join": relational.q_events_asof_join,
         "q46_custkeys_intersect": relational.q_custkeys_intersect,
         "q47_custkeys_except": relational.q_custkeys_except,
         # text analysis
@@ -347,6 +348,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "q43_events_asof_join": """
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch(o.o_orderdate) AS BIGINT) AS last_order_ts
+            FROM events e ASOF JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
         """,
         "q46_custkeys_intersect": """
             SELECT o_custkey AS custkey FROM orders

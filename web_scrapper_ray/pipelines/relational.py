@@ -420,3 +420,61 @@ def q_custkeys_except(sf_dir: str) -> pd.DataFrame:
     m = _set_op_membership(sf_dir)
     out = m[(m["in_c"] == 1) & (m["in_o"] == 0)][["custkey"]]
     return out.sort_values("custkey").reset_index(drop=True)
+
+
+def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
+    """AS-OF join (custom operator — Ray Data has no native asof): for
+    each event, the latest order of the same customer at-or-before the
+    event time. Distributed shape: both sides hash-partition on the key
+    (one shuffle, same bucketing as the hash join above), then each
+    partition runs a sorted pandas merge_asof — the standard
+    partitioned time-series join. Output is tie-safe (the matched order
+    DATE, not an arbitrary tied order row), so it hash-checks against
+    DuckDB's ASOF JOIN."""
+    import ray.data as rd
+
+    B = 32
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()),
+            "side": pa.array(["E"] * t.num_rows),
+            "key": t.column("user_id"),
+            "t": t.column("ts"),
+            "event_id": t.column("event_id"),
+        })
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t.column("o_custkey"), B - 1), pa.int32()),
+            "side": pa.array(["O"] * t.num_rows),
+            "key": t.column("o_custkey"),
+            "t": t.column("o_orderdate"),
+            "event_id": pa.array([-1] * t.num_rows, pa.int64()),
+        })
+
+    both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        od.map_batches(tag_od, batch_format="pyarrow")
+    )
+
+    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == "E"][["key", "t", "event_id"]].sort_values("t")
+        right = (g[g["side"] == "O"][["key", "t"]]
+                 .rename(columns={"t": "order_t"}).sort_values("order_t"))
+        if left.empty or right.empty:
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "last_order_ts": pd.Series(dtype="int64")})
+        m = pd.merge_asof(left, right, left_on="t", right_on="order_t",
+                          by="key", direction="backward")
+        m = m.dropna(subset=["order_t"])  # ASOF JOIN is inner
+        return pd.DataFrame({
+            "event_id": m["event_id"].astype("int64"),
+            "user_id": m["key"].astype("int64"),
+            "last_order_ts": m["order_t"].astype("datetime64[s]").astype("int64"),
+        })
+
+    out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
