@@ -201,6 +201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q45_brand_revenue_native_join": relational.q_brand_revenue_native_join,
         "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
         "q43_events_asof_join": relational.q_events_asof_join,
+        "q49_rolling_avg": relational.q_rolling_avg,
         "q46_custkeys_intersect": relational.q_custkeys_intersect,
         "q47_custkeys_except": relational.q_custkeys_except,
         # text analysis
@@ -348,6 +349,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "q49_rolling_avg": """
+            SELECT event_id, user_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
+            FROM events ORDER BY event_id
         """,
         "q43_events_asof_join": """
             SELECT e.event_id, e.user_id,

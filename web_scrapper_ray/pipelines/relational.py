@@ -478,3 +478,23 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
 
     out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
+    """Rolling-window aggregate (ROWS BETWEEN 4 PRECEDING AND CURRENT
+    ROW per user, ordered by time): partition by key, sort within the
+    group, vectorized pandas rolling mean — the canonical keyed-window
+    shape (one shuffle; window state never crosses partitions)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def roll(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        return pd.DataFrame({
+            "event_id": g["event_id"].astype("int64"),
+            "user_id": g["user_id"].astype("int64"),
+            "rolling_avg": g["value"].rolling(window, min_periods=1)
+                             .mean().round(4),
+        })
+
+    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
