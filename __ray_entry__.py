@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q42_top_customers_per_segment": relational.q_top_customers_per_segment,
         "q43_events_asof_join": relational.q_events_asof_join,
         "q49_rolling_avg": relational.q_rolling_avg,
+        "q50_orders_events_range_join": relational.q_orders_events_range_join,
         "q46_custkeys_intersect": relational.q_custkeys_intersect,
         "q47_custkeys_except": relational.q_custkeys_except,
         # text analysis
@@ -221,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q21_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "q22_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
         "q23_simhash": dedup.q_simhash,
+        "q51_simhash_neardup": dedup.q_simhash_neardup,
         "q48_dedup_corpus": dedup.q_dedup_corpus,
         # similarity search
         "q24_knn_bruteforce": similarity.q_knn_bruteforce,
@@ -349,6 +351,14 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q44_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
+        """,
+        "q50_orders_events_range_join": """
+            SELECT o.o_orderkey, count(e.event_id)::BIGINT AS n_events_24h
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts >= o.o_orderdate
+             AND e.ts < o.o_orderdate + INTERVAL 1 DAY
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey
         """,
         "q49_rolling_avg": """
             SELECT event_id, user_id,

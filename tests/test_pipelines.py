@@ -213,3 +213,25 @@ def test_multimodal_stages(ray_session):
                                batch_format="pyarrow", concurrency=1,
                                num_cpus=0.5).to_pandas()
     assert len(frames) == 3
+
+
+def test_simhash_neardup_pairs_planted(ray_session, tmp_path):
+    """Near-identical texts land within the hamming ball; the planted
+    twin is recovered by the banded simhash near-dup operator."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.dedup import q_simhash_neardup
+
+    base = pq.read_table(f"{SF}/documents.parquet").to_pylist()[:40]
+    rows = list(base)
+    words = base[2]["text"].split()
+    words[len(words) // 3] = "tweaked"
+    rows.append({**base[2], "doc_id": 9100, "text": " ".join(words)})
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+    pairs = q_simhash_neardup(d, max_hamming=6)
+    got = {(a, b) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (base[2]["doc_id"], 9100) in got
+    ham = pairs.set_index(["doc_a", "doc_b"])["hamming"].to_dict()
+    assert ham[(base[2]["doc_id"], 9100)] <= 3

@@ -53,14 +53,31 @@ def cmd_scrape(args: argparse.Namespace) -> int:
               "sandbox build", file=sys.stderr)
         return 2
     if sc["type"] == "content":
+        # crawl knobs are part of the declarative surface (dot-path
+        # overridable via --set, e.g. --set scraper.frontier_policy=priority)
+        crawl_kwargs = {
+            k: sc[k] for k in ("fetch_backend", "frontier_policy",
+                               "seed_priorities", "max_urls_per_wave",
+                               "dedup_scope", "speculative_decode",
+                               "politeness")
+            if k in sc
+        }
+        if "seed_priorities" in crawl_kwargs and isinstance(
+                crawl_kwargs["seed_priorities"], dict):
+            crawl_kwargs["seed_priorities"] = {
+                int(k): int(v) for k, v in crawl_kwargs["seed_priorities"].items()
+            }
         res = pipeline(world, sc["urls"], sc.get("selectors"),
                        out_dir=args.out_dir or "/tmp/wsr_cli_crawl",
-                       opts={k: sc[k] for k in ("max_pages", "follow_next_page")
-                             if k in sc})
+                       opts={k: sc[k] for k in ("max_pages", "follow_next_page",
+                                                "respect_disallow")
+                             if k in sc},
+                       **crawl_kwargs)
         print(json.dumps({k: v for k, v in res.items() if isinstance(v, (str, int, dict))},
                          default=str))
     else:
-        records = pipeline(world, sc["urls"], sc.get("selectors"))
+        records = pipeline(world, sc["urls"], sc.get("selectors"),
+                           fetch_backend=sc.get("fetch_backend"))
         out = sc.get("output") or {}
         if out.get("format") and out.get("path"):
             import ray.data as rd

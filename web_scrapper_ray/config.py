@@ -122,22 +122,26 @@ def get_pipeline(scraper_type: str) -> Callable:
     from .pipelines.scrape import run_page_scrape
 
     if scraper_type == "ecommerce":
-        return lambda world, seeds, selectors=None: run_page_scrape(
-            world, seeds, "ecommerce", selectors
-        )
+        return lambda world, seeds, selectors=None, fetch_backend=None: \
+            run_page_scrape(world, seeds, "ecommerce", selectors,
+                            fetch_backend=fetch_backend)
     if scraper_type == "business":
-        return lambda world, seeds, selectors=None: run_page_scrape(
-            world, seeds, "business", selectors
-        )
+        return lambda world, seeds, selectors=None, fetch_backend=None: \
+            run_page_scrape(world, seeds, "business", selectors,
+                            fetch_backend=fetch_backend)
     if scraper_type == "content":
         from .oracle import CONTENT_SELECTORS
         from .pipelines.crawl import CrawlConfig, run_crawl
 
         def content_pipeline(world, seeds, selectors=None, out_dir="/tmp/wsr_cli_crawl",
-                             opts=None):
+                             opts=None, **crawl_kwargs):
+            """``crawl_kwargs`` pass through to CrawlConfig — the
+            declarative surface for fetch_backend / frontier_policy /
+            seed_priorities / max_urls_per_wave / dedup_scope /
+            speculative_decode."""
             cfg = CrawlConfig(world_dir=world, out_dir=out_dir, seeds=seeds,
                               selectors=selectors or dict(CONTENT_SELECTORS),
-                              opts=opts or {})
+                              opts=opts or {}, **crawl_kwargs)
             return run_crawl(cfg)
 
         return content_pipeline

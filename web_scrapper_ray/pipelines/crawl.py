@@ -224,6 +224,14 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
     for sub in ("frontier", "waves", "checkpoints", "out"):
         os.makedirs(os.path.join(cfg.out_dir, sub), exist_ok=True)
 
+    if cfg.frontier_policy not in ("program_order", "priority"):
+        raise ValueError(
+            f"unknown frontier_policy: {cfg.frontier_policy!r} "
+            "(expected 'program_order' or 'priority')")
+    if cfg.dedup_scope not in ("per_seed", "global", "off"):
+        raise ValueError(
+            f"unknown dedup_scope: {cfg.dedup_scope!r} "
+            "(expected 'per_seed', 'global' or 'off')")
     seeds = _read_seeds(cfg)
     opts = {"max_pages": 1, "follow_next_page": True, **cfg.opts}
     seen = SeenSet(n_shards=cfg.n_seen_shards)

@@ -333,3 +333,35 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     of 4 rows is ~1-(1-0.3^4)^16 ≈ 12% per band family — the exactness
     is in the verify, the bands only bound the candidate set)."""
     return q_minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold)
+
+
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """SimHash near-duplicate PAIRS over documents (the multi-table
+    hamming-ball extension promised above): 4×16-bit banding of the
+    64-bit signature — identical machinery to the phash near-dup path —
+    candidates from band-bucket collisions, exact hamming verify.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def sig(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t) for t in batch.column("text").to_pylist()]
+        return pa.table({
+            "image_id": pa.array([str(d) for d in
+                                  batch.column("doc_id").to_pylist()], pa.string()),
+            "phash": pa.array(vals, pa.int64()),
+        })
+
+    pairs = phash_neardup_pairs_ds(
+        ds.map_batches(sig, batch_format="pyarrow"), max_hamming)
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                             "doc_b": pd.Series(dtype="int64"),
+                             "hamming": pd.Series(dtype="int64")})
+    out = pd.DataFrame({
+        "doc_a": pairs["image_a"].astype("int64"),
+        "doc_b": pairs["image_b"].astype("int64"),
+        "hamming": pairs["hamming"].astype("int64"),
+    })
+    swap = out["doc_a"] > out["doc_b"]
+    out.loc[swap, ["doc_a", "doc_b"]] = out.loc[swap, ["doc_b", "doc_a"]].values
+    return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

@@ -498,3 +498,60 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
 
     out = ds.groupby("user_id").map_groups(roll, batch_format="pandas").to_pandas()
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
+    """Range (interval) join — another operator Ray Data lacks natively:
+    per order, count the customer's events inside [orderdate,
+    orderdate+24h). Distributed shape: hash-partition BOTH sides on the
+    key (one shuffle), then a per-partition key-equi merge + vectorized
+    interval filter; the within-key cross product is bounded by per-key
+    cardinality (events/user × orders/customer), which is the standard
+    assumption for keyed range joins."""
+    import ray.data as rd
+
+    B = 32
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def tag_ev(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()),
+            "side": pa.array(["E"] * t.num_rows),
+            "key": t.column("user_id"),
+            "t": t.column("ts"),
+            "rid": t.column("event_id"),
+        })
+
+    def tag_od(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": pc.cast(pc.bit_wise_and(t.column("o_custkey"), B - 1), pa.int32()),
+            "side": pa.array(["O"] * t.num_rows),
+            "key": t.column("o_custkey"),
+            "t": t.column("o_orderdate"),
+            "rid": t.column("o_orderkey"),
+        })
+
+    both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
+        od.map_batches(tag_od, batch_format="pyarrow")
+    )
+
+    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        orders = g[g["side"] == "O"][["key", "t", "rid"]].rename(
+            columns={"t": "o_t", "rid": "o_orderkey"})
+        events = g[g["side"] == "E"][["key", "t"]]
+        if orders.empty:
+            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                                 "n_events_24h": pd.Series(dtype="int64")})
+        if events.empty:
+            return pd.DataFrame({"o_orderkey": orders["o_orderkey"].astype("int64"),
+                                 "n_events_24h": 0})
+        m = orders.merge(events, on="key", how="left")
+        hit = (m["t"] >= m["o_t"]) & (m["t"] < m["o_t"] + pd.Timedelta(days=1))
+        counts = (m.assign(hit=hit.fillna(False).astype("int64"))
+                  .groupby("o_orderkey", as_index=False)["hit"].sum())
+        return pd.DataFrame({"o_orderkey": counts["o_orderkey"].astype("int64"),
+                             "n_events_24h": counts["hit"].astype("int64")})
+
+    out = both.groupby("bucket").map_groups(range_bucket, batch_format="pandas").to_pandas()
+    return out.sort_values("o_orderkey").reset_index(drop=True)
