@@ -70,3 +70,53 @@ def test_speculative_decode_output_identical(ray_session, tmp_path):
     # and the lanes actually produced tmp output (speculation ran)
     import glob as g
     assert g.glob(str(tmp_path / "spec" / "images_tmp" / "part=*" / "wave_*.parquet"))
+
+
+def test_respect_disallow_end_to_end(ray_session, tmp_path):
+    """Opt-in robots enforcement: a Disallow rule (RFC 9309 matcher)
+    turns matching fetches into 'disallowed' log rows; parity mode
+    (flag off) fetches everything."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    src = synth.ensure_world("t1")
+    world = str(tmp_path / "world")
+    shutil.copytree(src, world)
+    # patch every robots.txt: block the /posts/ subtree
+    for f in glob.glob(world + "/site/site_*.parquet"):
+        t = pq.read_table(f)
+        bodies = []
+        for u, b in zip(t.column("url_canon").to_pylist(),
+                        t.column("body").to_pylist()):
+            if u.endswith("/robots.txt"):
+                b = b + b"Disallow: /posts/\n"
+            bodies.append(b)
+        t = t.set_column(t.schema.get_field_index("body"), "body",
+                         pa.array(bodies, pa.binary()))
+        pq.write_table(t, f)
+
+    def one(flag, out):
+        cfg = CrawlConfig(world_dir=world, out_dir=str(tmp_path / out),
+                          opts={"max_pages": 2, "respect_disallow": flag},
+                          politeness=True)
+        return run_crawl(cfg)
+
+    res_off = one(False, "off")
+    res_on = one(True, "on")
+    log_off = pq.read_table(res_off["crawl_log"]).to_pandas()
+    log_on = pq.read_table(res_on["crawl_log"]).to_pandas()
+    assert (log_off["outcome"] == "disallowed").sum() == 0
+    n_blocked = (log_on["outcome"] == "disallowed").sum()
+    assert n_blocked > 0
+    assert log_on[log_on["outcome"] == "disallowed"]["url_canon"].str.contains(
+        "/posts/").all()
+    # blocked detail fetches → fewer article records than parity mode
+    n_off = pq.read_table(res_off["articles"]).num_rows
+    n_on = pq.read_table(res_on["articles"]).num_rows
+    assert n_on < n_off

@@ -86,3 +86,35 @@ def test_parse_robots_disallow():
     assert is_disallowed("/tmpfile", dis)
     assert not is_disallowed("/public", dis)
     assert parse_robots(None) == (0.0, [])
+
+
+def test_rfc9309_robots_matcher():
+    """RFC 9309 semantics: group selection by UA, Allow/Disallow with
+    * and $ wildcards, longest-match precedence, Allow winning ties."""
+    from web_scrapper_ray.state.politeness import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    body = (b"User-agent: megabot\nDisallow: /\n\n"
+            b"User-agent: *\nCrawl-delay: 0.05\n"
+            b"Disallow: /private/\n"
+            b"Allow: /private/pub*\n"
+            b"Disallow: /*.zip$\n"
+            b"Disallow: /tmp\n"
+            b"Allow: /tmp/keep\n")
+    delay, rules = parse_robots_rules(body)
+    assert delay == 0.05 and len(rules) == 5
+    assert not robots_allowed("/private/x", rules)
+    assert robots_allowed("/private/pub/doc", rules)   # longer Allow wins
+    assert not robots_allowed("/data/big.zip", rules)  # * and $ anchors
+    assert robots_allowed("/data/big.zipper", rules)   # $ really anchors
+    assert not robots_allowed("/tmpfile", rules)
+    assert robots_allowed("/tmp/keep/me", rules)
+    assert robots_allowed("/public", rules)            # no rule → allowed
+
+    # group selection: the UA-specific group beats *
+    delay_m, rules_m = parse_robots_rules(body, user_agent="MegaBot/2.0")
+    assert not robots_allowed("/anything", rules_m)    # Disallow: /
+    # empty Disallow means allow-all
+    assert parse_robots_rules(b"User-agent: *\nDisallow:\n") == (0.0, [])

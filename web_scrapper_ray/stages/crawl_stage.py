@@ -50,7 +50,7 @@ from ..minidom import parse_html
 from ..oracle import collect_image_caption_pairs
 from ..sources.fetch import worker_backend
 from ..state.cuckoo import hash64
-from ..state.politeness import is_disallowed, parse_robots
+from ..state.politeness import parse_robots_rules, robots_allowed
 
 OUT_SCHEMA = pa.schema([
     ("row_kind", pa.string()),
@@ -211,22 +211,24 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
 
         # -- politeness: robots crawl-delay + cross-wave reservation ------
         delay_s = 0.0
-        disallow: list[str] = []
+        rules: list = []
         shard = None
         t0 = time.time()
         if politeness_shards:
             robots_body, _ = store.get(f"http://{host}/robots.txt", host)
-            delay_s, disallow = parse_robots(robots_body)
+            delay_s, rules = parse_robots_rules(robots_body)
             shard = politeness_shards[hash64(host) % n_politeness_shards]
             t0 = ray.get(shard.reserve.remote(host, hi - lo, delay_s))
         # Disallow enforcement is opt-in (opts["respect_disallow"]): the
         # reference never reads robots.txt at all, so parity mode must
-        # fetch everything; a production crawl flips the flag.
+        # fetch everything; a production crawl flips the flag and gets
+        # the full RFC 9309 matcher (Allow/Disallow, * and $ wildcards,
+        # longest-match precedence).
         if not opts.get("respect_disallow"):
-            disallow = []
+            rules = []
         return {
             "host": host, "idx": lo, "hi": hi, "store": store,
-            "delay": delay_s, "disallow": disallow, "shard": shard,
+            "delay": delay_s, "rules": rules, "shard": shard,
             "t0": t0, "fetch_i": 0, "last_start": t0 - delay_s,
             "ready": t0 if delay_s > 0 else 0.0,
         }
@@ -238,10 +240,10 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         seed_i = int(cols["seed_index"][ri])
         page_i = int(cols["page_idx"][ri])
         sub_i = int(cols["sub_idx"][ri])
-        if st["disallow"]:
+        if st["rules"]:
             from urllib.parse import urlsplit
 
-            if is_disallowed(urlsplit(canonicalize_url(url)).path, st["disallow"]):
+            if not robots_allowed(urlsplit(canonicalize_url(url)).path, st["rules"]):
                 out.append(
                     _row("log", seed_index=seed_i, page_idx=page_i,
                          sub_idx=sub_i, url=url,

@@ -50,7 +50,96 @@ def parse_robots(robots_body: bytes | None) -> tuple[float, list[str]]:
 
 
 def is_disallowed(url_path: str, disallow: list[str]) -> bool:
+    """Legacy prefix matcher (kept for the simplified parse_robots
+    surface); the crawl uses the RFC 9309 matcher below."""
     return any(url_path.startswith(p) for p in disallow)
+
+
+# ---------------------------------------------------------------------------
+# RFC 9309 robots matcher (group selection, Allow/Disallow, * and $
+# wildcards, longest-match precedence with Allow winning ties)
+# ---------------------------------------------------------------------------
+
+_UA_RX = re.compile(r"^user-agent:\s*(\S+)", re.IGNORECASE)
+_RULE_RX = re.compile(r"^(allow|disallow):\s*(\S*)", re.IGNORECASE)
+_DELAY_LINE_RX = re.compile(r"^crawl-delay:\s*([0-9.]+)", re.IGNORECASE)
+
+
+def parse_robots_rules(body: bytes | None, user_agent: str = "*"
+                       ) -> tuple[float, list[tuple[bool, str]]]:
+    """→ (crawl-delay seconds, [(is_allow, path_pattern), ...]) for the
+    best-matching user-agent group: the group whose UA token is the
+    longest substring of ``user_agent`` (case-insensitive), falling
+    back to the ``*`` group (RFC 9309 §2.2.1)."""
+    if not body:
+        return 0.0, []
+    groups: list[tuple[list[str], list[tuple[bool, str]], float]] = []
+    cur_uas: list[str] = []
+    cur_rules: list[tuple[bool, str]] = []
+    cur_delay = 0.0
+    in_group_body = False
+    for raw in body.decode(errors="replace").splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line:
+            continue
+        m = _UA_RX.match(line)
+        if m:
+            if in_group_body and cur_uas:
+                groups.append((cur_uas, cur_rules, cur_delay))
+                cur_uas, cur_rules, cur_delay = [], [], 0.0
+                in_group_body = False
+            cur_uas.append(m.group(1).lower())
+            continue
+        rm = _RULE_RX.match(line)
+        if rm:
+            in_group_body = True
+            if rm.group(2):  # empty Disallow: means allow-all (no rule)
+                cur_rules.append((rm.group(1).lower() == "allow", rm.group(2)))
+            continue
+        dm = _DELAY_LINE_RX.match(line)
+        if dm:
+            in_group_body = True
+            cur_delay = float(dm.group(1))
+    if cur_uas:
+        groups.append((cur_uas, cur_rules, cur_delay))
+    ua = user_agent.lower()
+    best: tuple[int, list, float] | None = None
+    for uas, rules, delay in groups:
+        for tok in uas:
+            if tok == "*":
+                score = 0
+            elif tok in ua:
+                score = len(tok)
+            else:
+                continue
+            if best is None or score > best[0]:
+                best = (score, rules, delay)
+    if best is None:
+        return 0.0, []
+    return best[2], best[1]
+
+
+def _rule_matches(pattern: str, path: str) -> bool:
+    anchored = pattern.endswith("$")
+    if anchored:
+        pattern = pattern[:-1]
+    parts = [re.escape(p) for p in pattern.split("*")]
+    rx = ".*".join(parts) + (r"\Z" if anchored else "")
+    return re.match(rx, path) is not None
+
+
+def robots_allowed(path: str, rules: list[tuple[bool, str]]) -> bool:
+    """RFC 9309 §2.2.2: the matching rule with the longest pattern wins;
+    an Allow/Disallow tie goes to Allow; no matching rule → allowed."""
+    best_len = -1
+    best_allow = True
+    for allow, pattern in rules:
+        if _rule_matches(pattern, path):
+            plen = len(pattern)
+            if plen > best_len or (plen == best_len and allow and not best_allow):
+                best_len = plen
+                best_allow = allow
+    return best_allow
 
 
 def _make_shard_actor():
