@@ -216,6 +216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_json_valid": textops.q_json_valid,
         "q18_phone_digits": textops.q_phone_digits,
         "q39_bpe_token_count": textops.q_bpe_token_count,
+        "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         # dedup
         "q20_exact_dedup": dedup.q_exact_dedup,
@@ -488,6 +489,14 @@ def oracle_sql() -> dict[str, str]:
                        regexp_extract_all(text, 'from ([A-Z][a-z]+(?:,\s+[A-Z][a-z]+)*)', 1)),
                        regexp_extract_all(text, 'to ([A-Z][a-z]+(?:,\s+[A-Z][a-z]+)*)', 1))))::BIGINT AS n_locations
             FROM documents ORDER BY doc_id
+        """,
+        "q52_stratified_sample": """
+            SELECT lang, doc_id, rank FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(text), doc_id) AS rank
+                FROM documents
+            ) WHERE rank <= 5 ORDER BY lang, rank
         """,
         "q39_bpe_token_count": r"""
             SELECT doc_id,

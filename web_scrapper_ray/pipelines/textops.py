@@ -252,3 +252,34 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(count, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
+    """Deterministic stratified sampling (the training-data "K docs per
+    stratum" op): partition by language, rank inside each group by a
+    content-derived hash (md5 — stable across runs and cluster shapes,
+    unlike RNG state), keep the top K. One groupby shuffle; group ranking
+    is vectorized pandas."""
+    ds = _docs(sf_dir, ["doc_id", "text", "lang"])
+
+    def add_rank_key(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(t.encode()).hexdigest()
+                for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "lang": batch.column("lang"),
+                         "rank_key": pa.array(keys)})
+
+    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["rank_key", "doc_id"]).head(per_group)
+        out = g[["lang", "doc_id"]].copy()
+        out["rank"] = range(1, len(g) + 1)
+        return out
+
+    out = (
+        ds.map_batches(add_rank_key, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(head_k, batch_format="pandas")
+        .to_pandas()
+    )
+    out["rank"] = out["rank"].astype("int64")
+    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
