@@ -235,3 +235,29 @@ def test_simhash_neardup_pairs_planted(ray_session, tmp_path):
     assert (base[2]["doc_id"], 9100) in got
     ham = pairs.set_index(["doc_a", "doc_b"])["hamming"].to_dict()
     assert ham[(base[2]["doc_id"], 9100)] <= 3
+
+
+def test_neardup_cosine_cross_chunk_pairs(ray_session, tmp_path):
+    """Regression: with more blocks than chunk groups, a near-dup pair
+    whose lower id lands in a HIGHER-numbered group must still be found
+    (cross-group tasks emit normalized (min, max) pairs — an id-order
+    filter would silently drop them)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_neardup_cosine
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    mat = rng.normal(size=(n, 32))
+    mat[2000] = mat[250] + 0.01 * rng.normal(size=32)  # planted pair (250, 2000)
+    t = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array([v.tolist() for v in mat], pa.list_(pa.float32())),
+    })
+    d = str(tmp_path)
+    # tiny row groups → the read splits into many blocks (> N_CHUNKS)
+    pq.write_table(t, f"{d}/embeddings.parquet", row_group_size=100)
+    out = q_neardup_cosine(d, threshold=0.95)
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    assert (250, 2000) in got, got

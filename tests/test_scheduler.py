@@ -186,3 +186,15 @@ def test_cron_next_fire_property():
             assert dom_ok and dow_ok
 
     run()
+
+
+def test_cron_step_wildcard_keeps_star_flag():
+    """Vixie semantics: '*/2' in dom keeps the star flag, so dom/dow
+    combine with AND (restricted-dow only), not OR."""
+    # 2026-08-17 is a Monday. '0 0 */2 * 1' = odd days that are Mondays
+    # (dom star flag set) -> next fire must be a Monday on an odd day.
+    fire = next_cron_fire("0 0 */2 * 1", _ts(2026, 8, 17, 1, 0))
+    d = dt.datetime.fromtimestamp(fire)
+    assert d.isoweekday() == 1 and d.day % 2 == 1
+    # an OR interpretation would fire the very next odd day (Aug 19, Wed)
+    assert (d.month, d.day) != (8, 19)

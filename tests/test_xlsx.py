@@ -107,3 +107,36 @@ def test_xlsx_roundtrip_property(tmp_path):
                     assert g == o, (o, g)
 
     run()
+
+
+def test_header_gap_and_quoted_sheet_name(tmp_path):
+    """Review regressions: a blank header cell must not shift later
+    columns; sheet names containing quotes must produce valid XML."""
+    import zipfile as zf
+    from xml.etree import ElementTree as ET
+
+    p = str(tmp_path / "gap.xlsx")
+    write_xlsx(p, {'Q3 "final"': [{"a": 1, "c": 3}, {"a": None, "c": 30}]})
+    # simulate a foreign workbook with a header gap: header in A and C
+    with zf.ZipFile(p) as z:
+        ws = z.read("xl/worksheets/sheet1.xml").decode()
+    ws_gap = ws.replace('<c r="B1"', '<c r="C1"').replace(
+        '<c r="B2"', '<c r="C2"').replace('<c r="B3"', '<c r="C3"')
+    import shutil
+    p2 = str(tmp_path / "gap2.xlsx")
+    shutil.copy(p, p2)
+    # rewrite the worksheet with the gapped refs
+    with zf.ZipFile(p, "r") as zin, zf.ZipFile(p2, "w") as zout:
+        for item in zin.infolist():
+            data = zin.read(item.filename)
+            if item.filename == "xl/worksheets/sheet1.xml":
+                data = ws_gap.encode()
+            zout.writestr(item, data)
+    back = read_xlsx(p2)
+    assert list(back) == ['Q3 "final"']  # quoted name round-trips
+    rows = back['Q3 "final"']
+    assert rows[0] == {"a": 1, "c": 3}      # c stays under header c
+    assert rows[1] == {"a": None, "c": 30}
+    # the workbook XML itself is well-formed despite the quote
+    with zf.ZipFile(p2) as z:
+        ET.fromstring(z.read("xl/workbook.xml"))

@@ -168,13 +168,14 @@ def _host_balanced_tables(table: pa.Table, n_bins: int) -> list[pa.Table]:
 
 
 def _spec_decode_task(prev, world_dir: str, refs_file: str, tmp_dir: str,
-                      wave_k: int, n_partitions: int) -> int:
+                      wave_k: int, n_partitions: int,
+                      backend_spec: dict | None = None) -> int:
     """Background decode of one wave×part refs slice. ``prev`` is the
     same lane's previous future — a pure ordering dependency so a
     part's waves never race on the already-decoded set. Idempotent
     (atomic rename; partial files from crashes are skipped here and
     reconciled at finalize)."""
-    from ..sources.site_store import worker_site_store
+    from ..sources.fetch import worker_backend
     from ..stages.decode import decode_urls
 
     refs = pq.read_table(refs_file, columns=["url_canon", "host"])
@@ -195,7 +196,7 @@ def _spec_decode_task(prev, world_dir: str, refs_file: str, tmp_dir: str,
         hosts.append(h)
     if not urls:
         return 0
-    t = decode_urls(worker_site_store(world_dir), urls, hosts, n_partitions)
+    t = decode_urls(worker_backend(world_dir, backend_spec), urls, hosts, n_partitions)
     os.makedirs(tmp_dir, exist_ok=True)
     tmp = os.path.join(tmp_dir, f".wave_{wave_k:03d}.tmp")
     pq.write_table(t, tmp)
@@ -407,7 +408,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                     spec_lanes[lane] = spec_remote.remote(
                         spec_lanes.get(lane), cfg.world_dir, refs_file,
                         os.path.join(cfg.out_dir, "images_tmp", f"part={p}"),
-                        k, cfg.images_partitions,
+                        k, cfg.images_partitions, cfg.fetch_backend,
                     )
         _t_nxt = _time.time()
         cuckoo_dir = paths["cuckoo"]
@@ -586,10 +587,11 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
         shutil.rmtree(images_out)
     n_images = 0
     if part_dirs:
-        from ..sources.site_store import worker_site_store
+        from ..sources.fetch import worker_backend
         from ..stages.decode import decode_urls
 
         world_dir = cfg.world_dir
+        backend_spec = cfg.fetch_backend
         n_parts = cfg.images_partitions
         tmp_root = os.path.join(cfg.out_dir, "images_tmp")
 
@@ -633,11 +635,11 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
                 if missing.num_rows:
                     missing = missing.sort_by("host")  # shard-cache locality
                     decoded.append(decode_urls(
-                        worker_site_store(world_dir),
+                        worker_backend(world_dir, backend_spec),
                         missing.column("url_canon").to_pylist(),
                         missing.column("host").to_pylist(), n_parts))
                 full = pa.concat_tables(decoded) if decoded else decode_urls(
-                    worker_site_store(world_dir), [], [], n_parts)
+                    worker_backend(world_dir, backend_spec), [], [], n_parts)
                 caps = pa.array(
                     [captions.get(u) or "" for u in
                      full.column("url_canon").to_pylist()], pa.string())

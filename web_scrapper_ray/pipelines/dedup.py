@@ -106,20 +106,25 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("content_hash").reset_index(drop=True)
 
 
-def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
+                        n_bands: int = N_BANDS,
+                        rows_per_band: int = ROWS_PER_BAND) -> pd.DataFrame:
     """MinHash+LSH candidate generation + exact shingle-Jaccard verify.
     Returns (doc_a, doc_b, jaccard) pairs above threshold, doc_a < doc_b.
-    Non-SQL-expressible → rows-only driver check; invariants pytest'd."""
+    Banding must be chosen for the threshold: candidate recall at
+    jaccard j is 1-(1-j^rows_per_band)^n_bands. Non-SQL-expressible →
+    rows-only driver check; invariants pytest'd."""
     import ray
 
+    assert n_bands * rows_per_band <= N_PERM
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def bands(batch: pa.Table) -> pa.Table:
         doc_ids, band_ids, band_hashes = [], [], []
         for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
             sig = minhash_signature(t)
-            for b in range(N_BANDS):
-                chunk = sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]
+            for b in range(n_bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
                 doc_ids.append(d)
                 band_ids.append(b)
@@ -328,11 +333,13 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
 
 def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     """n-gram Jaccard near-dup as its own operator: banded-MinHash
-    candidate generation + exact 3-gram-shingle Jaccard verification at
-    a lower threshold than q21 (banding recall at j≈0.3 with 16 bands
-    of 4 rows is ~1-(1-0.3^4)^16 ≈ 12% per band family — the exactness
-    is in the verify, the bands only bound the candidate set)."""
-    return q_minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold)
+    candidates + exact 3-gram-shingle Jaccard verify. The banding is
+    REBANDED for the lower threshold — 32 bands × 2 rows gives
+    candidate recall 1-(1-0.3²)^32 ≈ 0.95 at j=0.3 (q21's 16×4 family
+    would catch only ~12% there); the verify step keeps the result
+    exact on the candidate set either way."""
+    return q_minhash_lsh_pairs(sf_dir, jaccard_threshold=threshold,
+                               n_bands=32, rows_per_band=2)
 
 
 def q_simhash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:

@@ -149,10 +149,22 @@ def q_neardup_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
         ids_b, ub = (ids_a, ua) if same else load(refs_b)
         sims = ua @ ub.T
         ii, jj = np.nonzero(sims >= threshold)
-        keep = ids_a[ii] < ids_b[jj]
+        left, right = ids_a[ii], ids_b[jj]
+        if same:
+            # self-pairs and mirror duplicates exist only here
+            keep = left < right
+            left, right = left[keep], right[keep]
+        else:
+            # each unordered chunk pair runs in exactly ONE task, so
+            # every qualifying pair must be EMITTED (normalized to
+            # (min, max)) — filtering on id order would silently drop
+            # pairs whose group-A member has the larger vec_id
+            lo = np.minimum(left, right)
+            right = np.maximum(left, right)
+            left = lo
         return pa.table({
-            "vec_a": pa.array(ids_a[ii][keep].astype("int64")),
-            "vec_b": pa.array(ids_b[jj][keep].astype("int64")),
+            "vec_a": pa.array(left.astype("int64")),
+            "vec_b": pa.array(right.astype("int64")),
         })
 
     futs = []

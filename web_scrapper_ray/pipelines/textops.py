@@ -233,7 +233,6 @@ def q_phone_digits(sf_dir: str) -> pd.DataFrame:
 BPE_SPLIT_RX_STR = (
     r"'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
 )
-_BPE_SPLIT_RX = re.compile(BPE_SPLIT_RX_STR)
 
 
 def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:

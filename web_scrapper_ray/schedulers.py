@@ -8,11 +8,12 @@ a `python -m web_scrapper_ray.cli scrape` subprocess here). This module
 keeps the reference's job-metadata surface — schedule/list/remove,
 last_run/last_status, email/webhook notification hooks — backed by a
 JSON store (SQLite adds nothing for a metadata table this small), with
-an interval/cron-lite trigger.
+interval and full 5-field cron triggers.
 
-Notifications are STUBS (no network in this sandbox): they append to a
-``notifications.log`` next to the store; swap ``_notify`` for
-smtplib/requests in a connected deployment.
+Notifications are REAL senders (reference payload shapes): webhook =
+requests.post JSON, email = smtplib gated on WEBSCRAPER_SMTP_* env
+vars; every attempt is also appended to ``notifications.log`` (the
+audit trail and deterministic test surface).
 """
 
 from __future__ import annotations
@@ -50,7 +51,9 @@ _CRON_BOUNDS = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
 def _parse_cron_field(spec: str, lo: int, hi: int) -> tuple[set, bool]:
     """One cron field → (allowed values, was_wildcard)."""
     vals: set[int] = set()
-    wild = spec == "*"
+    # Vixie/cronie: the star flag (dom/dow OR rule) is set whenever the
+    # field STARTS with '*' — including step wildcards like */2
+    wild = spec.startswith("*")
     for part in spec.split(","):
         step = 1
         if "/" in part:

@@ -61,6 +61,9 @@ class StoreBackend:
     def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
         return self.store.get(url, host)
 
+    def get_canonical(self, url_canon: str, host: str) -> tuple[Optional[bytes], int]:
+        return self.store.get_canonical(url_canon, host)
+
 
 def backoff_s(attempt: int) -> float:
     """Wait before retry ``attempt`` (1-based), tenacity wait_exponential
@@ -127,6 +130,10 @@ class HTTPBackend:
         except UnicodeError:
             pass
         return target, {"Host": h}
+
+    def get_canonical(self, url_canon: str, host: str) -> tuple[Optional[bytes], int]:
+        # canonical URLs are plain GETs over HTTP (no re-canonicalization)
+        return self.get(url_canon, host)
 
     def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
         target, extra = self._target(url, host)

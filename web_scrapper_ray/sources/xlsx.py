@@ -20,7 +20,7 @@ import re
 import zipfile
 from typing import Any, Optional
 from xml.etree import ElementTree as ET
-from xml.sax.saxutils import escape
+from xml.sax.saxutils import escape, quoteattr
 
 _NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _NS_REL = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
@@ -114,7 +114,7 @@ def write_xlsx(path: str, sheets: dict[str, list[dict]],
     apply to every sheet, like the reference's per-option loop."""
     names = list(sheets)
     sheet_entries = "".join(
-        f'<sheet name="{escape(n)}" sheetId="{i + 1}" r:id="rId{i + 1}"/>'
+        f'<sheet name={quoteattr(n)} sheetId="{i + 1}" r:id="rId{i + 1}"/>'
         for i, n in enumerate(names)
     )
     workbook = (
@@ -241,17 +241,16 @@ def read_xlsx(path: str, sheet_name: Optional[str] = None
             if not grid:
                 out[name] = []
                 continue
+            # map headers by their ACTUAL column index (a blank header
+            # cell must not shift later columns under the wrong key)
             header_row = grid.get(min(grid))
-            columns = [header_row[i] for i in sorted(header_row)]
+            col_map = {ci: str(header_row[ci]) for ci in sorted(header_row)}
             rows = []
             for ri in sorted(grid):
                 if ri == min(grid):
                     continue
                 cells = grid[ri]
-                rows.append({
-                    str(col): cells.get(ci)
-                    for ci, col in enumerate(columns)
-                })
+                rows.append({col: cells.get(ci) for ci, col in col_map.items()})
             out[name] = rows
     if sheet_name is not None:
         return out[sheet_name]

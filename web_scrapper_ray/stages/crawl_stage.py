@@ -250,6 +250,11 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                          url_canon=canonicalize_url(url), host=host,
                          outcome="disallowed", fetch_ts=time.time())
                 )
+                if kind == "seed":
+                    # the seed still needs its outcome row — it is
+                    # neither visited nor failed, it was blocked
+                    out.append(_row("seed_outcome", url=url,
+                                    seed_index=seed_i, outcome="disallowed"))
                 return
         # fetch NOW (the heap guaranteed start ≥ both the reservation
         # schedule and last_start + delay; budget is on fetch STARTS,

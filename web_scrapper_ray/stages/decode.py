@@ -6,11 +6,11 @@ rows of ``(url_canon, image_id, bytes, w, h, fmt, phash, part)`` out,
 skew, north rule). Captions are attached by the caller (the max-caption
 rule is a cross-wave reduction over refs, resolved at finalize).
 
-State (the content-store shard cache) is per worker via
-``worker_site_store`` — plain tasks amortize it exactly like an actor
-pool without pool-startup latency; decode is used both as per-partition
-finalize tasks and as the speculative background lanes that overlap the
-crawl waves (pipelines/crawl.py).
+Backend state (content-store shard cache / HTTP session pool) is per
+worker via ``sources.fetch.worker_backend`` — plain tasks amortize it
+exactly like an actor pool without pool-startup latency; decode is used
+both as per-partition finalize tasks and as the speculative background
+lanes that overlap the crawl waves (pipelines/crawl.py).
 """
 
 from __future__ import annotations
@@ -18,15 +18,16 @@ from __future__ import annotations
 import pyarrow as pa
 
 from .. import codecs
-from ..sources.site_store import worker_site_store
 from ..synth import shard_of
 
 
 def decode_urls(store, urls: list[str], hosts: list[str],
                 n_partitions: int = 16) -> pa.Table:
-    """Fetch+decode+phash each canonical URL; rows for failures (404 /
-    undecodable) are simply absent, matching the crawl's failed-fetch
-    semantics."""
+    """Fetch+decode+phash each canonical URL. ``store`` is any
+    FetchBackend with ``get_canonical`` (synthetic site store or real
+    HTTP — sources/fetch.py), so image bytes come from the SAME network
+    the crawl used. Rows for failures (404 / undecodable) are simply
+    absent, matching the crawl's failed-fetch semantics."""
     out = {k: [] for k in ("url_canon", "image_id", "bytes", "w", "h",
                            "fmt", "phash", "part")}
     for url, host in zip(urls, hosts):
@@ -59,20 +60,3 @@ def decode_urls(store, urls: list[str], hosts: list[str],
             "part": pa.array(out["part"], pa.int32()),
         }
     )
-
-
-def make_decode_fn(world_dir: str, n_partitions: int = 16):
-    """Refs-batch form: ``(url_canon, host, caption)`` rows in → full
-    images rows (caption carried through) out."""
-
-    def decode(batch: pa.Table) -> pa.Table:
-        urls = batch.column("url_canon").to_pylist()
-        hosts = batch.column("host").to_pylist()
-        captions = dict(zip(urls, batch.column("caption").to_pylist()))
-        t = decode_urls(worker_site_store(world_dir), urls, hosts, n_partitions)
-        caps = pa.array([captions.get(u) or "" for u in
-                         t.column("url_canon").to_pylist()], pa.string())
-        return t.drop_columns(["url_canon"]).add_column(
-            5, "caption", caps)
-
-    return decode
