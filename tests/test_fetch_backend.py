@@ -172,3 +172,18 @@ def test_crawl_parity_store_vs_http_backend(world_server, tmp_path):
         )
         if len(ts) > 2 and delay_s > 0:
             assert np.diff(ts).min() >= delay_s * 0.9, (host, np.diff(ts).min())
+
+
+def test_robots_probe_no_retry_and_cached(world_server):
+    """A missing robots.txt must not burn the HTTP retry backoff
+    (attempts=1), and robots are cached per backend: one probe per host
+    per worker across waves."""
+    world, netloc = world_server
+    sleeps = []
+    be = HTTPBackend(rewrite_netloc=netloc, sleep=sleeps.append, timeout=5)
+    n0 = len(_WorldHandler.log)
+    body, status = be.get("http://nosuchrobots.example.org/robots.txt",
+                          attempts=1)
+    assert (body, status) == (None, 404)
+    assert len(_WorldHandler.log) - n0 == 1  # exactly one attempt
+    assert sleeps == []                      # and no backoff sleeps

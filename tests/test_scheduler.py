@@ -198,3 +198,12 @@ def test_cron_step_wildcard_keeps_star_flag():
     assert d.isoweekday() == 1 and d.day % 2 == 1
     # an OR interpretation would fire the very next odd day (Aug 19, Wed)
     assert (d.month, d.day) != (8, 19)
+
+
+def test_cron_dow_seven_and_names():
+    """Standard cron accepts 7 as Sunday and month/day names."""
+    # 2026-08-23 is a Sunday
+    assert next_cron_fire("0 0 * * 7", _ts(2026, 8, 17, 1, 0)) == _ts(2026, 8, 23, 0, 0)
+    assert next_cron_fire("0 0 * * sun", _ts(2026, 8, 17, 1, 0)) == _ts(2026, 8, 23, 0, 0)
+    assert next_cron_fire("0 9 * * mon-fri", _ts(2026, 8, 21, 10, 0)) == _ts(2026, 8, 24, 9, 0)
+    assert next_cron_fire("0 0 1 sep *", _ts(2026, 8, 17, 0, 0)) == _ts(2026, 9, 1, 0, 0)

@@ -118,3 +118,47 @@ def test_rfc9309_robots_matcher():
     assert not robots_allowed("/anything", rules_m)    # Disallow: /
     # empty Disallow means allow-all
     assert parse_robots_rules(b"User-agent: *\nDisallow:\n") == (0.0, [])
+
+
+def test_robots_match_includes_query():
+    """RFC 9309 match target is path + query: a $-anchored rule must not
+    match a URL with a query string, and rules containing '?' must
+    match (exercised through the crawl's target construction)."""
+    from urllib.parse import urlsplit
+
+    from web_scrapper_ray.state.politeness import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    _, rules = parse_robots_rules(
+        b"User-agent: *\nDisallow: /*.php$\nDisallow: /search?q=\n")
+
+    def target(url):
+        p = urlsplit(url)
+        return p.path + (f"?{p.query}" if p.query else "")
+
+    assert not robots_allowed(target("http://h/x.php"), rules)
+    assert robots_allowed(target("http://h/x.php?id=1"), rules)  # $ + query
+    assert not robots_allowed(target("http://h/search?q=abc"), rules)
+    assert robots_allowed(target("http://h/search"), rules)
+
+
+def test_politeness_snapshot_filenames_three_digit_shards(tmp_path):
+    """Snapshot/restore filename contract survives ≥100 shards (the
+    fixed-width slice bug would have loaded shard_103 into shard 10)."""
+    import json
+    import os
+
+    # write the files exactly as snapshot() does, for a 104-shard board
+    d = str(tmp_path)
+    for i in (7, 103):
+        with open(os.path.join(d, f"shard_{i:02d}.json"), "w") as f:
+            json.dump({f"host-{i}.org": 123.0 + i}, f)
+    import glob
+    loaded = {}
+    for f in sorted(glob.glob(os.path.join(d, "shard_*.json"))):
+        idx = int(os.path.basename(f)[6:-5])
+        loaded[idx] = json.load(open(f))
+    assert set(loaded) == {7, 103}
+    assert loaded[103] == {"host-103.org": 226.0}

@@ -250,8 +250,14 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 board.restore(pol_dir)
             start_wave = last + 1
     if start_wave == 0:
-        shutil.rmtree(os.path.join(cfg.out_dir, "refs"), ignore_errors=True)
-        shutil.rmtree(os.path.join(cfg.out_dir, "images_tmp"), ignore_errors=True)
+        # fresh run into a reused out_dir: clear ALL wave state — a
+        # previous run with different knobs (priority caps change the
+        # wave count) would otherwise leave stale wave_NNN segments
+        # that finalize's glob sweeps into the outputs
+        for sub in ("refs", "images_tmp", "frontier", "waves", "checkpoints"):
+            shutil.rmtree(os.path.join(cfg.out_dir, sub), ignore_errors=True)
+        for sub in ("frontier", "waves", "checkpoints"):
+            os.makedirs(os.path.join(cfg.out_dir, sub), exist_ok=True)
         _frontier0(cfg, seeds, _wave_paths(cfg, 0)["frontier"])
 
     spec_remote = None

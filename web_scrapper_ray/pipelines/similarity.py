@@ -132,21 +132,33 @@ def q_neardup_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     import ray
 
     refs = _emb(sf_dir).to_arrow_refs()  # refs only — blocks stay put
-    groups: list[list] = [[] for _ in range(min(N_CHUNKS, max(len(refs), 1)))]
+    if not refs:
+        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                             "vec_b": pd.Series(dtype="int64")})
+    groups: list[list] = [[] for _ in range(min(N_CHUNKS, len(refs)))]
     for i, r in enumerate(refs):
         groups[i % len(groups)].append(r)
+
+    _EMPTY_PAIRS = pa.table({"vec_a": pa.array([], pa.int64()),
+                             "vec_b": pa.array([], pa.int64())})
 
     @ray.remote
     def chunk_pairs(same: bool, refs_a: list, refs_b: list) -> pa.Table:
         def load(rs):
             # refs are nested in a list → resolve explicitly (zero-copy
-            # object-store reads on whichever node runs the task)
-            t = pa.concat_tables([ray.get(r) for r in rs])
-            ids, mat = _batch_matrix(t)
+            # object-store reads on whichever node runs the task);
+            # zero-row blocks (empty tables read as one degenerate
+            # block) are dropped before column access
+            tabs = [t for t in (ray.get(r) for r in rs) if t.num_rows]
+            if not tabs:
+                return np.array([], dtype=np.int64), np.zeros((0, 1))
+            ids, mat = _batch_matrix(pa.concat_tables(tabs))
             return ids, _unit(mat)
 
         ids_a, ua = load(refs_a)
         ids_b, ub = (ids_a, ua) if same else load(refs_b)
+        if not len(ids_a) or not len(ids_b):
+            return _EMPTY_PAIRS
         sims = ua @ ub.T
         ii, jj = np.nonzero(sims >= threshold)
         left, right = ids_a[ii], ids_b[jj]

@@ -45,11 +45,34 @@ def _parse_trigger(trigger: str) -> int:
 # lists, and the dom/dow OR quirk)
 # ---------------------------------------------------------------------------
 
-_CRON_BOUNDS = ((0, 59), (0, 23), (1, 31), (1, 12), (0, 6))
+_MON_NAMES = {n: i + 1 for i, n in enumerate(
+    "jan feb mar apr may jun jul aug sep oct nov dec".split())}
+_DOW_NAMES = {n: i for i, n in enumerate(
+    "sun mon tue wed thu fri sat".split())}
+# (lo, hi, name-alias map, normalizer) per field; dow accepts 7=Sunday
+_CRON_FIELDS = (
+    (0, 59, {}, None),
+    (0, 23, {}, None),
+    (1, 31, {}, None),
+    (1, 12, _MON_NAMES, None),
+    (0, 6, _DOW_NAMES, lambda v: 0 if v == 7 else v),
+)
 
 
-def _parse_cron_field(spec: str, lo: int, hi: int) -> tuple[set, bool]:
-    """One cron field → (allowed values, was_wildcard)."""
+def _cron_value(token: str, names: dict, norm) -> int:
+    v = names.get(token.lower())
+    if v is None:
+        v = int(token)
+    if norm is not None:
+        v = norm(v)
+    return v
+
+
+def _parse_cron_field(spec: str, lo: int, hi: int, names: dict = {},
+                      norm=None) -> tuple[set, bool]:
+    """One cron field → (allowed values, was_wildcard). Supports *, */n,
+    a-b, a-b/n, lists, month/day names (jan..dec, sun..sat) and 7 as
+    Sunday in the day-of-week field (standard cron)."""
     vals: set[int] = set()
     # Vixie/cronie: the star flag (dom/dow OR rule) is set whenever the
     # field STARTS with '*' — including step wildcards like */2
@@ -65,9 +88,9 @@ def _parse_cron_field(spec: str, lo: int, hi: int) -> tuple[set, bool]:
             a, b = lo, hi
         elif "-" in part:
             a_s, b_s = part.split("-", 1)
-            a, b = int(a_s), int(b_s)
+            a, b = _cron_value(a_s, names, norm), _cron_value(b_s, names, norm)
         else:
-            a = b = int(part)
+            a = b = _cron_value(part, names, norm)
         if not (lo <= a <= hi and lo <= b <= hi and a <= b):
             raise ValueError(f"cron value out of range [{lo},{hi}]: {part}")
         vals.update(range(a, b + 1, step))
@@ -79,8 +102,8 @@ def parse_cron(expr: str) -> list[tuple[set, bool]]:
     if len(fields) != 5:
         raise ValueError(f"cron expression needs 5 fields, got {len(fields)}: {expr!r}")
     return [
-        _parse_cron_field(f, lo, hi)
-        for f, (lo, hi) in zip(fields, _CRON_BOUNDS)
+        _parse_cron_field(f, lo, hi, names, norm)
+        for f, (lo, hi, names, norm) in zip(fields, _CRON_FIELDS)
     ]
 
 

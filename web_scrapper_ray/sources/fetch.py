@@ -58,7 +58,8 @@ class StoreBackend:
     def __init__(self, world_dir: str):
         self.store = worker_site_store(world_dir)
 
-    def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
+    def get(self, url: str, host: Optional[str] = None,
+            attempts: Optional[int] = None) -> tuple[Optional[bytes], int]:
         return self.store.get(url, host)
 
     def get_canonical(self, url_canon: str, host: str) -> tuple[Optional[bytes], int]:
@@ -135,12 +136,18 @@ class HTTPBackend:
         # canonical URLs are plain GETs over HTTP (no re-canonicalization)
         return self.get(url_canon, host)
 
-    def get(self, url: str, host: Optional[str] = None) -> tuple[Optional[bytes], int]:
+    def get(self, url: str, host: Optional[str] = None,
+            attempts: Optional[int] = None) -> tuple[Optional[bytes], int]:
+        """``attempts`` overrides the retry budget (robots probes use 1 —
+        a 404 there is definitive and must not burn the 2s+4s backoff).
+        UA rotation advances once per REQUEST (reference ST2), not per
+        retry attempt."""
         target, extra = self._target(url, host)
+        if self.ua_manager is not None:
+            extra = {**extra, "User-Agent": self.ua_manager.get()}
         last_status = 0
-        for attempt in range(1, MAX_ATTEMPTS + 1):
-            if self.ua_manager is not None:
-                extra = {**extra, "User-Agent": self.ua_manager.get()}
+        budget = attempts or MAX_ATTEMPTS
+        for attempt in range(1, budget + 1):
             try:
                 resp = self.session.get(target, timeout=self.timeout,
                                         headers=extra or None)
@@ -152,7 +159,7 @@ class HTTPBackend:
                 # raise_for_status), re-raised after the final attempt —
                 # the caller records the URL as failed. We return
                 # (None, status) for the same downstream semantics.
-                if attempt < MAX_ATTEMPTS and self.backoff:
+                if attempt < budget and self.backoff:
                     self.sleep(backoff_s(attempt))
         return None, last_status
 

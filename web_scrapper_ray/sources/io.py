@@ -98,14 +98,20 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
         ds.write_parquet(path, **kwargs)
     elif fmt == "excel":
         # S8: small-output interchange sink (reference keeps Excel
-        # driver-side too). Multi-sheet / freeze / autofilter via the
-        # pure-stdlib writer; openpyxl used when available for parity
-        # with pandas defaults.
+        # driver-side too). Probe openpyxl separately (never catch
+        # ImportErrors raised INSIDE to_excel); route to the stdlib
+        # writer whenever extended options (freeze_panes/autofilter)
+        # are requested — pandas' to_excel doesn't accept them, so the
+        # declarative surface behaves the same in every environment.
         try:
             import openpyxl  # noqa: F401
-
-            ds.to_pandas().to_excel(path, index=False, **kwargs)
+            have_openpyxl = True
         except ImportError:
+            have_openpyxl = False
+        extended = {"freeze_panes", "autofilter"} & set(kwargs)
+        if have_openpyxl and not extended:
+            ds.to_pandas().to_excel(path, index=False, **kwargs)
+        else:
             from .xlsx import write_xlsx
 
             sheet = kwargs.pop("sheet_name", "Sheet1")

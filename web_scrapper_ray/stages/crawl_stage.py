@@ -215,8 +215,20 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         shard = None
         t0 = time.time()
         if politeness_shards:
-            robots_body, _ = store.get(f"http://{host}/robots.txt", host)
-            delay_s, rules = parse_robots_rules(robots_body)
+            # robots are cached per backend instance (= per worker): one
+            # fetch per host per worker for the whole crawl, and the
+            # probe uses attempts=1 — a robots 404 is definitive and
+            # must not burn the HTTP retry backoff every wave
+            cache = getattr(store, "_robots_cache", None)
+            if cache is None:
+                cache = store._robots_cache = {}
+            if host in cache:
+                delay_s, rules = cache[host]
+            else:
+                robots_body, _ = store.get(f"http://{host}/robots.txt", host,
+                                           attempts=1)
+                delay_s, rules = parse_robots_rules(robots_body)
+                cache[host] = (delay_s, rules)
             shard = politeness_shards[hash64(host) % n_politeness_shards]
             t0 = ray.get(shard.reserve.remote(host, hi - lo, delay_s))
         # Disallow enforcement is opt-in (opts["respect_disallow"]): the
@@ -243,7 +255,10 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         if st["rules"]:
             from urllib.parse import urlsplit
 
-            if not robots_allowed(urlsplit(canonicalize_url(url)).path, st["rules"]):
+            # RFC 9309 match target = path + optional ?query
+            parts = urlsplit(canonicalize_url(url))
+            target = parts.path + (f"?{parts.query}" if parts.query else "")
+            if not robots_allowed(target, st["rules"]):
                 out.append(
                     _row("log", seed_index=seed_i, page_idx=page_i,
                          sub_idx=sub_i, url=url,

@@ -223,7 +223,7 @@ class PolitenessBoard:
         files = sorted(glob.glob(os.path.join(in_dir, "shard_*.json")))
         futs = []
         for f in files:
-            i = int(os.path.basename(f)[6:8])
+            i = int(os.path.basename(f)[6:-5])
             if i < len(self.shards):
                 with open(f) as fh:
                     futs.append(self.shards[i].restore.remote(json.load(fh)))
