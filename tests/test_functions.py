@@ -121,3 +121,52 @@ def test_exception_hierarchy_and_logging(tmp_path):
     with _pytest.raises(ValueError):
         errors.configure_logging(level="NOPE", logger_name="wsr.test2")
     assert errors.get_logger("abc") is logging.getLogger("abc")
+
+
+def test_urlnorm_edge_cases_from_review():
+    """Round-1 latent bugs pinned: %2E dot segments, anchored scheme
+    detection, malformed ports, IPv6 brackets, unencodable IDNA."""
+    from web_scrapper_ray.functions.urlnorm import canonicalize_url, host_of
+
+    # percent-encoded dot segments resolve AND the result is idempotent
+    c = canonicalize_url("http://h/a/%2e%2e/b")
+    assert c == "http://h/b" and canonicalize_url(c) == c
+    # '://' inside the query is not a scheme
+    c2 = canonicalize_url("example.com/login?next=http://example.com/home")
+    assert c2.startswith("http://example.com/login?")
+    assert host_of("example.com/login?next=http://e.com/h") == "example.com"
+    # malformed / out-of-range ports survive without raising
+    assert canonicalize_url("http://h:99999/x")  # no ValueError
+    assert canonicalize_url("http://h:8080abc/x")
+    # IPv6 literals keep their brackets and stay idempotent
+    c3 = canonicalize_url("https://[2001:db8::1]:8443/x")
+    assert "[2001:db8::1]:8443" in c3 and canonicalize_url(c3) == c3
+    # unencodable unicode host degrades instead of raising
+    assert canonicalize_url("http://héllo..com/x")
+
+
+def test_decode_image_corrupt_payloads_raise_valueerror():
+    """Truncated/corrupt bodies must surface as ValueError (the decode
+    stage's skip contract), never struct/zlib errors."""
+    import pytest as _pytest
+
+    from web_scrapper_ray import codecs
+
+    for bad in (b"\x89PNG\r\n\x1a\n",                       # sig only
+                b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0d" # truncated IHDR
+                + b"IHDR" + b"\x00" * 5,
+                b"SJ01" + b"\x01\x02"):
+        with _pytest.raises(ValueError):
+            codecs.decode_image(bad)
+    # corrupt IDAT (valid structure, garbage compressed stream)
+    from web_scrapper_ray.codecs import _PNG_SIG, _chunk
+    import struct
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    bad_idat = _PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"junk") + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError):
+        codecs.decode_image(bad_idat)
+    # interlaced PNG: explicit unsupported error
+    ihdr_i = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    interlaced = _PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IDAT", b"") + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="interlaced"):
+        codecs.decode_image(interlaced)

@@ -8,10 +8,11 @@ columns.  This container has no Pillow / libjpeg, so:
 * ``png``  — a real, spec-conformant PNG codec (8-bit RGB, zlib,
   filters 0–4 on decode, filter 0 on encode).  Lossless: decode is
   bit-exact.
-* ``jpeg`` — the lossy path is STUBBED behind an import-try: when
-  Pillow is available it is used; otherwise a deterministic
-  DCT-quantization codec ("SJ01" container: per-channel 8×8 block DCT,
-  fixed mild quant table) stands in.  Quant steps are ≤6 so
+* ``jpeg`` — the lossy path is a deterministic DCT-quantization
+  stand-in ("SJ01" container: per-channel 8×8 block DCT, fixed mild
+  quant table); real libjpeg decoding is NOT wired (Pillow is absent
+  here, and a deterministic codec keeps the parity suites exact — swap
+  ``sjpg_*`` for Pillow calls to crawl real JPEG).  Quant steps are ≤6 so
   reconstruction PSNR ≥ 40 dB is guaranteed even for noise images
   (MSE ≤ q²/12 per coefficient), satisfying the BASELINE.json
   input_hint invariant.  The Ray-side plumbing (schema, batch sizes,
@@ -29,13 +30,6 @@ import struct
 import zlib
 
 import numpy as np
-
-try:  # pragma: no cover - Pillow absent in this container
-    from PIL import Image  # noqa: F401
-
-    _HAVE_PIL = True
-except ImportError:
-    _HAVE_PIL = False
 
 # ---------------------------------------------------------------------------
 # PNG (lossless)
@@ -120,6 +114,8 @@ def png_decode(data: bytes) -> np.ndarray:
             w, h, depth, ctype = struct.unpack(">IIBB", payload[:10])
             if depth != 8 or ctype != 2:
                 raise ValueError("only 8-bit RGB PNGs supported")
+            if len(payload) >= 13 and payload[12] != 0:
+                raise ValueError("interlaced (Adam7) PNG unsupported")
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -209,11 +205,19 @@ def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
 
 
 def decode_image(data: bytes, fmt: str | None = None) -> np.ndarray:
-    """Decode by sniffing magic bytes (fmt is advisory)."""
-    if data[:8] == _PNG_SIG:
-        return png_decode(data)
-    if data[:4] == _SJ_MAGIC:
-        return sjpg_decode(data)
+    """Decode by sniffing magic bytes (fmt is advisory). Truncated or
+    corrupt payloads always surface as ValueError — the contract the
+    decode stage's skip-bad-image handling relies on (struct/zlib
+    errors from partial HTTP reads must not kill a whole task)."""
+    try:
+        if data[:8] == _PNG_SIG:
+            return png_decode(data)
+        if data[:4] == _SJ_MAGIC:
+            return sjpg_decode(data)
+    except ValueError:
+        raise
+    except Exception as e:  # struct.error, zlib.error, reshape, ...
+        raise ValueError(f"corrupt image payload: {type(e).__name__}: {e}") from e
     raise ValueError("unrecognised image payload")
 
 

@@ -34,6 +34,7 @@ _UNRESERVED = set(
     "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789-._~"
 )
 _PCT_RX = re.compile(r"%([0-9a-fA-F]{2})")
+_SCHEME_RX = re.compile(r"^[A-Za-z][A-Za-z0-9+.\-]*://")
 
 
 def _norm_pct(s: str) -> str:
@@ -75,7 +76,12 @@ def _norm_host(host: str) -> str:
                 return idna.encode(host).decode("ascii")
             except idna.IDNAError:
                 pass
-        return host.encode("idna").decode("ascii")
+        try:
+            return host.encode("idna").decode("ascii")
+        except UnicodeError:
+            # unencodable label (empty, >63 chars, ...) — degrade to the
+            # lowercased unicode host instead of killing the batch task
+            return host
 
 
 def canonicalize_url(url: str) -> str:
@@ -83,12 +89,23 @@ def canonicalize_url(url: str) -> str:
     if not url:
         return ""
     url = url.strip()
-    if "://" not in url and not url.startswith("//"):
+    # scheme must be detected ANCHORED — '://' appearing later (an
+    # absolute URL inside the query string) is not a scheme
+    if not _SCHEME_RX.match(url) and not url.startswith("//"):
         url = "http://" + url
     parts = urlsplit(url)
     scheme = (parts.scheme or "http").lower()
     host = _norm_host(parts.hostname or "")
-    port = parts.port
+    if ":" in host:  # IPv6 literal — urlsplit strips the brackets
+        host = f"[{host}]"
+    try:
+        port = parts.port
+    except ValueError:  # malformed/out-of-range port: keep it verbatim
+        netloc_tail = parts.netloc.rsplit("@", 1)[-1]
+        port_s = netloc_tail.rsplit(":", 1)[1] if ":" in netloc_tail.lstrip("[") else ""
+        port = None
+        if port_s:
+            host = f"{host}:{port_s}"
     if port is not None and not (
         (scheme == "http" and port == 80) or (scheme == "https" and port == 443)
     ):
@@ -99,7 +116,10 @@ def canonicalize_url(url: str) -> str:
         if parts.password:
             userinfo += ":" + parts.password
         userinfo += "@"
-    path = _norm_pct(_remove_dot_segments(parts.path)) or "/"
+    # decode unreserved percent-escapes BEFORE dot-segment removal, or
+    # %2E-encoded '..' segments survive and canonicalization is not
+    # idempotent
+    path = _remove_dot_segments(_norm_pct(parts.path)) or "/"
     query = ""
     if parts.query:
         pairs = [p for p in parts.query.split("&") if p]
@@ -111,7 +131,7 @@ def canonicalize_url(url: str) -> str:
 def host_of(url: str) -> str:
     """Canonical host of a URL (post-canonicalization key for politeness
     grouping and output hash-range partitioning)."""
-    parts = urlsplit(url if "://" in url else "http://" + url)
+    parts = urlsplit(url if _SCHEME_RX.match(url) else "http://" + url)
     return _norm_host(parts.hostname or "")
 
 

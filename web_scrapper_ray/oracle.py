@@ -313,9 +313,13 @@ def oracle_images_table(world_dir: str, records: list[dict],
         if page is None or page[1] >= 400:
             continue
         payload = page[0]
-        pixels = codecs.decode_image(payload)
+        try:
+            pixels = codecs.decode_image(payload)
+        except ValueError:
+            continue  # same skip-bad-image rule as stages/decode.py
         name = url.rsplit("/", 1)[-1]
-        image_id, ext = name.rsplit(".", 1)
+        image_id, _, ext = name.rpartition(".")
+        image_id = image_id or name
         rows.append(
             {
                 "image_id": image_id,

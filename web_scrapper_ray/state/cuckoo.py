@@ -154,7 +154,11 @@ class SeenSet:
         import ray
 
         hashes = np.asarray(hashes, dtype=np.uint64)
-        shard_ids = (hashes % np.uint64(self.n_shards)).astype(np.int64)
+        # route on HIGH bits: the in-shard primary bucket index uses the
+        # low bits (hash & (n_buckets-1)), so low-bit routing with a
+        # power-of-two shard count would leave only 1/n_shards of each
+        # shard's primary buckets addressable (capacity quartered)
+        shard_ids = ((hashes >> np.uint64(32)) % np.uint64(self.n_shards)).astype(np.int64)
         out = np.zeros(len(hashes), dtype=bool)
         futures, positions = [], []
         for s in range(self.n_shards):
