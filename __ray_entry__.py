@@ -250,11 +250,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 
+# NOTE: the reference's clean_text "normalize quotes" lines are no-ops
+# (verified by executing the reference module), so neither the engine
+# nor this oracle replaces curly quotes.
 _CLEAN_SQL = (
     "regexp_replace("
-    "replace(replace(replace(replace(replace("
+    "replace("
     "trim(regexp_replace(text, '\\s+', ' ', 'g')), chr(160), ' '), "
-    "'“', '\"'), '”', '\"'), '‘', ''''), '’', ''''), "
     "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
 )
 

@@ -6,7 +6,9 @@ from web_scrapper_ray.functions.urlnorm import canonicalize_url, host_of
 def test_clean_text():
     assert T.clean_text("  a\t\nb\xa0c  ") == "a b c"
     assert T.clean_text("x\x00y\x07z") == "xyz"
-    assert T.clean_text("“q” ‘s’") == "\"q\" 's'"
+    # the reference's quote-normalization lines are no-ops (verified by
+    # executing the reference): curly quotes must pass through unchanged
+    assert T.clean_text("“q” ‘s’") == "“q” ‘s’"
     assert T.clean_text(None) == ""
 
 

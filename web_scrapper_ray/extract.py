@@ -168,6 +168,15 @@ def find_next_page(doc: Node, base_url: str) -> Optional[str]:
 
 
 def _select_first(el: Node, selector: str) -> Optional[Node]:
+    """KNOWN DIVERGENCE (documented, deliberate): the reference lets an
+    invalid user selector raise out of select_one, and its per-element
+    handler then drops the WHOLE item (ecommerce.py:132-135). Here all
+    selector errors degrade to the common-pattern fallbacks instead,
+    because minidom also raises for some valid-but-unimplemented CSS
+    (:nth-child, sibling combinators) where soupsieve would match —
+    propagating would drop records the reference keeps. Lenient-fallback
+    is the lesser divergence; configs with syntactically invalid
+    selectors will emit records the reference would skip."""
     try:
         return el.select_one(selector)
     except Exception:
@@ -316,8 +325,9 @@ def extract_excerpt(el: Node, selectors: dict) -> Optional[str]:
     if "excerpt" in selectors:
         n = _select_first(el, selectors["excerpt"])
         if n is not None:
-            if n.name == "meta" and n.has_attr("content"):
-                return clean_text(n["content"])
+            # reference content.py:797-800: the USER selector branch has
+            # no meta special-case — a meta selector yields '' here and
+            # the summarize fallback fills the excerpt later
             return clean_text(n.get_text(strip=True))
     for sel in [
         "[itemprop='description']", "meta[name='description']",
@@ -792,6 +802,8 @@ def extract_product(el: Node, selectors: dict, opts: dict | None = None) -> dict
             if n is not None:
                 reviews["rating"] = parse_rating(n.get_text(strip=True))
         if "rating" not in reviews:
+            # reference ecommerce.py:448-465 has NO break: every matching
+            # selector overwrites, so the LAST match wins
             for sel in ["[itemprop='ratingValue']", ".rating", ".stars", ".star-rating"]:
                 n = _select_first(el, sel)
                 if n is not None:
@@ -801,7 +813,6 @@ def extract_product(el: Node, selectors: dict, opts: dict | None = None) -> dict
                             reviews["rating"] = round((int(m.group(1)) / 100) * 5, 1)
                     else:
                         reviews["rating"] = parse_rating(n.get_text(strip=True))
-                    break
         if "review_count" in selectors:
             n = _select_first(el, selectors["review_count"])
             if n is not None:
@@ -809,13 +820,14 @@ def extract_product(el: Node, selectors: dict, opts: dict | None = None) -> dict
                 if m:
                     reviews["count"] = int(m.group(1))
         if "count" not in reviews:
+            # reference ecommerce.py:476-489: no break — last match wins,
+            # and a selector whose text has no digits sets nothing
             for sel in ["[itemprop='reviewCount']", ".review-count", ".ratings-count"]:
                 n = _select_first(el, sel)
                 if n is not None:
                     m = re.search(r"(\d+)", n.get_text(strip=True))
                     if m:
                         reviews["count"] = int(m.group(1))
-                    break
         product["reviews"] = reviews if reviews else None
     for field, selector in selectors.items():
         if field not in ("product_container",) and field not in product:

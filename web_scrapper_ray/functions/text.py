@@ -38,14 +38,17 @@ STOP_WORDS = frozenset(
 
 
 def clean_text(text: str | None) -> str:
-    """Whitespace collapse + quote/nbsp normalization + control-char strip
-    (reference: utils/text.py:15-44)."""
+    """Whitespace collapse + nbsp normalization + control-char strip
+    (reference: utils/text.py:15-44). The reference's "Normalize
+    quotes" lines are literal no-ops — its line 38 replaces a straight
+    quote with itself and line 39's curly quotes were mangled into a
+    mis-parsed triple-quote in its own source (verified by executing
+    the reference module: curly quotes pass through unchanged) — so
+    curly quotes are deliberately NOT normalized here either."""
     if not text:
         return ""
     s = _WS_RX.sub(" ", text).strip()
     s = s.replace("\xa0", " ")
-    s = s.replace("“", '"').replace("”", '"')
-    s = s.replace("‘", "'").replace("’", "'")
     return _CTRL_RX.sub("", s)
 
 

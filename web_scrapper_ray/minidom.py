@@ -119,8 +119,16 @@ class Node:
         if class_ is not None:
             cval = node.attrs.get("class")
             if callable(class_):
-                if not class_(cval):
-                    return False
+                # bs4 multi-valued class semantics: the predicate is
+                # tried against each individual class AND the joined
+                # string (absent attribute → one call with None)
+                if cval is None:
+                    if not class_(None):
+                        return False
+                else:
+                    candidates = cval.split() + ([cval] if " " in cval else [])
+                    if not any(class_(c) for c in candidates):
+                        return False
             else:
                 if cval is None or class_ not in cval.split():
                     return False
@@ -172,20 +180,27 @@ class Node:
         merged = dict(attrs or {})
         merged.update(kw)
         out: list = []
-        if text is not None and name is None and class_ is None and not merged:
+        if (text is not None and name is None and class_ is None and not merged
+                and href is None and src is None):
+            # bare text search returns matching strings in TRUE document
+            # order (bs4 iterates NavigableStrings depth-first; visiting
+            # a node's trailing text before its descendants would return
+            # the wrong first match on mixed content)
             rx = text if hasattr(text, "search") else re.compile(re.escape(text))
-            for node in [self, *self.iter_desc()]:
-                for child in node.children:
-                    if isinstance(child, str) and rx.search(child):
-                        out.append(child)
-                        if limit and len(out) >= limit:
-                            return out
+            for s in self.iter_text():
+                if rx.search(s):
+                    out.append(s)
+                    if limit and len(out) >= limit:
+                        return out
             return out
         for node in self.iter_desc():
             if self._match_find(node, name, class_, merged, href, src):
                 if text is not None:
                     rx = text if hasattr(text, "search") else re.compile(re.escape(text))
-                    if not rx.search(node.get_text()):
+                    # bs4 filters tag+text on tag.string — None (no
+                    # match) for tags with multiple children
+                    s = _dot_string(node)
+                    if s is None or not rx.search(s):
                         continue
                 out.append(node)
                 if limit and len(out) >= limit:
@@ -219,6 +234,18 @@ class Node:
 
     def __repr__(self) -> str:  # pragma: no cover
         return f"<{self.name} {self.attrs}>"
+
+
+def _dot_string(node: Node):
+    """bs4 ``tag.string``: the single string child (recursing through a
+    single tag child); None whenever there is more than one child."""
+    while True:
+        if len(node.children) != 1:
+            return None
+        child = node.children[0]
+        if isinstance(child, str):
+            return child
+        node = child
 
 
 # ---------------------------------------------------------------------------
@@ -350,6 +377,11 @@ def _match_compound(node: Node, parts: list[tuple]) -> bool:
 
 
 def _match_chain(node: Node, chain: list[tuple], scope: Node) -> bool:
+    """soupsieve/querySelectorAll scoping: RESULTS are descendants of
+    the scope element (the caller's iteration guarantees that), but
+    combinators may be satisfied by ancestors ABOVE the scope —
+    el.select("header h2") matches an h2 inside el when a header
+    anywhere up the document contains it."""
     comb, compound = chain[-1]
     if not _match_compound(node, compound):
         return False
@@ -358,21 +390,10 @@ def _match_chain(node: Node, chain: list[tuple], scope: Node) -> bool:
         return True
     cur = node.parent
     if comb == ">":
-        if cur is None or cur is scope.parent:
-            return False
-        return _in_scope(cur, scope) and _match_chain(cur, rest, scope)
-    # descendant: try every ancestor within scope
-    while cur is not None and _in_scope(cur, scope):
-        if _match_chain(cur, rest, scope):
-            return True
-        cur = cur.parent
-    return False
-
-
-def _in_scope(node: Node, scope: Node) -> bool:
-    cur = node
+        return cur is not None and _match_chain(cur, rest, scope)
+    # descendant: try every ancestor up to the document root
     while cur is not None:
-        if cur is scope:
+        if _match_chain(cur, rest, scope):
             return True
         cur = cur.parent
     return False

@@ -50,9 +50,10 @@ from ..state.cuckoo import SeenSet, hash64_batch
 from ..state.politeness import PolitenessBoard
 from ..synth import shard_of
 
-# Bump when the wave-output / refs / articles layout changes: cached
-# crawl dirs (ensure_tier_crawl memoization) are invalidated on mismatch.
-FORMAT_VERSION = 2
+# Bump when the wave-output / refs / articles layout OR the extraction
+# semantics change: cached crawl dirs (ensure_tier_crawl memoization)
+# are invalidated on mismatch.
+FORMAT_VERSION = 3
 
 
 @dataclass

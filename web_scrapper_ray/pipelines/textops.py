@@ -74,8 +74,8 @@ def q_clean_text(sf_dir: str) -> pd.DataFrame:
         s = pc.replace_substring_regex(s, r"\s+", " ")
         s = pc.utf8_trim_whitespace(s)
         s = pc.replace_substring(s, "\xa0", " ")
-        for a, b in (("“", '"'), ("”", '"'), ("‘", "'"), ("’", "'")):
-            s = pc.replace_substring(s, a, b)
+        # no curly-quote normalization: the reference's quote lines are
+        # no-ops (see functions/text.py clean_text)
         s = pc.replace_substring_regex(s, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
         return pa.table({"doc_id": batch.column("doc_id"), "clean": s})
 
