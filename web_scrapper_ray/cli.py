@@ -44,8 +44,21 @@ def cmd_scrape(args: argparse.Namespace) -> int:
             pass
         cm.set(key, value)
     cm.validate()
-    _ensure_ray(args.num_cpus)
     sc = cm.get("scraper")
+    # pre-flight the output sink BEFORE any scraping happens — a sink
+    # error after a completed crawl wastes the whole run
+    out_pre = sc.get("output") or {}
+    if out_pre.get("format") in ("postgresql", "postgres", "mysql"):
+        print("error: postgresql/mysql sinks need a SQLAlchemy DSN writer "
+              "(not wired in this build) — use sqlite/parquet/csv/json",
+              file=sys.stderr)
+        return 2
+    if out_pre.get("format") and not out_pre.get("path"):
+        print("error: output.path is required (the sqlite sink writes a "
+              "file; DSN-based servers are not wired in this build)",
+              file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
     pipeline = get_pipeline(sc["type"])
     world = cm.get("scraper.world_dir") or args.world_dir
     if not world:

@@ -246,6 +246,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             with open(_wave_paths(cfg, last)["manifest"]) as fh:
                 manifest = json.load(fh)
             seen.restore(manifest["cuckoo_dir"])
+            resume_metrics = manifest.get("metrics")
             pol_dir = manifest.get("politeness_dir")
             if board is not None and pol_dir and os.path.isdir(pol_dir):
                 board.restore(pol_dir)
@@ -276,6 +277,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
     from ..state.metrics import Metrics
 
     metrics = Metrics()
+    if start_wave > 0 and resume_metrics:
+        metrics.restore(resume_metrics)  # cumulative telemetry survives resume
     fetch_parse = make_fetch_parse_fn(
         cfg.world_dir, cfg.selectors, opts, seeds[0],
         board.shards if board else None,

@@ -42,6 +42,10 @@ FORMAT_ALIASES = {
     "csv": "csv", "json": "json", "jsonl": "json", "parquet": "parquet",
     "pq": "parquet", "lance": "lance", "excel": "excel", "xlsx": "excel",
     "db": "sql", "sql": "sql", "sqlite": "sql", "database": "sql",
+    # DSN-based servers validate as output formats (reference whitelist)
+    # but only the sqlite file sink is wired in this build — mapped so
+    # save_dataset raises a clear error, not a KeyError
+    "postgresql": "sql_dsn", "postgres": "sql_dsn", "mysql": "sql_dsn",
 }
 
 
@@ -119,6 +123,11 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
             write_xlsx(path, {sheet: rows}, **kwargs)
     elif fmt == "sql":
         _write_sqlite(ds, path, kwargs.pop("table", "data"))
+    elif fmt == "sql_dsn":
+        raise NotImplementedError(
+            "postgresql/mysql sinks need a SQLAlchemy DSN writer; only the "
+            "sqlite file sink is wired in this sandbox build — use "
+            "format 'sqlite' with a file path, or parquet/csv/json")
     else:
         raise ValueError(f"unsupported format {fmt!r}")
 

@@ -17,7 +17,7 @@ from collections import OrderedDict
 
 import pyarrow.parquet as pq
 
-from ..functions.urlnorm import canonicalize_url
+from ..functions.urlnorm import canonicalize_url, host_of
 from ..synth import shard_of
 
 
@@ -53,10 +53,15 @@ class SiteStore:
             self._cache.popitem(last=False)
         return d
 
-    def get(self, url: str, host: str | None = None) -> tuple[bytes | None, int]:
-        """(body, status); (None, 404) for unknown URLs."""
+    def get(self, url: str, host: str | None = None,
+            attempts: int | None = None) -> tuple[bytes | None, int]:
+        """(body, status); (None, 404) for unknown URLs. ``attempts``
+        accepted for FetchBackend signature compatibility (a store
+        lookup has no retries). Host fallback uses urlnorm.host_of —
+        the SAME key the write side shards by (hand-rolled netloc
+        splitting mis-parses userinfo/IPv6/port forms)."""
         canon = canonicalize_url(url)
-        h = host or canon.split("/")[2].rsplit(":", 1)[0]
+        h = host or host_of(canon)
         row = self._shard(h).get(canon)
         if row is None:
             return None, 404

@@ -22,7 +22,7 @@ from .. import codecs
 
 
 class ResizeImages:
-    """Decode → area-mean resize to (out_w, out_h) → re-encode PNG.
+    """Decode → nearest-neighbor point-sample resize to (out_w, out_h) → re-encode PNG.
     Real end-to-end (no stub)."""
 
     def __init__(self, out_w: int = 16, out_h: int = 16):

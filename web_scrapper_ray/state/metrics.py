@@ -7,6 +7,13 @@ counter dict per host group (NOT per row), so the actor sees ~#groups
 messages per wave — no bottleneck at any cluster size. Snapshots land
 in each wave's checkpoint manifest, giving live progress plus the
 lineage-coupled counters the north rule asks for.
+
+Consistency contract: ``add`` is fire-and-forget from workers, so a
+wave-k manifest snapshot may lag that wave's last few messages — the
+counters are ADVISORY progress telemetry. Authoritative totals are
+always recomputed from the wave data in finalize (crawl.py), never
+from these counters. On resume the actor is re-seeded from the last
+complete manifest's snapshot so cumulative telemetry survives.
 """
 
 from __future__ import annotations
@@ -27,6 +34,9 @@ def _make_actor():
         def snapshot(self) -> dict[str, int]:
             return dict(self.counters)
 
+        def restore(self, counters: dict[str, int]) -> None:
+            self.counters = dict(counters)
+
     return MetricsActor
 
 
@@ -44,3 +54,8 @@ class Metrics:
         import ray
 
         return ray.get(self.actor.snapshot.remote())
+
+    def restore(self, counters: dict[str, int]) -> None:
+        import ray
+
+        ray.get(self.actor.restore.remote(dict(counters or {})))

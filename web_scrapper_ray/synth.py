@@ -28,7 +28,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
-from dataclasses import asdict, dataclass, field
+from dataclasses import asdict, dataclass
 
 import numpy as np
 import pyarrow as pa
@@ -53,10 +53,13 @@ CATEGORIES = ["Tech", "Travel", "Food", "Science", "Art", "History", "Nature", "
 AUTHORS = ["Jane Roe", "Sam Park", "Ada Vale", "Omar Reed", "Lin Chen", "Max Stone"]
 
 
+DEFAULT_IMAGE_SIZES = (32, 48, 64, 96)
+
+
 @dataclass(frozen=True)
 class WorldSpec:
     tier: str = "t1"
-    gen_version: int = 3  # bump to invalidate cached worlds on disk
+    gen_version: int = 4  # bump to invalidate cached worlds on disk
     n_hosts: int = 8
     listing_pages: int = 2        # pages in each host's blog chain
     entries_per_page: int = 4
@@ -66,7 +69,7 @@ class WorldSpec:
     crawl_delay_ms_choices: tuple = (0,)
     products_per_host: int = 8
     businesses_per_host: int = 6
-    image_sizes: tuple = (32, 48, 64, 96)
+    image_sizes: tuple = DEFAULT_IMAGE_SIZES
     seed: int = 42
 
     def cache_key(self) -> str:
@@ -119,7 +122,10 @@ def _paragraph(rng, n_sent=None) -> str:
 
 
 def _stable_hash(s: str) -> int:
-    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+    # 64 bits: 32 bits birthday-collides at bench scale (~57k image ids
+    # → ~30% chance of two unrelated articles sharing pixel-identical
+    # images/captions, silently polluting the phash dup-group data)
+    return int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
 
 
 def caption_for(image_id: str) -> str:
@@ -128,8 +134,9 @@ def caption_for(image_id: str) -> str:
     return " ".join(WORDS[int(j)] for j in rng.integers(0, len(WORDS), n))
 
 
-def image_spec(image_id: str, sizes: tuple = (32, 48, 64, 96)) -> tuple[int, int, str]:
+def image_spec(image_id: str, sizes: tuple | None = None) -> tuple[int, int, str]:
     rng = _rng(_stable_hash(image_id), 7)
+    sizes = sizes if sizes is not None else DEFAULT_IMAGE_SIZES
     w = int(rng.choice(list(sizes)))
     h = int(rng.choice(list(sizes)))
     fmt = "png" if int(rng.integers(0, 2)) == 0 else "jpeg"
@@ -447,7 +454,9 @@ def generate_world(spec: WorldSpec, out_dir: str, use_ray: bool = False) -> str:
     for rows in all_rows_lists:
         if not rows:
             continue
-        host = rows[0]["url_canon"].split("/")[2]
+        from .functions.urlnorm import host_of
+
+        host = host_of(rows[0]["url_canon"])
         shards[shard_of(host, n_shards)].extend(rows)
     for s, rows in shards.items():
         table = pa.Table.from_pylist(rows, schema=SITE_SCHEMA) if rows else SITE_SCHEMA.empty_table()
@@ -460,7 +469,8 @@ def generate_world(spec: WorldSpec, out_dir: str, use_ray: bool = False) -> str:
         ),
         os.path.join(out_dir, "seeds.parquet"),
     )
-    with open(meta_path, "w") as f:
+    tmp_meta = meta_path + ".tmp"
+    with open(tmp_meta, "w") as f:
         json.dump(
             {
                 "cache_key": spec.cache_key(),
@@ -472,6 +482,7 @@ def generate_world(spec: WorldSpec, out_dir: str, use_ray: bool = False) -> str:
             },
             f,
         )
+    os.replace(tmp_meta, meta_path)
     return out_dir
 
 
