@@ -50,3 +50,23 @@ def test_priority_mode_preserves_final_artifacts(ray_session, tmp_path):
     assert log_a.equals(log_b)
     assert pq.read_table(res_par["articles"]).equals(
         pq.read_table(res_pri["articles"]))
+    # fully drained → no truncation counter
+    assert "truncated_frontier_rows" not in res_pri["counters"]
+
+
+def test_priority_truncation_is_reported(ray_session, tmp_path):
+    """max_waves hit with a non-empty deferred frontier → the undrained
+    rows are surfaced in counters, never silently dropped."""
+    world = synth.ensure_world("t1")
+    spec = synth.TIERS["t1"]
+    seeds = [synth.listing_url(spec, i, 1) for i in (0, 1, 2, 3)]
+    res = run_crawl(CrawlConfig(
+        world_dir=world, out_dir=str(tmp_path / "trunc"), seeds=seeds,
+        opts={"max_pages": 2}, politeness=False,
+        frontier_policy="priority", seed_priorities={3: 10},
+        max_urls_per_wave=1, max_waves=2,
+    ))
+    assert res["counters"]["truncated_frontier_rows"] > 0
+    # the fetched subset is still the highest-priority head
+    log = pq.read_table(res["crawl_log"]).to_pandas()
+    assert 3 in set(log["seed_index"])

@@ -65,6 +65,31 @@ def test_sqlite_sink_and_source_roundtrip(ray_session, sample_parquet, tmp_path)
     assert back["b"].tolist() == ["x", "y", "z"]
 
 
+def test_sql_dsn_sink_sqlite_fallback(ray_session, sample_parquet, tmp_path):
+    """S9 DSN path: a sqlite:/// DSN goes through _write_dsn (the
+    SQLAlchemy code path, stdlib fallback when the lib is absent);
+    server DSNs without SQLAlchemy raise the documented error."""
+    import pytest
+
+    from web_scrapper_ray.sources.io import sqlalchemy_available
+
+    db = str(tmp_path / "dsn.db")
+    save_dataset(load_dataset(sample_parquet), f"sqlite:///{db}",
+                 fmt="sql", table="data")
+    import sqlite3
+
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT a, b FROM data ORDER BY a").fetchall()
+    con.close()
+    assert rows == [(1, "x"), (2, "y"), (3, "z")]
+    back = load_dataset(f"sqlite:///{db}", fmt="sql", table="data").to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2, 3]
+    if not sqlalchemy_available():
+        with pytest.raises(NotImplementedError, match="SQLAlchemy"):
+            save_dataset(load_dataset(sample_parquet),
+                         "postgresql://u:p@h/db", fmt="postgresql")
+
+
 def test_generate_rss():
     arts = [
         {"title": "T1 & Co", "url": "http://h/a1", "date": "2023-05-01",

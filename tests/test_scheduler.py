@@ -38,6 +38,12 @@ def test_cron_next_fire():
     assert next_cron_fire("0 0 13 * 5", _ts(2026, 8, 17, 0, 0)) == _ts(2026, 8, 21, 0, 0)
     # ranges with step + lists
     assert sorted(parse_cron("1,2,10-14/2 * * * *")[0][0]) == [1, 2, 10, 12, 14]
+    # Vixie/cronie: 7 = Sunday in dow, including as a range endpoint
+    assert sorted(parse_cron("* * * * 7")[4][0]) == [0]
+    assert sorted(parse_cron("* * * * 5-7")[4][0]) == [0, 5, 6]   # Fri–Sun
+    assert sorted(parse_cron("* * * * 0-7")[4][0]) == [0, 1, 2, 3, 4, 5, 6]
+    # 2026-08-21 is a Friday; '5-7' must fire then, not raise
+    assert next_cron_fire("0 9 * * 5-7", _ts(2026, 8, 20, 10, 0)) == _ts(2026, 8, 21, 9, 0)
 
 
 def test_cron_invalid():

@@ -46,18 +46,22 @@ def cmd_scrape(args: argparse.Namespace) -> int:
     cm.validate()
     sc = cm.get("scraper")
     # pre-flight the output sink BEFORE any scraping happens — a sink
-    # error after a completed crawl wastes the whole run
-    out_pre = sc.get("output") or {}
+    # error after a completed crawl wastes the whole run. Only the
+    # non-content pipelines write the sink (the content pipeline writes
+    # its own parquet layout), so the check is scoped to them; a missing
+    # path keeps the historical "skip writing" semantics with a warning.
+    out_pre = (sc.get("output") or {}) if sc.get("type") != "content" else {}
     if out_pre.get("format") in ("postgresql", "postgres", "mysql"):
-        print("error: postgresql/mysql sinks need a SQLAlchemy DSN writer "
-              "(not wired in this build) — use sqlite/parquet/csv/json",
-              file=sys.stderr)
-        return 2
+        from .sources.io import sqlalchemy_available
+
+        if not sqlalchemy_available():
+            print("error: postgresql/mysql sinks need SQLAlchemy (not "
+                  "installed) — use sqlite/parquet/csv/json",
+                  file=sys.stderr)
+            return 2
     if out_pre.get("format") and not out_pre.get("path"):
-        print("error: output.path is required (the sqlite sink writes a "
-              "file; DSN-based servers are not wired in this build)",
-              file=sys.stderr)
-        return 2
+        print("warning: output.format set but output.path missing — "
+              "skipping the sink write", file=sys.stderr)
     _ensure_ray(args.num_cpus)
     pipeline = get_pipeline(sc["type"])
     world = cm.get("scraper.world_dir") or args.world_dir

@@ -79,8 +79,12 @@ class CrawlConfig:
     # order) and each wave takes only the max_urls_per_wave head (the
     # minimal ready segment); the tail is deferred to the next wave's
     # frontier. Final outputs are identical either way (the canonical
-    # log/articles are program-order sorted); what changes is WHEN each
-    # URL is fetched — the production lever for freshness/quotas.
+    # log/articles are program-order sorted) PROVIDED the loop drains:
+    # a small max_urls_per_wave inflates the wave count ~N/cap, and if
+    # max_waves is hit with a non-empty frontier the undrained rows are
+    # reported in counters["truncated_frontier_rows"] (not fetched).
+    # What changes when it drains is only WHEN each URL is fetched —
+    # the production lever for freshness/quotas.
     frontier_policy: str = "program_order"
     seed_priorities: Optional[dict] = None    # seed_index -> int (higher first)
     max_urls_per_wave: Optional[int] = None
@@ -461,6 +465,15 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 ray.get(fut)
             except Exception:
                 pass
+
+    # surface (never silently drop) any frontier left undrained because
+    # the loop hit max_waves — possible in priority mode where a small
+    # max_urls_per_wave inflates the wave count by ~N/cap
+    leftover_path = _wave_paths(cfg, k)["frontier"]
+    if k >= cfg.max_waves and os.path.exists(leftover_path):
+        leftover = pq.read_metadata(leftover_path).num_rows
+        if leftover:
+            counters["truncated_frontier_rows"] = leftover
 
     result = finalize_crawl(cfg)
     counters["fetches"] = result["n_log"]

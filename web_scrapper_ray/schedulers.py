@@ -77,6 +77,10 @@ def _parse_cron_field(spec: str, lo: int, hi: int, names: dict = {},
     # Vixie/cronie: the star flag (dom/dow OR rule) is set whenever the
     # field STARTS with '*' — including step wildcards like */2
     wild = spec.startswith("*")
+    # ranges are expanded BEFORE normalization so Vixie-compatible dow
+    # ranges ending in 7 ('5-7' = Fri–Sun) work: 7 is in-range for the
+    # raw check, and norm (7→0) is applied per expanded value
+    hi_raw = hi + 1 if norm is not None else hi
     for part in spec.split(","):
         step = 1
         if "/" in part:
@@ -88,12 +92,13 @@ def _parse_cron_field(spec: str, lo: int, hi: int, names: dict = {},
             a, b = lo, hi
         elif "-" in part:
             a_s, b_s = part.split("-", 1)
-            a, b = _cron_value(a_s, names, norm), _cron_value(b_s, names, norm)
+            a, b = _cron_value(a_s, names, None), _cron_value(b_s, names, None)
         else:
-            a = b = _cron_value(part, names, norm)
-        if not (lo <= a <= hi and lo <= b <= hi and a <= b):
+            a = b = _cron_value(part, names, None)
+        if not (lo <= a <= hi_raw and lo <= b <= hi_raw and a <= b):
             raise ValueError(f"cron value out of range [{lo},{hi}]: {part}")
-        vals.update(range(a, b + 1, step))
+        expanded = range(a, b + 1, step)
+        vals.update((norm(v) for v in expanded) if norm is not None else expanded)
     return vals, wild
 
 

@@ -49,6 +49,15 @@ FORMAT_ALIASES = {
 }
 
 
+def sqlalchemy_available() -> bool:
+    try:
+        import sqlalchemy  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def infer_format(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     if ext not in _EXT_TO_FORMAT:
@@ -87,6 +96,8 @@ def load_dataset(path: str, fmt: Optional[str] = None, **kwargs):
         import sqlite3
 
         table = kwargs.pop("table", "data")
+        if path.startswith("sqlite:///"):
+            path = path[len("sqlite:///"):]
         return rd.read_sql(f"SELECT * FROM {table}",
                            lambda: sqlite3.connect(path), **kwargs)
     raise ValueError(f"unsupported format {fmt!r}")
@@ -122,14 +133,41 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
             rows = [dict(r) for r in ds.to_pandas().to_dict("records")]
             write_xlsx(path, {sheet: rows}, **kwargs)
     elif fmt == "sql":
-        _write_sqlite(ds, path, kwargs.pop("table", "data"))
+        if "://" in path:
+            _write_dsn(ds, path, kwargs.pop("table", "data"))
+        else:
+            _write_sqlite(ds, path, kwargs.pop("table", "data"))
     elif fmt == "sql_dsn":
-        raise NotImplementedError(
-            "postgresql/mysql sinks need a SQLAlchemy DSN writer; only the "
-            "sqlite file sink is wired in this sandbox build — use "
-            "format 'sqlite' with a file path, or parquet/csv/json")
+        _write_dsn(ds, path, kwargs.pop("table", "data"))
     else:
         raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _write_dsn(ds, dsn: str, table: str) -> None:
+    """S9 DSN sink — reference ``storage/database_handler.py:34-115``
+    accepts any SQLAlchemy DSN (postgres/mysql/sqlite). Uses SQLAlchemy
+    when installed (same per-batch ``to_sql`` shape as the sqlite
+    writer); ``sqlite:///`` DSNs also work without it via stdlib
+    sqlite3 through the identical code path."""
+    try:
+        from sqlalchemy import create_engine
+    except ImportError:
+        if dsn.startswith("sqlite:///"):
+            _write_sqlite(ds, dsn[len("sqlite:///"):], table)
+            return
+        raise NotImplementedError(
+            f"DSN sink {dsn.split(':', 1)[0]!r} needs SQLAlchemy, which is "
+            "not installed in this sandbox — use sqlite:///path, or "
+            "sqlite/parquet/csv/json") from None
+    engine = create_engine(dsn)
+    try:
+        first = True
+        for batch in ds.iter_batches(batch_size=4096, batch_format="pandas"):
+            batch.to_sql(table, engine,
+                         if_exists="replace" if first else "append", index=False)
+            first = False
+    finally:
+        engine.dispose()
 
 
 def _write_sqlite(ds, path: str, table: str) -> None:
