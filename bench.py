@@ -28,17 +28,10 @@ BENCH_TIER = os.environ.get("GRAFT_BENCH_TIER", "bench")
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
-QUERY_NAMES = [
-    "q01_lineitem_agg", "q02_top_customers", "q03_orders_filter_topk",
-    "q04_events_window", "q05_order_priority_join", "q06_orders_page2",
-    "q07_user_sessions", "q08_suppliers_per_region", "q09_part_type_stats",
-    "q10_token_count", "q13_keywords_topk", "q14_fingerprint",
-    "q15_quality", "q16_lang_id", "q17_json_valid", "q19_entities",
-    "q20_exact_dedup", "q21_minhash_lsh_pairs", "q23_simhash",
-    "q24_knn_bruteforce", "q27_neardup_cosine", "q28_docs_by_lang_source",
-    "q29_events_value_stats", "q41_events_sliding_window",
-    "q42_top_customers_per_segment", "q44_distinct_event_types",
-]
+# The battery covers EVERY queries() entry (trend lines for all
+# operators); best-of-2 timing per query dampens the box's documented
+# ±30% ambient variance. Set WSR_BENCH_REPS=1 for a quick single pass.
+BENCH_REPS = int(os.environ.get("WSR_BENCH_REPS", "2"))
 
 
 def run_headline(num_cpus: int, out_dir: str) -> dict:
@@ -94,14 +87,24 @@ def run_queries(sf_dir: str) -> dict[str, float]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
+    # the crawl-backed queries (q30–q37) read the memoized t1 crawl —
+    # warm it OUTSIDE the timings so the first of them doesn't absorb a
+    # full crawl (crawl throughput is the headline metric, not these)
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    ensure_tier_crawl("t1")
     out = {}
-    for name in QUERY_NAMES:
-        t0 = time.time()
-        res = qs[name](sf_dir)
-        # force execution for lazy returns
-        if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
-            res = res.to_pandas()
-        out[name] = round(time.time() - t0, 3)
+    for name in qs:
+        best = None
+        for _ in range(max(1, BENCH_REPS)):
+            t0 = time.time()
+            res = qs[name](sf_dir)
+            # force execution for lazy returns
+            if hasattr(res, "to_pandas") and not hasattr(res, "columns"):
+                res = res.to_pandas()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
     return out
 
 
@@ -123,6 +126,7 @@ def bench_once() -> dict:
             "value": round(total, 2),
             "unit": "sec",
             "queries": queries,
+            "queries_best_of": max(1, BENCH_REPS),
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "crawl": crawl,

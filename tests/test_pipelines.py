@@ -163,6 +163,55 @@ def test_phash_neardup_hamming_ball(ray_session):
     assert all("twin" in a or "twin" in b for a, b in got)
 
 
+def test_phash_neardup_exact_at_all_distances(ray_session):
+    """The banding+probing must be EXACT: for planted pairs with exactly
+    d random bit flips (d spread across bands — the adversarial case for
+    exact-band banding, which only guarantees d ≤ 3), every pair with
+    d ≤ max_hamming is found and the result equals brute force."""
+    import numpy as np
+
+    from web_scrapper_ray.pipelines.dedup import phash_neardup_pairs
+
+    rng = np.random.default_rng(1234)
+    ids, hashes = [], []
+    expected = {}
+    for d in range(0, 14):  # beyond max_hamming too (must NOT be found)
+        base = int(rng.integers(0, 2**63, dtype=np.int64))
+        # spread the d flips across bands round-robin so no band absorbs
+        # them all (the case 4x16 exact banding silently misses)
+        positions = []
+        for i in range(d):
+            band = i % 4
+            while True:
+                p = 16 * band + int(rng.integers(0, 16))
+                if p not in positions:
+                    positions.append(p)
+                    break
+        twin = base
+        for p in positions:
+            twin ^= 1 << p
+        if twin >= 2**63:
+            twin -= 2**64
+        ids += [f"d{d:02d}-a", f"d{d:02d}-b"]
+        hashes += [base, twin]
+        expected[(f"d{d:02d}-a", f"d{d:02d}-b")] = d
+    for max_hamming in (6, 10):
+        pairs = phash_neardup_pairs(ids, hashes, max_hamming=max_hamming)
+        got = {tuple(sorted((a, b))): h
+               for a, b, h in zip(pairs["image_a"], pairs["image_b"],
+                                  pairs["hamming"])}
+        # brute force ground truth over the whole planted set
+        brute = {}
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                h = bin((hashes[i] ^ hashes[j]) & (2**64 - 1)).count("1")
+                if h <= max_hamming:
+                    brute[tuple(sorted((ids[i], ids[j])))] = h
+        assert got == brute, f"max_hamming={max_hamming}"
+        for pair, d in expected.items():
+            assert (pair in got) == (d <= max_hamming), (pair, d, max_hamming)
+
+
 def test_keywords_topk_deterministic(ray_session):
     from web_scrapper_ray.pipelines.textops import q_keywords_topk
 

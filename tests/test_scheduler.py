@@ -213,3 +213,57 @@ def test_cron_dow_seven_and_names():
     assert next_cron_fire("0 0 * * sun", _ts(2026, 8, 17, 1, 0)) == _ts(2026, 8, 23, 0, 0)
     assert next_cron_fire("0 9 * * mon-fri", _ts(2026, 8, 21, 10, 0)) == _ts(2026, 8, 24, 9, 0)
     assert next_cron_fire("0 0 1 sep *", _ts(2026, 8, 17, 0, 0)) == _ts(2026, 9, 1, 0, 0)
+
+
+def test_daemon_fires_twice_without_overlap(tmp_path):
+    """ST5 daemon mode (reference BackgroundScheduler, max_instances):
+    a fast interval job fires at least twice across the daemon loop,
+    and with max_instances=1 a slow run is never overlapped — the due
+    fire is skipped, not queued."""
+    import threading
+    import time as _time
+
+    s = JobScheduler(str(tmp_path / "jobs.json"))
+    jid = s.schedule_job("fast", str(tmp_path / "cfg.yaml"), "1")
+    # make the job due immediately
+    s.jobs[jid]["next_run"] = _time.time() - 1
+    s._save()
+
+    runs = []
+    lock = threading.Lock()
+
+    def slow_runner(job_id):
+        t0 = _time.time()
+        # sub-interval trigger cadence: due again IMMEDIATELY (faster
+        # than the 0.25s run) — the daemon must skip, not overlap
+        s.jobs[job_id]["next_run"] = t0 - 0.01
+        _time.sleep(0.25)
+        with lock:
+            runs.append((t0, _time.time()))
+        s.jobs[job_id]["next_run"] = _time.time() - 0.01
+
+    stats = s.run_daemon(poll_s=0.1, max_instances=1, max_ticks=12,
+                         runner=slow_runner)
+    assert stats["fired"] >= 2
+    # a 0.25s run across 0.1s polls MUST have produced skips (overlap
+    # prevented, not queued)
+    assert stats["skipped"] >= 1
+    runs.sort()
+    for (_, end_prev), (start_next, _) in zip(runs, runs[1:]):
+        assert start_next >= end_prev - 0.01, "overlapping executions"
+
+
+def test_daemon_cli_surface(tmp_path):
+    """`wsr schedule daemon --max-ticks N` runs the loop and reports."""
+    import json as _json
+    import subprocess
+    import sys
+
+    store = str(tmp_path / "jobs.json")
+    out = subprocess.run(
+        [sys.executable, "-m", "web_scrapper_ray.cli", "schedule", "daemon",
+         "--store", store, "--poll-s", "0.05", "--max-ticks", "3"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr
+    stats = _json.loads(out.stdout.strip().splitlines()[-1])
+    assert stats["ticks"] == 3 and stats["fired"] == 0

@@ -148,6 +148,11 @@ def cmd_schedule(args: argparse.Namespace) -> int:
     elif args.action == "run-due":
         ran = s.run_due()
         print(json.dumps({"ran": ran}))
+    elif args.action == "daemon":
+        stats = s.run_daemon(poll_s=args.poll_s,
+                             max_instances=args.max_instances,
+                             max_ticks=args.max_ticks)
+        print(json.dumps(stats))
     return 0
 
 
@@ -172,7 +177,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.set_defaults(fn=cmd_export_data)
 
     pj = sub.add_parser("schedule", help="manage scheduled jobs (cron/interval)")
-    pj.add_argument("action", choices=["add", "list", "remove", "run-due"])
+    pj.add_argument("action", choices=["add", "list", "remove", "run-due",
+                                       "daemon"])
+    pj.add_argument("--poll-s", type=float, default=1.0, dest="poll_s")
+    pj.add_argument("--max-instances", type=int, default=3)
+    pj.add_argument("--max-ticks", type=int, default=None,
+                    help="stop after N polls (default: run forever)")
     pj.add_argument("--store", default="/tmp/wsr_jobs/jobs.json")
     pj.add_argument("--name", default=None)
     pj.add_argument("--config", default=None)

@@ -175,27 +175,81 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
         return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                              "doc_b": pd.Series(dtype="int64"),
                              "jaccard": pd.Series(dtype="float64")})
-    # verify: fetch ONLY the candidate docs' texts via a predicate-
-    # pushdown read (semi-join of the parquet against the candidate ids),
-    # then exact shingle-Jaccard on that small set.
-    import pyarrow.dataset as pads
-
-    need = sorted(set(cand["doc_a"]) | set(cand["doc_b"]))
-    doc_t = pads.dataset(os.path.join(sf_dir, "documents.parquet")).to_table(
-        filter=pc.field("doc_id").isin(need), columns=["doc_id", "text"]
-    )
-    texts = dict(zip(doc_t.column("doc_id").to_pylist(),
-                     doc_t.column("text").to_pylist()))
-    sh = {d: _shingles(t) for d, t in texts.items()}
-    jac = []
-    for a, b in zip(cand["doc_a"], cand["doc_b"]):
-        sa, sb = sh[a], sh[b]
-        inter = len(sa & sb)
-        union = len(sa | sb)
-        jac.append(inter / union if union else 0.0)
-    cand["jaccard"] = jac
-    out = cand[cand["jaccard"] >= jaccard_threshold]
+    # verify IN Ray: the (small) pair list is broadcast; candidate docs
+    # stream through a predicate-pushdown read and are replicated into
+    # each pair-bucket that references them (replication factor = the
+    # doc's distinct-bucket degree, ~1-2); each bucket shingles its own
+    # docs and computes exact Jaccard for its pairs inside map_groups.
+    # No driver-side shingling — the driver only round-trips id lists.
+    out = _verify_pairs_jaccard(sf_dir, cand, jaccard_threshold)
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame,
+                          jaccard_threshold: float) -> pd.DataFrame:
+    """Distributed exact shingle-Jaccard verify over a candidate pair
+    list (the MinHash-LSH / n-gram-Jaccard second stage). Work and
+    memory scale with |candidates|, never with the corpus."""
+    import ray
+    import ray.data as rd
+
+    need = sorted(set(int(x) for x in cand["doc_a"])
+                  | set(int(x) for x in cand["doc_b"]))
+    pair_arr = cand[["doc_a", "doc_b"]].to_numpy().astype(np.int64)
+    P = max(1, min(64, (len(pair_arr) + 63) // 64))
+    pbucket = np.arange(len(pair_arr), dtype=np.int64) % P  # balanced
+    doc_buckets: dict[int, list] = {}
+    for (a, b), p in zip(pair_arr, pbucket):
+        for d in (int(a), int(b)):
+            lst = doc_buckets.setdefault(d, [])
+            if int(p) not in lst:
+                lst.append(int(p))
+    pairs_by_bucket = {p: pair_arr[pbucket == p] for p in range(P)}
+    bref = ray.put((doc_buckets, pairs_by_bucket))
+
+    docs_ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id").isin(need),
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        db, _ = ray.get(bref)
+        out_b, out_id, out_t = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            for p in db.get(int(d), ()):
+                out_b.append(p)
+                out_id.append(d)
+                out_t.append(t)
+        return pa.table({"bucket": pa.array(out_b, pa.int32()),
+                         "doc_id": pa.array(out_id, pa.int64()),
+                         "text": pa.array(out_t, pa.string())})
+
+    _EMPTY = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                           "doc_b": pd.Series(dtype="int64"),
+                           "jaccard": pd.Series(dtype="float64")})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        _, pb = ray.get(bref)
+        sh = {int(d): _shingles(t) for d, t in zip(g["doc_id"], g["text"])}
+        rows = []
+        for a, b in pb[int(g["bucket"].iloc[0])]:
+            sa, sb = sh[int(a)], sh[int(b)]
+            union = len(sa | sb)
+            j = len(sa & sb) / union if union else 0.0
+            if j >= jaccard_threshold:
+                rows.append((int(a), int(b), j))
+        if not rows:
+            return _EMPTY
+        return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
+
+    return (
+        docs_ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def simhash64(text: str) -> int:
@@ -213,52 +267,122 @@ def simhash64(text: str) -> int:
     return val - (1 << 64) if val >= (1 << 63) else val
 
 
+N_HBANDS = 4  # 4 × 16-bit bands of the 64-bit hash
+
+# 256-entry popcount LUT → vectorized hamming over int64 columns
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = (a.astype(np.int64).view(np.uint64) ^ b.astype(np.int64).view(np.uint64))
+    return _POPCNT8[x.view(np.uint8).reshape(len(x), 8)].sum(axis=1).astype(np.int64)
+
+
+def _probe_masks(radius: int) -> np.ndarray:
+    """All 16-bit masks with popcount ≤ radius (the symmetric probe
+    ball). radius 0 → 1 mask, 1 → 17, 2 → 137."""
+    masks = [0]
+    if radius >= 1:
+        masks += [1 << i for i in range(16)]
+    if radius >= 2:
+        masks += [(1 << i) | (1 << j)
+                  for i in range(16) for j in range(i + 1, 16)]
+    if radius >= 3:
+        raise NotImplementedError(
+            "hamming-ball banding supports max_hamming <= 19 "
+            "(4 bands x radius-2 probing); larger radii need more bands")
+    return np.array(masks, dtype=np.uint32)
+
+
+def _probe_radius(max_hamming: int) -> int:
+    """Smallest symmetric probe radius with GUARANTEED candidate
+    generation: pigeonhole gives min-band-distance ≤ floor(d/4) for any
+    pair at hamming d, and two radius-r balls intersect iff their
+    centers are ≤ 2r apart — so r = ceil(floor(max_hamming/4)/2)."""
+    return -(-(max_hamming // N_HBANDS) // 2)
+
+
 def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
     """Hamming-ball near-dup over 64-bit perceptual hashes (SURVEY.md
     §2.7 D4 stretch), streaming form: ``ds`` is a Ray Dataset with
     (image_id, phash) columns — typically a parquet read of the images
-    table, never a driver-side list. Split each hash into 4×16-bit
-    bands; near-dups (≤10 bits) almost surely collide in ≥1 band.
-    Candidates = band-bucket groups; verify exact hamming inside
-    map_groups. Only the (small) pair list reaches the driver."""
+    table, never a driver-side list.
+
+    EXACT result (recall 1.0) via multi-index probing [Norouzi et al.,
+    "Fast Search in Hamming Space with Multi-Index Hashing"]: split the
+    hash into 4×16-bit bands; by pigeonhole a pair at hamming d ≤
+    max_hamming agrees to within floor(d/4) bits in SOME band, and both
+    sides emitting every band value within the radius-r probe ball
+    (r = ceil(floor(max_hamming/4)/2), so 2r ≥ floor(max_hamming/4))
+    guarantees a shared (band, probed_val) bucket. Exact-band-only
+    banding (the r=0 special case) is only sound for max_hamming ≤ 3.
+    Candidates are verified with exact vectorized hamming; buckets are
+    coarsened into ~P hash partitions so pairing is one pandas
+    self-merge per partition, not one dispatch per bucket. Only the
+    (small) pair list reaches the driver."""
+    radius = _probe_radius(max_hamming)
+    masks = _probe_masks(radius)
+    m = len(masks)
+    P = 64
 
     def bands(batch: pa.Table) -> pa.Table:
-        out_id, out_band, out_val, out_hash = [], [], [], []
-        for iid, ph in zip(batch.column("image_id").to_pylist(),
-                           batch.column("phash").to_pylist()):
-            u = ph & 0xFFFFFFFFFFFFFFFF
-            for b in range(4):
-                out_id.append(iid)
-                out_band.append(b)
-                out_val.append((u >> (16 * b)) & 0xFFFF)
-                out_hash.append(ph)
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        if n == 0:
+            return pa.table({"image_id": pa.array([], pa.string()),
+                             "band": pa.array([], pa.int32()),
+                             "val": pa.array([], pa.int32()),
+                             "phash": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+        u = ph.astype(np.int64).view(np.uint64)
+        band_vals = np.stack(
+            [(u >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(N_HBANDS)],
+            axis=1,
+        ).astype(np.uint32)                       # (n, 4)
+        probed = band_vals[:, :, None] ^ masks[None, None, :]   # (n, 4, m)
+        out_band = np.tile(np.repeat(np.arange(N_HBANDS, dtype=np.int32), m), n)
+        out_val = probed.reshape(-1).astype(np.int32)
+        # deterministic splitmix64-style mix → coarse partition key
+        key = (out_band.astype(np.uint64) << np.uint64(32)) | out_val.astype(np.uint64)
+        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        bucket = ((key ^ (key >> np.uint64(31))) % np.uint64(P)).astype(np.int32)
         return pa.table({
-            "image_id": pa.array(out_id, pa.string()),
-            "band": pa.array(out_band, pa.int32()),
-            "val": pa.array(out_val, pa.int32()),
-            "phash": pa.array(out_hash, pa.int64()),
+            "image_id": pa.array(np.repeat(ids, N_HBANDS * m)),
+            "band": pa.array(out_band),
+            "val": pa.array(out_val),
+            "phash": pa.array(np.repeat(ph, N_HBANDS * m).astype("int64")),
+            "bucket": pa.array(bucket),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = g.drop_duplicates("image_id").sort_values("image_id")
-        out = []
-        items = list(zip(rows["image_id"], rows["phash"]))
-        for i in range(len(items)):
-            for j in range(i + 1, len(items)):
-                a, b = items[i], items[j]
-                d = bin((a[1] ^ b[1]) & 0xFFFFFFFFFFFFFFFF).count("1")
-                if d <= max_hamming:
-                    out.append((a[0], b[0], d))
-        if not out:
-            return pd.DataFrame({"image_a": pd.Series(dtype="object"),
-                                 "image_b": pd.Series(dtype="object"),
-                                 "hamming": pd.Series(dtype="int64")})
-        return pd.DataFrame(out, columns=["image_a", "image_b", "hamming"])
+    _EMPTY = pd.DataFrame({"image_a": pd.Series(dtype="str"),
+                           "image_b": pd.Series(dtype="str"),
+                           "hamming": pd.Series(dtype="int64")})
+
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["band", "val"], keep=False)]
+        if dup.empty:
+            return _EMPTY
+        mm = dup.merge(dup, on=["band", "val"])
+        mm = mm[mm["image_id_x"] < mm["image_id_y"]]
+        if mm.empty:
+            return _EMPTY
+        mm = mm.drop_duplicates(["image_id_x", "image_id_y"])
+        d = _hamming64(mm["phash_x"].to_numpy(), mm["phash_y"].to_numpy())
+        keep = d <= max_hamming
+        if not keep.any():
+            return _EMPTY
+        return pd.DataFrame({
+            "image_a": mm["image_id_x"].to_numpy()[keep],
+            "image_b": mm["image_id_y"].to_numpy()[keep],
+            "hamming": d[keep],
+        })
 
     cand = (
         ds.map_batches(bands, batch_format="pyarrow")
-        .groupby(["band", "val"])
-        .map_groups(pairs, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(partition_pairs, batch_format="pandas")
         .to_pandas()
     )
     if cand.empty:
@@ -300,34 +424,34 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
 
 def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     """The training-data op behind exact dedup: EMIT the deduplicated
-    corpus (keep min doc_id per content hash). Keeper ids are a small
-    aggregate → broadcast set → streaming membership filter; the corpus
-    itself never leaves map_batches except as the final result."""
-    import ray
-    from ray.data.aggregate import Min
-
+    corpus (keep min doc_id per content hash). Keeper selection happens
+    INSIDE the one hash shuffle — no driver-side keeper set, no second
+    corpus pass: rows carry (doc_id, text, content_hash), are coarsened
+    into ~P hash partitions (a content_hash never straddles partitions),
+    and each partition keeps its per-hash min-doc_id row with one
+    vectorized sort + drop_duplicates. Scales as one all-to-all of the
+    corpus; the driver touches only the final result."""
     ds = _docs(sf_dir, ["doc_id", "text"])
+    P = 64
 
     def add_hash(batch: pa.Table) -> pa.Table:
         hs = [hashlib.md5(t.encode()).hexdigest()
               for t in batch.column("text").to_pylist()]
-        return pa.table({"content_hash": pa.array(hs),
-                         "doc_id": batch.column("doc_id")})
+        buckets = pa.array([int(h[:8], 16) % P for h in hs], pa.int32())
+        return (batch.append_column("content_hash", pa.array(hs))
+                     .append_column("bucket", buckets))
 
-    keepers = (
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        out = (g.sort_values(["content_hash", "doc_id"])
+                .drop_duplicates("content_hash", keep="first"))
+        return out[["doc_id", "text"]]
+
+    out = (
         ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("content_hash")
-        .aggregate(Min("doc_id", alias_name="keep"))
-        .to_pandas()["keep"]
+        .groupby("bucket")
+        .map_groups(keep_min, batch_format="pandas")
+        .to_pandas()  # final deduplicated corpus — the result itself
     )
-    kref = ray.put(frozenset(int(k) for k in keepers))
-
-    def keep_only(batch: pa.Table) -> pa.Table:
-        ks = ray.get(kref)
-        mask = [int(d) in ks for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask))
-
-    out = ds.map_batches(keep_only, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

@@ -196,57 +196,146 @@ def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
                          n_tables: int = 8, n_planes: int = 10) -> pd.DataFrame:
     """Sub-quadratic near-dup (the 100-TB path): n_tables independent
     random-hyperplane codes per vector; candidate pairs = same code in
-    ≥1 table (Ray groupby per table key, pairing inside map_groups —
-    the banded-LSH shape shared with MinHash dedup); exact cosine verify
-    on candidates only. Recall is probabilistic: P(detect | cos=t) =
-    1-(1-(1-θ/π)^p)^T ≈ 0.996 for t=.95, p=10, T=8. Approximate by
-    design → no SQL oracle; planted-pair recall is pytest'd."""
+    ≥1 table; exact cosine verify on candidates only. Recall is
+    probabilistic: P(detect | cos=t) = 1-(1-(1-θ/π)^p)^T ≈ 0.996 for
+    t=.95, p=10, T=8. Approximate by design → no SQL oracle;
+    planted-pair recall is pytest'd.
+
+    Scale shape: the candidate-generation shuffle carries ONLY
+    (table_id, code, vec_id) — 3 ints/row, never the vectors (shipping
+    unit vectors through the ×n_tables explosion would 8× the corpus
+    through the all-to-all). Code buckets are coarsened into ~P hash
+    partitions and paired with one vectorized pandas self-merge per
+    partition; the verify stage re-reads ONLY the candidate vectors via
+    a pushdown read, replicated into per-pair-bucket groups, and
+    computes exact cosine inside map_groups. Work/memory everywhere
+    scale with |candidates|, not the corpus."""
     import ray.data as rd
 
     ds = _emb(sf_dir)
+    P = 64
 
     def codes(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
         planes = _nd_planes(mat.shape[1], n_tables, n_planes)
-        unit = _unit(mat)
-        out_tab, out_code, out_id, out_unit = [], [], [], []
+        n = len(ids)
+        code_mat = np.empty((n_tables, n), dtype=np.int64)
         for t in range(n_tables):
             bits = (mat @ planes[t].T > 0).astype(np.uint64)
-            code = (bits << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
-            out_tab.extend([t] * len(ids))
-            out_code.extend(int(c) for c in code)
-            out_id.extend(int(i) for i in ids)
-            out_unit.extend(u.tolist() for u in unit)
+            code_mat[t] = (bits << np.arange(n_planes, dtype=np.uint64)) \
+                .sum(axis=1).astype(np.int64)
+        out_tab = np.repeat(np.arange(n_tables, dtype=np.int32), n)
+        out_code = code_mat.reshape(-1)
+        out_id = np.tile(ids.astype(np.int64), n_tables)
+        key = (out_tab.astype(np.uint64) << np.uint64(48)) \
+            | out_code.view(np.uint64)
+        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        bucket = ((key ^ (key >> np.uint64(31))) % np.uint64(P)).astype(np.int32)
         return pa.table({
-            "table_id": pa.array(out_tab, pa.int32()),
-            "code": pa.array(out_code, pa.int64()),
-            "vec_id": pa.array(out_id, pa.int64()),
-            "unit": pa.array(out_unit, pa.list_(pa.float64())),
+            "table_id": pa.array(out_tab),
+            "code": pa.array(out_code),
+            "vec_id": pa.array(out_id),
+            "bucket": pa.array(bucket),
         })
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(g) < 2:
-            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                                 "vec_b": pd.Series(dtype="int64")})
-        ids = g["vec_id"].to_numpy()
-        mat = np.stack(g["unit"].to_numpy())
-        sims = mat @ mat.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({"vec_a": ids[ii].astype("int64"),
-                             "vec_b": ids[jj].astype("int64")})
+    _EMPTY = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64")})
 
-    out = (
+    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        dup = g[g.duplicated(["table_id", "code"], keep=False)]
+        if dup.empty:
+            return _EMPTY
+        mm = dup.merge(dup, on=["table_id", "code"])
+        mm = mm[mm["vec_id_x"] < mm["vec_id_y"]]
+        if mm.empty:
+            return _EMPTY
+        mm = mm.drop_duplicates(["vec_id_x", "vec_id_y"])
+        return pd.DataFrame({"vec_a": mm["vec_id_x"].to_numpy(),
+                             "vec_b": mm["vec_id_y"].to_numpy()})
+
+    cand = (
         ds.map_batches(codes, batch_format="pyarrow")
-        .groupby(["table_id", "code"])
-        .map_groups(pairs, batch_format="pandas")
-        .to_pandas()  # final candidate pairs — small by construction
+        .groupby("bucket")
+        .map_groups(partition_pairs, batch_format="pandas")
+        .to_pandas()  # candidate id pairs only — small by construction
     )
+    if cand.empty:
+        return _EMPTY.copy()
+    cand = cand.drop_duplicates(["vec_a", "vec_b"])
+    out = _verify_pairs_cosine(sf_dir, cand, threshold)
     if out.empty:
-        return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                             "vec_b": pd.Series(dtype="int64")})
+        return _EMPTY.copy()
     return (out.drop_duplicates(["vec_a", "vec_b"])
             .sort_values(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
+def _verify_pairs_cosine(sf_dir: str, cand: pd.DataFrame,
+                         threshold: float) -> pd.DataFrame:
+    """Distributed exact-cosine verify over a candidate id-pair list:
+    candidate vectors stream through a pushdown read, are replicated
+    into each pair-bucket that references them, and every bucket
+    resolves its own pairs with one vectorized row-gather + dot product
+    inside map_groups. Scales with |candidates|, not the corpus."""
+    import ray
+    import ray.data as rd
+
+    need = sorted(set(int(x) for x in cand["vec_a"])
+                  | set(int(x) for x in cand["vec_b"]))
+    pair_arr = cand[["vec_a", "vec_b"]].to_numpy().astype(np.int64)
+    P = max(1, min(64, (len(pair_arr) + 255) // 256))
+    pbucket = np.arange(len(pair_arr), dtype=np.int64) % P
+    vec_buckets: dict[int, list] = {}
+    for (a, b), p in zip(pair_arr, pbucket):
+        for v in (int(a), int(b)):
+            lst = vec_buckets.setdefault(v, [])
+            if int(p) not in lst:
+                lst.append(int(p))
+    pairs_by_bucket = {p: pair_arr[pbucket == p] for p in range(P)}
+    bref = ray.put((vec_buckets, pairs_by_bucket))
+
+    emb_ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(need),
+    )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        vb, _ = ray.get(bref)
+        ids, mat = _batch_matrix(batch)
+        unit = _unit(mat)
+        out_b, out_id, out_v = [], [], []
+        for i, v in enumerate(ids):
+            for p in vb.get(int(v), ()):
+                out_b.append(p)
+                out_id.append(int(v))
+                out_v.append(unit[i].tolist())
+        return pa.table({"bucket": pa.array(out_b, pa.int32()),
+                         "vec_id": pa.array(out_id, pa.int64()),
+                         "unit": pa.array(out_v, pa.list_(pa.float64()))})
+
+    _EMPTY = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                           "vec_b": pd.Series(dtype="int64")})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        _, pb = ray.get(bref)
+        prs = pb[int(g["bucket"].iloc[0])]
+        idx = {int(v): i for i, v in enumerate(g["vec_id"])}
+        mat = np.stack(g["unit"].to_numpy())
+        ia = np.array([idx[int(a)] for a, _ in prs], dtype=np.int64)
+        ib = np.array([idx[int(b)] for _, b in prs], dtype=np.int64)
+        sims = np.einsum("ij,ij->i", mat[ia], mat[ib])
+        keep = sims >= threshold
+        if not keep.any():
+            return _EMPTY
+        return pd.DataFrame({"vec_a": prs[keep, 0], "vec_b": prs[keep, 1]})
+
+    return (
+        emb_ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )
 
 
 def _nd_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:

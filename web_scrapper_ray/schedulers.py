@@ -309,3 +309,45 @@ class JobScheduler:
             self.run_job(job["job_id"], now=now, **kw)
             ran.append(job["job_id"])
         return ran
+
+    def run_daemon(self, poll_s: float = 1.0, max_instances: int = 3,
+                   max_ticks: Optional[int] = None, runner=None,
+                   pool_size: int = 10) -> dict[str, int]:
+        """Long-lived scheduler loop — the reference's APScheduler
+        ``BackgroundScheduler`` surface (job_scheduler.py:64-75:
+        ThreadPoolExecutor(10), ``max_instances: 3``, coalescing).
+
+        Polls ``due_jobs`` every ``poll_s`` and fires each due job on a
+        thread pool. Overlap control matches APScheduler: a job with
+        ``max_instances`` executions still running has its fire SKIPPED
+        (counted, not queued). ``next_run`` advances at SUBMIT time so
+        one due event fires exactly once even while a slow run is in
+        flight (the completion-time reschedule inside ``run_job`` then
+        keeps the steady-state cadence). ``max_ticks`` bounds the loop
+        for tests / supervised runs; None runs until interrupted.
+        ``runner`` overrides the per-fire callable (tests)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        runner = runner or self.run_job
+        inflight: dict[str, list] = {}
+        fired = skipped = ticks = 0
+        with ThreadPoolExecutor(pool_size) as pool:
+            while max_ticks is None or ticks < max_ticks:
+                ticks += 1
+                for job in self.due_jobs():
+                    jid = job["job_id"]
+                    live = [f for f in inflight.get(jid, []) if not f.done()]
+                    inflight[jid] = live
+                    if len(live) >= max_instances:
+                        skipped += 1
+                        continue
+                    now = time.time()
+                    if job.get("interval_s"):
+                        job["next_run"] = now + job["interval_s"]
+                    else:
+                        job["next_run"] = next_cron_fire(job["trigger"], now)
+                    self._save()
+                    inflight[jid].append(pool.submit(runner, jid))
+                    fired += 1
+                time.sleep(poll_s)
+        return {"ticks": ticks, "fired": fired, "skipped": skipped}
