@@ -319,7 +319,15 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
     Candidates are verified with exact vectorized hamming; buckets are
     coarsened into ~P hash partitions so pairing is one pandas
     self-merge per partition, not one dispatch per bucket. Only the
-    (small) pair list reaches the driver."""
+    (small) pair list reaches the driver.
+
+    The exchange is a raw-task hash shuffle (split tasks emit P
+    bucket-slices per input block; one pair task per bucket gathers its
+    slices): identical data movement to ``groupby(bucket)`` but without
+    the Ray Data sort-based all-to-all, whose fixed coordination cost
+    (~4s in local mode at any size) dominates this operator's tiny
+    int-only intermediate. At cluster scale it is the same one-exchange
+    pattern the wave crawl uses for its refs layout."""
     radius = _probe_radius(max_hamming)
     masks = _probe_masks(radius)
     m = len(masks)
@@ -361,34 +369,75 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
                            "hamming": pd.Series(dtype="int64")})
 
     def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        dup = g[g.duplicated(["band", "val"], keep=False)]
+        # int-only hot path: probe buckets of clustered hashes overlap
+        # heavily (a close pair shares up to 17 probed buckets), so the
+        # self-merge can be tens of millions of rows — factorize string
+        # ids to int codes and merge on ONE int64 key; strings reappear
+        # only for the (few) pairs that survive the hamming filter.
+        codes, uniq = pd.factorize(g["image_id"])
+        key = ((g["band"].to_numpy().astype(np.int64) << 16)
+               | g["val"].to_numpy().astype(np.int64))
+        df = pd.DataFrame({"k": key, "c": codes.astype(np.int64),
+                           "h": g["phash"].to_numpy()})
+        dup = df[df.duplicated("k", keep=False)]
         if dup.empty:
             return _EMPTY
-        mm = dup.merge(dup, on=["band", "val"])
-        mm = mm[mm["image_id_x"] < mm["image_id_y"]]
+        mm = dup.merge(dup, on="k")
+        mm = mm[mm["c_x"] < mm["c_y"]]
         if mm.empty:
             return _EMPTY
-        mm = mm.drop_duplicates(["image_id_x", "image_id_y"])
-        d = _hamming64(mm["phash_x"].to_numpy(), mm["phash_y"].to_numpy())
+        d = _hamming64(mm["h_x"].to_numpy(), mm["h_y"].to_numpy())
         keep = d <= max_hamming
         if not keep.any():
             return _EMPTY
-        return pd.DataFrame({
-            "image_a": mm["image_id_x"].to_numpy()[keep],
-            "image_b": mm["image_id_y"].to_numpy()[keep],
-            "hamming": d[keep],
-        })
+        ca = mm["c_x"].to_numpy()[keep]
+        cb = mm["c_y"].to_numpy()[keep]
+        dd = d[keep]
+        # collapse probe-bucket replicas of the same pair
+        pk = ca * len(uniq) + cb
+        _, first = np.unique(pk, return_index=True)
+        ca, cb, dd = ca[first], cb[first], dd[first]
+        ids = np.asarray(uniq)
+        a, b = ids[ca], ids[cb]
+        swap = a > b
+        return pd.DataFrame({"image_a": np.where(swap, b, a),
+                             "image_b": np.where(swap, a, b),
+                             "hamming": dd})
 
-    cand = (
-        ds.map_batches(bands, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(partition_pairs, batch_format="pandas")
-        .to_pandas()
-    )
-    if cand.empty:
-        return pd.DataFrame({"image_a": pd.Series(dtype="object"),
-                             "image_b": pd.Series(dtype="object"),
-                             "hamming": pd.Series(dtype="int64")})
+    import ray
+
+    def split_fn(block: pa.Table) -> tuple:
+        tbl = bands(block)
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(b[order], np.arange(P + 1))
+        return tuple(
+            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+               .combine_chunks()
+            for i in range(P)
+        )
+
+    def pair_fn(*tabs) -> pd.DataFrame:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return _EMPTY
+        return partition_pairs(pa.concat_tables(live).to_pandas())
+
+    refs = ds.to_arrow_refs()
+    empty = pd.DataFrame({"image_a": pd.Series(dtype="object"),
+                          "image_b": pd.Series(dtype="object"),
+                          "hamming": pd.Series(dtype="int64")})
+    if not refs:
+        return empty
+    split_r = ray.remote(num_returns=P)(split_fn)
+    pair_r = ray.remote(pair_fn)
+    per_block = [split_r.remote(r) for r in refs]
+    futs = [pair_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
+    parts = [p for p in ray.get(futs) if len(p)]
+    if not parts:
+        return empty
+    cand = pd.concat(parts, ignore_index=True)
     return (
         cand.drop_duplicates(["image_a", "image_b"])
         .sort_values(["image_a", "image_b"])
