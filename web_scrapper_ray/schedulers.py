@@ -150,7 +150,13 @@ def is_cron(trigger: str) -> bool:
 
 class JobScheduler:
     def __init__(self, store_path: str):
+        import threading
+
         self.store_path = store_path
+        # daemon mode saves from pool threads concurrently with the poll
+        # loop — serialize tmp-file writes or two json.dump calls
+        # interleave into one tmp and os.replace installs corrupt JSON
+        self._save_lock = threading.Lock()
         self.jobs: dict[str, dict[str, Any]] = {}
         if os.path.exists(store_path):
             with open(store_path) as f:
@@ -159,9 +165,10 @@ class JobScheduler:
     def _save(self) -> None:
         os.makedirs(os.path.dirname(self.store_path) or ".", exist_ok=True)
         tmp = self.store_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self.jobs, f, indent=2)
-        os.replace(tmp, self.store_path)
+        with self._save_lock:
+            with open(tmp, "w") as f:
+                json.dump(self.jobs, f, indent=2)
+            os.replace(tmp, self.store_path)
 
     def schedule_job(self, name: str, config_path: str, trigger: str,
                      email: Optional[str] = None,
@@ -330,13 +337,37 @@ class JobScheduler:
 
         runner = runner or self.run_job
         inflight: dict[str, list] = {}
-        fired = skipped = ticks = 0
+        fired = skipped = ticks = errors = 0
+
+        def reap(futures: list) -> list:
+            """Drop finished futures, surfacing (never swallowing) their
+            exceptions — a raising runner must be visible in the audit
+            log and the returned stats, as run-due mode would raise."""
+            nonlocal errors
+            live = []
+            for f in futures:
+                if not f.done():
+                    live.append(f)
+                    continue
+                exc = f.exception()
+                if exc is not None:
+                    errors += 1
+                    log = os.path.join(
+                        os.path.dirname(self.store_path) or ".",
+                        "notifications.log")
+                    with open(log, "a") as fh:
+                        fh.write(json.dumps({
+                            "ts": time.time(), "channel": "daemon",
+                            "error": f"{type(exc).__name__}: {exc}",
+                        }) + "\n")
+            return live
+
         with ThreadPoolExecutor(pool_size) as pool:
             while max_ticks is None or ticks < max_ticks:
                 ticks += 1
                 for job in self.due_jobs():
                     jid = job["job_id"]
-                    live = [f for f in inflight.get(jid, []) if not f.done()]
+                    live = reap(inflight.get(jid, []))
                     inflight[jid] = live
                     if len(live) >= max_instances:
                         skipped += 1
@@ -350,4 +381,8 @@ class JobScheduler:
                     inflight[jid].append(pool.submit(runner, jid))
                     fired += 1
                 time.sleep(poll_s)
-        return {"ticks": ticks, "fired": fired, "skipped": skipped}
+        # pool shutdown waited for stragglers — reap their outcomes too
+        for futures in inflight.values():
+            reap(futures)
+        return {"ticks": ticks, "fired": fired, "skipped": skipped,
+                "errors": errors}

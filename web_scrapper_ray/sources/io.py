@@ -58,6 +58,27 @@ def sqlalchemy_available() -> bool:
         return False
 
 
+def sink_preflight_error(fmt: Optional[str], path: Optional[str]) -> Optional[str]:
+    """Pre-flight a sink spec BEFORE any work runs: returns an error
+    string for configurations save_dataset would reject at write time
+    (server DSNs without SQLAlchemy — whether spelled as a postgres/
+    mysql format or as fmt='sql' with a '://' path), else None.
+    Mirrors the exact routing in :func:`save_dataset`."""
+    try:
+        f = FORMAT_ALIASES[fmt] if fmt else (
+            FORMAT_ALIASES[infer_format(path)] if path else None)
+    except (KeyError, ValueError):
+        return f"unsupported output format {fmt!r}"
+    is_dsn = f == "sql_dsn" or (
+        f == "sql" and path and "://" in path
+        and not path.startswith("sqlite:///"))
+    if is_dsn and not sqlalchemy_available():
+        return ("server DSN sinks (postgresql/mysql) need SQLAlchemy, "
+                "which is not installed — use sqlite:///path, or "
+                "sqlite/parquet/csv/json")
+    return None
+
+
 def infer_format(path: str) -> str:
     ext = os.path.splitext(path)[1].lower()
     if ext not in _EXT_TO_FORMAT:

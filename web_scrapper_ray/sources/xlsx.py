@@ -65,8 +65,10 @@ def _cell_xml(ref: str, value: Any) -> str:
         if isinstance(value, float) and value != value:
             return ""  # NaN → empty cell (pandas/openpyxl convention)
         if isinstance(value, float) and value in (float("inf"), float("-inf")):
-            # XLSX numeric cells can't hold ±inf; inlineStr round-trips
-            # via the 'inf'/'-inf' parse in _cell_value
+            # XLSX numeric cells can't hold ±inf; pandas' to_excel writes
+            # it as the string 'inf' (the inf_rep option) and read_excel
+            # does NOT convert back — same one-way convention here, so
+            # legitimate string cells are never coerced on read
             return f'<c r="{ref}" t="inlineStr"><is><t>{value!r}</t></is></c>'
         return f'<c r="{ref}"><v>{value!r}</v></c>'
     return f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">{_esc_text(str(value))}</t></is></c>'
@@ -194,10 +196,7 @@ def _cell_value(c: ET.Element, shared: list[str]) -> Any:
     t = c.get("t", "n")
     if t == "inlineStr":
         tnode = c.find(f"{{{_NS}}}is/{{{_NS}}}t")
-        txt = _unesc_text(tnode.text or "") if tnode is not None else ""
-        if txt in ("inf", "-inf", "nan"):
-            return float(txt)  # non-finite floats written by _cell_xml
-        return txt
+        return _unesc_text(tnode.text or "") if tnode is not None else ""
     v = c.find(f"{{{_NS}}}v")
     if v is None or v.text is None:
         return None
