@@ -121,55 +121,73 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     assert n_bands * rows_per_band <= N_PERM
     ds = _docs(sf_dir, ["doc_id", "text"])
 
-    def bands(batch: pa.Table) -> pa.Table:
-        doc_ids, band_ids, band_hashes = [], [], []
-        for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+    # Bucket pairing is a raw-task hash shuffle (the phash-near-dup
+    # exchange pattern): one split task per input block computes the
+    # minhash bands AND partitions its (band_key, doc_id) rows into P
+    # bucket slices; one pair task per bucket gathers its slices and
+    # pairs all its buckets with one int64 self-merge. Identical data
+    # movement to the old map_batches→groupby formulation, minus two
+    # Dataset all-to-all executions' fixed cost; a (band, hash) bucket
+    # never straddles partitions. Only the candidate pair list (small
+    # by construction: docs sharing a full band) reaches the driver.
+    P = 64
+    # per-band 64-bit salts fold band_id into the blake-derived band
+    # hash so one int column carries the whole merge key
+    band_salt = mix64(np.arange(n_bands, dtype=np.uint64)
+                      + np.uint64(0x9E3779B97F4A7C15))
+
+    def band_split(block: pa.Table) -> tuple:
+        doc_ids = block.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = block.column("text").to_pylist()
+        n = len(doc_ids)
+        keys = np.empty(n * n_bands, dtype=np.uint64)
+        for i, t in enumerate(texts):
             sig = minhash_signature(t)
             for b in range(n_bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                h = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-                doc_ids.append(d)
-                band_ids.append(b)
-                band_hashes.append(h)
-        return pa.table({
-            "doc_id": pa.array(doc_ids, pa.int64()),
-            "band_id": pa.array(band_ids, pa.int32()),
-            "band_hash": pa.array(band_hashes),
-        })
+                chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
+                keys[i * n_bands + b] = int.from_bytes(
+                    hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(),
+                    "big")
+        keys ^= np.tile(band_salt, n)
+        docs = np.repeat(doc_ids.astype(np.int64), n_bands)
+        bucket = (keys % np.uint64(P)).astype(np.int64)  # blake-uniform
+        order = np.argsort(bucket, kind="stable")
+        tbl = pa.table({"k": pa.array(keys[order].view(np.int64)),
+                        "doc_id": pa.array(docs[order])})
+        bounds = np.searchsorted(bucket[order], np.arange(P + 1))
+        return tuple(
+            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+               .combine_chunks()
+            for i in range(P)
+        )
 
-    # Bucket pairing runs IN Ray with ONE coarse shuffle: band rows are
-    # hash-partitioned on band_hash into ~P partitions (a (band_id,
-    # band_hash) bucket never straddles partitions), and each partition
-    # pairs ALL its buckets vectorized in one pandas self-merge — P
-    # map_groups calls instead of one per bucket (most buckets are
-    # singletons; per-group dispatch dominated the old wall time).
-    # Only the candidate pair list (small by construction: docs sharing
-    # a full band) reaches the driver.
-    P = 64
+    _EMPTY_CAND = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                "doc_b": pd.Series(dtype="int64")})
 
-    def add_bucket(batch: pa.Table) -> pa.Table:
-        parts = [int(h[:4], 16) % P for h in batch.column("band_hash").to_pylist()]
-        return batch.append_column("bucket", pa.array(parts, pa.int32()))
-
-    def partition_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g[["band_id", "band_hash", "doc_id"]].drop_duplicates()
-        dup = g[g.duplicated(["band_id", "band_hash"], keep=False)]
+    def pair_fn(*tabs) -> pd.DataFrame:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return _EMPTY_CAND
+        g = pa.concat_tables(live).to_pandas()
+        dup = g[g.duplicated("k", keep=False)]
         if dup.empty:
-            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                                 "doc_b": pd.Series(dtype="int64")})
-        m = dup.merge(dup, on=["band_id", "band_hash"])
+            return _EMPTY_CAND
+        m = dup.merge(dup, on="k")
         m = m[m["doc_id_x"] < m["doc_id_y"]]
         return (m[["doc_id_x", "doc_id_y"]]
                 .rename(columns={"doc_id_x": "doc_a", "doc_id_y": "doc_b"})
                 .drop_duplicates())
 
-    cand = (
-        ds.map_batches(bands, batch_format="pyarrow")
-        .map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(partition_pairs, batch_format="pandas")
-        .to_pandas()  # candidate pairs only — never the band table
-    )
+    refs = ds.to_arrow_refs()
+    if refs:
+        split_r = ray.remote(num_returns=P)(band_split)
+        pair_r = ray.remote(pair_fn)
+        per_block = [split_r.remote(r) for r in refs]
+        futs = [pair_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
+        parts = [p for p in ray.get(futs) if len(p)]
+    else:
+        parts = []
+    cand = (pd.concat(parts, ignore_index=True) if parts else _EMPTY_CAND)
     cand = cand.drop_duplicates(["doc_a", "doc_b"]).sort_values(
         ["doc_a", "doc_b"]
     ).reset_index(drop=True)
