@@ -14,9 +14,12 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from .pairs import mix64
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -373,39 +376,57 @@ def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
 
 
 def _set_op_membership(sf_dir: str) -> pd.DataFrame:
-    """Shared scan for INTERSECT/EXCEPT (SURVEY.md §2.7 set ops): tag
-    each side, ONE groupby(key) shuffle, per-key membership flags via
-    Max aggregation — duplicates collapse for free (set semantics), and
-    pre-aggregating 0/1 flags per batch would be the combiner at scale."""
-    from ray.data.aggregate import Max
+    """Shared scan for INTERSECT/EXCEPT (SURVEY.md §2.7 set ops):
+    per-block unique keys (the combiner — dup keys never shuffle), one
+    raw-task hash shuffle on the key (split tasks emit P bucket slices
+    per block, one merge task per bucket ORs the membership flags), so
+    set semantics cost one exchange of distinct-key rows and none of
+    the Dataset sort-based all-to-all's fixed latency. The driver sees
+    only the final membership table (= the query result)."""
+    import ray
 
-    orders = _read(sf_dir, "orders", columns=["o_custkey"])
-    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    P = 32
+    sides = [("orders", "o_custkey", 1, 0), ("customer", "c_custkey", 0, 1)]
 
-    def tag_orders(t: pa.Table) -> pa.Table:
-        keys = pc.unique(t.column("o_custkey"))  # per-batch combiner:
-        n = len(keys)                            # dup keys never shuffle
-        return pa.table({"custkey": keys,
-                         "in_orders": pa.array([1] * n, pa.int32()),
-                         "in_customer": pa.array([0] * n, pa.int32())})
-
-    def tag_cust(t: pa.Table) -> pa.Table:
-        keys = pc.unique(t.column("c_custkey"))
+    def split(block: pa.Table, col: str, in_o: int, in_c: int) -> tuple:
+        keys = pc.unique(block.column(col)).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bucket = (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)
+        order = np.argsort(bucket, kind="stable")
         n = len(keys)
-        return pa.table({"custkey": keys,
-                         "in_orders": pa.array([0] * n, pa.int32()),
-                         "in_customer": pa.array([1] * n, pa.int32())})
+        tbl = pa.table({
+            "custkey": pa.array(keys[order]),
+            "in_o": pa.array(np.full(n, in_o, dtype=np.int32)),
+            "in_c": pa.array(np.full(n, in_c, dtype=np.int32)),
+        })
+        bounds = np.searchsorted(bucket[order], np.arange(P + 1))
+        return tuple(
+            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+               .combine_chunks()
+            for i in range(P)
+        )
 
-    both = orders.map_batches(tag_orders, batch_format="pyarrow").union(
-        cust.map_batches(tag_cust, batch_format="pyarrow")
-    )
-    out = (
-        both.groupby("custkey")
-        .aggregate(Max("in_orders", alias_name="in_o"),
-                   Max("in_customer", alias_name="in_c"))
-        .to_pandas()
-    )
-    return out
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"custkey": pd.Series(dtype="int64"),
+                                 "in_o": pd.Series(dtype="int32"),
+                                 "in_c": pd.Series(dtype="int32")})
+        g = pa.concat_tables(live).to_pandas()
+        return g.groupby("custkey", as_index=False).max()
+
+    split_r = ray.remote(num_returns=P)(split)
+    merge_r = ray.remote(merge)
+    per_block = []
+    for table, col, in_o, in_c in sides:
+        for r in _read(sf_dir, table, columns=[col]).to_arrow_refs():
+            per_block.append(split_r.remote(r, col, in_o, in_c))
+    futs = [merge_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
+    parts = [p for p in ray.get(futs) if len(p)]
+    return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
+        {"custkey": pd.Series(dtype="int64"),
+         "in_o": pd.Series(dtype="int32"),
+         "in_c": pd.Series(dtype="int32")})
 
 
 def q_custkeys_intersect(sf_dir: str) -> pd.DataFrame:
