@@ -1,0 +1,101 @@
+"""Regression tests for latent oracle-divergence edge cases that the
+driver's FK-clean 2024-only testdata cannot exercise: pre-1970 window
+binning, NULL in DISTINCT, inner-join orphan drops, short-doc minhash
+cliques, and tied-vector top-k."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+    return str(tmp_path)
+
+
+def test_window_pre1970_fractional_seconds(ray_session, tmp_path):
+    """date_trunc('hour') on negative-epoch fractional timestamps: int
+    truncation toward zero binned them one hour late."""
+    from web_scrapper_ray.pipelines.relational import q_events_window
+
+    ts = pa.array([-500_000, 500_000, -3_600_000_000 - 1],
+                  pa.timestamp("us"))
+    sf = _write(tmp_path, "events", pa.table({
+        "ts": ts,
+        "event_type": pa.array(["x", "x", "x"]),
+        "value": pa.array([1.0, 1.0, 1.0]),
+    }))
+    out = q_events_window(sf)
+    oracle = duckdb.sql(
+        f"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS w,
+                   count(*) n FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert sorted(out["window_start"]) == sorted(oracle["w"])
+    # -0.5s lives in the [-3600, 0) hour; -3600.000001s in the one before
+    assert set(out["window_start"]) == {-7200, -3600, 0}
+
+
+def test_distinct_with_null(ray_session, tmp_path):
+    from web_scrapper_ray.pipelines.relational import q_distinct_event_types
+
+    sf = _write(tmp_path, "events", pa.table({
+        "event_type": pa.array(["b", None, "a", "b"]),
+    }))
+    out = q_distinct_event_types(sf)
+    assert out["event_type"].tolist() == ["a", "b", None]  # NULLS LAST
+
+
+def test_inner_join_drops_orphans(ray_session, tmp_path):
+    """q02: an orders row whose custkey is missing from customer must be
+    dropped (oracle INNER JOIN), not ranked with a NaN name."""
+    from web_scrapper_ray.pipelines.relational import q_top_customers
+
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["Customer#1", "Customer#2"]),
+    }))
+    sf = _write(tmp_path, "orders", pa.table({
+        "o_custkey": pa.array([1, 2, 99], pa.int64()),  # 99 = orphan
+        "o_totalprice": pa.array([10.0, 5.0, 1000.0]),
+    }))
+    out = q_top_customers(sf)
+    assert 99 not in set(out["c_custkey"])
+    assert out["c_custkey"].tolist() == [1, 2]
+
+
+def test_minhash_short_docs_no_clique(ray_session, tmp_path):
+    """Docs with <3 tokens share the sentinel signature; they must emit
+    NO band rows (a corpus of stubs would otherwise form one quadratic
+    candidate clique) and can never appear in the result."""
+    from web_scrapper_ray.pipelines.dedup import q_minhash_lsh_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep dark forest tonight") * 3
+    rows = [{"doc_id": i, "text": "stub"} for i in range(20)]  # 1 token
+    rows += [{"doc_id": 100, "text": base},
+             {"doc_id": 101, "text": base + " extra"}]
+    sf = _write(tmp_path, "documents", pa.Table.from_pylist(rows))
+    out = q_minhash_lsh_pairs(sf, jaccard_threshold=0.5)
+    got = set(zip(out["doc_a"], out["doc_b"]))
+    assert (100, 101) in got
+    assert all(a >= 100 and b >= 100 for a, b in got)  # no stub pairs
+
+
+def test_knn_tied_vectors_deterministic(ray_session, tmp_path):
+    """q24 with >k+1 identical vectors in one batch: the per-batch top-k
+    must keep the LOWEST neighbor_ids (oracle row_number tie-break), not
+    an arbitrary argpartition subset."""
+    from web_scrapper_ray.pipelines.similarity import q_knn_bruteforce
+
+    dup = [1.0, 0.0, 0.0]
+    vecs = [dup] * 10 + [[0.0, 1.0, 0.0]]
+    sf = _write(tmp_path, "embeddings", pa.table({
+        "vec_id": pa.array(list(range(11)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float64())),
+    }))
+    out = q_knn_bruteforce(sf, query_ids=(0,), k=5)
+    # neighbors 1..9 all have sim 1.0 → ranks 1..5 must be ids 1..5
+    assert out[out["query_id"] == 0]["neighbor_id"].tolist() == [1, 2, 3, 4, 5]

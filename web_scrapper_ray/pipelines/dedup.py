@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import mix64
+from .pairs import hash_shuffle, mix64
 
 _TOKEN_RX = re.compile(r"\w+")
 N_PERM = 64
@@ -73,13 +73,17 @@ def _shingles(text: str, n: int = 3) -> set[int]:
     return set(int(x) for x in _shingle_hashes(text, n))
 
 
+def _sig_from_hashes(hv: np.ndarray) -> np.ndarray:
+    # (a*x + b) mod p, vectorized over perms × shingles
+    prod = (hv[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
+    return prod.min(axis=1)
+
+
 def minhash_signature(text: str) -> np.ndarray:
     hv = _shingle_hashes(text)
     if hv.size == 0:
         return np.full(N_PERM, np.uint64(_MERSENNE), dtype=np.uint64)
-    # (a*x + b) mod p, vectorized over perms × shingles
-    prod = (hv[None, :] * _A[:, None] + _B[:, None]) % np.uint64(_MERSENNE)
-    return prod.min(axis=1)
+    return _sig_from_hashes(hv)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -116,8 +120,6 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     Banding must be chosen for the threshold: candidate recall at
     jaccard j is 1-(1-j^rows_per_band)^n_bands. Non-SQL-expressible →
     rows-only driver check; invariants pytest'd."""
-    import ray
-
     assert n_bands * rows_per_band <= N_PERM
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -136,13 +138,22 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
     band_salt = mix64(np.arange(n_bands, dtype=np.uint64)
                       + np.uint64(0x9E3779B97F4A7C15))
 
-    def band_split(block: pa.Table) -> tuple:
+    def band_rows(block: pa.Table) -> pa.Table:
         doc_ids = block.column("doc_id").to_numpy(zero_copy_only=False)
         texts = block.column("text").to_pylist()
         n = len(doc_ids)
         keys = np.empty(n * n_bands, dtype=np.uint64)
+        valid = np.ones(n * n_bands, dtype=bool)
         for i, t in enumerate(texts):
-            sig = minhash_signature(t)
+            hv = _shingle_hashes(t)
+            if hv.size == 0:
+                # <3 tokens → no shingles → Jaccard is 0 against
+                # everything, so the doc can never verify as a pair;
+                # emitting the all-sentinel signature instead would
+                # collide EVERY short doc into one quadratic clique
+                valid[i * n_bands:(i + 1) * n_bands] = False
+                continue
+            sig = _sig_from_hashes(hv)
             for b in range(n_bands):
                 chunk = sig[b * rows_per_band:(b + 1) * rows_per_band]
                 keys[i * n_bands + b] = int.from_bytes(
@@ -150,16 +161,12 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                     "big")
         keys ^= np.tile(band_salt, n)
         docs = np.repeat(doc_ids.astype(np.int64), n_bands)
-        bucket = (keys % np.uint64(P)).astype(np.int64)  # blake-uniform
-        order = np.argsort(bucket, kind="stable")
-        tbl = pa.table({"k": pa.array(keys[order].view(np.int64)),
-                        "doc_id": pa.array(docs[order])})
-        bounds = np.searchsorted(bucket[order], np.arange(P + 1))
-        return tuple(
-            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-               .combine_chunks()
-            for i in range(P)
-        )
+        keys, docs = keys[valid], docs[valid]
+        return pa.table({
+            "k": pa.array(keys.view(np.int64)),
+            "doc_id": pa.array(docs),
+            "bucket": pa.array((keys % np.uint64(P)).astype(np.int64)),
+        })
 
     _EMPTY_CAND = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
                                 "doc_b": pd.Series(dtype="int64")})
@@ -179,14 +186,9 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                 .drop_duplicates())
 
     refs = ds.to_arrow_refs()
-    if refs:
-        split_r = ray.remote(num_returns=P)(band_split)
-        pair_r = ray.remote(pair_fn)
-        per_block = [split_r.remote(r) for r in refs]
-        futs = [pair_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
-        parts = [p for p in ray.get(futs) if len(p)]
-    else:
-        parts = []
+    parts = [p for p in hash_shuffle([(r, ()) for r in refs],
+                                     band_rows, pair_fn, P=P)
+             if len(p)] if refs else []
     cand = (pd.concat(parts, ignore_index=True) if parts else _EMPTY_CAND)
     cand = cand.drop_duplicates(["doc_a", "doc_b"]).sort_values(
         ["doc_a", "doc_b"]
@@ -393,20 +395,6 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
                              "image_b": np.where(swap, a, b),
                              "hamming": dd})
 
-    import ray
-
-    def split_fn(block: pa.Table) -> tuple:
-        tbl = bands(block)
-        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
-        order = np.argsort(b, kind="stable")
-        tbl = tbl.take(pa.array(order))
-        bounds = np.searchsorted(b[order], np.arange(P + 1))
-        return tuple(
-            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-               .combine_chunks()
-            for i in range(P)
-        )
-
     def pair_fn(*tabs) -> pd.DataFrame:
         live = [t for t in tabs if t.num_rows]
         if not live:
@@ -419,11 +407,8 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
                           "hamming": pd.Series(dtype="int64")})
     if not refs:
         return empty
-    split_r = ray.remote(num_returns=P)(split_fn)
-    pair_r = ray.remote(pair_fn)
-    per_block = [split_r.remote(r) for r in refs]
-    futs = [pair_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
-    parts = [p for p in ray.get(futs) if len(p)]
+    parts = [p for p in hash_shuffle([(r, ()) for r in refs],
+                                     bands, pair_fn, P=P) if len(p)]
     if not parts:
         return empty
     cand = pd.concat(parts, ignore_index=True)

@@ -27,6 +27,43 @@ def mix64(key: np.ndarray) -> np.ndarray:
     return key ^ (key >> np.uint64(31))
 
 
+def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
+                 P: int = 32) -> list:
+    """Raw-task hash exchange shared by the near-dup/set-op operators:
+    one split task per input block computes its rows and an int
+    ``bucket`` column in [0, P) (``split_fn(block, *extra) →
+    pa.Table``), the scaffold sorts/slices them into P bucket slices
+    (``ray.remote(num_returns=P)``), and one merge task per bucket
+    gathers its slices (``merge_fn(*tables) → result``). Identical data
+    movement to ``Dataset.groupby(bucket)`` without the sort-based
+    all-to-all's fixed coordination latency (~4s in local mode at any
+    size — see CLAUDE.md); at cluster scale it is the same one-exchange
+    pattern the wave crawl uses for its refs layout.
+
+    ``inputs``: list of (block_ref, extra_args_tuple). Returns the list
+    of merge results (small by contract — pair lists / membership rows).
+    """
+    import ray
+
+    def split_task(block: pa.Table, *extra) -> tuple:
+        tbl = split_fn(block, *extra)
+        b = tbl.column("bucket").to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        tbl = tbl.take(pa.array(order))
+        bounds = np.searchsorted(b[order], np.arange(P + 1))
+        return tuple(
+            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+               .combine_chunks()
+            for i in range(P)
+        )
+
+    split_r = ray.remote(num_returns=P)(split_task)
+    merge_r = ray.remote(merge_fn)
+    per_block = [split_r.remote(ref, *extra) for ref, extra in inputs]
+    futs = [merge_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
+    return ray.get(futs)
+
+
 def verify_pairs(ds, pairs: np.ndarray,
                  payload_fn: Callable[[pa.Table], tuple],
                  verify_fn: Callable[[dict, np.ndarray], pd.DataFrame],

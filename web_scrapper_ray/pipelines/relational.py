@@ -19,13 +19,23 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import mix64
+from .pairs import hash_shuffle, mix64
 
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _hour_start(ts_col) -> pa.Array:
+    """Epoch seconds of date_trunc('hour', ts). FLOOR division over the
+    raw microseconds — int64 truncation toward zero would bin pre-1970
+    fractional-second timestamps one hour late (µs magnitudes stay well
+    inside float64's exact-integer range)."""
+    us = pc.cast(pc.cast(ts_col, pa.int64()), pa.float64())
+    return pc.cast(pc.multiply(pc.floor(pc.divide(us, 3.6e9)), 3600.0),
+                   pa.int64())
 
 
 def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
@@ -67,26 +77,37 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
 
 
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
-    """Broadcast join: the customer dimension is ray.put once and read
-    inside each batch task — no shuffle for the join, one for the agg."""
+    """Broadcast INNER join + partial top-k: the customer dimension is
+    ray.put once and read inside each batch task over the AGGREGATED
+    per-customer revenue; unmatched custkeys are dropped (INNER JOIN
+    semantics — the oracle joins before grouping) and each batch emits
+    only its local top-10, so the driver merges ≤10·n_blocks rows, never
+    the full per-customer table."""
     import ray
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
     cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    agg = (
-        orders.groupby("o_custkey")
-        .aggregate(Sum("o_totalprice", alias_name="revenue"),
-                   Count(alias_name="n_orders"))
-        .to_pandas()
-    )
-    names = ray.get(cust_ref)
-    agg["revenue"] = agg["revenue"].round(2)
-    agg["c_name"] = agg["o_custkey"].map(names)
-    agg = agg.rename(columns={"o_custkey": "c_custkey"})
-    agg = agg.sort_values(["revenue", "c_custkey"], ascending=[False, True]).head(10)
-    return agg[["c_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
+    agg = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="revenue"),
+        Count(alias_name="n_orders"))
+
+    def topk_partial(batch: pa.Table) -> pa.Table:
+        names = ray.get(cust_ref)
+        t = batch.to_pandas()
+        t = t[t["o_custkey"].isin(names.keys())]  # INNER JOIN
+        t["c_name"] = t["o_custkey"].map(names)
+        t["revenue"] = t["revenue"].round(2)  # rank on rounded, like the SQL
+        t = t.sort_values(["revenue", "o_custkey"],
+                          ascending=[False, True]).head(10)
+        return pa.Table.from_pandas(t, preserve_index=False)
+
+    partials = agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    out = partials.sort_values(["revenue", "o_custkey"],
+                               ascending=[False, True]).head(10)
+    out = out.rename(columns={"o_custkey": "c_custkey"})
+    return out[["c_custkey", "c_name", "revenue", "n_orders"]].reset_index(drop=True)
 
 
 def q_orders_filter_topk(sf_dir: str) -> pd.DataFrame:
@@ -110,9 +131,8 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
-        win = pc.multiply(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), 3600.0)
-        return batch.append_column("window_start", pc.cast(win, pa.int64()))
+        return batch.append_column("window_start",
+                                   _hour_start(batch.column("ts")))
 
     ds = ds.map_batches(bucket, batch_format="pyarrow").select_columns(
         ["event_type", "window_start", "value"]
@@ -128,45 +148,45 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
 
 def q_orders_page2(sf_dir: str) -> pd.DataFrame:
     """O2 ORDER BY/LIMIT/OFFSET pushdown analog: rows 51..100 of the
-    price-ranked 'F' orders — sort → limit(off+n) → driver-side slice
-    (the offset tail of a top-k is small by construction)."""
-    ds = _read(sf_dir, "orders",
-               columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"])
-    ds = ds.map_batches(
-        lambda t: t.filter(pc.equal(t.column("o_orderstatus"), "F")),
-        batch_format="pyarrow",
-    )
-    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
-    out = top.to_pandas()[["o_orderkey", "o_custkey", "o_totalprice"]]
-    return out.iloc[50:100].reset_index(drop=True)
+    price-ranked 'F' orders — the offset tail of q_orders_filter_topk's
+    top-100 (shared pipeline; the offset slice of a top-k is small by
+    construction, so slicing driver-side is the whole operator)."""
+    return q_orders_filter_topk(sf_dir).iloc[50:100].reset_index(drop=True)
 
 
 def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     """Session windows over the ordered event log (SURVEY.md §2.8 shape):
-    per user, a >30-minute gap starts a new session. Partition by key,
-    sort by ts within the group, cumulative gap-count — the canonical
-    groupby(key).map_groups windowing pattern."""
-    import ray.data as rd
-
+    per user, a >30-minute gap starts a new session. Keys are coarsened
+    into ~64 hash buckets before map_groups (one dispatch per BUCKET,
+    not per user — the CLAUDE.md per-group-dispatch rule) and the whole
+    bucket is sessionized with one vectorized grouped diff/cumsum."""
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+    B = 64
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        gap = g["ts"].diff().dt.total_seconds().fillna(0)
-        sid = (gap > 1800).cumsum()
-        agg = g.groupby(sid).agg(
-            n_events=("ts", "size"), sum_value=("value", "sum")
-        )
-        return pd.DataFrame(
-            {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(len(agg))],
-                "n_events": [int(agg["n_events"].sum())],
-                "max_session_events": [int(agg["n_events"].max())],
-            }
-        )
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()))
 
-    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas").to_pandas()
+    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts"])
+        gap = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(0.0)
+        sid = (gap > 1800).groupby(g["user_id"].to_numpy()).cumsum()
+        per = (g.assign(sid=sid).groupby(["user_id", "sid"])
+                .size().rename("n").reset_index())
+        out = per.groupby("user_id")["n"].agg(
+            n_sessions="size", n_events="sum", max_session_events="max"
+        ).reset_index()
+        for c in ("user_id", "n_sessions", "n_events", "max_session_events"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(sessions_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -185,8 +205,11 @@ def q_suppliers_per_region(sf_dir: str) -> pd.DataFrame:
     def tag(batch: pa.Table) -> pa.Table:
         n2r_, r2name_ = ray.get(ref)
         names = [r2name_.get(n2r_.get(nk)) for nk in batch.column("s_nationkey").to_pylist()]
-        return pa.table({"r_name": pa.array(names, pa.string()),
-                         "s_acctbal": batch.column("s_acctbal")})
+        out = pa.table({"r_name": pa.array(names, pa.string()),
+                        "s_acctbal": batch.column("s_acctbal")})
+        # INNER JOIN semantics: a supplier whose nation/region lookup
+        # misses is dropped, not grouped under a NULL region
+        return out.filter(pc.is_valid(out.column("r_name")))
 
     sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
     out = (
@@ -242,11 +265,7 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        epoch = pc.divide(pc.cast(batch.column("ts"), pa.int64()), 1_000_000)
-        w0 = pc.multiply(
-            pc.cast(pc.floor(pc.divide(pc.cast(epoch, pa.float64()), 3600.0)), pa.int64()),
-            3600,
-        )
+        w0 = _hour_start(batch.column("ts"))
         et = batch.column("event_type")
         starts = pa.concat_arrays([
             pc.cast(w0, pa.int64()).combine_chunks(),
@@ -307,10 +326,14 @@ def q_brand_revenue_native_join(sf_dir: str) -> pd.DataFrame:
 
 
 def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
-    """Set op: distinct values of one column (Dataset.unique → shuffle)."""
+    """Set op: distinct values of one column (Dataset.unique → shuffle).
+    NULL sorts last (DuckDB ASC default) instead of crashing sorted()."""
     ds = _read(sf_dir, "events", columns=["event_type"])
-    vals = sorted(ds.unique("event_type"))
-    return pd.DataFrame({"event_type": vals})
+    vals = ds.unique("event_type")
+    out = sorted(v for v in vals if v is not None)
+    if len(out) != len(vals):
+        out.append(None)
+    return pd.DataFrame({"event_type": out})
 
 
 def q_events_value_stats(sf_dir: str) -> pd.DataFrame:
@@ -383,31 +406,23 @@ def _set_op_membership(sf_dir: str) -> pd.DataFrame:
     set semantics cost one exchange of distinct-key rows and none of
     the Dataset sort-based all-to-all's fixed latency. The driver sees
     only the final membership table (= the query result)."""
-    import ray
-
     P = 32
     sides = [("orders", "o_custkey", 1, 0), ("customer", "c_custkey", 0, 1)]
 
-    def split(block: pa.Table, col: str, in_o: int, in_c: int) -> tuple:
+    def split(block: pa.Table, col: str, in_o: int, in_c: int) -> pa.Table:
         keys = pc.unique(block.column(col)).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        bucket = (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)
-        order = np.argsort(bucket, kind="stable")
         n = len(keys)
-        tbl = pa.table({
-            "custkey": pa.array(keys[order]),
+        return pa.table({
+            "custkey": pa.array(keys),
             "in_o": pa.array(np.full(n, in_o, dtype=np.int32)),
             "in_c": pa.array(np.full(n, in_c, dtype=np.int32)),
+            "bucket": pa.array(
+                (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
         })
-        bounds = np.searchsorted(bucket[order], np.arange(P + 1))
-        return tuple(
-            tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
-               .combine_chunks()
-            for i in range(P)
-        )
 
     def merge(*tabs) -> pd.DataFrame:
-        live = [t for t in tabs if t.num_rows]
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
         if not live:
             return pd.DataFrame({"custkey": pd.Series(dtype="int64"),
                                  "in_o": pd.Series(dtype="int32"),
@@ -415,14 +430,11 @@ def _set_op_membership(sf_dir: str) -> pd.DataFrame:
         g = pa.concat_tables(live).to_pandas()
         return g.groupby("custkey", as_index=False).max()
 
-    split_r = ray.remote(num_returns=P)(split)
-    merge_r = ray.remote(merge)
-    per_block = []
+    inputs = []
     for table, col, in_o, in_c in sides:
-        for r in _read(sf_dir, table, columns=[col]).to_arrow_refs():
-            per_block.append(split_r.remote(r, col, in_o, in_c))
-    futs = [merge_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
-    parts = [p for p in ray.get(futs) if len(p)]
+        inputs += [(r, (col, in_o, in_c))
+                   for r in _read(sf_dir, table, columns=[col]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(inputs, split, merge, P=P) if len(p)]
     return pd.concat(parts, ignore_index=True) if parts else pd.DataFrame(
         {"custkey": pd.Series(dtype="int64"),
          "in_o": pd.Series(dtype="int32"),
@@ -503,21 +515,35 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
 
 def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
     """Rolling-window aggregate (ROWS BETWEEN 4 PRECEDING AND CURRENT
-    ROW per user, ordered by time): partition by key, sort within the
-    group, vectorized pandas rolling mean — the canonical keyed-window
-    shape (one shuffle; window state never crosses partitions)."""
+    ROW per user, ordered by time): keys coarsened into ~64 hash buckets
+    (one dispatch per BUCKET, not per user — CLAUDE.md dispatch rule),
+    one pandas grouped-rolling mean per bucket; window state never
+    crosses users because the rolling runs inside the user groupby."""
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+    B = 64
 
-    def roll(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()))
+
+    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"])
+        avg = (g.groupby("user_id")["value"]
+                .rolling(window, min_periods=1).mean()
+                .reset_index(level=0, drop=True).round(4))
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
             "user_id": g["user_id"].astype("int64"),
-            "rolling_avg": g["value"].rolling(window, min_periods=1)
-                             .mean().round(4),
+            "rolling_avg": avg,
         })
 
-    out = ds.groupby("user_id").map_groups(roll, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(roll_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("event_id").reset_index(drop=True)
 
 

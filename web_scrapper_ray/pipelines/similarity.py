@@ -75,6 +75,15 @@ def _query_matrix(sf_dir: str, query_ids) -> tuple[np.ndarray, np.ndarray]:
     return ids, _unit(mat)
 
 
+def _topk_idx(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """Top-k indices by (sim DESC, id ASC). The tie-break matters: a
+    plain argpartition on sim drops an arbitrary member of a tied group
+    at the k boundary, diverging from the oracle's row_number ORDER BY
+    sim DESC, neighbor_id when duplicate vectors share one batch."""
+    order = np.lexsort((ids, -sims))
+    return order[:min(k, len(order))]
+
+
 def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     """Final merge of per-batch top-k partials (tiny: ≤ k·n_batches rows)."""
     partials = partials[partials["query_id"] != partials["neighbor_id"]]
@@ -102,8 +111,7 @@ def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -
         kk = min(k + 1, len(ids))
         for j, q in enumerate(qids_):
             col = sims[:, j]
-            top = np.argpartition(-col, kk - 1)[:kk]
-            for i in top:
+            for i in _topk_idx(col, ids, kk):
                 out_q.append(int(q))
                 out_n.append(int(ids[i]))
                 out_s.append(float(col[i]))
@@ -326,10 +334,12 @@ def _nd_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _train_centroids(ds, n_lists: int) -> np.ndarray:
+def _train_centroids(ds, n_lists: int, n_rows: int) -> np.ndarray:
     """Seeded distributed sample → tiny driver-side Lloyd refinement.
-    The sample (≤2000 rows) is the only data the driver touches."""
-    sample = ds.random_sample(min(1.0, 2000 / max(ds.count(), 1)), seed=42).to_pandas()
+    The sample (≤2000 rows) is the only data the driver touches;
+    ``n_rows`` comes from parquet metadata so no extra Dataset
+    execution is spent on a count."""
+    sample = ds.random_sample(min(1.0, 2000 / max(n_rows, 1)), seed=42).to_pandas()
     smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
     smat /= np.maximum(np.linalg.norm(smat, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(42)
@@ -356,8 +366,12 @@ def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
     Approximate → rows-only driver check; recall pytest'd."""
     import ray
 
+    import pyarrow.parquet as pq
+
     ds = _emb(sf_dir)
-    centroids = _train_centroids(ds, n_lists)
+    n_rows = pq.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    centroids = _train_centroids(ds, n_lists, n_rows)
     qids, qmat = _query_matrix(sf_dir, query_ids)
     # probe lists per query (n_probe nearest centroids)
     probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
@@ -375,9 +389,7 @@ def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
             if cand.size == 0:
                 continue
             sims = unit[cand] @ qmat_[j]
-            kk = min(k, cand.size)
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            for i in top:
+            for i in _topk_idx(sims, ids[cand], min(k, cand.size)):
                 out_q.append(int(q))
                 out_n.append(int(ids[cand[i]]))
                 out_s.append(float(sims[i]))
@@ -448,9 +460,7 @@ def q_knn_lsh(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.Da
             if cand.size == 0:
                 continue
             sims = unit[cand] @ qmat_[j]
-            kk = min(k, cand.size)
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            for i in top:
+            for i in _topk_idx(sims, ids[cand], min(k, cand.size)):
                 out_q.append(int(q))
                 out_n.append(int(ids[cand[i]]))
                 out_s.append(float(sims[i]))
