@@ -44,6 +44,10 @@ def test_resume_after_interrupt_matches_uninterrupted(ray_session, tmp_path):
     arts_a = pq.read_table(res_full["articles"]).to_pylist()
     arts_b = pq.read_table(res_resumed["articles"]).to_pylist()
     assert arts_a == arts_b
+    # counters are cumulative across the resume (restored from the
+    # manifest like metrics), not just the resumed run's own waves
+    assert res_resumed["counters"]["waves"] == res_full["counters"]["waves"]
+    assert res_resumed["counters"]["fetches"] == res_full["counters"]["fetches"]
 
 
 def test_politeness_state_survives_resume(ray_session, tmp_path):

@@ -120,6 +120,39 @@ def test_rfc9309_robots_matcher():
     assert parse_robots_rules(b"User-agent: *\nDisallow:\n") == (0.0, [])
 
 
+def test_rfc9309_orphan_rules_and_ua_grouping():
+    """RFC 9309 group edges: rules/delay before any User-agent line are
+    IGNORED (never attributed to the following group), consecutive UA
+    lines after an orphan rule still form ONE group, and malformed
+    Crawl-delay values never raise."""
+    from web_scrapper_ray.state.politeness import (
+        parse_robots,
+        parse_robots_delay,
+        parse_robots_rules,
+    )
+
+    # preamble delay must not leak into the * group
+    delay, rules = parse_robots_rules(
+        b"Crawl-delay: 10\nUser-agent: *\nDisallow: /admin\n")
+    assert delay == 0.0
+    assert rules == [(False, "/admin")]
+
+    # orphan rule ignored; a and b share one group with only /y
+    for ua in ("a", "b"):
+        _, r = parse_robots_rules(
+            b"Disallow: /x\nUser-agent: a\nUser-agent: b\nDisallow: /y\n",
+            user_agent=ua)
+        assert r == [(False, "/y")], ua
+
+    # malformed Crawl-delay values: lenient (no delay), never a crash
+    for bad in (b"User-agent: *\nCrawl-delay: 1.2.3\n",
+                b"User-agent: *\nCrawl-delay: .\n"):
+        d, _ = parse_robots_rules(bad)
+        assert d == 0.0
+    assert parse_robots_delay(b"Crawl-delay: 1.2.3\n") == 0.0
+    assert parse_robots(b"Crawl-delay: .\n")[0] == 0.0
+
+
 def test_robots_match_includes_query():
     """RFC 9309 match target is path + query: a $-anchored rule must not
     match a URL with a query string, and rules containing '?' must

@@ -64,6 +64,10 @@ class CrawlConfig:
     opts: dict = field(default_factory=dict)  # max_pages, follow_next_page, ...
     seeds: Optional[list[str]] = None         # default: world seeds.parquet
     n_seen_shards: int = 4
+    # per-shard cuckoo slots; size ≥ ~1.2× (expected frontier rows /
+    # n_shards) — undersizing inflates the 16-bit-fingerprint false-
+    # positive rate (never-seen URLs silently dropped) before crashing
+    seen_capacity_per_shard: int = 1 << 20
     n_politeness_shards: int = 4
     politeness: bool = True
     images_partitions: int = 16
@@ -240,7 +244,8 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             "(expected 'per_seed', 'global' or 'off')")
     seeds = _read_seeds(cfg)
     opts = {"max_pages": 1, "follow_next_page": True, **cfg.opts}
-    seen = SeenSet(n_shards=cfg.n_seen_shards)
+    seen = SeenSet(n_shards=cfg.n_seen_shards,
+                   capacity_per_shard=cfg.seen_capacity_per_shard)
     board = PolitenessBoard(cfg.n_politeness_shards) if cfg.politeness else None
 
     start_wave = 0
@@ -295,6 +300,11 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
 
     debug_timing = bool(os.environ.get("WSR_TIMING"))
     counters = {"waves": 0, "fetches": 0, "records": 0}
+    if start_wave > 0:
+        # cumulative counters ride the manifest exactly like metrics —
+        # a resumed run must not report only its own waves
+        with open(_wave_paths(cfg, start_wave - 1)["manifest"]) as fh:
+            counters.update(json.load(fh).get("counters", {}))
     k = start_wave
     while k < cfg.max_waves:
         paths = _wave_paths(cfg, k)
@@ -303,6 +313,18 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
         frontier = pq.read_table(paths["frontier"])
         if frontier.num_rows == 0:
             break
+        # a RE-run of this wave (crash before its manifest committed)
+        # must not inherit artifacts of the prior attempt: with a
+        # nondeterministic (HTTP) backend the re-run can emit a
+        # different next-frontier (possibly empty → the write below is
+        # skipped) or touch fewer refs parts, and resume/finalize sweep
+        # whatever files exist — delete the stale ones up front
+        stale_nxt = _wave_paths(cfg, k + 1)["frontier"]
+        if os.path.exists(stale_nxt):
+            os.remove(stale_nxt)
+        for stale in glob.glob(os.path.join(cfg.out_dir, "refs", "part=*",
+                                            f"wave_{k:03d}.parquet")):
+            os.remove(stale)
         # O5 frontier ordering: parity mode sorts by program order; in
         # priority mode a per-seed priority leads the sort key and the
         # wave takes only the minimal ready segment (max_urls_per_wave
@@ -365,9 +387,17 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
 
         # batch_size=None → whole host-disjoint block per call, which the
         # politeness/ordering logic requires; the two map stages fuse into
-        # one task per partition
-        ds = ds.map_batches(seen_filter, batch_format="pyarrow", batch_size=None)
-        out = ds.map_batches(fetch_parse, batch_format="pyarrow", batch_size=None)
+        # one task per partition. max_retries=0: the fused task has a
+        # NON-IDEMPOTENT side effect (cuckoo contains_or_add registers
+        # the block's URLs), so a silent Ray system retry would see its
+        # own registrations and drop every non-seed row as already-seen.
+        # A worker death must instead fail the wave; run_crawl's
+        # resume path restarts it from the pre-wave cuckoo snapshot,
+        # which is consistent by construction.
+        ds = ds.map_batches(seen_filter, batch_format="pyarrow", batch_size=None,
+                            max_retries=0)
+        out = ds.map_batches(fetch_parse, batch_format="pyarrow", batch_size=None,
+                             max_retries=0)
         if os.path.exists(paths["wave_out"]):
             shutil.rmtree(paths["wave_out"])
         out.write_parquet(paths["wave_out"])

@@ -30,9 +30,19 @@ from typing import Optional, Protocol
 from ..functions.user_agents import UserAgentManager, get_random_user_agent
 from .site_store import worker_site_store
 
-# reference retry policy (content.py:84-90): tenacity
+# reference retry policy as DECLARED (content.py:84-90): tenacity
 # retry_if_exception_type(RequestException), stop_after_attempt(3),
-# wait_exponential(multiplier=1, min=2, max=10)
+# wait_exponential(multiplier=1, min=2, max=10).
+# NOTE the reference's decorator is dead code: _fetch_page catches
+# RequestException INSIDE the retried function and re-raises
+# ScraperError (a WebScraperError, exceptions.py:13), which the
+# retry_if_exception_type(RequestException) predicate never matches —
+# so the reference effectively makes exactly ONE attempt per URL.
+# HTTPBackend defaults to the declared 3-attempt policy (the intent);
+# pass retry_attempts=1 for strict parity with the reference's
+# effective single-attempt behavior (also the right setting when
+# retries must not sidestep per-host politeness pacing, which budgets
+# fetch STARTS — in-fetch retry waits are backoff-only).
 MAX_ATTEMPTS = 3
 BACKOFF_MULTIPLIER = 1.0
 BACKOFF_MIN_S = 2.0
@@ -96,6 +106,7 @@ class HTTPBackend:
                  ua_seed: Optional[int] = None,
                  rewrite_netloc: Optional[str] = None,
                  backoff: bool = True,
+                 retry_attempts: Optional[int] = None,
                  sleep=time.sleep):
         import requests
 
@@ -103,6 +114,9 @@ class HTTPBackend:
         self.session = requests.Session()
         self.timeout = timeout
         self.backoff = backoff
+        # None → declared reference policy (3); 1 → the reference's
+        # effective behavior (see module note on the dead decorator)
+        self.retry_attempts = retry_attempts or MAX_ATTEMPTS
         self.sleep = sleep
         self.rewrite_netloc = rewrite_netloc
         self.ua_manager = (
@@ -146,7 +160,7 @@ class HTTPBackend:
         if self.ua_manager is not None:
             extra = {**extra, "User-Agent": self.ua_manager.get()}
         last_status = 0
-        budget = attempts or MAX_ATTEMPTS
+        budget = attempts or self.retry_attempts
         for attempt in range(1, budget + 1):
             try:
                 resp = self.session.get(target, timeout=self.timeout,

@@ -172,7 +172,8 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         start = 0
         for i in range(1, len(hosts) + 1):
             if i == len(hosts) or hosts[i] != hosts[start]:
-                states.append(_init_host(hosts[start], start, i))
+                states.append(_init_host(hosts[start], start, i,
+                                         cols["url"][start]))
                 start = i
         heap = [(st["ready"], gi) for gi, st in enumerate(states)]
         heapq.heapify(heap)
@@ -204,7 +205,7 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             return empty_out_table()
         return pa.Table.from_pylist(out, schema=OUT_SCHEMA)
 
-    def _init_host(host: str, lo: int, hi: int) -> dict:
+    def _init_host(host: str, lo: int, hi: int, first_url: str = "") -> dict:
         import ray
 
         store = worker_backend(world_dir, backend_spec)
@@ -225,8 +226,13 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             if host in cache:
                 delay_s, rules = cache[host]
             else:
-                robots_body, _ = store.get(f"http://{host}/robots.txt", host,
-                                           attempts=1)
+                # probe with the scheme the host is actually crawled
+                # under — a hardcoded http:// silently loses all rules
+                # on https-only hosts
+                scheme = first_url.split("://", 1)[0] if "://" in first_url \
+                    else "http"
+                robots_body, _ = store.get(f"{scheme}://{host}/robots.txt",
+                                           host, attempts=1)
                 delay_s, rules = parse_robots_rules(robots_body)
                 cache[host] = (delay_s, rules)
             shard = politeness_shards[hash64(host) % n_politeness_shards]
@@ -252,6 +258,22 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         seed_i = int(cols["seed_index"][ri])
         page_i = int(cols["page_idx"][ri])
         sub_i = int(cols["sub_idx"][ri])
+        def _listing_only_record() -> None:
+            # the listing payload survives a blocked/failed detail fetch
+            # (reference content.py:166-172 swallows the error) — emit
+            # the listing-only record exactly like the failed-fetch path
+            listing = json.loads(cols["payload"][ri])
+            pairs = dict(json.loads(listing.pop("_pairs", None) or "{}"))
+            feat_caption = listing.pop("_feat_caption", "")
+            listing.pop("fetch_full", None)
+            rec = extract.transform_article(listing, first_seed_url)
+            rec = extract.validate_article(rec) if rec else None
+            if rec:
+                out.append(_record_row(rec, seed_index=seed_i,
+                                       page_idx=page_i, sub_idx=sub_i,
+                                       host=host))
+                _image_refs_for_record(rec, pairs, feat_caption, out, seed_i)
+
         if st["rules"]:
             from urllib.parse import urlsplit
 
@@ -270,6 +292,11 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
                     # neither visited nor failed, it was blocked
                     out.append(_row("seed_outcome", url=url,
                                     seed_index=seed_i, outcome="disallowed"))
+                elif kind == "detail":
+                    # consistent with the failed-detail rule: robots
+                    # blocking the detail must not also discard the
+                    # already-extracted listing record
+                    _listing_only_record()
                 return
         # fetch NOW (the heap guaranteed start ≥ both the reservation
         # schedule and last_start + delay; budget is on fetch STARTS,

@@ -143,7 +143,13 @@ class SeenSet:
     reassembles masks; usable from inside map_batches tasks too (the
     actor handles serialize into closures)."""
 
-    def __init__(self, n_shards: int = 4, capacity_per_shard: int = 1 << 16):
+    def __init__(self, n_shards: int = 4, capacity_per_shard: int = 1 << 20):
+        # 2 bytes/slot → 2 MiB per shard at the default: cheap headroom.
+        # A small fixed capacity both inflates the 16-bit-fingerprint
+        # false-positive rate (silently dropping never-seen URLs) and
+        # hard-crashes ("cuckoo filter full") when a tier's frontier
+        # outgrows it — size from CrawlConfig.seen_capacity_per_shard
+        # for larger tiers.
         import ray  # session owned by the caller
 
         Shard = _make_shard_actor()

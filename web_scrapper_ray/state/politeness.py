@@ -28,12 +28,22 @@ _DELAY_RX = re.compile(r"crawl-delay:\s*([0-9.]+)", re.IGNORECASE)
 _DISALLOW_RX = re.compile(r"^disallow:\s*(\S+)", re.IGNORECASE | re.MULTILINE)
 
 
+def _delay_value(token: str) -> float:
+    """Lenient Crawl-delay parse: the [0-9.]+ regex admits malformed
+    strings like '1.2.3' — a third-party robots.txt must never crash a
+    wave task, so unparseable values mean no delay."""
+    try:
+        return float(token)
+    except ValueError:
+        return 0.0
+
+
 def parse_robots_delay(robots_body: bytes | None) -> float:
     """Crawl-delay seconds from a robots.txt body (0.0 when absent)."""
     if not robots_body:
         return 0.0
     m = _DELAY_RX.search(robots_body.decode(errors="replace"))
-    return float(m.group(1)) if m else 0.0
+    return _delay_value(m.group(1)) if m else 0.0
 
 
 def parse_robots(robots_body: bytes | None) -> tuple[float, list[str]]:
@@ -45,7 +55,7 @@ def parse_robots(robots_body: bytes | None) -> tuple[float, list[str]]:
         return 0.0, []
     text = robots_body.decode(errors="replace")
     m = _DELAY_RX.search(text)
-    delay = float(m.group(1)) if m else 0.0
+    delay = _delay_value(m.group(1)) if m else 0.0
     return delay, [p for p in _DISALLOW_RX.findall(text) if p != "/"]
 
 
@@ -92,14 +102,20 @@ def parse_robots_rules(body: bytes | None, user_agent: str = "*"
             continue
         rm = _RULE_RX.match(line)
         if rm:
+            if not cur_uas:
+                continue  # orphan rule before any User-agent (RFC 9309:
+                # rules outside a group are ignored, never attributed
+                # to the next group)
             in_group_body = True
             if rm.group(2):  # empty Disallow: means allow-all (no rule)
                 cur_rules.append((rm.group(1).lower() == "allow", rm.group(2)))
             continue
         dm = _DELAY_LINE_RX.match(line)
         if dm:
+            if not cur_uas:
+                continue  # orphan Crawl-delay — same RFC group rule
             in_group_body = True
-            cur_delay = float(dm.group(1))
+            cur_delay = _delay_value(dm.group(1))
     if cur_uas:
         groups.append((cur_uas, cur_rules, cur_delay))
     ua = user_agent.lower()
