@@ -255,13 +255,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _STOPLIST_SQL = ", ".join(f"'{w}'" for w in sorted(STOP_WORDS))
 
-# NOTE: the reference's clean_text "normalize quotes" lines are no-ops
-# (verified by executing the reference module), so neither the engine
-# nor this oracle replaces curly quotes.
+# NOTE: the reference's clean_text "normalize quotes" block does NOT
+# normalize curly quotes (verified by executing the reference module):
+# line 38 is a true no-op and line 39's mangled triple-quote actually
+# replaces the literal code fragment `, "'").replace(` with a single
+# apostrophe — reproduced by both the engine (functions/text.py
+# _REF_QUOTE_GLITCH) and this oracle.
+# chr(160) is replaced BEFORE the \s+ collapse: Python's \s matches
+# \xa0 (so the reference's later nbsp line is dead code), but RE2's \s
+# does not — pre-replacing makes the oracle collapse identically.
 _CLEAN_SQL = (
     "regexp_replace("
     "replace("
-    "trim(regexp_replace(text, '\\s+', ' ', 'g')), chr(160), ' '), "
+    "trim(regexp_replace(replace(text, chr(160), ' '), '\\s+', ' ', 'g')), "
+    "', \"''\").replace(', ''''), "
     "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
 )
 

@@ -154,3 +154,48 @@ def test_business_email_mailto_and_validation():
     el = parse_html(html).select_one(".business-listing")
     b = extract.extract_business(el, {"name": ".business-name", "email": ".email"})
     assert b["email"] is None  # example.com blocklisted by validator
+
+
+def test_price_phone_first_match_wins_even_if_unparseable():
+    """Reference parity (ecommerce.py:277-293, business.py:320-337): the
+    FIRST matched price/phone element decides — an unparseable text
+    must NOT fall through to later selectors or text-regex fallbacks."""
+    from web_scrapper_ray.extract import extract_business, extract_product
+    from web_scrapper_ray.minidom import parse_html
+
+    el = parse_html(
+        '<div><span class="p">Call for price</span>'
+        '<span class="price">$9.99</span></div>')
+    prod = extract_product(el, {"name": "missing", "price": ".p"})
+    # name falls back to <a> (absent) → {} guard; give it a name anchor
+    el2 = parse_html(
+        '<div><a href="/x">Widget</a><span class="p">Call for price</span>'
+        '<span class="price">$9.99</span></div>')
+    prod = extract_product(el2, {"price": ".p"})
+    assert prod["price"] is None
+    # common-pattern loop has the same first-match-wins semantics
+    el3 = parse_html(
+        '<div><a href="/x">Widget</a><span class="price">Sale!</span>'
+        '<span>only $5.99</span></div>')
+    assert extract_product(el3, {})["price"] is None
+
+    biz = parse_html(
+        '<div><h2>Acme</h2><span class="ph">call us!</span>'
+        '<span>(555) 123-4567</span></div>')
+    assert extract_business(biz, {"phone": ".ph"})["phone"] is None
+    biz2 = parse_html(
+        '<div><h2>Acme</h2><span class="phone">1111111</span>'
+        '<span>(555) 123-4567</span></div>')
+    assert extract_business(biz2, {})["phone"] is None
+
+
+def test_generic_extra_field_absent_on_selector_error():
+    """Reference parity (ecommerce.py:241-244): an invalid extra-field
+    selector leaves the key ABSENT from the record, not None."""
+    from web_scrapper_ray.extract import extract_product
+    from web_scrapper_ray.minidom import parse_html
+
+    el = parse_html('<div><a href="/x">Widget</a><span class="sku">S1</span></div>')
+    prod = extract_product(el, {"sku": ".sku", "bad": "??!bogus"})
+    assert prod["sku"] == "S1"
+    assert "bad" not in prod

@@ -95,3 +95,39 @@ def test_void_and_malformed():
     doc = parse_html("<p>a<br>b<img src=x><p>second")
     assert len(doc.find_all("p")) == 2
     assert doc.find("img")["src"] == "x"
+
+
+def test_bs4_comment_and_script_text_semantics():
+    """bs4 ≥4.9 parity: get_text() excludes comments and script/style/
+    template contents; find(text=...) still searches them; a comment
+    counts as a child for tag.string purposes."""
+    import re
+
+    from web_scrapper_ray.minidom import parse_html
+
+    doc = parse_html(
+        "<div><p>Short intro</p>"
+        "<script>{\"very\":\"long blob\"}</script>"
+        "<style>.x{color:red}</style>"
+        "<template><span>ghost</span></template>"
+        "<!-- 12/25/2022 --></div>"
+    )
+    assert doc.get_text() == "Short intro"
+    # find(text=) walks ALL strings, comments and script text included
+    assert doc.find(text=re.compile(r"\d{1,2}/\d{1,2}/\d{4}")) == " 12/25/2022 "
+    assert doc.find(text=re.compile("long blob")) is not None
+    # a comment is a CHILD: <a>5<!--c--></a> has 2 children → .string
+    # None → find('a', text=...) does not match (bs4 tag.string rule)
+    doc2 = parse_html('<div><a>5<!--c--></a><a>7</a></div>')
+    assert doc2.find("a", text=re.compile(r"\d")).get_text() == "7"
+
+
+def test_bs4_legacy_void_tags():
+    """bs4's extra empty-element tags close immediately: content after
+    <image>/<spacer>/... must be a SIBLING, not nested underneath."""
+    from web_scrapper_ray.minidom import parse_html
+
+    doc = parse_html('<div><image src="x.png"><p class="price">$9.99</p></div>')
+    div = doc.find("div")
+    assert [c.name for c in div.element_children()] == ["image", "p"]
+    assert doc.select_one("div > p.price") is not None

@@ -665,10 +665,14 @@ def parse_rating(rating_text: Optional[str]) -> Optional[float]:
 
 
 def _extract_generic_field(el: Node, selector: str) -> Optional[str]:
-    """E10 (ecommerce.py:530-547): CSS only; XPath unsupported → None."""
+    """E10 (ecommerce.py:530-547): CSS only; XPath unsupported → None.
+    Selector errors PROPAGATE — the reference's per-field try/except
+    (ecommerce.py:241-244, business.py:243-248) leaves the key ABSENT
+    from the record on error, unlike the main fields' lenient
+    ``_select_first`` fallback policy; callers wrap accordingly."""
     if not selector or selector.startswith("/"):
         return None
-    n = _select_first(el, selector)
+    n = el.select_one(selector)
     return n.get_text(strip=True) if n is not None else None
 
 
@@ -703,20 +707,26 @@ def extract_product(el: Node, selectors: dict, opts: dict | None = None) -> dict
     product["name"] = name
     if not product["name"]:
         return {}
-    # price
+    # price — the reference RETURNS the parse result of the FIRST
+    # matched element, even when it is None (ecommerce.py:277-293):
+    # an unparseable matched price must not fall through to later
+    # selectors or the loose-text regex
     price = None
+    matched_price_el = False
     if "price" in selectors:
         n = _select_first(el, selectors["price"])
         if n is not None:
+            matched_price_el = True
             price = parse_price(n.get_text(strip=True))
-    if price is None:
+    if not matched_price_el:
         for sel in [".price", ".product-price", "[itemprop='price']",
                     ".price-current", ".price-new", ".current-price"]:
             n = _select_first(el, sel)
             if n is not None:
+                matched_price_el = True
                 price = parse_price(n.get_text(strip=True))
                 break
-    if price is None:
+    if not matched_price_el:
         node_text = el.find(text=_PRICE_ANY_RX)
         if node_text:
             price = parse_price(node_text)
@@ -831,7 +841,10 @@ def extract_product(el: Node, selectors: dict, opts: dict | None = None) -> dict
         product["reviews"] = reviews if reviews else None
     for field, selector in selectors.items():
         if field not in ("product_container",) and field not in product:
-            product[field] = _extract_generic_field(el, selector)
+            try:
+                product[field] = _extract_generic_field(el, selector)
+            except Exception:
+                pass  # reference ecommerce.py:241-244: key stays absent
     return product
 
 
@@ -1011,20 +1024,25 @@ def extract_business(el: Node, selectors: dict, opts: dict | None = None) -> dic
         if node_text:
             addr = node_text.strip()
     biz["address"] = addr
-    # phone (business.py:317-355)
+    # phone (business.py:317-355) — like price, the reference returns
+    # _parse_phone's result for the FIRST matched element even when it
+    # is None; only a total selector miss reaches the text-regex scan
     phone = None
+    matched_phone_el = False
     if "phone" in selectors:
         n = _select_first(el, selectors["phone"])
         if n is not None:
+            matched_phone_el = True
             phone = parse_phone(n.get_text(strip=True), o)
-    if phone is None:
+    if not matched_phone_el:
         for sel in ["[itemprop='telephone']", ".phone", ".tel",
                     ".business-phone", ".phone-number"]:
             n = _select_first(el, sel)
             if n is not None:
+                matched_phone_el = True
                 phone = parse_phone(n.get_text(strip=True), o)
                 break
-    if phone is None:
+    if not matched_phone_el:
         for rx in _PHONE_TEXT_RXES:
             node_text = el.find(text=rx)
             if node_text:
@@ -1128,7 +1146,10 @@ def extract_business(el: Node, selectors: dict, opts: dict | None = None) -> dic
     biz["categories"] = categories
     for field, selector in selectors.items():
         if field not in ("business_container",) and field not in biz:
-            biz[field] = _extract_generic_field(el, selector)
+            try:
+                biz[field] = _extract_generic_field(el, selector)
+            except Exception:
+                pass  # reference business.py:243-248: key stays absent
     return biz
 
 

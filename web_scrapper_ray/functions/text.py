@@ -37,18 +37,25 @@ STOP_WORDS = frozenset(
 )
 
 
+# The reference's "Normalize quotes" block (utils/text.py:37-39) is NOT
+# what it looks like: line 38 replaces a straight quote with itself (a
+# true no-op), but line 39's curly-quote literals were mangled so Python
+# tokenizes ''' as a triple-quote — the line actually executes
+# cleaned.replace(', "\'").replace(', "'"), i.e. it replaces this exact
+# 15-char code-like sequence with a single apostrophe (verified by
+# executing the reference module). Curly quotes pass through unchanged.
+_REF_QUOTE_GLITCH = ", \"'\").replace("
+
+
 def clean_text(text: str | None) -> str:
-    """Whitespace collapse + nbsp normalization + control-char strip
-    (reference: utils/text.py:15-44). The reference's "Normalize
-    quotes" lines are literal no-ops — its line 38 replaces a straight
-    quote with itself and line 39's curly quotes were mangled into a
-    mis-parsed triple-quote in its own source (verified by executing
-    the reference module: curly quotes pass through unchanged) — so
-    curly quotes are deliberately NOT normalized here either."""
+    """Whitespace collapse + nbsp normalization + the reference's
+    (accidental) quote-glitch replace + control-char strip (reference:
+    utils/text.py:15-44; see _REF_QUOTE_GLITCH note)."""
     if not text:
         return ""
     s = _WS_RX.sub(" ", text).strip()
     s = s.replace("\xa0", " ")
+    s = s.replace(_REF_QUOTE_GLITCH, "'")
     return _CTRL_RX.sub("", s)
 
 

@@ -36,7 +36,26 @@ from typing import Iterator, Optional, Union
 _VOID = {
     "area", "base", "br", "col", "embed", "hr", "img", "input",
     "link", "meta", "param", "source", "track", "wbr",
+    # bs4's HTMLTreeBuilder adds these legacy empty-element tags —
+    # without them, content following e.g. <image> or <spacer> nests
+    # UNDER the tag instead of becoming a sibling, shifting sibling/
+    # nth-of-type results vs the reference
+    "basefont", "bgsound", "command", "frame", "image", "isindex",
+    "keygen", "menuitem", "nextid", "spacer",
 }
+
+# bs4 ≥4.9 (reference pins beautifulsoup4>=4.11.1): get_text() excludes
+# the contents of these "string container" tags
+_NO_TEXT_TAGS = {"script", "style", "template"}
+
+
+class Comment(str):
+    """An HTML comment's text. Subclasses ``str`` so it lives in
+    ``children`` like any text node (bs4's Comment is a
+    NavigableString): it counts toward ``tag.string``'s child count and
+    is searched by ``find(text=...)``, but ``get_text()`` skips it."""
+
+    __slots__ = ()
 
 
 class SelectorError(ValueError):
@@ -75,9 +94,23 @@ class Node:
                 yield from child.iter_desc()
 
     def iter_text(self) -> Iterator[str]:
+        """Strings contributing to ``get_text()`` — bs4 semantics:
+        comments and script/style/template contents are excluded."""
         for child in self.children:
             if isinstance(child, Node):
+                if child.name in _NO_TEXT_TAGS:
+                    continue
                 yield from child.iter_text()
+            elif not isinstance(child, Comment):
+                yield child
+
+    def iter_all_strings(self) -> Iterator[str]:
+        """Every string in the subtree, comments and script/style text
+        included — what bs4's ``find(text=...)`` walks (it filters
+        NavigableStrings over .descendants, and Comment is one)."""
+        for child in self.children:
+            if isinstance(child, Node):
+                yield from child.iter_all_strings()
             else:
                 yield child
 
@@ -187,7 +220,7 @@ class Node:
             # a node's trailing text before its descendants would return
             # the wrong first match on mixed content)
             rx = text if hasattr(text, "search") else re.compile(re.escape(text))
-            for s in self.iter_text():
+            for s in self.iter_all_strings():
                 if rx.search(s):
                     out.append(s)
                     if limit and len(out) >= limit:
@@ -429,6 +462,12 @@ class _TreeBuilder(HTMLParser):
     def handle_data(self, data):
         if data:
             self.stack[-1].children.append(data)
+
+    def handle_comment(self, data):
+        # bs4 keeps comments as Comment NavigableStrings: they count as
+        # children (tag.string goes None on mixed content) and are
+        # matched by find(text=...), though get_text() excludes them
+        self.stack[-1].children.append(Comment(data))
 
 
 def parse_html(html: str) -> Node:
