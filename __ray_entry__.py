@@ -275,6 +275,9 @@ _CLEAN_SQL = (
 _TOKS = "regexp_extract_all(lower(text), '\\w+')"
 _NSTOP = f"len(list_filter({_TOKS}, x -> list_contains([{_STOPLIST_SQL}], x)))"
 _WC = "len(regexp_extract_all(text, '\\w+'))"
+# reference word_count (utils/text.py:344-363) counts on the CLEANED
+# text — q11 must too (control chars/glitch can merge or drop words)
+_WCC = f"len(regexp_extract_all({_CLEAN_SQL}, '\\w+'))"
 
 
 def oracle_sql() -> dict[str, str]:
@@ -430,9 +433,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q11_reading_time": f"""
             SELECT doc_id,
-                   greatest(1, CASE WHEN {_WC} % 200 = 100
-                       THEN ({_WC} // 200) + (({_WC} // 200) % 2)
-                       ELSE CAST(round({_WC} / 200.0) AS BIGINT) END)::BIGINT AS reading_min
+                   greatest(1, CASE WHEN {_WCC} % 200 = 100
+                       THEN ({_WCC} // 200) + (({_WCC} // 200) % 2)
+                       ELSE CAST(round({_WCC} / 200.0) AS BIGINT) END)::BIGINT AS reading_min
             FROM documents ORDER BY doc_id
         """,
         "q12_clean_text": f"""

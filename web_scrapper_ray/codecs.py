@@ -195,6 +195,17 @@ def sjpg_decode(data: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def sniff_format(data: bytes, ext_hint: str = "") -> str:
+    """Container format from magic bytes — the URL extension lies about
+    case ('photo.PNG'), query strings ('photo?v=2') and renamed files;
+    it is consulted only when no known magic matches."""
+    if data[:8] == _PNG_SIG:
+        return "png"
+    if data[:4] == _SJ_MAGIC or data[:2] == b"\xff\xd8":
+        return "jpeg"
+    return "png" if ext_hint.lower() == "png" else "jpeg"
+
+
 def encode_image(pixels: np.ndarray, fmt: str) -> bytes:
     if fmt == "png":
         return png_encode(pixels)

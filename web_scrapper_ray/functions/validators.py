@@ -145,12 +145,17 @@ def is_valid_text(text, min_length: int = 1, max_length: Optional[int] = None,
 
 
 def is_valid_json(json_str) -> bool:
+    """json.loads acceptance, like the reference (validators.py:317-334)
+    — NOTE this accepts NaN/Infinity literals that RFC-strict checkers
+    (e.g. DuckDB json_valid) reject; the q17 oracle is therefore an
+    approximation off-corpus. RecursionError (pathologically nested
+    input) counts as invalid rather than killing the task."""
     if not json_str or not isinstance(json_str, str):
         return False
     try:
         _json.loads(json_str)
         return True
-    except ValueError:
+    except (ValueError, RecursionError):
         return False
 
 

@@ -133,20 +133,29 @@ def _content_extract_data(site: SiteDict, res: OracleResult, url: str,
 
     def handle_elements(elements, base_url) -> None:
         for el in elements:
-            article = extract.extract_article_listing(el, base_url, selectors, opts)
-            if article and article.get("url"):
-                if article.get("fetch_full"):
-                    try:
-                        detail_html = _fetch_logged(site, res, article["url"]).decode()
-                        full = extract.extract_single_article(
-                            parse_html(detail_html), article["url"], selectors, opts
-                        )
-                        if full:
-                            article = extract.merge_listing_detail(article, full)
-                    except FetchError:
-                        pass
-                article.pop("fetch_full", None)
-                articles.append(article)
+            try:
+                article = extract.extract_article_listing(el, base_url,
+                                                          selectors, opts)
+                if article and article.get("url"):
+                    if article.get("fetch_full"):
+                        try:
+                            detail_html = _fetch_logged(
+                                site, res, article["url"]).decode()
+                            full = extract.extract_single_article(
+                                parse_html(detail_html), article["url"],
+                                selectors, opts
+                            )
+                            if full:
+                                article = extract.merge_listing_detail(
+                                    article, full)
+                        except Exception:
+                            # content.py:166-167: ANY detail failure
+                            # (fetch, decode, extract) keeps the listing
+                            pass
+                    article.pop("fetch_full", None)
+                    articles.append(article)
+            except Exception:
+                pass  # content.py:173-175: skip just this element
 
     handle_elements(elements, url)
     max_pages = opts.get("max_pages", 1)
@@ -157,14 +166,16 @@ def _content_extract_data(site: SiteDict, res: OracleResult, url: str,
             current_page += 1
             try:
                 next_html = _fetch_logged(site, res, next_url).decode()
-            except FetchError:
+                next_doc = parse_html(next_html)
+                next_elements = extract.find_article_elements(next_doc, selectors)
+                if not next_elements:
+                    break
+                handle_elements(next_elements, next_url)
+                next_url = extract.find_next_page(next_doc, next_url)
+            except Exception:
+                # content.py:225-227: any pagination error stops the
+                # chain but keeps everything collected so far
                 break
-            next_doc = parse_html(next_html)
-            next_elements = extract.find_article_elements(next_doc, selectors)
-            if not next_elements:
-                break
-            handle_elements(next_elements, next_url)
-            next_url = extract.find_next_page(next_doc, next_url)
     return articles
 
 
@@ -326,7 +337,7 @@ def oracle_images_table(world_dir: str, records: list[dict],
                 "bytes": payload,
                 "w": int(pixels.shape[1]),
                 "h": int(pixels.shape[0]),
-                "fmt": "png" if ext == "png" else "jpeg",
+                "fmt": codecs.sniff_format(payload, ext),
                 "caption": captions.get(url, ""),
                 "phash": codecs.phash64(pixels),
             }

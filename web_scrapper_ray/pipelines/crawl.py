@@ -53,8 +53,8 @@ from ..synth import shard_of
 # Bump when the wave-output / refs / articles layout OR the extraction
 # semantics change: cached crawl dirs (ensure_tier_crawl memoization)
 # are invalidated on mismatch.
-FORMAT_VERSION = 4  # r3: bs4-parity minidom (comments, script text,
-# legacy void tags) + clean_text quote-glitch + price/phone first-match
+FORMAT_VERSION = 5  # r3: bs4-parity minidom + clean_text quote-glitch
+# + price/phone first-match + caption max-merge + magic-sniffed fmt
 
 
 @dataclass

@@ -21,7 +21,12 @@ import pyarrow as pa
 
 from ..functions.text import STOP_WORDS, clean_text, estimate_reading_time
 
-_TOKEN_RX = re.compile(r"\w+")
+# ASCII \w to match the DuckDB (RE2) oracle token-for-token: Python's
+# unicode \w would claim 'café' as one token where RE2 yields 'caf',
+# silently flipping q13/q15/q16 on any non-ASCII corpus. (The reference
+# uses unicode \w, but its corpus-facing behavior is identical on the
+# ASCII test corpora; the SQL-checkable contract wins here.)
+_TOKEN_RX = re.compile(r"\w+", re.ASCII)
 
 
 def _docs(sf_dir: str, columns=None):
@@ -62,20 +67,28 @@ def q_reading_time(sf_dir: str) -> pd.DataFrame:
 
 def q_clean_text(sf_dir: str) -> pd.DataFrame:
     """Reference T7 clean_text over the corpus — vectorized with
-    pyarrow.compute replace/trim kernels (RE2). Equivalent to the scalar
-    `clean_text` for this corpus (verified ASCII-printable); the scalar
-    function remains the semantics oracle for arbitrary unicode."""
+    pyarrow.compute replace/trim kernels (RE2), mirroring the scalar
+    `clean_text` step-for-step (nbsp pre-replace, whitespace collapse,
+    trim, the reference's quote-glitch replace, control strip). Known
+    residual: Python's \\s also matches \\x1c–\\x1f, which here survive
+    the collapse and are stripped instead (printable-ASCII corpora are
+    unaffected); the scalar function remains the semantics oracle."""
     import pyarrow.compute as pc
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def clean(batch: pa.Table) -> pa.Table:
+        from ..functions.text import _REF_QUOTE_GLITCH
+
         s = batch.column("text")
+        # nbsp BEFORE the collapse: Python's \s matches \xa0 (so the
+        # scalar clean_text collapses it), RE2's does not
+        s = pc.replace_substring(s, "\xa0", " ")
         s = pc.replace_substring_regex(s, r"\s+", " ")
         s = pc.utf8_trim_whitespace(s)
-        s = pc.replace_substring(s, "\xa0", " ")
-        # no curly-quote normalization: the reference's quote lines are
-        # no-ops (see functions/text.py clean_text)
+        # the reference's mis-parsed "normalize quotes" line really
+        # replaces this literal code fragment (see functions/text.py)
+        s = pc.replace_substring(s, _REF_QUOTE_GLITCH, "'")
         s = pc.replace_substring_regex(s, r"[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]", "")
         return pa.table({"doc_id": batch.column("doc_id"), "clean": s})
 
@@ -91,8 +104,10 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        fps = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
-        return pa.table({"doc_id": batch.column("doc_id"), "fp": pa.array(fps)})
+        fps = [None if t is None else hashlib.md5(t.encode()).hexdigest()
+               for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "fp": pa.array(fps, pa.string())})
 
     return ds.map_batches(fp, batch_format="pyarrow").to_pandas().sort_values(
         "doc_id"
@@ -107,9 +122,14 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     def score(batch: pa.Table) -> pa.Table:
         doc_ids, n_tok, n_stop, good = [], [], [], []
         for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
+            doc_ids.append(d)
+            if t is None:  # NULL text -> NULL stats (oracle semantics)
+                n_tok.append(None)
+                n_stop.append(None)
+                good.append(None)
+                continue
             toks = _TOKEN_RX.findall(t.lower())
             ns = sum(1 for w in toks if w in STOP_WORDS)
-            doc_ids.append(d)
             n_tok.append(len(toks))
             n_stop.append(ns)
             good.append(10 <= len(toks) <= 1000 and 20 * ns > len(toks))
@@ -132,7 +152,8 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
     def lang(batch: pa.Table) -> pa.Table:
         doc_ids, preds = [], []
         for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
-            toks = _TOKEN_RX.findall(t.lower())
+            # NULL text -> 'other' (the oracle's CASE WHEN NULL is not-true)
+            toks = _TOKEN_RX.findall((t or "").lower())
             ns = sum(1 for w in toks if w in STOP_WORDS)
             doc_ids.append(d)
             preds.append("en" if 10 * ns > len(toks) else "other")
@@ -155,7 +176,7 @@ def q_keywords_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     def partial(batch: pa.Table) -> pa.Table:
         counter: Counter = Counter()
         for t in batch.column("text").to_pylist():
-            for w in _TOKEN_RX.findall(t.lower()):
+            for w in _TOKEN_RX.findall((t or "").lower()):
                 if len(w) > 2 and w not in STOP_WORDS:
                     counter[w] += 1
         if not counter:
@@ -262,7 +283,7 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text", "lang"])
 
     def add_rank_key(batch: pa.Table) -> pa.Table:
-        keys = [hashlib.md5(t.encode()).hexdigest()
+        keys = [None if t is None else hashlib.md5(t.encode()).hexdigest()
                 for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "lang": batch.column("lang"),

@@ -108,6 +108,24 @@ def empty_out_table() -> pa.Table:
     return OUT_SCHEMA.empty_table()
 
 
+
+def _caption_pairs_map(pairs_iter) -> dict[str, str]:
+    """(src, alt) pairs → {src: alt} keeping the MAX alt per src —
+    oracle_images_table takes max() over every pair on a page, so an
+    intra-page duplicate src with differing alts must not collapse to
+    last-wins."""
+    out: dict[str, str] = {}
+    for src, alt in pairs_iter:
+        cur = out.get(src)
+        out[src] = alt if cur is None else max(cur, alt)
+    return out
+
+
+def _merge_caption_pairs(pairs: dict, new_pairs) -> None:
+    for src, alt in new_pairs:
+        cur = pairs.get(src)
+        pairs[src] = alt if cur is None else max(cur, alt)
+
 def _image_refs_for_record(rec: dict, pairs: dict[str, str], feat_caption: str,
                            out: list[dict], seed_index: int) -> None:
     urls = []
@@ -329,14 +347,21 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
             feat_caption = listing.pop("_feat_caption", "")
             merged = listing
             if ok:
-                full = extract.extract_single_article(
-                    parse_html(body.decode()), listing["url"], selectors, opts
-                )
-                if full:
-                    merged = extract.merge_listing_detail(listing, full)
-                    pairs.update(
-                        collect_image_caption_pairs(body.decode(), listing["url"])
+                try:
+                    full = extract.extract_single_article(
+                        parse_html(body.decode()), listing["url"], selectors, opts
                     )
+                    if full:
+                        merged = extract.merge_listing_detail(listing, full)
+                        _merge_caption_pairs(
+                            pairs,
+                            collect_image_caption_pairs(body.decode(),
+                                                        listing["url"]),
+                        )
+                except Exception:
+                    # content.py:166-167: ANY detail failure (decode,
+                    # parse, extract) keeps the listing-only record
+                    merged = listing
             merged.pop("fetch_full", None)
             rec = extract.transform_article(merged, first_seed_url)
             rec = extract.validate_article(rec) if rec else None
@@ -356,7 +381,7 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         if kind == "seed" and extract.is_article_page(doc):
             article = extract.extract_single_article(doc, url, selectors, opts)
             if article:
-                pairs = dict(collect_image_caption_pairs(html, url))
+                pairs = _caption_pairs_map(collect_image_caption_pairs(html, url))
                 rec = extract.transform_article(article, first_seed_url)
                 rec = extract.validate_article(rec) if rec else None
                 if rec:
@@ -369,10 +394,14 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         elements = extract.find_article_elements(doc, selectors)
         if not elements:
             return
-        pairs = dict(collect_image_caption_pairs(html, url))
+        pairs = _caption_pairs_map(collect_image_caption_pairs(html, url))
         n_valid = 0
         for dom_i, el in enumerate(elements):
-            entry = extract.extract_article_listing(el, url, selectors, opts)
+            try:
+                entry = extract.extract_article_listing(el, url, selectors, opts)
+            except Exception:
+                continue  # content.py:173-175: a bad element is skipped,
+                # never the whole page/wave
             if not (entry and entry.get("url")):
                 continue
             n_valid += 1

@@ -45,7 +45,7 @@ def decode_urls(store, urls: list[str], hosts: list[str],
         out["bytes"].append(body)
         out["w"].append(pixels.shape[1])
         out["h"].append(pixels.shape[0])
-        out["fmt"].append("png" if ext == "png" else "jpeg")
+        out["fmt"].append(codecs.sniff_format(body, ext))
         out["phash"].append(codecs.phash64(pixels))
         out["part"].append(shard_of(host, n_partitions))
     return pa.table(
