@@ -94,3 +94,77 @@ def test_decode_dispatch():
     assert np.array_equal(codecs.decode_image(codecs.encode_image(img, "png")), img)
     out = codecs.decode_image(codecs.encode_image(img, "jpeg"))
     assert codecs.psnr(img, out) >= 40.0
+
+
+def test_png_decode_all_filter_types():
+    """png_decode must reverse every PNG scanline filter a conformant
+    encoder may emit (libpng adaptive filtering uses all five), not just
+    our own encoder's filter-0 rows. Forward-filter a known image with
+    each type per row and assert exact reconstruction."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from web_scrapper_ray import codecs
+
+    rng = np.random.default_rng(99)
+    h, w, bpp = 11, 13, 3
+    img = rng.integers(0, 256, size=(h, w, bpp), dtype=np.uint8)
+    flat = img.reshape(h, w * bpp).astype(np.int32)
+
+    def forward(y, ftype):
+        line = flat[y]
+        prev = flat[y - 1] if y > 0 else np.zeros(w * bpp, np.int32)
+        shifted = np.concatenate([np.zeros(bpp, np.int32), line[:-bpp]])
+        prev_shift = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if ftype == 0:
+            f = line
+        elif ftype == 1:
+            f = line - shifted
+        elif ftype == 2:
+            f = line - prev
+        elif ftype == 3:
+            f = line - ((shifted + prev) >> 1)
+        else:  # Paeth
+            p = shifted + prev - prev_shift
+            pa = np.abs(p - shifted)
+            pb = np.abs(p - prev)
+            pc = np.abs(p - prev_shift)
+            pred = np.where((pa <= pb) & (pa <= pc), shifted,
+                            np.where(pb <= pc, prev, prev_shift))
+            f = line - pred
+        return (f & 0xFF).astype(np.uint8)
+
+    raw = np.zeros((h, 1 + w * bpp), dtype=np.uint8)
+    for y in range(h):
+        ftype = y % 5  # cycle through every filter type
+        raw[y, 0] = ftype
+        raw[y, 1:] = forward(y, ftype)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), 6)
+
+    def chunk(tag, payload):
+        body = tag + payload
+        return struct.pack(">I", len(payload)) + body + struct.pack(
+            ">I", zlib.crc32(body) & 0xFFFFFFFF)
+
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", idat) + chunk(b"IEND", b""))
+    decoded = codecs.png_decode(png)
+    assert np.array_equal(decoded, img)
+
+
+def test_sniff_format_magic_over_extension():
+    import numpy as np
+
+    from web_scrapper_ray import codecs
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    png = codecs.encode_image(px, "png")
+    jpg = codecs.encode_image(px, "jpeg")
+    assert codecs.sniff_format(png, "jpeg") == "png"      # magic wins
+    assert codecs.sniff_format(jpg, "PNG") == "jpeg"
+    assert codecs.sniff_format(b"\xff\xd8rest", "") == "jpeg"  # real JPEG SOI
+    assert codecs.sniff_format(b"????", "PNG") == "png"   # ext fallback
+    assert codecs.sniff_format(b"????", "") == "jpeg"

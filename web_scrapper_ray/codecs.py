@@ -62,7 +62,15 @@ def png_encode(pixels: np.ndarray) -> bytes:
 
 
 def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filters. raw is (h, 1 + w*bpp) uint8."""
+    """Reverse PNG scanline filters. raw is (h, 1 + w*bpp) uint8.
+
+    Real encoders (libpng adaptive filtering) emit Sub/Up/Average/Paeth
+    constantly, so the reconstruction must not be a per-BYTE Python
+    loop (~6M interpreted iterations for one 1080p frame). None/Up are
+    whole-row vector ops; Sub is a per-lane modular cumsum; Average and
+    Paeth carry a true sequential dependency along the row, so they run
+    a per-PIXEL loop with all bpp lanes vectorized (w iterations, not
+    w·bpp)."""
     stride = w * bpp
     out = np.zeros((h, stride), dtype=np.uint8)
     for y in range(h):
@@ -71,30 +79,37 @@ def _unfilter(raw: np.ndarray, h: int, w: int, bpp: int) -> np.ndarray:
         prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
         if ftype == 0:
             out[y] = line.astype(np.uint8)
-        elif ftype == 1:  # Sub
-            cur = line.copy()
-            for x in range(bpp, stride):
-                cur[x] = (cur[x] + cur[x - bpp]) & 0xFF
-            out[y] = cur.astype(np.uint8)
+        elif ftype == 1:  # Sub — modular prefix sum per byte lane
+            out[y] = (np.cumsum(line.reshape(w, bpp), axis=0,
+                                dtype=np.int64) & 0xFF).astype(
+                np.uint8).reshape(stride)
         elif ftype == 2:  # Up
             out[y] = ((line + prev) & 0xFF).astype(np.uint8)
         elif ftype == 3:  # Average
-            cur = line.copy()
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                cur[x] = (cur[x] + ((a + prev[x]) >> 1)) & 0xFF
-            out[y] = cur.astype(np.uint8)
+            px = line.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            cur = np.empty((w, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            for i in range(w):
+                a = (px[i] + ((a + pv[i]) >> 1)) & 0xFF
+                cur[i] = a
+            out[y] = cur.astype(np.uint8).reshape(stride)
         elif ftype == 4:  # Paeth
-            cur = line.copy()
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                c = prev[x - bpp] if x >= bpp else 0
+            px = line.reshape(w, bpp)
+            pv = prev.reshape(w, bpp)
+            cur = np.empty((w, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            c = np.zeros(bpp, dtype=np.int32)
+            for i in range(w):
+                b = pv[i]
                 p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (cur[x] + pred) & 0xFF
-            out[y] = cur.astype(np.uint8)
+                pa, pb, pc2 = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc2), a,
+                                np.where(pb <= pc2, b, c))
+                a = (px[i] + pred) & 0xFF
+                cur[i] = a
+                c = b
+            out[y] = cur.astype(np.uint8).reshape(stride)
         else:
             raise ValueError(f"bad PNG filter type {ftype}")
     return out
