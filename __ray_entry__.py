@@ -227,6 +227,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q22_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
         "q23_simhash": dedup.q_simhash,
         "q51_simhash_neardup": dedup.q_simhash_neardup,
+        "q53_neardup_clusters": dedup.q_neardup_clusters,
         "q48_dedup_corpus": dedup.q_dedup_corpus,
         # similarity search
         "q24_knn_bruteforce": similarity.q_knn_bruteforce,

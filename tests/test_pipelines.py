@@ -310,3 +310,43 @@ def test_neardup_cosine_cross_chunk_pairs(ray_session, tmp_path):
     out = q_neardup_cosine(d, threshold=0.95)
     got = set(zip(out["vec_a"], out["vec_b"]))
     assert (250, 2000) in got, got
+
+
+def test_neardup_clusters_transitive(ray_session, tmp_path):
+    """q53: chains cluster transitively (A~B and B~C group A,B,C even
+    when hamming(A,C) exceeds the threshold), exemplar = min doc_id,
+    singletons keep themselves."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.dedup import q_neardup_clusters
+
+    base = ("the quick brown fox jumps over the lazy dog while many "
+            "other animals watch from the forest edge every day") * 4
+    words = base.split()
+
+    def variant(*swaps):
+        w = list(words)
+        for i, repl in swaps:
+            w[i] = repl
+        return " ".join(w)
+
+    rows = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": variant((5, "leaps"))},           # ~1
+        {"doc_id": 3, "text": variant((5, "leaps"), (30, "zebras"))},  # ~2
+        {"doc_id": 50, "text": "an entirely different document about "
+                               "spacecraft propulsion systems and orbital "
+                               "mechanics research papers " * 5},
+    ]
+    d = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist(rows), f"{d}/documents.parquet")
+    out = q_neardup_clusters(d, max_hamming=10)
+    by_doc = out.set_index("doc_id")
+    # 1,2,3 share one cluster rooted at 1 (regardless of whether the
+    # 1-3 edge itself exists; 1-2 and 2-3 must)
+    assert by_doc.loc[2, "cluster_id"] == 1
+    assert by_doc.loc[3, "cluster_id"] == 1
+    assert bool(by_doc.loc[1, "keep"]) and not bool(by_doc.loc[2, "keep"])
+    # singleton keeps itself
+    assert by_doc.loc[50, "cluster_id"] == 50 and bool(by_doc.loc[50, "keep"])

@@ -139,6 +139,10 @@ def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
                       + np.uint64(0x9E3779B97F4A7C15))
 
     def band_rows(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0:  # empty block → possibly empty schema
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
         doc_ids = block.column("doc_id").to_numpy(zero_copy_only=False)
         texts = block.column("text").to_pylist()
         n = len(doc_ids)
@@ -328,15 +332,17 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
     P = 64
 
     def bands(batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
-        ph = batch.column("phash").to_numpy(zero_copy_only=False)
-        n = len(ids)
-        if n == 0:
+        if batch.num_rows == 0:
+            # empty blocks out of a lazy upstream map can carry an
+            # EMPTY schema — never touch columns before this guard
             return pa.table({"image_id": pa.array([], pa.string()),
                              "band": pa.array([], pa.int32()),
                              "val": pa.array([], pa.int32()),
                              "phash": pa.array([], pa.int64()),
                              "bucket": pa.array([], pa.int32())})
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        ph = batch.column("phash").to_numpy(zero_copy_only=False)
+        n = len(ids)
         u = ph.astype(np.int64).view(np.uint64)
         band_vals = np.stack(
             [(u >> np.uint64(16 * b)) & np.uint64(0xFFFF) for b in range(N_HBANDS)],
@@ -475,6 +481,59 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
         .map_groups(keep_min, batch_format="pandas")
         .to_pandas()  # final deduplicated corpus — the result itself
     )
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """Near-duplicate CLUSTERS — the unit real training-data dedup
+    operates on (cluster near-dups transitively, keep one exemplar):
+    connected components of the simhash near-dup graph at hamming ≤
+    ``max_hamming``. Returns (doc_id, cluster_id, keep) for EVERY doc:
+    cluster_id = min doc_id of the component, keep = (doc_id ==
+    cluster_id) — chains A~B~C cluster together even when A≁C.
+
+    Scale shape: the pair list comes from the EXACT multi-probe banding
+    (guaranteed recall, raw-task shuffle); union-find runs driver-side
+    over that small list (bounded by |pairs|, the same driver contract
+    as every candidate list here); the doc→cluster map — O(clustered
+    docs), not O(corpus) — is broadcast once and applied to the corpus
+    as a streaming vectorized map_batches. Approximate upstream (simhash)
+    → rows-only driver check; transitivity pytest'd."""
+    import ray
+
+    pairs = q_simhash_neardup(sf_dir, max_hamming)
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    cluster_of = {d: find(d) for d in parent} if parent else {}
+    cref = ray.put(cluster_of)
+
+    ds = _docs(sf_dir, ["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        clusters = np.fromiter((cm.get(int(d), int(d)) for d in ids),
+                               dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": pa.array(ids.astype(np.int64)),
+            "cluster_id": pa.array(clusters),
+            "keep": pa.array(clusters == ids.astype(np.int64)),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

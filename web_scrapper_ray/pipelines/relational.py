@@ -410,8 +410,11 @@ def _set_op_membership(sf_dir: str) -> pd.DataFrame:
     sides = [("orders", "o_custkey", 1, 0), ("customer", "c_custkey", 0, 1)]
 
     def split(block: pa.Table, col: str, in_o: int, in_c: int) -> pa.Table:
-        keys = pc.unique(block.column(col)).to_numpy(
-            zero_copy_only=False).astype(np.int64)
+        if block.num_rows == 0:  # empty block → possibly empty schema
+            keys = np.empty(0, dtype=np.int64)
+        else:
+            keys = pc.unique(block.column(col)).to_numpy(
+                zero_copy_only=False).astype(np.int64)
         n = len(keys)
         return pa.table({
             "custkey": pa.array(keys),
