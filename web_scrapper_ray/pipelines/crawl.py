@@ -250,6 +250,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
     board = PolitenessBoard(cfg.n_politeness_shards) if cfg.politeness else None
 
     start_wave = 0
+    resume_counters = None
     if resume:
         last = _last_complete_wave(cfg)
         if last >= 0:
@@ -257,6 +258,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                 manifest = json.load(fh)
             seen.restore(manifest["cuckoo_dir"])
             resume_metrics = manifest.get("metrics")
+            resume_counters = manifest.get("counters")
             pol_dir = manifest.get("politeness_dir")
             if board is not None and pol_dir and os.path.isdir(pol_dir):
                 board.restore(pol_dir)
@@ -301,11 +303,10 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
 
     debug_timing = bool(os.environ.get("WSR_TIMING"))
     counters = {"waves": 0, "fetches": 0, "records": 0}
-    if start_wave > 0:
+    if start_wave > 0 and resume_counters:
         # cumulative counters ride the manifest exactly like metrics —
         # a resumed run must not report only its own waves
-        with open(_wave_paths(cfg, start_wave - 1)["manifest"]) as fh:
-            counters.update(json.load(fh).get("counters", {}))
+        counters.update(resume_counters)
     k = start_wave
     while k < cfg.max_waves:
         paths = _wave_paths(cfg, k)

@@ -56,11 +56,12 @@ def _token_hash(tok: str) -> int:
     return h
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+def _shingle_hashes(text: str | None, n: int = 3) -> np.ndarray:
     """Vectorized n-gram hashing: blake2b per UNIQUE token (cached per
     worker), polynomial combination over the shingle window — ~5× the
-    throughput of hashing every shingle string."""
-    toks = _TOKEN_RX.findall(text.lower())
+    throughput of hashing every shingle string. NULL text = empty doc
+    (no shingles), mirroring the textops NULL guards."""
+    toks = _TOKEN_RX.findall((text or "").lower())
     if len(toks) < n:
         return np.empty(0, dtype=np.uint64)
     th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
@@ -100,7 +101,10 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest() for t in batch.column("text").to_pylist()]
+        # NULL text hashes like "" (non-crashing; Ray groupby null keys
+        # are avoided — a NULL-text corpus diverges from md5(NULL)=NULL)
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
+              for t in batch.column("text").to_pylist()]
         return pa.table({"content_hash": pa.array(hs), "doc_id": batch.column("doc_id")})
 
     out = (
@@ -247,14 +251,15 @@ def _verify_pairs_jaccard(sf_dir: str, cand: pd.DataFrame,
                           "doc_b": pd.Series(dtype="int64"),
                           "jaccard": pd.Series(dtype="float64")})
     return verify_pairs(docs_ds, cand[["doc_a", "doc_b"]].to_numpy(),
-                        payload, verify, empty)
+                        payload, verify, empty, payload_type=pa.string())
 
 
 def simhash64(text: str) -> int:
     """64-bit SimHash. Vectorized: one cached blake2b per UNIQUE token
     (the shared ``_token_hash`` cache), then a single unpackbits + sum
-    over the (n_tokens × 64) bit matrix — no per-token digest loop."""
-    toks = _TOKEN_RX.findall(text.lower())
+    over the (n_tokens × 64) bit matrix — no per-token digest loop.
+    NULL text hashes like the empty string (0)."""
+    toks = _TOKEN_RX.findall((text or "").lower())
     if not toks:
         return 0
     th = np.fromiter((_token_hash(t) for t in toks), dtype=np.uint64, count=len(toks))
@@ -464,7 +469,7 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     P = 64
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5(t.encode()).hexdigest()
+        hs = [hashlib.md5((t or "").encode()).hexdigest()
               for t in batch.column("text").to_pylist()]
         buckets = pa.array([int(h[:8], 16) % P for h in hs], pa.int32())
         return (batch.append_column("content_hash", pa.array(hs))

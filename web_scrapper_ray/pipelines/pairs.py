@@ -68,16 +68,23 @@ def verify_pairs(ds, pairs: np.ndarray,
                  payload_fn: Callable[[pa.Table], tuple],
                  verify_fn: Callable[[dict, np.ndarray], pd.DataFrame],
                  empty: pd.DataFrame,
+                 payload_type: pa.DataType,
                  pairs_per_bucket: int = 64) -> pd.DataFrame:
     """Distributed verify of an (n, 2) int64 candidate id-pair array.
 
     ``ds``          — Ray Dataset of the candidate rows only (caller
                       applies the pushdown id filter and column prune).
     ``payload_fn``  — pa.Table batch → (ids ndarray, list of payload
-                      objects) e.g. texts or unit vectors.
+                      objects) e.g. texts or unit vectors; never called
+                      on empty blocks.
     ``verify_fn``   — ({id: payload}, bucket's pair array) → DataFrame
                       of surviving pairs (typed; may be empty).
     ``empty``       — the typed empty result frame.
+    ``payload_type``— arrow type of a payload element, so empty and
+                      non-empty replicate outputs share one schema
+                      (a pushdown-filtered read can yield zero-row
+                      blocks whose inferred null type would otherwise
+                      lean on version-fragile concat promotion).
     """
     import ray
 
@@ -94,6 +101,10 @@ def verify_pairs(ds, pairs: np.ndarray,
     bref = ray.put((id_buckets, pairs_by_bucket))
 
     def replicate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"bucket": pa.array([], pa.int32()),
+                             "pair_id": pa.array([], pa.int64()),
+                             "payload": pa.array([], payload_type)})
         ib, _ = ray.get(bref)
         ids, payloads = payload_fn(batch)
         out_b, out_id, out_p = [], [], []
@@ -104,7 +115,7 @@ def verify_pairs(ds, pairs: np.ndarray,
                 out_p.append(payloads[i])
         return pa.table({"bucket": pa.array(out_b, pa.int32()),
                          "pair_id": pa.array(out_id, pa.int64()),
-                         "payload": pa.array(out_p)})
+                         "payload": pa.array(out_p, payload_type)})
 
     def verify(g: pd.DataFrame) -> pd.DataFrame:
         _, pb = ray.get(bref)

@@ -79,9 +79,18 @@ def _topk_idx(sims: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
     """Top-k indices by (sim DESC, id ASC). The tie-break matters: a
     plain argpartition on sim drops an arbitrary member of a tied group
     at the k boundary, diverging from the oracle's row_number ORDER BY
-    sim DESC, neighbor_id when duplicate vectors share one batch."""
-    order = np.lexsort((ids, -sims))
-    return order[:min(k, len(order))]
+    sim DESC, neighbor_id when duplicate vectors share one batch.
+    O(n) argpartition selects the boundary; only the ≥threshold slice
+    (k plus its ties) pays the lexsort — not the whole batch."""
+    n = len(sims)
+    if k >= n:
+        order = np.lexsort((ids, -sims))
+        return order[:n]
+    part = np.argpartition(-sims, k - 1)
+    thresh = sims[part[k - 1]]
+    cand = np.nonzero(sims >= thresh)[0]  # top-k plus boundary ties
+    order = np.lexsort((ids[cand], -sims[cand]))
+    return cand[order[:k]]
 
 
 def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
@@ -318,7 +327,9 @@ def _verify_pairs_cosine(sf_dir: str, cand: pd.DataFrame,
         return pd.DataFrame({"vec_a": prs[keep, 0], "vec_b": prs[keep, 1]})
 
     return verify_pairs(emb_ds, cand[["vec_a", "vec_b"]].to_numpy(),
-                        payload, verify, empty, pairs_per_bucket=256)
+                        payload, verify, empty,
+                        payload_type=pa.list_(pa.float64()),
+                        pairs_per_bucket=256)
 
 
 def _nd_planes(dim: int, n_tables: int, n_planes: int) -> np.ndarray:

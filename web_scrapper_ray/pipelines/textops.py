@@ -52,11 +52,16 @@ def q_token_count(sf_dir: str) -> pd.DataFrame:
 
 
 def q_reading_time(sf_dir: str) -> pd.DataFrame:
-    """Reference F2 semantics: max(1, banker's-round(word_count/200))."""
+    """Reference F2 semantics: max(1, banker's-round(word_count/200)),
+    counted on the CLEANED text like reference word_count — but with
+    the ASCII tokenizer so the count matches the RE2 oracle exactly
+    (same q13/q15/q16 rule; `estimate_reading_time` remains the
+    unicode reference-parity scalar for the T-surface)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def rt(batch: pa.Table) -> pa.Table:
-        vals = [estimate_reading_time(t) for t in batch.column("text").to_pylist()]
+        vals = [max(1, round(len(_TOKEN_RX.findall(clean_text(t))) / 200))
+                for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "reading_min": pa.array(vals, pa.int64())})
 

@@ -109,22 +109,21 @@ def empty_out_table() -> pa.Table:
 
 
 
-def _caption_pairs_map(pairs_iter) -> dict[str, str]:
-    """(src, alt) pairs → {src: alt} keeping the MAX alt per src —
+def _merge_caption_pairs(pairs: dict, new_pairs) -> None:
+    """Merge (src, alt) pairs keeping the MAX alt per src —
     oracle_images_table takes max() over every pair on a page, so an
     intra-page duplicate src with differing alts must not collapse to
     last-wins."""
-    out: dict[str, str] = {}
-    for src, alt in pairs_iter:
-        cur = out.get(src)
-        out[src] = alt if cur is None else max(cur, alt)
-    return out
-
-
-def _merge_caption_pairs(pairs: dict, new_pairs) -> None:
     for src, alt in new_pairs:
         cur = pairs.get(src)
         pairs[src] = alt if cur is None else max(cur, alt)
+
+
+def _caption_pairs_map(pairs_iter) -> dict[str, str]:
+    out: dict[str, str] = {}
+    _merge_caption_pairs(out, pairs_iter)
+    return out
+
 
 def _image_refs_for_record(rec: dict, pairs: dict[str, str], feat_caption: str,
                            out: list[dict], seed_index: int) -> None:
@@ -375,7 +374,20 @@ def make_fetch_parse_fn(world_dir: str, selectors: dict, opts: dict,
         if not ok:
             return
 
-        # kind in (seed, next): a page to route/parse
+        # kind in (seed, next): a page to route/parse. The WHOLE parse/
+        # extract path is guarded like the oracle/reference (base.py
+        # per-seed try, content.py:225-227 pagination try): a non-UTF-8
+        # body or a crashing extract must cost only this page's output,
+        # never the fused wave task (which runs with max_retries=0
+        # because of the cuckoo side effect).
+        try:
+            _parse_listing_page(st, out, kind, url, seed_i, page_i, body)
+        except Exception:
+            return
+
+    def _parse_listing_page(st, out, kind, url, seed_i, page_i,
+                            body) -> None:
+        host = st["host"]
         html = body.decode()
         doc = parse_html(html)
         if kind == "seed" and extract.is_article_page(doc):
