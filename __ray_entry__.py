@@ -17,8 +17,6 @@ from typing import Any
 
 from web_scrapper_ray.functions.text import STOP_WORDS
 
-_SF0001 = "/root/testdata/sf0.001"
-
 
 # ---------------------------------------------------------------------------
 # entry

@@ -155,3 +155,36 @@ def test_header_gap_and_quoted_sheet_name(tmp_path):
     # the workbook XML itself is well-formed despite the quote
     with zf.ZipFile(p2) as z:
         ET.fromstring(z.read("xl/workbook.xml"))
+
+
+def test_escape_overlap_numpy_and_dup_headers(tmp_path):
+    """ECMA-376 escape round-trips overlapping escape-shaped literals;
+    numpy scalars write as numeric cells; duplicate headers get
+    pandas-style suffixes instead of silently dropping a column."""
+    import numpy as np
+
+    p = str(tmp_path / "edge.xlsx")
+    hostile = ["_x005F_x0041_", "_x0041_", "__x0041_", "a_x1234_b_x1234_"]
+    write_xlsx(p, {"S": [{"v": h} for h in hostile]})
+    assert [r["v"] for r in read_xlsx(p, sheet_name="S")] == hostile
+
+    write_xlsx(p, {"S": [{"n": np.int64(5), "f": np.float64(2.5)}]})
+    row = read_xlsx(p, sheet_name="S")[0]
+    assert row["n"] == 5 and isinstance(row["n"], int)
+    assert row["f"] == 2.5 and isinstance(row["f"], float)
+
+    # duplicate headers: dict rows can't express them, so patch a
+    # written workbook's header row to repeat the same name
+    import zipfile
+
+    src = str(tmp_path / "dup_src.xlsx")
+    write_xlsx(src, {"S": [{"x": 1, "y": 2}]})
+    dst = str(tmp_path / "dup.xlsx")
+    with zipfile.ZipFile(src) as zin, zipfile.ZipFile(dst, "w") as zout:
+        for item in zin.namelist():
+            data = zin.read(item)
+            if item == "xl/worksheets/sheet1.xml":
+                data = data.replace(b">y<", b">x<")
+            zout.writestr(item, data)
+    row = read_xlsx(dst, sheet_name="S")[0]
+    assert row == {"x": 1, "x.1": 2}

@@ -101,8 +101,16 @@ def canonicalize_url(url: str) -> str:
     try:
         port = parts.port
     except ValueError:  # malformed/out-of-range port: keep it verbatim
+        # keep the WHOLE post-host tail, not just the last ':' segment —
+        # 'host:80:80' must canonicalize to itself (idempotency: the
+        # canon form is re-parsed by every store/seen lookup; dropping
+        # middle segments made the second pass produce a different key)
         netloc_tail = parts.netloc.rsplit("@", 1)[-1]
-        port_s = netloc_tail.rsplit(":", 1)[1] if ":" in netloc_tail.lstrip("[") else ""
+        if netloc_tail.startswith("["):
+            after = netloc_tail.split("]", 1)[1] if "]" in netloc_tail else ""
+            port_s = after[1:] if after.startswith(":") else ""
+        else:
+            port_s = netloc_tail.split(":", 1)[1] if ":" in netloc_tail else ""
         port = None
         if port_s:
             host = f"{host}:{port_s}"

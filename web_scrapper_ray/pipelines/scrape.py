@@ -41,28 +41,48 @@ def _make_scrape_fn(world_dir: str, kind: str, selectors: dict,
         group = group.sort_values(["seed_index"])
         out: list[dict] = []
         for r in group.itertuples(index=False):
-            body, status = store.get(r.url, r.host)
-            ok = body is not None and status < 400
-            out.append({"row_kind": "seed_outcome", "seed_index": int(r.seed_index),
-                        "dom_idx": -1, "url": r.url, "payload": "",
-                        "outcome": "visited" if ok else "failed"})
-            if not ok:
-                continue
-            doc = parse_html(body.decode())
-            if kind == "ecommerce":
-                elements = extract.find_product_elements(doc, selectors)
-                items = (extract.extract_product(el, selectors) for el in elements)
-                transformed = (extract.transform_product(x, first_seed_url) for x in items if x)
-                validated = [extract.validate_product(x) for x in transformed if x]
-            else:
-                elements = extract.find_business_elements(doc, selectors)
-                items = (extract.extract_business(el, selectors) for el in elements)
-                transformed = (extract.transform_business(x) for x in items if x)
-                validated = [extract.validate_business(x) for x in transformed if x]
-            for dom_i, rec in enumerate(v for v in validated if v):
-                out.append({"row_kind": "record", "seed_index": int(r.seed_index),
-                            "dom_idx": dom_i, "url": r.url,
-                            "payload": json.dumps(rec), "outcome": ""})
+            # per-seed guard with buffered commit (reference base.py:
+            # 188-199 wraps each URL in try/except and marks it failed;
+            # a decode/parse/extract error must cost ONE seed's records,
+            # not the whole Ray task — and must not leak partial rows)
+            seed_rows: list[dict] = []
+            try:
+                body, status = store.get(r.url, r.host)
+                ok = body is not None and status < 400
+                seed_rows.append({"row_kind": "seed_outcome",
+                                  "seed_index": int(r.seed_index),
+                                  "dom_idx": -1, "url": r.url, "payload": "",
+                                  "outcome": "visited" if ok else "failed"})
+                if ok:
+                    doc = parse_html(body.decode())
+                    if kind == "ecommerce":
+                        elements = extract.find_product_elements(doc, selectors)
+                        items = (extract.extract_product(el, selectors)
+                                 for el in elements)
+                        transformed = (extract.transform_product(x, first_seed_url)
+                                       for x in items if x)
+                        validated = [extract.validate_product(x)
+                                     for x in transformed if x]
+                    else:
+                        elements = extract.find_business_elements(doc, selectors)
+                        items = (extract.extract_business(el, selectors)
+                                 for el in elements)
+                        transformed = (extract.transform_business(x)
+                                       for x in items if x)
+                        validated = [extract.validate_business(x)
+                                     for x in transformed if x]
+                    for dom_i, rec in enumerate(v for v in validated if v):
+                        seed_rows.append({"row_kind": "record",
+                                          "seed_index": int(r.seed_index),
+                                          "dom_idx": dom_i, "url": r.url,
+                                          "payload": json.dumps(rec),
+                                          "outcome": ""})
+            except Exception:
+                seed_rows = [{"row_kind": "seed_outcome",
+                              "seed_index": int(r.seed_index),
+                              "dom_idx": -1, "url": r.url, "payload": "",
+                              "outcome": "failed"}]
+            out.extend(seed_rows)
         return pd.DataFrame(out, columns=_OUT_COLS) if out else _empty_df()
 
     return scrape

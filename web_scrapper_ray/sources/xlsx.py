@@ -37,7 +37,6 @@ def col_letter(i: int) -> str:
     return out
 
 
-_ESCAPE_RX = re.compile(r"_x[0-9A-Fa-f]{4}_")
 # XML-1.0-illegal chars, plus \r (parsers normalize literal CR to LF)
 _BAD_CHAR_RX = re.compile(r"[\x00-\x08\x0B\x0C\x0E-\x1F\r]")
 _UNESCAPE_RX = re.compile(r"_x([0-9A-Fa-f]{4})_")
@@ -46,8 +45,10 @@ _UNESCAPE_RX = re.compile(r"_x([0-9A-Fa-f]{4})_")
 def _esc_text(s: str) -> str:
     """OOXML string escaping (ECMA-376 §18.4): chars XML can't carry are
     written ``_xHHHH_``; pre-existing ``_xHHHH_`` literals self-escape
-    their underscore as ``_x005F_``."""
-    s = _ESCAPE_RX.sub(lambda m: "_x005F" + m.group(0), s)
+    their underscore as ``_x005F_``. The self-escape uses a LOOKAHEAD so
+    overlapping escape-shaped literals (e.g. ``_x005F_x0041_``, where
+    two sequences share an underscore) all round-trip."""
+    s = re.sub(r"_(?=x[0-9A-Fa-f]{4}_)", "_x005F_", s)
     s = _BAD_CHAR_RX.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
     return escape(s)
 
@@ -57,14 +58,21 @@ def _unesc_text(s: str) -> str:
 
 
 def _cell_xml(ref: str, value: Any) -> str:
+    import numbers
+
     if value is None:
         return ""
     if isinstance(value, bool):
         return f'<c r="{ref}" t="b"><v>{1 if value else 0}</v></c>'
-    if isinstance(value, (int, float)):
-        if isinstance(value, float) and value != value:
+    # numbers.Number covers numpy/arrow scalars too — isinstance(int,
+    # float) alone would silently write np.int64 as a TEXT cell
+    if isinstance(value, numbers.Integral):
+        return f'<c r="{ref}"><v>{int(value)!r}</v></c>'
+    if isinstance(value, numbers.Real):
+        value = float(value)
+        if value != value:
             return ""  # NaN → empty cell (pandas/openpyxl convention)
-        if isinstance(value, float) and value in (float("inf"), float("-inf")):
+        if value in (float("inf"), float("-inf")):
             # XLSX numeric cells can't hold ±inf; pandas' to_excel writes
             # it as the string 'inf' (the inf_rep option) and read_excel
             # does NOT convert back — same one-way convention here, so
@@ -248,9 +256,17 @@ def read_xlsx(path: str, sheet_name: Optional[str] = None
                 out[name] = []
                 continue
             # map headers by their ACTUAL column index (a blank header
-            # cell must not shift later columns under the wrong key)
+            # cell must not shift later columns under the wrong key);
+            # duplicate names get pandas-style suffixes (x, x.1, …) so
+            # no column's data silently vanishes in the row dicts
             header_row = grid.get(min(grid))
-            col_map = {ci: str(header_row[ci]) for ci in sorted(header_row)}
+            col_map = {}
+            seen_names: dict[str, int] = {}
+            for ci in sorted(header_row):
+                name_ = str(header_row[ci])
+                n_seen = seen_names.get(name_, 0)
+                seen_names[name_] = n_seen + 1
+                col_map[ci] = name_ if n_seen == 0 else f"{name_}.{n_seen}"
             rows = []
             for ri in sorted(grid):
                 if ri == min(grid):
