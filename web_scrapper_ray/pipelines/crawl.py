@@ -276,6 +276,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
 
     spec_remote = None
     spec_lanes: dict[int, object] = {}
+    spec_all: list = []  # every submitted lane future (for cancel-all)
     n_lanes = 0
     if cfg.speculative_decode:
         import ray
@@ -326,6 +327,12 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             os.remove(stale_nxt)
         for stale in glob.glob(os.path.join(cfg.out_dir, "refs", "part=*",
                                             f"wave_{k:03d}.parquet")):
+            os.remove(stale)
+        # ...and the speculative lanes' decode output for this wave: a
+        # re-run may fetch different bytes, and finalize's reconcile
+        # would otherwise reuse the crashed attempt's decodes
+        for stale in glob.glob(os.path.join(cfg.out_dir, "images_tmp",
+                                            "part=*", f"wave_{k:03d}.parquet")):
             os.remove(stale)
         # O5 frontier ordering: parity mode sorts by program order; in
         # priority mode a per-seed priority leads the sort key and the
@@ -456,6 +463,7 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
                         os.path.join(cfg.out_dir, "images_tmp", f"part={p}"),
                         k, cfg.images_partitions, cfg.fetch_backend,
                     )
+                    spec_all.append(spec_lanes[lane])
         _t_nxt = _time.time()
         cuckoo_dir = paths["cuckoo"]
         seen.snapshot(cuckoo_dir)
@@ -484,15 +492,19 @@ def run_crawl(cfg: CrawlConfig, resume: bool = False) -> dict:
             break
         k += 1
 
-    if spec_lanes:
+    if spec_all:
         # stop the lanes rather than wait: whatever they finished is in
         # images_tmp (atomic renames); finalize decodes the remainder at
-        # FULL cluster width, so waiting on a few lanes only serializes
+        # FULL cluster width, so waiting on a few lanes only serializes.
+        # EVERY submitted future is cancelled, not just each lane's tail
+        # — cancelling only the pending tail would leave the running
+        # predecessors decoding (and contending for CPU) through
+        # finalize.
         import ray
 
-        for fut in spec_lanes.values():
+        for fut in spec_all:
             ray.cancel(fut, force=False, recursive=False)
-        for fut in spec_lanes.values():
+        for fut in spec_all:
             try:
                 ray.get(fut)
             except Exception:
@@ -530,16 +542,39 @@ def ensure_tier_crawl(tier: str = "t1", out_root: str = "/tmp/wsr_crawl",
         politeness=politeness,
     )
     fmt_ok = False
+    fmt: dict = {}
     if os.path.exists(fmt_marker):
         try:
             with open(fmt_marker) as fh:
-                fmt_ok = json.load(fh).get("v") == FORMAT_VERSION
+                fmt = json.load(fh)
+            # the memo must also bind to the WORLD content: a bumped
+            # synth gen_version regenerates the world in place, and a
+            # crawl built from the old bytes would silently poison
+            # every parity comparison against the new world
+            fmt_ok = (fmt.get("v") == FORMAT_VERSION
+                      and fmt.get("world_key") == _world_key(world))
         except Exception:
             fmt_ok = False
     if os.path.exists(marker) and fmt_ok:
-        return finalize_paths(cfg)
+        res = finalize_paths(cfg)
+        # same result shape as a fresh run for the count fields (the
+        # wave-loop counters only exist on a fresh run)
+        for k in ("n_images", "n_articles", "n_log"):
+            if k in fmt:
+                res[k] = fmt[k]
+        return res
     shutil.rmtree(out, ignore_errors=True)  # stale layout → full re-run
     return run_crawl(cfg)
+
+
+def _world_key(world_dir: str) -> str:
+    """The synth world's content key (meta.json cache_key; '' when the
+    world has no meta — e.g. hand-built test worlds)."""
+    try:
+        with open(os.path.join(world_dir, "meta.json")) as fh:
+            return json.load(fh).get("cache_key", "")
+    except Exception:
+        return ""
 
 
 def finalize_paths(cfg: CrawlConfig) -> dict:
@@ -560,15 +595,27 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
     import ray.data as rd
 
     _dbg = bool(os.environ.get("WSR_TIMING"))
-    _marks = [("start", _time.time())]
+    t0 = _time.time()
+    _marks = [("start", t0)]
+    _meta_marks = [("start", t0)]  # meta thread's own list (no interleave)
 
     def _mark(name: str) -> None:
         _marks.append((name, _time.time()))
+
+    def _meta_mark(name: str) -> None:
+        _meta_marks.append((name, _time.time()))
 
     wave_files = sorted(
         glob.glob(os.path.join(cfg.out_dir, "waves", "wave_*", "*.parquet"))
     )
     out_dir = os.path.join(cfg.out_dir, "out")
+    # a previous finalize's memo marker must not survive into the window
+    # where this re-finalize is mutating the outputs in place — a crash
+    # mid-write would otherwise leave a still-valid format.json over
+    # torn/missing files; the marker is rewritten at the very end
+    fmt_marker = os.path.join(out_dir, "format.json")
+    if os.path.exists(fmt_marker):
+        os.remove(fmt_marker)
     all_ds = pads.dataset(wave_files)
 
     n_log = 0
@@ -594,7 +641,7 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
                                  pa.array(range(log.num_rows), pa.int64()))
             pq.write_table(log, os.path.join(out_dir, "crawl_log.parquet"))
             n_log = log.num_rows
-            _mark("log")
+            _meta_mark("log")
 
             # seed outcomes (visited_urls / failed_urls of base.py:195,199)
             seeds_t = all_ds.to_table(
@@ -602,7 +649,7 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
                 columns=["seed_index", "url", "outcome"],
             ).sort_by([("seed_index", "ascending")])
             pq.write_table(seeds_t, os.path.join(out_dir, "seed_outcomes.parquet"))
-            _mark("seeds")
+            _meta_mark("seeds")
 
             # article records: the wave output already carries TYPED
             # columns (crawl_stage OUT_SCHEMA), so this is a column
@@ -620,7 +667,7 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
             )
             pq.write_table(articles, os.path.join(out_dir, "articles.parquet"))
             n_articles = articles.num_rows
-            _mark("records")
+            _meta_mark("records")
         except BaseException as e:  # surfaced after join
             meta_err.append(e)
 
@@ -654,6 +701,10 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
             outs = []
             for pdir in batch.column("part_dir").to_pylist():
                 t = pads.dataset(pdir).to_table()
+                if t.num_rows == 0 or "url_canon" not in t.column_names:
+                    # a crashed attempt's stale refs were swept, leaving
+                    # an empty part dir (0-column table) — nothing to do
+                    continue
                 # max-caption per url via sort + keep-last boundary mask
                 t = t.sort_by([("url_canon", "ascending"), ("caption", "ascending")])
                 t = t.combine_chunks()
@@ -719,11 +770,18 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
     if meta_err:
         raise meta_err[0]
     with open(os.path.join(out_dir, "format.json"), "w") as fh:
-        json.dump({"v": FORMAT_VERSION}, fh)
+        json.dump({"v": FORMAT_VERSION, "world_key": _world_key(cfg.world_dir),
+                   "n_images": n_images, "n_articles": n_articles,
+                   "n_log": n_log}, fh)
     if _dbg:
-        print("[finalize] " + " ".join(
-            f"{n}={t2 - t1:.2f}s" for (_, t1), (n, t2) in zip(_marks, _marks[1:])
-        ), flush=True)
+        # two independent mark lists (meta assembly runs on its own
+        # thread) — interleaving them would garble the adjacent diffs
+        def fmt_marks(tag, marks):
+            return f"[finalize {tag}] " + " ".join(
+                f"{n}={t2 - t1:.2f}s"
+                for (_, t1), (n, t2) in zip(marks, marks[1:]))
+        print(fmt_marks("decode", _marks), flush=True)
+        print(fmt_marks("meta", _meta_marks), flush=True)
     return {
         "out_dir": out_dir,
         "crawl_log": os.path.join(out_dir, "crawl_log.parquet"),
