@@ -217,6 +217,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q18_phone_digits": textops.q_phone_digits,
         "q19_entities": _entities,
         "q39_bpe_token_count": textops.q_bpe_token_count,
+        "q54_doc_chunks": textops.q_doc_chunks,
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         # dedup
@@ -520,6 +521,14 @@ def oracle_sql() -> dict[str, str]:
                        '''(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s'']+|\s+'))::BIGINT
                        AS n_bpe_tokens
             FROM documents ORDER BY doc_id
+        """,
+        "q54_doc_chunks": f"""
+            SELECT doc_id, chunk_idx::BIGINT AS chunk_idx,
+                   least(32, n - chunk_idx*32)::BIGINT AS chunk_tokens
+            FROM (SELECT doc_id, {_WC} AS n,
+                         unnest(range(CAST(ceil({_WC}/32.0) AS BIGINT))) AS chunk_idx
+                  FROM documents)
+            ORDER BY doc_id, chunk_idx
         """,
         "q40_label_centroids": """
             SELECT label, pos, round(avg(v), 6) AS c

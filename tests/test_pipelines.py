@@ -350,3 +350,25 @@ def test_neardup_clusters_transitive(ray_session, tmp_path):
     assert bool(by_doc.loc[1, "keep"]) and not bool(by_doc.loc[2, "keep"])
     # singleton keeps itself
     assert by_doc.loc[50, "cluster_id"] == 50 and bool(by_doc.loc[50, "keep"])
+
+
+def test_doc_chunks_matches_naive(ray_session):
+    """q54 context-window chunking: per-doc naive ceil-split ground truth."""
+    import re
+
+    from web_scrapper_ray.pipelines.textops import q_doc_chunks
+
+    got = q_doc_chunks(SF, chunk_tokens=32)
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rows = []
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        n = len(re.findall(r"\w+", text))
+        for k in range((n + 31) // 32):
+            rows.append((doc_id, k, min(32, n - k * 32)))
+    want = pd.DataFrame(rows, columns=["doc_id", "chunk_idx", "chunk_tokens"]) \
+        .astype({"doc_id": "int64", "chunk_idx": "int64", "chunk_tokens": "int64"}) \
+        .sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    # every chunk except a doc's last is full-width
+    last = got.groupby("doc_id")["chunk_idx"].transform("max")
+    assert (got.loc[got["chunk_idx"] < last, "chunk_tokens"] == 32).all()

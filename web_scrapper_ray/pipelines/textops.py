@@ -279,6 +279,44 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_doc_chunks(sf_dir: str, chunk_tokens: int = 32) -> pd.DataFrame:
+    """Context-window chunking — the training-data op between token
+    counting and sequence packing: each document splits into
+    ceil(n/C) chunks of at most C tokens, (doc_id, chunk_idx,
+    chunk_tokens) per chunk. Fully vectorized: counts from the RE2
+    Arrow kernel, the explode is numpy repeat/arange — no Python
+    per-doc loop; zero-token docs yield zero chunks (matching the
+    oracle's empty range())."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), r"\w+") \
+            .to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_chunks = (n + chunk_tokens - 1) // chunk_tokens
+        total = int(n_chunks.sum())
+        if total == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_idx": pa.array([], pa.int64()),
+                             "chunk_tokens": pa.array([], pa.int64())})
+        doc_rep = np.repeat(ids, n_chunks)
+        n_rep = np.repeat(n, n_chunks)
+        starts = np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks)
+        idx = np.arange(total, dtype=np.int64) - starts
+        tok = np.minimum(chunk_tokens, n_rep - idx * chunk_tokens)
+        return pa.table({"doc_id": pa.array(doc_rep),
+                         "chunk_idx": pa.array(idx),
+                         "chunk_tokens": pa.array(tok)})
+
+    out = ds.map_batches(chunks, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
     """Deterministic stratified sampling (the training-data "K docs per
     stratum" op): partition by language, rank inside each group by a
