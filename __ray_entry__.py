@@ -218,6 +218,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_entities": _entities,
         "q39_bpe_token_count": textops.q_bpe_token_count,
         "q54_doc_chunks": textops.q_doc_chunks,
+        "q55_tfidf_topk": textops.q_tfidf_topk,
+        "q56_decontaminate": textops.q_decontaminate,
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         # dedup
@@ -529,6 +531,37 @@ def oracle_sql() -> dict[str, str]:
                          unnest(range(CAST(ceil({_WC}/32.0) AS BIGINT))) AS chunk_idx
                   FROM documents)
             ORDER BY doc_id, chunk_idx
+        """,
+        "q55_tfidf_topk": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM documents, unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)
+            ),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+                   FROM toks GROUP BY 1, 2),
+            df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents)
+            SELECT doc_id, term, round(score, 6) AS score FROM (
+              SELECT tf.doc_id, tf.term, tf.tf * ln(n.nd / df.df) AS score,
+                     row_number() OVER (PARTITION BY tf.doc_id
+                                        ORDER BY tf.tf * ln(n.nd / df.df) DESC,
+                                                 tf.term) AS rk
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            ) WHERE rk <= 5 ORDER BY doc_id, term
+        """,
+        "q56_decontaminate": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+                       FROM documents),
+            g AS (SELECT doc_id, array_to_string(ws[x+1 : x+8], ' ') AS gram
+                  FROM d, unnest(range(greatest(len(ws) - 7, 0))) AS r(x)),
+            b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 50 = 0),
+            h AS (SELECT g.doc_id, count(DISTINCT g.gram) AS n_hits
+                  FROM g JOIN b USING (gram)
+                  WHERE g.doc_id % 50 <> 0 GROUP BY 1)
+            SELECT d2.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d2 LEFT JOIN h USING (doc_id)
+            WHERE d2.doc_id % 50 <> 0 ORDER BY doc_id
         """,
         "q40_label_centroids": """
             SELECT label, pos, round(avg(v), 6) AS c

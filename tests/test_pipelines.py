@@ -372,3 +372,59 @@ def test_doc_chunks_matches_naive(ray_session):
     # every chunk except a doc's last is full-width
     last = got.groupby("doc_id")["chunk_idx"].transform("max")
     assert (got.loc[got["chunk_idx"] < last, "chunk_tokens"] == 32).all()
+
+
+def test_tfidf_topk_matches_naive(ray_session):
+    """q55: naive per-doc tf*ln(N/df) ground truth with the same
+    (score desc, term asc) boundary tie-break."""
+    import math
+    import re
+    from collections import Counter
+
+    from web_scrapper_ray.pipelines.textops import q_tfidf_topk
+
+    got = q_tfidf_topk(SF, k=5)
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rx = re.compile(r"\w+", re.ASCII)
+    toks = {d: rx.findall(t.lower()) for d, t in zip(docs["doc_id"], docs["text"])}
+    df = Counter()
+    for ws in toks.values():
+        df.update(set(ws))
+    n = float(len(docs))
+    rows = []
+    for d, ws in toks.items():
+        tf = Counter(ws)
+        scored = sorted(((-c * math.log(n / df[t]), t) for t, c in tf.items()))
+        for neg, t in scored[:5]:
+            rows.append((d, t, round(-neg, 6)))
+    want = pd.DataFrame(rows, columns=["doc_id", "term", "score"]) \
+        .astype({"doc_id": "int64"}) \
+        .sort_values(["doc_id", "term"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_decontaminate_planted(ray_session, tmp_path):
+    """q56: plant an 8-gram overlap with the benchmark doc (id 0) and
+    verify hit counts; distinct-gram counting, no self rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_decontaminate
+
+    bench = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            bench,                                  # benchmark (0 % 50 == 0)
+            "x " + bench + " y",                    # shares all 3 bench 8-grams
+            "alpha beta gamma delta epsilon zeta eta NOPE",  # 7-word prefix only
+            "unrelated words entirely different content here okay fine",
+        ]),
+    })
+    pq.write_table(docs, tmp_path / "documents.parquet")
+    out = q_decontaminate(str(tmp_path), n=8, holdout_mod=50)
+    got = out.set_index("doc_id")
+    assert list(got.index) == [1, 2, 3]
+    assert got.loc[1, "n_hits"] == 3 and bool(got.loc[1, "contaminated"])
+    assert got.loc[2, "n_hits"] == 0 and not bool(got.loc[2, "contaminated"])
+    assert got.loc[3, "n_hits"] == 0

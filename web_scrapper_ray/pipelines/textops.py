@@ -317,6 +317,132 @@ def q_doc_chunks(sf_dir: str, chunk_tokens: int = 32) -> pd.DataFrame:
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
+def q_tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Per-doc TF-IDF top-k terms (the corpus-aware keyword op — raw
+    tf × ln(N/df)). Two streaming passes over the corpus, no token-scale
+    shuffle:
+
+    1. per-batch *distinct-per-doc* term partials → one groupby-sum on
+       term → a vocab-sized (term, df) table, broadcast once via
+       ``ray.put`` (at 100 TB this stays vocab-bounded, not
+       corpus-bounded; swap the dict for a broadcast semi-join if the
+       vocab itself outgrows worker heap);
+    2. per-batch tf counting + idf lookup + per-doc top-k — only
+       k rows per doc leave the stage.
+
+    N comes from parquet metadata (no extra scan). Ties at the rank
+    boundary break (score desc, term asc), matching the oracle's
+    row_number ordering; equal (tf, df) pairs give bit-equal float64
+    scores on both sides so the tie-break is deterministic."""
+    import heapq
+
+    import pyarrow.parquet as pq
+    import ray
+    from ray.data.aggregate import Sum
+
+    n_docs = float(pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counter.update(set(_TOKEN_RX.findall((t or "").lower())))
+        if not counter:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        terms, ns = zip(*counter.items())
+        return pa.table({"term": pa.array(list(terms)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    df_tab = (
+        _docs(sf_dir, ["text"]).map_batches(df_partial, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("n", alias_name="df")).to_pandas()
+    )
+    import math
+
+    idf = {t: math.log(n_docs / d)
+           for t, d in zip(df_tab["term"], df_tab["df"])}
+    idf_ref = ray.put(idf)
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf_ = ray.get(idf_ref)
+        out_d, out_t, out_s = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            tf = Counter(_TOKEN_RX.findall((text or "").lower()))
+            top = heapq.nsmallest(
+                k, ((-n * idf_[t], t) for t, n in tf.items()))
+            for neg, t in top:
+                out_d.append(doc_id)
+                out_t.append(t)
+                out_s.append(round(-neg, 6))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "term": pa.array(out_t, pa.string()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
+def q_decontaminate(sf_dir: str, n: int = 8, holdout_mod: int = 50) -> pd.DataFrame:
+    """Benchmark decontamination — the training-data op that flags
+    corpus documents sharing any word n-gram with a held-out benchmark
+    set (here: docs with ``doc_id % holdout_mod == 0``, derived
+    deterministically from the same table so the check needs no
+    external data). Returns (doc_id, n_hits, contaminated) for every
+    non-benchmark doc, n_hits = distinct shared n-grams.
+
+    Scale shape: the benchmark side is small by construction — its
+    n-gram set is collected once and broadcast via ``ray.put``; the
+    corpus side streams through one ``map_batches`` membership pass
+    (set lookups on joined-token strings; swap strings for 128-bit
+    hashes if the benchmark outgrows worker heap). No shuffle at all."""
+    import numpy as np
+    import ray
+
+    def grams(text: str) -> list[str]:
+        ws = _TOKEN_RX.findall((text or "").lower())
+        return [" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)]
+
+    def _mod_filter(keep_equal: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+            mask = (ids % holdout_mod == 0) == keep_equal
+            return batch.filter(pa.array(mask))
+        return f
+
+    bench_ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(True), batch_format="pyarrow", zero_copy_batch=True)
+
+    def bench_grams(batch: pa.Table) -> pa.Table:
+        s: set = set()
+        for t in batch.column("text").to_pylist():
+            s.update(grams(t))
+        return pa.table({"gram": pa.array(sorted(s), pa.string())})
+
+    bench_set = set(
+        bench_ds.map_batches(bench_grams, batch_format="pyarrow")
+        .to_pandas()["gram"])
+    bref = ray.put(bench_set)
+
+    ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _mod_filter(False), batch_format="pyarrow", zero_copy_batch=True)
+
+    def hits(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bref)
+        ids = batch.column("doc_id").to_pylist()
+        counts = [sum(1 for g in set(grams(t)) if g in bench)
+                  for t in batch.column("text").to_pylist()]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_hits": pa.array(counts, pa.int64()),
+                         "contaminated": pa.array(
+                             [c > 0 for c in counts], pa.bool_())})
+
+    out = ds.map_batches(hits, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
     """Deterministic stratified sampling (the training-data "K docs per
     stratum" op): partition by language, rank inside each group by a
