@@ -220,6 +220,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q54_doc_chunks": textops.q_doc_chunks,
         "q55_tfidf_topk": textops.q_tfidf_topk,
         "q56_decontaminate": textops.q_decontaminate,
+        "q57_event_value_quantiles": relational.q_event_value_quantiles,
+        "q58_shard_pack": textops.q_shard_pack,
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         # dedup
@@ -548,6 +550,24 @@ def oracle_sql() -> dict[str, str]:
                                                  tf.term) AS rk
               FROM tf JOIN df USING (term) CROSS JOIN n
             ) WHERE rk <= 5 ORDER BY doc_id, term
+        """,
+        "q57_event_value_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 4) AS p50,
+                   round(quantile_cont(value, 0.95), 4) AS p95
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q58_shard_pack": r"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens
+                       FROM documents),
+            r AS (SELECT doc_id, n_tokens,
+                         row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS idx
+                  FROM t)
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN idx % 16 < 8 THEN idx % 16
+                         ELSE 15 - idx % 16 END)::BIGINT AS shard
+            FROM r ORDER BY doc_id
         """,
         "q56_decontaminate": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws

@@ -428,3 +428,29 @@ def test_decontaminate_planted(ray_session, tmp_path):
     assert got.loc[1, "n_hits"] == 3 and bool(got.loc[1, "contaminated"])
     assert got.loc[2, "n_hits"] == 0 and not bool(got.loc[2, "contaminated"])
     assert got.loc[3, "n_hits"] == 0
+
+
+def test_shard_pack_balanced_and_exact(ray_session):
+    """q58: histogram-offset ranking must equal a naive global sort's
+    snake deal, and shard token totals must be near-balanced."""
+    import re
+
+    from web_scrapper_ray.pipelines.textops import q_shard_pack
+
+    k = 8
+    got = q_shard_pack(SF, k=k)
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rx = re.compile(r"\w+", re.ASCII)
+    naive = pd.DataFrame({
+        "doc_id": docs["doc_id"],
+        "n_tokens": [len(rx.findall(t)) for t in docs["text"]],
+    }).sort_values(["n_tokens", "doc_id"], ascending=[False, True]).reset_index(drop=True)
+    m = naive.index.to_numpy() % (2 * k)
+    naive["shard"] = np.where(m < k, m, 2 * k - 1 - m)
+    naive = naive.astype({"n_tokens": "int64", "shard": "int64"}) \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, naive)
+    totals = got.groupby("shard")["n_tokens"].sum()
+    assert len(totals) == k
+    # snake packing keeps shard totals within one max-doc of each other
+    assert totals.max() - totals.min() <= got["n_tokens"].max()

@@ -339,6 +339,32 @@ def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"event_type": out})
 
 
+def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact p50/p95 of value per event_type (linear interpolation,
+    matching SQL ``quantile_cont``). One groupby shuffle carrying only
+    (event_type, value); the per-group task sorts its group — exact
+    order statistics are inherently O(group) in one place, so this is
+    the *exact* contract (groups here are event-type-bounded). The
+    100-TB path for "roughly p95" is a per-batch histogram combine
+    (bounded shuffle, no group materialization); keep that variant
+    approximate and separately named if it's ever needed — silently
+    swapping it in here would break the oracle equivalence."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        p50, p95 = np.percentile(v, [50.0, 95.0], method="linear")
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "p50": [round(float(p50), 4)],
+                             "p95": [round(float(p95), 4)]})
+
+    out = ds.groupby("event_type").map_groups(
+        quants, batch_format="pandas").to_pandas()
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_events_value_stats(sf_dir: str) -> pd.DataFrame:
     """Count/mean/sample-stddev of value per event_type (Std ddof=1,
     matching SQL stddev_samp)."""

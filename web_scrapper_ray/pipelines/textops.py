@@ -443,6 +443,61 @@ def q_decontaminate(sf_dir: str, n: int = 8, holdout_mod: int = 50) -> pd.DataFr
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
+    """Balanced shard assignment — pack documents into ``k`` shards with
+    near-equal token totals (the write-side balancing op for training
+    shards). Docs are ranked globally by (n_tokens desc, doc_id asc) and
+    dealt snake-wise (rank r → shard r%2k if < k else 2k-1-r%2k), the
+    vectorizable cousin of LPT packing.
+
+    The global rank is computed WITHOUT a global sort: token counts are
+    small integers, so rank = (#docs with strictly larger n, from a
+    broadcast histogram) + (doc_id-rank within the doc's own n-bucket,
+    from one groupby on n). The shuffle carries (doc_id, n) only —
+    16 bytes/doc — and the histogram is distinct-token-count-sized.
+    Skew note: an n-value shared by a huge fraction of docs makes one
+    bucket large; its map_groups task still only sorts int64 doc_ids."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), r"\w+")
+        return pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                         "n_tokens": pc.cast(n, pa.int64())})
+
+    nt = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        vc = pc.value_counts(batch.column("n_tokens"))
+        return pa.table({"n_tokens": vc.field("values"),
+                         "cnt": pc.cast(vc.field("counts"), pa.int64())})
+
+    hist = (nt.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby("n_tokens", as_index=False)["cnt"].sum()
+            .sort_values("n_tokens", ascending=False))
+    # offset[n] = number of docs with token count strictly greater than n
+    offsets = dict(zip(hist["n_tokens"],
+                       np.concatenate(([0], hist["cnt"].cumsum().to_numpy()[:-1]))))
+    oref = ray.put(offsets)
+
+    def assign(df: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(oref)[int(df["n_tokens"].iloc[0])]
+        ids = np.sort(df["doc_id"].to_numpy())
+        idx = off + np.arange(len(ids), dtype=np.int64)
+        m = idx % (2 * k)
+        shard = np.where(m < k, m, 2 * k - 1 - m)
+        return pd.DataFrame({"doc_id": ids,
+                             "n_tokens": df["n_tokens"].iloc[0],
+                             "shard": shard.astype(np.int64)})
+
+    out = nt.groupby("n_tokens").map_groups(
+        assign, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
     """Deterministic stratified sampling (the training-data "K docs per
     stratum" op): partition by language, rank inside each group by a
