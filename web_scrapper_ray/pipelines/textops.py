@@ -452,49 +452,62 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
 
     The global rank is computed WITHOUT a global sort: token counts are
     small integers, so rank = (#docs with strictly larger n, from a
-    broadcast histogram) + (doc_id-rank within the doc's own n-bucket,
-    from one groupby on n). The shuffle carries (doc_id, n) only —
-    16 bytes/doc — and the histogram is distinct-token-count-sized.
-    Skew note: an n-value shared by a huge fraction of docs makes one
-    bucket large; its map_groups task still only sorts int64 doc_ids."""
+    broadcast histogram) + (doc_id-rank within the doc's own n-value,
+    computed inside one ``hash_shuffle`` exchange on ``n % P`` — any
+    pure function of n keeps an n-value whole in one bucket, and the
+    coarse buckets avoid the per-distinct-n ``map_groups`` dispatch
+    cost. The exchange carries (doc_id, n) only — 16 bytes/doc — and
+    the histogram is distinct-token-count-sized. Skew note: one hot
+    n-value loads one merge task, which still only sorts int64 ids."""
     import numpy as np
     import pyarrow.compute as pc
-    import ray
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    from .pairs import hash_shuffle
+
+    P = 32
 
     def counts(batch: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(batch.column("text"), r"\w+")
         return pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
                          "n_tokens": pc.cast(n, pa.int64())})
 
-    nt = ds.map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-
     def hist_partial(batch: pa.Table) -> pa.Table:
         vc = pc.value_counts(batch.column("n_tokens"))
         return pa.table({"n_tokens": vc.field("values"),
                          "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
-    hist = (nt.map_batches(hist_partial, batch_format="pyarrow")
+    hist = (_docs(sf_dir, ["doc_id", "text"])
+            .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(hist_partial, batch_format="pyarrow")
             .to_pandas().groupby("n_tokens", as_index=False)["cnt"].sum()
             .sort_values("n_tokens", ascending=False))
     # offset[n] = number of docs with token count strictly greater than n
     offsets = dict(zip(hist["n_tokens"],
                        np.concatenate(([0], hist["cnt"].cumsum().to_numpy()[:-1]))))
-    oref = ray.put(offsets)
 
-    def assign(df: pd.DataFrame) -> pd.DataFrame:
-        off = ray.get(oref)[int(df["n_tokens"].iloc[0])]
-        ids = np.sort(df["doc_id"].to_numpy())
-        idx = off + np.arange(len(ids), dtype=np.int64)
+    def split(block: pa.Table) -> pa.Table:
+        t = counts(block)
+        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(n % P, pa.int64()))
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_tokens": pd.Series(dtype="int64"),
+                                 "shard": pd.Series(dtype="int64")})
+        g = pa.concat_tables(live).to_pandas() \
+            .sort_values(["n_tokens", "doc_id"]).reset_index(drop=True)
+        local = g.groupby("n_tokens").cumcount().to_numpy()
+        idx = g["n_tokens"].map(offsets).to_numpy() + local
         m = idx % (2 * k)
-        shard = np.where(m < k, m, 2 * k - 1 - m)
-        return pd.DataFrame({"doc_id": ids,
-                             "n_tokens": df["n_tokens"].iloc[0],
-                             "shard": shard.astype(np.int64)})
+        g["shard"] = np.where(m < k, m, 2 * k - 1 - m).astype(np.int64)
+        return g
 
-    out = nt.groupby("n_tokens").map_groups(
-        assign, batch_format="pandas").to_pandas()
+    refs = _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
+    parts = [p for p in hash_shuffle([(r, ()) for r in refs],
+                                     split, merge, P=P) if len(p)]
+    out = pd.concat(parts, ignore_index=True)
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
