@@ -92,3 +92,21 @@ def test_politeness_state_survives_resume(ray_session, tmp_path):
     a = pq.read_table(res["crawl_log"]).drop_columns(["fetch_ts"])
     b = pq.read_table(full["crawl_log"]).drop_columns(["fetch_ts"])
     assert a.equals(b)
+
+
+def test_refinalize_with_empty_swept_part_dir(ray_session, tmp_path):
+    """A crashed attempt can leave refs/part=N holding nothing after the
+    stale-wave sweep; its decode batch is then fully empty and finalize
+    must emit the typed empty decode schema, not concat([])."""
+    world = synth.ensure_world("t1")
+    out = str(tmp_path / "crawl")
+    res = run_crawl(_cfg(world, out))
+
+    import pyarrow.dataset as pads
+
+    images_before = pads.dataset(res["images_dir"], partitioning="hive").count_rows()
+    os.makedirs(os.path.join(out, "refs", "part=99"), exist_ok=True)
+    os.remove(os.path.join(out, "out", "format.json"))
+    res2 = run_crawl(_cfg(world, out), resume=True)
+    images_after = pads.dataset(res2["images_dir"], partitioning="hive").count_rows()
+    assert images_after == images_before

@@ -164,7 +164,10 @@ def test_escape_overlap_numpy_and_dup_headers(tmp_path):
     import numpy as np
 
     p = str(tmp_path / "edge.xlsx")
-    hostile = ["_x005F_x0041_", "_x0041_", "__x0041_", "a_x1234_b_x1234_"]
+    hostile = ["_x005F_x0041_", "_x0041_", "__x0041_", "a_x1234_b_x1234_",
+               # escape-shaped only AFTER an adjacent illegal char is
+               # substituted: the self-escape must fire via lookahead
+               "_x0041\x00", "_x005F\x00", "\x00x0041_", "_x0041\x00_x0042_"]
     write_xlsx(p, {"S": [{"v": h} for h in hostile]})
     assert [r["v"] for r in read_xlsx(p, sheet_name="S")] == hostile
 

@@ -751,6 +751,13 @@ def finalize_crawl(cfg: CrawlConfig) -> dict:
                      full.column("url_canon").to_pylist()], pa.string())
                 outs.append(full.drop_columns(["url_canon"]).add_column(
                     5, "caption", caps))
+            if not outs:
+                # every part dir in this batch was an empty swept leftover
+                # — emit the typed empty decode schema, not concat([])
+                empty = decode_urls(
+                    worker_backend(world_dir, backend_spec), [], [], n_parts)
+                outs.append(empty.drop_columns(["url_canon"]).add_column(
+                    5, "caption", pa.array([], pa.string())))
             return pa.concat_tables(outs)
 
         parts_ds = rd.from_items(

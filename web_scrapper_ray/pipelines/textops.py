@@ -476,9 +476,14 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
         return pa.table({"n_tokens": vc.field("values"),
                          "cnt": pc.cast(vc.field("counts"), pa.int64())})
 
-    hist = (_docs(sf_dir, ["doc_id", "text"])
-            .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
-            .map_batches(hist_partial, batch_format="pyarrow")
+    # one tokenization pass: the (doc_id, n_tokens) table is tiny
+    # (16 bytes/doc) so materializing it is cheap and both the histogram
+    # and the exchange reuse the same blocks — text never re-scans and
+    # never enters the exchange
+    nt = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+          .materialize())
+    hist = (nt.map_batches(hist_partial, batch_format="pyarrow")
             .to_pandas().groupby("n_tokens", as_index=False)["cnt"].sum()
             .sort_values("n_tokens", ascending=False))
     # offset[n] = number of docs with token count strictly greater than n
@@ -486,9 +491,8 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
                        np.concatenate(([0], hist["cnt"].cumsum().to_numpy()[:-1]))))
 
     def split(block: pa.Table) -> pa.Table:
-        t = counts(block)
-        n = t.column("n_tokens").to_numpy(zero_copy_only=False)
-        return t.append_column("bucket", pa.array(n % P, pa.int64()))
+        n = block.column("n_tokens").to_numpy(zero_copy_only=False)
+        return block.append_column("bucket", pa.array(n % P, pa.int64()))
 
     def merge(*tabs) -> pd.DataFrame:
         live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
@@ -504,9 +508,10 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
         g["shard"] = np.where(m < k, m, 2 * k - 1 - m).astype(np.int64)
         return g
 
-    refs = _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
-    parts = [p for p in hash_shuffle([(r, ()) for r in refs],
-                                     split, merge, P=P) if len(p)]
+    parts = hash_shuffle([(r, ()) for r in nt.to_arrow_refs()],
+                         split, merge, P=P)
+    # no live-part filter: merge()'s typed empties concat cleanly and
+    # keep the zero-doc case from raising on pd.concat([])
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("doc_id").reset_index(drop=True)
 

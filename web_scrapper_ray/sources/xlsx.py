@@ -47,8 +47,13 @@ def _esc_text(s: str) -> str:
     written ``_xHHHH_``; pre-existing ``_xHHHH_`` literals self-escape
     their underscore as ``_x005F_``. The self-escape uses a LOOKAHEAD so
     overlapping escape-shaped literals (e.g. ``_x005F_x0041_``, where
-    two sequences share an underscore) all round-trip."""
-    s = re.sub(r"_(?=x[0-9A-Fa-f]{4}_)", "_x005F_", s)
+    two sequences share an underscore) all round-trip. The lookahead
+    also accepts a BAD char where the closing underscore would be: a
+    literal ``_xHHHH`` followed by an illegal char becomes escape-shaped
+    only after that char's own ``_xHHHH_`` substitution supplies the
+    trailing underscore, so it must self-escape up front too."""
+    s = re.sub(r"_(?=x[0-9A-Fa-f]{4}(?:_|[\x00-\x08\x0B\x0C\x0E-\x1F\r]))",
+               "_x005F_", s)
     s = _BAD_CHAR_RX.sub(lambda m: f"_x{ord(m.group(0)):04X}_", s)
     return escape(s)
 
