@@ -179,7 +179,8 @@ def _phash_neardup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from web_scrapper_ray.pipelines import dedup, relational, similarity, textops
+    from web_scrapper_ray.pipelines import (dedup, relational, similarity,
+                                            sketches, textops)
 
     return {
         # relational / generic engine ops
@@ -233,6 +234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q53_neardup_clusters": dedup.q_neardup_clusters,
         "q48_dedup_corpus": dedup.q_dedup_corpus,
         # similarity search
+        "q59_distinct_users_hll": sketches.q_distinct_users_hll,
         "q24_knn_bruteforce": similarity.q_knn_bruteforce,
         "q25_knn_lsh": similarity.q_knn_lsh,
         "q26_knn_ivf": similarity.q_knn_ivf,

@@ -454,3 +454,25 @@ def test_shard_pack_balanced_and_exact(ray_session):
     assert len(totals) == k
     # snake packing keeps shard totals within one max-doc of each other
     assert totals.max() - totals.min() <= got["n_tokens"].max()
+
+
+def test_hll_distinct_error_bounds(ray_session):
+    """q59: HLL estimate within 3% of exact on the events table, and the
+    raw sketch within 3% at 10^6 distinct keys (non-small-range regime,
+    split across shards to exercise the merge)."""
+    from web_scrapper_ray.pipelines.sketches import (
+        _M, hll_accumulate, hll_estimate, q_distinct_users_hll)
+
+    est = q_distinct_users_hll(SF)["n_users_hll"][0]
+    exact = pd.read_parquet(SF + "/events.parquet", columns=["user_id"])["user_id"].nunique()
+    assert abs(est - exact) / exact < 0.03
+
+    keys = np.arange(1_000_000, dtype=np.int64)
+    regs = np.zeros(_M, np.uint8)
+    merged = np.zeros(_M, np.uint8)
+    for shard in np.array_split(keys, 7):
+        part = hll_accumulate(np.zeros(_M, np.uint8), shard)
+        merged = np.maximum(merged, part)
+    assert abs(hll_estimate(merged) - 1_000_000) / 1_000_000 < 0.03
+    # merge of shards == single-pass accumulate (idempotent max)
+    assert np.array_equal(merged, hll_accumulate(np.zeros(_M, np.uint8), keys))
