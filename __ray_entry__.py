@@ -223,6 +223,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q56_decontaminate": textops.q_decontaminate,
         "q57_event_value_quantiles": relational.q_event_value_quantiles,
         "q58_shard_pack": textops.q_shard_pack,
+        "q60_token_offsets": textops.q_token_offsets,
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         # dedup
@@ -570,6 +571,19 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN idx % 16 < 8 THEN idx % 16
                          ELSE 15 - idx % 16 END)::BIGINT AS shard
             FROM r ORDER BY doc_id
+        """,
+        "q60_token_offsets": r"""
+            WITH t AS (SELECT doc_id,
+                              len(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens
+                       FROM documents)
+            SELECT doc_id, n_tokens,
+                   coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0)::BIGINT AS start_offset,
+                   (coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                            0) // 256)::BIGINT AS block_id
+            FROM t ORDER BY doc_id
         """,
         "q56_decontaminate": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws

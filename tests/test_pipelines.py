@@ -476,3 +476,24 @@ def test_hll_distinct_error_bounds(ray_session):
     assert abs(hll_estimate(merged) - 1_000_000) / 1_000_000 < 0.03
     # merge of shards == single-pass accumulate (idempotent max)
     assert np.array_equal(merged, hll_accumulate(np.zeros(_M, np.uint8), keys))
+
+
+def test_token_offsets_prefix_sum(ray_session):
+    """q60: distributed prefix sum equals the naive cumulative sum, and
+    offsets are continuous across range-bucket boundaries."""
+    import re
+
+    from web_scrapper_ray.pipelines.textops import q_token_offsets
+
+    got = q_token_offsets(SF, block_tokens=256)
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"]) \
+        .sort_values("doc_id").reset_index(drop=True)
+    rx = re.compile(r"\w+", re.ASCII)
+    n = docs["text"].map(lambda t: len(rx.findall(t)))
+    want_off = n.cumsum().shift(fill_value=0).astype("int64")
+    assert (got["doc_id"].to_numpy() == docs["doc_id"].to_numpy()).all()
+    assert (got["start_offset"].to_numpy() == want_off.to_numpy()).all()
+    assert (got["block_id"] == got["start_offset"] // 256).all()
+    # offsets are strictly cumulative: next start = prev start + prev n
+    assert (got["start_offset"].to_numpy()[1:] ==
+            (got["start_offset"] + got["n_tokens"]).to_numpy()[:-1]).all()

@@ -516,6 +516,84 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_token_offsets(sf_dir: str, block_tokens: int = 256) -> pd.DataFrame:
+    """Global token offsets (distributed prefix sum) — lay the corpus
+    out as one contiguous token stream in doc_id order and report each
+    doc's start offset and its context-block id (``offset // B``), the
+    addressing step for contiguous-packing training pipelines.
+
+    The prefix sum never sorts globally: doc_ids are RANGE-bucketed
+    (``doc_id * P // (max_id+1)``, max from parquet column statistics —
+    contiguous ranges, unlike a hash), per-bucket token totals from one
+    pass over the materialized (doc_id, n) table give the broadcast
+    bucket base offsets, and each bucket finishes independently with a
+    local sort + cumsum inside the raw-task exchange. Skew note: range
+    buckets assume roughly uniform doc_id density; a dense hot range
+    loads one merge task with O(bucket) int rows."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from .pairs import hash_shuffle
+
+    P = 32
+    path = os.path.join(sf_dir, "documents.parquet")
+    md = pq.read_metadata(path)
+    if md.num_rows == 0:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                             ["doc_id", "n_tokens", "start_offset", "block_id"]})
+    idx = next(i for i in range(md.row_group(0).num_columns)
+               if md.row_group(0).column(i).path_in_schema == "doc_id")
+    max_id = max(md.row_group(g).column(idx).statistics.max
+                 for g in range(md.num_row_groups))
+
+    def counts(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch.column("text"), r"\w+")
+        t = pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+                      "n_tokens": pc.cast(n, pa.int64())})
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "bucket", pa.array(ids * P // (max_id + 1), pa.int64()))
+
+    nt = (_docs(sf_dir, ["doc_id", "text"])
+          .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
+          .materialize())
+
+    def bucket_sums(batch: pa.Table) -> pa.Table:
+        df = batch.select(["bucket", "n_tokens"]).to_pandas()
+        g = df.groupby("bucket", as_index=False)["n_tokens"].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    sums = (nt.map_batches(bucket_sums, batch_format="pyarrow")
+            .to_pandas().groupby("bucket")["n_tokens"].sum())
+    base = np.zeros(P, np.int64)
+    for b, s in sums.items():
+        base[int(b)] = s
+    base = np.concatenate(([0], np.cumsum(base)[:-1]))
+
+    def split(block: pa.Table) -> pa.Table:
+        return block
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                                 ["doc_id", "n_tokens", "start_offset",
+                                  "block_id"]})
+        g = pa.concat_tables(live).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        off = base[g["bucket"].iloc[0]] + \
+            g["n_tokens"].cumsum().to_numpy() - g["n_tokens"].to_numpy()
+        g["start_offset"] = off
+        g["block_id"] = off // block_tokens
+        return g.drop(columns=["bucket"])
+
+    parts = hash_shuffle([(r, ()) for r in nt.to_arrow_refs()],
+                         split, merge, P=P)
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
     """Deterministic stratified sampling (the training-data "K docs per
     stratum" op): partition by language, rank inside each group by a
