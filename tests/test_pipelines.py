@@ -497,3 +497,20 @@ def test_token_offsets_prefix_sum(ray_session):
     # offsets are strictly cumulative: next start = prev start + prev n
     assert (got["start_offset"].to_numpy()[1:] ==
             (got["start_offset"] + got["n_tokens"]).to_numpy()[:-1]).all()
+
+
+def test_token_offsets_without_parquet_stats(ray_session, tmp_path):
+    """q60's range-bucket bounds fall back to a distributed max when the
+    parquet writer omitted column statistics."""
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_token_offsets
+
+    t = pq.read_table(SF + "/documents.parquet")
+    pq.write_table(t, str(tmp_path / "documents.parquet"),
+                   write_statistics=False)
+    md = pq.read_metadata(str(tmp_path / "documents.parquet"))
+    assert md.row_group(0).column(0).statistics is None  # precondition
+    got = q_token_offsets(str(tmp_path))
+    want = q_token_offsets(SF)
+    pd.testing.assert_frame_equal(got, want)

@@ -523,16 +523,19 @@ def q_token_offsets(sf_dir: str, block_tokens: int = 256) -> pd.DataFrame:
     addressing step for contiguous-packing training pipelines.
 
     The prefix sum never sorts globally: doc_ids are RANGE-bucketed
-    (``doc_id * P // (max_id+1)``, max from parquet column statistics —
-    contiguous ranges, unlike a hash), per-bucket token totals from one
-    pass over the materialized (doc_id, n) table give the broadcast
-    bucket base offsets, and each bucket finishes independently with a
+    (``doc_id * P // (max_id+1)``, max from parquet column statistics,
+    with a distributed-max fallback when a writer omitted stats —
+    contiguous ranges, unlike a hash), per-bucket token totals come from
+    raw sum tasks over the materialized (doc_id, n) block refs (no
+    second Dataset execution) and give the broadcast bucket base
+    offsets, and each bucket finishes independently with a
     local sort + cumsum inside the raw-task exchange. Skew note: range
     buckets assume roughly uniform doc_id density; a dense hot range
     loads one merge task with O(bucket) int rows."""
     import numpy as np
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
+    import ray
 
     from .pairs import hash_shuffle
 
@@ -544,8 +547,14 @@ def q_token_offsets(sf_dir: str, block_tokens: int = 256) -> pd.DataFrame:
                              ["doc_id", "n_tokens", "start_offset", "block_id"]})
     idx = next(i for i in range(md.row_group(0).num_columns)
                if md.row_group(0).column(i).path_in_schema == "doc_id")
-    max_id = max(md.row_group(g).column(idx).statistics.max
-                 for g in range(md.num_row_groups))
+    stats = [md.row_group(g).column(idx).statistics
+             for g in range(md.num_row_groups)]
+    if all(s is not None and s.has_min_max for s in stats):
+        max_id = max(s.max for s in stats)
+    else:
+        # Writer emitted no column statistics — fall back to one
+        # column-pruned distributed max pass.
+        max_id = int(_docs(sf_dir, ["doc_id"]).max("doc_id"))
 
     def counts(batch: pa.Table) -> pa.Table:
         n = pc.count_substring_regex(batch.column("text"), r"\w+")
@@ -559,16 +568,20 @@ def q_token_offsets(sf_dir: str, block_tokens: int = 256) -> pd.DataFrame:
           .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
           .materialize())
 
-    def bucket_sums(batch: pa.Table) -> pa.Table:
-        df = batch.select(["bucket", "n_tokens"]).to_pandas()
-        g = df.groupby("bucket", as_index=False)["n_tokens"].sum()
-        return pa.Table.from_pandas(g, preserve_index=False)
+    refs = nt.to_arrow_refs()
 
-    sums = (nt.map_batches(bucket_sums, batch_format="pyarrow")
-            .to_pandas().groupby("bucket")["n_tokens"].sum())
-    base = np.zeros(P, np.int64)
-    for b, s in sums.items():
-        base[int(b)] = s
+    # Per-bucket token totals as raw tasks over the same block refs the
+    # exchange consumes below: a second Dataset execution here would pay
+    # the ~0.4s local-mode per-execution floor for a P-long reduction.
+    def bucket_totals(block: pa.Table) -> "np.ndarray":
+        b = block.column("bucket").to_numpy(zero_copy_only=False)
+        n = block.column("n_tokens").to_numpy(zero_copy_only=False)
+        # token counts stay far below 2^53, so the float64 round-trip
+        # through bincount weights is exact
+        return np.bincount(b, weights=n, minlength=P).astype(np.int64)
+
+    totals_r = ray.remote(bucket_totals)
+    base = sum(ray.get([totals_r.remote(r) for r in refs]))
     base = np.concatenate(([0], np.cumsum(base)[:-1]))
 
     def split(block: pa.Table) -> pa.Table:
@@ -588,8 +601,7 @@ def q_token_offsets(sf_dir: str, block_tokens: int = 256) -> pd.DataFrame:
         g["block_id"] = off // block_tokens
         return g.drop(columns=["bucket"])
 
-    parts = hash_shuffle([(r, ()) for r in nt.to_arrow_refs()],
-                         split, merge, P=P)
+    parts = hash_shuffle([(r, ()) for r in refs], split, merge, P=P)
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("doc_id").reset_index(drop=True)
 
