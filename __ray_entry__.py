@@ -204,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_orders_events_range_join": relational.q_orders_events_range_join,
         "q46_custkeys_intersect": relational.q_custkeys_intersect,
         "q47_custkeys_except": relational.q_custkeys_except,
+        "q61_top_percentile": relational.q_top_percentile_events,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -224,6 +225,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q57_event_value_quantiles": relational.q_event_value_quantiles,
         "q58_shard_pack": textops.q_shard_pack,
         "q60_token_offsets": textops.q_token_offsets,
+        "q62_hash_split": textops.q_hash_split,
+        "q63_repetition_filter": textops.q_repetition_filter,
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         # dedup + similarity, SQL-checked entries first (same truncation
@@ -585,6 +588,54 @@ def oracle_sql() -> dict[str, str]:
                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                             0) // 256)::BIGINT AS block_id
             FROM t ORDER BY doc_id
+        """,
+        "q61_top_percentile": """
+            SELECT event_id, round(value, 4) AS value FROM (
+                SELECT event_id, value,
+                       row_number() OVER (ORDER BY value DESC, event_id) AS rn,
+                       count(*) OVER () AS n
+                FROM events WHERE value IS NOT NULL
+            ) WHERE rn <= CAST(ceil(0.01 * n) AS BIGINT)
+        """,
+        "q62_hash_split": """
+            SELECT source,
+                   CASE WHEN b < 80 THEN 'train'
+                        WHEN b < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*)::BIGINT AS n_docs
+            FROM (SELECT source,
+                         ('0x' || substr(md5(source), 1, 8))::UBIGINT % 100 AS b
+                  FROM documents)
+            GROUP BY source, split ORDER BY source, split
+        """,
+        "q63_repetition_filter": r"""
+            WITH per AS (
+                SELECT doc_id, tok, count(*)::BIGINT AS c
+                FROM (SELECT doc_id,
+                             unnest(regexp_extract_all(text, '\w+')) AS tok
+                      FROM documents)
+                GROUP BY doc_id, tok
+            ), agg AS (
+                SELECT doc_id, sum(c)::BIGINT AS n_tokens,
+                       count(*)::BIGINT AS n_distinct,
+                       max(c)::BIGINT AS top_count
+                FROM per GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(a.n_tokens, 0)::BIGINT AS n_tokens,
+                   coalesce(a.n_distinct, 0)::BIGINT AS n_distinct,
+                   coalesce(a.top_count, 0)::BIGINT AS top_count,
+                   ((coalesce(a.n_tokens, 0) - coalesce(a.n_distinct, 0)) * 1000
+                    // greatest(coalesce(a.n_tokens, 0), 1))::BIGINT AS dup_permille,
+                   (coalesce(a.top_count, 0) * 1000
+                    // greatest(coalesce(a.n_tokens, 0), 1))::BIGINT AS top_permille,
+                   (((coalesce(a.n_tokens, 0) - coalesce(a.n_distinct, 0)) * 1000
+                     // greatest(coalesce(a.n_tokens, 0), 1) >= 500)
+                    OR (coalesce(a.top_count, 0) * 1000
+                        // greatest(coalesce(a.n_tokens, 0), 1) >= 200)
+                   )::BIGINT AS flagged
+            FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+            ORDER BY d.doc_id
         """,
         "q56_decontaminate": r"""
             WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws

@@ -514,3 +514,70 @@ def test_token_offsets_without_parquet_stats(ray_session, tmp_path):
     got = q_token_offsets(str(tmp_path))
     want = q_token_offsets(SF)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_top_percentile_selection(ray_session, tmp_path):
+    """q61: histogram-refinement selection equals the naive global sort,
+    including deterministic tie-fill on a heavily-tied value column."""
+    import numpy as np
+
+    from web_scrapper_ray.pipelines.relational import q_top_percentile_events
+
+    # real table vs naive
+    got = q_top_percentile_events(SF)
+    ev = pd.read_parquet(SF + "/events.parquet", columns=["event_id", "value"])
+    ev = ev[ev["value"].notna()]
+    k = -(-len(ev) // 100)  # ceil(0.01 * n)
+    want = ev.sort_values(["value", "event_id"], ascending=[False, True]) \
+        .head(k).reset_index(drop=True)
+    assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all()
+    assert np.allclose(got["value"], want["value"].round(4))
+
+    # tie-heavy synthetic: only 5 distinct values over 2000 rows, so the
+    # cutoff bucket holds hundreds of equal values and the tie-fill must
+    # pick the smallest event_ids
+    rng = np.random.default_rng(7)
+    df = pd.DataFrame({"event_id": np.arange(2000, dtype=np.int64),
+                       "value": rng.integers(0, 5, 2000).astype("float64")})
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+    got2 = q_top_percentile_events(str(tmp_path))
+    want2 = df.sort_values(["value", "event_id"], ascending=[False, True]) \
+        .head(20).reset_index(drop=True)
+    assert (got2["event_id"].to_numpy() == want2["event_id"].to_numpy()).all()
+
+
+def test_hash_split_group_aware(ray_session):
+    """q62: every source lands in exactly one split, the assignment is
+    the documented md5 bucket rule, and counts cover the whole table."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.textops import q_hash_split
+
+    got = q_hash_split(SF)
+    assert (got.groupby("source")["split"].nunique() == 1).all()
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["source"])
+    assert got["n_docs"].sum() == len(docs)
+    for src, split in got[["source", "split"]].itertuples(index=False):
+        b = int(hashlib.md5(src.encode()).hexdigest()[:8], 16) % 100
+        assert split == ("train" if b < 80 else "val" if b < 90 else "test")
+
+
+def test_repetition_filter_naive(ray_session):
+    """q63: exploded-list stats equal a per-doc Python recompute."""
+    import re
+    from collections import Counter
+
+    from web_scrapper_ray.pipelines.textops import q_repetition_filter
+
+    got = q_repetition_filter(SF).set_index("doc_id")
+    docs = pd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    rx = re.compile(r"\w+", re.ASCII)
+    for d, t in docs.sample(50, random_state=0).itertuples(index=False):
+        c = Counter(rx.findall(t or ""))
+        n, u = sum(c.values()), len(c)
+        top = max(c.values()) if c else 0
+        row = got.loc[d]
+        assert (row["n_tokens"], row["n_distinct"], row["top_count"]) == (n, u, top)
+        assert row["dup_permille"] == (n - u) * 1000 // max(n, 1)
+        assert row["flagged"] == int(
+            (n - u) * 1000 // max(n, 1) >= 500 or top * 1000 // max(n, 1) >= 200)

@@ -634,3 +634,111 @@ def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
 
     out = both.groupby("bucket").map_groups(range_bucket, batch_format="pandas").to_pandas()
     return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
+                            bins: int = 1024) -> pd.DataFrame:
+    """Global top-``frac`` filter WITHOUT a global sort (the "keep the
+    best 1%" curation op): the cutoff — the k-th largest value,
+    k = ceil(frac·n) — is found by iterative histogram refinement, then
+    one vectorized filter pass keeps rows above it and ties are filled
+    deterministically by smallest event_id.
+
+    Scale path: each refinement iteration is ONE raw sum task per
+    materialized block ref returning (count-above, per-bucket histogram
+    + data-derived bucket min/max); the candidate bucket shrinks ~bins×
+    per pass, so 10^12 rows need ~3 passes before the survivor bucket
+    is small enough to gather. Nothing is globally sorted or shuffled;
+    the driver only ever holds P histograms and the final k rows (the
+    result itself). Bucket bounds come from the observed per-bucket
+    min/max, so the next pass's [lo, hi] predicate is exact — no float
+    edge drift between binning and filtering."""
+    import math
+
+    import ray
+
+    EMPTY = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "value": pd.Series(dtype="float64")})
+    GATHER = 1 << 18
+    ds = _read(sf_dir, "events", columns=["event_id", "value"]).materialize()
+    refs = ds.to_arrow_refs()
+
+    def block_minmax(t: pa.Table):
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        if v.size == 0:
+            return np.inf, -np.inf, 0
+        return float(v.min()), float(v.max()), int(v.size)
+
+    mm = ray.get([ray.remote(block_minmax).remote(r) for r in refs])
+    lo = min(m[0] for m in mm)
+    hi = max(m[1] for m in mm)
+    n = sum(m[2] for m in mm)
+    if n == 0:
+        return EMPTY
+    k = max(1, math.ceil(frac * n))
+
+    def block_hist(t: pa.Table, lo: float, hi: float):
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]
+        above = int((v > hi).sum())
+        sel = np.sort(v[(v >= lo) & (v <= hi)])
+        hist = np.zeros(bins, np.int64)
+        mins = np.full(bins, np.inf)
+        maxs = np.full(bins, -np.inf)
+        if sel.size:
+            if hi > lo:
+                b = np.clip(((sel - lo) * (bins / (hi - lo))).astype(np.int64),
+                            0, bins - 1)
+            else:
+                b = np.zeros(sel.size, np.int64)
+            # b is nondecreasing (monotonic in sorted sel): per-bucket
+            # min/max are the run boundaries — no slow ufunc.at loops
+            starts = np.searchsorted(b, np.arange(bins), side="left")
+            ends = np.searchsorted(b, np.arange(bins), side="right")
+            hist = (ends - starts).astype(np.int64)
+            ne = hist > 0
+            mins[ne] = sel[starts[ne]]
+            maxs[ne] = sel[ends[ne] - 1]
+        return above, hist, mins, maxs
+
+    hist_r = ray.remote(block_hist)
+    above = 0
+    for _ in range(64):  # 64 passes cover any float64 range at bins>=2
+        parts = ray.get([hist_r.remote(r, lo, hi) for r in refs])
+        above = sum(p[0] for p in parts)
+        hist = np.sum([p[1] for p in parts], axis=0)
+        mins = np.minimum.reduce([p[2] for p in parts])
+        maxs = np.maximum.reduce([p[3] for p in parts])
+        # largest bucket index whose top-cumulative count still reaches k
+        cum = np.cumsum(hist[::-1])[::-1]
+        j = int(np.nonzero(above + cum >= k)[0].max())
+        above += int(cum[j] - hist[j])
+        lo, hi = float(mins[j]), float(maxs[j])
+        if hist[j] <= GATHER or lo == hi:
+            break
+
+    def block_gather(t: pa.Table, lo: float, hi: float) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        m = ~np.isnan(v) & (v >= lo) & (v <= hi)
+        return t.filter(pa.array(m))
+
+    def block_top(t: pa.Table, hi: float) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(~np.isnan(v) & (v > hi)))
+
+    bucket = pa.concat_tables(
+        ray.get([ray.remote(block_gather).remote(r, lo, hi) for r in refs]))
+    need = k - above  # 1 <= need <= bucket rows, by construction
+    bv = bucket.column("value").to_numpy(zero_copy_only=False)
+    bid = bucket.column("event_id").to_numpy(zero_copy_only=False)
+    pick = np.lexsort((bid, -bv))[:need]
+    tops = ray.get([ray.remote(block_top).remote(r, hi) for r in refs])
+    out = pa.concat_tables([t for t in tops if t.num_rows]
+                           + [bucket.take(pa.array(pick))]).to_pandas()
+    if out.empty:
+        return EMPTY
+    out = out.sort_values(["value", "event_id"],
+                          ascending=[False, True]).reset_index(drop=True)
+    out["value"] = out["value"].round(4)
+    return out[["event_id", "value"]]

@@ -635,3 +635,95 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
     )
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+
+
+def q_hash_split(sf_dir: str) -> pd.DataFrame:
+    """Group-aware deterministic train/val/test split (80/10/10): every
+    doc of a source lands in the same split — no cross-split leakage
+    from near-identical pages of one site — and the assignment is a
+    stable md5 of the source key, so it is independent of cluster
+    shape, run order and Python hash salting. One partial-count pass
+    (per-batch groupby over at most |sources-in-batch| rows) feeds a
+    tiny groupby-sum shuffle; full md5s are computed once per distinct
+    source per batch, never per row."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _split_of(src) -> str:
+        if src is None:
+            return "test"  # mirrors the SQL CASE: NULL md5 falls to ELSE
+        b = int(hashlib.md5(src.encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("val" if b < 90 else "test")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        counts = pc.value_counts(batch.column("source"))
+        srcs = counts.field("values").to_pylist()
+        n = counts.field("counts").to_pylist()
+        return pa.table({
+            "source": pa.array(srcs, pa.string()),
+            "split": pa.array([_split_of(s) for s in srcs], pa.string()),
+            "n_docs": pa.array(n, pa.int64()),
+        })
+
+    out = (_docs(sf_dir, ["source"])
+           .map_batches(tag, batch_format="pyarrow")
+           .groupby(["source", "split"])
+           .aggregate(Sum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return out.sort_values(["source", "split"]).reset_index(drop=True)
+
+
+def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
+                        top_permille_max: int = 200) -> pd.DataFrame:
+    """Within-document repetition quality gate (the Gopher-style
+    "duplicated content" axis, adapted to newline-free docs): per doc,
+    total tokens, distinct tokens, the most frequent token's count, and
+    integer-permille ratios — a doc is flagged when its duplicate-token
+    share or its top-token share is excessive. Integer arithmetic keeps
+    the DuckDB oracle bit-exact.
+
+    Vectorization: regex split to a list column, then ONE
+    ``list_flatten`` + ``list_parent_indices`` explode per batch; the
+    per-(doc, token) counting and per-doc reduction are pandas groupby
+    aggregations over the flat arrays — no Python loop over rows or
+    tokens. Per-doc state never leaves the batch, so there is no
+    shuffle at all."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id")
+        lists = pc.split_pattern_regex(batch.column("text"), r"\W+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")  # split artifacts at run boundaries
+        df = pd.DataFrame({
+            "d": pc.filter(parent, keep).to_numpy(zero_copy_only=False),
+            "t": pc.filter(flat, keep).to_pandas(),
+        })
+        per = df.groupby(["d", "t"], sort=False).size().reset_index(name="c")
+        agg = per.groupby("d", sort=False)["c"] \
+            .agg(n_tokens="sum", n_distinct="size", top_count="max")
+        # docs with zero tokens (or NULL text) drop out of the explode;
+        # reindex them back with zeros like the SQL LEFT JOIN + coalesce
+        agg = agg.reindex(range(len(batch)), fill_value=0)
+        n = agg["n_tokens"].to_numpy().astype("int64")
+        u = agg["n_distinct"].to_numpy().astype("int64")
+        top = agg["top_count"].to_numpy().astype("int64")
+        safe = np.maximum(n, 1)
+        dup = (n - u) * 1000 // safe
+        topp = top * 1000 // safe
+        flagged = ((dup >= dup_permille_max)
+                   | (topp >= top_permille_max)).astype("int64")
+        return pa.table({
+            "doc_id": pc.cast(ids, pa.int64()),
+            "n_tokens": pa.array(n), "n_distinct": pa.array(u),
+            "top_count": pa.array(top), "dup_permille": pa.array(dup),
+            "top_permille": pa.array(topp), "flagged": pa.array(flagged),
+        })
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(stats, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
