@@ -594,7 +594,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT event_id, value,
                        row_number() OVER (ORDER BY value DESC, event_id) AS rn,
                        count(*) OVER () AS n
-                FROM events WHERE value IS NOT NULL
+                FROM events WHERE value IS NOT NULL AND NOT isnan(value)
             ) WHERE rn <= CAST(ceil(0.01 * n) AS BIGINT)
         """,
         "q62_hash_split": """

@@ -546,6 +546,36 @@ def test_top_percentile_selection(ray_session, tmp_path):
     assert (got2["event_id"].to_numpy() == want2["event_id"].to_numpy()).all()
 
 
+def test_top_percentile_nan_inf_regimes(ray_session, tmp_path):
+    """q61 value-domain contract: NaN rows are never selected, ±inf are
+    orderable extremes — covering all three cutoff regimes (inside the
+    +inf ties, among finite values, into the -inf ties)."""
+    import numpy as np
+
+    from web_scrapper_ray.pipelines.relational import q_top_percentile_events
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(size=1000)
+    vals[:30] = np.inf
+    vals[30:50] = -np.inf
+    vals[50:65] = np.nan
+    df = pd.DataFrame({"event_id": np.arange(1000, dtype=np.int64),
+                       "value": vals})
+    df.to_parquet(tmp_path / "events.parquet", index=False)
+
+    naive = df[df["value"].notna() & ~np.isnan(df["value"])]
+    naive = naive.sort_values(["value", "event_id"], ascending=[False, True])
+    n = len(naive)  # 985
+    import math
+
+    for frac in (0.01, 0.1, 0.99):  # k=10 (+inf ties), 99 (finite), 976 (-inf)
+        got = q_top_percentile_events(str(tmp_path), frac=frac)
+        k = max(1, math.ceil(frac * n))
+        want = naive.head(k).reset_index(drop=True)
+        assert (got["event_id"].to_numpy() == want["event_id"].to_numpy()).all(), frac
+        assert len(got) == k
+
+
 def test_hash_split_group_aware(ray_session):
     """q62: every source lands in exactly one split, the assignment is
     the documented md5 bucket rule, and counts cover the whole table."""

@@ -649,10 +649,18 @@ def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
     + data-derived bucket min/max); the candidate bucket shrinks ~bins×
     per pass, so 10^12 rows need ~3 passes before the survivor bucket
     is small enough to gather. Nothing is globally sorted or shuffled;
-    the driver only ever holds P histograms and the final k rows (the
-    result itself). Bucket bounds come from the observed per-bucket
-    min/max, so the next pass's [lo, hi] predicate is exact — no float
-    edge drift between binning and filtering."""
+    the driver only ever holds per-pass histograms and the final k rows
+    (the result itself). Bucket bounds come from the observed
+    per-bucket min/max, so the next pass's [lo, hi] predicate is exact
+    — no float edge drift between binning and filtering.
+
+    Value-domain contract (mirrored in the oracle SQL): NULL and NaN
+    rows are never selected; ±inf are ordinary orderable extremes
+    (+inf outranks every finite value). A finite spread wider than
+    float64's max is split at the midpoint until the width is
+    representable. Known bound: when the cutoff value ties across more
+    rows than the gather limit (e.g. a constant column), that one
+    bucket is pulled to the driver for the id tie-break."""
     import math
 
     import ray
@@ -660,36 +668,82 @@ def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
     EMPTY = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                           "value": pd.Series(dtype="float64")})
     GATHER = 1 << 18
+
+    def _fmt(tables_or_rows) -> pd.DataFrame:
+        out = pd.concat(tables_or_rows, ignore_index=True)
+        if out.empty:
+            return EMPTY
+        out = out.sort_values(["value", "event_id"],
+                              ascending=[False, True]).reset_index(drop=True)
+        out["value"] = out["value"].round(4)
+        return out[["event_id", "value"]]
+
     ds = _read(sf_dir, "events", columns=["event_id", "value"]).materialize()
     refs = ds.to_arrow_refs()
 
     def block_minmax(t: pa.Table):
         v = t.column("value").to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)]
-        if v.size == 0:
-            return np.inf, -np.inf, 0
-        return float(v.min()), float(v.max()), int(v.size)
+        fin = v[np.isfinite(v)]
+        npos = int((v == np.inf).sum())
+        nneg = int((v == -np.inf).sum())
+        if fin.size == 0:
+            return np.inf, -np.inf, 0, npos, nneg
+        return float(fin.min()), float(fin.max()), int(fin.size), npos, nneg
 
     mm = ray.get([ray.remote(block_minmax).remote(r) for r in refs])
     lo = min(m[0] for m in mm)
     hi = max(m[1] for m in mm)
-    n = sum(m[2] for m in mm)
+    nf = sum(m[2] for m in mm)
+    npos = sum(m[3] for m in mm)
+    nneg = sum(m[4] for m in mm)
+    n = nf + npos + nneg
     if n == 0:
         return EMPTY
     k = max(1, math.ceil(frac * n))
 
+    def block_eq(t: pa.Table, x: float) -> pa.Table:
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(v == x))
+
+    eq_r = ray.remote(block_eq)
+    if k <= npos:
+        # cutoff inside the +inf ties: k smallest event_ids among them
+        tied = pa.concat_tables(ray.get([eq_r.remote(r, np.inf) for r in refs]))
+        ids = np.sort(tied.column("event_id").to_numpy(zero_copy_only=False))[:k]
+        return _fmt([pd.DataFrame({"event_id": ids.astype("int64"),
+                                   "value": np.inf})])
+    if k > npos + nf:
+        # cutoff inside the -inf ties: everything above them, plus a
+        # deterministic id fill from the -inf rows
+        def block_above_neginf(t: pa.Table) -> pa.Table:
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(~np.isnan(v) & (v > -np.inf)))
+
+        kept = ray.get([ray.remote(block_above_neginf).remote(r) for r in refs])
+        tied = pa.concat_tables(ray.get([eq_r.remote(r, -np.inf) for r in refs]))
+        ids = np.sort(tied.column("event_id").to_numpy(
+            zero_copy_only=False))[:k - npos - nf]
+        return _fmt([t.to_pandas() for t in kept if t.num_rows]
+                    + [pd.DataFrame({"event_id": ids.astype("int64"),
+                                     "value": -np.inf})])
+
     def block_hist(t: pa.Table, lo: float, hi: float):
         v = t.column("value").to_numpy(zero_copy_only=False)
-        v = v[~np.isnan(v)]
+        # NaN compares False everywhere, so it can't enter sel or above;
+        # +inf lands in `above` (it outranks any finite hi)
         above = int((v > hi).sum())
         sel = np.sort(v[(v >= lo) & (v <= hi)])
         hist = np.zeros(bins, np.int64)
         mins = np.full(bins, np.inf)
         maxs = np.full(bins, -np.inf)
         if sel.size:
-            if hi > lo:
+            if hi > lo and np.isfinite(hi - lo):
                 b = np.clip(((sel - lo) * (bins / (hi - lo))).astype(np.int64),
                             0, bins - 1)
+            elif hi > lo:
+                # width overflows float64: one midpoint split this pass
+                # (|lo/2 + hi/2| <= max(|lo|, |hi|), so mid is finite)
+                b = (sel > (lo / 2 + hi / 2)).astype(np.int64) * (bins - 1)
             else:
                 b = np.zeros(sel.size, np.int64)
             # b is nondecreasing (monotonic in sorted sel): per-bucket
@@ -704,7 +758,13 @@ def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
 
     hist_r = ray.remote(block_hist)
     above = 0
-    for _ in range(64):  # 64 passes cover any float64 range at bins>=2
+    # Each pass divides the candidate range's width by >= 2 (bins-fold
+    # normally, midpoint split on overflow) and both endpoints of a
+    # multi-value range land in different buckets, so the candidate
+    # count strictly shrinks; 256 passes cover float64's full dynamic
+    # range even for adversarially exponential spacing. On cap exit the
+    # gather below still yields the exact answer (just a bigger pull).
+    for _ in range(256):
         parts = ray.get([hist_r.remote(r, lo, hi) for r in refs])
         above = sum(p[0] for p in parts)
         hist = np.sum([p[1] for p in parts], axis=0)
@@ -718,27 +778,20 @@ def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
         if hist[j] <= GATHER or lo == hi:
             break
 
-    def block_gather(t: pa.Table, lo: float, hi: float) -> pa.Table:
+    # ONE fused final pass: rows >= lo are the cutoff bucket plus
+    # everything above it (bounded by GATHER + k rows)
+    def block_final(t: pa.Table, lo: float) -> pa.Table:
         v = t.column("value").to_numpy(zero_copy_only=False)
-        m = ~np.isnan(v) & (v >= lo) & (v <= hi)
-        return t.filter(pa.array(m))
+        return t.filter(pa.array(v >= lo))
 
-    def block_top(t: pa.Table, hi: float) -> pa.Table:
-        v = t.column("value").to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(~np.isnan(v) & (v > hi)))
-
-    bucket = pa.concat_tables(
-        ray.get([ray.remote(block_gather).remote(r, lo, hi) for r in refs]))
+    kept = pa.concat_tables(
+        ray.get([ray.remote(block_final).remote(r, lo) for r in refs]))
+    v = kept.column("value").to_numpy(zero_copy_only=False)
+    top = kept.filter(pa.array(v > hi))
+    bucket = kept.filter(pa.array(v <= hi))
     need = k - above  # 1 <= need <= bucket rows, by construction
     bv = bucket.column("value").to_numpy(zero_copy_only=False)
     bid = bucket.column("event_id").to_numpy(zero_copy_only=False)
     pick = np.lexsort((bid, -bv))[:need]
-    tops = ray.get([ray.remote(block_top).remote(r, hi) for r in refs])
-    out = pa.concat_tables([t for t in tops if t.num_rows]
-                           + [bucket.take(pa.array(pick))]).to_pandas()
-    if out.empty:
-        return EMPTY
-    out = out.sort_values(["value", "event_id"],
-                          ascending=[False, True]).reset_index(drop=True)
-    out["value"] = out["value"].round(4)
-    return out[["event_id", "value"]]
+    return _fmt([t for t in (top.to_pandas(), bucket.take(pa.array(pick)).to_pandas())
+                 if not t.empty])

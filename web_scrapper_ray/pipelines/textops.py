@@ -644,10 +644,11 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
     stable md5 of the source key, so it is independent of cluster
     shape, run order and Python hash salting. One partial-count pass
     (per-batch groupby over at most |sources-in-batch| rows) feeds a
-    tiny groupby-sum shuffle; full md5s are computed once per distinct
+    driver-side pandas sum (at most |distinct sources|×|batches| rows —
+    a Dataset groupby here would pay the all-to-all's fixed local-mode
+    latency for nothing); full md5s are computed once per distinct
     source per batch, never per row."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Sum
 
     def _split_of(src) -> str:
         if src is None:
@@ -667,9 +668,8 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
 
     out = (_docs(sf_dir, ["source"])
            .map_batches(tag, batch_format="pyarrow")
-           .groupby(["source", "split"])
-           .aggregate(Sum("n_docs", alias_name="n_docs"))
-           .to_pandas())
+           .to_pandas()
+           .groupby(["source", "split"], as_index=False)["n_docs"].sum())
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["source", "split"]).reset_index(drop=True)
 
@@ -698,10 +698,17 @@ def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
         flat = pc.list_flatten(lists)
         parent = pc.list_parent_indices(lists)
         keep = pc.not_equal(flat, "")  # split artifacts at run boundaries
-        df = pd.DataFrame({
-            "d": pc.filter(parent, keep).to_numpy(zero_copy_only=False),
-            "t": pc.filter(flat, keep).to_pandas(),
-        })
+        toks = pc.filter(flat, keep)
+        if isinstance(toks, pa.ChunkedArray):
+            # one chunk -> ONE dictionary; per-chunk encode would give
+            # incompatible code spaces
+            toks = (pa.concat_arrays(toks.chunks) if toks.num_chunks
+                    else pa.array([], pa.string()))
+        # int token codes: pandas-groupby on object-dtype strings is the
+        # documented hot-path anti-pattern; Arrow's C++ encode is cheap
+        codes = np.asarray(pc.dictionary_encode(toks).indices)
+        df = pd.DataFrame({"d": np.asarray(pc.filter(parent, keep)),
+                           "t": codes})
         per = df.groupby(["d", "t"], sort=False).size().reset_index(name="c")
         agg = per.groupby("d", sort=False)["c"] \
             .agg(n_tokens="sum", n_distinct="size", top_count="max")
