@@ -102,3 +102,57 @@ def test_generate_rss():
     assert "T1 &amp; Co" in xml
     assert "<pubDate>Mon, 01 May 2023 00:00:00 +0000</pubDate>" in xml
     assert '<enclosure url="http://h/i.png"' in xml
+
+
+def test_reference_interop_semantics(ray_session, sample_parquet, tmp_path):
+    """Reference storage-handler parity invisible to the roundtrip
+    tests: default SQL table name is 'scraped_data'
+    (database_handler.py:67), a missing sqlite input raises without
+    creating an empty db file (database_handler.py:146-150), and file
+    sinks create their parent directories (database_handler.py:84)."""
+    import os
+    import sqlite3
+
+    # default table name
+    db = str(tmp_path / "defaults.db")
+    save_dataset(load_dataset(sample_parquet), db, fmt="sql")
+    con = sqlite3.connect(db)
+    rows = con.execute("SELECT a FROM scraped_data ORDER BY a").fetchall()
+    con.close()
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert load_dataset(db, fmt="sql").count() == 3
+
+    # missing input: clear error, no empty-file side effect
+    missing = str(tmp_path / "nope" / "absent.db")
+    os.makedirs(os.path.dirname(missing))
+    with pytest.raises(FileNotFoundError, match="not found"):
+        load_dataset(missing, fmt="sql")
+    assert not os.path.exists(missing)
+
+    # sink into a directory that doesn't exist yet
+    nested = str(tmp_path / "fresh" / "dir" / "out.db")
+    save_dataset(load_dataset(sample_parquet), nested, fmt="sql")
+    assert os.path.exists(nested)
+
+
+def test_single_file_export(ray_session, sample_parquet, tmp_path):
+    """single_file=True writes ONE reference-compatible file: an
+    indented JSON array json.load can parse (reference json_handler
+    round-trip), or one CSV — not a streaming part directory."""
+    import json as jsonlib
+
+    import pandas as pd
+
+    jpath = str(tmp_path / "one.json")
+    export_data(sample_parquet, jpath, output_format="json",
+                single_file=True)
+    assert os.path.isfile(jpath)
+    data = jsonlib.load(open(jpath))
+    assert sorted(r["a"] for r in data) == [1, 2, 3]
+
+    cpath = str(tmp_path / "one.csv")
+    export_data(sample_parquet, cpath, output_format="csv",
+                single_file=True)
+    assert os.path.isfile(cpath)
+    back = pd.read_csv(cpath).sort_values("a")
+    assert back["b"].tolist() == ["x", "y", "z"]

@@ -195,3 +195,26 @@ def test_politeness_snapshot_filenames_three_digit_shards(tmp_path):
         loaded[idx] = json.load(open(f))
     assert set(loaded) == {7, 103}
     assert loaded[103] == {"host-103.org": 226.0}
+
+
+def test_rfc9309_matching_groups_combine():
+    """RFC 9309 §2.2.1: multiple groups matching the same product token
+    MUST be combined — two `*` groups merge their rules, and a
+    UA-specific match merges only the tying groups, not the `*` ones."""
+    from web_scrapper_ray.state.politeness import (
+        parse_robots_rules,
+        robots_allowed,
+    )
+
+    body = (b"User-agent: *\nDisallow: /a\n\n"
+            b"User-agent: *\nDisallow: /b\nCrawl-delay: 0.25\n\n"
+            b"User-agent: megabot\nDisallow: /m1\n\n"
+            b"User-agent: megabot\nDisallow: /m2\n")
+    delay, rules = parse_robots_rules(body)
+    assert not robots_allowed("/a/x", rules)
+    assert not robots_allowed("/b/x", rules)  # second * group counts too
+    assert delay == 0.25
+    _, rules_m = parse_robots_rules(body, user_agent="MegaBot/2.0")
+    assert not robots_allowed("/m1", rules_m)
+    assert not robots_allowed("/m2", rules_m)
+    assert robots_allowed("/a/x", rules_m)  # * groups not merged in

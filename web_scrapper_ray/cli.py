@@ -111,7 +111,8 @@ def cmd_export_data(args: argparse.Namespace) -> int:
     from .sources.io import export_data
 
     _ensure_ray(args.num_cpus)
-    export_data(args.input, args.output, args.input_format, args.format)
+    export_data(args.input, args.output, args.input_format, args.format,
+                single_file=args.single_file)
     print(json.dumps({"exported": args.output}))
     return 0
 
@@ -173,6 +174,9 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("-o", "--output", required=True)
     pe.add_argument("-f", "--format", default=None)
     pe.add_argument("--input-format", default=None)
+    pe.add_argument("--single-file", action="store_true",
+                    help="write one reference-compatible json/csv file "
+                         "instead of a streaming part directory")
     pe.set_defaults(fn=cmd_export_data)
 
     pj = sub.add_parser("schedule", help="manage scheduled jobs (cron/interval)")

@@ -50,8 +50,20 @@ def _emb(sf_dir: str):
                            columns=["vec_id", "embedding"])
 
 
+_EMPTY_TOPK = pa.table({"query_id": pa.array([], pa.int64()),
+                        "neighbor_id": pa.array([], pa.int64()),
+                        "sim": pa.array([], pa.float64())})
+_EMPTY_KNN = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                           "rank": pd.Series(dtype="int64"),
+                           "neighbor_id": pd.Series(dtype="int64")})
+
+
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+    if len(ids) == 0:
+        # reshape(0, -1) raises; callers short-circuit on len(ids) == 0
+        # before any matmul, so the placeholder width never matters
+        return ids.astype(np.int64), np.zeros((0, 1), np.float64)
     col = batch.column("embedding")
     flat = col.combine_chunks().flatten().to_numpy(zero_copy_only=False)
     mat = flat.reshape(len(ids), -1).astype(np.float64)
@@ -110,11 +122,15 @@ def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -
     import ray
 
     qids, qmat = _query_matrix(sf_dir, query_ids)
+    if len(qids) == 0:  # none of the requested ids exist
+        return _EMPTY_KNN.copy()
     qref = ray.put((qids, qmat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_ = ray.get(qref)
         ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY_TOPK
         sims = _unit(mat) @ qmat_.T  # (n, nq)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, len(ids))
@@ -235,8 +251,15 @@ def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
     ds = _emb(sf_dir)
     P = 64
 
+    _EMPTY_CODES = pa.table({"table_id": pa.array([], pa.int32()),
+                             "code": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int32())})
+
     def codes(batch: pa.Table) -> pa.Table:
         ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY_CODES
         planes = _nd_planes(mat.shape[1], n_tables, n_planes)
         n = len(ids)
         code_mat = np.empty((n_tables, n), dtype=np.int64)
@@ -272,12 +295,22 @@ def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
         return pd.DataFrame({"vec_a": mm["vec_id_x"].to_numpy(),
                              "vec_b": mm["vec_id_y"].to_numpy()})
 
-    cand = (
-        ds.map_batches(codes, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(partition_pairs, batch_format="pandas")
-        .to_pandas()  # candidate id pairs only — small by construction
-    )
+    # candidate generation on the raw-task hash exchange — the Dataset
+    # sort-based groupby(bucket) costs ~4s of fixed local-mode latency
+    # for this small int-keyed intermediate (CLAUDE.md round-3 rule)
+    from .pairs import hash_shuffle
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return _EMPTY
+        return partition_pairs(pa.concat_tables(live).to_pandas())
+
+    code_refs = (ds.map_batches(codes, batch_format="pyarrow")
+                 .materialize().to_arrow_refs())
+    parts = hash_shuffle([(r, ()) for r in code_refs],
+                         lambda block: block, merge, P=P)
+    cand = pd.concat(parts, ignore_index=True)
     if cand.empty:
         return _EMPTY.copy()
     cand = cand.drop_duplicates(["vec_a", "vec_b"])
@@ -382,8 +415,12 @@ def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
     ds = _emb(sf_dir)
     n_rows = pq.read_metadata(
         os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    if n_rows == 0:
+        return _EMPTY_KNN.copy()
     centroids = _train_centroids(ds, n_lists, n_rows)
     qids, qmat = _query_matrix(sf_dir, query_ids)
+    if len(qids) == 0:
+        return _EMPTY_KNN.copy()
     # probe lists per query (n_probe nearest centroids)
     probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
     bref = ray.put((centroids, qids, qmat, probes))
@@ -391,6 +428,8 @@ def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
     def local_topk(batch: pa.Table) -> pa.Table:
         cents, qids_, qmat_, probes_ = ray.get(bref)
         ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY_TOPK
         unit = _unit(mat)
         lists = np.argmax(unit @ cents.T, axis=1)
         out_q, out_n, out_s = [], [], []
@@ -451,6 +490,8 @@ def q_knn_lsh(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.Da
     import ray
 
     qids, qmat = _query_matrix(sf_dir, query_ids)
+    if len(qids) == 0:
+        return _EMPTY_KNN.copy()
     planes = _planes(qmat.shape[1])
     qsigs = (qmat @ planes.T > 0).astype(np.uint32)
     qcodes = (qsigs << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1)
@@ -460,6 +501,8 @@ def q_knn_lsh(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.Da
     def local_topk(batch: pa.Table) -> pa.Table:
         qids_, qmat_, probes_ = ray.get(bref)
         ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY_TOPK
         pl = _planes(mat.shape[1])
         sigs = (mat @ pl.T > 0).astype(np.uint32)
         codes = (sigs << np.arange(N_PLANES, dtype=np.uint32)).sum(axis=1).astype(np.int64)
@@ -501,6 +544,10 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
 
     def partial(batch: pa.Table) -> pa.Table:
         labels = batch.column("label").to_numpy(zero_copy_only=False)
+        if len(labels) == 0:
+            return pa.table({"label": pa.array([], pa.int32()),
+                             "n": pa.array([], pa.int64()),
+                             "vsum": pa.array([], pa.list_(pa.float64()))})
         flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False)
         mat = flat.reshape(len(labels), -1).astype(np.float64)

@@ -112,20 +112,68 @@ def load_dataset(path: str, fmt: Optional[str] = None, **kwargs):
             return rd.from_items(data)
         import pandas as pd
 
-        return rd.from_pandas(pd.read_excel(path, **kwargs))
-    if fmt == "sql":
+        df = pd.read_excel(path, **kwargs)
+        if isinstance(df, dict):  # sheet_name=None/list → first sheet,
+            df = next(iter(df.values()))  # matching the stdlib fallback
+        return rd.from_pandas(df)
+    if fmt in ("sql", "sql_dsn"):
+        # default table name matches the reference database handler
+        # (storage/database_handler.py:67 'scraped_data')
+        table = kwargs.pop("table", "scraped_data")
+        if fmt == "sql_dsn" or ("://" in path
+                                and not path.startswith("sqlite:///")):
+            # server DSN load — reference load() accepts any SQLAlchemy
+            # connection string (database_handler.py:152-157)
+            try:
+                import sqlalchemy  # noqa: F401
+            except ImportError:
+                raise NotImplementedError(
+                    f"DSN source {path.split(':', 1)[0]!r} needs SQLAlchemy, "
+                    "which is not installed in this sandbox — use "
+                    "sqlite:///path or a sqlite file") from None
+            dsn = path
+
+            def dsn_factory():
+                from sqlalchemy import create_engine
+
+                return create_engine(dsn).raw_connection()
+
+            return rd.read_sql(f"SELECT * FROM {table}", dsn_factory, **kwargs)
         import sqlite3
 
-        table = kwargs.pop("table", "data")
         if path.startswith("sqlite:///"):
             path = path[len("sqlite:///"):]
+        if not os.path.exists(path):
+            # reference load() checks existence before connecting
+            # (database_handler.py:146-150); sqlite3.connect would
+            # otherwise create an empty db file as a side effect
+            raise FileNotFoundError(f"SQLite database file not found: {path}")
         return rd.read_sql(f"SELECT * FROM {table}",
                            lambda: sqlite3.connect(path), **kwargs)
     raise ValueError(f"unsupported format {fmt!r}")
 
 
-def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
+def save_dataset(ds, path: str, fmt: Optional[str] = None,
+                 single_file: bool = False, **kwargs) -> None:
+    """``single_file=True`` collects the dataset driver-side and writes
+    ONE reference-compatible file (an indented JSON array per the
+    reference json_handler, or one CSV) instead of a streaming part
+    directory — for small exports consumed by reference-side tooling.
+    The default stays streaming: a 100 TB sink must never funnel
+    through the driver."""
     fmt = FORMAT_ALIASES[fmt or infer_format(path)]
+    if single_file and fmt in ("csv", "json"):
+        _makedirs_for(path)
+        df = ds.to_pandas()
+        if fmt == "csv":
+            df.to_csv(path, index=False, **kwargs)
+        else:
+            import json
+
+            with open(path, "w", encoding="utf-8") as f:
+                json.dump(df.to_dict("records"), f, ensure_ascii=False,
+                          indent=kwargs.pop("indent", 2), default=str)
+        return
     if fmt == "csv":
         ds.write_csv(path, **kwargs)
     elif fmt == "json":
@@ -145,6 +193,7 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
         except ImportError:
             have_openpyxl = False
         extended = {"freeze_panes", "autofilter"} & set(kwargs)
+        _makedirs_for(path)
         if have_openpyxl and not extended:
             ds.to_pandas().to_excel(path, index=False, **kwargs)
         else:
@@ -155,13 +204,22 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None, **kwargs) -> None:
             write_xlsx(path, {sheet: rows}, **kwargs)
     elif fmt == "sql":
         if "://" in path:
-            _write_dsn(ds, path, kwargs.pop("table", "data"))
+            _write_dsn(ds, path, kwargs.pop("table", "scraped_data"))
         else:
-            _write_sqlite(ds, path, kwargs.pop("table", "data"))
+            _write_sqlite(ds, path, kwargs.pop("table", "scraped_data"))
     elif fmt == "sql_dsn":
-        _write_dsn(ds, path, kwargs.pop("table", "data"))
+        _write_dsn(ds, path, kwargs.pop("table", "scraped_data"))
     else:
         raise ValueError(f"unsupported format {fmt!r}")
+
+
+def _makedirs_for(path: str) -> None:
+    """Create the output file's parent directory like every reference
+    storage handler does (csv_handler.py:61, database_handler.py:84,
+    excel_handler.py:54, json_handler.py:50)."""
+    parent = os.path.dirname(os.path.abspath(path))
+    if parent:
+        os.makedirs(parent, exist_ok=True)
 
 
 def _write_dsn(ds, dsn: str, table: str) -> None:
@@ -196,6 +254,7 @@ def _write_sqlite(ds, path: str, table: str) -> None:
     batches; on a cluster this becomes ds.write_sql with a pooled DSN."""
     import sqlite3
 
+    _makedirs_for(path)
     con = sqlite3.connect(path)
     first = True
     try:
@@ -209,10 +268,14 @@ def _write_sqlite(ds, path: str, table: str) -> None:
 
 def export_data(input_path: str, output_path: str,
                 input_format: Optional[str] = None,
-                output_format: Optional[str] = None) -> None:
-    """Streaming format converter (reference ``export-data`` CLI)."""
+                output_format: Optional[str] = None,
+                single_file: bool = False) -> None:
+    """Streaming format converter (reference ``export-data`` CLI).
+    ``single_file=True`` writes one reference-compatible json/csv file
+    (the reference converter always produces a single file) instead of
+    the default streaming part directory."""
     ds = load_dataset(input_path, input_format)
-    save_dataset(ds, output_path, output_format)
+    save_dataset(ds, output_path, output_format, single_file=single_file)
 
 
 # ---------------------------------------------------------------------------

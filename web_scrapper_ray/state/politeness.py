@@ -78,9 +78,12 @@ _DELAY_LINE_RX = re.compile(r"^crawl-delay:\s*([0-9.]+)", re.IGNORECASE)
 def parse_robots_rules(body: bytes | None, user_agent: str = "*"
                        ) -> tuple[float, list[tuple[bool, str]]]:
     """→ (crawl-delay seconds, [(is_allow, path_pattern), ...]) for the
-    best-matching user-agent group: the group whose UA token is the
-    longest substring of ``user_agent`` (case-insensitive), falling
-    back to the ``*`` group (RFC 9309 §2.2.1)."""
+    best-matching user-agent groups: a group's score is its longest UA
+    token that is a substring of ``user_agent`` (case-insensitive, with
+    ``*`` scoring 0 as the fallback), and ALL groups tying for the best
+    score are merged — RFC 9309 §2.2.1 requires combining multiple
+    groups that match the same product token (e.g. two ``*`` groups),
+    not keeping just the first."""
     if not body:
         return 0.0, []
     groups: list[tuple[list[str], list[tuple[bool, str]], float]] = []
@@ -119,20 +122,27 @@ def parse_robots_rules(body: bytes | None, user_agent: str = "*"
     if cur_uas:
         groups.append((cur_uas, cur_rules, cur_delay))
     ua = user_agent.lower()
-    best: tuple[int, list, float] | None = None
+    scored: list[tuple[int, list[tuple[bool, str]], float]] = []
     for uas, rules, delay in groups:
+        score = -1
         for tok in uas:
             if tok == "*":
-                score = 0
+                score = max(score, 0)
             elif tok in ua:
-                score = len(tok)
-            else:
-                continue
-            if best is None or score > best[0]:
-                best = (score, rules, delay)
-    if best is None:
+                score = max(score, len(tok))
+        if score >= 0:
+            scored.append((score, rules, delay))
+    if not scored:
         return 0.0, []
-    return best[2], best[1]
+    best_score = max(s for s, _, _ in scored)
+    merged: list[tuple[bool, str]] = []
+    delay = 0.0
+    for s, rules, d in scored:
+        if s == best_score:
+            merged.extend(rules)
+            if d:  # Crawl-delay is non-standard; last specified wins
+                delay = d
+    return delay, merged
 
 
 def _rule_matches(pattern: str, path: str) -> bool:
