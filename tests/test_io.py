@@ -156,3 +156,20 @@ def test_single_file_export(ray_session, sample_parquet, tmp_path):
     assert os.path.isfile(cpath)
     back = pd.read_csv(cpath).sort_values("a")
     assert back["b"].tolist() == ["x", "y", "z"]
+
+
+def test_sqlite_dsn_load_without_sqlalchemy(ray_session, sample_parquet, tmp_path):
+    """sqlite:/// DSN loads take the stdlib path under ANY sql-ish fmt
+    spelling, so a save/load round-trip works without SQLAlchemy."""
+    db = str(tmp_path / "rt.db")
+    save_dataset(load_dataset(sample_parquet), f"sqlite:///{db}",
+                 fmt="postgresql")  # maps to sql_dsn → sqlite fallback
+    back = load_dataset(f"sqlite:///{db}", fmt="postgresql").to_pandas()
+    assert sorted(back["a"].tolist()) == [1, 2, 3]
+
+
+def test_single_file_rejects_unsupported_format(ray_session, sample_parquet, tmp_path):
+    with pytest.raises(ValueError, match="single_file"):
+        save_dataset(load_dataset(sample_parquet),
+                     str(tmp_path / "x.parquet"), fmt="parquet",
+                     single_file=True)

@@ -592,6 +592,30 @@ def test_hash_split_group_aware(ray_session):
         assert split == ("train" if b < 80 else "val" if b < 90 else "test")
 
 
+def test_hash_split_null_source_group(ray_session, tmp_path):
+    """q62 keeps the NULL-source group (SQL GROUP BY semantics: NULL
+    forms a group, CASE's ELSE sends it to 'test'), with a real None
+    key — not pandas' silent dropna or a NaN stand-in."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_hash_split
+
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": ["a", "b", "c"], "lang": ["en"] * 3,
+        "source": pa.array(["s1", None, None], pa.string()),
+        "n_chars": pa.array([1, 1, 1], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    got = q_hash_split(str(tmp_path))
+    null_row = got[got["source"].isna()]
+    assert len(null_row) == 1
+    assert null_row["split"].iloc[0] == "test"
+    assert null_row["n_docs"].iloc[0] == 2
+    assert null_row["source"].iloc[0] is None
+
+
 def test_repetition_filter_naive(ray_session):
     """q63: exploded-list stats equal a per-doc Python recompute."""
     import re

@@ -53,7 +53,7 @@ from ..synth import shard_of
 # Bump when the wave-output / refs / articles layout OR the extraction
 # semantics change: cached crawl dirs (ensure_tier_crawl memoization)
 # are invalidated on mismatch.
-FORMAT_VERSION = 5  # r3: bs4-parity minidom + clean_text quote-glitch
+FORMAT_VERSION = 6  # r3: RFC 9309 tying-group merge changes robots semantics
 # + price/phone first-match + caption max-merge + magic-sniffed fmt
 
 

@@ -417,10 +417,10 @@ def q_knn_ivf(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5,
         os.path.join(sf_dir, "embeddings.parquet")).num_rows
     if n_rows == 0:
         return _EMPTY_KNN.copy()
-    centroids = _train_centroids(ds, n_lists, n_rows)
     qids, qmat = _query_matrix(sf_dir, query_ids)
-    if len(qids) == 0:
-        return _EMPTY_KNN.copy()
+    if len(qids) == 0:  # before centroid training — don't spend a
+        return _EMPTY_KNN.copy()  # sample pass on an empty query set
+    centroids = _train_centroids(ds, n_lists, n_rows)
     # probe lists per query (n_probe nearest centroids)
     probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :n_probe]
     bref = ray.put((centroids, qids, qmat, probes))

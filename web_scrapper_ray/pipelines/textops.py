@@ -669,7 +669,11 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
     out = (_docs(sf_dir, ["source"])
            .map_batches(tag, batch_format="pyarrow")
            .to_pandas()
-           .groupby(["source", "split"], as_index=False)["n_docs"].sum())
+           .groupby(["source", "split"], as_index=False, dropna=False)
+           ["n_docs"].sum())  # NULL sources form a group like SQL's
+    # pandas turns the None group key into NaN; restore None so the
+    # object column stringifies like SQL NULL in the driver compare
+    out["source"] = out["source"].where(out["source"].notna(), None)
     out["n_docs"] = out["n_docs"].astype("int64")
     return out.sort_values(["source", "split"]).reset_index(drop=True)
 

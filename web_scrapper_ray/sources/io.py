@@ -120,8 +120,10 @@ def load_dataset(path: str, fmt: Optional[str] = None, **kwargs):
         # default table name matches the reference database handler
         # (storage/database_handler.py:67 'scraped_data')
         table = kwargs.pop("table", "scraped_data")
-        if fmt == "sql_dsn" or ("://" in path
-                                and not path.startswith("sqlite:///")):
+        # sqlite:/// DSNs always take the stdlib path (same fallback as
+        # _write_dsn, so save/load round-trips work without SQLAlchemy
+        # even under fmt='postgresql'/'sql_dsn')
+        if "://" in path and not path.startswith("sqlite:///"):
             # server DSN load — reference load() accepts any SQLAlchemy
             # connection string (database_handler.py:152-157)
             try:
@@ -162,7 +164,12 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None,
     The default stays streaming: a 100 TB sink must never funnel
     through the driver."""
     fmt = FORMAT_ALIASES[fmt or infer_format(path)]
-    if single_file and fmt in ("csv", "json"):
+    if single_file:
+        if fmt not in ("csv", "json"):
+            # don't silently write a part directory the caller asked
+            # to avoid — parquet/sql/excel have no single-file branch
+            raise ValueError(
+                f"single_file is supported for csv/json, not {fmt!r}")
         _makedirs_for(path)
         df = ds.to_pandas()
         if fmt == "csv":
@@ -171,8 +178,9 @@ def save_dataset(ds, path: str, fmt: Optional[str] = None,
             import json
 
             with open(path, "w", encoding="utf-8") as f:
-                json.dump(df.to_dict("records"), f, ensure_ascii=False,
-                          indent=kwargs.pop("indent", 2), default=str)
+                json.dump(df.to_dict("records"), f,
+                          **{"ensure_ascii": False, "indent": 2,
+                             "default": str, **kwargs})
         return
     if fmt == "csv":
         ds.write_csv(path, **kwargs)
