@@ -229,6 +229,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q63_repetition_filter": textops.q_repetition_filter,
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
+        "q64_quantize_embeddings": similarity.q_quantize_embeddings,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -242,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_simhash_neardup": dedup.q_simhash_neardup,
         "q53_neardup_clusters": dedup.q_neardup_clusters,
         "q59_distinct_users_hll": sketches.q_distinct_users_hll,
+        "q65_heavy_hitters_cms": sketches.q_heavy_hitters_cms,
         "q25_knn_lsh": similarity.q_knn_lsh,
         "q26_knn_ivf": similarity.q_knn_ivf,
         "q38_neardup_cosine_lsh": similarity.q_neardup_cosine_lsh,
@@ -657,6 +659,18 @@ def oracle_sql() -> dict[str, str]:
                          generate_subscripts(embedding, 1) AS pos
                   FROM embeddings)
             GROUP BY label, pos ORDER BY label, pos
+        """,
+        "q64_quantize_embeddings": """
+            SELECT vec_id, pos,
+                   CASE WHEN m = 0 THEN 0
+                        ELSE CAST(round(127 * v / m) AS BIGINT) END AS q
+            FROM (SELECT vec_id,
+                         CAST(unnest(embedding) AS DOUBLE) AS v,
+                         generate_subscripts(embedding, 1) AS pos,
+                         list_max(list_transform(
+                             embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
+                  FROM embeddings)
+            ORDER BY vec_id, pos
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

