@@ -168,3 +168,39 @@ def test_sniff_format_magic_over_extension():
     assert codecs.sniff_format(b"\xff\xd8rest", "") == "jpeg"  # real JPEG SOI
     assert codecs.sniff_format(b"????", "PNG") == "png"   # ext fallback
     assert codecs.sniff_format(b"????", "") == "jpeg"
+
+
+def test_png_decode_multi_chunk_idat():
+    """Real encoders emit IDAT in small chunks; the decoder must join
+    them (and not pay O(n²) byte concatenation doing it)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from web_scrapper_ray import codecs, synth
+
+    px = synth.image_pixels("multi-idat", 32, 24)
+    blob = codecs.png_encode(px)
+    # re-chunk the single IDAT into 7-byte pieces
+    def chunks(data):
+        pos = 8
+        while pos < len(data):
+            (length,) = struct.unpack(">I", data[pos:pos + 4])
+            tag = data[pos + 4:pos + 8]
+            yield tag, data[pos + 8:pos + 8 + length]
+            pos += 12 + length
+
+    def chunk(tag, payload):
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF))
+
+    out = [blob[:8]]
+    for tag, payload in chunks(blob):
+        if tag == b"IDAT":
+            for i in range(0, len(payload), 7):
+                out.append(chunk(b"IDAT", payload[i:i + 7]))
+        else:
+            out.append(chunk(tag, payload))
+    rechunked = b"".join(out)
+    assert np.array_equal(codecs.png_decode(rechunked), px)

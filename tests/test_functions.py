@@ -172,3 +172,42 @@ def test_decode_image_corrupt_payloads_raise_valueerror():
     interlaced = _PNG_SIG + _chunk(b"IHDR", ihdr_i) + _chunk(b"IDAT", b"") + _chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="interlaced"):
         codecs.decode_image(interlaced)
+
+
+def test_canonicalize_degrades_on_unparseable_authority():
+    """A stray bracket in the authority (urlsplit ValueError) must not
+    crash — it degrades to the stripped input, idempotently — and
+    host_of handles protocol-relative and unparseable URLs."""
+    from web_scrapper_ray.functions.urlnorm import canonicalize_url, host_of
+
+    bad = "http://ex[a]mple.com/img.png"
+    got = canonicalize_url(bad)
+    assert got == bad
+    assert canonicalize_url(got) == got  # fallback is idempotent
+    assert host_of(bad) == ""
+    assert host_of("//cdn.example.com/i.png") == "cdn.example.com"
+
+
+def test_user_agent_pool_reference_semantics():
+    """Reference user_agents.py parity: add() skips empty strings and
+    duplicates; an empty pool falls back to a default UA (warning, not
+    an exception)."""
+    from web_scrapper_ray.functions.user_agents import UserAgentManager
+
+    m = UserAgentManager(user_agents=["ua-1"], rotate="sequential")
+    m.add("")          # dropped
+    m.add("ua-1")      # duplicate dropped
+    m.add("ua-2")
+    assert m.user_agents == ["ua-1", "ua-2"]
+    empty = UserAgentManager(user_agents=[])
+    assert empty.get()  # non-empty default UA
+
+
+def test_exception_hierarchy_matches_reference():
+    """exceptions.py parity: every exception (including ConfigError)
+    subclasses WebScraperError."""
+    from web_scrapper_ray.functions import errors as E
+
+    for name in ("ConfigError", "ScraperError", "StorageError",
+                 "ValidationError", "RateLimitError", "ParsingError"):
+        assert issubclass(getattr(E, name), E.WebScraperError), name

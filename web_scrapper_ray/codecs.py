@@ -119,7 +119,8 @@ def png_decode(data: bytes) -> np.ndarray:
     """Decode an RGB8 PNG produced by any conformant encoder."""
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
-    pos, w, h, idat = 8, 0, 0, b""
+    pos, w, h = 8, 0, 0
+    idat: list[bytes] = []
     while pos < len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -132,10 +133,12 @@ def png_decode(data: bytes) -> np.ndarray:
             if len(payload) >= 13 and payload[12] != 0:
                 raise ValueError("interlaced (Adam7) PNG unsupported")
         elif tag == b"IDAT":
-            idat += payload
+            idat.append(payload)  # join once — += is O(n²) over the
+            # ~8 KB chunks real encoders emit
         elif tag == b"IEND":
             break
-    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)),
+                        dtype=np.uint8).reshape(h, w * 3 + 1)
     return _unfilter(raw, h, w, 3).reshape(h, w, 3)
 
 

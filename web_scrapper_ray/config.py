@@ -15,8 +15,16 @@ import os
 from typing import Any, Callable, Optional
 
 
-class ConfigError(Exception):
-    pass
+class WebScraperError(Exception):
+    """Base exception for all engine errors (reference hierarchy root,
+    exceptions.py). Defined here rather than functions/errors.py so
+    ConfigError can subclass it without an import cycle; errors.py
+    re-exports both."""
+
+
+class ConfigError(WebScraperError):
+    """Reference parity: ConfigError(WebScraperError) — user code
+    catching WebScraperError around config loading must see it."""
 
 
 VALID_SCRAPER_TYPES = ("ecommerce", "business", "content")
@@ -71,6 +79,11 @@ class ConfigManager:
         if not isinstance(sc["urls"], list) or not sc["urls"]:
             raise ConfigError("URLs must be a non-empty list")
         out = sc.get("output")
+        if "output" in sc and out is None:
+            # a bare 'output:' YAML line parses to None — the reference's
+            # "'format' not in None" TypeError surfaces as a ConfigError
+            # at load time; don't silently accept and fail later
+            raise ConfigError("Output configuration must be a mapping")
         if out is not None:
             if "format" not in out:
                 raise ConfigError("Missing required field in output configuration: format")
@@ -102,13 +115,24 @@ class ConfigManager:
         if not path:
             raise ConfigError("No config path to save to")
         ext = os.path.splitext(path)[1].lower()
-        with open(path, "w", encoding="utf-8") as f:
-            if ext in (".yml", ".yaml"):
-                import yaml
+        if ext not in (".yml", ".yaml", ".json"):
+            # reference save_config whitelists extensions (config.py)
+            raise ConfigError(f"Unsupported configuration format: {ext}")
+        try:
+            parent = os.path.dirname(os.path.abspath(path))
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+            with open(path, "w", encoding="utf-8") as f:
+                if ext in (".yml", ".yaml"):
+                    import yaml
 
-                yaml.safe_dump(self.config, f)
-            else:
-                json.dump(self.config, f, indent=2)
+                    yaml.safe_dump(self.config, f)
+                else:
+                    json.dump(self.config, f, indent=2)
+        except ConfigError:
+            raise
+        except Exception as e:  # reference wraps all save failures
+            raise ConfigError(f"Failed to save configuration: {e}") from e
 
 
 # ---------------------------------------------------------------------------

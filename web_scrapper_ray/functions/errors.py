@@ -20,11 +20,9 @@ import sys
 from datetime import datetime
 from typing import Optional
 
-from ..config import ConfigError  # noqa: F401  (same class, same role)
-
-
-class WebScraperError(Exception):
-    """Base exception for all engine errors (reference hierarchy root)."""
+# Both defined in config.py (ConfigError must subclass the root, and
+# this module imports from config — re-exporting avoids the cycle)
+from ..config import ConfigError, WebScraperError  # noqa: F401
 
 
 class ScraperError(WebScraperError):

@@ -85,7 +85,12 @@ def _norm_host(host: str) -> str:
 
 
 def canonicalize_url(url: str) -> str:
-    """Canonical form of ``url`` (see module docstring for rules)."""
+    """Canonical form of ``url`` (see module docstring for rules).
+    Degrade-don't-crash: a URL whose authority cannot be parsed at all
+    (e.g. a stray bracket — urlsplit raises ValueError) comes back as
+    the stripped input instead of killing the whole map_batches task;
+    the fallback is idempotent because re-canonicalizing the same
+    string takes the same path."""
     if not url:
         return ""
     url = url.strip()
@@ -93,6 +98,13 @@ def canonicalize_url(url: str) -> str:
     # absolute URL inside the query string) is not a scheme
     if not _SCHEME_RX.match(url) and not url.startswith("//"):
         url = "http://" + url
+    try:
+        return _canonicalize_parsed(url)
+    except ValueError:
+        return url
+
+
+def _canonicalize_parsed(url: str) -> str:
     parts = urlsplit(url)
     scheme = (parts.scheme or "http").lower()
     host = _norm_host(parts.hostname or "")
@@ -138,9 +150,18 @@ def canonicalize_url(url: str) -> str:
 
 def host_of(url: str) -> str:
     """Canonical host of a URL (post-canonicalization key for politeness
-    grouping and output hash-range partitioning)."""
-    parts = urlsplit(url if _SCHEME_RX.match(url) else "http://" + url)
-    return _norm_host(parts.hostname or "")
+    grouping and output hash-range partitioning). Accepts raw scraped
+    URLs too: protocol-relative ``//host/...`` resolves like
+    canonicalize_url (prefixing ``http://`` blindly used to yield
+    ``http:////host`` → host ''), and unparseable authorities degrade
+    to ''."""
+    if not _SCHEME_RX.match(url):
+        url = ("http:" + url) if url.startswith("//") else ("http://" + url)
+    try:
+        parts = urlsplit(url)
+        return _norm_host(parts.hostname or "")
+    except ValueError:
+        return ""
 
 
 def canonicalize_batch(urls) -> list[str]:

@@ -30,7 +30,14 @@ class UserAgentManager:
                  seed: int | None = None):
         self.user_agents = list(user_agents or USER_AGENTS)
         if not self.user_agents:
-            raise ValueError("empty user-agent pool")
+            # reference user_agents.py:76-78: warn + default UA, never
+            # an empty pool (an exception here would put no UA at all
+            # on real fetches)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "No user agents provided. Using a default user agent.")
+            self.user_agents = [USER_AGENTS[0]]
         self.rotate = rotate
         self._idx = 0
         self._rng = random.Random(seed)
@@ -43,7 +50,11 @@ class UserAgentManager:
         return self._rng.choice(self.user_agents)
 
     def add(self, ua: str) -> None:
-        self.user_agents.append(ua)
+        # reference add_user_agent: skip empty strings and duplicates
+        # (dups would skew random rotation; '' would send a blank
+        # User-Agent header)
+        if ua and ua not in self.user_agents:
+            self.user_agents.append(ua)
 
 
 def get_random_user_agent(seed: int | None = None) -> str:

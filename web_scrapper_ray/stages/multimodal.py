@@ -62,8 +62,12 @@ class ImageFeatures:
         feats = []
         for payload in batch.column("bytes").to_pylist():
             px = codecs.decode_image(payload).astype(np.float64)
-            gy = np.abs(np.diff(px, axis=0)).mean()
-            gx = np.abs(np.diff(px, axis=1)).mean()
+            # 1-pixel-tall/wide images have an empty diff; mean() of an
+            # empty array is NaN and would poison downstream distances
+            dy = np.abs(np.diff(px, axis=0))
+            dx = np.abs(np.diff(px, axis=1))
+            gy = dy.mean() if dy.size else 0.0
+            gx = dx.mean() if dx.size else 0.0
             f = np.array(
                 [px[..., 0].mean(), px[..., 1].mean(), px[..., 2].mean(),
                  px[..., 0].std(), px[..., 1].std(), px[..., 2].std(), gx, gy],
