@@ -41,6 +41,29 @@ def test_config_yaml_and_validation_errors(tmp_path):
             tmp_path,
             {"scraper": {"type": "content", "urls": ["x"], "output": {"format": "weird"}}},
             "bad3.json"))
+    # non-mapping shapes must surface as ConfigError, not raw TypeError
+    # (reference runs _validate_config inside the wrapping try)
+    with pytest.raises(ConfigError):
+        ConfigManager(_write_cfg(
+            tmp_path,
+            {"scraper": {"type": "content", "urls": ["x"], "output": 42}},
+            "bad4.json"))
+    with pytest.raises(ConfigError):
+        ConfigManager(_write_cfg(tmp_path, {"scraper": 42}, "bad5.json"))
+
+
+def test_config_save_preserves_key_order(tmp_path):
+    """Reference save_config uses sort_keys=False — saved YAML keeps
+    insertion order (type before urls before output)."""
+    from web_scrapper_ray.config import ConfigManager
+
+    cm = ConfigManager()
+    cm.config = {"scraper": {"type": "content", "urls": ["http://h/x"],
+                             "output": {"format": "json", "path": "/tmp/o"}}}
+    p = str(tmp_path / "saved.yaml")
+    cm.save_config(p)
+    text = open(p).read()
+    assert text.index("type:") < text.index("urls:") < text.index("output:")
 
 
 def test_registry():

@@ -104,9 +104,7 @@ def test_exception_hierarchy_and_logging(tmp_path):
                  "AuthenticationError", "SchedulingError",
                  "DataProcessingError"):
         exc = getattr(errors, name)
-        assert issubclass(exc, Exception)
-        if name != "ConfigError":  # ConfigError predates the hierarchy
-            assert issubclass(exc, errors.WebScraperError)
+        assert issubclass(exc, errors.WebScraperError)
 
     log_file = str(tmp_path / "x.log")
     lg = errors.configure_logging(level="DEBUG", log_file=log_file,
@@ -190,8 +188,9 @@ def test_canonicalize_degrades_on_unparseable_authority():
 
 def test_user_agent_pool_reference_semantics():
     """Reference user_agents.py parity: add() skips empty strings and
-    duplicates; an empty pool falls back to a default UA (warning, not
-    an exception)."""
+    duplicates; an empty pool falls back to the default pool (the
+    reference's `or COMMON_USER_AGENTS` path — its single-default-UA
+    warning branch is unreachable there too)."""
     from web_scrapper_ray.functions.user_agents import UserAgentManager
 
     m = UserAgentManager(user_agents=["ua-1"], rotate="sequential")

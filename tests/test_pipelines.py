@@ -645,10 +645,17 @@ def test_quantize_embeddings_roundtrip(ray_session, tmp_path):
 
     from web_scrapper_ray.pipelines.similarity import q_quantize_embeddings
 
+    import numpy as np
+
+    # m is a non-power-of-two float32 max: (127*x)/m and x*(127/m)
+    # disagree at the exact-half boundary x = m/2 (63.5 vs 63.4999…);
+    # the engine must associate multiply-first like the oracle SQL
+    m = float(np.float32(0.027000000700354576))
     t = pa.table({
-        "vec_id": pa.array([0, 1, 2], pa.int64()),
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
         "embedding": pa.array([[1.0, -2.0, 0.5], [0.0, 0.0, 0.0],
-                               [-0.25, 0.25, 0.125]],
+                               [-0.25, 0.25, 0.125],
+                               [m, m / 2, 0.0]],
                               pa.list_(pa.float32())),
     })
     pq.write_table(t, str(tmp_path / "embeddings.parquet"))
@@ -658,6 +665,7 @@ def test_quantize_embeddings_roundtrip(ray_session, tmp_path):
     assert by[(0, 1)] == 64 and by[(0, 2)] == -127 and by[(0, 3)] == 32
     assert by[(1, 1)] == by[(1, 2)] == by[(1, 3)] == 0  # zero vector
     assert by[(2, 1)] == -127 and by[(2, 2)] == 127 and by[(2, 3)] == 64
+    assert by[(3, 1)] == 127 and by[(3, 2)] == 64 and by[(3, 3)] == 0
     assert got["q"].abs().max() <= 127
 
 

@@ -21,11 +21,21 @@ url_text = st.text(
 @settings(max_examples=200, deadline=None)
 def test_canonicalize_total_and_idempotent(s):
     # canonicalize_url is now TOTAL (unparseable authorities degrade to
-    # the stripped input), so idempotency is asserted unconditionally —
-    # the old try/except Exception: pass swallowed AssertionError too
+    # the scheme-prefixed stripped input), so idempotency is asserted
+    # unconditionally — the old try/except Exception: pass swallowed
+    # AssertionError too
     c = canonicalize_url(s)
     assert canonicalize_url(c) == c
     host_of(c)
+
+
+def test_canonicalize_trailing_dot_whitespace_host():
+    # regression: rstrip('.') exposing trailing whitespace used to stop
+    # after one pass, so pass 1 degraded to the unicode host while pass
+    # 2 punycode-encoded it — a different seen/store key per pass
+    c = canonicalize_url("ä\x85.")
+    assert canonicalize_url(c) == c
+    assert c == "http://xn--4ca/"
 
 
 @given(st.text(max_size=300))

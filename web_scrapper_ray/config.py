@@ -56,12 +56,18 @@ class ConfigManager:
                     self.config = json.load(f)
                 else:
                     raise ConfigError(f"Unsupported configuration format: {ext}")
+            self.config_path = config_path
+            # validate INSIDE the wrapping try (reference config.py:78):
+            # a malformed shape (e.g. `output: 42` → TypeError from
+            # `"format" not in out`) must surface as ConfigError, never
+            # a raw TypeError escaping load_config
+            self.validate()
         except ConfigError:
             raise
         except Exception as e:
-            raise ConfigError(f"Failed to load configuration: {e}") from e
-        self.config_path = config_path
-        self.validate()
+            raise ConfigError(
+                f"Failed to load configuration from {config_path}: {e}"
+            ) from e
         return self.config
 
     def validate(self) -> None:
@@ -79,10 +85,12 @@ class ConfigManager:
         if not isinstance(sc["urls"], list) or not sc["urls"]:
             raise ConfigError("URLs must be a non-empty list")
         out = sc.get("output")
-        if "output" in sc and out is None:
-            # a bare 'output:' YAML line parses to None — the reference's
-            # "'format' not in None" TypeError surfaces as a ConfigError
-            # at load time; don't silently accept and fail later
+        if "output" in sc and not isinstance(out, dict):
+            # a bare 'output:' YAML line parses to None (and `output: 42`
+            # to an int) — the reference's "'format' not in None/42"
+            # TypeError surfaces as a ConfigError at load time via the
+            # wrapping try; raise the specific message when validate()
+            # is called directly so it never escapes as TypeError
             raise ConfigError("Output configuration must be a mapping")
         if out is not None:
             if "format" not in out:
@@ -126,7 +134,10 @@ class ConfigManager:
                 if ext in (".yml", ".yaml"):
                     import yaml
 
-                    yaml.safe_dump(self.config, f)
+                    # insertion-order keys like the reference's
+                    # yaml.dump(..., sort_keys=False) (config.py:247)
+                    yaml.safe_dump(self.config, f, default_flow_style=False,
+                                   sort_keys=False)
                 else:
                     json.dump(self.config, f, indent=2)
         except ConfigError:

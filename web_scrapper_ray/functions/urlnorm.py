@@ -64,7 +64,16 @@ def _remove_dot_segments(path: str) -> str:
 
 
 def _norm_host(host: str) -> str:
-    host = host.strip().rstrip(".").lower()
+    # strip()/rstrip('.') to a FIXED POINT: removing a trailing dot can
+    # expose trailing whitespace ('ä\x85.' → 'ä\x85'), and a single pass
+    # would leave it — the unicode-degrade branch below would then return
+    # a host that canonicalizes differently on the next pass, breaking
+    # the idempotency the URL-seen/store lookups rely on.
+    prev = None
+    while host != prev:
+        prev = host
+        host = host.strip().rstrip(".")
+    host = host.lower()
     if not host:
         return host
     try:
@@ -88,9 +97,10 @@ def canonicalize_url(url: str) -> str:
     """Canonical form of ``url`` (see module docstring for rules).
     Degrade-don't-crash: a URL whose authority cannot be parsed at all
     (e.g. a stray bracket — urlsplit raises ValueError) comes back as
-    the stripped input instead of killing the whole map_batches task;
-    the fallback is idempotent because re-canonicalizing the same
-    string takes the same path."""
+    the stripped input with the default scheme prefixed (if it had
+    none) instead of killing the whole map_batches task; the fallback
+    is idempotent because re-canonicalizing its output re-enters the
+    same except path unchanged."""
     if not url:
         return ""
     url = url.strip()

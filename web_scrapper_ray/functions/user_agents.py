@@ -28,16 +28,11 @@ USER_AGENTS = [
 class UserAgentManager:
     def __init__(self, user_agents: list[str] | None = None, rotate: str = "random",
                  seed: int | None = None):
+        # an empty/None pool falls back to the full default list via the
+        # `or` (the reference's post-hoc "warn + single default UA"
+        # branch at user_agents.py:76-78 is unreachable for the same
+        # reason there — its `or COMMON_USER_AGENTS.copy()` runs first)
         self.user_agents = list(user_agents or USER_AGENTS)
-        if not self.user_agents:
-            # reference user_agents.py:76-78: warn + default UA, never
-            # an empty pool (an exception here would put no UA at all
-            # on real fetches)
-            import logging
-
-            logging.getLogger(__name__).warning(
-                "No user agents provided. Using a default user agent.")
-            self.user_agents = [USER_AGENTS[0]]
         self.rotate = rotate
         self._idx = 0
         self._rng = random.Random(seed)

@@ -591,9 +591,13 @@ def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
         if len(ids) == 0:
             return _EMPTY_Q
         maxabs = np.abs(mat).max(axis=1, keepdims=True)
-        scale = np.divide(127.0, maxabs, out=np.zeros_like(maxabs),
-                          where=maxabs > 0)
-        v = mat * scale
+        # association order matters at exact-half boundaries: the oracle
+        # computes round((127*x)/m), and x*(127/m) differs by 1 ulp for
+        # ~13% of magnitudes (e.g. x = m/2 with non-power-of-two m) —
+        # multiply first, divide second, exactly like the SQL
+        num = 127.0 * mat
+        v = np.divide(num, maxabs, out=np.zeros_like(num),
+                      where=maxabs > 0)
         q = (np.sign(v) * np.floor(np.abs(v) + 0.5)).astype(np.int64)
         n, d = mat.shape
         return pa.table({

@@ -121,26 +121,14 @@ def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
     corpus identically when no sketch collision bites; approximate by
     design → rows-only driver check, exactness-vs-q13 and
     shard-mergeability are pytest'd."""
-    import os
-    import re
-    from collections import Counter
+    from .textops import _docs, keyword_counter
 
-    import ray.data as rd
-
-    from ..functions.text import STOP_WORDS
-
-    rx = re.compile(r"\w+", re.ASCII)
-    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                         columns=["text"])
+    ds = _docs(sf_dir, ["text"])
     _EMPTY = pa.table({"cms": pa.array([], pa.list_(pa.int64())),
                        "cand_word": pa.array([], pa.list_(pa.string()))})
 
     def partial(batch: pa.Table) -> pa.Table:
-        counter: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            for w in rx.findall((t or "").lower()):
-                if len(w) > 2 and w not in STOP_WORDS:
-                    counter[w] += 1
+        counter = keyword_counter(batch.column("text").to_pylist())
         if not counter:
             return _EMPTY
         words = list(counter)

@@ -35,6 +35,20 @@ def _docs(sf_dir: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
 
 
+def keyword_counter(texts) -> Counter:
+    """The q13/q65 keyword tokenization, in ONE place: ASCII ``\\w``
+    tokens, lowered, len>2, non-stopword. The exact top-k (q13) and the
+    CMS heavy hitters (q65, pipelines/sketches.py) must count the same
+    tokens or their exactness-vs-each-other test is meaningless — keep
+    any tokenization change here so both move together."""
+    counter: Counter = Counter()
+    for t in texts:
+        for w in _TOKEN_RX.findall((t or "").lower()):
+            if len(w) > 2 and w not in STOP_WORDS:
+                counter[w] += 1
+    return counter
+
+
 def q_token_count(sf_dir: str) -> pd.DataFrame:
     """Fully vectorized: pyarrow.compute regex kernel, zero Python rows."""
     import pyarrow.compute as pc
@@ -179,11 +193,7 @@ def q_keywords_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     ds = _docs(sf_dir, ["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        counter: Counter = Counter()
-        for t in batch.column("text").to_pylist():
-            for w in _TOKEN_RX.findall((t or "").lower()):
-                if len(w) > 2 and w not in STOP_WORDS:
-                    counter[w] += 1
+        counter = keyword_counter(batch.column("text").to_pylist())
         if not counter:
             return pa.table({"word": pa.array([], pa.string()),
                              "n": pa.array([], pa.int64())})
