@@ -179,8 +179,8 @@ def _phash_neardup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from web_scrapper_ray.pipelines import (dedup, relational, similarity,
-                                            sketches, textops)
+    from web_scrapper_ray.pipelines import (dedup, graph, relational,
+                                            similarity, sketches, textops)
 
     return {
         # relational / generic engine ops
@@ -230,6 +230,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q52_stratified_sample": textops.q_stratified_sample,
         "q40_label_centroids": similarity.q_label_centroids,
         "q64_quantize_embeddings": similarity.q_quantize_embeddings,
+        "q66_boilerplate_ngrams": textops.q_boilerplate_ngrams,
+        "q67_pagerank": graph.q_pagerank_part_supplier,
+        "q68_source_quality_filter": textops.q_source_quality_filter,
+        "q69_embedding_gram": similarity.q_embedding_gram,
+        "q70_consistent_sample": textops.q_consistent_sample,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -671,6 +676,64 @@ def oracle_sql() -> dict[str, str]:
                              embedding, x -> abs(CAST(x AS DOUBLE)))) AS m
                   FROM embeddings)
             ORDER BY vec_id, pos
+        """,
+        "q66_boilerplate_ngrams": r"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+                       FROM documents),
+            g AS (SELECT DISTINCT doc_id, array_to_string(ws[x+1 : x+3], ' ') AS gram
+                  FROM d, unnest(range(greatest(len(ws) - 2, 0))) AS r(x)),
+            f AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 4),
+            h AS (SELECT doc_id, count(*) AS n_frequent
+                  FROM g JOIN f USING (gram) GROUP BY 1)
+            SELECT d2.doc_id, coalesce(h.n_frequent, 0)::BIGINT AS n_frequent,
+                   coalesce(h.n_frequent, 0) >= 5 AS flagged
+            FROM documents d2 LEFT JOIN h USING (doc_id) ORDER BY doc_id
+        """,
+        "q67_pagerank": """
+            WITH e AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+            edges AS (SELECT 'p' || p AS src, 's' || s AS dst FROM e
+                      UNION ALL SELECT 's' || s AS src, 'p' || p AS dst FROM e),
+            deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY 1),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM deg),
+            r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS r FROM deg),
+            r1 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn) + 0.85 * sum(r0.r / deg.d) AS r
+                   FROM edges e JOIN r0 ON e.src = r0.node
+                   JOIN deg ON e.src = deg.node GROUP BY 1),
+            r2 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn) + 0.85 * sum(r1.r / deg.d) AS r
+                   FROM edges e JOIN r1 ON e.src = r1.node
+                   JOIN deg ON e.src = deg.node GROUP BY 1),
+            r3 AS (SELECT e.dst AS node,
+                          0.15 / (SELECT n FROM nn) + 0.85 * sum(r2.r / deg.d) AS r
+                   FROM edges e JOIN r2 ON e.src = r2.node
+                   JOIN deg ON e.src = deg.node GROUP BY 1)
+            SELECT node, round(r, 6) AS pr FROM r3 ORDER BY node
+        """,
+        "q68_source_quality_filter": f"""
+            WITH q AS (SELECT doc_id, source,
+                              (len({_TOKS}) BETWEEN 10 AND 1000)
+                              AND (20 * {_NSTOP} > len({_TOKS})) AS is_good
+                       FROM documents),
+            s AS (SELECT source, count(*) AS n_docs,
+                         count(CASE WHEN is_good THEN 1 END) AS n_good
+                  FROM q GROUP BY source)
+            SELECT q.doc_id, q.source, (2 * s.n_good >= s.n_docs) AS keep
+            FROM q JOIN s USING (source) ORDER BY doc_id
+        """,
+        "q69_embedding_gram": """
+            WITH ex AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                               generate_subscripts(embedding, 1) AS pos
+                        FROM embeddings)
+            SELECT a.pos AS i, b.pos AS j, round(sum(a.v * b.v), 6) AS g
+            FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+            GROUP BY 1, 2 ORDER BY i, j
+        """,
+        "q70_consistent_sample": """
+            SELECT doc_id, h FROM (
+                SELECT doc_id, md5(doc_id::VARCHAR || ':' || coalesce(text, '')) AS h
+                FROM documents ORDER BY h, doc_id LIMIT 20
+            ) ORDER BY doc_id
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

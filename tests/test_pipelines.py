@@ -681,3 +681,133 @@ def test_heavy_hitters_cms_matches_exact(ray_session):
     exact = q_keywords_topk(SF, k=20)
     assert approx["word"].tolist() == exact["word"].tolist()
     assert approx["est_n"].tolist() == exact["n_total"].tolist()
+
+
+def test_boilerplate_ngrams_planted(ray_session, tmp_path):
+    """q66: a 3-gram planted in >= df_min docs counts as frequent for
+    exactly those docs; short docs (<3 tokens) report zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_boilerplate_ngrams
+
+    boiler = "click here now"
+    rows = [{"doc_id": i, "text": f"unique{i} words only {boiler} tail{i}"}
+            for i in range(4)]
+    rows.append({"doc_id": 4, "text": "totally fresh content without repeats"})
+    rows.append({"doc_id": 5, "text": "two words"})
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_boilerplate_ngrams(str(tmp_path), n=3, df_min=4, flag_min=1)
+    by = dict(zip(out["doc_id"], out["n_frequent"]))
+    # docs 0-3 share the sliding grams crossing 'click here now' — at
+    # least the exact boilerplate gram is frequent in each
+    assert all(by[i] >= 1 for i in range(4))
+    assert by[4] == 0 and by[5] == 0
+    flags = dict(zip(out["doc_id"], out["flagged"]))
+    assert flags[0] and not flags[4]
+
+
+def test_pagerank_star_graph(ray_session, tmp_path):
+    """q67 on a star (one supplier serving all parts): the hub supplier
+    must out-rank every leaf part, ranks sum to ~1, and the result
+    matches an independent dense power iteration."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.graph import q_pagerank_part_supplier
+
+    parts = list(range(1, 9))
+    t = pa.table({"l_partkey": pa.array(parts * 2, pa.int64()),
+                  "l_suppkey": pa.array([7] * 16, pa.int64())})
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = q_pagerank_part_supplier(str(tmp_path), iters=3)
+    pr = dict(zip(out["node"], out["pr"]))
+    assert set(pr) == {f"p{p}" for p in parts} | {"s7"}
+    assert pr["s7"] > max(pr[f"p{p}"] for p in parts)
+    assert abs(sum(pr.values()) - 1.0) < 1e-3
+    # independent dense reference: nodes [s7, p1..p8]
+    N = 9
+    r = np.full(N, 1 / N)
+    for _ in range(3):
+        new = np.full(N, 0.15 / N)
+        new[0] += 0.85 * r[1:].sum()          # leaves (deg 1) -> hub
+        new[1:] += 0.85 * r[0] / 8            # hub (deg 8) -> leaves
+        r = new
+    assert abs(pr["s7"] - round(r[0], 6)) < 2e-6
+    assert abs(pr["p1"] - round(r[1], 6)) < 2e-6
+
+
+def test_source_quality_filter_planted(ray_session, tmp_path):
+    """q68: a source whose majority of docs fail the q15 is_good rule
+    drops all its docs; a good-majority source keeps all."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_source_quality_filter
+
+    good = ("the and for with this that from they have " * 3).strip()
+    bad = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = ([{"doc_id": i, "source": "goodsrc", "text": good} for i in range(3)]
+            + [{"doc_id": 10 + i, "source": "badsrc", "text": bad} for i in range(3)]
+            + [{"doc_id": 20, "source": "badsrc", "text": good}])
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_source_quality_filter(str(tmp_path))
+    keep = dict(zip(out["doc_id"], out["keep"]))
+    assert all(keep[i] for i in range(3))
+    assert not keep[10] and not keep[20]  # 1 good of 4 -> whole source drops
+
+
+def test_embedding_gram_matches_numpy(ray_session, tmp_path):
+    """q69 equals the dense X.T @ X upper triangle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_embedding_gram
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(40, 5)).astype(np.float32)
+    t = pa.table({"vec_id": pa.array(range(40), pa.int64()),
+                  "embedding": pa.array([list(map(float, row)) for row in X],
+                                        pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_embedding_gram(str(tmp_path))
+    G = X.astype(np.float64).T @ X.astype(np.float64)
+    for i, j, g in zip(out["i"], out["j"], out["g"]):
+        assert abs(g - round(G[i - 1, j - 1], 6)) < 1e-9
+    assert len(out) == 5 * 6 // 2
+
+
+def test_consistent_sample_partition_invariant(ray_session, tmp_path):
+    """q70: the sample equals the brute-force global bottom-k and does
+    not depend on how the input is partitioned."""
+    import hashlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_consistent_sample
+
+    rows = [{"doc_id": i, "text": f"document body {i} {'x' * (i % 7)}"}
+            for i in range(200)]
+    expect = sorted(
+        (hashlib.md5(f"{r['doc_id']}:{r['text']}".encode()).hexdigest(),
+         r["doc_id"]) for r in rows)[:10]
+    expect_ids = sorted(d for _, d in expect)
+
+    d1 = tmp_path / "one"
+    d1.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d1 / "documents.parquet"))
+    got1 = q_consistent_sample(str(d1), k=10)
+    assert got1["doc_id"].tolist() == expect_ids
+
+    d2 = tmp_path / "many"
+    d2.mkdir()
+    (d2 / "documents.parquet").mkdir()
+    for c in range(8):  # 8-fragment layout: different blocks, same sample
+        chunk = [r for r in rows if r["doc_id"] % 8 == c]
+        pq.write_table(pa.Table.from_pylist(chunk),
+                       str(d2 / "documents.parquet" / f"part{c}.parquet"))
+    got2 = q_consistent_sample(str(d2), k=10)
+    assert got2["doc_id"].tolist() == expect_ids

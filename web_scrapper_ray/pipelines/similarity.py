@@ -608,3 +608,39 @@ def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
 
     out = _emb(sf_dir).map_batches(quant, batch_format="pyarrow").to_pandas()
     return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
+    """Distributed Gram matrix G = Σ x·xᵀ over the embedding corpus —
+    the covariance/PCA/whitening building block. Classic distributed
+    linear algebra shape: each batch contributes ``mat.T @ mat``
+    (float64, d×d), and only the d²-sized accumulators cross the wire —
+    the embeddings themselves never leave their blocks and the driver
+    holds one d×d matrix, corpus-size-independent. Output is the upper
+    triangle as (i, j, g) rows (1-based, i ≤ j) rounded to 6dp to
+    survive float-sum association differences vs the SQL oracle."""
+    _EMPTY = pa.table({"g": pa.array([], pa.list_(pa.float64())),
+                       "d": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY
+        g = mat.T @ mat  # float64 (see _batch_matrix)
+        return pa.table({"g": pa.array([g.reshape(-1)], pa.list_(pa.float64())),
+                         "d": pa.array([g.shape[0]], pa.int64())})
+
+    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "g": pd.Series(dtype="float64")})
+    d = int(parts["d"].iloc[0])
+    total = np.zeros(d * d, np.float64)
+    for row in parts["g"]:
+        total += np.asarray(row, np.float64)
+    total = total.reshape(d, d)
+    iu, ju = np.triu_indices(d)
+    return pd.DataFrame({"i": (iu + 1).astype(np.int64),
+                         "j": (ju + 1).astype(np.int64),
+                         "g": np.round(total[iu, ju], 6)})

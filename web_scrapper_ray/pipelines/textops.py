@@ -16,6 +16,7 @@ import os
 import re
 from collections import Counter
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 
@@ -748,3 +749,197 @@ def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
            .map_batches(stats, batch_format="pyarrow")
            .to_pandas())
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate detection (q66)
+# ---------------------------------------------------------------------------
+
+_GRAM_HASH_CACHE: dict[str, int] = {}
+
+
+def _token_hashes(words: list[str]) -> np.ndarray:
+    """uint64 blake2b per token, memoized per worker process (the vocab
+    is tiny next to the token stream, so the dict amortizes the digest
+    cost across every doc the worker sees)."""
+    import hashlib
+
+    out = np.empty(len(words), np.uint64)
+    cache = _GRAM_HASH_CACHE
+    for i, w in enumerate(words):
+        h = cache.get(w)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            cache[w] = h
+        out[i] = h
+    return out
+
+
+def _doc_gram_hashes(text: str | None, n: int) -> np.ndarray:
+    """Distinct order-sensitive n-gram hashes of one doc, vectorized:
+    token-hash array, then a rolling mix64 chain over n shifted views
+    (position-sensitive — 'a b c' and 'c b a' land on different keys)."""
+    from .pairs import mix64
+
+    toks = _TOKEN_RX.findall((text or "").lower())
+    if len(toks) < n:
+        return np.empty(0, np.int64)
+    th = _token_hashes(toks)
+    m = len(toks) - n + 1
+    h = mix64(th[:m])
+    for k in range(1, n):
+        h = mix64(h ^ th[k:k + m])
+    return np.unique(h.view(np.int64))
+
+
+def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
+                         flag_min: int = 5) -> pd.DataFrame:
+    """Cross-document boilerplate detection (the RefinedWeb/CCNet
+    "drop content shared by many documents" primitive, df-based): a
+    sliding word n-gram is *frequent* when it occurs in ≥ ``df_min``
+    DISTINCT docs; each doc reports how many distinct frequent grams it
+    contains plus a ``flagged`` bit. Two passes over the corpus, ONE
+    exchange: pass 1 turns each block into per-gram partial
+    distinct-doc counts (int64 gram keys through the raw-task
+    ``hash_shuffle`` — same economics as the set ops, no Dataset sort
+    all-to-all), the surviving frequent-gram key set (bounded above by
+    total_grams/df_min) is broadcast once via ``ray.put``, and pass 2
+    recounts each doc's grams against it with ``np.isin`` — no second
+    shuffle, no driver row loop. If a pathological corpus overflows
+    the broadcast bound, the same semi-join shape as q48 (hash-partition
+    (gram, doc_id) on gram) is the drop-in replacement."""
+    import ray
+
+    from .pairs import hash_shuffle, mix64
+
+    P = 32
+
+    def split(block: pa.Table) -> pa.Table:
+        per_doc = [_doc_gram_hashes(t, n)
+                   for t in block.column("text").to_pylist()]
+        allg = (np.concatenate(per_doc) if per_doc
+                else np.empty(0, np.int64))
+        keys, nd = np.unique(allg, return_counts=True)
+        return pa.table({
+            "key": pa.array(keys, pa.int64()),
+            "nd": pa.array(nd.astype(np.int64)),
+            "bucket": pa.array(
+                (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> np.ndarray:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return np.empty(0, np.int64)
+        g = pa.concat_tables(live).to_pandas()
+        df = g.groupby("key", sort=False)["nd"].sum()
+        return df.index.to_numpy()[df.to_numpy() >= df_min].astype(np.int64)
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    frequent = np.sort(np.concatenate([p for p in parts if len(p)] or
+                                      [np.empty(0, np.int64)]))
+    fref = ray.put(frequent)
+
+    def count(batch: pa.Table) -> pa.Table:
+        freq = ray.get(fref)
+        ids = batch.column("doc_id").to_pylist()
+        hits = [int(np.isin(_doc_gram_hashes(t, n), freq,
+                            assume_unique=True).sum())
+                for t in batch.column("text").to_pylist()]
+        nf = np.asarray(hits, np.int64)
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_frequent": pa.array(nf),
+                         "flagged": pa.array(nf >= flag_min)})
+
+    out = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_source_quality_filter(sf_dir: str) -> pd.DataFrame:
+    """Domain-level quality gating (the C4/RefinedWeb "drop bad hosts
+    wholesale" step): per-source good-doc fraction from q15's
+    integer-exact is_good rule, then every doc of a source with
+    ``2·n_good ≥ n_docs`` (good fraction ≥ ½, no float compare) keeps.
+    Scale shape: one streaming pass computes (source, n, n_good)
+    per-batch partials (the combiner — rows crossing the driver are
+    n_sources × n_batches, never docs), the source→keep map broadcasts
+    via ``ray.put``, and the second pass reads only (doc_id, source)."""
+    import ray
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        srcs, ns, ngs = [], [], []
+        acc: dict[str, list[int]] = {}
+        for s, t in zip(batch.column("source").to_pylist(),
+                        batch.column("text").to_pylist()):
+            cell = acc.setdefault(s, [0, 0])
+            cell[0] += 1
+            if t is not None:
+                toks = _TOKEN_RX.findall(t.lower())
+                nstop = sum(1 for w in toks if w in STOP_WORDS)
+                if 10 <= len(toks) <= 1000 and 20 * nstop > len(toks):
+                    cell[1] += 1
+        for s, (cn, cg) in acc.items():
+            srcs.append(s)
+            ns.append(cn)
+            ngs.append(cg)
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "n": pa.array(ns, pa.int64()),
+                         "n_good": pa.array(ngs, pa.int64())})
+
+    stats = (_docs(sf_dir, ["source", "text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    agg = stats.groupby("source", sort=False)[["n", "n_good"]].sum()
+    keep = {s: bool(2 * row.n_good >= row.n)
+            for s, row in agg.iterrows()}
+    kref = ray.put(keep)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        km = ray.get(kref)
+        srcs = batch.column("source").to_pylist()
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "source": batch.column("source"),
+            "keep": pa.array([km[s] for s in srcs], pa.bool_()),
+        })
+
+    out = (_docs(sf_dir, ["doc_id", "source"])
+           .map_batches(tag, batch_format="pyarrow")
+           .to_pandas())
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_consistent_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global deterministic k-sample by minimum content hash (the
+    distributed reservoir-sample replacement: bottom-k of
+    ``md5(doc_id || ':' || text)`` — the SAME sample regardless of
+    partitioning, batch size or cluster shape, and partials merge by
+    just re-taking the bottom k). Each batch emits its local bottom-k
+    (k·n_batches tiny rows cross the wire, never the corpus); ties
+    break on doc_id."""
+    import hashlib
+
+    _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "h": pa.array([], pa.string())})
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        if not ids:
+            return _EMPTY
+        hs = np.array([hashlib.md5(
+            f"{d}:{t or ''}".encode()).hexdigest()
+            for d, t in zip(ids, batch.column("text").to_pylist())])
+        ids = np.asarray(ids, np.int64)
+        order = np.lexsort((ids, hs))[:k]
+        return pa.table({"doc_id": pa.array(ids[order]),
+                         "h": pa.array(hs[order])})
+
+    parts = (_docs(sf_dir, ["doc_id", "text"])
+             .map_batches(bottomk, batch_format="pyarrow")
+             .to_pandas())
+    top = parts.sort_values(["h", "doc_id"]).head(k)
+    return top.sort_values("doc_id").reset_index(drop=True)
