@@ -811,3 +811,35 @@ def test_consistent_sample_partition_invariant(ray_session, tmp_path):
                        str(d2 / "documents.parquet" / f"part{c}.parquet"))
     got2 = q_consistent_sample(str(d2), k=10)
     assert got2["doc_id"].tolist() == expect_ids
+
+
+def test_source_quality_filter_null_source_dropped(ray_session, tmp_path):
+    """q68: NULL-source docs fall out entirely (the oracle's JOIN USING
+    drops them) instead of KeyError-ing the keep lookup."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_source_quality_filter
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": pa.array(["s1", None, "s1"], pa.string()),
+                  "text": pa.array(["the and for with this that from "
+                                    "they have was"] * 3, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_source_quality_filter(str(tmp_path))
+    assert out["doc_id"].tolist() == [1, 3]
+
+
+def test_pagerank_key_overflow_is_loud(ray_session, tmp_path):
+    """q67: keys >= 2^32 must raise (silent packed-key aliasing would
+    corrupt the graph), not wrap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.graph import q_pagerank_part_supplier
+
+    t = pa.table({"l_partkey": pa.array([2 ** 33], pa.int64()),
+                  "l_suppkey": pa.array([1], pa.int64())})
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    with pytest.raises(Exception, match="pack overflow"):
+        q_pagerank_part_supplier(str(tmp_path))

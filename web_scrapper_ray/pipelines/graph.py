@@ -6,21 +6,25 @@ is one distributed pass over the (static) edge partitions with a
 broadcast rank vector — the standard "small mutable state, big
 immutable edges" layout:
 
-* the edge set is built ONCE: per-block distinct (part, supplier)
-  pairs (combiner) → the raw-task ``hash_shuffle`` dedups globally →
-  per-bucket edge arrays go straight back into the object store
-  (``ray.put`` per bucket) and are never re-shipped;
+* the edge set is built ONCE and never transits the driver heap:
+  per-block distinct (part, supplier) pairs (combiner) → the raw-task
+  ``hash_shuffle`` dedups globally with ``gather=False`` (per-bucket
+  ObjectRefs, not driver arrays) → a chained task per bucket
+  factorizes its edges to dense node indices in the object store;
+* the node space IS factorized: the driver holds only the sorted
+  node-code table (one int64 per node — the broadcast-rank bound that
+  every PageRank formulation shares) and every dense vector (degree,
+  rank, bincount partials) is sized by the node COUNT, not by the
+  maximum key value;
 * per round, one Ray task per edge bucket scatters rank/degree
-  contributions with ``np.bincount`` and returns a dense node-indexed
-  partial vector; the driver sums P small vectors and rebroadcasts the
-  new rank vector.
+  contributions with ``np.bincount`` over dense indices and returns a
+  node-count-sized partial; the driver sums P small vectors and
+  rebroadcasts r/deg.
 
-Node state is a dense float64 vector over integer node codes
-(part → 2k, supplier → 2k+1); at web scale the node space is
-factorized to dense codes first and, when the rank vector outgrows a
-single broadcast (≳10⁹ nodes), the same rounds run with rank shards
-co-partitioned with the edge buckets — the edge-side layout here is
-already bucketed by src to make that swap local.
+When the rank vector itself outgrows a single broadcast (≳10⁹ nodes),
+the same rounds run with rank shards co-partitioned with the edge
+buckets — the edge-side layout here is already bucketed to make that
+swap local.
 """
 
 from __future__ import annotations
@@ -32,6 +36,8 @@ import pandas as pd
 import pyarrow as pa
 
 from .pairs import hash_shuffle, mix64
+
+_KEY_BITS = 32  # (partkey << 32) | suppkey packing — guarded below
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -53,19 +59,25 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
     import ray
 
     P = 32
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
 
     def split(block: pa.Table) -> pa.Table:
         if block.num_rows == 0:
-            keys = np.empty(0, np.int64)
+            keys = np.empty(0, np.uint64)
         else:
-            p = block.column("l_partkey").to_numpy(zero_copy_only=False)
-            s = block.column("l_suppkey").to_numpy(zero_copy_only=False)
-            keys = np.unique((p.astype(np.int64) << np.int64(32))
-                             | s.astype(np.int64))
+            p = block.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            s = block.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            if p.max() >= lim or s.max() >= lim:
+                # loud, not silent: packed keys would alias distinct
+                # edges. The wide-key continuation is a two-column
+                # distinct through the same exchange.
+                raise ValueError("part/supp key >= 2^32 — pack overflow")
+            keys = np.unique((p << np.uint64(_KEY_BITS)) | s)
         return pa.table({
-            "key": pa.array(keys, pa.int64()),
-            "bucket": pa.array(
-                (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
+            "key": pa.array(keys.view(np.int64), pa.int64()),
+            "bucket": pa.array((mix64(keys) % np.uint64(P)).astype(np.int64)),
         })
 
     def merge(*tabs) -> np.ndarray:
@@ -76,53 +88,68 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
             [t.column("key").to_numpy(zero_copy_only=False) for t in live]))
 
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-    pair_parts = hash_shuffle([(r, ()) for r in li.to_arrow_refs()],
-                              split, merge, P=P)
+    # gather=False: the distinct edge buckets stay in the object store
+    # as refs — only node-code uniques and rank-sized partials ever
+    # reach the driver
+    pair_refs = hash_shuffle([(r, ()) for r in li.to_arrow_refs()],
+                             split, merge, P=P, gather=False)
 
-    # per-bucket (src, dst) node-code arrays, both edge directions;
-    # stored once in the object store and reused by every round
-    edge_refs, M = [], 0
-    for keys in pair_parts:
+    def unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = keys.view(np.uint64)
+        pn = (u >> np.uint64(_KEY_BITS)).astype(np.int64) * 2
+        sn = (u & (lim - np.uint64(1))).astype(np.int64) * 2 + 1
+        return pn, sn
+
+    @ray.remote
+    def bucket_nodes(keys: np.ndarray) -> np.ndarray:
         if not len(keys):
-            continue
-        pk = (keys >> np.int64(32)).astype(np.int64)
-        sk = (keys & np.int64(0xFFFFFFFF)).astype(np.int64)
-        pn, sn = pk * 2, sk * 2 + 1
-        src = np.concatenate([pn, sn])
-        dst = np.concatenate([sn, pn])
-        M = max(M, int(src.max()) + 1)
-        edge_refs.append(ray.put((src, dst)))
-    if not edge_refs:
+            return np.empty(0, np.int64)
+        pn, sn = unpack(keys)
+        return np.unique(np.concatenate([pn, sn]))
+
+    node_parts = ray.get([bucket_nodes.remote(r) for r in pair_refs])
+    nodes = np.unique(np.concatenate(node_parts))  # sorted dense table
+    N = len(nodes)
+    if N == 0:
         return pd.DataFrame({"node": pd.Series(dtype="object"),
                              "pr": pd.Series(dtype="float64")})
+    nref = ray.put(nodes)
 
     @ray.remote
-    def degree_partial(eref, m: int) -> np.ndarray:
-        src, _ = eref
-        return np.bincount(src, minlength=m)
+    def to_dense(keys: np.ndarray, node_tab: np.ndarray):
+        """Both undirected edge directions as dense node indices."""
+        pn, sn = unpack(keys)
+        pi = np.searchsorted(node_tab, pn)
+        si = np.searchsorted(node_tab, sn)
+        return (np.concatenate([pi, si]), np.concatenate([si, pi]))
 
-    deg = sum(ray.get([degree_partial.remote(r, M) for r in edge_refs]))
-    in_graph = deg > 0
-    n_nodes = int(in_graph.sum())
-    safe_deg = np.where(in_graph, deg, 1).astype(np.float64)
+    dense_refs = [to_dense.remote(r, nref)
+                  for r, npart in zip(pair_refs, node_parts) if len(npart)]
 
     @ray.remote
-    def contrib_partial(eref, r_over_d: np.ndarray, m: int) -> np.ndarray:
-        # both args arrive auto-dereferenced; passing the SAME rank ref
-        # to every task keeps it one object-store fetch per node
-        src, dst = eref
-        return np.bincount(dst, weights=r_over_d[src], minlength=m)
+    def degree_partial(edges, n: int) -> np.ndarray:
+        src, _ = edges
+        return np.bincount(src, minlength=n)
 
-    rank = np.where(in_graph, 1.0 / n_nodes, 0.0)
-    base = (1.0 - damping) / n_nodes
+    deg = sum(ray.get([degree_partial.remote(r, N) for r in dense_refs]))
+    deg = deg.astype(np.float64)  # every node has deg >= 1 by construction
+
+    @ray.remote
+    def contrib_partial(edges, r_over_d: np.ndarray, n: int) -> np.ndarray:
+        # args arrive auto-dereferenced; passing the SAME rank ref to
+        # every task keeps it one object-store fetch per node
+        src, dst = edges
+        return np.bincount(dst, weights=r_over_d[src], minlength=n)
+
+    rank = np.full(N, 1.0 / N)
+    base = (1.0 - damping) / N
     for _ in range(iters):
         # ship r/deg (not r) so each task does one gather, no division
-        rref = ray.put(rank / safe_deg)
-        parts = ray.get([contrib_partial.remote(r, rref, M)
-                         for r in edge_refs])
-        rank = np.where(in_graph, base + damping * sum(parts), 0.0)
+        rref = ray.put(rank / deg)
+        parts = ray.get([contrib_partial.remote(r, rref, N)
+                         for r in dense_refs])
+        rank = base + damping * sum(parts)
 
-    codes = np.nonzero(in_graph)[0]
-    names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in codes]
-    out = pd.DataFrame({"node": names, "pr": np.round(rank[codes], 6)})
+    names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in nodes]
+    out = pd.DataFrame({"node": names, "pr": np.round(rank, 6)})
     return out.sort_values("node").reset_index(drop=True)

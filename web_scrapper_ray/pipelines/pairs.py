@@ -28,7 +28,7 @@ def mix64(key: np.ndarray) -> np.ndarray:
 
 
 def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
-                 P: int = 32) -> list:
+                 P: int = 32, gather: bool = True) -> list:
     """Raw-task hash exchange shared by the near-dup/set-op operators:
     one split task per input block computes its rows and an int
     ``bucket`` column in [0, P) (``split_fn(block, *extra) →
@@ -41,7 +41,11 @@ def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
     pattern the wave crawl uses for its refs layout.
 
     ``inputs``: list of (block_ref, extra_args_tuple). Returns the list
-    of merge results (small by contract — pair lists / membership rows).
+    of merge results (small by contract — pair lists / membership rows)
+    — or, with ``gather=False``, the list of per-bucket ObjectRefs so a
+    caller whose merge outputs are NOT small (e.g. q67's distinct edge
+    set) can chain further tasks without the data ever transiting the
+    driver heap.
     """
     import ray
 
@@ -61,7 +65,7 @@ def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
     merge_r = ray.remote(merge_fn)
     per_block = [split_r.remote(ref, *extra) for ref, extra in inputs]
     futs = [merge_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
-    return ray.get(futs)
+    return ray.get(futs) if gather else futs
 
 
 def verify_pairs(ds, pairs: np.ndarray,

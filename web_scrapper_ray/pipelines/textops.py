@@ -134,6 +134,19 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def quality_stats(text: str | None) -> tuple[int, int, bool] | None:
+    """q15's integer-exact quality rule in ONE place (shared by q15 and
+    q68 — both oracle SQLs are built from the same _TOKS/_NSTOP macros,
+    so the engine sides must move together too): (n_tokens, n_stop,
+    is_good) with is_good = (10 ≤ n ≤ 1000) ∧ (20·n_stop > n); None for
+    NULL text (the oracle's NULL stats)."""
+    if text is None:
+        return None
+    toks = _TOKEN_RX.findall(text.lower())
+    ns = sum(1 for w in toks if w in STOP_WORDS)
+    return len(toks), ns, (10 <= len(toks) <= 1000 and 20 * ns > len(toks))
+
+
 def q_quality(sf_dir: str) -> pd.DataFrame:
     """Quality signals with integer-exact rules: token count, stopword
     count, is_good = (10 ≤ n_tokens ≤ 1000) ∧ (20·n_stop > n_tokens)."""
@@ -143,16 +156,15 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
         doc_ids, n_tok, n_stop, good = [], [], [], []
         for d, t in zip(batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()):
             doc_ids.append(d)
-            if t is None:  # NULL text -> NULL stats (oracle semantics)
+            st = quality_stats(t)
+            if st is None:  # NULL text -> NULL stats (oracle semantics)
                 n_tok.append(None)
                 n_stop.append(None)
                 good.append(None)
                 continue
-            toks = _TOKEN_RX.findall(t.lower())
-            ns = sum(1 for w in toks if w in STOP_WORDS)
-            n_tok.append(len(toks))
-            n_stop.append(ns)
-            good.append(10 <= len(toks) <= 1000 and 20 * ns > len(toks))
+            n_tok.append(st[0])
+            n_stop.append(st[1])
+            good.append(st[2])
         return pa.table({
             "doc_id": pa.array(doc_ids, pa.int64()),
             "n_tokens": pa.array(n_tok, pa.int64()),
@@ -756,6 +768,10 @@ def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
 # ---------------------------------------------------------------------------
 
 _GRAM_HASH_CACHE: dict[str, int] = {}
+_GRAM_CACHE_MAX = 1_000_000  # bound the per-worker vocab memo (web-scale
+#                              vocabularies are unbounded; a clear at the
+#                              cap keeps the amortization without the leak)
+_GRAM_SALT = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _token_hashes(words: list[str]) -> np.ndarray:
@@ -766,6 +782,8 @@ def _token_hashes(words: list[str]) -> np.ndarray:
 
     out = np.empty(len(words), np.uint64)
     cache = _GRAM_HASH_CACHE
+    if len(cache) > _GRAM_CACHE_MAX:
+        cache.clear()
     for i, w in enumerate(words):
         h = cache.get(w)
         if h is None:
@@ -776,21 +794,45 @@ def _token_hashes(words: list[str]) -> np.ndarray:
     return out
 
 
-def _doc_gram_hashes(text: str | None, n: int) -> np.ndarray:
-    """Distinct order-sensitive n-gram hashes of one doc, vectorized:
-    token-hash array, then a rolling mix64 chain over n shifted views
-    (position-sensitive — 'a b c' and 'c b a' land on different keys)."""
+def _doc_gram_hashes(text: str | None, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct order-sensitive n-gram keys of one doc as TWO
+    independent rolling mix64 chains over the token-hash array
+    (position-sensitive — 'a b c' and 'c b a' land on different keys).
+    The compound 128-bit key keeps df counting collision-free to
+    2⁻¹²⁸ at any corpus size — a single 64-bit key would silently merge
+    distinct grams' doc counts at ~10¹² grams (birthday bound), where
+    the exact-string oracle would not."""
     from .pairs import mix64
 
     toks = _TOKEN_RX.findall((text or "").lower())
     if len(toks) < n:
-        return np.empty(0, np.int64)
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     th = _token_hashes(toks)
     m = len(toks) - n + 1
-    h = mix64(th[:m])
+    h1 = mix64(th[:m])
+    h2 = mix64(th[:m] ^ _GRAM_SALT)
     for k in range(1, n):
-        h = mix64(h ^ th[k:k + m])
-    return np.unique(h.view(np.int64))
+        h1 = mix64(h1 ^ th[k:k + m])
+        h2 = mix64(h2 ^ th[k:k + m] ^ _GRAM_SALT)
+    g1, g2 = h1.view(np.int64), h2.view(np.int64)
+    order = np.lexsort((g2, g1))
+    g1, g2 = g1[order], g2[order]
+    keep = np.ones(len(g1), bool)
+    keep[1:] = (g1[1:] != g1[:-1]) | (g2[1:] != g2[:-1])
+    return g1[keep], g2[keep]
+
+
+def _batch_gram_frame(texts, n: int) -> tuple[pd.DataFrame, np.ndarray]:
+    """All docs' distinct gram keys as one frame + per-doc lengths."""
+    per1, per2, lens = [], [], np.empty(len(texts), np.int64)
+    for i, t in enumerate(texts):
+        g1, g2 = _doc_gram_hashes(t, n)
+        per1.append(g1)
+        per2.append(g2)
+        lens[i] = len(g1)
+    a1 = np.concatenate(per1) if per1 else np.empty(0, np.int64)
+    a2 = np.concatenate(per2) if per2 else np.empty(0, np.int64)
+    return pd.DataFrame({"g1": a1, "g2": a2}), lens
 
 
 def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
@@ -801,13 +843,15 @@ def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
     DISTINCT docs; each doc reports how many distinct frequent grams it
     contains plus a ``flagged`` bit. Two passes over the corpus, ONE
     exchange: pass 1 turns each block into per-gram partial
-    distinct-doc counts (int64 gram keys through the raw-task
-    ``hash_shuffle`` — same economics as the set ops, no Dataset sort
-    all-to-all), the surviving frequent-gram key set (bounded above by
-    total_grams/df_min) is broadcast once via ``ray.put``, and pass 2
-    recounts each doc's grams against it with ``np.isin`` — no second
-    shuffle, no driver row loop. If a pathological corpus overflows
-    the broadcast bound, the same semi-join shape as q48 (hash-partition
+    distinct-doc counts (compound 128-bit gram keys through the
+    raw-task ``hash_shuffle`` — same economics as the set ops, no
+    Dataset sort all-to-all, collision-free where a 64-bit key merges
+    distinct grams at web scale), the surviving frequent-gram key set
+    (bounded above by total_grams/df_min) is broadcast once via
+    ``ray.put``, and pass 2 does ONE vectorized int64-pair merge per
+    batch plus a cumsum segment count — no per-doc isin re-sorts, no
+    driver row loop. If a pathological corpus overflows the broadcast
+    bound, the same semi-join shape as q48 (hash-partition
     (gram, doc_id) on gram) is the drop-in replacement."""
     import ray
 
@@ -816,40 +860,44 @@ def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
     P = 32
 
     def split(block: pa.Table) -> pa.Table:
-        per_doc = [_doc_gram_hashes(t, n)
-                   for t in block.column("text").to_pylist()]
-        allg = (np.concatenate(per_doc) if per_doc
-                else np.empty(0, np.int64))
-        keys, nd = np.unique(allg, return_counts=True)
+        gf, _ = _batch_gram_frame(block.column("text").to_pylist(), n)
+        per = gf.groupby(["g1", "g2"], sort=False).size().reset_index(name="nd")
+        k1 = per["g1"].to_numpy()
         return pa.table({
-            "key": pa.array(keys, pa.int64()),
-            "nd": pa.array(nd.astype(np.int64)),
+            "g1": pa.array(k1, pa.int64()),
+            "g2": pa.array(per["g2"].to_numpy(), pa.int64()),
+            "nd": pa.array(per["nd"].to_numpy().astype(np.int64)),
             "bucket": pa.array(
-                (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
+                (mix64(k1.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
         })
 
-    def merge(*tabs) -> np.ndarray:
+    def merge(*tabs) -> pd.DataFrame:
         live = [t for t in tabs if t.num_rows]
         if not live:
-            return np.empty(0, np.int64)
+            return pd.DataFrame({"g1": pd.Series(dtype="int64"),
+                                 "g2": pd.Series(dtype="int64")})
         g = pa.concat_tables(live).to_pandas()
-        df = g.groupby("key", sort=False)["nd"].sum()
-        return df.index.to_numpy()[df.to_numpy() >= df_min].astype(np.int64)
+        df = g.groupby(["g1", "g2"], sort=False, as_index=False)["nd"].sum()
+        return df.loc[df["nd"] >= df_min, ["g1", "g2"]]
 
     ds = _docs(sf_dir, ["doc_id", "text"])
     parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
                          split, merge, P=P)
-    frequent = np.sort(np.concatenate([p for p in parts if len(p)] or
-                                      [np.empty(0, np.int64)]))
+    frequent = pd.concat(parts, ignore_index=True)
     fref = ray.put(frequent)
 
     def count(batch: pa.Table) -> pa.Table:
         freq = ray.get(fref)
         ids = batch.column("doc_id").to_pylist()
-        hits = [int(np.isin(_doc_gram_hashes(t, n), freq,
-                            assume_unique=True).sum())
-                for t in batch.column("text").to_pylist()]
-        nf = np.asarray(hits, np.int64)
+        gf, lens = _batch_gram_frame(batch.column("text").to_pylist(), n)
+        hit = np.zeros(len(gf), np.int64)
+        if len(gf) and len(freq):
+            gf = gf.reset_index(drop=True)
+            m = gf.reset_index().merge(freq, on=["g1", "g2"], how="inner")
+            hit[m["index"].to_numpy()] = 1  # freq pairs are unique → no dup rows
+        cs = np.concatenate([[0], np.cumsum(hit)])
+        ends = np.cumsum(lens)
+        nf = cs[ends] - cs[ends - lens]
         return pa.table({"doc_id": pa.array(ids, pa.int64()),
                          "n_frequent": pa.array(nf),
                          "flagged": pa.array(nf >= flag_min)})
@@ -875,13 +923,15 @@ def q_source_quality_filter(sf_dir: str) -> pd.DataFrame:
         acc: dict[str, list[int]] = {}
         for s, t in zip(batch.column("source").to_pylist(),
                         batch.column("text").to_pylist()):
+            if s is None:
+                # the oracle's JOIN USING (source) drops NULL-source
+                # rows (NULL ≠ NULL); mirror that here and in tag()
+                continue
             cell = acc.setdefault(s, [0, 0])
             cell[0] += 1
-            if t is not None:
-                toks = _TOKEN_RX.findall(t.lower())
-                nstop = sum(1 for w in toks if w in STOP_WORDS)
-                if 10 <= len(toks) <= 1000 and 20 * nstop > len(toks):
-                    cell[1] += 1
+            st = quality_stats(t)
+            if st is not None and st[2]:
+                cell[1] += 1
         for s, (cn, cg) in acc.items():
             srcs.append(s)
             ns.append(cn)
@@ -900,6 +950,8 @@ def q_source_quality_filter(sf_dir: str) -> pd.DataFrame:
 
     def tag(batch: pa.Table) -> pa.Table:
         km = ray.get(kref)
+        # NULL-source rows fall out entirely (oracle JOIN semantics)
+        batch = batch.filter(pc.is_valid(batch.column("source")))
         srcs = batch.column("source").to_pylist()
         return pa.table({
             "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
