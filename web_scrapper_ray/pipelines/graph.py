@@ -107,8 +107,17 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
         pn, sn = unpack(keys)
         return np.unique(np.concatenate([pn, sn]))
 
-    node_parts = ray.get([bucket_nodes.remote(r) for r in pair_refs])
-    nodes = np.unique(np.concatenate(node_parts))  # sorted dense table
+    # merge bucket node-uniques INCREMENTALLY (one part in flight) so
+    # the driver peak stays O(N) — a batched ray.get would transiently
+    # hold up to P near-N-sized arrays before the final unique
+    node_refs = [bucket_nodes.remote(r) for r in pair_refs]
+    nodes = np.empty(0, np.int64)
+    part_sizes = []
+    for nr in node_refs:
+        part = ray.get(nr)
+        part_sizes.append(len(part))
+        if len(part):
+            nodes = np.union1d(nodes, part)
     N = len(nodes)
     if N == 0:
         return pd.DataFrame({"node": pd.Series(dtype="object"),
@@ -124,7 +133,11 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
         return (np.concatenate([pi, si]), np.concatenate([si, pi]))
 
     dense_refs = [to_dense.remote(r, nref)
-                  for r, npart in zip(pair_refs, node_parts) if len(npart)]
+                  for r, sz in zip(pair_refs, part_sizes) if sz]
+    # release the packed-key buckets once the dense tasks hold them —
+    # keeping pair_refs alive would pin both representations in the
+    # object store through every PageRank round
+    del pair_refs, node_refs
 
     @ray.remote
     def degree_partial(edges, n: int) -> np.ndarray:

@@ -767,31 +767,35 @@ def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
 # Cross-document boilerplate detection (q66)
 # ---------------------------------------------------------------------------
 
-_GRAM_HASH_CACHE: dict[str, int] = {}
+_GRAM_HASH_CACHE: dict[str, tuple[int, int]] = {}
 _GRAM_CACHE_MAX = 1_000_000  # bound the per-worker vocab memo (web-scale
 #                              vocabularies are unbounded; a clear at the
 #                              cap keeps the amortization without the leak)
-_GRAM_SALT = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _token_hashes(words: list[str]) -> np.ndarray:
-    """uint64 blake2b per token, memoized per worker process (the vocab
-    is tiny next to the token stream, so the dict amortizes the digest
-    cost across every doc the worker sees)."""
+def _token_hashes(words: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """TWO independent uint64s per token (one 128-bit blake2b digest
+    split in half), memoized per worker process. Independence matters:
+    deriving the second chain from the first 64 bits (e.g. mix64 of the
+    same digest XOR a salt) would cap the compound gram key's collision
+    bound at the 64-bit token-hash birthday bound instead of 2⁻¹²⁸."""
     import hashlib
 
-    out = np.empty(len(words), np.uint64)
+    t1 = np.empty(len(words), np.uint64)
+    t2 = np.empty(len(words), np.uint64)
     cache = _GRAM_HASH_CACHE
     if len(cache) > _GRAM_CACHE_MAX:
         cache.clear()
     for i, w in enumerate(words):
         h = cache.get(w)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+            d = hashlib.blake2b(w.encode(), digest_size=16).digest()
+            h = (int.from_bytes(d[:8], "little"),
+                 int.from_bytes(d[8:], "little"))
             cache[w] = h
-        out[i] = h
-    return out
+        t1[i] = h[0]
+        t2[i] = h[1]
+    return t1, t2
 
 
 def _doc_gram_hashes(text: str | None, n: int) -> tuple[np.ndarray, np.ndarray]:
@@ -807,13 +811,13 @@ def _doc_gram_hashes(text: str | None, n: int) -> tuple[np.ndarray, np.ndarray]:
     toks = _TOKEN_RX.findall((text or "").lower())
     if len(toks) < n:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    th = _token_hashes(toks)
+    th1, th2 = _token_hashes(toks)
     m = len(toks) - n + 1
-    h1 = mix64(th[:m])
-    h2 = mix64(th[:m] ^ _GRAM_SALT)
+    h1 = mix64(th1[:m])
+    h2 = mix64(th2[:m])
     for k in range(1, n):
-        h1 = mix64(h1 ^ th[k:k + m])
-        h2 = mix64(h2 ^ th[k:k + m] ^ _GRAM_SALT)
+        h1 = mix64(h1 ^ th1[k:k + m])
+        h2 = mix64(h2 ^ th2[k:k + m])
     g1, g2 = h1.view(np.int64), h2.view(np.int64)
     order = np.lexsort((g2, g1))
     g1, g2 = g1[order], g2[order]
@@ -866,7 +870,7 @@ def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
         return pa.table({
             "g1": pa.array(k1, pa.int64()),
             "g2": pa.array(per["g2"].to_numpy(), pa.int64()),
-            "nd": pa.array(per["nd"].to_numpy().astype(np.int64)),
+            "nd": pa.array(per["nd"].to_numpy()),
             "bucket": pa.array(
                 (mix64(k1.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
         })
@@ -892,7 +896,6 @@ def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
         gf, lens = _batch_gram_frame(batch.column("text").to_pylist(), n)
         hit = np.zeros(len(gf), np.int64)
         if len(gf) and len(freq):
-            gf = gf.reset_index(drop=True)
             m = gf.reset_index().merge(freq, on=["g1", "g2"], how="inner")
             hit[m["index"].to_numpy()] = 1  # freq pairs are unique → no dup rows
         cs = np.concatenate([[0], np.cumsum(hit)])
