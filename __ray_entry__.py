@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_source_quality_filter": textops.q_source_quality_filter,
         "q69_embedding_gram": similarity.q_embedding_gram,
         "q70_consistent_sample": textops.q_consistent_sample,
+        "q71_kmeans": similarity.q_kmeans,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -734,6 +735,37 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, md5(doc_id::VARCHAR || ':' || coalesce(text, '')) AS h
                 FROM documents ORDER BY h, doc_id LIMIT 20
             ) ORDER BY doc_id
+        """,
+        "q71_kmeans": """
+            WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                               CAST(unnest(embedding) AS DOUBLE) AS v
+                        FROM embeddings),
+            c0 AS (SELECT vec_id AS cluster, pos, v AS c FROM ex WHERE vec_id < 4),
+            d1 AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                   FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cluster) AS rn
+                       FROM d1) WHERE rn = 1),
+            m1 AS (SELECT a.cluster, e.pos, avg(e.v) AS c
+                   FROM a1 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+            c1 AS (SELECT c0.cluster, c0.pos, coalesce(m1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN m1 ON c0.cluster = m1.cluster
+                                       AND c0.pos = m1.pos),
+            d2_ AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                    FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
+            a2 AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cluster) AS rn
+                       FROM d2_) WHERE rn = 1),
+            m2 AS (SELECT a.cluster, e.pos, avg(e.v) AS c
+                   FROM a2 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+            c2 AS (SELECT c1.cluster, c1.pos, coalesce(m2.c, c1.c) AS c
+                   FROM c1 LEFT JOIN m2 ON c1.cluster = m2.cluster
+                                       AND c1.pos = m2.pos)
+            SELECT cluster, pos, round(c, 6) AS c FROM c2 ORDER BY cluster, pos
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

@@ -843,3 +843,28 @@ def test_pagerank_key_overflow_is_loud(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "lineitem.parquet"))
     with pytest.raises(Exception, match="pack overflow"):
         q_pagerank_part_supplier(str(tmp_path))
+
+
+def test_kmeans_recovers_planted_blobs(ray_session, tmp_path):
+    """q71: with one init point per well-separated blob, two Lloyd
+    rounds land each centroid on its blob mean (within the blob noise);
+    a cluster that captures nothing keeps its init centroid."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_kmeans
+
+    rng = np.random.default_rng(3)
+    centers = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, -10.0]])
+    pts = [centers[i % 3] + 0.1 * rng.normal(size=2) for i in range(90)]
+    # vec_ids 0,1,2 are the first three points → one init per blob
+    t = pa.table({"vec_id": pa.array(range(90), pa.int64()),
+                  "embedding": pa.array([list(map(float, p)) for p in pts],
+                                        pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_kmeans(str(tmp_path), k=3, iters=2)
+    cent = {c: np.array([g.sort_values("pos")["c"].to_numpy()])
+            for c, g in out.groupby("cluster")}
+    for i in range(3):
+        true_mean = np.mean([p for j, p in enumerate(pts) if j % 3 == i], axis=0)
+        assert np.abs(cent[i][0] - true_mean).max() < 0.05, (i, cent[i], true_mean)

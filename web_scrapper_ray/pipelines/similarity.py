@@ -644,3 +644,85 @@ def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"i": (iu + 1).astype(np.int64),
                          "j": (ju + 1).astype(np.int64),
                          "g": np.round(total[iu, ju], 6)})
+
+
+def q_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pd.DataFrame:
+    """Distributed k-means (Lloyd), the canonical iterative-ML shape:
+    centroids are the small broadcast state (k×d floats via
+    ``ray.put``), each round is ONE streaming pass where every batch
+    assigns its vectors to the nearest centroid (vectorized squared-L2
+    against the broadcast matrix, ties to the lowest centroid id) and
+    pre-combines to per-cluster (count, sum-vector) partials — the
+    k×d-sized combiner crosses the wire, never the corpus — and the
+    driver reduces n_batches×k tiny rows into the next centroids.
+    Deterministic contract (SQL-checkable): init = the embeddings of
+    vec_id 0..k−1, fixed ``iters`` rounds, a cluster that receives no
+    members keeps its previous centroid. Output = final centroids
+    exploded to (cluster, pos, c) rows rounded to 6dp."""
+    import ray
+
+    _EMPTY = pa.table({"cluster": pa.array([], pa.int64()),
+                       "cnt": pa.array([], pa.int64()),
+                       "vsum": pa.array([], pa.list_(pa.float64()))})
+
+    init_ids, init_mat = _query_matrix_raw(sf_dir, range(k))
+    if len(init_ids) == 0:
+        return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="float64")})
+    # cluster LABELS are the init vec_ids (like the oracle's
+    # `vec_id AS cluster`); rows of `cent` are indexed 0..k-1 in the
+    # same sorted order, so argmin's first-index tie-break equals the
+    # oracle's ORDER BY d2, cluster
+    k = len(init_ids)
+    cent = init_mat.copy()
+
+    def assign_partial(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _EMPTY
+        # ||x-c||² = ||x||² - 2x·c + ||c||²; the ||x||² term is common
+        # per row, so argmin over (-2x·c + ||c||²) suffices — one
+        # matmul per batch, no n×k×d temporaries
+        d2 = -2.0 * (mat @ c.T) + (c * c).sum(axis=1)
+        best = np.argmin(d2, axis=1)  # np.argmin takes the FIRST min → lowest cid
+        cl, inv = np.unique(best, return_inverse=True)
+        cnt = np.bincount(inv)
+        vsum = np.zeros((len(cl), mat.shape[1]))
+        np.add.at(vsum, inv, mat)
+        return pa.table({
+            "cluster": pa.array(cl.astype(np.int64)),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "vsum": pa.array(list(vsum), pa.list_(pa.float64())),
+        })
+
+    for _ in range(iters):
+        cref = ray.put(cent)
+        parts = (_emb(sf_dir).map_batches(assign_partial,
+                                          batch_format="pyarrow").to_pandas())
+        new = cent.copy()  # empty clusters keep their previous centroid
+        if len(parts):
+            for cl, grp in parts.groupby("cluster"):
+                n = grp["cnt"].sum()
+                s = np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]),
+                           axis=0)
+                new[int(cl)] = s / n
+        cent = new
+
+    d = cent.shape[1]
+    cl = np.repeat(init_ids.astype(np.int64), d)
+    pos = np.tile(np.arange(1, d + 1, dtype=np.int64), k)
+    return pd.DataFrame({"cluster": cl, "pos": pos,
+                         "c": np.round(cent.reshape(-1), 6)})
+
+
+def _query_matrix_raw(sf_dir: str, ids) -> tuple[np.ndarray, np.ndarray]:
+    """Pushdown fetch of specific vectors WITHOUT unit-normalizing
+    (k-means wants raw coordinates; _query_matrix normalizes for
+    cosine search)."""
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=pc.field("vec_id").isin([int(q) for q in ids]),
+        columns=["vec_id", "embedding"],
+    ).sort_by("vec_id")
+    return _batch_matrix(t)
