@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_embedding_gram": similarity.q_embedding_gram,
         "q70_consistent_sample": textops.q_consistent_sample,
         "q71_kmeans": similarity.q_kmeans,
+        "q72_mix_allocation": textops.q_mix_allocation,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -766,6 +767,23 @@ def oracle_sql() -> dict[str, str]:
                    FROM c1 LEFT JOIN m2 ON c1.cluster = m2.cluster
                                        AND c1.pos = m2.pos)
             SELECT cluster, pos, round(c, 6) AS c FROM c2 ORDER BY cluster, pos
+        """,
+        "q72_mix_allocation": r"""
+            WITH tok AS (SELECT source,
+                                sum(coalesce(len(regexp_extract_all(text, '\w+')), 0))::BIGINT AS n_tokens
+                         FROM documents GROUP BY source),
+            w AS (SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) AS wt FROM tok),
+            q AS (SELECT source, n_tokens,
+                         100000 * wt / (SELECT sum(wt) FROM w) AS quota FROM w),
+            fl AS (SELECT source, n_tokens, floor(quota)::BIGINT AS base,
+                          quota - floor(quota) AS rem FROM q),
+            r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
+                  FROM fl),
+            x AS (SELECT 100000 - sum(base) AS extra FROM fl)
+            SELECT source, n_tokens,
+                   (base + CASE WHEN rk <= (SELECT extra FROM x)
+                                THEN 1 ELSE 0 END)::BIGINT AS alloc
+            FROM r ORDER BY source
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

@@ -868,3 +868,30 @@ def test_kmeans_recovers_planted_blobs(ray_session, tmp_path):
     for i in range(3):
         true_mean = np.mean([p for j, p in enumerate(pts) if j % 3 == i], axis=0)
         assert np.abs(cent[i][0] - true_mean).max() < 0.05, (i, cent[i], true_mean)
+
+
+def test_mix_allocation_budget_and_temperature(ray_session, tmp_path):
+    """q72: allocations sum exactly to the budget, every source gets
+    its floor quota, and the sqrt temperature upweights small sources
+    relative to proportional allocation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_mix_allocation
+
+    rows = []
+    did = 0
+    for s, ndocs, words in (("big", 40, 100), ("mid", 10, 50), ("tiny", 2, 10)):
+        for _ in range(ndocs):
+            rows.append({"doc_id": did, "source": s,
+                         "text": " ".join(f"w{j}" for j in range(words))})
+            did += 1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_mix_allocation(str(tmp_path), budget=1000)
+    by = out.set_index("source")
+    assert int(out["alloc"].sum()) == 1000
+    tot = by["n_tokens"].sum()
+    # sqrt temperature: tiny source's share must exceed its raw share
+    assert by.loc["tiny", "alloc"] / 1000 > by.loc["tiny", "n_tokens"] / tot
+    assert by.loc["big", "alloc"] / 1000 < by.loc["big", "n_tokens"] / tot

@@ -998,3 +998,50 @@ def q_consistent_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
              .to_pandas())
     top = parts.sort_values(["h", "doc_id"]).head(k)
     return top.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mix_allocation(sf_dir: str, budget: int = 100_000) -> pd.DataFrame:
+    """Pretraining data-mixing plan (the "temperature-weighted source
+    mixture" step): per-source token totals → sqrt-temperature weights
+    (α = 0.5 upweights small sources like multilingual mixing recipes
+    do) → integer token allocations under ``budget`` by
+    largest-remainder rounding (deterministic, tie → source asc).
+    Scale shape: ONE streaming pass computes per-batch (source,
+    n_tokens) partials with the vectorized Arrow token-count kernel —
+    rows crossing the driver are n_sources × n_batches — and the
+    allocation arithmetic runs on the n_sources-sized table."""
+    import pyarrow.compute as pc
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.cast(pc.count_substring_regex(batch.column("text"), r"\w+"),
+                    pa.int64()), 0)
+        df = pd.DataFrame({"source": batch.column("source").to_pandas(),
+                           "n": n.to_pandas()})
+        g = df.groupby("source", sort=False, dropna=False,
+                       as_index=False)["n"].sum()
+        return pa.table({"source": pa.array(g["source"], pa.string()),
+                         "n_tokens": pa.array(g["n"].to_numpy(), pa.int64())})
+
+    stats = (_docs(sf_dir, ["source", "text"])
+             .map_batches(partial, batch_format="pyarrow")
+             .to_pandas())
+    if stats.empty:
+        return pd.DataFrame({"source": pd.Series(dtype="object"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "alloc": pd.Series(dtype="int64")})
+    agg = (stats.groupby("source", sort=True, dropna=False, as_index=False)
+           ["n_tokens"].sum())
+    wt = np.sqrt(agg["n_tokens"].to_numpy().astype(np.float64))
+    quota = budget * wt / wt.sum()
+    base = np.floor(quota).astype(np.int64)
+    rem = quota - base
+    extra = budget - int(base.sum())
+    # largest remainder, ties by source ascending (agg is source-sorted,
+    # so stable argsort on -rem realizes the tie-break)
+    order = np.argsort(-rem, kind="stable")
+    alloc = base.copy()
+    alloc[order[:extra]] += 1
+    return pd.DataFrame({"source": agg["source"],
+                         "n_tokens": agg["n_tokens"].astype("int64"),
+                         "alloc": alloc}).reset_index(drop=True)
