@@ -774,12 +774,15 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents GROUP BY source),
             w AS (SELECT source, n_tokens, sqrt(n_tokens::DOUBLE) AS wt FROM tok),
             q AS (SELECT source, n_tokens,
-                         100000 * wt / (SELECT sum(wt) FROM w) AS quota FROM w),
+                         CASE WHEN (SELECT sum(wt) FROM w) = 0 THEN 0
+                              ELSE 100000 * wt / (SELECT sum(wt) FROM w)
+                         END AS quota FROM w),
             fl AS (SELECT source, n_tokens, floor(quota)::BIGINT AS base,
                           quota - floor(quota) AS rem FROM q),
             r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rk
                   FROM fl),
-            x AS (SELECT 100000 - sum(base) AS extra FROM fl)
+            x AS (SELECT CASE WHEN (SELECT sum(wt) FROM w) = 0 THEN 0
+                              ELSE 100000 - sum(base) END AS extra FROM fl)
             SELECT source, n_tokens,
                    (base + CASE WHEN rk <= (SELECT extra FROM x)
                                 THEN 1 ELSE 0 END)::BIGINT AS alloc

@@ -895,3 +895,40 @@ def test_mix_allocation_budget_and_temperature(ray_session, tmp_path):
     # sqrt temperature: tiny source's share must exceed its raw share
     assert by.loc["tiny", "alloc"] / 1000 > by.loc["tiny", "n_tokens"] / tot
     assert by.loc["big", "alloc"] / 1000 < by.loc["big", "n_tokens"] / tot
+
+
+def test_mix_allocation_zero_and_null_edges(ray_session, tmp_path):
+    """q72 edge cases: an all-zero-token corpus allocates zeros (not
+    NaN-floor garbage) and a NULL source survives as its own row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_mix_allocation
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "source": pa.array(["a", None, "a"], pa.string()),
+                  "text": pa.array(["...", "!!!", None], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_mix_allocation(str(tmp_path), budget=100)
+    assert out["alloc"].tolist() == [0, 0]
+    assert out["source"].tolist()[0] == "a" and out["source"].tolist()[1] is None
+
+
+def test_kmeans_skips_null_embeddings(ray_session, tmp_path):
+    """q71 (via _batch_matrix): NULL embedding rows drop like the
+    oracle's unnest instead of shifting the batch matrix."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_kmeans
+
+    t = pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0],
+                                         None, [4.0, 5.0]],
+                                        pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_kmeans(str(tmp_path), k=2, iters=1)
+    cent = {(c, p): v for c, p, v in zip(out["cluster"], out["pos"], out["c"])}
+    # vec 3 joins cluster 1 (d²=32 vs 34); vec 2 is skipped entirely
+    assert cent[(0, 1)] == 1.0 and cent[(0, 2)] == 0.0
+    assert cent[(1, 1)] == 2.0 and cent[(1, 2)] == 3.0

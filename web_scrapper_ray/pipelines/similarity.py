@@ -59,6 +59,13 @@ _EMPTY_KNN = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
 
 
 def _batch_matrix(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    # drop NULL-embedding rows first: flatten() silently omits null list
+    # slots, so reshape would either raise or SHIFT every later row's
+    # coordinates; the SQL oracles' unnest skips those vec_ids the same
+    # way this filter does
+    valid = pc.is_valid(batch.column("embedding"))
+    if not pc.all(valid).as_py():
+        batch = batch.filter(valid)
     ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
     if len(ids) == 0:
         # reshape(0, -1) raises; callers short-circuit on len(ids) == 0
@@ -658,7 +665,16 @@ def q_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pd.DataFrame:
     Deterministic contract (SQL-checkable): init = the embeddings of
     vec_id 0..k−1, fixed ``iters`` rounds, a cluster that receives no
     members keeps its previous centroid. Output = final centroids
-    exploded to (cluster, pos, c) rows rounded to 6dp."""
+    exploded to (cluster, pos, c) rows rounded to 6dp.
+
+    Parity caveat (inherent to discrete iterative algorithms): the
+    engine's fused distance and the oracle's per-dim sum agree only to
+    float rounding, so a vector within ~1 ulp of exactly equidistant
+    between two centroids could assign differently and desynchronize
+    later rounds. On continuous-valued embeddings that is a
+    measure-zero event (distance gaps are O(1), float error ~1e-13);
+    duplicate-heavy integer-valued inputs would need an epsilon-aware
+    tie rule instead."""
     import ray
 
     _EMPTY = pa.table({"cluster": pa.array([], pa.int64()),

@@ -1020,7 +1020,10 @@ def q_mix_allocation(sf_dir: str, budget: int = 100_000) -> pd.DataFrame:
                            "n": n.to_pandas()})
         g = df.groupby("source", sort=False, dropna=False,
                        as_index=False)["n"].sum()
-        return pa.table({"source": pa.array(g["source"], pa.string()),
+        # from_pandas maps the NaN that dropna=False uses for a NULL
+        # key back to an arrow null (pa.array would raise / mis-type)
+        return pa.table({"source": pa.Array.from_pandas(g["source"],
+                                                        type=pa.string()),
                          "n_tokens": pa.array(g["n"].to_numpy(), pa.int64())})
 
     stats = (_docs(sf_dir, ["source", "text"])
@@ -1032,16 +1035,26 @@ def q_mix_allocation(sf_dir: str, budget: int = 100_000) -> pd.DataFrame:
                              "alloc": pd.Series(dtype="int64")})
     agg = (stats.groupby("source", sort=True, dropna=False, as_index=False)
            ["n_tokens"].sum())
+    # pandas' dropna=False NULL key is float NaN — restore None so the
+    # output column matches the oracle's NULL-source row
+    agg["source"] = agg["source"].where(agg["source"].notna(), None)
     wt = np.sqrt(agg["n_tokens"].to_numpy().astype(np.float64))
-    quota = budget * wt / wt.sum()
-    base = np.floor(quota).astype(np.int64)
-    rem = quota - base
-    extra = budget - int(base.sum())
-    # largest remainder, ties by source ascending (agg is source-sorted,
-    # so stable argsort on -rem realizes the tie-break)
-    order = np.argsort(-rem, kind="stable")
-    alloc = base.copy()
-    alloc[order[:extra]] += 1
+    if wt.sum() == 0:
+        # an all-zero-token corpus has no meaningful mixture; 0/0 would
+        # otherwise be NaN → INT64_MIN garbage (oracle has the same
+        # zero-sum CASE guard)
+        alloc = np.zeros(len(agg), np.int64)
+    else:
+        quota = budget * wt / wt.sum()
+        base = np.floor(quota).astype(np.int64)
+        rem = quota - base
+        extra = budget - int(base.sum())
+        # largest remainder, ties by source ascending (agg is
+        # source-sorted, so stable argsort on -rem realizes the
+        # tie-break)
+        order = np.argsort(-rem, kind="stable")
+        alloc = base.copy()
+        alloc[order[:extra]] += 1
     return pd.DataFrame({"source": agg["source"],
                          "n_tokens": agg["n_tokens"].astype("int64"),
                          "alloc": alloc}).reset_index(drop=True)
