@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_consistent_sample": textops.q_consistent_sample,
         "q71_kmeans": similarity.q_kmeans,
         "q72_mix_allocation": textops.q_mix_allocation,
+        "q73_inverted_index": textops.q_inverted_index,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -787,6 +788,18 @@ def oracle_sql() -> dict[str, str]:
                    (base + CASE WHEN rk <= (SELECT extra FROM x)
                                 THEN 1 ELSE 0 END)::BIGINT AS alloc
             FROM r ORDER BY source
+        """,
+        "q73_inverted_index": rf"""
+            WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ws
+                       FROM documents),
+            wd AS (SELECT DISTINCT doc_id, w
+                   FROM (SELECT doc_id, unnest(ws) AS w FROM d)
+                   WHERE len(w) > 2 AND w NOT IN ({_STOPLIST_SQL})),
+            f AS (SELECT w, count(*) AS df FROM wd GROUP BY w),
+            top AS (SELECT w, df FROM f ORDER BY df DESC, w LIMIT 100)
+            SELECT t.w AS word, t.df, wd.doc_id
+            FROM top t JOIN wd ON wd.w = t.w
+            ORDER BY word, doc_id
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

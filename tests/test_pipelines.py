@@ -932,3 +932,25 @@ def test_kmeans_skips_null_embeddings(ray_session, tmp_path):
     # vec 3 joins cluster 1 (d²=32 vs 34); vec 2 is skipped entirely
     assert cent[(0, 1)] == 1.0 and cent[(0, 2)] == 0.0
     assert cent[(1, 1)] == 2.0 and cent[(1, 2)] == 3.0
+
+
+def test_inverted_index_postings(ray_session, tmp_path):
+    """q73: df equals the number of distinct docs containing the word,
+    postings list every one of them exactly once, and the top cut
+    orders by (df desc, word asc)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_inverted_index
+
+    rows = [{"doc_id": 0, "text": "apple banana apple"},
+            {"doc_id": 1, "text": "apple cherry"},
+            {"doc_id": 2, "text": "banana banana cherry"},
+            {"doc_id": 3, "text": "the and for"}]  # stopwords only
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_inverted_index(str(tmp_path), top=2)
+    got = {(w, d) for w, d in zip(out["word"], out["doc_id"])}
+    # df: apple 2, banana 2, cherry 2 → top-2 by word asc = apple, banana
+    assert got == {("apple", 0), ("apple", 1), ("banana", 0), ("banana", 2)}
+    assert set(out["df"]) == {2}

@@ -1058,3 +1058,71 @@ def q_mix_allocation(sf_dir: str, budget: int = 100_000) -> pd.DataFrame:
     return pd.DataFrame({"source": agg["source"],
                          "n_tokens": agg["n_tokens"].astype("int64"),
                          "alloc": alloc}).reset_index(drop=True)
+
+
+def q_inverted_index(sf_dir: str, top: int = 100) -> pd.DataFrame:
+    """Inverted-index build (the search/retrieval primitive): posting
+    lists for the ``top`` keywords by document frequency. Exploded to
+    (word, df, doc_id) rows so the oracle can hash-compare it.
+    Two streaming passes, both combiner-shaped:
+
+    1. per-batch distinct-per-doc keyword partials (q13's keyword rule:
+       ASCII ``\\w``, lowered, len>2, non-stopword) → groupby-sum →
+       the (word, df) table; top-``top`` by (df DESC, word ASC) is the
+       broadcast probe set — the full vocabulary never leaves the
+       driver-side agg;
+    2. per-batch (word, doc_id) pair emission filtered by the broadcast
+       set — the shuffle-free postings collection; rows crossing the
+       wire are bounded by Σ df over the probe words, not the corpus.
+    At web scale step 2's collection becomes a partitioned parquet
+    write keyed by word range instead of a driver frame — the pass
+    itself is unchanged."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counter.update({w for w in _TOKEN_RX.findall((t or "").lower())
+                            if len(w) > 2 and w not in STOP_WORDS})
+        if not counter:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, ns = zip(*counter.items())
+        return pa.table({"word": pa.array(list(words)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    df_tab = (ds.map_batches(df_partial, batch_format="pyarrow")
+              .groupby("word").aggregate(Sum("n", alias_name="df"))
+              .to_pandas())
+    out_empty = pd.DataFrame({"word": pd.Series(dtype="object"),
+                              "df": pd.Series(dtype="int64"),
+                              "doc_id": pd.Series(dtype="int64")})
+    if df_tab.empty:
+        return out_empty
+    df_tab = df_tab.sort_values(["df", "word"],
+                                ascending=[False, True]).head(top)
+    probe = {w: int(d) for w, d in zip(df_tab["word"], df_tab["df"])}
+    pref = ray.put(probe)
+
+    def postings(batch: pa.Table) -> pa.Table:
+        pm = ray.get(pref)
+        out_w, out_d, out_f = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            seen = {w for w in _TOKEN_RX.findall((t or "").lower())
+                    if w in pm}
+            for w in seen:
+                out_w.append(w)
+                out_f.append(pm[w])
+                out_d.append(d)
+        return pa.table({"word": pa.array(out_w, pa.string()),
+                         "df": pa.array(out_f, pa.int64()),
+                         "doc_id": pa.array(out_d, pa.int64())})
+
+    rows = ds.map_batches(postings, batch_format="pyarrow").to_pandas()
+    if rows.empty:
+        return out_empty
+    return rows.sort_values(["word", "doc_id"]).reset_index(drop=True)
