@@ -205,6 +205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q46_custkeys_intersect": relational.q_custkeys_intersect,
         "q47_custkeys_except": relational.q_custkeys_except,
         "q61_top_percentile": relational.q_top_percentile_events,
+        "q74_event_funnel": relational.q_event_funnel,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -800,6 +801,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.w AS word, t.df, wd.doc_id
             FROM top t JOIN wd ON wd.w = t.w
             ORDER BY word, doc_id
+        """,
+        "q74_event_funnel": """
+            WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, min(e.ts) AS t2
+                   FROM events e JOIN s1 USING (user_id)
+                   WHERE e.event_type = 'view' AND e.ts > s1.t1 GROUP BY 1),
+            s3 AS (SELECT e.user_id, min(e.ts) AS t3
+                   FROM events e JOIN s2 USING (user_id)
+                   WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+            SELECT u.user_id,
+                   (CASE WHEN s3.user_id IS NOT NULL THEN 3
+                         WHEN s2.user_id IS NOT NULL THEN 2
+                         WHEN s1.user_id IS NOT NULL THEN 1
+                         ELSE 0 END)::BIGINT AS reached
+            FROM (SELECT DISTINCT user_id FROM events) u
+            LEFT JOIN s1 USING (user_id)
+            LEFT JOIN s2 USING (user_id)
+            LEFT JOIN s3 USING (user_id)
+            ORDER BY user_id
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

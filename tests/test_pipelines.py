@@ -954,3 +954,38 @@ def test_inverted_index_postings(ray_session, tmp_path):
     # df: apple 2, banana 2, cherry 2 → top-2 by word asc = apple, banana
     assert got == {("apple", 0), ("apple", 1), ("banana", 0), ("banana", 2)}
     assert set(out["df"]) == {2}
+
+
+def test_event_funnel_strict_ordering(ray_session, tmp_path):
+    """q74: stage timestamps must be strictly increasing — a purchase
+    BEFORE the first view doesn't convert; a full ordered path does."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def ts(m):
+        return pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=m)
+
+    rows = [
+        # user 1: full ordered funnel
+        {"user_id": 1, "event_type": "signup", "ts": ts(0)},
+        {"user_id": 1, "event_type": "view", "ts": ts(5)},
+        {"user_id": 1, "event_type": "purchase", "ts": ts(9)},
+        # user 2: purchase precedes the post-signup view -> reached 2
+        {"user_id": 2, "event_type": "signup", "ts": ts(0)},
+        {"user_id": 2, "event_type": "purchase", "ts": ts(1)},
+        {"user_id": 2, "event_type": "view", "ts": ts(2)},
+        # user 3: view before signup only -> reached 1
+        {"user_id": 3, "event_type": "view", "ts": ts(0)},
+        {"user_id": 3, "event_type": "signup", "ts": ts(1)},
+        # user 4: never signed up -> reached 0
+        {"user_id": 4, "event_type": "view", "ts": ts(0)},
+    ]
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+
+    from web_scrapper_ray.pipelines.relational import q_event_funnel
+
+    out = q_event_funnel(str(tmp_path))
+    assert dict(zip(out["user_id"], out["reached"])) == {1: 3, 2: 2, 3: 1, 4: 0}

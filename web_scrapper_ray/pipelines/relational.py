@@ -795,3 +795,48 @@ def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
     pick = np.lexsort((bid, -bv))[:need]
     return _fmt([t for t in (top.to_pandas(), bucket.take(pa.array(pick)).to_pandas())
                  if not t.empty])
+
+
+def q_event_funnel(sf_dir: str) -> pd.DataFrame:
+    """Sequential funnel over the event log (the product-analytics
+    primitive): per user, how deep into signup → view → purchase did
+    they get, with each stage's first occurrence required to be
+    STRICTLY after the previous stage's. Distributed shape: one hash
+    shuffle co-locates each user's events (coarsened into ~64 buckets —
+    one map_groups dispatch per BUCKET, the q07 rule) and the whole
+    bucket resolves its funnels with three vectorized
+    filter→merge→groupby-min steps; the output is one small row per
+    user. At any scale this is the same single exchange a
+    sessionization pass costs."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    B = 64
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()))
+
+    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        t1 = (g[g["event_type"] == "signup"]
+              .groupby("user_id")["ts"].min().rename("t1"))
+        v = g[g["event_type"] == "view"].merge(t1, on="user_id")
+        t2 = v[v["ts"] > v["t1"]].groupby("user_id")["ts"].min().rename("t2")
+        p = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
+        t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min().rename("t3")
+        users = pd.Index(g["user_id"].unique(), name="user_id")
+        reached = pd.Series(0, index=users, dtype="int64")
+        reached[reached.index.isin(t1.index)] = 1
+        reached[reached.index.isin(t2.index)] = 2
+        reached[reached.index.isin(t3.index)] = 3
+        out = reached.reset_index().rename(columns={0: "reached"})
+        out.columns = ["user_id", "reached"]
+        out["user_id"] = out["user_id"].astype("int64")
+        return out
+
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(funnel_bucket, batch_format="pandas")
+        .to_pandas()
+    )
+    return out.sort_values("user_id").reset_index(drop=True)
