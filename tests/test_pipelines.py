@@ -989,3 +989,31 @@ def test_event_funnel_strict_ordering(ray_session, tmp_path):
 
     out = q_event_funnel(str(tmp_path))
     assert dict(zip(out["user_id"], out["reached"])) == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_event_funnel_null_and_empty_edges(ray_session, tmp_path):
+    """q74: a NULL user_id gets its own reached-0 row (SQL NULL never
+    joins a stage) and an empty events table returns zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_event_funnel
+
+    t = pa.table({
+        "user_id": pa.array([1, None], pa.int64()),
+        "event_type": pa.array(["signup", "signup"], pa.string()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * 2,
+                       pa.timestamp("us")),
+    })
+    d1 = tmp_path / "a"
+    d1.mkdir()
+    pq.write_table(t, str(d1 / "events.parquet"))
+    out = q_event_funnel(str(d1))
+    vals = {(-1 if pd.isna(u) else int(u)): r
+            for u, r in zip(out["user_id"], out["reached"])}
+    assert vals == {1: 1, -1: 0}
+
+    d2 = tmp_path / "b"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 0), str(d2 / "events.parquet"))
+    assert len(q_event_funnel(str(d2))) == 0

@@ -801,22 +801,38 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
     """Sequential funnel over the event log (the product-analytics
     primitive): per user, how deep into signup → view → purchase did
     they get, with each stage's first occurrence required to be
-    STRICTLY after the previous stage's. Distributed shape: one hash
-    shuffle co-locates each user's events (coarsened into ~64 buckets —
-    one map_groups dispatch per BUCKET, the q07 rule) and the whole
-    bucket resolves its funnels with three vectorized
-    filter→merge→groupby-min steps; the output is one small row per
-    user. At any scale this is the same single exchange a
-    sessionization pass costs."""
-    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    STRICTLY after the previous stage's. Distributed shape: ONE
+    raw-task ``hash_shuffle`` co-locates each user's events into ~64
+    coarse buckets (Dataset.groupby's sort all-to-all costs ~4s fixed
+    in local mode — the CLAUDE.md rule) and each bucket resolves its
+    funnels with three vectorized filter→merge→groupby-min steps; the
+    output is one small row per user. A NULL user_id matches the
+    oracle's semantics — its own row with reached 0, since SQL NULL
+    never joins a funnel stage."""
     B = 64
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
 
-    def add_bucket(t: pa.Table) -> pa.Table:
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            # an all-empty parquet read yields schema-less blocks
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "ts": pa.array([], pa.timestamp("us")),
+                             "event_type": pa.array([], pa.string()),
+                             "bucket": pa.array([], pa.int64())})
+        # NULL user_ids route to bucket 0 (any bucket works — the
+        # funnel drops them into the reached-0 row either way)
         return t.append_column(
             "bucket",
-            pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()))
+            pc.cast(pc.bit_wise_and(pc.fill_null(t.column("user_id"), 0),
+                                    B - 1), pa.int64()))
 
-    def funnel_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    def funnel_bucket(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "reached": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        g = pa.concat_tables(live).to_pandas()
         t1 = (g[g["event_type"] == "signup"]
               .groupby("user_id")["ts"].min().rename("t1"))
         v = g[g["event_type"] == "view"].merge(t1, on="user_id")
@@ -824,19 +840,22 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
         p = g[g["event_type"] == "purchase"].merge(t2, on="user_id")
         t3 = p[p["ts"] > p["t2"]].groupby("user_id")["ts"].min().rename("t3")
         users = pd.Index(g["user_id"].unique(), name="user_id")
-        reached = pd.Series(0, index=users, dtype="int64")
+        reached = pd.Series(0, index=users, dtype="int64", name="reached")
         reached[reached.index.isin(t1.index)] = 1
         reached[reached.index.isin(t2.index)] = 2
         reached[reached.index.isin(t3.index)] = 3
-        out = reached.reset_index().rename(columns={0: "reached"})
-        out.columns = ["user_id", "reached"]
-        out["user_id"] = out["user_id"].astype("int64")
+        out = reached.reset_index()
+        out["user_id"] = out["user_id"].astype(
+            "Int64" if out["user_id"].isna().any() else "int64")
         return out
 
-    out = (
-        ds.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(funnel_bucket, batch_format="pandas")
-        .to_pandas()
-    )
+    from .pairs import hash_shuffle
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, funnel_bucket, P=B)
+        if len(p)]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "reached": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
     return out.sort_values("user_id").reset_index(drop=True)
