@@ -238,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q70_consistent_sample": textops.q_consistent_sample,
         "q71_kmeans": similarity.q_kmeans,
         "q72_mix_allocation": textops.q_mix_allocation,
+        "q75_normalize_by_label": similarity.q_normalize_by_label,
         "q73_inverted_index": textops.q_inverted_index,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
@@ -821,6 +822,20 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN s2 USING (user_id)
             LEFT JOIN s3 USING (user_id)
             ORDER BY user_id
+        """,
+        "q75_normalize_by_label": """
+            WITH ex AS (SELECT vec_id, label,
+                               CAST(unnest(embedding) AS DOUBLE) AS v,
+                               generate_subscripts(embedding, 1) AS pos
+                        FROM embeddings),
+            st AS (SELECT label, pos, avg(v) AS mu,
+                          avg(v * v) - avg(v) * avg(v) AS var
+                   FROM ex GROUP BY 1, 2)
+            SELECT e.vec_id, e.pos,
+                   round(CASE WHEN st.var <= 0 THEN 0
+                              ELSE (e.v - st.mu) / sqrt(st.var) END, 6) AS z
+            FROM ex e JOIN st USING (label, pos)
+            ORDER BY vec_id, pos
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

@@ -1017,3 +1017,33 @@ def test_event_funnel_null_and_empty_edges(ray_session, tmp_path):
     d2.mkdir()
     pq.write_table(t.slice(0, 0), str(d2 / "events.parquet"))
     assert len(q_event_funnel(str(d2))) == 0
+
+
+def test_normalize_by_label_stats(ray_session, tmp_path):
+    """q75: z-scores within each (label, pos) have mean ~0 and pop-std
+    ~1; a constant dimension normalizes to exactly 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_normalize_by_label
+
+    rng = np.random.default_rng(11)
+    rows, labels = [], []
+    for i in range(60):
+        lb = i % 2
+        v = rng.normal(size=3) * (lb + 1) + lb
+        v[2] = 7.0  # constant dimension
+        rows.append(list(map(float, v)))
+        labels.append(lb)
+    t = pa.table({"vec_id": pa.array(range(60), pa.int64()),
+                  "label": pa.array(labels, pa.int32()),
+                  "embedding": pa.array(rows, pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    out = q_normalize_by_label(str(tmp_path))
+    z = out.pivot(index="vec_id", columns="pos", values="z")
+    for lb in (0, 1):
+        sel = z.loc[[i for i in range(60) if i % 2 == lb]]
+        for pos in (1, 2):
+            assert abs(sel[pos].mean()) < 1e-5
+            assert abs(sel[pos].std(ddof=0) - 1.0) < 1e-5
+        assert (sel[3] == 0.0).all()  # constant dim

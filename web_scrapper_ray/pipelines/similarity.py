@@ -742,3 +742,88 @@ def _query_matrix_raw(sf_dir: str, ids) -> tuple[np.ndarray, np.ndarray]:
         columns=["vec_id", "embedding"],
     ).sort_by("vec_id")
     return _batch_matrix(t)
+
+
+def q_normalize_by_label(sf_dir: str) -> pd.DataFrame:
+    """Per-label z-score normalization of the embedding table (the
+    per-class feature-standardization step): z = (x − μ)/σ per
+    (label, dimension), with σ² = E[v²] − E[v]² computed by the SAME
+    explicit formula the oracle SQL uses (stddev_pop's internal
+    algorithm would differ at more ulps than the 6dp rounding absorbs).
+    Two streaming passes: a per-batch per-label (n, Σv, Σv²) combiner
+    (n_labels×d floats cross the wire), the tiny (μ, σ) table
+    broadcasts via ``ray.put``, and the z pass is one vectorized map.
+    Zero-variance dimensions normalize to 0 (both sides guard)."""
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
+                         columns=["vec_id", "label", "embedding"])
+
+    _EMPTY_ST = pa.table({"label": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64()),
+                          "vsum": pa.array([], pa.list_(pa.float64())),
+                          "vsq": pa.array([], pa.list_(pa.float64()))})
+
+    def _label_mat(batch: pa.Table):
+        batch = batch.filter(pc.is_valid(batch.column("embedding")))
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        if len(labels) == 0:
+            return labels, None, None
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
+            zero_copy_only=False)
+        return labels, ids, flat.reshape(len(labels), -1).astype(np.float64)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        labels, _, mat = _label_mat(batch)
+        if mat is None:
+            return _EMPTY_ST
+        out_l, out_n, out_s, out_q = [], [], [], []
+        for lb in np.unique(labels):
+            rows = mat[labels == lb]
+            out_l.append(int(lb))
+            out_n.append(len(rows))
+            out_s.append(rows.sum(axis=0).tolist())
+            out_q.append((rows * rows).sum(axis=0).tolist())
+        return pa.table({"label": pa.array(out_l, pa.int64()),
+                         "n": pa.array(out_n, pa.int64()),
+                         "vsum": pa.array(out_s, pa.list_(pa.float64())),
+                         "vsq": pa.array(out_q, pa.list_(pa.float64()))})
+
+    parts = ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64"),
+                             "z": pd.Series(dtype="float64")})
+    mus, sigs = {}, {}
+    for lb, grp in parts.groupby("label"):
+        n = grp["n"].sum()
+        s = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
+        q = np.sum(np.stack(grp["vsq"].to_numpy()), axis=0)
+        mu = s / n
+        var = q / n - mu * mu  # the oracle's avg(v*v) - avg(v)*avg(v)
+        sig = np.sqrt(np.maximum(var, 0.0))
+        mus[int(lb)], sigs[int(lb)] = mu, np.where(var <= 0, np.inf, sig)
+    sref = ray.put((mus, sigs))
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        mus_, sigs_ = ray.get(sref)
+        labels, ids, mat = _label_mat(batch)
+        if mat is None:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "z": pa.array([], pa.float64())})
+        z = np.empty_like(mat)
+        for lb in np.unique(labels):
+            m = labels == lb
+            z[m] = (mat[m] - mus_[int(lb)]) / sigs_[int(lb)]  # inf → 0
+        n, d = mat.shape
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids.astype(np.int64), d)),
+            "pos": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64), n)),
+            "z": pa.array(np.round(z.reshape(-1), 6)),
+        })
+
+    out = ds.map_batches(zmap, batch_format="pyarrow").to_pandas()
+    return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
