@@ -206,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q47_custkeys_except": relational.q_custkeys_except,
         "q61_top_percentile": relational.q_top_percentile_events,
         "q74_event_funnel": relational.q_event_funnel,
+        "q76_event_anomaly": relational.q_event_anomaly,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -836,6 +837,22 @@ def oracle_sql() -> dict[str, str]:
                               ELSE (e.v - st.mu) / sqrt(st.var) END, 6) AS z
             FROM ex e JOIN st USING (label, pos)
             ORDER BY vec_id, pos
+        """,
+        "q76_event_anomaly": """
+            WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
+                              count(*)::BIGINT AS n
+                       FROM events GROUP BY 1, 2),
+            st AS (SELECT event_type, avg(n::DOUBLE) AS mu,
+                          avg(n::DOUBLE * n) - avg(n::DOUBLE) * avg(n::DOUBLE) AS var
+                   FROM b GROUP BY 1)
+            SELECT b.event_type, b.hour_start, b.n,
+                   round(CASE WHEN st.var <= 0 THEN 0
+                              ELSE (b.n - st.mu) / sqrt(st.var) END, 6) AS z,
+                   abs(round(CASE WHEN st.var <= 0 THEN 0
+                                  ELSE (b.n - st.mu) / sqrt(st.var) END, 6)) > 2
+                       AS flagged
+            FROM b JOIN st USING (event_type)
+            ORDER BY event_type, hour_start
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

@@ -1047,3 +1047,30 @@ def test_normalize_by_label_stats(ray_session, tmp_path):
             assert abs(sel[pos].mean()) < 1e-5
             assert abs(sel[pos].std(ddof=0) - 1.0) < 1e-5
         assert (sel[3] == 0.0).all()  # constant dim
+
+
+def test_event_anomaly_flags_spike(ray_session, tmp_path):
+    """q76: a planted hourly spike flags (|z| > 2 against that type's
+    own hourly distribution); steady hours do not."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_event_anomaly
+
+    rows = []
+    base = pd.Timestamp("2024-03-01")
+    for h in range(24):
+        count = 100 if h == 7 else 10  # spike at hour 7
+        for i in range(count):
+            rows.append({"event_type": "view",
+                         "ts": base + pd.Timedelta(hours=h, seconds=i)})
+    df = pd.DataFrame(rows)
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   str(tmp_path / "events.parquet"))
+    out = q_event_anomaly(str(tmp_path))
+    spike_h = int((base + pd.Timedelta(hours=7)).timestamp())
+    by = out.set_index("hour_start")
+    assert bool(by.loc[spike_h, "flagged"])
+    assert by["flagged"].sum() == 1  # only the spike
+    assert by.loc[spike_h, "z"] > 4

@@ -859,3 +859,56 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
                              "reached": pd.Series(dtype="int64")})
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_event_anomaly(sf_dir: str) -> pd.DataFrame:
+    """Hourly event-rate anomaly detection: per event type, the hourly
+    count's z-score against that type's own hourly distribution
+    (population moments, the same explicit E[n²]−E[n]² formula as the
+    oracle SQL), flagged when |z| > 2 — evaluated on the 6dp-rounded z
+    so the float boundary is identical on both sides. Scale shape: one
+    streaming pass pre-combines (type, hour, n) per batch — the
+    combiner's rows are types × hours × batches, never events — and
+    the moment/flag arithmetic runs on the tiny binned table."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        hrs = _hour_start(batch.column("ts"))
+        df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
+                           "h": hrs.to_pandas()})
+        g = (df.groupby(["event_type", "h"], sort=False, dropna=False)
+             .size().reset_index(name="n"))
+        return pa.table({"event_type": pa.Array.from_pandas(
+                             g["event_type"], type=pa.string()),
+                         "hour_start": pa.Array.from_pandas(g["h"],
+                                                            type=pa.int64()),
+                         "n": pa.array(g["n"].to_numpy().astype(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"event_type": pd.Series(dtype="object"),
+            "hour_start": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "z": pd.Series(dtype="float64"),
+            "flagged": pd.Series(dtype="bool")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    b = (parts.groupby(["event_type", "hour_start"], dropna=False,
+                       as_index=False)["n"].sum())
+    outs = []
+    for et, grp in b.groupby("event_type", dropna=False):
+        n = grp["n"].to_numpy().astype(np.float64)
+        mu = n.mean()
+        var = (n * n).mean() - mu * mu  # the oracle's avg(n*n)-avg(n)^2
+        if var <= 0:
+            z = np.zeros(len(n))
+        else:
+            z = np.round((n - mu) / np.sqrt(var), 6)
+        outs.append(pd.DataFrame({
+            "event_type": grp["event_type"].to_numpy(),
+            "hour_start": grp["hour_start"].to_numpy().astype(np.int64),
+            "n": grp["n"].to_numpy().astype(np.int64),
+            "z": z,
+            "flagged": np.abs(z) > 2,
+        }))
+    out = pd.concat(outs, ignore_index=True)
+    return out.sort_values(["event_type", "hour_start"]).reset_index(drop=True)
