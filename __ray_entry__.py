@@ -841,7 +841,9 @@ def oracle_sql() -> dict[str, str]:
         "q76_event_anomaly": """
             WITH b AS (SELECT event_type, epoch(date_trunc('hour', ts))::BIGINT AS hour_start,
                               count(*)::BIGINT AS n
-                       FROM events GROUP BY 1, 2),
+                       FROM events
+                       WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1, 2),
             st AS (SELECT event_type, avg(n::DOUBLE) AS mu,
                           avg(n::DOUBLE * n) - avg(n::DOUBLE) * avg(n::DOUBLE) AS var
                    FROM b GROUP BY 1)

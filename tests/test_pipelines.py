@@ -1074,3 +1074,49 @@ def test_event_anomaly_flags_spike(ray_session, tmp_path):
     assert bool(by.loc[spike_h, "flagged"])
     assert by["flagged"].sum() == 1  # only the spike
     assert by.loc[spike_h, "z"] > 4
+
+
+def test_label_ops_null_edges(ray_session, tmp_path):
+    """NULL-label rows: q75 drops them (its oracle's JOIN USING), q40
+    keeps them as their own centroid group (its oracle's GROUP BY);
+    neither crashes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import (
+        q_label_centroids,
+        q_normalize_by_label,
+    )
+
+    t = pa.table({"vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+                  "label": pa.array([0, 0, None, None], pa.int32()),
+                  "embedding": pa.array([[1.0, 3.0], [3.0, 5.0],
+                                         [10.0, 10.0], [20.0, 30.0]],
+                                        pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    z = q_normalize_by_label(str(tmp_path))
+    assert set(z["vec_id"]) == {0, 1}  # null-label vecs dropped
+
+    c = q_label_centroids(str(tmp_path))
+    by = {(lb if lb is not pd.NA and not pd.isna(lb) else None, p): v
+          for lb, p, v in zip(c["label"], c["pos"], c["c"])}
+    assert by[(0, 1)] == 2.0 and by[(0, 2)] == 4.0
+    assert by[(None, 1)] == 15.0 and by[(None, 2)] == 20.0
+
+
+def test_event_anomaly_null_edges(ray_session, tmp_path):
+    """q76: NULL event_type and NULL ts rows drop on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_event_anomaly
+
+    base = pd.Timestamp("2024-03-01").value // 1000
+    t = pa.table({
+        "event_type": pa.array(["view", None, "view"], pa.string()),
+        "ts": pa.array([base, base, None], pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_anomaly(str(tmp_path))
+    assert len(out) == 1 and out["n"].iloc[0] == 1

@@ -873,10 +873,17 @@ def q_event_anomaly(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", columns=["event_type", "ts"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # NULL event_type rows never survive the oracle's JOIN USING,
+        # and NULL ts is excluded on both sides (the oracle SQL carries
+        # the matching WHERE) — a rate needs a bin and a key
+        keep = pc.and_(pc.is_valid(batch.column("event_type")),
+                       pc.is_valid(batch.column("ts")))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
         hrs = _hour_start(batch.column("ts"))
         df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
                            "h": hrs.to_pandas()})
-        g = (df.groupby(["event_type", "h"], sort=False, dropna=False)
+        g = (df.groupby(["event_type", "h"], sort=False)
              .size().reset_index(name="n"))
         return pa.table({"event_type": pa.Array.from_pandas(
                              g["event_type"], type=pa.string()),
@@ -892,10 +899,10 @@ def q_event_anomaly(sf_dir: str) -> pd.DataFrame:
             "flagged": pd.Series(dtype="bool")}
     if parts.empty:
         return pd.DataFrame(cols)
-    b = (parts.groupby(["event_type", "hour_start"], dropna=False,
+    b = (parts.groupby(["event_type", "hour_start"],
                        as_index=False)["n"].sum())
     outs = []
-    for et, grp in b.groupby("event_type", dropna=False):
+    for et, grp in b.groupby("event_type"):
         n = grp["n"].to_numpy().astype(np.float64)
         mu = n.mean()
         var = (n * n).mean() - mu * mu  # the oracle's avg(n*n)-avg(n)^2

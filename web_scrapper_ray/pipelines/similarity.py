@@ -550,33 +550,46 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
                          columns=["label", "embedding"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        labels = batch.column("label").to_numpy(zero_copy_only=False)
-        if len(labels) == 0:
+        emb_ok = pc.is_valid(batch.column("embedding"))
+        if not pc.all(emb_ok).as_py():
+            batch = batch.filter(emb_ok)  # unnest skips null lists
+        lab = batch.column("label")
+        if batch.num_rows == 0:
             return pa.table({"label": pa.array([], pa.int32()),
                              "n": pa.array([], pa.int64()),
                              "vsum": pa.array([], pa.list_(pa.float64()))})
         flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
             zero_copy_only=False)
-        mat = flat.reshape(len(labels), -1).astype(np.float64)
+        mat = flat.reshape(batch.num_rows, -1).astype(np.float64)
+        null_mask = np.asarray(pc.is_null(lab))
+        labels = lab.to_numpy(zero_copy_only=False)
         out_l, out_n, out_s = [], [], []
-        for lb in np.unique(labels):
-            rows = mat[labels == lb]
+        for lb in np.unique(labels[~null_mask]):
+            rows = mat[(labels == lb) & ~null_mask]
             out_l.append(int(lb))
             out_n.append(int(len(rows)))
             out_s.append(rows.sum(axis=0).tolist())
+        if null_mask.any():
+            # the oracle's GROUP BY keeps NULL as its own group
+            out_l.append(None)
+            out_n.append(int(null_mask.sum()))
+            out_s.append(mat[null_mask].sum(axis=0).tolist())
         return pa.table({"label": pa.array(out_l, pa.int32()),
                          "n": pa.array(out_n, pa.int64()),
                          "vsum": pa.array(out_s, pa.list_(pa.float64()))})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     rows = []
-    for lb, grp in parts.groupby("label"):
+    for lb, grp in parts.groupby("label", dropna=False):
         total = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
         n = grp["n"].sum()
+        lb_out = None if pd.isna(lb) else int(lb)
         for pos, v in enumerate(total / n, start=1):
-            rows.append((int(lb), pos, round(float(v), 6)))
+            rows.append((lb_out, pos, round(float(v), 6)))
     out = pd.DataFrame(rows, columns=["label", "pos", "c"])
-    out["label"] = out["label"].astype("int32")  # match the parquet dtype
+    # match the parquet dtype (nullable only when a NULL group exists)
+    out["label"] = out["label"].astype(
+        "int32" if out["label"].notna().all() else "Int32")
     return out
 
 
@@ -753,7 +766,14 @@ def q_normalize_by_label(sf_dir: str) -> pd.DataFrame:
     Two streaming passes: a per-batch per-label (n, Σv, Σv²) combiner
     (n_labels×d floats cross the wire), the tiny (μ, σ) table
     broadcasts via ``ray.put``, and the z pass is one vectorized map.
-    Zero-variance dimensions normalize to 0 (both sides guard)."""
+    Zero-variance dimensions normalize to 0 (both sides guard).
+
+    Parity caveat: for a NEAR-constant dimension (true variance below
+    the float64 summation error, ~1e-16 relative) the two sides' var
+    can round onto opposite sides of the ≤0 guard — z=0 vs z=O(1).
+    Exactly-constant dimensions are safe (the numerator is exactly 0
+    on both sides); continuous-valued embeddings make the adversarial
+    case measure-zero, like q71's equidistance caveat."""
     import ray
     import ray.data as rd
 
@@ -766,18 +786,23 @@ def q_normalize_by_label(sf_dir: str) -> pd.DataFrame:
                           "vsq": pa.array([], pa.list_(pa.float64()))})
 
     def _label_mat(batch: pa.Table):
-        batch = batch.filter(pc.is_valid(batch.column("embedding")))
+        # NULL-label rows never match the oracle's JOIN USING (label,
+        # pos) — drop them up front (int(NaN) would crash the combiner
+        # otherwise); matrix extraction (incl. the NULL-embedding
+        # filter) delegates to the shared _batch_matrix
+        lab_ok = pc.is_valid(batch.column("label"))
+        if not pc.all(lab_ok).as_py():
+            batch = batch.filter(lab_ok)
+        emb_ok = pc.is_valid(batch.column("embedding"))
+        if not pc.all(emb_ok).as_py():
+            batch = batch.filter(emb_ok)
         labels = batch.column("label").to_numpy(zero_copy_only=False)
-        if len(labels) == 0:
-            return labels, None, None
-        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
-        flat = batch.column("embedding").combine_chunks().flatten().to_numpy(
-            zero_copy_only=False)
-        return labels, ids, flat.reshape(len(labels), -1).astype(np.float64)
+        ids, mat = _batch_matrix(batch)
+        return labels, ids, mat
 
     def stats_partial(batch: pa.Table) -> pa.Table:
         labels, _, mat = _label_mat(batch)
-        if mat is None:
+        if len(labels) == 0:
             return _EMPTY_ST
         out_l, out_n, out_s, out_q = [], [], [], []
         for lb in np.unique(labels):
@@ -810,7 +835,7 @@ def q_normalize_by_label(sf_dir: str) -> pd.DataFrame:
     def zmap(batch: pa.Table) -> pa.Table:
         mus_, sigs_ = ray.get(sref)
         labels, ids, mat = _label_mat(batch)
-        if mat is None:
+        if len(labels) == 0:
             return pa.table({"vec_id": pa.array([], pa.int64()),
                              "pos": pa.array([], pa.int64()),
                              "z": pa.array([], pa.float64())})
