@@ -241,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q72_mix_allocation": textops.q_mix_allocation,
         "q75_normalize_by_label": similarity.q_normalize_by_label,
         "q73_inverted_index": textops.q_inverted_index,
+        "q77_pii_redact": textops.q_pii_redact,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -295,6 +296,12 @@ _CLEAN_SQL = (
     "', \"''\").replace(', ''''), "
     "'[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g')"
 )
+
+# q77 shares its RE2 literals with the engine (both sides are RE2);
+# doubled backslashes survive the SQL string literal as-is
+from web_scrapper_ray.pipelines.textops import (PII_EMAIL_RX as _PII_EMAIL,
+                                                PII_IPV4_RX as _PII_IPV4,
+                                                PII_PHONE_RX as _PII_PHONE)
 
 _TOKS = "regexp_extract_all(lower(text), '\\w+')"
 _NSTOP = f"len(list_filter({_TOKS}, x -> list_contains([{_STOPLIST_SQL}], x)))"
@@ -855,6 +862,17 @@ def oracle_sql() -> dict[str, str]:
                        AS flagged
             FROM b JOIN st USING (event_type)
             ORDER BY event_type, hour_start
+        """,
+        "q77_pii_redact": f"""
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '{_PII_EMAIL}'))::BIGINT AS n_emails,
+                   length(regexp_extract_all(text, '{_PII_IPV4}'))::BIGINT AS n_ips,
+                   length(regexp_extract_all(text, '{_PII_PHONE}'))::BIGINT AS n_phones,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{_PII_IPV4}', '<IP>', 'g'),
+                       '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+            FROM documents ORDER BY doc_id
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

@@ -1120,3 +1120,34 @@ def test_event_anomaly_null_edges(ray_session, tmp_path):
     pq.write_table(t, str(tmp_path / "events.parquet"))
     out = q_event_anomaly(str(tmp_path))
     assert len(out) == 1 and out["n"].iloc[0] == 1
+
+
+def test_pii_redact_counts_and_masks(ray_session, tmp_path):
+    """q77: planted email / IPv4 / phone strings are counted on the
+    original text and masked in order (emails, IPs, phones); NULL text
+    passes through as NULL counts + NULL redacted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_pii_redact
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "mail me at a.b+c@ex-ample.org or x@y.io thanks",
+            "server 10.0.0.1 and 192.168.1.255, call +1 (555) 123-4567",
+            "no pii here at all",
+            None,
+        ], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_pii_redact(str(tmp_path)).set_index("doc_id")
+
+    assert out.loc[0, "n_emails"] == 2 and out.loc[0, "n_ips"] == 0
+    assert out.loc[0, "redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert out.loc[1, "n_ips"] == 2 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "redacted"] == "server <IP> and <IP>, call <PHONE>"
+    assert out.loc[2, ["n_emails", "n_ips", "n_phones"]].tolist() == [0, 0, 0]
+    assert out.loc[2, "redacted"] == "no pii here at all"
+    import pandas as pd
+    assert pd.isna(out.loc[3, "redacted"]) and pd.isna(out.loc[3, "n_emails"])

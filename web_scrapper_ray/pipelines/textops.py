@@ -1126,3 +1126,47 @@ def q_inverted_index(sf_dir: str, top: int = 100) -> pd.DataFrame:
     if rows.empty:
         return out_empty
     return rows.sort_values(["word", "doc_id"]).reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction (q77)
+# ---------------------------------------------------------------------------
+
+# RE2-safe patterns (no backrefs/lookaround) so the pyarrow.compute
+# kernels (RE2) and the DuckDB oracle (also RE2) match byte-for-byte.
+PII_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RX = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE_RX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+def q_pii_redact(sf_dir: str) -> pd.DataFrame:
+    """PII detection + redaction — the anonymization pass every public
+    training corpus runs (C4/Dolma-style): count and mask emails, IPv4
+    addresses and phone-like digit runs. Fully vectorized RE2 kernels
+    (`pc.count_substring_regex` / `pc.replace_substring_regex`), zero
+    Python rows, no shuffle — the embarrassingly-parallel shape that
+    streams at any scale.
+
+    Counts are taken on the ORIGINAL text per category; redaction is
+    sequential (emails → IPs → phones) so earlier masks can't create or
+    destroy later matches ambiguously — the oracle SQL applies the
+    exact same order with the same regexes (both engines are RE2)."""
+    import pyarrow.compute as pc
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def redact(batch: pa.Table) -> pa.Table:
+        s = batch.column("text")
+        n_email = pc.cast(pc.count_substring_regex(s, PII_EMAIL_RX), pa.int64())
+        n_ip = pc.cast(pc.count_substring_regex(s, PII_IPV4_RX), pa.int64())
+        n_phone = pc.cast(pc.count_substring_regex(s, PII_PHONE_RX), pa.int64())
+        red = pc.replace_substring_regex(s, PII_EMAIL_RX, "<EMAIL>")
+        red = pc.replace_substring_regex(red, PII_IPV4_RX, "<IP>")
+        red = pc.replace_substring_regex(red, PII_PHONE_RX, "<PHONE>")
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_emails": n_email, "n_ips": n_ip,
+                         "n_phones": n_phone, "redacted": red})
+
+    out = ds.map_batches(redact, batch_format="pyarrow",
+                         zero_copy_batch=True).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
