@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q75_normalize_by_label": similarity.q_normalize_by_label,
         "q73_inverted_index": textops.q_inverted_index,
         "q77_pii_redact": textops.q_pii_redact,
+        "q78_unigram_nll": textops.q_unigram_nll,
+        "q79_bigram_topk": textops.q_bigram_topk,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -873,6 +875,28 @@ def oracle_sql() -> dict[str, str]:
                        '{_PII_IPV4}', '<IP>', 'g'),
                        '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
             FROM documents ORDER BY doc_id
+        """,
+        "q78_unigram_nll": r"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(lower(text), '\w+')) AS w
+              FROM documents
+            ),
+            vocab AS (SELECT w, count(*)::DOUBLE AS n FROM toks GROUP BY w),
+            tot AS (SELECT sum(n) AS total FROM vocab)
+            SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+                   round(avg(ln(tot.total) - ln(v.n)), 6) AS avg_nll
+            FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "q79_bigram_topk": r"""
+            WITH toks AS (
+              SELECT regexp_extract_all(lower(text), '\w+') AS ws FROM documents
+            ),
+            idx AS (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                    FROM toks),
+            bg AS (SELECT ws[i] || ' ' || ws[i + 1] AS bigram FROM idx)
+            SELECT bigram, count(*)::BIGINT AS n FROM bg GROUP BY bigram
+            ORDER BY n DESC, bigram LIMIT 20
         """,
         "q20_exact_dedup": """
             SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS keep_doc_id,

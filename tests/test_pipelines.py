@@ -1151,3 +1151,45 @@ def test_pii_redact_counts_and_masks(ray_session, tmp_path):
     assert out.loc[2, "redacted"] == "no pii here at all"
     import pandas as pd
     assert pd.isna(out.loc[3, "redacted"]) and pd.isna(out.loc[3, "n_emails"])
+
+
+def test_unigram_nll_hand_computed(ray_session, tmp_path):
+    """q78: avg NLL matches the hand-computed self-trained unigram LM;
+    rare-token docs score strictly higher; zero-token docs drop."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_unigram_nll
+
+    # corpus: 'a' x3, 'b' x1  (total 4) → nll(a)=ln(4/3), nll(b)=ln(4)
+    rows = [{"doc_id": 0, "text": "a a a"},
+            {"doc_id": 1, "text": "b"},
+            {"doc_id": 2, "text": "..."}]  # no tokens → dropped
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_unigram_nll(str(tmp_path)).set_index("doc_id")
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_tokens"] == 3
+    assert abs(out.loc[0, "avg_nll"] - math.log(4 / 3)) < 1e-6
+    assert abs(out.loc[1, "avg_nll"] - math.log(4.0)) < 1e-6
+    assert out.loc[1, "avg_nll"] > out.loc[0, "avg_nll"]
+
+
+def test_bigram_topk_counts_and_tiebreak(ray_session, tmp_path):
+    """q79: bigrams counted within docs only (no cross-doc pairs),
+    ties break bigram-ascending."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_bigram_topk
+
+    rows = [{"doc_id": 0, "text": "x y x y"},   # 'x y' x2, 'y x' x1
+            {"doc_id": 1, "text": "y"},          # no bigram
+            {"doc_id": 2, "text": "a b"}]        # 'a b' x1
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_bigram_topk(str(tmp_path), k=3)
+    assert list(zip(out["bigram"], out["n"])) == [
+        ("x y", 2), ("a b", 1), ("y x", 1)]

@@ -1170,3 +1170,105 @@ def q_pii_redact(sf_dir: str) -> pd.DataFrame:
     out = ds.map_batches(redact, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Unigram LM perplexity scoring (q78)
+# ---------------------------------------------------------------------------
+
+
+def q_unigram_nll(sf_dir: str) -> pd.DataFrame:
+    """Per-doc unigram language-model negative log-likelihood — the
+    CCNet/KenLM-style corpus-quality signal (docs whose tokens are
+    improbable under the corpus's own unigram distribution score high).
+
+    Two streaming passes, no token-scale shuffle:
+
+    1. per-batch token-count partials → groupby-sum → a vocab-sized
+       (word, n) table; the log-prob map is broadcast once via
+       ``ray.put`` (vocab-bounded, not corpus-bounded — swap for a
+       broadcast semi-join on word if the vocab outgrows worker heap);
+    2. per-doc ``avg_nll = Σ tf_w·(ln total − ln n_w) / n_tokens`` from
+       a per-doc Counter; only one row per doc leaves the stage.
+
+    The LM is self-trained (pass 1 over the same corpus) so every token
+    is in-vocab — no OOV smoothing branch to diverge from the oracle.
+    Zero-token (empty/NULL text) docs drop, matching the oracle's inner
+    join through the unnest."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counter.update(_TOKEN_RX.findall((t or "").lower()))
+        if not counter:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, ns = zip(*counter.items())
+        return pa.table({"word": pa.array(list(words)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    vocab = (
+        _docs(sf_dir, ["text"]).map_batches(count_partial, batch_format="pyarrow")
+        .groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    total = float(vocab["n"].sum())
+    ln_total = math.log(total) if total else 0.0
+    nll = {w: ln_total - math.log(n) for w, n in zip(vocab["word"], vocab["n"])}
+    nll_ref = ray.put(nll)
+
+    def score(batch: pa.Table) -> pa.Table:
+        nll_ = ray.get(nll_ref)
+        out_d, out_n, out_s = [], [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            tf = Counter(_TOKEN_RX.findall((text or "").lower()))
+            n_tok = sum(tf.values())
+            if not n_tok:
+                continue
+            out_d.append(doc_id)
+            out_n.append(n_tok)
+            out_s.append(round(sum(c * nll_[w] for w, c in tf.items()) / n_tok, 6))
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "n_tokens": pa.array(out_n, pa.int64()),
+                         "avg_nll": pa.array(out_s, pa.float64())})
+
+    out = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Bigram top-k (q79)
+# ---------------------------------------------------------------------------
+
+
+def q_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global bigram top-k — the n-gram statistics pass behind phrase
+    mining / boilerplate spotting. Same shape as q13: per-batch bigram
+    Counter partials → (bigram, n) stream (one row per distinct bigram
+    per batch, never one per token pair) → groupby-sum → top-k with
+    (n desc, bigram asc) tie-break, matching the oracle's ORDER BY."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            ws = _TOKEN_RX.findall((t or "").lower())
+            counter.update(f"{a} {b}" for a, b in zip(ws, ws[1:]))
+        if not counter:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        bgs, ns = zip(*counter.items())
+        return pa.table({"bigram": pa.array(list(bgs)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    agg = (
+        _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
+        .groupby("bigram").aggregate(Sum("n", alias_name="n")).to_pandas()
+    )
+    agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    return agg.reset_index(drop=True)
