@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q77_pii_redact": textops.q_pii_redact,
         "q78_unigram_nll": textops.q_unigram_nll,
         "q79_bigram_topk": textops.q_bigram_topk,
+        "q80_semdedup": similarity.q_semdedup,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -887,6 +888,59 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(tot.total) - ln(v.n)), 6) AS avg_nll
             FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "q80_semdedup": """
+            WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                               CAST(unnest(embedding) AS DOUBLE) AS v
+                        FROM embeddings),
+            c0 AS (SELECT vec_id AS cluster, pos, v AS c FROM ex WHERE vec_id < 8),
+            d1 AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                   FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
+            a1 AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cluster) AS rn
+                       FROM d1) WHERE rn = 1),
+            m1 AS (SELECT a.cluster, e.pos, avg(e.v) AS c
+                   FROM a1 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+            c1 AS (SELECT c0.cluster, c0.pos, coalesce(m1.c, c0.c) AS c
+                   FROM c0 LEFT JOIN m1 ON c0.cluster = m1.cluster
+                                       AND c0.pos = m1.pos),
+            d2_ AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                    FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
+            a2 AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cluster) AS rn
+                       FROM d2_) WHERE rn = 1),
+            m2 AS (SELECT a.cluster, e.pos, avg(e.v) AS c
+                   FROM a2 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+            c2 AS (SELECT c1.cluster, c1.pos, coalesce(m2.c, c1.c) AS c
+                   FROM c1 LEFT JOIN m2 ON c1.cluster = m2.cluster
+                                       AND c1.pos = m2.pos),
+            d3 AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                   FROM ex e JOIN c2 c USING (pos) GROUP BY 1, 2),
+            a3 AS (SELECT vec_id, cluster FROM (
+                       SELECT vec_id, cluster,
+                              row_number() OVER (PARTITION BY vec_id
+                                                 ORDER BY d2, cluster) AS rn
+                       FROM d3) WHERE rn = 1),
+            nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM ex GROUP BY 1),
+            dots AS (SELECT ai.vec_id AS vi, aj.vec_id AS vj,
+                            sum(ei.v * ej.v) AS dot
+                     FROM a3 ai JOIN a3 aj ON ai.cluster = aj.cluster
+                                          AND aj.vec_id < ai.vec_id
+                     JOIN ex ei ON ei.vec_id = ai.vec_id
+                     JOIN ex ej ON ej.vec_id = aj.vec_id AND ej.pos = ei.pos
+                     GROUP BY 1, 2),
+            dup AS (SELECT DISTINCT d.vi AS vec_id
+                    FROM dots d
+                    JOIN nrm ni ON ni.vec_id = d.vi
+                    JOIN nrm nj ON nj.vec_id = d.vj
+                    WHERE d.dot / (ni.nm * nj.nm) >= 0.9)
+            SELECT a3.vec_id, a3.cluster,
+                   (dup.vec_id IS NULL) AS keep
+            FROM a3 LEFT JOIN dup USING (vec_id) ORDER BY a3.vec_id
         """,
         "q79_bigram_topk": r"""
             WITH toks AS (

@@ -1193,3 +1193,35 @@ def test_bigram_topk_counts_and_tiebreak(ray_session, tmp_path):
     out = q_bigram_topk(str(tmp_path), k=3)
     assert list(zip(out["bigram"], out["n"])) == [
         ("x y", 2), ("a b", 1), ("y x", 1)]
+
+
+def test_semdedup_drops_planted_near_dups(ray_session, tmp_path):
+    """q80: near-identical embeddings land in one cluster and every
+    later copy is dropped (keep-first); distinct vectors survive; NULL
+    embeddings vanish; the zero vector is kept (cos 0 to everything)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_semdedup
+
+    vecs = [
+        [1.0, 0.0, 0.0, 0.0],     # 0: init c0, kept
+        [0.0, 1.0, 0.0, 0.0],     # 1: init c1, kept
+        [1.0, 0.01, 0.0, 0.0],    # 2: near-dup of 0 → dropped
+        [0.0, 1.0, 0.01, 0.0],    # 3: near-dup of 1 → dropped
+        [0.6, 0.8, 0.0, 0.0],     # 4: distinct → kept
+        None,                      # 5: NULL → absent from output
+        [0.0, 0.0, 0.0, 0.0],     # 6: zero vector → kept
+        [1.0, 0.011, 0.0, 0.0],   # 7: dup of 0 AND of dropped 2 → dropped
+    ]
+    t = pa.table({"vec_id": pa.array(range(len(vecs)), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = q_semdedup(str(tmp_path), k=2, iters=2, threshold=0.95)
+    assert list(out["vec_id"]) == [0, 1, 2, 3, 4, 6, 7]
+    keep = dict(zip(out["vec_id"], out["keep"]))
+    assert keep == {0: True, 1: True, 2: False, 3: False,
+                    4: True, 6: True, 7: False}
+    cl = dict(zip(out["vec_id"], out["cluster"]))
+    assert cl[2] == cl[0] and cl[3] == cl[1] and cl[7] == cl[0]

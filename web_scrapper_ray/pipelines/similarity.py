@@ -688,6 +688,24 @@ def q_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pd.DataFrame:
     measure-zero event (distance gaps are O(1), float error ~1e-13);
     duplicate-heavy integer-valued inputs would need an epsilon-aware
     tie rule instead."""
+    init_ids, cent = _lloyd_centroids(sf_dir, k, iters)
+    if len(init_ids) == 0:
+        return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="float64")})
+    k = len(init_ids)
+    d = cent.shape[1]
+    cl = np.repeat(init_ids.astype(np.int64), d)
+    pos = np.tile(np.arange(1, d + 1, dtype=np.int64), k)
+    return pd.DataFrame({"cluster": cl, "pos": pos,
+                         "c": np.round(cent.reshape(-1), 6)})
+
+
+def _lloyd_centroids(sf_dir: str, k: int, iters: int) -> tuple[np.ndarray, np.ndarray]:
+    """The Lloyd loop behind q71/q80: returns (init_ids, centroids) —
+    cluster LABELS are the init vec_ids, centroid row r corresponds to
+    init_ids[r] (both in sorted-vec_id order, so argmin's first-index
+    tie-break equals the oracle's ORDER BY d2, cluster)."""
     import ray
 
     _EMPTY = pa.table({"cluster": pa.array([], pa.int64()),
@@ -696,9 +714,7 @@ def q_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pd.DataFrame:
 
     init_ids, init_mat = _query_matrix_raw(sf_dir, range(k))
     if len(init_ids) == 0:
-        return pd.DataFrame({"cluster": pd.Series(dtype="int64"),
-                             "pos": pd.Series(dtype="int64"),
-                             "c": pd.Series(dtype="float64")})
+        return init_ids.astype(np.int64), np.zeros((0, 1), np.float64)
     # cluster LABELS are the init vec_ids (like the oracle's
     # `vec_id AS cluster`); rows of `cent` are indexed 0..k-1 in the
     # same sorted order, so argmin's first-index tie-break equals the
@@ -739,11 +755,7 @@ def q_kmeans(sf_dir: str, k: int = 4, iters: int = 2) -> pd.DataFrame:
                 new[int(cl)] = s / n
         cent = new
 
-    d = cent.shape[1]
-    cl = np.repeat(init_ids.astype(np.int64), d)
-    pos = np.tile(np.arange(1, d + 1, dtype=np.int64), k)
-    return pd.DataFrame({"cluster": cl, "pos": pos,
-                         "c": np.round(cent.reshape(-1), 6)})
+    return init_ids.astype(np.int64), cent
 
 
 def _query_matrix_raw(sf_dir: str, ids) -> tuple[np.ndarray, np.ndarray]:
@@ -852,3 +864,82 @@ def q_normalize_by_label(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(zmap, batch_format="pyarrow").to_pandas()
     return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
+
+
+def q_semdedup(sf_dir: str, k: int = 8, iters: int = 2,
+               threshold: float = 0.9) -> pd.DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup of an embedding
+    corpus: k-means-cluster the vectors, then within each cluster drop
+    every vector whose cosine similarity to ANY earlier (lower vec_id)
+    cluster member reaches ``threshold`` (keep-first, matching the
+    oracle's NOT EXISTS over j < i). The quadratic compare never
+    crosses clusters — that is the whole point of the clustering
+    stage: pair work drops from O(N²) to O(Σ|cluster|²), and k is the
+    scale dial (SemDeDup's paper setting is k ≈ √N·const; here the
+    SQL-checkable contract pins k=8, iters=2, init = vec_id 0..k−1,
+    shared with q71 via ``_lloyd_centroids``).
+
+    Shape: Lloyd rounds are streaming broadcast-centroid passes (see
+    q71); the final pass is ONE ``hash_shuffle`` raw-task exchange —
+    split tasks assign each block's vectors to their nearest centroid
+    (bucket = cluster index) carrying (vec_id, embedding) only, and
+    each per-cluster merge task runs the block-wise keep-first scan
+    (row-block × earlier-columns matmul, 1024-row tiles, so a hot
+    cluster never materializes its full n×n sim matrix). NULL
+    embeddings drop like the oracle's unnest; zero-norm vectors get
+    cos = 0 against everything on both sides (engine: _unit keeps the
+    zero vector; oracle: 0/0 = NaN, NaN >= t is false) → kept."""
+    import ray
+
+    from .pairs import hash_shuffle
+
+    _empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                           "cluster": pd.Series(dtype="int64"),
+                           "keep": pd.Series(dtype="bool")})
+    init_ids, cent = _lloyd_centroids(sf_dir, k, iters)
+    if len(init_ids) == 0:
+        return _empty
+    labels = init_ids.astype(np.int64)
+    P = len(labels)
+    csq = (cent * cent).sum(axis=1)
+
+    def split(block: pa.Table) -> pa.Table:
+        valid = pc.is_valid(block.column("embedding"))
+        if not pc.all(valid).as_py():
+            block = block.filter(valid)
+        ids, mat = _batch_matrix(block)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "embedding": pa.array([], pa.list_(pa.float32()))})
+        d2 = -2.0 * (mat @ cent.T) + csq
+        best = np.argmin(d2, axis=1).astype(np.int64)
+        return pa.table({"vec_id": block.column("vec_id"),
+                         "bucket": pa.array(best),
+                         "embedding": block.column("embedding")})
+
+    def merge(*tables: pa.Table) -> pd.DataFrame:
+        parts = [t for t in tables if t.num_rows]
+        if not parts:
+            return _empty
+        t = pa.concat_tables(parts).combine_chunks().sort_by("vec_id")
+        cluster = labels[t.column("bucket")[0].as_py()]
+        ids, mat = _batch_matrix(t)
+        u = _unit(mat)
+        n = len(ids)
+        keep = np.ones(n, bool)
+        B = 1024
+        for s in range(0, n, B):
+            e = min(s + B, n)
+            sims = u[s:e] @ u[:e].T  # rows s..e vs every column < e
+            earlier = np.arange(e)[None, :] < np.arange(s, e)[:, None]
+            keep[s:e] = ~((sims >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame({"vec_id": ids.astype(np.int64),
+                             "cluster": np.full(n, cluster, np.int64),
+                             "keep": keep})
+
+    parts = hash_shuffle([(r, ()) for r in _emb(sf_dir).to_arrow_refs()],
+                         split, merge, P=P)
+    out = pd.concat([p for p in parts if len(p)], ignore_index=True) \
+        if any(len(p) for p in parts) else _empty
+    return out.sort_values("vec_id").reset_index(drop=True)
