@@ -245,6 +245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q78_unigram_nll": textops.q_unigram_nll,
         "q79_bigram_topk": textops.q_bigram_topk,
         "q80_semdedup": similarity.q_semdedup,
+        "q81_pca_power": similarity.q_pca_power,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -888,6 +889,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(tot.total) - ln(v.n)), 6) AS avg_nll
             FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "q81_pca_power": """
+            WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                               CAST(unnest(embedding) AS DOUBLE) AS v
+                        FROM embeddings),
+            cov AS (SELECT ei.pos AS i, ej.pos AS j, covar_pop(ei.v, ej.v) AS c
+                    FROM ex ei JOIN ex ej USING (vec_id) GROUP BY 1, 2),
+            v0 AS (SELECT DISTINCT i AS pos,
+                          CASE WHEN i = 1 THEN 1.0 ELSE 0.0 END AS v FROM cov),
+            w1 AS (SELECT cov.i AS pos, sum(cov.c * v0.v) AS w
+                   FROM cov JOIN v0 ON v0.pos = cov.j GROUP BY 1),
+            v1 AS (SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM w1) AS v FROM w1),
+            w2 AS (SELECT cov.i AS pos, sum(cov.c * v1.v) AS w
+                   FROM cov JOIN v1 ON v1.pos = cov.j GROUP BY 1),
+            v2 AS (SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM w2) AS v FROM w2),
+            w3 AS (SELECT cov.i AS pos, sum(cov.c * v2.v) AS w
+                   FROM cov JOIN v2 ON v2.pos = cov.j GROUP BY 1),
+            v3 AS (SELECT pos, w / (SELECT sqrt(sum(w * w)) FROM w3) AS v FROM w3)
+            SELECT pos, round(v, 6) AS v FROM v3 ORDER BY pos
         """,
         "q80_semdedup": """
             WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

@@ -1225,3 +1225,30 @@ def test_semdedup_drops_planted_near_dups(ray_session, tmp_path):
                     4: True, 6: True, 7: False}
     cl = dict(zip(out["vec_id"], out["cluster"]))
     assert cl[2] == cl[0] and cl[3] == cl[1] and cl[7] == cl[0]
+
+
+def test_pca_power_recovers_dominant_axis(ray_session, tmp_path):
+    """q81: on data whose variance is overwhelmingly along one known
+    axis, three power iterations align with that axis; the mean offset
+    is removed (covariance, not raw second moment); NULL rows drop."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_pca_power
+
+    rng = np.random.default_rng(7)
+    n, d = 400, 6
+    X = rng.normal(0, 0.01, (n, d))
+    X[:, 2] += rng.normal(0, 5.0, n)   # dominant variance on axis 3
+    X += 100.0                          # large common mean to catch centering bugs
+    vecs = [list(map(float, r)) for r in X] + [None]
+    t = pa.table({"vec_id": pa.array(range(n + 1), pa.int64()),
+                  "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+
+    out = q_pca_power(str(tmp_path))
+    v = out.sort_values("pos")["v"].to_numpy()
+    assert len(v) == d
+    assert abs(abs(v[2]) - 1.0) < 1e-3          # dominant axis
+    assert np.abs(np.delete(v, 2)).max() < 0.05  # everything else tiny

@@ -943,3 +943,48 @@ def q_semdedup(sf_dir: str, k: int = 8, iters: int = 2,
     out = pd.concat([p for p in parts if len(p)], ignore_index=True) \
         if any(len(p) for p in parts) else _empty
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_pca_power(sf_dir: str, iters: int = 3) -> pd.DataFrame:
+    """Top principal component of the embedding table by power
+    iteration — the dimensionality-reduction prelude (whitening,
+    low-rank compression) done the distributed-linear-algebra way:
+    ONE streaming pass computes per-batch second-moment partials
+    (count, Σx, XᵀX — d + d² floats per batch, never the corpus),
+    the driver reduces them into the d×d population covariance
+    C = E[xxᵀ] − μμᵀ, and the power iterations (v ← Cv/‖Cv‖ from
+    v₀ = e₁, fixed ``iters`` rounds — deterministic, so
+    SQL-checkable like q71) run on that tiny matrix driver-side.
+    NULL embeddings drop like the oracle's unnest."""
+    _empty = pd.DataFrame({"pos": pd.Series(dtype="int64"),
+                           "v": pd.Series(dtype="float64")})
+
+    def moment_partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "s": pa.array([], pa.list_(pa.float64())),
+                             "m": pa.array([], pa.list_(pa.float64()))})
+        return pa.table({"n": pa.array([len(ids)], pa.int64()),
+                         "s": pa.array([mat.sum(axis=0)], pa.list_(pa.float64())),
+                         "m": pa.array([(mat.T @ mat).reshape(-1)],
+                                       pa.list_(pa.float64()))})
+
+    parts = _emb(sf_dir).map_batches(moment_partial,
+                                     batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return _empty
+    n = float(parts["n"].sum())
+    s = np.sum(np.stack([np.asarray(x) for x in parts["s"]]), axis=0)
+    m = np.sum(np.stack([np.asarray(x) for x in parts["m"]]), axis=0)
+    d = len(s)
+    mu = s / n
+    cov = m.reshape(d, d) / n - np.outer(mu, mu)
+
+    v = np.zeros(d)
+    v[0] = 1.0
+    for _ in range(iters):
+        w = cov @ v
+        v = w / np.linalg.norm(w)
+    return pd.DataFrame({"pos": np.arange(1, d + 1, dtype=np.int64),
+                         "v": np.round(v, 6)})
