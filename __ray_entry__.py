@@ -246,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q79_bigram_topk": textops.q_bigram_topk,
         "q80_semdedup": similarity.q_semdedup,
         "q81_pca_power": similarity.q_pca_power,
+        "q82_rollup_docs": relational.q_rollup_docs,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -889,6 +890,12 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(tot.total) - ln(v.n)), 6) AS avg_nll
             FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "q82_rollup_docs": """
+            SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,
+                   count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY ROLLUP(lang, source)
+            ORDER BY lvl, lang, source
         """,
         "q81_pca_power": """
             WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,

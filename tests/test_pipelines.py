@@ -1252,3 +1252,34 @@ def test_pca_power_recovers_dominant_axis(ray_session, tmp_path):
     assert len(v) == d
     assert abs(abs(v[2]) - 1.0) < 1e-3          # dominant axis
     assert np.abs(np.delete(v, 2)).max() < 0.05  # everything else tiny
+
+
+def test_rollup_levels_and_null_keys(ray_session, tmp_path):
+    """q82: subtotal rows (lvl 1/3) are derived from the leaf pass; a
+    genuine NULL lang keeps its own leaf row (lvl 0) distinct from the
+    subtotal NULL marker; NULL n_chars is skipped by sums like SQL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_rollup_docs
+
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["a", "b", "c", "d"], pa.string()),
+        "lang": pa.array(["en", "en", None, "de"], pa.string()),
+        "source": pa.array(["s1", "s2", "s1", "s1"], pa.string()),
+        "n_chars": pa.array([10, 20, 30, None], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_rollup_docs(str(tmp_path))
+
+    leaf = out[out["lvl"] == 0]
+    assert len(leaf) == 4  # (en,s1) (en,s2) (None,s1) (de,s1)
+    null_leaf = leaf[leaf["lang"].isna()]
+    assert len(null_leaf) == 1 and null_leaf["source"].iloc[0] == "s1"
+
+    sub = out[out["lvl"] == 1].set_index("lang")
+    assert sub.loc["en", "n_docs"] == 2 and sub.loc["en", "sum_chars"] == 30
+    assert pd.isna(sub.loc["de", "sum_chars"])  # all-NULL chars → NULL, not 0
+    grand = out[out["lvl"] == 3]
+    assert grand["n_docs"].iloc[0] == 4 and grand["sum_chars"].iloc[0] == 60

@@ -919,3 +919,52 @@ def q_event_anomaly(sf_dir: str) -> pd.DataFrame:
         }))
     out = pd.concat(outs, ignore_index=True)
     return out.sort_values(["event_type", "hour_start"]).reset_index(drop=True)
+
+
+def q_rollup_docs(sf_dir: str) -> pd.DataFrame:
+    """Multi-level aggregate — GROUP BY ROLLUP(lang, source): one
+    distributed pass computes the LEAF aggregate (the only level whose
+    cardinality scales with the data); the lang subtotals and the grand
+    total derive from that already-tiny leaf table driver-side, so the
+    rollup costs exactly one shuffle regardless of how many levels it
+    emits. ``lvl`` mirrors SQL ``GROUPING(lang, source)`` (0 = leaf,
+    1 = per-lang subtotal, 3 = grand total), disambiguating subtotal
+    NULLs from genuine NULL group keys (pandas dropna=False keeps
+    those as their own leaf rows, like the oracle)."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    # per-batch Arrow partials (Arrow group_by keeps NULL keys, which
+    # Ray's sort-based groupby cannot order); the partial stream is
+    # |distinct (lang,source)| × n_batches rows — tiny by this op's
+    # contract — so the final combine is a driver-side pandas groupby
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n_docs": g.column("count_all"),
+                         "sum_chars": g.column("n_chars_sum")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    leaf = (parts.groupby(["lang", "source"], dropna=False, as_index=False)
+            .agg(n_docs=("n_docs", "sum"),
+                 sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
+    leaf["lvl"] = 0
+    # min_count=1 keeps an all-NULL-chars subtotal as NULL (SQL sum
+    # semantics) instead of pandas' silent 0
+    by_lang = (leaf.groupby("lang", dropna=False, as_index=False)
+               .agg(n_docs=("n_docs", "sum"),
+                    sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
+    by_lang["source"] = None
+    by_lang["lvl"] = 1
+    grand = pd.DataFrame({"lang": [None], "source": [None], "lvl": [3],
+                          "n_docs": [leaf["n_docs"].sum()],
+                          "sum_chars": [leaf["sum_chars"].sum(min_count=1)]})
+    out = pd.concat([leaf, by_lang, grand], ignore_index=True)
+    out["lvl"] = out["lvl"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    if not out["sum_chars"].isna().any():
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+    cols = ["lang", "source", "lvl", "n_docs", "sum_chars"]
+    return (out[cols].sort_values(["lvl", "lang", "source"])
+            .reset_index(drop=True))
