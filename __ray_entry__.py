@@ -247,6 +247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q80_semdedup": similarity.q_semdedup,
         "q81_pca_power": similarity.q_pca_power,
         "q82_rollup_docs": relational.q_rollup_docs,
+        "q83_retention": relational.q_retention,
         # dedup + similarity, SQL-checked entries first (same truncation
         # hedge as above — every oracle-checked query precedes the
         # rows-only block)
@@ -890,6 +891,17 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(ln(tot.total) - ln(v.n)), 6) AS avg_nll
             FROM toks t JOIN vocab v ON t.w = v.w CROSS JOIN tot
             GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "q83_retention": """
+            WITH e AS (SELECT DISTINCT user_id,
+                              epoch(date_trunc('hour', ts))::BIGINT AS h
+                       FROM events
+                       WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            f AS (SELECT user_id, min(h) AS cohort FROM e GROUP BY 1)
+            SELECT f.cohort AS cohort_hour,
+                   ((e.h - f.cohort) / 3600)::BIGINT AS offset_h,
+                   count(DISTINCT e.user_id)::BIGINT AS n_users
+            FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

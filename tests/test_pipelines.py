@@ -1283,3 +1283,34 @@ def test_rollup_levels_and_null_keys(ray_session, tmp_path):
     assert pd.isna(sub.loc["de", "sum_chars"])  # all-NULL chars → NULL, not 0
     grand = out[out["lvl"] == 3]
     assert grand["n_docs"].iloc[0] == 4 and grand["sum_chars"].iloc[0] == 60
+
+
+def test_retention_cohort_grid(ray_session, tmp_path):
+    """q83: cohort = hour of first event; each (cohort, offset) cell
+    counts distinct users, repeat events in one hour count once; NULL
+    user/ts rows are out of contract and dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_retention
+
+    H = 3600 * 1_000_000  # one hour in µs
+    rows = [
+        # user 1: first at hour 0, active hours 0 (twice) and 2
+        (1, 0), (1, 10), (1, 2 * H),
+        # user 2: first at hour 0, active hour 0 only
+        (2, 30),
+        # user 3: first at hour 2, active hours 2 and 3
+        (3, 2 * H), (3, 3 * H),
+    ]
+    t = pa.table({
+        "event_id": pa.array(range(len(rows) + 2), pa.int64()),
+        "user_id": pa.array([u for u, _ in rows] + [None, 9], pa.int64()),
+        "ts": pa.array([ts for _, ts in rows] + [0, None],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_retention(str(tmp_path))
+    grid = {(c, o): n for c, o, n in
+            zip(out["cohort_hour"], out["offset_h"], out["n_users"])}
+    assert grid == {(0, 0): 2, (0, 2): 1, (7200, 0): 1, (7200, 1): 1}

@@ -968,3 +968,66 @@ def q_rollup_docs(sf_dir: str) -> pd.DataFrame:
     cols = ["lang", "source", "lvl", "n_docs", "sum_chars"]
     return (out[cols].sort_values(["lvl", "lang", "source"])
             .reset_index(drop=True))
+
+
+def q_retention(sf_dir: str) -> pd.DataFrame:
+    """Cohort retention over the event log — the other canonical
+    product-analytics primitive next to q74's funnel: users are
+    cohorted by the hour of their FIRST event, and each (cohort_hour,
+    offset_h) cell counts the distinct cohort members active offset_h
+    hours later. Distributed shape: split tasks pre-dedup each block
+    to distinct (user_id, hour) pairs (the exchange carries activity
+    cells, never raw events), ONE raw-task ``hash_shuffle`` co-locates
+    each user's cells, per-bucket merges resolve cohort + offsets
+    vectorized, and bucket-level (cohort, offset, n) partials — already
+    user-deduped because a user lives in exactly one bucket — sum to
+    the final tiny grid driver-side. NULL user_id / NULL ts rows are
+    out of contract on both sides (the oracle's WHERE drops them)."""
+    B = 64
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "h": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        mask = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        if not pc.all(mask).as_py():
+            t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        cells = pa.table({"user_id": t.column("user_id"),
+                          "h": _hour_start(t.column("ts"))})
+        cells = cells.group_by(["user_id", "h"]).aggregate([])
+        return cells.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(cells.column("user_id"), B - 1),
+                              pa.int64()))
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        empty = pd.DataFrame({"cohort_hour": pd.Series(dtype="int64"),
+                              "offset_h": pd.Series(dtype="int64"),
+                              "n_users": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        g = (pa.concat_tables(live).to_pandas()
+             .drop_duplicates())  # same (user, h) cell from two blocks
+        g["cohort_hour"] = g.groupby("user_id")["h"].transform("min")
+        g["offset_h"] = (g["h"] - g["cohort_hour"]) // 3600
+        out = (g.groupby(["cohort_hour", "offset_h"], as_index=False)
+               .agg(n_users=("user_id", "nunique")))
+        return out.astype("int64")
+
+    from .pairs import hash_shuffle
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame({"cohort_hour": pd.Series(dtype="int64"),
+                             "offset_h": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby(["cohort_hour", "offset_h"], as_index=False)["n_users"].sum())
+    return out.sort_values(["cohort_hour", "offset_h"]).reset_index(drop=True)
