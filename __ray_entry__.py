@@ -261,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q51_simhash_neardup": dedup.q_simhash_neardup,
         "q53_neardup_clusters": dedup.q_neardup_clusters,
         "q59_distinct_users_hll": sketches.q_distinct_users_hll,
+        "q84_quantile_sketch": sketches.q_value_quantile_sketch,
         "q65_heavy_hitters_cms": sketches.q_heavy_hitters_cms,
         "q25_knn_lsh": similarity.q_knn_lsh,
         "q26_knn_ivf": similarity.q_knn_ivf,

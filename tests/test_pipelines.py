@@ -1314,3 +1314,34 @@ def test_retention_cohort_grid(ray_session, tmp_path):
     grid = {(c, o): n for c, o, n in
             zip(out["cohort_hour"], out["offset_h"], out["n_users"])}
     assert grid == {(0, 0): 2, (0, 2): 1, (7200, 0): 1, (7200, 1): 1}
+
+
+def test_quantile_sketch_error_bound(ray_session, tmp_path):
+    """q84: estimates land within one bin width of the exact
+    percentiles; NULL/NaN values drop; a constant column collapses to
+    the constant."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.sketches import (_HIST_BINS,
+                                                     q_value_quantile_sketch)
+
+    rng = np.random.default_rng(11)
+    v = rng.exponential(50.0, 20000)
+    vals = list(map(float, v)) + [None, float("nan")]
+    t = pa.table({"event_id": pa.array(range(len(vals)), pa.int64()),
+                  "value": pa.array(vals, pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    out = q_value_quantile_sketch(str(tmp_path)).set_index("q")
+    width = (v.max() - v.min()) / _HIST_BINS
+    for q in (0.5, 0.9, 0.99):
+        exact = np.quantile(v, q)
+        assert abs(out.loc[q, "value_est"] - exact) <= width + 1e-9, (q, exact)
+
+    t2 = pa.table({"event_id": pa.array([0, 1, 2], pa.int64()),
+                   "value": pa.array([7.0, 7.0, 7.0], pa.float64())})
+    pq.write_table(t2, str(tmp_path / "events.parquet"))
+    out2 = q_value_quantile_sketch(str(tmp_path))
+    assert np.allclose(out2["value_est"], 7.0, atol=1e-3)

@@ -163,3 +163,92 @@ def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
     out = pd.DataFrame({"word": cand_list, "est_n": est})
     out = out.sort_values(["est_n", "word"], ascending=[False, True]).head(k)
     return out.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (bounded-state distributed percentiles)
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 8192
+
+
+def q_value_quantile_sketch(sf_dir: str,
+                            qs: tuple = (0.5, 0.9, 0.99)) -> pd.DataFrame:
+    """Approximate percentiles of ``events.value`` from a fixed-size
+    histogram sketch — the third mergeable-sketch shape next to HLL
+    (q59) and CMS (q65): bin bounds come from parquet column
+    statistics (one metadata read; distributed min/max fallback when a
+    writer omitted stats), each block folds into an int64 bin-count
+    vector, Ray tree-merges by elementwise ADD, and finalize walks the
+    cumulative histogram with linear interpolation inside the landing
+    bin. Deterministic; value error ≤ one bin width = (max−min)/8192
+    of the data range (pinned by the error-bound pytest — rank-exact
+    answers live in q57's distributed selection). NULLs and NaNs drop
+    like SQL ``quantile_cont``; a constant column collapses to that
+    constant."""
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+    from ray.data.aggregate import AggregateFn
+
+    path = os.path.join(sf_dir, "events.parquet")
+    md = pq.read_metadata(path)
+    empty = pd.DataFrame({"q": pd.Series(dtype="float64"),
+                          "value_est": pd.Series(dtype="float64")})
+    if md.num_rows == 0:
+        return empty
+    idx = next(i for i in range(md.row_group(0).num_columns)
+               if md.row_group(0).column(i).path_in_schema == "value")
+    stats = [md.row_group(g).column(idx).statistics
+             for g in range(md.num_row_groups)]
+    ds = rd.read_parquet(path, columns=["value"])
+    if all(s is not None and s.has_min_max for s in stats):
+        lo = min(s.min for s in stats)
+        hi = max(s.max for s in stats)
+    else:
+        lo, hi = ds.min("value"), ds.max("value")
+    if lo is None:  # all-NULL column
+        return empty
+    lo, hi = float(lo), float(hi)
+    if hi <= lo:  # constant column — every quantile IS the constant
+        return pd.DataFrame({"q": np.asarray(qs, np.float64),
+                             "value_est": np.full(len(qs), lo)})
+    width = (hi - lo) / _HIST_BINS
+
+    def acc_block(h: np.ndarray, block: pa.Table) -> np.ndarray:
+        v = block.column("value").to_numpy(zero_copy_only=False)
+        v = v[np.isfinite(v)]
+        if len(v):
+            b = np.clip(((v - lo) / width).astype(np.int64),
+                        0, _HIST_BINS - 1)
+            h = h + np.bincount(b, minlength=_HIST_BINS + 1)[:_HIST_BINS + 1]
+        return h
+
+    def finalize(h: np.ndarray) -> list:
+        n = h.sum()
+        if n == 0:
+            return []
+        cum = np.cumsum(h)
+        out = []
+        for q in qs:
+            target = q * n
+            b = int(np.searchsorted(cum, target))
+            b = min(b, _HIST_BINS - 1)
+            prev = cum[b - 1] if b else 0
+            frac = (target - prev) / h[b] if h[b] else 0.0
+            out.append(lo + (b + frac) * width)
+        return out
+
+    agg = AggregateFn(
+        init=lambda _: np.zeros(_HIST_BINS + 1, np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=acc_block,
+        finalize=finalize,
+        name="quantiles",
+    )
+    vals = ds.aggregate(agg)["quantiles"]
+    if not len(vals):
+        return empty
+    return pd.DataFrame({"q": np.asarray(qs, np.float64),
+                         "value_est": np.asarray(vals, np.float64)})
