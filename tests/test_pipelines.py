@@ -1345,3 +1345,58 @@ def test_quantile_sketch_error_bound(ray_session, tmp_path):
     pq.write_table(t2, str(tmp_path / "events.parquet"))
     out2 = q_value_quantile_sketch(str(tmp_path))
     assert np.allclose(out2["value_est"], 7.0, atol=1e-3)
+
+
+def test_new_ops_empty_and_null_edges(ray_session, tmp_path):
+    """Review regressions: q77/q78/q79/q82 on a 0-row documents table
+    (oracle: empty, except ROLLUP's grand row); q82 NULL group keys come
+    back as None, not float NaN; q84 with an inf value estimates the
+    finite mass; q80 survives a single-vector table (hash_shuffle P=1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_rollup_docs
+    from web_scrapper_ray.pipelines.similarity import q_semdedup
+    from web_scrapper_ray.pipelines.sketches import q_value_quantile_sketch
+    from web_scrapper_ray.pipelines.textops import (q_bigram_topk,
+                                                    q_pii_redact,
+                                                    q_unigram_nll)
+
+    docs_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string()),
+                             ("lang", pa.string()), ("source", pa.string()),
+                             ("n_chars", pa.int64())])
+    pq.write_table(docs_schema.empty_table(),
+                   str(tmp_path / "documents.parquet"))
+    assert q_pii_redact(str(tmp_path)).empty
+    assert q_unigram_nll(str(tmp_path)).empty
+    assert q_bigram_topk(str(tmp_path)).empty
+    r = q_rollup_docs(str(tmp_path))
+    assert len(r) == 1 and r["lvl"].iloc[0] == 3 and r["n_docs"].iloc[0] == 0
+    assert r["lang"].iloc[0] is None and pd.isna(r["sum_chars"].iloc[0])
+
+    # NULL group keys must be None (oracle NULL), never float NaN
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["a", "b"]),
+                  "lang": pa.array([None, "en"], pa.string()),
+                  "source": pa.array(["s", None], pa.string()),
+                  "n_chars": pa.array([1, 2], pa.int64())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    r2 = q_rollup_docs(str(tmp_path))
+    for v in list(r2["lang"]) + list(r2["source"]):
+        assert v is None or isinstance(v, str), repr(v)
+
+    # inf must not poison the histogram bounds
+    ev = pa.table({"event_id": pa.array(range(5), pa.int64()),
+                   "value": pa.array([1.0, 2.0, 3.0, 4.0, float("inf")],
+                                     pa.float64())})
+    pq.write_table(ev, str(tmp_path / "events.parquet"))
+    s = q_value_quantile_sketch(str(tmp_path))
+    assert np.isfinite(s["value_est"]).all()
+    assert (s["value_est"] <= 4.0 + 1e-9).all()
+
+    # single usable init vector → P=1 exchange
+    e = pa.table({"vec_id": pa.array([0], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0]], pa.list_(pa.float32()))})
+    pq.write_table(e, str(tmp_path / "embeddings.parquet"))
+    d = q_semdedup(str(tmp_path))
+    assert list(d["vec_id"]) == [0] and bool(d["keep"].iloc[0])

@@ -55,15 +55,20 @@ def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
         order = np.argsort(b, kind="stable")
         tbl = tbl.take(pa.array(order))
         bounds = np.searchsorted(b[order], np.arange(P + 1))
-        return tuple(
+        parts = tuple(
             tbl.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
                .combine_chunks()
             for i in range(P)
         )
+        # num_returns=1 stores the whole return value as ONE object —
+        # return the bare table so the merge task sees a pa.Table
+        return parts[0] if P == 1 else parts
 
     split_r = ray.remote(num_returns=P)(split_task)
     merge_r = ray.remote(merge_fn)
     per_block = [split_r.remote(ref, *extra) for ref, extra in inputs]
+    if P == 1:  # num_returns=1 yields a bare ObjectRef, not a 1-tuple
+        per_block = [(pb,) for pb in per_block]
     futs = [merge_r.remote(*[pb[b] for pb in per_block]) for b in range(P)]
     return ray.get(futs) if gather else futs
 

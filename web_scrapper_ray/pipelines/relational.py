@@ -946,6 +946,13 @@ def q_rollup_docs(sf_dir: str) -> pd.DataFrame:
                          "sum_chars": g.column("n_chars_sum")})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # the oracle's ROLLUP still emits the () grouping set over an
+        # empty table: one (NULL, NULL, 3, 0, NULL) grand row
+        return pd.DataFrame({"lang": [None], "source": [None],
+                             "lvl": pd.array([3], dtype="int64"),
+                             "n_docs": pd.array([0], dtype="int64"),
+                             "sum_chars": [np.nan]})
     leaf = (parts.groupby(["lang", "source"], dropna=False, as_index=False)
             .agg(n_docs=("n_docs", "sum"),
                  sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
@@ -965,6 +972,11 @@ def q_rollup_docs(sf_dir: str) -> pd.DataFrame:
     out["n_docs"] = out["n_docs"].astype("int64")
     if not out["sum_chars"].isna().any():
         out["sum_chars"] = out["sum_chars"].astype("int64")
+    # pandas groupby(dropna=False) renders NULL keys as float NaN;
+    # the oracle (and the grand row) use None — re-None them so the
+    # value-hash sees one NULL representation
+    for c in ("lang", "source"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
     cols = ["lang", "source", "lvl", "n_docs", "sum_chars"]
     return (out[cols].sort_values(["lvl", "lang", "source"])
             .reset_index(drop=True))

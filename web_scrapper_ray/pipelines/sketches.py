@@ -182,9 +182,11 @@ def q_value_quantile_sketch(sf_dir: str,
     vector, Ray tree-merges by elementwise ADD, and finalize walks the
     cumulative histogram with linear interpolation inside the landing
     bin. Deterministic; value error ≤ one bin width = (max−min)/8192
-    of the data range (pinned by the error-bound pytest — rank-exact
-    answers live in q57's distributed selection). NULLs and NaNs drop
-    like SQL ``quantile_cont``; a constant column collapses to that
+    of the FINITE data range (pinned by the error-bound pytest —
+    rank-exact answers live in q57's distributed selection). NULLs,
+    NaNs and ±inf all drop (the sketch estimates the finite mass; a
+    non-finite bound from parquet stats triggers one distributed
+    finite-min/max pass); a constant column collapses to that
     constant."""
     import os
 
@@ -203,14 +205,27 @@ def q_value_quantile_sketch(sf_dir: str,
     stats = [md.row_group(g).column(idx).statistics
              for g in range(md.num_row_groups)]
     ds = rd.read_parquet(path, columns=["value"])
+    lo = hi = None
     if all(s is not None and s.has_min_max for s in stats):
-        lo = min(s.min for s in stats)
-        hi = max(s.max for s in stats)
-    else:
-        lo, hi = ds.min("value"), ds.max("value")
-    if lo is None:  # all-NULL column
-        return empty
-    lo, hi = float(lo), float(hi)
+        lo = float(min(s.min for s in stats))
+        hi = float(max(s.max for s in stats))
+    if lo is None or not (np.isfinite(lo) and np.isfinite(hi)):
+        # stats absent, or ±inf in the data (stats bounds include inf
+        # while the bins only hold the finite mass) — one distributed
+        # pass for the FINITE min/max
+        def finite_minmax(batch: pa.Table) -> pa.Table:
+            v = batch.column("value").to_numpy(zero_copy_only=False)
+            v = v[np.isfinite(v)]
+            if not len(v):
+                return pa.table({"lo": pa.array([], pa.float64()),
+                                 "hi": pa.array([], pa.float64())})
+            return pa.table({"lo": pa.array([float(v.min())]),
+                             "hi": pa.array([float(v.max())])})
+
+        mm = ds.map_batches(finite_minmax, batch_format="pyarrow").to_pandas()
+        if mm.empty:  # no finite mass at all
+            return empty
+        lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
     if hi <= lo:  # constant column — every quantile IS the constant
         return pd.DataFrame({"q": np.asarray(qs, np.float64),
                              "value_est": np.full(len(qs), lo)})
@@ -222,7 +237,7 @@ def q_value_quantile_sketch(sf_dir: str,
         if len(v):
             b = np.clip(((v - lo) / width).astype(np.int64),
                         0, _HIST_BINS - 1)
-            h = h + np.bincount(b, minlength=_HIST_BINS + 1)[:_HIST_BINS + 1]
+            h = h + np.bincount(b, minlength=_HIST_BINS)
         return h
 
     def finalize(h: np.ndarray) -> list:
@@ -233,15 +248,15 @@ def q_value_quantile_sketch(sf_dir: str,
         out = []
         for q in qs:
             target = q * n
+            # cum[-1] == n ≥ target for q ≤ 1, so b < _HIST_BINS
             b = int(np.searchsorted(cum, target))
-            b = min(b, _HIST_BINS - 1)
             prev = cum[b - 1] if b else 0
             frac = (target - prev) / h[b] if h[b] else 0.0
             out.append(lo + (b + frac) * width)
         return out
 
     agg = AggregateFn(
-        init=lambda _: np.zeros(_HIST_BINS + 1, np.int64),
+        init=lambda _: np.zeros(_HIST_BINS, np.int64),
         merge=lambda a, b: a + b,
         accumulate_block=acc_block,
         finalize=finalize,

@@ -1169,6 +1169,12 @@ def q_pii_redact(sf_dir: str) -> pd.DataFrame:
 
     out = ds.map_batches(redact, batch_format="pyarrow",
                          zero_copy_batch=True).to_pandas()
+    if out.empty:  # 0-row reads drop the mapped schema
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_emails": pd.Series(dtype="int64"),
+                             "n_ips": pd.Series(dtype="int64"),
+                             "n_phones": pd.Series(dtype="int64"),
+                             "redacted": pd.Series(dtype="object")})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1215,6 +1221,10 @@ def q_unigram_nll(sf_dir: str) -> pd.DataFrame:
         _docs(sf_dir, ["text"]).map_batches(count_partial, batch_format="pyarrow")
         .groupby("word").aggregate(Sum("n", alias_name="n")).to_pandas()
     )
+    if vocab.empty:  # empty corpus (or 0-row read dropping the schema)
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64"),
+                             "avg_nll": pd.Series(dtype="float64")})
     total = float(vocab["n"].sum())
     ln_total = math.log(total) if total else 0.0
     nll = {w: ln_total - math.log(n) for w, n in zip(vocab["word"], vocab["n"])}
@@ -1270,5 +1280,8 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
         _docs(sf_dir, ["text"]).map_batches(partial, batch_format="pyarrow")
         .groupby("bigram").aggregate(Sum("n", alias_name="n")).to_pandas()
     )
+    if agg.empty:  # empty corpus / schema-less 0-row read
+        return pd.DataFrame({"bigram": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
     agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
     return agg.reset_index(drop=True)
