@@ -207,6 +207,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q61_top_percentile": relational.q_top_percentile_events,
         "q74_event_funnel": relational.q_event_funnel,
         "q76_event_anomaly": relational.q_event_anomaly,
+        "q85_user_type_pivot": relational.q_user_type_pivot,
+        "q86_event_gaps": relational.q_event_gaps,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -903,6 +905,31 @@ def oracle_sql() -> dict[str, str]:
                    ((e.h - f.cohort) / 3600)::BIGINT AS offset_h,
                    count(DISTINCT e.user_id)::BIGINT AS n_users
             FROM e JOIN f USING (user_id) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q85_user_type_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click')::BIGINT AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error')::BIGINT AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')::BIGINT AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup')::BIGINT AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view')::BIGINT AS n_view,
+                   count(*)::BIGINT AS n_total,
+                   round(sum(value), 4) AS sum_value
+            FROM events GROUP BY user_id ORDER BY user_id
+        """,
+        "q86_event_gaps": """
+            WITH g AS (SELECT user_id, ts,
+                              epoch(ts - lag(ts) OVER (PARTITION BY user_id
+                                                       ORDER BY ts)) AS gap_s
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL)
+            SELECT user_id, count(*)::BIGINT AS n_events,
+                   CASE WHEN count(*) > 1 THEN
+                       round((date_diff('microsecond', min(ts), max(ts))
+                              / (count(*) - 1)) / 1000000.0, 6)
+                   END AS avg_gap_s,
+                   round(max(gap_s), 6) AS max_gap_s
+            FROM g GROUP BY user_id ORDER BY user_id
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -1400,3 +1400,63 @@ def test_new_ops_empty_and_null_edges(ray_session, tmp_path):
     pq.write_table(e, str(tmp_path / "embeddings.parquet"))
     d = q_semdedup(str(tmp_path))
     assert list(d["vec_id"]) == [0] and bool(d["keep"].iloc[0])
+
+
+def test_user_type_pivot_small(ray_session, tmp_path):
+    """q85: wide per-user counts from a hand-built log — NULL user_id
+    keeps its own row, NULL event_type counts in n_total only, an
+    all-NULL value group sums to NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_user_type_pivot
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, None], pa.int64()),
+        "event_type": pa.array(["click", "click", "view", None, "signup"],
+                               pa.string()),
+        "value": pa.array([1.5, 2.5, None, None, None], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_user_type_pivot(str(tmp_path))
+    assert len(out) == 3
+    r1 = out[out["user_id"] == 1].iloc[0]
+    assert (int(r1["n_click"]), int(r1["n_view"]), int(r1["n_total"])) == (2, 1, 3)
+    assert r1["sum_value"] == 4.0
+    r2 = out[out["user_id"] == 2].iloc[0]
+    assert int(r2["n_total"]) == 1 and int(r2["n_click"]) == 0
+    assert pd.isna(r2["sum_value"])  # SQL sum over all-NULL -> NULL
+    rn = out[out["user_id"].isna()].iloc[0]
+    assert int(rn["n_signup"]) == 1 and int(rn["n_total"]) == 1
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 0), str(d2 / "events.parquet"))
+    assert len(q_user_type_pivot(str(d2))) == 0
+
+
+def test_event_gaps_small(ray_session, tmp_path):
+    """q86: gaps telescope to span/(n-1); single-event users keep a row
+    with NULL gaps; NULL user/ts rows are dropped."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_event_gaps
+
+    base = pd.Timestamp("2024-01-01").value // 1000  # us
+    ts = lambda s: pd.Timestamp((base + int(s * 1e6)) * 1000)
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, None, 3], pa.int64()),
+        "ts": pa.array([ts(0), ts(10), ts(40), ts(5), ts(0), None],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_gaps(str(tmp_path))
+    assert list(out["user_id"]) == [1, 2]
+    r1 = out.iloc[0]
+    assert int(r1["n_events"]) == 3
+    assert r1["avg_gap_s"] == 20.0  # (40-0)/2
+    assert r1["max_gap_s"] == 30.0
+    r2 = out.iloc[1]
+    assert int(r2["n_events"]) == 1
+    assert pd.isna(r2["avg_gap_s"]) and pd.isna(r2["max_gap_s"])

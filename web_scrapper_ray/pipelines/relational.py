@@ -1043,3 +1043,167 @@ def q_retention(sf_dir: str) -> pd.DataFrame:
     out = (pd.concat(parts, ignore_index=True)
            .groupby(["cohort_hour", "offset_h"], as_index=False)["n_users"].sum())
     return out.sort_values(["cohort_hour", "offset_h"]).reset_index(drop=True)
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_user_type_pivot(sf_dir: str) -> pd.DataFrame:
+    """Per-user event-type pivot (conditional aggregation — SQL
+    ``count(*) FILTER (...)``): one wide row per user with a count per
+    known event type, a total row count and the summed value. Scale
+    shape: split tasks pre-combine each block to (user, type, n, v)
+    partials — the exchange carries at most |users|×|types| rows per
+    block, never raw events — ONE raw-task ``hash_shuffle`` co-locates
+    each user's partials, and per-bucket merges pivot wide vectorized.
+    Output is user-sized (this op's contract). NULL user_id keeps its
+    own row (SQL GROUP BY groups NULLs); NULL event_type rows count in
+    n_total only; an all-NULL value group sums to NULL."""
+    B = 64
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "value"])
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.float64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all"), ("value", "sum")])
+        g = pa.table({"user_id": g.column("user_id"),
+                      "event_type": g.column("event_type"),
+                      "n": pc.cast(g.column("count_all"), pa.int64()),
+                      "v": pc.cast(g.column("value_sum"), pa.float64())})
+        return g.append_column(
+            "bucket",
+            pc.cast(pc.bit_wise_and(pc.fill_null(g.column("user_id"), 0),
+                                    B - 1), pa.int64()))
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"user_id": pd.Series(dtype="int64"),
+                **{f"n_{t}": pd.Series(dtype="int64") for t in _PIVOT_TYPES},
+                "n_total": pd.Series(dtype="int64"),
+                "sum_value": pd.Series(dtype="float64")}
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        g = pa.concat_tables(live).to_pandas()
+        # factorize with use_na_sentinel=False keeps the NULL-user key
+        # as its own code (SQL GROUP BY groups NULLs; pandas pivots
+        # silently drop NaN index keys, so everything below runs on the
+        # int code, not the raw key)
+        code, uniq = pd.factorize(g["user_id"], use_na_sentinel=False)
+        g = g.assign(c=code)
+        by_user = (g.groupby("c")
+                   .agg(n_total=("n", "sum"),
+                        sum_value=("v", lambda s: s.sum(min_count=1))))
+        wide = np.zeros((len(uniq), len(_PIVOT_TYPES)), dtype=np.int64)
+        tcode = g["event_type"].map(
+            {t: i for i, t in enumerate(_PIVOT_TYPES)})
+        m = tcode.notna().to_numpy()
+        np.add.at(wide, (code[m], tcode[m].to_numpy().astype(np.int64)),
+                  g["n"].to_numpy()[m])
+        out = pd.DataFrame({"user_id": np.asarray(uniq)})
+        for i, t in enumerate(_PIVOT_TYPES):
+            out[f"n_{t}"] = wide[:, i]
+        out["n_total"] = by_user["n_total"].reindex(
+            range(len(uniq))).to_numpy().astype(np.int64)
+        out["sum_value"] = by_user["sum_value"].reindex(
+            range(len(uniq))).round(4).to_numpy()
+        out["user_id"] = out["user_id"].astype(
+            "Int64" if out["user_id"].isna().any() else "int64")
+        return out[list(cols)]
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             **{f"n_{t}": pd.Series(dtype="int64")
+                                for t in _PIVOT_TYPES},
+                             "n_total": pd.Series(dtype="int64"),
+                             "sum_value": pd.Series(dtype="float64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q_event_gaps(sf_dir: str) -> pd.DataFrame:
+    """Per-user inter-event gap statistics (SQL ``lag() OVER`` twin):
+    events are ordered by timestamp within each user and the
+    consecutive-gap seconds feed avg/max. The diff multiset depends
+    only on the sorted timestamps, so any tie-break order yields the
+    same answer. Distributed shape: ONE raw-task ``hash_shuffle``
+    co-locates each user's (user_id, ts) pairs into coarse buckets;
+    each bucket lexsorts once and computes every user's diffs in two
+    vectorized np ops (cross-user boundaries masked) — no per-group
+    dispatch, no driver-side rows. Single-event users keep their row
+    with NULL gaps (SQL avg/max over zero lags)."""
+    B = 64
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "ts": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        mask = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        if not pc.all(mask).as_py():
+            t = t.filter(mask)
+        if t.num_rows == 0:
+            return empty
+        out = pa.table({"user_id": t.column("user_id"),
+                        "ts": pc.cast(t.column("ts"), pa.int64())})
+        return out.append_column(
+            "bucket", pc.cast(pc.bit_wise_and(out.column("user_id"), B - 1),
+                              pa.int64()))
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"user_id": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64"),
+                "avg_gap_s": pd.Series(dtype="float64"),
+                "max_gap_s": pd.Series(dtype="float64")}
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        t = pa.concat_tables(live)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, uid))
+        uid, ts = uid[order], ts[order]
+        # per-gap seconds as double, matching the oracle's
+        # epoch(ts - lag(ts)) for the max
+        gaps = np.diff(ts).astype(np.float64) / 1e6
+        same = uid[1:] == uid[:-1]
+        gdf = pd.DataFrame({"user_id": uid[1:][same], "g": gaps[same]})
+        stats = gdf.groupby("user_id").agg(max_gap_s=("g", "max"))
+        users, counts = np.unique(uid, return_counts=True)
+        # the MEAN gap telescopes to span/(n-1): one exact-int span and
+        # one division, the identical IEEE op order as the oracle's
+        # (date_diff / (n-1)) / 1e6 — a float mean over the per-gap
+        # doubles diverges from SQL avg() in the last ulp and flips the
+        # 6dp rounding (seen at sf0.01)
+        ends = np.cumsum(counts) - 1
+        starts = ends - counts + 1
+        span_us = (ts[ends] - ts[starts]).astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = span_us / (counts - 1).astype(np.float64) / 1e6
+        avg[counts < 2] = np.nan
+        out = pd.DataFrame({"user_id": users,
+                            "n_events": counts.astype(np.int64),
+                            "avg_gap_s": np.round(avg, 6)})
+        out = out.merge(stats, on="user_id", how="left")
+        out["max_gap_s"] = out["max_gap_s"].round(6)
+        return out
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "avg_gap_s": pd.Series(dtype="float64"),
+                             "max_gap_s": pd.Series(dtype="float64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("user_id").reset_index(drop=True))
