@@ -209,6 +209,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q76_event_anomaly": relational.q_event_anomaly,
         "q85_user_type_pivot": relational.q_user_type_pivot,
         "q86_event_gaps": relational.q_event_gaps,
+        "q87_order_deciles": relational.q_order_deciles,
+        "q88_bloom_semijoin": relational.q_bloom_semijoin,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -930,6 +932,26 @@ def oracle_sql() -> dict[str, str]:
                    END AS avg_gap_s,
                    round(max(gap_s), 6) AS max_gap_s
             FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "q87_order_deciles": """
+            WITH r AS (SELECT o_totalprice,
+                              ntile(10) OVER (ORDER BY o_totalprice,
+                                              o_orderkey) AS tile
+                       FROM orders)
+            SELECT tile::BIGINT AS tile, count(*)::BIGINT AS n_orders,
+                   min(o_totalprice) AS min_price,
+                   max(o_totalprice) AS max_price,
+                   round(sum(o_totalprice), 2) AS sum_price
+            FROM r GROUP BY tile ORDER BY tile
+        """,
+        "q88_bloom_semijoin": """
+            SELECT l_returnflag, count(*)::BIGINT AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_totalprice > 475000.0)
+            GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -1460,3 +1460,67 @@ def test_event_gaps_small(ray_session, tmp_path):
     r2 = out.iloc[1]
     assert int(r2["n_events"]) == 1
     assert pd.isna(r2["avg_gap_s"]) and pd.isna(r2["max_gap_s"])
+
+
+def test_order_deciles_small(ray_session, tmp_path):
+    """q87: exact ntile semantics without a global sort — uneven
+    n_total (first n%10 tiles get the extra row) and n_total < tiles
+    (one row per tile that exists)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_order_deciles
+
+    t = pa.table({"o_orderkey": pa.array(range(23), pa.int64()),
+                  "o_totalprice": pa.array(
+                      [float(1000 + 7 * i % 100) for i in range(23)],
+                      pa.float64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = q_order_deciles(str(tmp_path))
+    assert list(out["tile"]) == list(range(1, 11))
+    # 23 rows -> tiles 1-3 have 3 rows, 4-10 have 2
+    assert list(out["n_orders"]) == [3, 3, 3] + [2] * 7
+    # tiles partition the sorted order: max of tile t <= min of tile t+1
+    assert (out["max_price"].to_numpy()[:-1]
+            <= out["min_price"].to_numpy()[1:]).all()
+
+    d2 = tmp_path / "tiny"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 4), str(d2 / "orders.parquet"))
+    out2 = q_order_deciles(str(d2))
+    assert list(out2["tile"]) == [1, 2, 3, 4]
+    assert list(out2["n_orders"]) == [1, 1, 1, 1]
+
+    d3 = tmp_path / "empty"
+    d3.mkdir()
+    pq.write_table(t.slice(0, 0), str(d3 / "orders.parquet"))
+    assert len(q_order_deciles(str(d3))) == 0
+
+
+def test_bloom_semijoin_small(ray_session, tmp_path):
+    """q88: bloom prefilter + exact verify gives the exact semi-join —
+    non-qualifying orders and unmatched lineitems drop; empty build
+    side yields zero rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_bloom_semijoin
+
+    od = pa.table({"o_orderkey": pa.array([1, 2, 3], pa.int64()),
+                   "o_totalprice": pa.array([10.0, 20.0, 30.0],
+                                            pa.float64())})
+    li = pa.table({
+        "l_orderkey": pa.array([1, 2, 2, 3, 4], pa.int64()),
+        "l_returnflag": pa.array(["A", "A", "B", "B", "B"], pa.string()),
+        "l_extendedprice": pa.array([100.0] * 5, pa.float64()),
+        "l_discount": pa.array([0.1] * 5, pa.float64())})
+    pq.write_table(od, str(tmp_path / "orders.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    out = q_bloom_semijoin(str(tmp_path), cutoff=15.0)  # orders 2,3 qualify
+    got = {r.l_returnflag: (int(r.n_items), float(r.revenue))
+           for r in out.itertuples()}
+    assert got == {"A": (1, 90.0), "B": (2, 180.0)}
+
+    out2 = q_bloom_semijoin(str(tmp_path), cutoff=100.0)  # nothing qualifies
+    assert len(out2) == 0

@@ -1207,3 +1207,242 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
                              "max_gap_s": pd.Series(dtype="float64")})
     return (pd.concat(parts, ignore_index=True)
             .sort_values("user_id").reset_index(drop=True))
+
+
+def q_order_deciles(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
+    """Per-decile order stats — SQL ``ntile(10) OVER (ORDER BY
+    o_totalprice, o_orderkey)`` — WITHOUT a global sort. Distributed
+    rank: one cheap pass computes a price histogram over P equal-width
+    bins (per-batch partial bincounts; the all-to-all never sees rows),
+    the bin offsets give every bucket its global rank start, and ONE
+    raw-task ``hash_shuffle`` range-partitions (price, orderkey) so each
+    bucket locally sorts ONLY its own slice and assigns exact global
+    ranks → ntile ids. Buckets emit per-tile partials (a bucket can
+    straddle a tile boundary); the driver sums the tiny (tile, stats)
+    grid. Equal-width bins are skew-sensitive — a production variant
+    samples quantile bounds — but ranks stay EXACT either way; skew only
+    unbalances bucket sizes."""
+    P = 32
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def minmax(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice")
+        return pa.table({"lo": pa.array([pc.min(v).as_py()], pa.float64()),
+                         "hi": pa.array([pc.max(v).as_py()], pa.float64())})
+
+    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+    mm = mm.dropna()
+    cols = {"tile": pd.Series(dtype="int64"),
+            "n_orders": pd.Series(dtype="int64"),
+            "min_price": pd.Series(dtype="float64"),
+            "max_price": pd.Series(dtype="float64"),
+            "sum_price": pd.Series(dtype="float64")}
+    if mm.empty:
+        return pd.DataFrame(cols)
+    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    width = (hi - lo) / P or 1.0
+
+    def binof(v: np.ndarray) -> np.ndarray:
+        return np.clip(((v - lo) / width).astype(np.int64), 0, P - 1)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return pa.table({"bin": pa.array(np.arange(P, dtype=np.int64)),
+                         "cnt": pa.array(np.bincount(binof(v), minlength=P)
+                                         .astype(np.int64))})
+
+    hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+            .to_pandas().groupby("bin")["cnt"].sum()
+            .reindex(range(P), fill_value=0).to_numpy())
+    offsets = np.concatenate(([0], np.cumsum(hist)[:-1]))
+    n_total = int(hist.sum())
+    base, rem = divmod(n_total, tiles)
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"o_orderkey": pa.array([], pa.int64()),
+                             "o_totalprice": pa.array([], pa.float64()),
+                             "bucket": pa.array([], pa.int64())})
+        v = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        return t.append_column("bucket", pa.array(binof(v), pa.int64()))
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        t = pa.concat_tables(live)
+        b = int(t.column("bucket")[0].as_py())
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, price))
+        price = price[order]
+        rank = offsets[b] + np.arange(len(price), dtype=np.int64)
+        # ntile: the first `rem` tiles get base+1 rows
+        cut = rem * (base + 1)
+        tile = np.where(
+            rank < cut,
+            rank // max(base + 1, 1),
+            rem + (rank - cut) // max(base, 1)).astype(np.int64) + 1
+        g = pd.DataFrame({"tile": tile, "p": price})
+        out = (g.groupby("tile", as_index=False)
+               .agg(n_orders=("p", "size"), min_price=("p", "min"),
+                    max_price=("p", "max"), sum_price=("p", "sum")))
+        return out
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby("tile", as_index=False)
+           .agg(n_orders=("n_orders", "sum"), min_price=("min_price", "min"),
+                max_price=("max_price", "max"), sum_price=("sum_price", "sum")))
+    out["n_orders"] = out["n_orders"].astype("int64")
+    out["sum_price"] = out["sum_price"].round(2)
+    return out.sort_values("tile").reset_index(drop=True)
+
+
+def q_bloom_semijoin(sf_dir: str, cutoff: float = 475000.0) -> pd.DataFrame:
+    """Semi-join with a bloom prefilter — revenue of lineitems whose
+    order exceeds a price cutoff. At 100 TB the build side's key set is
+    too big to broadcast exactly, so: (1) each orders block folds its
+    qualifying keys into an m-bit bloom PARTIAL (fixed-size np.uint64
+    array; blocks OR together — size is m/8 bytes regardless of keys);
+    (2) the probe side tests lineitem keys against the broadcast bloom
+    vectorized — false positives only, never false negatives — shrinking
+    the exchange to ~selectivity × |lineitem|; (3) ONE raw-task
+    ``hash_shuffle`` co-locates surviving probes with the build keys per
+    key-bucket and an exact ``isin`` removes the FPs, emitting per-flag
+    partials. The driver only ever sees the bloom bits and the tiny
+    (returnflag, n, revenue) grid."""
+    import ray
+
+    M_BITS = 1 << 20
+    K = 4
+    B = 32
+    od = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    li = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                        "l_discount"])
+
+    def _hashes(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        h1 = mix64(keys.astype(np.uint64))
+        h2 = mix64(keys.astype(np.uint64) ^ np.uint64(0x9E3779B97F4A7C15))
+        return h1, h2 | np.uint64(1)
+
+    def bloom_partial(batch: pa.Table) -> pa.Table:
+        words = np.zeros(M_BITS // 64, dtype=np.uint64)
+        keep = pc.and_(pc.greater(batch.column("o_totalprice"), cutoff),
+                       pc.is_valid(batch.column("o_orderkey")))
+        keys = batch.filter(keep).column("o_orderkey") \
+            .to_numpy(zero_copy_only=False)
+        if len(keys):
+            h1, h2 = _hashes(keys)
+            for i in range(K):
+                bit = (h1 + np.uint64(i) * h2) % np.uint64(M_BITS)
+                np.bitwise_or.at(words, (bit >> np.uint64(6)).astype(np.int64),
+                                 np.uint64(1) << (bit & np.uint64(63)))
+        return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
+
+    parts = od.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    bloom = np.zeros(M_BITS // 64, dtype=np.uint64)
+    for w in parts["words"]:
+        bloom |= np.frombuffer(w, dtype=np.uint64)
+    bloom_ref = ray.put(bloom)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"side": pa.array([], pa.int8()),
+                          "key": pa.array([], pa.int64()),
+                          "flag": pa.array([], pa.string()),
+                          "rev": pa.array([], pa.float64()),
+                          "bucket": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or "l_orderkey" not in batch.schema.names:
+            return empty
+        bl = ray.get(bloom_ref)
+        keys = batch.column("l_orderkey").to_numpy(zero_copy_only=False)
+        h1, h2 = _hashes(keys)
+        hit = np.ones(len(keys), dtype=bool)
+        for i in range(K):
+            bit = (h1 + np.uint64(i) * h2) % np.uint64(M_BITS)
+            hit &= (bl[(bit >> np.uint64(6)).astype(np.int64)]
+                    >> (bit & np.uint64(63))) & np.uint64(1) != 0
+        t = batch.filter(pa.array(hit))
+        if t.num_rows == 0:
+            return empty
+        rev = pc.multiply(t.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        key = t.column("l_orderkey")
+        return pa.table({
+            "side": pa.array(np.zeros(t.num_rows, dtype=np.int8)),
+            "key": key,
+            "flag": t.column("l_returnflag"),
+            "rev": rev,
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int64())})
+
+    def build(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"side": pa.array([], pa.int8()),
+                          "key": pa.array([], pa.int64()),
+                          "flag": pa.array([], pa.string()),
+                          "rev": pa.array([], pa.float64()),
+                          "bucket": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or "o_orderkey" not in batch.schema.names:
+            return empty
+        keep = pc.and_(pc.greater(batch.column("o_totalprice"), cutoff),
+                       pc.is_valid(batch.column("o_orderkey")))
+        key = batch.filter(keep).column("o_orderkey")
+        n = len(key)
+        return pa.table({
+            "side": pa.array(np.ones(n, dtype=np.int8)),
+            "key": key,
+            "flag": pa.array([None] * n, pa.string()),
+            "rev": pa.array(np.zeros(n), pa.float64()),
+            "bucket": pc.cast(pc.bit_wise_and(key, B - 1), pa.int64())})
+
+    def verify(*tabs) -> pd.DataFrame:
+        cols = {"l_returnflag": pd.Series(dtype="object"),
+                "n_items": pd.Series(dtype="int64"),
+                "revenue": pd.Series(dtype="float64")}
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        g = pa.concat_tables(live)
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False)
+        probe_t = g.filter(pa.array(side == 0))
+        real = np.isin(probe_t.column("key").to_numpy(zero_copy_only=False),
+                       np.unique(keys[side == 1]))
+        m = probe_t.filter(pa.array(real)).to_pandas()
+        if m.empty:
+            return pd.DataFrame(cols)
+        out = (m.groupby("flag", as_index=False)
+               .agg(n_items=("key", "size"), revenue=("rev", "sum"))
+               .rename(columns={"flag": "l_returnflag"}))
+        return out
+
+    def passthrough(t: pa.Table) -> pa.Table:
+        # Ray Data hands schema-less empty blocks straight through
+        # without calling the map fn — re-type them for the exchange
+        if "bucket" not in t.schema.names:
+            return pa.table({"side": pa.array([], pa.int8()),
+                             "key": pa.array([], pa.int64()),
+                             "flag": pa.array([], pa.string()),
+                             "rev": pa.array([], pa.float64()),
+                             "bucket": pa.array([], pa.int64())})
+        return t
+
+    inputs = ([(r, ()) for r in li.map_batches(
+                  probe, batch_format="pyarrow").to_arrow_refs()]
+              + [(r, ()) for r in od.map_batches(
+                  build, batch_format="pyarrow").to_arrow_refs()])
+    parts = [p for p in hash_shuffle(
+        inputs, passthrough, verify, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                             "n_items": pd.Series(dtype="int64"),
+                             "revenue": pd.Series(dtype="float64")})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby("l_returnflag", as_index=False)
+           .agg(n_items=("n_items", "sum"), revenue=("revenue", "sum")))
+    out["n_items"] = out["n_items"].astype("int64")
+    out["revenue"] = out["revenue"].round(2)
+    return out.sort_values("l_returnflag").reset_index(drop=True)
