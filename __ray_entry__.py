@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q86_event_gaps": relational.q_event_gaps,
         "q87_order_deciles": relational.q_order_deciles,
         "q88_bloom_semijoin": relational.q_bloom_semijoin,
+        "q89_dup_spans": textops.q_dup_spans,
+        "q90_mad_outliers": relational.q_mad_outliers,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -952,6 +954,35 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_totalprice > 475000.0)
             GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q89_dup_spans": r"""
+            WITH toks AS (SELECT doc_id,
+                                 regexp_extract_all(lower(text), '\w+') AS t
+                          FROM documents),
+            idx AS (SELECT doc_id, t, unnest(range(1, len(t) - 5)) AS i
+                    FROM toks WHERE len(t) >= 7),
+            sh AS (SELECT doc_id, array_to_string(t[i:i+6], ' ') AS shingle
+                   FROM idx)
+            SELECT shingle, count(DISTINCT doc_id)::BIGINT AS n_docs
+            FROM sh GROUP BY shingle
+            HAVING count(DISTINCT doc_id) >= 2 ORDER BY shingle
+        """,
+        "q90_mad_outliers": """
+            WITH m AS (SELECT event_type, median(value) AS med
+                       FROM events
+                       WHERE value IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1),
+            d AS (SELECT e.event_type, m.med,
+                         abs(e.value - m.med) AS ad
+                  FROM events e JOIN m USING (event_type)
+                  WHERE e.value IS NOT NULL),
+            md AS (SELECT event_type, median(ad) AS mad FROM d GROUP BY 1)
+            SELECT d.event_type, round(any_value(d.med), 6) AS med,
+                   round(any_value(md.mad), 6) AS mad,
+                   count(*) FILTER (WHERE d.ad > 3 * md.mad)::BIGINT
+                       AS n_outliers
+            FROM d JOIN md USING (event_type)
+            GROUP BY d.event_type ORDER BY d.event_type
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -1524,3 +1524,52 @@ def test_bloom_semijoin_small(ray_session, tmp_path):
 
     out2 = q_bloom_semijoin(str(tmp_path), cutoff=100.0)  # nothing qualifies
     assert len(out2) == 0
+
+
+def test_dup_spans_small(ray_session, tmp_path):
+    """q89: a planted 7-token span shared by two docs is found with
+    n_docs=2; a repeated span WITHIN one doc does not count; short docs
+    produce no shingles."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_dup_spans
+
+    span = "alpha bravo charlie delta echo foxtrot golf"
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            f"prefix {span} suffix words here",
+            f"other text {span} trailing",
+            f"{span} {span}",      # twice in ONE doc -> counts once
+            "too short",
+        ], pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_dup_spans(str(tmp_path))
+    got = dict(zip(out["shingle"], out["n_docs"]))
+    assert got[span] == 3  # docs 0, 1, 2 (doc 2 deduped to one)
+    # every reported span occurs in >= 2 docs
+    assert (out["n_docs"] >= 2).all()
+
+
+def test_mad_outliers_small(ray_session, tmp_path):
+    """q90: hand-computable median/MAD and the 3-MAD outlier count;
+    NULL values are out of contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_mad_outliers
+
+    t = pa.table({
+        "event_type": pa.array(["a"] * 5 + ["b"] * 2, pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0, 4.0, 100.0, 5.0, None],
+                          pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_mad_outliers(str(tmp_path))
+    ra = out[out["event_type"] == "a"].iloc[0]
+    assert ra["med"] == 3.0 and ra["mad"] == 1.0  # |1,2,3,4,100 - 3| -> 2,1,0,1,97
+    assert int(ra["n_outliers"]) == 1  # only 97 > 3
+    rb = out[out["event_type"] == "b"].iloc[0]
+    assert rb["med"] == 5.0 and rb["mad"] == 0.0 and int(rb["n_outliers"]) == 0

@@ -1209,6 +1209,54 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
+    """Robust outlier detection per event type — median, MAD (median
+    absolute deviation) and the count of |v − med| > 3·MAD rows, the
+    quantile-robust cousin of q76's z-scores. Exact order statistics
+    are inherently O(group)-in-one-place, so this shares q57's
+    contract: ONE groupby shuffle carrying (event_type, value) and a
+    per-group task that sorts once and derives median → deviations →
+    MAD → outlier count without a second pass over the cluster. NULL
+    values/types are out of contract on both sides (the oracle's
+    WHERE)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def mad_group(df: pd.DataFrame) -> pd.DataFrame:
+        v = df["value"].to_numpy()
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "med": pd.Series(dtype="float64"),
+                                 "mad": pd.Series(dtype="float64"),
+                                 "n_outliers": pd.Series(dtype="int64")})
+        med = float(np.percentile(v, 50.0, method="linear"))
+        ad = np.abs(v - med)
+        mad = float(np.percentile(ad, 50.0, method="linear"))
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "med": [round(med, 6)],
+                             "mad": [round(mad, 6)],
+                             "n_outliers": [int((ad > 3 * mad).sum())]})
+
+    def drop_nulls(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        keep = pc.and_(pc.is_valid(t.column("event_type")),
+                       pc.is_valid(t.column("value")))
+        return t.filter(keep) if not pc.all(keep).as_py() else t
+
+    out = (ds.map_batches(drop_nulls, batch_format="pyarrow")
+           .groupby("event_type")
+           .map_groups(mad_group, batch_format="pandas").to_pandas())
+    if out.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "med": pd.Series(dtype="float64"),
+                             "mad": pd.Series(dtype="float64"),
+                             "n_outliers": pd.Series(dtype="int64")})
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
 def q_order_deciles(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
     """Per-decile order stats — SQL ``ntile(10) OVER (ORDER BY
     o_totalprice, o_orderkey)`` — WITHOUT a global sort. Distributed

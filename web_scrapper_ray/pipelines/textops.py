@@ -1285,3 +1285,63 @@ def q_bigram_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
                              "n": pd.Series(dtype="int64")})
     agg = agg.sort_values(["n", "bigram"], ascending=[False, True]).head(k)
     return agg.reset_index(drop=True)
+
+
+def q_dup_spans(sf_dir: str, n: int = 7) -> pd.DataFrame:
+    """Duplicated exact token spans across documents — the span-level
+    exact-substring dedup signal (the "train-data dedup by duplicated
+    n-gram spans" op, cf. Lee et al. 2022 deduplication): every
+    ``n``-token shingle that occurs in ≥ 2 distinct docs, with its
+    distinct-doc count. Distributed shape: split tasks tokenize their
+    blocks (ASCII ``\\w``, the RE2-oracle-exact rule) and emit each
+    doc's DISTINCT shingles bucketed by a crc32 of the shingle bytes —
+    a doc is one row, so per-doc dedup already makes the exchange rows
+    (shingle, 1-per-doc) and merge-side ``value_counts`` IS the
+    distinct-doc count. At 100 TB the exchange would carry (hash64,
+    doc_id) instead and resolve surviving hashes' strings with one
+    pushdown re-read; the string shingles here keep the operator
+    SQL-checkable end-to-end."""
+    import zlib
+
+    from .pairs import hash_shuffle
+
+    P = 32
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"shingle": pa.array([], pa.string()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return empty
+        out: list[str] = []
+        for txt in t.column("text").to_pylist():
+            ws = _TOKEN_RX.findall((txt or "").lower())
+            if len(ws) < n:
+                continue
+            seen = {" ".join(ws[i:i + n]) for i in range(len(ws) - n + 1)}
+            out.extend(seen)
+        if not out:
+            return empty
+        b = np.fromiter((zlib.crc32(s.encode()) for s in out),
+                        dtype=np.int64, count=len(out))
+        return pa.table({"shingle": pa.array(out, pa.string()),
+                         "bucket": pa.array(b % P, pa.int64())})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"shingle": pd.Series(dtype="object"),
+                                 "n_docs": pd.Series(dtype="int64")})
+        vc = (pa.concat_tables(live).to_pandas()["shingle"]
+              .value_counts())
+        vc = vc[vc >= 2]
+        return pd.DataFrame({"shingle": vc.index.to_numpy(),
+                             "n_docs": vc.to_numpy().astype(np.int64)})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"shingle": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("shingle").reset_index(drop=True))
