@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q88_bloom_semijoin": relational.q_bloom_semijoin,
         "q89_dup_spans": textops.q_dup_spans,
         "q90_mad_outliers": relational.q_mad_outliers,
+        "q91_readability": textops.q_readability,
+        "q92_event_regression": relational.q_event_regression,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -983,6 +985,38 @@ def oracle_sql() -> dict[str, str]:
                        AS n_outliers
             FROM d JOIN md USING (event_type)
             GROUP BY d.event_type ORDER BY d.event_type
+        """,
+        "q91_readability": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '\w+'))::BIGINT AS n_words,
+                   greatest(len(regexp_extract_all(text, '[.!?]+')),
+                            1)::BIGINT AS n_sentences,
+                   len(regexp_extract_all(lower(text),
+                                          '[aeiouy]+'))::BIGINT
+                       AS n_syllables,
+                   CASE WHEN len(regexp_extract_all(text, '\w+')) > 0 THEN
+                       round(206.835
+                             - 1.015 * (len(regexp_extract_all(text, '\w+'))
+                                        / greatest(len(regexp_extract_all(
+                                              text, '[.!?]+')), 1))
+                             - 84.6 * (len(regexp_extract_all(lower(text),
+                                                              '[aeiouy]+'))
+                                       / len(regexp_extract_all(text,
+                                                                '\w+'))), 4)
+                   END AS fre
+            FROM documents ORDER BY doc_id
+        """,
+        "q92_event_regression": """
+            SELECT event_type,
+                   regr_count(value, (epoch(ts) - 1700000000.0)
+                              / 3600.0)::BIGINT AS n,
+                   round(regr_slope(value, (epoch(ts) - 1700000000.0)
+                                    / 3600.0), 6) AS slope,
+                   round(regr_intercept(value, (epoch(ts) - 1700000000.0)
+                                        / 3600.0), 6) AS icept,
+                   round(regr_r2(value, (epoch(ts) - 1700000000.0)
+                                 / 3600.0), 6) AS r2
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -1573,3 +1573,53 @@ def test_mad_outliers_small(ray_session, tmp_path):
     assert int(ra["n_outliers"]) == 1  # only 97 > 3
     rb = out[out["event_type"] == "b"].iloc[0]
     assert rb["med"] == 5.0 and rb["mad"] == 0.0 and int(rb["n_outliers"]) == 0
+
+
+def test_readability_small(ray_session, tmp_path):
+    """q91: hand-computed Flesch arithmetic; fragment clamps to one
+    sentence; zero-word doc scores NULL."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_readability
+
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["See it. Go on!", "?!"], pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_readability(str(tmp_path))
+    r0 = out.iloc[0]
+    # words=4, sentences=2, vowel-groups: ee,i,o,o = 4
+    assert (int(r0["n_words"]), int(r0["n_sentences"]),
+            int(r0["n_syllables"])) == (4, 2, 4)
+    assert r0["fre"] == round(206.835 - 1.015 * 2.0 - 84.6 * 1.0, 4)
+    r1 = out.iloc[1]
+    assert int(r1["n_words"]) == 0 and int(r1["n_sentences"]) == 1
+    assert pd.isna(r1["fre"])
+
+
+def test_event_regression_small(ray_session, tmp_path):
+    """q92: exact slope/intercept on a planted line; a single-point
+    group gets NULL slope/r2; NULL value rows are ignored."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import (_REGR_X0,
+                                                       q_event_regression)
+
+    base_us = int((_REGR_X0 + 7200) * 1e6)  # x = 2.0 hours
+    hrs = lambda h: pd.Timestamp(int(base_us + h * 3.6e9) * 1000)
+    t = pa.table({
+        "event_type": pa.array(["a"] * 3 + ["b", "a"], pa.string()),
+        "ts": pa.array([hrs(0), hrs(1), hrs(2), hrs(0), hrs(3)],
+                       pa.timestamp("us")),
+        "value": pa.array([10.0, 12.0, 14.0, 5.0, None], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_regression(str(tmp_path))
+    ra = out[out["event_type"] == "a"].iloc[0]
+    assert int(ra["n"]) == 3  # the NULL-value row is ignored
+    assert ra["slope"] == 2.0 and ra["r2"] == 1.0
+    assert ra["icept"] == 10.0 - 2.0 * 2.0  # y = 2x + 6 at x0=2h
+    rb = out[out["event_type"] == "b"].iloc[0]
+    assert int(rb["n"]) == 1
+    assert pd.isna(rb["slope"]) and pd.isna(rb["r2"])

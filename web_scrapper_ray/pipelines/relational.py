@@ -1209,6 +1209,84 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
+_REGR_X0 = 1_700_000_000.0  # fixed x-centering epoch (seconds)
+
+
+def q_event_regression(sf_dir: str) -> pd.DataFrame:
+    """Per-type simple linear regression of value on time (SQL
+    ``regr_slope/intercept/r2`` twin) in ONE streaming pass: each batch
+    pre-combines the six moment partials (n, Σx, Σy, Σxx, Σxy, Σyy) per
+    event type — the exchange sees types × batches rows, never events —
+    and the closed form runs on the tiny moment table driver-side. x is
+    hours since a FIXED epoch on both sides: raw epoch-seconds
+    magnitudes (~1.7e9) would lose the covariance to cancellation in
+    the naive-moment form and diverge from the oracle's stable
+    accumulator at the rounding boundary."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          **{c: pa.array([], pa.float64())
+                             for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}})
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return empty
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.is_valid(t.column("value")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "x": (t.column("ts").to_numpy(zero_copy_only=False)
+                  .astype(np.int64).astype(np.float64) / 1e6 - _REGR_X0)
+                 / 3600.0,
+            "y": t.column("value").to_numpy(zero_copy_only=False)})
+        df["xx"] = df["x"] * df["x"]
+        df["xy"] = df["x"] * df["y"]
+        df["yy"] = df["y"] * df["y"]
+        g = df.groupby("event_type", dropna=False).agg(
+            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+        g = g.reset_index()
+        return pa.table({"event_type": pa.Array.from_pandas(
+                             g["event_type"], type=pa.string()),
+                         **{c: pa.array(g[c].to_numpy()
+                                        .astype(np.float64))
+                            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "slope": pd.Series(dtype="float64"),
+            "icept": pd.Series(dtype="float64"),
+            "r2": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    m = parts.groupby("event_type", dropna=False, as_index=False).sum()
+    n = m["n"].to_numpy()
+    mx, my = m["sx"] / n, m["sy"] / n
+    cov = m["sxy"] / n - mx * my
+    varx = m["sxx"] / n - mx * mx
+    vary = m["syy"] / n - my * my
+    with np.errstate(invalid="ignore", divide="ignore"):
+        slope = np.where(varx > 0, cov / varx, np.nan)
+        r2 = np.where((varx > 0) & (vary > 0),
+                      (cov * cov) / (varx * vary), np.nan)
+    icept = my - slope * mx
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "n": n.astype(np.int64),
+                        "slope": np.round(slope, 6),
+                        "icept": np.round(icept, 6),
+                        "r2": np.round(r2, 6)})
+    # SQL GROUP BY keeps a NULL event_type group; pandas sum() renders
+    # its key as NaN — normalize to None for the value-hash
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
+
+
 def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
     """Robust outlier detection per event type — median, MAD (median
     absolute deviation) and the count of |v − med| > 3·MAD rows, the
