@@ -1623,3 +1623,71 @@ def test_event_regression_small(ray_session, tmp_path):
     rb = out[out["event_type"] == "b"].iloc[0]
     assert int(rb["n"]) == 1
     assert pd.isna(rb["slope"]) and pd.isna(rb["r2"])
+
+
+def test_round_away_matches_sql():
+    """round_away is half-away-from-zero like SQL round(), where
+    np.round's banker's rounding flips the half boundary."""
+    from web_scrapper_ray.pipelines.pairs import round_away
+
+    assert float(round_away(33.48125, 4)) == 33.4813  # np.round -> 33.4812
+    assert float(round_away(-33.48125, 4)) == -33.4813
+    assert float(round_away(2.5, 0)) == 3.0
+    assert float(round_away(-2.5, 0)) == -3.0
+    assert np.isnan(round_away(float("nan"), 2))
+    assert float(round_away(1.23449, 4)) == 1.2345
+    assert float(round_away(1.23444, 4)) == 1.2344  # below half stays down
+
+
+def test_new_ops_null_edges(ray_session, tmp_path):
+    """Review-fix pins: q87 NULL prices rank last (NULLS LAST) with
+    NULL stats in their tile; q88 keeps a NULL-returnflag group; q92
+    returns r2=1.0 for a constant-y group (DuckDB regr_r2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import (q_bloom_semijoin,
+                                                       q_event_regression,
+                                                       q_order_deciles)
+
+    d1 = tmp_path / "deciles"
+    d1.mkdir()
+    od = pa.table({"o_orderkey": pa.array(range(6), pa.int64()),
+                   "o_totalprice": pa.array(
+                       [30.0, 10.0, None, 20.0, None, 40.0], pa.float64())})
+    pq.write_table(od, str(d1 / "orders.parquet"))
+    out = q_order_deciles(str(d1), tiles=3)
+    # sorted: 10,20,30,40,NULL,NULL -> tiles of 2: (10,20) (30,40) (N,N)
+    assert list(out["n_orders"]) == [2, 2, 2]
+    assert out["max_price"].iloc[1] == 40.0
+    assert pd.isna(out["min_price"].iloc[2]) and pd.isna(out["sum_price"].iloc[2])
+
+    d2 = tmp_path / "bloom"
+    d2.mkdir()
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_totalprice": pa.array([100.0], pa.float64())}),
+        str(d2 / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1], pa.int64()),
+        "l_returnflag": pa.array(["A", None], pa.string()),
+        "l_extendedprice": pa.array([10.0, 20.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0], pa.float64())}),
+        str(d2 / "lineitem.parquet"))
+    out2 = q_bloom_semijoin(str(d2), cutoff=50.0)
+    assert len(out2) == 2  # the NULL-flag group survives
+    assert out2["l_returnflag"].iloc[-1] is None
+    assert out2["revenue"].iloc[-1] == 20.0
+
+    d3 = tmp_path / "regr"
+    d3.mkdir()
+    ts0 = pd.Timestamp("2024-01-01")
+    pq.write_table(pa.table({
+        "event_type": pa.array(["c"] * 3, pa.string()),
+        "ts": pa.array([ts0, ts0 + pd.Timedelta(hours=1),
+                        ts0 + pd.Timedelta(hours=2)], pa.timestamp("us")),
+        "value": pa.array([7.0, 7.0, 7.0], pa.float64())}),
+        str(d3 / "events.parquet"))
+    out3 = q_event_regression(str(d3))
+    r = out3.iloc[0]
+    assert r["slope"] == 0.0 and r["r2"] == 1.0  # constant y, varying x

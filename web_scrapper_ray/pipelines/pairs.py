@@ -27,6 +27,21 @@ def mix64(key: np.ndarray) -> np.ndarray:
     return key ^ (key >> np.uint64(31))
 
 
+def round_away(a, ndigits: int) -> np.ndarray:
+    """SQL/DuckDB ``round()``: half AWAY from zero. np.round / builtin
+    round are half-to-even, which flips any value sitting exactly on
+    the half boundary at the target precision (seen live: q86's
+    35281.1282745 µs-grid mean and q91's 33.48125 Flesch score round
+    DOWN under banker's rounding, UP in DuckDB). Mirrors DuckDB's
+    ``std::round(x * 10^d) / 10^d`` op-for-op; NaN/±inf pass through."""
+    a = np.asarray(a, dtype=np.float64)
+    f = 10.0 ** ndigits
+    ax = np.abs(a) * f
+    fl = np.floor(ax)
+    r = np.where(ax - fl >= 0.5, fl + 1.0, fl)
+    return np.sign(a) * r / f
+
+
 def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
                  P: int = 32, gather: bool = True) -> list:
     """Raw-task hash exchange shared by the near-dup/set-op operators:

@@ -19,7 +19,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import hash_shuffle, mix64
+from .pairs import hash_shuffle, mix64, round_away
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -1110,8 +1110,8 @@ def q_user_type_pivot(sf_dir: str) -> pd.DataFrame:
             out[f"n_{t}"] = wide[:, i]
         out["n_total"] = by_user["n_total"].reindex(
             range(len(uniq))).to_numpy().astype(np.int64)
-        out["sum_value"] = by_user["sum_value"].reindex(
-            range(len(uniq))).round(4).to_numpy()
+        out["sum_value"] = round_away(by_user["sum_value"].reindex(
+            range(len(uniq))).to_numpy(), 4)
         out["user_id"] = out["user_id"].astype(
             "Int64" if out["user_id"].isna().any() else "int64")
         return out[list(cols)]
@@ -1193,9 +1193,9 @@ def q_event_gaps(sf_dir: str) -> pd.DataFrame:
         avg[counts < 2] = np.nan
         out = pd.DataFrame({"user_id": users,
                             "n_events": counts.astype(np.int64),
-                            "avg_gap_s": np.round(avg, 6)})
+                            "avg_gap_s": round_away(avg, 6)})
         out = out.merge(stats, on="user_id", how="left")
-        out["max_gap_s"] = out["max_gap_s"].round(6)
+        out["max_gap_s"] = round_away(out["max_gap_s"].to_numpy(), 6)
         return out
 
     parts = [p for p in hash_shuffle(
@@ -1271,14 +1271,19 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
     vary = m["syy"] / n - my * my
     with np.errstate(invalid="ignore", divide="ignore"):
         slope = np.where(varx > 0, cov / varx, np.nan)
-        r2 = np.where((varx > 0) & (vary > 0),
-                      (cov * cov) / (varx * vary), np.nan)
+        # SQL regr_r2: NULL when var(x)=0; 1.0 when var(y)=0 but
+        # var(x)>0 (a constant y is perfectly "explained"); else the
+        # usual cov²/(varx·vary) — verified against DuckDB
+        r2 = np.where(varx > 0,
+                      np.where(vary > 0,
+                               (cov * cov) / (varx * vary), 1.0),
+                      np.nan)
     icept = my - slope * mx
     out = pd.DataFrame({"event_type": m["event_type"],
                         "n": n.astype(np.int64),
-                        "slope": np.round(slope, 6),
-                        "icept": np.round(icept, 6),
-                        "r2": np.round(r2, 6)})
+                        "slope": round_away(slope, 6),
+                        "icept": round_away(icept, 6),
+                        "r2": round_away(r2, 6)})
     # SQL GROUP BY keeps a NULL event_type group; pandas sum() renders
     # its key as NaN — normalize to None for the value-hash
     out["event_type"] = out["event_type"].astype(object).where(
@@ -1310,9 +1315,10 @@ def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
         med = float(np.percentile(v, 50.0, method="linear"))
         ad = np.abs(v - med)
         mad = float(np.percentile(ad, 50.0, method="linear"))
+        from .pairs import round_away
         return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
-                             "med": [round(med, 6)],
-                             "mad": [round(mad, 6)],
+                             "med": [float(round_away(med, 6))],
+                             "mad": [float(round_away(mad, 6))],
                              "n_outliers": [int((ad > 3 * mad).sum())]})
 
     def drop_nulls(t: pa.Table) -> pa.Table:
@@ -1357,7 +1363,7 @@ def q_order_deciles(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
                          "hi": pa.array([pc.max(v).as_py()], pa.float64())})
 
     mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
-    mm = mm.dropna()
+    mmv = mm.dropna()
     cols = {"tile": pd.Series(dtype="int64"),
             "n_orders": pd.Series(dtype="int64"),
             "min_price": pd.Series(dtype="float64"),
@@ -1365,11 +1371,19 @@ def q_order_deciles(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
             "sum_price": pd.Series(dtype="float64")}
     if mm.empty:
         return pd.DataFrame(cols)
-    lo, hi = float(mm["lo"].min()), float(mm["hi"].max())
+    # all-NULL prices: any (lo, hi) works — every row routes via the
+    # NaN branch of binof below
+    lo = float(mmv["lo"].min()) if not mmv.empty else 0.0
+    hi = float(mmv["hi"].max()) if not mmv.empty else 0.0
     width = (hi - lo) / P or 1.0
 
     def binof(v: np.ndarray) -> np.ndarray:
-        return np.clip(((v - lo) / width).astype(np.int64), 0, P - 1)
+        # NULL prices sort last under SQL ntile's default NULLS LAST:
+        # route them to the top bin (the in-bucket lexsort also puts
+        # NaN last, so their global ranks trail every real price)
+        with np.errstate(invalid="ignore"):
+            b = np.clip(((v - lo) / width).astype(np.int64), 0, P - 1)
+        return np.where(np.isnan(v), P - 1, b)
 
     def hist_partial(batch: pa.Table) -> pa.Table:
         v = batch.column("o_totalprice").to_numpy(zero_copy_only=False)
@@ -1412,7 +1426,8 @@ def q_order_deciles(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
         g = pd.DataFrame({"tile": tile, "p": price})
         out = (g.groupby("tile", as_index=False)
                .agg(n_orders=("p", "size"), min_price=("p", "min"),
-                    max_price=("p", "max"), sum_price=("p", "sum")))
+                    max_price=("p", "max"),
+                    sum_price=("p", lambda s: s.sum(min_count=1))))
         return out
 
     parts = [p for p in hash_shuffle(
@@ -1422,9 +1437,10 @@ def q_order_deciles(sf_dir: str, tiles: int = 10) -> pd.DataFrame:
     out = (pd.concat(parts, ignore_index=True)
            .groupby("tile", as_index=False)
            .agg(n_orders=("n_orders", "sum"), min_price=("min_price", "min"),
-                max_price=("max_price", "max"), sum_price=("sum_price", "sum")))
+                max_price=("max_price", "max"),
+                sum_price=("sum_price", lambda s: s.sum(min_count=1))))
     out["n_orders"] = out["n_orders"].astype("int64")
-    out["sum_price"] = out["sum_price"].round(2)
+    out["sum_price"] = round_away(out["sum_price"].to_numpy(), 2)
     return out.sort_values("tile").reset_index(drop=True)
 
 
@@ -1540,7 +1556,8 @@ def q_bloom_semijoin(sf_dir: str, cutoff: float = 475000.0) -> pd.DataFrame:
         m = probe_t.filter(pa.array(real)).to_pandas()
         if m.empty:
             return pd.DataFrame(cols)
-        out = (m.groupby("flag", as_index=False)
+        # dropna=False: SQL GROUP BY keeps a NULL returnflag group
+        out = (m.groupby("flag", dropna=False, as_index=False)
                .agg(n_items=("key", "size"), revenue=("rev", "sum"))
                .rename(columns={"flag": "l_returnflag"}))
         return out
@@ -1567,8 +1584,13 @@ def q_bloom_semijoin(sf_dir: str, cutoff: float = 475000.0) -> pd.DataFrame:
                              "n_items": pd.Series(dtype="int64"),
                              "revenue": pd.Series(dtype="float64")})
     out = (pd.concat(parts, ignore_index=True)
-           .groupby("l_returnflag", as_index=False)
+           .groupby("l_returnflag", dropna=False, as_index=False)
            .agg(n_items=("n_items", "sum"), revenue=("revenue", "sum")))
     out["n_items"] = out["n_items"].astype("int64")
-    out["revenue"] = out["revenue"].round(2)
-    return out.sort_values("l_returnflag").reset_index(drop=True)
+    out["revenue"] = round_away(out["revenue"].to_numpy(), 2)
+    # NULL flag renders as NaN through pandas — re-None it so the
+    # value-hash sees one NULL representation
+    out["l_returnflag"] = out["l_returnflag"].astype(object).where(
+        out["l_returnflag"].notna(), None)
+    return (out.sort_values("l_returnflag", na_position="last")
+            .reset_index(drop=True))

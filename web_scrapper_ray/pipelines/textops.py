@@ -1378,7 +1378,11 @@ def q_readability(sf_dir: str) -> pd.DataFrame:
             pc.subtract(pa.scalar(206.835),
                         pc.multiply(pa.scalar(1.015), pc.divide(w, s))),
             pc.multiply(pa.scalar(84.6), pc.divide(y, w)))
-        fre = pc.if_else(pc.greater(w, 0.0), pc.round(fre, ndigits=4),
+        # SQL round() is half AWAY from zero; Arrow defaults to
+        # banker's (a doc scoring exactly 33.48125 flips at 4dp)
+        fre = pc.if_else(pc.greater(w, 0.0),
+                         pc.round(fre, ndigits=4,
+                                  round_mode="half_towards_infinity"),
                          pa.scalar(None, pa.float64()))
         return pa.table({"doc_id": t.column("doc_id"),
                          "n_words": pc.cast(w, pa.int64()),
