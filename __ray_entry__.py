@@ -215,6 +215,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q90_mad_outliers": relational.q_mad_outliers,
         "q91_readability": textops.q_readability,
         "q92_event_regression": relational.q_event_regression,
+        "q94_corr_matrix": relational.q_corr_matrix,
+        "q95_running_total": relational.q_running_total,
+        "q96_cube_agg": relational.q_cube_agg,
+        "q97_next_event_gap": relational.q_next_event_gap,
+        "q98_mode_per_user": relational.q_mode_per_user,
+        "q99_median_value_disc": relational.q_median_value_disc,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -231,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q39_bpe_token_count": textops.q_bpe_token_count,
         "q54_doc_chunks": textops.q_doc_chunks,
         "q55_tfidf_topk": textops.q_tfidf_topk,
+        "q93_bm25_scores": textops.q_bm25_scores,
         "q56_decontaminate": textops.q_decontaminate,
         "q57_event_value_quantiles": relational.q_event_value_quantiles,
         "q58_shard_pack": textops.q_shard_pack,
@@ -1017,6 +1024,84 @@ def oracle_sql() -> dict[str, str]:
                    round(regr_r2(value, (epoch(ts) - 1700000000.0)
                                  / 3600.0), 6) AS r2
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q93_bm25_scores": r"""
+            WITH toks AS (
+              SELECT doc_id, t AS term
+              FROM documents, unnest(regexp_extract_all(lower(text), '\w+')) AS u(t)
+            ),
+            dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM toks GROUP BY 1),
+            stats AS (SELECT sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl FROM dl),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM documents),
+            tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks
+                   WHERE term IN ('hash', 'join', 'vector', 'scan', 'filter')
+                   GROUP BY 1, 2),
+            df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+                   FROM tf GROUP BY 1)
+            SELECT tf.doc_id,
+                   round(sum(ln(1.0 + (n.nd - df.df + 0.5) / (df.df + 0.5))
+                             * tf.tf * (1.2 + 1.0)
+                             / (tf.tf + 1.2 * (1.0 - 0.75
+                                               + 0.75 * dl.dl / stats.avgdl))),
+                         6) AS score
+            FROM tf JOIN df USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN n CROSS JOIN stats
+            GROUP BY tf.doc_id ORDER BY tf.doc_id
+        """,
+        "q94_corr_matrix": """
+            SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+                   round(corr(l_quantity, l_discount), 6) AS corr_qty_disc,
+                   round(corr(l_extendedprice, l_discount), 6) AS corr_price_disc
+            FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+              AND l_discount IS NOT NULL
+        """,
+        "q95_running_total": """
+            SELECT o_orderkey, o_custkey,
+                   round(sum(cast(round(o_totalprice * 100) AS BIGINT))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey)
+                         / 100.0, 2) AS running_spend
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+              AND o_totalprice IS NOT NULL
+            ORDER BY o_orderkey
+        """,
+        "q96_cube_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   grouping(l_returnflag, l_linestatus)::BIGINT AS lvl,
+                   count(*)::BIGINT AS n_items,
+                   sum(cast(l_quantity AS BIGINT))::BIGINT AS sum_qty
+            FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+            ORDER BY lvl, l_returnflag, l_linestatus
+        """,
+        "q97_next_event_gap": """
+            SELECT event_id,
+                   date_diff('microsecond', ts,
+                             lead(ts) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY ts, event_id)) AS next_gap_us
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND ts IS NOT NULL
+            ORDER BY event_id
+        """,
+        "q98_mode_per_user": """
+            WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n
+                       FROM events
+                       WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+                       GROUP BY 1, 2)
+            SELECT user_id, event_type AS mode_type, n AS n_events
+            FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                               ORDER BY n DESC, event_type) AS rk
+                  FROM c)
+            WHERE rk = 1 ORDER BY user_id
+        """,
+        "q99_median_value_disc": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   quantile_disc(value, 0.5) AS median_value
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

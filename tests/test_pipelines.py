@@ -1691,3 +1691,200 @@ def test_new_ops_null_edges(ray_session, tmp_path):
     out3 = q_event_regression(str(d3))
     r = out3.iloc[0]
     assert r["slope"] == 0.0 and r["r2"] == 1.0  # constant y, varying x
+
+
+def test_corr_matrix_small(ray_session, tmp_path):
+    """q94: perfectly linear qty→price gives corr 1.0; a constant
+    column yields NULL (zero variance); empty table → all-NULL row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_corr_matrix
+
+    t = pa.table({
+        "l_quantity": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64()),
+        "l_extendedprice": pa.array([100.0, 200.0, 300.0, 400.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.05] * 4, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = q_corr_matrix(str(tmp_path))
+    assert out["corr_qty_price"].iloc[0] == 1.0
+    assert pd.isna(out["corr_qty_disc"].iloc[0])
+    assert pd.isna(out["corr_price_disc"].iloc[0])
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 0), str(d2 / "lineitem.parquet"))
+    out2 = q_corr_matrix(str(d2))
+    assert len(out2) == 1 and out2.isna().all(axis=None)
+
+
+def test_running_total_small(ray_session, tmp_path):
+    """q95: per-customer cumulative spend in exact cents — same-date
+    ties break by orderkey, customers never bleed into each other, and
+    0.1+0.2-style float prices stay exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_running_total
+
+    d = pd.Timestamp("2024-01-01")
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 9, 9], pa.int64()),
+        "o_orderdate": pa.array(
+            [d, d, d + pd.Timedelta(days=1), d, d], pa.timestamp("us")),
+        "o_totalprice": pa.array([0.10, 0.20, 0.30, 5.00, 2.50],
+                                 pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = q_running_total(str(tmp_path)).set_index("o_orderkey")
+    # cust 7: orderkey tie on day 0 -> 0.10, then 0.30, then 0.60
+    assert list(out.loc[[1, 2, 3], "running_spend"]) == [0.10, 0.30, 0.60]
+    # cust 9: same date, orderkey order -> 5.00 then 7.50
+    assert list(out.loc[[4, 5], "running_spend"]) == [5.00, 7.50]
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 0), str(d2 / "orders.parquet"))
+    assert len(q_running_total(str(d2))) == 0
+
+
+def test_cube_agg_small(ray_session, tmp_path):
+    """q96: all four grouping sets from one leaf pass; a genuine NULL
+    group key stays a leaf row (lvl 0), disambiguated from subtotal
+    NULLs by lvl; empty table emits only the grand row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_cube_agg
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", None, "R"], pa.string()),
+        "l_linestatus": pa.array(["O", "F", "O", "O"], pa.string()),
+        "l_quantity": pa.array([1.0, 2.0, 4.0, 8.0], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = q_cube_agg(str(tmp_path))
+    leaf = out[out["lvl"] == 0]
+    assert len(leaf) == 4  # (A,O) (A,F) (NULL,O) (R,O)
+    null_leaf = leaf[leaf["l_returnflag"].isna()]
+    assert int(null_leaf["sum_qty"].iloc[0]) == 4
+    grand = out[out["lvl"] == 3]
+    assert int(grand["n_items"].iloc[0]) == 4
+    assert int(grand["sum_qty"].iloc[0]) == 15
+    by_status = out[out["lvl"] == 2]
+    assert int(by_status[by_status["l_linestatus"] == "O"]["sum_qty"]
+               .iloc[0]) == 13
+    # lvl-1 rolls status within flag: NULL flag keeps its own subtotal
+    by_flag = out[out["lvl"] == 1]
+    assert len(by_flag) == 3
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 0), str(d2 / "lineitem.parquet"))
+    out2 = q_cube_agg(str(d2))
+    assert len(out2) == 1 and int(out2["lvl"].iloc[0]) == 3
+    assert int(out2["n_items"].iloc[0]) == 0
+
+
+def test_next_event_gap_small(ray_session, tmp_path):
+    """q97: leads are per (user, type) — interleaved types don't see
+    each other; the last event of each partition gets NaN; NULL
+    user/type/ts rows are out of contract."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_next_event_gap
+
+    base = pd.Timestamp("2024-01-01")
+    ts = lambda s: base + pd.Timedelta(seconds=s)
+    t = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1, None, 2], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b", "a", None],
+                               pa.string()),
+        "ts": pa.array([ts(0), ts(1), ts(10), ts(21), ts(2), ts(3)],
+                       pa.timestamp("us")),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_next_event_gap(str(tmp_path)).set_index("event_id")
+    assert list(out.index) == [1, 2, 3, 4]  # NULL rows dropped
+    assert out.loc[1, "next_gap_us"] == 10e6  # a: 0 -> 10
+    assert out.loc[2, "next_gap_us"] == 20e6  # b: 1 -> 21
+    assert pd.isna(out.loc[3, "next_gap_us"])
+    assert pd.isna(out.loc[4, "next_gap_us"])
+
+
+def test_mode_per_user_small(ray_session, tmp_path):
+    """q98: the modal type wins; exact ties break to the
+    lexicographically smaller type (row_number ORDER BY n DESC, type)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_mode_per_user
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["b", "b", "a", "z", "a", "q"],
+                               pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_mode_per_user(str(tmp_path)).set_index("user_id")
+    assert out.loc[1, "mode_type"] == "b" and out.loc[1, "n_events"] == 2
+    assert out.loc[2, "mode_type"] == "a"  # 1-1 tie -> lexicographic
+    assert out.loc[3, "mode_type"] == "q"
+
+
+def test_median_value_disc_small(ray_session, tmp_path):
+    """q99: quantile_disc(0.5) picks the element at ceil(n/2)-1 of the
+    sorted values — the LOWER middle for even n, no interpolation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_median_value_disc
+
+    t = pa.table({
+        "event_type": pa.array(["e"] * 4 + ["o"] * 3 + ["s"],
+                               pa.string()),
+        "value": pa.array([4.0, 1.0, 3.0, 2.0, 30.0, 10.0, 20.0, 7.5],
+                          pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_median_value_disc(str(tmp_path)).set_index("event_type")
+    assert out.loc["e", "median_value"] == 2.0  # even n=4 -> lower middle
+    assert out.loc["o", "median_value"] == 20.0  # odd n=3 -> middle
+    assert out.loc["s", "median_value"] == 7.5
+    assert int(out.loc["e", "n_events"]) == 4
+
+
+def test_bm25_scores_small(ray_session, tmp_path):
+    """q93: hand-checked Okapi BM25 — matching docs score by the
+    closed form, tf saturation orders repeated terms above single
+    hits, non-matching docs emit no row."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import (BM25_B, BM25_K1,
+                                                    q_bm25_scores)
+
+    texts = ["hash join", "the cat sat", "hash hash hash hash"]
+    t = pa.table({"doc_id": pa.array([1, 2, 3], pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_bm25_scores(str(tmp_path)).set_index("doc_id")
+    assert list(out.index) == [1, 3]  # doc 2 matches nothing
+
+    n, avgdl = 3.0, 9 / 3.0
+    def idf(df):
+        return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+    def w(tf, dl, df):
+        return (idf(df) * tf * (BM25_K1 + 1.0)
+                / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl)))
+    exp1 = w(1, 2, 2) + w(1, 2, 1)   # hash + join
+    exp3 = w(4, 4, 2)                # hash x4
+    assert abs(out.loc[1, "score"] - exp1) < 1e-6
+    assert abs(out.loc[3, "score"] - exp3) < 1e-6

@@ -1594,3 +1594,404 @@ def q_bloom_semijoin(sf_dir: str, cutoff: float = 475000.0) -> pd.DataFrame:
         out["l_returnflag"].notna(), None)
     return (out.sort_values("l_returnflag", na_position="last")
             .reset_index(drop=True))
+
+
+# fixed centering constants for the one-pass correlation moments: corr
+# is shift-invariant, and centering near the column means keeps the
+# naive-moment cancellation (Σxy − ΣxΣy/n) far from the double's
+# precision cliff at raw magnitudes
+_CORR_CENTER = {"l_quantity": 25.0, "l_extendedprice": 30000.0,
+                "l_discount": 0.05}
+
+
+def q_corr_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise Pearson correlation over the lineitem measures (SQL
+    ``corr()`` twin) in ONE streaming pass: each batch pre-combines the
+    full moment vector (n, Σx, Σxx per column, Σxy per pair) after
+    centering by FIXED constants, so the exchange carries
+    n_batches × 10 doubles and the closed form runs on the tiny partial
+    table driver-side. Mathematically shift-invariant; numerically the
+    centering keeps >10 significant digits against the oracle's
+    streaming accumulator, so the 6dp round agrees."""
+    cols = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem", columns=cols)
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({c: pa.array([], pa.float64())
+                          for c in ("n", "sq", "sp", "sd", "sqq", "spp",
+                                    "sdd", "sqp", "sqd", "spd")})
+        if t.num_rows == 0 or cols[0] not in t.schema.names:
+            return empty
+        # SQL corr(x, y) skips rows where EITHER side is NULL; with a
+        # 3-column matrix the pairs could in principle see different
+        # row sets — this op's contract (documented, matching the
+        # oracle's WHERE) is the complete-case matrix
+        m = None
+        for c in cols:
+            v = pc.is_valid(t.column(c))
+            m = v if m is None else pc.and_(m, v)
+        if not pc.all(m).as_py():
+            t = t.filter(m)
+        if t.num_rows == 0:
+            return empty
+        q = t.column("l_quantity").to_numpy() - _CORR_CENTER["l_quantity"]
+        p = (t.column("l_extendedprice").to_numpy()
+             - _CORR_CENTER["l_extendedprice"])
+        d = t.column("l_discount").to_numpy() - _CORR_CENTER["l_discount"]
+        vals = [float(len(q)), q.sum(), p.sum(), d.sum(),
+                (q * q).sum(), (p * p).sum(), (d * d).sum(),
+                (q * p).sum(), (q * d).sum(), (p * d).sum()]
+        return pa.table({c: pa.array([v], pa.float64())
+                         for c, v in zip(empty.schema.names, vals)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    out_cols = ["corr_qty_price", "corr_qty_disc", "corr_price_disc"]
+    if parts.empty or parts["n"].sum() < 2:
+        return pd.DataFrame({c: [np.nan] for c in out_cols})
+    s = parts.sum()
+    n = s["n"]
+
+    def corr(sx, sy, sxx, syy, sxy):
+        cov = sxy - sx * sy / n
+        vx = sxx - sx * sx / n
+        vy = syy - sy * sy / n
+        if vx <= 0 or vy <= 0:
+            return np.nan
+        return cov / np.sqrt(vx * vy)
+
+    vals = [corr(s["sq"], s["sp"], s["sqq"], s["spp"], s["sqp"]),
+            corr(s["sq"], s["sd"], s["sqq"], s["sdd"], s["sqd"]),
+            corr(s["sp"], s["sd"], s["spp"], s["sdd"], s["spd"])]
+    return pd.DataFrame({c: [round_away(v, 6).item()]
+                         for c, v in zip(out_cols, vals)})
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer cumulative spend (SQL ``sum() OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey)`` twin). Distributed
+    shape: ONE raw-task ``hash_shuffle`` co-locates each customer's
+    orders into coarse buckets; each bucket lexsorts once and computes
+    every customer's running sum in two vectorized np ops (segmented
+    cumsum — cross-customer carry subtracted via group offsets), no
+    per-group dispatch. Prices are exact-2dp grid values, so the sum
+    runs in int64 CENTS — bit-exact against the oracle's identical
+    cents form at any prefix length, immune to float sum order."""
+    B = 64
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate",
+                        "o_totalprice"])
+    cols = {"o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "running_spend": pd.Series(dtype="float64")}
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_custkey": pa.array([], pa.int64()),
+                          "ts": pa.array([], pa.int64()),
+                          "cents": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return empty
+        keep = pc.and_(pc.is_valid(t.column("o_custkey")),
+                       pc.is_valid(t.column("o_totalprice")))
+        keep = pc.and_(keep, pc.is_valid(t.column("o_orderdate")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "ts": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "cents": pa.array(round_away(price * 100.0, 0)
+                              .astype(np.int64)),
+            "bucket": pa.array((cust % B).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        t = pa.concat_tables(live)
+        cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        okey = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents = t.column("cents").to_numpy(zero_copy_only=False)
+        order = np.lexsort((okey, ts, cust))
+        cust, okey, cents = cust[order], okey[order], cents[order]
+        cs = np.cumsum(cents)
+        starts = np.flatnonzero(np.r_[True, cust[1:] != cust[:-1]])
+        counts = np.diff(np.r_[starts, len(cust)])
+        carry = np.repeat(cs[starts] - cents[starts], counts)
+        running = (cs - carry).astype(np.float64) / 100.0
+        return pd.DataFrame({"o_orderkey": okey, "o_custkey": cust,
+                             "running_spend": round_away(running, 2)})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("o_orderkey").reset_index(drop=True))
+
+
+def q_cube_agg(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY CUBE(l_returnflag, l_linestatus) — all four grouping
+    sets from ONE distributed leaf pass (the only level whose
+    cardinality scales with the data); the three rollup levels derive
+    from the already-tiny leaf table driver-side, so the cube costs
+    exactly one exchange. ``lvl`` mirrors SQL ``GROUPING(l_returnflag,
+    l_linestatus)`` (bit 1 = returnflag rolled up, bit 0 =
+    linestatus), disambiguating subtotal NULLs from genuine NULL group
+    keys. Quantities are integral (1–50 grid) so sums run in int64 —
+    exact at every level."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        t = batch.set_column(batch.schema.get_field_index("l_quantity"),
+                             "l_quantity", qty)
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [([], "count_all"), ("l_quantity", "sum")])
+        return pa.table({"l_returnflag": g.column("l_returnflag"),
+                         "l_linestatus": g.column("l_linestatus"),
+                         "n_items": g.column("count_all"),
+                         "sum_qty": g.column("l_quantity_sum")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"l_returnflag": [None], "l_linestatus": [None],
+                             "lvl": pd.array([3], dtype="int64"),
+                             "n_items": pd.array([0], dtype="int64"),
+                             "sum_qty": [np.nan]})
+
+    def roll(df, keys, lvl):
+        if keys:
+            g = (df.groupby(keys, dropna=False, as_index=False)
+                 .agg(n_items=("n_items", "sum"),
+                      sum_qty=("sum_qty", lambda s: s.sum(min_count=1))))
+        else:
+            g = pd.DataFrame({"n_items": [df["n_items"].sum()],
+                              "sum_qty": [df["sum_qty"].sum(min_count=1)]})
+        for c in ("l_returnflag", "l_linestatus"):
+            if c not in g.columns:
+                g[c] = None
+        g["lvl"] = lvl
+        return g
+
+    leaf = roll(parts, ["l_returnflag", "l_linestatus"], 0)
+    out = pd.concat([leaf,
+                     roll(leaf, ["l_returnflag"], 1),
+                     roll(leaf, ["l_linestatus"], 2),
+                     roll(leaf, [], 3)], ignore_index=True)
+    out["lvl"] = out["lvl"].astype("int64")
+    out["n_items"] = out["n_items"].astype("int64")
+    if not out["sum_qty"].isna().any():
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+    for c in ("l_returnflag", "l_linestatus"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    cols = ["l_returnflag", "l_linestatus", "lvl", "n_items", "sum_qty"]
+    return (out[cols].sort_values(["lvl", "l_returnflag", "l_linestatus"])
+            .reset_index(drop=True))
+
+
+def q_next_event_gap(sf_dir: str) -> pd.DataFrame:
+    """Per-(user, event_type) gap to the NEXT same-type event (SQL
+    ``lead() OVER`` twin), in microseconds — exact integer values
+    carried as float64 (the oracle's nullable BIGINT arrives as
+    float64+NaN through pandas, and µs gaps sit far inside double's
+    exact range). Distributed shape: ONE raw-task ``hash_shuffle``
+    on user_id co-locates each user's events (a (user, type) partition
+    is a subset of the user bucket); each bucket factorizes the type
+    strings to int codes, lexsorts ONCE on (user, code, ts, event_id)
+    and takes every partition's leads in one shifted subtraction —
+    no per-group dispatch. The last event of each partition keeps a
+    NULL gap. NULL user/type/ts rows are out of contract on both sides
+    (the oracle's WHERE drops them)."""
+    B = 64
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    cols = {"event_id": pd.Series(dtype="int64"),
+            "next_gap_us": pd.Series(dtype="float64")}
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "ts": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        t = pa.concat_tables(live)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        code = pd.factorize(t.column("event_type").to_pandas())[0]
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, code, uid))
+        uid, code, ts, eid = uid[order], code[order], ts[order], eid[order]
+        # float64 like the oracle's nullable-BIGINT→pandas conversion;
+        # µs gaps sit far inside double's exact-integer range
+        gap = np.r_[ts[1:] - ts[:-1], 0].astype(np.float64)
+        last = np.r_[(uid[1:] != uid[:-1]) | (code[1:] != code[:-1]), True]
+        gap[last] = np.nan
+        return pd.DataFrame({"event_id": eid, "next_gap_us": gap})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
+    """Per-user modal event type (deterministic tie-break: higher
+    count first, then lexicographically smaller type — SQL
+    ``row_number() OVER (ORDER BY n DESC, event_type)`` twin).
+    Distributed shape: per-batch Arrow ``group_by`` partials shrink the
+    exchange to distinct (user, type) cells × batches; ONE raw-task
+    ``hash_shuffle`` on user_id co-locates each user's cells; each
+    bucket sums partials and takes the argmax via one lexsort +
+    first-row-per-user mask — no per-group dispatch, no driver-side
+    rows beyond the one-row-per-user result."""
+    B = 64
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    cols = {"user_id": pd.Series(dtype="int64"),
+            "mode_type": pd.Series(dtype="object"),
+            "n_events": pd.Series(dtype="int64")}
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("event_type")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        g = t.group_by(["user_id", "event_type"]).aggregate(
+            [([], "count_all")])
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(g.column("user_id"), pa.int64()),
+            "event_type": g.column("event_type"),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        df = (df.groupby(["user_id", "event_type"], as_index=False)
+              .agg(n=("n", "sum")))
+        df = df.sort_values(["user_id", "n", "event_type"],
+                            ascending=[True, False, True],
+                            kind="mergesort")
+        top = df[~df["user_id"].duplicated()]
+        return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
+                             "mode_type": top["event_type"].to_numpy(),
+                             "n_events": top["n"].to_numpy()})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q_median_value_disc(sf_dir: str) -> pd.DataFrame:
+    """Per-type exact discrete median (SQL ``quantile_disc(value,
+    0.5)`` twin — the element at index ceil(n/2)−1 of the sorted
+    values, an order statistic: NO float arithmetic, so parity is
+    exact by construction). Distributed shape: ONE raw-task
+    ``hash_shuffle`` on a type hash co-locates each type's values;
+    each bucket lexsorts once and picks every type's median element
+    via group offsets — vectorized, no per-group dispatch. A
+    production variant at 100 TB swaps the per-type sort for the q84
+    histogram-sketch refinement; this op's contract is EXACT."""
+    B = 16
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n_events": pd.Series(dtype="int64"),
+            "median_value": pd.Series(dtype="float64")}
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "value": pa.array([], pa.float64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return empty
+        keep = pc.and_(pc.is_valid(t.column("event_type")),
+                       pc.is_valid(t.column("value")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        # bucket by the TYPE STRING's content hash so equal types land
+        # together across blocks (a per-block factorize code would
+        # disagree between blocks; Python hash() is process-salted) —
+        # blake2b over the few UNIQUE strings, then a codes gather
+        import hashlib
+
+        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        uh = np.array([int.from_bytes(
+            hashlib.blake2b(str(x).encode(), digest_size=8).digest(),
+            "big") % B for x in uniq], dtype=np.int64)
+        hb = uh[codes]
+        return pa.table({"event_type": pc.cast(t.column("event_type"),
+                                               pa.string()),
+                         "value": pc.cast(t.column("value"), pa.float64()),
+                         "bucket": pa.array(hb.astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        t = pa.concat_tables(live)
+        code, types = pd.factorize(t.column("event_type").to_pandas())
+        val = t.column("value").to_numpy(zero_copy_only=False)
+        order = np.lexsort((val, code))
+        code, val = code[order], val[order]
+        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
+        counts = np.diff(np.r_[starts, len(code)])
+        med_idx = starts + np.ceil(counts / 2.0).astype(np.int64) - 1
+        return pd.DataFrame({"event_type": types[code[starts]],
+                             "n_events": counts.astype(np.int64),
+                             "median_value": val[med_idx]})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("event_type").reset_index(drop=True))

@@ -1398,3 +1398,98 @@ def q_readability(sf_dir: str) -> pd.DataFrame:
                              "n_syllables": pd.Series(dtype="int64"),
                              "fre": pd.Series(dtype="float64")})
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+# fixed ad-hoc retrieval query for the BM25 op (mid-df corpus terms);
+# the term list is part of the op's contract and mirrored in the oracle
+BM25_TERMS = ("hash", "join", "vector", "scan", "filter")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def q_bm25_scores(sf_dir: str) -> pd.DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query
+    (the retrieval op a training-data pipeline uses for quality-biased
+    sampling and hard-negative mining). Two streaming passes, no
+    token-scale shuffle — the same shape as q55's TF-IDF:
+
+    1. per-batch stats partials: Σ doc length, #docs with ≥1 token and
+       per-query-term document frequencies — a fixed-width row per
+       batch, summed driver-side (the exchange never sees tokens);
+    2. per-batch scoring: tf over the 5 query terms + the closed-form
+       BM25 sum; only matching docs emit a row.
+
+    avgdl is Σdl/n_docs_with_tokens computed as ONE exact int sum and
+    one division — the identical IEEE op order as the oracle's
+    sum()::DOUBLE / count() — and idf uses the +1 smoothing form
+    ln(1 + (N−df+0.5)/(df+0.5)), so both sides agree to the 6dp
+    round."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    n_docs = float(pq.read_metadata(
+        os.path.join(sf_dir, "documents.parquet")).num_rows)
+    terms = list(BM25_TERMS)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        sum_dl = 0
+        n_tok_docs = 0
+        df = Counter()
+        for t in batch.column("text").to_pylist():
+            toks = _TOKEN_RX.findall((t or "").lower())
+            if not toks:
+                continue
+            sum_dl += len(toks)
+            n_tok_docs += 1
+            seen = set(toks)
+            for q in terms:
+                if q in seen:
+                    df[q] += 1
+        return pa.table({"sum_dl": pa.array([sum_dl], pa.int64()),
+                         "n_tok_docs": pa.array([n_tok_docs], pa.int64()),
+                         **{f"df_{i}": pa.array([df[q]], pa.int64())
+                            for i, q in enumerate(terms)}})
+
+    stats = (_docs(sf_dir, ["text"])
+             .map_batches(stats_partial, batch_format="pyarrow")
+             .to_pandas().sum())
+    if stats.empty or stats["n_tok_docs"] == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    avgdl = float(stats["sum_dl"]) / float(stats["n_tok_docs"])
+    idf = {q: math.log(1.0 + (n_docs - float(stats[f"df_{i}"]) + 0.5)
+                       / (float(stats[f"df_{i}"]) + 0.5))
+           for i, q in enumerate(terms)}
+
+    def score(batch: pa.Table) -> pa.Table:
+        out_d, out_s = [], []
+        for doc_id, text in zip(batch.column("doc_id").to_pylist(),
+                                batch.column("text").to_pylist()):
+            toks = _TOKEN_RX.findall((text or "").lower())
+            if not toks:
+                continue
+            tf = Counter(toks)
+            s = 0.0
+            hit = False
+            dl_norm = BM25_K1 * (1.0 - BM25_B + BM25_B * len(toks) / avgdl)
+            for q in terms:
+                f = tf.get(q, 0)
+                if f:
+                    hit = True
+                    s += idf[q] * f * (BM25_K1 + 1.0) / (f + dl_norm)
+            if hit:
+                out_d.append(doc_id)
+                out_s.append(s)
+        return pa.table({"doc_id": pa.array(out_d, pa.int64()),
+                         "score": pa.array(out_s, pa.float64())})
+
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(score, batch_format="pyarrow").to_pandas())
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    from .pairs import round_away
+
+    out["score"] = round_away(out["score"].to_numpy(), 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
