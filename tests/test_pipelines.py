@@ -1858,6 +1858,33 @@ def test_median_value_disc_small(ray_session, tmp_path):
     assert out.loc["s", "median_value"] == 7.5
     assert int(out.loc["e", "n_events"]) == 4
 
+    # force the rank-refinement loop (max_collect far below the type
+    # sizes): exact order statistics, duplicate-heavy one-round
+    # convergence, and the -inf / +inf / NaN total-order blocks
+    rng = np.random.default_rng(7)
+    big = rng.normal(100.0, 17.0, size=5001)
+    dup = np.full(4000, 42.5)
+    inf_vals = np.r_[np.full(3, -np.inf), [1.0, 2.0], np.full(6, np.inf)]
+    nan_vals = np.r_[[5.0], np.full(4, np.nan)]
+    d2 = tmp_path / "refine"
+    d2.mkdir()
+    pq.write_table(pa.table({
+        "event_type": pa.array(["big"] * len(big) + ["dup"] * len(dup)
+                               + ["inf"] * len(inf_vals)
+                               + ["nan"] * len(nan_vals), pa.string()),
+        "value": pa.array(np.r_[big, dup, inf_vals, nan_vals],
+                          pa.float64())}), str(d2 / "events.parquet"))
+    out2 = (q_median_value_disc(str(d2), bins=16, max_collect=64)
+            .set_index("event_type"))
+    exact = np.sort(big)[int(np.ceil(len(big) / 2)) - 1]
+    assert out2.loc["big", "median_value"] == exact
+    assert out2.loc["dup", "median_value"] == 42.5
+    # inf: sorted blocks [-inf x3 | 1,2 | +inf x6], k=ceil(11/2)-1=5 -> +inf
+    assert out2.loc["inf", "median_value"] == np.inf
+    # nan: [5.0 | NaN x4], k=2 -> NaN (DuckDB sorts NaN last)
+    assert pd.isna(out2.loc["nan", "median_value"])
+    assert int(out2.loc["big", "n_events"]) == len(big)
+
 
 def test_bm25_scores_small(ray_session, tmp_path):
     """q93: hand-checked Okapi BM25 — matching docs score by the

@@ -1751,7 +1751,12 @@ def q_cube_agg(sf_dir: str) -> pd.DataFrame:
                columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        qty = pc.cast(batch.column("l_quantity"), pa.int64())
+        # SQL cast(double AS BIGINT) rounds half-AWAY; Arrow's safe cast
+        # raises on any fractional value — round first so off-grid
+        # quantities keep oracle parity instead of crashing
+        qty = pc.cast(pc.round(batch.column("l_quantity"),
+                               round_mode="half_towards_infinity"),
+                      pa.int64())
         t = batch.set_column(batch.schema.get_field_index("l_quantity"),
                              "l_quantity", qty)
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
@@ -1929,26 +1934,36 @@ def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
-def q_median_value_disc(sf_dir: str) -> pd.DataFrame:
+def q_median_value_disc(sf_dir: str, bins: int = 256,
+                        max_collect: int = 65536) -> pd.DataFrame:
     """Per-type exact discrete median (SQL ``quantile_disc(value,
     0.5)`` twin — the element at index ceil(n/2)−1 of the sorted
-    values, an order statistic: NO float arithmetic, so parity is
-    exact by construction). Distributed shape: ONE raw-task
-    ``hash_shuffle`` on a type hash co-locates each type's values;
-    each bucket lexsorts once and picks every type's median element
-    via group offsets — vectorized, no per-group dispatch. A
-    production variant at 100 TB swaps the per-type sort for the q84
-    histogram-sketch refinement; this op's contract is EXACT."""
-    B = 16
+    values). EXACT at any scale without ever materializing a type's
+    values in one task: iterative rank refinement. Pass 0 computes
+    per-type counts split into the total-order blocks SQL sorting uses
+    (−inf | finite | +inf | NaN — DuckDB and np.sort both put NaN
+    last) plus the finite min/max; if the target rank lands in an
+    infinite/NaN block the median is that constant. Otherwise each
+    round histograms ONLY the candidate range into ``bins`` equal
+    slices (per-batch bincount partials — the exchange carries
+    types × bins ints, never rows), walks the cumulative counts to the
+    bin holding the target rank, and narrows. Membership is recomputed
+    from the full (lo, width, bin) constraint CHAIN, not a float range
+    compare, so edge values can never be double-counted. When ≤
+    ``max_collect`` candidates remain they are collected and the order
+    statistic read off directly; ~1e12 rows/type narrows in 2 rounds
+    at bins=256. A constant-valued range (hi == lo) short-circuits."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     cols = {"event_type": pd.Series(dtype="object"),
             "n_events": pd.Series(dtype="int64"),
             "median_value": pd.Series(dtype="float64")}
 
-    def split(t: pa.Table) -> pa.Table:
+    def base_partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"event_type": pa.array([], pa.string()),
-                          "value": pa.array([], pa.float64()),
-                          "bucket": pa.array([], pa.int64())})
+                          **{c: pa.array([], pa.int64())
+                             for c in ("n", "n_neg", "n_pos", "n_nan")},
+                          "lo": pa.array([], pa.float64()),
+                          "hi": pa.array([], pa.float64())})
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return empty
         keep = pc.and_(pc.is_valid(t.column("event_type")),
@@ -1957,41 +1972,178 @@ def q_median_value_disc(sf_dir: str) -> pd.DataFrame:
             t = t.filter(keep)
         if t.num_rows == 0:
             return empty
-        # bucket by the TYPE STRING's content hash so equal types land
-        # together across blocks (a per-block factorize code would
-        # disagree between blocks; Python hash() is process-salted) —
-        # blake2b over the few UNIQUE strings, then a codes gather
-        import hashlib
+        df = pd.DataFrame({"et": t.column("event_type").to_pandas(),
+                           "v": t.column("value").to_numpy(
+                               zero_copy_only=False)})
 
-        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
-        uh = np.array([int.from_bytes(
-            hashlib.blake2b(str(x).encode(), digest_size=8).digest(),
-            "big") % B for x in uniq], dtype=np.int64)
-        hb = uh[codes]
-        return pa.table({"event_type": pc.cast(t.column("event_type"),
-                                               pa.string()),
-                         "value": pc.cast(t.column("value"), pa.float64()),
-                         "bucket": pa.array(hb.astype(np.int64))})
+        def stats(s):
+            v = s.to_numpy()
+            f = v[np.isfinite(v)]
+            return pd.Series({
+                "n": len(v),
+                "n_neg": int(np.sum(v == -np.inf)),
+                "n_pos": int(np.sum(v == np.inf)),
+                "n_nan": int(np.isnan(v).sum()),
+                "lo": f.min() if len(f) else np.nan,
+                "hi": f.max() if len(f) else np.nan})
 
-    def merge(*tabs) -> pd.DataFrame:
-        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
-        if not live:
-            return pd.DataFrame(cols)
-        t = pa.concat_tables(live)
-        code, types = pd.factorize(t.column("event_type").to_pandas())
-        val = t.column("value").to_numpy(zero_copy_only=False)
-        order = np.lexsort((val, code))
-        code, val = code[order], val[order]
-        starts = np.flatnonzero(np.r_[True, code[1:] != code[:-1]])
-        counts = np.diff(np.r_[starts, len(code)])
-        med_idx = starts + np.ceil(counts / 2.0).astype(np.int64) - 1
-        return pd.DataFrame({"event_type": types[code[starts]],
-                             "n_events": counts.astype(np.int64),
-                             "median_value": val[med_idx]})
+        g = df.groupby("et")["v"].apply(stats).unstack().reset_index()
+        return pa.table({"event_type": pa.Array.from_pandas(
+                             g["et"], type=pa.string()),
+                         **{c: pa.array(g[c].to_numpy().astype(np.int64))
+                            for c in ("n", "n_neg", "n_pos", "n_nan")},
+                         "lo": pa.array(g["lo"].to_numpy()
+                                        .astype(np.float64)),
+                         "hi": pa.array(g["hi"].to_numpy()
+                                        .astype(np.float64))})
 
-    parts = [p for p in hash_shuffle(
-        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
-    if not parts:
+    base = ds.map_batches(base_partial, batch_format="pyarrow").to_pandas()
+    if base.empty:
         return pd.DataFrame(cols)
-    return (pd.concat(parts, ignore_index=True)
-            .sort_values("event_type").reset_index(drop=True))
+    agg = (base.groupby("event_type")
+           .agg(n=("n", "sum"), n_neg=("n_neg", "sum"),
+                n_pos=("n_pos", "sum"), n_nan=("n_nan", "sum"),
+                lo=("lo", "min"), hi=("hi", "max")).reset_index())
+
+    def bin_of(v: np.ndarray, lo: float, width: float) -> np.ndarray:
+        with np.errstate(invalid="ignore"):
+            b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
+        return b
+
+    # per-type refinement state: target rank k (0-based, within the
+    # finite block), the constraint chain [(lo, width, bin), ...], and
+    # how many finite candidates below the current range
+    state: dict[str, dict] = {}
+    done: dict[str, float] = {}
+    for _, r in agg.iterrows():
+        k_all = int(np.ceil(r["n"] / 2.0)) - 1
+        n_fin = int(r["n"] - r["n_neg"] - r["n_pos"] - r["n_nan"])
+        if k_all < r["n_neg"]:
+            done[r["event_type"]] = -np.inf
+        elif k_all < r["n_neg"] + n_fin:
+            state[r["event_type"]] = {
+                "k": k_all - int(r["n_neg"]), "chain": [],
+                "lo": float(r["lo"]), "hi": float(r["hi"]),
+                "cand": n_fin, "below": 0}
+        elif k_all < r["n_neg"] + n_fin + r["n_pos"]:
+            done[r["event_type"]] = np.inf
+        else:
+            done[r["event_type"]] = np.nan
+
+    import ray
+
+    def chain_mask(v: np.ndarray, chain) -> np.ndarray:
+        m = np.isfinite(v)
+        for lo, width, b in chain:
+            m &= bin_of(v, lo, width) == b
+        return m
+
+    while True:
+        for et in [e for e, s in state.items()
+                   if s["hi"] <= s["lo"] or s["cand"] <= 0]:
+            done[et] = state.pop(et)["lo"]
+        active = {et: s for et, s in state.items()
+                  if s["cand"] > max_collect}
+        if not active:
+            break
+        spec_ref = ray.put({et: (s["lo"], (s["hi"] - s["lo"]) / bins,
+                                 tuple(s["chain"]))
+                            for et, s in active.items()})
+
+        def hist_partial(t: pa.Table) -> pa.Table:
+            spec = ray.get(spec_ref)
+            empty = pa.table({"event_type": pa.array([], pa.string()),
+                              "bin": pa.array([], pa.int64()),
+                              "cnt": pa.array([], pa.int64())})
+            if t.num_rows == 0 or "event_type" not in t.schema.names:
+                return empty
+            et = t.column("event_type").to_pandas()
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            outs_e, outs_b, outs_c, outs_lo, outs_hi = [], [], [], [], []
+            for name, (lo, width, chain) in spec.items():
+                m = (et == name).to_numpy() & chain_mask(v, chain)
+                if not m.any():
+                    continue
+                vi = v[m]
+                bi = bin_of(vi, lo, width)
+                bc = np.bincount(bi, minlength=bins)
+                # per-bin actual min/max lets the driver snap the next
+                # range to real values: a duplicate-heavy bin collapses
+                # to lo==hi in ONE round instead of a width-underflow
+                # crawl
+                bmin = np.full(bins, np.inf)
+                bmax = np.full(bins, -np.inf)
+                np.minimum.at(bmin, bi, vi)
+                np.maximum.at(bmax, bi, vi)
+                nz = np.flatnonzero(bc)
+                outs_e.extend([name] * len(nz))
+                outs_b.extend(nz.tolist())
+                outs_c.extend(bc[nz].tolist())
+                outs_lo.extend(bmin[nz].tolist())
+                outs_hi.extend(bmax[nz].tolist())
+            return pa.table({"event_type": pa.array(outs_e, pa.string()),
+                             "bin": pa.array(outs_b, pa.int64()),
+                             "cnt": pa.array(outs_c, pa.int64()),
+                             "vlo": pa.array(outs_lo, pa.float64()),
+                             "vhi": pa.array(outs_hi, pa.float64())})
+
+        hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
+                .to_pandas().groupby(["event_type", "bin"])
+                .agg(cnt=("cnt", "sum"), vlo=("vlo", "min"),
+                     vhi=("vhi", "max")))
+        for et, s in active.items():
+            width = (s["hi"] - s["lo"]) / bins
+            if et in hist.index.get_level_values(0):
+                h = hist.loc[et].reindex(range(bins))
+                bc = h["cnt"].fillna(0).to_numpy().astype(np.int64)
+            else:
+                h = None
+                bc = np.zeros(bins, dtype=np.int64)
+            cum = np.cumsum(bc)
+            b = min(int(np.searchsorted(cum, s["k"] - s["below"] + 1)),
+                    bins - 1)
+            prev = int(cum[b - 1]) if b else 0
+            s["chain"].append((s["lo"], width, b))
+            s["below"] += prev
+            s["cand"] = int(bc[b])
+            # snap to the bin's ACTUAL value range (exact: membership
+            # stays chain-defined; lo/hi only seed the next histogram)
+            s["lo"] = float(h["vlo"].iloc[b]) if h is not None else (
+                s["lo"] + b * width)
+            s["hi"] = float(h["vhi"].iloc[b]) if h is not None else (
+                s["lo"] + width)
+
+    if state:
+        spec_ref = ray.put({et: tuple(s["chain"])
+                            for et, s in state.items()})
+
+        def collect_partial(t: pa.Table) -> pa.Table:
+            spec = ray.get(spec_ref)
+            empty = pa.table({"event_type": pa.array([], pa.string()),
+                              "value": pa.array([], pa.float64())})
+            if t.num_rows == 0 or "event_type" not in t.schema.names:
+                return empty
+            et = t.column("event_type").to_pandas()
+            v = t.column("value").to_numpy(zero_copy_only=False)
+            outs = []
+            for name, chain in spec.items():
+                m = (et == name).to_numpy() & chain_mask(v, chain)
+                if m.any():
+                    outs.append(pa.table({
+                        "event_type": pa.array([name] * int(m.sum()),
+                                               pa.string()),
+                        "value": pa.array(v[m], pa.float64())}))
+            return pa.concat_tables(outs) if outs else empty
+
+        cand = (ds.map_batches(collect_partial, batch_format="pyarrow")
+                .to_pandas())
+        for et, s in state.items():
+            vals = np.sort(cand[cand["event_type"] == et]["value"]
+                           .to_numpy())
+            done[et] = float(vals[s["k"] - s["below"]])
+
+    out = pd.DataFrame({
+        "event_type": agg["event_type"],
+        "n_events": agg["n"].astype("int64"),
+        "median_value": [done[e] for e in agg["event_type"]]})
+    return out.sort_values("event_type").reset_index(drop=True)
