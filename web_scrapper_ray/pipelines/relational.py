@@ -1938,212 +1938,170 @@ def q_median_value_disc(sf_dir: str, bins: int = 256,
                         max_collect: int = 65536) -> pd.DataFrame:
     """Per-type exact discrete median (SQL ``quantile_disc(value,
     0.5)`` twin — the element at index ceil(n/2)−1 of the sorted
-    values). EXACT at any scale without ever materializing a type's
-    values in one task: iterative rank refinement. Pass 0 computes
-    per-type counts split into the total-order blocks SQL sorting uses
-    (−inf | finite | +inf | NaN — DuckDB and np.sort both put NaN
-    last) plus the finite min/max; if the target rank lands in an
-    infinite/NaN block the median is that constant. Otherwise each
-    round histograms ONLY the candidate range into ``bins`` equal
-    slices (per-batch bincount partials — the exchange carries
-    types × bins ints, never rows), walks the cumulative counts to the
-    bin holding the target rank, and narrows. Membership is recomputed
-    from the full (lo, width, bin) constraint CHAIN, not a float range
-    compare, so edge values can never be double-counted. When ≤
-    ``max_collect`` candidates remain they are collected and the order
-    statistic read off directly; ~1e12 rows/type narrows in 2 rounds
-    at bins=256. A constant-valued range (hi == lo) short-circuits."""
+    values). EXACT at any scale without sorting or holding a type's
+    values in one task: the q61 rank-refinement shape, generalized to
+    per-GROUP order statistics. The input materializes ONCE; every
+    pass is raw ``ray.remote`` tasks over the cached block refs (~70ms
+    floor, no repeated parquet scans). Pass 0 splits each type's
+    counts into the total-order blocks SQL sorting uses (−inf | finite
+    | +inf | NaN — DuckDB and np.sort both put NaN last) plus observed
+    finite min/max; a rank landing in a non-finite block IS that
+    constant. Finite ranks narrow by histogram: per-block partials
+    carry (type × bins) counts and observed per-bin min/max, the
+    driver walks the cumulative counts to the target bin and snaps
+    [lo, hi] to its observed values — binning is monotone in v, so the
+    range filter is exact, no float edge drift. A spread too wide for
+    float64 takes a midpoint split that pass (q61's guard); every pass
+    at least halves the range and 256 passes cover the full dynamic
+    range, after which the gather is still exact, just bigger. Types
+    with ≤ ``max_collect`` survivors gather in one fused final pass."""
+    import ray
+
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
     cols = {"event_type": pd.Series(dtype="object"),
             "n_events": pd.Series(dtype="int64"),
             "median_value": pd.Series(dtype="float64")}
 
-    def base_partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({"event_type": pa.array([], pa.string()),
-                          **{c: pa.array([], pa.int64())
-                             for c in ("n", "n_neg", "n_pos", "n_nan")},
-                          "lo": pa.array([], pa.float64()),
-                          "hi": pa.array([], pa.float64())})
+    def block_types(t: pa.Table):
+        """(type → [n, n_neg, n_pos, n_nan, lo, hi]) for one block."""
         if t.num_rows == 0 or "event_type" not in t.schema.names:
-            return empty
+            return {}
         keep = pc.and_(pc.is_valid(t.column("event_type")),
                        pc.is_valid(t.column("value")))
         if not pc.all(keep).as_py():
             t = t.filter(keep)
         if t.num_rows == 0:
-            return empty
-        df = pd.DataFrame({"et": t.column("event_type").to_pandas(),
-                           "v": t.column("value").to_numpy(
-                               zero_copy_only=False)})
+            return {}
+        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        out = {}
+        for ci, name in enumerate(uniq):
+            vi = v[codes == ci]
+            fin = vi[np.isfinite(vi)]
+            out[name] = [len(vi), int((vi == -np.inf).sum()),
+                         int((vi == np.inf).sum()),
+                         int(np.isnan(vi).sum()),
+                         float(fin.min()) if fin.size else np.inf,
+                         float(fin.max()) if fin.size else -np.inf]
+        return out
 
-        def stats(s):
-            v = s.to_numpy()
-            f = v[np.isfinite(v)]
-            return pd.Series({
-                "n": len(v),
-                "n_neg": int(np.sum(v == -np.inf)),
-                "n_pos": int(np.sum(v == np.inf)),
-                "n_nan": int(np.isnan(v).sum()),
-                "lo": f.min() if len(f) else np.nan,
-                "hi": f.max() if len(f) else np.nan})
-
-        g = df.groupby("et")["v"].apply(stats).unstack().reset_index()
-        return pa.table({"event_type": pa.Array.from_pandas(
-                             g["et"], type=pa.string()),
-                         **{c: pa.array(g[c].to_numpy().astype(np.int64))
-                            for c in ("n", "n_neg", "n_pos", "n_nan")},
-                         "lo": pa.array(g["lo"].to_numpy()
-                                        .astype(np.float64)),
-                         "hi": pa.array(g["hi"].to_numpy()
-                                        .astype(np.float64))})
-
-    base = ds.map_batches(base_partial, batch_format="pyarrow").to_pandas()
-    if base.empty:
+    refs = ds.materialize().to_arrow_refs()
+    parts = ray.get([ray.remote(block_types).remote(r) for r in refs])
+    agg: dict[str, list] = {}
+    for p in parts:
+        for name, s in p.items():
+            a = agg.setdefault(name, [0, 0, 0, 0, np.inf, -np.inf])
+            a[0] += s[0]; a[1] += s[1]; a[2] += s[2]; a[3] += s[3]
+            a[4] = min(a[4], s[4]); a[5] = max(a[5], s[5])
+    if not agg:
         return pd.DataFrame(cols)
-    agg = (base.groupby("event_type")
-           .agg(n=("n", "sum"), n_neg=("n_neg", "sum"),
-                n_pos=("n_pos", "sum"), n_nan=("n_nan", "sum"),
-                lo=("lo", "min"), hi=("hi", "max")).reset_index())
 
-    def bin_of(v: np.ndarray, lo: float, width: float) -> np.ndarray:
-        with np.errstate(invalid="ignore"):
-            b = np.clip(((v - lo) / width).astype(np.int64), 0, bins - 1)
-        return b
-
-    # per-type refinement state: target rank k (0-based, within the
-    # finite block), the constraint chain [(lo, width, bin), ...], and
-    # how many finite candidates below the current range
-    state: dict[str, dict] = {}
     done: dict[str, float] = {}
-    for _, r in agg.iterrows():
-        k_all = int(np.ceil(r["n"] / 2.0)) - 1
-        n_fin = int(r["n"] - r["n_neg"] - r["n_pos"] - r["n_nan"])
-        if k_all < r["n_neg"]:
-            done[r["event_type"]] = -np.inf
-        elif k_all < r["n_neg"] + n_fin:
-            state[r["event_type"]] = {
-                "k": k_all - int(r["n_neg"]), "chain": [],
-                "lo": float(r["lo"]), "hi": float(r["hi"]),
-                "cand": n_fin, "below": 0}
-        elif k_all < r["n_neg"] + n_fin + r["n_pos"]:
-            done[r["event_type"]] = np.inf
+    # per-type finite-rank state: k = 0-based target within the finite
+    # values, [lo, hi] = candidate range (observed values), below =
+    # finite values < lo, cand = candidates in [lo, hi]
+    state: dict[str, dict] = {}
+    for name, (n, n_neg, n_pos, n_nan, lo, hi) in agg.items():
+        k_all = int(np.ceil(n / 2.0)) - 1
+        n_fin = n - n_neg - n_pos - n_nan
+        if k_all < n_neg:
+            done[name] = -np.inf
+        elif k_all < n_neg + n_fin:
+            state[name] = {"k": k_all - n_neg, "lo": lo, "hi": hi,
+                           "below": 0, "cand": n_fin}
+        elif k_all < n_neg + n_fin + n_pos:
+            done[name] = np.inf
         else:
-            done[r["event_type"]] = np.nan
+            done[name] = np.nan
 
-    import ray
+    def block_hist(t: pa.Table, spec: dict):
+        """spec: type → (lo, hi). Returns type → (hist, mins, maxs)."""
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return {}
+        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        lookup = {name: ci for ci, name in enumerate(uniq)}
+        out = {}
+        for name, (lo, hi) in spec.items():
+            ci = lookup.get(name)
+            if ci is None:
+                continue
+            vi = v[codes == ci]
+            # NaN compares False on both sides, ±inf fall outside the
+            # observed finite [lo, hi]
+            sel = np.sort(vi[(vi >= lo) & (vi <= hi)])
+            if not sel.size:
+                continue
+            if hi > lo and np.isfinite(hi - lo):
+                b = np.clip(((sel - lo) * (bins / (hi - lo)))
+                            .astype(np.int64), 0, bins - 1)
+            elif hi > lo:
+                # width overflows float64: one midpoint split this pass
+                # (|lo/2 + hi/2| <= max(|lo|, |hi|), so mid is finite)
+                b = (sel > (lo / 2 + hi / 2)).astype(np.int64) * (bins - 1)
+            else:
+                b = np.zeros(sel.size, np.int64)
+            # b is nondecreasing in sorted sel: per-bin min/max are run
+            # boundaries — no slow ufunc.at loops
+            starts = np.searchsorted(b, np.arange(bins), side="left")
+            ends = np.searchsorted(b, np.arange(bins), side="right")
+            hist = (ends - starts).astype(np.int64)
+            mins = np.full(bins, np.inf)
+            maxs = np.full(bins, -np.inf)
+            ne = hist > 0
+            mins[ne] = sel[starts[ne]]
+            maxs[ne] = sel[ends[ne] - 1]
+            out[name] = (hist, mins, maxs)
+        return out
 
-    def chain_mask(v: np.ndarray, chain) -> np.ndarray:
-        m = np.isfinite(v)
-        for lo, width, b in chain:
-            m &= bin_of(v, lo, width) == b
-        return m
-
-    while True:
-        for et in [e for e, s in state.items()
-                   if s["hi"] <= s["lo"] or s["cand"] <= 0]:
-            done[et] = state.pop(et)["lo"]
-        active = {et: s for et, s in state.items()
-                  if s["cand"] > max_collect}
+    hist_r = ray.remote(block_hist)
+    for _ in range(256):
+        active = {name: (s["lo"], s["hi"]) for name, s in state.items()
+                  if s["cand"] > max_collect and s["hi"] > s["lo"]}
         if not active:
             break
-        spec_ref = ray.put({et: (s["lo"], (s["hi"] - s["lo"]) / bins,
-                                 tuple(s["chain"]))
-                            for et, s in active.items()})
-
-        def hist_partial(t: pa.Table) -> pa.Table:
-            spec = ray.get(spec_ref)
-            empty = pa.table({"event_type": pa.array([], pa.string()),
-                              "bin": pa.array([], pa.int64()),
-                              "cnt": pa.array([], pa.int64())})
-            if t.num_rows == 0 or "event_type" not in t.schema.names:
-                return empty
-            et = t.column("event_type").to_pandas()
-            v = t.column("value").to_numpy(zero_copy_only=False)
-            outs_e, outs_b, outs_c, outs_lo, outs_hi = [], [], [], [], []
-            for name, (lo, width, chain) in spec.items():
-                m = (et == name).to_numpy() & chain_mask(v, chain)
-                if not m.any():
-                    continue
-                vi = v[m]
-                bi = bin_of(vi, lo, width)
-                bc = np.bincount(bi, minlength=bins)
-                # per-bin actual min/max lets the driver snap the next
-                # range to real values: a duplicate-heavy bin collapses
-                # to lo==hi in ONE round instead of a width-underflow
-                # crawl
-                bmin = np.full(bins, np.inf)
-                bmax = np.full(bins, -np.inf)
-                np.minimum.at(bmin, bi, vi)
-                np.maximum.at(bmax, bi, vi)
-                nz = np.flatnonzero(bc)
-                outs_e.extend([name] * len(nz))
-                outs_b.extend(nz.tolist())
-                outs_c.extend(bc[nz].tolist())
-                outs_lo.extend(bmin[nz].tolist())
-                outs_hi.extend(bmax[nz].tolist())
-            return pa.table({"event_type": pa.array(outs_e, pa.string()),
-                             "bin": pa.array(outs_b, pa.int64()),
-                             "cnt": pa.array(outs_c, pa.int64()),
-                             "vlo": pa.array(outs_lo, pa.float64()),
-                             "vhi": pa.array(outs_hi, pa.float64())})
-
-        hist = (ds.map_batches(hist_partial, batch_format="pyarrow")
-                .to_pandas().groupby(["event_type", "bin"])
-                .agg(cnt=("cnt", "sum"), vlo=("vlo", "min"),
-                     vhi=("vhi", "max")))
-        for et, s in active.items():
-            width = (s["hi"] - s["lo"]) / bins
-            if et in hist.index.get_level_values(0):
-                h = hist.loc[et].reindex(range(bins))
-                bc = h["cnt"].fillna(0).to_numpy().astype(np.int64)
-            else:
-                h = None
-                bc = np.zeros(bins, dtype=np.int64)
-            cum = np.cumsum(bc)
-            b = min(int(np.searchsorted(cum, s["k"] - s["below"] + 1)),
+        spec_ref = ray.put(active)
+        parts = ray.get([hist_r.remote(r, spec_ref) for r in refs])
+        for name in active:
+            blocks = [p[name] for p in parts if name in p]
+            hist = np.sum([b[0] for b in blocks], axis=0)
+            mins = np.minimum.reduce([b[1] for b in blocks])
+            maxs = np.maximum.reduce([b[2] for b in blocks])
+            s = state[name]
+            cum = np.cumsum(hist)
+            j = min(int(np.searchsorted(cum, s["k"] - s["below"] + 1)),
                     bins - 1)
-            prev = int(cum[b - 1]) if b else 0
-            s["chain"].append((s["lo"], width, b))
-            s["below"] += prev
-            s["cand"] = int(bc[b])
-            # snap to the bin's ACTUAL value range (exact: membership
-            # stays chain-defined; lo/hi only seed the next histogram)
-            s["lo"] = float(h["vlo"].iloc[b]) if h is not None else (
-                s["lo"] + b * width)
-            s["hi"] = float(h["vhi"].iloc[b]) if h is not None else (
-                s["lo"] + width)
+            s["below"] += int(cum[j - 1]) if j else 0
+            s["cand"] = int(hist[j])
+            s["lo"], s["hi"] = float(mins[j]), float(maxs[j])
+
+    for name in [n for n, s in state.items() if s["hi"] <= s["lo"]]:
+        done[name] = state.pop(name)["lo"]
 
     if state:
-        spec_ref = ray.put({et: tuple(s["chain"])
-                            for et, s in state.items()})
+        spec_ref = ray.put({name: (s["lo"], s["hi"])
+                            for name, s in state.items()})
 
-        def collect_partial(t: pa.Table) -> pa.Table:
-            spec = ray.get(spec_ref)
-            empty = pa.table({"event_type": pa.array([], pa.string()),
-                              "value": pa.array([], pa.float64())})
+        def block_gather(t: pa.Table, spec: dict):
             if t.num_rows == 0 or "event_type" not in t.schema.names:
-                return empty
-            et = t.column("event_type").to_pandas()
+                return {}
+            codes, uniq = pd.factorize(t.column("event_type").to_pandas())
             v = t.column("value").to_numpy(zero_copy_only=False)
-            outs = []
-            for name, chain in spec.items():
-                m = (et == name).to_numpy() & chain_mask(v, chain)
-                if m.any():
-                    outs.append(pa.table({
-                        "event_type": pa.array([name] * int(m.sum()),
-                                               pa.string()),
-                        "value": pa.array(v[m], pa.float64())}))
-            return pa.concat_tables(outs) if outs else empty
+            lookup = {name: ci for ci, name in enumerate(uniq)}
+            return {name: v[(codes == lookup[name]) & (v >= lo) & (v <= hi)]
+                    for name, (lo, hi) in spec.items()
+                    if name in lookup}
 
-        cand = (ds.map_batches(collect_partial, batch_format="pyarrow")
-                .to_pandas())
-        for et, s in state.items():
-            vals = np.sort(cand[cand["event_type"] == et]["value"]
-                           .to_numpy())
-            done[et] = float(vals[s["k"] - s["below"]])
+        parts = ray.get([ray.remote(block_gather).remote(r, spec_ref)
+                         for r in refs])
+        for name, s in state.items():
+            vals = np.sort(np.concatenate(
+                [p[name] for p in parts if name in p]
+                or [np.array([], np.float64)]))
+            done[name] = float(vals[s["k"] - s["below"]])
 
-    out = pd.DataFrame({
-        "event_type": agg["event_type"],
-        "n_events": agg["n"].astype("int64"),
-        "median_value": [done[e] for e in agg["event_type"]]})
-    return out.sort_values("event_type").reset_index(drop=True)
+    names = sorted(agg)
+    return pd.DataFrame({
+        "event_type": names,
+        "n_events": np.array([agg[n][0] for n in names], dtype=np.int64),
+        "median_value": [done[n] for n in names]})
