@@ -221,6 +221,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q97_next_event_gap": relational.q_next_event_gap,
         "q98_mode_per_user": relational.q_mode_per_user,
         "q99_median_value_disc": relational.q_median_value_disc,
+        "q102_percentile_cont": relational.q_percentile_cont,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -275,6 +276,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q23_simhash": dedup.q_simhash,
         "q51_simhash_neardup": dedup.q_simhash_neardup,
         "q53_neardup_clusters": dedup.q_neardup_clusters,
+        # no SQL twin (iterative merge loop); pinned by the Sennrich
+        # hand-example pytest
+        "q100_bpe_train": textops.q_bpe_train,
         "q59_distinct_users_hll": sketches.q_distinct_users_hll,
         "q84_quantile_sketch": sketches.q_value_quantile_sketch,
         "q65_heavy_hitters_cms": sketches.q_heavy_hitters_cms,
@@ -1101,6 +1105,14 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(value, 0.5) AS median_value
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q102_percentile_cont": """
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND NOT isnan(value)
             GROUP BY 1 ORDER BY 1
         """,
         "q82_rollup_docs": """

@@ -1915,3 +1915,74 @@ def test_bm25_scores_small(ray_session, tmp_path):
     exp3 = w(4, 4, 2)                # hash x4
     assert abs(out.loc[1, "score"] - exp1) < 1e-6
     assert abs(out.loc[3, "score"] - exp3) < 1e-6
+
+
+def test_bpe_train_sennrich_example(ray_session, tmp_path):
+    """q100: the canonical BPE walkthrough (Sennrich et al. 2016) —
+    {low:5, lower:2, newest:6, widest:3} with an explicit </w> marker
+    learns es, est, est</w>, lo, low, ew in that exact order (ties
+    break to the lexicographically smaller pair)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_bpe_train
+
+    texts = (["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3)
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_bpe_train(str(tmp_path), n_merges=6)
+    got = list(zip(out["left"], out["right"], out["freq"]))
+    assert got == [("e", "s", 9), ("es", "t", 9), ("est", "</w>", 9),
+                   ("l", "o", 7), ("lo", "w", 7), ("e", "w", 6)]
+    assert list(out["rank"]) == list(range(6))
+
+    d2 = tmp_path / "empty"
+    d2.mkdir()
+    pq.write_table(t.slice(0, 0), str(d2 / "documents.parquet"))
+    assert len(q_bpe_train(str(d2))) == 0
+
+
+def test_percentile_cont_small(ray_session, tmp_path):
+    """q102: DuckDB quantile_cont parity — integral ranks short-circuit
+    to the element, fractional ranks interpolate v0*(1-f) + v1*f in
+    that exact IEEE op order; NaN rows are filtered by contract; a
+    -inf bracket propagates like the oracle. Forced refinement path
+    checked against the formula on the fully sorted values."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_percentile_cont
+
+    rng = np.random.default_rng(11)
+    big = rng.lognormal(0.0, 2.0, size=4001)
+    small = np.array([1.0, 2.0, 4.0, 8.0])       # RN=(4-1)*.9=2.7
+    nanny = np.array([5.0, np.nan, 6.0, np.nan])  # NaN filtered -> n=2
+    infy = np.r_[np.full(9, -np.inf), [1.0]]      # RN=8.1 -> interp(-inf,-inf)
+    t = pa.table({
+        "event_type": pa.array(["big"] * len(big) + ["s"] * len(small)
+                               + ["nan"] * len(nanny) + ["inf"] * len(infy),
+                               pa.string()),
+        "value": pa.array(np.r_[big, small, nanny, infy], pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (q_percentile_cont(str(tmp_path), bins=16, max_collect=64)
+           .set_index("event_type"))
+
+    def ref(vals, frac=0.9):
+        v = np.sort(vals[~np.isnan(vals)])
+        rn = (len(v) - 1) * frac
+        i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
+        if i0 == i1:
+            return v[i0]
+        f = rn - i0
+        return v[i0] * (1.0 - f) + v[i1] * f
+
+    assert out.loc["big", "p90"] == ref(big)
+    assert out.loc["s", "p90"] == ref(small)
+    # the fractional part carries (4-1)*0.9's float error, exactly as
+    # DuckDB computes it — NOT the decimal 0.3/0.7 split
+    f = (4 - 1) * 0.9 - 2
+    assert out.loc["s", "p90"] == 4.0 * (1.0 - f) + 8.0 * f
+    assert out.loc["nan", "p90"] == ref(nanny)
+    assert int(out.loc["nan", "n_events"]) == 2
+    assert out.loc["inf", "p90"] == -np.inf

@@ -1934,36 +1934,38 @@ def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
             .sort_values("user_id").reset_index(drop=True))
 
 
-def q_median_value_disc(sf_dir: str, bins: int = 256,
-                        max_collect: int = 65536) -> pd.DataFrame:
-    """Per-type exact discrete median (SQL ``quantile_disc(value,
-    0.5)`` twin — the element at index ceil(n/2)−1 of the sorted
-    values). EXACT at any scale without sorting or holding a type's
-    values in one task: the q61 rank-refinement shape, generalized to
-    per-GROUP order statistics. The input materializes ONCE; every
-    pass is raw ``ray.remote`` tasks over the cached block refs (~70ms
-    floor, no repeated parquet scans). Pass 0 splits each type's
-    counts into the total-order blocks SQL sorting uses (−inf | finite
-    | +inf | NaN — DuckDB and np.sort both put NaN last) plus observed
-    finite min/max; a rank landing in a non-finite block IS that
-    constant. Finite ranks narrow by histogram: per-block partials
-    carry (type × bins) counts and observed per-bin min/max, the
-    driver walks the cumulative counts to the target bin and snaps
-    [lo, hi] to its observed values — binning is monotone in v, so the
-    range filter is exact, no float edge drift. A spread too wide for
-    float64 takes a midpoint split that pass (q61's guard); every pass
-    at least halves the range and 256 passes cover the full dynamic
-    range, after which the gather is still exact, just bigger. Types
-    with ≤ ``max_collect`` survivors gather in one fused final pass."""
+def _grouped_order_stats(ds, ranks_of, bins: int = 256,
+                         max_collect: int = 65536):
+    """Exact per-group order statistics at any scale — the q61
+    rank-refinement shape generalized to groups and to MULTIPLE ranks
+    per group (shared by q99 median and q102 interpolated percentile).
+
+    ``ds`` must expose (event_type, value); ``ranks_of(name, counts)``
+    maps a group and its block counts ``(n, n_neg, n_pos, n_nan)`` to
+    the list of global 0-based ranks wanted (ranks index the sorted
+    non-NULL values in the SQL total order −inf | finite | +inf | NaN).
+
+    The input materializes ONCE; every pass is raw ``ray.remote`` tasks
+    over the cached block refs (~70ms floor, no repeated parquet
+    scans). Pass 0 splits each group's counts into the total-order
+    blocks plus observed finite min/max; ranks landing in a non-finite
+    block resolve immediately. Finite ranks narrow by histogram:
+    per-block partials carry (group × bins) counts and observed
+    per-bin min/max, the driver walks the cumulative counts to each
+    target bin and snaps [lo, hi] to its observed values — binning is
+    monotone in v, so the range filter is exact, no float edge drift.
+    A spread too wide for float64 takes a midpoint split that pass;
+    every pass at least halves the range and 256 passes cover the full
+    dynamic range, after which the gather is still exact, just bigger.
+    States with ≤ ``max_collect`` survivors gather in one fused final
+    pass (states sharing a group+range share the work).
+
+    Returns ``(counts, values)``: group → (n, n_neg, n_pos, n_nan) and
+    (group, rank) → value.
+    """
     import ray
 
-    ds = _read(sf_dir, "events", columns=["event_type", "value"])
-    cols = {"event_type": pd.Series(dtype="object"),
-            "n_events": pd.Series(dtype="int64"),
-            "median_value": pd.Series(dtype="float64")}
-
     def block_types(t: pa.Table):
-        """(type → [n, n_neg, n_pos, n_nan, lo, hi]) for one block."""
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return {}
         keep = pc.and_(pc.is_valid(t.column("event_type")),
@@ -1993,41 +1995,43 @@ def q_median_value_disc(sf_dir: str, bins: int = 256,
             a = agg.setdefault(name, [0, 0, 0, 0, np.inf, -np.inf])
             a[0] += s[0]; a[1] += s[1]; a[2] += s[2]; a[3] += s[3]
             a[4] = min(a[4], s[4]); a[5] = max(a[5], s[5])
-    if not agg:
-        return pd.DataFrame(cols)
+    counts = {name: tuple(a[:4]) for name, a in agg.items()}
 
-    done: dict[str, float] = {}
-    # per-type finite-rank state: k = 0-based target within the finite
-    # values, [lo, hi] = candidate range (observed values), below =
-    # finite values < lo, cand = candidates in [lo, hi]
-    state: dict[str, dict] = {}
-    for name, (n, n_neg, n_pos, n_nan, lo, hi) in agg.items():
-        k_all = int(np.ceil(n / 2.0)) - 1
+    values: dict = {}
+    # (group, rank) → finite-rank refinement state: k = 0-based target
+    # within the finite values, [lo, hi] = candidate range (observed
+    # values), below = finite values < lo, cand = candidates in range
+    state: dict = {}
+    for name, (n, n_neg, n_pos, n_nan, lo, hi) in (
+            (k, tuple(v)) for k, v in agg.items()):
         n_fin = n - n_neg - n_pos - n_nan
-        if k_all < n_neg:
-            done[name] = -np.inf
-        elif k_all < n_neg + n_fin:
-            state[name] = {"k": k_all - n_neg, "lo": lo, "hi": hi,
-                           "below": 0, "cand": n_fin}
-        elif k_all < n_neg + n_fin + n_pos:
-            done[name] = np.inf
-        else:
-            done[name] = np.nan
+        for k_all in ranks_of(name, (n, n_neg, n_pos, n_nan)):
+            if k_all < n_neg:
+                values[(name, k_all)] = -np.inf
+            elif k_all < n_neg + n_fin:
+                state[(name, k_all)] = {
+                    "k": k_all - n_neg, "lo": lo, "hi": hi,
+                    "below": 0, "cand": n_fin}
+            elif k_all < n_neg + n_fin + n_pos:
+                values[(name, k_all)] = np.inf
+            else:
+                values[(name, k_all)] = np.nan
 
-    def block_hist(t: pa.Table, spec: dict):
-        """spec: type → (lo, hi). Returns type → (hist, mins, maxs)."""
+    def block_hist(t: pa.Table, spec: list):
+        """spec: [(name, lo, hi)] unique ranges. Returns range →
+        (hist, mins, maxs)."""
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return {}
         codes, uniq = pd.factorize(t.column("event_type").to_pandas())
         v = t.column("value").to_numpy(zero_copy_only=False)
         lookup = {name: ci for ci, name in enumerate(uniq)}
         out = {}
-        for name, (lo, hi) in spec.items():
+        for name, lo, hi in spec:
             ci = lookup.get(name)
             if ci is None:
                 continue
             vi = v[codes == ci]
-            # NaN compares False on both sides, ±inf fall outside the
+            # NaN compares False on both sides; ±inf fall outside the
             # observed finite [lo, hi]
             sel = np.sort(vi[(vi >= lo) & (vi <= hi)])
             if not sel.size:
@@ -2051,23 +2055,27 @@ def q_median_value_disc(sf_dir: str, bins: int = 256,
             ne = hist > 0
             mins[ne] = sel[starts[ne]]
             maxs[ne] = sel[ends[ne] - 1]
-            out[name] = (hist, mins, maxs)
+            out[(name, lo, hi)] = (hist, mins, maxs)
         return out
 
     hist_r = ray.remote(block_hist)
     for _ in range(256):
-        active = {name: (s["lo"], s["hi"]) for name, s in state.items()
+        active = {sid: s for sid, s in state.items()
                   if s["cand"] > max_collect and s["hi"] > s["lo"]}
         if not active:
             break
-        spec_ref = ray.put(active)
+        ranges = sorted({(sid[0], s["lo"], s["hi"])
+                         for sid, s in active.items()})
+        spec_ref = ray.put(ranges)
         parts = ray.get([hist_r.remote(r, spec_ref) for r in refs])
-        for name in active:
-            blocks = [p[name] for p in parts if name in p]
-            hist = np.sum([b[0] for b in blocks], axis=0)
-            mins = np.minimum.reduce([b[1] for b in blocks])
-            maxs = np.maximum.reduce([b[2] for b in blocks])
-            s = state[name]
+        merged = {}
+        for key in ranges:
+            blocks = [p[key] for p in parts if key in p]
+            merged[key] = (np.sum([b[0] for b in blocks], axis=0),
+                           np.minimum.reduce([b[1] for b in blocks]),
+                           np.maximum.reduce([b[2] for b in blocks]))
+        for sid, s in active.items():
+            hist, mins, maxs = merged[(sid[0], s["lo"], s["hi"])]
             cum = np.cumsum(hist)
             j = min(int(np.searchsorted(cum, s["k"] - s["below"] + 1)),
                     bins - 1)
@@ -2075,33 +2083,113 @@ def q_median_value_disc(sf_dir: str, bins: int = 256,
             s["cand"] = int(hist[j])
             s["lo"], s["hi"] = float(mins[j]), float(maxs[j])
 
-    for name in [n for n, s in state.items() if s["hi"] <= s["lo"]]:
-        done[name] = state.pop(name)["lo"]
+    for sid in [sid for sid, s in state.items() if s["hi"] <= s["lo"]]:
+        values[sid] = state.pop(sid)["lo"]
 
     if state:
-        spec_ref = ray.put({name: (s["lo"], s["hi"])
-                            for name, s in state.items()})
+        ranges = sorted({(sid[0], s["lo"], s["hi"])
+                         for sid, s in state.items()})
+        spec_ref = ray.put(ranges)
 
-        def block_gather(t: pa.Table, spec: dict):
+        def block_gather(t: pa.Table, spec: list):
             if t.num_rows == 0 or "event_type" not in t.schema.names:
                 return {}
             codes, uniq = pd.factorize(t.column("event_type").to_pandas())
             v = t.column("value").to_numpy(zero_copy_only=False)
             lookup = {name: ci for ci, name in enumerate(uniq)}
-            return {name: v[(codes == lookup[name]) & (v >= lo) & (v <= hi)]
-                    for name, (lo, hi) in spec.items()
-                    if name in lookup}
+            return {(name, lo, hi):
+                    v[(codes == lookup[name]) & (v >= lo) & (v <= hi)]
+                    for name, lo, hi in spec if name in lookup}
 
         parts = ray.get([ray.remote(block_gather).remote(r, spec_ref)
                          for r in refs])
-        for name, s in state.items():
-            vals = np.sort(np.concatenate(
-                [p[name] for p in parts if name in p]
-                or [np.array([], np.float64)]))
-            done[name] = float(vals[s["k"] - s["below"]])
+        gathered = {key: np.sort(np.concatenate(
+            [p[key] for p in parts if key in p]
+            or [np.array([], np.float64)])) for key in ranges}
+        for sid, s in state.items():
+            vals = gathered[(sid[0], s["lo"], s["hi"])]
+            values[sid] = float(vals[s["k"] - s["below"]])
 
-    names = sorted(agg)
+    return counts, values
+
+
+def q_median_value_disc(sf_dir: str, bins: int = 256,
+                        max_collect: int = 65536) -> pd.DataFrame:
+    """Per-type exact discrete median (SQL ``quantile_disc(value,
+    0.5)`` twin — the element at index ceil(n/2)−1 of the sorted
+    values in the total order −inf | finite | +inf | NaN; DuckDB and
+    np.sort both put NaN last). One ``_grouped_order_stats`` run: a
+    materialize-once rank refinement, never a per-group sort."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    counts, values = _grouped_order_stats(
+        ds, lambda name, c: [int(np.ceil(c[0] / 2.0)) - 1],
+        bins=bins, max_collect=max_collect)
+    if not counts:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "median_value": pd.Series(dtype="float64")})
+    names = sorted(counts)
     return pd.DataFrame({
         "event_type": names,
-        "n_events": np.array([agg[n][0] for n in names], dtype=np.int64),
-        "median_value": [done[n] for n in names]})
+        "n_events": np.array([counts[n][0] for n in names], np.int64),
+        "median_value": [values[(n, int(np.ceil(counts[n][0] / 2.0)) - 1)]
+                         for n in names]})
+
+
+def q_percentile_cont(sf_dir: str, frac: float = 0.9,
+                      bins: int = 256,
+                      max_collect: int = 65536) -> pd.DataFrame:
+    """Per-type interpolated percentile (SQL ``quantile_cont(value,
+    0.9)`` twin): rank RN = (n−1)·frac over the sorted values, answer
+    = v⌊RN⌋ when RN is integral else the IEEE-order interpolation
+    v_lo·(1−f) + v_hi·f DuckDB uses (probed: NOT lo + (hi−lo)·f — the
+    two differ in the last ulp). NaN values are filtered on BOTH sides
+    (DuckDB's quantile_cont is implementation-defined under NaN — its
+    selection network gives neither NaN-first nor NaN-last ordering);
+    ±inf stay ordinary orderable extremes, so a −inf/+inf bracket
+    interpolates to NaN exactly like the oracle. Both bracket ranks
+    resolve in ONE ``_grouped_order_stats`` run (shared histogram
+    passes, materialize-once)."""
+    import ray.data as rd
+
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(path, columns=["event_type", "value"])
+
+    def drop_nan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        v = t.column("value")
+        return t.filter(pc.or_(pc.is_null(v), pc.invert(pc.is_nan(v))))
+
+    ds = ds.map_batches(drop_nan, batch_format="pyarrow")
+
+    def ranks_of(name, c):
+        n = c[0]
+        if n == 0:
+            return []
+        rn = (n - 1) * frac
+        return sorted({int(np.floor(rn)), int(np.ceil(rn))})
+
+    counts, values = _grouped_order_stats(ds, ranks_of, bins=bins,
+                                          max_collect=max_collect)
+    if not counts:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "p90": pd.Series(dtype="float64")})
+    names = sorted(counts)
+    out = []
+    for name in names:
+        n = counts[name][0]
+        rn = (n - 1) * frac
+        i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
+        v0 = values[(name, i0)]
+        if i0 == i1:
+            out.append(v0)
+        else:
+            f = rn - i0
+            out.append(v0 * (1.0 - f) + values[(name, i1)] * f)
+    return pd.DataFrame({
+        "event_type": names,
+        "n_events": np.array([counts[n][0] for n in names], np.int64),
+        "p90": out})

@@ -1493,3 +1493,86 @@ def q_bm25_scores(sf_dir: str) -> pd.DataFrame:
 
     out["score"] = round_away(out["score"].to_numpy(), 6)
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (Sennrich et al. 2016 —
+    learn the merge table a real LLM tokenizer ships with). The classic
+    scalable decomposition: pair statistics depend only on the WORD
+    FREQUENCY table, so the corpus-sized work is ONE streaming
+    word-count pass (per-batch Counter partials → groupby-sum; the
+    exchange carries distinct words × batches, never tokens) and the
+    merge loop then runs on the vocab-bounded (word, freq) table
+    driver-side — same vocab-bounded-driver-state contract as q55's
+    idf broadcast; at larger vocabularies the loop distributes by
+    sharding words (pair counts are an additive groupby), the merge
+    ARGMAX staying a tiny all-reduce per round.
+
+    Returns the ranked merge table (rank, left, right, freq) with the
+    reference tie-break: highest pair frequency, then lexicographically
+    smallest (left, right). Words carry an explicit ``</w>``
+    end-of-word symbol, so merges distinguish suffix from infix
+    pairs."""
+    from ray.data.aggregate import Sum
+
+    def wc_partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counter.update(_TOKEN_RX.findall((t or "").lower()))
+        if not counter:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, ns = zip(*counter.items())
+        return pa.table({"word": pa.array(list(words)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    wf = (_docs(sf_dir, ["text"])
+          .map_batches(wc_partial, batch_format="pyarrow")
+          .groupby("word").aggregate(Sum("n", alias_name="freq"))
+          .to_pandas())
+    out_cols = {"rank": pd.Series(dtype="int64"),
+                "left": pd.Series(dtype="object"),
+                "right": pd.Series(dtype="object"),
+                "freq": pd.Series(dtype="int64")}
+    if wf.empty:
+        return pd.DataFrame(out_cols)
+
+    # word → (symbol tuple, freq); the merge loop mutates symbols only
+    vocab = {tuple(w) + ("</w>",): int(f)
+             for w, f in zip(wf["word"], wf["freq"])}
+    merges = []
+    for rank in range(n_merges):
+        pairs: Counter = Counter()
+        for syms, f in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += f
+        if not pairs:
+            break
+        # deterministic argmax: max freq, then lexicographic pair
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (la, rb), f = best
+        merges.append((rank, la, rb, f))
+        merged = la + rb
+        nxt = {}
+        for syms, fq in vocab.items():
+            if la not in syms:
+                nxt[syms] = nxt.get(syms, 0) + fq
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == la
+                        and syms[i + 1] == rb):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nxt[key] = nxt.get(key, 0) + fq
+        vocab = nxt
+
+    return pd.DataFrame({
+        "rank": np.array([m[0] for m in merges], np.int64),
+        "left": [m[1] for m in merges],
+        "right": [m[2] for m in merges],
+        "freq": np.array([m[3] for m in merges], np.int64)})
