@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hand-example pytest
         "q100_bpe_train": textops.q_bpe_train,
         "q59_distinct_users_hll": sketches.q_distinct_users_hll,
+        "q101_users_per_type_hll": sketches.q_users_per_type_hll,
         "q84_quantile_sketch": sketches.q_value_quantile_sketch,
         "q65_heavy_hitters_cms": sketches.q_heavy_hitters_cms,
         "q25_knn_lsh": similarity.q_knn_lsh,

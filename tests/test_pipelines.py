@@ -478,6 +478,37 @@ def test_hll_distinct_error_bounds(ray_session):
     assert np.array_equal(merged, hll_accumulate(np.zeros(_M, np.uint8), keys))
 
 
+def test_users_per_type_hll_error_bounds(ray_session, tmp_path):
+    """q101: per-type HLL within 3% of each type's exact distinct
+    count on the events table, and cross-batch register merging is
+    exercised with a multi-row-group fixture where every type spans
+    every batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.sketches import q_users_per_type_hll
+
+    est = q_users_per_type_hll(SF).set_index("event_type")
+    exact = (pd.read_parquet(SF + "/events.parquet",
+                             columns=["event_type", "user_id"])
+             .groupby("event_type")["user_id"].nunique())
+    assert set(est.index) == set(exact.index)
+    for et, ex in exact.items():
+        assert abs(est.loc[et, "n_users_hll"] - ex) / ex < 0.03
+
+    # planted: type a has 3 distinct users spread over row groups,
+    # type b has 1; small-range correction makes these exact
+    uid = np.r_[np.tile([1, 2, 3], 40), np.full(40, 9)]
+    et = np.r_[np.full(120, "a"), np.full(40, "b")]
+    order = np.random.default_rng(5).permutation(len(uid))
+    t = pa.table({"event_type": pa.array(et[order]),
+                  "user_id": pa.array(uid[order], pa.int64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"), row_group_size=16)
+    out = q_users_per_type_hll(str(tmp_path)).set_index("event_type")
+    assert int(out.loc["a", "n_users_hll"]) == 3
+    assert int(out.loc["b", "n_users_hll"]) == 1
+
+
 def test_token_offsets_prefix_sum(ray_session):
     """q60: distributed prefix sum equals the naive cumulative sum, and
     offsets are continuous across range-bucket boundaries."""

@@ -267,3 +267,63 @@ def q_value_quantile_sketch(sf_dir: str,
         return empty
     return pd.DataFrame({"q": np.asarray(qs, np.float64),
                          "value_est": np.asarray(vals, np.float64)})
+
+
+def q_users_per_type_hll(sf_dir: str) -> pd.DataFrame:
+    """Per-group approximate COUNT(DISTINCT user_id) — the grouped
+    twin of q59: each batch folds its (event_type, user_id) pairs into
+    one register array PER TYPE seen in the batch (vectorized: one
+    lexsort-free ``maximum.at`` per type), so the exchange carries
+    types × batches fixed-size sketches, never user ids; register
+    arrays OR-merge (elementwise max) driver-side — at cluster scale
+    the same merge runs as a tree reduce. NULL keys are out of
+    contract (the exact-side comparison drops them). Deterministic
+    (fixed mix64 hash); pinned by an error-bound pytest against the
+    exact per-type distinct counts rather than a SQL oracle."""
+    import os
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_type", "user_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "regs": pa.array([], pa.binary())})
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return empty
+        import pyarrow.compute as pc
+
+        keep = pc.and_(pc.is_valid(t.column("event_type")),
+                       pc.is_valid(t.column("user_id")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        keys = t.column("user_id").to_numpy(zero_copy_only=False)
+        names, blobs = [], []
+        for ci, name in enumerate(uniq):
+            regs = hll_accumulate(np.zeros(_M, np.uint8),
+                                  keys[codes == ci])
+            names.append(name)
+            blobs.append(regs.tobytes())
+        return pa.table({"event_type": pa.array(names, pa.string()),
+                         "regs": pa.array(blobs, pa.binary())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "n_users_hll": pd.Series(dtype="int64")})
+    merged: dict[str, np.ndarray] = {}
+    for name, blob in zip(parts["event_type"], parts["regs"]):
+        regs = np.frombuffer(blob, np.uint8)
+        if name in merged:
+            np.maximum(merged[name], regs, out=merged[name])
+        else:
+            merged[name] = regs.copy()
+    names = sorted(merged)
+    return pd.DataFrame({
+        "event_type": names,
+        "n_users_hll": np.array([int(round(hll_estimate(merged[n])))
+                                 for n in names], np.int64)})
