@@ -2150,17 +2150,18 @@ def q_percentile_cont(sf_dir: str, frac: float = 0.9,
     interpolates to NaN exactly like the oracle. Both bracket ranks
     resolve in ONE ``_grouped_order_stats`` run (shared histogram
     passes, materialize-once)."""
-    import ray.data as rd
-
-    path = os.path.join(sf_dir, "events.parquet")
-    ds = rd.read_parquet(path, columns=["event_type", "value"])
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
     def drop_nan(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "value" not in t.schema.names:
             return pa.table({"event_type": pa.array([], pa.string()),
                              "value": pa.array([], pa.float64())})
         v = t.column("value")
-        return t.filter(pc.or_(pc.is_null(v), pc.invert(pc.is_nan(v))))
+        # NULL and NaN values are both excluded, mirroring the oracle's
+        # `value IS NOT NULL AND NOT isnan(value)` filter (fill_null:
+        # is_nan(NULL) is NULL, and a NULL mask entry must drop the row
+        # explicitly rather than ride on filter's null-drop default).
+        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
 
     ds = ds.map_batches(drop_nan, batch_format="pyarrow")
 

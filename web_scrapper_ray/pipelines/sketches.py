@@ -271,27 +271,27 @@ def q_value_quantile_sketch(sf_dir: str,
 
 def q_users_per_type_hll(sf_dir: str) -> pd.DataFrame:
     """Per-group approximate COUNT(DISTINCT user_id) — the grouped
-    twin of q59: each batch folds its (event_type, user_id) pairs into
-    one register array PER TYPE seen in the batch (vectorized: one
-    lexsort-free ``maximum.at`` per type), so the exchange carries
-    types × batches fixed-size sketches, never user ids; register
-    arrays OR-merge (elementwise max) driver-side — at cluster scale
-    the same merge runs as a tree reduce. NULL keys are out of
-    contract (the exact-side comparison drops them). Deterministic
-    (fixed mix64 hash); pinned by an error-bound pytest against the
-    exact per-type distinct counts rather than a SQL oracle."""
+    twin of q59: the ``AggregateFn`` accumulator is a {event_type →
+    register array} dict, each block folds its (event_type, user_id)
+    pairs into the per-type registers (vectorized: one ``maximum.at``
+    per type seen in the block), and Ray TREE-merges accumulators
+    across blocks (per-key elementwise max — types × 16 KB crosses the
+    wire, never user ids, and never all blocks' partials in one
+    process). NULL keys are out of contract (the exact-side comparison
+    drops them). Deterministic (fixed mix64 hash); pinned by an
+    error-bound pytest against the exact per-type distinct counts
+    rather than a SQL oracle."""
     import os
 
     import ray.data as rd
+    from ray.data.aggregate import AggregateFn
 
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_type", "user_id"])
 
-    def partial(t: pa.Table) -> pa.Table:
-        empty = pa.table({"event_type": pa.array([], pa.string()),
-                          "regs": pa.array([], pa.binary())})
+    def acc_block(acc: dict, t: pa.Table) -> dict:
         if t.num_rows == 0 or "event_type" not in t.schema.names:
-            return empty
+            return acc
         import pyarrow.compute as pc
 
         keep = pc.and_(pc.is_valid(t.column("event_type")),
@@ -299,31 +299,33 @@ def q_users_per_type_hll(sf_dir: str) -> pd.DataFrame:
         if not pc.all(keep).as_py():
             t = t.filter(keep)
         if t.num_rows == 0:
-            return empty
+            return acc
         codes, uniq = pd.factorize(t.column("event_type").to_pandas())
         keys = t.column("user_id").to_numpy(zero_copy_only=False)
-        names, blobs = [], []
         for ci, name in enumerate(uniq):
-            regs = hll_accumulate(np.zeros(_M, np.uint8),
-                                  keys[codes == ci])
-            names.append(name)
-            blobs.append(regs.tobytes())
-        return pa.table({"event_type": pa.array(names, pa.string()),
-                         "regs": pa.array(blobs, pa.binary())})
+            regs = acc.get(name)
+            if regs is None:
+                regs = acc[name] = np.zeros(_M, np.uint8)
+            hll_accumulate(regs, keys[codes == ci])
+        return acc
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
-        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
-                             "n_users_hll": pd.Series(dtype="int64")})
-    merged: dict[str, np.ndarray] = {}
-    for name, blob in zip(parts["event_type"], parts["regs"]):
-        regs = np.frombuffer(blob, np.uint8)
-        if name in merged:
-            np.maximum(merged[name], regs, out=merged[name])
-        else:
-            merged[name] = regs.copy()
-    names = sorted(merged)
+    def merge(a: dict, b: dict) -> dict:
+        for name, regs in b.items():
+            cur = a.get(name)
+            a[name] = regs if cur is None else np.maximum(cur, regs)
+        return a
+
+    agg = AggregateFn(
+        init=lambda _: {},
+        merge=merge,
+        accumulate_block=acc_block,
+        finalize=lambda acc: {n: int(round(hll_estimate(r)))
+                              for n, r in acc.items()},
+        name="per_type",
+    )
+    row = ds.aggregate(agg)
+    ests = (row or {}).get("per_type") or {}
+    names = sorted(ests)
     return pd.DataFrame({
         "event_type": names,
-        "n_users_hll": np.array([int(round(hll_estimate(merged[n])))
-                                 for n in names], np.int64)})
+        "n_users_hll": np.array([ests[n] for n in names], np.int64)})
