@@ -29,6 +29,7 @@ no driver-side scans. Driver code touches only final small results
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -635,30 +636,27 @@ def q_embedding_gram(sf_dir: str) -> pd.DataFrame:
     the covariance/PCA/whitening building block. Classic distributed
     linear algebra shape: each batch contributes ``mat.T @ mat``
     (float64, d×d), and only the d²-sized accumulators cross the wire —
-    the embeddings themselves never leave their blocks and the driver
-    holds one d×d matrix, corpus-size-independent. Output is the upper
-    triangle as (i, j, g) rows (1-based, i ≤ j) rounded to 6dp to
-    survive float-sum association differences vs the SQL oracle."""
-    _EMPTY = pa.table({"g": pa.array([], pa.list_(pa.float64())),
-                       "d": pa.array([], pa.int64())})
+    the embeddings themselves never leave their blocks, Ray tree-merges
+    the accumulators (``tree_sum`` — no process ever holds all
+    per-block partials), and the driver receives exactly one d×d
+    matrix, corpus-size-independent. Output is the upper triangle as
+    (i, j, g) rows (1-based, i ≤ j) rounded to 6dp to survive
+    float-sum association differences vs the SQL oracle."""
+    from .pairs import tree_sum
 
-    def partial(batch: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(batch)
+    def block_gram(block: pa.Table):
+        ids, mat = _batch_matrix(block)
         if len(ids) == 0:
-            return _EMPTY
+            return None
         g = mat.T @ mat  # float64 (see _batch_matrix)
-        return pa.table({"g": pa.array([g.reshape(-1)], pa.list_(pa.float64())),
-                         "d": pa.array([g.shape[0]], pa.int64())})
+        return g.reshape(-1)
 
-    parts = _emb(sf_dir).map_batches(partial, batch_format="pyarrow").to_pandas()
-    if parts.empty:
+    total = tree_sum(_emb(sf_dir), block_gram, name="gram")
+    if total is None:
         return pd.DataFrame({"i": pd.Series(dtype="int64"),
                              "j": pd.Series(dtype="int64"),
                              "g": pd.Series(dtype="float64")})
-    d = int(parts["d"].iloc[0])
-    total = np.zeros(d * d, np.float64)
-    for row in parts["g"]:
-        total += np.asarray(row, np.float64)
+    d = math.isqrt(len(total))
     total = total.reshape(d, d)
     iu, ju = np.triu_indices(d)
     return pd.DataFrame({"i": (iu + 1).astype(np.int64),
@@ -949,35 +947,34 @@ def q_pca_power(sf_dir: str, iters: int = 3) -> pd.DataFrame:
     """Top principal component of the embedding table by power
     iteration — the dimensionality-reduction prelude (whitening,
     low-rank compression) done the distributed-linear-algebra way:
-    ONE streaming pass computes per-batch second-moment partials
-    (count, Σx, XᵀX — d + d² floats per batch, never the corpus),
-    the driver reduces them into the d×d population covariance
-    C = E[xxᵀ] − μμᵀ, and the power iterations (v ← Cv/‖Cv‖ from
-    v₀ = e₁, fixed ``iters`` rounds — deterministic, so
-    SQL-checkable like q71) run on that tiny matrix driver-side.
-    NULL embeddings drop like the oracle's unnest."""
+    ONE streaming pass computes per-block second-moment partials
+    (count, Σx, XᵀX — a flat additive [n | Σx | XᵀX] vector of
+    1 + d + d² floats, never the corpus), Ray tree-merges them
+    (``tree_sum``), and the driver receives the single reduced vector,
+    unpacks the d×d population covariance C = E[xxᵀ] − μμᵀ, and runs
+    the power iterations (v ← Cv/‖Cv‖ from v₀ = e₁, fixed ``iters``
+    rounds — deterministic, so SQL-checkable like q71) on that tiny
+    matrix. NULL embeddings drop like the oracle's unnest."""
+    from .pairs import tree_sum
+
     _empty = pd.DataFrame({"pos": pd.Series(dtype="int64"),
                            "v": pd.Series(dtype="float64")})
 
-    def moment_partial(batch: pa.Table) -> pa.Table:
-        ids, mat = _batch_matrix(batch)
+    def block_moments(block: pa.Table):
+        ids, mat = _batch_matrix(block)
         if len(ids) == 0:
-            return pa.table({"n": pa.array([], pa.int64()),
-                             "s": pa.array([], pa.list_(pa.float64())),
-                             "m": pa.array([], pa.list_(pa.float64()))})
-        return pa.table({"n": pa.array([len(ids)], pa.int64()),
-                         "s": pa.array([mat.sum(axis=0)], pa.list_(pa.float64())),
-                         "m": pa.array([(mat.T @ mat).reshape(-1)],
-                                       pa.list_(pa.float64()))})
+            return None
+        return np.concatenate(([float(len(ids))], mat.sum(axis=0),
+                               (mat.T @ mat).reshape(-1)))
 
-    parts = _emb(sf_dir).map_batches(moment_partial,
-                                     batch_format="pyarrow").to_pandas()
-    if not len(parts):
+    total = tree_sum(_emb(sf_dir), block_moments, name="moments")
+    if total is None:
         return _empty
-    n = float(parts["n"].sum())
-    s = np.sum(np.stack([np.asarray(x) for x in parts["s"]]), axis=0)
-    m = np.sum(np.stack([np.asarray(x) for x in parts["m"]]), axis=0)
-    d = len(s)
+    # len = 1 + d + d²  →  4·len − 3 = (2d+1)², exact under isqrt
+    d = (math.isqrt(4 * len(total) - 3) - 1) // 2
+    n = float(total[0])
+    s = total[1:1 + d]
+    m = total[1 + d:]
     mu = s / n
     cov = m.reshape(d, d) / n - np.outer(mu, mu)
 

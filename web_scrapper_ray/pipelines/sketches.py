@@ -120,17 +120,23 @@ def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
     lowered, len>2, non-stopword) so the two operators rank the same
     corpus identically when no sketch collision bites; approximate by
     design → rows-only driver check, exactness-vs-q13 and
-    shard-mergeability are pytest'd."""
+    shard-mergeability are pytest'd. The cross-block merge is a Ray
+    ``AggregateFn`` tree reduce — accumulator = (summed sketch,
+    candidate-word union), so no process ever holds all per-block
+    partials (the old driver-side ``to_pandas`` merge ingested
+    O(blocks) × depth·width·8 bytes)."""
+    from ray.data.aggregate import AggregateFn
+
     from .textops import _docs, keyword_counter
 
     ds = _docs(sf_dir, ["text"])
-    _EMPTY = pa.table({"cms": pa.array([], pa.list_(pa.int64())),
-                       "cand_word": pa.array([], pa.list_(pa.string()))})
 
-    def partial(batch: pa.Table) -> pa.Table:
-        counter = keyword_counter(batch.column("text").to_pylist())
+    def acc_block(acc, block: pa.Table):
+        if block.num_rows == 0 or "text" not in block.schema.names:
+            return acc
+        counter = keyword_counter(block.column("text").to_pylist())
         if not counter:
-            return _EMPTY
+            return acc
         words = list(counter)
         cnts = np.fromiter(counter.values(), np.int64, len(counter))
         base = _token_hash64(words)
@@ -139,21 +145,27 @@ def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
             idx = (mix64(base ^ _CMS_SEEDS[i]) % np.uint64(width)).astype(np.int64)
             # counts stay far below 2^53 → bincount's float64 path is exact
             cms[i] = np.bincount(idx, weights=cnts, minlength=width).astype(np.int64)
-        top = [w for w, _ in counter.most_common(cand)]
-        return pa.table({"cms": pa.array([cms.reshape(-1)], pa.list_(pa.int64())),
-                         "cand_word": pa.array([top], pa.list_(pa.string()))})
+        top = {w for w, _ in counter.most_common(cand)}
+        if acc is None:
+            return (cms, top)
+        return (acc[0] + cms, acc[1] | top)
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    def merge(a, b):
+        if a is None:
+            return b
+        if b is None:
+            return a
+        return (a[0] + b[0], a[1] | b[1])
+
+    agg = AggregateFn(init=lambda _: None, merge=merge,
+                      accumulate_block=acc_block,
+                      finalize=lambda acc: acc, name="cms")
+    acc = (ds.aggregate(agg) or {}).get("cms")
     out_cols = {"word": pd.Series(dtype="object"),
                 "est_n": pd.Series(dtype="int64")}
-    if parts.empty:
+    if acc is None:
         return pd.DataFrame(out_cols)
-    total = np.zeros(depth * width, np.int64)
-    cands: set[str] = set()
-    for cms_row, words in zip(parts["cms"], parts["cand_word"]):
-        total += np.asarray(cms_row, dtype=np.int64)
-        cands.update(words)
-    total = total.reshape(depth, width)
+    total, cands = acc
     cand_list = sorted(cands)
     base = _token_hash64(cand_list)
     est = np.full(len(cand_list), np.iinfo(np.int64).max, np.int64)
