@@ -1820,6 +1820,32 @@ def test_cube_agg_small(ray_session, tmp_path):
     assert int(out2["n_items"].iloc[0]) == 0
 
 
+def test_cube_agg_offgrid_cast_half_even(ray_session, tmp_path):
+    """q96 off-grid quantities: DuckDB cast(double AS BIGINT) rounds
+    half-to-EVEN (cast(2.5)=2, cast(0.5)=0, cast(-2.5)=-2 — unlike
+    round(), which is half-away). The sf tables keep quantities on an
+    integral grid, so this boundary is invisible to the driver gate —
+    pin it against the live DuckDB cast here."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_cube_agg
+
+    t = pa.table({
+        "l_returnflag": pa.array(["A", "A", "A", "A", "A"], pa.string()),
+        "l_linestatus": pa.array(["O"] * 5, pa.string()),
+        "l_quantity": pa.array([2.5, 3.5, -2.5, 0.5, 1.5], pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "lineitem.parquet"))
+    out = q_cube_agg(str(tmp_path))
+    grand = int(out[out["lvl"] == 3]["sum_qty"].iloc[0])
+    oracle = duckdb.sql(
+        "select sum(cast(l_quantity AS BIGINT)) from "
+        f"read_parquet('{tmp_path}/lineitem.parquet')").fetchone()[0]
+    assert grand == int(oracle) == 6  # 2+4-2+0+2, half-to-even
+
+
 def test_next_event_gap_small(ray_session, tmp_path):
     """q97: leads are per (user, type) — interleaved types don't see
     each other; the last event of each partition gets NaN; NULL

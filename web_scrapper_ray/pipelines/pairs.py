@@ -180,10 +180,14 @@ def tree_sum(ds, block_to_vec: Callable, name: str = "total"):
             return b
         if b is None:
             return a
-        return a + b
+        # np.asarray: accumulators can round-trip through Arrow blocks
+        # between map and reduce; a plain-list round-trip would make
+        # bare `+` CONCATENATE instead of add
+        return np.asarray(a, np.float64) + np.asarray(b, np.float64)
 
     agg = AggregateFn(init=lambda _: None, merge=merge,
                       accumulate_block=acc, finalize=lambda a: a,
                       name=name)
     row = ds.aggregate(agg)
-    return (row or {}).get(name)
+    out = (row or {}).get(name)
+    return None if out is None else np.asarray(out, np.float64)

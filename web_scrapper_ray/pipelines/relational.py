@@ -1751,11 +1751,13 @@ def q_cube_agg(sf_dir: str) -> pd.DataFrame:
                columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        # SQL cast(double AS BIGINT) rounds half-AWAY; Arrow's safe cast
-        # raises on any fractional value — round first so off-grid
-        # quantities keep oracle parity instead of crashing
+        # DuckDB cast(double AS BIGINT) rounds half-to-EVEN (probed:
+        # cast(2.5)=2, cast(0.5)=0, cast(-2.5)=-2 — unlike round(),
+        # which IS half-away); Arrow's safe cast raises on any
+        # fractional value — round first so off-grid quantities keep
+        # oracle parity instead of crashing
         qty = pc.cast(pc.round(batch.column("l_quantity"),
-                               round_mode="half_towards_infinity"),
+                               round_mode="half_to_even"),
                       pa.int64())
         t = batch.set_column(batch.schema.get_field_index("l_quantity"),
                              "l_quantity", qty)

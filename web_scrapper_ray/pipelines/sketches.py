@@ -146,16 +146,27 @@ def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
             # counts stay far below 2^53 → bincount's float64 path is exact
             cms[i] = np.bincount(idx, weights=cnts, minlength=width).astype(np.int64)
         top = {w for w, _ in counter.most_common(cand)}
+        # dict accumulator with a FLAT sketch, NOT a (2-D ndarray, set)
+        # tuple: tuples and 2-D arrays trip a per-task
+        # ArrowConversionError + pandas fallback (correct but noisy).
+        # The dict DOES round-trip through an Arrow struct between map
+        # and reduce, which hands merge plain LISTS back (set → list,
+        # int64 array → list — where bare `+` would CONCATENATE) —
+        # hence the np.asarray/set coercions in merge.
+        cms = cms.reshape(-1)
         if acc is None:
-            return (cms, top)
-        return (acc[0] + cms, acc[1] | top)
+            return {"cms": cms, "cand": top}
+        return {"cms": np.asarray(acc["cms"], np.int64) + cms,
+                "cand": set(acc["cand"]) | top}
 
     def merge(a, b):
         if a is None:
             return b
         if b is None:
             return a
-        return (a[0] + b[0], a[1] | b[1])
+        return {"cms": np.asarray(a["cms"], np.int64)
+                       + np.asarray(b["cms"], np.int64),
+                "cand": set(a["cand"]) | set(b["cand"])}
 
     agg = AggregateFn(init=lambda _: None, merge=merge,
                       accumulate_block=acc_block,
@@ -165,7 +176,8 @@ def q_heavy_hitters_cms(sf_dir: str, k: int = 20, width: int = 8192,
                 "est_n": pd.Series(dtype="int64")}
     if acc is None:
         return pd.DataFrame(out_cols)
-    total, cands = acc
+    total = np.asarray(acc["cms"], np.int64).reshape(depth, width)
+    cands = acc["cand"]
     cand_list = sorted(cands)
     base = _token_hash64(cand_list)
     est = np.full(len(cand_list), np.iinfo(np.int64).max, np.int64)
@@ -322,17 +334,22 @@ def q_users_per_type_hll(sf_dir: str) -> pd.DataFrame:
         return acc
 
     def merge(a: dict, b: dict) -> dict:
+        # np.asarray: a dict accumulator can round-trip through an
+        # Arrow struct block between map and reduce, handing back
+        # plain lists for the register arrays
         for name, regs in b.items():
+            regs = np.asarray(regs, np.uint8)
             cur = a.get(name)
-            a[name] = regs if cur is None else np.maximum(cur, regs)
+            a[name] = regs if cur is None else np.maximum(
+                np.asarray(cur, np.uint8), regs)
         return a
 
     agg = AggregateFn(
         init=lambda _: {},
         merge=merge,
         accumulate_block=acc_block,
-        finalize=lambda acc: {n: int(round(hll_estimate(r)))
-                              for n, r in acc.items()},
+        finalize=lambda acc: {n: int(round(hll_estimate(
+            np.asarray(r, np.uint8)))) for n, r in acc.items()},
         name="per_type",
     )
     row = ds.aggregate(agg)
