@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q98_mode_per_user": relational.q_mode_per_user,
         "q99_median_value_disc": relational.q_median_value_disc,
         "q102_percentile_cont": relational.q_percentile_cont,
+        "q103_part_heavy_left_join": relational.q_part_heavy_left_join,
+        "q104_parts_never_heavy": relational.q_parts_never_heavy,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1115,6 +1117,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_type IS NOT NULL AND value IS NOT NULL
               AND NOT isnan(value)
             GROUP BY 1 ORDER BY 1
+        """,
+        "q103_part_heavy_left_join": """
+            SELECT p.p_partkey, p.p_brand, l.n_ship, l.ship_qty
+            FROM part p LEFT JOIN (
+                SELECT l_partkey, count(*) AS n_ship,
+                       sum(l_quantity) AS ship_qty
+                FROM lineitem WHERE l_quantity > 45 GROUP BY l_partkey
+            ) l ON p.p_partkey = l.l_partkey
+            ORDER BY p.p_partkey
+        """,
+        "q104_parts_never_heavy": """
+            SELECT p.p_partkey, p.p_brand FROM part p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
+            ORDER BY p.p_partkey
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

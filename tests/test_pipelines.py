@@ -2043,3 +2043,49 @@ def test_percentile_cont_small(ray_session, tmp_path):
     assert out.loc["nan", "p90"] == ref(nanny)
     assert int(out.loc["nan", "n_events"]) == 2
     assert out.loc["inf", "p90"] == -np.inf
+
+
+def test_native_left_outer_and_anti_join(ray_session, tmp_path):
+    """q103/q104: native Dataset.join left_outer keeps unmatched parts
+    with NULL aggregates; left_anti emits exactly those parts. The
+    all-unmatched edge (no lineitem above the threshold) exercises the
+    schema-less-right-side guard."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import (
+        q_part_heavy_left_join, q_parts_never_heavy)
+
+    part = pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["A", "B", "C"], pa.string()),
+        "p_type": pa.array(["t", "t", "t"], pa.string()),
+        "p_name": pa.array(["n", "n", "n"], pa.string()),
+        "p_size": pa.array([1, 1, 1], pa.int32()),
+        "p_retailprice": pa.array([9.0, 9.0, 9.0], pa.float64()),
+    })
+    li = pa.table({
+        "l_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "l_partkey": pa.array([1, 1, 3], pa.int64()),
+        "l_quantity": pa.array([50.0, 46.0, 10.0], pa.float64()),
+    })
+    pq.write_table(part, str(tmp_path / "part.parquet"))
+    pq.write_table(li, str(tmp_path / "lineitem.parquet"))
+
+    out = q_part_heavy_left_join(str(tmp_path)).set_index("p_partkey")
+    assert out.loc[1, "n_ship"] == 2.0 and out.loc[1, "ship_qty"] == 96.0
+    assert np.isnan(out.loc[2, "n_ship"]) and np.isnan(out.loc[3, "n_ship"])
+    anti = q_parts_never_heavy(str(tmp_path))
+    assert list(anti["p_partkey"]) == [2, 3]
+
+    # no heavy shipments at all -> every part unmatched / anti
+    d2 = tmp_path / "none"
+    d2.mkdir()
+    pq.write_table(part, str(d2 / "part.parquet"))
+    lo = li.set_column(li.schema.get_field_index("l_quantity"),
+                       "l_quantity", pa.array([1.0, 2.0, 3.0], pa.float64()))
+    pq.write_table(lo, str(d2 / "lineitem.parquet"))
+    out2 = q_part_heavy_left_join(str(d2))
+    assert len(out2) == 3 and out2["n_ship"].isna().all()
+    assert list(q_parts_never_heavy(str(d2))["p_partkey"]) == [1, 2, 3]

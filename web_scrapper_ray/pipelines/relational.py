@@ -2196,3 +2196,95 @@ def q_percentile_cont(sf_dir: str, frac: float = 0.9,
         "event_type": names,
         "n_events": np.array([counts[n][0] for n in names], np.int64),
         "p90": out})
+
+
+def q_part_heavy_left_join(sf_dir: str, min_qty: float = 45.0) -> pd.DataFrame:
+    """Dimension LEFT OUTER fact-aggregate via Ray Data's native
+    hash-partitioned ``Dataset.join(join_type="left_outer")`` — parts
+    with no heavy (quantity > ``min_qty``) shipment survive with NULL
+    aggregates, exactly like the SQL twin's LEFT JOIN of a grouped
+    subquery. The fact stream is pre-combined per batch (partkey, n,
+    qty — rows = parts × batches, never lineitems) before the one
+    groupby shuffle, and the join runs partitioned (no broadcast).
+    n_ship/ship_qty emit float64: a LEFT JOIN makes the counts
+    nullable, and DuckDB→pandas hands nullable BIGINT back as
+    float64 (CLAUDE.md dtype gotcha). Quantities sit on an integral
+    grid, so the double sums are exact — no rounding needed."""
+    from ray.data.aggregate import Sum
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    _EMPTY = pa.table({"l_partkey": pa.array([], pa.int64()),
+                       "n": pa.array([], pa.int64()),
+                       "qty": pa.array([], pa.float64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.schema.names:
+            return _EMPTY
+        t = batch.filter(pc.greater(batch.column("l_quantity"),
+                                    pa.scalar(min_qty, pa.float64())))
+        if t.num_rows == 0:
+            return _EMPTY
+        g = t.group_by(["l_partkey"]).aggregate(
+            [([], "count_all"), ("l_quantity", "sum")])
+        return pa.table({"l_partkey": pc.cast(g.column("l_partkey"),
+                                              pa.int64()),
+                         "n": pc.cast(g.column("count_all"), pa.int64()),
+                         "qty": pc.cast(g.column("l_quantity_sum"),
+                                        pa.float64())})
+
+    import ray.data as rd
+
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_partkey")
+           .aggregate(Sum("n", alias_name="n_ship"),
+                      Sum("qty", alias_name="ship_qty")))
+    # a zero-row aggregate comes out of the hash shuffle SCHEMA-LESS
+    # and the native join then can't resolve the key column — pin the
+    # schema with one sentinel row that can't match (keys are ≥ 0)
+    sentinel = rd.from_arrow(pa.table({
+        "l_partkey": pa.array([-1], pa.int64()),
+        "n_ship": pa.array([0], pa.int64()),
+        "ship_qty": pa.array([0.0], pa.float64())}))
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    joined = part.join(agg.union(sentinel), join_type="left_outer",
+                       num_partitions=8,
+                       on=("p_partkey",), right_on=("l_partkey",))
+    out = joined.to_pandas()
+    out = out[["p_partkey", "p_brand", "n_ship", "ship_qty"]]
+    out["n_ship"] = out["n_ship"].astype("float64")
+    out["ship_qty"] = out["ship_qty"].astype("float64")
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_parts_never_heavy(sf_dir: str, min_qty: float = 45.0) -> pd.DataFrame:
+    """ANTI join via the native ``Dataset.join(join_type="left_anti")``:
+    parts with NO shipment above ``min_qty`` — the NOT EXISTS shape.
+    The probe side collapses to per-batch distinct keys first (rows =
+    parts × batches through the exchange, never lineitems); duplicate
+    probe keys are fine for anti semantics either way."""
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+    _EMPTY = pa.table({"l_partkey": pa.array([], pa.int64())})
+
+    def heavy_keys(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "l_partkey" not in batch.schema.names:
+            return _EMPTY
+        t = batch.filter(pc.greater(batch.column("l_quantity"),
+                                    pa.scalar(min_qty, pa.float64())))
+        if t.num_rows == 0:
+            return _EMPTY
+        keys = pc.unique(t.column("l_partkey"))
+        return pa.table({"l_partkey": pc.cast(keys, pa.int64())})
+
+    import ray.data as rd
+
+    # sentinel row pins the probe schema when no key survives the
+    # filter (see q_part_heavy_left_join); -1 can't match, and an
+    # extra non-matching probe key is a no-op for anti semantics
+    sentinel = rd.from_arrow(pa.table({"l_partkey": pa.array([-1],
+                                                             pa.int64())}))
+    probe = li.map_batches(heavy_keys, batch_format="pyarrow").union(sentinel)
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    out = part.join(probe, join_type="left_anti", num_partitions=8,
+                    on=("p_partkey",), right_on=("l_partkey",)).to_pandas()
+    out = out[["p_partkey", "p_brand"]]
+    return out.sort_values("p_partkey").reset_index(drop=True)
