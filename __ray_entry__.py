@@ -224,6 +224,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q102_percentile_cont": relational.q_percentile_cont,
         "q103_part_heavy_left_join": relational.q_part_heavy_left_join,
         "q104_parts_never_heavy": relational.q_parts_never_heavy,
+        "q105_fuzzy_name_join": relational.q_fuzzy_name_join,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1133,6 +1134,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM lineitem l
                 WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 45)
             ORDER BY p.p_partkey
+        """,
+        "q105_fuzzy_name_join": """
+            SELECT p1.p_partkey AS a_partkey, p2.p_partkey AS b_partkey,
+                   levenshtein(p1.p_name, p2.p_name)::BIGINT AS dist
+            FROM part p1, part p2
+            WHERE p1.p_partkey < p2.p_partkey
+              AND levenshtein(p1.p_name, p2.p_name) <= 1
+            ORDER BY 1, 2
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -2089,3 +2089,36 @@ def test_native_left_outer_and_anti_join(ray_session, tmp_path):
     out2 = q_part_heavy_left_join(str(d2))
     assert len(out2) == 3 and out2["n_ship"].isna().all()
     assert list(q_parts_never_heavy(str(d2))["p_partkey"]) == [1, 2, 3]
+
+
+def test_fuzzy_name_join_banding(ray_session, tmp_path):
+    """q105: deletion-neighborhood banding finds ALL edit-distance-≤1
+    pairs exactly once — substitution, insertion/deletion, identical
+    names (which share every band key: emit-once must dedup), and the
+    classic shared-deletion-key FALSE candidate 'ab'/'ba' (distance 2,
+    must be verified away)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import (_ed_le1,
+                                                       q_fuzzy_name_join)
+
+    assert _ed_le1("ab", "ab") and _ed_le1("ab", "aX")
+    assert _ed_le1("ab", "abc") and _ed_le1("xabc", "abc")
+    assert not _ed_le1("ab", "ba") and not _ed_le1("abc", "cba")
+
+    names = ["ring", "ring", "rang", "rings", "ing", "ab", "ba", "zzz"]
+    t = pa.table({
+        "p_partkey": pa.array(list(range(1, len(names) + 1)), pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+        "p_brand": pa.array(["B"] * len(names), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_fuzzy_name_join(str(tmp_path))
+    got = set(zip(out["a_partkey"], out["b_partkey"], out["dist"]))
+    expect = {(1, 2, 0),            # identical (all keys shared, once)
+              (1, 3, 1), (2, 3, 1),  # substitution
+              (1, 4, 1), (2, 4, 1),  # insertion
+              (1, 5, 1), (2, 5, 1)}  # deletion
+    assert got == expect            # no (6,7): 'ab'/'ba' is distance 2
+    assert not out.duplicated(["a_partkey", "b_partkey"]).any()

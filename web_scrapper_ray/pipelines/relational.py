@@ -2288,3 +2288,166 @@ def q_parts_never_heavy(sf_dir: str, min_qty: float = 45.0) -> pd.DataFrame:
                     on=("p_partkey",), right_on=("l_partkey",)).to_pandas()
     out = out[["p_partkey", "p_brand"]]
     return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein ≤ 1 (candidates come length-bounded)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:
+        return sum(1 for x, y in zip(a, b) if x != y) <= 1
+    if la > lb:
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Fuzzy self-join: part-key pairs whose names are within ONE edit
+    (SQL twin: cross join + ``levenshtein(a, b) <= 1``) — without the
+    quadratic cross join. Deletion-neighborhood banding: every name
+    emits itself plus each single-deletion variant as band keys, and
+    any two strings within one edit share ≥ 1 key (equal → identity;
+    substitution at i → both i-deletions; indel → the shorter IS a
+    deletion of the longer). One ``hash_shuffle`` exchange buckets the
+    (variant-hash, id, name) rows — ×(len+1) replication of a short
+    string, the method's documented cost — and each bucket pairs
+    within exact variant-hash groups, verifies the true distance
+    (shared deletion keys at different positions can be distance 2,
+    e.g. 'ab'/'ba'), and emits a pair only in its MINIMUM shared-key
+    bucket (identical names share every key — without emit-once each
+    pair would surface len+1 times). Name-clique skew note: identical
+    names produce quadratic output by the operator's own contract,
+    exactly like the SQL twin. NULL names drop (SQL: levenshtein(NULL)
+    is NULL → row excluded)."""
+    import hashlib
+
+    from .pairs import hash_shuffle
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+
+    def variants(name: str) -> list:
+        vs = {name}
+        vs.update(name[:i] + name[i + 1:] for i in range(len(name)))
+        return sorted(vs)
+
+    def vhash64(s: str) -> int:
+        d = hashlib.blake2b(s.encode(), digest_size=8).digest()
+        return int.from_bytes(d, "little", signed=True)
+
+    def split(block: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int32()),
+                          "vhash": pa.array([], pa.int64()),
+                          "id": pa.array([], pa.int64()),
+                          "name": pa.array([], pa.string())})
+        if block.num_rows == 0 or "p_name" not in block.schema.names:
+            return empty
+        keep = pc.is_valid(block.column("p_name"))
+        if not pc.all(keep).as_py():
+            block = block.filter(keep)
+        ids = block.column("p_partkey").to_pylist()
+        names = block.column("p_name").to_pylist()
+        o_b, o_v, o_i, o_n = [], [], [], []
+        for pid, nm in zip(ids, names):
+            for v in variants(nm):
+                h = vhash64(v)
+                o_b.append(h % P)
+                o_v.append(h)
+                o_i.append(pid)
+                o_n.append(nm)
+        return pa.table({"bucket": pa.array(o_b, pa.int32()),
+                         "vhash": pa.array(o_v, pa.int64()),
+                         "id": pa.array(o_i, pa.int64()),
+                         "name": pa.array(o_n, pa.string())})
+
+    def merge(*tables) -> pd.DataFrame:
+        live = [t for t in tables if t.num_rows]
+        empty = pd.DataFrame({"a_partkey": pd.Series(dtype="int64"),
+                              "b_partkey": pd.Series(dtype="int64"),
+                              "dist": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        # emit-once / distance / dist are NAME-pair-level decisions —
+        # resolve them once per distinct name pair, then emit the id
+        # cross products as numpy blocks (identical-name cliques make
+        # a per-id-pair Python loop quadratic-slow: 347-deep cliques ×
+        # 12 keys at sf0.1)
+        codes, uniq = pd.factorize(df["name"])
+        df["code"] = codes
+        df = df.sort_values("vhash", kind="stable")
+        vh = df["vhash"].to_numpy()
+        ids = df["id"].to_numpy()
+        cds = df["code"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, vh[1:] != vh[:-1], True])
+        var_cache: dict = {}
+        decide: dict = {}  # (code_i, code_j) → emit-min-hash or None
+
+        def pair_min_hash(ci: int, cj: int):
+            for c in (ci, cj):
+                if c not in var_cache:
+                    var_cache[c] = {vhash64(v) for v in variants(uniq[c])}
+            shared = var_cache[ci] & var_cache[cj]
+            return min(shared) if shared else None
+
+        chunks_a, chunks_b, chunks_d = [], [], []
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            if e - s < 2:
+                continue
+            cur = int(vh[s])
+            g_ids, g_cds = ids[s:e], cds[s:e]
+            order = np.argsort(g_cds, kind="stable")
+            g_ids, g_cds = g_ids[order], g_cds[order]
+            cb = np.flatnonzero(np.r_[True, g_cds[1:] != g_cds[:-1], True])
+            groups = [(int(g_cds[cb[k]]), np.sort(g_ids[cb[k]:cb[k + 1]]))
+                      for k in range(len(cb) - 1)]
+            for gi in range(len(groups)):
+                ci, ids_i = groups[gi]
+                for gj in range(gi, len(groups)):
+                    cj, ids_j = groups[gj]
+                    key = (ci, cj)
+                    if key not in decide:
+                        ni, nj = uniq[ci], uniq[cj]
+                        decide[key] = (pair_min_hash(ci, cj)
+                                       if _ed_le1(ni, nj) else None)
+                    ms = decide[key]
+                    if ms is None or ms != cur:
+                        continue
+                    if gi == gj:
+                        if len(ids_i) < 2:
+                            continue
+                        iu, ju = np.triu_indices(len(ids_i), 1)
+                        a, b = ids_i[iu], ids_i[ju]  # sorted → a < b
+                        d = 0
+                    else:
+                        a = np.repeat(ids_i, len(ids_j))
+                        b = np.tile(ids_j, len(ids_i))
+                        a, b = np.minimum(a, b), np.maximum(a, b)
+                        d = 1
+                    chunks_a.append(a)
+                    chunks_b.append(b)
+                    chunks_d.append(np.full(len(a), d, np.int64))
+        if not chunks_a:
+            return empty
+        out = pd.DataFrame({
+            "a_partkey": np.concatenate(chunks_a).astype(np.int64),
+            "b_partkey": np.concatenate(chunks_b).astype(np.int64),
+            "dist": np.concatenate(chunks_d)})
+        return out.drop_duplicates(["a_partkey", "b_partkey"])
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in part.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    if not parts:
+        return pd.DataFrame({"a_partkey": pd.Series(dtype="int64"),
+                             "b_partkey": pd.Series(dtype="int64"),
+                             "dist": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
+    return (out.drop_duplicates(["a_partkey", "b_partkey"])
+            .sort_values(["a_partkey", "b_partkey"])
+            .reset_index(drop=True))
