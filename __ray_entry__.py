@@ -1120,7 +1120,12 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "q103_part_heavy_left_join": """
-            SELECT p.p_partkey, p.p_brand, l.n_ship, l.ship_qty
+            -- n_ship::DOUBLE: the engine always emits float64 (the
+            -- LEFT JOIN makes counts nullable); without the cast the
+            -- oracle column dtype would flip int64/float64 depending
+            -- on whether any part is unmatched
+            SELECT p.p_partkey, p.p_brand,
+                   CAST(l.n_ship AS DOUBLE) AS n_ship, l.ship_qty
             FROM part p LEFT JOIN (
                 SELECT l_partkey, count(*) AS n_ship,
                        sum(l_quantity) AS ship_qty

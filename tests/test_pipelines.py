@@ -2122,3 +2122,63 @@ def test_fuzzy_name_join_banding(ray_session, tmp_path):
               (1, 5, 1), (2, 5, 1)}  # deletion
     assert got == expect            # no (6,7): 'ab'/'ba' is distance 2
     assert not out.duplicated(["a_partkey", "b_partkey"]).any()
+
+
+def test_event_regression_constant_y(ray_session, tmp_path):
+    """q92: a constant-y group must report r2 = 1.0 like DuckDB's
+    regr_r2 (Welford gives var(y) exactly 0) even though the engine's
+    naive moments leave vary tiny-POSITIVE for off-grid constants; a
+    constant-x group reports NULL slope/r2."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_event_regression
+
+    base = pd.Timestamp("2024-01-01")
+    ts = lambda s: base + pd.Timedelta(seconds=s)
+    t = pa.table({
+        "event_type": pa.array(["cy"] * 7 + ["cx"] * 3 + ["ok"] * 3),
+        "ts": pa.array([ts(i * 3600) for i in range(7)]
+                       + [ts(5)] * 3 + [ts(0), ts(3600), ts(7200)],
+                       pa.timestamp("us")),
+        "value": pa.array([1.7] * 7 + [1.0, 2.0, 3.0] + [1.0, 2.0, 3.0],
+                          pa.float64()),
+        "event_id": pa.array(list(range(13)), pa.int64()),
+        "user_id": pa.array([1] * 13, pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_regression(str(tmp_path)).set_index("event_type")
+    assert out.loc["cy", "r2"] == 1.0          # constant y, varying x
+    assert out.loc["cy", "slope"] == 0.0
+    assert pd.isna(out.loc["cx", "slope"]) and pd.isna(out.loc["cx", "r2"])
+    assert out.loc["ok", "r2"] == 1.0 and out.loc["ok", "slope"] == 1.0
+
+
+def test_fuzzy_name_join_bytes_distance(ray_session, tmp_path):
+    """q105 counts edit distance in UTF-8 BYTES like DuckDB's
+    levenshtein: 'a'→'é' is two byte edits (no pair), while 'é'→'éx'
+    is one byte... no — 'x' appended is one byte insertion (pair)."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.relational import q_fuzzy_name_join
+
+    names = ["a", "é", "éx", "ab"]
+    t = pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array(names, pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_fuzzy_name_join(str(tmp_path))
+    sql = duckdb.sql(
+        "select p1.p_partkey a_partkey, p2.p_partkey b_partkey, "
+        "levenshtein(p1.p_name, p2.p_name)::BIGINT dist "
+        f"from read_parquet('{tmp_path}/part.parquet') p1, "
+        f"read_parquet('{tmp_path}/part.parquet') p2 "
+        "where p1.p_partkey < p2.p_partkey "
+        "and levenshtein(p1.p_name, p2.p_name) <= 1 order by 1, 2").df()
+    pd.testing.assert_frame_equal(out, sql)
+    got = set(zip(out["a_partkey"], out["b_partkey"]))
+    assert (2, 3) in got        # é→éx: one byte inserted
+    assert (1, 2) not in got    # a→é: TWO byte edits (codepoint dist 1)

@@ -33,13 +33,17 @@ def round_away(a, ndigits: int) -> np.ndarray:
     the half boundary at the target precision (seen live: q86's
     35281.1282745 µs-grid mean and q91's 33.48125 Flesch score round
     DOWN under banker's rounding, UP in DuckDB). Mirrors DuckDB's
-    ``std::round(x * 10^d) / 10^d`` op-for-op; NaN/±inf pass through."""
+    ``std::round(x * 10^d) / 10^d`` op-for-op; NaN/±inf pass through,
+    and values whose |x|·10^d overflows pass through UNCHANGED like
+    DuckDB (probed: round(1e308::DOUBLE, 2) = 1e308, not inf)."""
     a = np.asarray(a, dtype=np.float64)
     f = 10.0 ** ndigits
-    ax = np.abs(a) * f
-    fl = np.floor(ax)
-    r = np.where(ax - fl >= 0.5, fl + 1.0, fl)
-    return np.sign(a) * r / f
+    with np.errstate(over="ignore", invalid="ignore"):
+        ax = np.abs(a) * f
+        fl = np.floor(ax)
+        r = np.where(ax - fl >= 0.5, fl + 1.0, fl)
+        out = np.sign(a) * r / f
+    return np.where(np.isfinite(ax), out, a)
 
 
 def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,

@@ -1224,10 +1224,13 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
     accumulator at the rounding boundary."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
+    _MOMS = ("n", "sx", "sy", "sxx", "sxy", "syy",
+             "xmin", "xmax", "ymin", "ymax")
+
     def partial(t: pa.Table) -> pa.Table:
         empty = pa.table({"event_type": pa.array([], pa.string()),
                           **{c: pa.array([], pa.float64())
-                             for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}})
+                             for c in _MOMS}})
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return empty
         keep = pc.and_(pc.is_valid(t.column("ts")),
@@ -1245,15 +1248,21 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
         df["xx"] = df["x"] * df["x"]
         df["xy"] = df["x"] * df["y"]
         df["yy"] = df["y"] * df["y"]
+        # min/max ride along so constant-x / constant-y groups are
+        # detected EXACTLY: naive vary can land tiny-positive for a
+        # constant y (syy/n − my² ≈ +9e-16), and DuckDB's Welford
+        # accumulator gives exactly 0 → regr_r2 = 1.0 there
         g = df.groupby("event_type", dropna=False).agg(
             n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
-            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"))
+            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"),
+            xmin=("x", "min"), xmax=("x", "max"),
+            ymin=("y", "min"), ymax=("y", "max"))
         g = g.reset_index()
         return pa.table({"event_type": pa.Array.from_pandas(
                              g["event_type"], type=pa.string()),
                          **{c: pa.array(g[c].to_numpy()
                                         .astype(np.float64))
-                            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")}})
+                            for c in _MOMS}})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     cols = {"event_type": pd.Series(dtype="object"),
@@ -1263,21 +1272,28 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
             "r2": pd.Series(dtype="float64")}
     if parts.empty:
         return pd.DataFrame(cols)
-    m = parts.groupby("event_type", dropna=False, as_index=False).sum()
+    m = parts.groupby("event_type", dropna=False, as_index=False).agg(
+        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
+        sxx=("sxx", "sum"), sxy=("sxy", "sum"), syy=("syy", "sum"),
+        xmin=("xmin", "min"), xmax=("xmax", "max"),
+        ymin=("ymin", "min"), ymax=("ymax", "max"))
     n = m["n"].to_numpy()
     mx, my = m["sx"] / n, m["sy"] / n
     cov = m["sxy"] / n - mx * my
     varx = m["sxx"] / n - mx * mx
     vary = m["syy"] / n - my * my
+    varx_zero = (m["xmin"] == m["xmax"]).to_numpy()
+    vary_zero = (m["ymin"] == m["ymax"]).to_numpy()
     with np.errstate(invalid="ignore", divide="ignore"):
-        slope = np.where(varx > 0, cov / varx, np.nan)
+        slope = np.where(varx_zero, np.nan, cov / varx)
         # SQL regr_r2: NULL when var(x)=0; 1.0 when var(y)=0 but
         # var(x)>0 (a constant y is perfectly "explained"); else the
-        # usual cov²/(varx·vary) — verified against DuckDB
-        r2 = np.where(varx > 0,
-                      np.where(vary > 0,
-                               (cov * cov) / (varx * vary), 1.0),
-                      np.nan)
+        # usual cov²/(varx·vary) — verified against DuckDB. The
+        # constancy tests are the EXACT min==max flags, not vary>0:
+        # naive moments leave a constant y with vary ≈ +9e-16
+        r2 = np.where(varx_zero, np.nan,
+                      np.where(vary_zero, 1.0,
+                               (cov * cov) / (varx * vary)))
     icept = my - slope * mx
     out = pd.DataFrame({"event_type": m["event_type"],
                         "n": n.astype(np.int64),
@@ -1315,7 +1331,6 @@ def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
         med = float(np.percentile(v, 50.0, method="linear"))
         ad = np.abs(v - med)
         mad = float(np.percentile(ad, 50.0, method="linear"))
-        from .pairs import round_away
         return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
                              "med": [float(round_away(med, 6))],
                              "mad": [float(round_away(mad, 6))],
@@ -2290,8 +2305,11 @@ def q_parts_never_heavy(sf_dir: str, min_qty: float = 45.0) -> pd.DataFrame:
     return out.sort_values("p_partkey").reset_index(drop=True)
 
 
-def _ed_le1(a: str, b: str) -> bool:
-    """Exact Levenshtein ≤ 1 (candidates come length-bounded)."""
+def _ed_le1(a, b) -> bool:
+    """Exact Levenshtein ≤ 1 over str OR bytes (candidates come
+    length-bounded). q105 passes UTF-8 BYTES: DuckDB's levenshtein
+    counts bytes, not codepoints (probed: levenshtein('a','é') = 2),
+    so codepoint distance would emit pairs the SQL twin excludes."""
     if a == b:
         return True
     la, lb = len(a), len(b)
@@ -2324,20 +2342,23 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
     pair would surface len+1 times). Name-clique skew note: identical
     names produce quadratic output by the operator's own contract,
     exactly like the SQL twin. NULL names drop (SQL: levenshtein(NULL)
-    is NULL → row excluded)."""
+    is NULL → row excluded). Distance is measured over UTF-8 BYTES —
+    DuckDB's levenshtein counts bytes, not codepoints (probed:
+    levenshtein('a','é') = 2), so all variants/verifies run on the
+    encoded name."""
     import hashlib
 
     from .pairs import hash_shuffle
 
     part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
 
-    def variants(name: str) -> list:
+    def variants(name: bytes) -> list:
         vs = {name}
         vs.update(name[:i] + name[i + 1:] for i in range(len(name)))
         return sorted(vs)
 
-    def vhash64(s: str) -> int:
-        d = hashlib.blake2b(s.encode(), digest_size=8).digest()
+    def vhash64(s: bytes) -> int:
+        d = hashlib.blake2b(s, digest_size=8).digest()
         return int.from_bytes(d, "little", signed=True)
 
     def split(block: pa.Table) -> pa.Table:
@@ -2354,7 +2375,7 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
         names = block.column("p_name").to_pylist()
         o_b, o_v, o_i, o_n = [], [], [], []
         for pid, nm in zip(ids, names):
-            for v in variants(nm):
+            for v in variants(nm.encode("utf-8")):
                 h = vhash64(v)
                 o_b.append(h % P)
                 o_v.append(h)
@@ -2391,7 +2412,8 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
         def pair_min_hash(ci: int, cj: int):
             for c in (ci, cj):
                 if c not in var_cache:
-                    var_cache[c] = {vhash64(v) for v in variants(uniq[c])}
+                    var_cache[c] = {vhash64(v) for v in
+                                    variants(uniq[c].encode("utf-8"))}
             shared = var_cache[ci] & var_cache[cj]
             return min(shared) if shared else None
 
@@ -2412,7 +2434,8 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
                     cj, ids_j = groups[gj]
                     key = (ci, cj)
                     if key not in decide:
-                        ni, nj = uniq[ci], uniq[cj]
+                        ni = uniq[ci].encode("utf-8")
+                        nj = uniq[cj].encode("utf-8")
                         decide[key] = (pair_min_hash(ci, cj)
                                        if _ed_le1(ni, nj) else None)
                     ms = decide[key]
@@ -2447,7 +2470,8 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
         return pd.DataFrame({"a_partkey": pd.Series(dtype="int64"),
                              "b_partkey": pd.Series(dtype="int64"),
                              "dist": pd.Series(dtype="int64")})
+    # no driver-level dedup: min-shared-key ownership means exactly
+    # one bucket emits each pair (stress-verified on dense cliques)
     out = pd.concat(parts, ignore_index=True)
-    return (out.drop_duplicates(["a_partkey", "b_partkey"])
-            .sort_values(["a_partkey", "b_partkey"])
+    return (out.sort_values(["a_partkey", "b_partkey"])
             .reset_index(drop=True))
