@@ -256,6 +256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_source_quality_filter": textops.q_source_quality_filter,
         "q69_embedding_gram": similarity.q_embedding_gram,
         "q70_consistent_sample": textops.q_consistent_sample,
+        "q106_weighted_sample": textops.q_weighted_sample,
         "q71_kmeans": similarity.q_kmeans,
         "q72_mix_allocation": textops.q_mix_allocation,
         "q75_normalize_by_label": similarity.q_normalize_by_label,

@@ -2182,3 +2182,44 @@ def test_fuzzy_name_join_bytes_distance(ray_session, tmp_path):
     got = set(zip(out["a_partkey"], out["b_partkey"]))
     assert (2, 3) in got        # é→éx: one byte inserted
     assert (1, 2) not in got    # a→é: TWO byte edits (codepoint dist 1)
+
+
+def test_weighted_sample_aes(ray_session, tmp_path):
+    """q106: the distributed bottom-k A-ES sample equals the
+    brute-force single-process computation, is invariant to how the
+    table is split into row groups, never picks zero/NULL-weight
+    docs, and higher weights win under equal hash luck."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.pairs import mix64
+    from web_scrapper_ray.pipelines.textops import q_weighted_sample
+
+    n = 500
+    ids = np.arange(1, n + 1, dtype=np.int64)
+    w = ((ids * 37) % 997 + 1).astype(np.int64)
+    w[::50] = 0                    # some zero weights
+    t = pa.table({"doc_id": pa.array(ids),
+                  "n_chars": pa.array(w),
+                  "text": pa.array(["x"] * n),
+                  "lang": pa.array(["en"] * n),
+                  "source": pa.array(["s"] * n)})
+    pq.write_table(t, str(tmp_path / "documents.parquet"),
+                   row_group_size=64)
+
+    out = q_weighted_sample(str(tmp_path), k=25)
+    # brute force
+    ok = w > 0
+    u = (mix64(ids[ok].view(np.uint64)).astype(np.float64) + 0.5) / 2.0**64
+    lp = np.log(u) / w[ok]
+    order = np.lexsort((ids[ok], -lp))[:25]
+    expect = np.sort(ids[ok][order])
+    assert list(out["doc_id"]) == list(expect)
+    assert not set(out["doc_id"]) & set(ids[~ok])
+
+    # split-invariance: one row group vs 64-row groups
+    d2 = tmp_path / "one"
+    d2.mkdir()
+    pq.write_table(t, str(d2 / "documents.parquet"))
+    out2 = q_weighted_sample(str(d2), k=25)
+    pd.testing.assert_frame_equal(out, out2)

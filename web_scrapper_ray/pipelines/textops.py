@@ -1576,3 +1576,54 @@ def q_bpe_train(sf_dir: str, n_merges: int = 12) -> pd.DataFrame:
         "left": [m[1] for m in merges],
         "right": [m[2] for m in merges],
         "freq": np.array([m[3] for m in merges], np.int64)})
+
+
+def q_weighted_sample(sf_dir: str, k: int = 25) -> pd.DataFrame:
+    """Weighted sample WITHOUT replacement, P(doc) ∝ n_chars —
+    Efraimidis–Spirakis A-ES as a distributed bottom-k: each doc gets
+    the deterministic priority ln(u)/w (u = mix64(doc_id)-uniform in
+    (0,1), w = n_chars), and the top-k by priority IS the weighted
+    sample. Like q70's consistent sample, partials merge by re-taking
+    the top k, so each batch ships only its local top-k (k × batches
+    rows cross the wire, never the corpus) and the result is identical
+    under any partitioning — pinned by the split-invariance +
+    brute-force-equality pytest (no SQL twin: the oracle can't
+    reproduce the hash-uniform draws). Non-positive/NULL weights are
+    never sampled (dropped, matching u^(1/w) → 0)."""
+    from .pairs import mix64
+
+    _EMPTY = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_chars": pa.array([], pa.int64()),
+                       "lp": pa.array([], pa.float64())})
+
+    def topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
+            return _EMPTY
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        w = batch.column("n_chars").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        ok = np.isfinite(w) & (w > 0)
+        ids, w = ids[ok], w[ok]
+        if not len(ids):
+            return _EMPTY
+        # u in (0,1): 64-bit mix mapped mid-riser so u is never 0 or 1
+        u = (mix64(ids.astype(np.int64).view(np.uint64))
+             .astype(np.float64) + 0.5) / 2.0 ** 64
+        lp = np.log(u) / w
+        if len(lp) > k:
+            sel = np.argpartition(-lp, k - 1)[:k]
+            ids, w, lp = ids[sel], w[sel], lp[sel]
+        return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
+                         "n_chars": pa.array(w.astype(np.int64)),
+                         "lp": pa.array(lp)})
+
+    parts = (_docs(sf_dir, ["doc_id", "n_chars"])
+             .map_batches(topk, batch_format="pyarrow")
+             .to_pandas())
+    if parts.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_chars": pd.Series(dtype="int64")})
+    top = parts.sort_values(["lp", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return (top[["doc_id", "n_chars"]]
+            .sort_values("doc_id").reset_index(drop=True))
