@@ -225,6 +225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q103_part_heavy_left_join": relational.q_part_heavy_left_join,
         "q104_parts_never_heavy": relational.q_parts_never_heavy,
         "q105_fuzzy_name_join": relational.q_fuzzy_name_join,
+        "q107_brand_name_concat": relational.q_brand_name_concat,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1148,6 +1149,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE p1.p_partkey < p2.p_partkey
               AND levenshtein(p1.p_name, p2.p_name) <= 1
             ORDER BY 1, 2
+        """,
+        "q107_brand_name_concat": """
+            SELECT p_brand,
+                   string_agg(DISTINCT p_name, '|' ORDER BY p_name)
+                       AS names,
+                   count(DISTINCT p_name)::BIGINT AS n_names
+            FROM part WHERE p_brand IS NOT NULL AND p_name IS NOT NULL
+            GROUP BY 1 ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

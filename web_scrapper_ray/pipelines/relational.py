@@ -2475,3 +2475,45 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
     out = pd.concat(parts, ignore_index=True)
     return (out.sort_values(["a_partkey", "b_partkey"])
             .reset_index(drop=True))
+
+
+def q_brand_name_concat(sf_dir: str) -> pd.DataFrame:
+    """Ordered DISTINCT string aggregation (SQL twin:
+    ``string_agg(DISTINCT p_name, '|' ORDER BY p_name)``): the
+    list-building aggregate shape. Per-batch combiner first reduces to
+    DISTINCT (brand, name) pairs — the exchange carries at most
+    |brands × names| × batches short rows, never the part table — and
+    the single groupby's per-group task sorts/uniques/joins. The
+    concatenated value is bounded by the distinct-name vocabulary per
+    group (this op's contract; an unbounded-vocabulary corpus would
+    want q65-style bounded state instead)."""
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_name"])
+    _EMPTY = pa.table({"p_brand": pa.array([], pa.string()),
+                       "p_name": pa.array([], pa.string())})
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "p_brand" not in batch.schema.names:
+            return _EMPTY
+        keep = pc.and_(pc.is_valid(batch.column("p_brand")),
+                       pc.is_valid(batch.column("p_name")))
+        if not pc.all(keep).as_py():
+            batch = batch.filter(keep)
+        g = batch.group_by(["p_brand", "p_name"]).aggregate([])
+        return pa.table({"p_brand": g.column("p_brand"),
+                         "p_name": g.column("p_name")})
+
+    def concat_group(df: pd.DataFrame) -> pd.DataFrame:
+        names = sorted(set(df["p_name"]))
+        return pd.DataFrame({"p_brand": [df["p_brand"].iloc[0]],
+                             "names": ["|".join(names)],
+                             "n_names": np.array([len(names)], np.int64)})
+
+    out = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
+           .groupby("p_brand")
+           .map_groups(concat_group, batch_format="pandas")
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "names": pd.Series(dtype="object"),
+                             "n_names": pd.Series(dtype="int64")})
+    return out.sort_values("p_brand").reset_index(drop=True)
