@@ -179,8 +179,9 @@ def _phash_neardup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from web_scrapper_ray.pipelines import (dedup, graph, relational,
-                                            similarity, sketches, textops)
+    from web_scrapper_ray.pipelines import (dedup, graph, layout,
+                                            relational, similarity,
+                                            sketches, textops)
 
     return {
         # relational / generic engine ops
@@ -258,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q69_embedding_gram": similarity.q_embedding_gram,
         "q70_consistent_sample": textops.q_consistent_sample,
         "q106_weighted_sample": textops.q_weighted_sample,
+        "q108_zorder_layout": layout.q_zorder_layout,
         "q71_kmeans": similarity.q_kmeans,
         "q72_mix_allocation": textops.q_mix_allocation,
         "q75_normalize_by_label": similarity.q_normalize_by_label,

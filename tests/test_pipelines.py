@@ -2223,3 +2223,64 @@ def test_weighted_sample_aes(ray_session, tmp_path):
     pq.write_table(t, str(d2 / "documents.parquet"))
     out2 = q_weighted_sample(str(d2), k=25)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_zorder_layout_prunes(ray_session, tmp_path):
+    """q108: a (user × hour) box intersects FAR fewer z-ordered
+    partition envelopes than hour-sorted ones — the two-dimensional
+    pruning the layout exists for — and the envelopes tile the table
+    exactly (row counts sum, global min/max preserved)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.layout import morton2, q_zorder_layout
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    users = rng.randint(0, 1000, n).astype(np.int64)
+    base = pd.Timestamp("2024-01-01").value // 1000  # µs
+    ts = (base + rng.randint(0, 1000, n).astype(np.int64) * 3_600_000_000)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "user_id": pa.array(users),
+        "event_type": pa.array(["e"] * n),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "value": pa.array(np.ones(n)),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    out = q_zorder_layout(str(tmp_path), partitions=64)
+    assert out["rows"].sum() == n
+    assert out["user_min"].min() == users.min()
+    assert out["user_max"].max() == users.max()
+
+    hours = ts // 3_600_000_000
+    # predicate on the dimension the reference layout does NOT sort
+    # by: hour-sorted partitions each span ~the full user range, so a
+    # user-range predicate prunes nothing there, while z-order keeps
+    # user locality too
+    ulo, uhi = 450, 550                    # ~10% of the user range
+
+    def touch_fraction(env):
+        hit = (env["user_max"] >= ulo) & (env["user_min"] <= uhi)
+        return hit.mean()
+
+    z_frac = touch_fraction(out)
+
+    # reference layout: hour-sorted, same partition count — every
+    # partition spans ~the full user range, so the user predicate
+    # prunes nothing
+    order = np.argsort(hours, kind="stable")
+    p = np.arange(n) // -(-n // 64)
+    ref = pd.DataFrame({"partition": p, "u": users[order],
+                        "h": hours[order]}).groupby("partition").agg(
+        user_min=("u", "min"), user_max=("u", "max"),
+        hour_min=("h", "min"), hour_max=("h", "max"))
+    t_frac = touch_fraction(ref)
+
+    assert z_frac < 0.35 and t_frac > 0.9, (z_frac, t_frac)
+    assert z_frac * 3 < t_frac
+
+    # morton interleave sanity: key order groups quadrants
+    assert morton2(np.array([0], np.uint64), np.array([1], np.uint64))[0] == 1
+    assert morton2(np.array([1], np.uint64), np.array([0], np.uint64))[0] == 2
