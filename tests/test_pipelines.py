@@ -2208,9 +2208,10 @@ def test_weighted_sample_aes(ray_session, tmp_path):
                    row_group_size=64)
 
     out = q_weighted_sample(str(tmp_path), k=25)
-    # brute force
+    # brute force (same 53-bit u derivation as the engine)
     ok = w > 0
-    u = (mix64(ids[ok].view(np.uint64)).astype(np.float64) + 0.5) / 2.0**64
+    u = ((mix64(ids[ok].view(np.uint64)) >> np.uint64(11))
+         .astype(np.float64) + 0.5) / 2.0**53
     lp = np.log(u) / w[ok]
     order = np.lexsort((ids[ok], -lp))[:25]
     expect = np.sort(ids[ok][order])

@@ -52,9 +52,11 @@ def _quantize(v: np.ndarray, lo: float, hi: float) -> np.ndarray:
 def q_zorder_layout(sf_dir: str, partitions: int = 64) -> pd.DataFrame:
     """Re-cluster events by the Z-order of (user_id, hour) and report
     the per-partition [min, max] envelopes of BOTH dimensions — the
-    exact metadata a reader prunes files on. Shape: parquet column
-    stats give the global quantization bounds (one metadata read; no
-    data pass), ``map_batches`` computes Morton keys vectorized, ONE
+    exact metadata a reader prunes files on. Shape: parquet row-group
+    stats give the global quantization bounds when present (one
+    metadata read, no data pass; a distributed two-column min/max
+    scan is the stats-less fallback), ``map_batches`` computes Morton
+    keys vectorized, ONE
     ``Dataset.sort`` lays the table out (the one all-to-all this
     operator exists to spend), and the envelope stats come from a
     second vectorized pass over the sorted row index — the data itself
@@ -100,9 +102,6 @@ def q_zorder_layout(sf_dir: str, partitions: int = 64) -> pd.DataFrame:
                              _quantize(u.astype(np.float64), *_UB),
                              _quantize(hrs.astype(np.float64), *_HB)))})
 
-    # quantization bounds from one distributed min/max pass (tiny
-    # 4-float accumulators; parquet stats would also do, but ts is a
-    # timestamp column and the hour derivation must match keyed())
     def minmax(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "user_id" not in t.schema.names:
             return pa.table({c: pa.array([], pa.float64())
@@ -122,11 +121,34 @@ def q_zorder_layout(sf_dir: str, partitions: int = 64) -> pd.DataFrame:
                          "hlo": pa.array([float(hrs.min())]),
                          "hhi": pa.array([float(hrs.max())])})
 
-    mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
-    if mm.empty:
-        return pd.DataFrame(cols)
-    _UB = (float(mm["ulo"].min()), float(mm["uhi"].max()))
-    _HB = (float(mm["hlo"].min()), float(mm["hhi"].max()))
+    # quantization bounds: prefer the row-group statistics already in
+    # hand — zero data movement; min/max commute with the monotone
+    # floor hour derivation, and per-column stats (which exclude only
+    # their OWN column's NULLs) can only WIDEN the bounds vs keyed()'s
+    # both-valid filter, costing resolution, never correctness
+    def _col_stats(name):
+        rg0 = md.row_group(0)
+        idx = next((i for i in range(rg0.num_columns)
+                    if rg0.column(i).path_in_schema == name), None)
+        if idx is None:
+            return None
+        ss = [md.row_group(g).column(idx).statistics
+              for g in range(md.num_row_groups)]
+        if not all(s is not None and s.has_min_max for s in ss):
+            return None
+        return min(s.min for s in ss), max(s.max for s in ss)
+
+    ust, tst = _col_stats("user_id"), _col_stats("ts")
+    if ust is not None and tst is not None:
+        _UB = (float(ust[0]), float(ust[1]))
+        _HB = tuple(float(pd.Timestamp(v).value // 3_600_000_000_000)
+                    for v in tst)
+    else:
+        mm = ds.map_batches(minmax, batch_format="pyarrow").to_pandas()
+        if mm.empty:
+            return pd.DataFrame(cols)
+        _UB = (float(mm["ulo"].min()), float(mm["uhi"].max()))
+        _HB = (float(mm["hlo"].min()), float(mm["hhi"].max()))
 
     # materialize the sorted layout ONCE (it is this operator's whole
     # product — count() and the envelope pass would otherwise each
@@ -141,9 +163,19 @@ def q_zorder_layout(sf_dir: str, partitions: int = 64) -> pd.DataFrame:
         return pd.DataFrame(cols)
     per = max(1, -(-n_total // partitions))
 
-    laid = laid.drop_columns(["z"])
-
+    # NO drop_columns here: any map between materialize and
+    # to_arrow_refs re-executes through the streaming executor, whose
+    # default preserve_order=False can emit blocks in task-completion
+    # order — the cumsum offsets below would then label z-sorted rows
+    # with the wrong partition. Refs off the materialized dataset keep
+    # the stored (sorted) bundle order zero-copy; envelope just
+    # ignores the z column.
     def envelope(t: pa.Table, start: int) -> pd.DataFrame:
+        empty = pd.DataFrame({c: pd.Series(dtype="int64") for c in
+                              ("partition", "rows", "user_min",
+                               "user_max", "hour_min", "hour_max")})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
         u = t.column("user_id").to_numpy(zero_copy_only=False)
         h = t.column("hour").to_numpy(zero_copy_only=False)
         idx = np.arange(start, start + len(u))

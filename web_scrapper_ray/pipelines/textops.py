@@ -1606,12 +1606,18 @@ def q_weighted_sample(sf_dir: str, k: int = 25) -> pd.DataFrame:
         ids, w = ids[ok], w[ok]
         if not len(ids):
             return _EMPTY
-        # u in (0,1): 64-bit mix mapped mid-riser so u is never 0 or 1
-        u = (mix64(ids.astype(np.int64).view(np.uint64))
-             .astype(np.float64) + 0.5) / 2.0 ** 64
+        # u strictly in (0,1): top 53 bits + mid-riser over 2^53 stays
+        # exactly representable — a raw 64-bit value within 2^11 of
+        # 2^64 would ROUND to 2^64 under float64 and give u = 1.0,
+        # lp = 0, an unconditional winner A-ES must exclude
+        u = ((mix64(ids.astype(np.int64).view(np.uint64))
+              >> np.uint64(11)).astype(np.float64) + 0.5) / 2.0 ** 53
         lp = np.log(u) / w
         if len(lp) > k:
-            sel = np.argpartition(-lp, k - 1)[:k]
+            # lexsort, not argpartition: the global merge breaks lp
+            # ties by doc_id asc, and the local cut must agree or the
+            # sample loses its partitioning-invariance on exact ties
+            sel = np.lexsort((ids, -lp))[:k]
             ids, w, lp = ids[sel], w[sel], lp[sel]
         return pa.table({"doc_id": pa.array(ids.astype(np.int64)),
                          "n_chars": pa.array(w.astype(np.int64)),
