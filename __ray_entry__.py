@@ -427,10 +427,13 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source ORDER BY lang, source
         """,
         "q29_events_value_stats": """
+            -- contract: NaN/±inf values excluded (DuckDB stddev
+            -- raises 'out of range' on them); NULL values stay
             SELECT event_type, count(*)::BIGINT AS n,
                    round(avg(value), 4) AS avg_value,
                    round(stddev_samp(value), 4) AS std_value
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events WHERE value IS NULL OR isfinite(value)
+            GROUP BY event_type ORDER BY event_type
         """,
         "q44_distinct_event_types": """
             SELECT DISTINCT event_type FROM events ORDER BY event_type
@@ -444,11 +447,16 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o.o_orderkey ORDER BY o.o_orderkey
         """,
         "q49_rolling_avg": """
+            -- contract: non-finite values out (pandas rolling skips
+            -- NaN where SQL avg propagates; DuckDB's running-sum
+            -- window lets one inf poison the whole partition tail);
+            -- NULL values stay on both sides
             SELECT event_id, user_id,
                    round(avg(value) OVER (PARTITION BY user_id
                        ORDER BY ts, event_id
                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS rolling_avg
-            FROM events ORDER BY event_id
+            FROM events WHERE value IS NULL OR isfinite(value)
+            ORDER BY event_id
         """,
         "q43_events_asof_join": """
             SELECT e.event_id, e.user_id,
@@ -613,10 +621,14 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rk <= 5 ORDER BY doc_id, term
         """,
         "q57_event_value_quantiles": """
+            -- contract (mirrors q102): NULL/NaN values out — DuckDB's
+            -- quantile_cont is implementation-defined under NaN
             SELECT event_type,
                    round(quantile_cont(value, 0.5), 4) AS p50,
                    round(quantile_cont(value, 0.95), 4) AS p95
-            FROM events GROUP BY event_type ORDER BY event_type
+            FROM events
+            WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY event_type ORDER BY event_type
         """,
         "q58_shard_pack": r"""
             WITH t AS (SELECT doc_id,

@@ -1,0 +1,146 @@
+"""Deterministic ADVERSARIAL sf dir for the parity gate: start from a
+real sf tier and inject the value classes that have historically hidden
+engine↔DuckDB divergences (q92 constant groups, q96 off-grid halves,
+q105 non-ASCII bytes, nullable-dtype flips) — NULLs in every nullable
+column, NaN/±inf doubles, half-boundary values, unicode / empty / blank
+strings, pre-1970 timestamps, duplicate natural keys, constant groups.
+
+Usage: python scripts/make_fuzz_world.py [/tmp/wsr_fuzz [src_sf_dir]]
+Then:  python scripts/check_queries.py /tmp/wsr_fuzz
+
+Any query whose engine/oracle pair disagrees here has a latent parity
+hole; queries whose contract excludes a class carry the SAME filter in
+both the engine and the oracle SQL, so they still pass.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 20260818
+
+
+def _rows(t: pa.Table, d: dict) -> pa.Table:
+    """Append rows given {col: list}; unmentioned columns get NULLs."""
+    cols = {}
+    n = max(len(v) for v in d.values())
+    for name in t.schema.names:
+        typ = t.schema.field(name).type
+        vals = d.get(name, [None] * n)
+        cols[name] = pa.array(vals, typ)
+    return pa.concat_tables([t, pa.table(cols, schema=t.schema)])
+
+
+def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.RandomState(SEED)
+    tabs = {name: pq.read_table(os.path.join(src, f"{name}.parquet"))
+            for name in ("region nation customer supplier part orders "
+                         "lineitem events documents embeddings").split()}
+
+    ts = lambda s: np.datetime64(int(s * 1_000_000), "us").item()
+
+    # events: NULL keys/values, NaN/±inf, pre-1970 fractional ts,
+    # constant-value group (q92's class), half-boundary values
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": list(range(900001, 900013)),
+        "ts": [None, ts(-3599.5), ts(-1), ts(0.5), ts(3600),
+               ts(7200), ts(10800), ts(14400), ts(1), ts(2), ts(3), ts(4)],
+        "user_id": [1, None, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11],
+        "event_type": ["fz_null", "fz_null", None, "fz_nan", "fz_inf",
+                       "fz_konst", "fz_konst", "fz_konst",
+                       "fz_half", "fz_half", "fz_half", "fz_half"],
+        "value": [None, 1.0, 2.0, float("nan"), float("inf"),
+                  1.7, 1.7, 1.7, 0.5, 1.5, 2.5, -2.5],
+        "props": [None, "", "{}", "not json", "ünïcodé", "{\"a\":1}",
+                  None, "", " ", "x", "y", "z"],
+    })
+
+    # lineitem: off-grid half quantities (q96's class), NULL flags,
+    # NaN price/discount, pre-1970 shipdate
+    tabs["lineitem"] = _rows(tabs["lineitem"], {
+        "l_orderkey": [900001] * 6,
+        "l_partkey": [1, 1, 2, 2, 3, 3],
+        "l_suppkey": [1, 1, 1, 1, 1, 1],
+        "l_linenumber": [1, 2, 3, 4, 5, 6],
+        # money stays NaN-free (NULLs only): Ray's builtin Sum/Mean
+        # return None and Max skips where SQL PROPAGATES NaN — NaN in
+        # a price column is out of contract for the builtin-agg
+        # queries (real dirty money is NULL); the explicit-contract
+        # events.value family below still gets NaN/±inf. Values are
+        # clean 2dp so 2dp-rounded sums sit far from the banker's/
+        # half-away knife edge that float association noise can flip.
+        "l_quantity": [2.5, 3.5, -2.5, 0.5, None, 46.5],
+        "l_extendedprice": [None, 1.25, 2.75, None, 1.0, 2.0],
+        "l_discount": [0.05, None, 0.25, 0.5, 0.0, 1.0],
+        "l_tax": [0.0] * 6,
+        "l_returnflag": [None, "A", "A", None, "R", "R"],
+        "l_linestatus": ["O", None, "O", None, "F", "F"],
+        "l_shipdate": [ts(-86400.5), None, ts(0), ts(1), ts(2), ts(3)],
+    })
+
+    # part: unicode names (q105 byte-distance class), NULL name/brand,
+    # duplicate names, empty string
+    tabs["part"] = _rows(tabs["part"], {
+        "p_partkey": list(range(900001, 900008)),
+        "p_name": ["éclair", "eclair", "éclairs", None, "", "日本語", "日本誤"],
+        "p_brand": ["Brand#é", "Brand#é", None, "Brand#1", "", "B", "B"],
+        "p_type": ["t"] * 7,
+        "p_size": [1, 2, None, 4, 5, 6, 7],
+        "p_retailprice": [0.5, 1.5, None, None, 2.5, -0.5, 0.0],
+    })
+
+    # customer/orders: NULL keys (join classes), NaN balances,
+    # duplicate customer rows, an order pointing at a missing customer
+    tabs["customer"] = _rows(tabs["customer"], {
+        "c_custkey": [900001, 900001, 900002, 900003],
+        "c_name": ["fz dup", "fz dup", None, "ünïcodé"],
+        "c_nationkey": [0, 0, None, 1],
+        "c_acctbal": [None, 0.5, None, float("-inf")],
+        "c_mktsegment": ["FZ", "FZ", None, ""],
+    })
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [900001, 900002, 900003],
+        "o_custkey": [900001, None, 999999],
+        "o_orderstatus": ["O", None, "F"],
+        "o_totalprice": [0.25, None, 150.0],
+        "o_orderdate": [ts(-1), ts(0), None],
+        "o_orderpriority": ["1-URGENT", None, ""],
+    })
+
+    # documents: NULL/empty/unicode/whitespace text, NULL lang/source,
+    # duplicate doc text (dedup classes), zero n_chars
+    tabs["documents"] = _rows(tabs["documents"], {
+        "doc_id": list(range(900001, 900008)),
+        "text": [None, "", "   ", "ünïcodé naïve éclair",
+                 "the the the the the", "the the the the the", "a"],
+        "lang": [None, "en", "", "fr", "en", "en", None],
+        "source": ["fz", None, "fz", "", "fz", "fz", "fz"],
+        "n_chars": [None, 0, 3, 20, 19, 19, 1],
+    })
+
+    # embeddings: NULL vector, NULL label, zero vector, duplicate ids
+    dim = len(tabs["embeddings"].column("embedding")[0])
+    tabs["embeddings"] = _rows(tabs["embeddings"], {
+        "vec_id": [900001, 900002, 900003],
+        "embedding": [None, [0.0] * dim,
+                      [float(x) for x in rng.randn(dim)]],
+        "label": [None, 0, 1],
+    })
+
+    for name, t in tabs.items():
+        pq.write_table(t, os.path.join(out_dir, f"{name}.parquet"),
+                       row_group_size=256)
+    print(f"fuzz world at {out_dir} "
+          f"({', '.join(f'{k}={v.num_rows}' for k, v in tabs.items())})")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/wsr_fuzz"
+    src = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.001"
+    build(out, src)

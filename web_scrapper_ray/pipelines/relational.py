@@ -28,6 +28,35 @@ def _read(sf_dir: str, table: str, columns=None):
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+# Ray's sort-based groupby cannot order a NULL key against a string
+# ('<' not supported between NoneType and str), but SQL GROUP BY keeps
+# NULL groups — sentinel-fill string keys before the shuffle and
+# restore after collection. \x00 prefix: sorts first, never in data.
+_NULL_KEY = "\x00<null>"
+
+
+def _null_safe_keys(ds, cols: list):
+    import pyarrow as _pa
+
+    def fill(t: _pa.Table) -> _pa.Table:
+        if t.num_rows == 0:
+            return t
+        for c in cols:
+            if c in t.schema.names:
+                i = t.schema.get_field_index(c)
+                t = t.set_column(i, c, pc.fill_null(t.column(c), _NULL_KEY))
+        return t
+
+    return ds.map_batches(fill, batch_format="pyarrow")
+
+
+def _restore_null_keys(df: pd.DataFrame, cols: list) -> pd.DataFrame:
+    for c in cols:
+        if c in df.columns:
+            df[c] = df[c].astype(object).where(df[c] != _NULL_KEY, None)
+    return df
+
+
 def _hour_start(ts_col) -> pa.Array:
     """Epoch seconds of date_trunc('hour', ts). FLOOR division over the
     raw microseconds — int64 truncation toward zero would bin pre-1970
@@ -57,9 +86,11 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         )
         return batch.append_column("revenue", rev)
 
-    ds = ds.map_batches(add_revenue, batch_format="pyarrow")
+    keys = ["l_returnflag", "l_linestatus"]
+    ds = _null_safe_keys(ds.map_batches(add_revenue, batch_format="pyarrow"),
+                         keys)
     out = (
-        ds.groupby(["l_returnflag", "l_linestatus"])
+        ds.groupby(keys)
         .aggregate(
             Sum("l_quantity", alias_name="sum_qty"),
             Sum("l_extendedprice", alias_name="sum_base_price"),
@@ -69,11 +100,12 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _restore_null_keys(out, keys)
     # rounding pins the value-hash against float summation order
     for col, nd in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
                     ("avg_qty", 4)]:
         out[col] = out[col].round(nd)
-    return out.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    return out.sort_values(keys).reset_index(drop=True)
 
 
 def q_top_customers(sf_dir: str) -> pd.DataFrame:
@@ -124,26 +156,48 @@ def q_orders_filter_topk(sf_dir: str) -> pd.DataFrame:
 
 def q_events_window(sf_dir: str) -> pd.DataFrame:
     """Tumbling 1-hour window per event_type (streaming-shaped op over
-    the ordered log — SURVEY.md §2.8 analog): pre-bucket per batch, one
-    small groupby."""
-    from ray.data.aggregate import Count, Sum
-
+    the ordered log — SURVEY.md §2.8 analog): per-batch Arrow group_by
+    partials (the q82 shape — Arrow keeps NULL keys that Ray's
+    sort-based groupby cannot order, and PROPAGATES NaN/±inf sums like
+    SQL where Ray's builtin Sum nulls them out), then a tiny
+    NULL-key-preserving driver combine over types × hours × batches
+    rows."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+    _E = pa.table({"event_type": pa.array([], pa.string()),
+                   "window_start": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64())})
 
-    def bucket(batch: pa.Table) -> pa.Table:
-        return batch.append_column("window_start",
-                                   _hour_start(batch.column("ts")))
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.schema.names:
+            return _E
+        t = pa.table({"event_type": batch.column("event_type"),
+                      "window_start": _hour_start(batch.column("ts")),
+                      "value": batch.column("value")})
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value", "sum"), ([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "window_start": g.column("window_start"),
+                         "n": pc.cast(g.column("count_all"), pa.int64()),
+                         "s": pc.cast(g.column("value_sum"), pa.float64())})
 
-    ds = ds.map_batches(bucket, batch_format="pyarrow").select_columns(
-        ["event_type", "window_start", "value"]
-    )
-    out = (
-        ds.groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
-        .to_pandas()
-    )
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "window_start": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64"),
+                             "sum_value": pd.Series(dtype="float64")})
+    out = (parts.groupby(["event_type", "window_start"], dropna=False,
+                         as_index=False)
+           .agg(n_events=("n", "sum"),
+                # np sum, not pandas: partial sums must PROPAGATE NaN
+                sum_value=("s", lambda s: s.to_numpy().sum())))
     out["sum_value"] = out["sum_value"].round(4)
-    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    # pandas renders NULL keys as NaN; restore None for the string key
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    return out.sort_values(["event_type", "window_start"],
+                           na_position="last").reset_index(drop=True)
 
 
 def q_orders_page2(sf_dir: str) -> pd.DataFrame:
@@ -244,27 +298,64 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
 
 
 def q_docs_by_lang_source(sf_dir: str) -> pd.DataFrame:
-    """Corpus composition: doc counts + char volume per (lang, source)."""
-    from ray.data.aggregate import Count, Sum
-
+    """Corpus composition: doc counts + char volume per (lang, source).
+    Arrow group_by partials (NULL keys survive — Ray's sort-based
+    groupby cannot order them) + a tiny dropna=False driver combine,
+    the q82 shape."""
     ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
-    out = (
-        ds.groupby(["lang", "source"])
-        .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars"))
-        .to_pandas()
-    )
-    return out.sort_values(["lang", "source"]).reset_index(drop=True)
+    _E = pa.table({"lang": pa.array([], pa.string()),
+                   "source": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.int64()),
+                   "nv": pa.array([], pa.int64())})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "lang" not in batch.schema.names:
+            return _E
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [("n_chars", "sum"), ("n_chars", "count"), ([], "count_all")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n": pc.cast(g.column("count_all"), pa.int64()),
+                         "s": pc.cast(pc.fill_null(g.column("n_chars_sum"),
+                                                   0), pa.int64()),
+                         "nv": pc.cast(g.column("n_chars_count"),
+                                       pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "source": pd.Series(dtype="object"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "total_chars": pd.Series(dtype="int64")})
+    out = (parts.groupby(["lang", "source"], dropna=False, as_index=False)
+           .agg(n_docs=("n", "sum"), total_chars=("s", "sum"),
+                nv=("nv", "sum")))
+    # SQL sum over an all-NULL group is NULL (→ float64 w/ NaN after
+    # the ::BIGINT cast lands in pandas); pandas int sums would say 0
+    if (out["nv"] == 0).any():
+        out.loc[out["nv"] == 0, "total_chars"] = np.nan
+    out = out.drop(columns=["nv"])
+    for c in ("lang", "source"):
+        out[c] = out[c].astype(object).where(out[c].notna(), None)
+    return out.sort_values(["lang", "source"],
+                           na_position="last").reset_index(drop=True)
 
 
 def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
     """Sliding window (2 h width, 1 h slide) per event_type: each event
-    lands in two hourly-aligned windows; emitted vectorized per batch,
-    pre-aggregated, then one small groupby shuffle."""
-    from ray.data.aggregate import Count
-
+    lands in two hourly-aligned windows; emitted + Arrow-pre-aggregated
+    vectorized per batch (NULL keys survive), tiny dropna=False driver
+    combine."""
     ds = _read(sf_dir, "events", columns=["ts", "event_type"])
 
+    _E = pa.table({"event_type": pa.array([], pa.string()),
+                   "window_start": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64())})
+
     def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "ts" not in batch.schema.names:
+            return _E
         w0 = _hour_start(batch.column("ts"))
         et = batch.column("event_type")
         starts = pa.concat_arrays([
@@ -272,30 +363,50 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
             pc.cast(pc.subtract(w0, 3600), pa.int64()).combine_chunks(),
         ])
         types = pa.concat_arrays([et.combine_chunks(), et.combine_chunks()])
-        return pa.table({"event_type": types, "window_start": starts})
+        # Arrow group_by partial keeps NULL type/window keys (the
+        # oracle's unnest emits two NULL windows per NULL ts — both
+        # land in the (type, NULL) group, count 2)
+        g = pa.table({"event_type": types, "window_start": starts}) \
+            .group_by(["event_type", "window_start"]).aggregate(
+                [([], "count_all")])
+        return pa.table({"event_type": g.column("event_type"),
+                         "window_start": g.column("window_start"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
 
-    out = (
-        ds.map_batches(explode, batch_format="pyarrow")
-        .groupby(["event_type", "window_start"])
-        .aggregate(Count(alias_name="n_events"))
-        .to_pandas()
-    )
-    return out.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+    parts = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "window_start": pd.Series(dtype="int64"),
+                             "n_events": pd.Series(dtype="int64")})
+    out = (parts.groupby(["event_type", "window_start"], dropna=False,
+                         as_index=False).agg(n_events=("n", "sum")))
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    return out.sort_values(["event_type", "window_start"],
+                           na_position="last").reset_index(drop=True)
 
 
 def q_top_customers_per_segment(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Per-group top-k (groupby → map_groups nlargest): top customers by
-    account balance within each market segment."""
+    account balance within each market segment. NULL segments ride the
+    sentinel (SQL PARTITION BY keeps a NULL partition); NULL balances
+    sort last like ORDER BY ... DESC's default NULLS LAST (pandas
+    na_position='last')."""
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey", "c_acctbal"])
 
     def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True]).head(k)
+        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True],
+                          na_position="last").head(k)
         g = g.copy()
         g["rank"] = range(1, len(g) + 1)
         return g[["c_mktsegment", "rank", "c_custkey", "c_acctbal"]]
 
-    out = ds.groupby("c_mktsegment").map_groups(topk, batch_format="pandas").to_pandas()
-    return out.sort_values(["c_mktsegment", "rank"]).reset_index(drop=True)
+    out = (_null_safe_keys(ds, ["c_mktsegment"])
+           .groupby("c_mktsegment")
+           .map_groups(topk, batch_format="pandas").to_pandas())
+    out = _restore_null_keys(out, ["c_mktsegment"])
+    return out.sort_values(["c_mktsegment", "rank"],
+                           na_position="last").reset_index(drop=True)
 
 
 def q_brand_revenue_native_join(sf_dir: str) -> pd.DataFrame:
@@ -348,38 +459,86 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
     100-TB path for "roughly p95" is a per-batch histogram combine
     (bounded shuffle, no group materialization); keep that variant
     approximate and separately named if it's ever needed — silently
-    swapping it in here would break the oracle equivalence."""
+    swapping it in here would break the oracle equivalence.
+    Contract (mirrors q102): NULL and NaN values are filtered on BOTH
+    sides — DuckDB's quantile_cont is implementation-defined under NaN
+    — while ±inf stay as ordinary orderable extremes; NULL group keys
+    ride the sentinel."""
     import numpy as np
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def quants(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy()
-        p50, p95 = np.percentile(v, [50.0, 95.0], method="linear")
-        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
-                             "p50": [round(float(p50), 4)],
-                             "p95": [round(float(p95), 4)]})
+    def drop_nan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        v = t.column("value")
+        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
 
-    out = ds.groupby("event_type").map_groups(
-        quants, batch_format="pandas").to_pandas()
-    return out.sort_values("event_type").reset_index(drop=True)
+    def quants(df: pd.DataFrame) -> pd.DataFrame:
+        # manual bracket interpolation in DuckDB's own op order
+        # (v0·(1−f) + v1·f, and v[i] EXACTLY when RN is integral) —
+        # np.percentile's lo+(hi−lo)·f turns a single-±inf group into
+        # inf−inf = NaN where SQL returns the element
+        v = np.sort(df["value"].to_numpy())
+        n = len(v)
+        res = []
+        for q in (0.5, 0.95):
+            rn = (n - 1) * q
+            i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
+            if i0 == i1:
+                res.append(float(v[i0]))
+            else:
+                f = rn - i0
+                res.append(float(v[i0] * (1.0 - f) + v[i1] * f))
+        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
+                             "p50": [round(res[0], 4)],
+                             "p95": [round(res[1], 4)]})
+
+    out = (_null_safe_keys(ds.map_batches(drop_nan,
+                                          batch_format="pyarrow"),
+                           ["event_type"])
+           .groupby("event_type")
+           .map_groups(quants, batch_format="pandas").to_pandas())
+    out = _restore_null_keys(out, ["event_type"])
+    return out.sort_values("event_type",
+                           na_position="last").reset_index(drop=True)
 
 
 def q_events_value_stats(sf_dir: str) -> pd.DataFrame:
     """Count/mean/sample-stddev of value per event_type (Std ddof=1,
-    matching SQL stddev_samp)."""
+    matching SQL stddev_samp). Contract: rows with NaN/±inf values are
+    excluded on BOTH sides (DuckDB's stddev RAISES 'out of range' on
+    non-finite input — the SQL twin cannot even express them); NULL
+    values stay (count(*) counts them, avg/stddev skip them). NULL
+    group keys ride the sentinel (Ray's sort-based groupby cannot
+    order None vs str)."""
     from ray.data.aggregate import Count, Mean, Std
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def finite_or_null(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        v = t.column("value")
+        keep = pc.or_(pc.is_null(v), pc.is_finite(v))
+        return t.filter(pc.fill_null(keep, True))
+
+    ds = _null_safe_keys(
+        ds.map_batches(finite_or_null, batch_format="pyarrow"),
+        ["event_type"])
     out = (
         ds.groupby("event_type")
         .aggregate(Count(alias_name="n"), Mean("value", alias_name="avg_value"),
                    Std("value", alias_name="std_value"))
         .to_pandas()
     )
-    out["avg_value"] = out["avg_value"].round(4)
-    out["std_value"] = out["std_value"].round(4)
-    return out.sort_values("event_type").reset_index(drop=True)
+    out = _restore_null_keys(out, ["event_type"])
+    out["avg_value"] = out["avg_value"].astype("float64").round(4)
+    out["std_value"] = out["std_value"].astype("float64").round(4)
+    return out.sort_values("event_type",
+                           na_position="last").reset_index(drop=True)
 
 
 def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
@@ -503,15 +662,30 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
     def tag_ev(t: pa.Table) -> pa.Table:
+        # NULL keys never match (drop — merge_asof also rejects null
+        # merge keys), but a NULL event TIME matches the user's LATEST
+        # order in DuckDB's keyed ASOF (probed: NULLs sort last within
+        # the partition and compare ≥ everything) — substitute +max so
+        # merge_asof reproduces that
+        keep = pc.is_valid(t.column("user_id"))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        tcol = pc.fill_null(t.column("ts"),
+                            pa.scalar(pd.Timestamp.max.to_pydatetime(),
+                                      pa.timestamp("us")))
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()),
             "side": pa.array(["E"] * t.num_rows),
             "key": t.column("user_id"),
-            "t": t.column("ts"),
+            "t": tcol,
             "event_id": t.column("event_id"),
         })
 
     def tag_od(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.is_valid(t.column("o_custkey")),
+                       pc.is_valid(t.column("o_orderdate")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(t.column("o_custkey"), B - 1), pa.int32()),
             "side": pa.array(["O"] * t.num_rows),
@@ -555,18 +729,31 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
     B = 64
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # contract: non-FINITE values out on BOTH sides — pandas'
+        # rolling mean SKIPS NaN where SQL avg PROPAGATES it, and
+        # DuckDB's running-sum window lets one ±inf poison every later
+        # frame of the partition (probed: windows NOT containing the
+        # inf row still return inf). NULL values stay:
+        # rolling-skip-NaN == SQL avg-skip-NULL. NULL users keep their
+        # own partition (bucket 0; dropna=False below), NULL ts orders
+        # last like the ORDER BY default.
+        if t.num_rows and "value" in t.schema.names:
+            v = t.column("value")
+            t = t.filter(pc.fill_null(pc.is_finite(v), True))
         return t.append_column(
             "bucket",
-            pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()))
+            pc.cast(pc.fill_null(pc.bit_wise_and(t.column("user_id"),
+                                                 B - 1), 0), pa.int32()))
 
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts", "event_id"])
-        avg = (g.groupby("user_id")["value"]
+        g = g.sort_values(["user_id", "ts", "event_id"],
+                          na_position="last")
+        avg = (g.groupby("user_id", dropna=False)["value"]
                 .rolling(window, min_periods=1).mean()
                 .reset_index(level=0, drop=True).round(4))
         return pd.DataFrame({
             "event_id": g["event_id"].astype("int64"),
-            "user_id": g["user_id"].astype("int64"),
+            "user_id": g["user_id"],
             "rolling_avg": avg,
         })
 

@@ -645,19 +645,27 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
                          "rank_key": pa.array(keys)})
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["rank_key", "doc_id"]).head(per_group)
+        # NULL rank_key (NULL text → SQL md5(NULL) is NULL) sorts
+        # last, DuckDB's ORDER BY default
+        g = g.sort_values(["rank_key", "doc_id"],
+                          na_position="last").head(per_group)
         out = g[["lang", "doc_id"]].copy()
         out["rank"] = range(1, len(g) + 1)
         return out
 
+    from .relational import _null_safe_keys, _restore_null_keys
+
     out = (
-        ds.map_batches(add_rank_key, batch_format="pyarrow")
+        _null_safe_keys(ds.map_batches(add_rank_key,
+                                       batch_format="pyarrow"), ["lang"])
         .groupby("lang")
         .map_groups(head_k, batch_format="pandas")
         .to_pandas()
     )
+    out = _restore_null_keys(out, ["lang"])
     out["rank"] = out["rank"].astype("int64")
-    return out.sort_values(["lang", "rank"]).reset_index(drop=True)
+    return out.sort_values(["lang", "rank"],
+                           na_position="last").reset_index(drop=True)
 
 
 def q_hash_split(sf_dir: str) -> pd.DataFrame:
