@@ -1001,14 +1001,17 @@ def oracle_sql() -> dict[str, str]:
             HAVING count(DISTINCT doc_id) >= 2 ORDER BY shingle
         """,
         "q90_mad_outliers": """
+            -- contract: NaN values out on both sides (the engine
+            -- treats NaN as missing; DuckDB's median sorts NaN last)
             WITH m AS (SELECT event_type, median(value) AS med
                        FROM events
-                       WHERE value IS NOT NULL AND event_type IS NOT NULL
+                       WHERE value IS NOT NULL AND NOT isnan(value)
+                         AND event_type IS NOT NULL
                        GROUP BY 1),
             d AS (SELECT e.event_type, m.med,
                          abs(e.value - m.med) AS ad
                   FROM events e JOIN m USING (event_type)
-                  WHERE e.value IS NOT NULL),
+                  WHERE e.value IS NOT NULL AND NOT isnan(e.value)),
             md AS (SELECT event_type, median(ad) AS mad FROM d GROUP BY 1)
             SELECT d.event_type, round(any_value(d.med), 6) AS med,
                    round(any_value(md.mad), 6) AS mad,

@@ -35,6 +35,20 @@ def _read(sf_dir: str, table: str, columns=None):
 _NULL_KEY = "\x00<null>"
 
 
+def _quantile_cont(v: np.ndarray, q: float) -> float:
+    """DuckDB ``quantile_cont`` over a SORTED array: v[i] EXACTLY when
+    RN = (n−1)·q is integral, else v0·(1−f) + v1·f in DuckDB's own op
+    order — np.percentile's lo + (hi−lo)·f turns a ±inf bracket (or a
+    single-±inf group) into inf − inf = NaN where SQL returns ±inf."""
+    n = len(v)
+    rn = (n - 1) * q
+    i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
+    if i0 == i1:
+        return float(v[i0])
+    f = rn - i0
+    return float(v[i0] * (1.0 - f) + v[i1] * f)
+
+
 def _null_safe_keys(ds, cols: list):
     import pyarrow as _pa
 
@@ -129,6 +143,9 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
         names = ray.get(cust_ref)
         t = batch.to_pandas()
         t = t[t["o_custkey"].isin(names.keys())]  # INNER JOIN
+        # a NULL o_custkey group upstream floats the key dtype; the
+        # inner join just dropped it, so restore the oracle's int64
+        t["o_custkey"] = t["o_custkey"].astype("int64")
         t["c_name"] = t["o_custkey"].map(names)
         t["revenue"] = t["revenue"].round(2)  # rank on rounded, like the SQL
         t = t.sort_values(["revenue", "o_custkey"],
@@ -218,20 +235,26 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
     B = 64
 
     def add_bucket(t: pa.Table) -> pa.Table:
+        # NULL users keep their own partition like SQL PARTITION BY
+        # (bucket 0; the dropna=False groupbys below preserve the key)
         return t.append_column(
             "bucket",
-            pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()))
+            pc.cast(pc.fill_null(pc.bit_wise_and(t.column("user_id"),
+                                                 B - 1), 0), pa.int32()))
 
     def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"])
-        gap = g.groupby("user_id")["ts"].diff().dt.total_seconds().fillna(0.0)
-        sid = (gap > 1800).groupby(g["user_id"].to_numpy()).cumsum()
-        per = (g.assign(sid=sid).groupby(["user_id", "sid"])
+        g = g.sort_values(["user_id", "ts"], na_position="last")
+        gap = (g.groupby("user_id", dropna=False)["ts"].diff()
+               .dt.total_seconds().fillna(0.0))
+        sid = (gap > 1800).groupby(g["user_id"].to_numpy(),
+                                   dropna=False).cumsum()
+        per = (g.assign(sid=sid.to_numpy())
+                .groupby(["user_id", "sid"], dropna=False)
                 .size().rename("n").reset_index())
-        out = per.groupby("user_id")["n"].agg(
+        out = per.groupby("user_id", dropna=False)["n"].agg(
             n_sessions="size", n_events="sum", max_session_events="max"
         ).reset_index()
-        for c in ("user_id", "n_sessions", "n_events", "max_session_events"):
+        for c in ("n_sessions", "n_events", "max_session_events"):
             out[c] = out[c].astype("int64")
         return out
 
@@ -476,24 +499,10 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
         return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
 
     def quants(df: pd.DataFrame) -> pd.DataFrame:
-        # manual bracket interpolation in DuckDB's own op order
-        # (v0·(1−f) + v1·f, and v[i] EXACTLY when RN is integral) —
-        # np.percentile's lo+(hi−lo)·f turns a single-±inf group into
-        # inf−inf = NaN where SQL returns the element
         v = np.sort(df["value"].to_numpy())
-        n = len(v)
-        res = []
-        for q in (0.5, 0.95):
-            rn = (n - 1) * q
-            i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
-            if i0 == i1:
-                res.append(float(v[i0]))
-            else:
-                f = rn - i0
-                res.append(float(v[i0] * (1.0 - f) + v[i1] * f))
         return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
-                             "p50": [round(res[0], 4)],
-                             "p95": [round(res[1], 4)]})
+                             "p50": [round(_quantile_cont(v, 0.5), 4)],
+                             "p95": [round(_quantile_cont(v, 0.95), 4)]})
 
     out = (_null_safe_keys(ds.map_batches(drop_nan,
                                           batch_format="pyarrow"),
@@ -1032,8 +1041,10 @@ def q_event_funnel(sf_dir: str) -> pd.DataFrame:
         reached[reached.index.isin(t2.index)] = 2
         reached[reached.index.isin(t3.index)] = 3
         out = reached.reset_index()
+        # float64, not pandas Int64, when a NULL user exists: the
+        # oracle's nullable BIGINT lands in pandas as float64
         out["user_id"] = out["user_id"].astype(
-            "Int64" if out["user_id"].isna().any() else "int64")
+            "float64" if out["user_id"].isna().any() else "int64")
         return out
 
     from .pairs import hash_shuffle
@@ -1254,15 +1265,22 @@ def q_user_type_pivot(sf_dir: str) -> pd.DataFrame:
                           "event_type": pa.array([], pa.string()),
                           "n": pa.array([], pa.int64()),
                           "v": pa.array([], pa.float64()),
+                          "nv": pa.array([], pa.int64()),
                           "bucket": pa.array([], pa.int64())})
         if t.num_rows == 0 or "user_id" not in t.schema.names:
             return empty
         g = t.group_by(["user_id", "event_type"]).aggregate(
-            [([], "count_all"), ("value", "sum")])
+            [([], "count_all"), ("value", "sum"), ("value", "count")])
+        # v: NULL partial (all-NULL group) becomes 0 + nv=0 so the
+        # merge can SKIP it (SQL sum skips NULL) while a NaN partial
+        # stays NaN and PROPAGATES (SQL sum propagates NaN) — pandas
+        # cannot tell the two apart after to_pandas
         g = pa.table({"user_id": g.column("user_id"),
                       "event_type": g.column("event_type"),
                       "n": pc.cast(g.column("count_all"), pa.int64()),
-                      "v": pc.cast(g.column("value_sum"), pa.float64())})
+                      "v": pc.cast(pc.fill_null(g.column("value_sum"), 0.0),
+                                   pa.float64()),
+                      "nv": pc.cast(g.column("value_count"), pa.int64())})
         return g.append_column(
             "bucket",
             pc.cast(pc.bit_wise_and(pc.fill_null(g.column("user_id"), 0),
@@ -1285,7 +1303,10 @@ def q_user_type_pivot(sf_dir: str) -> pd.DataFrame:
         g = g.assign(c=code)
         by_user = (g.groupby("c")
                    .agg(n_total=("n", "sum"),
-                        sum_value=("v", lambda s: s.sum(min_count=1))))
+                        # np sum: NaN partials must PROPAGATE like SQL
+                        sum_value=("v", lambda s: s.to_numpy().sum()),
+                        nv=("nv", "sum")))
+        by_user.loc[by_user["nv"] == 0, "sum_value"] = np.nan
         wide = np.zeros((len(uniq), len(_PIVOT_TYPES)), dtype=np.int64)
         tcode = g["event_type"].map(
             {t: i for i, t in enumerate(_PIVOT_TYPES)})
@@ -1299,8 +1320,10 @@ def q_user_type_pivot(sf_dir: str) -> pd.DataFrame:
             range(len(uniq))).to_numpy().astype(np.int64)
         out["sum_value"] = round_away(by_user["sum_value"].reindex(
             range(len(uniq))).to_numpy(), 4)
+        # float64, not pandas Int64, when a NULL user exists: the
+        # oracle's nullable BIGINT lands in pandas as float64
         out["user_id"] = out["user_id"].astype(
-            "Int64" if out["user_id"].isna().any() else "int64")
+            "float64" if out["user_id"].isna().any() else "int64")
         return out[list(cols)]
 
     parts = [p for p in hash_shuffle(
@@ -1411,7 +1434,7 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
     accumulator at the rounding boundary."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
-    _MOMS = ("n", "sx", "sy", "sxx", "sxy", "syy",
+    _MOMS = ("n", "mx", "my", "mxx", "mxy", "myy",
              "xmin", "xmax", "ymin", "ymax")
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1426,25 +1449,32 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
             t = t.filter(keep)
         if t.num_rows == 0:
             return empty
+        # CENTERED second moments per group (Chan's parallel form),
+        # not raw Σx²: raw moments cancel catastrophically when |x|
+        # is far from the fixed center (a pre-1970 timestamp sits
+        # ~4.7e5 h out → var(x) of a seconds-apart cluster drowns in
+        # the 1e-16-relative noise of Σx²−(Σx)²/n, flipping slopes to
+        # ±inf where DuckDB's Welford accumulator stays finite)
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_pandas(),
             "x": (t.column("ts").to_numpy(zero_copy_only=False)
                   .astype(np.int64).astype(np.float64) / 1e6 - _REGR_X0)
                  / 3600.0,
             "y": t.column("value").to_numpy(zero_copy_only=False)})
-        df["xx"] = df["x"] * df["x"]
-        df["xy"] = df["x"] * df["y"]
-        df["yy"] = df["y"] * df["y"]
-        # min/max ride along so constant-x / constant-y groups are
-        # detected EXACTLY: naive vary can land tiny-positive for a
-        # constant y (syy/n − my² ≈ +9e-16), and DuckDB's Welford
-        # accumulator gives exactly 0 → regr_r2 = 1.0 there
-        g = df.groupby("event_type", dropna=False).agg(
-            n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
-            sxx=("xx", "sum"), sxy=("xy", "sum"), syy=("yy", "sum"),
-            xmin=("x", "min"), xmax=("x", "max"),
-            ymin=("y", "min"), ymax=("y", "max"))
-        g = g.reset_index()
+
+        def mom(g: pd.DataFrame) -> pd.Series:
+            x, y = g["x"].to_numpy(), g["y"].to_numpy()
+            mx, my = x.mean(), y.mean()
+            dx, dy = x - mx, y - my
+            return pd.Series({
+                "n": float(len(x)), "mx": mx, "my": my,
+                "mxx": float(dx @ dx), "mxy": float(dx @ dy),
+                "myy": float(dy @ dy),
+                "xmin": x.min(), "xmax": x.max(),
+                "ymin": y.min(), "ymax": y.max()})
+
+        g = (df.groupby("event_type", dropna=False)
+             .apply(mom, include_groups=False).reset_index())
         return pa.table({"event_type": pa.Array.from_pandas(
                              g["event_type"], type=pa.string()),
                          **{c: pa.array(g[c].to_numpy()
@@ -1459,16 +1489,35 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
             "r2": pd.Series(dtype="float64")}
     if parts.empty:
         return pd.DataFrame(cols)
-    m = parts.groupby("event_type", dropna=False, as_index=False).agg(
-        n=("n", "sum"), sx=("sx", "sum"), sy=("sy", "sum"),
-        sxx=("sxx", "sum"), sxy=("sxy", "sum"), syy=("syy", "sum"),
-        xmin=("xmin", "min"), xmax=("xmax", "max"),
-        ymin=("ymin", "min"), ymax=("ymax", "max"))
+    def chan_merge(g: pd.DataFrame) -> pd.Series:
+        n = mx = my = mxx = mxy = myy = 0.0
+        for r in g.itertuples(index=False):
+            nb = r.n
+            if n == 0.0:
+                n, mx, my = nb, r.mx, r.my
+                mxx, mxy, myy = r.mxx, r.mxy, r.myy
+                continue
+            tot = n + nb
+            dx, dy = r.mx - mx, r.my - my
+            w = n * nb / tot
+            mxx += r.mxx + dx * dx * w
+            mxy += r.mxy + dx * dy * w
+            myy += r.myy + dy * dy * w
+            mx += dx * nb / tot
+            my += dy * nb / tot
+            n = tot
+        return pd.Series({"n": n, "mx": mx, "my": my, "mxx": mxx,
+                          "mxy": mxy, "myy": myy,
+                          "xmin": g["xmin"].min(), "xmax": g["xmax"].max(),
+                          "ymin": g["ymin"].min(), "ymax": g["ymax"].max()})
+
+    m = (parts.groupby("event_type", dropna=False)
+         .apply(chan_merge, include_groups=False).reset_index())
     n = m["n"].to_numpy()
-    mx, my = m["sx"] / n, m["sy"] / n
-    cov = m["sxy"] / n - mx * my
-    varx = m["sxx"] / n - mx * mx
-    vary = m["syy"] / n - my * my
+    mx, my = m["mx"].to_numpy(), m["my"].to_numpy()
+    cov = m["mxy"].to_numpy() / n
+    varx = m["mxx"].to_numpy() / n
+    vary = m["myy"].to_numpy() / n
     varx_zero = (m["xmin"] == m["xmax"]).to_numpy()
     vary_zero = (m["ymin"] == m["ymax"]).to_numpy()
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -1515,9 +1564,10 @@ def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
                                  "med": pd.Series(dtype="float64"),
                                  "mad": pd.Series(dtype="float64"),
                                  "n_outliers": pd.Series(dtype="int64")})
-        med = float(np.percentile(v, 50.0, method="linear"))
+        med = _quantile_cont(np.sort(v), 0.5)
         ad = np.abs(v - med)
-        mad = float(np.percentile(ad, 50.0, method="linear"))
+        # NaN deviations (|inf − inf|) sort LAST like DuckDB's median
+        mad = _quantile_cont(np.sort(ad), 0.5)
         return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
                              "med": [float(round_away(med, 6))],
                              "mad": [float(round_away(mad, 6))],
