@@ -139,10 +139,27 @@ def _entities(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"),
                          columns=["doc_id", "text"])
-    out = ds.map_batches(EntityExtract, batch_format="pyarrow",
-                         batch_size=256, concurrency=2, num_cpus=0.5).to_pandas()
+    # Ray auto-casts uniform-length list columns to its tensor
+    # extension and HARD-ERRORS on a null entry (NULL text → NULL
+    # entity list); scope the opt-out to this execution
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    prev = ctx.enable_tensor_extension_casting
+    ctx.enable_tensor_extension_casting = False
+    try:
+        out = ds.map_batches(EntityExtract, batch_format="pyarrow",
+                             batch_size=256, concurrency=2,
+                             num_cpus=0.5).to_pandas()
+    finally:
+        ctx.enable_tensor_extension_casting = prev
     for col in ("emails", "urls", "dates", "people", "organizations", "locations"):
-        out["n_" + col] = out[col].map(len)
+        # NULL list (NULL text) → NULL count, float64 like the
+        # oracle's nullable BIGINT
+        out["n_" + col] = out[col].map(
+            lambda v: None if v is None else len(v))
+        out["n_" + col] = out["n_" + col].astype(
+            "float64" if out["n_" + col].isna().any() else "int64")
     return out[["doc_id", "n_emails", "n_urls", "n_dates", "n_people",
                 "n_organizations", "n_locations"]].sort_values(
         "doc_id"
@@ -632,7 +649,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q58_shard_pack": r"""
             WITH t AS (SELECT doc_id,
-                              len(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens
+                              coalesce(len(regexp_extract_all(text, '\w+')), 0)::BIGINT AS n_tokens
                        FROM documents),
             r AS (SELECT doc_id, n_tokens,
                          row_number() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS idx
@@ -644,7 +661,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q60_token_offsets": r"""
             WITH t AS (SELECT doc_id,
-                              len(regexp_extract_all(text, '\w+'))::BIGINT AS n_tokens
+                              coalesce(len(regexp_extract_all(text, '\w+')), 0)::BIGINT AS n_tokens
                        FROM documents)
             SELECT doc_id, n_tokens,
                    coalesce(sum(n_tokens) OVER (ORDER BY doc_id
@@ -1274,11 +1291,17 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "q24_knn_bruteforce": """
-            WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+            -- NULL vectors drop on both sides; the filter lives in a
+            -- MATERIALIZED CTE — inlined, the optimizer reorders and
+            -- evaluates list_cosine_similarity on the NULL row first
+            WITH e2 AS MATERIALIZED (SELECT vec_id, embedding
+                        FROM embeddings
+                        WHERE embedding IS NOT NULL),
+            q AS (SELECT vec_id AS qid, embedding AS qe FROM e2
                        WHERE vec_id IN (0, 1, 2, 3)),
             s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
                          list_cosine_similarity(e.embedding, q.qe) AS sim
-                  FROM embeddings e, q WHERE e.vec_id <> q.qid)
+                  FROM e2 e, q WHERE e.vec_id <> q.qid)
             SELECT query_id, rank, neighbor_id FROM (
                 SELECT query_id, neighbor_id,
                        row_number() OVER (PARTITION BY query_id

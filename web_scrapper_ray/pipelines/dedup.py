@@ -100,20 +100,26 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
 
     ds = _docs(sf_dir, ["doc_id", "text"])
 
+    from .relational import _null_safe_keys, _restore_null_keys
+
     def add_hash(batch: pa.Table) -> pa.Table:
-        # NULL text hashes like "" (non-crashing; Ray groupby null keys
-        # are avoided — a NULL-text corpus diverges from md5(NULL)=NULL)
-        hs = [hashlib.md5((t or "").encode()).hexdigest()
+        # NULL text keeps SQL's md5(NULL) = NULL — its own group,
+        # distinct from md5('') (rides the sentinel through groupby)
+        hs = [None if t is None else hashlib.md5(t.encode()).hexdigest()
               for t in batch.column("text").to_pylist()]
-        return pa.table({"content_hash": pa.array(hs), "doc_id": batch.column("doc_id")})
+        return pa.table({"content_hash": pa.array(hs, pa.string()),
+                         "doc_id": batch.column("doc_id")})
 
     out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
+        _null_safe_keys(ds.map_batches(add_hash, batch_format="pyarrow"),
+                        ["content_hash"])
         .groupby("content_hash")
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs"))
         .to_pandas()
     )
-    return out.sort_values("content_hash").reset_index(drop=True)
+    out = _restore_null_keys(out, ["content_hash"])
+    return out.sort_values("content_hash",
+                           na_position="last").reset_index(drop=True)
 
 
 def q_minhash_lsh_pairs(sf_dir: str, jaccard_threshold: float = 0.5,
@@ -469,9 +475,13 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     P = 64
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        hs = [hashlib.md5((t or "").encode()).hexdigest()
+        # NULL text = SQL md5(NULL) = NULL: its own dedup group (a
+        # fixed sentinel string key distinct from every real md5 hex)
+        hs = ["\x00<null>" if t is None
+              else hashlib.md5(t.encode()).hexdigest()
               for t in batch.column("text").to_pylist()]
-        buckets = pa.array([int(h[:8], 16) % P for h in hs], pa.int32())
+        buckets = pa.array([0 if h == "\x00<null>" else int(h[:8], 16) % P
+                            for h in hs], pa.int32())
         return (batch.append_column("content_hash", pa.array(hs))
                      .append_column("bucket", buckets))
 

@@ -45,10 +45,16 @@ _DIM_CACHE: dict = {}
 
 
 def _emb(sf_dir: str):
+    """Embedding table with NULL vectors dropped AT THE READ (pushdown
+    filter — no extra map stage, so no schema-less empty blocks for
+    downstream ``to_arrow_refs`` consumers): every SQL twin unnests the
+    list column, which drops NULLs, and a NULL entry trips Ray's
+    tensor-extension cast in any downstream to_pandas/sample."""
     import ray.data as rd
 
     return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"),
-                           columns=["vec_id", "embedding"])
+                           columns=["vec_id", "embedding"],
+                           filter=pads.field("embedding").is_valid())
 
 
 _EMPTY_TOPK = pa.table({"query_id": pa.array([], pa.int64()),

@@ -172,9 +172,15 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
             "is_good": pa.array(good, pa.bool_()),
         })
 
-    return ds.map_batches(score, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id"
-    ).reset_index(drop=True)
+    out = ds.map_batches(score, batch_format="pyarrow").to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # NULL booleans: Arrow→pandas hands None, DuckDB→pandas hands
+    # np.nan inside the object column — normalize to the oracle's
+    # representation so the value-hash agrees
+    if out["is_good"].isna().any():
+        out["is_good"] = out["is_good"].astype(object).where(
+            out["is_good"].notna(), np.nan)
+    return out
 
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
@@ -316,7 +322,10 @@ def q_doc_chunks(sf_dir: str, chunk_tokens: int = 32) -> pd.DataFrame:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def chunks(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch.column("text"), r"\w+") \
+        # fill_null: a NULL text yields zero chunks, exactly like the
+        # oracle's range(NULL) unnesting to no rows
+        n = pc.fill_null(pc.count_substring_regex(batch.column("text"),
+                                                  r"\w+"), 0) \
             .to_numpy(zero_copy_only=False).astype(np.int64)
         ids = batch.column("doc_id").to_numpy(
             zero_copy_only=False).astype(np.int64)
@@ -490,7 +499,9 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
     P = 32
 
     def counts(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch.column("text"), r"\w+")
+        # NULL text packs as a zero-token doc (oracle: coalesce(..,0))
+        n = pc.fill_null(pc.count_substring_regex(batch.column("text"),
+                                                  r"\w+"), 0)
         return pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
                          "n_tokens": pc.cast(n, pa.int64())})
 
@@ -580,7 +591,9 @@ def q_token_offsets(sf_dir: str, block_tokens: int = 256) -> pd.DataFrame:
         max_id = int(_docs(sf_dir, ["doc_id"]).max("doc_id"))
 
     def counts(batch: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(batch.column("text"), r"\w+")
+        # NULL text is a zero-token doc (oracle: coalesce(..,0))
+        n = pc.fill_null(pc.count_substring_regex(batch.column("text"),
+                                                  r"\w+"), 0)
         t = pa.table({"doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
                       "n_tokens": pc.cast(n, pa.int64())})
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)

@@ -34,19 +34,23 @@ class EntityExtract:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column(batch.column_names[0])
         texts = batch.column("text").to_pylist()
-        ents = [extract_entities(t) for t in texts]
+        # NULL text → NULL entity lists (SQL regexp_extract_all(NULL)
+        # is NULL), not empty lists — downstream counts stay NULL
+        ents = [None if t is None else extract_entities(t)
+                for t in texts]
+
+        def col(key):
+            return pa.array([None if e is None else e.get(key, [])
+                             for e in ents], pa.list_(pa.string()))
+
         return pa.table(
             {
                 batch.column_names[0]: ids,
-                "emails": pa.array([e.get("emails", []) for e in ents], pa.list_(pa.string())),
-                "urls": pa.array([e.get("urls", []) for e in ents], pa.list_(pa.string())),
-                "dates": pa.array([e.get("dates", []) for e in ents], pa.list_(pa.string())),
-                "people": pa.array([e.get("people", []) for e in ents], pa.list_(pa.string())),
-                "organizations": pa.array(
-                    [e.get("organizations", []) for e in ents], pa.list_(pa.string())
-                ),
-                "locations": pa.array(
-                    [e.get("locations", []) for e in ents], pa.list_(pa.string())
-                ),
+                "emails": col("emails"),
+                "urls": col("urls"),
+                "dates": col("dates"),
+                "people": col("people"),
+                "organizations": col("organizations"),
+                "locations": col("locations"),
             }
         )
