@@ -222,6 +222,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q50_orders_events_range_join": relational.q_orders_events_range_join,
         "q46_custkeys_intersect": relational.q_custkeys_intersect,
         "q47_custkeys_except": relational.q_custkeys_except,
+        "q114_custkeys_union": relational.q_custkeys_union,
         "q61_top_percentile": relational.q_top_percentile_events,
         "q74_event_funnel": relational.q_event_funnel,
         "q76_event_anomaly": relational.q_event_anomaly,
@@ -244,6 +245,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q104_parts_never_heavy": relational.q_parts_never_heavy,
         "q105_fuzzy_name_join": relational.q_fuzzy_name_join,
         "q107_brand_name_concat": relational.q_brand_name_concat,
+        "q109_customer_orders_full_join": relational.q_customer_orders_full_join,
+        "q110_argmax_event": relational.q_argmax_event,
+        "q111_value_histogram": relational.q_value_histogram,
+        "q112_hourly_gapfill": relational.q_hourly_gapfill,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -256,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q16_lang_id": textops.q_lang_id,
         "q17_json_valid": textops.q_json_valid,
         "q18_phone_digits": textops.q_phone_digits,
+        "q113_json_field": textops.q_json_field,
         "q19_entities": _entities,
         "q39_bpe_token_count": textops.q_bpe_token_count,
         "q54_doc_chunks": textops.q_doc_chunks,
@@ -1191,6 +1197,57 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT p_name)::BIGINT AS n_names
             FROM part WHERE p_brand IS NOT NULL AND p_name IS NOT NULL
             GROUP BY 1 ORDER BY 1
+        """,
+        "q114_custkeys_union": """
+            SELECT o_custkey AS custkey FROM orders
+            UNION
+            SELECT c_custkey FROM customer
+            ORDER BY custkey
+        """,
+        "q113_json_field": """
+            SELECT event_id,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS k
+            FROM events ORDER BY event_id
+        """,
+        "q109_customer_orders_full_join": """
+            WITH o AS (SELECT o_custkey, count(*)::BIGINT AS n_orders,
+                              round(sum(o_totalprice), 4) AS total_price
+                       FROM orders GROUP BY o_custkey)
+            SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+                   c.c_mktsegment, o.n_orders, o.total_price
+            FROM customer c FULL JOIN o ON c.c_custkey = o.o_custkey
+            ORDER BY custkey, c_mktsegment, n_orders
+        """,
+        "q110_argmax_event": """
+            WITH mx AS (SELECT event_type, max(value) AS vmax
+                        FROM events GROUP BY event_type)
+            SELECT mx.event_type, mx.vmax, min(e.event_id) AS argmax_id
+            FROM events e
+            JOIN mx ON e.event_type IS NOT DISTINCT FROM mx.event_type
+            WHERE e.value IS NOT DISTINCT FROM mx.vmax
+            GROUP BY mx.event_type, mx.vmax
+            ORDER BY mx.event_type
+        """,
+        "q111_value_histogram": """
+            SELECT CASE WHEN value < 0 THEN -1
+                        WHEN value >= 10 THEN 20
+                        ELSE CAST(floor(value / 0.5) AS BIGINT) END AS bin,
+                   count(*) AS n
+            FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+            GROUP BY bin ORDER BY bin
+        """,
+        "q112_hourly_gapfill": """
+            WITH b AS (SELECT date_trunc('hour', ts) AS h, count(*) AS n,
+                              sum(value) AS s
+                       FROM events WHERE ts IS NOT NULL GROUP BY 1),
+            s AS (SELECT unnest(generate_series((SELECT min(h) FROM b),
+                                                (SELECT max(h) FROM b),
+                                                INTERVAL 1 HOUR)) AS h)
+            SELECT CAST(epoch(s.h) AS BIGINT) AS hour_start,
+                   coalesce(b.n, 0)::BIGINT AS n_events,
+                   round(b.s, 4) AS sum_value
+            FROM s LEFT JOIN b USING (h) ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -61,6 +61,45 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
                   None, "", " ", "x", "y", "z"],
     })
 
+    # q92's zero-valid-pair class: a type whose every row has a NULL in
+    # the (ts, value) pair — GROUP BY still emits it (regr_count=0,
+    # NULL slope/icept/r2); engines that pre-filter drop the group
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": [900101, 900102, 900103],
+        "ts": [None, ts(10), None],
+        "user_id": [12, 12, 13],
+        "event_type": ["fz_allnull"] * 3,
+        "value": [1.0, None, None],
+    })
+
+    # split-batch all-NULL window slice (q04's class): a >1024-row run
+    # of NULL values in ONE (type, hour) group guarantees a Ray batch
+    # boundary strictly inside the run, so one Arrow partial sees an
+    # all-NULL slice (partial sum NULL) while a later batch holds the
+    # real values — a NaN-carrying combine poisons the SQL sum of 6.0
+    nsplit = 1030
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": list(range(901000, 901000 + nsplit + 3)),
+        "ts": [ts(720000 + i % 3000) for i in range(nsplit)]
+              + [ts(720001), ts(720002), ts(720003)],
+        "user_id": [None] * nsplit + [14, 14, 14],
+        "event_type": ["fz_split"] * (nsplit + 3),
+        "value": [None] * nsplit + [1.0, 2.0, 3.0],
+    })
+
+    # keyed-ASOF NULL-time classes (probed DuckDB semantics): NULL ts
+    # on either side acts as +infinity — a NULL event ts matches the
+    # partition max (a NULL-date order when one exists → NULL output;
+    # still a row when ALL the user's orders are NULL-dated), while a
+    # real event ts never matches a NULL-date order
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": [900201, 900202, 900203, 900204, 900205],
+        "ts": [None, ts(50), ts(60), None, None],
+        "user_id": [900011, 900011, 900012, 900012, 900013],
+        "event_type": ["fz_asof"] * 5,
+        "value": [1.0] * 5,
+    })
+
     # lineitem: off-grid half quantities (q96's class), NULL flags,
     # NaN price/discount, pre-1970 shipdate
     tabs["lineitem"] = _rows(tabs["lineitem"], {
@@ -98,11 +137,11 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
     # customer/orders: NULL keys (join classes), NaN balances,
     # duplicate customer rows, an order pointing at a missing customer
     tabs["customer"] = _rows(tabs["customer"], {
-        "c_custkey": [900001, 900001, 900002, 900003],
-        "c_name": ["fz dup", "fz dup", None, "ünïcodé"],
-        "c_nationkey": [0, 0, None, 1],
-        "c_acctbal": [None, 0.5, None, float("-inf")],
-        "c_mktsegment": ["FZ", "FZ", None, ""],
+        "c_custkey": [900001, 900001, 900002, 900003, None],
+        "c_name": ["fz dup", "fz dup", None, "ünïcodé", "fz nullkey"],
+        "c_nationkey": [0, 0, None, 1, 0],
+        "c_acctbal": [None, 0.5, None, float("-inf"), 1.0],
+        "c_mktsegment": ["FZ", "FZ", None, "", "FZN"],
     })
     tabs["orders"] = _rows(tabs["orders"], {
         "o_orderkey": [900001, 900002, 900003],
@@ -111,6 +150,16 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "o_totalprice": [0.25, None, 150.0],
         "o_orderdate": [ts(-1), ts(0), None],
         "o_orderpriority": ["1-URGENT", None, ""],
+    })
+    # ASOF right-side classes: user 900011 mixed real+NULL dates, 900012 only a
+    # NULL date, 900013 only real dates (paired with the fz_asof events)
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [900011, 900012, 900013, 900014, 900015],
+        "o_custkey": [900011, 900011, 900012, 900013, 900013],
+        "o_orderstatus": ["O"] * 5,
+        "o_totalprice": [1.0] * 5,
+        "o_orderdate": [ts(10), None, None, ts(10), ts(20)],
+        "o_orderpriority": ["1-URGENT"] * 5,
     })
 
     # documents: NULL/empty/unicode/whitespace text, NULL lang/source,

@@ -475,12 +475,13 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     P = 64
 
     def add_hash(batch: pa.Table) -> pa.Table:
-        # NULL text = SQL md5(NULL) = NULL: its own dedup group (a
-        # fixed sentinel string key distinct from every real md5 hex)
-        hs = ["\x00<null>" if t is None
+        # NULL text = SQL md5(NULL) = NULL: its own dedup group, keyed
+        # by the shared NULL sentinel (distinct from every real md5 hex)
+        from .relational import _NULL_KEY
+        hs = [_NULL_KEY if t is None
               else hashlib.md5(t.encode()).hexdigest()
               for t in batch.column("text").to_pylist()]
-        buckets = pa.array([0 if h == "\x00<null>" else int(h[:8], 16) % P
+        buckets = pa.array([0 if h == _NULL_KEY else int(h[:8], 16) % P
                             for h in hs], pa.int32())
         return (batch.append_column("content_hash", pa.array(hs))
                      .append_column("bucket", buckets))

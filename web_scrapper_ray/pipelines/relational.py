@@ -34,6 +34,22 @@ def _read(sf_dir: str, table: str, columns=None):
 # restore after collection. \x00 prefix: sorts first, never in data.
 _NULL_KEY = "\x00<null>"
 
+# int-key twin of _NULL_KEY for the raw-task set-op exchange (real keys
+# are non-negative; INT64_MIN can't collide)
+_NULL_INT = np.int64(np.iinfo(np.int64).min)
+
+
+def _restore_null_int(df: pd.DataFrame, col: str) -> pd.DataFrame:
+    """Map the int NULL sentinel back to NaN; dtype goes float64 only
+    when a NULL is actually present (DuckDB→pandas nullable-BIGINT
+    parity)."""
+    if (df[col] == _NULL_INT).any():
+        out = df[col].astype("float64")
+        out[df[col] == _NULL_INT] = np.nan
+        df = df.copy()
+        df[col] = out
+    return df
+
 
 def _quantile_cont(v: np.ndarray, q: float) -> float:
     """DuckDB ``quantile_cont`` over a SORTED array: v[i] EXACTLY when
@@ -133,7 +149,12 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
     from ray.data.aggregate import Count, Sum
 
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    cust_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_name"])))
+    # a NULL c_custkey never matches any order (SQL join NULL ≠ NULL);
+    # keeping it would also poison the isin→astype(int64) below, since
+    # pandas isin DOES match NaN against a NaN dict key
+    cust = cust.dropna(subset=["c_custkey"])
+    cust_ref = ray.put(dict(zip(cust["c_custkey"].astype("int64"),
+                                cust["c_name"])))
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     agg = orders.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="revenue"),
@@ -183,7 +204,8 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     _E = pa.table({"event_type": pa.array([], pa.string()),
                    "window_start": pa.array([], pa.int64()),
                    "n": pa.array([], pa.int64()),
-                   "s": pa.array([], pa.float64())})
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64())})
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0 or "ts" not in batch.schema.names:
@@ -192,11 +214,16 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
                       "window_start": _hour_start(batch.column("ts")),
                       "value": batch.column("value")})
         g = t.group_by(["event_type", "window_start"]).aggregate(
-            [("value", "sum"), ([], "count_all")])
+            [("value", "sum"), ("value", "count"), ([], "count_all")])
+        # sum-as-0 + valid-count carry (CLAUDE.md): an all-NULL slice of a
+        # group must not poison the combine with NaN; NaN data still
+        # propagates through fill_null(sum) like SQL.
         return pa.table({"event_type": g.column("event_type"),
                          "window_start": g.column("window_start"),
                          "n": pc.cast(g.column("count_all"), pa.int64()),
-                         "s": pc.cast(g.column("value_sum"), pa.float64())})
+                         "s": pc.cast(pc.fill_null(g.column("value_sum"),
+                                                   0.0), pa.float64()),
+                         "nv": pc.cast(g.column("value_count"), pa.int64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
@@ -208,7 +235,10 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
                          as_index=False)
            .agg(n_events=("n", "sum"),
                 # np sum, not pandas: partial sums must PROPAGATE NaN
-                sum_value=("s", lambda s: s.to_numpy().sum())))
+                sum_value=("s", lambda s: s.to_numpy().sum()),
+                nv=("nv", "sum")))
+    out.loc[out["nv"] == 0, "sum_value"] = np.nan  # all-NULL group: SQL NULL
+    out = out.drop(columns=["nv"])
     out["sum_value"] = out["sum_value"].round(4)
     # pandas renders NULL keys as NaN; restore None for the string key
     out["event_type"] = out["event_type"].astype(object).where(
@@ -610,7 +640,11 @@ def _set_op_membership(sf_dir: str) -> pd.DataFrame:
         if block.num_rows == 0:  # empty block → possibly empty schema
             keys = np.empty(0, dtype=np.int64)
         else:
-            keys = pc.unique(block.column(col)).to_numpy(
+            # NULL keys ride as an explicit int sentinel (SQL set ops
+            # compare IS NOT DISTINCT: NULLs on both sides DO meet) —
+            # consumers restore it to NaN on output
+            keys = pc.unique(pc.fill_null(block.column(col),
+                                          _NULL_INT)).to_numpy(
                 zero_copy_only=False).astype(np.int64)
         n = len(keys)
         return pa.table({
@@ -645,14 +679,30 @@ def q_custkeys_intersect(sf_dir: str) -> pd.DataFrame:
     """INTERSECT: customer keys present in BOTH orders and customer."""
     m = _set_op_membership(sf_dir)
     out = m[(m["in_o"] == 1) & (m["in_c"] == 1)][["custkey"]]
-    return out.sort_values("custkey").reset_index(drop=True)
+    out = _restore_null_int(out, "custkey")
+    return out.sort_values("custkey", na_position="last") \
+        .reset_index(drop=True)
 
 
 def q_custkeys_except(sf_dir: str) -> pd.DataFrame:
     """EXCEPT: customers with no orders (distinct left anti-join)."""
     m = _set_op_membership(sf_dir)
     out = m[(m["in_c"] == 1) & (m["in_o"] == 0)][["custkey"]]
-    return out.sort_values("custkey").reset_index(drop=True)
+    out = _restore_null_int(out, "custkey")
+    return out.sort_values("custkey", na_position="last") \
+        .reset_index(drop=True)
+
+
+def q_custkeys_union(sf_dir: str) -> pd.DataFrame:
+    """UNION (distinct): keys present in EITHER orders or customer —
+    completes the set-op family over the same one-exchange membership
+    scan (q46 intersect, q47 except). SQL set ops compare IS NOT
+    DISTINCT, so a NULL key on either side contributes ONE NULL row."""
+    m = _set_op_membership(sf_dir)
+    out = m[(m["in_o"] == 1) | (m["in_c"] == 1)][["custkey"]]
+    out = _restore_null_int(out, "custkey")
+    return out.sort_values("custkey", na_position="last") \
+        .reset_index(drop=True)
 
 
 def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
@@ -670,36 +720,40 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
     od = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
 
+    _TMAX = pa.scalar(pd.Timestamp.max.to_pydatetime(), pa.timestamp("us"))
+
     def tag_ev(t: pa.Table) -> pa.Table:
         # NULL keys never match (drop — merge_asof also rejects null
-        # merge keys), but a NULL event TIME matches the user's LATEST
-        # order in DuckDB's keyed ASOF (probed: NULLs sort last within
-        # the partition and compare ≥ everything) — substitute +max so
-        # merge_asof reproduces that
+        # merge keys). NULL TIMES on BOTH sides behave as +infinity in
+        # DuckDB's keyed ASOF (probed 2026-08-18): a NULL event ts
+        # matches the partition MAX — which is a NULL-date order when
+        # one exists (output date NULL) — while a real event ts never
+        # matches a NULL-date order. Substitute +max and carry a
+        # null-flag so merge_asof reproduces all four cases.
         keep = pc.is_valid(t.column("user_id"))
         if not pc.all(keep).as_py():
             t = t.filter(keep)
-        tcol = pc.fill_null(t.column("ts"),
-                            pa.scalar(pd.Timestamp.max.to_pydatetime(),
-                                      pa.timestamp("us")))
+        tcol = pc.fill_null(t.column("ts"), _TMAX)
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()),
             "side": pa.array(["E"] * t.num_rows),
             "key": t.column("user_id"),
             "t": tcol,
+            "t_null": pa.array([False] * t.num_rows),
             "event_id": t.column("event_id"),
         })
 
     def tag_od(t: pa.Table) -> pa.Table:
-        keep = pc.and_(pc.is_valid(t.column("o_custkey")),
-                       pc.is_valid(t.column("o_orderdate")))
+        keep = pc.is_valid(t.column("o_custkey"))
         if not pc.all(keep).as_py():
             t = t.filter(keep)
+        od_col = t.column("o_orderdate")
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(t.column("o_custkey"), B - 1), pa.int32()),
             "side": pa.array(["O"] * t.num_rows),
             "key": t.column("o_custkey"),
-            "t": t.column("o_orderdate"),
+            "t": pc.fill_null(od_col, _TMAX),
+            "t_null": pc.is_null(od_col),
             "event_id": pa.array([-1] * t.num_rows, pa.int64()),
         })
 
@@ -709,23 +763,33 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
 
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
         left = g[g["side"] == "E"][["key", "t", "event_id"]].sort_values("t")
-        right = (g[g["side"] == "O"][["key", "t"]]
-                 .rename(columns={"t": "order_t"}).sort_values("order_t"))
+        # ties at +max: the NULL-substitute sorts LAST so merge_asof's
+        # last-tied-row pick mirrors DuckDB's NULLS-LAST partition max
+        right = (g[g["side"] == "O"][["key", "t", "t_null"]]
+                 .rename(columns={"t": "order_t"})
+                 .sort_values(["order_t", "t_null"]))
         if left.empty or right.empty:
             return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                                  "user_id": pd.Series(dtype="int64"),
-                                 "last_order_ts": pd.Series(dtype="int64")})
+                                 "last_order_ts": pd.Series(dtype="float64")})
         m = pd.merge_asof(left, right, left_on="t", right_on="order_t",
                           by="key", direction="backward")
         m = m.dropna(subset=["order_t"])  # ASOF JOIN is inner
+        ts = m["order_t"].astype("datetime64[s]").astype("int64").astype("float64")
+        ts[m["t_null"].astype(bool)] = np.nan  # matched a NULL-date order
         return pd.DataFrame({
             "event_id": m["event_id"].astype("int64"),
             "user_id": m["key"].astype("int64"),
-            "last_order_ts": m["order_t"].astype("datetime64[s]").astype("int64"),
+            "last_order_ts": ts,
         })
 
     out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas").to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    out = out.sort_values("event_id").reset_index(drop=True)
+    if out["last_order_ts"].notna().all():
+        # dtype parity: DuckDB epoch()::BIGINT arrives int64 when
+        # NULL-free, float64 (NaN) otherwise
+        out["last_order_ts"] = out["last_order_ts"].astype("int64")
+    return out
 
 
 def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
@@ -1443,12 +1507,11 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
                              for c in _MOMS}})
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return empty
-        keep = pc.and_(pc.is_valid(t.column("ts")),
-                       pc.is_valid(t.column("value")))
-        if not pc.all(keep).as_py():
-            t = t.filter(keep)
-        if t.num_rows == 0:
-            return empty
+        # rows with a NULL in the (ts, value) pair don't feed the
+        # moments, but their TYPE must still surface: SQL's GROUP BY
+        # has no WHERE, so an all-NULL type emits (type, n=0, NULL…)
+        ok = pc.and_(pc.is_valid(t.column("ts")),
+                     pc.is_valid(t.column("value")))
         # CENTERED second moments per group (Chan's parallel form),
         # not raw Σx²: raw moments cancel catastrophically when |x|
         # is far from the fixed center (a pre-1970 timestamp sits
@@ -1457,12 +1520,21 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
         # ±inf where DuckDB's Welford accumulator stays finite)
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_pandas(),
+            # NaT/NaN land in x/y for the not-ok rows; they're masked
+            # out before any arithmetic below
             "x": (t.column("ts").to_numpy(zero_copy_only=False)
                   .astype(np.int64).astype(np.float64) / 1e6 - _REGR_X0)
                  / 3600.0,
-            "y": t.column("value").to_numpy(zero_copy_only=False)})
+            "y": t.column("value").to_numpy(zero_copy_only=False),
+            "ok": ok.to_numpy(zero_copy_only=False)})
 
         def mom(g: pd.DataFrame) -> pd.Series:
+            g = g[g["ok"]]
+            if not len(g):
+                return pd.Series({"n": 0.0, "mx": 0.0, "my": 0.0,
+                                  "mxx": 0.0, "mxy": 0.0, "myy": 0.0,
+                                  "xmin": np.nan, "xmax": np.nan,
+                                  "ymin": np.nan, "ymax": np.nan})
             x, y = g["x"].to_numpy(), g["y"].to_numpy()
             mx, my = x.mean(), y.mean()
             dx, dy = x - mx, y - my
@@ -1493,6 +1565,8 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
         n = mx = my = mxx = mxy = myy = 0.0
         for r in g.itertuples(index=False):
             nb = r.n
+            if nb == 0.0:  # zero-valid-pair partial: type marker only
+                continue
             if n == 0.0:
                 n, mx, my = nb, r.mx, r.my
                 mxx, mxy, myy = r.mxx, r.mxy, r.myy
@@ -1515,9 +1589,10 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
          .apply(chan_merge, include_groups=False).reset_index())
     n = m["n"].to_numpy()
     mx, my = m["mx"].to_numpy(), m["my"].to_numpy()
-    cov = m["mxy"].to_numpy() / n
-    varx = m["mxx"].to_numpy() / n
-    vary = m["myy"].to_numpy() / n
+    with np.errstate(invalid="ignore", divide="ignore"):
+        cov = m["mxy"].to_numpy() / n      # n=0 group → NaN → NULL row
+        varx = m["mxx"].to_numpy() / n
+        vary = m["myy"].to_numpy() / n
     varx_zero = (m["xmin"] == m["xmax"]).to_numpy()
     vary_zero = (m["ymin"] == m["ymax"]).to_numpy()
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -2754,3 +2829,293 @@ def q_brand_name_concat(sf_dir: str) -> pd.DataFrame:
                              "names": pd.Series(dtype="object"),
                              "n_names": pd.Series(dtype="int64")})
     return out.sort_values("p_brand").reset_index(drop=True)
+
+
+def q_customer_orders_full_join(sf_dir: str) -> pd.DataFrame:
+    """FULL OUTER join of the customer dimension against a per-custkey
+    order aggregate — completes the outer-join family (q103 left, q104
+    anti). One raw-task hash exchange carries customer rows and
+    per-batch order PARTIALS (custkey, n, sum-as-0, valid-count — rows
+    = custkeys × batches, never orders); each bucket finalizes its
+    aggregate and outer-merges locally. SQL join-NULL semantics: a NULL
+    o_custkey GROUP survives the aggregate but matches no customer (one
+    unmatched row), so NULL-key rows bypass the pandas merge (pandas
+    treats NaN merge keys as EQUAL — they must not match). Output
+    dtypes are data-dependent like DuckDB→pandas: key/count columns
+    arrive int64 when NULL-free, float64 otherwise."""
+    P = 32
+    _EC = pa.table({"custkey": pa.array([], pa.int64()),
+                    "seg": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int32()),
+                    "knull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def _bucketize(keys_np: np.ndarray, knull: np.ndarray) -> pa.Array:
+        b = (mix64(np.where(knull, 0, keys_np).astype(np.int64)
+                   .view(np.uint64)) % np.uint64(P)).astype(np.int64)
+        return pa.array(np.where(knull, 0, b))
+
+    def split_cust(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "c_custkey" not in block.schema.names:
+            return _EC
+        k = block.column("c_custkey")
+        knull = pc.is_null(k).to_numpy(zero_copy_only=False)
+        kf = pc.fill_null(k, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = block.num_rows
+        return pa.table({
+            "custkey": pa.array(kf),
+            "seg": block.column("c_mktsegment"),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "s": pa.array(np.zeros(n, np.float64)),
+            "nv": pa.array(np.zeros(n, np.int64)),
+            "side": pa.array(np.full(n, 0, np.int32)),
+            "knull": pa.array(knull),
+            "bucket": _bucketize(kf, knull)})
+
+    def split_ord(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "o_custkey" not in block.schema.names:
+            return _EC
+        t = pa.table({"k": pc.fill_null(block.column("o_custkey"), -1),
+                      "knull": pc.is_null(block.column("o_custkey")),
+                      "v": block.column("o_totalprice")})
+        g = t.group_by(["k", "knull"]).aggregate(
+            [("v", "sum"), ("v", "count"), ([], "count_all")])
+        kf = g.column("k").to_numpy(zero_copy_only=False).astype(np.int64)
+        knull = g.column("knull").to_numpy(zero_copy_only=False)
+        kf = np.where(knull, 0, kf)
+        nr = len(kf)
+        return pa.table({
+            "custkey": pa.array(kf),
+            "seg": pa.array([None] * nr, pa.string()),
+            "n": pc.cast(g.column("count_all"), pa.int64()),
+            "s": pc.cast(pc.fill_null(g.column("v_sum"), 0.0), pa.float64()),
+            "nv": pc.cast(g.column("v_count"), pa.int64()),
+            "side": pa.array(np.full(nr, 1, np.int32)),
+            "knull": pa.array(knull),
+            "bucket": _bucketize(kf, knull)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        empty = pd.DataFrame({"custkey": pd.Series(dtype="float64"),
+                              "c_mktsegment": pd.Series(dtype="object"),
+                              "n_orders": pd.Series(dtype="float64"),
+                              "total_price": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        cust = df[df["side"] == 0]
+        oagg = (df[df["side"] == 1]
+                .groupby(["custkey", "knull"], as_index=False)
+                .agg(n=("n", "sum"),
+                     s=("s", lambda x: x.to_numpy().sum()),  # NaN propagates
+                     nv=("nv", "sum")))
+        oagg["total_price"] = np.where(oagg["nv"] == 0, np.nan, oagg["s"])
+        oagg = oagg.rename(columns={"n": "n_orders"})[
+            ["custkey", "knull", "n_orders", "total_price"]]
+        parts = []
+        m = cust[~cust["knull"]][["custkey", "seg"]].merge(
+            oagg[~oagg["knull"]].drop(columns=["knull"]),
+            on="custkey", how="outer")
+        parts.append(m)
+        for c_null in (cust[cust["knull"]],):
+            if len(c_null):
+                parts.append(pd.DataFrame({
+                    "custkey": np.nan, "seg": c_null["seg"].to_numpy(),
+                    "n_orders": np.nan, "total_price": np.nan}))
+        o_null = oagg[oagg["knull"]]
+        if len(o_null):
+            parts.append(pd.DataFrame({
+                "custkey": np.nan, "seg": None,
+                "n_orders": o_null["n_orders"].to_numpy().astype(np.float64),
+                "total_price": o_null["total_price"].to_numpy()}))
+        out = pd.concat(parts, ignore_index=True)
+        out["custkey"] = out["custkey"].astype("float64")
+        out["n_orders"] = out["n_orders"].astype("float64")
+        out["total_price"] = round_away(
+            out["total_price"].to_numpy().astype(np.float64), 4)
+        return pd.DataFrame({"custkey": out["custkey"],
+                             "c_mktsegment": out["seg"].astype(object),
+                             "n_orders": out["n_orders"],
+                             "total_price": out["total_price"]})
+
+    inputs = [(r, ()) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).to_arrow_refs()]
+    n_cust_blocks = len(inputs)
+    inputs += [(r, ()) for r in _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).to_arrow_refs()]
+
+    def split(block: pa.Table, is_cust: bool) -> pa.Table:
+        return split_cust(block) if is_cust else split_ord(block)
+
+    tagged = [(ref, (i < n_cust_blocks,)) for i, (ref, _) in enumerate(inputs)]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"custkey": pd.Series(dtype="int64"),
+                             "c_mktsegment": pd.Series(dtype="object"),
+                             "n_orders": pd.Series(dtype="float64"),
+                             "total_price": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    out["c_mktsegment"] = out["c_mktsegment"].astype(object).where(
+        out["c_mktsegment"].notna(), None)
+    # DuckDB→pandas dtype parity: nullable BIGINT arrives float64 only
+    # when a NULL is actually present
+    for col in ("custkey", "n_orders"):
+        if out[col].notna().all():
+            out[col] = out[col].astype("int64")
+    return (out.sort_values(["custkey", "c_mktsegment", "n_orders"],
+                            na_position="last")
+            .reset_index(drop=True))
+
+
+def q_argmax_event(sf_dir: str) -> pd.DataFrame:
+    """Distributed ARG-MAX per group: for each event_type, the max
+    value and the smallest event_id attaining it. One per-batch partial
+    (type, best-value, best-id — rows = types × batches) and a tiny
+    driver fold, both applying the same total order: NULL < finite/±inf
+    < NaN (DuckDB's aggregate order, probed: max returns NaN when one
+    exists, ignores NULL unless the group is all-NULL — then the SQL
+    twin's IS NOT DISTINCT filter keeps the NULL rows, so argmax is the
+    min id of the group)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
+    _E = pa.table({"event_type": pa.array([], pa.string()),
+                   "tier": pa.array([], pa.int8()),
+                   "val": pa.array([], pa.float64()),
+                   "event_id": pa.array([], pa.int64())})
+
+    def best_rows(df: pd.DataFrame) -> pd.DataFrame:
+        # total order: (tier, val) max, ties → min event_id. One sort +
+        # keep-last (dup-drop is ~100× faster than groupby-max on
+        # string keys — CLAUDE.md)
+        df = df.sort_values(["tier", "val", "event_id"],
+                            ascending=[True, True, False])
+        return df.drop_duplicates("event_type", keep="last")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return _E
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        isnull = pc.is_null(t.column("value")).to_numpy(zero_copy_only=False)
+        isnan = np.zeros(len(v), bool)
+        np.isnan(v, where=~isnull, out=isnan)
+        tier = np.where(isnull, -1, np.where(isnan, 1, 0)).astype(np.int8)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "tier": tier,
+            "val": np.where(tier == 0, np.nan_to_num(v, nan=0.0), 0.0),
+            "event_id": t.column("event_id").to_numpy(zero_copy_only=False)})
+        g = best_rows(df)
+        return pa.table({
+            "event_type": pa.Array.from_pandas(g["event_type"],
+                                               type=pa.string()),
+            "tier": pa.array(g["tier"].to_numpy(), pa.int8()),
+            "val": pa.array(g["val"].to_numpy(), pa.float64()),
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "vmax": pd.Series(dtype="float64"),
+                             "argmax_id": pd.Series(dtype="int64")})
+    g = best_rows(parts)
+    vmax = np.where(g["tier"].to_numpy() == 0, g["val"].to_numpy(), np.nan)
+    out = pd.DataFrame({"event_type": g["event_type"].astype(object).where(
+                            g["event_type"].notna(), None),
+                        "vmax": vmax,
+                        "argmax_id": g["event_id"].to_numpy()})
+    return (out.sort_values("event_type", na_position="last")
+            .reset_index(drop=True))
+
+
+def q_value_histogram(sf_dir: str) -> pd.DataFrame:
+    """Exact fixed-bin histogram of events.value — 20 bins of width 0.5
+    over [0, 10) plus underflow (−1) and overflow (20) catch-alls. The
+    per-batch partial is one vectorized digitize + bincount (a 22-long
+    int vector per batch — nothing shuffles), summed on the driver.
+    Bin math is the SAME IEEE ops as the SQL twin (value/0.5 then
+    floor), so boundary values can't flip bins; NaN is out of contract
+    on both sides (SQL NaN compares greatest, numpy NaN compares
+    false — no shared semantics), NULLs are skipped, ±inf land in the
+    catch-all bins."""
+    ds = _read(sf_dir, "events", columns=["value"])
+    NB = 22  # bins -1..20 shifted by +1
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"counts": pa.array([np.zeros(NB, np.int64)])})
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        v = v[~np.isnan(v)]  # drops NULL (NaN in numpy) and NaN alike
+        b = np.where(v < 0.0, -1,
+                     np.where(v >= 10.0, 20,
+                              np.floor(np.where(np.isfinite(v), v, 0.0)
+                                       / 0.5))).astype(np.int64)
+        return pa.table({"counts": pa.array([np.bincount(b + 1,
+                                                         minlength=NB)])})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    total = np.sum(np.stack(parts["counts"].to_numpy()), axis=0) \
+        if len(parts) else np.zeros(NB, np.int64)
+    bins = np.arange(NB, dtype=np.int64) - 1
+    keep = total > 0  # GROUP BY emits only observed bins
+    return pd.DataFrame({"bin": bins[keep],
+                         "n": total[keep].astype(np.int64)})
+
+
+def q_hourly_gapfill(sf_dir: str) -> pd.DataFrame:
+    """Hourly resample WITH gap fill — the time-series densification op
+    (count + sum per hour including EMPTY hours between the corpus min
+    and max). Per-batch Arrow partials group by floor-div hour (rows =
+    hours × batches through the driver, never events); the dense spine
+    is generated driver-side: its size grows with the time SPAN, not
+    the data (10 years ≈ 90k rows), so gap fill is a driver-safe final
+    step at any corpus scale. Sum carries the sum-as-0 + valid-count
+    split so an all-NULL hour (and a gap hour) emits SQL's NULL while
+    NaN data still propagates."""
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    _E = pa.table({"hour_start": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t = t.filter(pc.is_valid(t.column("ts")))
+        if t.num_rows == 0:
+            return _E
+        g = (pa.table({"hour_start": pc.cast(_hour_start(t.column("ts")),
+                                             pa.int64()),
+                       "value": t.column("value")})
+             .group_by(["hour_start"])
+             .aggregate([("value", "sum"), ("value", "count"),
+                         ([], "count_all")]))
+        return pa.table({"hour_start": g.column("hour_start"),
+                         "n": pc.cast(g.column("count_all"), pa.int64()),
+                         "s": pc.cast(pc.fill_null(g.column("value_sum"),
+                                                   0.0), pa.float64()),
+                         "nv": pc.cast(g.column("value_count"), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"hour_start": pd.Series(dtype="int64"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "sum_value": pd.Series(dtype="float64")})
+    if parts.empty:
+        return empty
+    agg = (parts.groupby("hour_start", as_index=False)
+           .agg(n_events=("n", "sum"),
+                s=("s", lambda x: x.to_numpy().sum()),  # NaN propagates
+                nv=("nv", "sum")))
+    agg["sum_value"] = np.where(agg["nv"] == 0, np.nan, agg["s"])
+    lo, hi = int(agg["hour_start"].min()), int(agg["hour_start"].max())
+    spine = pd.DataFrame({"hour_start": np.arange(lo, hi + 1, 3600,
+                                                  dtype=np.int64)})
+    out = spine.merge(agg[["hour_start", "n_events", "sum_value"]],
+                      on="hour_start", how="left")
+    out["n_events"] = out["n_events"].fillna(0).astype(np.int64)
+    out["sum_value"] = round_away(
+        out["sum_value"].to_numpy().astype(np.float64), 4)
+    return out.sort_values("hour_start").reset_index(drop=True)

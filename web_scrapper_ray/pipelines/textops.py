@@ -248,6 +248,51 @@ def q_json_valid(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+def q_json_field(sf_dir: str, path: str = "k") -> pd.DataFrame:
+    """JSON field extraction over events.props — DuckDB
+    ``json_extract_string('$.k')`` semantics (probed 2026-08-18):
+    invalid JSON / non-object roots / missing keys / JSON null → NULL;
+    strings unquoted; scalars rendered as JSON text (``true``/``1.5``);
+    nested objects/arrays re-serialized COMPACT. Parsing is the C json
+    parser per batch list (string parsing is inherently row-wise — the
+    same vectorization vehicle as the validator/levenshtein ops)."""
+    import json
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["event_id", "props"])
+
+    def fmt(v) -> str | None:
+        if v is None:  # JSON null → SQL NULL
+            return None
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return v
+        if isinstance(v, (int, float)):
+            return json.dumps(v)
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+
+    def extract(batch: pa.Table) -> pa.Table:
+        out = []
+        for s in batch.column("props").to_pylist():
+            if s is None:
+                out.append(None)
+                continue
+            try:
+                obj = json.loads(s)
+            except (ValueError, TypeError):
+                out.append(None)
+                continue
+            out.append(fmt(obj.get(path)) if isinstance(obj, dict) else None)
+        return pa.table({"event_id": batch.column("event_id"),
+                         "k": pa.array(out, pa.string())})
+
+    return (ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+
+
 def q_phone_digits(sf_dir: str) -> pd.DataFrame:
     """F5-adjacent validator exercise: the testdata customer table has no
     phone column, so a deterministic phone string is derived from
@@ -263,6 +308,11 @@ def q_phone_digits(sf_dir: str) -> pd.DataFrame:
     def digits(batch: pa.Table) -> pa.Table:
         keys, digs, valid = [], [], []
         for k in batch.column("c_custkey").to_pylist():
+            if k is None:  # SQL: NULL key → NULL digits → NULL valid
+                keys.append(None)
+                digs.append(None)
+                valid.append(None)
+                continue
             phone = f"({200 + k % 800}) {100 + k % 900}-{k % 10000:04d}"
             d = non_digit.sub("", phone)
             ok = (
@@ -274,12 +324,17 @@ def q_phone_digits(sf_dir: str) -> pd.DataFrame:
             digs.append(d)
             valid.append(ok)
         return pa.table({"c_custkey": pa.array(keys, pa.int64()),
-                         "digits": pa.array(digs),
+                         "digits": pa.array(digs, pa.string()),
                          "valid": pa.array(valid, pa.bool_())})
 
-    return ds.map_batches(digits, batch_format="pyarrow").to_pandas().sort_values(
-        "c_custkey"
-    ).reset_index(drop=True)
+    out = (ds.map_batches(digits, batch_format="pyarrow").to_pandas()
+           .sort_values("c_custkey", na_position="last")
+           .reset_index(drop=True))
+    if out["valid"].dtype == object:
+        # NULL boolean arrives as NaN from DuckDB→pandas (VARCHAR NULL
+        # arrives as None) — mirror the asymmetry
+        out["valid"] = out["valid"].fillna(np.nan)
+    return out
 
 
 # GPT-2-style pretokenizer, restricted to an ASCII-expressible subset so
@@ -655,7 +710,10 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
                 for t in batch.column("text").to_pylist()]
         return pa.table({"doc_id": batch.column("doc_id"),
                          "lang": batch.column("lang"),
-                         "rank_key": pa.array(keys)})
+                         # explicit type: an all-NULL-text batch must
+                         # not infer a null-typed column (schema clash
+                         # in the downstream sort-based groupby)
+                         "rank_key": pa.array(keys, pa.string())})
 
     def head_k(g: pd.DataFrame) -> pd.DataFrame:
         # NULL rank_key (NULL text → SQL md5(NULL) is NULL) sorts
