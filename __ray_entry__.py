@@ -281,8 +281,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q68_source_quality_filter": textops.q_source_quality_filter,
         "q69_embedding_gram": similarity.q_embedding_gram,
         "q70_consistent_sample": textops.q_consistent_sample,
-        "q106_weighted_sample": textops.q_weighted_sample,
-        "q108_zorder_layout": layout.q_zorder_layout,
         "q71_kmeans": similarity.q_kmeans,
         "q72_mix_allocation": textops.q_mix_allocation,
         "q75_normalize_by_label": similarity.q_normalize_by_label,
@@ -301,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q48_dedup_corpus": dedup.q_dedup_corpus,
         "q24_knn_bruteforce": similarity.q_knn_bruteforce,
         "q27_neardup_cosine": similarity.q_neardup_cosine,
+        "q106_weighted_sample": textops.q_weighted_sample,
+        "q108_zorder_layout": layout.q_zorder_layout,
         "q21_minhash_lsh_pairs": dedup.q_minhash_lsh_pairs,
         "q22_ngram_jaccard": dedup.q_ngram_jaccard_pairs,
         "q23_simhash": dedup.q_simhash,

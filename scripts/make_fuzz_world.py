@@ -61,6 +61,37 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
                   None, "", " ", "x", "y", "z"],
     })
 
+    # q113/q17's hostile-JSON class (only spellings BOTH parsers accept
+    # as valid/invalid identically — yyjson's extra lowercase inf/nan
+    # grammar is covered by the DuckDB-probe unit test instead):
+    # yyjson number rendering (fixed-vs-scientific cutoffs at 1e21/1e-7,
+    # .0 suffix, no '+' exponent), >uint64 ints read as doubles,
+    # duplicate keys (first-wins lookup, both pairs re-serialized),
+    # NaN/Infinity literals, non-object roots, nested re-serialization
+    jprops = ['{"k": 1e22}', '{"k": 1e15}', '{"k": 1e-7}',
+              '{"k": 0.00001}', '{"k": 123456789012345678901}',
+              '{"k": 18446744073709551615}', '{"k": -9223372036854775809}',
+              '{"k": 2.0}', '{"k": -0.0}', '{"k":1,"k":2}',
+              '{"k":null,"k":2}', '{"k": NaN}', '{"k": Infinity}',
+              '{"k": -Infinity}', '{"k": 1e999}',
+              '{"k": {"a": 1e22, "k": [1.5, 2, true, null], "a": 2}}',
+              '{"k": "x\\ny/z\\u0001é"}', '[1, 2]', '"s"', '123',
+              'null', 'true', '{"K": 1}', '{"k": 01}', '{"k": .5}']
+    nj = len(jprops)
+    # ts sits at q92's centering epoch (1.7e9): a perfectly-collinear
+    # (value, ts) group FAR from the center would put ~5e5× leverage on
+    # the intercept extrapolation, where DuckDB's accumulator and the
+    # engine's Chan-merged moments legitimately differ in the 8th digit
+    # of the slope — an ill-conditioning artifact, not a parity signal
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": list(range(900301, 900301 + nj)),
+        "ts": [ts(1_700_000_000 + 100 + i) for i in range(nj)],
+        "user_id": [20 + i for i in range(nj)],
+        "event_type": ["fz_json"] * nj,
+        "value": [float(i) for i in range(nj)],
+        "props": jprops,
+    })
+
     # q92's zero-valid-pair class: a type whose every row has a NULL in
     # the (ts, value) pair — GROUP BY still emits it (regr_count=0,
     # NULL slope/icept/r2); engines that pre-filter drop the group

@@ -26,6 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .pairs import hash_shuffle, mix64
+from .relational import _NULL_KEY
 
 _TOKEN_RX = re.compile(r"\w+")
 N_PERM = 64
@@ -477,7 +478,6 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
     def add_hash(batch: pa.Table) -> pa.Table:
         # NULL text = SQL md5(NULL) = NULL: its own dedup group, keyed
         # by the shared NULL sentinel (distinct from every real md5 hex)
-        from .relational import _NULL_KEY
         hs = [_NULL_KEY if t is None
               else hashlib.md5(t.encode()).hexdigest()
               for t in batch.column("text").to_pylist()]

@@ -2920,11 +2920,11 @@ def q_customer_orders_full_join(sf_dir: str) -> pd.DataFrame:
             oagg[~oagg["knull"]].drop(columns=["knull"]),
             on="custkey", how="outer")
         parts.append(m)
-        for c_null in (cust[cust["knull"]],):
-            if len(c_null):
-                parts.append(pd.DataFrame({
-                    "custkey": np.nan, "seg": c_null["seg"].to_numpy(),
-                    "n_orders": np.nan, "total_price": np.nan}))
+        c_null = cust[cust["knull"]]
+        if len(c_null):
+            parts.append(pd.DataFrame({
+                "custkey": np.nan, "seg": c_null["seg"].to_numpy(),
+                "n_orders": np.nan, "total_price": np.nan}))
         o_null = oagg[oagg["knull"]]
         if len(o_null):
             parts.append(pd.DataFrame({
@@ -2941,18 +2941,15 @@ def q_customer_orders_full_join(sf_dir: str) -> pd.DataFrame:
                              "n_orders": out["n_orders"],
                              "total_price": out["total_price"]})
 
-    inputs = [(r, ()) for r in _read(
-        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
-    ).to_arrow_refs()]
-    n_cust_blocks = len(inputs)
-    inputs += [(r, ()) for r in _read(
-        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
-    ).to_arrow_refs()]
-
     def split(block: pa.Table, is_cust: bool) -> pa.Table:
         return split_cust(block) if is_cust else split_ord(block)
 
-    tagged = [(ref, (i < n_cust_blocks,)) for i, (ref, _) in enumerate(inputs)]
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).to_arrow_refs()]
     parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
     if not parts:
         return pd.DataFrame({"custkey": pd.Series(dtype="int64"),
@@ -3006,7 +3003,10 @@ def q_argmax_event(sf_dir: str) -> pd.DataFrame:
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_pandas(),
             "tier": tier,
-            "val": np.where(tier == 0, np.nan_to_num(v, nan=0.0), 0.0),
+            # only tier-0 (finite/±inf) slots keep v; NaN/NULL slots are
+            # overwritten by the 0.0 arm, so no nan_to_num (which would
+            # also clobber ±inf to DBL_MAX and diverge from SQL max())
+            "val": np.where(tier == 0, v, 0.0),
             "event_id": t.column("event_id").to_numpy(zero_copy_only=False)})
         g = best_rows(df)
         return pa.table({

@@ -248,14 +248,163 @@ def q_json_valid(sf_dir: str) -> pd.DataFrame:
     ).reset_index(drop=True)
 
 
+class _JPairs(list):
+    """JSON object as its ordered (key, value) pair list — duplicate keys
+    preserved for re-serialization (yyjson keeps the raw document, so
+    ``{"a":1,"a":2}`` round-trips with BOTH pairs) while ``$.k`` lookup
+    takes the FIRST match (probed: yyjson pointer returns the first
+    duplicate, Python dicts would keep the last)."""
+    __slots__ = ()
+
+
+_NUM_REPR = re.compile(r"(-?)(\d+)(?:\.(\d+))?(?:e([+-]?\d+))?")
+# yyjson READ_ALLOW_INF_AND_NAN tokens Python's json rejects:
+# case-insensitive nan / inf / infinity, optional '-' only (a leading
+# '+' is rejected by yyjson everywhere, probed '{"k": +infinity}')
+_INFNAN = re.compile(r"-?(?:nan|infinity|inf)", re.IGNORECASE)
+
+
+def _yy_double(x: float) -> str:
+    """Render a double exactly like yyjson's writer (probed via DuckDB
+    json_extract_string 2026-08-18): shortest round-trip digits; fixed
+    notation when the decimal point lands in (-6, 21] (integral values
+    get a ``.0`` suffix: ``1e15`` → ``1000000000000000.0``), otherwise
+    scientific with NO ``+`` on the exponent (``1e22``, ``1e-7``).
+    Python's repr switches to scientific at 1e16 — too early."""
+    if x != x:
+        return "NaN"
+    if x in (float("inf"), float("-inf")):
+        return "Infinity" if x > 0 else "-Infinity"
+    m = _NUM_REPR.fullmatch(repr(float(x)))
+    sign, ip, fp, ex = m.group(1), m.group(2), m.group(3) or "", m.group(4)
+    alldig = ip + fp
+    digits = alldig.lstrip("0")
+    if not digits:
+        return sign + "0.0"
+    # k = decimal-point position relative to the first significant digit
+    k = len(ip) - (len(alldig) - len(digits)) + (int(ex) if ex else 0)
+    digits = digits.rstrip("0") or "0"
+    if len(digits) <= k <= 21:
+        return sign + digits + "0" * (k - len(digits)) + ".0"
+    if 0 < k <= 21:
+        return sign + digits[:k] + "." + digits[k:]
+    if -6 < k <= 0:
+        return sign + "0." + "0" * (-k) + digits
+    mant = digits[0] + ("." + digits[1:] if len(digits) > 1 else "")
+    return sign + mant + "e" + str(k - 1)
+
+
+def _yy_int(v: int) -> str:
+    # yyjson parses integers exactly within [int64 min, uint64 max];
+    # anything wider is read as a double (probed: 123456789012345678901
+    # → '123456789012345680000.0')
+    if -(2 ** 63) <= v <= 2 ** 64 - 1:
+        return str(v)
+    try:
+        return _yy_double(float(v))
+    except OverflowError:
+        return "-Infinity" if v < 0 else "Infinity"
+
+
+def _yy_render(v, json) -> str:
+    """Compact re-serialization matching yyjson's writer. String
+    escaping matches json.dumps(ensure_ascii=False) (probed: control
+    chars → \\u0001, shortcuts for \\n \\t \\" \\\\, raw unicode,
+    unescaped ``/``)."""
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, str):
+        return json.dumps(v, ensure_ascii=False)
+    if isinstance(v, int):
+        return _yy_int(v)
+    if isinstance(v, float):
+        return _yy_double(v)
+    if isinstance(v, _JPairs):
+        return "{" + ",".join(
+            json.dumps(kk, ensure_ascii=False) + ":" + _yy_render(vv, json)
+            for kk, vv in v) + "}"
+    return "[" + ",".join(_yy_render(x, json) for x in v) + "]"
+
+
+def _rewrite_infnan(s: str) -> str:
+    """Rewrite yyjson-accepted inf/nan spellings (``nan``, ``-NaN``,
+    ``Inf``, ``+infinity`` …) outside string literals to the spellings
+    Python's json accepts (``NaN`` — sign dropped, -NaN is NaN —
+    and ``Infinity``/``-Infinity``). Only runs on the slow path after a
+    plain json.loads has already failed."""
+    out, i, n, in_str = [], 0, len(s), False
+    while i < n:
+        c = s[i]
+        if in_str:
+            out.append(c)
+            if c == "\\" and i + 1 < n:
+                out.append(s[i + 1])
+                i += 2
+                continue
+            if c == '"':
+                in_str = False
+            i += 1
+            continue
+        if c == '"':
+            in_str = True
+            out.append(c)
+            i += 1
+            continue
+        m = _INFNAN.match(s, i)
+        if m:
+            tok = m.group(0)
+            body = tok.lstrip("-").lower()
+            if body == "nan":
+                out.append("NaN")
+            else:
+                out.append(("-" if tok[0] == "-" else "") + "Infinity")
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def json_extract_string_py(s: str | None, path: str = "k") -> str | None:
+    """One-row ``json_extract_string(s, '$.{path}')`` twin — the unit
+    the q113 batch fn maps and the DuckDB-probe parity test targets."""
+    import json
+
+    if s is None:
+        return None
+    try:
+        obj = json.loads(s, object_pairs_hook=_JPairs)
+    except (ValueError, TypeError, RecursionError):
+        if not (s and _INFNAN.search(s)):
+            return None
+        try:
+            obj = json.loads(_rewrite_infnan(s), object_pairs_hook=_JPairs)
+        except (ValueError, TypeError, RecursionError):
+            return None
+    if not isinstance(obj, _JPairs):
+        return None
+    hit = next((vv for kk, vv in obj if kk == path), None)
+    if hit is None:  # missing key or JSON null → SQL NULL
+        return None
+    if isinstance(hit, str):
+        return hit  # top-level strings come back unquoted
+    return _yy_render(hit, json)
+
+
 def q_json_field(sf_dir: str, path: str = "k") -> pd.DataFrame:
     """JSON field extraction over events.props — DuckDB
     ``json_extract_string('$.k')`` semantics (probed 2026-08-18):
     invalid JSON / non-object roots / missing keys / JSON null → NULL;
-    strings unquoted; scalars rendered as JSON text (``true``/``1.5``);
-    nested objects/arrays re-serialized COMPACT. Parsing is the C json
-    parser per batch list (string parsing is inherently row-wise — the
-    same vectorization vehicle as the validator/levenshtein ops)."""
+    strings unquoted; scalars rendered as yyjson text (``true``,
+    ``1.5``, ``1e22``, ``NaN``); duplicate keys → FIRST match; nested
+    objects/arrays re-serialized compact with yyjson number rendering
+    and duplicate pairs preserved. Parsing is the C json parser per
+    batch list (string parsing is inherently row-wise — the same
+    vectorization vehicle as the validator/levenshtein ops)."""
     import json
 
     import ray.data as rd
@@ -263,29 +412,9 @@ def q_json_field(sf_dir: str, path: str = "k") -> pd.DataFrame:
     ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
                          columns=["event_id", "props"])
 
-    def fmt(v) -> str | None:
-        if v is None:  # JSON null → SQL NULL
-            return None
-        if isinstance(v, bool):
-            return "true" if v else "false"
-        if isinstance(v, str):
-            return v
-        if isinstance(v, (int, float)):
-            return json.dumps(v)
-        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
-
     def extract(batch: pa.Table) -> pa.Table:
-        out = []
-        for s in batch.column("props").to_pylist():
-            if s is None:
-                out.append(None)
-                continue
-            try:
-                obj = json.loads(s)
-            except (ValueError, TypeError):
-                out.append(None)
-                continue
-            out.append(fmt(obj.get(path)) if isinstance(obj, dict) else None)
+        out = [json_extract_string_py(s, path)
+               for s in batch.column("props").to_pylist()]
         return pa.table({"event_id": batch.column("event_id"),
                          "k": pa.array(out, pa.string())})
 
