@@ -249,6 +249,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q110_argmax_event": relational.q_argmax_event,
         "q111_value_histogram": relational.q_value_histogram,
         "q112_hourly_gapfill": relational.q_hourly_gapfill,
+        "q115_max_concurrency": relational.q_max_concurrency,
+        "q116_event_transitions": relational.q_event_transitions,
+        "q117_source_entropy": textops.q_source_entropy,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1248,6 +1251,47 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(b.n, 0)::BIGINT AS n_events,
                    round(b.s, 4) AS sum_value
             FROM s LEFT JOIN b USING (h) ORDER BY 1
+        """,
+        "q115_max_concurrency": """
+            WITH iv AS (
+              SELECT event_type, epoch_us(ts) AS s,
+                     epoch_us(ts) + (event_id % 7 + 1) * 60000000 AS e
+              FROM events WHERE ts IS NOT NULL AND event_id IS NOT NULL),
+            b AS (SELECT event_type, s AS t, 1 AS d FROM iv
+                  UNION ALL SELECT event_type, e, -1 FROM iv),
+            r AS (SELECT event_type,
+                         sum(d) OVER (PARTITION BY event_type
+                                      ORDER BY t, d
+                                      ROWS UNBOUNDED PRECEDING) AS c
+                  FROM b)
+            SELECT event_type, max(c)::BIGINT AS max_concurrent
+            FROM r GROUP BY event_type ORDER BY event_type
+        """,
+        "q116_event_transitions": """
+            WITH s AS (
+              SELECT event_type,
+                     lead(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id) AS nxt
+              FROM events
+              WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                AND event_type IS NOT NULL)
+            SELECT event_type AS src, nxt AS dst, count(*)::BIGINT AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q117_source_entropy": """
+            WITH toks AS (
+              SELECT source, t AS term
+              FROM documents,
+                   unnest(regexp_extract_all(lower(text), '\\w+')) AS u(t)
+              WHERE text IS NOT NULL),
+            cnt AS (SELECT source, term, count(*)::DOUBLE AS c
+                    FROM toks GROUP BY 1, 2),
+            tot AS (SELECT source, sum(c) AS n FROM cnt GROUP BY 1)
+            SELECT t.source,
+                   round(log2(t.n) - sum(c * log2(c)) / t.n, 6) AS entropy
+            FROM cnt JOIN tot t ON cnt.source IS NOT DISTINCT FROM t.source
+            GROUP BY t.source, t.n ORDER BY t.source
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

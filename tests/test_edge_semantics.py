@@ -99,3 +99,54 @@ def test_knn_tied_vectors_deterministic(ray_session, tmp_path):
     out = q_knn_bruteforce(sf, query_ids=(0,), k=5)
     # neighbors 1..9 all have sim 1.0 → ranks 1..5 must be ids 1..5
     assert out[out["query_id"] == 0]["neighbor_id"].tolist() == [1, 2, 3, 4, 5]
+
+
+def test_max_concurrency_carry_across_hours(ray_session, tmp_path):
+    """q115: the peak overlap must survive the per-hour decomposition —
+    intervals OPENED in earlier hour buckets contribute via the
+    carry-in cumsum, and a half-open end at exactly t closes before a
+    start at t opens."""
+    from web_scrapper_ray.pipelines.relational import q_max_concurrency
+
+    H = 3_600_000_000
+    # event_id % 7 + 1 minutes duration; id=6 → 7 min, id=13 → 7 min
+    # three intervals opened in hour 0 still open in hour 1 (durations
+    # span the boundary), plus two opened in hour 1 → peak 5 in hour 1
+    starts = [H - 60_000_000 * 3 + i for i in range(3)]  # open, cross
+    starts += [H + 1000, H + 2000]                       # hour-1 opens
+    ids = [6, 13, 20, 27, 34]  # all % 7 == 6 → 7-minute durations
+    t = pa.table({
+        "event_id": pa.array(ids, pa.int64()),
+        "ts": pa.array(starts, pa.timestamp("us")),
+        "event_type": pa.array(["a"] * 5),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_max_concurrency(str(tmp_path))
+    assert out["max_concurrent"].tolist() == [5]
+
+    # half-open tie: one interval ends exactly when the next starts
+    t2 = pa.table({
+        "event_id": pa.array([6, 13], pa.int64()),  # 7-minute durations
+        "ts": pa.array([0, 7 * 60_000_000], pa.timestamp("us")),
+        "event_type": pa.array(["b", "b"]),
+    })
+    pq.write_table(t2, str(tmp_path / "events.parquet"))
+    out2 = q_max_concurrency(str(tmp_path))
+    assert out2["max_concurrent"].tolist() == [1]
+
+
+def test_event_transitions_tie_order(ray_session, tmp_path):
+    """q116: equal-ts events order by event_id inside a user, and
+    transitions never cross users."""
+    from web_scrapper_ray.pipelines.relational import q_event_transitions
+
+    t = pa.table({
+        "event_id": pa.array([2, 1, 3, 10], pa.int64()),
+        "ts": pa.array([5, 5, 9, 9], pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "event_type": pa.array(["b", "a", "c", "z"]),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_event_transitions(str(tmp_path))
+    got = {(r.src, r.dst): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "c"): 1}  # id tiebreak; no 1→2 hop

@@ -12,6 +12,7 @@ matching oracle SQL lives in ``__ray_entry__.oracle_sql``.
 
 from __future__ import annotations
 
+import hashlib
 import os
 
 import numpy as np
@@ -3119,3 +3120,184 @@ def q_hourly_gapfill(sf_dir: str) -> pd.DataFrame:
     out["sum_value"] = round_away(
         out["sum_value"].to_numpy().astype(np.float64), 4)
     return out.sort_values("hour_start").reset_index(drop=True)
+
+
+def q_max_concurrency(sf_dir: str) -> pd.DataFrame:
+    """Interval-overlap maximum per event_type — the sweep-line op
+    (peak number of simultaneously-open intervals, interval =
+    [ts, ts + (event_id % 7 + 1) minutes), half-open: an end at t
+    closes BEFORE a start at t opens). Distributed shape: the classic
+    carry-in decomposition of a global prefix max — boundary rows
+    (±1) are exchanged once, hash-bucketed by (type, hour-of-t) so a
+    bucket owns whole hours; each merge task lexsorts its hours and
+    emits per-(type, hour) (Σd, max-prefix) partials; the driver folds
+    hours per type with an exclusive cumsum carry (rows = types ×
+    active hours — grows with the time SPAN, never the data). The
+    prefix max inside hour h given carry c is c + local-max-prefix,
+    exactly (prefix-sum linearity), so the result equals the
+    single-pass sweep. NULL ts/event_id are out of contract (oracle
+    WHERE); NULL event_type is its own partition."""
+    P = 64
+    HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "event_type"])
+    _E = pa.table({"event_type": pa.array([], pa.string()),
+                   "hour": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64()),
+                   "d": pa.array([], pa.int8()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.is_valid(t.column("event_id")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return _E
+        s = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        e = s + (eid % 7 + 1) * 60_000_000
+        typ = t.column("event_type").to_pandas()
+        # stable per-UNIQUE-type hash (Python hash() is process-salted)
+        codes, uniq = pd.factorize(typ, use_na_sentinel=False)
+        th = np.array([0 if u is None or u is np.nan else int.from_bytes(
+            hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "big")
+            for u in uniq], np.uint64)[codes]
+        tt = np.concatenate([s, e])
+        th2 = np.concatenate([th, th])
+        hour = np.floor_divide(tt, HOUR)
+        b = ((th2 + hour.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             % np.uint64(P)).astype(np.int64)
+        return pa.table({
+            "event_type": pa.Array.from_pandas(
+                pd.concat([typ, typ], ignore_index=True), type=pa.string()),
+            "hour": pa.array(hour),
+            "t": pa.array(tt),
+            "d": pa.array(np.r_[np.ones(len(s), np.int8),
+                                -np.ones(len(s), np.int8)]),
+            "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "hour": pd.Series(dtype="int64"),
+                                 "total": pd.Series(dtype="int64"),
+                                 "maxpref": pd.Series(dtype="int64")})
+        t = pa.concat_tables(live)
+        typ = t.column("event_type").to_pandas()
+        code = pd.factorize(typ, use_na_sentinel=False)[0]
+        hour = t.column("hour").to_numpy()
+        tt = t.column("t").to_numpy()
+        d = t.column("d").to_numpy().astype(np.int64)
+        order = np.lexsort((d, tt, hour, code))
+        code, hour, d = code[order], hour[order], d[order]
+        new = np.r_[True, (code[1:] != code[:-1]) | (hour[1:] != hour[:-1])]
+        starts = np.flatnonzero(new)
+        gidx = np.cumsum(new) - 1
+        cum = np.cumsum(d)
+        base = np.r_[0, cum[:-1]][starts][gidx]
+        pref = cum - base
+        return pd.DataFrame({
+            "event_type": typ.to_numpy()[order][starts],
+            "hour": hour[starts],
+            "total": np.add.reduceat(d, starts),
+            "maxpref": np.maximum.reduceat(pref, starts)})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                             "max_concurrent": pd.Series(dtype="int64")})
+    df = pd.concat(parts, ignore_index=True)
+    code, uniq = pd.factorize(df["event_type"], use_na_sentinel=False)
+    order = np.lexsort((df["hour"].to_numpy(), code))
+    code = code[order]
+    total = df["total"].to_numpy()[order]
+    maxpref = df["maxpref"].to_numpy()[order]
+    new = np.r_[True, code[1:] != code[:-1]]
+    starts = np.flatnonzero(new)
+    gidx = np.cumsum(new) - 1
+    cum = np.cumsum(total)
+    base = np.r_[0, cum[:-1]]
+    carry = base - np.r_[0, cum[:-1]][starts][gidx]  # excl. cumsum per type
+    peak = np.maximum.reduceat(carry + maxpref, starts)
+    out = pd.DataFrame({"event_type": pd.array(
+        [None if (u is None or u is np.nan or (isinstance(u, float)
+                                               and np.isnan(u)))
+         else u for u in uniq[code[starts]]], dtype=object),
+        "max_concurrent": peak.astype(np.int64)})
+    return (out.sort_values("event_type", na_position="last")
+            .reset_index(drop=True))
+
+
+def q_event_transitions(sf_dir: str) -> pd.DataFrame:
+    """Per-user Markov transition counts: (event_type → next event_type
+    by ts within each user), the SQL ``lead() OVER (PARTITION BY
+    user_id ORDER BY ts, event_id)`` twin aggregated to (src, dst)
+    pair counts. One raw-task hash exchange on user_id (q97's shape);
+    each bucket lexsorts ONCE on (user, ts, event_id), reads every
+    transition with a shifted compare, and pre-counts (src, dst) pairs
+    so the driver folds types² × buckets tiny partials. NULL user/ts/
+    type rows are out of contract on both sides."""
+    B = 64
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "event_type", "ts"])
+    cols = {"src": pd.Series(dtype="object"),
+            "dst": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64")}
+
+    def split(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "event_type": pa.array([], pa.string()),
+                          "ts": pa.array([], pa.int64()),
+                          "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return empty
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            "user_id": pc.cast(t.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t.column("event_type"), pa.string()),
+            "ts": pc.cast(t.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        t = pa.concat_tables(live)
+        uid = t.column("user_id").to_numpy(zero_copy_only=False)
+        code, uniq = pd.factorize(t.column("event_type").to_pandas())
+        ts = t.column("ts").to_numpy(zero_copy_only=False)
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, uid))
+        uid, code = uid[order], code[order]
+        same = uid[1:] == uid[:-1]
+        src, dst = code[:-1][same], code[1:][same]
+        if not len(src):
+            return pd.DataFrame(cols)
+        k = len(uniq)
+        cnt = np.bincount(src * k + dst, minlength=k * k)
+        nz = np.flatnonzero(cnt)
+        uniq = uniq.to_numpy()
+        return pd.DataFrame({"src": uniq[nz // k], "dst": uniq[nz % k],
+                             "n": cnt[nz].astype(np.int64)})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby(["src", "dst"], as_index=False)["n"].sum())
+    out["n"] = out["n"].astype(np.int64)
+    return (out.sort_values(["src", "dst"]).reset_index(drop=True))

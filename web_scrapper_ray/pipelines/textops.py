@@ -1841,3 +1841,86 @@ def q_weighted_sample(sf_dir: str, k: int = 25) -> pd.DataFrame:
                             ascending=[False, True]).head(k)
     return (top[["doc_id", "n_chars"]]
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_source_entropy(sf_dir: str) -> pd.DataFrame:
+    """Shannon entropy (bits) of each source's token distribution —
+    the corpus-diversity score a mixing pipeline gates on. Exact
+    per-(source, term) counts need one exchange: per-batch Counter
+    partials keyed (source, term) → raw-task hash shuffle on the PAIR
+    (so a merge task owns every partial of a pair and can finalize its
+    count) → per-source Σc·log₂c / Σc partials per bucket → driver
+    folds sources × buckets tiny rows. Entropy is computed as
+    log₂(n) − Σc·log₂(c)/n IN THAT OP ORDER on both sides (the oracle
+    SQL mirrors it; the textbook −Σp·log₂p form differs in the last
+    ulps). NULL text tokenizes to nothing on both sides (SQL unnest of
+    a NULL array emits no rows); an all-NULL source therefore has no
+    row. NULL source is its own SQL group — IS NOT DISTINCT join in
+    the oracle, sentinel bucket here."""
+    from .pairs import hash_shuffle, round_away
+    from .relational import _NULL_KEY
+
+    P = 64
+    ds = _docs(sf_dir, ["source", "text"])
+    _E = pa.table({"source": pa.array([], pa.string()),
+                   "term": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        counts: Counter = Counter()
+        src_col = t.column("source").to_pylist()
+        for src, txt in zip(src_col, t.column("text").to_pylist()):
+            if txt is None:
+                continue
+            key = _NULL_KEY if src is None else src
+            for w in _TOKEN_RX.findall(txt.lower()):
+                counts[(key, w)] += 1
+        if not counts:
+            return _E
+        srcs, terms, cs = [], [], []
+        for (s, w), c in counts.items():
+            srcs.append(s)
+            terms.append(w)
+            cs.append(c)
+        b = [int.from_bytes(hashlib.blake2b(
+                 (s + "\x1f" + w).encode(), digest_size=8).digest(),
+                 "big") % P
+             for s, w in zip(srcs, terms)]
+        return pa.table({"source": pa.array(srcs, pa.string()),
+                         "term": pa.array(terms, pa.string()),
+                         "c": pa.array(cs, pa.int64()),
+                         "bucket": pa.array(b, pa.int64())})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "clogc": pd.Series(dtype="float64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby(["source", "term"], as_index=False)["c"].sum())
+        c = df["c"].to_numpy().astype(np.float64)
+        df["clogc"] = c * np.log2(c)
+        g = df.groupby("source", as_index=False).agg(
+            clogc=("clogc", "sum"), n=("c", "sum"))
+        return g
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "entropy": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("source", as_index=False).agg(clogc=("clogc", "sum"),
+                                                n=("n", "sum")))
+    n = g["n"].to_numpy().astype(np.float64)
+    ent = round_away(np.log2(n) - g["clogc"].to_numpy() / n, 6)
+    out = pd.DataFrame({
+        "source": [None if s == _NULL_KEY else s for s in g["source"]],
+        "entropy": ent})
+    return out.sort_values("source", na_position="last").reset_index(drop=True)
