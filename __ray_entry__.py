@@ -252,6 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q115_max_concurrency": relational.q_max_concurrency,
         "q116_event_transitions": relational.q_event_transitions,
         "q117_source_entropy": textops.q_source_entropy,
+        "q118_sliding_distinct_users": relational.q_sliding_distinct_users,
+        "q119_supplier_cooccurrence": relational.q_supplier_cooccurrence,
+        "q120_custkeys_except_all": relational.q_custkeys_except_all,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1292,6 +1295,35 @@ def oracle_sql() -> dict[str, str]:
                    round(log2(t.n) - sum(c * log2(c)) / t.n, 6) AS entropy
             FROM cnt JOIN tot t ON cnt.source IS NOT DISTINCT FROM t.source
             GROUP BY t.source, t.n ORDER BY t.source
+        """,
+        "q118_sliding_distinct_users": """
+            WITH hu AS (SELECT DISTINCT date_trunc('hour', ts) AS h,
+                                        user_id
+                        FROM events
+                        WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            hrs AS (SELECT DISTINCT h FROM hu),
+            w AS (SELECT DISTINCT hrs.h AS wh, hu.user_id
+                  FROM hu JOIN hrs
+                    ON hu.h BETWEEN hrs.h - INTERVAL 2 HOUR AND hrs.h)
+            SELECT CAST(epoch(wh) AS BIGINT) AS hour_start,
+                   count(*)::BIGINT AS n_users
+            FROM w GROUP BY wh ORDER BY wh
+        """,
+        "q119_supplier_cooccurrence": """
+            WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                        FROM lineitem
+                        WHERE l_partkey IS NOT NULL
+                          AND l_suppkey IS NOT NULL)
+            SELECT a.s AS s1, b.s AS s2, count(*)::BIGINT AS shared_parts
+            FROM ps a JOIN ps b ON a.p = b.p AND a.s < b.s
+            GROUP BY 1, 2 HAVING count(*) >= 2
+            ORDER BY shared_parts DESC, s1, s2 LIMIT 100
+        """,
+        "q120_custkeys_except_all": """
+            SELECT o_custkey AS custkey FROM orders
+            EXCEPT ALL
+            SELECT c_custkey FROM customer
+            ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

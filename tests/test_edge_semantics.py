@@ -150,3 +150,39 @@ def test_event_transitions_tie_order(ray_session, tmp_path):
     out = q_event_transitions(str(tmp_path))
     got = {(r.src, r.dst): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "c"): 1}  # id tiebreak; no 1→2 hop
+
+
+def test_sliding_distinct_users_window(ray_session, tmp_path):
+    """q118: a user native to hour h counts in windows h, h+1, h+2 —
+    but only hours that have native events emit a row, and a user seen
+    in two source hours of one window counts once."""
+    from web_scrapper_ray.pipelines.relational import q_sliding_distinct_users
+
+    H = 3_600_000_000
+    t = pa.table({
+        # u1 in hours 0 and 1; u2 in hour 0; hour 3 has only u3
+        "ts": pa.array([1, 2, H + 1, 3 * H + 1], pa.timestamp("us")),
+        "user_id": pa.array([1, 2, 1, 3], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_sliding_distinct_users(str(tmp_path))
+    got = dict(zip(out["hour_start"] // 3600, out["n_users"]))
+    # hour 0: {1,2}; hour 1: {1,2} (hour-0 carry) ∪ {1} = {1,2};
+    # hour 2 has no native events → NO row; hour 3: {1 (from h1), 3}
+    assert got == {0: 2, 1: 2, 3: 2}
+
+
+def test_except_all_bag_multiplicity(ray_session, tmp_path):
+    """q120: max(m−n, 0) copies per key, NULLs meet like the set ops."""
+    from web_scrapper_ray.pipelines.relational import q_custkeys_except_all
+
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([7, 7, 7, 8, None, None], pa.int64())}),
+        str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([7, 9, None], pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    out = q_custkeys_except_all(str(tmp_path))
+    vals = out["custkey"].tolist()
+    assert vals[:3] == [7.0, 7.0, 8.0] and len(vals) == 4
+    assert np.isnan(vals[3])  # 2 NULLs − 1 NULL = 1 NULL, ordered last

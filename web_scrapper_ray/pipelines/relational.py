@@ -3301,3 +3301,229 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
            .groupby(["src", "dst"], as_index=False)["n"].sum())
     out["n"] = out["n"].astype(np.int64)
     return (out.sort_values(["src", "dst"]).reset_index(drop=True))
+
+
+def q_sliding_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Sliding-window COUNT DISTINCT: distinct users seen in the
+    3-hour window [h−2h, h] for every hour h that has events — the
+    streaming-dashboard op where naive per-window recount scans each
+    row W times. Shape: per-batch distinct (hour, user) combiner →
+    explode each pair to its ≤3 window hours (orig flag marks the
+    native hour) → ONE raw-task exchange keyed (window-hour, user) so
+    every copy of a pair meets exactly one merge task → per-bucket
+    distinct + per-hour partial counts (rows = hours × buckets to the
+    driver, never users). NULL ts/user are out of contract (oracle
+    WHERE); window hours with no native event are not emitted (the
+    oracle joins against the distinct-hour set)."""
+    P = 32
+    HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    _E = pa.table({"wh": pa.array([], pa.int64()),
+                   "u": pa.array([], pa.int64()),
+                   "orig": pa.array([], pa.int8()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.is_valid(t.column("user_id")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return _E
+        h = np.floor_divide(pc.cast(t.column("ts"), pa.int64()).to_numpy(),
+                            HOUR)
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        hu = pd.DataFrame({"h": h, "u": u}).drop_duplicates()
+        h, u = hu["h"].to_numpy(), hu["u"].to_numpy()
+        n = len(h)
+        wh = np.concatenate([h, h + 1, h + 2])
+        uu = np.concatenate([u, u, u])
+        orig = np.r_[np.ones(n, np.int8), np.zeros(2 * n, np.int8)]
+        b = ((mix64(uu.view(np.uint64))
+              + wh.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+             % np.uint64(P)).astype(np.int64)
+        return pa.table({"wh": pa.array(wh), "u": pa.array(uu),
+                         "orig": pa.array(orig), "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"wh": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "has": pd.Series(dtype="int8")})
+        t = pa.concat_tables(live)
+        wh = t.column("wh").to_numpy()
+        u = t.column("u").to_numpy()
+        orig = t.column("orig").to_numpy()
+        order = np.lexsort((1 - orig, u, wh))  # orig=1 first per (wh,u)
+        wh, u, orig = wh[order], u[order], orig[order]
+        first = np.r_[True, (wh[1:] != wh[:-1]) | (u[1:] != u[:-1])]
+        wh, orig = wh[first], orig[first]
+        starts = np.flatnonzero(np.r_[True, wh[1:] != wh[:-1]])
+        return pd.DataFrame({
+            "wh": wh[starts],
+            "n": np.diff(np.r_[starts, len(wh)]).astype(np.int64),
+            "has": np.maximum.reduceat(orig, starts)})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P) if len(p)]
+    empty = pd.DataFrame({"hour_start": pd.Series(dtype="int64"),
+                          "n_users": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("wh", as_index=False).agg(n=("n", "sum"),
+                                            has=("has", "max")))
+    g = g[g["has"] > 0]
+    out = pd.DataFrame({"hour_start": g["wh"].to_numpy() * 3600,
+                        "n_users": g["n"].to_numpy().astype(np.int64)})
+    return out.sort_values("hour_start").reset_index(drop=True)
+
+
+def q_supplier_cooccurrence(sf_dir: str) -> pd.DataFrame:
+    """Top-100 supplier pairs by number of shared parts — the
+    co-occurrence/self-join op (entity pairs through a common key).
+    Two raw-task exchanges: (1) distinct (part, supplier) pairs
+    hash-bucketed by part, per-bucket vectorized self-merge emits
+    s1<s2 pairs with per-bucket pre-counts (suppliers-per-part is
+    bounded — TPC-H ships 4 — so pair fan-out is linear in parts, the
+    documented partitioning assumption); (2) partial counts re-keyed
+    by the PAIR, merged, filtered to ≥2 shared parts, per-bucket
+    top-100, driver folds P×100 rows. NULL part/supplier keys are out
+    of contract on both sides."""
+    P = 32
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    _E1 = pa.table({"p": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_(pc.is_valid(t.column("l_partkey")),
+                       pc.is_valid(t.column("l_suppkey")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return _E1
+        df = pd.DataFrame({
+            "p": t.column("l_partkey").to_numpy(zero_copy_only=False),
+            "s": t.column("l_suppkey").to_numpy(zero_copy_only=False),
+        }).drop_duplicates()
+        p = df["p"].to_numpy().astype(np.int64)
+        return pa.table({
+            "p": pa.array(p),
+            "s": pa.array(df["s"].to_numpy().astype(np.int64)),
+            "bucket": pa.array(
+                (mix64(p.view(np.uint64)) % np.uint64(P)).astype(np.int64))})
+
+    def merge1(*tabs) -> pa.Table:
+        e = pa.table({"s1": pa.array([], pa.int64()),
+                      "s2": pa.array([], pa.int64()),
+                      "c": pa.array([], pa.int64())})
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return e
+        df = (pa.concat_tables(live).to_pandas().drop_duplicates())
+        m = df.merge(df, on="p")
+        m = m[m["s_x"] < m["s_y"]]
+        if not len(m):
+            return e
+        g = m.groupby(["s_x", "s_y"], as_index=False).size()
+        return pa.table({"s1": pa.array(g["s_x"].to_numpy(np.int64)),
+                         "s2": pa.array(g["s_y"].to_numpy(np.int64)),
+                         "c": pa.array(g["size"].to_numpy(np.int64))})
+
+    def split2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"s1": pa.array([], pa.int64()),
+                             "s2": pa.array([], pa.int64()),
+                             "c": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        s1 = t.column("s1").to_numpy()
+        s2 = t.column("s2").to_numpy()
+        b = ((mix64(s1.view(np.uint64))
+              ^ mix64(s2.view(np.uint64))) % np.uint64(P)).astype(np.int64)
+        return t.append_column("bucket", pa.array(b))
+
+    def merge2(*tabs) -> pd.DataFrame:
+        cols = {"s1": pd.Series(dtype="int64"),
+                "s2": pd.Series(dtype="int64"),
+                "shared_parts": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby(["s1", "s2"], as_index=False)["c"].sum())
+        g = g[g["c"] >= 2].rename(columns={"c": "shared_parts"})
+        return (g.sort_values(["shared_parts", "s1", "s2"],
+                              ascending=[False, True, True])
+                .head(100))
+
+    stage1 = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                          split1, merge1, P=P, gather=False)
+    parts = [p for p in hash_shuffle([(r, ()) for r in stage1],
+                                     split2, merge2, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"s1": pd.Series(dtype="int64"),
+                             "s2": pd.Series(dtype="int64"),
+                             "shared_parts": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
+    return (out.sort_values(["shared_parts", "s1", "s2"],
+                            ascending=[False, True, True])
+            .head(100).reset_index(drop=True))
+
+
+def q_custkeys_except_all(sf_dir: str) -> pd.DataFrame:
+    """EXCEPT ALL — BAG difference (q47's set EXCEPT keeps one copy
+    per key; this keeps max(m−n, 0) copies, probed DuckDB semantics:
+    NULLs meet like the set ops, dtype float64 only when a NULL
+    survives). Same one-exchange shape as q46/q47 with per-block
+    VALUE COUNTS as the combiner instead of membership flags — dup
+    keys still never shuffle. Direction is orders−customer so the
+    multiset survives at the base worlds (each key keeps its order
+    count minus one)."""
+    P = 32
+    sides = [("orders", "o_custkey", 0), ("customer", "c_custkey", 1)]
+
+    def split(block: pa.Table, col: str, side: int) -> pa.Table:
+        if block.num_rows == 0 or col not in block.schema.names:
+            keys = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        else:
+            vc = pc.value_counts(pc.fill_null(block.column(col), _NULL_INT))
+            keys = vc.field("values").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cnt = vc.field("counts").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(keys), np.int64)
+        return pa.table({
+            "custkey": pa.array(keys),
+            "nc": pa.array(cnt if side == 0 else z),
+            "no": pa.array(cnt if side == 1 else z),
+            "bucket": pa.array(
+                (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"custkey": pd.Series(dtype="int64")})
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("custkey", as_index=False).sum())
+        rep = np.clip(g["nc"].to_numpy() - g["no"].to_numpy(), 0, None)
+        return pd.DataFrame(
+            {"custkey": np.repeat(g["custkey"].to_numpy(), rep)})
+
+    inputs = []
+    for table, col, side in sides:
+        inputs += [(r, (col, side))
+                   for r in _read(sf_dir, table, columns=[col]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(inputs, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"custkey": pd.Series(dtype="int64")})
+    out = _restore_null_int(pd.concat(parts, ignore_index=True), "custkey")
+    return (out.sort_values("custkey", na_position="last")
+            .reset_index(drop=True))
