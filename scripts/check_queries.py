@@ -39,7 +39,17 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].round(9)
         elif str(df[c].dtype) == "bool":
             df[c] = df[c].astype(bool)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+    # pandas MULTI-column sort factorizes object keys through its
+    # NUL-terminated string hash table, so 'fz' and 'fz\x00nul' tie and
+    # fall back to input order — sort on a hex encoding instead (two
+    # lowercase hex chars per byte preserves byte order exactly)
+    keys = {}
+    for c in df.columns:
+        keys[c] = (df[c].map(lambda v: v.encode("utf-8",
+                                                "surrogatepass").hex())
+                   if df[c].dtype == object else df[c])
+    order = pd.DataFrame(keys).sort_values(list(df.columns)).index
+    return df.loc[order].reset_index(drop=True)
 
 
 def main() -> int:

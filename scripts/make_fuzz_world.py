@@ -92,6 +92,21 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "props": jprops,
     })
 
+    # negative + NULL event_ids (SQL % is TRUNCATED — numpy's floored
+    # % gave negative ids a different q115 interval; NULL ids are
+    # invisible to q110's min() and q116's tiebreak) and an
+    # embedded-NUL event_type that is a NUL-prefix pair with 'fz'
+    # (pandas hashes strings as C strings — groupby/factorize/
+    # drop_duplicates silently merge the pair, DuckDB keys on bytes)
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": [-3, -8, None, 900401, 900402, 900403, 900404],
+        "ts": [ts(1_700_003_700 + 60 * i) for i in range(7)],
+        "user_id": [30, 30, 31, 31, 32, 32, 32],
+        "event_type": ["fz_neg", "fz_neg", "fz_neg",
+                       "fz\x00nul", "fz", "fz\x00nul", "fz"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 6.0],
+    })
+
     # q92's zero-valid-pair class: a type whose every row has a NULL in
     # the (ts, value) pair — GROUP BY still emits it (regr_count=0,
     # NULL slope/icept/r2); engines that pre-filter drop the group
@@ -202,6 +217,19 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "lang": [None, "en", "", "fr", "en", "en", None],
         "source": ["fz", None, "fz", "", "fz", "fz", "fz"],
         "n_chars": [None, 0, 3, 20, 19, 19, 1],
+    })
+
+    # NULL source WITH tokens (a NULL-source doc must form its own
+    # group — pandas' NUL-terminated string hashing merged the \x00
+    # sentinel with the real '' source above until q117's code-keyed
+    # groupby), plus an embedded-NUL source that is a NUL-prefix pair
+    # with the existing 'fz' source (the same hashing merges those)
+    tabs["documents"] = _rows(tabs["documents"], {
+        "doc_id": [900008, 900009],
+        "text": ["null source tokens here", "nul embedded source doc"],
+        "lang": ["en", "en"],
+        "source": [None, "fz\x00x"],
+        "n_chars": [23, 23],
     })
 
     # embeddings: NULL vector, NULL label, zero vector, duplicate ids

@@ -186,3 +186,20 @@ def test_except_all_bag_multiplicity(ray_session, tmp_path):
     vals = out["custkey"].tolist()
     assert vals[:3] == [7.0, 7.0, 8.0] and len(vals) == 4
     assert np.isnan(vals[3])  # 2 NULLs − 1 NULL = 1 NULL, ordered last
+
+
+def test_factorize_strings_nul_safety():
+    """pandas' string hash table truncates at NUL — the shared helper
+    must key on full bytes and preserve first-occurrence uniques."""
+    from web_scrapper_ray.pipelines.pairs import factorize_strings
+
+    c, u = factorize_strings(pd.Series(["a\x00b", "a", "a\x00b", "", None]),
+                             use_na_sentinel=False)
+    assert list(c) == [0, 1, 0, 2, 3]
+    assert list(u[:3]) == ["a\x00b", "a", ""] and pd.isna(u[3])
+    # sentinel-vs-empty: the \x00-prefixed NULL sentinel is distinct
+    c2, u2 = factorize_strings(pd.Series(["\x00<null>", "", "x"]))
+    assert len(set(c2)) == 3
+    # fast path (no NULs) must behave exactly like pd.factorize
+    c3, u3 = factorize_strings(pd.Series(["q", "p", "q", None]))
+    assert list(c3) == [0, 1, 0, -1] and list(u3) == ["q", "p"]

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import hash_shuffle, mix64
+from .pairs import factorize_strings, hash_shuffle, mix64
 from .relational import _NULL_KEY
 
 _TOKEN_RX = re.compile(r"\w+")
@@ -383,7 +383,7 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
         # self-merge can be tens of millions of rows — factorize string
         # ids to int codes and merge on ONE int64 key; strings reappear
         # only for the (few) pairs that survive the hamming filter.
-        codes, uniq = pd.factorize(g["image_id"])
+        codes, uniq = factorize_strings(g["image_id"])
         key = ((g["band"].to_numpy().astype(np.int64) << 16)
                | g["val"].to_numpy().astype(np.int64))
         df = pd.DataFrame({"k": key, "c": codes.astype(np.int64),

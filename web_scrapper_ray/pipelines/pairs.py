@@ -46,6 +46,47 @@ def round_away(a, ndigits: int) -> np.ndarray:
     return np.where(np.isfinite(ax), out, a)
 
 
+def str_u64(s: str) -> int:
+    """Stable 64-bit string hash (blake2b, big-endian) for cross-worker
+    bucketing — Python's ``hash()`` is per-process salted and pandas'
+    string hash table truncates at embedded NULs."""
+    import hashlib
+
+    return int.from_bytes(
+        hashlib.blake2b(s.encode("utf-8", "surrogatepass"),
+                        digest_size=8).digest(), "big")
+
+
+def factorize_strings(values, use_na_sentinel: bool = True):
+    """``pd.factorize`` twin that keys on FULL string bytes.
+
+    pandas' StringHashTable hashes object strings as NUL-terminated C
+    strings, so ``factorize(['a\\x00b', 'a'])`` silently merges the two
+    keys (probed; same for groupby / drop_duplicates on string
+    columns). DuckDB keys exactly on the bytes ('a' < 'a\\x00b' as
+    distinct groups, probed) — parity-relevant wherever a group key can
+    carry a NUL. Fast path is plain pd.factorize; only when a NUL is
+    actually present does the escape path factorize a hex encoding and
+    map codes back to the ORIGINAL first-occurrence uniques."""
+    s = values if isinstance(values, pd.Series) else pd.Series(values,
+                                                               dtype=object)
+    mask = s.notna()
+    has_nul = bool(mask.any()) and bool(
+        s[mask].str.contains("\x00", regex=False).any())
+    if not has_nul:
+        return pd.factorize(s, use_na_sentinel=use_na_sentinel)
+    trans = s.where(~mask, s[mask].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex()))
+    codes, _ = pd.factorize(trans, use_na_sentinel=use_na_sentinel)
+    ucodes, first_idx = np.unique(codes, return_index=True)
+    if use_na_sentinel:
+        first_idx = first_idx[ucodes >= 0]
+    # codes are assigned in first-appearance order, so code i's first
+    # occurrence position recovers the original string for slot i
+    uniques = pd.Index(s.to_numpy(dtype=object)[first_idx], dtype=object)
+    return codes, uniques
+
+
 def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
                  P: int = 32, gather: bool = True) -> list:
     """Raw-task hash exchange shared by the near-dup/set-op operators:

@@ -20,7 +20,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import hash_shuffle, mix64, round_away
+from .pairs import (factorize_strings, hash_shuffle, mix64,
+                    round_away, str_u64)
 
 
 def _read(sf_dir: str, table: str, columns=None):
@@ -382,14 +383,21 @@ def q_docs_by_lang_source(sf_dir: str) -> pd.DataFrame:
                              "source": pd.Series(dtype="object"),
                              "n_docs": pd.Series(dtype="int64"),
                              "total_chars": pd.Series(dtype="int64")})
-    out = (parts.groupby(["lang", "source"], dropna=False, as_index=False)
+    # code-keyed fold: pandas string groupby merges NUL-prefix keys
+    # (factorize_strings doc); NaN codes keep NULL keys their own group
+    cl, ul = factorize_strings(parts["lang"], use_na_sentinel=False)
+    cs, us = factorize_strings(parts["source"], use_na_sentinel=False)
+    out = (parts.assign(_cl=cl, _cs=cs)
+           .groupby(["_cl", "_cs"], as_index=False)
            .agg(n_docs=("n", "sum"), total_chars=("s", "sum"),
                 nv=("nv", "sum")))
+    out["lang"] = ul.to_numpy()[out["_cl"].to_numpy()]
+    out["source"] = us.to_numpy()[out["_cs"].to_numpy()]
     # SQL sum over an all-NULL group is NULL (→ float64 w/ NaN after
     # the ::BIGINT cast lands in pandas); pandas int sums would say 0
     if (out["nv"] == 0).any():
         out.loc[out["nv"] == 0, "total_chars"] = np.nan
-    out = out.drop(columns=["nv"])
+    out = out.drop(columns=["nv", "_cl", "_cs"])
     for c in ("lang", "source"):
         out[c] = out[c].astype(object).where(out[c].notna(), None)
     return out.sort_values(["lang", "source"],
@@ -779,17 +787,21 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
         ts = m["order_t"].astype("datetime64[s]").astype("int64").astype("float64")
         ts[m["t_null"].astype(bool)] = np.nan  # matched a NULL-date order
         return pd.DataFrame({
-            "event_id": m["event_id"].astype("int64"),
+            # event_id can be NULL (float64+NaN through pandas) — the
+            # driver restores int64 only when the whole column is
+            # NULL-free, same as last_order_ts
+            "event_id": m["event_id"].astype("float64"),
             "user_id": m["key"].astype("int64"),
             "last_order_ts": ts,
         })
 
     out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas").to_pandas()
-    out = out.sort_values("event_id").reset_index(drop=True)
-    if out["last_order_ts"].notna().all():
-        # dtype parity: DuckDB epoch()::BIGINT arrives int64 when
-        # NULL-free, float64 (NaN) otherwise
-        out["last_order_ts"] = out["last_order_ts"].astype("int64")
+    out = out.sort_values("event_id", na_position="last").reset_index(drop=True)
+    for col in ("event_id", "last_order_ts"):
+        if out[col].notna().all():
+            # dtype parity: DuckDB nullable BIGINT arrives int64 when
+            # NULL-free, float64 (NaN) otherwise
+            out[col] = out[col].astype("int64")
     return out
 
 
@@ -826,7 +838,10 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
                 .rolling(window, min_periods=1).mean()
                 .reset_index(level=0, drop=True).round(4))
         return pd.DataFrame({
-            "event_id": g["event_id"].astype("int64"),
+            # NULL event_ids survive as float64+NaN; int64 is restored
+            # at the driver only when the column is NULL-free (DuckDB
+            # nullable-BIGINT dtype parity)
+            "event_id": g["event_id"].astype("float64"),
             "user_id": g["user_id"],
             "rolling_avg": avg,
         })
@@ -837,7 +852,10 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
         .map_groups(roll_bucket, batch_format="pandas")
         .to_pandas()
     )
-    return out.sort_values("event_id").reset_index(drop=True)
+    out = out.sort_values("event_id", na_position="last").reset_index(drop=True)
+    if out["event_id"].notna().all():
+        out["event_id"] = out["event_id"].astype("int64")
+    return out
 
 
 def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
@@ -1144,12 +1162,14 @@ def q_event_anomaly(sf_dir: str) -> pd.DataFrame:
         if not pc.all(keep).as_py():
             batch = batch.filter(keep)
         hrs = _hour_start(batch.column("ts"))
-        df = pd.DataFrame({"event_type": batch.column("event_type").to_pandas(),
-                           "h": hrs.to_pandas()})
-        g = (df.groupby(["event_type", "h"], sort=False)
-             .size().reset_index(name="n"))
-        return pa.table({"event_type": pa.Array.from_pandas(
-                             g["event_type"], type=pa.string()),
+        typ = batch.column("event_type").to_pandas()
+        # NUL-safe codes: pandas string groupby hashes C strings and
+        # would merge a NUL-prefix type pair (factorize_strings doc)
+        code, uniq = factorize_strings(typ)
+        df = pd.DataFrame({"c": code, "h": hrs.to_pandas()})
+        g = df.groupby(["c", "h"], sort=False).size().reset_index(name="n")
+        return pa.table({"event_type": pa.array(
+                             uniq.to_numpy()[g["c"].to_numpy()], pa.string()),
                          "hour_start": pa.Array.from_pandas(g["h"],
                                                             type=pa.int64()),
                          "n": pa.array(g["n"].to_numpy().astype(np.int64))})
@@ -1162,10 +1182,12 @@ def q_event_anomaly(sf_dir: str) -> pd.DataFrame:
             "flagged": pd.Series(dtype="bool")}
     if parts.empty:
         return pd.DataFrame(cols)
-    b = (parts.groupby(["event_type", "hour_start"],
-                       as_index=False)["n"].sum())
+    code, uniq = factorize_strings(parts["event_type"])
+    b = (parts.assign(_c=code)
+         .groupby(["_c", "hour_start"], as_index=False)["n"].sum())
+    b["event_type"] = uniq.to_numpy()[b["_c"].to_numpy()]
     outs = []
-    for et, grp in b.groupby("event_type"):
+    for _, grp in b.groupby("_c"):
         n = grp["n"].to_numpy().astype(np.float64)
         mu = n.mean()
         var = (n * n).mean() - mu * mu  # the oracle's avg(n*n)-avg(n)^2
@@ -1216,15 +1238,22 @@ def q_rollup_docs(sf_dir: str) -> pd.DataFrame:
                              "lvl": pd.array([3], dtype="int64"),
                              "n_docs": pd.array([0], dtype="int64"),
                              "sum_chars": [np.nan]})
-    leaf = (parts.groupby(["lang", "source"], dropna=False, as_index=False)
+    # code-keyed folds: pandas string groupby merges NUL-prefix keys
+    cl, ul = factorize_strings(parts["lang"], use_na_sentinel=False)
+    cs, us = factorize_strings(parts["source"], use_na_sentinel=False)
+    leaf = (parts.assign(_cl=cl, _cs=cs)
+            .groupby(["_cl", "_cs"], as_index=False)
             .agg(n_docs=("n_docs", "sum"),
                  sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
+    leaf["lang"] = ul.to_numpy()[leaf["_cl"].to_numpy()]
+    leaf["source"] = us.to_numpy()[leaf["_cs"].to_numpy()]
     leaf["lvl"] = 0
     # min_count=1 keeps an all-NULL-chars subtotal as NULL (SQL sum
     # semantics) instead of pandas' silent 0
-    by_lang = (leaf.groupby("lang", dropna=False, as_index=False)
+    by_lang = (leaf.groupby("_cl", as_index=False)
                .agg(n_docs=("n_docs", "sum"),
                     sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
+    by_lang["lang"] = ul.to_numpy()[by_lang["_cl"].to_numpy()]
     by_lang["source"] = None
     by_lang["lvl"] = 1
     grand = pd.DataFrame({"lang": [None], "source": [None], "lvl": [3],
@@ -1546,8 +1575,13 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
                 "xmin": x.min(), "xmax": x.max(),
                 "ymin": y.min(), "ymax": y.max()})
 
-        g = (df.groupby("event_type", dropna=False)
+        # code-keyed groupby: pandas string groupby hashes
+        # NUL-terminated C strings (factorize_strings doc)
+        codes, uniq = factorize_strings(df["event_type"],
+                                        use_na_sentinel=False)
+        g = (df.assign(_c=codes).groupby("_c")
              .apply(mom, include_groups=False).reset_index())
+        g["event_type"] = uniq.to_numpy()[g["_c"].to_numpy()]
         return pa.table({"event_type": pa.Array.from_pandas(
                              g["event_type"], type=pa.string()),
                          **{c: pa.array(g[c].to_numpy()
@@ -1586,8 +1620,11 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
                           "xmin": g["xmin"].min(), "xmax": g["xmax"].max(),
                           "ymin": g["ymin"].min(), "ymax": g["ymax"].max()})
 
-    m = (parts.groupby("event_type", dropna=False)
+    pcodes, puniq = factorize_strings(parts["event_type"],
+                                      use_na_sentinel=False)
+    m = (parts.assign(_c=pcodes).groupby("_c")
          .apply(chan_merge, include_groups=False).reset_index())
+    m["event_type"] = puniq.to_numpy()[m["_c"].to_numpy()]
     n = m["n"].to_numpy()
     mx, my = m["mx"].to_numpy(), m["my"].to_numpy()
     with np.errstate(invalid="ignore", divide="ignore"):
@@ -2182,7 +2219,7 @@ def q_next_event_gap(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame(cols)
         t = pa.concat_tables(live)
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        code = pd.factorize(t.column("event_type").to_pandas())[0]
+        code = factorize_strings(t.column("event_type").to_pandas())[0]
         ts = t.column("ts").to_numpy(zero_copy_only=False)
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts, code, uid))
@@ -2246,11 +2283,19 @@ def q_mode_per_user(sf_dir: str) -> pd.DataFrame:
         if not live:
             return pd.DataFrame(cols)
         df = pa.concat_tables(live).to_pandas()
-        df = (df.groupby(["user_id", "event_type"], as_index=False)
-              .agg(n=("n", "sum")))
-        df = df.sort_values(["user_id", "n", "event_type"],
-                            ascending=[True, False, True],
-                            kind="mergesort")
+        # group on NUL-safe codes (pandas string groupby merges
+        # NUL-prefix type pairs — factorize_strings doc), and build the
+        # multi-key order as CHAINED stable single-column sorts: the
+        # multi-column sort_values factorizes object keys through the
+        # same broken hash table, while a single-column object sort is
+        # comparison-based and exact
+        cs, us = factorize_strings(df["event_type"])
+        df = (df.assign(_c=cs)
+              .groupby(["user_id", "_c"], as_index=False).agg(n=("n", "sum")))
+        df["event_type"] = us.to_numpy()[df["_c"].to_numpy()]
+        df = (df.sort_values("event_type", kind="mergesort")
+              .sort_values("n", ascending=False, kind="mergesort")
+              .sort_values("user_id", kind="mergesort"))
         top = df[~df["user_id"].duplicated()]
         return pd.DataFrame({"user_id": top["user_id"].to_numpy(),
                              "mode_type": top["event_type"].to_numpy(),
@@ -2304,7 +2349,7 @@ def _grouped_order_stats(ds, ranks_of, bins: int = 256,
             t = t.filter(keep)
         if t.num_rows == 0:
             return {}
-        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        codes, uniq = factorize_strings(t.column("event_type").to_pandas())
         v = t.column("value").to_numpy(zero_copy_only=False)
         out = {}
         for ci, name in enumerate(uniq):
@@ -2352,7 +2397,7 @@ def _grouped_order_stats(ds, ranks_of, bins: int = 256,
         (hist, mins, maxs)."""
         if t.num_rows == 0 or "event_type" not in t.schema.names:
             return {}
-        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        codes, uniq = factorize_strings(t.column("event_type").to_pandas())
         v = t.column("value").to_numpy(zero_copy_only=False)
         lookup = {name: ci for ci, name in enumerate(uniq)}
         out = {}
@@ -2424,7 +2469,7 @@ def _grouped_order_stats(ds, ranks_of, bins: int = 256,
         def block_gather(t: pa.Table, spec: list):
             if t.num_rows == 0 or "event_type" not in t.schema.names:
                 return {}
-            codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+            codes, uniq = factorize_strings(t.column("event_type").to_pandas())
             v = t.column("value").to_numpy(zero_copy_only=False)
             lookup = {name: ci for ci, name in enumerate(uniq)}
             return {(name, lo, hi):
@@ -2712,7 +2757,7 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
         # cross products as numpy blocks (identical-name cliques make
         # a per-id-pair Python loop quadratic-slow: 347-deep cliques ×
         # 12 keys at sf0.1)
-        codes, uniq = pd.factorize(df["name"])
+        codes, uniq = factorize_strings(df["name"])
         df["code"] = codes
         df = df.sort_values("vhash", kind="stable")
         vh = df["vhash"].to_numpy()
@@ -2978,20 +3023,27 @@ def q_argmax_event(sf_dir: str) -> pd.DataFrame:
     < NaN (DuckDB's aggregate order, probed: max returns NaN when one
     exists, ignores NULL unless the group is all-NULL — then the SQL
     twin's IS NOT DISTINCT filter keeps the NULL rows, so argmax is the
-    min id of the group)."""
+    min id of the group). NULL event_ids are invisible to the min()
+    unless every attaining row has one (→ NULL argmax_id, float64
+    column only then — DuckDB nullable-BIGINT parity)."""
     ds = _read(sf_dir, "events", columns=["event_type", "event_id", "value"])
     _E = pa.table({"event_type": pa.array([], pa.string()),
                    "tier": pa.array([], pa.int8()),
                    "val": pa.array([], pa.float64()),
-                   "event_id": pa.array([], pa.int64())})
+                   "event_id": pa.array([], pa.int64()),
+                   "idnull": pa.array([], pa.bool_())})
 
     def best_rows(df: pd.DataFrame) -> pd.DataFrame:
-        # total order: (tier, val) max, ties → min event_id. One sort +
-        # keep-last (dup-drop is ~100× faster than groupby-max on
-        # string keys — CLAUDE.md)
-        df = df.sort_values(["tier", "val", "event_id"],
-                            ascending=[True, True, False])
-        return df.drop_duplicates("event_type", keep="last")
+        # total order: (tier, val) max, ties → min event_id (NULL ids
+        # ride as int64 max so any real id wins the tie). One sort +
+        # keep-last on NUL-safe codes (pandas string drop_duplicates
+        # hashes C strings — factorize_strings doc; dup-drop is ~100×
+        # faster than groupby-max on string keys — CLAUDE.md)
+        code = factorize_strings(df["event_type"], use_na_sentinel=False)[0]
+        df = (df.assign(_tc=code)
+              .sort_values(["tier", "val", "event_id"],
+                           ascending=[True, True, False]))
+        return df.drop_duplicates("_tc", keep="last").drop(columns=["_tc"])
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "event_type" not in t.schema.names:
@@ -3001,6 +3053,7 @@ def q_argmax_event(sf_dir: str) -> pd.DataFrame:
         isnan = np.zeros(len(v), bool)
         np.isnan(v, where=~isnull, out=isnan)
         tier = np.where(isnull, -1, np.where(isnan, 1, 0)).astype(np.int8)
+        eidc = t.column("event_id")
         df = pd.DataFrame({
             "event_type": t.column("event_type").to_pandas(),
             "tier": tier,
@@ -3008,14 +3061,17 @@ def q_argmax_event(sf_dir: str) -> pd.DataFrame:
             # overwritten by the 0.0 arm, so no nan_to_num (which would
             # also clobber ±inf to DBL_MAX and diverge from SQL max())
             "val": np.where(tier == 0, v, 0.0),
-            "event_id": t.column("event_id").to_numpy(zero_copy_only=False)})
+            "event_id": pc.fill_null(eidc, np.iinfo(np.int64).max)
+                          .to_numpy(zero_copy_only=False).astype(np.int64),
+            "idnull": pc.is_null(eidc).to_numpy(zero_copy_only=False)})
         g = best_rows(df)
         return pa.table({
             "event_type": pa.Array.from_pandas(g["event_type"],
                                                type=pa.string()),
             "tier": pa.array(g["tier"].to_numpy(), pa.int8()),
             "val": pa.array(g["val"].to_numpy(), pa.float64()),
-            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64())})
+            "event_id": pa.array(g["event_id"].to_numpy(), pa.int64()),
+            "idnull": pa.array(g["idnull"].to_numpy(), pa.bool_())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
@@ -3024,10 +3080,15 @@ def q_argmax_event(sf_dir: str) -> pd.DataFrame:
                              "argmax_id": pd.Series(dtype="int64")})
     g = best_rows(parts)
     vmax = np.where(g["tier"].to_numpy() == 0, g["val"].to_numpy(), np.nan)
+    eid = g["event_id"].to_numpy()
+    idn = g["idnull"].to_numpy().astype(bool)
+    if idn.any():
+        eid = eid.astype("float64")
+        eid[idn] = np.nan
     out = pd.DataFrame({"event_type": g["event_type"].astype(object).where(
                             g["event_type"].notna(), None),
                         "vmax": vmax,
-                        "argmax_id": g["event_id"].to_numpy()})
+                        "argmax_id": eid})
     return (out.sort_values("event_type", na_position="last")
             .reset_index(drop=True))
 
@@ -3157,13 +3218,20 @@ def q_max_concurrency(sf_dir: str) -> pd.DataFrame:
             return _E
         s = pc.cast(t.column("ts"), pa.int64()).to_numpy()
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
-        e = s + (eid % 7 + 1) * 60_000_000
+        # np.fmod = TRUNCATED modulo like SQL % (numpy's % is floored:
+        # -3 % 7 = 4 vs DuckDB -3 — a negative event_id would get a
+        # different, even negative-length, interval on the two sides)
+        e = s + (np.fmod(eid, 7) + 1) * 60_000_000
         typ = t.column("event_type").to_pandas()
-        # stable per-UNIQUE-type hash (Python hash() is process-salted)
-        codes, uniq = pd.factorize(typ, use_na_sentinel=False)
-        th = np.array([0 if u is None or u is np.nan else int.from_bytes(
-            hashlib.blake2b(str(u).encode(), digest_size=8).digest(), "big")
-            for u in uniq], np.uint64)[codes]
+        # stable per-UNIQUE-type hash (Python hash() is process-salted;
+        # factorize_strings keys on full bytes — plain factorize merges
+        # NUL-embedded types and would split a (type, hour) group
+        # across buckets batch-dependently)
+        codes, uniq = factorize_strings(typ, use_na_sentinel=False)
+        th = np.array([0 if u is None or (isinstance(u, float)
+                                          and np.isnan(u))
+                       else str_u64(u)
+                       for u in uniq], np.uint64)[codes]
         tt = np.concatenate([s, e])
         th2 = np.concatenate([th, th])
         hour = np.floor_divide(tt, HOUR)
@@ -3187,7 +3255,7 @@ def q_max_concurrency(sf_dir: str) -> pd.DataFrame:
                                  "maxpref": pd.Series(dtype="int64")})
         t = pa.concat_tables(live)
         typ = t.column("event_type").to_pandas()
-        code = pd.factorize(typ, use_na_sentinel=False)[0]
+        code = factorize_strings(typ, use_na_sentinel=False)[0]
         hour = t.column("hour").to_numpy()
         tt = t.column("t").to_numpy()
         d = t.column("d").to_numpy().astype(np.int64)
@@ -3211,7 +3279,7 @@ def q_max_concurrency(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_type": pd.Series(dtype="object"),
                              "max_concurrent": pd.Series(dtype="int64")})
     df = pd.concat(parts, ignore_index=True)
-    code, uniq = pd.factorize(df["event_type"], use_na_sentinel=False)
+    code, uniq = factorize_strings(df["event_type"], use_na_sentinel=False)
     order = np.lexsort((df["hour"].to_numpy(), code))
     code = code[order]
     total = df["total"].to_numpy()[order]
@@ -3265,7 +3333,13 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
             return empty
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
         return pa.table({
-            "event_id": pc.cast(t.column("event_id"), pa.int64()),
+            # event_id is ONLY the equal-ts tiebreak here (never output)
+            # — fill NULL with int64 max (sorts last, like SQL NULLS
+            # LAST) so the column stays exact int64 instead of float64
+            # rounding ids >= 2^53
+            "event_id": pc.cast(pc.fill_null(t.column("event_id"),
+                                             np.iinfo(np.int64).max),
+                                pa.int64()),
             "user_id": pc.cast(t.column("user_id"), pa.int64()),
             "event_type": pc.cast(t.column("event_type"), pa.string()),
             "ts": pc.cast(t.column("ts"), pa.int64()),
@@ -3277,7 +3351,7 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame(cols)
         t = pa.concat_tables(live)
         uid = t.column("user_id").to_numpy(zero_copy_only=False)
-        code, uniq = pd.factorize(t.column("event_type").to_pandas())
+        code, uniq = factorize_strings(t.column("event_type").to_pandas())
         ts = t.column("ts").to_numpy(zero_copy_only=False)
         eid = t.column("event_id").to_numpy(zero_copy_only=False)
         order = np.lexsort((eid, ts, uid))
@@ -3297,10 +3371,20 @@ def q_event_transitions(sf_dir: str) -> pd.DataFrame:
         [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
     if not parts:
         return pd.DataFrame(cols)
-    out = (pd.concat(parts, ignore_index=True)
-           .groupby(["src", "dst"], as_index=False)["n"].sum())
+    df = pd.concat(parts, ignore_index=True)
+    # NUL-safe fold + chained stable sorts (see q98: pandas multi-key
+    # groupby/sort factorize strings through a NUL-truncating hash)
+    c1, u1 = factorize_strings(df["src"])
+    c2, u2 = factorize_strings(df["dst"])
+    out = (df.assign(_c1=c1, _c2=c2)
+           .groupby(["_c1", "_c2"], as_index=False)["n"].sum())
+    out["src"] = u1.to_numpy()[out["_c1"].to_numpy()]
+    out["dst"] = u2.to_numpy()[out["_c2"].to_numpy()]
     out["n"] = out["n"].astype(np.int64)
-    return (out.sort_values(["src", "dst"]).reset_index(drop=True))
+    return (out[["src", "dst", "n"]]
+            .sort_values("dst", kind="mergesort")
+            .sort_values("src", kind="mergesort")
+            .reset_index(drop=True))
 
 
 def q_sliding_distinct_users(sf_dir: str) -> pd.DataFrame:
@@ -3486,9 +3570,10 @@ def q_custkeys_except_all(sf_dir: str) -> pd.DataFrame:
     multiset survives at the base worlds (each key keeps its order
     count minus one)."""
     P = 32
-    sides = [("orders", "o_custkey", 0), ("customer", "c_custkey", 1)]
+    sides = [("orders", "o_custkey", "n_keep"),
+             ("customer", "c_custkey", "n_drop")]
 
-    def split(block: pa.Table, col: str, side: int) -> pa.Table:
+    def split(block: pa.Table, col: str, side: str) -> pa.Table:
         if block.num_rows == 0 or col not in block.schema.names:
             keys = np.empty(0, np.int64)
             cnt = np.empty(0, np.int64)
@@ -3501,8 +3586,8 @@ def q_custkeys_except_all(sf_dir: str) -> pd.DataFrame:
         z = np.zeros(len(keys), np.int64)
         return pa.table({
             "custkey": pa.array(keys),
-            "nc": pa.array(cnt if side == 0 else z),
-            "no": pa.array(cnt if side == 1 else z),
+            "n_keep": pa.array(cnt if side == "n_keep" else z),
+            "n_drop": pa.array(cnt if side == "n_drop" else z),
             "bucket": pa.array(
                 (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
         })
@@ -3513,7 +3598,8 @@ def q_custkeys_except_all(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame({"custkey": pd.Series(dtype="int64")})
         g = (pa.concat_tables(live).to_pandas()
              .groupby("custkey", as_index=False).sum())
-        rep = np.clip(g["nc"].to_numpy() - g["no"].to_numpy(), 0, None)
+        rep = np.clip(g["n_keep"].to_numpy() - g["n_drop"].to_numpy(),
+                      0, None)
         return pd.DataFrame(
             {"custkey": np.repeat(g["custkey"].to_numpy(), rep)})
 

@@ -20,7 +20,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .pairs import mix64
+from .pairs import factorize_strings, mix64
 
 _P = 14                      # 2^14 = 16384 registers → ~0.8% typical error
 _M = 1 << _P
@@ -324,7 +324,7 @@ def q_users_per_type_hll(sf_dir: str) -> pd.DataFrame:
             t = t.filter(keep)
         if t.num_rows == 0:
             return acc
-        codes, uniq = pd.factorize(t.column("event_type").to_pandas())
+        codes, uniq = factorize_strings(t.column("event_type").to_pandas())
         keys = t.column("user_id").to_numpy(zero_copy_only=False)
         for ci, name in enumerate(uniq):
             regs = acc.get(name)

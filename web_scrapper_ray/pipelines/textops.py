@@ -897,16 +897,27 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
             "n_docs": pa.array(n, pa.int64()),
         })
 
-    out = (_docs(sf_dir, ["source"])
-           .map_batches(tag, batch_format="pyarrow")
-           .to_pandas()
-           .groupby(["source", "split"], as_index=False, dropna=False)
-           ["n_docs"].sum())  # NULL sources form a group like SQL's
-    # pandas turns the None group key into NaN; restore None so the
-    # object column stringifies like SQL NULL in the driver compare
-    out["source"] = out["source"].where(out["source"].notna(), None)
+    df = (_docs(sf_dir, ["source"])
+          .map_batches(tag, batch_format="pyarrow")
+          .to_pandas())
+    # code-keyed fold: pandas string groupby hashes NUL-terminated C
+    # strings and would merge NUL-prefix source pairs (split is a
+    # derived 3-value string — it can only differ when source differs,
+    # so the source code alone keys the pair)
+    from .pairs import factorize_strings
+
+    codes, uniq = factorize_strings(df["source"], use_na_sentinel=False)
+    out = (df.assign(_c=codes)
+           .groupby(["_c", "split"], as_index=False)["n_docs"].sum())
+    src = uniq.to_numpy()[out["_c"].to_numpy()]
+    out["source"] = [None if (v is None or (isinstance(v, float)
+                                            and np.isnan(v))) else v
+                     for v in src]
     out["n_docs"] = out["n_docs"].astype("int64")
-    return out.sort_values(["source", "split"]).reset_index(drop=True)
+    return (out[["source", "split", "n_docs"]]
+            .sort_values("split", kind="mergesort")
+            .sort_values("source", kind="mergesort", na_position="last")
+            .reset_index(drop=True))
 
 
 def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
@@ -1154,9 +1165,15 @@ def q_source_quality_filter(sf_dir: str) -> pd.DataFrame:
     stats = (_docs(sf_dir, ["source", "text"])
              .map_batches(partial, batch_format="pyarrow")
              .to_pandas())
-    agg = stats.groupby("source", sort=False)[["n", "n_good"]].sum()
-    keep = {s: bool(2 * row.n_good >= row.n)
-            for s, row in agg.iterrows()}
+    # code-keyed fold (pandas string groupby merges NUL-prefix pairs);
+    # the keep map is a Python dict, which hashes full strings exactly
+    from .pairs import factorize_strings
+
+    codes, uniq = factorize_strings(stats["source"])
+    agg = (stats.assign(_c=codes)
+           .groupby("_c", sort=False)[["n", "n_good"]].sum())
+    keep = {uniq[int(c)]: bool(2 * row.n_good >= row.n)
+            for c, row in agg.iterrows()}
     kref = ray.put(keep)
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -1224,13 +1241,17 @@ def q_mix_allocation(sf_dir: str, budget: int = 100_000) -> pd.DataFrame:
         n = pc.fill_null(
             pc.cast(pc.count_substring_regex(batch.column("text"), r"\w+"),
                     pa.int64()), 0)
-        df = pd.DataFrame({"source": batch.column("source").to_pandas(),
-                           "n": n.to_pandas()})
-        g = df.groupby("source", sort=False, dropna=False,
-                       as_index=False)["n"].sum()
-        # from_pandas maps the NaN that dropna=False uses for a NULL
-        # key back to an arrow null (pa.array would raise / mis-type)
-        return pa.table({"source": pa.Array.from_pandas(g["source"],
+        from .pairs import factorize_strings
+
+        # code-keyed (NUL-safe) per-batch fold; NaN code = NULL source
+        codes, uniq = factorize_strings(batch.column("source").to_pandas(),
+                                        use_na_sentinel=False)
+        df = pd.DataFrame({"c": codes, "n": n.to_pandas()})
+        g = df.groupby("c", sort=False, as_index=False)["n"].sum()
+        src = pd.Series(uniq.to_numpy()[g["c"].to_numpy()], dtype=object)
+        # from_pandas maps the NaN that a NULL key rides on back to an
+        # arrow null (pa.array would raise / mis-type)
+        return pa.table({"source": pa.Array.from_pandas(src,
                                                         type=pa.string()),
                          "n_tokens": pa.array(g["n"].to_numpy(), pa.int64())})
 
@@ -1241,11 +1262,18 @@ def q_mix_allocation(sf_dir: str, budget: int = 100_000) -> pd.DataFrame:
         return pd.DataFrame({"source": pd.Series(dtype="object"),
                              "n_tokens": pd.Series(dtype="int64"),
                              "alloc": pd.Series(dtype="int64")})
-    agg = (stats.groupby("source", sort=True, dropna=False, as_index=False)
-           ["n_tokens"].sum())
-    # pandas' dropna=False NULL key is float NaN — restore None so the
-    # output column matches the oracle's NULL-source row
+    from .pairs import factorize_strings
+
+    codes, uniq = factorize_strings(stats["source"], use_na_sentinel=False)
+    agg = (stats.assign(_c=codes)
+           .groupby("_c", as_index=False)["n_tokens"].sum())
+    agg["source"] = pd.Series(uniq.to_numpy()[agg["_c"].to_numpy()],
+                              dtype=object)
+    # restore None for the NULL key; single-column object sort is
+    # comparison-exact (the tie-break below depends on source order)
     agg["source"] = agg["source"].where(agg["source"].notna(), None)
+    agg = (agg.sort_values("source", kind="mergesort", na_position="last")
+           .reset_index(drop=True))
     wt = np.sqrt(agg["n_tokens"].to_numpy().astype(np.float64))
     if wt.sum() == 0:
         # an all-zero-token corpus has no meaningful mixture; 0/0 would
@@ -1857,7 +1885,7 @@ def q_source_entropy(sf_dir: str) -> pd.DataFrame:
     a NULL array emits no rows); an all-NULL source therefore has no
     row. NULL source is its own SQL group — IS NOT DISTINCT join in
     the oracle, sentinel bucket here."""
-    from .pairs import hash_shuffle, round_away
+    from .pairs import factorize_strings, hash_shuffle, round_away
     from .relational import _NULL_KEY
 
     P = 64
@@ -1900,13 +1928,20 @@ def q_source_entropy(sf_dir: str) -> pd.DataFrame:
             return pd.DataFrame({"source": pd.Series(dtype="object"),
                                  "clogc": pd.Series(dtype="float64"),
                                  "n": pd.Series(dtype="int64")})
-        df = (pa.concat_tables(live).to_pandas()
-              .groupby(["source", "term"], as_index=False)["c"].sum())
+        df = pa.concat_tables(live).to_pandas()
+        # group on NUL-safe int codes — pandas' string groupby hashes
+        # NUL-terminated C strings, which would merge the \\x00-prefixed
+        # NULL sentinel with a real '' source (factorize_strings doc)
+        cs, us = factorize_strings(df["source"])
+        ct = factorize_strings(df["term"])[0]
+        df = (df.assign(cs=cs, ct=ct)
+              .groupby(["cs", "ct"], as_index=False)["c"].sum())
         c = df["c"].to_numpy().astype(np.float64)
         df["clogc"] = c * np.log2(c)
-        g = df.groupby("source", as_index=False).agg(
+        g = df.groupby("cs", as_index=False).agg(
             clogc=("clogc", "sum"), n=("c", "sum"))
-        return g
+        g["source"] = us.to_numpy()[g["cs"].to_numpy()]
+        return g[["source", "clogc", "n"]]
 
     parts = [p for p in hash_shuffle(
         [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
@@ -1915,12 +1950,15 @@ def q_source_entropy(sf_dir: str) -> pd.DataFrame:
                           "entropy": pd.Series(dtype="float64")})
     if not parts:
         return empty
-    g = (pd.concat(parts, ignore_index=True)
-         .groupby("source", as_index=False).agg(clogc=("clogc", "sum"),
-                                                n=("n", "sum")))
+    df = pd.concat(parts, ignore_index=True)
+    cs, us = factorize_strings(df["source"])
+    g = (df.assign(cs=cs)
+         .groupby("cs", as_index=False).agg(clogc=("clogc", "sum"),
+                                            n=("n", "sum")))
     n = g["n"].to_numpy().astype(np.float64)
     ent = round_away(np.log2(n) - g["clogc"].to_numpy() / n, 6)
+    src = us.to_numpy()[g["cs"].to_numpy()]
     out = pd.DataFrame({
-        "source": [None if s == _NULL_KEY else s for s in g["source"]],
+        "source": [None if s == _NULL_KEY else s for s in src],
         "entropy": ent})
     return out.sort_values("source", na_position="last").reset_index(drop=True)
