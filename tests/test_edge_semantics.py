@@ -203,3 +203,100 @@ def test_factorize_strings_nul_safety():
     # fast path (no NULs) must behave exactly like pd.factorize
     c3, u3 = factorize_strings(pd.Series(["q", "p", "q", None]))
     assert list(c3) == [0, 1, 0, -1] and list(u3) == ["q", "p"]
+
+
+def test_window_nul_prefix_types_without_null_key(ray_session, tmp_path):
+    """q04/q41 driver folds must NOT merge NUL-prefix type pairs.
+
+    pandas' StringHashTable only escapes to its exact object table when
+    a None is present in the column — a world with 'fz'/'fz\\x00nul'
+    types and NO NULL event_type hits the NUL-truncating fast path, so
+    the fuzz world (which always has NULL types) structurally cannot
+    catch this class (code-review finding, reproduced)."""
+    from web_scrapper_ray.pipelines.relational import (
+        q_events_sliding_window, q_events_window)
+
+    sf = _write(tmp_path, "events", pa.table({
+        "ts": pa.array([1_000_000, 2_000_000, 3_000_000, 4_000_000],
+                       pa.timestamp("us")),
+        "event_type": pa.array(["fz", "fz\x00nul", "fz", "fz\x00nul"]),
+        "value": pa.array([5.0, 4.0, 6.0, 6.0]),
+    }))
+    out = q_events_window(sf)
+    assert len(out) == 2
+    got = {r.event_type: (r.n_events, r.sum_value)
+           for r in out.itertuples()}
+    assert got == {"fz": (2, 11.0), "fz\x00nul": (2, 10.0)}
+    oracle = duckdb.sql(
+        f"""SELECT event_type, count(*) n, round(sum(value), 4) s
+            FROM read_parquet('{sf}/events.parquet')
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert {r.event_type: (r.n, r.s) for r in oracle.itertuples()} == got
+
+    out41 = q_events_sliding_window(sf)
+    # 2 types × 2 sliding windows (0h and −1h) each — count with
+    # Counter, not pandas groupby (the trap under test lives there too)
+    assert len(out41) == 4
+    from collections import Counter
+    assert Counter(out41["event_type"]) == {"fz": 2, "fz\x00nul": 2}
+    assert out41["n_events"].tolist() == [2, 2, 2, 2]
+
+
+def test_big_int64_ids_survive_exchanges(ray_session, tmp_path):
+    """ids ≥ 2^53 must stay exact through NULL-free exchanges: a
+    float64 leg silently rounds 2^53+1 → 2^53 (code-review finding)."""
+    from web_scrapper_ray.pipelines.relational import (
+        q_customer_orders_full_join, q_events_asof_join, q_rolling_avg)
+
+    big = 2 ** 53 + 1
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([big, big + 2], pa.int64()),
+        "ts": pa.array([10_000_000, 20_000_000], pa.timestamp("us")),
+        "user_id": pa.array([1, 1], pa.int64()),
+        "event_type": pa.array(["a", "a"]),
+        "value": pa.array([1.0, 3.0]),
+    }))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_custkey": pa.array([big], pa.int64()),
+        "o_totalprice": pa.array([10.0]),
+        "o_orderdate": pa.array([5_000_000], pa.timestamp("us")),
+    }))
+    sf = _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([big], pa.int64()),
+        "c_mktsegment": pa.array(["SEG"]),
+    }))
+
+    roll = q_rolling_avg(sf)
+    assert roll["event_id"].dtype == np.int64
+    assert roll["event_id"].tolist() == [big, big + 2]
+    assert roll["rolling_avg"].tolist() == [1.0, 2.0]
+
+    asof = q_events_asof_join(sf)
+    assert asof["event_id"].dtype == np.int64
+    # both events see the big-custkey user's order only if user matches;
+    # user 1 has no order → inner asof drops them
+    assert len(asof) == 0 or asof["event_id"].tolist() == [big, big + 2]
+
+    fj = q_customer_orders_full_join(sf)
+    assert fj["custkey"].dtype == np.int64
+    assert fj["custkey"].tolist() == [big]
+    assert fj["n_orders"].tolist() == [1]
+
+
+def test_coded_keys_roundtrip():
+    """shared NUL-safe groupby adapter: codes key on full bytes, restore
+    maps back to originals with None for the NULL key."""
+    from web_scrapper_ray.pipelines.pairs import coded_keys
+
+    df = pd.DataFrame({"k": ["a", "a\x00b", "a", None, ""],
+                       "v": [1, 2, 3, 4, 5]})
+    df2, restore = coded_keys(df, ["k"])
+    assert df2["k"].dtype.kind in "iu"
+    out = df2.groupby("k", as_index=False)["v"].sum()
+    out = restore(out)
+    got = {(None if k is None else k): v
+           for k, v in zip(out["k"], out["v"])}
+    assert got == {"a": 4, "a\x00b": 2, None: 4, "": 5}
+    assert out["k"].dtype == object

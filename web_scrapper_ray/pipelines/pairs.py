@@ -87,6 +87,41 @@ def factorize_strings(values, use_na_sentinel: bool = True):
     return codes, uniques
 
 
+def coded_keys(df: pd.DataFrame, cols: list[str]):
+    """NUL-safe pandas groupby adapter: returns ``(df2, restore)`` where
+    ``df2`` has each string key column in ``cols`` replaced by full-byte
+    int codes (``factorize_strings``, NULL keys keep their own code) and
+    ``restore(out)`` maps those code columns in a result frame back to
+    the original strings (``None`` for the NULL key).
+
+    Use this for ANY driver-side groupby/drop_duplicates on a string
+    key: pandas' StringHashTable hashes object strings as NUL-terminated
+    C strings and silently merges ``'a'`` with ``'a\\x00b'`` (CLAUDE.md
+    parity trap) — grouping on int codes sidesteps it."""
+    df2 = df.copy()
+    luts: dict[str, np.ndarray] = {}
+    for c in cols:
+        codes, uniq = factorize_strings(df[c], use_na_sentinel=False)
+        df2[c] = codes
+        lut = np.array(
+            [None if u is None or (isinstance(u, float) and np.isnan(u))
+             else u for u in np.asarray(uniq, dtype=object)], dtype=object)
+        luts[c] = lut
+
+    def restore(out: pd.DataFrame) -> pd.DataFrame:
+        out = out.copy()
+        for c, lut in luts.items():
+            if c in out.columns and len(out):
+                out[c] = pd.Series(
+                    lut[out[c].to_numpy().astype(np.int64)],
+                    index=out.index, dtype=object)
+            elif c in out.columns:
+                out[c] = out[c].astype(object)
+        return out
+
+    return df2, restore
+
+
 def hash_shuffle(inputs: list, split_fn: Callable, merge_fn: Callable,
                  P: int = 32, gather: bool = True) -> list:
     """Raw-task hash exchange shared by the near-dup/set-op operators:

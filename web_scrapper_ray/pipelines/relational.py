@@ -20,7 +20,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .pairs import (factorize_strings, hash_shuffle, mix64,
+from .pairs import (coded_keys, factorize_strings, hash_shuffle, mix64,
                     round_away, str_u64)
 
 
@@ -39,6 +39,9 @@ _NULL_KEY = "\x00<null>"
 # int-key twin of _NULL_KEY for the raw-task set-op exchange (real keys
 # are non-negative; INT64_MIN can't collide)
 _NULL_INT = np.int64(np.iinfo(np.int64).min)
+# NULLS-LAST int64 sentinel: keeps id columns exact past 2^53 through
+# exchanges where a float64+NaN leg would silently round them
+_IMAX = np.int64(np.iinfo(np.int64).max)
 
 
 def _restore_null_int(df: pd.DataFrame, col: str) -> pd.DataFrame:
@@ -233,6 +236,9 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
                              "window_start": pd.Series(dtype="int64"),
                              "n_events": pd.Series(dtype="int64"),
                              "sum_value": pd.Series(dtype="float64")})
+    # code-keyed fold: pandas' raw string groupby would merge NUL-prefix
+    # type pairs (coded_keys / factorize_strings doc)
+    parts, restore = coded_keys(parts, ["event_type"])
     out = (parts.groupby(["event_type", "window_start"], dropna=False,
                          as_index=False)
            .agg(n_events=("n", "sum"),
@@ -242,10 +248,11 @@ def q_events_window(sf_dir: str) -> pd.DataFrame:
     out.loc[out["nv"] == 0, "sum_value"] = np.nan  # all-NULL group: SQL NULL
     out = out.drop(columns=["nv"])
     out["sum_value"] = out["sum_value"].round(4)
-    # pandas renders NULL keys as NaN; restore None for the string key
-    out["event_type"] = out["event_type"].astype(object).where(
-        out["event_type"].notna(), None)
-    return out.sort_values(["event_type", "window_start"],
+    out = restore(out)
+    # chained stable single-column sorts: multi-key sort_values would
+    # factorize the string key through the NUL-truncating hash
+    out = out.sort_values("window_start", na_position="last")
+    return out.sort_values("event_type", kind="stable",
                            na_position="last").reset_index(drop=True)
 
 
@@ -440,11 +447,14 @@ def q_events_sliding_window(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"event_type": pd.Series(dtype="object"),
                              "window_start": pd.Series(dtype="int64"),
                              "n_events": pd.Series(dtype="int64")})
+    # code-keyed fold + chained stable sorts (coded_keys doc): raw
+    # string groupby/lexsort would merge NUL-prefix type pairs
+    parts, restore = coded_keys(parts, ["event_type"])
     out = (parts.groupby(["event_type", "window_start"], dropna=False,
                          as_index=False).agg(n_events=("n", "sum")))
-    out["event_type"] = out["event_type"].astype(object).where(
-        out["event_type"].notna(), None)
-    return out.sort_values(["event_type", "window_start"],
+    out = restore(out)
+    out = out.sort_values("window_start", na_position="last")
+    return out.sort_values("event_type", kind="stable",
                            na_position="last").reset_index(drop=True)
 
 
@@ -743,13 +753,19 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
         if not pc.all(keep).as_py():
             t = t.filter(keep)
         tcol = pc.fill_null(t.column("ts"), _TMAX)
+        # NULL event_ids ride an int64-max sentinel + flag so ids stay
+        # EXACT past 2^53 (a float64 leg would corrupt them; CLAUDE.md
+        # q116 rule) — the driver restores float64+NaN only when a NULL
+        # is actually present, matching DuckDB's nullable-BIGINT dtype
+        eid = t.column("event_id")
         return pa.table({
             "bucket": pc.cast(pc.bit_wise_and(t.column("user_id"), B - 1), pa.int32()),
             "side": pa.array(["E"] * t.num_rows),
             "key": t.column("user_id"),
             "t": tcol,
             "t_null": pa.array([False] * t.num_rows),
-            "event_id": t.column("event_id"),
+            "event_id": pc.fill_null(eid, _IMAX),
+            "eid_null": pc.is_null(eid),
         })
 
     def tag_od(t: pa.Table) -> pa.Table:
@@ -764,44 +780,61 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
             "t": pc.fill_null(od_col, _TMAX),
             "t_null": pc.is_null(od_col),
             "event_id": pa.array([-1] * t.num_rows, pa.int64()),
+            "eid_null": pa.array([False] * t.num_rows),
         })
 
     both = ev.map_batches(tag_ev, batch_format="pyarrow").union(
         od.map_batches(tag_od, batch_format="pyarrow")
     )
 
+    _EMPTY_ASOF = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                "eid_null": pd.Series(dtype="bool"),
+                                "user_id": pd.Series(dtype="int64"),
+                                "last_order_ts": pd.Series(dtype="float64")})
+
     def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "E"][["key", "t", "event_id"]].sort_values("t")
+        if g.empty or "side" not in g.columns:
+            # schema-less empty blocks flow through the sort groupby
+            return _EMPTY_ASOF.copy()
+        left = g[g["side"] == "E"][["key", "t", "event_id",
+                                    "eid_null"]].sort_values("t")
         # ties at +max: the NULL-substitute sorts LAST so merge_asof's
         # last-tied-row pick mirrors DuckDB's NULLS-LAST partition max
         right = (g[g["side"] == "O"][["key", "t", "t_null"]]
                  .rename(columns={"t": "order_t"})
                  .sort_values(["order_t", "t_null"]))
         if left.empty or right.empty:
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "user_id": pd.Series(dtype="int64"),
-                                 "last_order_ts": pd.Series(dtype="float64")})
+            return _EMPTY_ASOF.copy()
         m = pd.merge_asof(left, right, left_on="t", right_on="order_t",
                           by="key", direction="backward")
         m = m.dropna(subset=["order_t"])  # ASOF JOIN is inner
         ts = m["order_t"].astype("datetime64[s]").astype("int64").astype("float64")
         ts[m["t_null"].astype(bool)] = np.nan  # matched a NULL-date order
         return pd.DataFrame({
-            # event_id can be NULL (float64+NaN through pandas) — the
-            # driver restores int64 only when the whole column is
-            # NULL-free, same as last_order_ts
-            "event_id": m["event_id"].astype("float64"),
+            # event_id stays EXACT int64 (sentinel for NULL); the driver
+            # floats it only when a NULL is actually present
+            "event_id": m["event_id"].astype("int64"),
+            "eid_null": m["eid_null"].astype(bool),
             "user_id": m["key"].astype("int64"),
             "last_order_ts": ts,
         })
 
     out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas").to_pandas()
-    out = out.sort_values("event_id", na_position="last").reset_index(drop=True)
-    for col in ("event_id", "last_order_ts"):
-        if out[col].notna().all():
-            # dtype parity: DuckDB nullable BIGINT arrives int64 when
-            # NULL-free, float64 (NaN) otherwise
-            out[col] = out[col].astype("int64")
+    if out.empty or "event_id" not in out.columns:
+        # an all-empty-group result can arrive column-less
+        return _EMPTY_ASOF.drop(columns=["eid_null"]).copy()
+    # sentinel int64-max sorts last = the NULLS-LAST order the float
+    # path used to get from NaN
+    out = out.sort_values("event_id").reset_index(drop=True)
+    if out["eid_null"].any():
+        ev = out["event_id"].to_numpy().astype("float64")
+        ev[out["eid_null"].to_numpy()] = np.nan
+        out["event_id"] = ev
+    out = out.drop(columns=["eid_null"])
+    if out["last_order_ts"].notna().all():
+        # dtype parity: DuckDB nullable BIGINT arrives int64 when
+        # NULL-free, float64 (NaN) otherwise
+        out["last_order_ts"] = out["last_order_ts"].astype("int64")
     return out
 
 
@@ -826,22 +859,33 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
         if t.num_rows and "value" in t.schema.names:
             v = t.column("value")
             t = t.filter(pc.fill_null(pc.is_finite(v), True))
+        if "event_id" in t.schema.names:
+            # int64-max sentinel keeps ids EXACT past 2^53 through the
+            # pandas leg (sorts last = NULLS LAST, CLAUDE.md q116 rule)
+            eid = t.column("event_id")
+            t = t.set_column(t.schema.get_field_index("event_id"),
+                             "event_id", pc.fill_null(eid, _IMAX))
+            t = t.append_column("eid_null", pc.is_null(eid))
         return t.append_column(
             "bucket",
             pc.cast(pc.fill_null(pc.bit_wise_and(t.column("user_id"),
                                                  B - 1), 0), pa.int32()))
 
     def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        if g.empty or "event_id" not in g.columns:
+            # schema-less empty blocks flow through the sort groupby
+            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                                 "eid_null": pd.Series(dtype="bool"),
+                                 "user_id": pd.Series(dtype="int64"),
+                                 "rolling_avg": pd.Series(dtype="float64")})
         g = g.sort_values(["user_id", "ts", "event_id"],
                           na_position="last")
         avg = (g.groupby("user_id", dropna=False)["value"]
                 .rolling(window, min_periods=1).mean()
                 .reset_index(level=0, drop=True).round(4))
         return pd.DataFrame({
-            # NULL event_ids survive as float64+NaN; int64 is restored
-            # at the driver only when the column is NULL-free (DuckDB
-            # nullable-BIGINT dtype parity)
-            "event_id": g["event_id"].astype("float64"),
+            "event_id": g["event_id"].astype("int64"),
+            "eid_null": g["eid_null"].astype(bool),
             "user_id": g["user_id"],
             "rolling_avg": avg,
         })
@@ -852,10 +896,14 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
         .map_groups(roll_bucket, batch_format="pandas")
         .to_pandas()
     )
-    out = out.sort_values("event_id", na_position="last").reset_index(drop=True)
-    if out["event_id"].notna().all():
-        out["event_id"] = out["event_id"].astype("int64")
-    return out
+    out = out.sort_values("event_id").reset_index(drop=True)
+    if out["eid_null"].any():
+        # DuckDB nullable-BIGINT dtype parity: float64+NaN only when a
+        # NULL id is actually present
+        ev = out["event_id"].to_numpy().astype("float64")
+        ev[out["eid_null"].to_numpy()] = np.nan
+        out["event_id"] = ev
+    return out.drop(columns=["eid_null"])
 
 
 def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
@@ -2965,20 +3013,27 @@ def q_customer_orders_full_join(sf_dir: str) -> pd.DataFrame:
         m = cust[~cust["knull"]][["custkey", "seg"]].merge(
             oagg[~oagg["knull"]].drop(columns=["knull"]),
             on="custkey", how="outer")
+        # keys stay EXACT (object ints, never a float64 leg — a key
+        # >= 2^53 would silently round); the driver floats the column
+        # only when a NULL key is actually present, like DuckDB's
+        # nullable-BIGINT arrival dtype
+        m["custkey"] = m["custkey"].astype(object)
         parts.append(m)
         c_null = cust[cust["knull"]]
         if len(c_null):
             parts.append(pd.DataFrame({
-                "custkey": np.nan, "seg": c_null["seg"].to_numpy(),
+                "custkey": np.full(len(c_null), None, dtype=object),
+                "seg": c_null["seg"].to_numpy(),
                 "n_orders": np.nan, "total_price": np.nan}))
         o_null = oagg[oagg["knull"]]
         if len(o_null):
             parts.append(pd.DataFrame({
-                "custkey": np.nan, "seg": None,
+                "custkey": np.full(len(o_null), None, dtype=object),
+                "seg": None,
                 "n_orders": o_null["n_orders"].to_numpy().astype(np.float64),
                 "total_price": o_null["total_price"].to_numpy()}))
         out = pd.concat(parts, ignore_index=True)
-        out["custkey"] = out["custkey"].astype("float64")
+        out["custkey"] = out["custkey"].astype(object)
         out["n_orders"] = out["n_orders"].astype("float64")
         out["total_price"] = round_away(
             out["total_price"].to_numpy().astype(np.float64), 4)
@@ -3006,12 +3061,20 @@ def q_customer_orders_full_join(sf_dir: str) -> pd.DataFrame:
     out["c_mktsegment"] = out["c_mktsegment"].astype(object).where(
         out["c_mktsegment"].notna(), None)
     # DuckDB→pandas dtype parity: nullable BIGINT arrives float64 only
-    # when a NULL is actually present
+    # when a NULL is actually present (custkey rode the exchange as
+    # exact object ints, so the NULL-free restore is exact past 2^53)
     for col in ("custkey", "n_orders"):
         if out[col].notna().all():
             out[col] = out[col].astype("int64")
-    return (out.sort_values(["custkey", "c_mktsegment", "n_orders"],
-                            na_position="last")
+        else:
+            out[col] = out[col].astype("float64")
+    # chained stable single-column sorts: a multi-key sort_values
+    # factorizes the string segment through the NUL-truncating hash
+    # (CLAUDE.md parity trap)
+    out = out.sort_values("n_orders", na_position="last")
+    out = out.sort_values("c_mktsegment", kind="stable",
+                          na_position="last")
+    return (out.sort_values("custkey", kind="stable", na_position="last")
             .reset_index(drop=True))
 
 

@@ -1885,7 +1885,7 @@ def q_source_entropy(sf_dir: str) -> pd.DataFrame:
     a NULL array emits no rows); an all-NULL source therefore has no
     row. NULL source is its own SQL group — IS NOT DISTINCT join in
     the oracle, sentinel bucket here."""
-    from .pairs import factorize_strings, hash_shuffle, round_away
+    from .pairs import factorize_strings, hash_shuffle, round_away, str_u64
     from .relational import _NULL_KEY
 
     P = 64
@@ -1913,10 +1913,9 @@ def q_source_entropy(sf_dir: str) -> pd.DataFrame:
             srcs.append(s)
             terms.append(w)
             cs.append(c)
-        b = [int.from_bytes(hashlib.blake2b(
-                 (s + "\x1f" + w).encode(), digest_size=8).digest(),
-                 "big") % P
-             for s, w in zip(srcs, terms)]
+        # shared stable string hash (pairs.str_u64) — bucketing only,
+        # any deterministic partition of (source, term) pairs works
+        b = [str_u64(s + "\x1f" + w) % P for s, w in zip(srcs, terms)]
         return pa.table({"source": pa.array(srcs, pa.string()),
                          "term": pa.array(terms, pa.string()),
                          "c": pa.array(cs, pa.int64()),
