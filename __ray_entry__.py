@@ -196,9 +196,9 @@ def _phash_neardup(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from web_scrapper_ray.pipelines import (dedup, graph, layout,
-                                            relational, similarity,
-                                            sketches, textops)
+    from web_scrapper_ray.pipelines import (analytics, dedup, graph,
+                                            layout, relational,
+                                            similarity, sketches, textops)
 
     return {
         # relational / generic engine ops
@@ -255,6 +255,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q118_sliding_distinct_users": relational.q_sliding_distinct_users,
         "q119_supplier_cooccurrence": relational.q_supplier_cooccurrence,
         "q120_custkeys_except_all": relational.q_custkeys_except_all,
+        "q121_shipping_priority": analytics.q_shipping_priority,
+        "q122_pareto_parts": analytics.q_pareto_parts,
+        "q123_new_users_hourly": analytics.q_new_users_hourly,
+        "q124_trimmed_mean": analytics.q_trimmed_mean,
+        "q125_top_orders_rank": analytics.q_top_orders_rank,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1324,6 +1329,68 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT ALL
             SELECT c_custkey FROM customer
             ORDER BY 1
+        """,
+        "q121_shipping_priority": """
+            SELECT l_orderkey AS orderkey,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   CAST(floor(epoch(o_orderdate)) AS BIGINT) AS orderdate
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue DESC NULLS LAST, orderkey LIMIT 10
+        """,
+        "q122_pareto_parts": """
+            -- 2-D skyline: minimize price, maximize size; equal pairs
+            -- both survive (dominance needs one STRICT inequality)
+            SELECT p_partkey, p_retailprice, p_size FROM part a
+            WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL
+              AND NOT isnan(p_retailprice)
+              AND NOT EXISTS (
+                SELECT 1 FROM part b
+                WHERE b.p_retailprice IS NOT NULL AND b.p_size IS NOT NULL
+                  AND NOT isnan(b.p_retailprice)
+                  AND b.p_retailprice <= a.p_retailprice
+                  AND b.p_size >= a.p_size
+                  AND (b.p_retailprice < a.p_retailprice
+                       OR b.p_size > a.p_size))
+            ORDER BY p_retailprice, p_partkey
+        """,
+        "q123_new_users_hourly": """
+            WITH fu AS (SELECT user_id, min(ts) AS first_ts FROM events
+                        WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                        GROUP BY 1)
+            SELECT CAST(epoch(date_trunc('hour', first_ts)) AS BIGINT)
+                       AS hour_start,
+                   count(*)::BIGINT AS n_new_users
+            FROM fu GROUP BY 1 ORDER BY 1
+        """,
+        "q124_trimmed_mean": """
+            -- contract (q57/q102): NULL/NaN values out on both sides;
+            -- ±inf stay as orderable extremes
+            WITH v AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            q AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                  FROM v GROUP BY event_type)
+            SELECT v.event_type,
+                   round(avg(v.value), 4) AS trimmed_mean,
+                   count(*)::BIGINT AS n_kept
+            FROM v JOIN q ON v.event_type IS NOT DISTINCT FROM q.event_type
+            WHERE v.value BETWEEN q.lo AND q.hi
+            GROUP BY v.event_type ORDER BY v.event_type
+        """,
+        "q125_top_orders_rank": """
+            SELECT o_orderkey, o_totalprice, rk FROM (
+                SELECT o_orderkey, o_totalprice,
+                       rank() OVER (ORDER BY o_totalprice DESC) AS rk
+                FROM orders WHERE o_totalprice IS NOT NULL) t
+            WHERE rk <= 10 ORDER BY rk, o_orderkey
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

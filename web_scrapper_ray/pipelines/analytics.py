@@ -1,0 +1,466 @@
+"""Decision-support analytics operators (q121+): multi-stage join
+plans, skyline/Pareto queries, first-touch attribution, robust stats
+and rank-with-ties selection — each a distinct distributed shape over
+the TPC-H-ish tables that the earlier operator families don't cover.
+
+Shared machinery: ``pairs.hash_shuffle`` for raw-task exchanges (the
+Dataset sort-based all-to-all costs ~4s fixed in local mode — CLAUDE.md
+perf rule) and the relational module's NULL/dtype parity helpers.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .pairs import hash_shuffle, round_away
+from .relational import _IMAX, _read
+
+
+def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """TPC-H Q3 twin: top-k unshipped 'BUILDING'-segment orders by
+    revenue. A two-exchange plan — no three-way shuffle ever forms:
+
+    1. customer(filtered to the segment) ⋈ orders(filtered to
+       orderdate < cutoff) hash-partitioned on custkey; each bucket
+       emits only (orderkey, orderdate) — the join's projection, not
+       its payload. Duplicate customer rows fan out like SQL's join
+       (np.repeat by per-key multiplicity).
+    2. that small order list ⋈ lineitem(filtered to shipdate > cutoff)
+       hash-partitioned on orderkey; each bucket groups revenue per
+       order and keeps only its local top-k, so the driver folds
+       P·k rows, never the joined table.
+
+    Per-order revenue sums sit on ≤7-lineitem groups; ``round_away``
+    (SQL half-away) on both sides before the ORDER BY keeps the rank
+    comparison off the float knife edge."""
+    import ray
+
+    P = 32
+    CUT_US = int(pd.Timestamp("1998-06-01").value // 1000)
+    SEG = "BUILDING"
+
+    _EO = pa.table({"orderkey": pa.array([], pa.int64()),
+                    "odate": pa.array([], pa.int64())})
+
+    # ---- stage 1: customer ⋈ orders on custkey --------------------
+    def split_cust(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "side": pa.array([], pa.int8()),
+                             "orderkey": pa.array([], pa.int64()),
+                             "odate": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        keep = pc.and_kleene(pc.equal(t.column("c_mktsegment"), SEG),
+                             pc.is_valid(t.column("c_custkey")))
+        t = t.filter(pc.fill_null(keep, False))
+        key = t.column("c_custkey")
+        n = t.num_rows
+        return pa.table({"key": key,
+                         "side": pa.array(np.zeros(n, np.int8)),
+                         "orderkey": pa.array(np.full(n, -1, np.int64)),
+                         "odate": pa.array(np.zeros(n, np.int64)),
+                         "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def split_ord(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return split_cust(t)  # same empty-typed table
+        od = t.column("o_orderdate")
+        keep = pc.and_kleene(
+            pc.less(od, pa.scalar(pd.Timestamp("1998-06-01").to_pydatetime(),
+                                  pa.timestamp("us"))),
+            pc.is_valid(t.column("o_custkey")))
+        t = t.filter(pc.fill_null(keep, False))
+        key = t.column("o_custkey")
+        n = t.num_rows
+        odate_s = pc.cast(
+            pc.multiply(pc.floor(pc.divide(pc.cast(pc.cast(
+                t.column("o_orderdate"), pa.int64()), pa.float64()), 1e6)),
+                1.0), pa.int64())
+        return pa.table({"key": key,
+                         "side": pa.array(np.ones(n, np.int8)),
+                         "orderkey": pc.fill_null(
+                             pc.cast(t.column("o_orderkey"), pa.int64()),
+                             _IMAX),
+                         "odate": odate_s,
+                         "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge_co(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _EO
+        df = pa.concat_tables(live).to_pandas()
+        cust = df[df["side"] == 0]
+        if cust.empty:
+            return _EO
+        orders = df[df["side"] == 1]
+        # SQL join fan-out: a custkey appearing m times in customer
+        # duplicates each of its orders m times
+        mult = cust["key"].value_counts()
+        m = orders["key"].map(mult).fillna(0).to_numpy(np.int64)
+        ok = np.repeat(orders["orderkey"].to_numpy(np.int64), m)
+        od = np.repeat(orders["odate"].to_numpy(np.int64), m)
+        return pa.table({"orderkey": pa.array(ok), "odate": pa.array(od)})
+
+    def split_stage1(block: pa.Table, is_cust: bool) -> pa.Table:
+        return split_cust(block) if is_cust else split_ord(block)
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split_stage1, merge_co, P=P,
+                          gather=False)
+
+    # ---- stage 2: ⋈ lineitem on orderkey, grouped top-k ------------
+    _E2 = pa.table({"orderkey": pa.array([], pa.int64()),
+                    "odate": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "rev": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split_stage2(block: pa.Table, is_orders: bool) -> pa.Table:
+        if is_orders:
+            if block.num_rows == 0:
+                return _E2
+            ok = block.column("orderkey")
+            n = block.num_rows
+            return pa.table({"orderkey": ok,
+                             "odate": block.column("odate"),
+                             "side": pa.array(np.zeros(n, np.int8)),
+                             "rev": pa.array(np.zeros(n, np.float64)),
+                             "bucket": pc.bit_wise_and(ok, P - 1)})
+        if block.num_rows == 0 or "l_orderkey" not in block.schema.names:
+            return _E2
+        keep = pc.and_kleene(
+            pc.greater(block.column("l_shipdate"),
+                       pa.scalar(pd.Timestamp("1998-06-01").to_pydatetime(),
+                                 pa.timestamp("us"))),
+            pc.is_valid(block.column("l_orderkey")))
+        block = block.filter(pc.fill_null(keep, False))
+        rev = pc.multiply(block.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0),
+                                      block.column("l_discount")))
+        ok = pc.cast(block.column("l_orderkey"), pa.int64())
+        n = block.num_rows
+        return pa.table({"orderkey": ok,
+                         "odate": pa.array(np.zeros(n, np.int64)),
+                         "side": pa.array(np.ones(n, np.int8)),
+                         "rev": rev,
+                         "bucket": pc.bit_wise_and(ok, P - 1)})
+
+    _EMPTY = pd.DataFrame({"orderkey": pd.Series(dtype="int64"),
+                           "revenue": pd.Series(dtype="float64"),
+                           "orderdate": pd.Series(dtype="int64")})
+
+    def merge_ol(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _EMPTY
+        df = pa.concat_tables(live).to_pandas()
+        orders = df[df["side"] == 0][["orderkey", "odate"]]
+        li = df[df["side"] == 1][["orderkey", "rev"]]
+        if orders.empty or li.empty:
+            return _EMPTY
+        j = li.merge(orders, on="orderkey", how="inner")
+        if j.empty:
+            return _EMPTY
+        # min_count=1: all-NULL-revenue orders keep SQL's NULL sum (the
+        # money columns are NaN-free by contract, so NaN == SQL NULL)
+        g = (j.groupby(["orderkey", "odate"], as_index=False)["rev"]
+             .sum(min_count=1))
+        g["rev"] = round_away(g["rev"].to_numpy(np.float64), 2)
+        g = g.sort_values(["rev", "orderkey"], ascending=[False, True],
+                          na_position="last").head(k)
+        return pd.DataFrame({"orderkey": g["orderkey"].astype("int64"),
+                             "revenue": g["rev"],
+                             "orderdate": g["odate"].astype("int64")})
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged2, split_stage2, merge_ol,
+                                     P=P) if len(p)]
+    if not parts:
+        return _EMPTY.copy()
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values(["revenue", "orderkey"],
+                          ascending=[False, True],
+                          na_position="last").head(k)
+    return out.reset_index(drop=True)
+
+
+def _skyline_mask(price: np.ndarray, size: np.ndarray) -> np.ndarray:
+    """Boolean keep-mask for the 2-D skyline (minimize price, maximize
+    size). A row is dominated iff some other row has price ≤ AND size ≥
+    with at least one strict. Vectorized: sort by (price asc, size
+    desc); a row is dominated iff the running size-max over STRICTLY
+    cheaper rows reaches its size, or its own price group's max size
+    exceeds it. Equal (price, size) duplicates dominate nothing — both
+    survive, like SQL NOT EXISTS with the strictness clause."""
+    order = np.lexsort((-size, price))
+    ps, ss = price[order], size[order]
+    run = np.maximum.accumulate(ss)
+    first = np.searchsorted(ps, ps, side="left")  # start of own group
+    max_lt = np.where(first > 0, run[np.maximum(first - 1, 0)], -np.inf)
+    grp_max = ss[first]  # size-desc within group → group max
+    dominated = (max_lt >= ss) | (grp_max > ss)
+    keep = np.zeros(len(ps), dtype=bool)
+    keep[order] = ~dominated
+    return keep
+
+
+def q_pareto_parts(sf_dir: str) -> pd.DataFrame:
+    """Pareto frontier (skyline) of parts: cheapest-for-their-size
+    parts — no other part is both ≤ price and ≥ size with one strict.
+
+    Mergeable-partial shape: each batch emits its LOCAL skyline (a
+    skyline point of the union is a skyline point of its own batch, so
+    the union of local skylines is a superset of the answer), the
+    driver re-runs the same mask over the concatenated survivors.
+    Frontier size grows ~log-ly with data, so the fold input is tiny
+    regardless of corpus size; the corpus itself never moves."""
+    ds = _read(sf_dir, "part",
+               columns=["p_partkey", "p_retailprice", "p_size"])
+
+    _E = pa.table({"p_partkey": pa.array([], pa.int64()),
+                   "p_retailprice": pa.array([], pa.float64()),
+                   "p_size": pa.array([], pa.int32())})
+
+    def local_skyline(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_retailprice" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("p_retailprice")),
+                             pc.is_valid(t.column("p_size")))
+        # NaN price would poison the lexsort order; SQL comparisons
+        # treat NaN as greater-than-everything so a NaN-price row is
+        # dominated by any finite row anyway — drop via isnan guard
+        keep = pc.and_kleene(
+            keep, pc.invert(pc.is_nan(pc.cast(t.column("p_retailprice"),
+                                              pa.float64()))))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        price = t.column("p_retailprice").to_numpy(zero_copy_only=False)
+        size = t.column("p_size").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return t.filter(pa.array(_skyline_mask(price, size)))
+
+    parts = ds.map_batches(local_skyline, batch_format="pyarrow") \
+        .to_pandas()
+    if parts.empty:
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_retailprice": pd.Series(dtype="float64"),
+                             "p_size": pd.Series(dtype="int32")})
+    mask = _skyline_mask(parts["p_retailprice"].to_numpy(np.float64),
+                         parts["p_size"].to_numpy(np.int64))
+    out = parts[mask]
+    out = out.sort_values(["p_retailprice", "p_partkey"])
+    out = out.reset_index(drop=True)
+    out["p_size"] = out["p_size"].astype("int32")
+    return out
+
+
+def q_new_users_hourly(sf_dir: str) -> pd.DataFrame:
+    """First-touch attribution: new users per hour (count of users
+    whose FIRST event falls in that hour). Two-level aggregate — the
+    per-user min can't pre-aggregate into the hour histogram directly,
+    so: per-batch Arrow (user → min µs) partials, one user-keyed
+    exchange, per-bucket exact min → hour histogram partial, and the
+    driver folds only (hours × buckets) rows. Epoch-hour binning
+    FLOOR-divides raw µs (CLAUDE.md: truncation bins pre-1970
+    fractional timestamps one hour late)."""
+    P = 32
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "mn": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        g = (pa.table({"user": t.column("user_id"),
+                       "us": pc.cast(t.column("ts"), pa.int64())})
+             .group_by(["user"]).aggregate([("us", "min")]))
+        return pa.table({"user": g.column("user"),
+                         "mn": g.column("us_min"),
+                         "bucket": pc.bit_wise_and(g.column("user"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"hour_start": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        mn = df.groupby("user")["mn"].min()
+        hour = (mn.to_numpy(np.int64) // 3_600_000_000) * 3600
+        h, c = np.unique(hour, return_counts=True)
+        return pd.DataFrame({"hour_start": h, "n": c.astype(np.int64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"hour_start": pd.Series(dtype="int64"),
+                             "n_new_users": pd.Series(dtype="int64")})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby("hour_start", as_index=False)["n"].sum()
+           .rename(columns={"n": "n_new_users"}))
+    out["n_new_users"] = out["n_new_users"].astype("int64")
+    return out.sort_values("hour_start").reset_index(drop=True)
+
+
+def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
+    """5–95% trimmed mean of value per event_type (robust stats over a
+    skewed metric). Shares q57's exact-order-statistics contract: one
+    groupby shuffle carrying (event_type, value); the per-group task
+    sorts once, takes the quantile_cont bounds in DuckDB's own op
+    order, and means the in-range slice. NULL/NaN values are excluded
+    on BOTH sides (NaN fails SQL BETWEEN; quantile_cont is
+    implementation-defined under NaN — q57/q102 contract); ±inf stay
+    as orderable extremes and propagate through the mean like SQL."""
+    from .relational import (_null_safe_keys, _quantile_cont,
+                             _restore_null_keys)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def drop_nan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        v = t.column("value")
+        keep = pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v)))
+        return t.filter(pc.fill_null(keep, False))
+
+    def trim(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["value"].to_numpy(np.float64))
+        if len(v) == 0:
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "trimmed_mean": pd.Series(dtype="float64"),
+                                 "n_kept": pd.Series(dtype="int64")})
+        lo = _quantile_cont(v, 0.05)
+        hi = _quantile_cont(v, 0.95)
+        kept = v[(v >= lo) & (v <= hi)]
+        if len(kept) == 0:
+            # a −inf/+inf bracket interpolates lo/hi to NaN → every
+            # BETWEEN is false and SQL's inner-join group VANISHES
+            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                                 "trimmed_mean": pd.Series(dtype="float64"),
+                                 "n_kept": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "trimmed_mean": [round_away(
+                np.array(kept.sum() / len(kept)), 4)[()]],
+            "n_kept": [np.int64(len(kept))]})
+
+    out = (_null_safe_keys(ds.map_batches(drop_nan,
+                                          batch_format="pyarrow"),
+                           ["event_type"])
+           .groupby("event_type")
+           .map_groups(trim, batch_format="pandas").to_pandas())
+    out = _restore_null_keys(out, ["event_type"])
+    out["n_kept"] = out["n_kept"].astype("int64")
+    return out.sort_values("event_type",
+                           na_position="last").reset_index(drop=True)
+
+
+def q_top_orders_rank(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """RANK() ≤ k with ties kept — position-based top-k whose result
+    can exceed k rows (every row tying the k-th value stays, and tied
+    blocks share a rank with gaps after). Distributed selection in two
+    streaming passes, no global sort:
+
+    1. per-batch top-k VALUES (the global k-th row's value is the k-th
+       of the merged per-batch top-k lists);
+    2. filter pass keeping rows ≥ that threshold — by construction at
+       most k-1 rows exceed it, so every survivor has rank ≤ k and the
+       driver ranks the tiny survivor set exactly.
+
+    DuckDB's float total order (NaN above +inf) rides an explicit
+    nan-tier key so a dirty price column ranks identically."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    _E = pa.table({"nanf": pa.array([], pa.int8()),
+                   "v": pa.array([], pa.float64())})
+
+    def topk_vals(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        v = t.column("o_totalprice")
+        v = v.filter(pc.is_valid(v)).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        if len(v) == 0:
+            return _E
+        nanf = np.isnan(v).astype(np.int8)
+        order = np.lexsort((-np.where(nanf == 1, 0.0, v), -nanf))[:k]
+        return pa.table({"nanf": pa.array(nanf[order]),
+                         "v": pa.array(v[order])})
+
+    cand = ds.map_batches(topk_vals, batch_format="pyarrow").to_pandas()
+    _EMPTY = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                           "o_totalprice": pd.Series(dtype="float64"),
+                           "rk": pd.Series(dtype="int64")})
+    if cand.empty:
+        return _EMPTY.copy()
+    nanf = cand["nanf"].to_numpy(np.int8)
+    v = cand["v"].to_numpy(np.float64)
+    order = np.lexsort((-np.where(nanf == 1, 0.0, v), -nanf))
+    if len(order) > k:
+        order = order[:k]
+    t_nan, t_val = int(nanf[order[-1]]), float(v[order[-1]])
+    full = len(order) == k  # fewer than k rows total → keep everything
+
+    def filt(t: pa.Table) -> pa.Table:
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "o_totalprice": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return empty
+        t = t.filter(pc.is_valid(t.column("o_totalprice")))
+        if not full:
+            return t.select(["o_orderkey", "o_totalprice"])
+        val = t.column("o_totalprice").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        nf = np.isnan(val)
+        if t_nan == 1:  # threshold is NaN → only NaN rows can tie it
+            keep = nf
+        else:  # NaN outranks any finite threshold (DuckDB total order)
+            keep = nf | (val >= t_val)
+        return t.filter(pa.array(keep)).select(
+            ["o_orderkey", "o_totalprice"])
+
+    rows = ds.map_batches(filt, batch_format="pyarrow").to_pandas()
+    if rows.empty:
+        return _EMPTY.copy()
+    val = rows["o_totalprice"].to_numpy(np.float64)
+    nf = np.isnan(val).astype(np.int8)
+    vkey = np.where(nf == 1, 0.0, val)
+    # rank of a row = 1 + rows with a strictly greater (nan-tier,
+    # value) key: sort desc, tied blocks inherit their head's position
+    order2 = np.lexsort((-vkey, -nf))
+    snf, sv = nf[order2], vkey[order2]
+    new_grp = np.ones(len(order2), dtype=bool)
+    new_grp[1:] = (snf[1:] != snf[:-1]) | (sv[1:] != sv[:-1])
+    pos = np.arange(1, len(order2) + 1, dtype=np.int64)
+    head_rank = np.maximum.accumulate(np.where(new_grp, pos, 0))
+    rk = np.empty(len(order2), np.int64)
+    rk[order2] = head_rank
+    rows = rows.assign(rk=rk)
+    rows = rows[rows["rk"] <= k]
+    rows = rows.sort_values("o_orderkey", na_position="last")
+    rows = rows.sort_values("rk", kind="stable")
+    if rows["o_orderkey"].notna().all():
+        rows["o_orderkey"] = rows["o_orderkey"].astype("int64")
+    return rows.reset_index(drop=True)
