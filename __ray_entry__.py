@@ -260,6 +260,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q123_new_users_hourly": analytics.q_new_users_hourly,
         "q124_trimmed_mean": analytics.q_trimmed_mean,
         "q125_top_orders_rank": analytics.q_top_orders_rank,
+        "q126_connected_components": graph.q_connected_components,
+        "q127_grouping_sets_docs": analytics.q_grouping_sets_docs,
+        "q128_first_number": analytics.q_first_number,
+        "q129_quiet_orders": analytics.q_quiet_orders,
+        "q130_monthly_growth": analytics.q_monthly_growth,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1391,6 +1396,68 @@ def oracle_sql() -> dict[str, str]:
                        rank() OVER (ORDER BY o_totalprice DESC) AS rk
                 FROM orders WHERE o_totalprice IS NOT NULL) t
             WHERE rk <= 10 ORDER BY rk, o_orderkey
+        """,
+        "q126_connected_components": """
+            -- min-label propagation, 4 synchronous rounds unrolled
+            -- (fixed round count = the SQL-checkable contract, like
+            -- q67's unrolled PageRank); node codes: part pk*2, supp
+            -- sk*2+1, labels initialized to the node's own code
+            WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                        FROM lineitem
+                        WHERE l_partkey IS NOT NULL
+                          AND l_suppkey IS NOT NULL),
+            e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM ps
+                  UNION ALL SELECT sk * 2 + 1, pk * 2 FROM ps),
+            r0 AS (SELECT DISTINCT src AS v, src AS lab FROM e),
+            r1 AS (SELECT v, min(lab) AS lab FROM (
+                     SELECT e.dst AS v, r0.lab FROM e JOIN r0 ON r0.v = e.src
+                     UNION ALL SELECT v, lab FROM r0) GROUP BY v),
+            r2 AS (SELECT v, min(lab) AS lab FROM (
+                     SELECT e.dst AS v, r1.lab FROM e JOIN r1 ON r1.v = e.src
+                     UNION ALL SELECT v, lab FROM r1) GROUP BY v),
+            r3 AS (SELECT v, min(lab) AS lab FROM (
+                     SELECT e.dst AS v, r2.lab FROM e JOIN r2 ON r2.v = e.src
+                     UNION ALL SELECT v, lab FROM r2) GROUP BY v),
+            r4 AS (SELECT v, min(lab) AS lab FROM (
+                     SELECT e.dst AS v, r3.lab FROM e JOIN r3 ON r3.v = e.src
+                     UNION ALL SELECT v, lab FROM r3) GROUP BY v)
+            SELECT CASE WHEN v % 2 = 0 THEN 'p' || (v // 2)
+                        ELSE 's' || (v // 2) END AS node,
+                   lab::BIGINT AS component
+            FROM r4 ORDER BY node
+        """,
+        "q127_grouping_sets_docs": """
+            SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_chars)::BIGINT AS sum_chars
+            FROM documents GROUP BY GROUPING SETS ((lang), (source))
+            ORDER BY lvl, lang, source
+        """,
+        "q128_first_number": """
+            -- explicit ASCII class so RE2 and the engine's re agree
+            SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num
+            FROM documents ORDER BY doc_id
+        """,
+        "q129_quiet_orders": """
+            SELECT o_orderkey FROM orders o
+            WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+              AND NOT EXISTS (
+                SELECT 1 FROM events e
+                WHERE e.user_id = o.o_custkey
+                  AND e.ts >= o.o_orderdate
+                  AND e.ts < o.o_orderdate + INTERVAL 24 HOUR)
+            ORDER BY 1
+        """,
+        "q130_monthly_growth": """
+            WITH m AS (SELECT date_trunc('month', o_orderdate) AS mo,
+                              sum(o_totalprice) AS rev
+                       FROM orders WHERE o_orderdate IS NOT NULL
+                       GROUP BY 1)
+            SELECT CAST(floor(epoch(mo)) AS BIGINT) AS month_start,
+                   round(rev, 2) AS revenue,
+                   round(100.0 * (rev - lag(rev) OVER (ORDER BY mo))
+                         / lag(rev) OVER (ORDER BY mo), 4) AS pct_growth
+            FROM m ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

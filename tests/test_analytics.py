@@ -94,3 +94,65 @@ def test_shipping_priority_duplicate_customer_fanout(ray_session, tmp_path):
     # order 10: custkey 1 duplicated → (100+50) counted twice = 300;
     # order 20: 100*0.9 = 90
     assert got == {10: 300.0, 20: 90.0}
+
+
+def test_quiet_orders_window_boundaries(ray_session, tmp_path):
+    """q129 anti range join: an event exactly at t0 or at t0+24h-1µs
+    makes the order active; an event at exactly t0+24h does not."""
+    from web_scrapper_ray.pipelines.analytics import q_quiet_orders
+
+    DAY_US = 86_400_000_000
+    t0 = pd.Timestamp("2020-01-01").value // 1000  # µs
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([10, 11, 12, 13], pa.int64()),
+        "o_orderdate": pa.array([t0] * 4, pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "user_id": pa.array([10, 11, 12], pa.int64()),
+        # at t0 (active), at window end (quiet), 1µs before end (active)
+        "ts": pa.array([t0, t0 + DAY_US, t0 + DAY_US - 1],
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_quiet_orders(str(tmp_path))
+    assert out["o_orderkey"].tolist() == [2, 4]  # 4: no events at all
+
+
+def test_connected_components_two_islands(ray_session, tmp_path):
+    """q126: two disjoint part-supplier islands get distinct labels and
+    every node inside an island shares its minimum packed code."""
+    from web_scrapper_ray.pipelines.graph import q_connected_components
+
+    # island A: parts 1,2 / supps 1,2 chained; island B: part 5 / supp 9
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 5], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 9], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_connected_components(str(tmp_path))
+    comp = dict(zip(out["node"], out["component"]))
+    # island A min code = p1 → 1*2 = 2; island B min = p5 → 10
+    assert comp["p1"] == comp["p2"] == comp["s1"] == comp["s2"] == 2
+    assert comp["p5"] == comp["s9"] == 10
+    assert set(comp) == {"p1", "p2", "s1", "s2", "p5", "s9"}
+
+
+def test_monthly_growth_pre1970_and_zero(ray_session, tmp_path):
+    """q130: calendar-month truncation floors pre-1970 dates, and a
+    zero-revenue month yields NULL growth (DuckDB x/0 → NULL)."""
+    from web_scrapper_ray.pipelines.analytics import q_monthly_growth
+
+    dec69 = pd.Timestamp("1969-12-15").value // 1000
+    jan70 = pd.Timestamp("1970-01-20").value // 1000
+    feb70 = pd.Timestamp("1970-02-05").value // 1000
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([dec69, jan70, feb70], pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 0.0, 5.0]),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_monthly_growth(str(tmp_path))
+    assert out["month_start"].tolist() == [
+        int(pd.Timestamp("1969-12-01").value // 1e9),
+        int(pd.Timestamp("1970-01-01").value // 1e9),
+        int(pd.Timestamp("1970-02-01").value // 1e9)]
+    assert out["revenue"].tolist() == [10.0, 0.0, 5.0]
+    pg = out["pct_growth"].tolist()
+    assert np.isnan(pg[0]) and pg[1] == -100.0 and np.isnan(pg[2])

@@ -464,3 +464,228 @@ def q_top_orders_rank(sf_dir: str, k: int = 10) -> pd.DataFrame:
     if rows["o_orderkey"].notna().all():
         rows["o_orderkey"] = rows["o_orderkey"].astype("int64")
     return rows.reset_index(drop=True)
+
+
+def q_grouping_sets_docs(sf_dir: str) -> pd.DataFrame:
+    """GROUP BY GROUPING SETS ((lang), (source)) — q82's one-leaf-pass
+    shape: the distributed pass computes only the (lang, source) LEAF
+    partials; both requested sets derive from that tiny table
+    driver-side, so two grouping sets still cost one streamed pass.
+    ``lvl`` mirrors SQL GROUPING(lang, source): 1 = per-lang set
+    (source bit high), 2 = per-source set (lang bit high)."""
+    from .pairs import coded_keys
+
+    ds = _read(sf_dir, "documents", columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate(
+            [([], "count_all"), ("n_chars", "sum")])
+        return pa.table({"lang": g.column("lang"),
+                         "source": g.column("source"),
+                         "n_docs": g.column("count_all"),
+                         "sum_chars": g.column("n_chars_sum")})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        # unlike ROLLUP, GROUPING SETS without the () set emits NOTHING
+        # over an empty table
+        return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                             "source": pd.Series(dtype="object"),
+                             "lvl": pd.Series(dtype="int64"),
+                             "n_docs": pd.Series(dtype="int64"),
+                             "sum_chars": pd.Series(dtype="float64")})
+    parts, restore = coded_keys(parts, ["lang", "source"])
+    # min_count=1 keeps an all-NULL-chars set as SQL NULL, not 0
+    by_lang = (parts.groupby("lang", as_index=False)
+               .agg(n_docs=("n_docs", "sum"),
+                    sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
+    by_lang = restore(by_lang)
+    by_lang["source"] = None
+    by_lang["lvl"] = 1
+    by_src = (parts.groupby("source", as_index=False)
+              .agg(n_docs=("n_docs", "sum"),
+                   sum_chars=("sum_chars", lambda s: s.sum(min_count=1))))
+    by_src = restore(by_src)
+    by_src["lang"] = None
+    by_src["lvl"] = 2
+    out = pd.concat([by_lang, by_src], ignore_index=True)
+    out["lvl"] = out["lvl"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    if not out["sum_chars"].isna().any():
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+    cols = ["lang", "source", "lvl", "n_docs", "sum_chars"]
+    out = out[cols].sort_values("source", na_position="last")
+    out = out.sort_values("lang", kind="stable", na_position="last")
+    return out.sort_values("lvl", kind="stable").reset_index(drop=True)
+
+
+def q_first_number(sf_dir: str) -> pd.DataFrame:
+    """regexp_extract twin: first digit run per document. The pattern
+    is an explicit ASCII class (``[0-9]+``) so Python's re and
+    DuckDB's RE2 agree byte-for-byte — no \\d/unicode-class semantics
+    in the contract. '' when no match, NULL text stays NULL (DuckDB
+    regexp_extract behavior); the scan is one vectorized
+    pandas .str.extract per batch, nothing shuffles."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def extract(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty or "text" not in df.columns:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "first_num": pd.Series(dtype="object")})
+        m = df["text"].str.extract(r"([0-9]+)", expand=False)
+        # no-match → '' like DuckDB; NULL text stays NULL
+        out = m.where(m.notna() | df["text"].isna(), "")
+        return pd.DataFrame({"doc_id": df["doc_id"],
+                             "first_num": out.astype(object)})
+
+    out = ds.map_batches(extract, batch_format="pandas").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "first_num": pd.Series(dtype="object")})
+    out["first_num"] = out["first_num"].astype(object).where(
+        out["first_num"].notna(), None)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quiet_orders(sf_dir: str) -> pd.DataFrame:
+    """ANTI range join (NOT EXISTS with an inequality): orders whose
+    customer produced NO event within [orderdate, orderdate + 24h).
+    Same one-exchange key partitioning as the q50 range join, but each
+    bucket resolves existence with a single sorted ``merge_asof``
+    (forward): the nearest event at-or-after the order time either
+    falls inside the window (order is active → dropped) or proves the
+    window empty — no within-key cross product ever forms, unlike the
+    counting join."""
+    P = 32
+    DAY_US = 86_400_000_000
+
+    ev = _read(sf_dir, "events", columns=["user_id", "ts"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "t": pa.array([], pa.int64()),
+                   "orderkey": pa.array([], pa.int64()),
+                   "oknull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_ev: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_ev:
+            if "user_id" not in t.schema.names:
+                return _E
+            keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                                 pc.is_valid(t.column("ts")))
+            t = t.filter(pc.fill_null(keep, False))
+            key = t.column("user_id")
+            n = t.num_rows
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "t": pc.cast(t.column("ts"), pa.int64()),
+                "orderkey": pa.array(np.full(n, -1, np.int64)),
+                "oknull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("o_custkey")),
+                             pc.is_valid(t.column("o_orderdate")))
+        t = t.filter(pc.fill_null(keep, False))
+        key = t.column("o_custkey")
+        ok = t.column("o_orderkey")
+        n = t.num_rows
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "t": pc.cast(t.column("o_orderdate"), pa.int64()),
+            "orderkey": pc.fill_null(pc.cast(ok, pa.int64()), _IMAX),
+            "oknull": pc.is_null(ok),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"orderkey": pd.Series(dtype="int64"),
+                              "oknull": pd.Series(dtype="bool")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        odr = df[df["side"] == 1][["key", "t", "orderkey", "oknull"]] \
+            .sort_values("t")
+        if odr.empty:
+            return empty
+        evs = df[df["side"] == 0][["key", "t"]] \
+            .rename(columns={"t": "ev_t"}).sort_values("ev_t")
+        if evs.empty:
+            return odr[["orderkey", "oknull"]]
+        m = pd.merge_asof(odr, evs, left_on="t", right_on="ev_t",
+                          by="key", direction="forward")
+        quiet = m["ev_t"].isna() | (m["ev_t"] >= m["t"] + DAY_US)
+        return m.loc[quiet, ["orderkey", "oknull"]]
+
+    tagged = [(r, (True,)) for r in ev.to_arrow_refs()]
+    tagged += [(r, (False,)) for r in od.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values("orderkey").reset_index(drop=True)
+    ok = out["orderkey"]
+    if out["oknull"].any():
+        ok = ok.astype("float64")
+        ok[out["oknull"].to_numpy()] = np.nan
+    return pd.DataFrame({"o_orderkey": ok.reset_index(drop=True)})
+
+
+def q_monthly_growth(sf_dir: str) -> pd.DataFrame:
+    """Month-over-month revenue growth — a window function ON TOP of an
+    aggregate: per-batch Arrow (month → Σprice, valid-count) partials
+    (months × batches rows), a driver fold, then lag()/pct-change over
+    the tiny month series. Calendar months can't floor-divide from raw
+    µs like hours, so the partial uses Arrow's floor_temporal.
+    SQL division semantics: x/0 is NULL in DuckDB (probed), so a
+    zero-revenue month yields NULL growth, and an all-NULL-price month
+    keeps SQL's NULL sum via the sum-as-0 + valid-count carry."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    _E = pa.table({"mo": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderdate" not in t.schema.names:
+            return _E
+        t = t.filter(pc.is_valid(t.column("o_orderdate")))
+        if t.num_rows == 0:
+            return _E
+        mo = pc.cast(pc.floor_temporal(t.column("o_orderdate"),
+                                       unit="month"), pa.int64())
+        g = pa.table({"mo": mo, "v": t.column("o_totalprice")}) \
+            .group_by(["mo"]).aggregate([("v", "sum"), ("v", "count")])
+        return pa.table({
+            "mo": g.column("mo"),
+            "s": pc.cast(pc.fill_null(g.column("v_sum"), 0.0),
+                         pa.float64()),
+            "nv": pc.cast(g.column("v_count"), pa.int64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    _EMPTY = pd.DataFrame({"month_start": pd.Series(dtype="int64"),
+                           "revenue": pd.Series(dtype="float64"),
+                           "pct_growth": pd.Series(dtype="float64")})
+    if parts.empty:
+        return _EMPTY.copy()
+    g = (parts.groupby("mo", as_index=False)
+         .agg(s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
+         .sort_values("mo").reset_index(drop=True))
+    rev = g["s"].to_numpy(np.float64).copy()
+    rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL month: SQL NULL
+    prev = np.concatenate([[np.nan], rev[:-1]])
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pct = 100.0 * (rev - prev) / prev
+    pct[prev == 0.0] = np.nan  # DuckDB x/0 → NULL
+    return pd.DataFrame({
+        "month_start": g["mo"].to_numpy(np.int64) // 1_000_000,
+        "revenue": round_away(rev, 2),
+        "pct_growth": round_away(pct, 4)})

@@ -166,3 +166,112 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
     names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in nodes]
     out = pd.DataFrame({"node": names, "pr": np.round(rank, 6)})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_connected_components(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
+    """Connected components of the part–supplier bipartite graph by
+    synchronous min-label propagation: ``rounds`` fixed Jacobi rounds
+    of lab'[v] = min(lab[v], min over neighbors lab[u]), labels
+    initialized to each node's own packed code. A FIXED round count is
+    the SQL-checkable contract (the oracle unrolls the same rounds as
+    chained CTEs): both sides emit identical labels whether or not the
+    propagation has converged, exactly like q67's unrolled PageRank.
+    Layout is q67's: distinct-edge buckets built once in the object
+    store, per-round np.minimum scatter partials sized by node count,
+    broadcast label vector."""
+    import ray
+
+    P = 32
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    def split(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "l_partkey" not in block.schema.names:
+            keys = np.empty(0, np.uint64)
+        else:
+            import pyarrow.compute as pc
+            keep = pc.and_kleene(pc.is_valid(block.column("l_partkey")),
+                                 pc.is_valid(block.column("l_suppkey")))
+            block = block.filter(pc.fill_null(keep, False))
+            p = block.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            s = block.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            if len(p) and (p.max() >= lim or s.max() >= lim):
+                raise ValueError("part/supp key >= 2^32 — pack overflow")
+            keys = np.unique((p << np.uint64(_KEY_BITS)) | s)
+        return pa.table({
+            "key": pa.array(keys.view(np.int64), pa.int64()),
+            "bucket": pa.array((mix64(keys) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> np.ndarray:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(
+            [t.column("key").to_numpy(zero_copy_only=False) for t in live]))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    pair_refs = hash_shuffle([(r, ()) for r in li.to_arrow_refs()],
+                             split, merge, P=P, gather=False)
+
+    def unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        u = keys.view(np.uint64)
+        pn = (u >> np.uint64(_KEY_BITS)).astype(np.int64) * 2
+        sn = (u & (lim - np.uint64(1))).astype(np.int64) * 2 + 1
+        return pn, sn
+
+    @ray.remote
+    def bucket_nodes(keys: np.ndarray) -> np.ndarray:
+        if not len(keys):
+            return np.empty(0, np.int64)
+        pn, sn = unpack(keys)
+        return np.unique(np.concatenate([pn, sn]))
+
+    node_refs = [bucket_nodes.remote(r) for r in pair_refs]
+    nodes = np.empty(0, np.int64)
+    part_sizes = []
+    for nr in node_refs:
+        part = ray.get(nr)
+        part_sizes.append(len(part))
+        if len(part):
+            nodes = np.union1d(nodes, part)
+    N = len(nodes)
+    if N == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "component": pd.Series(dtype="int64")})
+    nref = ray.put(nodes)
+
+    @ray.remote
+    def to_dense(keys: np.ndarray, node_tab: np.ndarray):
+        pn, sn = unpack(keys)
+        pi = np.searchsorted(node_tab, pn)
+        si = np.searchsorted(node_tab, sn)
+        return (np.concatenate([pi, si]), np.concatenate([si, pi]))
+
+    dense_refs = [to_dense.remote(r, nref)
+                  for r, sz in zip(pair_refs, part_sizes) if sz]
+    del pair_refs, node_refs
+
+    _SENT = np.iinfo(np.int64).max
+
+    @ray.remote
+    def min_partial(edges, lab: np.ndarray, n: int) -> np.ndarray:
+        src, dst = edges
+        out = np.full(n, _SENT, np.int64)
+        np.minimum.at(out, dst, lab[src])
+        return out
+
+    # labels ARE the node codes — the component id ends up the smallest
+    # packed code reachable in `rounds` hops, on both sides identically
+    label = nodes.astype(np.int64).copy()
+    for _ in range(rounds):
+        lref = ray.put(label)
+        parts = ray.get([min_partial.remote(r, lref, N)
+                         for r in dense_refs])
+        incoming = np.minimum.reduce(parts) if parts else label
+        label = np.minimum(label, incoming)
+
+    names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in nodes]
+    out = pd.DataFrame({"node": names, "component": label})
+    return out.sort_values("node").reset_index(drop=True)
