@@ -39,7 +39,8 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
     import ray
 
     P = 32
-    CUT_US = int(pd.Timestamp("1998-06-01").value // 1000)
+    CUT = pa.scalar(pd.Timestamp("1998-06-01").to_pydatetime(),
+                    pa.timestamp("us"))
     SEG = "BUILDING"
 
     _EO = pa.table({"orderkey": pa.array([], pa.int64()),
@@ -68,10 +69,13 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
         if t.num_rows == 0 or "o_custkey" not in t.schema.names:
             return split_cust(t)  # same empty-typed table
         od = t.column("o_orderdate")
+        # NULL o_orderkey can never match a lineitem in SQL's inner
+        # join downstream — drop here rather than sentinel-fill, else
+        # a genuine l_orderkey == 2^63-1 would phantom-join it
         keep = pc.and_kleene(
-            pc.less(od, pa.scalar(pd.Timestamp("1998-06-01").to_pydatetime(),
-                                  pa.timestamp("us"))),
-            pc.is_valid(t.column("o_custkey")))
+            pc.and_kleene(pc.less(od, CUT),
+                          pc.is_valid(t.column("o_custkey"))),
+            pc.is_valid(t.column("o_orderkey")))
         t = t.filter(pc.fill_null(keep, False))
         key = t.column("o_custkey")
         n = t.num_rows
@@ -81,9 +85,8 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
                 1.0), pa.int64())
         return pa.table({"key": key,
                          "side": pa.array(np.ones(n, np.int8)),
-                         "orderkey": pc.fill_null(
-                             pc.cast(t.column("o_orderkey"), pa.int64()),
-                             _IMAX),
+                         "orderkey": pc.cast(t.column("o_orderkey"),
+                                             pa.int64()),
                          "odate": odate_s,
                          "bucket": pc.bit_wise_and(key, P - 1)})
 
@@ -137,9 +140,7 @@ def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
         if block.num_rows == 0 or "l_orderkey" not in block.schema.names:
             return _E2
         keep = pc.and_kleene(
-            pc.greater(block.column("l_shipdate"),
-                       pa.scalar(pd.Timestamp("1998-06-01").to_pydatetime(),
-                                 pa.timestamp("us"))),
+            pc.greater(block.column("l_shipdate"), CUT),
             pc.is_valid(block.column("l_orderkey")))
         block = block.filter(pc.fill_null(keep, False))
         rev = pc.multiply(block.column("l_extendedprice"),
@@ -353,10 +354,16 @@ def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
                                  "n_kept": pd.Series(dtype="int64")})
         lo = _quantile_cont(v, 0.05)
         hi = _quantile_cont(v, 0.95)
-        kept = v[(v >= lo) & (v <= hi)]
+        # DuckDB BETWEEN compares in its TOTAL order (NaN above +inf):
+        # an inf−inf bracket interpolates a bound to NaN, and v≤NaN is
+        # then TRUE for every (NaN-free) value while v≥NaN is FALSE —
+        # numpy's NaN comparisons are all-False, so special-case both
+        lo_m = np.zeros(len(v), bool) if np.isnan(lo) else (v >= lo)
+        hi_m = np.ones(len(v), bool) if np.isnan(hi) else (v <= hi)
+        kept = v[lo_m & hi_m]
         if len(kept) == 0:
-            # a −inf/+inf bracket interpolates lo/hi to NaN → every
-            # BETWEEN is false and SQL's inner-join group VANISHES
+            # NaN lo → every BETWEEN false → SQL's inner-join group
+            # VANISHES
             return pd.DataFrame({"event_type": pd.Series(dtype="object"),
                                  "trimmed_mean": pd.Series(dtype="float64"),
                                  "n_kept": pd.Series(dtype="int64")})

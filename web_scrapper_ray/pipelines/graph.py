@@ -47,29 +47,42 @@ def _read(sf_dir: str, table: str, columns=None):
                            columns=columns)
 
 
-def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
-                             damping: float = 0.85) -> pd.DataFrame:
-    """PageRank over the bipartite part–supplier graph: nodes are the
-    parts and suppliers that appear in ``lineitem``, with an undirected
-    edge for every DISTINCT (l_partkey, l_suppkey) pair; ``iters``
-    synchronous rounds of r ← (1−d)/N + d·Σ r(u)/deg(u), uniform init.
-    Every node in the edge set has degree ≥ 1 (no dangling mass) and
-    the oracle unrolls the same rounds as chained SQL CTEs, so the
-    result is SQL-checkable to 6dp."""
+def _unpack_edges(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Packed (partkey<<32)|suppkey codes → even/odd node codes."""
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+    u = keys.view(np.uint64)
+    pn = (u >> np.uint64(_KEY_BITS)).astype(np.int64) * 2
+    sn = (u & (lim - np.uint64(1))).astype(np.int64) * 2 + 1
+    return pn, sn
+
+
+def _edge_buckets(sf_dir: str, P: int = 32):
+    """Shared scaffolding for the part–supplier graph family (q67 /
+    q126): distinct (l_partkey, l_suppkey) edge buckets built once in
+    the object store, factorized to dense node indices.
+
+    Returns ``(dense_refs, nodes)``: per-bucket ObjectRefs each holding
+    BOTH undirected directions as dense-index arrays, plus the sorted
+    node-code table (the only node-space object the driver ever holds).
+    ``nodes`` may be empty — callers early-return their own schema.
+    """
     import ray
 
-    P = 32
     lim = np.uint64(1) << np.uint64(_KEY_BITS)
 
     def split(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0:
+        if block.num_rows == 0 or "l_partkey" not in block.schema.names:
             keys = np.empty(0, np.uint64)
         else:
+            import pyarrow.compute as pc
+            keep = pc.and_kleene(pc.is_valid(block.column("l_partkey")),
+                                 pc.is_valid(block.column("l_suppkey")))
+            block = block.filter(pc.fill_null(keep, False))
             p = block.column("l_partkey").to_numpy(
                 zero_copy_only=False).astype(np.uint64)
             s = block.column("l_suppkey").to_numpy(
                 zero_copy_only=False).astype(np.uint64)
-            if p.max() >= lim or s.max() >= lim:
+            if len(p) and (p.max() >= lim or s.max() >= lim):
                 # loud, not silent: packed keys would alias distinct
                 # edges. The wide-key continuation is a two-column
                 # distinct through the same exchange.
@@ -89,22 +102,16 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
 
     li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
     # gather=False: the distinct edge buckets stay in the object store
-    # as refs — only node-code uniques and rank-sized partials ever
-    # reach the driver
+    # as refs — only node-code uniques and node-count-sized partials
+    # ever reach the driver
     pair_refs = hash_shuffle([(r, ()) for r in li.to_arrow_refs()],
                              split, merge, P=P, gather=False)
-
-    def unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        u = keys.view(np.uint64)
-        pn = (u >> np.uint64(_KEY_BITS)).astype(np.int64) * 2
-        sn = (u & (lim - np.uint64(1))).astype(np.int64) * 2 + 1
-        return pn, sn
 
     @ray.remote
     def bucket_nodes(keys: np.ndarray) -> np.ndarray:
         if not len(keys):
             return np.empty(0, np.int64)
-        pn, sn = unpack(keys)
+        pn, sn = _unpack_edges(keys)
         return np.unique(np.concatenate([pn, sn]))
 
     # merge bucket node-uniques INCREMENTALLY (one part in flight) so
@@ -118,26 +125,42 @@ def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
         part_sizes.append(len(part))
         if len(part):
             nodes = np.union1d(nodes, part)
-    N = len(nodes)
-    if N == 0:
-        return pd.DataFrame({"node": pd.Series(dtype="object"),
-                             "pr": pd.Series(dtype="float64")})
+    if len(nodes) == 0:
+        return [], nodes
     nref = ray.put(nodes)
 
     @ray.remote
     def to_dense(keys: np.ndarray, node_tab: np.ndarray):
         """Both undirected edge directions as dense node indices."""
-        pn, sn = unpack(keys)
+        pn, sn = _unpack_edges(keys)
         pi = np.searchsorted(node_tab, pn)
         si = np.searchsorted(node_tab, sn)
         return (np.concatenate([pi, si]), np.concatenate([si, pi]))
 
     dense_refs = [to_dense.remote(r, nref)
                   for r, sz in zip(pair_refs, part_sizes) if sz]
-    # release the packed-key buckets once the dense tasks hold them —
-    # keeping pair_refs alive would pin both representations in the
-    # object store through every PageRank round
-    del pair_refs, node_refs
+    # pair_refs/node_refs fall out of scope on return — the dense tasks
+    # hold the packed-key buckets only as long as they need them, so
+    # only ONE edge representation stays pinned through the rounds
+    return dense_refs, nodes
+
+
+def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
+                             damping: float = 0.85) -> pd.DataFrame:
+    """PageRank over the bipartite part–supplier graph: nodes are the
+    parts and suppliers that appear in ``lineitem``, with an undirected
+    edge for every DISTINCT (l_partkey, l_suppkey) pair; ``iters``
+    synchronous rounds of r ← (1−d)/N + d·Σ r(u)/deg(u), uniform init.
+    Every node in the edge set has degree ≥ 1 (no dangling mass) and
+    the oracle unrolls the same rounds as chained SQL CTEs, so the
+    result is SQL-checkable to 6dp."""
+    import ray
+
+    dense_refs, nodes = _edge_buckets(sf_dir)
+    N = len(nodes)
+    if N == 0:
+        return pd.DataFrame({"node": pd.Series(dtype="object"),
+                             "pr": pd.Series(dtype="float64")})
 
     @ray.remote
     def degree_partial(edges, n: int) -> np.ndarray:
@@ -176,82 +199,16 @@ def q_connected_components(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
     the SQL-checkable contract (the oracle unrolls the same rounds as
     chained CTEs): both sides emit identical labels whether or not the
     propagation has converged, exactly like q67's unrolled PageRank.
-    Layout is q67's: distinct-edge buckets built once in the object
-    store, per-round np.minimum scatter partials sized by node count,
-    broadcast label vector."""
+    Layout is q67's (shared ``_edge_buckets``): distinct-edge buckets
+    built once in the object store, per-round np.minimum scatter
+    partials sized by node count, broadcast label vector."""
     import ray
 
-    P = 32
-    lim = np.uint64(1) << np.uint64(_KEY_BITS)
-
-    def split(block: pa.Table) -> pa.Table:
-        if block.num_rows == 0 or "l_partkey" not in block.schema.names:
-            keys = np.empty(0, np.uint64)
-        else:
-            import pyarrow.compute as pc
-            keep = pc.and_kleene(pc.is_valid(block.column("l_partkey")),
-                                 pc.is_valid(block.column("l_suppkey")))
-            block = block.filter(pc.fill_null(keep, False))
-            p = block.column("l_partkey").to_numpy(
-                zero_copy_only=False).astype(np.uint64)
-            s = block.column("l_suppkey").to_numpy(
-                zero_copy_only=False).astype(np.uint64)
-            if len(p) and (p.max() >= lim or s.max() >= lim):
-                raise ValueError("part/supp key >= 2^32 — pack overflow")
-            keys = np.unique((p << np.uint64(_KEY_BITS)) | s)
-        return pa.table({
-            "key": pa.array(keys.view(np.int64), pa.int64()),
-            "bucket": pa.array((mix64(keys) % np.uint64(P)).astype(np.int64)),
-        })
-
-    def merge(*tabs) -> np.ndarray:
-        live = [t for t in tabs if t.num_rows]
-        if not live:
-            return np.empty(0, np.int64)
-        return np.unique(np.concatenate(
-            [t.column("key").to_numpy(zero_copy_only=False) for t in live]))
-
-    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
-    pair_refs = hash_shuffle([(r, ()) for r in li.to_arrow_refs()],
-                             split, merge, P=P, gather=False)
-
-    def unpack(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-        u = keys.view(np.uint64)
-        pn = (u >> np.uint64(_KEY_BITS)).astype(np.int64) * 2
-        sn = (u & (lim - np.uint64(1))).astype(np.int64) * 2 + 1
-        return pn, sn
-
-    @ray.remote
-    def bucket_nodes(keys: np.ndarray) -> np.ndarray:
-        if not len(keys):
-            return np.empty(0, np.int64)
-        pn, sn = unpack(keys)
-        return np.unique(np.concatenate([pn, sn]))
-
-    node_refs = [bucket_nodes.remote(r) for r in pair_refs]
-    nodes = np.empty(0, np.int64)
-    part_sizes = []
-    for nr in node_refs:
-        part = ray.get(nr)
-        part_sizes.append(len(part))
-        if len(part):
-            nodes = np.union1d(nodes, part)
+    dense_refs, nodes = _edge_buckets(sf_dir)
     N = len(nodes)
     if N == 0:
         return pd.DataFrame({"node": pd.Series(dtype="object"),
                              "component": pd.Series(dtype="int64")})
-    nref = ray.put(nodes)
-
-    @ray.remote
-    def to_dense(keys: np.ndarray, node_tab: np.ndarray):
-        pn, sn = unpack(keys)
-        pi = np.searchsorted(node_tab, pn)
-        si = np.searchsorted(node_tab, sn)
-        return (np.concatenate([pi, si]), np.concatenate([si, pi]))
-
-    dense_refs = [to_dense.remote(r, nref)
-                  for r, sz in zip(pair_refs, part_sizes) if sz]
-    del pair_refs, node_refs
 
     _SENT = np.iinfo(np.int64).max
 
