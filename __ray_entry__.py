@@ -265,6 +265,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q128_first_number": analytics.q_first_number,
         "q129_quiet_orders": analytics.q_quiet_orders,
         "q130_monthly_growth": analytics.q_monthly_growth,
+        "q131_activity_streaks": analytics.q_activity_streaks,
+        "q132_interval_coverage": analytics.q_interval_coverage,
+        "q133_welch_ttest": analytics.q_welch_ttest,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1458,6 +1461,63 @@ def oracle_sql() -> dict[str, str]:
                    round(100.0 * (rev - lag(rev) OVER (ORDER BY mo))
                          / lag(rev) OVER (ORDER BY mo), 4) AS pct_growth
             FROM m ORDER BY 1
+        """,
+        "q131_activity_streaks": """
+            WITH days AS (
+              SELECT DISTINCT user_id,
+                     CAST(epoch(date_trunc('day', ts)) / 86400 AS BIGINT)
+                       AS d
+              FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            runs AS (
+              SELECT user_id,
+                     d - row_number() OVER (PARTITION BY user_id
+                                            ORDER BY d) AS grp
+              FROM days),
+            streaks AS (SELECT user_id, count(*)::BIGINT AS len
+                        FROM runs GROUP BY user_id, grp),
+            longest AS (SELECT user_id, max(len) AS streak
+                        FROM streaks GROUP BY user_id)
+            SELECT streak AS streak_days, count(*)::BIGINT AS n_users
+            FROM longest GROUP BY 1 ORDER BY 1
+        """,
+        "q132_interval_coverage": """
+            WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                              epoch_us(ts) + 1800000000 AS f
+                       FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            m AS (SELECT user_id, s, f,
+                         max(f) OVER (PARTITION BY user_id ORDER BY s
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS mx
+                  FROM e),
+            i AS (SELECT user_id, s, f,
+                         sum(CASE WHEN mx IS NULL OR s > mx
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY user_id ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS isl
+                  FROM m),
+            u AS (SELECT user_id, isl, max(f) - min(s) AS len
+                  FROM i GROUP BY user_id, isl)
+            SELECT user_id, sum(len)::BIGINT AS covered_us
+            FROM u GROUP BY user_id ORDER BY user_id
+        """,
+        "q133_welch_ttest": """
+            WITH s AS (SELECT event_type, count(*)::BIGINT AS n,
+                              avg(value) AS m, var_samp(value) AS v
+                       FROM events
+                       WHERE isfinite(value)
+                         AND event_type IN ('click', 'purchase')
+                       GROUP BY 1),
+            a AS (SELECT * FROM s WHERE event_type = 'click'),
+            b AS (SELECT * FROM s WHERE event_type = 'purchase')
+            SELECT a.n AS n_a, b.n AS n_b,
+                   round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4)
+                     AS t_stat,
+                   round((a.v/a.n + b.v/b.n) * (a.v/a.n + b.v/b.n)
+                         / ((a.v/a.n) * (a.v/a.n) / (a.n - 1)
+                            + (b.v/b.n) * (b.v/b.n) / (b.n - 1)), 4)
+                     AS dof
+            FROM a, b
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -156,3 +156,106 @@ def test_monthly_growth_pre1970_and_zero(ray_session, tmp_path):
     assert out["revenue"].tolist() == [10.0, 0.0, 5.0]
     pg = out["pct_growth"].tolist()
     assert np.isnan(pg[0]) and pg[1] == -100.0 and np.isnan(pg[2])
+
+
+def test_activity_streaks_islands(ray_session, tmp_path):
+    """q131: duplicate same-day events collapse, pre-1970 fractional
+    timestamps floor to the previous calendar day (day -1 and day 0 are
+    consecutive), and the histogram counts each user's LONGEST run."""
+    from web_scrapper_ray.pipelines.analytics import q_activity_streaks
+
+    DAY = 86_400_000_000
+    rows = []
+    # user 1: days 1,2,3 then 10,11 → longest 3
+    rows += [(1, d * DAY + 5) for d in (1, 2, 3, 10, 11)]
+    rows += [(1, 2 * DAY + 99)]  # duplicate day
+    # user 2: 1969-12-31 23:59:59.5 (day -1) and 1970-01-01 (day 0) → 2
+    rows += [(2, -500_000), (2, 50)]
+    # user 3: one day → 1
+    rows += [(3, 7 * DAY)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_activity_streaks(str(tmp_path))
+    assert out["streak_days"].tolist() == [1, 2, 3]
+    assert out["n_users"].tolist() == [1, 1, 1]
+
+
+def test_interval_coverage_union(ray_session, tmp_path):
+    """q132: overlapping and touching intervals merge; disjoint ones
+    add; duplicate timestamps are idempotent."""
+    from web_scrapper_ray.pipelines.analytics import q_interval_coverage
+
+    MIN = 60_000_000
+    t0 = pd.Timestamp("2021-06-01").value // 1000
+    ts = [t0, t0,                       # duplicate → one 30-min window
+          t0 + 10 * MIN,                # overlaps → extends to 40 min
+          t0 + 40 * MIN,                # touches end exactly → merges
+          t0 + 200 * MIN]               # disjoint → +30 min
+    pq.write_table(pa.table({
+        "user_id": pa.array([7] * len(ts), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_interval_coverage(str(tmp_path))
+    assert out["user_id"].tolist() == [7]
+    # [t0, t0+70min) ∪ [t0+200, t0+230) = 100 minutes
+    assert out["covered_us"].tolist() == [100 * MIN]
+    oracle = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                          epoch_us(ts) + 1800000000 AS f
+                   FROM '{tmp_path}/events.parquet'),
+        m AS (SELECT user_id, s, f,
+                     max(f) OVER (PARTITION BY user_id ORDER BY s
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS mx FROM e),
+        i AS (SELECT user_id, s, f,
+                     sum(CASE WHEN mx IS NULL OR s > mx THEN 1 ELSE 0
+                         END) OVER (PARTITION BY user_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS isl
+              FROM m),
+        u AS (SELECT user_id, isl, max(f) - min(s) AS len
+              FROM i GROUP BY user_id, isl)
+        SELECT user_id, sum(len)::BIGINT AS covered_us
+        FROM u GROUP BY user_id""").df()
+    assert oracle["covered_us"].tolist() == out["covered_us"].tolist()
+
+
+def test_welch_ttest_matches_duckdb(ray_session, tmp_path):
+    """q133: t/dof match DuckDB's formula on a small sample; a
+    single-row side (var_samp NULL) yields NULL t and dof."""
+    from web_scrapper_ray.pipelines.analytics import q_welch_ttest
+
+    va = [1.0, 2.0, 4.0, 8.0, 3.0]
+    vb = [5.0, 5.5, 9.0]
+    t = pa.table({
+        "event_type": pa.array(["click"] * 5 + ["purchase"] * 3
+                               + ["view", None]),
+        "value": pa.array(va + vb + [99.0, 1.0], pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_welch_ttest(str(tmp_path))
+    assert out["n_a"].tolist() == [5] and out["n_b"].tolist() == [3]
+    oracle = duckdb.sql(f"""
+        WITH s AS (SELECT event_type, count(*)::BIGINT AS n,
+                          avg(value) AS m, var_samp(value) AS v
+                   FROM '{tmp_path}/events.parquet'
+                   WHERE isfinite(value)
+                     AND event_type IN ('click', 'purchase')
+                   GROUP BY 1),
+        a AS (SELECT * FROM s WHERE event_type = 'click'),
+        b AS (SELECT * FROM s WHERE event_type = 'purchase')
+        SELECT round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat,
+               round((a.v/a.n + b.v/b.n) * (a.v/a.n + b.v/b.n)
+                     / ((a.v/a.n) * (a.v/a.n) / (a.n - 1)
+                        + (b.v/b.n) * (b.v/b.n) / (b.n - 1)), 4) AS dof
+        FROM a, b""").df()
+    assert out["t_stat"].tolist() == oracle["t_stat"].tolist()
+    assert out["dof"].tolist() == oracle["dof"].tolist()
+
+    # single purchase row → var_samp NULL → NULL t/dof, row still emitted
+    t2 = pa.table({"event_type": pa.array(["click", "click", "purchase"]),
+                   "value": pa.array([1.0, 2.0, 5.0], pa.float64())})
+    pq.write_table(t2, str(tmp_path / "events.parquet"))
+    out2 = q_welch_ttest(str(tmp_path))
+    assert len(out2) == 1
+    assert np.isnan(out2["t_stat"].iloc[0]) and np.isnan(out2["dof"].iloc[0])

@@ -696,3 +696,224 @@ def q_monthly_growth(sf_dir: str) -> pd.DataFrame:
         "month_start": g["mo"].to_numpy(np.int64) // 1_000_000,
         "revenue": round_away(rev, 2),
         "pct_growth": round_away(pct, 4)})
+
+
+def q_activity_streaks(sf_dir: str) -> pd.DataFrame:
+    """Gaps-and-islands: distribution of each user's LONGEST run of
+    consecutive active calendar days (streak_days → n_users). The SQL
+    twin is the row_number()-difference island trick; distributed it is
+    a two-level aggregate like q123 — per-batch distinct (user, day)
+    partials, one user-keyed exchange, and each bucket resolves its
+    users' islands exactly (per-user day sets never straddle buckets),
+    so the driver folds only (streak, count) histogram partials.
+    Day = floored µs division (calendar floor, same as
+    date_trunc('day') — int64 truncation would bin pre-1970 fractional
+    timestamps one day late, CLAUDE.md hour-binning rule)."""
+    P = 32
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "d": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        us = t.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        day = us // DAY_US  # numpy int64 // is floored, not truncated
+        g = (pa.table({"user": t.column("user_id"), "d": pa.array(day)})
+             .group_by(["user", "d"]).aggregate([]))
+        return pa.table({"user": g.column("user"), "d": g.column("d"),
+                         "bucket": pc.bit_wise_and(g.column("user"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"streak": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = (pa.concat_tables(live).to_pandas()
+              .drop_duplicates()             # int64 keys: hashing exact
+              .sort_values(["user", "d"]))   # int64 multi-sort: exact
+        u = df["user"].to_numpy(np.int64)
+        d = df["d"].to_numpy(np.int64)
+        new_run = np.ones(len(df), bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (d[1:] != d[:-1] + 1)
+        rid = np.cumsum(new_run) - 1
+        run_len = np.bincount(rid).astype(np.int64)
+        run_user = u[new_run]
+        longest = pd.Series(run_len).groupby(
+            pd.Series(run_user), sort=False).max()
+        h, c = np.unique(longest.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"streak": h, "n": c.astype(np.int64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"streak_days": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby("streak", as_index=False)["n"].sum()
+           .rename(columns={"streak": "streak_days", "n": "n_users"}))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out.sort_values("streak_days").reset_index(drop=True)
+
+
+def q_interval_coverage(sf_dir: str, window_us: int = 1_800_000_000
+                        ) -> pd.DataFrame:
+    """Interval-union sweep: each event covers [ts, ts+30min); per user,
+    the total covered µs after merging overlaps — the classic
+    cumulative-max island sweep (SQL: max(f) OVER (… ROWS … 1
+    PRECEDING) marks island breaks). One user-keyed exchange of (user,
+    start) pairs; each bucket sorts its users once and resolves islands
+    with a per-user running max — no within-user cross product, and tie
+    rows (duplicate timestamps) are break-invariant because equal
+    starts share an end. All-integer µs arithmetic end to end (a
+    float64 leg would corrupt epochs past 2^53 — CLAUDE.md)."""
+    P = 32
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        return pa.table({"user": t.column("user_id"),
+                         "s": pc.cast(t.column("ts"), pa.int64()),
+                         "bucket": pc.bit_wise_and(t.column("user_id"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "covered_us": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = (pa.concat_tables(live).to_pandas()
+              .sort_values(["user", "s"]))  # int64 multi-sort: exact
+        u = df["user"].to_numpy(np.int64)
+        s = df["s"].to_numpy(np.int64)
+        f = s + window_us
+        # per-user running max of f, shifted one row back: island break
+        # where s exceeds every prior end (first row of a user always
+        # breaks). cummax is per-user (pandas segment kernel).
+        cm = df.assign(f=f).groupby("user", sort=False)["f"] \
+               .cummax().to_numpy(np.int64)
+        brk = np.ones(len(df), bool)
+        brk[1:] = (u[1:] != u[:-1]) | (s[1:] > cm[:-1])
+        starts = np.flatnonzero(brk)
+        # island max end == per-user cummax at the island's last row
+        # (every f in an island exceeds all prior islands' ends)
+        last = np.r_[starts[1:] - 1, len(df) - 1]
+        length = cm[last] - s[starts]
+        per_user = pd.Series(length).groupby(
+            pd.Series(u[starts]), sort=False).sum()
+        return pd.DataFrame({
+            "user_id": per_user.index.to_numpy(np.int64),
+            "covered_us": per_user.to_numpy(np.int64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "covered_us": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("user_id").reset_index(drop=True))
+
+
+def q_welch_ttest(sf_dir: str, type_a: str = "click",
+                  type_b: str = "purchase") -> pd.DataFrame:
+    """Welch's two-sample t-test between two event types' values
+    (unequal variances): t statistic + Welch–Satterthwaite dof. Moments
+    stream as per-batch CENTERED (n, mean, M2) partials and Chan-merge
+    driver-side (q92 contract — naive Σx² cancels catastrophically far
+    from zero). Non-finite values are excluded on BOTH sides (DuckDB
+    var_samp RAISES on NaN/±inf — q29 contract); x/0 → NULL like SQL
+    (zero pooled variance, or n=1 making var_samp NULL)."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    _E = pa.table({"side": pa.array([], pa.int8()),
+                   "n": pa.array([], pa.float64()),
+                   "m": pa.array([], pa.float64()),
+                   "m2": pa.array([], pa.float64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        v = t.column("value")
+        finite = pc.and_kleene(pc.is_valid(v),
+                               pc.is_finite(v))
+        rows = {"side": [], "n": [], "m": [], "m2": []}
+        for side, name in ((0, type_a), (1, type_b)):
+            sel = pc.fill_null(pc.and_kleene(
+                pc.equal(t.column("event_type"), name), finite), False)
+            x = v.filter(sel).to_numpy(zero_copy_only=False)
+            if len(x) == 0:
+                continue
+            m = x.mean()
+            d = x - m
+            rows["side"].append(side)
+            rows["n"].append(float(len(x)))
+            rows["m"].append(m)
+            rows["m2"].append(float(d @ d))
+        return pa.table({"side": pa.array(rows["side"], pa.int8()),
+                         "n": pa.array(rows["n"], pa.float64()),
+                         "m": pa.array(rows["m"], pa.float64()),
+                         "m2": pa.array(rows["m2"], pa.float64())})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"n_a": pd.Series(dtype="int64"),
+                          "n_b": pd.Series(dtype="int64"),
+                          "t_stat": pd.Series(dtype="float64"),
+                          "dof": pd.Series(dtype="float64")})
+    if parts.empty:
+        return empty
+
+    def chan(g: pd.DataFrame):
+        n = m = m2 = 0.0
+        for r in g.itertuples(index=False):
+            if n == 0.0:
+                n, m, m2 = r.n, r.m, r.m2
+                continue
+            tot = n + r.n
+            d = r.m - m
+            m2 += r.m2 + d * d * (n * r.n / tot)
+            m += d * r.n / tot
+            n = tot
+        return n, m, m2
+
+    moms = {s: chan(g) for s, g in parts.groupby("side")}
+    if 0 not in moms or 1 not in moms:
+        return empty  # SQL inner cross join: either side absent → no row
+    (na, ma, m2a), (nb, mb, m2b) = moms[0], moms[1]
+    va = m2a / (na - 1.0) if na > 1.0 else np.nan  # var_samp(n=1) NULL
+    vb = m2b / (nb - 1.0) if nb > 1.0 else np.nan
+    se2 = va / na + vb / nb
+    # DuckDB x/0 → NULL (probed, q130): zero pooled SE or zero dof
+    # denominator yields NULL, never ±inf. A NaN se2 (either side has
+    # n=1 → var_samp NULL) short-circuits before the dof denominator's
+    # n−1 division can hit a Python-float ZeroDivisionError.
+    if np.isnan(se2) or se2 <= 0.0:
+        t = dof = np.nan
+    else:
+        t = (ma - mb) / np.sqrt(se2)
+        dden = (va / na) ** 2 / (na - 1.0) + (vb / nb) ** 2 / (nb - 1.0)
+        dof = se2 * se2 / dden if dden > 0.0 else np.nan
+    return pd.DataFrame({
+        "n_a": np.array([na], np.int64), "n_b": np.array([nb], np.int64),
+        "t_stat": round_away(np.array([t]), 4),
+        "dof": round_away(np.array([dof]), 4)})
