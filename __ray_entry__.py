@@ -268,6 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q131_activity_streaks": analytics.q_activity_streaks,
         "q132_interval_coverage": analytics.q_interval_coverage,
         "q133_welch_ttest": analytics.q_welch_ttest,
+        "q134_local_supplier_volume": analytics.q_local_supplier_volume,
+        "q135_all_priority_customers": analytics.q_all_priority_customers,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1518,6 +1520,27 @@ def oracle_sql() -> dict[str, str]:
                             + (b.v/b.n) * (b.v/b.n) / (b.n - 1)), 4)
                      AS dof
             FROM a, b
+        """,
+        "q134_local_supplier_volume": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q135_all_priority_customers": """
+            SELECT o_custkey AS c_custkey, count(*)::BIGINT AS n_orders
+            FROM orders
+            WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+            GROUP BY 1
+            HAVING count(DISTINCT o_orderpriority) = 5
+            ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -259,3 +259,73 @@ def test_welch_ttest_matches_duckdb(ray_session, tmp_path):
     out2 = q_welch_ttest(str(tmp_path))
     assert len(out2) == 1
     assert np.isnan(out2["t_stat"].iloc[0]) and np.isnan(out2["dof"].iloc[0])
+
+
+def test_local_supplier_volume_fanout_and_null(ray_session, tmp_path):
+    """q134: duplicate nation-dim rows multiply revenue like the SQL
+    join; a nation whose only revenue terms are NULL keeps SQL's NULL
+    sum; cross-nation customer/supplier pairs are excluded."""
+    from web_scrapper_ray.pipelines.analytics import q_local_supplier_volume
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([1], pa.int32()),
+        "r_name": pa.array(["ASIA"])}), str(tmp_path / "region.parquet"))
+    # NATION_A duplicated → its revenue doubles; NATION_B normal
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 10, 20], pa.int32()),
+        "n_name": pa.array(["NATION_A", "NATION_A", "NATION_B"]),
+        "n_regionkey": pa.array([1, 1, 1], pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([10, 20, 20], pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+    t96 = pd.Timestamp("1996-06-01").value // 1000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 200, 300], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([t96] * 3, pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8, 9], pa.int64()),
+        "s_nationkey": pa.array([10, 20, 10], pa.int32()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        # order 100 (cust nation 10) × supp 7 (nation 10) → match, 50
+        # order 200 (nation 20) × supp 8 (nation 20) → NULL price only
+        # order 300 (nation 20) × supp 9 (nation 10) → cross → excluded
+        "l_orderkey": pa.array([100, 200, 300], pa.int64()),
+        "l_suppkey": pa.array([7, 8, 9], pa.int64()),
+        "l_extendedprice": pa.array([100.0, None, 77.0], pa.float64()),
+        "l_discount": pa.array([0.5, 0.1, 0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_local_supplier_volume(str(tmp_path))
+    assert out["n_name"].tolist() == ["NATION_A", "NATION_B"]
+    # NATION_A: 100*0.5 = 50, ×2 duplicate nation rows = 100
+    assert out["revenue"].tolist()[0] == 100.0
+    assert np.isnan(out["revenue"].tolist()[1])  # all-NULL → SQL NULL
+
+
+def test_all_priority_customers_division(ray_session, tmp_path):
+    """q135: only customers spanning all five priorities survive, and
+    NUL-containing priority strings stay distinct from their prefix."""
+    from web_scrapper_ray.pipelines.analytics import q_all_priority_customers
+
+    P5 = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    cust, prio = [], []
+    cust += [1] * 6
+    prio += P5 + ["1-URGENT"]          # all 5 + repeat → qualifies, n=6
+    cust += [2] * 5
+    prio += P5[:4] + ["1-URGENT"]      # only 4 distinct → out
+    cust += [3] * 5
+    # the NUL variant is a DISTINCT 5th value (SQL keys on full bytes);
+    # a pandas nunique over raw object strings would merge it with
+    # '1-URGENT' (NUL-terminated C-string hashing) and wrongly drop 3
+    prio += P5[:4] + ["1-URGENT\x00x"]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(cust, pa.int64()),
+        "o_orderpriority": pa.array(prio)}),
+        str(tmp_path / "orders.parquet"))
+    out = q_all_priority_customers(str(tmp_path))
+    assert out["c_custkey"].tolist() == [1, 3]
+    assert out["n_orders"].tolist() == [6, 5]

@@ -917,3 +917,346 @@ def q_welch_ttest(sf_dir: str, type_a: str = "click",
         "n_a": np.array([na], np.int64), "n_b": np.array([nb], np.int64),
         "t_stat": round_away(np.array([t]), 4),
         "dof": round_away(np.array([dof]), 4)})
+
+
+def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                            year: int = 1996) -> pd.DataFrame:
+    """TPC-H Q5 twin: revenue per nation where the CUSTOMER's and the
+    SUPPLIER's nation coincide inside one region, for orders in one
+    year. A three-exchange pipelined plan with ZERO broadcast of big
+    sides: (1) customer⋈orders on custkey (customers pre-filtered to
+    the region's nations — semi-join pushdown off the tiny dims), (2)
+    that ⋈ lineitem on orderkey, pre-aggregated per (suppkey,
+    cust-nation) before it leaves the bucket, (3) ⋈ supplier on suppkey
+    with the cnation==snation equality resolved in-bucket. The driver
+    folds only (nations × buckets) moment rows and applies the tiny
+    nation/region dims (with SQL's duplicate-row fan-out multiplying
+    like the join would). NULL revenue terms carry as sum-as-0 +
+    valid-count so an all-NULL nation keeps SQL's NULL sum while a NaN
+    price still poisons it (CLAUDE.md q85/q28 contract)."""
+    import ray
+
+    P = 32
+    lo = pa.scalar(pd.Timestamp(f"{year}-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp(f"{year + 1}-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    # ---- tiny dims, driver-side: region ⋈ nation (duplicate rows of
+    # either dim fan out multiplicatively, like the SQL join) ---------
+    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]) \
+        .to_pandas()
+    reg = reg[(reg["r_name"] == region) & reg["r_regionkey"].notna()]
+    rmult = reg.groupby("r_regionkey").size()
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    nat = nat[nat["n_nationkey"].notna() & nat["n_regionkey"].notna()]
+    nat = nat.assign(w=nat["n_regionkey"].map(rmult).fillna(0)
+                     .astype(np.int64))
+    nat = nat[nat["w"] > 0]
+    _EMPTY = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                           "revenue": pd.Series(dtype="float64")})
+    if nat.empty:
+        return _EMPTY
+    asian = frozenset(nat["n_nationkey"].astype(np.int64).tolist())
+
+    # ---- stage 1: customer ⋈ orders on custkey ----------------------
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "orderkey": pa.array([], pa.int64()),
+                    "cnat": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_cust: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_cust:
+            if "c_custkey" not in t.schema.names:
+                return _E1
+            cn = pc.cast(t.column("c_nationkey"), pa.int64())
+            keep = pc.and_kleene(
+                pc.is_valid(t.column("c_custkey")),
+                pc.is_in(cn, value_set=pa.array(sorted(asian),
+                                                pa.int64())))
+            t2 = t.filter(pc.fill_null(keep, False))
+            n = t2.num_rows
+            return pa.table({
+                "key": t2.column("c_custkey"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "orderkey": pa.array(np.full(n, -1, np.int64)),
+                "cnat": pc.cast(t2.column("c_nationkey"), pa.int64()),
+                "bucket": pc.bit_wise_and(t2.column("c_custkey"), P - 1)})
+        if "o_custkey" not in t.schema.names:
+            return _E1
+        od = t.column("o_orderdate")
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("o_custkey")),
+                          pc.is_valid(t.column("o_orderkey"))),
+            pc.and_kleene(pc.greater_equal(od, lo), pc.less(od, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        return pa.table({
+            "key": t2.column("o_custkey"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "orderkey": pc.cast(t2.column("o_orderkey"), pa.int64()),
+            "cnat": pa.array(np.zeros(n, np.int64)),
+            "bucket": pc.bit_wise_and(t2.column("o_custkey"), P - 1)})
+
+    _O1 = pa.table({"orderkey": pa.array([], pa.int64()),
+                    "cnat": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        cust = df[df["side"] == 0][["key", "cnat"]]
+        orders = df[df["side"] == 1][["key", "orderkey"]]
+        if cust.empty or orders.empty:
+            return _O1
+        j = orders.merge(cust, on="key")  # int64 keys: hashing exact
+        return pa.table({"orderkey": pa.array(
+                             j["orderkey"].to_numpy(np.int64)),
+                         "cnat": pa.array(j["cnat"].to_numpy(np.int64))})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: ⋈ lineitem on orderkey, pre-agg per (supp, cnat) --
+    _E2 = pa.table({"okey": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "cnat": pa.array([], pa.int64()),
+                    "suppkey": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.float64()),
+                    "revnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E2
+        if is_orders:
+            if "orderkey" not in t.schema.names:
+                return _E2
+            n = t.num_rows
+            return pa.table({
+                "okey": t.column("orderkey"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "cnat": t.column("cnat"),
+                "suppkey": pa.array(np.full(n, -1, np.int64)),
+                "rev": pa.array(np.zeros(n, np.float64)),
+                "revnull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(t.column("orderkey"), P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E2
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_suppkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        rev = pc.multiply(
+            t2.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0, pa.float64()),
+                        t2.column("l_discount")))
+        return pa.table({
+            "okey": pc.cast(t2.column("l_orderkey"), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "cnat": pa.array(np.zeros(n, np.int64)),
+            "suppkey": pc.cast(t2.column("l_suppkey"), pa.int64()),
+            "rev": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+            "revnull": pc.is_null(rev),
+            "bucket": pc.bit_wise_and(pc.cast(t2.column("l_orderkey"),
+                                              pa.int64()), P - 1)})
+
+    _O2 = pa.table({"suppkey": pa.array([], pa.int64()),
+                    "cnat": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64())})
+
+    def merge2(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O2
+        df = pa.concat_tables(live).to_pandas()
+        ords = df[df["side"] == 0][["okey", "cnat"]]
+        line = df[df["side"] == 1][["okey", "suppkey", "rev", "revnull"]]
+        if ords.empty or line.empty:
+            return _O2
+        j = line.merge(ords, on="okey")
+        valid = ~j["revnull"].to_numpy()
+        j = j.assign(rv=np.where(valid, j["rev"].to_numpy(), 0.0),
+                     nv=valid.astype(np.int64))
+        g = j.groupby(["suppkey", "cnat"], as_index=False) \
+             .agg(s=("rv", lambda x: x.to_numpy().sum()),
+                  nv=("nv", "sum"))
+        return pa.table({"suppkey": pa.array(g["suppkey"]
+                                             .to_numpy(np.int64)),
+                         "cnat": pa.array(g["cnat"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.float64)),
+                         "nv": pa.array(g["nv"].to_numpy(np.int64))})
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]
+    ).to_arrow_refs()]
+    stage2 = hash_shuffle(tagged2, split2, merge2, P=P, gather=False)
+
+    # ---- stage 3: ⋈ supplier on suppkey, cnat==snat in-bucket -------
+    _E3 = pa.table({"skey": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "cnat": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split3(t: pa.Table, is_partial: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E3
+        if is_partial:
+            if "suppkey" not in t.schema.names:
+                return _E3
+            n = t.num_rows
+            return pa.table({
+                "skey": t.column("suppkey"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "cnat": t.column("cnat"),
+                "s": t.column("s"),
+                "nv": t.column("nv"),
+                "bucket": pc.bit_wise_and(t.column("suppkey"), P - 1)})
+        if "s_suppkey" not in t.schema.names:
+            return _E3
+        sn = pc.cast(t.column("s_nationkey"), pa.int64())
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("s_suppkey")),
+            pc.is_in(sn, value_set=pa.array(sorted(asian), pa.int64())))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        return pa.table({
+            "skey": t2.column("s_suppkey"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "cnat": pc.cast(t2.column("s_nationkey"), pa.int64()),
+            "s": pa.array(np.zeros(n, np.float64)),
+            "nv": pa.array(np.zeros(n, np.int64)),
+            "bucket": pc.bit_wise_and(t2.column("s_suppkey"), P - 1)})
+
+    def merge3(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"nat": pd.Series(dtype="int64"),
+                              "s": pd.Series(dtype="float64"),
+                              "nv": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["skey", "cnat", "s", "nv"]]
+        supp = df[df["side"] == 1][["skey", "cnat"]] \
+            .rename(columns={"cnat": "snat"})
+        if part.empty or supp.empty:
+            return empty
+        # supplier multiplicity per (suppkey, nation): duplicate
+        # supplier rows duplicate every joined lineitem row
+        sm = supp.groupby(["skey", "snat"], as_index=False).size()
+        j = part.merge(sm, left_on=["skey", "cnat"],
+                       right_on=["skey", "snat"])
+        if j.empty:
+            return empty
+        m = j["size"].to_numpy(np.int64)
+        g = (j.assign(sw=j["s"].to_numpy() * m, nw=j["nv"].to_numpy() * m)
+             .groupby("cnat", as_index=False)
+             .agg(s=("sw", lambda x: x.to_numpy().sum()),
+                  nv=("nw", "sum")))
+        return pd.DataFrame({"nat": g["cnat"].to_numpy(np.int64),
+                             "s": g["s"].to_numpy(np.float64),
+                             "nv": g["nv"].to_numpy(np.int64)})
+
+    tagged3 = [(r, (True,)) for r in stage2]
+    tagged3 += [(r, (False,)) for r in _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged3, split3, merge3, P=P)
+             if len(p)]
+    if not parts:
+        return _EMPTY
+    tot = (pd.concat(parts, ignore_index=True)
+           .groupby("nat", as_index=False)
+           .agg(s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum")))
+    # tiny-dim application: each nation row contributes weight w (its
+    # region-join multiplicity); duplicate nationkeys fan out per row
+    nn = nat.assign(nat=nat["n_nationkey"].astype(np.int64)) \
+        .merge(tot, on="nat")
+    if nn.empty:
+        return _EMPTY
+    g = (nn.assign(sw=nn["s"].to_numpy() * nn["w"].to_numpy(),
+                   nw=nn["nv"].to_numpy() * nn["w"].to_numpy())
+         .groupby("n_name", as_index=False)
+         .agg(s=("sw", lambda x: x.to_numpy().sum()), nv=("nw", "sum")))
+    rev = g["s"].to_numpy(np.float64).copy()
+    rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL terms: SQL NULL sum
+    out = pd.DataFrame({"n_name": g["n_name"].astype(object),
+                        "revenue": round_away(rev, 2)})
+    return out.sort_values("n_name").reset_index(drop=True)
+
+
+def q_all_priority_customers(sf_dir: str) -> pd.DataFrame:
+    """Relational division: customers whose orders span ALL FIVE
+    canonical priorities (÷ the full priority set), with their order
+    count. Per-batch Arrow (cust, priority) group partials (full-byte
+    string keys), one cust-keyed exchange, and the per-bucket distinct
+    count runs on factorized int codes — pandas would silently merge
+    NUL-containing priority strings (CLAUDE.md factorize rule)."""
+    from .pairs import factorize_strings
+
+    P = 32
+    NEED = 5
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_orderpriority"])
+
+    _E = pa.table({"cust": pa.array([], pa.int64()),
+                   "prio": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("o_custkey")),
+                             pc.is_valid(t.column("o_orderpriority")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        g = (pa.table({"cust": t.column("o_custkey"),
+                       "prio": t.column("o_orderpriority")})
+             .group_by(["cust", "prio"]).aggregate([([], "count_all")]))
+        return pa.table({"cust": g.column("cust"),
+                         "prio": g.column("prio"),
+                         "n": pc.cast(g.column("count_all"), pa.int64()),
+                         "bucket": pc.bit_wise_and(g.column("cust"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                              "n_orders": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        codes, _ = factorize_strings(df["prio"], use_na_sentinel=False)
+        g = (df.assign(_p=codes).groupby("cust")
+             .agg(k=("_p", "nunique"), n=("n", "sum")))
+        g = g[g["k"] == NEED]
+        return pd.DataFrame({
+            "c_custkey": g.index.to_numpy(np.int64),
+            "n_orders": g["n"].to_numpy(np.int64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "n_orders": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("c_custkey").reset_index(drop=True))
