@@ -329,3 +329,74 @@ def test_all_priority_customers_division(ray_session, tmp_path):
     out = q_all_priority_customers(str(tmp_path))
     assert out["c_custkey"].tolist() == [1, 3]
     assert out["n_orders"].tolist() == [6, 5]
+
+
+def test_welch_constant_sides_null(ray_session, tmp_path):
+    """q133: a constant-valued side has var_samp EXACTLY 0 (detected by
+    min==max, not float-accumulated m2 ≈ 1e-31); both sides constant →
+    se2 = 0 → x/0 → NULL t and dof like DuckDB."""
+    from web_scrapper_ray.pipelines.analytics import q_welch_ttest
+
+    t = pa.table({
+        "event_type": pa.array(["click"] * 1100 + ["purchase"] * 1100),
+        "value": pa.array([0.7] * 1100 + [0.1] * 1100, pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_welch_ttest(str(tmp_path))
+    assert out["n_a"].tolist() == [1100]
+    assert np.isnan(out["t_stat"].iloc[0]) and np.isnan(out["dof"].iloc[0])
+
+    # one constant side, one varying: var_a contributes exactly 0
+    t2 = pa.table({
+        "event_type": pa.array(["click"] * 3 + ["purchase"] * 3),
+        "value": pa.array([0.5, 0.5, 0.5, 1.0, 2.0, 4.0], pa.float64())})
+    pq.write_table(t2, str(tmp_path / "events.parquet"))
+    out2 = q_welch_ttest(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        WITH s AS (SELECT event_type, count(*)::BIGINT AS n,
+                          avg(value) AS m, var_samp(value) AS v
+                   FROM '{tmp_path}/events.parquet'
+                   WHERE isfinite(value)
+                     AND event_type IN ('click', 'purchase') GROUP BY 1),
+        a AS (SELECT * FROM s WHERE event_type = 'click'),
+        b AS (SELECT * FROM s WHERE event_type = 'purchase')
+        SELECT round((a.m - b.m) / sqrt(a.v/a.n + b.v/b.n), 4) AS t_stat
+        FROM a, b""").df()
+    assert out2["t_stat"].tolist() == oracle["t_stat"].tolist()
+
+
+def test_local_supplier_volume_nul_and_null_names(ray_session, tmp_path):
+    """q134: NUL-prefix nation names stay distinct groups, and a NULL
+    n_name keeps its revenue row (SQL GROUP BY keeps the NULL group)."""
+    from web_scrapper_ray.pipelines.analytics import q_local_supplier_volume
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([1], pa.int32()),
+        "r_name": pa.array(["ASIA"])}), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 20, 30], pa.int32()),
+        "n_name": pa.array(["NAT", "NAT\x00x", None]),
+        "n_regionkey": pa.array([1, 1, 1], pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3], pa.int64()),
+        "c_nationkey": pa.array([10, 20, 30], pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+    t96 = pd.Timestamp("1996-06-01").value // 1000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 200, 300], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3], pa.int64()),
+        "o_orderdate": pa.array([t96] * 3, pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([7, 8, 9], pa.int64()),
+        "s_nationkey": pa.array([10, 20, 30], pa.int32()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 200, 300], pa.int64()),
+        "l_suppkey": pa.array([7, 8, 9], pa.int64()),
+        "l_extendedprice": pa.array([100.0, 10.0, 1.0], pa.float64()),
+        "l_discount": pa.array([0.0, 0.0, 0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_local_supplier_volume(str(tmp_path))
+    assert out["n_name"].tolist() == ["NAT", "NAT\x00x", None]
+    assert out["revenue"].tolist() == [100.0, 10.0, 1.0]

@@ -792,9 +792,13 @@ def q_interval_coverage(sf_dir: str, window_us: int = 1_800_000_000
         t = t.filter(pc.fill_null(keep, False))
         if t.num_rows == 0:
             return _E
-        return pa.table({"user": t.column("user_id"),
-                         "s": pc.cast(t.column("ts"), pa.int64()),
-                         "bucket": pc.bit_wise_and(t.column("user_id"),
+        # duplicate (user, ts) rows are sweep-idempotent (f = s + const
+        # shares an end) — distinct here shrinks the exchange for free
+        g = (pa.table({"user": t.column("user_id"),
+                       "s": pc.cast(t.column("ts"), pa.int64())})
+             .group_by(["user", "s"]).aggregate([]))
+        return pa.table({"user": g.column("user"), "s": g.column("s"),
+                         "bucket": pc.bit_wise_and(g.column("user"),
                                                    P - 1)})
 
     def merge(*tabs) -> pd.DataFrame:
@@ -849,7 +853,9 @@ def q_welch_ttest(sf_dir: str, type_a: str = "click",
     _E = pa.table({"side": pa.array([], pa.int8()),
                    "n": pa.array([], pa.float64()),
                    "m": pa.array([], pa.float64()),
-                   "m2": pa.array([], pa.float64())})
+                   "m2": pa.array([], pa.float64()),
+                   "mn": pa.array([], pa.float64()),
+                   "mx": pa.array([], pa.float64())})
 
     def partial(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "value" not in t.schema.names:
@@ -857,7 +863,7 @@ def q_welch_ttest(sf_dir: str, type_a: str = "click",
         v = t.column("value")
         finite = pc.and_kleene(pc.is_valid(v),
                                pc.is_finite(v))
-        rows = {"side": [], "n": [], "m": [], "m2": []}
+        rows = {"side": [], "n": [], "m": [], "m2": [], "mn": [], "mx": []}
         for side, name in ((0, type_a), (1, type_b)):
             sel = pc.fill_null(pc.and_kleene(
                 pc.equal(t.column("event_type"), name), finite), False)
@@ -870,10 +876,14 @@ def q_welch_ttest(sf_dir: str, type_a: str = "click",
             rows["n"].append(float(len(x)))
             rows["m"].append(m)
             rows["m2"].append(float(d @ d))
+            rows["mn"].append(float(x.min()))
+            rows["mx"].append(float(x.max()))
         return pa.table({"side": pa.array(rows["side"], pa.int8()),
                          "n": pa.array(rows["n"], pa.float64()),
                          "m": pa.array(rows["m"], pa.float64()),
-                         "m2": pa.array(rows["m2"], pa.float64())})
+                         "m2": pa.array(rows["m2"], pa.float64()),
+                         "mn": pa.array(rows["mn"], pa.float64()),
+                         "mx": pa.array(rows["mx"], pa.float64())})
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     empty = pd.DataFrame({"n_a": pd.Series(dtype="int64"),
@@ -894,14 +904,19 @@ def q_welch_ttest(sf_dir: str, type_a: str = "click",
             m2 += r.m2 + d * d * (n * r.n / tot)
             m += d * r.n / tot
             n = tot
-        return n, m, m2
+        return n, m, m2, g["mn"].min(), g["mx"].max()
 
     moms = {s: chan(g) for s, g in parts.groupby("side")}
     if 0 not in moms or 1 not in moms:
         return empty  # SQL inner cross join: either side absent → no row
-    (na, ma, m2a), (nb, mb, m2b) = moms[0], moms[1]
-    va = m2a / (na - 1.0) if na > 1.0 else np.nan  # var_samp(n=1) NULL
-    vb = m2b / (nb - 1.0) if nb > 1.0 else np.nan
+    (na, ma, m2a, mna, mxa), (nb, mb, m2b, mnb, mxb) = moms[0], moms[1]
+    # exact min==max constancy flags, not float-accumulated m2 ≈ 0:
+    # per-batch means are inexact, so a CONSTANT column's d@d lands at
+    # ~1e-31 and a naive se2>0 check emits a huge finite t where
+    # DuckDB's var_samp is exactly 0 → x/0 → NULL (CLAUDE.md regr_r2
+    # rule). n=1 still wins: var_samp(n=1) is NULL, not 0.
+    va = np.nan if na <= 1.0 else (0.0 if mna == mxa else m2a / (na - 1.0))
+    vb = np.nan if nb <= 1.0 else (0.0 if mnb == mxb else m2b / (nb - 1.0))
     se2 = va / na + vb / nb
     # DuckDB x/0 → NULL (probed, q130): zero pooled SE or zero dof
     # denominator yields NULL, never ±inf. A NaN se2 (either side has
@@ -934,8 +949,6 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     like the join would). NULL revenue terms carry as sum-as-0 +
     valid-count so an all-NULL nation keeps SQL's NULL sum while a NaN
     price still poisons it (CLAUDE.md q85/q28 contract)."""
-    import ray
-
     P = 32
     lo = pa.scalar(pd.Timestamp(f"{year}-01-01").to_pydatetime(),
                    pa.timestamp("us"))
@@ -960,6 +973,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     if nat.empty:
         return _EMPTY
     asian = frozenset(nat["n_nationkey"].astype(np.int64).tolist())
+    asian_arr = pa.array(sorted(asian), pa.int64())  # built once, not per block
 
     # ---- stage 1: customer ⋈ orders on custkey ----------------------
     _E1 = pa.table({"key": pa.array([], pa.int64()),
@@ -977,8 +991,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
             cn = pc.cast(t.column("c_nationkey"), pa.int64())
             keep = pc.and_kleene(
                 pc.is_valid(t.column("c_custkey")),
-                pc.is_in(cn, value_set=pa.array(sorted(asian),
-                                                pa.int64())))
+                pc.is_in(cn, value_set=asian_arr))
             t2 = t.filter(pc.fill_null(keep, False))
             n = t2.num_rows
             return pa.table({
@@ -1135,7 +1148,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         sn = pc.cast(t.column("s_nationkey"), pa.int64())
         keep = pc.and_kleene(
             pc.is_valid(t.column("s_suppkey")),
-            pc.is_in(sn, value_set=pa.array(sorted(asian), pa.int64())))
+            pc.is_in(sn, value_set=asian_arr))
         t2 = t.filter(pc.fill_null(keep, False))
         n = t2.num_rows
         return pa.table({
@@ -1192,15 +1205,23 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         .merge(tot, on="nat")
     if nn.empty:
         return _EMPTY
-    g = (nn.assign(sw=nn["s"].to_numpy() * nn["w"].to_numpy(),
+    # code-keyed groupby: pandas hashes object strings NUL-terminated
+    # (would merge 'NAT' with 'NAT\x00x'), and default dropna=True
+    # would drop a NULL n_name group SQL's GROUP BY keeps
+    from .pairs import factorize_strings
+    codes, uniq = factorize_strings(nn["n_name"], use_na_sentinel=False)
+    g = (nn.assign(_c=codes,
+                   sw=nn["s"].to_numpy() * nn["w"].to_numpy(),
                    nw=nn["nv"].to_numpy() * nn["w"].to_numpy())
-         .groupby("n_name", as_index=False)
+         .groupby("_c", as_index=False)
          .agg(s=("sw", lambda x: x.to_numpy().sum()), nv=("nw", "sum")))
+    names = uniq.to_numpy()[g["_c"].to_numpy()]
     rev = g["s"].to_numpy(np.float64).copy()
     rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL terms: SQL NULL sum
-    out = pd.DataFrame({"n_name": g["n_name"].astype(object),
+    out = pd.DataFrame({"n_name": pd.Series(names, dtype=object),
                         "revenue": round_away(rev, 2)})
-    return out.sort_values("n_name").reset_index(drop=True)
+    return out.sort_values("n_name",
+                           na_position="last").reset_index(drop=True)
 
 
 def q_all_priority_customers(sf_dir: str) -> pd.DataFrame:
