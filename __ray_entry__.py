@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q133_welch_ttest": analytics.q_welch_ttest,
         "q134_local_supplier_volume": analytics.q_local_supplier_volume,
         "q135_all_priority_customers": analytics.q_all_priority_customers,
+        "q136_chi2_independence": analytics.q_chi2_independence,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1085,14 +1086,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "q92_event_regression": """
+            -- non-finite y masked to NULL inside the aggregates (not
+            -- WHERE): VARPOP raises on NaN/±inf among finite values,
+            -- but the group row must still surface (regr_count 0)
             SELECT event_type,
-                   regr_count(value, (epoch(ts) - 1700000000.0)
+                   regr_count(CASE WHEN isfinite(value) THEN value END,
+                              (epoch(ts) - 1700000000.0)
                               / 3600.0)::BIGINT AS n,
-                   round(regr_slope(value, (epoch(ts) - 1700000000.0)
+                   round(regr_slope(CASE WHEN isfinite(value)
+                                         THEN value END,
+                                    (epoch(ts) - 1700000000.0)
                                     / 3600.0), 6) AS slope,
-                   round(regr_intercept(value, (epoch(ts) - 1700000000.0)
+                   round(regr_intercept(CASE WHEN isfinite(value)
+                                             THEN value END,
+                                        (epoch(ts) - 1700000000.0)
                                         / 3600.0), 6) AS icept,
-                   round(regr_r2(value, (epoch(ts) - 1700000000.0)
+                   round(regr_r2(CASE WHEN isfinite(value)
+                                      THEN value END,
+                                 (epoch(ts) - 1700000000.0)
                                  / 3600.0), 6) AS r2
             FROM events GROUP BY event_type ORDER BY event_type
         """,
@@ -1168,10 +1179,14 @@ def oracle_sql() -> dict[str, str]:
             WHERE rk = 1 ORDER BY user_id
         """,
         "q99_median_value_disc": """
+            -- NaN excluded on BOTH sides: quantile_disc's selection
+            -- network has no consistent NaN placement with >1 NaN
+            -- (probed) — same contract as q102's quantile_cont
             SELECT event_type, count(*)::BIGINT AS n_events,
                    quantile_disc(value, 0.5) AS median_value
             FROM events
             WHERE event_type IS NOT NULL AND value IS NOT NULL
+              AND NOT isnan(value)
             GROUP BY 1 ORDER BY 1
         """,
         "q102_percentile_cont": """
@@ -1541,6 +1556,24 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             HAVING count(DISTINCT o_orderpriority) = 5
             ORDER BY 1
+        """,
+        "q136_chi2_independence": """
+            WITH obs AS (SELECT event_type AS t, hour(ts) AS h,
+                                count(*)::DOUBLE AS o
+                         FROM events
+                         WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                         GROUP BY 1, 2),
+            r AS (SELECT t, sum(o) AS rt FROM obs GROUP BY 1),
+            c AS (SELECT h, sum(o) AS ct FROM obs GROUP BY 1),
+            n AS (SELECT sum(o) AS tot FROM obs),
+            cells AS (SELECT coalesce(o.o, 0) AS o,
+                             r.rt * c.ct / n.tot AS e
+                      FROM r CROSS JOIN c CROSS JOIN n
+                      LEFT JOIN obs o ON o.t = r.t AND o.h = c.h)
+            SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2,
+                   ((SELECT count(*) FROM r) - 1)::BIGINT
+                   * ((SELECT count(*) FROM c) - 1)::BIGINT AS dof
+            FROM cells
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

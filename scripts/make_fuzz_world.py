@@ -208,6 +208,53 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "o_orderpriority": ["1-URGENT"] * 5,
     })
 
+    # nation/region/supplier dim classes (q08/q134): DUPLICATE dim rows
+    # fan inner joins out multiplicatively (a dict lookup collapses
+    # them); NUL-prefix and NULL names are distinct GROUP BY keys; a
+    # NULL s_nationkey never joins; NULL balances keep count(*) rows
+    # but a group of only-NULL balances sums to SQL NULL
+    rp = tabs["region"].to_pandas()
+    akey = int(rp.loc[rp["r_name"] == "ASIA", "r_regionkey"].iloc[0])
+    tabs["region"] = _rows(tabs["region"], {
+        "r_regionkey": [akey, 900001],
+        "r_name": ["ASIA", None],  # dup ASIA doubles its fanout
+    })
+    tabs["nation"] = _rows(tabs["nation"], {
+        "n_nationkey": [900001, 900001, 900002, 900003, 900004],
+        "n_name": ["FZNAT", "FZNAT", "FZNAT\x00x", None, "fz nullreg"],
+        "n_regionkey": [akey, akey, akey, akey, 900001],
+    })
+    tabs["supplier"] = _rows(tabs["supplier"], {
+        "s_suppkey": [900001, 900001, 900002, 900003, 900004],
+        "s_name": ["fz dup", "fz dup", None, "fz", "fz"],
+        "s_nationkey": [900001, 900001, 900002, None, 900004],
+        "s_acctbal": [1.25, None, None, 1.0, 2.0],
+    })
+
+    # q135's division class: a customer spanning 4 canonical priorities
+    # plus a NUL-variant 5th (a DISTINCT value — pandas' C-string
+    # hashing would merge it with '1-URGENT' and drop the customer);
+    # q133's filter class: non-finite click/purchase values must be
+    # excluded on both sides (DuckDB var_samp raises on NaN/±inf)
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": list(range(900021, 900026)),
+        "o_custkey": [900021] * 5,
+        "o_orderstatus": ["O"] * 5,
+        "o_totalprice": [1.0] * 5,
+        "o_orderdate": [ts(20 + i) for i in range(5)],
+        "o_orderpriority": ["1-URGENT", "2-HIGH", "3-MEDIUM",
+                            "4-NOT SPECIFIED", "1-URGENT\x00z"],
+    })
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": list(range(900501, 900507)),
+        "ts": [ts(100 + i) for i in range(6)],
+        "user_id": [40, 40, 41, 41, 42, 42],
+        "event_type": ["click", "click", "purchase",
+                       "purchase", "click", "purchase"],
+        "value": [float("nan"), float("inf"), float("-inf"),
+                  None, 0.25, 0.75],
+    })
+
     # documents: NULL/empty/unicode/whitespace text, NULL lang/source,
     # duplicate doc text (dedup classes), zero n_chars
     tabs["documents"] = _rows(tabs["documents"], {

@@ -400,3 +400,70 @@ def test_local_supplier_volume_nul_and_null_names(ray_session, tmp_path):
     out = q_local_supplier_volume(str(tmp_path))
     assert out["n_name"].tolist() == ["NAT", "NAT\x00x", None]
     assert out["revenue"].tolist() == [100.0, 10.0, 1.0]
+
+
+def test_chi2_independence_matches_formula(ray_session, tmp_path):
+    """q136: χ² over the full r×c grid including zero-observed cells,
+    floored hour binning for pre-1970 timestamps."""
+    from web_scrapper_ray.pipelines.analytics import q_chi2_independence
+
+    HOUR = 3_600_000_000
+    rows = []
+    # type A: hours 1 (×4), 2 (×1); type B: hour 2 (×5) — cell (B,1)
+    # is zero-observed but contributes its expectation
+    rows += [("A", 1 * HOUR)] * 4 + [("A", 2 * HOUR)]
+    rows += [("B", 2 * HOUR + 7)] * 5
+    # pre-1970: -1µs is hour 23 of 1969-12-31 (floored, not truncated)
+    rows += [("A", -1)]
+    pq.write_table(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_chi2_independence(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        WITH obs AS (SELECT event_type t, hour(ts) h, count(*)::DOUBLE o
+                     FROM '{tmp_path}/events.parquet'
+                     WHERE event_type IS NOT NULL AND ts IS NOT NULL
+                     GROUP BY 1, 2),
+        r AS (SELECT t, sum(o) rt FROM obs GROUP BY 1),
+        c AS (SELECT h, sum(o) ct FROM obs GROUP BY 1),
+        n AS (SELECT sum(o) tot FROM obs),
+        cells AS (SELECT coalesce(o.o, 0) o, r.rt * c.ct / n.tot e
+                  FROM r CROSS JOIN c CROSS JOIN n
+                  LEFT JOIN obs o ON o.t = r.t AND o.h = c.h)
+        SELECT round(sum((o - e) * (o - e) / e), 4) chi2,
+               ((SELECT count(*) FROM r) - 1)::BIGINT
+               * ((SELECT count(*) FROM c) - 1)::BIGINT dof
+        FROM cells""").df()
+    assert out["chi2"].tolist() == oracle["chi2"].tolist()
+    assert out["dof"].tolist() == oracle["dof"].tolist()
+    assert out["dof"].tolist() == [2]  # 2 types × 3 live hours
+
+
+def test_suppliers_per_region_dup_dim_fanout(ray_session, tmp_path):
+    """q08: duplicate nation AND region rows fan the inner join out
+    multiplicatively; an all-NULL-balance region sums to SQL NULL; a
+    NULL r_name keeps its group."""
+    from web_scrapper_ray.pipelines.relational import q_suppliers_per_region
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([1, 1, 2, 3], pa.int32()),
+        "r_name": pa.array(["R1", "R1", None, "R3"]),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([10, 10, 20, 30], pa.int32()),
+        "n_name": pa.array(["n", "n", "m", "k"]),
+        "n_regionkey": pa.array([1, 1, 2, 3], pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["a", "b", "c"]),
+        "s_nationkey": pa.array([10, 20, 30], pa.int32()),
+        "s_acctbal": pa.array([5.0, None, 7.0], pa.float64()),
+    }), str(tmp_path / "supplier.parquet"))
+    out = q_suppliers_per_region(str(tmp_path))
+    # supp 1 × nation dup(2) × region dup(2) = 4 joined rows in R1
+    assert out["r_name"].tolist() == ["R1", "R3", None]
+    assert out["n_suppliers"].tolist() == [4, 1, 1]
+    vals = out["sum_acctbal"].tolist()
+    assert vals[0] == 20.0 and vals[1] == 7.0 and np.isnan(vals[2])

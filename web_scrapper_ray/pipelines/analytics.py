@@ -1215,10 +1215,11 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                    nw=nn["nv"].to_numpy() * nn["w"].to_numpy())
          .groupby("_c", as_index=False)
          .agg(s=("sw", lambda x: x.to_numpy().sum()), nv=("nw", "sum")))
-    names = uniq.to_numpy()[g["_c"].to_numpy()]
+    names = pd.Series(uniq.to_numpy()[g["_c"].to_numpy()], dtype=object)
     rev = g["s"].to_numpy(np.float64).copy()
     rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL terms: SQL NULL sum
-    out = pd.DataFrame({"n_name": pd.Series(names, dtype=object),
+    # fast-path factorize hands a NULL unique back as float NaN
+    out = pd.DataFrame({"n_name": names.where(names.notna(), None),
                         "revenue": round_away(rev, 2)})
     return out.sort_values("n_name",
                            na_position="last").reset_index(drop=True)
@@ -1281,3 +1282,63 @@ def q_all_priority_customers(sf_dir: str) -> pd.DataFrame:
                              "n_orders": pd.Series(dtype="int64")})
     return (pd.concat(parts, ignore_index=True)
             .sort_values("c_custkey").reset_index(drop=True))
+
+
+def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
+    """Pearson chi-squared test of independence between event_type and
+    hour-of-day: χ² = Σ_cells (o − e)²/e over the FULL r×c grid
+    (zero-observed cells still contribute their expectation), dof =
+    (r−1)(c−1). The contingency table streams as per-batch Arrow
+    (type, hour) count partials — types × 24 rows per batch, nothing
+    else shuffles — and the driver folds exact integer counts, so both
+    sides derive χ² from identical margins. Hour-of-day floor-divides
+    raw µs then takes a FLOORED mod 24 (numpy's %), which equals the
+    calendar hour() for pre-1970 timestamps where a truncated C-style
+    mod would go negative."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    _E = pa.table({"t": pa.array([], pa.string()),
+                   "h": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("event_type")),
+                             pc.is_valid(t.column("ts")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        us = t.column("ts").to_numpy(zero_copy_only=False).astype(np.int64)
+        hr = (us // 3_600_000_000) % 24  # floored // and % : calendar
+        g = (pa.table({"t": t.column("event_type"), "h": pa.array(hr)})
+             .group_by(["t", "h"]).aggregate([([], "count_all")]))
+        return pa.table({"t": g.column("t"), "h": g.column("h"),
+                         "n": pc.cast(g.column("count_all"), pa.int64())})
+
+    from .pairs import factorize_strings
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"chi2": pd.Series(dtype="float64"),
+                          "dof": pd.Series(dtype="int64")})
+    if parts.empty:
+        return empty
+    codes, uniq = factorize_strings(parts["t"], use_na_sentinel=False)
+    obs = (parts.assign(_c=codes)
+           .groupby(["_c", "h"], as_index=False)["n"].sum())
+    r = int(obs["_c"].max()) + 1
+    grid = np.zeros((r, 24), np.float64)
+    grid[obs["_c"].to_numpy(np.int64), obs["h"].to_numpy(np.int64)] = \
+        obs["n"].to_numpy(np.float64)
+    # only hours that actually occur form columns (SQL's margins come
+    # from the observed table, not a synthetic 0–23 spine)
+    col_live = grid.sum(axis=0) > 0
+    grid = grid[:, col_live]
+    rt = grid.sum(axis=1, keepdims=True)
+    ct = grid.sum(axis=0, keepdims=True)
+    tot = grid.sum()
+    e = rt @ ct / tot
+    chi2 = ((grid - e) ** 2 / e).sum()
+    dof = np.int64((grid.shape[0] - 1) * (grid.shape[1] - 1))
+    return pd.DataFrame({"chi2": round_away(np.array([chi2]), 4),
+                         "dof": np.array([dof], np.int64)})

@@ -308,34 +308,96 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
 
 def q_suppliers_per_region(sf_dir: str) -> pd.DataFrame:
     """Two-hop broadcast join over tiny dimensions (region ⟕ nation ⟕
-    supplier): both lookup maps are ray.put once; supplier streams."""
+    supplier): the nation⋈region product is resolved driver-side into a
+    (nationkey, r_name, mult) lookup — DUPLICATE dim rows fan the inner
+    join out multiplicatively, so mult carries the row count, not a
+    dict that would collapse them. Supplier streams; each batch emits
+    Arrow-grouped (r_name, n, sum-as-0, valid-count) partials (full-byte
+    string keys, NULL r_name kept — SQL GROUP BY keeps the NULL group)
+    and the driver folds regions × batches rows on factorized codes."""
     import ray
-    from ray.data.aggregate import Count, Sum
+    from .pairs import factorize_strings, round_away
 
-    nation = _read(sf_dir, "nation").to_pandas()
+    nation = _read(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"]).to_pandas()
     region = _read(sf_dir, "region").to_pandas()
-    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
-    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    ref = ray.put((n2r, r2name))
+    nr = (nation[nation["n_nationkey"].notna()
+                 & nation["n_regionkey"].notna()]
+          .merge(region[region["r_regionkey"].notna()],
+                 left_on="n_regionkey", right_on="r_regionkey"))
+    # multiplicity per (nationkey, r_name) — r_name may be NULL; key the
+    # size() on factorized codes (pandas NUL-string hashing rule)
+    codes, uniq = factorize_strings(nr["r_name"], use_na_sentinel=False)
+    lut = (nr.assign(_c=codes)
+           .groupby(["n_nationkey", "_c"], dropna=False)
+           .size().reset_index(name="mult"))
+    lut["nk"] = lut["n_nationkey"].astype(np.int64)
+    lut_tab = pa.table({
+        "nk": pa.array(lut["nk"].to_numpy(np.int64)),
+        "r_name": pa.Array.from_pandas(
+            pd.Series(uniq.to_numpy()[lut["_c"].to_numpy()]),
+            type=pa.string()),
+        "mult": pa.array(lut["mult"].to_numpy(np.int64))})
+    ref = ray.put(lut_tab)
+
+    _E = pa.table({"r_name": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64())})
 
     def tag(batch: pa.Table) -> pa.Table:
-        n2r_, r2name_ = ray.get(ref)
-        names = [r2name_.get(n2r_.get(nk)) for nk in batch.column("s_nationkey").to_pylist()]
-        out = pa.table({"r_name": pa.array(names, pa.string()),
-                        "s_acctbal": batch.column("s_acctbal")})
-        # INNER JOIN semantics: a supplier whose nation/region lookup
-        # misses is dropped, not grouped under a NULL region
-        return out.filter(pc.is_valid(out.column("r_name")))
+        if batch.num_rows == 0 or "s_nationkey" not in batch.schema.names:
+            return _E
+        batch = batch.filter(pc.is_valid(batch.column("s_nationkey")))
+        if batch.num_rows == 0:
+            return _E
+        lt = ray.get(ref).to_pandas()
+        bal = batch.column("s_acctbal")
+        df = pd.DataFrame({
+            "nk": batch.column("s_nationkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "bal0": pc.fill_null(bal, 0.0).to_numpy(zero_copy_only=False),
+            "v": pc.is_valid(bal).to_numpy(zero_copy_only=False)})
+        j = df.merge(lt, on="nk")  # inner: lookup miss drops the row
+        if j.empty:
+            return _E
+        m = j["mult"].to_numpy(np.int64)
+        g = (pa.table({
+                "r_name": pa.Array.from_pandas(j["r_name"],
+                                               type=pa.string()),
+                "n": pa.array(m),
+                "s": pa.array(j["bal0"].to_numpy() * m),
+                "nv": pa.array(j["v"].to_numpy(np.int64) * m)})
+             .group_by(["r_name"])  # Arrow keys full bytes, keeps NULL
+             .aggregate([("n", "sum"), ("s", "sum"), ("nv", "sum")]))
+        return pa.table({"r_name": g.column("r_name"),
+                         "n": pc.cast(g.column("n_sum"), pa.int64()),
+                         "s": pc.cast(g.column("s_sum"), pa.float64()),
+                         "nv": pc.cast(g.column("nv_sum"), pa.int64())})
 
     sup = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
-    out = (
-        sup.map_batches(tag, batch_format="pyarrow")
-        .groupby("r_name")
-        .aggregate(Count(alias_name="n_suppliers"), Sum("s_acctbal", alias_name="sum_acctbal"))
-        .to_pandas()
-    )
-    out["sum_acctbal"] = out["sum_acctbal"].round(2)
-    return out.sort_values("r_name").reset_index(drop=True)
+    parts = sup.map_batches(tag, batch_format="pyarrow").to_pandas()
+    _EMPTY = pd.DataFrame({"r_name": pd.Series(dtype="object"),
+                           "n_suppliers": pd.Series(dtype="int64"),
+                           "sum_acctbal": pd.Series(dtype="float64")})
+    if parts.empty:
+        return _EMPTY
+    pcodes, puniq = factorize_strings(parts["r_name"],
+                                      use_na_sentinel=False)
+    g = (parts.assign(_c=pcodes).groupby("_c", as_index=False)
+         .agg(n=("n", "sum"), s=("s", lambda x: x.to_numpy().sum()),
+              nv=("nv", "sum")))
+    s = g["s"].to_numpy(np.float64).copy()
+    s[g["nv"].to_numpy() == 0] = np.nan  # all-NULL balances: SQL NULL
+    rn = pd.Series(puniq.to_numpy()[g["_c"].to_numpy()], dtype=object)
+    # fast-path factorize hands the NULL unique back as float NaN —
+    # restore a real None so the object column round-trips as NULL
+    out = pd.DataFrame({
+        "r_name": rn.where(rn.notna(), None),
+        "n_suppliers": g["n"].to_numpy(np.int64),
+        "sum_acctbal": round_away(s, 2)})
+    return out.sort_values("r_name",
+                           na_position="last").reset_index(drop=True)
 
 
 def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
@@ -1588,8 +1650,14 @@ def q_event_regression(sf_dir: str) -> pd.DataFrame:
         # rows with a NULL in the (ts, value) pair don't feed the
         # moments, but their TYPE must still surface: SQL's GROUP BY
         # has no WHERE, so an all-NULL type emits (type, n=0, NULL…)
-        ok = pc.and_(pc.is_valid(t.column("ts")),
-                     pc.is_valid(t.column("value")))
+        # non-finite y is masked to NULL inside the aggregate on BOTH
+        # sides (oracle CASE WHEN isfinite): DuckDB's VARPOP raises
+        # 'out of range' when a NaN/±inf lands among finite values —
+        # the q29 family contract — while the GROUP's row still
+        # surfaces (regr_count 0 when nothing survives)
+        ok = pc.and_(pc.and_(pc.is_valid(t.column("ts")),
+                             pc.is_valid(t.column("value"))),
+                     pc.fill_null(pc.is_finite(t.column("value")), False))
         # CENTERED second moments per group (Chan's parallel form),
         # not raw Σx²: raw moments cancel catastrophically when |x|
         # is far from the fixed center (a pre-1970 timestamp sits
@@ -2540,10 +2608,23 @@ def q_median_value_disc(sf_dir: str, bins: int = 256,
                         max_collect: int = 65536) -> pd.DataFrame:
     """Per-type exact discrete median (SQL ``quantile_disc(value,
     0.5)`` twin — the element at index ceil(n/2)−1 of the sorted
-    values in the total order −inf | finite | +inf | NaN; DuckDB and
-    np.sort both put NaN last). One ``_grouped_order_stats`` run: a
-    materialize-once rank refinement, never a per-group sort."""
+    values). NaN values are excluded on BOTH sides: DuckDB's selection
+    network places a single NaN last but is implementation-defined
+    with several (probed: quantile_disc of [1,2,NaN,NaN] returns NaN,
+    of [1,2,3,NaN] returns 2 — no consistent total order), the same
+    class as quantile_cont's q102 contract. ±inf stay orderable
+    extremes. One ``_grouped_order_stats`` run: a materialize-once
+    rank refinement, never a per-group sort."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def drop_nan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return pa.table({"event_type": pa.array([], pa.string()),
+                             "value": pa.array([], pa.float64())})
+        v = t.column("value")
+        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
+
+    ds = ds.map_batches(drop_nan, batch_format="pyarrow")
     counts, values = _grouped_order_stats(
         ds, lambda name, c: [int(np.ceil(c[0] / 2.0)) - 1],
         bins=bins, max_collect=max_collect)
