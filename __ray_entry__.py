@@ -271,6 +271,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q134_local_supplier_volume": analytics.q_local_supplier_volume,
         "q135_all_priority_customers": analytics.q_all_priority_customers,
         "q136_chi2_independence": analytics.q_chi2_independence,
+        "q137_top_session_paths": analytics.q_top_session_paths,
+        "q138_bfs_hops": graph.q_bfs_hops,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1574,6 +1576,63 @@ def oracle_sql() -> dict[str, str]:
                    ((SELECT count(*) FROM r) - 1)::BIGINT
                    * ((SELECT count(*) FROM c) - 1)::BIGINT AS dof
             FROM cells
+        """,
+        "q137_top_session_paths": """
+            WITH e AS (SELECT user_id, ts, event_type FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_type IS NOT NULL),
+            l AS (SELECT user_id, ts, event_type,
+                         CASE WHEN lag(ts) OVER w IS NULL
+                              OR ts - lag(ts) OVER w
+                                 > INTERVAL 30 MINUTE
+                              THEN 1 ELSE 0 END AS brk
+                  FROM e WINDOW w AS (PARTITION BY user_id
+                                      ORDER BY ts, event_type)),
+            s AS (SELECT user_id, event_type, ts,
+                         sum(brk) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_type
+                                        ROWS UNBOUNDED PRECEDING) AS sid
+                  FROM l),
+            p AS (SELECT user_id, sid,
+                         string_agg(event_type, '>'
+                                    ORDER BY ts, event_type) AS path
+                  FROM s GROUP BY 1, 2)
+            SELECT path, count(*)::BIGINT AS n
+            FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20
+        """,
+        "q138_bfs_hops": """
+            -- BFS frontier, 4 synchronous rounds unrolled (fixed
+            -- round count = the SQL-checkable contract, q126's shape);
+            -- seeds: parts with p_size = 1 (h = 0 even when edgeless)
+            WITH ps AS (SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                        FROM lineitem
+                        WHERE l_partkey IS NOT NULL
+                          AND l_suppkey IS NOT NULL),
+            e AS (SELECT pk * 2 AS src, sk * 2 + 1 AS dst FROM ps
+                  UNION ALL SELECT sk * 2 + 1, pk * 2 FROM ps),
+            d0 AS (SELECT DISTINCT p_partkey * 2 AS v, 0 AS h
+                   FROM part
+                   WHERE p_partkey IS NOT NULL AND p_size = 1),
+            d1 AS (SELECT v, min(h) AS h FROM (
+                     SELECT e.dst AS v, d0.h + 1 AS h
+                     FROM e JOIN d0 ON d0.v = e.src
+                     UNION ALL SELECT v, h FROM d0) GROUP BY v),
+            d2 AS (SELECT v, min(h) AS h FROM (
+                     SELECT e.dst AS v, d1.h + 1 AS h
+                     FROM e JOIN d1 ON d1.v = e.src
+                     UNION ALL SELECT v, h FROM d1) GROUP BY v),
+            d3 AS (SELECT v, min(h) AS h FROM (
+                     SELECT e.dst AS v, d2.h + 1 AS h
+                     FROM e JOIN d2 ON d2.v = e.src
+                     UNION ALL SELECT v, h FROM d2) GROUP BY v),
+            d4 AS (SELECT v, min(h) AS h FROM (
+                     SELECT e.dst AS v, d3.h + 1 AS h
+                     FROM e JOIN d3 ON d3.v = e.src
+                     UNION ALL SELECT v, h FROM d3) GROUP BY v)
+            SELECT CASE WHEN v % 2 = 0 THEN 'p' || (v // 2)
+                        ELSE 's' || (v // 2) END AS node,
+                   h::BIGINT AS hops
+            FROM d4 ORDER BY node
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -467,3 +467,76 @@ def test_suppliers_per_region_dup_dim_fanout(ray_session, tmp_path):
     assert out["n_suppliers"].tolist() == [4, 1, 1]
     vals = out["sum_acctbal"].tolist()
     assert vals[0] == 20.0 and vals[1] == 7.0 and np.isnan(vals[2])
+
+
+def test_top_session_paths(ray_session, tmp_path):
+    """q137: 30-min gaps split sessions, duplicate timestamps order by
+    event_type, identical paths from users in different hash buckets
+    total globally, and NUL-containing types stay distinct."""
+    from web_scrapper_ray.pipelines.analytics import q_top_session_paths
+
+    MIN = 60_000_000
+    rows = []
+    # users 1 and 34 (different buckets mod 32): same path view>click
+    for u in (1, 34):
+        rows += [(u, 0, "view"), (u, 5 * MIN, "click")]
+    # user 2: same session, duplicate ts → ordered by type: a>b; then a
+    # >30-min gap starts a second session 'solo'
+    rows += [(2, 0, "b"), (2, 0, "a"), (2, 40 * MIN, "solo")]
+    # user 3: NUL variant type is its own path
+    rows += [(3, 0, "view\x00x")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_top_session_paths(str(tmp_path))
+    got = dict(zip(out["path"], out["n"]))
+    assert got == {"view>click": 2, "a>b": 1, "solo": 1, "view\x00x": 1}
+    # count-desc then path-asc ordering
+    assert out["path"].tolist()[0] == "view>click"
+    oracle = duckdb.sql(f"""
+        WITH e AS (SELECT user_id, ts, event_type
+                   FROM '{tmp_path}/events.parquet'),
+        l AS (SELECT user_id, ts, event_type,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                          THEN 1 ELSE 0 END AS brk
+              FROM e WINDOW w AS (PARTITION BY user_id
+                                  ORDER BY ts, event_type)),
+        s AS (SELECT user_id, event_type, ts,
+                     sum(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_type
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM l),
+        p AS (SELECT user_id, sid, string_agg(event_type, '>'
+                       ORDER BY ts, event_type) AS path
+              FROM s GROUP BY 1, 2)
+        SELECT path, count(*)::BIGINT AS n
+        FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 20""").df()
+    assert out["path"].tolist() == oracle["path"].tolist()
+    assert out["n"].tolist() == oracle["n"].tolist()
+
+
+def test_bfs_hops_cap_and_lone_seed(ray_session, tmp_path):
+    """q138: hop distances from p_size=1 seeds, 4-round cap leaves far
+    nodes out, an edgeless seed still emits h=0."""
+    from web_scrapper_ray.pipelines.graph import q_bfs_hops
+
+    # chain p1 - s1 - p2 - s2 - p3 - s3 (hops 0..5; s3 beyond cap 4)
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 2, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 99], pa.int64()),
+        "p_name": pa.array(["a", "b", "c", "lone"]),
+        "p_brand": pa.array(["B"] * 4),
+        "p_type": pa.array(["t"] * 4),
+        "p_size": pa.array([1, 5, 5, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0] * 4),
+    }), str(tmp_path / "part.parquet"))
+    out = q_bfs_hops(str(tmp_path))
+    got = dict(zip(out["node"], out["hops"]))
+    # p99 is a seed with no edges → h=0; s3 is 5 hops away → absent
+    assert got == {"p1": 0, "s1": 1, "p2": 2, "s2": 3, "p3": 4, "p99": 0}

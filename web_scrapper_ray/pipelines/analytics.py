@@ -1342,3 +1342,111 @@ def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
     dof = np.int64((grid.shape[0] - 1) * (grid.shape[1] - 1))
     return pd.DataFrame({"chi2": round_away(np.array([chi2]), 4),
                          "dof": np.array([dof], np.int64)})
+
+
+def q_top_session_paths(sf_dir: str, k: int = 20,
+                        gap_us: int = 1_800_000_000) -> pd.DataFrame:
+    """Sequence mining: the top-k most frequent session PATHS — the
+    '>'-joined event_type sequence of each session (>30-min gap splits,
+    q07's window), ordered (ts, event_type) so duplicate timestamps
+    are deterministic on both sides. Two chained exchanges: (1) events
+    hash-partition on user; each bucket sessionizes with one chained
+    stable sort + vectorized gap/cumsum, builds one string per session
+    (the output IS per-session strings — the joins run over contiguous
+    slices), and pre-counts (path, n); (2) path-keyed exchange (blake2b
+    bucket — never salted hash()) totals each path in exactly one
+    bucket and keeps a local top-k, so the driver folds P·k rows.
+    Path keys go through factorized codes everywhere (NUL rule)."""
+    import hashlib
+
+    from .pairs import factorize_strings
+
+    P = 32
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    _E1 = pa.table({"user": pa.array([], pa.int64()),
+                    "t": pa.array([], pa.int64()),
+                    "typ": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.is_valid(t.column("event_type")))
+        t = t.filter(pc.fill_null(keep, False))
+        return pa.table({"user": t.column("user_id"),
+                         "t": pc.cast(t.column("ts"), pa.int64()),
+                         "typ": t.column("event_type"),
+                         "bucket": pc.bit_wise_and(t.column("user_id"),
+                                                   P - 1)})
+
+    _O1 = pa.table({"path": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        # CHAINED stable single-column sorts (multi-key object sort
+        # would hash NUL-terminated): type, then ts, then user
+        df = (df.sort_values("typ", kind="stable")
+              .sort_values("t", kind="stable")
+              .sort_values("user", kind="stable"))
+        u = df["user"].to_numpy(np.int64)
+        tt = df["t"].to_numpy(np.int64)
+        brk = np.ones(len(df), bool)
+        brk[1:] = (u[1:] != u[:-1]) | (tt[1:] - tt[:-1] > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(df)]
+        types = df["typ"].to_numpy()
+        paths = [">".join(types[a:b]) for a, b in zip(starts, ends)]
+        codes, uniq = factorize_strings(pd.Series(paths, dtype=object))
+        cnt = np.bincount(codes).astype(np.int64)
+        upaths = uniq.to_numpy()
+        bkt = np.fromiter(
+            (int.from_bytes(hashlib.blake2b(
+                s.encode("utf-8", "surrogatepass"),
+                digest_size=8).digest(), "big") & (P - 1)
+             for s in upaths), np.int64, len(upaths))
+        return pa.table({"path": pa.array(upaths, pa.string()),
+                         "n": pa.array(cnt),
+                         "bucket": pa.array(bkt)})
+
+    def split2(t: pa.Table) -> pa.Table:
+        return t if t.num_rows else _O1
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"path": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["path"])
+        tot = np.bincount(codes, weights=df["n"].to_numpy(np.float64)) \
+            .astype(np.int64)
+        g = pd.DataFrame({"path": uniq.to_numpy(), "n": tot})
+        # local top-k: each path totals in exactly one bucket, so the
+        # global top-k is a subset of the per-bucket top-k unions
+        g = (g.sort_values("path", kind="stable")
+             .sort_values("n", kind="stable", ascending=False))
+        return g.head(k).reset_index(drop=True)
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+    parts = [p for p in hash_shuffle([(r, ()) for r in stage1],
+                                     split2, merge2, P=P) if len(p)]
+    empty = pd.DataFrame({"path": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    out = (out.sort_values("path", kind="stable")
+           .sort_values("n", kind="stable", ascending=False))
+    out["n"] = out["n"].astype("int64")
+    return out.head(k).reset_index(drop=True)

@@ -232,3 +232,76 @@ def q_connected_components(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
     names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in nodes]
     out = pd.DataFrame({"node": names, "component": label})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def q_bfs_hops(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
+    """BFS hop distance from the seed set {parts with p_size = 1} over
+    the part–supplier bipartite graph, capped at ``rounds`` synchronous
+    frontier rounds (the SQL twin unrolls the same rounds as chained
+    min-aggregating CTEs, q126's contract). Same layout as q67/q126
+    (shared ``_edge_buckets``): static edge buckets, one np.minimum
+    scatter task per bucket per round, broadcast hop vector sized by
+    node count. Seeds that have NO edges still emit their h=0 row
+    (SQL's seed CTE doesn't require graph membership); unreachable
+    nodes within the cap emit nothing."""
+    import pyarrow.compute as pc
+    import ray
+
+    dense_refs, nodes = _edge_buckets(sf_dir)
+
+    part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+
+    def seed_codes(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "p_partkey" not in t.schema.names:
+            return pa.table({"c": pa.array([], pa.int64())})
+        keep = pc.and_kleene(pc.is_valid(t.column("p_partkey")),
+                             pc.equal(t.column("p_size"), 1))
+        t = t.filter(pc.fill_null(keep, False))
+        g = pa.table({"c": pc.multiply(pc.cast(t.column("p_partkey"),
+                                               pa.int64()), 2)}) \
+            .group_by(["c"]).aggregate([])
+        return g
+
+    seeds = np.unique(part.map_batches(
+        seed_codes, batch_format="pyarrow").to_pandas()["c"]
+        .to_numpy(np.int64))
+
+    _EMPTY = pd.DataFrame({"node": pd.Series(dtype="object"),
+                           "hops": pd.Series(dtype="int64")})
+    if len(seeds) == 0:
+        return _EMPTY
+
+    _SENT = np.iinfo(np.int64).max
+    N = len(nodes)
+    in_graph = np.searchsorted(nodes, seeds)
+    mask = (in_graph < N)
+    if N:
+        mask &= nodes[np.clip(in_graph, 0, N - 1)] == seeds
+    lone_seeds = seeds[~mask]  # edgeless: emit h=0 rows directly
+
+    dist = np.full(N, _SENT, np.int64)
+    if N:
+        dist[in_graph[mask]] = 0
+
+    @ray.remote
+    def hop_partial(edges, d: np.ndarray, n: int) -> np.ndarray:
+        src, dst = edges
+        out = np.full(n, _SENT, np.int64)
+        v = d[src]
+        v = np.where(v == _SENT, _SENT, v + 1)
+        np.minimum.at(out, dst, v)
+        return out
+
+    for _ in range(rounds if N else 0):
+        dref = ray.put(dist)
+        parts = ray.get([hop_partial.remote(r, dref, N)
+                         for r in dense_refs])
+        incoming = np.minimum.reduce(parts) if parts else dist
+        dist = np.minimum(dist, incoming)
+
+    reach = dist < _SENT
+    codes = np.r_[nodes[reach], lone_seeds]
+    hops = np.r_[dist[reach], np.zeros(len(lone_seeds), np.int64)]
+    names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in codes]
+    out = pd.DataFrame({"node": names, "hops": hops.astype(np.int64)})
+    return out.sort_values("node").reset_index(drop=True)
