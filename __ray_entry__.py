@@ -273,6 +273,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q136_chi2_independence": analytics.q_chi2_independence,
         "q137_top_session_paths": analytics.q_top_session_paths,
         "q138_bfs_hops": graph.q_bfs_hops,
+        "q139_type_jaccard": analytics.q_type_jaccard,
+        "q140_triangle_count": graph.q_triangle_count,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1633,6 +1635,37 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 's' || (v // 2) END AS node,
                    h::BIGINT AS hops
             FROM d4 ORDER BY node
+        """,
+        "q139_type_jaccard": """
+            WITH ut AS (SELECT DISTINCT user_id AS u, event_type AS t
+                        FROM events
+                        WHERE user_id IS NOT NULL
+                          AND event_type IS NOT NULL),
+            p AS (SELECT a.t AS type_a, b.t AS type_b,
+                         count(*)::BIGINT AS n_both
+                  FROM ut a JOIN ut b ON a.u = b.u AND a.t < b.t
+                  GROUP BY 1, 2),
+            s AS (SELECT t, count(*)::BIGINT AS n FROM ut GROUP BY 1)
+            SELECT type_a, type_b, n_both,
+                   round(n_both / (sa.n + sb.n - n_both), 4) AS jaccard
+            FROM p JOIN s sa ON sa.t = type_a
+                   JOIN s sb ON sb.t = type_b
+            ORDER BY type_a, type_b
+        """,
+        "q140_triangle_count": """
+            WITH pairs AS (
+              SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                              greatest(a.l_suppkey, b.l_suppkey) AS v
+              FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey <> b.l_suppkey
+              WHERE a.l_orderkey IS NOT NULL
+                AND a.l_suppkey IS NOT NULL
+                AND b.l_suppkey IS NOT NULL)
+            SELECT count(*)::BIGINT AS n_triangles
+            FROM pairs e1
+            JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+            JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

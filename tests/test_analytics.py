@@ -540,3 +540,70 @@ def test_bfs_hops_cap_and_lone_seed(ray_session, tmp_path):
     got = dict(zip(out["node"], out["hops"]))
     # p99 is a seed with no edges → h=0; s3 is 5 hops away → absent
     assert got == {"p1": 0, "s1": 1, "p2": 2, "s2": 3, "p3": 4, "p99": 0}
+
+
+def test_pairs_by_shift_matches_bruteforce():
+    from web_scrapper_ray.pipelines.graph import _pairs_by_shift
+
+    rng = np.random.RandomState(3)
+    gid = np.sort(rng.randint(0, 10, 60))
+    vals = np.sort(rng.randint(0, 100, 60))
+    # sort vals within groups
+    df = pd.DataFrame({"g": gid, "v": vals}).sort_values(["g", "v"])
+    g, v = df["g"].to_numpy(), df["v"].to_numpy()
+    a, b = _pairs_by_shift(g, v)
+    got = sorted(zip(a.tolist(), b.tolist()))
+    want = []
+    for grp in np.unique(g):
+        vv = np.sort(v[g == grp])
+        for i in range(len(vv)):
+            for j in range(i + 1, len(vv)):
+                want.append((int(vv[i]), int(vv[j])))
+    assert got == sorted(want)
+    a0, b0 = _pairs_by_shift(np.empty(0, np.int64), np.empty(0, np.int64))
+    assert len(a0) == 0 and len(b0) == 0
+
+
+def test_triangle_count_k4_plus_path(ray_session, tmp_path):
+    """q140: K4 on suppliers 1-4 (4 triangles) via orders covering all
+    six pairs; a disjoint path 5-6-7 adds none; duplicate lineitem rows
+    don't double-count."""
+    from web_scrapper_ray.pipelines.graph import q_triangle_count
+
+    orders, supps = [], []
+    # K4: orders joining each pair (and one order with 3 suppliers,
+    # which contributes three pairs at once)
+    k4 = [(1, [1, 2, 3]), (2, [1, 4]), (3, [2, 4]), (4, [3, 4]),
+          (5, [1, 3])]  # duplicate pair (1,3) via another order
+    path = [(6, [5, 6]), (7, [6, 7])]
+    for ok, ss in k4 + path:
+        for s in ss:
+            orders.append(ok)
+            supps.append(s)
+    orders.append(1)  # duplicate row
+    supps.append(2)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(orders, pa.int64()),
+        "l_suppkey": pa.array(supps, pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_triangle_count(str(tmp_path))
+    assert out["n_triangles"].tolist() == [4]
+
+
+def test_type_jaccard_small(ray_session, tmp_path):
+    """q139: hand-checked Jaccard over user sets; repeated events don't
+    inflate counts; single-type users contribute to unions only."""
+    from web_scrapper_ray.pipelines.analytics import q_type_jaccard
+
+    rows = [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (3, "b"), (4, "a"),
+            (4, "b"), (5, "c")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_type_jaccard(str(tmp_path))
+    # a: {1,2,4}, b: {1,3,4}, c: {5}; a∩b={1,4} → 2/4; c shares no one
+    assert out["type_a"].tolist() == ["a"]
+    assert out["type_b"].tolist() == ["b"]
+    assert out["n_both"].tolist() == [2]
+    assert out["jaccard"].tolist() == [0.5]

@@ -1450,3 +1450,112 @@ def q_top_session_paths(sf_dir: str, k: int = 20,
            .sort_values("n", kind="stable", ascending=False))
     out["n"] = out["n"].astype("int64")
     return out.head(k).reset_index(drop=True)
+
+
+def q_type_jaccard(sf_dir: str) -> pd.DataFrame:
+    """Pairwise set similarity: Jaccard between every two event types'
+    USER sets (|A∩B| / |A∪B|). Per-batch distinct (user, type) partials
+    → one user-keyed exchange → each bucket builds a users × types
+    indicator matrix and gets ALL pairwise intersection counts from one
+    Mᵀ·M matmul (no per-user pair loop); the driver folds T² pair
+    partials and T singles. Pair orientation is byte order (UTF-8
+    comparison matches DuckDB's VARCHAR '<'), and every string-keyed
+    fold runs on factorized codes (NUL rule). Integer division mirrors
+    DuckDB's int/int → DOUBLE."""
+    from .pairs import factorize_strings
+
+    P = 32
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "typ": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("event_type")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        g = (pa.table({"user": t.column("user_id"),
+                       "typ": t.column("event_type")})
+             .group_by(["user", "typ"]).aggregate([]))
+        return pa.table({"user": g.column("user"), "typ": g.column("typ"),
+                         "bucket": pc.bit_wise_and(g.column("user"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"ta": pd.Series(dtype="object"),
+                              "tb": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        # cross-batch duplicate (user, type) pairs dedup on FACTORIZED
+        # codes only — a raw-string drop_duplicates hashes NUL-
+        # terminated and silently merges 'a' with 'a\x00b'
+        tcodes, tuniq = factorize_strings(df["typ"],
+                                          use_na_sentinel=False)
+        df = df.assign(_t=tcodes).drop_duplicates(subset=["user", "_t"])
+        ucodes, _ = pd.factorize(df["user"])
+        T = len(tuniq)
+        M = np.zeros((int(ucodes.max()) + 1 if len(df) else 0, T),
+                     np.int64)
+        M[ucodes, df["_t"].to_numpy()] = 1
+        inter = M.T @ M  # (T, T): diagonal = singles, off = pair ∩
+        names = tuniq.to_numpy()
+        rows = {"ta": [], "tb": [], "n": []}
+        for i in range(T):
+            rows["ta"].append(names[i])
+            rows["tb"].append(names[i])
+            rows["n"].append(int(inter[i, i]))
+            for j in range(T):
+                # zero-intersection pairs never exist in the SQL join
+                # (it only produces rows for SHARED users) — emit the
+                # positive cells only
+                if i != j and inter[i, j] > 0 \
+                        and str(names[i]) < str(names[j]):
+                    rows["ta"].append(names[i])
+                    rows["tb"].append(names[j])
+                    rows["n"].append(int(inter[i, j]))
+        return pd.DataFrame({"ta": pd.Series(rows["ta"], dtype=object),
+                             "tb": pd.Series(rows["tb"], dtype=object),
+                             "n": np.array(rows["n"], np.int64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    empty = pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                          "type_b": pd.Series(dtype="object"),
+                          "n_both": pd.Series(dtype="int64"),
+                          "jaccard": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    ca, ua = factorize_strings(allp["ta"], use_na_sentinel=False)
+    cb, ub = factorize_strings(allp["tb"], use_na_sentinel=False)
+    g = (allp.assign(_a=ca, _b=cb).groupby(["_a", "_b"], as_index=False)
+         ["n"].sum())
+    na = ua.to_numpy()[g["_a"].to_numpy()]
+    nb = ub.to_numpy()[g["_b"].to_numpy()]
+    singles = {str(a): int(n) for a, b, n in
+               zip(na, nb, g["n"].to_numpy()) if str(a) == str(b)}
+    pairs = [(str(a), str(b), int(n)) for a, b, n in
+             zip(na, nb, g["n"].to_numpy()) if str(a) != str(b)]
+    if not pairs:
+        return empty
+    pairs.sort()
+    ta = [p[0] for p in pairs]
+    tb = [p[1] for p in pairs]
+    both = np.array([p[2] for p in pairs], np.int64)
+    union = np.array([singles[a] + singles[b] for a, b, _ in pairs],
+                     np.int64) - both
+    with np.errstate(invalid="ignore", divide="ignore"):
+        jac = both.astype(np.float64) / union.astype(np.float64)
+    return pd.DataFrame({
+        "type_a": pd.Series(ta, dtype=object),
+        "type_b": pd.Series(tb, dtype=object),
+        "n_both": both,
+        "jaccard": round_away(jac, 4)})

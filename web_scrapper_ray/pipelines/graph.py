@@ -305,3 +305,168 @@ def q_bfs_hops(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
     names = [("p" if c % 2 == 0 else "s") + str(c // 2) for c in codes]
     out = pd.DataFrame({"node": names, "hops": hops.astype(np.int64)})
     return out.sort_values("node").reset_index(drop=True)
+
+
+def _pairs_by_shift(group_ids: np.ndarray, vals: np.ndarray):
+    """All within-group ordered pairs (vals sorted within each group,
+    groups contiguous): for shift s = 1..max_run, pair rows i and i+s
+    sharing a group — vectorized per shift, never a per-group loop.
+    Returns (left, right) value arrays."""
+    n = len(vals)
+    if n == 0:
+        return (np.empty(0, vals.dtype),) * 2
+    ls, rs = [], []
+    s = 1
+    while True:
+        same = group_ids[s:] == group_ids[:-s]
+        if not same.any():
+            break
+        ls.append(vals[:-s][same])
+        rs.append(vals[s:][same])
+        s += 1
+        if s >= n:
+            break
+    if not ls:
+        return (np.empty(0, vals.dtype),) * 2
+    return np.concatenate(ls), np.concatenate(rs)
+
+
+def q_triangle_count(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Triangles in the supplier co-occurrence graph (suppliers sharing
+    an order are adjacent) — the MapReduce NodeIterator++ plan, NO
+    adjacency broadcast: (1) orderkey exchange builds per-order
+    supplier pairs (vectorized shift-pairing, never a per-order loop),
+    (2) edge-hash exchange dedups edges globally; each bucket ALSO
+    receives (3) the wedges keyed to it — every edge bucket emits its
+    u-side wedge candidates... concretely: edges are re-exchanged on
+    their SMALLEST node u, each u-bucket generates the wedges (v, w)
+    over u's sorted higher neighbors, and (4) the wedge stream joins
+    the edge buckets under the SAME packed-key partition function, so
+    each triangle (u<v<w) is counted exactly once where its closing
+    edge (v, w) lives. Driver folds P counts. Wedge volume Σ d(u)² is
+    the standard cost of this plan; skewed hubs pay it there, not on a
+    broadcast."""
+    import pyarrow.compute as pc
+    import ray
+
+    from .pairs import mix64
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+
+    _E1 = pa.table({"okey": pa.array([], pa.int64()),
+                    "supp": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_suppkey")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E1
+        g = (pa.table({"okey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                       "supp": pc.cast(t.column("l_suppkey"), pa.int64())})
+             .group_by(["okey", "supp"]).aggregate([]))
+        return pa.table({"okey": g.column("okey"), "supp": g.column("supp"),
+                         "bucket": pc.bit_wise_and(g.column("okey"),
+                                                   P - 1)})
+
+    def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if len(u) and (u.max() >= int(lim) or v.max() >= int(lim)):
+            raise ValueError("suppkey exceeds 32-bit packing")
+        return ((u.astype(np.uint64) << np.uint64(_KEY_BITS))
+                | v.astype(np.uint64)).view(np.int64)
+
+    _EDGE = pa.table({"key": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _EDGE
+        df = (pa.concat_tables(live).to_pandas()
+              .drop_duplicates().sort_values(["okey", "supp"]))
+        ok = df["okey"].to_numpy(np.int64)
+        sp = df["supp"].to_numpy(np.int64)
+        a, b = _pairs_by_shift(ok, sp)  # a < b (sorted within order)
+        key = np.unique(_pack(a, b))
+        return pa.table({"key": pa.array(key),
+                         "bucket": pa.array(
+                             (mix64(key) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def split_pass(t: pa.Table) -> pa.Table:
+        return t if t.num_rows else _EDGE
+
+    def merge_edges(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pa.table({"key": pa.array([], pa.int64())})
+        key = np.unique(np.concatenate(
+            [x.column("key").to_numpy() for x in live]))
+        return pa.table({"key": pa.array(key)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    s1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+    edge_refs = hash_shuffle([(r, ()) for r in s1], split_pass,
+                             merge_edges, P=P, gather=False)
+
+    # stage 3: re-key distinct edges on their smallest node u and
+    # generate wedges over each u's sorted higher neighbors
+    def split_u(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDGE
+        key = t.column("key").to_numpy()
+        u = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        return pa.table({"key": t.column("key"),
+                         "bucket": pa.array(
+                             (mix64(u) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def merge_wedges(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _EDGE
+        key = np.sort(np.concatenate(
+            [x.column("key").to_numpy() for x in live]))
+        u = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (key.view(np.uint64)
+             & (lim - np.uint64(1))).astype(np.int64)
+        # neighbors v are sorted within each u run (packed-key sort)
+        wv, ww = _pairs_by_shift(u, v)
+        wkey = _pack(wv, ww)
+        return pa.table({"key": pa.array(wkey),
+                         "bucket": pa.array(
+                             (mix64(wkey) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    wedge_refs = hash_shuffle([(r, ()) for r in edge_refs], split_u,
+                              merge_wedges, P=P, gather=False)
+
+    # merge_wedges' outputs carry the CLOSING-EDGE bucket column but
+    # still live in their generating u-bucket — one more pass-through
+    # exchange routes each wedge to the bucket holding its (v, w) edge
+    def merge_concat(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pa.table({"key": pa.array([], pa.int64())})
+        return pa.concat_tables(live)
+
+    routed = hash_shuffle([(r, ()) for r in wedge_refs], split_pass,
+                          merge_concat, P=P, gather=False)
+
+    # stage 4: wedges meet the closing-edge bucket (same partition fn)
+    @ray.remote
+    def close_count(edges: pa.Table, wedges: pa.Table) -> int:
+        if edges.num_rows == 0 or wedges.num_rows == 0:
+            return 0
+        return int(np.isin(wedges.column("key").to_numpy(),
+                           edges.column("key").to_numpy()).sum())
+
+    counts = ray.get([close_count.remote(e, w)
+                      for e, w in zip(edge_refs, routed)])
+    return pd.DataFrame({"n_triangles": np.array([int(sum(counts))],
+                                                 np.int64)})
