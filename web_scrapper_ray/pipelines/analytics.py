@@ -338,13 +338,7 @@ def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def drop_nan(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "value" not in t.schema.names:
-            return pa.table({"event_type": pa.array([], pa.string()),
-                             "value": pa.array([], pa.float64())})
-        v = t.column("value")
-        keep = pc.and_kleene(pc.is_valid(v), pc.invert(pc.is_nan(v)))
-        return t.filter(pc.fill_null(keep, False))
+    from .relational import _drop_null_nan_values as drop_nan
 
     def trim(df: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(df["value"].to_numpy(np.float64))
@@ -1319,10 +1313,11 @@ def q_chi2_independence(sf_dir: str) -> pd.DataFrame:
     from .pairs import factorize_strings
 
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    empty = pd.DataFrame({"chi2": pd.Series(dtype="float64"),
-                          "dof": pd.Series(dtype="int64")})
     if parts.empty:
-        return empty
+        # the oracle's ungrouped aggregate ALWAYS emits one row: on an
+        # empty contingency table sum() is NULL and dof = (0−1)(0−1)=1
+        return pd.DataFrame({"chi2": np.array([np.nan]),
+                             "dof": np.array([1], np.int64)})
     codes, uniq = factorize_strings(parts["t"], use_na_sentinel=False)
     obs = (parts.assign(_c=codes)
            .groupby(["_c", "h"], as_index=False)["n"].sum())
@@ -1357,9 +1352,7 @@ def q_top_session_paths(sf_dir: str, k: int = 20,
     bucket — never salted hash()) totals each path in exactly one
     bucket and keeps a local top-k, so the driver folds P·k rows.
     Path keys go through factorized codes everywhere (NUL rule)."""
-    import hashlib
-
-    from .pairs import factorize_strings
+    from .pairs import factorize_strings, str_u64
 
     P = 32
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
@@ -1408,11 +1401,8 @@ def q_top_session_paths(sf_dir: str, k: int = 20,
         codes, uniq = factorize_strings(pd.Series(paths, dtype=object))
         cnt = np.bincount(codes).astype(np.int64)
         upaths = uniq.to_numpy()
-        bkt = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(
-                s.encode("utf-8", "surrogatepass"),
-                digest_size=8).digest(), "big") & (P - 1)
-             for s in upaths), np.int64, len(upaths))
+        bkt = np.fromiter((str_u64(s) & (P - 1) for s in upaths),
+                          np.int64, len(upaths))
         return pa.table({"path": pa.array(upaths, pa.string()),
                          "n": pa.array(cnt),
                          "bucket": pa.array(bkt)})

@@ -247,8 +247,8 @@ def q_bfs_hops(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
     import pyarrow.compute as pc
     import ray
 
-    dense_refs, nodes = _edge_buckets(sf_dir)
-
+    # seeds first: a world with no p_size=1 parts skips the whole
+    # multi-exchange edge-bucket build
     part = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
 
     def seed_codes(t: pa.Table) -> pa.Table:
@@ -270,6 +270,8 @@ def q_bfs_hops(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
                            "hops": pd.Series(dtype="int64")})
     if len(seeds) == 0:
         return _EMPTY
+
+    dense_refs, nodes = _edge_buckets(sf_dir)
 
     _SENT = np.iinfo(np.int64).max
     N = len(nodes)
@@ -375,8 +377,12 @@ def q_triangle_count(sf_dir: str, P: int = 32) -> pd.DataFrame:
                                                    P - 1)})
 
     def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
-        if len(u) and (u.max() >= int(lim) or v.max() >= int(lim)):
-            raise ValueError("suppkey exceeds 32-bit packing")
+        # range-check BEFORE the uint64 cast: a negative key would wrap
+        # to all-ones high bits and silently ALIAS distinct edges (the
+        # _edge_buckets cast-first guard raises; so do we)
+        if len(u) and (u.min() < 0 or v.min() < 0
+                       or u.max() >= int(lim) or v.max() >= int(lim)):
+            raise ValueError("suppkey outside [0, 2^32) packing domain")
         return ((u.astype(np.uint64) << np.uint64(_KEY_BITS))
                 | v.astype(np.uint64)).view(np.int64)
 

@@ -36,12 +36,30 @@ def _read(sf_dir: str, table: str, columns=None):
 # restore after collection. \x00 prefix: sorts first, never in data.
 _NULL_KEY = "\x00<null>"
 
+# process-level cache for broadcast dimension lookups (CLAUDE.md r1:
+# read-only state cached per worker makes tasks as good as actors) —
+# keyed by ObjectRef so a new query's lut never collides
+_DIM_LUT_CACHE: dict = {}
+
 # int-key twin of _NULL_KEY for the raw-task set-op exchange (real keys
 # are non-negative; INT64_MIN can't collide)
 _NULL_INT = np.int64(np.iinfo(np.int64).min)
 # NULLS-LAST int64 sentinel: keeps id columns exact past 2^53 through
 # exchanges where a float64+NaN leg would silently round them
 _IMAX = np.int64(np.iinfo(np.int64).max)
+
+
+def _drop_null_nan_values(t: pa.Table) -> pa.Table:
+    """Shared batch filter for the NaN-excluding value contracts
+    (q57/q99/q102/q124): drop rows whose ``value`` is NULL or NaN.
+    fill_null matters — ``is_nan(NULL)`` is NULL and a NULL mask entry
+    must drop the row explicitly, not ride Arrow's filter default.
+    ±inf stay (orderable extremes on both sides)."""
+    if t.num_rows == 0 or "value" not in t.schema.names:
+        return pa.table({"event_type": pa.array([], pa.string()),
+                         "value": pa.array([], pa.float64())})
+    v = t.column("value")
+    return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
 
 
 def _restore_null_int(df: pd.DataFrame, col: str) -> pd.DataFrame:
@@ -351,7 +369,10 @@ def q_suppliers_per_region(sf_dir: str) -> pd.DataFrame:
         batch = batch.filter(pc.is_valid(batch.column("s_nationkey")))
         if batch.num_rows == 0:
             return _E
-        lt = ray.get(ref).to_pandas()
+        lt = _DIM_LUT_CACHE.get(ref)
+        if lt is None:
+            lt = ray.get(ref).to_pandas()
+            _DIM_LUT_CACHE[ref] = lt
         bal = batch.column("s_acctbal")
         df = pd.DataFrame({
             "nk": batch.column("s_nationkey").to_numpy(
@@ -602,12 +623,7 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def drop_nan(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "value" not in t.schema.names:
-            return pa.table({"event_type": pa.array([], pa.string()),
-                             "value": pa.array([], pa.float64())})
-        v = t.column("value")
-        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
+    drop_nan = _drop_null_nan_values
 
     def quants(df: pd.DataFrame) -> pd.DataFrame:
         v = np.sort(df["value"].to_numpy())
@@ -2617,12 +2633,7 @@ def q_median_value_disc(sf_dir: str, bins: int = 256,
     rank refinement, never a per-group sort."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def drop_nan(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "value" not in t.schema.names:
-            return pa.table({"event_type": pa.array([], pa.string()),
-                             "value": pa.array([], pa.float64())})
-        v = t.column("value")
-        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
+    drop_nan = _drop_null_nan_values
 
     ds = ds.map_batches(drop_nan, batch_format="pyarrow")
     counts, values = _grouped_order_stats(
@@ -2656,18 +2667,7 @@ def q_percentile_cont(sf_dir: str, frac: float = 0.9,
     passes, materialize-once)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def drop_nan(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "value" not in t.schema.names:
-            return pa.table({"event_type": pa.array([], pa.string()),
-                             "value": pa.array([], pa.float64())})
-        v = t.column("value")
-        # NULL and NaN values are both excluded, mirroring the oracle's
-        # `value IS NOT NULL AND NOT isnan(value)` filter (fill_null:
-        # is_nan(NULL) is NULL, and a NULL mask entry must drop the row
-        # explicitly rather than ride on filter's null-drop default).
-        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
-
-    ds = ds.map_batches(drop_nan, batch_format="pyarrow")
+    ds = ds.map_batches(_drop_null_nan_values, batch_format="pyarrow")
 
     def ranks_of(name, c):
         n = c[0]
