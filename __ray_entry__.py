@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q138_bfs_hops": graph.q_bfs_hops,
         "q139_type_jaccard": analytics.q_type_jaccard,
         "q140_triangle_count": graph.q_triangle_count,
+        "q141_unpivot_lineitem": analytics.q_unpivot_lineitem,
+        "q142_rolling_stddev": analytics.q_rolling_stddev,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1666,6 +1668,31 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs e1
             JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
             JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v
+        """,
+        "q141_unpivot_lineitem": """
+            -- UNPIVOT's NULL-exclusion semantics via the explicit
+            -- UNION ALL twin
+            SELECT l_orderkey, l_linenumber,
+                   'quantity' AS measure, l_quantity AS val
+            FROM lineitem WHERE l_quantity IS NOT NULL
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+            FROM lineitem WHERE l_extendedprice IS NOT NULL
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount', l_discount
+            FROM lineitem WHERE l_discount IS NOT NULL
+            ORDER BY 1, 2, 3
+        """,
+        "q142_rolling_stddev": """
+            SELECT event_id, event_type,
+                   round(stddev_samp(value) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4)
+                     AS mstd
+            FROM events
+            WHERE event_id IS NOT NULL AND ts IS NOT NULL
+              AND event_type IS NOT NULL AND isfinite(value)
+            ORDER BY event_id
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -607,3 +607,50 @@ def test_type_jaccard_small(ray_session, tmp_path):
     assert out["type_b"].tolist() == ["b"]
     assert out["n_both"].tolist() == [2]
     assert out["jaccard"].tolist() == [0.5]
+
+
+def test_unpivot_drops_null_cells(ray_session, tmp_path):
+    """q141: NULL measure cells produce no row (UNPIVOT semantics);
+    each non-NULL cell becomes exactly one (measure, val) row."""
+    from web_scrapper_ray.pipelines.analytics import q_unpivot_lineitem
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 2], pa.int64()),
+        "l_linenumber": pa.array([1, 1], pa.int32()),
+        "l_quantity": pa.array([5.0, None], pa.float64()),
+        "l_extendedprice": pa.array([None, 7.5], pa.float64()),
+        "l_discount": pa.array([0.1, 0.2], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_unpivot_lineitem(str(tmp_path))
+    got = sorted(zip(out["l_orderkey"], out["measure"], out["val"]))
+    assert got == [(1, "discount", 0.1), (1, "quantity", 5.0),
+                   (2, "discount", 0.2), (2, "extendedprice", 7.5)]
+
+
+def test_rolling_stddev_windows(ray_session, tmp_path):
+    """q142: per-type 5-row windows match DuckDB; the first row of a
+    type is NULL (n=1); non-finite values are excluded up front."""
+    from web_scrapper_ray.pipelines.analytics import q_rolling_stddev
+
+    vals = [1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0]
+    t = pa.table({
+        "event_id": pa.array(range(1, len(vals) + 3), pa.int64()),
+        "event_type": pa.array(["a"] * len(vals) + ["a", "b"]),
+        "ts": pa.array(list(range(len(vals))) + [99, 0],
+                       pa.timestamp("us")),
+        "value": pa.array(vals + [float("inf"), 3.0], pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_rolling_stddev(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        SELECT event_id,
+               round(stddev_samp(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS mstd
+        FROM '{tmp_path}/events.parquet'
+        WHERE isfinite(value) ORDER BY event_id""").df()
+    assert out["event_id"].tolist() == oracle["event_id"].tolist()
+    gm, om = out["mstd"].to_numpy(), oracle["mstd"].to_numpy()
+    assert ((gm == om) | (np.isnan(gm) & np.isnan(om))).all()
+    assert np.isnan(out["mstd"].iloc[0])      # first 'a' row: n=1
+    assert np.isnan(out["mstd"].iloc[-1])     # only 'b' row: n=1
+    assert 8 not in out["event_id"].tolist()  # inf row excluded

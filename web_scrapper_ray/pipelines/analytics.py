@@ -1549,3 +1549,137 @@ def q_type_jaccard(sf_dir: str) -> pd.DataFrame:
         "type_b": pd.Series(tb, dtype=object),
         "n_both": both,
         "jaccard": round_away(jac, 4)})
+
+
+def q_unpivot_lineitem(sf_dir: str) -> pd.DataFrame:
+    """Wide-to-long UNPIVOT: each lineitem row explodes into one
+    (measure, val) row per non-NULL measure column — SQL's UNPIVOT
+    NULL-exclusion semantics via the explicit UNION ALL twin. Pure
+    per-batch reshape, zero shuffle; at scale this is the canonical
+    'melt before a long-format aggregate' stage."""
+    MEASURES = ["l_quantity", "l_extendedprice", "l_discount"]
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_orderkey", "l_linenumber"] + MEASURES)
+
+    _E = pa.table({"l_orderkey": pa.array([], pa.int64()),
+                   "l_linenumber": pa.array([], pa.int32()),
+                   "measure": pa.array([], pa.string()),
+                   "val": pa.array([], pa.float64())})
+
+    def melt(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return _E
+        outs = []
+        for m in MEASURES:
+            keep = pc.is_valid(t.column(m))  # UNPIVOT drops NULL cells
+            s = t.filter(keep)
+            outs.append(pa.table({
+                "l_orderkey": pc.cast(s.column("l_orderkey"), pa.int64()),
+                "l_linenumber": pc.cast(s.column("l_linenumber"),
+                                        pa.int32()),
+                "measure": pa.array([m[2:]] * s.num_rows, pa.string()),
+                "val": pc.cast(s.column(m), pa.float64())}))
+        return pa.concat_tables(outs)
+
+    out = ds.map_batches(melt, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return _E.to_pandas()
+    # measure values are fixed ASCII literals — plain multi-sort is
+    # exact here, but chain single-column stable sorts anyway (rule)
+    out = (out.sort_values("measure", kind="stable")
+           .sort_values("l_linenumber", kind="stable",
+                        na_position="last")
+           .sort_values("l_orderkey", kind="stable",
+                        na_position="last"))
+    return out.reset_index(drop=True)
+
+
+def q_rolling_stddev(sf_dir: str, window: int = 5) -> pd.DataFrame:
+    """Windowed second moment: per-type rolling stddev_samp over the
+    last ``window`` rows ordered (ts, event_id) — the moving-volatility
+    shape. One type-keyed exchange; each bucket computes every window
+    EXACTLY from ``window`` shifted columns centered per row (never a
+    cumsum-of-squares difference, which cancels catastrophically —
+    CLAUDE.md q92 rule). Non-finite values and NULL keys are excluded
+    on BOTH sides (DuckDB stddev raises on NaN/±inf); n=1 windows are
+    NULL like var_samp."""
+    from .pairs import factorize_strings, str_u64
+
+    P = 32
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    _E = pa.table({"eid": pa.array([], pa.int64()),
+                   "typ": pa.array([], pa.string()),
+                   "t": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("event_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.and_kleene(pc.is_valid(t.column("event_type")),
+                          pc.fill_null(pc.is_finite(t.column("value")),
+                                       False)))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        typ = t.column("event_type")
+        codes, uniq = factorize_strings(typ.to_pandas())
+        ub = np.array([str_u64(s) & (P - 1) for s in uniq], np.int64)
+        return pa.table({"eid": pc.cast(t.column("event_id"), pa.int64()),
+                         "typ": typ,
+                         "t": pc.cast(t.column("ts"), pa.int64()),
+                         "v": pc.cast(t.column("value"), pa.float64()),
+                         "bucket": pa.array(ub[codes])})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "event_type": pd.Series(dtype="object"),
+                              "mstd": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["typ"])
+        df = (df.assign(_c=codes)
+              .sort_values("eid", kind="stable")
+              .sort_values("t", kind="stable")
+              .sort_values("_c", kind="stable"))
+        c = df["_c"].to_numpy()
+        v = df["v"].to_numpy(np.float64)
+        n = len(df)
+        run_start = np.zeros(n, np.int64)
+        new = np.ones(n, bool)
+        new[1:] = c[1:] != c[:-1]
+        run_start[new] = np.flatnonzero(new)
+        run_start = np.maximum.accumulate(run_start)
+        r = np.arange(n) - run_start  # index within type run
+        # window rows as `window` shifted columns, masked to the run
+        lags = np.full((window, n), np.nan)
+        for j in range(window):
+            ok = r >= j
+            lags[j, ok] = v[np.flatnonzero(ok) - j]
+        cnt = np.minimum(r + 1, window).astype(np.float64)
+        m = np.nansum(lags, axis=0) / cnt
+        dev = lags - m  # NaN rows stay NaN, excluded by nansum
+        ss = np.nansum(dev * dev, axis=0)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            std = np.sqrt(ss / (cnt - 1.0))
+        std[cnt < 2] = np.nan  # stddev_samp(n=1) is NULL
+        return pd.DataFrame({
+            "event_id": df["eid"].to_numpy(np.int64),
+            "event_type": df["typ"].to_numpy(),
+            "mstd": round_away(std, 4)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype="object"),
+                             "mstd": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
