@@ -277,6 +277,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q140_triangle_count": graph.q_triangle_count,
         "q141_unpivot_lineitem": analytics.q_unpivot_lineitem,
         "q142_rolling_stddev": analytics.q_rolling_stddev,
+        "q143_revenue_gini": analytics.q_revenue_gini,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1693,6 +1694,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE event_id IS NOT NULL AND ts IS NOT NULL
               AND event_type IS NOT NULL AND isfinite(value)
             ORDER BY event_id
+        """,
+        "q143_revenue_gini": """
+            WITH c AS (SELECT o_custkey AS k, sum(o_totalprice) AS rev
+                       FROM orders
+                       WHERE o_custkey IS NOT NULL
+                         AND o_totalprice IS NOT NULL
+                       GROUP BY 1),
+            r AS (SELECT rev,
+                         row_number() OVER (ORDER BY rev, k) AS i,
+                         count(*) OVER () AS n,
+                         sum(rev) OVER () AS tot
+                  FROM c)
+            -- GROUP BY a constant so an empty r emits ZERO rows (a
+            -- bare ungrouped aggregate would emit one NULL row the
+            -- engine's empty frame can't mirror)
+            SELECT round(2.0 * sum(i * rev) / (max(n) * max(tot))
+                         - (max(n) + 1.0) / max(n), 6) AS gini,
+                   max(n)::BIGINT AS n_customers
+            FROM r GROUP BY 1 = 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -654,3 +654,28 @@ def test_rolling_stddev_windows(ray_session, tmp_path):
     assert np.isnan(out["mstd"].iloc[0])      # first 'a' row: n=1
     assert np.isnan(out["mstd"].iloc[-1])     # only 'b' row: n=1
     assert 8 not in out["event_id"].tolist()  # inf row excluded
+
+
+def test_revenue_gini_known_values(ray_session, tmp_path):
+    """q143: equal revenues → gini 0 (up to the (n+1)/n closed form);
+    hand case matches the SQL formula; negative totals use the same
+    closed form as the oracle."""
+    from web_scrapper_ray.pipelines.analytics import q_revenue_gini
+
+    # two customers, revenues 1 and 3: sorted Σi·x = 1*1 + 2*3 = 7,
+    # G = 2*7/(2*4) - 3/2 = 1.75 - 1.5 = 0.25
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 2], pa.int64()),
+        "o_totalprice": pa.array([1.0, 2.0, 1.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_revenue_gini(str(tmp_path))
+    assert out["gini"].tolist() == [0.25]
+    assert out["n_customers"].tolist() == [2]
+
+    # perfectly equal distribution → 0
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([5.0] * 4, pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out2 = q_revenue_gini(str(tmp_path))
+    assert out2["gini"].tolist() == [0.0]

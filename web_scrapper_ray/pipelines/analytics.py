@@ -1683,3 +1683,88 @@ def q_rolling_stddev(sf_dir: str, window: int = 5) -> pd.DataFrame:
                              "mstd": pd.Series(dtype="float64")})
     out = pd.concat(parts, ignore_index=True)
     return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_revenue_gini(sf_dir: str) -> pd.DataFrame:
+    """Gini coefficient of per-customer revenue — the inequality
+    statistic needs a GLOBAL sorted prefix-sum: (1) per-batch
+    (custkey, Σprice) partials → one custkey exchange for exact
+    per-customer totals, (2) ONE Dataset.sort all-to-all over the
+    (rev, custkey) totals (the q108 pattern: refs come off the
+    materialized sort, not a re-executed map), (3) per-block raw tasks
+    return (n, Σx, Σ(local_i·x)); the driver converts local ranks to
+    global with q60-style prefix offsets — Σ(i·x) = Σ_blocks
+    [offset·Σx + Σ(local_i·x)] — and applies the closed form
+    G = 2·Σ(i·x)/(n·Σx) − (n+1)/n. Ties in rev are Σ(i·x)-invariant,
+    so the custkey tie-break only pins the sort, not the value."""
+    import ray
+    import ray.data as rd
+
+    P = 32
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    _E = pa.table({"k": pa.array([], pa.int64()),
+                   "rev": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("o_custkey")),
+                             pc.is_valid(t.column("o_totalprice")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        g = (pa.table({"k": t.column("o_custkey"),
+                       "rev": t.column("o_totalprice")})
+             .group_by(["k"]).aggregate([("rev", "sum")]))
+        return pa.table({"k": g.column("k"),
+                         "rev": pc.cast(g.column("rev_sum"),
+                                        pa.float64()),
+                         "bucket": pc.bit_wise_and(g.column("k"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.float64())})
+        df = pa.concat_tables(live).to_pandas()
+        g = df.groupby("k", as_index=False)["rev"] \
+              .agg(lambda x: x.to_numpy().sum())
+        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
+                         "rev": pa.array(g["rev"].to_numpy(np.float64))})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    totals = hash_shuffle(tagged, split, merge, P=P, gather=False)
+
+    empty = pd.DataFrame({"gini": pd.Series(dtype="float64"),
+                          "n_customers": pd.Series(dtype="int64")})
+    srt = (rd.from_arrow_refs(totals).sort(["rev", "k"])
+           .materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def block_part(t: pa.Table):
+        if t.num_rows == 0 or "rev" not in t.schema.names:
+            return 0, 0.0, 0.0
+        x = t.column("rev").to_numpy(zero_copy_only=False)
+        li = np.arange(1, len(x) + 1, dtype=np.float64)  # 1-based local
+        return len(x), float(x.sum()), float((li * x).sum())
+
+    parts = ray.get([block_part.remote(r) for r in refs])
+    n = sum(p[0] for p in parts)
+    if n == 0:
+        return empty
+    tot = sum(p[1] for p in parts)
+    six = 0.0
+    offset = 0
+    for cnt, sx, slix in parts:
+        six += offset * sx + slix
+        offset += cnt
+    if tot == 0.0:
+        return pd.DataFrame({"gini": np.array([np.nan]),
+                             "n_customers": np.array([n], np.int64)})
+    gini = 2.0 * six / (n * tot) - (n + 1.0) / n
+    return pd.DataFrame({"gini": round_away(np.array([gini]), 6),
+                         "n_customers": np.array([n], np.int64)})
