@@ -1696,7 +1696,10 @@ def q_revenue_gini(sf_dir: str) -> pd.DataFrame:
     global with q60-style prefix offsets — Σ(i·x) = Σ_blocks
     [offset·Σx + Σ(local_i·x)] — and applies the closed form
     G = 2·Σ(i·x)/(n·Σx) − (n+1)/n. Ties in rev are Σ(i·x)-invariant,
-    so the custkey tie-break only pins the sort, not the value."""
+    so the custkey tie-break only pins the sort, not the value.
+    Contract: revenues are money (non-negative) — with mixed signs a
+    total that cancels to ~0 is order-dependent in the last ulp, and
+    the x/0→NULL boundary would be data-dependent on both sides."""
     import ray
     import ray.data as rd
 
@@ -1730,10 +1733,14 @@ def q_revenue_gini(sf_dir: str) -> pd.DataFrame:
             return pa.table({"k": pa.array([], pa.int64()),
                              "rev": pa.array([], pa.float64())})
         df = pa.concat_tables(live).to_pandas()
-        g = df.groupby("k", as_index=False)["rev"] \
-              .agg(lambda x: x.to_numpy().sum())
-        return pa.table({"k": pa.array(g["k"].to_numpy(np.int64)),
-                         "rev": pa.array(g["rev"].to_numpy(np.float64))})
+        # factorize + np.add.at (q85 pattern): vectorized NaN-
+        # propagating group sum — pandas' groupby.sum would skip NaN
+        # and a per-group lambda dispatches Python once per customer
+        codes, uniq = pd.factorize(df["k"])
+        sums = np.zeros(len(uniq), np.float64)
+        np.add.at(sums, codes, df["rev"].to_numpy(np.float64))
+        return pa.table({"k": pa.array(uniq.to_numpy(np.int64)),
+                         "rev": pa.array(sums)})
 
     tagged = [(r, ()) for r in ds.to_arrow_refs()]
     totals = hash_shuffle(tagged, split, merge, P=P, gather=False)
