@@ -278,6 +278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q141_unpivot_lineitem": analytics.q_unpivot_lineitem,
         "q142_rolling_stddev": analytics.q_rolling_stddev,
         "q143_revenue_gini": analytics.q_revenue_gini,
+        "q144_rfm_segments": analytics.q_rfm_segments,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1713,6 +1714,19 @@ def oracle_sql() -> dict[str, str]:
                          - (max(n) + 1.0) / max(n), 6) AS gini,
                    max(n)::BIGINT AS n_customers
             FROM r GROUP BY 1 = 1
+        """,
+        "q144_rfm_segments": """
+            WITH c AS (SELECT o_custkey AS k,
+                              max(o_orderdate) AS last_dt,
+                              count(*)::BIGINT AS freq,
+                              sum(o_totalprice) AS mon
+                       FROM orders WHERE o_custkey IS NOT NULL
+                       GROUP BY 1)
+            SELECT k AS c_custkey,
+                   ntile(4) OVER (ORDER BY last_dt, k) AS r_q,
+                   ntile(4) OVER (ORDER BY freq, k) AS f_q,
+                   ntile(4) OVER (ORDER BY mon, k) AS m_q
+            FROM c ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

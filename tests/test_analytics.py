@@ -679,3 +679,47 @@ def test_revenue_gini_known_values(ray_session, tmp_path):
     }), str(tmp_path / "orders.parquet"))
     out2 = q_revenue_gini(str(tmp_path))
     assert out2["gini"].tolist() == [0.0]
+
+
+def test_ntile_of_ranks_matches_duckdb():
+    from web_scrapper_ray.pipelines.analytics import _ntile_of_ranks
+
+    for n, k in [(10, 4), (7, 3), (3, 4), (8, 4), (1, 4), (5, 2)]:
+        got = _ntile_of_ranks(np.arange(n), n, k).tolist()
+        want = duckdb.sql(
+            f"SELECT ntile({k}) OVER (ORDER BY x) FROM "
+            f"(SELECT unnest(range({n})) x)").df().iloc[:, 0].tolist()
+        assert got == want, (n, k)
+
+
+def test_rfm_segments_null_metrics(ray_session, tmp_path):
+    """q144: NULL last-date and all-NULL-price customers tile LAST in
+    their metric; frequency counts every order row."""
+    from web_scrapper_ray.pipelines.analytics import q_rfm_segments
+
+    t0 = pd.Timestamp("2020-01-01").value // 1000
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "o_orderdate": pa.array([t0, t0 + 10, t0 + 5, None, t0 + 7],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([10.0, 5.0, None, 20.0, 1.0],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_rfm_segments(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        WITH c AS (SELECT o_custkey AS k, max(o_orderdate) AS last_dt,
+                          count(*)::BIGINT AS freq,
+                          sum(o_totalprice) AS mon
+                   FROM '{tmp_path}/orders.parquet'
+                   WHERE o_custkey IS NOT NULL GROUP BY 1)
+        SELECT k AS c_custkey,
+               ntile(4) OVER (ORDER BY last_dt, k) AS r_q,
+               ntile(4) OVER (ORDER BY freq, k) AS f_q,
+               ntile(4) OVER (ORDER BY mon, k) AS m_q
+        FROM c ORDER BY 1""").df()
+    for col in ("c_custkey", "r_q", "f_q", "m_q"):
+        assert out[col].tolist() == oracle[col].tolist(), col
+    # customer 3 (NULL date) has the LAST recency tile
+    assert out.set_index("c_custkey").loc[3, "r_q"] == 4
+    # customer 2 (all-NULL prices) has the LAST monetary tile
+    assert out.set_index("c_custkey").loc[2, "m_q"] == 4

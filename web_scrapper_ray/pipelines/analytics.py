@@ -1775,3 +1775,132 @@ def q_revenue_gini(sf_dir: str) -> pd.DataFrame:
     gini = 2.0 * six / (n * tot) - (n + 1.0) / n
     return pd.DataFrame({"gini": round_away(np.array([gini]), 6),
                          "n_customers": np.array([n], np.int64)})
+
+
+def _ntile_of_ranks(ranks: np.ndarray, n: int, k: int) -> np.ndarray:
+    """SQL ntile(k) over 0-based global ranks: the first n%k tiles get
+    ⌈n/k⌉ rows, the rest ⌊n/k⌋ (probed DuckDB tiling)."""
+    big = n // k + 1
+    n_big = n % k
+    cut = n_big * big
+    small = max(n // k, 1)
+    return np.where(ranks < cut, ranks // big + 1,
+                    n_big + (ranks - cut) // small + 1).astype(np.int64)
+
+
+def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
+    """RFM customer segmentation: per-customer recency (last order
+    date), frequency (order count) and monetary (revenue sum), each
+    quartiled with SQL ntile(k) ORDER BY metric, custkey. One custkey
+    exchange builds the exact per-customer triple; each metric then
+    takes ONE Dataset.sort over (metric, custkey) and per-block raw
+    tasks convert q60-style global rank offsets to tile ids — ranks
+    are never collected, only (customer, tile) rows. NULL metrics sort
+    LAST via the int64-max sentinel (q116 rule: a float64+NaN leg
+    would corrupt ids past 2^53); an all-NULL-price customer's
+    monetary is SQL NULL and ties after every real sum."""
+    import ray
+    import ray.data as rd
+
+    P = 32
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "dt": pa.array([], pa.int64()),
+                   "freq": pa.array([], pa.int64()),
+                   "mon": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        t = t.filter(pc.is_valid(t.column("o_custkey")))
+        if t.num_rows == 0:
+            return _E
+        dt = pc.fill_null(pc.cast(t.column("o_orderdate"), pa.int64()),
+                          np.iinfo(np.int64).min)  # min: max() ignores
+        price = t.column("o_totalprice")
+        g = (pa.table({"key": t.column("o_custkey"), "dt": dt,
+                       "mon0": pc.fill_null(price, 0.0),
+                       "nv": pc.cast(pc.is_valid(price), pa.int64())})
+             .group_by(["key"])
+             .aggregate([("dt", "max"), ([], "count_all"),
+                         ("mon0", "sum"), ("nv", "sum")]))
+        return pa.table({
+            "key": g.column("key"),
+            "dt": g.column("dt_max"),
+            "freq": pc.cast(g.column("count_all"), pa.int64()),
+            "mon": pc.cast(g.column("mon0_sum"), pa.float64()),
+            "nv": pc.cast(g.column("nv_sum"), pa.int64()),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    def merge(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pa.table({"key": pa.array([], pa.int64()),
+                          "dt": pa.array([], pa.int64()),
+                          "freq": pa.array([], pa.int64()),
+                          "mon": pa.array([], pa.float64()),
+                          "mnull": pa.array([], pa.int8())})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = pd.factorize(df["key"])
+        nc = len(uniq)
+        dt = np.full(nc, np.iinfo(np.int64).min, np.int64)
+        np.maximum.at(dt, codes, df["dt"].to_numpy(np.int64))
+        # all-NULL-date customer: sentinel min → NULL → sorts LAST
+        dt[dt == np.iinfo(np.int64).min] = np.iinfo(np.int64).max
+        freq = np.zeros(nc, np.int64)
+        np.add.at(freq, codes, df["freq"].to_numpy(np.int64))
+        mon = np.zeros(nc, np.float64)
+        np.add.at(mon, codes, df["mon"].to_numpy(np.float64))
+        nv = np.zeros(nc, np.int64)
+        np.add.at(nv, codes, df["nv"].to_numpy(np.int64))
+        return pa.table({"key": pa.array(uniq.to_numpy(np.int64)),
+                         "dt": pa.array(dt), "freq": pa.array(freq),
+                         "mon": pa.array(mon),
+                         "mnull": pa.array((nv == 0).astype(np.int8))})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    cust_refs = hash_shuffle(tagged, split, merge, P=P, gather=False)
+    base = rd.from_arrow_refs(cust_refs).materialize()
+    n = base.count()
+    empty = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                          "r_q": pd.Series(dtype="int64"),
+                          "f_q": pd.Series(dtype="int64"),
+                          "m_q": pd.Series(dtype="int64")})
+    if n == 0:
+        return empty
+
+    @ray.remote
+    def block_tiles(t: pa.Table, offset: int, total: int, kk: int):
+        if t.num_rows == 0:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "tile": pa.array([], pa.int64())})
+        ranks = np.arange(offset, offset + t.num_rows)
+        return pa.table({"key": t.column("key"),
+                         "tile": pa.array(_ntile_of_ranks(ranks, total,
+                                                          kk))})
+
+    def rank_pass(sort_cols: list) -> pd.DataFrame:
+        srt = base.sort(sort_cols).materialize()
+        refs = srt.to_arrow_refs()
+        sizes = ray.get([ray.remote(lambda t: t.num_rows).remote(r)
+                         for r in refs])
+        outs, off = [], 0
+        for r, sz in zip(refs, sizes):
+            outs.append(block_tiles.remote(r, off, n, k))
+            off += sz
+        return pa.concat_tables(ray.get(outs)).to_pandas()
+
+    rq = rank_pass(["dt", "key"]).rename(columns={"tile": "r_q"})
+    fq = rank_pass(["freq", "key"]).rename(columns={"tile": "f_q"})
+    mq = rank_pass(["mnull", "mon", "key"]).rename(columns={"tile": "m_q"})
+    out = rq.merge(fq, on="key").merge(mq, on="key")
+    out = out.rename(columns={"key": "c_custkey"})
+    # driver-side 3-way merge is O(customers) — the cluster
+    # continuation co-partitions the three tile passes on custkey
+    return (out[["c_custkey", "r_q", "f_q", "m_q"]]
+            .sort_values("c_custkey").reset_index(drop=True))
