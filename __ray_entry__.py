@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q142_rolling_stddev": analytics.q_rolling_stddev,
         "q143_revenue_gini": analytics.q_revenue_gini,
         "q144_rfm_segments": analytics.q_rfm_segments,
+        "q145_daily_locf": analytics.q_daily_locf,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1727,6 +1728,25 @@ def oracle_sql() -> dict[str, str]:
                    ntile(4) OVER (ORDER BY freq, k) AS f_q,
                    ntile(4) OVER (ORDER BY mon, k) AS m_q
             FROM c ORDER BY 1
+        """,
+        "q145_daily_locf": """
+            -- (user, ts) ties collapse to max(value) FIRST: ASOF's
+            -- pick among tied right rows is implementation-defined
+            WITH b AS (SELECT user_id, ts, max(value) AS v FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND value IS NOT NULL
+                       GROUP BY 1, 2),
+            r AS (SELECT user_id, date_trunc('day', min(ts)) AS lo,
+                         max(ts) AS hi
+                  FROM b GROUP BY 1),
+            s AS (SELECT user_id,
+                         unnest(generate_series(lo, hi,
+                                                INTERVAL 1 DAY)) AS h
+                  FROM r)
+            SELECT s.user_id, epoch_us(s.h) AS day_us, b.v AS filled
+            FROM s ASOF LEFT JOIN b
+                 ON b.user_id = s.user_id AND b.ts <= s.h
+            ORDER BY 1, 2
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -723,3 +723,42 @@ def test_rfm_segments_null_metrics(ray_session, tmp_path):
     assert out.set_index("c_custkey").loc[3, "r_q"] == 4
     # customer 2 (all-NULL prices) has the LAST monetary tile
     assert out.set_index("c_custkey").loc[2, "m_q"] == 4
+
+
+def test_daily_locf_fill(ray_session, tmp_path):
+    """q145: days between events carry the last value forward; the
+    first spine day (midnight before the first event) is NULL; tied
+    timestamps collapse to max(value) before the fill."""
+    from web_scrapper_ray.pipelines.analytics import q_daily_locf
+
+    DAY = 86_400_000_000
+    t0 = (pd.Timestamp("2022-03-01").value // 1000) + 5_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([7, 7, 7, 7], pa.int64()),
+        # day 0 (two tied events → max 9.0), then day 3
+        "ts": pa.array([t0, t0, t0 + 3 * DAY, t0 + 3 * DAY],
+                       pa.timestamp("us")),
+        "value": pa.array([9.0, 2.0, 4.0, 1.0], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_daily_locf(str(tmp_path))
+    # spine: 2022-03-01 00:00 .. 2022-03-04 (4 days)
+    assert len(out) == 4
+    f = out["filled"].tolist()
+    assert np.isnan(f[0])           # midnight precedes the first event
+    # every later midnight precedes that day's 00:00:05 event, so the
+    # tied day-0 max (9.0, never 2.0) carries across the whole spine
+    assert f[1] == 9.0 and f[2] == 9.0 and f[3] == 9.0
+    oracle = duckdb.sql(f"""
+        WITH b AS (SELECT user_id, ts, max(value) AS v
+                   FROM '{tmp_path}/events.parquet' GROUP BY 1, 2),
+        r AS (SELECT user_id, date_trunc('day', min(ts)) AS lo,
+                     max(ts) AS hi FROM b GROUP BY 1),
+        s AS (SELECT user_id, unnest(generate_series(lo, hi,
+                     INTERVAL 1 DAY)) AS h FROM r)
+        SELECT epoch_us(s.h) AS day_us, b.v AS filled
+        FROM s ASOF LEFT JOIN b
+             ON b.user_id = s.user_id AND b.ts <= s.h
+        ORDER BY 1""").df()
+    gm, om = out["filled"].to_numpy(), oracle["filled"].to_numpy()
+    assert ((gm == om) | (np.isnan(gm) & np.isnan(om))).all()
+    assert out["day_us"].tolist() == oracle["day_us"].tolist()

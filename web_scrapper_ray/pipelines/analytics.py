@@ -1904,3 +1904,91 @@ def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
     # continuation co-partitions the three tile passes on custkey
     return (out[["c_custkey", "r_q", "f_q", "m_q"]]
             .sort_values("c_custkey").reset_index(drop=True))
+
+
+def q_daily_locf(sf_dir: str) -> pd.DataFrame:
+    """Forward-fill (LOCF) onto a per-user DAILY spine: for each day
+    from the user's first active day to their last event, the value of
+    the latest event at-or-before that day's midnight — the
+    time-series gap-fill shape. Ties on (user, ts) are collapsed to
+    max(value) FIRST on both sides (DuckDB's ASOF pick among tied
+    right rows is implementation-defined) — np.maximum.at, because a
+    pandas groupby max would SKIP a NaN that SQL's total-order max
+    propagates. One user-keyed exchange; each bucket dedups, builds
+    its users' spines from int64 day arithmetic (floored division —
+    calendar floor for pre-1970), and fills with one keyed
+    merge_asof."""
+    P = 32
+    DAY_US = 86_400_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.is_valid(t.column("value")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        return pa.table({"user": t.column("user_id"),
+                         "t": pc.cast(t.column("ts"), pa.int64()),
+                         "v": pc.cast(t.column("value"), pa.float64()),
+                         "bucket": pc.bit_wise_and(t.column("user_id"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "day_us": pd.Series(dtype="int64"),
+                              "filled": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        u = df["user"].to_numpy(np.int64)
+        ts = df["t"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((ts, u))
+        u, ts, v = u[order], ts[order], v[order]
+        new = np.ones(len(u), bool)
+        new[1:] = (u[1:] != u[:-1]) | (ts[1:] != ts[:-1])
+        gid = np.cumsum(new) - 1
+        vmax = np.full(gid[-1] + 1, -np.inf)
+        np.maximum.at(vmax, gid, v)  # NaN propagates like SQL's max
+        du, dts = u[new], ts[new]
+        # per-user spine: first day floor → last event ts, step 1 day
+        ustart = np.flatnonzero(np.r_[True, du[1:] != du[:-1]])
+        uend = np.r_[ustart[1:], len(du)]
+        lo_day = dts[ustart] // DAY_US
+        n_days = (dts[uend - 1] - lo_day * DAY_US) // DAY_US + 1
+        off = np.r_[0, np.cumsum(n_days)]
+        total = int(off[-1])
+        day = (np.arange(total) - np.repeat(off[:-1], n_days)
+               + np.repeat(lo_day, n_days))
+        s_user = np.repeat(du[ustart], n_days)
+        # merge_asof needs BOTH frames globally sorted on the `on` key
+        # (by= only scopes the match, not the sort requirement)
+        spine = pd.DataFrame({"user": s_user, "t": day * DAY_US}) \
+            .sort_values("t", kind="stable")
+        ev = pd.DataFrame({"user": du, "t": dts, "v": vmax}) \
+            .sort_values("t", kind="stable")
+        m = pd.merge_asof(spine, ev, on="t", by="user",
+                          direction="backward")
+        return pd.DataFrame({"user_id": m["user"].to_numpy(np.int64),
+                             "day_us": m["t"].to_numpy(np.int64),
+                             "filled": m["v"].to_numpy(np.float64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "day_us": pd.Series(dtype="int64"),
+                             "filled": pd.Series(dtype="float64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["user_id", "day_us"]).reset_index(drop=True))
