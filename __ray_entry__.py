@@ -280,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q143_revenue_gini": analytics.q_revenue_gini,
         "q144_rfm_segments": analytics.q_rfm_segments,
         "q145_daily_locf": analytics.q_daily_locf,
+        "q146_entity_conflicts": analytics.q_entity_conflicts,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1747,6 +1748,13 @@ def oracle_sql() -> dict[str, str]:
             FROM s ASOF LEFT JOIN b
                  ON b.user_id = s.user_id AND b.ts <= s.h
             ORDER BY 1, 2
+        """,
+        "q146_entity_conflicts": """
+            SELECT c_custkey, count(DISTINCT c_name)::BIGINT AS n_names
+            FROM customer
+            WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+            GROUP BY 1 HAVING count(DISTINCT c_name) > 1
+            ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -236,6 +236,18 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
     # hashing would merge it with '1-URGENT' and drop the customer);
     # q133's filter class: non-finite click/purchase values must be
     # excluded on both sides (DuckDB var_samp raises on NaN/±inf)
+    # q146's entity-conflict class: one custkey bound to two names —
+    # one pair differing only past an embedded NUL (pandas' C-string
+    # hashing would hide it), plus a clean two-name conflict
+    tabs["customer"] = _rows(tabs["customer"], {
+        "c_custkey": [900010, 900010, 900011, 900011, 900012, 900012],
+        "c_name": ["fz ent", "fz ent\x00x", "fz two", "fz too",
+                   "fz same", "fz same"],
+        "c_nationkey": [0] * 6,
+        "c_acctbal": [1.0] * 6,
+        "c_mktsegment": ["FZ"] * 6,
+    })
+
     tabs["orders"] = _rows(tabs["orders"], {
         "o_orderkey": list(range(900021, 900026)),
         "o_custkey": [900021] * 5,

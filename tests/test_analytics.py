@@ -762,3 +762,17 @@ def test_daily_locf_fill(ray_session, tmp_path):
     gm, om = out["filled"].to_numpy(), oracle["filled"].to_numpy()
     assert ((gm == om) | (np.isnan(gm) & np.isnan(om))).all()
     assert out["day_us"].tolist() == oracle["day_us"].tolist()
+
+
+def test_entity_conflicts_nul_variant(ray_session, tmp_path):
+    """q146: a NUL-suffixed name variant is a real conflict (distinct
+    bytes); exact duplicate rows of one name are not."""
+    from web_scrapper_ray.pipelines.analytics import q_entity_conflicts
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "c_name": pa.array(["a", "a\x00x", "b", "b", "c", "d"]),
+    }), str(tmp_path / "customer.parquet"))
+    out = q_entity_conflicts(str(tmp_path))
+    assert out["c_custkey"].tolist() == [1, 3]
+    assert out["n_names"].tolist() == [2, 2]

@@ -1992,3 +1992,56 @@ def q_daily_locf(sf_dir: str) -> pd.DataFrame:
                              "filled": pd.Series(dtype="float64")})
     return (pd.concat(parts, ignore_index=True)
             .sort_values(["user_id", "day_us"]).reset_index(drop=True))
+
+
+def q_entity_conflicts(sf_dir: str) -> pd.DataFrame:
+    """Data-quality check: customer keys bound to MORE THAN ONE
+    distinct name (entity-resolution conflicts). q135's division
+    shape: per-batch Arrow (key, name) group partials (full-byte
+    string keys), one key exchange, factorized distinct count per
+    bucket — a NUL-suffixed name variant is a CONFLICT, which pandas'
+    C-string hashing would silently hide."""
+    from .pairs import factorize_strings
+
+    P = 32
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "name": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("c_custkey")),
+                             pc.is_valid(t.column("c_name")))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        g = (pa.table({"key": t.column("c_custkey"),
+                       "name": t.column("c_name")})
+             .group_by(["key", "name"]).aggregate([]))
+        return pa.table({"key": g.column("key"), "name": g.column("name"),
+                         "bucket": pc.bit_wise_and(g.column("key"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                              "n_names": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        codes, _ = factorize_strings(df["name"], use_na_sentinel=False)
+        g = df.assign(_n=codes).groupby("key")["_n"].nunique()
+        g = g[g > 1]
+        return pd.DataFrame({"c_custkey": g.index.to_numpy(np.int64),
+                             "n_names": g.to_numpy(np.int64)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"c_custkey": pd.Series(dtype="int64"),
+                             "n_names": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("c_custkey").reset_index(drop=True))
