@@ -281,6 +281,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q144_rfm_segments": analytics.q_rfm_segments,
         "q145_daily_locf": analytics.q_daily_locf,
         "q146_entity_conflicts": analytics.q_entity_conflicts,
+        "q147_value_shape": analytics.q_value_shape,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1755,6 +1756,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
             GROUP BY 1 HAVING count(DISTINCT c_name) > 1
             ORDER BY 1
+        """,
+        "q147_value_shape": """
+            -- non-finite masked INSIDE the aggregate (CASE, not
+            -- WHERE): DuckDB skewness raises on ±inf, and the
+            -- all-masked group must still emit its row (n=0)
+            SELECT event_type,
+                   count(CASE WHEN isfinite(value) THEN value END)
+                       ::BIGINT AS n,
+                   round(skewness(CASE WHEN isfinite(value)
+                                       THEN value END), 6) AS skew,
+                   round(kurtosis(CASE WHEN isfinite(value)
+                                       THEN value END), 6) AS kurt
+            FROM events GROUP BY event_type
+            ORDER BY event_type NULLS LAST
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

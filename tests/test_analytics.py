@@ -776,3 +776,66 @@ def test_entity_conflicts_nul_variant(ray_session, tmp_path):
     out = q_entity_conflicts(str(tmp_path))
     assert out["c_custkey"].tolist() == [1, 3]
     assert out["n_names"].tolist() == [2, 2]
+
+
+def test_value_shape_matches_duckdb_across_splits(ray_session, tmp_path):
+    """q147: Pébay-merged (M2, M3, M4) partials reproduce DuckDB's
+    skewness/kurtosis exactly (at round-6) even when the same type's
+    rows are scattered across many parquet files, and the NULL-type
+    group survives."""
+    from web_scrapper_ray.pipelines.analytics import q_value_shape
+
+    rng = np.random.RandomState(11)
+    n = 600
+    types = np.array(["click", "view", "purchase"])[
+        rng.randint(0, 3, n)].astype(object)
+    types[::97] = None
+    vals = np.round(rng.lognormal(0.0, 1.0, n), 3)
+    # events.parquet as a DIRECTORY of three files → ≥3 blocks per
+    # type → the driver-side Pébay merge actually runs
+    (tmp_path / "events.parquet").mkdir()
+    for i in range(3):
+        pq.write_table(pa.table({
+            "event_type": pa.array(types[i::3]),
+            "value": pa.array(vals[i::3], pa.float64())}),
+            str(tmp_path / "events.parquet" / f"part_{i}.parquet"))
+    out = q_value_shape(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        SELECT event_type, count(value)::BIGINT AS n,
+               round(skewness(value), 6) AS skew,
+               round(kurtosis(value), 6) AS kurt
+        FROM '{tmp_path}/events.parquet/*.parquet'
+        GROUP BY 1 ORDER BY 1 NULLS LAST""").df()
+    assert out["event_type"].tolist() == oracle["event_type"].where(
+        oracle["event_type"].notna(), None).tolist()
+    assert out["n"].tolist() == oracle["n"].tolist()
+    assert out["skew"].tolist() == oracle["skew"].tolist()
+    assert out["kurt"].tolist() == oracle["kurt"].tolist()
+
+
+def test_value_shape_small_and_constant_groups(ray_session, tmp_path):
+    """q147 edge contracts (probed in DuckDB): n<3 → NULL skew, n<4 →
+    NULL kurt, a CONSTANT group is NULL for both at any n, and
+    non-finite values are masked but keep the group's row."""
+    from web_scrapper_ray.pipelines.analytics import q_value_shape
+
+    t = pa.table({
+        "event_type": pa.array(
+            ["pair"] * 2 + ["trio"] * 3 + ["flat"] * 4
+            + ["quad"] * 4 + ["poison"] * 3),
+        "value": pa.array(
+            [1.0, 9.0] + [1.0, 2.0, 4.0] + [7.0] * 4
+            + [1.0, 2.0, 3.0, 10.0] + [np.inf, np.nan, None],
+            pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_value_shape(str(tmp_path)).set_index("event_type")
+    assert np.isnan(out.loc["pair", "skew"])
+    assert np.isnan(out.loc["pair", "kurt"])
+    assert out.loc["trio", "skew"] == round(0.935220, 6)  # probed DuckDB
+    assert np.isnan(out.loc["trio", "kurt"])
+    assert np.isnan(out.loc["flat", "skew"])      # var=0, n=4
+    assert np.isnan(out.loc["flat", "kurt"])
+    assert out.loc["quad", "skew"] == 1.763633    # probed DuckDB
+    assert out.loc["quad", "kurt"] == 3.228
+    assert out.loc["poison", "n"] == 0            # masked, row kept
+    assert np.isnan(out.loc["poison", "skew"])

@@ -2045,3 +2045,134 @@ def q_entity_conflicts(sf_dir: str) -> pd.DataFrame:
                              "n_names": pd.Series(dtype="int64")})
     return (pd.concat(parts, ignore_index=True)
             .sort_values("c_custkey").reset_index(drop=True))
+
+
+def q_value_shape(sf_dir: str) -> pd.DataFrame:
+    """Per-type distribution-shape stats: sample skewness + excess
+    kurtosis of event values (SQL ``skewness()``/``kurtosis()`` twins —
+    DuckDB's formulas probed as the bias-corrected G1/G2, i.e. pandas
+    ``.skew()``/``.kurt()``). One streaming pass: each batch emits
+    CENTERED (n, mean, M2, M3, M4) partials per event type — higher
+    moments from a per-batch local mean never cancel like raw Σx³/Σx⁴
+    would — and the driver folds them with Pébay's parallel update
+    (the order-3/4 generalization of q92's Chan merge). Parity
+    contracts carried over from the moment family: non-finite values
+    masked to NULL INSIDE the aggregate on both sides (DuckDB raises
+    'SKEW is out of range!' on ±inf, returns garbage on NaN — probed),
+    var=0 detected with exact min==max flags (skew AND kurt are NULL
+    for a constant group at any n — probed on [2,2,2,2]), n<3 → NULL
+    skew, n<4 → NULL kurt, NULL event_type kept as a group, and
+    full-byte string group keys via factorize_strings."""
+    from .pairs import factorize_strings
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    _MOMS = ("n", "m", "m2", "m3", "m4", "vmin", "vmax")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          **{c: pa.array([], pa.float64())
+                             for c in _MOMS}})
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return empty
+        ok = pc.fill_null(pc.and_kleene(
+            pc.is_valid(t.column("value")),
+            pc.is_finite(t.column("value"))), False)
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "v": t.column("value").to_numpy(zero_copy_only=False),
+            "ok": ok.to_numpy(zero_copy_only=False)})
+
+        def mom(g: pd.DataFrame) -> pd.Series:
+            x = g.loc[g["ok"], "v"].to_numpy(np.float64)
+            if not len(x):
+                # all-NULL/non-finite type still surfaces its GROUP BY
+                # row (n=0 marker), like q92's zero-valid partial
+                return pd.Series({"n": 0.0, "m": 0.0, "m2": 0.0,
+                                  "m3": 0.0, "m4": 0.0,
+                                  "vmin": np.nan, "vmax": np.nan})
+            m = x.mean()
+            d = x - m
+            d2 = d * d
+            return pd.Series({"n": float(len(x)), "m": m,
+                              "m2": float(d2.sum()),
+                              "m3": float((d2 * d).sum()),
+                              "m4": float((d2 * d2).sum()),
+                              "vmin": float(x.min()),
+                              "vmax": float(x.max())})
+
+        codes, uniq = factorize_strings(df["event_type"],
+                                        use_na_sentinel=False)
+        g = (df.assign(_c=codes).groupby("_c")
+             .apply(mom, include_groups=False).reset_index())
+        g["event_type"] = uniq.to_numpy()[g["_c"].to_numpy()]
+        return pa.table({"event_type": pa.Array.from_pandas(
+                             g["event_type"], type=pa.string()),
+                         **{c: pa.array(g[c].to_numpy()
+                                        .astype(np.float64))
+                            for c in _MOMS}})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "skew": pd.Series(dtype="float64"),
+            "kurt": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+
+    def pebay(g: pd.DataFrame) -> pd.Series:
+        n = m = m2 = m3 = m4 = 0.0
+        for r in g.itertuples(index=False):
+            nb = r.n
+            if nb == 0.0:
+                continue
+            if n == 0.0:
+                n, m, m2, m3, m4 = nb, r.m, r.m2, r.m3, r.m4
+                continue
+            tot = n + nb
+            d = r.m - m
+            d2 = d * d
+            # Pébay's pairwise update, order 4 before 3 before 2 so
+            # each line reads the PRE-merge lower moments
+            m4 += (r.m4
+                   + d2 * d2 * n * nb * (n * n - n * nb + nb * nb)
+                   / (tot * tot * tot)
+                   + 6.0 * d2 * (n * n * r.m2 + nb * nb * m2)
+                   / (tot * tot)
+                   + 4.0 * d * (n * r.m3 - nb * m3) / tot)
+            m3 += (r.m3 + d * d2 * n * nb * (n - nb) / (tot * tot)
+                   + 3.0 * d * (n * r.m2 - nb * m2) / tot)
+            m2 += r.m2 + d2 * (n * nb / tot)
+            m += d * nb / tot
+            n = tot
+        return pd.Series({"n": n, "m": m, "m2": m2, "m3": m3, "m4": m4,
+                          "vmin": g["vmin"].min(),
+                          "vmax": g["vmax"].max()})
+
+    pcodes, puniq = factorize_strings(parts["event_type"],
+                                      use_na_sentinel=False)
+    mt = (parts.assign(_c=pcodes).groupby("_c")
+          .apply(pebay, include_groups=False).reset_index())
+    mt["event_type"] = puniq.to_numpy()[mt["_c"].to_numpy()]
+    n = mt["n"].to_numpy()
+    m2 = mt["m2"].to_numpy()
+    m3 = mt["m3"].to_numpy()
+    m4 = mt["m4"].to_numpy()
+    const = (mt["vmin"] == mt["vmax"]).to_numpy()  # exact var=0 flag
+    with np.errstate(invalid="ignore", divide="ignore"):
+        s2 = m2 / n                       # population variance
+        g1 = (m3 / n) / (s2 ** 1.5)
+        skew = np.where((n < 3.0) | const, np.nan,
+                        g1 * np.sqrt(n * (n - 1.0)) / (n - 2.0))
+        g2 = (m4 / n) / (s2 * s2) - 3.0
+        kurt = np.where((n < 4.0) | const, np.nan,
+                        ((n + 1.0) * g2 + 6.0) * (n - 1.0)
+                        / ((n - 2.0) * (n - 3.0)))
+    out = pd.DataFrame({"event_type": mt["event_type"],
+                        "n": n.astype(np.int64),
+                        "skew": round_away(skew, 6),
+                        "kurt": round_away(kurt, 6)})
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
