@@ -282,6 +282,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q145_daily_locf": analytics.q_daily_locf,
         "q146_entity_conflicts": analytics.q_entity_conflicts,
         "q147_value_shape": analytics.q_value_shape,
+        "q148_order_percentiles": analytics.q_order_percentiles,
+        "q149_brand_price_means": analytics.q_brand_price_means,
+        "q150_bitwise_event_ids": analytics.q_bitwise_event_ids,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1770,6 +1773,34 @@ def oracle_sql() -> dict[str, str]:
                                        THEN value END), 6) AS kurt
             FROM events GROUP BY event_type
             ORDER BY event_type NULLS LAST
+        """,
+        "q148_order_percentiles": """
+            SELECT o_orderkey, o_custkey,
+                   percent_rank() OVER w AS pr,
+                   cume_dist() OVER w AS cd
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice)
+            ORDER BY o_custkey NULLS LAST, o_orderkey NULLS LAST, pr
+        """,
+        "q149_brand_price_means": """
+            -- finite-positive on BOTH sides: ln() raises on x <= 0,
+            -- and NaN > 0 is TRUE in DuckDB's comparison total order
+            -- but false in Arrow's — isfinite keeps filters identical
+            SELECT p_brand, count(*)::BIGINT AS n,
+                   round(exp(avg(ln(p_retailprice))), 6) AS gm,
+                   round(count(*) / sum(1.0 / p_retailprice), 6) AS hm
+            FROM part
+            WHERE p_retailprice > 0 AND isfinite(p_retailprice)
+            GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q150_bitwise_event_ids": """
+            -- ::DOUBLE so the dtype stops depending on whether an
+            -- all-NULL-id group exists (q103 nullable-dtype contract)
+            SELECT event_type, count(event_id)::BIGINT AS n,
+                   bit_and(event_id)::DOUBLE AS ba,
+                   bit_or(event_id)::DOUBLE AS bo,
+                   bit_xor(event_id)::DOUBLE AS bx
+            FROM events GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

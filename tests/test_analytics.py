@@ -839,3 +839,47 @@ def test_value_shape_small_and_constant_groups(ray_session, tmp_path):
     assert out.loc["quad", "kurt"] == 3.228
     assert out.loc["poison", "n"] == 0            # masked, row kept
     assert np.isnan(out.loc["poison", "skew"])
+
+
+def test_order_percentiles_window_order_edges(ray_session, tmp_path):
+    """q148: probed DuckDB window-order contract — finite < +inf <
+    NaN (peers) < NULL (peers, last); a single-row partition has
+    percent_rank 0.0; NULL custkey is its own partition."""
+    from web_scrapper_ray.pipelines.analytics import q_order_percentiles
+
+    t = pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5, 6, 7], pa.int64()),
+        "o_custkey": pa.array([10, 10, 10, 10, 10, None, 20], pa.int64()),
+        "o_totalprice": pa.array(
+            [1.0, float("inf"), float("nan"), float("nan"), None,
+             3.0, 9.0], pa.float64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = q_order_percentiles(str(tmp_path))
+    got = out.set_index("o_orderkey")
+    # rank: 1.0→1, inf→2, NaN,NaN→3 (peers), NULL→5 ⇒ pr=(r−1)/4
+    assert got.loc[1, "pr"] == 0.0 and got.loc[2, "pr"] == 0.25
+    assert got.loc[3, "pr"] == 0.5 and got.loc[4, "pr"] == 0.5
+    assert got.loc[5, "pr"] == 1.0
+    assert got.loc[3, "cd"] == 0.8 and got.loc[5, "cd"] == 1.0
+    # single-row partitions (NULL custkey and cust 20): pr 0, cd 1
+    assert got.loc[6, "pr"] == 0.0 and got.loc[6, "cd"] == 1.0
+    assert got.loc[7, "pr"] == 0.0 and got.loc[7, "cd"] == 1.0
+    # NULL custkey rendered as NaN in the nullable-int float column
+    assert np.isnan(got.loc[6, "o_custkey"])
+
+
+def test_bitwise_event_ids_negatives_and_all_null(ray_session, tmp_path):
+    """q150: two's-complement folds on negative ids match DuckDB
+    (probed: bit_and(-5,3)=3, bit_or=-5, bit_xor=-8) and an
+    all-NULL-id type keeps its row with NULL aggregates."""
+    from web_scrapper_ray.pipelines.analytics import q_bitwise_event_ids
+
+    t = pa.table({
+        "event_type": pa.array(["x", "x", "x", "y"]),
+        "event_id": pa.array([-5, 3, None, None], pa.int64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_bitwise_event_ids(str(tmp_path)).set_index("event_type")
+    assert out.loc["x", ["n", "ba", "bo", "bx"]].tolist() == \
+        [2, 3.0, -5.0, -8.0]
+    assert out.loc["y", "n"] == 0
+    assert np.isnan(out.loc["y", "ba"])

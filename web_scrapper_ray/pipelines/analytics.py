@@ -2176,3 +2176,272 @@ def q_value_shape(sf_dir: str) -> pd.DataFrame:
         out["event_type"].notna(), None)
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def q_order_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Per-customer relative standing of every order:
+    ``percent_rank()`` + ``cume_dist()`` OVER (PARTITION BY o_custkey
+    ORDER BY o_totalprice). One custkey exchange, then fully
+    vectorized rank arithmetic per bucket (lexsort + boundary
+    bincounts — no per-group dispatch). Window-order parity probed in
+    DuckDB: ASC is NULLS LAST, and the total order is
+    finite < +inf < NaN (all NaN are PEERS) < NULL (peers, last) —
+    encoded as a (2·is_null + is_nan, value) composite key so NaN and
+    NULL never collapse into one tie group. percent_rank of a
+    single-row partition is 0.0 (probed), not NULL; pr/cd divisions
+    are the same small-int IEEE divides DuckDB runs, so no rounding
+    is needed. Nullable BIGINT ids follow the q43/q49 dtype contract
+    (float64 only when a NULL is actually present)."""
+    P = 32
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    _COLS = ("cust", "cnull", "okey", "onull", "vfill", "vclass")
+
+    def _empty() -> pa.Table:
+        return pa.table({"cust": pa.array([], pa.int64()),
+                         "cnull": pa.array([], pa.int8()),
+                         "okey": pa.array([], pa.int64()),
+                         "onull": pa.array([], pa.int8()),
+                         "vfill": pa.array([], pa.float64()),
+                         "vclass": pa.array([], pa.int8()),
+                         "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _empty()
+        cust = t.column("o_custkey")
+        okey = t.column("o_orderkey")
+        v = t.column("o_totalprice")
+        vnull = pc.is_null(v)
+        vnan = pc.fill_null(pc.is_nan(v), False)
+        vclass = pc.add(
+            pc.multiply(pc.cast(vnull, pa.int8()), pa.scalar(2, pa.int8())),
+            pc.cast(vnan, pa.int8()))
+        return pa.table({
+            "cust": pc.fill_null(cust, 0),
+            "cnull": pc.cast(pc.is_null(cust), pa.int8()),
+            "okey": pc.fill_null(okey, 0),
+            "onull": pc.cast(pc.is_null(okey), pa.int8()),
+            # NaN/NULL rows carry a 0.0 filler so lexsort never sees NaN
+            "vfill": pc.if_else(pc.equal(vclass, 0),
+                                pc.fill_null(v, 0.0), 0.0),
+            "vclass": vclass,
+            "bucket": pc.fill_null(
+                pc.bit_wise_and(cust, P - 1), 0)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame()
+        t = pa.concat_tables(live)
+        a = {c: t.column(c).to_numpy(zero_copy_only=False) for c in _COLS}
+        order = np.lexsort((a["vfill"], a["vclass"], a["cust"], a["cnull"]))
+        cust = a["cust"][order]; cnull = a["cnull"][order]
+        vf = a["vfill"][order]; vc = a["vclass"][order]
+        n = len(order)
+        new_grp = np.ones(n, bool)
+        new_grp[1:] = (cust[1:] != cust[:-1]) | (cnull[1:] != cnull[:-1])
+        new_tie = new_grp | np.concatenate(
+            ([True], (vf[1:] != vf[:-1]) | (vc[1:] != vc[:-1])))
+        gid = np.cumsum(new_grp) - 1
+        gfirst = np.flatnonzero(new_grp)[gid]
+        gcount = np.bincount(gid)[gid].astype(np.float64)
+        tid = np.cumsum(new_tie) - 1
+        tfirst = np.flatnonzero(new_tie)[tid]
+        tcount = np.bincount(tid)[tid]
+        rmin = (tfirst - gfirst + 1).astype(np.float64)
+        rmax = (tfirst + tcount - 1 - gfirst + 1).astype(np.float64)
+        with np.errstate(invalid="ignore"):
+            pr = np.where(gcount > 1.0, (rmin - 1.0) / (gcount - 1.0), 0.0)
+        cd = rmax / gcount
+        return pd.DataFrame({
+            "cust": cust, "cnull": cnull,
+            "okey": a["okey"][order], "onull": a["onull"][order],
+            "pr": pr, "cd": cd})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    cols = {"o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "pr": pd.Series(dtype="float64"),
+            "cd": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+
+    def _nullable(vals: np.ndarray, isnull: np.ndarray) -> pd.Series:
+        # q43/q49 dtype contract: float64+NaN only when NULLs exist
+        if isnull.any():
+            out = vals.astype(np.float64)
+            out[isnull.astype(bool)] = np.nan
+            return pd.Series(out)
+        return pd.Series(vals)
+
+    out = pd.DataFrame({
+        "o_orderkey": _nullable(df["okey"].to_numpy(np.int64),
+                                df["onull"].to_numpy()),
+        "o_custkey": _nullable(df["cust"].to_numpy(np.int64),
+                               df["cnull"].to_numpy()),
+        "pr": df["pr"].to_numpy(), "cd": df["cd"].to_numpy()})
+    return out.sort_values(["o_custkey", "o_orderkey", "pr"],
+                           na_position="last").reset_index(drop=True)
+
+
+def q_brand_price_means(sf_dir: str) -> pd.DataFrame:
+    """Geometric + harmonic mean retail price per brand — the
+    log-domain / reciprocal-domain members of the mean family. One
+    streaming pass: per-batch (brand, n, Σln x, Σ1/x) partials
+    (factorize_strings keys), tiny driver fold, closed forms
+    exp(Σln/n) and n/Σ(1/x). Both sides restrict to x > 0 in the WHERE
+    (DuckDB ln() RAISES on zero and negative input — probed) which
+    also drops NULL/NaN/-inf; +inf survives the filter on both sides
+    (ln(+inf)=+inf → gm=+inf, 1/+inf=0). Results rounded half-away at
+    6: the distributed Σln merge differs from DuckDB's sequential
+    accumulator in the last ulp (continuous values, q133 contract)."""
+    from .pairs import factorize_strings
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"brand": pa.array([], pa.string()),
+                          "n": pa.array([], pa.float64()),
+                          "sln": pa.array([], pa.float64()),
+                          "srec": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "p_brand" not in t.schema.names:
+            return empty
+        x0 = t.column("p_retailprice")
+        keep = pc.fill_null(pc.and_kleene(pc.greater(x0, 0.0),
+                                          pc.is_finite(x0)), False)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return empty
+        df = pd.DataFrame({
+            "brand": t.column("p_brand").to_pandas(),
+            "x": t.column("p_retailprice").to_numpy(zero_copy_only=False)})
+        codes, uniq = factorize_strings(df["brand"], use_na_sentinel=False)
+        x = df["x"].to_numpy(np.float64)
+        nb = len(uniq)
+        cnt = np.bincount(codes, minlength=nb).astype(np.float64)
+        sln = np.bincount(codes, weights=np.log(x), minlength=nb)
+        srec = np.bincount(codes, weights=1.0 / x, minlength=nb)
+        return pa.table({"brand": pa.Array.from_pandas(
+                             pd.Series(uniq), type=pa.string()),
+                         "n": pa.array(cnt), "sln": pa.array(sln),
+                         "srec": pa.array(srec)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"p_brand": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "gm": pd.Series(dtype="float64"),
+            "hm": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    pcodes, puniq = factorize_strings(parts["brand"], use_na_sentinel=False)
+    nb = len(puniq)
+    n = np.bincount(pcodes, weights=parts["n"].to_numpy(), minlength=nb)
+    sln = np.bincount(pcodes, weights=parts["sln"].to_numpy(),
+                      minlength=nb)
+    srec = np.bincount(pcodes, weights=parts["srec"].to_numpy(),
+                       minlength=nb)
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        gm = np.exp(sln / n)
+        hm = n / srec
+    out = pd.DataFrame({"p_brand": pd.Series(puniq, dtype=object),
+                        "n": n.astype(np.int64),
+                        "gm": round_away(gm, 6),
+                        "hm": round_away(hm, 6)})
+    out["p_brand"] = out["p_brand"].astype(object).where(
+        out["p_brand"].notna(), None)
+    return out.sort_values("p_brand", na_position="last") \
+        .reset_index(drop=True)
+
+
+def q_bitwise_event_ids(sf_dir: str) -> pd.DataFrame:
+    """Per-type ``bit_and``/``bit_or``/``bit_xor`` over event ids —
+    exact-integer aggregates whose two's-complement numpy kernels are
+    bit-identical to DuckDB's (probed on negative ids). All three are
+    associative + commutative, so per-batch partials fold driver-side
+    in any order with zero shuffle. NULL ids are ignored but an
+    all-NULL type still emits its row with NULL aggregates; the
+    oracle CASTs the BIGINT results to DOUBLE so the dtype stops
+    depending on whether such a group exists (q103 contract), and the
+    int64→float64 rounding is the same IEEE conversion on both
+    sides."""
+    from .pairs import factorize_strings
+
+    ds = _read(sf_dir, "events", columns=["event_type", "event_id"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "ba": pa.array([], pa.int64()),
+                          "bo": pa.array([], pa.int64()),
+                          "bx": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return empty
+        df = pd.DataFrame({
+            "event_type": t.column("event_type").to_pandas(),
+            "ok": pc.is_valid(t.column("event_id"))
+                    .to_numpy(zero_copy_only=False),
+            # filler 0 rows are masked by ok before any fold below
+            "i": pc.fill_null(t.column("event_id"), 0)
+                   .to_numpy(zero_copy_only=False)})
+        codes, uniq = factorize_strings(df["event_type"],
+                                        use_na_sentinel=False)
+
+        def fold(g: pd.DataFrame) -> pd.Series:
+            x = g.loc[g["ok"], "i"].to_numpy(np.int64)
+            if not len(x):
+                return pd.Series({"n": 0, "ba": 0, "bo": 0, "bx": 0})
+            return pd.Series({"n": len(x),
+                              "ba": int(np.bitwise_and.reduce(x)),
+                              "bo": int(np.bitwise_or.reduce(x)),
+                              "bx": int(np.bitwise_xor.reduce(x))})
+
+        g = (df.assign(_c=codes).groupby("_c")
+             .apply(fold, include_groups=False).reset_index())
+        g["event_type"] = uniq.to_numpy()[g["_c"].to_numpy()]
+        return pa.table({"event_type": pa.Array.from_pandas(
+                             g["event_type"], type=pa.string()),
+                         **{c: pa.array(g[c].to_numpy(np.int64))
+                            for c in ("n", "ba", "bo", "bx")}})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "ba": pd.Series(dtype="float64"),
+            "bo": pd.Series(dtype="float64"),
+            "bx": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+
+    def fold2(g: pd.DataFrame) -> pd.Series:
+        live = g[g["n"] > 0]
+        if live.empty:
+            return pd.Series({"n": 0, "ba": np.nan, "bo": np.nan,
+                              "bx": np.nan})
+        return pd.Series({
+            "n": int(live["n"].sum()),
+            "ba": float(np.bitwise_and.reduce(
+                live["ba"].to_numpy(np.int64))),
+            "bo": float(np.bitwise_or.reduce(
+                live["bo"].to_numpy(np.int64))),
+            "bx": float(np.bitwise_xor.reduce(
+                live["bx"].to_numpy(np.int64)))})
+
+    pcodes, puniq = factorize_strings(parts["event_type"],
+                                      use_na_sentinel=False)
+    m = (parts.assign(_c=pcodes).groupby("_c")
+         .apply(fold2, include_groups=False).reset_index())
+    m["event_type"] = puniq.to_numpy()[m["_c"].to_numpy()]
+    out = pd.DataFrame({"event_type": m["event_type"],
+                        "n": m["n"].to_numpy(np.int64),
+                        "ba": m["ba"].to_numpy(np.float64),
+                        "bo": m["bo"].to_numpy(np.float64),
+                        "bx": m["bx"].to_numpy(np.float64)})
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    return out.sort_values("event_type", na_position="last") \
+        .reset_index(drop=True)
