@@ -285,6 +285,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q148_order_percentiles": analytics.q_order_percentiles,
         "q149_brand_price_means": analytics.q_brand_price_means,
         "q150_bitwise_event_ids": analytics.q_bitwise_event_ids,
+        "q151_orderkey_gaps": analytics.q_orderkey_gaps,
+        "q152_user_drawdown": analytics.q_user_drawdown,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1801,6 +1803,37 @@ def oracle_sql() -> dict[str, str]:
                    bit_or(event_id)::DOUBLE AS bo,
                    bit_xor(event_id)::DOUBLE AS bx
             FROM events GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q151_orderkey_gaps": """
+            WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                       WHERE o_orderkey IS NOT NULL),
+            p AS (SELECT k, lead(k) OVER (ORDER BY k) AS nk FROM k)
+            SELECT (k + 1)::BIGINT AS gap_start,
+                   (nk - 1)::BIGINT AS gap_end,
+                   (nk - k - 1)::BIGINT AS n_missing
+            FROM p WHERE nk - k > 1 ORDER BY 1
+        """,
+        "q152_user_drawdown": """
+            -- integer cents (q95 exact-int contract); non-finite
+            -- WHERE-filtered on both sides (the cast raises on them);
+            -- default RANGE frame makes (ts, event_id) ties peers
+            WITH b AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS cents
+                       FROM events
+                       WHERE value IS NOT NULL AND isfinite(value)),
+            r AS (SELECT user_id, ts, event_id, cents,
+                         sum(cents) OVER w AS cum
+                  FROM b
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id)),
+            m AS (SELECT user_id, cum,
+                         max(cum) OVER w AS runmax
+                  FROM r
+                  WINDOW w AS (PARTITION BY user_id
+                               ORDER BY ts, event_id))
+            SELECT user_id, count(*)::BIGINT AS n,
+                   max(runmax - cum) / 100.0 AS max_drawdown
+            FROM m GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -883,3 +883,63 @@ def test_bitwise_event_ids_negatives_and_all_null(ray_session, tmp_path):
         [2, 3.0, -5.0, -8.0]
     assert out.loc["y", "n"] == 0
     assert np.isnan(out.loc["y", "ba"])
+
+
+def test_orderkey_gaps_cross_bucket_stitching(ray_session, tmp_path):
+    """q151: widely-spaced keys make every gap span range-bucket
+    boundaries — the driver's envelope stitching must find them all,
+    and duplicates/NULL keys are ignored."""
+    from web_scrapper_ray.pipelines.analytics import q_orderkey_gaps
+
+    keys = [0, 1, 5, 1000, 1001, 90000, 90001, 90005, None, 5, 1000]
+    t = pa.table({"o_orderkey": pa.array(keys, pa.int64())})
+    pq.write_table(t, str(tmp_path / "orders.parquet"))
+    out = q_orderkey_gaps(str(tmp_path))
+    assert out[["gap_start", "gap_end", "n_missing"]].values.tolist() == [
+        [2, 4, 3], [6, 999, 994], [1002, 89999, 88998],
+        [90002, 90004, 3]]
+
+
+def test_user_drawdown_ties_and_negatives(ray_session, tmp_path):
+    """q152 vs DuckDB directly: tied (ts, event_id) rows are RANGE
+    peers (shared cum), negatives drive real drawdowns, NULL user is
+    its own partition, NaN/inf rows are filtered."""
+    from web_scrapper_ray.pipelines.analytics import q_user_drawdown
+
+    T0 = pd.Timestamp("2024-01-01").value // 1000
+    rows = [
+        # user 1: +5, -3, +1, -4 → cum 5,2,3,-1; runmax 5,5,5,5 → dd 6
+        (1, T0 + 1, 1, 5.0), (1, T0 + 2, 2, -3.0),
+        (1, T0 + 3, 3, 1.0), (1, T0 + 4, 4, -4.0),
+        # user 2: two rows TIED on (ts, id): peers share cum
+        (2, T0, 7, 10.0), (2, T0, 7, -6.0), (2, T0 + 1, 8, -1.0),
+        # NULL user partition + a filtered non-finite row
+        (None, T0, 9, 3.0), (None, T0 + 1, 10, -2.0),
+        (1, T0 + 5, 5, float("inf")),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array([r[2] for r in rows], pa.int64()),
+        "value": pa.array([r[3] for r in rows], pa.float64())})
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_user_drawdown(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        WITH b AS (SELECT user_id, ts, event_id,
+                          CAST(round(value * 100) AS BIGINT) AS cents
+                   FROM '{tmp_path}/events.parquet'
+                   WHERE value IS NOT NULL AND isfinite(value)),
+        r AS (SELECT user_id, ts, event_id, cents,
+                     sum(cents) OVER w AS cum FROM b
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        m AS (SELECT user_id, cum, max(cum) OVER w AS runmax FROM r
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        SELECT user_id, count(*)::BIGINT AS n,
+               max(runmax - cum) / 100.0 AS max_drawdown
+        FROM m GROUP BY 1 ORDER BY 1 NULLS LAST""").df()
+    assert out["n"].tolist() == oracle["n"].tolist()
+    assert out["max_drawdown"].tolist() == oracle["max_drawdown"].tolist()
+    got = out.set_index("user_id")
+    assert got.loc[1.0, "max_drawdown"] == 6.0
+    # tied rows share cum=4 (10−6 summed as peers) → dd = 0 then 1
+    assert got.loc[2.0, "max_drawdown"] == 1.0

@@ -2445,3 +2445,231 @@ def q_bitwise_event_ids(sf_dir: str) -> pd.DataFrame:
         out["event_type"].notna(), None)
     return out.sort_values("event_type", na_position="last") \
         .reset_index(drop=True)
+
+
+def q_orderkey_gaps(sf_dir: str) -> pd.DataFrame:
+    """Missing o_orderkey ranges (sequence-gap audit — the
+    ``lead() OVER (ORDER BY k)`` adjacency query) WITHOUT a global
+    sort: keys are RANGE-bucketed off the parquet column statistics
+    (q60's contiguous-bucket layout; distributed min/max fallback),
+    each bucket emits its internal gaps from one vectorized
+    np.diff over its sorted distinct keys, and the driver stitches
+    only the P (lo, hi) bucket envelopes — cross-bucket gaps fall out
+    of consecutive envelopes because range buckets tile the key space
+    in order (hash buckets could not do this). Assumes the id span
+    fits int64 arithmetic (span · P < 2^63, the q60 density
+    contract)."""
+    import pyarrow.parquet as pq_
+    import os as _os
+
+    P = 32
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    path = _os.path.join(sf_dir, "orders.parquet")
+    cols = {"gap_start": pd.Series(dtype="int64"),
+            "gap_end": pd.Series(dtype="int64"),
+            "n_missing": pd.Series(dtype="int64")}
+    try:
+        md = pq_.read_metadata(path)
+        idx = next(i for i in range(md.row_group(0).num_columns)
+                   if md.row_group(0).column(i).path_in_schema
+                   == "o_orderkey")
+        stats = [md.row_group(g).column(idx).statistics
+                 for g in range(md.num_row_groups)]
+        assert stats and all(s is not None and s.has_min_max
+                             for s in stats)
+        kmin = min(s.min for s in stats)
+        kmax = max(s.max for s in stats)
+    except Exception:
+        # writer omitted stats — one column-pruned distributed pass
+        kmin = _read(sf_dir, "orders",
+                     columns=["o_orderkey"]).min("o_orderkey")
+        kmax = _read(sf_dir, "orders",
+                     columns=["o_orderkey"]).max("o_orderkey")
+    if kmin is None or kmax is None:
+        return pd.DataFrame(cols)
+    span = int(kmax) - int(kmin) + 1
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return pa.table({"k": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
+        k = pc.unique(t.column("o_orderkey").combine_chunks())
+        k = k.filter(pc.is_valid(k))
+        kn = k.to_numpy(zero_copy_only=False)
+        b = (kn - kmin) * P // span
+        return pa.table({"k": k, "bucket": pa.array(b, pa.int64())})
+
+    def merge(*tabs):
+        live = [x.column("k") for x in tabs if x.num_rows]
+        if not live:
+            return None
+        u = np.unique(pa.concat_arrays(
+            [c.combine_chunks() for c in live]).to_numpy(
+                zero_copy_only=False))
+        d = np.diff(u)
+        i = np.flatnonzero(d > 1)
+        gaps = pd.DataFrame({"gap_start": u[i] + 1,
+                             "gap_end": u[i + 1] - 1,
+                             "n_missing": d[i] - 1})
+        return gaps, int(u[0]), int(u[-1])
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    outs = [o for o in hash_shuffle(tagged, split, merge, P=P)
+            if o is not None]
+    if not outs:
+        return pd.DataFrame(cols)
+    frames = [o[0] for o in outs]
+    # range buckets tile the keyspace in bucket order: stitch the
+    # inter-bucket gaps from consecutive (lo, hi) envelopes
+    for (_, _, hi), (_, lo, _) in zip(outs, outs[1:]):
+        if lo > hi + 1:
+            frames.append(pd.DataFrame({"gap_start": [hi + 1],
+                                        "gap_end": [lo - 1],
+                                        "n_missing": [lo - hi - 1]}))
+    frames = [f for f in frames if len(f)]
+    if not frames:  # dense keyspace: zero gaps
+        return pd.DataFrame(cols)
+    out = pd.concat(frames, ignore_index=True)
+    return (out.astype(np.int64).sort_values("gap_start")
+            .reset_index(drop=True))
+
+
+def q_user_drawdown(sf_dir: str) -> pd.DataFrame:
+    """Per-user maximum drawdown of cumulative event value — the
+    nested-window composition max(runmax − cum) where cum is a
+    running sum and runmax its running max, both over
+    (PARTITION BY user_id ORDER BY ts, event_id). One user-keyed
+    exchange, then fully vectorized segmented scans per bucket.
+    Exactness contracts: values become integer CENTS on both sides
+    (CAST(round(value·100) AS BIGINT) — q95's exact-int trick; a
+    float running sum would drift from DuckDB's sequential
+    accumulator), non-finite values are WHERE-filtered on both sides
+    (the cast raises on NaN/±inf), and the window's default RANGE
+    frame makes (ts, event_id) TIES peers — every tied row gets the
+    whole peer-group's sum, which the engine reproduces with
+    tie-group cumsums, so duplicate timestamps stay deterministic.
+    NULL user_id is its own partition; NULL ts/event_id order last
+    (probed window NULLS LAST contract)."""
+    P = 32
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "value"])
+
+    def _empty() -> pa.Table:
+        return pa.table({"user": pa.array([], pa.int64()),
+                         "unull": pa.array([], pa.int8()),
+                         "ts": pa.array([], pa.int64()),
+                         "tnull": pa.array([], pa.int8()),
+                         "eid": pa.array([], pa.int64()),
+                         "enull": pa.array([], pa.int8()),
+                         "cents": pa.array([], pa.int64()),
+                         "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _empty()
+        v = t.column("value")
+        keep = pc.fill_null(pc.is_finite(v), False)
+        t = t.filter(keep)
+        if t.num_rows == 0:
+            return _empty()
+        cents = pc.cast(pc.round(
+            pc.multiply(t.column("value"), 100.0),
+            round_mode="half_towards_infinity"), pa.int64())
+        u, ts, e = t.column("user_id"), t.column("ts"), t.column("event_id")
+        return pa.table({
+            "user": pc.fill_null(u, 0),
+            "unull": pc.cast(pc.is_null(u), pa.int8()),
+            "ts": pc.fill_null(pc.cast(ts, pa.int64()), 0),
+            "tnull": pc.cast(pc.is_null(ts), pa.int8()),
+            "eid": pc.fill_null(e, 0),
+            "enull": pc.cast(pc.is_null(e), pa.int8()),
+            "cents": cents,
+            "bucket": pc.fill_null(pc.bit_wise_and(u, P - 1), 0)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame()
+        t = pa.concat_tables(live)
+        cols = {c: t.column(c).to_numpy(zero_copy_only=False)
+                for c in ("user", "unull", "ts", "tnull", "eid",
+                          "enull", "cents")}
+        # NULLS LAST on both window keys: the null flag is the major
+        # component of each composite key
+        order = np.lexsort((cols["eid"], cols["enull"], cols["ts"],
+                            cols["tnull"], cols["user"], cols["unull"]))
+        u = cols["user"][order]; un = cols["unull"][order]
+        ts = cols["ts"][order]; tn = cols["tnull"][order]
+        e = cols["eid"][order]; en = cols["enull"][order]
+        c = cols["cents"][order]
+        n = len(order)
+        new_grp = np.ones(n, bool)
+        new_grp[1:] = (u[1:] != u[:-1]) | (un[1:] != un[:-1])
+        new_tie = new_grp | np.concatenate(
+            ([True], (ts[1:] != ts[:-1]) | (tn[1:] != tn[:-1])
+             | (e[1:] != e[:-1]) | (en[1:] != en[:-1])))
+        gid = np.cumsum(new_grp) - 1
+        tid = np.cumsum(new_tie) - 1
+        # RANGE-frame ties: each row's cum covers its WHOLE peer group
+        # (exact: cents magnitudes stay far below 2^53, so the float64
+        # bincount weights round-trip losslessly)
+        tie_sum = np.bincount(
+            tid, weights=c.astype(np.float64)).astype(np.int64)
+        # per-tie-group user-group id = gid at the tie group's first row
+        tie_gid = gid[np.flatnonzero(new_tie)]
+        # segmented cumsum of tie sums within each user group: subtract
+        # each group's incoming global prefix
+        cum_tie = np.cumsum(tie_sum)
+        grp_start = np.concatenate(([True], tie_gid[1:] != tie_gid[:-1]))
+        starts = np.flatnonzero(grp_start)
+        base_per_grp = np.concatenate(
+            ([0], cum_tie[starts[1:] - 1])).astype(np.int64)
+        cum_seg = cum_tie - base_per_grp[tie_gid]
+        # segmented running max of cum_seg within each group
+        runmax = _segmented_running_max(cum_seg, tie_gid)
+        dd_tie = runmax - cum_seg
+        # fold per group: max drawdown + row count
+        ng = int(gid[-1]) + 1
+        dd = np.full(ng, 0, np.int64)
+        np.maximum.at(dd, tie_gid, dd_tie)
+        cnt = np.bincount(gid, minlength=ng)
+        gfirstrow = np.flatnonzero(new_grp)
+        return pd.DataFrame({
+            "user": u[gfirstrow], "unull": un[gfirstrow],
+            "n": cnt.astype(np.int64),
+            "dd": dd.astype(np.float64) / 100.0})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    cols = {"user_id": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "max_drawdown": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    isnull = df["unull"].to_numpy().astype(bool)
+    if isnull.any():
+        uid = df["user"].to_numpy().astype(np.float64)
+        uid[isnull] = np.nan
+    else:
+        uid = df["user"].to_numpy(np.int64)
+    out = pd.DataFrame({"user_id": uid,
+                        "n": df["n"].to_numpy(np.int64),
+                        "max_drawdown": df["dd"].to_numpy()})
+    return out.sort_values("user_id", na_position="last") \
+        .reset_index(drop=True)
+
+
+def _segmented_running_max(x: np.ndarray, seg: np.ndarray) -> np.ndarray:
+    """Running max of ``x`` restarting at each change of ``seg``
+    (sorted segment ids), vectorized: offset each segment by a huge
+    stride so a global maximum.accumulate cannot leak across
+    boundaries, then remove the stride."""
+    if not len(x):
+        return x
+    # stride must dominate the value range; cents magnitudes are far
+    # below 2^40, segments below 2^20
+    stride = np.int64(1) << np.int64(42)
+    shifted = x + seg * stride
+    return np.maximum.accumulate(shifted) - seg * stride
