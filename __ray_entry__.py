@@ -287,6 +287,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q150_bitwise_event_ids": analytics.q_bitwise_event_ids,
         "q151_orderkey_gaps": analytics.q_orderkey_gaps,
         "q152_user_drawdown": analytics.q_user_drawdown,
+        "q153_doc_sentences": textops.q_doc_sentences,
+        "q154_price_outlier_fences": analytics.q_price_outlier_fences,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1834,6 +1836,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*)::BIGINT AS n,
                    max(runmax - cum) / 100.0 AS max_drawdown
             FROM m GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q153_doc_sentences": """
+            -- fixed-separator split parity (probed): '' -> one ''
+            -- row, trailing sep -> trailing '', NULL text -> 0 rows
+            WITH s AS (SELECT doc_id,
+                              generate_subscripts(
+                                  string_split(text, '. '), 1)::BIGINT
+                                  AS pos,
+                              unnest(string_split(text, '. '))
+                                  AS sentence
+                       FROM documents)
+            SELECT doc_id, pos, sentence,
+                   length(sentence)::BIGINT AS n_chars
+            FROM s ORDER BY doc_id, pos
+        """,
+        "q154_price_outlier_fences": """
+            WITH v AS (SELECT p_brand, p_retailprice AS x FROM part
+                       WHERE p_retailprice IS NOT NULL
+                         AND NOT isnan(p_retailprice)),
+            q AS (SELECT p_brand, count(*)::BIGINT AS n,
+                         quantile_cont(x, 0.25) AS q1,
+                         quantile_cont(x, 0.75) AS q3
+                  FROM v GROUP BY 1),
+            j AS (SELECT v.p_brand AS p_brand, v.x, q.n, q.q1, q.q3
+                  FROM v JOIN q
+                       ON v.p_brand IS NOT DISTINCT FROM q.p_brand)
+            SELECT p_brand, max(n) AS n, max(q1) AS q1, max(q3) AS q3,
+                   sum(CASE WHEN x < q1 - 1.5 * (q3 - q1)
+                             OR x > q3 + 1.5 * (q3 - q1)
+                            THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+            FROM j GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -943,3 +943,55 @@ def test_user_drawdown_ties_and_negatives(ray_session, tmp_path):
     assert got.loc[1.0, "max_drawdown"] == 6.0
     # tied rows share cum=4 (10−6 summed as peers) → dd = 0 then 1
     assert got.loc[2.0, "max_drawdown"] == 1.0
+
+
+def test_doc_sentences_split_parity(ray_session, tmp_path):
+    """q153: probed DuckDB string_split edges — '' yields one ''
+    sentence, a trailing separator yields a trailing '' element,
+    NULL text yields zero rows, n_chars counts codepoints."""
+    from web_scrapper_ray.pipelines.textops import q_doc_sentences
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": pa.array(["a. bé. c", "", None, "x. "],
+                                   pa.string())})
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = q_doc_sentences(str(tmp_path))
+    assert out["doc_id"].tolist() == [1, 1, 1, 2, 4, 4]
+    assert out["pos"].tolist() == [1, 2, 3, 1, 1, 2]
+    assert out["sentence"].tolist() == ["a", "bé", "c", "", "x", ""]
+    assert out["n_chars"].tolist() == [1, 2, 1, 0, 1, 0]
+
+
+def test_price_outlier_fences_matches_duckdb(ray_session, tmp_path):
+    """q154: planted outliers beyond the 1.5·IQR fences are counted;
+    NaN prices drop, NULL brand keeps its group."""
+    from web_scrapper_ray.pipelines.analytics import q_price_outlier_fences
+
+    vals = list(np.linspace(10.0, 20.0, 20)) + [100.0, -50.0, np.nan]
+    brands = ["B1"] * 22 + ["B1"]
+    t = pa.table({"p_brand": pa.array(brands + [None, None]),
+                  "p_retailprice": pa.array(vals + [5.0, 6.0],
+                                            pa.float64())})
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+    out = q_price_outlier_fences(str(tmp_path))
+    oracle = duckdb.sql(f"""
+        WITH v AS (SELECT p_brand, p_retailprice AS x
+                   FROM '{tmp_path}/part.parquet'
+                   WHERE p_retailprice IS NOT NULL
+                     AND NOT isnan(p_retailprice)),
+        q AS (SELECT p_brand, count(*)::BIGINT AS n,
+                     quantile_cont(x, 0.25) AS q1,
+                     quantile_cont(x, 0.75) AS q3
+              FROM v GROUP BY 1),
+        j AS (SELECT v.p_brand AS p_brand, v.x, q.n, q.q1, q.q3
+              FROM v JOIN q ON v.p_brand IS NOT DISTINCT FROM q.p_brand)
+        SELECT p_brand, max(n) AS n, max(q1) AS q1, max(q3) AS q3,
+               sum(CASE WHEN x < q1 - 1.5 * (q3 - q1)
+                         OR x > q3 + 1.5 * (q3 - q1)
+                        THEN 1 ELSE 0 END)::BIGINT AS n_outliers
+        FROM j GROUP BY 1 ORDER BY 1 NULLS LAST""").df()
+    assert out["n"].tolist() == oracle["n"].tolist()
+    assert out["q1"].tolist() == oracle["q1"].tolist()
+    assert out["q3"].tolist() == oracle["q3"].tolist()
+    assert out["n_outliers"].tolist() == oracle["n_outliers"].tolist()
+    assert out.set_index("p_brand").loc["B1", "n_outliers"] == 2

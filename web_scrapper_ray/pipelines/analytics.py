@@ -2673,3 +2673,60 @@ def _segmented_running_max(x: np.ndarray, seg: np.ndarray) -> np.ndarray:
     stride = np.int64(1) << np.int64(42)
     shifted = x + seg * stride
     return np.maximum.accumulate(shifted) - seg * stride
+
+
+def q_price_outlier_fences(sf_dir: str) -> pd.DataFrame:
+    """Tukey IQR outlier fences per brand: Q1/Q3 (quantile_cont), the
+    1.5·IQR fences, and how many prices fall outside them. q124's
+    exact-order-statistics shape — one groupby shuffle carrying
+    (brand, price), per-group sort + interpolation in DuckDB's own op
+    order, fence arithmetic written identically on both sides so the
+    comparisons are bit-exact. NULL/NaN prices are excluded on both
+    sides (q57 contract); ±inf remain orderable extremes, and when
+    BOTH quantiles are the same infinity the IQR is inf−inf = NaN —
+    DuckDB's comparison total order then calls x < NaN TRUE and
+    x > NaN FALSE (probed), which the engine special-cases."""
+    from .relational import (_null_safe_keys, _quantile_cont,
+                             _restore_null_keys)
+
+    ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
+
+    def fences(df: pd.DataFrame) -> pd.DataFrame:
+        v = np.sort(df["p_retailprice"].to_numpy(np.float64))
+        if len(v) == 0:
+            return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "q1": pd.Series(dtype="float64"),
+                                 "q3": pd.Series(dtype="float64"),
+                                 "n_outliers": pd.Series(dtype="int64")})
+        q1 = _quantile_cont(v, 0.25)
+        q3 = _quantile_cont(v, 0.75)
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+        lo_m = np.ones(len(v), bool) if np.isnan(lo) else (v < lo)
+        hi_m = np.zeros(len(v), bool) if np.isnan(hi) else (v > hi)
+        return pd.DataFrame({
+            "p_brand": [df["p_brand"].iloc[0]],
+            "n": [np.int64(len(v))],
+            "q1": [q1], "q3": [q3],
+            "n_outliers": [np.int64(int((lo_m | hi_m).sum()))]})
+
+    def drop_bad(t: pa.Table) -> pa.Table:
+        # q57-family contract: drop NULL/NaN prices, keep ±inf;
+        # fill_null because is_nan(NULL) is NULL, not False
+        if t.num_rows == 0 or "p_retailprice" not in t.schema.names:
+            return pa.table({"p_brand": pa.array([], pa.string()),
+                             "p_retailprice": pa.array([], pa.float64())})
+        v = t.column("p_retailprice")
+        return t.filter(pc.fill_null(pc.invert(pc.is_nan(v)), False))
+
+    out = (_null_safe_keys(ds.map_batches(drop_bad,
+                                          batch_format="pyarrow"),
+                           ["p_brand"])
+           .groupby("p_brand")
+           .map_groups(fences, batch_format="pandas").to_pandas())
+    out = _restore_null_keys(out, ["p_brand"])
+    out["n"] = out["n"].astype("int64")
+    out["n_outliers"] = out["n_outliers"].astype("int64")
+    return out.sort_values("p_brand",
+                           na_position="last").reset_index(drop=True)

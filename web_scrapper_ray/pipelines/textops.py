@@ -1961,3 +1961,59 @@ def q_source_entropy(sf_dir: str) -> pd.DataFrame:
         "source": [None if s == _NULL_KEY else s for s in src],
         "entropy": ent})
     return out.sort_values("source", na_position="last").reset_index(drop=True)
+
+
+def q_doc_sentences(sf_dir: str, sep: str = ". ") -> pd.DataFrame:
+    """LATERAL-unnest twin: split every document into ordinal
+    sentences (SQL ``unnest(string_split(text, sep))`` +
+    ``generate_subscripts``) as a pure per-batch explode — repeat/
+    arange like q54's chunker, zero shuffle. Split parity probed in
+    DuckDB: fixed (non-regex) separator, '' yields ONE empty-string
+    row, a trailing separator yields a trailing '' element, NULL text
+    yields ZERO rows, and length() counts codepoints (= pandas
+    str.len)."""
+    import pyarrow as pa
+    import numpy as np
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "sentence": pa.array([], pa.string()),
+                          "n_chars": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return empty
+        df = t.to_pandas()
+        ok = df["text"].notna()
+        df = df[ok]
+        if df.empty:
+            return empty
+        parts = df["text"].str.split(sep, regex=False)
+        counts = parts.str.len().to_numpy(np.int64)
+        # object dtype keeps a NULL doc_id as None through the
+        # repeat (float64 NaN would corrupt big ids / fail the cast)
+        ids = np.repeat(df["doc_id"].to_numpy(dtype=object), counts)
+        # per-doc 1-based ordinals: global arange minus each doc's start
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        pos = np.arange(ends[-1], dtype=np.int64) - np.repeat(
+            starts, counts) + 1
+        flat = np.concatenate(parts.to_numpy()) if len(parts) else \
+            np.array([], dtype=object)
+        sent = pd.Series(flat, dtype=object)
+        return pa.table({
+            "doc_id": pa.Array.from_pandas(
+                pd.Series(ids, dtype=object), type=pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+            "sentence": pa.Array.from_pandas(sent, type=pa.string()),
+            "n_chars": pa.array(sent.str.len().to_numpy(np.int64),
+                                pa.int64())})
+
+    out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "pos": pd.Series(dtype="int64"),
+                             "sentence": pd.Series(dtype="object"),
+                             "n_chars": pd.Series(dtype="int64")})
+    return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
