@@ -289,6 +289,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q152_user_drawdown": analytics.q_user_drawdown,
         "q153_doc_sentences": textops.q_doc_sentences,
         "q154_price_outlier_fences": analytics.q_price_outlier_fences,
+        "q155_returned_item_revenue": analytics.q_returned_item_revenue,
+        "q156_large_volume_orders": analytics.q_large_volume_orders,
+        "q157_late_order_priorities": analytics.q_late_order_priorities,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1867,6 +1870,45 @@ def oracle_sql() -> dict[str, str]:
                              OR x > q3 + 1.5 * (q3 - q1)
                             THEN 1 ELSE 0 END)::BIGINT AS n_outliers
             FROM j GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q155_returned_item_revenue": """
+            SELECT c_custkey, c_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   c_acctbal, n_name
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY c_custkey, revenue
+        """,
+        "q156_large_volume_orders": """
+            SELECT c_name, c_custkey, o_orderkey,
+                   CAST(epoch_us(o_orderdate) AS DOUBLE) AS odate_us,
+                   o_totalprice, sum(l_quantity) AS sum_qty
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE o_orderkey IN (
+                SELECT l_orderkey FROM lineitem
+                GROUP BY 1 HAVING sum(l_quantity) > 300)
+            GROUP BY 1, 2, 3, 4, 5
+            ORDER BY c_custkey, o_orderkey
+        """,
+        "q157_late_order_priorities": """
+            SELECT o_orderpriority, count(*)::BIGINT AS n_late_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate >
+                                o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

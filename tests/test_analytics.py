@@ -995,3 +995,176 @@ def test_price_outlier_fences_matches_duckdb(ray_session, tmp_path):
     assert out["q3"].tolist() == oracle["q3"].tolist()
     assert out["n_outliers"].tolist() == oracle["n_outliers"].tolist()
     assert out.set_index("p_brand").loc["B1", "n_outliers"] == 2
+
+
+def _write(tmp_path, name, table):
+    pq.write_table(table, str(tmp_path / f"{name}.parquet"))
+
+
+def test_returned_item_revenue_fanout_and_null_sum(ray_session, tmp_path):
+    """q155: duplicate customer rows double their groups' revenue,
+    two nationkeys sharing one n_name merge into one group, an
+    all-NULL-revenue group keeps SQL's NULL sum, and out-of-window /
+    non-'R' lineitems drop."""
+    from web_scrapper_ray.pipelines.analytics import q_returned_item_revenue
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 1, 2, 3, 4], pa.int64()),
+        "c_name": pa.array(["ann", "ann", "bob", None, "eve"]),
+        "c_acctbal": pa.array([10.0, 10.0, None, 3.0, 4.0], pa.float64()),
+        "c_nationkey": pa.array([0, 0, 1, 2, None], pa.int32())}))
+    # nationkeys 1 and 2 share the name 'NB' -> their groups merge
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1, 2], pa.int32()),
+        "n_name": pa.array(["NA", "NB", "NB"]),
+        "n_regionkey": pa.array([0, 0, 0], pa.int32())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "o_custkey": pa.array([1, 2, 3, 4, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+        "o_orderdate": pa.array([ts("1996-08-01")] * 4 +
+                                [ts("1995-01-01")], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 5)}))
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 13, 14], pa.int64()),
+        "l_partkey": pa.array([1] * 6, pa.int64()),
+        "l_suppkey": pa.array([1] * 6, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 6, pa.float64()),
+        "l_extendedprice": pa.array([100.0, 50.0, None, 30.0, 40.0,
+                                     999.0], pa.float64()),
+        "l_discount": pa.array([0.1, 0.0, 0.2, 0.0, 0.5, 0.0],
+                               pa.float64()),
+        "l_tax": pa.array([0.0] * 6, pa.float64()),
+        "l_returnflag": pa.array(["R", "R", "R", "A", "R", "R"]),
+        "l_linestatus": pa.array(["F"] * 6),
+        "l_shipdate": pa.array([ts("1996-09-01")] * 6,
+                               pa.timestamp("us"))}))
+    out = q_returned_item_revenue(str(tmp_path))
+    con = duckdb.connect()
+    for t in ["customer", "nation", "orders", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '{tmp_path}/{t}.parquet'")
+    oracle = con.sql("""
+        SELECT c_custkey, c_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS revenue, c_acctbal, n_name
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+        GROUP BY 1, 2, 4, 5 ORDER BY 1, 3""").df()
+    got = out.sort_values(["c_custkey", "revenue"]).reset_index(drop=True)
+    exp = oracle.sort_values(["c_custkey", "revenue"]) \
+        .reset_index(drop=True)
+    assert got["c_custkey"].tolist() == exp["c_custkey"].tolist()
+    assert got["revenue"].fillna(-1).tolist() == \
+        exp["revenue"].fillna(-1).tolist()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    # dup customer rows doubled cust 1's revenue: (90 + 50) * 2
+    assert got.loc[got["c_custkey"] == 1, "revenue"].iloc[0] == 280.0
+    # cust 2's only revenue term is NULL -> SQL NULL sum survives
+    assert np.isnan(got.loc[got["c_custkey"] == 2, "revenue"].iloc[0])
+    # cust 4 has NULL nationkey -> inner nation join drops it
+    assert 4 not in got["c_custkey"].tolist()
+
+
+def test_large_volume_orders_threshold_and_fanout(ray_session, tmp_path):
+    """q156: the HAVING boundary is strict (sum == 300 drops), NULL
+    quantities don't poison the sum, and a duplicate customer row
+    doubles the outer re-aggregated quantity."""
+    from web_scrapper_ray.pipelines.analytics import q_large_volume_orders
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([1, 2, 2], pa.int64()),
+        "c_name": pa.array(["ann", "bob", "bob"]),
+        "c_acctbal": pa.array([0.0, 0.0, 0.0], pa.float64()),
+        "c_nationkey": pa.array([0, 0, 0], pa.int32())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+        "o_custkey": pa.array([1, 2, 1], pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 3),
+        "o_totalprice": pa.array([5.0, 6.0, None], pa.float64()),
+        "o_orderdate": pa.array([ts("1996-08-01"), None,
+                                 ts("1996-01-01")], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 3)}))
+    # order 10: 150.5 + 150.0 = 300.5 > 300 (in); order 11: exactly
+    # 300 (out); order 12: 299 + NULL = 299 (out)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([10, 10, 11, 12, 12], pa.int64()),
+        "l_partkey": pa.array([1] * 5, pa.int64()),
+        "l_suppkey": pa.array([1] * 5, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 2], pa.int32()),
+        "l_quantity": pa.array([150.5, 150.0, 300.0, 299.0, None],
+                               pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 5, pa.float64()),
+        "l_discount": pa.array([0.0] * 5, pa.float64()),
+        "l_tax": pa.array([0.0] * 5, pa.float64()),
+        "l_returnflag": pa.array(["R"] * 5),
+        "l_linestatus": pa.array(["F"] * 5),
+        "l_shipdate": pa.array([ts("1996-09-01")] * 5,
+                               pa.timestamp("us"))}))
+    out = q_large_volume_orders(str(tmp_path))
+    assert out["o_orderkey"].tolist() == [10]
+    assert out["sum_qty"].tolist() == [300.5]
+    assert out["c_name"].tolist() == ["ann"]
+    # now give order 10 to the DUPLICATED customer 2: outer join
+    # fan-out doubles the re-aggregated sum like SQL
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([10], pa.int64()),
+        "o_custkey": pa.array([2], pa.int64()),
+        "o_orderstatus": pa.array(["O"]),
+        "o_totalprice": pa.array([5.0], pa.float64()),
+        "o_orderdate": pa.array([ts("1996-08-01")], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"])}))
+    out2 = q_large_volume_orders(str(tmp_path))
+    assert out2["sum_qty"].tolist() == [601.0]
+    assert out2["c_name"].tolist() == ["bob"]
+
+
+def test_late_order_priorities_exists_semantics(ray_session, tmp_path):
+    """q157: EXISTS counts an order once however many late lineitems
+    it has, NULL shipdates never satisfy the predicate, NULL and
+    NUL-embedded priorities stay distinct groups, and orders outside
+    the window drop."""
+    from web_scrapper_ray.pipelines.analytics import q_late_order_priorities
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "o_custkey": pa.array([1] * 5, pa.int64()),
+        "o_orderstatus": pa.array(["O"] * 5),
+        "o_totalprice": pa.array([1.0] * 5, pa.float64()),
+        "o_orderdate": pa.array([ts("1996-02-01"), ts("1996-02-01"),
+                                 ts("1996-02-01"), ts("1996-02-01"),
+                                 ts("1997-02-01")], pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT", "1-URGENT\x00z", None,
+                                     "1-URGENT", "1-URGENT"])}))
+    # order 1: two late items (counted once); order 2: late (NUL
+    # priority variant); order 3: late (NULL priority); order 4: one
+    # NULL shipdate + one on-time -> not late; order 5: late but
+    # outside the window
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 3, 4, 4, 5], pa.int64()),
+        "l_partkey": pa.array([1] * 7, pa.int64()),
+        "l_suppkey": pa.array([1] * 7, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 2, 1], pa.int32()),
+        "l_quantity": pa.array([1.0] * 7, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 7, pa.float64()),
+        "l_discount": pa.array([0.0] * 7, pa.float64()),
+        "l_tax": pa.array([0.0] * 7, pa.float64()),
+        "l_returnflag": pa.array(["R"] * 7),
+        "l_linestatus": pa.array(["F"] * 7),
+        "l_shipdate": pa.array(
+            [ts("1996-06-01"), ts("1996-07-01"), ts("1996-06-01"),
+             ts("1996-06-01"), None, ts("1996-02-10"),
+             ts("1997-06-01")], pa.timestamp("us"))}))
+    out = q_late_order_priorities(str(tmp_path))
+    got = {r["o_orderpriority"]: r["n_late_orders"]
+           for _, r in out.iterrows()}
+    assert got == {"1-URGENT": 1, "1-URGENT\x00z": 1, None: 1}

@@ -2730,3 +2730,589 @@ def q_price_outlier_fences(sf_dir: str) -> pd.DataFrame:
     out["n_outliers"] = out["n_outliers"].astype("int64")
     return out.sort_values("p_brand",
                            na_position="last").reset_index(drop=True)
+
+
+def q_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q10 twin: revenue lost to returned items ('R' lineitems)
+    per (customer, nation) for one order quarter. Two-exchange plan:
+    (1) lineitem(R) ⋈ orders(quarter window) hash-partitioned on
+    orderkey, pre-aggregated per custkey before leaving the bucket
+    (sum-as-0 + valid-count so an all-NULL revenue group keeps SQL's
+    NULL sum — q134 contract); (2) those per-custkey partials ⋈
+    customer on custkey, duplicate customer rows fanning out like the
+    SQL join. The tiny nation dim is applied driver-side with its own
+    duplicate-row fan-out, and the final GROUP BY runs on full-byte
+    string codes (pairs.coded_keys) because c_name / n_name can carry
+    embedded NULs in the adversarial world."""
+    from .pairs import coded_keys
+
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1996-07-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-10-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    _EMPTY = pd.DataFrame({
+        "c_custkey": pd.Series(dtype="int64"),
+        "c_name": pd.Series(dtype="object"),
+        "revenue": pd.Series(dtype="float64"),
+        "c_acctbal": pd.Series(dtype="float64"),
+        "n_name": pd.Series(dtype="object")})
+
+    # ---- stage 1: lineitem(R) ⋈ orders on orderkey ------------------
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "cust": pa.array([], pa.int64()),
+                    "rev": pa.array([], pa.float64()),
+                    "revnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_orders:
+            if "o_orderkey" not in t.schema.names:
+                return _E1
+            od = t.column("o_orderdate")
+            keep = pc.and_kleene(
+                pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                              pc.is_valid(t.column("o_custkey"))),
+                pc.and_kleene(pc.greater_equal(od, lo), pc.less(od, hi)))
+            t2 = t.filter(pc.fill_null(keep, False))
+            n = t2.num_rows
+            return pa.table({
+                "key": pc.cast(t2.column("o_orderkey"), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "cust": pc.cast(t2.column("o_custkey"), pa.int64()),
+                "rev": pa.array(np.zeros(n, np.float64)),
+                "revnull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(pc.cast(t2.column("o_orderkey"),
+                                                  pa.int64()), P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("l_orderkey")),
+            pc.equal(t.column("l_returnflag"), "R"))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        rev = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        return pa.table({
+            "key": pc.cast(t2.column("l_orderkey"), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "cust": pa.array(np.full(n, -1, np.int64)),
+            "rev": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+            "revnull": pc.is_null(rev),
+            "bucket": pc.bit_wise_and(pc.cast(t2.column("l_orderkey"),
+                                              pa.int64()), P - 1)})
+
+    _O1 = pa.table({"cust": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        ords = df[df["side"] == 0][["key", "cust"]]
+        line = df[df["side"] == 1][["key", "rev", "revnull"]]
+        if ords.empty or line.empty:
+            return _O1
+        j = line.merge(ords, on="key")  # int64 keys: hashing exact
+        valid = ~j["revnull"].to_numpy()
+        g = (j.assign(rv=np.where(valid, j["rev"].to_numpy(), 0.0),
+                      nv=valid.astype(np.int64))
+             .groupby("cust", as_index=False)
+             .agg(s=("rv", lambda x: x.to_numpy().sum()),
+                  nv=("nv", "sum")))
+        return pa.table({"cust": pa.array(g["cust"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.float64)),
+                         "nv": pa.array(g["nv"].to_numpy(np.int64))})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                 "l_discount"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: ⋈ customer on custkey -----------------------------
+    _E2 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "acct": pa.array([], pa.float64()),
+                    "acctnull": pa.array([], pa.bool_()),
+                    "cnat": pa.array([], pa.int64()),
+                    "cnatnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(t: pa.Table, is_partial: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E2
+        if is_partial:
+            if "cust" not in t.schema.names:
+                return _E2
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("cust"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "s": t.column("s"),
+                "nv": t.column("nv"),
+                "name": pa.array([None] * n, pa.string()),
+                "acct": pa.array(np.zeros(n, np.float64)),
+                "acctnull": pa.array(np.zeros(n, bool)),
+                "cnat": pa.array(np.zeros(n, np.int64)),
+                "cnatnull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(t.column("cust"), P - 1)})
+        if "c_custkey" not in t.schema.names:
+            return _E2
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("c_custkey")),
+                                   False))
+        n = t2.num_rows
+        acct = t2.column("c_acctbal")
+        cnat = pc.cast(t2.column("c_nationkey"), pa.int64())
+        return pa.table({
+            "key": t2.column("c_custkey"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "s": pa.array(np.zeros(n, np.float64)),
+            "nv": pa.array(np.zeros(n, np.int64)),
+            "name": t2.column("c_name"),
+            "acct": pc.cast(pc.fill_null(acct, 0.0), pa.float64()),
+            "acctnull": pc.is_null(acct),
+            "cnat": pc.fill_null(cnat, -1),
+            "cnatnull": pc.is_null(cnat),
+            "bucket": pc.bit_wise_and(t2.column("c_custkey"), P - 1)})
+
+    def merge2(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pa.table({"cust": pa.array([], pa.int64()),
+                          "name": pa.array([], pa.string()),
+                          "acct": pa.array([], pa.float64()),
+                          "acctnull": pa.array([], pa.bool_()),
+                          "cnat": pa.array([], pa.int64()),
+                          "cnatnull": pa.array([], pa.bool_()),
+                          "s": pa.array([], pa.float64()),
+                          "nv": pa.array([], pa.int64())})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "s", "nv"]]
+        cust = df[df["side"] == 1][["key", "name", "acct", "acctnull",
+                                    "cnat", "cnatnull"]]
+        if part.empty or cust.empty:
+            return empty
+        # fold the per-bucket partials to one row per custkey, THEN
+        # fan out over (possibly duplicated) customer rows like SQL
+        agg = part.groupby("key", as_index=False).agg(
+            s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
+        j = cust.merge(agg, on="key")
+        return pa.table({
+            "cust": pa.array(j["key"].to_numpy(np.int64)),
+            "name": pa.array(j["name"].to_numpy(object), pa.string()),
+            "acct": pa.array(j["acct"].to_numpy(np.float64)),
+            "acctnull": pa.array(j["acctnull"].to_numpy(bool)),
+            "cnat": pa.array(j["cnat"].to_numpy(np.int64)),
+            "cnatnull": pa.array(j["cnatnull"].to_numpy(bool)),
+            "s": pa.array(j["s"].to_numpy(np.float64)),
+            "nv": pa.array(j["nv"].to_numpy(np.int64))})
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"]
+    ).to_arrow_refs()]
+    import ray
+    parts = [p.to_pandas() for p in
+             ray.get(hash_shuffle(tagged2, split2, merge2, P=P,
+                                  gather=False))]
+    parts = [p for p in parts if len(p)]
+    if not parts:
+        return _EMPTY
+    df = pd.concat(parts, ignore_index=True)
+
+    # ---- tiny dim: ⋈ nation on nationkey (dup rows fan out) ---------
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_nationkey"].notna()]
+    nat = nat.assign(cnat=nat["n_nationkey"].astype(np.int64))
+    df = df[~df["cnatnull"].to_numpy()]  # inner join drops NULL keys
+    j = df.merge(nat[["cnat", "n_name"]], on="cnat")
+    if j.empty:
+        return _EMPTY
+
+    j2, restore = coded_keys(
+        j.rename(columns={"name": "c_name"}), ["c_name", "n_name"])
+    g = (j2.groupby(["cust", "c_name", "acct", "acctnull", "n_name"],
+                    as_index=False, dropna=False)
+         .agg(s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum")))
+    rev = g["s"].to_numpy(np.float64).copy()
+    rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL terms: SQL NULL sum
+    acct = g["acct"].to_numpy(np.float64).copy()
+    acct[g["acctnull"].to_numpy(bool)] = np.nan
+    out = restore(g)
+    out = pd.DataFrame({"c_custkey": out["cust"].to_numpy(np.int64),
+                        "c_name": out["c_name"],
+                        "revenue": round_away(rev, 2),
+                        "c_acctbal": acct,
+                        "n_name": out["n_name"]})
+    return out.sort_values(["c_custkey", "revenue"],
+                           na_position="last").reset_index(drop=True)
+
+
+def q_large_volume_orders(sf_dir: str, min_qty: float = 300.0) -> pd.DataFrame:
+    """TPC-H Q18 twin: orders whose total lineitem quantity exceeds a
+    threshold, with their customer. One orderkey exchange does BOTH the
+    HAVING semi-join and the outer re-aggregation: lineitem blocks
+    pre-aggregate (orderkey → qty-sum partial) per split task, the
+    bucket merge folds partials, applies the threshold in DuckDB's
+    comparison total order (``~(s <= T)`` so a NaN sum counts as
+    greater, probed), and joins the surviving order rows. A second
+    exchange on custkey attaches customer names; the driver's final
+    GROUP BY (name, custkey, orderkey, odate, totalprice) reproduces
+    SQL's duplicate-row fan-out arithmetic. Quantities in both worlds
+    sit on a .5 grid, so the double sums are exact in any order."""
+    from .pairs import coded_keys
+
+    P = 32
+    _EMPTY = pd.DataFrame({
+        "c_name": pd.Series(dtype="object"),
+        "c_custkey": pd.Series(dtype="int64"),
+        "o_orderkey": pd.Series(dtype="int64"),
+        "odate_us": pd.Series(dtype="float64"),
+        "o_totalprice": pd.Series(dtype="float64"),
+        "sum_qty": pd.Series(dtype="float64")})
+
+    # ---- stage 1: lineitem qty partials ⋈ orders on orderkey --------
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "cust": pa.array([], pa.int64()),
+                    "od": pa.array([], pa.int64()),
+                    "odnull": pa.array([], pa.bool_()),
+                    "tp": pa.array([], pa.float64()),
+                    "tpnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_orders:
+            if "o_orderkey" not in t.schema.names:
+                return _E1
+            keep = pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                                 pc.is_valid(t.column("o_custkey")))
+            t2 = t.filter(pc.fill_null(keep, False))
+            n = t2.num_rows
+            od = t2.column("o_orderdate")
+            tp = t2.column("o_totalprice")
+            return pa.table({
+                "key": pc.cast(t2.column("o_orderkey"), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "s": pa.array(np.zeros(n, np.float64)),
+                "nv": pa.array(np.zeros(n, np.int64)),
+                "cust": pc.cast(t2.column("o_custkey"), pa.int64()),
+                "od": pc.fill_null(pc.cast(od, pa.int64()), 0),
+                "odnull": pc.is_null(od),
+                "tp": pc.cast(pc.fill_null(tp, 0.0), pa.float64()),
+                "tpnull": pc.is_null(tp),
+                "bucket": pc.bit_wise_and(pc.cast(t2.column("o_orderkey"),
+                                                  pa.int64()), P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E1
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("l_orderkey")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E1
+        qty = t2.column("l_quantity")
+        g = (pa.table({"key": pc.cast(t2.column("l_orderkey"), pa.int64()),
+                       "q": pc.cast(pc.fill_null(qty, 0.0), pa.float64()),
+                       "v": pc.cast(pc.is_valid(qty), pa.int64())})
+             .group_by("key").aggregate([("q", "sum"), ("v", "sum")]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "s": g.column("q_sum"),
+            "nv": g.column("v_sum"),
+            "cust": pa.array(np.full(n, -1, np.int64)),
+            "od": pa.array(np.zeros(n, np.int64)),
+            "odnull": pa.array(np.zeros(n, bool)),
+            "tp": pa.array(np.zeros(n, np.float64)),
+            "tpnull": pa.array(np.zeros(n, bool)),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    _O1 = pa.table({"cust": pa.array([], pa.int64()),
+                    "okey": pa.array([], pa.int64()),
+                    "od": pa.array([], pa.int64()),
+                    "odnull": pa.array([], pa.bool_()),
+                    "tp": pa.array([], pa.float64()),
+                    "tpnull": pa.array([], pa.bool_()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        line = df[df["side"] == 1][["key", "s", "nv"]]
+        ords = df[df["side"] == 0].drop(columns=["s", "nv"])
+        if line.empty or ords.empty:
+            return _O1
+        agg = line.groupby("key", as_index=False).agg(
+            s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
+        sv = agg["s"].to_numpy(np.float64)
+        # HAVING sum(qty) > T in DuckDB's total order: NaN > T is TRUE
+        big = (agg["nv"].to_numpy() > 0) & ~(sv <= min_qty)
+        agg = agg[big]
+        if agg.empty:
+            return _O1
+        j = ords.merge(agg, on="key")
+        return pa.table({
+            "cust": pa.array(j["cust"].to_numpy(np.int64)),
+            "okey": pa.array(j["key"].to_numpy(np.int64)),
+            "od": pa.array(j["od"].to_numpy(np.int64)),
+            "odnull": pa.array(j["odnull"].to_numpy(bool)),
+            "tp": pa.array(j["tp"].to_numpy(np.float64)),
+            "tpnull": pa.array(j["tpnull"].to_numpy(bool)),
+            "s": pa.array(j["s"].to_numpy(np.float64)),
+            "nv": pa.array(j["nv"].to_numpy(np.int64)),
+            "bucket": pc.bit_wise_and(
+                pa.array(j["cust"].to_numpy(np.int64)), P - 1)})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: ⋈ customer on custkey -----------------------------
+    _E2 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "okey": pa.array([], pa.int64()),
+                    "od": pa.array([], pa.int64()),
+                    "odnull": pa.array([], pa.bool_()),
+                    "tp": pa.array([], pa.float64()),
+                    "tpnull": pa.array([], pa.bool_()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(t: pa.Table, is_big: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E2
+        if is_big:
+            if "okey" not in t.schema.names:
+                return _E2
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("cust"), "side": pa.array(np.zeros(n, np.int8)),
+                "okey": t.column("okey"), "od": t.column("od"),
+                "odnull": t.column("odnull"), "tp": t.column("tp"),
+                "tpnull": t.column("tpnull"), "s": t.column("s"),
+                "nv": t.column("nv"),
+                "name": pa.array([None] * n, pa.string()),
+                "bucket": t.column("bucket")})
+        if "c_custkey" not in t.schema.names:
+            return _E2
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("c_custkey")),
+                                   False))
+        n = t2.num_rows
+        return pa.table({
+            "key": t2.column("c_custkey"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "okey": pa.array(np.zeros(n, np.int64)),
+            "od": pa.array(np.zeros(n, np.int64)),
+            "odnull": pa.array(np.zeros(n, bool)),
+            "tp": pa.array(np.zeros(n, np.float64)),
+            "tpnull": pa.array(np.zeros(n, bool)),
+            "s": pa.array(np.zeros(n, np.float64)),
+            "nv": pa.array(np.zeros(n, np.int64)),
+            "name": t2.column("c_name"),
+            "bucket": pc.bit_wise_and(t2.column("c_custkey"), P - 1)})
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"name": pd.Series(dtype="object"),
+                              "cust": pd.Series(dtype="int64"),
+                              "okey": pd.Series(dtype="int64"),
+                              "od": pd.Series(dtype="int64"),
+                              "odnull": pd.Series(dtype="bool"),
+                              "tp": pd.Series(dtype="float64"),
+                              "tpnull": pd.Series(dtype="bool"),
+                              "s": pd.Series(dtype="float64"),
+                              "nv": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        big = df[df["side"] == 0].drop(columns=["name"])
+        cust = df[df["side"] == 1][["key", "name"]]
+        if big.empty or cust.empty:
+            return empty
+        j = big.merge(cust, on="key")
+        return j.rename(columns={"key": "cust"})[
+            ["name", "cust", "okey", "od", "odnull", "tp", "tpnull",
+             "s", "nv"]]
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_name"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged2, split2, merge2, P=P)
+             if len(p)]
+    if not parts:
+        return _EMPTY
+    df = pd.concat(parts, ignore_index=True)
+
+    # final GROUP BY: duplicate order/customer rows collapse, sums scale
+    df2, restore = coded_keys(df.rename(columns={"name": "c_name"}),
+                              ["c_name"])
+    g = (df2.groupby(["c_name", "cust", "okey", "od", "odnull",
+                      "tp", "tpnull"], as_index=False, dropna=False)
+         .agg(s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum")))
+    sq = g["s"].to_numpy(np.float64).copy()
+    sq[g["nv"].to_numpy() == 0] = np.nan
+    od = g["od"].to_numpy(np.int64).astype(np.float64)
+    od[g["odnull"].to_numpy(bool)] = np.nan
+    tp = g["tp"].to_numpy(np.float64).copy()
+    tp[g["tpnull"].to_numpy(bool)] = np.nan
+    out = restore(g)
+    out = pd.DataFrame({"c_name": out["c_name"],
+                        "c_custkey": out["cust"].to_numpy(np.int64),
+                        "o_orderkey": out["okey"].to_numpy(np.int64),
+                        "odate_us": od,
+                        "o_totalprice": tp,
+                        "sum_qty": sq})
+    return out.sort_values(["c_custkey", "o_orderkey"],
+                           na_position="last").reset_index(drop=True)
+
+
+def q_late_order_priorities(sf_dir: str, days: int = 60) -> pd.DataFrame:
+    """TPC-H Q4 twin: per order priority, how many orders in a
+    half-year window have at least ONE lineitem shipped more than
+    ``days`` after the order date. The EXISTS decorrelates to
+    ``max(l_shipdate) > o_orderdate + days`` because the threshold is
+    per-order-row: lineitem blocks pre-aggregate per-orderkey max
+    shipdate per split task (NULL shipdates dropped — their predicate
+    is NULL, never TRUE), one orderkey exchange joins order rows, and
+    priority counts fold over full-byte string codes (NULL and
+    NUL-embedded priorities are real groups in the adversarial world).
+    Timestamp arithmetic runs on raw int64 µs — the window filter
+    bounds o_orderdate so ``+ days`` cannot overflow."""
+    from .pairs import factorize_strings
+
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-07-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    delta_us = np.int64(days) * 86_400_000_000
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "prio": pa.array([], pa.string()),
+                   "od": pa.array([], pa.int64()),
+                   "maxship": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_orders:
+            if "o_orderkey" not in t.schema.names:
+                return _E
+            od = t.column("o_orderdate")
+            keep = pc.and_kleene(
+                pc.is_valid(t.column("o_orderkey")),
+                pc.and_kleene(pc.greater_equal(od, lo), pc.less(od, hi)))
+            t2 = t.filter(pc.fill_null(keep, False))
+            n = t2.num_rows
+            return pa.table({
+                "key": pc.cast(t2.column("o_orderkey"), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "prio": t2.column("o_orderpriority"),
+                "od": pc.cast(t2.column("o_orderdate"), pa.int64()),
+                "maxship": pa.array(np.zeros(n, np.int64)),
+                "bucket": pc.bit_wise_and(pc.cast(t2.column("o_orderkey"),
+                                                  pa.int64()), P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_shipdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"key": pc.cast(t2.column("l_orderkey"), pa.int64()),
+                       "sh": pc.cast(t2.column("l_shipdate"), pa.int64())})
+             .group_by("key").aggregate([("sh", "max")]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "prio": pa.array([None] * n, pa.string()),
+            "od": pa.array(np.zeros(n, np.int64)),
+            "maxship": g.column("sh_max"),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"prio": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        ords = df[df["side"] == 0][["key", "prio", "od"]]
+        line = df[df["side"] == 1][["key", "maxship"]]
+        if ords.empty or line.empty:
+            return empty
+        mx = line.groupby("key", as_index=False).agg(
+            maxship=("maxship", "max"))
+        j = ords.merge(mx, on="key")
+        late = j[j["maxship"].to_numpy(np.int64) >
+                 j["od"].to_numpy(np.int64) + delta_us]
+        if late.empty:
+            return empty
+        codes, uniq = factorize_strings(late["prio"],
+                                        use_na_sentinel=False)
+        cnt = np.bincount(codes, minlength=len(uniq))
+        names = pd.Series(np.asarray(uniq, dtype=object))
+        return pd.DataFrame({"prio": names.where(names.notna(), None),
+                             "n": cnt.astype(np.int64)})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_shipdate"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"o_orderpriority": pd.Series(dtype="object"),
+                          "n_late_orders": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["prio"], use_na_sentinel=False)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, codes, df["n"].to_numpy(np.int64))
+    names = pd.Series(np.asarray(uniq, dtype=object))
+    out = pd.DataFrame({"o_orderpriority": names.where(names.notna(),
+                                                       None),
+                        "n_late_orders": tot})
+    # presentation order only — the driver compare is order-insensitive
+    return out.sort_values("o_orderpriority",
+                           na_position="last").reset_index(drop=True)
