@@ -292,6 +292,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q155_returned_item_revenue": analytics.q_returned_item_revenue,
         "q156_large_volume_orders": analytics.q_large_volume_orders,
         "q157_late_order_priorities": analytics.q_late_order_priorities,
+        "q158_small_quantity_revenue": analytics.q_small_quantity_revenue,
+        "q159_user_hour_window": analytics.q_user_hour_window,
+        "q160_idle_rich_customers": analytics.q_idle_rich_customers,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1908,6 +1911,41 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate >
                                 o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q158_small_quantity_revenue": """
+            SELECT p_brand,
+                   round(sum(l1.l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+            WHERE l1.l_quantity < (
+                SELECT 0.2 * avg(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l1.l_partkey)
+            GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q159_user_hour_window": """
+            SELECT event_id,
+                   count(*) OVER w AS n_win,
+                   round(sum(value) OVER w, 4) AS sum_win
+            FROM events
+            WHERE event_id IS NOT NULL AND ts IS NOT NULL
+              AND user_id IS NOT NULL AND isfinite(value)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY event_id
+        """,
+        "q160_idle_rich_customers": """
+            WITH thr AS (SELECT avg(c_acctbal) AS a FROM customer
+                         WHERE c_acctbal > 0)
+            SELECT CAST(c_custkey % 7 AS DOUBLE) AS cc,
+                   count(*)::BIGINT AS n_cust,
+                   round(sum(c_acctbal), 2) AS total_bal
+            FROM customer, thr
+            WHERE c_acctbal > thr.a
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2000-01-01')
             GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         "q82_rollup_docs": """

@@ -1168,3 +1168,125 @@ def test_late_order_priorities_exists_semantics(ray_session, tmp_path):
     got = {r["o_orderpriority"]: r["n_late_orders"]
            for _, r in out.iterrows()}
     assert got == {"1-URGENT": 1, "1-URGENT\x00z": 1, None: 1}
+
+
+def test_small_quantity_revenue_nan_threshold(ray_session, tmp_path):
+    """q158: a NaN quantity poisons its part's avg to NaN, and DuckDB's
+    total order then passes every non-NaN row (x < NaN is TRUE);
+    duplicate part rows fan the brand sum out; an all-NULL-price brand
+    keeps SQL's NULL sum."""
+    from web_scrapper_ray.pipelines.analytics import q_small_quantity_revenue
+
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "p_name": pa.array(["a", "b", "b", "c"]),
+        "p_brand": pa.array(["B1", "B2", "B2", None]),
+        "p_type": pa.array(["t"] * 4),
+        "p_size": pa.array([1] * 4, pa.int32()),
+        "p_retailprice": pa.array([1.0] * 4, pa.float64())}))
+    # part 1: quantities 1 and 100 (avg 50.5, thr 10.1 -> only qty=1
+    # passes); part 2 (dup rows): NaN + 5 -> NaN threshold -> the
+    # qty=5 row passes, doubled by the dup part rows; part 3:
+    # qty 1 + 100 -> thr 10.1 -> the qty=1 row passes with a NULL
+    # price, so the NULL-brand group keeps SQL's NULL sum
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "l_partkey": pa.array([1, 1, 2, 2, 3, 3], pa.int64()),
+        "l_suppkey": pa.array([1] * 6, pa.int64()),
+        "l_linenumber": pa.array([1] * 6, pa.int32()),
+        "l_quantity": pa.array([1.0, 100.0, np.nan, 5.0, 1.0, 100.0],
+                               pa.float64()),
+        "l_extendedprice": pa.array([70.0, 1.0, 7.0, 14.0, None, 3.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0] * 6, pa.float64()),
+        "l_tax": pa.array([0.0] * 6, pa.float64()),
+        "l_returnflag": pa.array(["R"] * 6),
+        "l_linestatus": pa.array(["F"] * 6),
+        "l_shipdate": pa.array(
+            [pd.Timestamp("1996-01-01").to_pydatetime()] * 6,
+            pa.timestamp("us"))}))
+    out = q_small_quantity_revenue(str(tmp_path))
+    got = {r["p_brand"]: r["avg_yearly"] for _, r in out.iterrows()}
+    assert got["B1"] == 10.0           # 70 / 7
+    assert got["B2"] == 4.0            # NaN thr passes qty=5 only: 14*2/7
+    assert np.isnan(got[None])          # NULL price -> NULL sum
+    con = duckdb.connect()
+    for t in ["part", "lineitem"]:
+        con.sql(f"CREATE VIEW {t} AS SELECT * "
+                f"FROM '{tmp_path}/{t}.parquet'")
+    oracle = con.sql("""
+        SELECT p_brand, round(sum(l1.l_extendedprice) / 7.0, 2)
+                   AS avg_yearly
+        FROM lineitem l1 JOIN part ON p_partkey = l1.l_partkey
+        WHERE l1.l_quantity < (SELECT 0.2 * avg(l2.l_quantity)
+                               FROM lineitem l2
+                               WHERE l2.l_partkey = l1.l_partkey)
+        GROUP BY 1 ORDER BY 1 NULLS LAST""").df()
+    exp = {r["p_brand"]: r["avg_yearly"] for _, r in oracle.iterrows()}
+    for k in exp:
+        kk = None if pd.isna(pd.Series([k], dtype=object))[0] else k
+        if pd.isna(exp[k]):
+            assert np.isnan(got[kk])
+        else:
+            assert got[kk] == exp[k], (k, got[kk], exp[k])
+
+
+def test_user_hour_window_peers_and_boundary(ray_session, tmp_path):
+    """q159: RANGE CURRENT ROW means last-peer (ties see each other),
+    the 1h-preceding bound is inclusive, and partitions don't leak."""
+    from web_scrapper_ray.pipelines.analytics import q_user_hour_window
+
+    base = pd.Timestamp("2020-01-01").value // 1000
+    H = 3_600_000_000
+    ts = [base, base, base + H, base + 2 * H + 1, base]
+    _write(tmp_path, "events", pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 7, 8], pa.int64()),
+        "event_type": pa.array(["t"] * 5),
+        "value": pa.array([1.0, 2.0, 4.0, 8.0, 16.0], pa.float64()),
+        "props": pa.array(["{}"] * 5)}))
+    out = q_user_hour_window(str(tmp_path)).set_index("event_id")
+    # events 1,2 are ts-peers: each sees both (RANGE current-row =
+    # last peer)
+    assert out.loc[1, "n_win"] == 2 and out.loc[1, "sum_win"] == 3.0
+    assert out.loc[2, "n_win"] == 2 and out.loc[2, "sum_win"] == 3.0
+    # event 3 is exactly 1h later: inclusive lower bound pulls both
+    assert out.loc[3, "n_win"] == 3 and out.loc[3, "sum_win"] == 7.0
+    # event 4 is 1h+1µs after event 3: only itself... plus nothing
+    assert out.loc[4, "n_win"] == 1 and out.loc[4, "sum_win"] == 8.0
+    # user 8 never sees user 7's rows
+    assert out.loc[5, "n_win"] == 1 and out.loc[5, "sum_win"] == 16.0
+
+
+def test_idle_rich_customers_modulo_and_vacuous_exists(ray_session,
+                                                       tmp_path):
+    """q160: truncated modulo on a negative custkey (SQL %, not
+    floored), NULL custkey survives NOT EXISTS vacuously into the NULL
+    code group, and only orders past the cutoff disqualify."""
+    from web_scrapper_ray.pipelines.analytics import q_idle_rich_customers
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([-10, 3, 4, None], pa.int64()),
+        "c_name": pa.array(["a", "b", "c", "d"]),
+        "c_acctbal": pa.array([100.0, 90.0, 10.0, 95.0], pa.float64()),
+        "c_nationkey": pa.array([0] * 4, pa.int32())}))
+    # avg = (100+90+10+95)/4 = 73.75; -10, 3, NULL pass
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2], pa.int64()),
+        "o_custkey": pa.array([3, -10], pa.int64()),
+        "o_orderstatus": pa.array(["O", "O"]),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array([ts("2000-06-01"), ts("1999-06-01")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}))
+    out = q_idle_rich_customers(str(tmp_path))
+    # cust 3 has a RECENT order -> out; cust -10's order predates the
+    # cutoff -> stays; -10 % 7 = -3 (truncated, not floored +4)
+    cc = out["cc"].tolist()
+    assert -3.0 in cc
+    assert any(np.isnan(c) for c in cc)  # NULL custkey group
+    assert len(out) == 2
+    got = out.set_index("cc", drop=False)
+    assert got.loc[-3.0, "total_bal"] == 100.0

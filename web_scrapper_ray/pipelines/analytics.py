@@ -3316,3 +3316,349 @@ def q_late_order_priorities(sf_dir: str, days: int = 60) -> pd.DataFrame:
     # presentation order only — the driver compare is order-insensitive
     return out.sort_values("o_orderpriority",
                            na_position="last").reset_index(drop=True)
+
+
+def q_small_quantity_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q17 twin: per brand, the would-be yearly revenue of
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The correlated scalar subquery decorrelates into the SAME
+    partkey exchange that joins the part dim: per-partkey (Σqty, n)
+    folds in-bucket, the threshold filter runs there, and only
+    per-brand (Σprice, valid-count) partials reach the driver.
+    Quantities sit on a .5 grid in both worlds, so Σqty is EXACT in any
+    summation order and ``0.2 * (Σ/n)`` reproduces DuckDB's avg bit for
+    bit — the filter comparison is never on a float knife edge. A NaN
+    quantity makes the threshold NaN, and DuckDB's comparison total
+    order calls ``x < NaN`` TRUE for every non-NaN x (probed) — the
+    mask special-cases it."""
+    from .pairs import factorize_strings
+
+    P = 32
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "qty": pa.array([], pa.float64()),
+                   "qnull": pa.array([], pa.bool_()),
+                   "price": pa.array([], pa.float64()),
+                   "pnull": pa.array([], pa.bool_()),
+                   "brand": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_part: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_part:
+            if "p_partkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("p_partkey")),
+                                       False))
+            n = t2.num_rows
+            return pa.table({
+                "key": pc.cast(t2.column("p_partkey"), pa.int64()),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "qty": pa.array(np.zeros(n, np.float64)),
+                "qnull": pa.array(np.zeros(n, bool)),
+                "price": pa.array(np.zeros(n, np.float64)),
+                "pnull": pa.array(np.zeros(n, bool)),
+                "brand": t2.column("p_brand"),
+                "bucket": pc.bit_wise_and(pc.cast(t2.column("p_partkey"),
+                                                  pa.int64()), P - 1)})
+        if "l_partkey" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("l_partkey")),
+                                   False))
+        n = t2.num_rows
+        qty = t2.column("l_quantity")
+        pr = t2.column("l_extendedprice")
+        return pa.table({
+            "key": pc.cast(t2.column("l_partkey"), pa.int64()),
+            "side": pa.array(np.ones(n, np.int8)),
+            "qty": pc.cast(pc.fill_null(qty, 0.0), pa.float64()),
+            "qnull": pc.is_null(qty),
+            "price": pc.cast(pc.fill_null(pr, 0.0), pa.float64()),
+            "pnull": pc.is_null(pr),
+            "brand": pa.array([None] * n, pa.string()),
+            "bucket": pc.bit_wise_and(pc.cast(t2.column("l_partkey"),
+                                              pa.int64()), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"brand": pd.Series(dtype="object"),
+                              "s": pd.Series(dtype="float64"),
+                              "nv": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "brand"]]
+        line = df[df["side"] == 1][["key", "qty", "qnull", "price",
+                                    "pnull"]]
+        if part.empty or line.empty:
+            return empty
+        qv = ~line["qnull"].to_numpy()
+        ag = (line.assign(q=np.where(qv, line["qty"].to_numpy(), 0.0),
+                          n=qv.astype(np.int64))
+              .groupby("key").agg(q=("q", lambda x: x.to_numpy().sum()),
+                                  n=("n", "sum")))
+        cnt = line["key"].map(ag["n"]).to_numpy(np.float64)
+        ssum = line["key"].map(ag["q"]).to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            thr = 0.2 * (ssum / cnt)  # DuckDB's own op order
+        q = np.where(qv, line["qty"].to_numpy(), np.nan)
+        # avg NULL (n=0) -> no rows; NaN threshold: x < NaN is TRUE
+        # for non-NaN x in DuckDB's total order; NULL qty never passes
+        pass_ = np.where(np.isnan(thr) & (cnt > 0), ~np.isnan(q) & qv,
+                         q < thr)
+        sel = line[pass_]
+        if sel.empty:
+            return empty
+        j = sel.merge(part, on="key")  # dup part rows fan out like SQL
+        if j.empty:
+            return empty
+        pv = ~j["pnull"].to_numpy()
+        codes, uniq = factorize_strings(j["brand"], use_na_sentinel=False)
+        s = np.zeros(len(uniq), np.float64)
+        nv = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, np.where(pv, j["price"].to_numpy(), 0.0))
+        np.add.at(nv, codes, pv.astype(np.int64))
+        names = pd.Series(np.asarray(uniq, dtype=object))
+        return pd.DataFrame({"brand": names.where(names.notna(), None),
+                             "s": s, "nv": nv})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                          "avg_yearly": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["brand"], use_na_sentinel=False)
+    s = np.zeros(len(uniq), np.float64)
+    nv = np.zeros(len(uniq), np.int64)
+    np.add.at(s, codes, df["s"].to_numpy(np.float64))
+    np.add.at(nv, codes, df["nv"].to_numpy(np.int64))
+    out_v = round_away(s / 7.0, 2)
+    out_v[nv == 0] = np.nan  # all-NULL price terms: SQL NULL sum
+    names = pd.Series(np.asarray(uniq, dtype=object))
+    out = pd.DataFrame({"p_brand": names.where(names.notna(), None),
+                        "avg_yearly": out_v})
+    return out.sort_values("p_brand",
+                           na_position="last").reset_index(drop=True)
+
+
+def q_user_hour_window(sf_dir: str) -> pd.DataFrame:
+    """RANGE-interval window frame: per user and event (ordered by
+    ts), the count and value-sum of that user's events in the sliding
+    [ts − 1h, ts] window. The value-range frame is the shape ROWS
+    frames (q142) can't express: bounds come from searchsorted on the
+    partition's own timestamps, and RANGE mode's CURRENT ROW means
+    'last PEER' — rows tied on ts that appear later are IN the frame
+    (probed), hence the side='right' upper bound. One user exchange;
+    per-bucket lexsort (user, ts, event_id) then per-user vectorized
+    prefix-sum frames. Non-finite values and NULL keys are filtered on
+    BOTH sides (q142 contract); sums are rounded half-away at 4dp."""
+    P = 32
+    DELTA = np.int64(3_600_000_000)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    _E = pa.table({"eid": pa.array([], pa.int64()),
+                   "uid": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("event_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.fill_null(pc.is_finite(t.column("value")),
+                                       False)))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        uid = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({"eid": pc.cast(t.column("event_id"), pa.int64()),
+                         "uid": uid,
+                         "t": pc.cast(t.column("ts"), pa.int64()),
+                         "v": pc.cast(t.column("value"), pa.float64()),
+                         "bucket": pc.bit_wise_and(uid, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "n_win": pd.Series(dtype="int64"),
+                              "sum_win": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        eid = df["eid"].to_numpy(np.int64)
+        uid = df["uid"].to_numpy(np.int64)
+        ts = df["t"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        eid, uid, ts, v = eid[order], uid[order], ts[order], v[order]
+        starts = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1]])
+        ends = np.r_[starts[1:], len(uid)]
+        n_out = np.empty(len(uid), np.int64)
+        s_out = np.empty(len(uid), np.float64)
+        for a, b in zip(starts, ends):
+            seg_t = ts[a:b]
+            lo = np.searchsorted(seg_t, seg_t - DELTA, side="left")
+            hi = np.searchsorted(seg_t, seg_t, side="right")
+            csum = np.r_[0.0, np.cumsum(v[a:b])]
+            n_out[a:b] = hi - lo
+            s_out[a:b] = csum[hi] - csum[lo]
+        return pd.DataFrame({"event_id": eid, "n_win": n_out,
+                             "sum_win": round_away(s_out, 4)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "n_win": pd.Series(dtype="int64"),
+                             "sum_win": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
+def q_idle_rich_customers(sf_dir: str,
+                          since: str = "2000-01-01") -> pd.DataFrame:
+    """TPC-H Q22 twin: customers with above-average positive balances
+    and no RECENT orders (none since the cutoff), grouped by a
+    custkey-derived code. Two stages: (1)
+    a streaming (Σ, n) fold over customer blocks computes the global
+    scalar threshold — broadcast, never a shuffle; (2) one custkey
+    exchange anti-joins the date-filtered orders. SQL's ``%`` is
+    TRUNCATED modulo
+    (np.fmod, not ``%`` — negative custkeys diverge, CLAUDE.md rule);
+    a NULL custkey row survives NOT EXISTS vacuously and lands in the
+    NULL code group, so the code column is DOUBLE on both sides
+    (nullable-BIGINT dtype contract)."""
+    P = 32
+
+    # ---- stage 1: global scalar threshold (streamed partials) ------
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_acctbal" not in t.schema.names:
+            return pa.table({"s": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        b = t.column("c_acctbal")
+        # DuckDB's total order calls NaN > 0 TRUE, so a NaN balance
+        # belongs in the avg (and poisons it to NaN -> zero rows)
+        pos = t.filter(pc.fill_null(
+            pc.or_kleene(pc.greater(b, 0.0), pc.is_nan(b)), False))
+        sv = pos.column("c_acctbal")
+        return pa.table({
+            "s": pa.array([pc.sum(sv).as_py() or 0.0], pa.float64()),
+            "n": pa.array([pos.num_rows], pa.int64())})
+
+    agg = cust.map_batches(partial, batch_format="pyarrow").to_pandas()
+    n_pos = int(agg["n"].sum())
+    thr = (agg["s"].to_numpy(np.float64).sum() / n_pos) if n_pos else None
+
+    empty = pd.DataFrame({"cc": pd.Series(dtype="float64"),
+                          "n_cust": pd.Series(dtype="int64"),
+                          "total_bal": pd.Series(dtype="float64")})
+    # avg NULL -> comparison NULL -> zero rows; avg NaN -> bal > NaN
+    # is FALSE for every value in DuckDB's total order (NaN only
+    # equals NaN) -> zero rows too
+    if thr is None or np.isnan(thr):
+        return empty
+
+    # ---- stage 2: anti-join recent orders on custkey ----------------
+    cut = pa.scalar(pd.Timestamp(since).to_pydatetime(),
+                    pa.timestamp("us"))
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "bal": pa.array([], pa.float64()),
+                   "keynull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_cust: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_cust:
+            if "c_custkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(
+                pc.greater(t.column("c_acctbal"), thr), False))
+            n = t2.num_rows
+            key = t2.column("c_custkey")
+            return pa.table({
+                "key": pc.fill_null(key, _IMAX),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "bal": pc.cast(t2.column("c_acctbal"), pa.float64()),
+                "keynull": pc.is_null(key),
+                "bucket": pc.bit_wise_and(pc.fill_null(key, _IMAX),
+                                          P - 1)})
+        if "o_custkey" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.and_kleene(
+            pc.is_valid(t.column("o_custkey")),
+            pc.greater_equal(t.column("o_orderdate"), cut)), False))
+        g = (pa.table({"key": pc.cast(t2.column("o_custkey"), pa.int64())})
+             .group_by("key").aggregate([([], "count_all")]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "bal": pa.array(np.zeros(n, np.float64)),
+            "keynull": pa.array(np.zeros(n, bool)),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        out_empty = pd.DataFrame({"cc": pd.Series(dtype="float64"),
+                                  "s": pd.Series(dtype="float64"),
+                                  "n": pd.Series(dtype="int64")})
+        if not live:
+            return out_empty
+        df = pa.concat_tables(live).to_pandas()
+        cust = df[df["side"] == 0]
+        if cust.empty:
+            return out_empty
+        # NULL custkey never matches an order: vacuous NOT EXISTS
+        have = set(df[df["side"] == 1]["key"].to_numpy(np.int64))
+        keyn = cust["keynull"].to_numpy(bool)
+        keys = cust["key"].to_numpy(np.int64)
+        keep = keyn | ~np.isin(keys, np.fromiter(have, np.int64,
+                                                 len(have)))
+        sel_keys = keys[keep]
+        sel_null = keyn[keep]
+        bal = cust["bal"].to_numpy(np.float64)[keep]
+        # SQL truncated %, in INT64 (a float64 round-trip corrupts
+        # custkeys past 2^53); the remainder is tiny, exact as double
+        cc = np.fmod(sel_keys, np.int64(7)).astype(np.float64)
+        cc[sel_null] = np.nan
+        g = (pd.DataFrame({"cc": cc, "bal": bal})
+             .groupby("cc", as_index=False, dropna=False)
+             .agg(s=("bal", lambda x: x.to_numpy().sum()),
+                  n=("bal", "size")))
+        return g.rename(columns={"n": "n"}).astype({"n": np.int64})
+
+    tagged = [(r, (True,)) for r in cust.to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    g = (df.groupby("cc", as_index=False, dropna=False)
+         .agg(s=("s", lambda x: x.to_numpy().sum()), n=("n", "sum")))
+    out = pd.DataFrame({"cc": g["cc"].to_numpy(np.float64),
+                        "n_cust": g["n"].to_numpy(np.int64),
+                        "total_bal": round_away(g["s"].to_numpy(), 2)})
+    return out.sort_values("cc", na_position="last").reset_index(drop=True)
