@@ -295,6 +295,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q158_small_quantity_revenue": analytics.q_small_quantity_revenue,
         "q159_user_hour_window": analytics.q_user_hour_window,
         "q160_idle_rich_customers": analytics.q_idle_rich_customers,
+        "q161_two_nation_volume": analytics.q_two_nation_volume,
+        "q162_sole_late_shipper": analytics.q_sole_late_shipper,
+        "q163_nation_market_share": analytics.q_nation_market_share,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1947,6 +1950,62 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2000-01-01')
             GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q161_two_nation_volume": """
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate) AS l_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM supplier
+            JOIN lineitem ON s_suppkey = l_suppkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+                OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q162_sole_late_shipper": """
+            SELECT s_name, count(*)::BIGINT AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (SELECT 1 FROM lineitem l2
+                          WHERE l2.l_orderkey = l1.l_orderkey
+                            AND l2.l_suppkey <> l1.l_suppkey)
+              AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                              WHERE l3.l_orderkey = l1.l_orderkey
+                                AND l3.l_suppkey <> l1.l_suppkey
+                                AND l3.l_shipdate >
+                                    o_orderdate + INTERVAL 60 DAY)
+            GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q163_nation_market_share": """
+            WITH an AS (
+                SELECT year(o_orderdate) AS o_year,
+                       l_extendedprice * (1 - l_discount) AS volume,
+                       n2.n_name AS supp_nation
+                FROM part
+                JOIN lineitem ON p_partkey = l_partkey
+                JOIN supplier ON s_suppkey = l_suppkey
+                JOIN orders ON l_orderkey = o_orderkey
+                JOIN customer ON o_custkey = c_custkey
+                JOIN nation n1 ON c_nationkey = n1.n_nationkey
+                JOIN region ON n1.n_regionkey = r_regionkey
+                JOIN nation n2 ON s_nationkey = n2.n_nationkey
+                WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01')
+            SELECT o_year,
+                   round(sum(CASE WHEN supp_nation = 'NATION_5'
+                                  THEN volume ELSE 0 END)
+                         / sum(volume), 6) AS mkt_share
+            FROM an GROUP BY 1 ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -1290,3 +1290,160 @@ def test_idle_rich_customers_modulo_and_vacuous_exists(ray_session,
     assert len(out) == 2
     got = out.set_index("cc", drop=False)
     assert got.loc[-3.0, "total_bal"] == 100.0
+
+
+def test_two_nation_volume_dup_dims_and_direction(ray_session, tmp_path):
+    """q161: duplicate nation rows double the supplier side's fan-out,
+    same-nation pairs are excluded, and volumes split by ship year."""
+    from web_scrapper_ray.pipelines.analytics import q_two_nation_volume
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    # nation 0 = A (duplicated!), nation 1 = B
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0, 0, 1], pa.int32()),
+        "n_name": pa.array(["NATION_3", "NATION_3", "NATION_7"]),
+        "n_regionkey": pa.array([0, 0, 0], pa.int32())}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["s1", "s2"]),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0], pa.float64())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([10, 11], pa.int64()),
+        "c_name": pa.array(["c1", "c2"]),
+        "c_acctbal": pa.array([0.0, 0.0], pa.float64()),
+        "c_nationkey": pa.array([1, 0], pa.int32())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([100, 101], pa.int64()),
+        "o_custkey": pa.array([10, 11], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F"]),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array([ts("1995-01-01")] * 2,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}))
+    # line 1: supp 1 (A, dup nation -> x2) to cust 10 (B), 1995, 100
+    # line 2: supp 2 (B) to cust 11 (A, dup nation -> x2), 1996, 50
+    # line 3: supp 1 (A) to cust 11 (A) -> same nation, excluded
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([100, 101, 101], pa.int64()),
+        "l_partkey": pa.array([1] * 3, pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 1, 2], pa.int32()),
+        "l_quantity": pa.array([1.0] * 3, pa.float64()),
+        "l_extendedprice": pa.array([100.0, 50.0, 7.0], pa.float64()),
+        "l_discount": pa.array([0.0] * 3, pa.float64()),
+        "l_tax": pa.array([0.0] * 3, pa.float64()),
+        "l_returnflag": pa.array(["R"] * 3),
+        "l_linestatus": pa.array(["F"] * 3),
+        "l_shipdate": pa.array([ts("1995-06-01"), ts("1996-06-01"),
+                                ts("1996-06-01")], pa.timestamp("us"))}))
+    out = q_two_nation_volume(str(tmp_path))
+    got = {(r["supp_nation"], r["cust_nation"], r["l_year"]):
+           r["revenue"] for _, r in out.iterrows()}
+    assert got == {("NATION_3", "NATION_7", 1995): 200.0,
+                   ("NATION_7", "NATION_3", 1996): 100.0}
+
+
+def test_sole_late_shipper_dual_exists(ray_session, tmp_path):
+    """q162: a sole-late supplier on a multi-supplier 'F' order counts;
+    single-supplier orders fail EXISTS; two late suppliers fail NOT
+    EXISTS; a NULL-suppkey line is never 'another supplier'."""
+    from web_scrapper_ray.pipelines.analytics import q_sole_late_shipper
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_name": pa.array(["s1", "s2", "s3"]),
+        "s_nationkey": pa.array([0] * 3, pa.int32()),
+        "s_acctbal": pa.array([0.0] * 3, pa.float64())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_custkey": pa.array([1] * 4, pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O"]),
+        "o_totalprice": pa.array([1.0] * 4, pa.float64()),
+        "o_orderdate": pa.array([ts("1996-01-01")] * 4,
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 4)}))
+    LATE, OK = ts("1996-06-01"), ts("1996-01-15")
+    # order 1: supp1 late, supp2 on time -> supp1 counts
+    # order 2: supp1 AND supp2 late -> neither counts
+    # order 3: supp3 late but sole supplier (other line has NULL
+    #          suppkey -> not 'another supplier') -> no count
+    # order 4: status 'O' -> ignored entirely
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 3, 4, 4], pa.int64()),
+        "l_partkey": pa.array([1] * 8, pa.int64()),
+        "l_suppkey": pa.array([1, 2, 1, 2, 3, None, 1, 2], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 2, 1, 2, 1, 2], pa.int32()),
+        "l_quantity": pa.array([1.0] * 8, pa.float64()),
+        "l_extendedprice": pa.array([1.0] * 8, pa.float64()),
+        "l_discount": pa.array([0.0] * 8, pa.float64()),
+        "l_tax": pa.array([0.0] * 8, pa.float64()),
+        "l_returnflag": pa.array(["R"] * 8),
+        "l_linestatus": pa.array(["F"] * 8),
+        "l_shipdate": pa.array([LATE, OK, LATE, LATE, LATE, LATE,
+                                LATE, OK], pa.timestamp("us"))}))
+    out = q_sole_late_shipper(str(tmp_path))
+    got = dict(zip(out["s_name"], out["numwait"]))
+    assert got == {"s1": 1}
+
+
+def test_nation_market_share_ratio_semantics(ray_session, tmp_path):
+    """q163: the chosen nation's volume share per year; ELSE-0 keeps
+    the numerator valid when the nation never ships, and the share is
+    a plain ratio of the two sums."""
+    from web_scrapper_ray.pipelines.analytics import q_nation_market_share
+
+    ts = lambda s: pd.Timestamp(s).to_pydatetime()
+    _write(tmp_path, "region", pa.table({
+        "r_regionkey": pa.array([0], pa.int32()),
+        "r_name": pa.array(["AMERICA"])}))
+    _write(tmp_path, "nation", pa.table({
+        "n_nationkey": pa.array([0, 1], pa.int32()),
+        "n_name": pa.array(["NATION_5", "NATION_9"]),
+        "n_regionkey": pa.array([0, 0], pa.int32())}))
+    _write(tmp_path, "supplier", pa.table({
+        "s_suppkey": pa.array([1, 2], pa.int64()),
+        "s_name": pa.array(["s1", "s2"]),
+        "s_nationkey": pa.array([0, 1], pa.int32()),
+        "s_acctbal": pa.array([0.0, 0.0], pa.float64())}))
+    _write(tmp_path, "customer", pa.table({
+        "c_custkey": pa.array([10], pa.int64()),
+        "c_name": pa.array(["c"]),
+        "c_acctbal": pa.array([0.0], pa.float64()),
+        "c_nationkey": pa.array([1], pa.int32())}))
+    _write(tmp_path, "part", pa.table({
+        "p_partkey": pa.array([5, 6], pa.int64()),
+        "p_name": pa.array(["p5", "p6"]),
+        "p_brand": pa.array(["B", "B"]),
+        "p_type": pa.array(["PROMO", "STANDARD"]),
+        "p_size": pa.array([1, 1], pa.int32()),
+        "p_retailprice": pa.array([1.0, 1.0], pa.float64())}))
+    _write(tmp_path, "orders", pa.table({
+        "o_orderkey": pa.array([100, 101], pa.int64()),
+        "o_custkey": pa.array([10, 10], pa.int64()),
+        "o_orderstatus": pa.array(["F", "F"]),
+        "o_totalprice": pa.array([1.0, 1.0], pa.float64()),
+        "o_orderdate": pa.array([ts("1995-03-01"), ts("1996-03-01")],
+                                pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * 2)}))
+    # 1995: N5 ships 30, N9 ships 70 -> share 0.3
+    # 1996: only N9 ships (25, PROMO) + a STANDARD part line that
+    #       must be excluded -> share 0.0 (ELSE-0 numerator is valid)
+    _write(tmp_path, "lineitem", pa.table({
+        "l_orderkey": pa.array([100, 100, 101, 101], pa.int64()),
+        "l_partkey": pa.array([5, 5, 5, 6], pa.int64()),
+        "l_suppkey": pa.array([1, 2, 2, 1], pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 2], pa.int32()),
+        "l_quantity": pa.array([1.0] * 4, pa.float64()),
+        "l_extendedprice": pa.array([30.0, 70.0, 25.0, 99.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0] * 4, pa.float64()),
+        "l_tax": pa.array([0.0] * 4, pa.float64()),
+        "l_returnflag": pa.array(["R"] * 4),
+        "l_linestatus": pa.array(["F"] * 4),
+        "l_shipdate": pa.array([ts("1995-06-01")] * 4,
+                               pa.timestamp("us"))}))
+    out = q_nation_market_share(str(tmp_path))
+    got = dict(zip(out["o_year"], out["mkt_share"]))
+    assert got == {1995: 0.3, 1996: 0.0}

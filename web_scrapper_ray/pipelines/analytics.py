@@ -3662,3 +3662,898 @@ def q_idle_rich_customers(sf_dir: str,
                         "n_cust": g["n"].to_numpy(np.int64),
                         "total_bal": round_away(g["s"].to_numpy(), 2)})
     return out.sort_values("cc", na_position="last").reset_index(drop=True)
+
+
+def _year_of_us(us: np.ndarray) -> np.ndarray:
+    """Calendar year of int64 epoch-µs values, matching SQL ``year()``
+    (including pre-1970 — datetime64 conversion, never epoch division)."""
+    return (us.astype("datetime64[us]").astype("datetime64[Y]")
+            .astype(np.int64) + 1970)
+
+
+def q_two_nation_volume(sf_dir: str, nat_a: str = "NATION_3",
+                        nat_b: str = "NATION_7") -> pd.DataFrame:
+    """TPC-H Q7 twin: shipping volume between two nations by direction
+    and ship year. Three pipelined exchanges — suppkey, then orderkey,
+    then custkey — with the tiny nation dim broadcast into the split
+    tasks (duplicate nation rows fan supplier/customer rows out like
+    the SQL join) and per-(custkey, supp-nation, year) pre-aggregation
+    before the last hop. The disjunctive nation predicate reduces to
+    scode != ccode once both sides are semi-filtered to the two
+    nations. Revenue keeps the q134 sum-as-0 + valid-count NULL
+    contract and rounds half-away at 2dp."""
+    from .pairs import factorize_strings
+
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1995-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_nationkey"].notna()
+              & nat["n_name"].isin([nat_a, nat_b])]
+    ndim = pd.DataFrame({
+        "nkey": nat["n_nationkey"].astype(np.int64).to_numpy(),
+        "code": np.where(nat["n_name"].to_numpy() == nat_a, 0, 1)
+        .astype(np.int8)})
+    _EMPTY = pd.DataFrame({"supp_nation": pd.Series(dtype="object"),
+                           "cust_nation": pd.Series(dtype="object"),
+                           "l_year": pd.Series(dtype="int64"),
+                           "revenue": pd.Series(dtype="float64")})
+    if ndim.empty:
+        return _EMPTY
+
+    # ---- stage 1: supplier ⋈ lineitem on suppkey --------------------
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "scode": pa.array([], pa.int8()),
+                    "okey": pa.array([], pa.int64()),
+                    "yr": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_supp: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_supp:
+            if "s_suppkey" not in t.schema.names:
+                return _E1
+            df = t.to_pandas()
+            df = df[df["s_suppkey"].notna() & df["s_nationkey"].notna()]
+            df = df.assign(nkey=df["s_nationkey"].astype(np.int64)) \
+                .merge(ndim, on="nkey")  # semi-filter + dup fan-out
+            n = len(df)
+            key = df["s_suppkey"].to_numpy(np.int64)
+            return pa.table({
+                "key": pa.array(key),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "scode": pa.array(df["code"].to_numpy(np.int8)),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "vol": pa.array(np.zeros(n, np.float64)),
+                "volnull": pa.array(np.zeros(n, bool)),
+                "bucket": pa.array(key & (P - 1))})
+        if "l_suppkey" not in t.schema.names:
+            return _E1
+        sd = t.column("l_shipdate")
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("l_suppkey")),
+                          pc.is_valid(t.column("l_orderkey"))),
+            pc.and_kleene(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        vol = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        yr = _year_of_us(pc.cast(t2.column("l_shipdate"), pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        key = pc.cast(t2.column("l_suppkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "scode": pa.array(np.zeros(n, np.int8)),
+            "okey": pc.cast(t2.column("l_orderkey"), pa.int64()),
+            "yr": pa.array(yr),
+            "vol": pc.cast(pc.fill_null(vol, 0.0), pa.float64()),
+            "volnull": pc.is_null(vol),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    _O1 = pa.table({"okey": pa.array([], pa.int64()),
+                    "scode": pa.array([], pa.int8()),
+                    "yr": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        supp = df[df["side"] == 0][["key", "scode"]]
+        line = df[df["side"] == 1][["key", "okey", "yr", "vol",
+                                    "volnull"]]
+        if supp.empty or line.empty:
+            return _O1
+        j = line.merge(supp, on="key")
+        ok = j["okey"].to_numpy(np.int64)
+        return pa.table({"okey": pa.array(ok),
+                         "scode": pa.array(j["scode"].to_numpy(np.int8)),
+                         "yr": pa.array(j["yr"].to_numpy(np.int64)),
+                         "vol": pa.array(j["vol"].to_numpy(np.float64)),
+                         "volnull": pa.array(j["volnull"].to_numpy(bool)),
+                         "bucket": pa.array(ok & (P - 1))})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_orderkey", "l_shipdate",
+                 "l_extendedprice", "l_discount"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: ⋈ orders on orderkey, pre-agg per (cust,scode,yr) -
+    _E2 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "scode": pa.array([], pa.int8()),
+                    "yr": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "cust": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(t: pa.Table, is_line: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E2
+        if is_line:
+            if "okey" not in t.schema.names:
+                return _E2
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("okey"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "scode": t.column("scode"),
+                "yr": t.column("yr"),
+                "vol": t.column("vol"),
+                "volnull": t.column("volnull"),
+                "cust": pa.array(np.full(n, -1, np.int64)),
+                "bucket": t.column("bucket")})
+        if "o_orderkey" not in t.schema.names:
+            return _E2
+        keep = pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                             pc.is_valid(t.column("o_custkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        key = pc.cast(t2.column("o_orderkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "scode": pa.array(np.zeros(n, np.int8)),
+            "yr": pa.array(np.zeros(n, np.int64)),
+            "vol": pa.array(np.zeros(n, np.float64)),
+            "volnull": pa.array(np.zeros(n, bool)),
+            "cust": pc.cast(t2.column("o_custkey"), pa.int64()),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    _O2 = pa.table({"cust": pa.array([], pa.int64()),
+                    "scode": pa.array([], pa.int8()),
+                    "yr": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge2(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O2
+        df = pa.concat_tables(live).to_pandas()
+        line = df[df["side"] == 0]
+        ords = df[df["side"] == 1][["key", "cust"]]
+        if line.empty or ords.empty:
+            return _O2
+        j = line.drop(columns=["cust"]).merge(ords, on="key")
+        valid = ~j["volnull"].to_numpy()
+        g = (j.assign(v=np.where(valid, j["vol"].to_numpy(), 0.0),
+                      nv=valid.astype(np.int64))
+             .groupby(["cust", "scode", "yr"], as_index=False)
+             .agg(s=("v", lambda x: x.to_numpy().sum()),
+                  nv=("nv", "sum")))
+        cu = g["cust"].to_numpy(np.int64)
+        return pa.table({"cust": pa.array(cu),
+                         "scode": pa.array(g["scode"].to_numpy(np.int8)),
+                         "yr": pa.array(g["yr"].to_numpy(np.int64)),
+                         "s": pa.array(g["s"].to_numpy(np.float64)),
+                         "nv": pa.array(g["nv"].to_numpy(np.int64)),
+                         "bucket": pa.array(cu & (P - 1))})
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey"]
+    ).to_arrow_refs()]
+    stage2 = hash_shuffle(tagged2, split2, merge2, P=P, gather=False)
+
+    # ---- stage 3: ⋈ customer on custkey, scode != ccode -------------
+    _E3 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "scode": pa.array([], pa.int8()),
+                    "ccode": pa.array([], pa.int8()),
+                    "yr": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.float64()),
+                    "nv": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split3(t: pa.Table, is_partial: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E3
+        if is_partial:
+            if "cust" not in t.schema.names:
+                return _E3
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("cust"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "scode": t.column("scode"),
+                "ccode": pa.array(np.zeros(n, np.int8)),
+                "yr": t.column("yr"),
+                "s": t.column("s"),
+                "nv": t.column("nv"),
+                "bucket": t.column("bucket")})
+        if "c_custkey" not in t.schema.names:
+            return _E3
+        df = t.to_pandas()
+        df = df[df["c_custkey"].notna() & df["c_nationkey"].notna()]
+        df = df.assign(nkey=df["c_nationkey"].astype(np.int64)) \
+            .merge(ndim, on="nkey")
+        n = len(df)
+        key = df["c_custkey"].to_numpy(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "side": pa.array(np.ones(n, np.int8)),
+            "scode": pa.array(np.zeros(n, np.int8)),
+            "ccode": pa.array(df["code"].to_numpy(np.int8)),
+            "yr": pa.array(np.zeros(n, np.int64)),
+            "s": pa.array(np.zeros(n, np.float64)),
+            "nv": pa.array(np.zeros(n, np.int64)),
+            "bucket": pa.array(key & (P - 1))})
+
+    def merge3(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"scode": pd.Series(dtype="int8"),
+                              "ccode": pd.Series(dtype="int8"),
+                              "yr": pd.Series(dtype="int64"),
+                              "s": pd.Series(dtype="float64"),
+                              "nv": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0]
+        cust = df[df["side"] == 1][["key", "ccode"]]
+        if part.empty or cust.empty:
+            return empty
+        j = part.drop(columns=["ccode"]).merge(cust, on="key")
+        j = j[j["scode"].to_numpy() != j["ccode"].to_numpy()]
+        if j.empty:
+            return empty
+        return (j.groupby(["scode", "ccode", "yr"], as_index=False)
+                .agg(s=("s", lambda x: x.to_numpy().sum()),
+                     nv=("nv", "sum")))
+
+    tagged3 = [(r, (True,)) for r in stage2]
+    tagged3 += [(r, (False,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged3, split3, merge3, P=P)
+             if len(p)]
+    if not parts:
+        return _EMPTY
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby(["scode", "ccode", "yr"], as_index=False)
+         .agg(s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum")))
+    rev = g["s"].to_numpy(np.float64).copy()
+    rev[g["nv"].to_numpy() == 0] = np.nan
+    names = np.array([nat_a, nat_b], dtype=object)
+    out = pd.DataFrame({
+        "supp_nation": names[g["scode"].to_numpy(np.int64)],
+        "cust_nation": names[g["ccode"].to_numpy(np.int64)],
+        "l_year": g["yr"].to_numpy(np.int64),
+        "revenue": round_away(rev, 2)})
+    return out.sort_values(["supp_nation", "cust_nation", "l_year"]) \
+        .reset_index(drop=True)
+
+
+def q_sole_late_shipper(sf_dir: str, days: int = 60) -> pd.DataFrame:
+    """TPC-H Q21 twin: for finished orders, count the lineitems whose
+    supplier was the ONLY late shipper on a multi-supplier order. The
+    correlated EXISTS (another supplier participated) and NOT EXISTS
+    (no other supplier was late) both decorrelate into per-order-row
+    set statistics inside ONE orderkey exchange: distinct-supplier
+    count and distinct-late-supplier count per joined order row; a
+    late l1 row qualifies iff n_supp >= 2 and the late-supplier set is
+    exactly its own supplier. A second suppkey exchange attaches
+    supplier names (duplicate supplier rows fan counts out like SQL).
+    NULL l_suppkey rows never match either correlated subquery
+    (``<>`` against NULL is unknown) and are excluded from the set
+    stats; NULL shipdate is never late."""
+    from .pairs import factorize_strings
+
+    P = 32
+    delta_us = np.int64(days) * 86_400_000_000
+
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "supp": pa.array([], pa.int64()),
+                    "ship": pa.array([], pa.int64()),
+                    "od": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_orders:
+            if "o_orderkey" not in t.schema.names:
+                return _E1
+            # status='F' (NULL status never equal); NULL orderdate
+            # makes every lateness predicate UNKNOWN -> no l1 row of
+            # that order can qualify, drop the order row early
+            keep = pc.and_kleene(
+                pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                              pc.is_valid(t.column("o_orderdate"))),
+                pc.equal(t.column("o_orderstatus"), "F"))
+            t2 = t.filter(pc.fill_null(keep, False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("o_orderkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "supp": pa.array(np.zeros(n, np.int64)),
+                "ship": pa.array(np.zeros(n, np.int64)),
+                "od": pc.cast(t2.column("o_orderdate"), pa.int64()),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E1
+        # only valid-suppkey lines participate in l1/l2/l3 (NULL
+        # suppkey fails every <> comparison); NULL shipdate lines
+        # still EXIST for l2 (no date predicate there) — keep them,
+        # sentinel the ship µs to int64 min so they are never late
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_suppkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        ship = pc.fill_null(pc.cast(t2.column("l_shipdate"), pa.int64()),
+                            np.iinfo(np.int64).min)
+        key = pc.cast(t2.column("l_orderkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "supp": pc.cast(t2.column("l_suppkey"), pa.int64()),
+            "ship": ship,
+            "od": pa.array(np.zeros(n, np.int64)),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge1(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"supp": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        ords = df[df["side"] == 0][["key", "od"]].reset_index(drop=True)
+        line = df[df["side"] == 1][["key", "supp", "ship"]]
+        if ords.empty or line.empty:
+            return empty
+        ords = ords.assign(orow=np.arange(len(ords), dtype=np.int64))
+        j = line.merge(ords, on="key")  # fan out over dup order rows
+        if j.empty:
+            return empty
+        late = j["ship"].to_numpy(np.int64) > \
+            j["od"].to_numpy(np.int64) + delta_us
+        j = j.assign(late=late)
+        # per order row: distinct suppliers, distinct LATE suppliers
+        stats = (j.groupby("orow")
+                 .agg(n_supp=("supp", "nunique")))
+        lstats = (j[j["late"]].groupby("orow")
+                  .agg(n_late=("supp", "nunique")))
+        stats = stats.join(lstats, how="left").fillna({"n_late": 0})
+        j = j.merge(stats, left_on="orow", right_index=True)
+        ok = (j["late"].to_numpy()
+              & (j["n_supp"].to_numpy(np.int64) >= 2)
+              & (j["n_late"].to_numpy(np.int64) == 1))
+        sel = j[ok]
+        if sel.empty:
+            return empty
+        g = sel.groupby("supp", as_index=False).size()
+        return pd.DataFrame({"supp": g["supp"].to_numpy(np.int64),
+                             "n": g["size"].to_numpy(np.int64)})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"]
+    ).to_arrow_refs()]
+    import ray
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: ⋈ supplier on suppkey for names -------------------
+    _E2 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "n": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(block, is_partial: bool) -> pa.Table:
+        if is_partial:
+            df = block
+            if len(df) == 0 or "supp" not in df.columns:
+                return _E2
+            key = df["supp"].to_numpy(np.int64)
+            n = len(df)
+            return pa.table({
+                "key": pa.array(key),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "n": pa.array(df["n"].to_numpy(np.int64)),
+                "name": pa.array([None] * n, pa.string()),
+                "bucket": pa.array(key & (P - 1))})
+        t = block
+        if t.num_rows == 0 or "s_suppkey" not in t.schema.names:
+            return _E2
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("s_suppkey")),
+                                   False))
+        n = t2.num_rows
+        key = pc.cast(t2.column("s_suppkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "n": pa.array(np.zeros(n, np.int64)),
+            "name": t2.column("s_name"),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"name": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "n"]]
+        supp = df[df["side"] == 1][["key", "name"]]
+        if part.empty or supp.empty:
+            return empty
+        agg = part.groupby("key", as_index=False).agg(n=("n", "sum"))
+        j = supp.merge(agg, on="key")  # dup supplier rows fan out
+        if j.empty:
+            return empty
+        codes, uniq = factorize_strings(j["name"], use_na_sentinel=False)
+        tot = np.zeros(len(uniq), np.int64)
+        np.add.at(tot, codes, j["n"].to_numpy(np.int64))
+        names = pd.Series(np.asarray(uniq, dtype=object))
+        return pd.DataFrame({"name": names.where(names.notna(), None),
+                             "n": tot})
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged2, split2, merge2, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"s_name": pd.Series(dtype="object"),
+                          "numwait": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["name"], use_na_sentinel=False)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, codes, df["n"].to_numpy(np.int64))
+    names = pd.Series(np.asarray(uniq, dtype=object))
+    out = pd.DataFrame({"s_name": names.where(names.notna(), None),
+                        "numwait": tot})
+    return out.sort_values("s_name",
+                           na_position="last").reset_index(drop=True)
+
+
+def q_nation_market_share(sf_dir: str, nation: str = "NATION_5",
+                          region: str = "AMERICA",
+                          ptype: str = "PROMO") -> pd.DataFrame:
+    """TPC-H Q8 twin: one nation's share of a region's 'PROMO' order
+    volume per year. Four pipelined exchanges (partkey → suppkey →
+    orderkey → custkey), never a three-way shuffle: the part filter
+    semi-joins lineitem at the first hop, supplier rows carry only an
+    is-the-nation flag (the tiny nation dim is broadcast into the
+    split, duplicate rows fanning out like SQL), and per-(custkey,
+    year) CASE-split partials — numerator keeps the ELSE-0 validity
+    (a non-matching row is a VALID 0 term, so the numerator sum is
+    NULL only when every term is a NULL volume of the chosen nation)
+    — shrink the stream before the last hop. Division follows DuckDB:
+    x/0 and NULL operands yield NULL (probed), NaN flows through."""
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1995-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    # tiny dims, driver-side
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"]) \
+        .to_pandas()
+    nat = nat[nat["n_nationkey"].notna()]
+    # supplier side: every nation row, flagged (dup rows fan out)
+    sdim = pd.DataFrame({
+        "nkey": nat["n_nationkey"].astype(np.int64).to_numpy(),
+        "is_n": (nat["n_name"].to_numpy(object) == nation)})
+    # customer side: region semi-join (dup region rows multiply)
+    reg = _read(sf_dir, "region",
+                columns=["r_regionkey", "r_name"]).to_pandas()
+    reg = reg[(reg["r_name"] == region) & reg["r_regionkey"].notna()]
+    rmult = reg.groupby("r_regionkey").size()
+    natr = nat[nat["n_regionkey"].notna()]
+    w = natr["n_regionkey"].astype(np.int64).map(
+        rmult.rename(lambda k: int(k))).fillna(0).astype(np.int64)
+    cdim = pd.DataFrame({
+        "nkey": natr["n_nationkey"].astype(np.int64).to_numpy(),
+        "w": w.to_numpy()})
+    cdim = cdim[cdim["w"] > 0]
+    _EMPTY = pd.DataFrame({"o_year": pd.Series(dtype="int64"),
+                           "mkt_share": pd.Series(dtype="float64")})
+    if cdim.empty:
+        return _EMPTY
+
+    # ---- stage 1: part(type) ⋈ lineitem on partkey ------------------
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "okey": pa.array([], pa.int64()),
+                    "supp": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_part: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_part:
+            if "p_partkey" not in t.schema.names:
+                return _E1
+            keep = pc.and_kleene(pc.is_valid(t.column("p_partkey")),
+                                 pc.equal(t.column("p_type"), ptype))
+            t2 = t.filter(pc.fill_null(keep, False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("p_partkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "okey": pa.array(np.full(n, -1, np.int64)),
+                "supp": pa.array(np.zeros(n, np.int64)),
+                "vol": pa.array(np.zeros(n, np.float64)),
+                "volnull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_partkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                          pc.is_valid(t.column("l_orderkey"))),
+            pc.is_valid(t.column("l_suppkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        vol = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        key = pc.cast(t2.column("l_partkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "okey": pc.cast(t2.column("l_orderkey"), pa.int64()),
+            "supp": pc.cast(t2.column("l_suppkey"), pa.int64()),
+            "vol": pc.cast(pc.fill_null(vol, 0.0), pa.float64()),
+            "volnull": pc.is_null(vol),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    _O1 = pa.table({"okey": pa.array([], pa.int64()),
+                    "supp": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key"]]
+        line = df[df["side"] == 1][["key", "okey", "supp", "vol",
+                                    "volnull"]]
+        if part.empty or line.empty:
+            return _O1
+        j = line.merge(part, on="key")  # dup part rows fan out
+        su = j["supp"].to_numpy(np.int64)
+        return pa.table({"okey": pa.array(j["okey"].to_numpy(np.int64)),
+                         "supp": pa.array(su),
+                         "vol": pa.array(j["vol"].to_numpy(np.float64)),
+                         "volnull": pa.array(j["volnull"].to_numpy(bool)),
+                         "bucket": pa.array(su & (P - 1))})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "part", columns=["p_partkey", "p_type"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_orderkey", "l_suppkey",
+                 "l_extendedprice", "l_discount"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: ⋈ supplier on suppkey (is-nation flag) ------------
+    _E2 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "okey": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "is_n": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(t: pa.Table, is_line: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E2
+        if is_line:
+            if "okey" not in t.schema.names:
+                return _E2
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("supp"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "okey": t.column("okey"),
+                "vol": t.column("vol"),
+                "volnull": t.column("volnull"),
+                "is_n": pa.array(np.zeros(n, bool)),
+                "bucket": t.column("bucket")})
+        if "s_suppkey" not in t.schema.names:
+            return _E2
+        df = t.to_pandas()
+        df = df[df["s_suppkey"].notna() & df["s_nationkey"].notna()]
+        df = df.assign(nkey=df["s_nationkey"].astype(np.int64)) \
+            .merge(sdim, on="nkey")
+        n = len(df)
+        key = df["s_suppkey"].to_numpy(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "side": pa.array(np.ones(n, np.int8)),
+            "okey": pa.array(np.full(n, -1, np.int64)),
+            "vol": pa.array(np.zeros(n, np.float64)),
+            "volnull": pa.array(np.zeros(n, bool)),
+            "is_n": pa.array(df["is_n"].to_numpy(bool)),
+            "bucket": pa.array(key & (P - 1))})
+
+    _O2 = pa.table({"okey": pa.array([], pa.int64()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "is_n": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge2(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O2
+        df = pa.concat_tables(live).to_pandas()
+        line = df[df["side"] == 0][["key", "okey", "vol", "volnull"]]
+        supp = df[df["side"] == 1][["key", "is_n"]]
+        if line.empty or supp.empty:
+            return _O2
+        j = line.merge(supp, on="key")
+        ok = j["okey"].to_numpy(np.int64)
+        return pa.table({"okey": pa.array(ok),
+                         "vol": pa.array(j["vol"].to_numpy(np.float64)),
+                         "volnull": pa.array(j["volnull"].to_numpy(bool)),
+                         "is_n": pa.array(j["is_n"].to_numpy(bool)),
+                         "bucket": pa.array(ok & (P - 1))})
+
+    tagged2 = [(r, (True,)) for r in stage1]
+    tagged2 += [(r, (False,)) for r in _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_nationkey"]
+    ).to_arrow_refs()]
+    stage2 = hash_shuffle(tagged2, split2, merge2, P=P, gather=False)
+
+    # ---- stage 3: ⋈ orders on orderkey, pre-agg per (cust, year) ----
+    _E3 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "vol": pa.array([], pa.float64()),
+                    "volnull": pa.array([], pa.bool_()),
+                    "is_n": pa.array([], pa.bool_()),
+                    "cust": pa.array([], pa.int64()),
+                    "yr": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split3(t: pa.Table, is_line: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E3
+        if is_line:
+            if "okey" not in t.schema.names:
+                return _E3
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("okey"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "vol": t.column("vol"),
+                "volnull": t.column("volnull"),
+                "is_n": t.column("is_n"),
+                "cust": pa.array(np.full(n, -1, np.int64)),
+                "yr": pa.array(np.zeros(n, np.int64)),
+                "bucket": t.column("bucket")})
+        if "o_orderkey" not in t.schema.names:
+            return _E3
+        od = t.column("o_orderdate")
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                          pc.is_valid(t.column("o_custkey"))),
+            pc.and_kleene(pc.greater_equal(od, lo), pc.less(od, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        yr = _year_of_us(pc.cast(t2.column("o_orderdate"), pa.int64())
+                         .to_numpy(zero_copy_only=False))
+        key = pc.cast(t2.column("o_orderkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "vol": pa.array(np.zeros(n, np.float64)),
+            "volnull": pa.array(np.zeros(n, bool)),
+            "is_n": pa.array(np.zeros(n, bool)),
+            "cust": pc.cast(t2.column("o_custkey"), pa.int64()),
+            "yr": pa.array(yr),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    _O3 = pa.table({"cust": pa.array([], pa.int64()),
+                    "yr": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.float64()),
+                    "num_nv": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.float64()),
+                    "den_nv": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge3(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O3
+        df = pa.concat_tables(live).to_pandas()
+        line = df[df["side"] == 0][["key", "vol", "volnull", "is_n"]]
+        ords = df[df["side"] == 1][["key", "cust", "yr"]]
+        if line.empty or ords.empty:
+            return _O3
+        j = line.merge(ords, on="key")
+        vol = j["vol"].to_numpy(np.float64)
+        vn = j["volnull"].to_numpy(bool)
+        isn = j["is_n"].to_numpy(bool)
+        # CASE WHEN is_n THEN volume ELSE 0: the ELSE-0 is a VALID
+        # term; only (is_n AND volnull) is a skipped NULL
+        num_v = np.where(isn & ~vn, vol, 0.0)
+        num_ok = (~isn) | (~vn)
+        den_v = np.where(~vn, vol, 0.0)
+        g = (j.assign(num=num_v, num_nv=num_ok.astype(np.int64),
+                      den=den_v, den_nv=(~vn).astype(np.int64))
+             .groupby(["cust", "yr"], as_index=False)
+             .agg(num=("num", lambda x: x.to_numpy().sum()),
+                  num_nv=("num_nv", "sum"),
+                  den=("den", lambda x: x.to_numpy().sum()),
+                  den_nv=("den_nv", "sum")))
+        cu = g["cust"].to_numpy(np.int64)
+        return pa.table({"cust": pa.array(cu),
+                         "yr": pa.array(g["yr"].to_numpy(np.int64)),
+                         "num": pa.array(g["num"].to_numpy(np.float64)),
+                         "num_nv": pa.array(g["num_nv"]
+                                            .to_numpy(np.int64)),
+                         "den": pa.array(g["den"].to_numpy(np.float64)),
+                         "den_nv": pa.array(g["den_nv"]
+                                            .to_numpy(np.int64)),
+                         "bucket": pa.array(cu & (P - 1))})
+
+    tagged3 = [(r, (True,)) for r in stage2]
+    tagged3 += [(r, (False,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"]
+    ).to_arrow_refs()]
+    stage3 = hash_shuffle(tagged3, split3, merge3, P=P, gather=False)
+
+    # ---- stage 4: ⋈ customer (region semi-join) on custkey ----------
+    _E4 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "yr": pa.array([], pa.int64()),
+                    "num": pa.array([], pa.float64()),
+                    "num_nv": pa.array([], pa.int64()),
+                    "den": pa.array([], pa.float64()),
+                    "den_nv": pa.array([], pa.int64()),
+                    "w": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split4(t: pa.Table, is_partial: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E4
+        if is_partial:
+            if "cust" not in t.schema.names:
+                return _E4
+            n = t.num_rows
+            return pa.table({
+                "key": t.column("cust"),
+                "side": pa.array(np.zeros(n, np.int8)),
+                "yr": t.column("yr"),
+                "num": t.column("num"),
+                "num_nv": t.column("num_nv"),
+                "den": t.column("den"),
+                "den_nv": t.column("den_nv"),
+                "w": pa.array(np.zeros(n, np.int64)),
+                "bucket": t.column("bucket")})
+        if "c_custkey" not in t.schema.names:
+            return _E4
+        df = t.to_pandas()
+        df = df[df["c_custkey"].notna() & df["c_nationkey"].notna()]
+        df = df.assign(nkey=df["c_nationkey"].astype(np.int64)) \
+            .merge(cdim, on="nkey")
+        n = len(df)
+        key = df["c_custkey"].to_numpy(np.int64)
+        return pa.table({
+            "key": pa.array(key),
+            "side": pa.array(np.ones(n, np.int8)),
+            "yr": pa.array(np.zeros(n, np.int64)),
+            "num": pa.array(np.zeros(n, np.float64)),
+            "num_nv": pa.array(np.zeros(n, np.int64)),
+            "den": pa.array(np.zeros(n, np.float64)),
+            "den_nv": pa.array(np.zeros(n, np.int64)),
+            "w": pa.array(df["w"].to_numpy(np.int64)),
+            "bucket": pa.array(key & (P - 1))})
+
+    def merge4(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"yr": pd.Series(dtype="int64"),
+                              "num": pd.Series(dtype="float64"),
+                              "num_nv": pd.Series(dtype="int64"),
+                              "den": pd.Series(dtype="float64"),
+                              "den_nv": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0]
+        cust = df[df["side"] == 1][["key", "w"]]
+        if part.empty or cust.empty:
+            return empty
+        cw = cust.groupby("key")["w"].sum()
+        j = part.drop(columns=["w"]).merge(
+            cw.rename("w"), left_on="key", right_index=True)
+        wv = j["w"].to_numpy(np.int64).astype(np.float64)
+        return (j.assign(num=j["num"].to_numpy() * wv,
+                         num_nv=j["num_nv"].to_numpy(np.int64)
+                         * j["w"].to_numpy(np.int64),
+                         den=j["den"].to_numpy() * wv,
+                         den_nv=j["den_nv"].to_numpy(np.int64)
+                         * j["w"].to_numpy(np.int64))
+                .groupby("yr", as_index=False)
+                .agg(num=("num", lambda x: x.to_numpy().sum()),
+                     num_nv=("num_nv", "sum"),
+                     den=("den", lambda x: x.to_numpy().sum()),
+                     den_nv=("den_nv", "sum")))
+
+    tagged4 = [(r, (True,)) for r in stage3]
+    tagged4 += [(r, (False,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey", "c_nationkey"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged4, split4, merge4, P=P)
+             if len(p)]
+    if not parts:
+        return _EMPTY
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("yr", as_index=False)
+         .agg(num=("num", lambda x: x.to_numpy().sum()),
+              num_nv=("num_nv", "sum"),
+              den=("den", lambda x: x.to_numpy().sum()),
+              den_nv=("den_nv", "sum")))
+    num = g["num"].to_numpy(np.float64).copy()
+    den = g["den"].to_numpy(np.float64).copy()
+    num[g["num_nv"].to_numpy() == 0] = np.nan
+    den[g["den_nv"].to_numpy() == 0] = np.nan
+    with np.errstate(invalid="ignore", divide="ignore"):
+        share = num / den
+    share[den == 0.0] = np.nan  # DuckDB x/0 -> NULL (probed)
+    out = pd.DataFrame({"o_year": g["yr"].to_numpy(np.int64),
+                        "mkt_share": round_away(share, 6)})
+    return out.sort_values("o_year").reset_index(drop=True)
