@@ -298,6 +298,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q161_two_nation_volume": analytics.q_two_nation_volume,
         "q162_sole_late_shipper": analytics.q_sole_late_shipper,
         "q163_nation_market_share": analytics.q_nation_market_share,
+        "q164_top_revenue_supplier": analytics.q_top_revenue_supplier,
+        "q165_user_time_weighted_avg": analytics.q_user_time_weighted_avg,
+        "q166_brand_size_promo_revenue":
+            analytics.q_brand_size_promo_revenue,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2006,6 +2010,50 @@ def oracle_sql() -> dict[str, str]:
                                   THEN volume ELSE 0 END)
                          / sum(volume), 6) AS mkt_share
             FROM an GROUP BY 1 ORDER BY 1
+        """,
+        "q164_top_revenue_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey AS sk,
+                       sum(l_extendedprice * (1 - l_discount)) AS total
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                  AND l_suppkey IS NOT NULL
+                GROUP BY 1),
+            -- window max over ONE scan: a scalar subquery re-evaluates
+            -- the CTE and parallel sum order shifts the last ulp
+            m AS (SELECT sk, total, max(total) OVER () AS mx FROM rev)
+            SELECT s_suppkey, s_name,
+                   round(total, 2) AS total_revenue
+            FROM supplier JOIN m ON s_suppkey = sk
+            WHERE total = mx
+            ORDER BY 1
+        """,
+        "q165_user_time_weighted_avg": """
+            WITH e AS (
+                SELECT user_id, ts, value,
+                       lead(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nts
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL AND isfinite(value))
+            SELECT user_id,
+                   round(sum(value * (epoch_us(nts) - epoch_us(ts)))
+                         / sum(epoch_us(nts) - epoch_us(ts)), 6) AS twa
+            FROM e WHERE nts IS NOT NULL
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q166_brand_size_promo_revenue": """
+            SELECT count(*)::BIGINT AS n_items,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity >= 10)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+                   AND l_quantity >= 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+                   AND l_quantity >= 30)
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -4557,3 +4557,320 @@ def q_nation_market_share(sf_dir: str, nation: str = "NATION_5",
     out = pd.DataFrame({"o_year": g["yr"].to_numpy(np.int64),
                         "mkt_share": round_away(share, 6)})
     return out.sort_values("o_year").reset_index(drop=True)
+
+
+def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q15 twin: the supplier(s) whose quarterly revenue equals
+    the GLOBAL maximum. Per-block Arrow group partials fold into one
+    suppkey exchange that also joins supplier names; the driver sees
+    only one row per supplier (the aggregate's own output size), takes
+    the max, and keeps the ties — the classic two-pass argmax-by-
+    equality. A supplier whose every revenue term is NULL has a NULL
+    total: max() skips it and the equality can never hold (q134 NULL
+    contract). Duplicate supplier rows fan the output out like SQL's
+    join."""
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-04-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64()),
+                   "name": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_supp: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_supp:
+            if "s_suppkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("s_suppkey")),
+                                       False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("s_suppkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.ones(n, np.int8)),
+                "s": pa.array(np.zeros(n, np.float64)),
+                "nv": pa.array(np.zeros(n, np.int64)),
+                "name": t2.column("s_name"),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_suppkey" not in t.schema.names:
+            return _E
+        sd = t.column("l_shipdate")
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("l_suppkey")),
+            pc.and_kleene(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        rev = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        g = (pa.table({"key": pc.cast(t2.column("l_suppkey"), pa.int64()),
+                       "r": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+                       "v": pc.cast(pc.is_valid(rev), pa.int64())})
+             .group_by("key").aggregate([("r", "sum"), ("v", "sum")]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.zeros(n, np.int8)),
+            "s": g.column("r_sum"),
+            "nv": g.column("v_sum"),
+            "name": pa.array([None] * n, pa.string()),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"key": pd.Series(dtype="int64"),
+                              "name": pd.Series(dtype="object"),
+                              "total": pd.Series(dtype="float64"),
+                              "isnull": pd.Series(dtype="bool")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "s", "nv"]]
+        supp = df[df["side"] == 1][["key", "name"]]
+        if part.empty or supp.empty:
+            return empty
+        agg = part.groupby("key", as_index=False).agg(
+            s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
+        # nv==0 means SQL NULL total (all inputs NULL) — distinct from
+        # a genuine NaN total, which DuckDB's max() treats as GREATEST
+        agg = agg.assign(total=agg["s"].to_numpy(np.float64),
+                         isnull=agg["nv"].to_numpy() == 0)
+        j = supp.merge(agg[["key", "total", "isnull"]], on="key")
+        return j[["key", "name", "total", "isnull"]]
+
+    tagged = [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]
+    ).to_arrow_refs()]
+    tagged += [(r, (True,)) for r in _read(
+        sf_dir, "supplier", columns=["s_suppkey", "s_name"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype="object"),
+                          "total_revenue": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    df = df[~df["isnull"].to_numpy(bool)]  # NULL total: never equal
+    vals = df["total"].to_numpy(np.float64)
+    if len(vals) == 0:
+        return empty
+    if np.any(np.isnan(vals)):
+        sel = df[np.isnan(vals)]  # DuckDB total order: NaN is max
+    else:
+        sel = df[vals == vals.max()]
+    out = pd.DataFrame({"s_suppkey": sel["key"].to_numpy(np.int64),
+                        "s_name": sel["name"],
+                        "total_revenue": round_away(
+                            sel["total"].to_numpy(np.float64), 2)})
+    return out.sort_values("s_suppkey").reset_index(drop=True)
+
+
+def q_user_time_weighted_avg(sf_dir: str) -> pd.DataFrame:
+    """Per-user time-weighted average value: each event's value is
+    held until the user's next event (lead() over (ts, event_id)) and
+    integrated — Σ value·Δt / Σ Δt. The lead() decorrelates into one
+    user exchange + per-bucket lexsort and np.diff; Δt is EXACT int64
+    µs arithmetic, so only the final ratio is floating (rounded
+    half-away at 6dp). A user with a single event has no interval —
+    SQL's WHERE nts IS NOT NULL drops them on both sides; an all-zero
+    Δt user divides by zero, which DuckDB turns into NULL (probed)."""
+    P = 32
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "ts",
+                                          "value"])
+
+    _E = pa.table({"eid": pa.array([], pa.int64()),
+                   "uid": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("event_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.fill_null(pc.is_finite(t.column("value")),
+                                       False)))
+        t = t.filter(pc.fill_null(keep, False))
+        if t.num_rows == 0:
+            return _E
+        uid = pc.cast(t.column("user_id"), pa.int64())
+        return pa.table({"eid": pc.cast(t.column("event_id"), pa.int64()),
+                         "uid": uid,
+                         "t": pc.cast(t.column("ts"), pa.int64()),
+                         "v": pc.cast(t.column("value"), pa.float64()),
+                         "bucket": pc.bit_wise_and(uid, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                              "twa": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        eid = df["eid"].to_numpy(np.int64)
+        uid = df["uid"].to_numpy(np.int64)
+        ts = df["t"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((eid, ts, uid))
+        uid, ts, v = uid[order], ts[order], v[order]
+        if len(uid) == 0:
+            return empty
+        same = uid[1:] == uid[:-1]          # row i pairs with i+1
+        dt = (ts[1:] - ts[:-1]).astype(np.float64)
+        num = v[:-1] * dt
+        users, inv = np.unique(uid[:-1][same], return_inverse=True)
+        nsum = np.zeros(len(users), np.float64)
+        dsum = np.zeros(len(users), np.float64)
+        np.add.at(nsum, inv, num[same])
+        np.add.at(dsum, inv, dt[same])
+        with np.errstate(invalid="ignore", divide="ignore"):
+            twa = nsum / dsum
+        twa[dsum == 0.0] = np.nan  # DuckDB x/0 -> NULL
+        return pd.DataFrame({"user_id": users,
+                             "twa": round_away(twa, 6)})
+
+    tagged = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                             "twa": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_brand_size_promo_revenue(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q19 twin: one UNGROUPED aggregate over a three-way
+    disjunction of (brand, size-range, min-quantity) conjunctions —
+    the multi-predicate pushdown shape. One partkey exchange joins the
+    two predicate sides; the disjunction evaluates vectorized in the
+    bucket with SQL three-valued logic (NULL size/quantity fail every
+    comparison, EXCEPT that DuckDB's total order calls NaN >= q TRUE
+    — encoded). An ungrouped SQL aggregate emits EXACTLY one row even
+    on empty input (count 0, sum NULL) — the driver fold mirrors
+    that."""
+    P = 32
+    RULES = [("Brand#1", 1, 15, 10.0),
+             ("Brand#2", 10, 30, 20.0),
+             ("Brand#3", 20, 50, 30.0)]
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "brand": pa.array([], pa.string()),
+                   "size": pa.array([], pa.float64()),
+                   "qty": pa.array([], pa.float64()),
+                   "rev": pa.array([], pa.float64()),
+                   "revnull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_part: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_part:
+            if "p_partkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("p_partkey")),
+                                       False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("p_partkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "brand": t2.column("p_brand"),
+                # NULL size -> NaN fails every range check, like SQL
+                "size": pc.cast(pc.fill_null(pc.cast(
+                    t2.column("p_size"), pa.float64()), np.nan),
+                    pa.float64()),
+                "qty": pa.array(np.zeros(n, np.float64)),
+                "rev": pa.array(np.zeros(n, np.float64)),
+                "revnull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_partkey" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("l_partkey")),
+                                   False))
+        n = t2.num_rows
+        rev = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        key = pc.cast(t2.column("l_partkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "brand": pa.array([None] * n, pa.string()),
+            # NULL qty -> NaN here, but the flag separates it from a
+            # GENUINE NaN (which DuckDB's total order passes >= with)
+            "size": pc.cast(pc.is_null(t2.column("l_quantity")),
+                            pa.float64()),
+            "qty": pc.cast(pc.fill_null(t2.column("l_quantity"), np.nan),
+                           pa.float64()),
+            "rev": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+            "revnull": pc.is_null(rev),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"cnt": pd.Series(dtype="int64"),
+                              "s": pd.Series(dtype="float64"),
+                              "nv": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "brand", "size"]]
+        line = df[df["side"] == 1].rename(columns={"size": "qnull"})[
+            ["key", "qty", "qnull", "rev", "revnull"]]
+        if part.empty or line.empty:
+            return empty
+        j = line.merge(part, on="key")
+        if j.empty:
+            return empty
+        size = j["size"].to_numpy(np.float64)
+        qty = j["qty"].to_numpy(np.float64)
+        qnull = j["qnull"].to_numpy(np.float64) > 0.5
+        brand = j["brand"].to_numpy(object)
+        # SQL three-valued logic: NULL quantity fails >=, but a
+        # GENUINE NaN quantity PASSES it (NaN >= q is TRUE in DuckDB's
+        # comparison total order). revnull only affects the sum.
+        qpass_nan = np.isnan(qty) & ~qnull
+        mask = np.zeros(len(j), bool)
+        for b, s_lo, s_hi, q_min in RULES:
+            mask |= ((brand == b) & (size >= s_lo) & (size <= s_hi)
+                     & ((qty >= q_min) | qpass_nan))
+        sel_rev = j["rev"].to_numpy(np.float64)[mask]
+        sel_nv = (~j["revnull"].to_numpy())[mask]
+        return pd.DataFrame({
+            "cnt": [np.int64(mask.sum())],
+            "s": [np.where(sel_nv, sel_rev, 0.0).sum()],
+            "nv": [np.int64(sel_nv.sum())]})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "part", columns=["p_partkey", "p_brand", "p_size"]
+    ).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_quantity", "l_extendedprice",
+                 "l_discount"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    cnt = np.int64(sum(int(p["cnt"].sum()) for p in parts))
+    s = float(sum(float(p["s"].sum()) for p in parts))
+    nv = int(sum(int(p["nv"].sum()) for p in parts))
+    return pd.DataFrame({
+        "n_items": [cnt],
+        "revenue": [round_away(np.array([s]), 2)[0] if nv else np.nan]})
