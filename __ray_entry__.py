@@ -302,6 +302,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q165_user_time_weighted_avg": analytics.q_user_time_weighted_avg,
         "q166_brand_size_promo_revenue":
             analytics.q_brand_size_promo_revenue,
+        "q167_customer_order_counts": analytics.q_customer_order_counts,
+        "q168_promo_revenue_share": analytics.q_promo_revenue_share,
+        "q169_min_balance_supplier":
+            analytics.q_min_balance_supplier_per_part,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2054,6 +2058,43 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity >= 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
                    AND l_quantity >= 30)
+        """,
+        "q167_customer_order_counts": """
+            WITH c AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT JOIN orders
+                  ON c_custkey = o_custkey
+                 AND o_orderpriority <> '4-NOT SPECIFIED'
+                GROUP BY 1)
+            SELECT c_count::BIGINT AS c_count,
+                   count(*)::BIGINT AS custdist
+            FROM c GROUP BY 1
+            ORDER BY custdist DESC, c_count DESC
+        """,
+        "q168_promo_revenue_share": """
+            SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                                          THEN l_extendedprice
+                                               * (1 - l_discount)
+                                          ELSE 0 END)
+                         / sum(l_extendedprice * (1 - l_discount)), 6)
+                       AS promo_share
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+              AND l_shipdate < TIMESTAMP '1996-10-01'
+        """,
+        "q169_min_balance_supplier": """
+            WITH ps AS (
+                SELECT DISTINCT l_partkey AS pk, l_suppkey AS sk
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+            j AS (SELECT pk, sk, s_name, s_acctbal
+                  FROM ps JOIN supplier ON s_suppkey = sk),
+            m AS (SELECT pk, min(s_acctbal) AS mn FROM j GROUP BY 1)
+            SELECT j.pk AS p_partkey, j.sk AS s_suppkey,
+                   j.s_name, j.s_acctbal
+            FROM j JOIN m ON j.pk = m.pk
+            WHERE j.s_acctbal = m.mn
+            ORDER BY 1, 2, 3
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -4874,3 +4874,363 @@ def q_brand_size_promo_revenue(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "n_items": [cnt],
         "revenue": [round_away(np.array([s]), 2)[0] if nv else np.nan]})
+
+
+def q_customer_order_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q13 twin: the distribution of per-customer order counts
+    (LEFT JOIN keeps zero-order customers), excluding one priority
+    class via the ON clause. One custkey exchange carries per-block
+    Arrow partials from both sides — customer row multiplicities and
+    per-custkey non-NULL-orderkey counts — so a bucket sees one row
+    per (block, custkey), never the join. SQL's GROUP BY c_custkey
+    folds duplicate customer rows into ONE group whose joined count
+    is multiplied by the row multiplicity (m·cnt); all NULL-custkey
+    customer rows form a single group with count 0 (they join
+    nothing). Each bucket emits its local histogram; the driver folds
+    P small histograms."""
+    P = 32
+    EXCL = "4-NOT SPECIFIED"
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "cnt": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_cust: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_cust:
+            if "c_custkey" not in t.schema.names:
+                return _E
+            ck = t.column("c_custkey")
+            n_null = int(pc.sum(pc.cast(pc.is_null(ck),
+                                        pa.int64())).as_py() or 0)
+            t2 = t.filter(pc.fill_null(pc.is_valid(ck), False))
+            key = pc.cast(t2.column("c_custkey"), pa.int64())
+            parts = [pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(t2.num_rows, np.int8)),
+                "cnt": pa.array(np.zeros(t2.num_rows, np.int64)),
+                "bucket": pc.bit_wise_and(key, P - 1)})]
+            if n_null:
+                # the single NULL-custkey group, routed to bucket 0
+                parts.append(pa.table({
+                    "key": pa.array([0], pa.int64()),
+                    "side": pa.array([2], pa.int8()),
+                    "cnt": pa.array([n_null], pa.int64()),
+                    "bucket": pa.array([0], pa.int64())}))
+            return pa.concat_tables(parts)
+        if "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("o_custkey")),
+            pc.not_equal(t.column("o_orderpriority"), EXCL))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"key": pc.cast(t2.column("o_custkey"), pa.int64()),
+                       "c": pc.cast(pc.is_valid(t2.column("o_orderkey")),
+                                    pa.int64())})
+             .group_by("key").aggregate([("c", "sum")]))
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(g.num_rows, np.int8)),
+            "cnt": g.column("c_sum"),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                              "custdist": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        side = df["side"].to_numpy()
+        null_groups = int((side == 2).any())
+        cust = df[side == 0]
+        ords = df[side == 1]
+        hist: dict[int, int] = {}
+        if not cust.empty:
+            key = cust["key"].to_numpy(np.int64)
+            uk, mult = np.unique(key, return_counts=True)
+            cnt = np.zeros(len(uk), np.int64)
+            if not ords.empty:
+                ok = ords["key"].to_numpy(np.int64)
+                oc = ords["cnt"].to_numpy(np.int64)
+                pos = np.searchsorted(uk, ok)
+                inb = (pos < len(uk))
+                pos2 = np.minimum(pos, len(uk) - 1)
+                inb &= uk[pos2] == ok
+                np.add.at(cnt, pos2[inb], oc[inb])
+            cc = mult.astype(np.int64) * cnt
+            uc, nd = np.unique(cc, return_counts=True)
+            hist = dict(zip(uc.tolist(), nd.tolist()))
+        if null_groups:
+            hist[0] = hist.get(0, 0) + 1
+        return pd.DataFrame({"c_count": list(hist.keys()),
+                             "custdist": list(hist.values())})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "customer", columns=["c_custkey"]).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderpriority"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"c_count": pd.Series(dtype="int64"),
+                             "custdist": pd.Series(dtype="int64")})
+    out = (pd.concat(parts, ignore_index=True)
+           .groupby("c_count", as_index=False)["custdist"].sum())
+    out["c_count"] = out["c_count"].astype(np.int64)
+    out["custdist"] = out["custdist"].astype(np.int64)
+    return (out.sort_values(["custdist", "c_count"],
+                            ascending=[False, False])
+            .reset_index(drop=True))
+
+
+def q_promo_revenue_share(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q14 twin: the percentage of one month's revenue from
+    PROMO-type parts. One partkey exchange joins the month's lineitems
+    to the part dim; each bucket emits three scalars (promo sum,
+    total sum, total valid-count) and the driver folds P rows.
+    SQL contracts encoded: the CASE's ELSE 0 keeps the numerator
+    non-NULL whenever the join is non-empty (a NULL revenue inside
+    the THEN branch is skipped by sum); the bare denominator sum IS
+    NULL when every joined revenue is NULL; x/0.0 and x/NULL are NULL
+    in DuckDB (probed); an ungrouped aggregate emits exactly one row
+    even on empty input. NULL p_type fails LIKE, landing in ELSE."""
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1996-09-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1996-10-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "promo": pa.array([], pa.bool_()),
+                   "rev": pa.array([], pa.float64()),
+                   "revnull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_part: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_part:
+            if "p_partkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("p_partkey")),
+                                       False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("p_partkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "promo": pc.fill_null(
+                    pc.starts_with(t2.column("p_type"), "PROMO"), False),
+                "rev": pa.array(np.zeros(n, np.float64)),
+                "revnull": pa.array(np.zeros(n, bool)),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_partkey" not in t.schema.names:
+            return _E
+        sd = t.column("l_shipdate")
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("l_partkey")),
+            pc.and_kleene(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        rev = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        key = pc.cast(t2.column("l_partkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "promo": pa.array(np.zeros(n, bool)),
+            "rev": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+            "revnull": pc.is_null(rev),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"ps": pd.Series(dtype="float64"),
+                              "ts": pd.Series(dtype="float64"),
+                              "tv": pd.Series(dtype="int64"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "promo"]]
+        line = df[df["side"] == 1][["key", "rev", "revnull"]]
+        if part.empty or line.empty:
+            return empty
+        j = line.merge(part, on="key")
+        if j.empty:
+            return empty
+        rev = j["rev"].to_numpy(np.float64)
+        valid = ~j["revnull"].to_numpy()
+        promo = j["promo"].to_numpy() & valid
+        return pd.DataFrame({
+            "ps": [rev[promo].sum()],
+            "ts": [rev[valid].sum()],
+            "tv": [np.int64(valid.sum())],
+            "n": [np.int64(len(j))]})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "part", columns=["p_partkey", "p_type"]).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                 "l_discount"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    n = sum(int(p["n"].sum()) for p in parts)
+    tv = sum(int(p["tv"].sum()) for p in parts)
+    if n == 0 or tv == 0:
+        return pd.DataFrame({"promo_share": [np.nan]})
+    ps = float(sum(float(p["ps"].sum()) for p in parts))
+    ts = float(sum(float(p["ts"].sum()) for p in parts))
+    if ts == 0.0:
+        return pd.DataFrame({"promo_share": [np.nan]})
+    return pd.DataFrame({
+        "promo_share": [round_away(np.array([100.0 * ps / ts]), 6)[0]]})
+
+
+def q_min_balance_supplier_per_part(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q2 twin (no partsupp table): for every part ever shipped,
+    the supplier(s) whose account balance equals the per-part MINIMUM
+    over its distinct shippers. Two exchanges: (1) distinct (partkey,
+    suppkey) pairs — per-block Arrow-distinct, globally deduped in the
+    suppkey bucket — join supplier rows there (duplicate supplier rows
+    fan out like SQL); (2) re-partition on partkey, where each bucket
+    takes min over VALID balances (an all-NULL part vanishes — the
+    equality can never hold) and keeps the ties. No arithmetic touches
+    the balance, so float equality is exact."""
+    P = 32
+
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "pk": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "bal": pa.array([], pa.float64()),
+                    "balnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_supp: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_supp:
+            if "s_suppkey" not in t.schema.names:
+                return _E1
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("s_suppkey")),
+                                       False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("s_suppkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "pk": pa.array(np.zeros(n, np.int64)),
+                "name": t2.column("s_name"),
+                "bal": pc.cast(pc.fill_null(t2.column("s_acctbal"), 0.0),
+                               pa.float64()),
+                "balnull": pc.is_null(t2.column("s_acctbal")),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_suppkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                             pc.is_valid(t.column("l_suppkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        g = (pa.table({"key": pc.cast(t2.column("l_suppkey"), pa.int64()),
+                       "pk": pc.cast(t2.column("l_partkey"), pa.int64())})
+             .group_by(["key", "pk"]).aggregate([]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "pk": g.column("pk"),
+            "name": pa.array([None] * n, pa.string()),
+            "bal": pa.array(np.zeros(n, np.float64)),
+            "balnull": pa.array(np.zeros(n, bool)),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    _O1 = pa.table({"pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "bal": pa.array([], pa.float64()),
+                    "balnull": pa.array([], pa.bool_())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        supp = df[df["side"] == 0][["key", "name", "bal", "balnull"]]
+        pairs = (df[df["side"] == 1][["key", "pk"]]
+                 .drop_duplicates())  # int64 keys: hashing exact
+        if supp.empty or pairs.empty:
+            return _O1
+        j = pairs.merge(supp, on="key")
+        return pa.table({
+            "pk": pa.array(j["pk"].to_numpy(np.int64)),
+            "sk": pa.array(j["key"].to_numpy(np.int64)),
+            "name": pa.array(j["name"].to_numpy(object), pa.string()),
+            "bal": pa.array(j["bal"].to_numpy(np.float64)),
+            "balnull": pa.array(j["balnull"].to_numpy(bool))})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "supplier",
+        columns=["s_suppkey", "s_name", "s_acctbal"]).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey"]).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    # ---- stage 2: per-part min + tie keep over partkey --------------
+    _E2 = pa.table({"pk": pa.array([], pa.int64()),
+                    "sk": pa.array([], pa.int64()),
+                    "name": pa.array([], pa.string()),
+                    "bal": pa.array([], pa.float64()),
+                    "balnull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "pk" not in t.schema.names:
+            return _E2
+        return t.append_column(
+            "bucket", pc.bit_wise_and(t.column("pk"), P - 1))
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({
+            "p_partkey": pd.Series(dtype="int64"),
+            "s_suppkey": pd.Series(dtype="int64"),
+            "s_name": pd.Series(dtype="object"),
+            "s_acctbal": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        valid = ~df["balnull"].to_numpy()
+        dv = df[valid]
+        if dv.empty:
+            return empty
+        mn = dv.groupby("pk")["bal"].min()
+        j = dv.merge(mn.rename("mn"), left_on="pk", right_index=True)
+        j = j[j["bal"].to_numpy() == j["mn"].to_numpy()]
+        return pd.DataFrame({
+            "p_partkey": j["pk"].to_numpy(np.int64),
+            "s_suppkey": j["sk"].to_numpy(np.int64),
+            "s_name": j["name"].to_numpy(object),
+            "s_acctbal": j["bal"].to_numpy(np.float64)})
+
+    parts = [p for p in hash_shuffle([(r, ()) for r in stage1],
+                                     split2, merge2, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({
+            "p_partkey": pd.Series(dtype="int64"),
+            "s_suppkey": pd.Series(dtype="int64"),
+            "s_name": pd.Series(dtype="object"),
+            "s_acctbal": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    return (out.sort_values(["p_partkey", "s_suppkey"])
+            .reset_index(drop=True))
