@@ -306,6 +306,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q168_promo_revenue_share": analytics.q_promo_revenue_share,
         "q169_min_balance_supplier":
             analytics.q_min_balance_supplier_per_part,
+        "q170_important_parts": analytics.q_important_parts,
+        "q171_brand_size_suppliers":
+            analytics.q_brand_size_supplier_counts,
+        "q172_priority_line_counts": analytics.q_priority_line_counts,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2095,6 +2099,42 @@ def oracle_sql() -> dict[str, str]:
             FROM j JOIN m ON j.pk = m.pk
             WHERE j.s_acctbal = m.mn
             ORDER BY 1, 2, 3
+        """,
+        "q170_important_parts": """
+            WITH pv AS (
+                SELECT l_partkey AS pk,
+                       sum(l_extendedprice * (1 - l_discount)) AS val
+                FROM lineitem WHERE l_partkey IS NOT NULL
+                GROUP BY 1),
+            g AS (SELECT sum(val) AS tot, count(val) AS cnt FROM pv)
+            SELECT pk AS p_partkey, round(val, 2) AS value
+            FROM pv, g WHERE val > tot * 1.5 / cnt
+            ORDER BY 1
+        """,
+        "q171_brand_size_suppliers": """
+            SELECT p_brand, p_size::DOUBLE AS p_size,
+                   count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE l_suppkey NOT IN (
+                SELECT s_suppkey FROM supplier
+                WHERE s_acctbal < 0 AND s_suppkey IS NOT NULL)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "q172_priority_line_counts": """
+            SELECT l_linestatus,
+                   sum(CASE WHEN o_orderpriority IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS high_line_count,
+                   sum(CASE WHEN o_orderpriority NOT IN
+                                 ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END)::BIGINT
+                       AS low_line_count
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY 1 ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

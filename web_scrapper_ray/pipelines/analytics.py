@@ -5234,3 +5234,353 @@ def q_min_balance_supplier_per_part(sf_dir: str) -> pd.DataFrame:
     out = pd.concat(parts, ignore_index=True)
     return (out.sort_values(["p_partkey", "s_suppkey"])
             .reset_index(drop=True))
+
+
+def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
+    """TPC-H Q11 twin (no partsupp): parts whose total revenue exceeds
+    ``mult``x the AVERAGE per-part revenue (Q11's fraction scaled by
+    part count, so the predicate stays scale-invariant). One partkey exchange folds per-block
+    Arrow partials into per-part totals that stay in the object store
+    (``gather=False``); a scalar task per bucket returns its local
+    (sum, valid-count) so the driver folds P pairs into the global
+    threshold, and a filter task per bucket keeps only survivors — the
+    driver never holds the per-part table, only the result. A part
+    whose every revenue term is NULL has a NULL total: NULL > thr is
+    never true, and it contributes nothing to the global sum."""
+    import ray
+
+    P = 32
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("l_partkey")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        rev = pc.multiply(t2.column("l_extendedprice"),
+                          pc.subtract(pa.scalar(1.0, pa.float64()),
+                                      t2.column("l_discount")))
+        g = (pa.table({"key": pc.cast(t2.column("l_partkey"), pa.int64()),
+                       "r": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+                       "v": pc.cast(pc.is_valid(rev), pa.int64())})
+             .group_by("key").aggregate([("r", "sum"), ("v", "sum")]))
+        return pa.table({"key": g.column("key"),
+                         "s": g.column("r_sum"),
+                         "nv": g.column("v_sum"),
+                         "bucket": pc.bit_wise_and(g.column("key"),
+                                                   P - 1)})
+
+    _O = pa.table({"key": pa.array([], pa.int64()),
+                   "val": pa.array([], pa.float64())})
+
+    def merge(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O
+        df = pa.concat_tables(live).to_pandas()
+        g = df.groupby("key", as_index=False).agg(
+            s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
+        g = g[g["nv"].to_numpy() > 0]  # all-NULL part: SQL NULL total
+        return pa.table({"key": pa.array(g["key"].to_numpy(np.int64)),
+                         "val": pa.array(g["s"].to_numpy(np.float64))})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_extendedprice", "l_discount"]
+    ).to_arrow_refs()]
+    refs = hash_shuffle(tagged, split, merge, P=P, gather=False)
+
+    @ray.remote
+    def local_sum(t: pa.Table):
+        if t.num_rows == 0 or "val" not in t.schema.names:
+            return 0.0, 0
+        v = t.column("val").to_numpy(zero_copy_only=False)
+        return float(v.sum()), len(v)
+
+    @ray.remote
+    def keep_above(t: pa.Table, thr: float) -> pd.DataFrame:
+        if t.num_rows == 0 or "val" not in t.schema.names:
+            return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                                 "value": pd.Series(dtype="float64")})
+        v = t.column("val").to_numpy(zero_copy_only=False)
+        k = t.column("key").to_numpy(zero_copy_only=False)
+        m = v > thr
+        return pd.DataFrame({"p_partkey": k[m],
+                             "value": round_away(v[m], 2)})
+
+    partials = ray.get([local_sum.remote(r) for r in refs])
+    n = sum(p[1] for p in partials)
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "value": pd.Series(dtype="float64")})
+    if n == 0:
+        return empty
+    thr = sum(p[0] for p in partials) * mult / n
+    parts = [p for p in ray.get([keep_above.remote(r, thr) for r in refs])
+             if len(p)]
+    if not parts:
+        return empty
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("p_partkey").reset_index(drop=True))
+
+
+def q_brand_size_supplier_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q16 twin (no partsupp): distinct shippers per (brand,
+    size), excluding negative-balance suppliers via a BROADCAST anti-
+    set (supplier is the dim side — the exclusion set ships once per
+    worker, not per batch). Exchange 1 joins lineitem to part on
+    partkey and emits per-bucket DISTINCT (brand, size, suppkey)
+    triples; exchange 2 re-buckets on the full-byte string hash of
+    brand so one bucket owns each output group, dedups globally, and
+    counts. NULL l_suppkey is dropped like SQL's NOT IN + COUNT
+    (both reject NULLs); NULL brand/size are legitimate group keys
+    (coded driver-independent grouping, NUL-safe). p_size is cast to
+    DOUBLE on both sides — a NULL-able int32 would otherwise arrive
+    float64 from DuckDB but int32 from a clean engine run."""
+    from .pairs import coded_keys, str_u64
+
+    P = 32
+
+    bad = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
+                ).to_pandas()
+    bal = bad["s_acctbal"].to_numpy(np.float64)
+    badset = np.unique(
+        bad["s_suppkey"].to_numpy()[np.nan_to_num(bal, nan=0.0) < 0])
+    badset = badset[~pd.isna(badset)].astype(np.int64)
+
+    _E1 = pa.table({"key": pa.array([], pa.int64()),
+                    "side": pa.array([], pa.int8()),
+                    "sk": pa.array([], pa.int64()),
+                    "brand": pa.array([], pa.string()),
+                    "size": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table, is_part: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E1
+        if is_part:
+            if "p_partkey" not in t.schema.names:
+                return _E1
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("p_partkey")),
+                                       False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("p_partkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "sk": pa.array(np.zeros(n, np.int64)),
+                "brand": t2.column("p_brand"),
+                "size": pc.cast(t2.column("p_size"), pa.float64()),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_partkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                             pc.is_valid(t.column("l_suppkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        sk = t2.column("l_suppkey").to_numpy(zero_copy_only=False)
+        m = ~np.isin(sk.astype(np.int64), badset)
+        t2 = t2.filter(pa.array(m))
+        g = (pa.table({"key": pc.cast(t2.column("l_partkey"), pa.int64()),
+                       "sk": pc.cast(t2.column("l_suppkey"), pa.int64())})
+             .group_by(["key", "sk"]).aggregate([]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "sk": g.column("sk"),
+            "brand": pa.array([None] * n, pa.string()),
+            "size": pa.array(np.zeros(n, np.float64)),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    _O1 = pa.table({"brand": pa.array([], pa.string()),
+                    "size": pa.array([], pa.float64()),
+                    "sk": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        part = df[df["side"] == 0][["key", "brand", "size"]]
+        line = (df[df["side"] == 1][["key", "sk"]]
+                .drop_duplicates())  # int64 keys: hashing exact
+        if part.empty or line.empty:
+            return _O1
+        j = line.merge(part, on="key")
+        if j.empty:
+            return _O1
+        cj, restore = coded_keys(j, ["brand"])
+        d = cj[["brand", "size", "sk"]].drop_duplicates()
+        d = restore(d)
+        b = d["brand"].map(
+            lambda v: str_u64(v) if isinstance(v, str) else 0)
+        return pa.table({
+            "brand": pa.array(d["brand"].to_numpy(object), pa.string()),
+            "size": pa.array(d["size"].to_numpy(np.float64)),
+            "sk": pa.array(d["sk"].to_numpy(np.int64)),
+            "bucket": pa.array((b.to_numpy(np.uint64) & np.uint64(P - 1))
+                               .astype(np.int64))})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "part",
+        columns=["p_partkey", "p_brand", "p_size"]).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey"]).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    def split2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "sk" not in t.schema.names:
+            return _O1
+        return t  # bucket column already present
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                              "p_size": pd.Series(dtype="float64"),
+                              "supplier_cnt": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["brand"])
+        d = cj.drop_duplicates()
+        g = (d.groupby(["brand", "size"], as_index=False, dropna=False)
+             .agg(supplier_cnt=("sk", "size")))
+        g = restore(g)
+        return pd.DataFrame({
+            "p_brand": g["brand"].to_numpy(object),
+            "p_size": g["size"].to_numpy(np.float64),
+            "supplier_cnt": g["supplier_cnt"].to_numpy(np.int64)})
+
+    parts = [p for p in hash_shuffle([(r, ()) for r in stage1],
+                                     split2, merge2, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "p_size": pd.Series(dtype="float64"),
+                             "supplier_cnt": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
+    return (out.sort_values(["supplier_cnt", "p_brand", "p_size"],
+                            ascending=[False, True, True])
+            .reset_index(drop=True))
+
+
+def q_priority_line_counts(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q12 twin (no shipmode column): per l_linestatus, how many
+    1996-shipped lineitems belong to high-priority vs low-priority
+    orders. One orderkey exchange; each bucket joins and emits partial
+    (linestatus, high, low) counts, the driver folds a handful of
+    rows on full-byte string codes (linestatus can carry NULs/NULLs).
+    SQL's CASE three-valued logic: a NULL priority fails BOTH ``IN``
+    and ``NOT IN``, counting in neither column; a NUL-variant like
+    '1-URGENT\\x00z' is a DIFFERENT string that lands in low."""
+    from .pairs import coded_keys
+
+    HIGH = {"1-URGENT", "2-HIGH"}
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "cls": pa.array([], pa.int8()),
+                   "status": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_orders:
+            if "o_orderkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("o_orderkey")),
+                                       False))
+            pri = t2.column("o_orderpriority").to_numpy(
+                zero_copy_only=False)
+            cls = np.full(len(pri), 0, np.int8)  # low
+            for h in HIGH:
+                cls[pri == h] = 1
+            cls[pd.isna(pri)] = -1  # NULL: counts in NEITHER
+            key = pc.cast(t2.column("o_orderkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(len(pri), np.int8)),
+                "cls": pa.array(cls),
+                "status": pa.array([None] * len(pri), pa.string()),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E
+        sd = t.column("l_shipdate")
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("l_orderkey")),
+            pc.and_kleene(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        n = t2.num_rows
+        key = pc.cast(t2.column("l_orderkey"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(np.ones(n, np.int8)),
+            "cls": pa.array(np.zeros(n, np.int8)),
+            "status": t2.column("l_linestatus"),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"l_linestatus": pd.Series(dtype="object"),
+                              "high": pd.Series(dtype="int64"),
+                              "low": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        ords = df[df["side"] == 0][["key", "cls"]]
+        line = df[df["side"] == 1][["key", "status"]]
+        if ords.empty or line.empty:
+            return empty
+        j = line.merge(ords, on="key")
+        if j.empty:
+            return empty
+        cls = j["cls"].to_numpy(np.int8)
+        j = j.assign(h=(cls == 1).astype(np.int64),
+                     lw=(cls == 0).astype(np.int64))
+        cj, restore = coded_keys(j, ["status"])
+        g = (cj.groupby("status", as_index=False, dropna=False)
+             .agg(high=("h", "sum"), lw=("lw", "sum")))
+        g = restore(g)
+        return pd.DataFrame({"l_linestatus": g["status"].to_numpy(object),
+                             "high": g["high"].to_numpy(np.int64),
+                             "low": g["lw"].to_numpy(np.int64)})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderpriority"]).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_linestatus", "l_shipdate"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"l_linestatus": pd.Series(dtype="object"),
+                          "high_line_count": pd.Series(dtype="int64"),
+                          "low_line_count": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    cj, restore = coded_keys(allp, ["l_linestatus"])
+    g = (cj.groupby("l_linestatus", as_index=False, dropna=False)
+         .agg(high_line_count=("high", "sum"),
+              low_line_count=("low", "sum")))
+    g = restore(g)
+    g["high_line_count"] = g["high_line_count"].astype(np.int64)
+    g["low_line_count"] = g["low_line_count"].astype(np.int64)
+    key = g["l_linestatus"].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex()
+        if isinstance(v, str) else "￿")
+    return (g.loc[key.sort_values().index]
+            .reset_index(drop=True))
