@@ -310,6 +310,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q171_brand_size_suppliers":
             analytics.q_brand_size_supplier_counts,
         "q172_priority_line_counts": analytics.q_priority_line_counts,
+        "q173_dominant_red_suppliers":
+            analytics.q_dominant_red_suppliers,
+        "q174_value_percent_rank": analytics.q_value_percent_rank,
+        "q175_zipf_slope": analytics.q_zipf_slope,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2135,6 +2139,51 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1997-01-01'
             GROUP BY 1 ORDER BY 1
+        """,
+        "q173_dominant_red_suppliers": """
+            WITH rp AS (
+                SELECT p_partkey AS pk FROM part
+                WHERE p_name LIKE 'red%' AND p_partkey IS NOT NULL),
+            l AS (
+                SELECT l_partkey AS pk, l_suppkey AS sk,
+                       l_quantity AS q
+                FROM lineitem JOIN rp ON l_partkey = rp.pk
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                  AND l_suppkey IS NOT NULL),
+            ps AS (SELECT pk, sk, sum(q) AS sq FROM l GROUP BY 1, 2),
+            pt AS (SELECT pk, sum(q) AS tq FROM l GROUP BY 1),
+            qual AS (SELECT DISTINCT sk FROM ps
+                     JOIN pt ON ps.pk = pt.pk
+                     WHERE ps.sq > 0.5 * pt.tq)
+            SELECT s_suppkey, s_name
+            FROM supplier JOIN qual ON s_suppkey = qual.sk
+            ORDER BY 1, 2
+        """,
+        "q174_value_percent_rank": """
+            SELECT event_id,
+                   percent_rank() OVER (PARTITION BY user_id
+                                        ORDER BY value) AS pr,
+                   cume_dist() OVER (PARTITION BY user_id
+                                     ORDER BY value) AS cd
+            FROM events
+            WHERE event_id IS NOT NULL AND user_id IS NOT NULL
+              AND isfinite(value)
+            ORDER BY event_id
+        """,
+        "q175_zipf_slope": """
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(text), '\\w+'))
+                    AS word
+                FROM documents),
+            f AS (SELECT word, count(*)::DOUBLE AS f FROM w GROUP BY 1
+                  ORDER BY f DESC, word LIMIT 100),
+            r AS (SELECT f, row_number() OVER (ORDER BY f DESC, word)
+                         AS rk
+                  FROM f)
+            SELECT round(regr_slope(ln(f), ln(rk)), 6) AS zipf_slope,
+                   count(*)::BIGINT AS n_words
+            FROM r
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -5584,3 +5584,253 @@ def q_priority_line_counts(sf_dir: str) -> pd.DataFrame:
         if isinstance(v, str) else "￿")
     return (g.loc[key.sort_values().index]
             .reset_index(drop=True))
+
+
+def q_dominant_red_suppliers(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q20 twin (no partsupp): suppliers who shipped MORE THAN
+    HALF of some red part's total 1996 volume. The red-part filter is
+    a BROADCAST set (part is the dim side); one partkey exchange then
+    computes per-(part, supplier) and per-part quantity sums in the
+    same bucket, so the half-share predicate never shuffles twice.
+    Quantities live on a 0.5 grid, so every partial sum is exactly
+    representable and the strict > at exactly-half is bit-exact on
+    both sides. The small qualifying-supplier set broadcasts into a
+    supplier scan whose duplicate rows fan out like SQL's join. A
+    part or pair whose every quantity is NULL has a NULL sum: the
+    comparison is never true."""
+    import ray
+
+    P = 32
+    lo = pa.scalar(pd.Timestamp("1996-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+    hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(),
+                   pa.timestamp("us"))
+
+    red = _read(sf_dir, "part", columns=["p_partkey", "p_name"]
+                ).to_pandas()
+    nm = red["p_name"]
+    isred = nm.notna() & nm.str.startswith("red", na=False)
+    redset = np.unique(red.loc[isred & red["p_partkey"].notna(),
+                               "p_partkey"].to_numpy(np.int64))
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "sk": pa.array([], pa.int64()),
+                   "q": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return _E
+        sd = t.column("l_shipdate")
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                          pc.is_valid(t.column("l_suppkey"))),
+            pc.and_kleene(pc.greater_equal(sd, lo), pc.less(sd, hi)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        pk = t2.column("l_partkey").to_numpy(zero_copy_only=False)
+        t2 = t2.filter(pa.array(np.isin(pk.astype(np.int64), redset)))
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"key": pc.cast(t2.column("l_partkey"), pa.int64()),
+                       "sk": pc.cast(t2.column("l_suppkey"), pa.int64()),
+                       "q": pc.cast(pc.fill_null(t2.column("l_quantity"),
+                                                 0.0), pa.float64()),
+                       "v": pc.cast(pc.is_valid(t2.column("l_quantity")),
+                                    pa.int64())})
+             .group_by(["key", "sk"]).aggregate([("q", "sum"),
+                                                 ("v", "sum")]))
+        return pa.table({"key": g.column("key"),
+                         "sk": g.column("sk"),
+                         "q": g.column("q_sum"),
+                         "nv": g.column("v_sum"),
+                         "bucket": pc.bit_wise_and(g.column("key"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"sk": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        g = df.groupby(["key", "sk"], as_index=False).agg(
+            q=("q", "sum"), nv=("nv", "sum"))
+        g = g[g["nv"].to_numpy() > 0]  # all-NULL pair: SQL NULL sum
+        if g.empty:
+            return pd.DataFrame({"sk": pd.Series(dtype="int64")})
+        tot = g.groupby("key")["q"].sum()
+        j = g.merge(tot.rename("tq"), left_on="key", right_index=True)
+        j = j[j["q"].to_numpy() > 0.5 * j["tq"].to_numpy()]
+        return pd.DataFrame({"sk": np.unique(j["sk"].to_numpy(np.int64))})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"s_suppkey": pd.Series(dtype="int64"),
+                          "s_name": pd.Series(dtype="object")})
+    if not parts:
+        return empty
+    qual = np.unique(np.concatenate(
+        [p["sk"].to_numpy(np.int64) for p in parts]))
+    qref = ray.put(qual)
+
+    def pick(batch: pa.Table, q=qref) -> pa.Table:
+        qs = ray.get(q) if isinstance(q, ray.ObjectRef) else q
+        if batch.num_rows == 0 or "s_suppkey" not in batch.schema.names:
+            return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                             "s_name": pa.array([], pa.string())})
+        sk = batch.column("s_suppkey").to_numpy(zero_copy_only=False)
+        m = pd.notna(sk) & np.isin(
+            np.nan_to_num(sk.astype(np.float64), nan=-1).astype(np.int64),
+            qs)
+        b = batch.filter(pa.array(m))
+        return pa.table({"s_suppkey": pc.cast(b.column("s_suppkey"),
+                                              pa.int64()),
+                         "s_name": b.column("s_name")})
+
+    out = (_read(sf_dir, "supplier", columns=["s_suppkey", "s_name"])
+           .map_batches(pick, batch_format="pyarrow").to_pandas())
+    if out.empty:
+        return empty
+    return out.sort_values(["s_suppkey", "s_name"]).reset_index(drop=True)
+
+
+def q_value_percent_rank(sf_dir: str) -> pd.DataFrame:
+    """percent_rank() and cume_dist() windows over per-user event
+    values (the two rank-normalizing windows the battery lacked). One
+    user exchange; each bucket sorts its users' finite values once and
+    derives both functions from first/last positions of each tie run
+    — pr = (min_rank-1)/(n-1) (0 for a single-row partition, probed),
+    cd = max_rank/n. Both are single divisions of exact small ints, so
+    engine and DuckDB doubles are bit-identical."""
+    P = 32
+
+    _E = pa.table({"eid": pa.array([], pa.int64()),
+                   "uid": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("event_id")),
+                          pc.is_valid(t.column("user_id"))),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        uid = pc.cast(t2.column("user_id"), pa.int64())
+        return pa.table({"eid": pc.cast(t2.column("event_id"), pa.int64()),
+                         "uid": uid,
+                         "v": pc.cast(t2.column("value"), pa.float64()),
+                         "bucket": pc.bit_wise_and(uid, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "pr": pd.Series(dtype="float64"),
+                              "cd": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        eid = df["eid"].to_numpy(np.int64)
+        uid = df["uid"].to_numpy(np.int64)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((v, uid))
+        eid, uid, v = eid[order], uid[order], v[order]
+        n = len(v)
+        if n == 0:
+            return empty
+        # group boundaries per user, tie-run boundaries per (user, v)
+        new_u = np.empty(n, bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        gstart = np.maximum.accumulate(np.where(new_u, np.arange(n), 0))
+        gid = np.cumsum(new_u) - 1
+        gsize = np.bincount(gid)
+        new_run = new_u.copy()
+        new_run[1:] |= v[1:] != v[:-1]
+        run_first = np.maximum.accumulate(
+            np.where(new_run, np.arange(n), 0))
+        # last index of each run: reverse trick
+        run_id = np.cumsum(new_run) - 1
+        run_last = np.zeros(run_id[-1] + 1, np.int64)
+        run_last[run_id] = np.arange(n)  # last write wins
+        last_idx = run_last[run_id]
+        rank_min = run_first - gstart + 1
+        rank_max = last_idx - gstart + 1
+        gn = gsize[gid].astype(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            pr = (rank_min - 1.0) / (gn - 1.0)
+        pr[gn == 1.0] = 0.0
+        cd = rank_max / gn
+        return pd.DataFrame({"event_id": eid, "pr": pr, "cd": cd})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "value"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "pr": pd.Series(dtype="float64"),
+                             "cd": pd.Series(dtype="float64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("event_id").reset_index(drop=True))
+
+
+def q_zipf_slope(sf_dir: str, k: int = 100) -> pd.DataFrame:
+    """Zipf's-law fit over the corpus: least-squares slope of
+    ln(frequency) against ln(rank) for the top-``k`` words. The word
+    counting is the q13 shuffle shape (per-batch counter partials →
+    one vocab-bounded groupby-sum); only the k-row head reaches the
+    driver's closed-form regression. Tokenization is the shared ASCII
+    ``\\w+``-on-lowered-text contract (textops._TOKEN_RX ==
+    regexp_extract_all(lower(text), '\\w+')), with NO stoplist/length
+    filter — raw Zipf needs the function words. Empty corpus mirrors
+    SQL's ungrouped-aggregate row: (NULL slope, 0 words)."""
+    import re as _re
+
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .textops import _docs
+
+    ds = _docs(sf_dir, ["text"])
+    rx = _re.compile(r"\w+", _re.ASCII)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counter: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            counter.update(rx.findall((t or "").lower()))
+        if not counter:
+            return pa.table({"word": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        words, ns = zip(*counter.items())
+        return pa.table({"word": pa.array(list(words)),
+                         "n": pa.array(list(ns), pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("word").aggregate(Sum("n", alias_name="f"))
+           .to_pandas())
+    agg = agg[agg["f"].notna()]
+    if agg.empty:
+        return pd.DataFrame({"zipf_slope": [np.nan],
+                             "n_words": np.array([0], np.int64)})
+    head = (agg.sort_values(["f", "word"], ascending=[False, True])
+            .head(k).reset_index(drop=True))
+    f = head["f"].to_numpy(np.float64)
+    n = len(f)
+    if n < 2:
+        return pd.DataFrame({"zipf_slope": [np.nan],
+                             "n_words": np.array([n], np.int64)})
+    x = np.log(np.arange(1, n + 1, dtype=np.float64))
+    y = np.log(f)
+    xm, ym = x.mean(), y.mean()
+    slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
+    return pd.DataFrame({"zipf_slope": round_away(np.array([slope]), 6),
+                         "n_words": np.array([n], np.int64)})
