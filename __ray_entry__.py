@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.q_dominant_red_suppliers,
         "q174_value_percent_rank": analytics.q_value_percent_rank,
         "q175_zipf_slope": analytics.q_zipf_slope,
+        "q176_weighted_median_price": analytics.q_weighted_median_price,
+        "q177_nation_theil_index": analytics.q_nation_theil_index,
+        "q178_user_type_signatures": analytics.q_user_type_signatures,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2184,6 +2187,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT round(regr_slope(ln(f), ln(rk)), 6) AS zipf_slope,
                    count(*)::BIGINT AS n_words
             FROM r
+        """,
+        "q176_weighted_median_price": """
+            WITH d AS (
+                SELECT l_returnflag AS rf, l_extendedprice AS x,
+                       l_quantity AS w
+                FROM lineitem
+                WHERE l_quantity > 0 AND l_extendedprice IS NOT NULL),
+            g AS (SELECT rf, x, sum(w) AS wx FROM d GROUP BY 1, 2),
+            c AS (SELECT rf, x,
+                         sum(wx) OVER (PARTITION BY rf ORDER BY x)
+                             AS cw,
+                         sum(wx) OVER (PARTITION BY rf) AS tw
+                  FROM g)
+            SELECT rf AS l_returnflag,
+                   min(CASE WHEN cw >= 0.5 * tw THEN x END) AS wmedian
+            FROM c GROUP BY 1 ORDER BY 1
+        """,
+        "q177_nation_theil_index": """
+            WITH j AS (
+                SELECT n_name, c_acctbal AS x
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE isfinite(c_acctbal) AND c_acctbal > 0),
+            w AS (
+                SELECT n_name, x,
+                       avg(x) OVER (PARTITION BY n_name) AS mu,
+                       count(*) OVER (PARTITION BY n_name) AS n
+                FROM j)
+            SELECT n_name,
+                   round(sum((x / mu) * ln(x / mu)) / any_value(n), 6)
+                       AS theil,
+                   any_value(n)::BIGINT AS n_customers
+            FROM w GROUP BY 1 ORDER BY 1
+        """,
+        "q178_user_type_signatures": """
+            WITH u AS (
+                SELECT user_id,
+                       bool_or(event_type = 'click') AS has_click,
+                       bool_or(event_type = 'purchase') AS has_purchase,
+                       bool_or(event_type = 'error') AS has_error
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY 1)
+            SELECT has_click, has_purchase, has_error,
+                   count(*)::BIGINT AS n_users
+            FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -5834,3 +5834,359 @@ def q_zipf_slope(sf_dir: str, k: int = 100) -> pd.DataFrame:
     slope = ((x - xm) * (y - ym)).sum() / ((x - xm) ** 2).sum()
     return pd.DataFrame({"zipf_slope": round_away(np.array([slope]), 6),
                          "n_words": np.array([n], np.int64)})
+
+
+def q_weighted_median_price(sf_dir: str) -> pd.DataFrame:
+    """Quantity-weighted median extendedprice per returnflag: the
+    smallest price whose cumulative weight reaches half the group
+    total. Exchange 1 buckets on the PRICE (balanced even though the
+    flag domain is tiny/skewed) and folds (flag, price, Σweight)
+    partials; exchange 2 re-buckets the now value-distinct rows on the
+    flag hash, sorts each group's distinct prices once and walks the
+    cumulative weight. Weights sit on the 0.5 quantity grid, so every
+    partial/cumulative sum is exactly representable and the >= at
+    exactly-half is bit-exact against DuckDB's windowed sum. Only
+    positive weights enter (a negative-weight median is ill-defined;
+    DuckDB's NaN > 0 is TRUE under its total order but quantity is
+    NULL-dirty, not NaN, by the fuzz contract). Scale note: stage 2
+    holds DISTINCT (flag, price) rows — bounded for discrete-grid
+    prices; a continuous unbounded domain would use q61's histogram
+    refinement instead."""
+    from .pairs import coded_keys, str_u64
+
+    P = 32
+
+    _E1 = pa.table({"rf": pa.array([], pa.string()),
+                    "x": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_quantity" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(
+            pc.greater(t.column("l_quantity"), 0.0),
+            pc.is_valid(t.column("l_extendedprice")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E1
+        df = pd.DataFrame({
+            "rf": t2.column("l_returnflag").to_numpy(zero_copy_only=False),
+            "x": t2.column("l_extendedprice").to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            "w": t2.column("l_quantity").to_numpy(
+                zero_copy_only=False).astype(np.float64)})
+        cj, restore = coded_keys(df, ["rf"])
+        g = cj.groupby(["rf", "x"], as_index=False)["w"].sum()
+        g = restore(g)
+        xb = g["x"].to_numpy(np.float64) + 0.0  # -0.0 -> +0.0: one bucket
+        return pa.table({
+            "rf": pa.array(g["rf"].to_numpy(object), pa.string()),
+            "x": pa.array(xb),
+            "w": pa.array(g["w"].to_numpy(np.float64)),
+            "bucket": pa.array(
+                (xb.view(np.uint64) & np.uint64(P - 1)).astype(np.int64))})
+
+    _O1 = pa.table({"rf": pa.array([], pa.string()),
+                    "x": pa.array([], pa.float64()),
+                    "w": pa.array([], pa.float64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def merge1(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _O1
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["rf"])
+        g = cj.groupby(["rf", "x"], as_index=False)["w"].sum()
+        g = restore(g)
+        b = g["rf"].map(
+            lambda v: str_u64(v) if isinstance(v, str) else 0)
+        return pa.table({
+            "rf": pa.array(g["rf"].to_numpy(object), pa.string()),
+            "x": pa.array(g["x"].to_numpy(np.float64)),
+            "w": pa.array(g["w"].to_numpy(np.float64)),
+            "bucket": pa.array((b.to_numpy(np.uint64) & np.uint64(P - 1))
+                               .astype(np.int64))})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"]
+    ).to_arrow_refs()]
+    stage1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+
+    def split2(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "rf" not in t.schema.names:
+            return _O1
+        return t
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                              "wmedian": pd.Series(dtype="float64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["rf"])
+        g = cj.groupby(["rf", "x"], as_index=False)["w"].sum()
+        out_rf, out_x = [], []
+        for code, grp in g.groupby("rf"):
+            grp = grp.sort_values("x")
+            w = grp["w"].to_numpy(np.float64)
+            cw = np.cumsum(w)
+            tw = cw[-1]
+            i = int(np.argmax(cw >= 0.5 * tw))
+            out_rf.append(code)
+            out_x.append(grp["x"].to_numpy(np.float64)[i])
+        out = restore(pd.DataFrame({"rf": out_rf}))
+        return pd.DataFrame({
+            "l_returnflag": out["rf"].to_numpy(object),
+            "wmedian": np.array(out_x, np.float64)})
+
+    parts = [p for p in hash_shuffle([(r, ()) for r in stage1],
+                                     split2, merge2, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"l_returnflag": pd.Series(dtype="object"),
+                             "wmedian": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    key = out["l_returnflag"].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex()
+        if isinstance(v, str) else "￿")
+    return out.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def q_nation_theil_index(sf_dir: str) -> pd.DataFrame:
+    """Theil-T inequality index of positive customer balances per
+    nation NAME. Two broadcast-lut passes over customer (nation is the
+    dim side, applied with ROW multiplicity so duplicate dim rows fan
+    out like SQL's join, and two nationkeys sharing a name merge like
+    SQL's GROUP BY n_name): pass 1 folds (n, Σx) per nationkey into
+    per-name means; pass 2 broadcasts the means and sums the per-row
+    terms (x/μ)·ln(x/μ) — the SAME per-row doubles DuckDB's window
+    form produces, NOT the telescoped Σx·lnx/(Nμ)−lnμ closed form,
+    whose subtraction of two ≈lnμ terms cancels catastrophically when
+    inequality is near zero (q92 lesson). NaN balances are excluded
+    explicitly: DuckDB's total order calls NaN > 0 TRUE, so the
+    oracle needs isfinite() and the engine mirrors it."""
+    import ray
+
+    P = 32
+
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = nat[nat["n_nationkey"].notna()]
+
+    def _cust_refs():
+        return _read(sf_dir, "customer",
+                     columns=["c_nationkey", "c_acctbal"]).to_arrow_refs()
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "sx": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split_p1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
+            return _E
+        x = t.column("c_acctbal").to_numpy(zero_copy_only=False)
+        x = np.asarray(x, np.float64)
+        k = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        k = np.asarray(k, np.float64)
+        m = np.isfinite(x) & (x > 0) & ~np.isnan(k)
+        if not m.any():
+            return _E
+        kk = k[m].astype(np.int64)
+        xx = x[m]
+        uk, inv = np.unique(kk, return_inverse=True)
+        n = np.bincount(inv)
+        sx = np.zeros(len(uk), np.float64)
+        np.add.at(sx, inv, xx)
+        return pa.table({"key": pa.array(uk),
+                         "n": pa.array(n.astype(np.int64)),
+                         "sx": pa.array(sx),
+                         "bucket": pc.bit_wise_and(pa.array(uk), P - 1)})
+
+    def merge_p1(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"key": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "sx": pd.Series(dtype="float64")})
+        df = pa.concat_tables(live).to_pandas()
+        return df.groupby("key", as_index=False).agg(
+            n=("n", "sum"), sx=("sx", lambda s: s.to_numpy().sum()))
+
+    tagged = [(r, ()) for r in _cust_refs()]
+    p1 = [p for p in hash_shuffle(tagged, split_p1, merge_p1, P=P)
+          if len(p)]
+    empty = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                          "theil": pd.Series(dtype="float64"),
+                          "n_customers": pd.Series(dtype="int64")})
+    if not p1:
+        return empty
+    per_key = pd.concat(p1, ignore_index=True)
+
+    # fold per-KEY partials into per-NAME groups through the dim rows
+    # (one contribution per dim ROW — duplicate rows fan out like SQL)
+    from .pairs import coded_keys
+
+    jn = nat.merge(per_key, left_on="n_nationkey", right_on="key")
+    if jn.empty:
+        return empty
+    cj, restore = coded_keys(jn, ["n_name"])
+    gname = cj.groupby("n_name", as_index=False).agg(
+        n=("n", "sum"), sx=("sx", lambda s: s.to_numpy().sum()))
+    gname["mu"] = gname["sx"].to_numpy() / gname["n"].to_numpy()
+    # per-KEY mean lookup for pass 2: key -> (name_code, mu)
+    key_mu: dict[int, float] = {}
+    code_mu = dict(zip(gname["n_name"], gname["mu"]))
+    for _, row in cj.iterrows():
+        key_mu[int(row["key"])] = code_mu[row["n_name"]]
+    muref = ray.put(key_mu)
+
+    def split_p2(t: pa.Table) -> pa.Table:
+        mus = ray.get(muref) if isinstance(muref, ray.ObjectRef) else muref
+        if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
+            return _E
+        x = np.asarray(t.column("c_acctbal").to_numpy(
+            zero_copy_only=False), np.float64)
+        k = np.asarray(t.column("c_nationkey").to_numpy(
+            zero_copy_only=False), np.float64)
+        m = np.isfinite(x) & (x > 0) & ~np.isnan(k)
+        if not m.any():
+            return _E
+        kk = k[m].astype(np.int64)
+        xx = x[m]
+        keep = np.isin(kk, np.fromiter(mus.keys(), np.int64,
+                                       len(mus)) if mus else
+                       np.empty(0, np.int64))
+        kk, xx = kk[keep], xx[keep]
+        if len(kk) == 0:
+            return _E
+        mu = np.array([mus[int(v)] for v in kk], np.float64)
+        r = xx / mu
+        term = r * np.log(r)
+        uk, inv = np.unique(kk, return_inverse=True)
+        st = np.zeros(len(uk), np.float64)
+        np.add.at(st, inv, term)
+        return pa.table({"key": pa.array(uk),
+                         "n": pa.array(np.zeros(len(uk), np.int64)),
+                         "sx": pa.array(st),
+                         "bucket": pc.bit_wise_and(pa.array(uk), P - 1)})
+
+    p2 = [p for p in hash_shuffle([(r, ()) for r in _cust_refs()],
+                                  split_p2, merge_p1, P=P) if len(p)]
+    per_key2 = (pd.concat(p2, ignore_index=True) if p2 else
+                pd.DataFrame({"key": pd.Series(dtype="int64"),
+                              "sx": pd.Series(dtype="float64")}))
+    st_by_key = dict(zip(per_key2["key"].astype(np.int64),
+                         per_key2["sx"].astype(np.float64)))
+    # fold term sums per name through the SAME dim-row fan-out
+    sums: dict = {}
+    for _, row in cj.iterrows():
+        code = row["n_name"]
+        sums[code] = sums.get(code, 0.0) + st_by_key.get(
+            int(row["key"]), 0.0)
+    gname["theil"] = round_away(
+        np.array([sums.get(c, 0.0) for c in gname["n_name"]])
+        / gname["n"].to_numpy(np.float64), 6)
+    out = restore(gname[["n_name", "theil", "n"]].rename(
+        columns={"n": "n_customers"}))
+    out["n_customers"] = out["n_customers"].astype(np.int64)
+    key = out["n_name"].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex()
+        if isinstance(v, str) else "￿")
+    return out.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def q_user_type_signatures(sf_dir: str) -> pd.DataFrame:
+    """Behavioral-set histogram: how many users saw each exact
+    combination of (click, purchase, error) activity. Per-batch
+    3-state partials per user (bool_or is NULL when every comparison
+    input is NULL — a user whose event types are ALL NULL gets NULL
+    flags, its own SQL group) OR-fold through one user exchange; each
+    bucket groups its users by signature and the driver folds P tiny
+    histograms. Output flag dtype follows the oracle's data-dependent
+    convention: plain bool when NULL-free, object-with-None otherwise
+    (q103 contract)."""
+    P = 32
+    TYPES = ["click", "purchase", "error"]
+
+    _E = pa.table({"uid": pa.array([], pa.int64()),
+                   "seen": pa.array([], pa.int8()),
+                   "flags": pa.array([], pa.int8()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("user_id")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        et = t2.column("event_type").to_numpy(zero_copy_only=False)
+        valid = pd.notna(et)
+        flags = np.zeros(len(uid), np.int8)
+        for i, ty in enumerate(TYPES):
+            flags |= ((et == ty).astype(np.int8) << i)
+        uk, inv = np.unique(uid, return_inverse=True)
+        fl = np.zeros(len(uk), np.int8)
+        sv = np.zeros(len(uk), np.int8)
+        np.bitwise_or.at(fl, inv, flags)
+        np.bitwise_or.at(sv, inv, valid.astype(np.int8))
+        return pa.table({"uid": pa.array(uk),
+                         "seen": pa.array(sv),
+                         "flags": pa.array(fl),
+                         "bucket": pc.bit_wise_and(pa.array(uk), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"sig": pd.Series(dtype="int64"),
+                              "n_users": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        uid = df["uid"].to_numpy(np.int64)
+        uk, inv = np.unique(uid, return_inverse=True)
+        fl = np.zeros(len(uk), np.int8)
+        sv = np.zeros(len(uk), np.int8)
+        np.bitwise_or.at(fl, inv, df["flags"].to_numpy(np.int8))
+        np.bitwise_or.at(sv, inv, df["seen"].to_numpy(np.int8))
+        # signature: -1 = NULL flags (no non-NULL type at all)
+        sig = np.where(sv > 0, fl.astype(np.int64), -1)
+        us, cnt = np.unique(sig, return_counts=True)
+        return pd.DataFrame({"sig": us.astype(np.int64),
+                             "n_users": cnt.astype(np.int64)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "event_type"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    cols = ["has_click", "has_purchase", "has_error"]
+    empty = pd.DataFrame({**{c: pd.Series(dtype="bool") for c in cols},
+                          "n_users": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    h = (pd.concat(parts, ignore_index=True)
+         .groupby("sig", as_index=False)["n_users"].sum())
+    sig = h["sig"].to_numpy(np.int64)
+    out = {}
+    has_null = bool((sig < 0).any())
+    for i, c in enumerate(cols):
+        vals = ((sig >> i) & 1).astype(bool)
+        if has_null:
+            col = np.array([None if s < 0 else bool(v)
+                            for s, v in zip(sig, vals)], object)
+            out[c] = col
+        else:
+            out[c] = vals
+    out["n_users"] = h["n_users"].to_numpy(np.int64)
+    res = pd.DataFrame(out)
+    sk = pd.DataFrame(
+        {c: res[c].map(lambda v: 2 if v is None else int(bool(v)))
+         for c in cols})
+    order = sk.sort_values(cols).index
+    return res.loc[order].reset_index(drop=True)
