@@ -317,6 +317,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q176_weighted_median_price": analytics.q_weighted_median_price,
         "q177_nation_theil_index": analytics.q_nation_theil_index,
         "q178_user_type_signatures": analytics.q_user_type_signatures,
+        "q179_benford_totalprice": analytics.q_benford_totalprice,
+        "q180_topk_similar_pairs": similarity.q_topk_similar_pairs,
+        "q181_source_cosine_matrix": analytics.q_source_cosine_matrix,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2231,6 +2234,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT has_click, has_purchase, has_error,
                    count(*)::BIGINT AS n_users
             FROM u GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+        """,
+        "q179_benford_totalprice": """
+            WITH d AS (
+                SELECT CAST(substr(CAST(CAST(floor(o_totalprice)
+                                AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT)
+                           AS digit
+                FROM orders
+                WHERE isfinite(o_totalprice) AND o_totalprice >= 1),
+            h AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+            t AS (SELECT sum(n)::DOUBLE AS tot FROM h)
+            SELECT digit, round(n / tot, 6) AS observed,
+                   round(log10(1 + 1.0 / digit), 6) AS expected, n
+            FROM h, t ORDER BY digit
+        """,
+        "q180_topk_similar_pairs": """
+            -- cast to DOUBLE[]: on FLOAT[] input DuckDB's
+            -- list_cosine_similarity accumulates in float32, whose
+            -- ~1e-7 relative error flips the 6th rounded digit
+            WITH e2 AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS embedding
+                FROM embeddings WHERE embedding IS NOT NULL),
+            s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                         round(list_cosine_similarity(a.embedding,
+                                                      b.embedding), 6)
+                             AS sim
+                  FROM e2 a JOIN e2 b ON a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, sim FROM s
+            ORDER BY sim DESC, vec_a, vec_b LIMIT 50
+        """,
+        "q181_source_cosine_matrix": """
+            WITH w AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '\\w+'))
+                           AS word
+                FROM documents WHERE source IS NOT NULL),
+            f AS (SELECT source, word, count(*)::DOUBLE AS c
+                  FROM w GROUP BY 1, 2),
+            n AS (SELECT source, sum(c * c) AS nn FROM f GROUP BY 1),
+            d AS (SELECT a.source AS src_a, b.source AS src_b,
+                         sum(a.c * b.c) AS dot
+                  FROM f a JOIN f b
+                    ON a.word = b.word AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT src_a, src_b,
+                   round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
+            FROM d JOIN n na ON na.source = d.src_a
+                 JOIN n nb ON nb.source = d.src_b
+            ORDER BY 1, 2
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

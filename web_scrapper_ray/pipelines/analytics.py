@@ -6190,3 +6190,208 @@ def q_user_type_signatures(sf_dir: str) -> pd.DataFrame:
          for c in cols})
     order = sk.sort_values(cols).index
     return res.loc[order].reset_index(drop=True)
+
+
+def q_benford_totalprice(sf_dir: str) -> pd.DataFrame:
+    """Benford's-law audit of order totals: observed share of each
+    leading digit vs log10(1+1/d). The digit is extracted from the
+    INTEGER part as a string on both sides (floor → BIGINT → first
+    char) — never via log10, whose last-ulp at exact powers of ten
+    would misbin boundary values. One pass of per-batch bincounts; the
+    driver folds P nine-bin rows. Only finite totals >= 1 qualify
+    (sub-unit and negative amounts have no leading digit in this
+    scheme; NaN >= 1 is TRUE under DuckDB's total order, so the
+    oracle carries an explicit isfinite)."""
+    P = 8
+
+    _E = pa.table({"digit": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        x = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        x = x[np.isfinite(x) & (x >= 1.0)]
+        if len(x) == 0:
+            return _E
+        f = np.floor(x).astype(np.int64)
+        # leading decimal digit without strings: strip trailing digits
+        while True:
+            big = f >= 10
+            if not big.any():
+                break
+            f[big] //= 10
+        cnt = np.bincount(f, minlength=10)[1:10]
+        dig = np.arange(1, 10, dtype=np.int64)
+        keep = cnt > 0
+        return pa.table({"digit": pa.array(dig[keep]),
+                         "n": pa.array(cnt[keep].astype(np.int64)),
+                         "bucket": pa.array(dig[keep] % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        return df.groupby("digit", as_index=False)["n"].sum()
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders", columns=["o_totalprice"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"digit": pd.Series(dtype="int64"),
+                          "observed": pd.Series(dtype="float64"),
+                          "expected": pd.Series(dtype="float64"),
+                          "n": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    h = (pd.concat(parts, ignore_index=True)
+         .groupby("digit", as_index=False)["n"].sum())
+    tot = float(h["n"].sum())
+    d = h["digit"].to_numpy(np.int64).astype(np.float64)
+    return pd.DataFrame({
+        "digit": h["digit"].to_numpy(np.int64),
+        "observed": round_away(h["n"].to_numpy(np.float64) / tot, 6),
+        "expected": round_away(np.log10(1.0 + 1.0 / d), 6),
+        "n": h["n"].to_numpy(np.int64)}).sort_values("digit").reset_index(
+            drop=True)
+
+
+def q_source_cosine_matrix(sf_dir: str) -> pd.DataFrame:
+    """Pairwise cosine similarity between SOURCE-level term-frequency
+    vectors (which corpora write alike). Counts are exact integers, so
+    every dot/norm partial sums exactly in float64 regardless of
+    association order — the final cosine is bit-identical to the SQL
+    twin, no rounding gymnastics needed. The exchange is partitioned
+    on the WORD hash: each bucket owns a vocabulary slice, forms the
+    per-word source-count vectors, and emits per-pair partial dots and
+    per-source partial norms; the driver folds O(sources²) rows.
+    Tokenization is the shared ASCII lower-\\w+ contract."""
+    import re as _re
+
+    from collections import Counter
+
+    from .pairs import str_u64
+
+    P = 32
+    rx = _re.compile(r"\w+", _re.ASCII)
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "word": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        keep = pc.is_valid(t.column("source"))
+        t2 = t.filter(pc.fill_null(keep, False))
+        counter: Counter = Counter()
+        for src, txt in zip(t2.column("source").to_pylist(),
+                            t2.column("text").to_pylist()):
+            for w in rx.findall((txt or "").lower()):
+                counter[(src, w)] += 1
+        if not counter:
+            return _E
+        srcs, words = zip(*counter.keys())
+        cs = list(counter.values())
+        b = np.array([str_u64(w) & (P - 1) for w in words], np.int64)
+        return pa.table({"src": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(words), pa.string()),
+                         "c": pa.array(cs, pa.int64()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"src_a": pd.Series(dtype="object"),
+                              "src_b": pd.Series(dtype="object"),
+                              "dot": pd.Series(dtype="float64"),
+                              "nn": pd.Series(dtype="float64"),
+                              "is_norm": pd.Series(dtype="bool")})
+        if not live:
+            return empty
+        from .pairs import coded_keys
+
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["src", "word"])
+        g = cj.groupby(["src", "word"], as_index=False)["c"].sum()
+        gs = restore(g)  # src back to strings; word stays coded? no:
+        # restore maps BOTH coded columns; re-code the word for the
+        # per-word loop and keep the STRING src for byte-order pairing
+        src_str = gs["src"].to_numpy(object)
+        hexkey = np.array(
+            [v.encode("utf-8", "surrogatepass").hex() for v in src_str],
+            object)
+        word_code = g["word"].to_numpy(np.int64)
+        cc = g["c"].to_numpy(np.float64)
+        # per-source norm partials over this vocab slice
+        nrm = (pd.DataFrame({"src": src_str, "nn": cc * cc})
+               .groupby("src", as_index=False, dropna=False)["nn"].sum())
+        # per-word cross products: sources per word are few; orient
+        # every pair by the SQL a.source < b.source byte order
+        order = np.lexsort((hexkey, word_code))
+        wc, ss, hh, c2 = (word_code[order], src_str[order],
+                          hexkey[order], cc[order])
+        rows_a, rows_b, dots = [], [], []
+        n = len(wc)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and wc[j] == wc[i]:
+                j += 1
+            for a in range(i, j - 1):
+                for b in range(a + 1, j):
+                    rows_a.append(ss[a])
+                    rows_b.append(ss[b])
+                    dots.append(c2[a] * c2[b])
+            i = j
+        res = pd.DataFrame({
+            "src_a": np.array(rows_a, object),
+            "src_b": np.array(rows_b, object),
+            "dot": np.array(dots, np.float64),
+            "nn": np.zeros(len(dots), np.float64),
+            "is_norm": np.zeros(len(dots), bool)})
+        nres = pd.DataFrame({
+            "src_a": nrm["src"].to_numpy(object),
+            "src_b": nrm["src"].to_numpy(object),
+            "dot": np.zeros(len(nrm), np.float64),
+            "nn": nrm["nn"].to_numpy(np.float64),
+            "is_norm": np.ones(len(nrm), bool)})
+        return pd.concat([res, nres], ignore_index=True)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "documents", columns=["source", "text"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"src_a": pd.Series(dtype="object"),
+                          "src_b": pd.Series(dtype="object"),
+                          "cosine": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    from .pairs import coded_keys
+
+    allp = pd.concat(parts, ignore_index=True)
+    cj, restore = coded_keys(allp, ["src_a", "src_b"])
+    norms = restore(cj[cj["is_norm"]]
+                    .groupby("src_a", as_index=False)["nn"].sum())
+    dots = (cj[~cj["is_norm"]]
+            .groupby(["src_a", "src_b"], as_index=False)["dot"].sum())
+    if dots.empty:
+        return empty
+    out = restore(dots[["src_a", "src_b"]].copy())
+    # Python-dict lookup keyed by the FULL string (the NUL trap is
+    # pandas' C-string hash, not dict) — the two code LUTs differ
+    nmap = dict(zip(norms["src_a"], norms["nn"]))
+    na = np.array([nmap[v] for v in out["src_a"]], np.float64)
+    nb = np.array([nmap[v] for v in out["src_b"]], np.float64)
+    cos = dots["dot"].to_numpy(np.float64) / (np.sqrt(na) * np.sqrt(nb))
+    out["cosine"] = round_away(cos, 6)
+    k1 = out["src_a"].map(lambda v: v.encode("utf-8",
+                                             "surrogatepass").hex())
+    k2 = out["src_b"].map(lambda v: v.encode("utf-8",
+                                             "surrogatepass").hex())
+    order = pd.DataFrame({"a": k1, "b": k2}).sort_values(["a", "b"]).index
+    return out.loc[order].reset_index(drop=True)

@@ -991,3 +991,81 @@ def q_pca_power(sf_dir: str, iters: int = 3) -> pd.DataFrame:
         v = w / np.linalg.norm(w)
     return pd.DataFrame({"pos": np.arange(1, d + 1, dtype=np.int64),
                          "v": np.round(v, 6)})
+
+
+def q_topk_similar_pairs(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """GLOBAL top-k most-similar embedding pairs — the 'find the worst
+    near-duplicates' curation op. Same blocked self-cross-product as
+    :func:`q_neardup_cosine` (chunk-pair tasks over object-store refs,
+    no threshold known in advance), but each task keeps only its LOCAL
+    top-k rows, so the driver folds G(G+1)/2 · k rows instead of the
+    O(N²) similarity matrix. Selection happens on the similarity
+    ROUNDED to 6 digits with (vec_a, vec_b) tie-breaks — the same
+    ordering the SQL oracle's ORDER BY uses — so a last-ulp dot-product
+    divergence between numpy's blocked matmul and DuckDB's sequential
+    list_cosine_similarity cannot flip the boundary."""
+    import ray
+
+    from .pairs import round_away
+
+    EMPTY = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                          "vec_b": pd.Series(dtype="int64"),
+                          "sim": pd.Series(dtype="float64")})
+    refs = _emb(sf_dir).to_arrow_refs()
+    if not refs:
+        return EMPTY
+    groups: list[list] = [[] for _ in range(min(N_CHUNKS, len(refs)))]
+    for i, r in enumerate(refs):
+        groups[i % len(groups)].append(r)
+
+    _E = pa.table({"vec_a": pa.array([], pa.int64()),
+                   "vec_b": pa.array([], pa.int64()),
+                   "sim": pa.array([], pa.float64())})
+
+    @ray.remote
+    def chunk_topk(same: bool, refs_a: list, refs_b: list) -> pa.Table:
+        def load(rs):
+            tabs = [t for t in (ray.get(r) for r in rs) if t.num_rows]
+            if not tabs:
+                return np.array([], dtype=np.int64), np.zeros((0, 1))
+            ids, mat = _batch_matrix(pa.concat_tables(tabs))
+            return ids, _unit(mat)
+
+        ids_a, ua = load(refs_a)
+        ids_b, ub = (ids_a, ua) if same else load(refs_b)
+        if not len(ids_a) or not len(ids_b):
+            return _E
+        sims = ua @ ub.T
+        left = np.repeat(ids_a, len(ids_b))
+        right = np.tile(ids_b, len(ids_a))
+        s = sims.ravel()
+        if same:
+            keep = left < right
+        else:
+            keep = np.ones(len(left), bool)
+            lo = np.minimum(left, right)
+            right = np.maximum(left, right)
+            left = lo
+        left, right, s = left[keep], right[keep], s[keep]
+        if len(s) == 0:
+            return _E
+        sr = round_away(s, 6)
+        # local top-k by (rounded sim DESC, vec_a, vec_b)
+        order = np.lexsort((right, left, -sr))[:k]
+        return pa.table({"vec_a": pa.array(left[order].astype("int64")),
+                         "vec_b": pa.array(right[order].astype("int64")),
+                         "sim": pa.array(sr[order])})
+
+    futs = []
+    for i in range(len(groups)):
+        futs.append(chunk_topk.remote(True, groups[i], []))
+        for j in range(i + 1, len(groups)):
+            futs.append(chunk_topk.remote(False, groups[i], groups[j]))
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return EMPTY
+    out = pa.concat_tables(tables).to_pandas()
+    order = np.lexsort((out["vec_b"].to_numpy(np.int64),
+                        out["vec_a"].to_numpy(np.int64),
+                        -out["sim"].to_numpy(np.float64)))[:k]
+    return out.iloc[order].reset_index(drop=True)
