@@ -320,6 +320,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q179_benford_totalprice": analytics.q_benford_totalprice,
         "q180_topk_similar_pairs": similarity.q_topk_similar_pairs,
         "q181_source_cosine_matrix": analytics.q_source_cosine_matrix,
+        "q182_last_touch_attribution":
+            analytics.q_last_touch_attribution,
+        "q183_order_total_audit": analytics.q_order_total_audit,
+        "q184_hourly_top_type": analytics.q_hourly_top_type,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2281,6 +2285,60 @@ def oracle_sql() -> dict[str, str]:
                    round(dot / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS cosine
             FROM d JOIN n na ON na.source = d.src_a
                  JOIN n nb ON nb.source = d.src_b
+            ORDER BY 1, 2
+        """,
+        "q182_last_touch_attribution": """
+            WITH e AS (
+                SELECT event_type,
+                       lag(CASE WHEN event_type <> 'purchase'
+                                THEN event_type END IGNORE NULLS)
+                           OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS attr
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_id IS NOT NULL)
+            SELECT attr, count(*)::BIGINT AS n_purchases
+            FROM e WHERE event_type = 'purchase'
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q183_order_total_audit": """
+            WITH ls AS (
+                SELECT l_orderkey AS k,
+                       sum(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax)) AS lsum
+                FROM lineitem WHERE l_orderkey IS NOT NULL
+                GROUP BY 1),
+            j AS (
+                SELECT o_totalprice AS tot, lsum,
+                       abs(lsum - o_totalprice) / abs(o_totalprice)
+                           AS rel
+                FROM orders JOIN ls ON o_orderkey = k)
+            SELECT count(*) FILTER (tot IS NOT NULL AND lsum IS NOT NULL
+                                    AND tot <> 0)::BIGINT AS n_checked,
+                   count(*) FILTER (tot IS NOT NULL AND lsum IS NOT NULL
+                                    AND tot <> 0
+                                    AND NOT (rel <= 0.05))::BIGINT
+                       AS n_mismatch,
+                   round(sum(rel) FILTER (tot IS NOT NULL
+                                          AND lsum IS NOT NULL
+                                          AND tot <> 0)
+                         / count(*) FILTER (tot IS NOT NULL
+                                            AND lsum IS NOT NULL
+                                            AND tot <> 0), 6)
+                       AS avg_rel_dev
+            FROM j
+        """,
+        "q184_hourly_top_type": """
+            WITH h AS (
+                SELECT epoch(date_trunc('hour', ts))::BIGINT
+                           AS hour_start,
+                       event_type, count(*)::BIGINT AS n
+                FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+            r AS (SELECT hour_start, event_type, n,
+                         dense_rank() OVER (PARTITION BY hour_start
+                                            ORDER BY n DESC) AS rk
+                  FROM h)
+            SELECT hour_start, event_type, n FROM r WHERE rk = 1
             ORDER BY 1, 2
         """,
         "q82_rollup_docs": """

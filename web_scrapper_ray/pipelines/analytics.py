@@ -6395,3 +6395,291 @@ def q_source_cosine_matrix(sf_dir: str) -> pd.DataFrame:
                                              "surrogatepass").hex())
     order = pd.DataFrame({"a": k1, "b": k2}).sort_values(["a", "b"]).index
     return out.loc[order].reset_index(drop=True)
+
+
+def q_last_touch_attribution(sf_dir: str) -> pd.DataFrame:
+    """Marketing-style last-touch attribution: each purchase event is
+    credited to the user's most recent PRECEDING non-purchase event
+    type (SQL: lag(CASE... END IGNORE NULLS) — the gappy LOCF window).
+    One user exchange; each bucket sorts its users once by
+    (user, ts, event_id) and forward-fills the carry vector with the
+    standard maximum-accumulate index trick, then counts purchases per
+    carried type on full-byte string codes. A purchase with no prior
+    non-purchase credits the NULL bucket; NULL event_type rows are
+    TRANSPARENT to the carry (the CASE yields NULL, IGNORE NULLS skips
+    it) but are never credited themselves."""
+    from .pairs import coded_keys
+
+    P = 32
+
+    _E = pa.table({"uid": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64()),
+                   "eid": pa.array([], pa.int64()),
+                   "etype": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.is_valid(t.column("event_id")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        uid = pc.cast(t2.column("user_id"), pa.int64())
+        return pa.table({"uid": uid,
+                         "t": pc.cast(t2.column("ts"), pa.int64()),
+                         "eid": pc.cast(t2.column("event_id"), pa.int64()),
+                         "etype": t2.column("event_type"),
+                         "bucket": pc.bit_wise_and(uid, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"attr": pd.Series(dtype="object"),
+                              "n_purchases": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        order = np.lexsort((df["eid"].to_numpy(np.int64),
+                            df["t"].to_numpy(np.int64),
+                            df["uid"].to_numpy(np.int64)))
+        df = df.iloc[order].reset_index(drop=True)
+        uid = df["uid"].to_numpy(np.int64)
+        et = df["etype"].to_numpy(object)
+        n = len(df)
+        is_valid_type = pd.notna(et)
+        is_purchase = np.zeros(n, bool)
+        is_purchase[is_valid_type] = et[is_valid_type] == "purchase"
+        carrier = is_valid_type & ~is_purchase  # CASE non-NULL values
+        new_u = np.empty(n, bool)
+        new_u[0] = True
+        new_u[1:] = uid[1:] != uid[:-1]
+        # carry index: last carrier STRICTLY BEFORE row i in its user.
+        # Plain running max of carrier indices, then invalidate any
+        # carry that precedes the row's own user segment start.
+        idx = np.arange(n)
+        seg_start = np.maximum.accumulate(np.where(new_u, idx, 0))
+        cand = np.where(carrier, idx, -1)
+        acc = np.maximum.accumulate(cand)
+        acc = np.where(acc >= seg_start, acc, -1)
+        prev = np.empty(n, np.int64)
+        prev[1:] = acc[:-1]
+        prev[0] = -1
+        prev = np.where(new_u, -1, prev)
+        attr = np.array([None] * n, object)
+        has = prev >= 0
+        attr[has] = et[prev[has]]
+        out = pd.DataFrame({"attr": attr[is_purchase]})
+        if out.empty:
+            return empty
+        cj, restore = coded_keys(out, ["attr"])
+        g = (cj.groupby("attr", as_index=False)
+             .size().rename(columns={"size": "n_purchases"}))
+        g = restore(g)
+        return pd.DataFrame({"attr": g["attr"].to_numpy(object),
+                             "n_purchases":
+                                 g["n_purchases"].to_numpy(np.int64)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"attr": pd.Series(dtype="object"),
+                          "n_purchases": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    from .pairs import coded_keys
+
+    allp = pd.concat(parts, ignore_index=True)
+    cj, restore = coded_keys(allp, ["attr"])
+    g = cj.groupby("attr", as_index=False)["n_purchases"].sum()
+    g = restore(g)
+    g["n_purchases"] = g["n_purchases"].astype(np.int64)
+    key = g["attr"].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex()
+        if isinstance(v, str) else "￿")
+    return g.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def q_order_total_audit(sf_dir: str, tol: float = 0.05) -> pd.DataFrame:
+    """Cross-table reconciliation audit: does each order's recorded
+    total match its lineitems' gross revenue within ``tol``? One
+    orderkey exchange carries per-block (orderkey, Σrev, valid-count)
+    partials against the order headers; each bucket emits three audit
+    scalars and the driver folds P rows into the single summary SQL's
+    ungrouped aggregate produces (exactly one row even on empty
+    input). Rows where either side of the comparison is NULL (NULL
+    total, all-NULL lineitem revenue) or the total is 0 are counted as
+    checked-but-uncomparable, like the SQL filter's three-valued
+    logic."""
+    P = 32
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "tot": pa.array([], pa.float64()),
+                   "totnull": pa.array([], pa.bool_()),
+                   "s": pa.array([], pa.float64()),
+                   "nv": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, is_orders: bool) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        if is_orders:
+            if "o_orderkey" not in t.schema.names:
+                return _E
+            t2 = t.filter(pc.fill_null(pc.is_valid(t.column("o_orderkey")),
+                                       False))
+            n = t2.num_rows
+            key = pc.cast(t2.column("o_orderkey"), pa.int64())
+            return pa.table({
+                "key": key,
+                "side": pa.array(np.zeros(n, np.int8)),
+                "tot": pc.cast(pc.fill_null(t2.column("o_totalprice"),
+                                            0.0), pa.float64()),
+                "totnull": pc.is_null(t2.column("o_totalprice")),
+                "s": pa.array(np.zeros(n, np.float64)),
+                "nv": pa.array(np.zeros(n, np.int64)),
+                "bucket": pc.bit_wise_and(key, P - 1)})
+        if "l_orderkey" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("l_orderkey")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        rev = pc.multiply(
+            pc.multiply(t2.column("l_extendedprice"),
+                        pc.subtract(pa.scalar(1.0, pa.float64()),
+                                    t2.column("l_discount"))),
+            pc.add(pa.scalar(1.0, pa.float64()), t2.column("l_tax")))
+        g = (pa.table({"key": pc.cast(t2.column("l_orderkey"), pa.int64()),
+                       "r": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+                       "v": pc.cast(pc.is_valid(rev), pa.int64())})
+             .group_by("key").aggregate([("r", "sum"), ("v", "sum")]))
+        n = g.num_rows
+        return pa.table({
+            "key": g.column("key"),
+            "side": pa.array(np.ones(n, np.int8)),
+            "tot": pa.array(np.zeros(n, np.float64)),
+            "totnull": pa.array(np.zeros(n, bool)),
+            "s": g.column("r_sum"),
+            "nv": g.column("v_sum"),
+            "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"nc": pd.Series(dtype="int64"),
+                              "nm": pd.Series(dtype="int64"),
+                              "sd": pd.Series(dtype="float64"),
+                              "ndev": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        ords = df[df["side"] == 0][["key", "tot", "totnull"]]
+        line = (df[df["side"] == 1]
+                .groupby("key", as_index=False)
+                .agg(s=("s", lambda x: x.to_numpy().sum()),
+                     nv=("nv", "sum")))
+        if ords.empty or line.empty:
+            return empty
+        j = ords.merge(line, on="key")
+        if j.empty:
+            return empty
+        tot = j["tot"].to_numpy(np.float64)
+        comparable = (~j["totnull"].to_numpy()
+                      & (j["nv"].to_numpy() > 0) & (tot != 0.0))
+        ls = j["s"].to_numpy(np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rel = np.abs(ls - tot) / np.abs(tot)
+        mism = comparable & ~(rel <= tol)  # NaN rel -> mismatch
+        return pd.DataFrame({
+            "nc": [np.int64(comparable.sum())],
+            "nm": [np.int64(mism.sum())],
+            "sd": [rel[comparable].sum()],
+            "ndev": [np.int64(len(j))]})
+
+    tagged = [(r, (True,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice"]).to_arrow_refs()]
+    tagged += [(r, (False,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_tax"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    nc = sum(int(p["nc"].sum()) for p in parts)
+    nm = sum(int(p["nm"].sum()) for p in parts)
+    sd = float(sum(float(p["sd"].sum()) for p in parts))
+    return pd.DataFrame({
+        "n_checked": np.array([nc], np.int64),
+        "n_mismatch": np.array([nm], np.int64),
+        "avg_rel_dev": [round_away(np.array([sd / nc]), 6)[0]
+                        if nc else np.nan]})
+
+
+def q_hourly_top_type(sf_dir: str) -> pd.DataFrame:
+    """Per-hour leaderboard with ALL ties kept (dense_rank()=1): which
+    event type(s) led each hour. Per-batch Arrow (hour, type) count
+    partials — Arrow's group_by keys on full bytes AND keeps NULL type
+    groups, sidestepping both pandas traps — one hour exchange, each
+    bucket folds counts and keeps its hours' max-count rows. Hours are
+    epoch-seconds BIGINT via the shared floor-div helper (int64
+    truncation would bin pre-1970 fractional timestamps an hour late
+    vs date_trunc)."""
+    from .pairs import coded_keys
+    from .relational import _hour_start
+
+    P = 32
+
+    _E = pa.table({"h": pa.array([], pa.int64()),
+                   "etype": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"h": _hour_start(t2.column("ts")),
+                       "etype": t2.column("event_type")})
+             .group_by(["h", "etype"]).aggregate([([], "count_all")]))
+        return pa.table({"h": g.column("h"),
+                         "etype": g.column("etype"),
+                         "n": pc.cast(g.column("count_all"), pa.int64()),
+                         "bucket": pc.bit_wise_and(g.column("h"), P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"hour_start": pd.Series(dtype="int64"),
+                              "event_type": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["etype"])
+        g = cj.groupby(["h", "etype"], as_index=False)["n"].sum()
+        mx = g.groupby("h")["n"].transform("max")
+        g = restore(g[g["n"] == mx])
+        return pd.DataFrame({
+            "hour_start": g["h"].to_numpy(np.int64),
+            "event_type": g["etype"].to_numpy(object),
+            "n": g["n"].to_numpy(np.int64)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events", columns=["ts", "event_type"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"hour_start": pd.Series(dtype="int64"),
+                             "event_type": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64")})
+    out = pd.concat(parts, ignore_index=True)
+    key = out["event_type"].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex()
+        if isinstance(v, str) else "￿")
+    out = out.assign(_k=key).sort_values(["hour_start", "_k"])
+    return out.drop(columns="_k").reset_index(drop=True)
