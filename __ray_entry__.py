@@ -324,6 +324,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             analytics.q_last_touch_attribution,
         "q183_order_total_audit": analytics.q_order_total_audit,
         "q184_hourly_top_type": analytics.q_hourly_top_type,
+        "q185_part_skyline": analytics.q_part_skyline,
+        "q186_time_to_convert": analytics.q_time_to_convert,
+        "q187_gram_novelty": analytics.q_gram_novelty,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2340,6 +2343,57 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT hour_start, event_type, n FROM r WHERE rk = 1
             ORDER BY 1, 2
+        """,
+        "q185_part_skyline": """
+            WITH p AS (
+                SELECT p_partkey, p_retailprice AS price, p_size AS size
+                FROM part
+                WHERE p_partkey IS NOT NULL AND p_size IS NOT NULL
+                  AND isfinite(p_retailprice))
+            SELECT a.p_partkey, a.price, a.size::BIGINT AS size
+            FROM p a WHERE NOT EXISTS (
+                SELECT 1 FROM p b
+                WHERE b.price <= a.price AND b.size <= a.size
+                  AND (b.price < a.price OR b.size < a.size))
+            ORDER BY 1
+        """,
+        "q186_time_to_convert": """
+            WITH u AS (
+                SELECT user_id,
+                       min(ts) FILTER (event_type = 'signup') AS s,
+                       min(ts) FILTER (event_type = 'purchase') AS p
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                GROUP BY 1),
+            d AS (SELECT (epoch_us(p) - epoch_us(s)) / 1e6 AS dt
+                  FROM u WHERE s IS NOT NULL AND p IS NOT NULL
+                    AND p >= s)
+            SELECT count(*)::BIGINT AS n_converted,
+                   round(quantile_cont(dt, 0.5), 4) AS median_sec,
+                   round(quantile_cont(dt, 0.9), 4) AS p90_sec
+            FROM d
+        """,
+        "q187_gram_novelty": r"""
+            WITH d AS (SELECT doc_id,
+                              regexp_extract_all(lower(text), '\w+')
+                                  AS ws
+                       FROM documents WHERE doc_id IS NOT NULL),
+            g AS (SELECT DISTINCT doc_id,
+                         array_to_string(ws[x+1 : x+3], ' ') AS gram
+                  FROM d, unnest(range(greatest(len(ws) - 2, 0)))
+                       AS r(x)),
+            f AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+            agg AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+                           count(*) FILTER (f.df = 1)::BIGINT
+                               AS n_novel
+                    FROM g JOIN f USING (gram) GROUP BY 1)
+            SELECT d.doc_id,
+                   coalesce(agg.n_grams, 0)::BIGINT AS n_grams,
+                   coalesce(agg.n_novel, 0)::BIGINT AS n_novel,
+                   round(CASE WHEN agg.n_grams > 0
+                              THEN agg.n_novel / agg.n_grams::DOUBLE
+                         END, 6) AS novelty
+            FROM d LEFT JOIN agg USING (doc_id) ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

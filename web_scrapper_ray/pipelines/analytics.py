@@ -6683,3 +6683,269 @@ def q_hourly_top_type(sf_dir: str) -> pd.DataFrame:
         if isinstance(v, str) else "￿")
     out = out.assign(_k=key).sort_values(["hour_start", "_k"])
     return out.drop(columns="_k").reset_index(drop=True)
+
+
+def q_part_skyline(sf_dir: str) -> pd.DataFrame:
+    """2-D skyline (Pareto-optimal set): parts minimizing (retailprice,
+    size) — kept iff NO other part is <= on both axes and < on one.
+    Distributed shape: each block computes its LOCAL skyline (sort by
+    price, strictly-decreasing-size scan over unique coordinates,
+    duplicates of surviving coordinates re-attached — two equal points
+    never dominate each other), and skyline(union of local skylines)
+    == global skyline because strict dominance is transitive through
+    coordinate ties. The driver's final scan touches only the local
+    survivors. NULL and NaN coordinates are excluded on both sides
+    (NaN compares TRUE under DuckDB's <= total order — the oracle
+    filters isfinite)."""
+
+    def _skyline(df: pd.DataFrame) -> pd.DataFrame:
+        # unique coords, sorted by (price, size)
+        u = (df[["price", "size"]].drop_duplicates()
+             .sort_values(["price", "size"]))
+        pr = u["price"].to_numpy(np.float64)
+        sz = u["size"].to_numpy(np.int64)
+        keep = np.zeros(len(u), bool)
+        best = np.iinfo(np.int64).max
+        for i in range(len(u)):
+            if sz[i] < best:
+                keep[i] = True
+                best = sz[i]
+        surv = u[keep]
+        return df.merge(surv, on=["price", "size"])
+
+    def local(t: pa.Table) -> pa.Table:
+        E = pa.table({"p_partkey": pa.array([], pa.int64()),
+                      "price": pa.array([], pa.float64()),
+                      "size": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "p_partkey" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("p_partkey")),
+                          pc.is_valid(t.column("p_size"))),
+            pc.fill_null(pc.is_finite(t.column("p_retailprice")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        df = pd.DataFrame({
+            "p_partkey": t2.column("p_partkey").to_numpy(
+                zero_copy_only=False).astype(np.int64),
+            "price": t2.column("p_retailprice").to_numpy(
+                zero_copy_only=False).astype(np.float64),
+            "size": t2.column("p_size").to_numpy(
+                zero_copy_only=False).astype(np.int64)})
+        s = _skyline(df)
+        return pa.table({"p_partkey": pa.array(s["p_partkey"].to_numpy(
+                             np.int64)),
+                         "price": pa.array(s["price"].to_numpy(
+                             np.float64)),
+                         "size": pa.array(s["size"].to_numpy(np.int64))})
+
+    cand = (_read(sf_dir, "part",
+                  columns=["p_partkey", "p_retailprice", "p_size"])
+            .map_batches(local, batch_format="pyarrow").to_pandas())
+    empty = pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                          "price": pd.Series(dtype="float64"),
+                          "size": pd.Series(dtype="int64")})
+    if cand.empty:
+        return empty
+    out = _skyline(cand)
+    return out.sort_values("p_partkey").reset_index(drop=True)
+
+
+def q_time_to_convert(sf_dir: str) -> pd.DataFrame:
+    """Time-to-convert distribution: per user, seconds from FIRST
+    signup to FIRST purchase (when the purchase follows), then the
+    global exact median and p90 via the shared rank-refinement
+    order-stats machinery (``relational._grouped_order_stats`` — no
+    global sort, histogram passes over materialized block refs). One
+    user exchange folds per-block (user, min-signup, min-purchase)
+    partials; per-bucket diffs stay in the object store and feed the
+    quantile passes as a Dataset. The µs→seconds division and the
+    quantile interpolation replicate DuckDB op-for-op (q102's probed
+    v_lo·(1−f)+v_hi·f form)."""
+    import ray.data as rd
+
+    from .relational import _grouped_order_stats
+
+    P = 32
+    IMAX = np.iinfo(np.int64).max
+
+    _E = pa.table({"uid": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.int64()),
+                   "p": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        et = t2.column("event_type").to_numpy(zero_copy_only=False)
+        out = []
+        uk, inv = np.unique(uid, return_inverse=True)
+        res = {"s": "signup", "p": "purchase"}
+        mins = {}
+        for col, ty in res.items():
+            m = np.full(len(uk), IMAX, np.int64)
+            sel = np.zeros(len(uid), bool)
+            vmask = pd.notna(et)
+            sel[vmask] = et[vmask] == ty
+            np.minimum.at(m, inv[sel], ts[sel])
+            mins[col] = m
+        return pa.table({"uid": pa.array(uk),
+                         "s": pa.array(mins["s"]),
+                         "p": pa.array(mins["p"]),
+                         "bucket": pc.bit_wise_and(pa.array(uk), P - 1)})
+
+    def merge(*tabs) -> pa.Table:
+        E = pa.table({"event_type": pa.array([], pa.string()),
+                      "value": pa.array([], pa.float64())})
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return E
+        df = pa.concat_tables(live).to_pandas()
+        g = df.groupby("uid").agg(s=("s", "min"), p=("p", "min"))
+        s = g["s"].to_numpy(np.int64)
+        p = g["p"].to_numpy(np.int64)
+        ok = (s != IMAX) & (p != IMAX) & (p >= s)
+        dt = (p[ok] - s[ok]).astype(np.float64) / 1e6
+        return pa.table({"event_type": pa.array(["all"] * len(dt)),
+                         "value": pa.array(dt)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_type"]).to_arrow_refs()]
+    refs = hash_shuffle(tagged, split, merge, P=P, gather=False)
+    ds = rd.from_arrow_refs(refs)
+
+    def ranks_of(name, c):
+        n = c[0]
+        if n == 0:
+            return []
+        want = set()
+        for frac in (0.5, 0.9):
+            rn = (n - 1) * frac
+            want |= {int(np.floor(rn)), int(np.ceil(rn))}
+        return sorted(want)
+
+    counts, values = _grouped_order_stats(ds, ranks_of)
+    if "all" not in counts or counts["all"][0] == 0:
+        return pd.DataFrame({"n_converted": np.array([0], np.int64),
+                             "median_sec": [np.nan],
+                             "p90_sec": [np.nan]})
+    n = counts["all"][0]
+    out = {}
+    for label, frac in (("median_sec", 0.5), ("p90_sec", 0.9)):
+        rn = (n - 1) * frac
+        i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
+        v0 = values[("all", i0)]
+        if i0 == i1:
+            out[label] = v0
+        else:
+            f = rn - i0
+            out[label] = v0 * (1.0 - f) + values[("all", i1)] * f
+    return pd.DataFrame({
+        "n_converted": np.array([n], np.int64),
+        "median_sec": round_away(np.array([out["median_sec"]]), 4),
+        "p90_sec": round_away(np.array([out["p90_sec"]]), 4)})
+
+
+def q_gram_novelty(sf_dir: str) -> pd.DataFrame:
+    """Per-document n-gram novelty: the share of a doc's DISTINCT
+    word-trigrams appearing in NO other document (df == 1 across the
+    corpus) — the inverse of q66's boilerplate detection. Each doc's
+    distinct grams are computed locally (one doc = one row = one
+    batch); the exchange is keyed on the gram hash, each bucket counts
+    df over exact gram strings and emits per-doc (novel, total)
+    partials; the driver folds doc-bounded rows and LEFT-join-fills
+    docs too short to have a trigram (novelty NULL, like the SQL)."""
+    import re as _re
+
+    from .pairs import str_u64
+
+    P = 32
+    rx = _re.compile(r"\w+", _re.ASCII)
+
+    _E = pa.table({"doc": pa.array([], pa.int64()),
+                   "gram": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_valid(t.column("doc_id")),
+                                   False))
+        docs, grams = [], []
+        for did, txt in zip(t2.column("doc_id").to_pylist(),
+                            t2.column("text").to_pylist()):
+            ws = rx.findall((txt or "").lower())
+            if len(ws) < 3:
+                continue
+            gs = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+            docs.extend([did] * len(gs))
+            grams.extend(gs)
+        if not docs:
+            return _E
+        b = np.array([str_u64(g) & (P - 1) for g in grams], np.int64)
+        return pa.table({"doc": pa.array(docs, pa.int64()),
+                         "gram": pa.array(grams, pa.string()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        empty = pd.DataFrame({"doc": pd.Series(dtype="int64"),
+                              "novel": pd.Series(dtype="int64"),
+                              "total": pd.Series(dtype="int64")})
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        # doc-distinct already; df per gram = row count per gram.
+        # factorize gram strings to int codes (full-byte) for speed
+        from .pairs import factorize_strings
+
+        codes, _u = factorize_strings(df["gram"])
+        dfc = np.bincount(codes)
+        novel = dfc[codes] == 1
+        doc = df["doc"].to_numpy(np.int64)
+        uk, inv = np.unique(doc, return_inverse=True)
+        tot = np.bincount(inv)
+        nov = np.zeros(len(uk), np.int64)
+        np.add.at(nov, inv[novel], 1)
+        return pd.DataFrame({"doc": uk,
+                             "novel": nov.astype(np.int64),
+                             "total": tot.astype(np.int64)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "documents", columns=["doc_id", "text"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    ids = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    ids = ids[ids["doc_id"].notna()].astype({"doc_id": np.int64})
+    if not parts:
+        agg = pd.DataFrame({"doc": pd.Series(dtype="int64"),
+                            "novel": pd.Series(dtype="int64"),
+                            "total": pd.Series(dtype="int64")})
+    else:
+        agg = (pd.concat(parts, ignore_index=True)
+               .groupby("doc", as_index=False)
+               .agg(novel=("novel", "sum"), total=("total", "sum")))
+    out = ids.merge(agg, left_on="doc_id", right_on="doc", how="left")
+    n_grams = out["total"].fillna(0).astype(np.int64)
+    n_novel = out["novel"].fillna(0).astype(np.int64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ratio = n_novel.to_numpy(np.float64) / n_grams.to_numpy(
+            np.float64)
+    novelty = np.where(n_grams.to_numpy() > 0, round_away(ratio, 6),
+                       np.nan)
+    return (pd.DataFrame({"doc_id": out["doc_id"].to_numpy(np.int64),
+                          "n_grams": n_grams.to_numpy(np.int64),
+                          "n_novel": n_novel.to_numpy(np.int64),
+                          "novelty": novelty})
+            .sort_values("doc_id").reset_index(drop=True))
