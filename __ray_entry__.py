@@ -327,6 +327,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q185_part_skyline": analytics.q_part_skyline,
         "q186_time_to_convert": analytics.q_time_to_convert,
         "q187_gram_novelty": analytics.q_gram_novelty,
+        "q188_quartile_bands": analytics.q_quartile_bands,
+        "q189_type_pair_lift": analytics.q_type_pair_lift,
+        "q190_asof_tolerance": analytics.q_asof_join_tolerance,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2394,6 +2397,61 @@ def oracle_sql() -> dict[str, str]:
                               THEN agg.n_novel / agg.n_grams::DOUBLE
                          END, 6) AS novelty
             FROM d LEFT JOIN agg USING (doc_id) ORDER BY 1
+        """,
+        "q188_quartile_bands": """
+            WITH f AS (
+                SELECT event_type, value FROM events
+                WHERE event_type IS NOT NULL AND value IS NOT NULL
+                  AND NOT isnan(value)),
+            q AS (SELECT event_type,
+                         quantile_cont(value, 0.25) AS q1,
+                         quantile_cont(value, 0.50) AS q2,
+                         quantile_cont(value, 0.75) AS q3
+                  FROM f GROUP BY 1),
+            b AS (SELECT f.event_type,
+                         CASE WHEN f.value <= q.q1 THEN 1
+                              WHEN f.value <= q.q2 THEN 2
+                              WHEN f.value <= q.q3 THEN 3
+                              ELSE 4 END AS band
+                  FROM f JOIN q USING (event_type))
+            SELECT event_type, band::BIGINT AS band,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q189_type_pair_lift": """
+            WITH e AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+            nn AS (SELECT count(DISTINCT user_id)::DOUBLE AS nu FROM e),
+            s AS (SELECT event_type, count(*)::DOUBLE AS na
+                  FROM e GROUP BY 1),
+            p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                         count(*)::DOUBLE AS nab
+                  FROM e a JOIN e b ON a.user_id = b.user_id
+                       AND a.event_type < b.event_type
+                  GROUP BY 1, 2)
+            SELECT type_a, type_b,
+                   round(ln((nab * nn.nu) / (sa.na * sb.na)), 6) AS pmi,
+                   nab::BIGINT AS n_both
+            FROM p JOIN s sa ON sa.event_type = p.type_a
+                 JOIN s sb ON sb.event_type = p.type_b, nn
+            ORDER BY 1, 2
+        """,
+        "q190_asof_tolerance": """
+            SELECT b.event_id, b.user_id,
+                   (epoch_us(b.ts) - epoch_us(c.ts)) / 1e6
+                       AS click_gap_sec
+            FROM (SELECT event_id, user_id, ts FROM events
+                  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                    AND event_id IS NOT NULL
+                    AND event_type = 'purchase') b
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                         AND event_id IS NOT NULL
+                         AND event_type = 'click') c
+              ON b.user_id = c.user_id AND c.ts <= b.ts
+            WHERE b.ts - c.ts <= INTERVAL 60 MINUTE
+            ORDER BY b.event_id
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -6949,3 +6949,329 @@ def q_gram_novelty(sf_dir: str) -> pd.DataFrame:
                           "n_novel": n_novel.to_numpy(np.int64),
                           "novelty": novelty})
             .sort_values("doc_id").reset_index(drop=True))
+
+
+def q_quartile_bands(sf_dir: str) -> pd.DataFrame:
+    """Classify every event into its OWN type's quartile band and
+    count the bands — the two-pass broadcast-threshold shape: pass 1
+    computes exact per-type quartiles with the shared rank-refinement
+    machinery (no group ever sorts in one task), pass 2 broadcasts the
+    tiny (type → q1,q2,q3) map and counts (type, band) per batch. The
+    band comparisons reuse the EXACT same interpolated doubles the SQL
+    computes, so the <= boundaries cannot drift. NaN values are
+    excluded on both sides (q102 contract); a NaN QUARTILE (an
+    inf-bracket interpolation) compares TRUE under DuckDB's total
+    order, mirrored explicitly."""
+    import ray
+
+    from .relational import _drop_null_nan_values, _grouped_order_stats
+
+    ds = (_read(sf_dir, "events", columns=["event_type", "value"])
+          .map_batches(_drop_null_nan_values, batch_format="pyarrow"))
+
+    FRACS = (0.25, 0.50, 0.75)
+
+    def ranks_of(name, c):
+        n = c[0]
+        if n == 0:
+            return []
+        want = set()
+        for frac in FRACS:
+            rn = (n - 1) * frac
+            want |= {int(np.floor(rn)), int(np.ceil(rn))}
+        return sorted(want)
+
+    counts, values = _grouped_order_stats(ds, ranks_of)
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "band": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64")})
+    quarts: dict[str, tuple] = {}
+    for name, c in counts.items():
+        if name is None or c[0] == 0:
+            continue  # NULL type: the SQL USING join drops it anyway
+        n = c[0]
+        qs = []
+        for frac in FRACS:
+            rn = (n - 1) * frac
+            i0, i1 = int(np.floor(rn)), int(np.ceil(rn))
+            v0 = values[(name, i0)]
+            qs.append(v0 if i0 == i1 else
+                      v0 * (1.0 - (rn - i0)) + values[(name, i1)]
+                      * (rn - i0))
+        quarts[name] = tuple(qs)
+    if not quarts:
+        return empty
+    qref = ray.put(quarts)
+
+    def classify(t: pa.Table) -> pa.Table:
+        qmap = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
+        E = pa.table({"event_type": pa.array([], pa.string()),
+                      "band": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(pc.is_valid(t.column("event_type")),
+                             pc.invert(pc.fill_null(
+                                 pc.is_nan(t.column("value")), True)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        et = t2.column("event_type").to_numpy(zero_copy_only=False)
+        v = np.asarray(t2.column("value").to_numpy(
+            zero_copy_only=False), np.float64)
+        out: dict = {}
+        for ty, (q1, q2, q3) in qmap.items():
+            m = et == ty
+            if not m.any():
+                continue
+            vv = v[m]
+            # DuckDB total order: x <= NaN is TRUE
+            b1 = vv <= q1 if not np.isnan(q1) else np.ones(len(vv), bool)
+            b2 = vv <= q2 if not np.isnan(q2) else np.ones(len(vv), bool)
+            b3 = vv <= q3 if not np.isnan(q3) else np.ones(len(vv), bool)
+            band = np.where(b1, 1, np.where(b2, 2, np.where(b3, 3, 4)))
+            bs, cnt = np.unique(band, return_counts=True)
+            for b, c in zip(bs, cnt):
+                out[(ty, int(b))] = out.get((ty, int(b)), 0) + int(c)
+        if not out:
+            return E
+        keys = list(out)
+        return pa.table({
+            "event_type": pa.array([k[0] for k in keys], pa.string()),
+            "band": pa.array([k[1] for k in keys], pa.int64()),
+            "n": pa.array([out[k] for k in keys], pa.int64())})
+
+    parts = (_read(sf_dir, "events", columns=["event_type", "value"])
+             .map_batches(classify, batch_format="pyarrow").to_pandas())
+    if parts.empty:
+        return empty
+    from .pairs import coded_keys
+
+    cj, restore = coded_keys(parts, ["event_type"])
+    g = restore(cj.groupby(["event_type", "band"], as_index=False)
+                ["n"].sum())
+    g["band"] = g["band"].astype(np.int64)
+    g["n"] = g["n"].astype(np.int64)
+    key = g["event_type"].map(
+        lambda v: v.encode("utf-8", "surrogatepass").hex())
+    return (g.assign(_k=key).sort_values(["_k", "band"])
+            .drop(columns="_k").reset_index(drop=True))
+
+
+def q_type_pair_lift(sf_dir: str) -> pd.DataFrame:
+    """Pointwise mutual information between event-type pairs over the
+    user base (which behaviors co-occur beyond chance). One user
+    exchange dedups (user, type) — each bucket then emits its local
+    per-type user counts, per-PAIR co-user counts, and distinct-user
+    count; the driver folds O(types²) rows. Every count is an exact
+    integer, so the PMI argument (nab·nu)/(na·nb) is an exact-int
+    ratio and ln() is the only inexact step (round 6 on both sides).
+    Pairs are oriented by full-byte string order like the SQL's
+    a.event_type < b.event_type."""
+    from .pairs import coded_keys
+
+    P = 32
+
+    _E = pa.table({"uid": pa.array([], pa.int64()),
+                   "etype": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("event_type")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"uid": pc.cast(t2.column("user_id"), pa.int64()),
+                       "etype": t2.column("event_type")})
+             .group_by(["uid", "etype"]).aggregate([]))
+        return pa.table({"uid": g.column("uid"),
+                         "etype": g.column("etype"),
+                         "bucket": pc.bit_wise_and(g.column("uid"),
+                                                   P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        empty = pd.DataFrame({"ta": pd.Series(dtype="object"),
+                              "tb": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64"),
+                              "kind": pd.Series(dtype="object")})
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["etype"])
+        d = cj.drop_duplicates()  # global (user, type) distinct
+        lut = restore(pd.DataFrame(
+            {"etype": np.arange(
+                cj["etype"].max() + 1 if len(cj) else 0)}))
+        code2str = dict(zip(range(len(lut)), lut["etype"]))
+        rows = []
+        # distinct users
+        rows.append((None, None, d["uid"].nunique(), "u"))
+        # per-type user counts
+        for code, grp in d.groupby("etype"):
+            rows.append((code2str[code], None, len(grp), "a"))
+        # per-pair co-occurrence: sort each user's types by BYTE order
+        dd = d.copy()
+        dd["hex"] = dd["etype"].map(
+            lambda c: code2str[c].encode("utf-8",
+                                         "surrogatepass").hex())
+        dd = dd.sort_values(["uid", "hex"])
+        uid = dd["uid"].to_numpy(np.int64)
+        hx = dd["hex"].to_numpy(object)
+        st = dd["etype"].to_numpy(np.int64)
+        pair_n: dict = {}
+        n = len(dd)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and uid[j] == uid[i]:
+                j += 1
+            for a in range(i, j - 1):
+                for b in range(a + 1, j):
+                    k = (st[a], st[b])
+                    pair_n[k] = pair_n.get(k, 0) + 1
+            i = j
+        for (ca, cb), c in pair_n.items():
+            rows.append((code2str[ca], code2str[cb], c, "p"))
+        return pd.DataFrame(rows, columns=["ta", "tb", "n", "kind"])
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "event_type"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                          "type_b": pd.Series(dtype="object"),
+                          "pmi": pd.Series(dtype="float64"),
+                          "n_both": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    nu = float(allp.loc[allp["kind"] == "u", "n"].sum())
+    from .pairs import coded_keys as _ck
+
+    sing = allp[allp["kind"] == "a"].copy()
+    cs, rs = _ck(sing, ["ta"])
+    na = rs(cs.groupby("ta", as_index=False)["n"].sum())
+    namap = dict(zip(na["ta"], na["n"].astype(float)))
+    pairs = allp[allp["kind"] == "p"].copy()
+    cp, rp = _ck(pairs, ["ta", "tb"])
+    g = rp(cp.groupby(["ta", "tb"], as_index=False)["n"].sum())
+    if g.empty:
+        return empty
+    nab = g["n"].to_numpy(np.float64)
+    sa = np.array([namap[v] for v in g["ta"]], np.float64)
+    sb = np.array([namap[v] for v in g["tb"]], np.float64)
+    pmi = np.log((nab * nu) / (sa * sb))
+    out = pd.DataFrame({"type_a": g["ta"].to_numpy(object),
+                        "type_b": g["tb"].to_numpy(object),
+                        "pmi": round_away(pmi, 6),
+                        "n_both": g["n"].to_numpy(np.int64)})
+    k1 = out["type_a"].map(lambda v: v.encode("utf-8",
+                                              "surrogatepass").hex())
+    k2 = out["type_b"].map(lambda v: v.encode("utf-8",
+                                              "surrogatepass").hex())
+    order = pd.DataFrame({"a": k1, "b": k2}).sort_values(["a", "b"]).index
+    return out.loc[order].reset_index(drop=True)
+
+
+def q_asof_join_tolerance(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
+    """Backward AS-OF self-join WITH a freshness tolerance: each
+    purchase event matches the same user's latest click at-or-before
+    it, kept only when the click is at most ``minutes`` old — the
+    click-to-buy attribution window (merge_asof tolerance semantics;
+    SQL: ASOF JOIN + a WHERE on the matched distance). Clean-key
+    contract: NULL keys/times/ids are excluded on both sides up front
+    (q43 keeps the hairy NULL→+inf cases; this is the
+    production-shaped variant). One user exchange; each bucket
+    vectorizes the per-user searchsorted match over µs integers, so
+    the distance comparison is exact int arithmetic."""
+    P = 32
+    TOL_US = minutes * 60_000_000
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "t": pa.array([], pa.int64()),
+                   "eid": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.is_valid(t.column("event_id")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        et = t2.column("event_type").to_numpy(zero_copy_only=False)
+        vmask = pd.notna(et)
+        is_click = np.zeros(len(et), bool)
+        is_click[vmask] = et[vmask] == "click"
+        is_buy = np.zeros(len(et), bool)
+        is_buy[vmask] = et[vmask] == "purchase"
+        t2 = t2.filter(pa.array(is_click | is_buy))
+        side = np.where(is_buy[is_click | is_buy], 1, 0).astype(np.int8)
+        key = pc.cast(t2.column("user_id"), pa.int64())
+        return pa.table({
+            "key": key,
+            "side": pa.array(side),
+            "t": pc.cast(t2.column("ts"), pa.int64()),
+            "eid": pc.cast(t2.column("event_id"), pa.int64()),
+            "bucket": pc.bit_wise_and(key, P - 1)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                              "user_id": pd.Series(dtype="int64"),
+                              "click_gap_sec": pd.Series(dtype="float64")})
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return empty
+        df = pa.concat_tables(live).to_pandas()
+        clicks = df[df["side"] == 0].sort_values(["key", "t"],
+                                                 kind="stable")
+        buys = df[df["side"] == 1]
+        if clicks.empty or buys.empty:
+            return empty
+        ck = clicks["key"].to_numpy(np.int64)
+        ct = clicks["t"].to_numpy(np.int64)
+        out_eid, out_uid, out_gap = [], [], []
+        for key, grp in buys.groupby("key"):
+            lo = np.searchsorted(ck, key, side="left")
+            hi = np.searchsorted(ck, key, side="right")
+            if lo == hi:
+                continue
+            seg = ct[lo:hi]
+            ts = grp["t"].to_numpy(np.int64)
+            pos = np.searchsorted(seg, ts, side="right") - 1
+            m = pos >= 0
+            if not m.any():
+                continue
+            matched = seg[np.maximum(pos, 0)]
+            m &= (ts - matched) <= TOL_US
+            if not m.any():
+                continue
+            out_eid.append(grp["eid"].to_numpy(np.int64)[m])
+            out_uid.append(np.full(int(m.sum()), key, np.int64))
+            out_gap.append((ts[m] - matched[m]).astype(np.float64) / 1e6)
+        if not out_eid:
+            return empty
+        return pd.DataFrame({
+            "event_id": np.concatenate(out_eid),
+            "user_id": np.concatenate(out_uid),
+            "click_gap_sec": np.concatenate(out_gap)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_id", "user_id", "ts", "event_type"]
+    ).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                             "user_id": pd.Series(dtype="int64"),
+                             "click_gap_sec": pd.Series(dtype="float64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("event_id").reset_index(drop=True))
