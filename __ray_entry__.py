@@ -330,6 +330,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q188_quartile_bands": analytics.q_quartile_bands,
         "q189_type_pair_lift": analytics.q_type_pair_lift,
         "q190_asof_tolerance": analytics.q_asof_join_tolerance,
+        "q191_weekday_seasonality": analytics.q_weekday_seasonality,
+        "q192_reverse_top1": similarity.q_reverse_top1_counts,
+        "q193_geometric_median": analytics.q_geometric_median_step,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)

@@ -588,6 +588,10 @@ def test_triangle_count_k4_plus_path(ray_session, tmp_path):
     }), str(tmp_path / "lineitem.parquet"))
     out = q_triangle_count(str(tmp_path))
     assert out["n_triangles"].tolist() == [4]
+    # the sparse wedge plan (dense_limit=0 forces it) must agree with
+    # the dense bitset path on the same graph
+    out2 = q_triangle_count(str(tmp_path), dense_limit=0)
+    assert out2["n_triangles"].tolist() == [4]
 
 
 def test_type_jaccard_small(ray_session, tmp_path):

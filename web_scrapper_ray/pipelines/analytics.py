@@ -7275,3 +7275,154 @@ def q_asof_join_tolerance(sf_dir: str, minutes: int = 60) -> pd.DataFrame:
                              "click_gap_sec": pd.Series(dtype="float64")})
     return (pd.concat(parts, ignore_index=True)
             .sort_values("event_id").reset_index(drop=True))
+
+
+def q_weekday_seasonality(sf_dir: str) -> pd.DataFrame:
+    """Day-of-week seasonality of event values: per-weekday mean and
+    its ratio to the global mean. Pure one-pass combiner — per-batch
+    (dow, n, Σv) partials; the driver folds 7×P rows. The weekday is
+    FLOOR-divided from raw epoch µs ((days + 4) mod 7, floored mod:
+    1970-01-01 was a Thursday and DuckDB's dayofweek is 0=Sunday), so
+    pre-1970 fractional timestamps land on the same calendar day as
+    date-part arithmetic. Non-finite values are excluded on both
+    sides (NaN would poison the means; NaN > x is TRUE under DuckDB's
+    total order so the oracle needs an explicit isfinite)."""
+    P = 8
+
+    _E = pa.table({"dow": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("ts")),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        days = np.floor_divide(us, 86_400_000_000)
+        dow = np.mod(days + 4, 7).astype(np.int64)
+        v = np.asarray(t2.column("value").to_numpy(
+            zero_copy_only=False), np.float64)
+        n = np.bincount(dow, minlength=7)
+        s = np.zeros(7, np.float64)
+        np.add.at(s, dow, v)
+        keepm = n > 0
+        d = np.arange(7, dtype=np.int64)[keepm]
+        return pa.table({"dow": pa.array(d),
+                         "n": pa.array(n[keepm].astype(np.int64)),
+                         "s": pa.array(s[keepm]),
+                         "bucket": pa.array(d % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"dow": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64")})
+        df = pa.concat_tables(live).to_pandas()
+        return df.groupby("dow", as_index=False).agg(
+            n=("n", "sum"), s=("s", lambda x: x.to_numpy().sum()))
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events", columns=["ts", "value"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"dow": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "avg_value": pd.Series(dtype="float64"),
+                          "seasonal_idx": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("dow", as_index=False)
+         .agg(n=("n", "sum"), s=("s", lambda x: x.to_numpy().sum())))
+    gn = float(g["n"].sum())
+    gavg = float(g["s"].sum()) / gn
+    avg = g["s"].to_numpy(np.float64) / g["n"].to_numpy(np.float64)
+    return pd.DataFrame({
+        "dow": g["dow"].to_numpy(np.int64),
+        "n": g["n"].to_numpy(np.int64),
+        "avg_value": round_away(avg, 6),
+        "seasonal_idx": round_away(avg / gavg, 6)}).sort_values(
+            "dow").reset_index(drop=True)
+
+
+def q_geometric_median_step(sf_dir: str) -> pd.DataFrame:
+    """One Weiszfeld step toward the embeddings' geometric median (the
+    robust centroid a mean-poisoning outlier can't drag): from the
+    corpus mean m, re-weight every vector by 1/‖v−m‖ and emit the
+    weighted mean, per dimension. Two broadcast passes, each a
+    per-batch (Σ, n) vector combiner — the corpus never moves, the
+    shuffle carries d-dim partials. Exact-zero distances are excluded
+    on both sides (SQL's WHERE d > 0; 1/0 would poison the sums with
+    inf)."""
+    import ray
+
+    emb = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def pass1(t: pa.Table) -> pa.Table:
+        E = pa.table({"n": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.list_(pa.float64()))})
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return E
+        t2 = t.filter(pc.is_valid(t.column("embedding")))
+        if t2.num_rows == 0:
+            return E
+        col = t2.column("embedding")
+        flat = np.asarray(col.combine_chunks().flatten().to_numpy(
+            zero_copy_only=False), np.float64)
+        mat = flat.reshape(t2.num_rows, -1)
+        return pa.table({"n": pa.array([mat.shape[0]], pa.int64()),
+                         "s": pa.array([mat.sum(axis=0)],
+                                       pa.list_(pa.float64()))})
+
+    p1 = emb.map_batches(pass1, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"pos": pd.Series(dtype="int64"),
+                          "gm": pd.Series(dtype="float64")})
+    if p1.empty or p1["n"].sum() == 0:
+        return empty
+    n = int(p1["n"].sum())
+    svec = np.sum(np.stack([np.asarray(x, np.float64)
+                            for x in p1["s"]]), axis=0)
+    mean = svec / n
+    mref = ray.put(mean)
+
+    def pass2(t: pa.Table) -> pa.Table:
+        m = ray.get(mref) if isinstance(mref, ray.ObjectRef) else mref
+        E = pa.table({"sw": pa.array([], pa.float64()),
+                      "swv": pa.array([], pa.list_(pa.float64()))})
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return E
+        t2 = t.filter(pc.is_valid(t.column("embedding")))
+        if t2.num_rows == 0:
+            return E
+        flat = np.asarray(t2.column("embedding").combine_chunks()
+                          .flatten().to_numpy(zero_copy_only=False),
+                          np.float64)
+        mat = flat.reshape(t2.num_rows, -1)
+        d = np.sqrt(((mat - m) ** 2).sum(axis=1))
+        keep = d > 0.0
+        if not keep.any():
+            return E
+        w = 1.0 / d[keep]
+        return pa.table({
+            "sw": pa.array([w.sum()], pa.float64()),
+            "swv": pa.array([(mat[keep] * w[:, None]).sum(axis=0)],
+                            pa.list_(pa.float64()))})
+
+    p2 = emb.map_batches(pass2, batch_format="pyarrow").to_pandas()
+    if p2.empty:
+        return empty
+    sw = float(p2["sw"].sum())
+    swv = np.sum(np.stack([np.asarray(x, np.float64)
+                           for x in p2["swv"]]), axis=0)
+    gm = swv / sw
+    return pd.DataFrame({"pos": np.arange(1, len(gm) + 1,
+                                          dtype=np.int64),
+                         "gm": round_away(gm, 6)})

@@ -333,7 +333,8 @@ def _pairs_by_shift(group_ids: np.ndarray, vals: np.ndarray):
     return np.concatenate(ls), np.concatenate(rs)
 
 
-def q_triangle_count(sf_dir: str, P: int = 32) -> pd.DataFrame:
+def q_triangle_count(sf_dir: str, P: int = 32,
+                     dense_limit: int = 32768) -> pd.DataFrame:
     """Triangles in the supplier co-occurrence graph (suppliers sharing
     an order are adjacent) — the MapReduce NodeIterator++ plan, NO
     adjacency broadcast: (1) orderkey exchange builds per-order
@@ -419,6 +420,81 @@ def q_triangle_count(sf_dir: str, P: int = 32) -> pd.DataFrame:
     s1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
     edge_refs = hash_shuffle([(r, ()) for r in s1], split_pass,
                              merge_edges, P=P, gather=False)
+
+    # ---- dense-domain fast path -----------------------------------
+    # The node domain here is the SUPPLIER DIM — bounded — and order
+    # co-occurrence makes the graph near-complete, where the wedge
+    # plan's Σd(u)² blows up quadratically (measured: ~2e9 wedges /
+    # 44 s at sf0.1 vs 0.6 s on this path). When the distinct node
+    # count and edge count fit a broadcastable bitset adjacency
+    # (n ≤ 32768 → ≤ 128 MB), count each triangle at its closing edge
+    # (v, w) as popcount(adj[v] & adj[w] & bits<v) — per-bucket tasks
+    # over the same edge partition, vectorized byte ops, no wedge
+    # stream. Larger/sparser graphs fall through to the wedge plan.
+    @ray.remote
+    def bucket_nodes(t: pa.Table):
+        if t.num_rows == 0:
+            return np.empty(0, np.int64), 0
+        k = t.column("key").to_numpy()
+        u = (k.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (k.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        return np.unique(np.concatenate([u, v])), len(k)
+
+    nsets = ray.get([bucket_nodes.remote(r) for r in edge_refs])
+    nodes = np.unique(np.concatenate([x[0] for x in nsets])) if nsets \
+        else np.empty(0, np.int64)
+    m_edges = sum(x[1] for x in nsets)
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return pd.DataFrame({"n_triangles": np.array([0], np.int64)})
+    if n_nodes <= dense_limit and m_edges <= 20_000_000:
+        W = (n_nodes + 7) // 8
+        edge_tabs = ray.get(list(edge_refs))
+        keys = np.concatenate(
+            [t.column("key").to_numpy() for t in edge_tabs
+             if t.num_rows] or [np.empty(0, np.int64)])
+        eu = (keys.view(np.uint64)
+              >> np.uint64(_KEY_BITS)).astype(np.int64)
+        ev = (keys.view(np.uint64) & (lim - np.uint64(1))).astype(
+            np.int64)
+        iu = np.searchsorted(nodes, eu)
+        iv = np.searchsorted(nodes, ev)
+        A = np.zeros((n_nodes, W), np.uint8)
+        # little-endian bit layout: node j lives at byte j>>3, bit j&7
+        np.bitwise_or.at(A, (iu, iv >> 3),
+                         (1 << (iv & 7)).astype(np.uint8))
+        np.bitwise_or.at(A, (iv, iu >> 3),
+                         (1 << (iu & 7)).astype(np.uint8))
+        aref = ray.put(A)
+        POP = np.unpackbits(
+            np.arange(256, dtype=np.uint8)[:, None],
+            axis=1).sum(axis=1).astype(np.int64)
+
+        @ray.remote
+        def close_dense(t: pa.Table, adj) -> int:
+            if t.num_rows == 0:
+                return 0
+            k = t.column("key").to_numpy()
+            v = np.searchsorted(nodes, (k.view(np.uint64)
+                                        >> np.uint64(_KEY_BITS))
+                                .astype(np.int64))
+            w = np.searchsorted(nodes, (k.view(np.uint64)
+                                        & (lim - np.uint64(1)))
+                                .astype(np.int64))
+            both = adj[v] & adj[w]
+            # keep only common-neighbor bits u < v: full bytes below
+            # v>>3, plus the partial byte at v>>3
+            byte_idx = np.arange(W, dtype=np.int64)[None, :]
+            vb = (v >> 3)[:, None]
+            both = np.where(byte_idx < vb, both, 0).astype(np.uint8)
+            partial = adj[v, v >> 3] & adj[w, v >> 3] & (
+                (1 << (v & 7)) - 1).astype(np.uint8)
+            return int(POP[both].sum() + POP[partial].sum())
+
+        counts = ray.get([close_dense.remote(r, aref)
+                          for r in edge_refs])
+        return pd.DataFrame({"n_triangles": np.array(
+            [int(sum(counts))], np.int64)})
 
     # stage 3: re-key distinct edges on their smallest node u and
     # generate wedges over each u's sorted higher neighbors

@@ -1069,3 +1069,89 @@ def q_topk_similar_pairs(sf_dir: str, k: int = 50) -> pd.DataFrame:
                         out["vec_a"].to_numpy(np.int64),
                         -out["sim"].to_numpy(np.float64)))[:k]
     return out.iloc[order].reset_index(drop=True)
+
+
+def q_reverse_top1_counts(sf_dir: str) -> pd.DataFrame:
+    """Reverse nearest-neighbor in-degree: for every vector, how many
+    OTHER vectors choose it as their single most-similar neighbor (hub
+    detection for embedding QA). Blocked cross-product tasks keep a
+    per-row LOCAL best over each chunk pair (both directions — a chunk
+    pair task is each side's only view of the other); the per-row
+    global best folds through one row-id exchange with (rounded-sim
+    DESC, neighbor-id ASC) tie-breaks — the same ordering the SQL
+    window uses, so last-ulp matmul divergence cannot flip a winner.
+    Rows sharing a vec_id (duplicate ids) form ONE ranking partition,
+    like SQL's PARTITION BY, and equal-id pairs never match."""
+    import ray
+
+    from .pairs import round_away
+
+    EMPTY = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "rnn_count": pd.Series(dtype="int64")})
+    refs = _emb(sf_dir).to_arrow_refs()
+    if not refs:
+        return EMPTY
+    groups: list[list] = [[] for _ in range(min(N_CHUNKS, len(refs)))]
+    for i, r in enumerate(refs):
+        groups[i % len(groups)].append(r)
+
+    _E = pa.table({"qid": pa.array([], pa.int64()),
+                   "nid": pa.array([], pa.int64()),
+                   "sim": pa.array([], pa.float64())})
+
+    @ray.remote
+    def chunk_best(same: bool, refs_a: list, refs_b: list) -> pa.Table:
+        def load(rs):
+            tabs = [t for t in (ray.get(r) for r in rs) if t.num_rows]
+            if not tabs:
+                return np.array([], dtype=np.int64), np.zeros((0, 1))
+            ids, mat = _batch_matrix(pa.concat_tables(tabs))
+            return ids, _unit(mat)
+
+        ids_a, ua = load(refs_a)
+        ids_b, ub = (ids_a, ua) if same else load(refs_b)
+        if not len(ids_a) or not len(ids_b):
+            return _E
+
+        def bests(ids_q, uq, ids_n, un):
+            sims = round_away(uq @ un.T, 6)
+            # equal ids never match (SQL a.vec_id <> b.vec_id)
+            eq = ids_q[:, None] == ids_n[None, :]
+            sims[eq] = -np.inf
+            # argmax with neighbor-id tie-break: order columns by id
+            order = np.argsort(ids_n, kind="stable")
+            s2 = sims[:, order]
+            j = np.argmax(s2, axis=1)  # first max = smallest nid
+            best = s2[np.arange(len(ids_q)), j]
+            ok = np.isfinite(best)
+            return (ids_q[ok], ids_n[order][j[ok]], best[ok])
+
+        qa, na, sa = bests(ids_a, ua, ids_b, ub)
+        if same:
+            return pa.table({"qid": pa.array(qa.astype("int64")),
+                             "nid": pa.array(na.astype("int64")),
+                             "sim": pa.array(sa)})
+        qb, nb, sb = bests(ids_b, ub, ids_a, ua)
+        return pa.table({
+            "qid": pa.array(np.concatenate([qa, qb]).astype("int64")),
+            "nid": pa.array(np.concatenate([na, nb]).astype("int64")),
+            "sim": pa.array(np.concatenate([sa, sb]))})
+
+    futs = []
+    for i in range(len(groups)):
+        futs.append(chunk_best.remote(True, groups[i], []))
+        for j in range(i + 1, len(groups)):
+            futs.append(chunk_best.remote(False, groups[i], groups[j]))
+    tables = [t for t in ray.get(futs) if t.num_rows]
+    if not tables:
+        return EMPTY
+    df = pa.concat_tables(tables).to_pandas()
+    # global per-qid best: sim DESC, nid ASC (rounded sims — exact)
+    df = df.sort_values(["qid", "sim", "nid"],
+                        ascending=[True, False, True], kind="stable")
+    win = df.drop_duplicates("qid", keep="first")
+    out = (win.groupby("nid", as_index=False).size()
+           .rename(columns={"nid": "vec_id", "size": "rnn_count"}))
+    out["vec_id"] = out["vec_id"].astype(np.int64)
+    out["rnn_count"] = out["rnn_count"].astype(np.int64)
+    return out.sort_values("vec_id").reset_index(drop=True)
