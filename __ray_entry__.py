@@ -2456,6 +2456,49 @@ def oracle_sql() -> dict[str, str]:
             WHERE b.ts - c.ts <= INTERVAL 60 MINUTE
             ORDER BY b.event_id
         """,
+        "q191_weekday_seasonality": """
+            WITH d AS (
+                SELECT dayofweek(ts)::BIGINT AS dow, value FROM events
+                WHERE ts IS NOT NULL AND isfinite(value)),
+            t AS (SELECT avg(value) AS g FROM d)
+            SELECT dow, count(*)::BIGINT AS n,
+                   round(avg(value), 6) AS avg_value,
+                   round(avg(value) / t.g, 6) AS seasonal_idx
+            FROM d, t GROUP BY dow, t.g ORDER BY dow
+        """,
+        "q192_reverse_top1": """
+            WITH e2 AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                FROM embeddings WHERE embedding IS NOT NULL),
+            s AS (SELECT a.vec_id AS qid, b.vec_id AS nid,
+                         round(list_cosine_similarity(a.emb, b.emb), 6)
+                             AS sim
+                  FROM e2 a JOIN e2 b ON a.vec_id <> b.vec_id),
+            t AS (SELECT qid, nid FROM (
+                      SELECT qid, nid,
+                             row_number() OVER (PARTITION BY qid
+                                 ORDER BY sim DESC, nid) AS rk
+                      FROM s)
+                  WHERE rk = 1)
+            SELECT nid AS vec_id, count(*)::BIGINT AS rnn_count
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "q193_geometric_median": """
+            WITH ex AS (
+                SELECT vec_id, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                       generate_subscripts(embedding, 1) AS pos
+                FROM embeddings WHERE embedding IS NOT NULL),
+            m AS (SELECT pos, avg(v) AS mu FROM ex GROUP BY 1),
+            d AS (SELECT vec_id,
+                         sqrt(sum((v - mu) * (v - mu))) AS dist
+                  FROM ex JOIN m USING (pos) GROUP BY 1),
+            w AS (SELECT vec_id, 1.0 / dist AS wt FROM d
+                  WHERE dist > 0)
+            SELECT pos, round(sum(ex.v * w.wt) / (SELECT sum(wt) FROM w),
+                              6) AS gm
+            FROM ex JOIN w USING (vec_id)
+            GROUP BY pos ORDER BY pos
+        """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,
                    count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
