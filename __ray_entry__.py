@@ -197,7 +197,7 @@ def _phash_neardup(sf_dir: str):
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_scrapper_ray.pipelines import (analytics, dedup, graph,
-                                            layout, relational,
+                                            layout, rankstats, relational,
                                             similarity, sketches, textops)
 
     return {
@@ -333,6 +333,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q191_weekday_seasonality": analytics.q_weekday_seasonality,
         "q192_reverse_top1": similarity.q_reverse_top1_counts,
         "q193_geometric_median": analytics.q_geometric_median_step,
+        "q194_spearman_orders": rankstats.q_spearman_orders,
+        "q195_mannwhitney_value": rankstats.q_mannwhitney,
+        "q196_ks_distance": rankstats.q_ks_distance,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -1913,9 +1916,16 @@ def oracle_sql() -> dict[str, str]:
             FROM j GROUP BY 1 ORDER BY 1 NULLS LAST
         """,
         "q155_returned_item_revenue": """
+            -- exact-cents form (CLAUDE.md exact-int rule): prices and
+            -- discounts are 2dp decimals, so summing in 1e-4 units is
+            -- exact on both sides — a float sum landed within one ulp
+            -- of a .xx5 half boundary and flipped the 2dp rounding
             SELECT c_custkey, c_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                       AS revenue,
+                   round(sum(CAST(round(l_extendedprice * 100)
+                                  AS BIGINT)
+                             * (100 - CAST(round(l_discount * 100)
+                                           AS BIGINT)))
+                         / 10000.0, 2) AS revenue,
                    c_acctbal, n_name
             FROM customer
             JOIN orders ON c_custkey = o_custkey
@@ -2498,6 +2508,77 @@ def oracle_sql() -> dict[str, str]:
                               6) AS gm
             FROM ex JOIN w USING (vec_id)
             GROUP BY pos ORDER BY pos
+        """,
+        "q194_spearman_orders": """
+            WITH s AS (
+                SELECT o_totalprice AS x, o_orderdate AS d FROM orders
+                WHERE isfinite(o_totalprice) AND o_orderdate IS NOT NULL),
+            r AS (
+                SELECT rank() OVER (ORDER BY x)
+                           + (count(*) OVER (PARTITION BY x) - 1) / 2.0
+                           AS rx,
+                       rank() OVER (ORDER BY d)
+                           + (count(*) OVER (PARTITION BY d) - 1) / 2.0
+                           AS ry
+                FROM s)
+            SELECT count(*)::BIGINT AS n, round(corr(rx, ry), 6) AS rho
+            FROM r
+        """,
+        "q195_mannwhitney_value": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS g1
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND isfinite(value)),
+            r AS (
+                SELECT g1,
+                       rank() OVER (ORDER BY v)
+                           + (count(*) OVER (PARTITION BY v) - 1) / 2.0
+                           AS mr
+                FROM s),
+            agg AS (
+                SELECT coalesce(sum(mr) FILTER (WHERE g1 = 1), 0)
+                           AS r1,
+                       count(*) FILTER (WHERE g1 = 1) AS n1,
+                       count(*) FILTER (WHERE g1 = 0) AS n2,
+                       count(*) AS n
+                FROM r),
+            ties AS (
+                SELECT coalesce(sum(c * c * c - c), 0) AS tsum
+                FROM (SELECT count(*)::DOUBLE AS c FROM s GROUP BY v) t)
+            SELECT n1, n2,
+                   round(CASE WHEN n > 0
+                              THEN r1 - n1 * (n1 + 1) / 2.0 END, 6)
+                       AS u1,
+                   round((r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+                         / sqrt(nullif(n1::DOUBLE * n2 / 12.0
+                                       * ((n + 1) - tsum
+                                          / (n::DOUBLE * (n - 1))),
+                                       0)), 6) AS z
+            FROM agg, ties
+        """,
+        "q196_ks_distance": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                           AS g1
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND isfinite(value)),
+            c AS (
+                SELECT v, count(*) FILTER (WHERE g1 = 1) AS c1,
+                       count(*) FILTER (WHERE g1 = 0) AS c2
+                FROM s GROUP BY v),
+            tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+            k AS (
+                SELECT sum(c.c1) OVER (ORDER BY c.v) / tot.n1 AS f1,
+                       sum(c.c2) OVER (ORDER BY c.v) / tot.n2 AS f2
+                FROM c, tot)
+            SELECT coalesce((SELECT n1 FROM tot), 0)::BIGINT AS n1,
+                   coalesce((SELECT n2 FROM tot), 0)::BIGINT AS n2,
+                   (SELECT round(max(abs(f1 - f2)), 6) FROM k) AS d
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -267,6 +267,56 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
                   None, 0.25, 0.75],
     })
 
+    # attribution/asof classes (q182/q190/q178/q189): a NUL-variant
+    # 'purchase\x00z' type is a DIFFERENT string that must neither
+    # convert nor match; purchase-before-any-click (no asof match);
+    # purchase with NO prior event at all (NULL attribution); two
+    # events at the IDENTICAL timestamp (event_id breaks the tie)
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": [900601, 900602, 900603, 900604, 900605, 900606],
+        "ts": [ts(200), ts(200), ts(210), ts(220), ts(230), ts(230)],
+        "user_id": [50, 50, 50, 51, 52, 52],
+        "event_type": ["purchase", "click", "purchase\x00z",
+                       "purchase", "click", "purchase"],
+        "value": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0],
+    })
+
+    # rank-stat classes (q194-q196): CROSS-TYPE ties (identical value
+    # in both click and purchase → shared mid-rank), a -0.0/+0.0 pair
+    # (SQL groups them as one distinct value; float bit-keys don't),
+    # and a 'click\x00k' NUL variant that must NOT join the club
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": [900611, 900612, 900613, 900614, 900615],
+        "ts": [ts(240), ts(241), ts(242), ts(243), ts(244)],
+        "user_id": [53, 53, 54, 54, 55],
+        "event_type": ["click", "purchase", "click", "purchase",
+                       "click\x00k"],
+        "value": [7.25, 7.25, -0.0, 0.0, 7.25],
+    })
+
+    # audit/digit classes (q183/q179): exact-zero and negative order
+    # totals (uncomparable / no leading digit), a lineitem-less order
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [900031, 900032, 900033],
+        "o_custkey": [40, 41, 42],
+        "o_orderstatus": ["O"] * 3,
+        "o_totalprice": [0.0, -123.75, 0.5],
+        "o_orderdate": [ts(300), ts(301), ts(302)],
+        "o_orderpriority": ["5-LOW"] * 3,
+    })
+
+    # skyline/Q20 classes (q185/q173): tied Pareto points (duplicate
+    # coordinates both survive), a dominated duplicate, negative
+    # price; 'red\x00x' part name — LIKE 'red%' matches it on BYTES
+    tabs["part"] = _rows(tabs["part"], {
+        "p_partkey": list(range(900011, 900016)),
+        "p_name": ["red\x00x", "red one", "redder", "blue", None],
+        "p_brand": ["Brand#9"] * 5,
+        "p_type": ["t"] * 5,
+        "p_size": [1, 1, 2, 1, 1],
+        "p_retailprice": [-1.0, -1.0, -1.0, -2.0, -2.0],
+    })
+
     # documents: NULL/empty/unicode/whitespace text, NULL lang/source,
     # duplicate doc text (dedup classes), zero n_chars
     tabs["documents"] = _rows(tabs["documents"], {

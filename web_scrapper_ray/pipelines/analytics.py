@@ -2794,9 +2794,17 @@ def q_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
             pc.equal(t.column("l_returnflag"), "R"))
         t2 = t.filter(pc.fill_null(keep, False))
         n = t2.num_rows
-        rev = pc.multiply(t2.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0, pa.float64()),
-                                      t2.column("l_discount")))
+        # exact-cents terms (1e-4 units): prices/discounts are 2dp
+        # decimals, so the per-group sum is an exact integer on both
+        # sides — a float-product sum once landed one ulp from a .xx5
+        # half boundary and flipped the 2dp rounding vs the oracle
+        rev = pc.multiply(
+            pc.round(pc.multiply(t2.column("l_extendedprice"),
+                                 pa.scalar(100.0, pa.float64()))),
+            pc.subtract(pa.scalar(100.0, pa.float64()),
+                        pc.round(pc.multiply(t2.column("l_discount"),
+                                             pa.scalar(100.0,
+                                                       pa.float64())))))
         return pa.table({
             "key": pc.cast(t2.column("l_orderkey"), pa.int64()),
             "side": pa.array(np.ones(n, np.int8)),
@@ -2952,7 +2960,7 @@ def q_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
     g = (j2.groupby(["cust", "c_name", "acct", "acctnull", "n_name"],
                     as_index=False, dropna=False)
          .agg(s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum")))
-    rev = g["s"].to_numpy(np.float64).copy()
+    rev = g["s"].to_numpy(np.float64) / 10000.0  # e4 units -> currency
     rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL terms: SQL NULL sum
     acct = g["acct"].to_numpy(np.float64).copy()
     acct[g["acctnull"].to_numpy(bool)] = np.nan

@@ -1,0 +1,301 @@
+"""Distributed rank statistics: Spearman correlation, Mann-Whitney U,
+two-sample Kolmogorov-Smirnov — classical nonparametric tests whose
+common primitive is the GLOBAL mid-rank with ties.
+
+The shared exchange is counts-per-distinct-value (``pairs.hash_shuffle``
+on the value's bit pattern): every block emits (value, per-side counts)
+partials, buckets fold them, and the driver sorts the distinct values
+once.  Mid-ranks, CDFs and tie corrections are then pure prefix-sum
+arithmetic over the distinct array — rows never leave their blocks, so
+the exchange volume is O(#distinct values), not O(rows).  Partitioning
+assumption: the distinct-value set fits on the driver (monetary 2dp
+grids, timestamps, bounded sensor ranges).  For an unbounded continuous
+column at 100 TB the same plan holds with the driver fold replaced by a
+range-partitioned prefix pass (q143's sorted-prefix-sum machinery).
+
+Parity contracts (CLAUDE.md): values are filtered to finite on BOTH
+sides (DuckDB corr/stddev RAISE on NaN/inf); -0.0 is normalized to
++0.0 (SQL groups them together, float bit-keys don't); mid-ranks are
+kept as 2·rank integers so centered products are exact; `round_away`
+on every oracle-compared float.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .pairs import hash_shuffle, round_away
+from .relational import _read
+
+_U64 = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bucket_of(v: np.ndarray, P: int) -> np.ndarray:
+    """Deterministic bucket of a float64 value's bit pattern (zeros
+    pre-normalized) — never Python hash() (per-process salt)."""
+    bits = v.view(np.uint64)
+    h = (bits ^ (bits >> np.uint64(33))) * _U64
+    return ((h >> np.uint64(33)) % np.uint64(P)).astype(np.int64)
+
+
+def _norm_zero(v: np.ndarray) -> np.ndarray:
+    """-0.0 -> +0.0 so bit-pattern keys group like SQL equality."""
+    v = np.asarray(v, np.float64)
+    if (v == 0.0).any():
+        v = np.where(v == 0.0, 0.0, v)
+    return v
+
+
+_E2 = pa.table({"v": pa.array([], pa.float64()),
+                "c1": pa.array([], pa.int64()),
+                "c2": pa.array([], pa.int64()),
+                "bucket": pa.array([], pa.int64())})
+
+
+def _count_split(v: np.ndarray, g1: np.ndarray, P: int) -> pa.Table:
+    """Per-block (value, side counts) partial over finite values."""
+    if v.size == 0:
+        return _E2
+    u, inv = np.unique(v, return_inverse=True)
+    c1 = np.bincount(inv, weights=g1.astype(np.float64),
+                     minlength=u.size).astype(np.int64)
+    call = np.bincount(inv, minlength=u.size).astype(np.int64)
+    return pa.table({"v": pa.array(u),
+                     "c1": pa.array(c1),
+                     "c2": pa.array(call - c1),
+                     "bucket": pa.array(_bucket_of(u, P))})
+
+
+def _count_merge(*tabs) -> pd.DataFrame:
+    live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+    if not live:
+        return pd.DataFrame({"v": pd.Series(dtype="float64"),
+                             "c1": pd.Series(dtype="int64"),
+                             "c2": pd.Series(dtype="int64")})
+    df = pa.concat_tables(live).to_pandas()
+    # float64 group keys: exact (bit patterns already zero-normalized,
+    # NaN excluded upstream) — no string hashing involved
+    return df.groupby("v", as_index=False).agg(c1=("c1", "sum"),
+                                               c2=("c2", "sum"))
+
+
+def _fold_counts(parts: list) -> pd.DataFrame:
+    live = [p for p in parts if len(p)]
+    if not live:
+        return pd.DataFrame({"v": pd.Series(dtype="float64"),
+                             "c1": pd.Series(dtype="int64"),
+                             "c2": pd.Series(dtype="int64")})
+    return (pd.concat(live, ignore_index=True)
+            .sort_values("v").reset_index(drop=True))
+
+
+def _two_type_extract(t: pa.Table, a: str, b: str):
+    """events rows of type a/b with finite values -> (v, is_a)."""
+    if t.num_rows == 0 or "event_type" not in t.schema.names:
+        return None
+    et = t.column("event_type")
+    keep = pc.and_kleene(
+        pc.or_kleene(pc.equal(et, a), pc.equal(et, b)),
+        pc.fill_null(pc.is_finite(t.column("value")), False))
+    t2 = t.filter(pc.fill_null(keep, False))
+    if t2.num_rows == 0:
+        return None
+    v = _norm_zero(t2.column("value").to_numpy(zero_copy_only=False))
+    g1 = pc.equal(t2.column("event_type"), a).to_numpy(
+        zero_copy_only=False)
+    return v, np.asarray(g1, bool)
+
+
+def q_mannwhitney(sf_dir: str, a: str = "click",
+                  b: str = "purchase") -> pd.DataFrame:
+    """Mann-Whitney U rank-sum test: does 'click' value stochastically
+    dominate 'purchase' value?  One counts-per-distinct exchange; the
+    rank sum R1 = Σ_v c1(v)·midrank(v) and the tie correction
+    Σ(t³−t) are prefix-sum arithmetic on the distinct array.  2·midrank
+    is an integer (2·#less + #equal + 1) so R1 is exact in int64.
+    z uses the tie-corrected normal approximation; a fully-tied sample
+    (variance 0) or n<2 yields SQL NULL (division by zero) — mirrored
+    as NaN."""
+    P = 8
+
+    def split(t: pa.Table) -> pa.Table:
+        ex = _two_type_extract(t, a, b)
+        return _E2 if ex is None else _count_split(*ex, P)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    c = _fold_counts(hash_shuffle(tagged, split, _count_merge, P=P))
+    n1 = int(c["c1"].sum())
+    n2 = int(c["c2"].sum())
+    n = n1 + n2
+    if n == 0:
+        return pd.DataFrame({"n1": pd.array([0], "int64"),
+                             "n2": pd.array([0], "int64"),
+                             "u1": [np.nan], "z": [np.nan]})
+    cnt = (c["c1"] + c["c2"]).to_numpy(np.float64)
+    less = np.concatenate(([0.0], np.cumsum(cnt)[:-1]))
+    mr2 = 2.0 * less + cnt + 1.0  # 2·midrank, exact integers
+    r1 = 0.5 * float((c["c1"].to_numpy(np.float64) * mr2).sum())
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    tsum = float((cnt ** 3 - cnt).sum())
+    z = np.nan
+    if n > 1:
+        var = n1 * n2 / 12.0 * ((n + 1) - tsum / (n * (n - 1.0)))
+        if var > 0:
+            z = (u1 - n1 * n2 / 2.0) / np.sqrt(var)
+    return pd.DataFrame({
+        "n1": pd.array([n1], "int64"),
+        "n2": pd.array([n2], "int64"),
+        "u1": round_away(np.array([u1]), 6),
+        "z": round_away(np.array([z]), 6)})
+
+
+def q_ks_distance(sf_dir: str, a: str = "click",
+                  b: str = "purchase") -> pd.DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the value
+    distributions of two event types: D = max over the pooled distinct
+    values of |F̂_a − F̂_b|.  Same counts-per-distinct exchange; both
+    empirical CDFs are cumsums over the sorted distinct array.  Empty
+    sides give SQL NULL (0/NULL division) — mirrored as NaN."""
+    P = 8
+
+    def split(t: pa.Table) -> pa.Table:
+        ex = _two_type_extract(t, a, b)
+        return _E2 if ex is None else _count_split(*ex, P)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    c = _fold_counts(hash_shuffle(tagged, split, _count_merge, P=P))
+    n1 = int(c["c1"].sum())
+    n2 = int(c["c2"].sum())
+    d = np.nan
+    if n1 > 0 and n2 > 0:
+        f1 = np.cumsum(c["c1"].to_numpy(np.float64)) / n1
+        f2 = np.cumsum(c["c2"].to_numpy(np.float64)) / n2
+        d = float(np.abs(f1 - f2).max())
+    return pd.DataFrame({
+        "n1": pd.array([n1], "int64"),
+        "n2": pd.array([n2], "int64"),
+        "d": round_away(np.array([d]), 6)})
+
+
+def q_spearman_orders(sf_dir: str) -> pd.DataFrame:
+    """Spearman rank correlation between order total price and order
+    date (is spend drifting over time?).  Two stages:
+
+    1. counts-per-distinct exchange for EACH axis (one hash_shuffle,
+       the dim tag rides along) → driver builds sorted distinct arrays
+       with 2·midrank prefix integers;
+    2. broadcast both rank maps (``ray.put`` once) and stream the rows
+       again — each batch searchsorted-maps its values to centered
+       integer ranks aₓ = 2rₓ−(n+1) and emits 3 scalar partials
+       (Σaₓa_y, Σaₓ², Σa_y²).  ρ = Σaₓa_y / √(Σaₓ²·Σa_y²), exact
+       centering because mid-rank sums are always n(n+1)/2.
+
+    Timestamps ride as epoch µs in float64 (exact below 2^53 —
+    pre-1970 included); ties get identical mid-ranks on both sides.
+    Constant axes (variance 0) yield SQL NULL → NaN."""
+    import ray
+
+    P = 8
+    # column order must match the real split output (v,c1,c2,bucket,
+    # then the appended dim) — pa.concat_tables in the merge is
+    # order-sensitive across split tasks
+    _E = pa.table({"v": pa.array([], pa.float64()),
+                   "c1": pa.array([], pa.int64()),
+                   "c2": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64()),
+                   "dim": pa.array([], pa.int8())})
+
+    def extract(t: pa.Table):
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return None
+        keep = pc.and_kleene(
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")), False),
+            pc.is_valid(t.column("o_orderdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return None
+        x = _norm_zero(t2.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        y = t2.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        return x, y
+
+    def split(t: pa.Table) -> pa.Table:
+        ex = extract(t)
+        if ex is None:
+            return _E
+        outs = []
+        for dim, v in enumerate(ex):
+            p = _count_split(v, np.zeros(v.size, bool), P)
+            outs.append(p.append_column(
+                "dim", pa.array(np.full(p.num_rows, dim, np.int8))))
+        return pa.concat_tables(outs)
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"v": pd.Series(dtype="float64"),
+                                 "c2": pd.Series(dtype="int64"),
+                                 "dim": pd.Series(dtype="int8")})
+        df = pa.concat_tables(live).to_pandas()
+        return df.groupby(["dim", "v"], as_index=False).agg(
+            c2=("c2", "sum"))
+
+    refs = _read(sf_dir, "orders",
+                 columns=["o_totalprice", "o_orderdate"]).to_arrow_refs()
+    tagged = [(r, ()) for r in refs]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"n": pd.array([0], "int64"),
+                          "rho": [np.nan]})
+    if not parts:
+        return empty
+    c = pd.concat(parts, ignore_index=True)
+
+    maps = {}
+    n = 0
+    for dim in (0, 1):
+        g = (c[c["dim"] == dim].groupby("v", as_index=False)
+             .agg(cnt=("c2", "sum")).sort_values("v"))
+        u = g["v"].to_numpy(np.float64)
+        cnt = g["cnt"].to_numpy(np.float64)
+        less = np.concatenate(([0.0], np.cumsum(cnt)[:-1]))
+        maps[dim] = (u, 2.0 * less + cnt + 1.0)  # 2·midrank
+        n = int(cnt.sum())
+    if n == 0:
+        return empty
+    ux, mrx = maps[0]
+    uy, mry = maps[1]
+    ref = ray.put((ux, mrx, uy, mry, float(n)))
+
+    def partials(t: pa.Table) -> pa.Table:
+        E = pa.table({"sxy": pa.array([], pa.float64()),
+                      "sxx": pa.array([], pa.float64()),
+                      "syy": pa.array([], pa.float64())})
+        ex = extract(t)
+        if ex is None:
+            return E
+        gx, gmx, gy, gmy, gn = ray.get(ref) \
+            if isinstance(ref, ray.ObjectRef) else ref
+        ax = gmx[np.searchsorted(gx, ex[0])] - (gn + 1.0)
+        ay = gmy[np.searchsorted(gy, ex[1])] - (gn + 1.0)
+        return pa.table({"sxy": pa.array([float((ax * ay).sum())]),
+                         "sxx": pa.array([float((ax * ax).sum())]),
+                         "syy": pa.array([float((ay * ay).sum())])})
+
+    p = _read(sf_dir, "orders",
+              columns=["o_totalprice", "o_orderdate"]).map_batches(
+        partials, batch_format="pyarrow").to_pandas()
+    sxx = float(p["sxx"].sum())
+    syy = float(p["syy"].sum())
+    rho = (float(p["sxy"].sum()) / np.sqrt(sxx * syy)
+           if sxx > 0 and syy > 0 else np.nan)
+    return pd.DataFrame({"n": pd.array([n], "int64"),
+                         "rho": round_away(np.array([rho]), 6)})
