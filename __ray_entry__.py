@@ -336,6 +336,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q194_spearman_orders": rankstats.q_spearman_orders,
         "q195_mannwhitney_value": rankstats.q_mannwhitney,
         "q196_ks_distance": rankstats.q_ks_distance,
+        "q197_topband_ties": analytics.q_topband_orders_ties,
+        "q198_nation_balance_topshare": analytics.q_nation_balance_topshare,
+        "q199_daily_autocorr": analytics.q_daily_autocorr,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2579,6 +2582,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce((SELECT n1 FROM tot), 0)::BIGINT AS n1,
                    coalesce((SELECT n2 FROM tot), 0)::BIGINT AS n2,
                    (SELECT round(max(abs(f1 - f2)), 6) FROM k) AS d
+        """,
+        "q197_topband_ties": """
+            -- FETCH FIRST 10 ROWS WITH TIES (DuckDB lacks the literal
+            -- syntax; rank() <= k is the SQL-92 equivalent)
+            WITH s AS (
+                SELECT o_orderkey, o_totalprice,
+                       CAST(floor(o_totalprice / 100) AS BIGINT) AS band
+                FROM orders WHERE isfinite(o_totalprice)),
+            r AS (SELECT *, rank() OVER (ORDER BY band DESC) AS rnk
+                  FROM s)
+            SELECT o_orderkey, o_totalprice, band
+            FROM r WHERE rnk <= 10 ORDER BY band DESC, o_orderkey
+        """,
+        "q198_nation_balance_topshare": """
+            -- ratio_to_report: share uses the WHOLE nation's balance
+            -- (window sum), not just the top-k rows; exact-cents ints
+            -- keep the 6dp rounding off the float-sum knife edge
+            WITH j AS (
+                SELECT n_name, c_custkey,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS balc
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                WHERE isfinite(c_acctbal)),
+            w AS (
+                SELECT n_name, c_custkey, balc,
+                       sum(balc) OVER (PARTITION BY n_name) AS totc,
+                       row_number() OVER (PARTITION BY n_name
+                                          ORDER BY balc DESC, c_custkey)
+                           AS rnk
+                FROM j)
+            SELECT n_name, rnk::BIGINT AS rnk, c_custkey,
+                   balc / 100.0 AS c_acctbal,
+                   round(balc / CAST(nullif(totc, 0) AS DOUBLE), 6)
+                       AS share
+            FROM w WHERE rnk <= 3 ORDER BY n_name NULLS LAST, rnk
+        """,
+        "q199_daily_autocorr": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            lags AS (SELECT unnest(generate_series(1, 7)) AS lag)
+            SELECT lag::BIGINT AS lag, count(*)::BIGINT AS n,
+                   round(corr(a.revc, b.revc), 6) AS ac
+            FROM lags, d a JOIN d b
+                 ON b.day = a.day + lag * INTERVAL 1 DAY
+            GROUP BY 1 ORDER BY 1
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -305,6 +305,18 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "o_orderpriority": ["5-LOW"] * 3,
     })
 
+    # WITH-TIES boundary class (q197): 12 orders in ONE price band
+    # above everything else — the 10th row lands inside the band, so
+    # WITH TIES must return all 12 (plain LIMIT 10 would return 10)
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": list(range(900041, 900053)),
+        "o_custkey": [43] * 12,
+        "o_orderstatus": ["O"] * 12,
+        "o_totalprice": [9_999_900.0 + i for i in range(12)],
+        "o_orderdate": [ts(310 + i) for i in range(12)],
+        "o_orderpriority": ["5-LOW"] * 12,
+    })
+
     # skyline/Q20 classes (q185/q173): tied Pareto points (duplicate
     # coordinates both survive), a dominated duplicate, negative
     # price; 'red\x00x' part name — LIKE 'red%' matches it on BYTES

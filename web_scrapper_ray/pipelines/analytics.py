@@ -7434,3 +7434,378 @@ def q_geometric_median_step(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"pos": np.arange(1, len(gm) + 1,
                                           dtype=np.int64),
                          "gm": round_away(gm, 6)})
+
+
+def q_topband_orders_ties(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """FETCH FIRST k ROWS WITH TIES over orders banded into price
+    hundreds (band = floor(o_totalprice/100)): the top-k rows by band
+    plus every row tying with the k-th row's band — the WITH-TIES
+    selection semantic (oracle: rank() <= k, the SQL-92 equivalent
+    DuckDB parses).
+
+    Plan: one counts-per-band exchange (bands are a small integer
+    domain, so the shuffle volume is O(#bands), not O(rows)) finds the
+    boundary band via a descending cumulative count; one vectorized
+    filter pass emits every row in a qualifying band. No global sort —
+    the selection state the driver holds is the band histogram.
+
+    Contract (mirrored in the oracle): non-finite prices are excluded
+    on both sides (DuckDB's total order ranks NaN above +inf, and a
+    band of NaN/±inf is meaningless); floor-division is exact float
+    IEEE on both sides, so band boundaries can't drift."""
+    P = 8
+
+    _E = pa.table({"band": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        v = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        v = v[np.isfinite(v)]
+        if v.size == 0:
+            return _E
+        band = np.floor(v / 100.0).astype(np.int64)
+        u, cnt = np.unique(band, return_counts=True)
+        return pa.table({"band": pa.array(u),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"band": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        return df.groupby("band", as_index=False).agg(n=("n", "sum"))
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_totalprice"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                          "o_totalprice": pd.Series(dtype="float64"),
+                          "band": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    hist = (pd.concat(parts, ignore_index=True)
+            .sort_values("band", ascending=False))
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    # boundary band = band of the k-th row in descending band order;
+    # fewer than k rows total -> every band qualifies
+    idx = int(np.searchsorted(cum, min(k, int(cum[-1]))))
+    bstar = int(hist["band"].to_numpy()[idx])
+
+    def final(t: pa.Table) -> pa.Table:
+        E = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                      "o_totalprice": pa.array([], pa.float64()),
+                      "band": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return E
+        v = np.asarray(t.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        with np.errstate(invalid="ignore"):
+            band = np.where(np.isfinite(v),
+                            np.floor(np.where(np.isfinite(v), v, 0.0)
+                                     / 100.0), -np.inf)
+        keepm = band >= bstar
+        if not keepm.any():
+            return E
+        t2 = t.filter(pa.array(keepm))
+        return pa.table({
+            "o_orderkey": pc.cast(t2.column("o_orderkey"), pa.int64()),
+            "o_totalprice": pc.cast(t2.column("o_totalprice"),
+                                    pa.float64()),
+            "band": pa.array(band[keepm].astype(np.int64))})
+
+    out = _read(sf_dir, "orders",
+                columns=["o_orderkey", "o_totalprice"]).map_batches(
+        final, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return empty
+    return (out.sort_values(["band", "o_orderkey"],
+                            ascending=[False, True])
+            .reset_index(drop=True))
+
+
+def q_nation_balance_topshare(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """ratio_to_report pattern: each nation's top-k customers by
+    account balance, with their share of the nation's TOTAL balance
+    (sum() OVER (PARTITION BY n_name) in the oracle — the window
+    denominator covers all customers, not just the top k).
+
+    Plan: nation is a broadcast dict (key -> per-name multiplicities —
+    duplicate nation rows fan an inner join out like SQL, CLAUDE.md
+    q08 rule); each block emits per-name (count, exact-cents sum)
+    partials PLUS its local top-k candidate rows through one
+    hash_shuffle — a local top-k per name is a superset of the global
+    one, so the exchange carries O(P·names·k) rows. Shares are
+    exact-cents ratios (int64 numerator/denominator) so the 6dp
+    rounding never sits on a float-sum knife edge.
+
+    Contract: NULL/non-finite balances excluded on both sides; a
+    duplicated nation row doubles both the denominator and the ranked
+    row list (row_number ties between identical copies are output-
+    identical); NULL n_name is a real partition (NULLS LAST in the
+    ORDER BY only)."""
+    import ray
+
+    P = 8
+    nat = _read(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"]).to_pandas()
+    # key -> ragged [(name_id, mult)] as FLAT ARRAYS (sorted keys +
+    # offsets) so blocks join via searchsorted, never a Python row
+    # loop; names factorized driver-side so NUL-containing names ride
+    # as int codes through the exchange
+    names, codes = [], {}
+    pairs_cnt: dict = {}
+    for key, name in zip(nat["n_nationkey"].tolist(),
+                         nat["n_name"].tolist()):
+        if key is None or (isinstance(key, float) and np.isnan(key)):
+            continue  # NULL key never inner-joins
+        nm = None if (name is None or (isinstance(name, float)
+                                       and np.isnan(name))) else name
+        if nm not in codes:
+            codes[nm] = len(names)
+            names.append(nm)
+        kk = (int(key), codes[nm])
+        pairs_cnt[kk] = pairs_cnt.get(kk, 0) + 1
+    flat = sorted((key, nid, m) for (key, nid), m in pairs_cnt.items())
+    ent_key = np.asarray([f[0] for f in flat], np.float64)
+    ent_name = np.asarray([f[1] for f in flat], np.int64)
+    ent_mult = np.asarray([f[2] for f in flat], np.int64)
+    lk = np.unique(ent_key)
+    off = np.searchsorted(ent_key, lk, side="left")
+    cnt_k = np.searchsorted(ent_key, lk, side="right") - off
+    lut_ref = ray.put((lk, off, cnt_k, ent_name, ent_mult))
+
+    _E = pa.table({"name_id": pa.array([], pa.int64()),
+                   "kind": pa.array([], pa.int8()),
+                   "custkey": pa.array([], pa.int64()),
+                   "balc": pa.array([], pa.int64()),
+                   "mult": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, lut) -> pa.Table:
+        if isinstance(lut, ray.ObjectRef):  # inlined by ray.put size
+            lut = ray.get(lut)
+        if t.num_rows == 0 or "c_acctbal" not in t.schema.names:
+            return _E
+        keep = pc.fill_null(pc.is_finite(t.column("c_acctbal")), False)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E
+        lk, off, cnt_k, ent_name, ent_mult = lut
+        ck = np.asarray(t2.column("c_custkey").to_numpy(
+            zero_copy_only=False), np.int64)
+        bal = np.asarray(t2.column("c_acctbal").to_numpy(
+            zero_copy_only=False), np.float64)
+        balc = np.round(bal * 100.0).astype(np.int64)  # exact cents
+        # nullable int comes back as float64+NaN; NaN searchsorts past
+        # the end and fails the equality probe (NULL key never joins)
+        nk = np.asarray(t2.column("c_nationkey").to_numpy(
+            zero_copy_only=False), np.float64)
+        idx = np.searchsorted(lk, nk)
+        idx_c = np.minimum(idx, lk.size - 1) if lk.size else idx
+        hit = np.zeros(nk.size, bool) if lk.size == 0 else \
+            (lk[idx_c] == nk)
+        if not hit.any():
+            return _E
+        rows = np.nonzero(hit)[0]
+        starts = off[idx_c[rows]]
+        lens = cnt_k[idx_c[rows]]
+        # ragged repeat: row i contributes lens[i] fan-out entries
+        rep = np.repeat(np.arange(rows.size), lens)
+        base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ent_pos = (starts[rep]
+                   + (np.arange(rep.size) - base[rep])).astype(np.int64)
+        name = ent_name[ent_pos]
+        mv = ent_mult[ent_pos]
+        ckv = ck[rows][rep]
+        bcv = balc[rows][rep]
+        # per-name totals (kind 0): count rides in custkey, cents sum
+        # in balc — one row per name
+        u, inv = np.unique(name, return_inverse=True)
+        tot_n = np.bincount(inv, weights=mv.astype(np.float64))
+        tot_s = np.bincount(inv, weights=(bcv * mv).astype(np.float64))
+        agg = pa.table({"name_id": pa.array(u),
+                        "kind": pa.array(np.zeros(u.size, np.int8)),
+                        "custkey": pa.array(tot_n.astype(np.int64)),
+                        "balc": pa.array(tot_s.astype(np.int64)),
+                        "mult": pa.array(np.ones(u.size, np.int64)),
+                        "bucket": pa.array(u % P)})
+        # local top-k candidate rows per name (kind 1): order by
+        # (balc desc, custkey asc); k distinct rows always cover the
+        # global top-k expanded rows since mult >= 1
+        order = np.lexsort((ckv, -bcv, name))
+        name_s = name[order]
+        first = np.searchsorted(name_s, u, side="left")
+        pick = []
+        for j, f in enumerate(first):
+            end = first[j + 1] if j + 1 < len(first) else len(name_s)
+            pick.extend(order[f:min(f + k, end)].tolist())
+        pick = np.asarray(pick, np.int64)
+        cand = pa.table({"name_id": pa.array(name[pick]),
+                         "kind": pa.array(np.ones(pick.size, np.int8)),
+                         "custkey": pa.array(ckv[pick]),
+                         "balc": pa.array(bcv[pick]),
+                         "mult": pa.array(mv[pick]),
+                         "bucket": pa.array(name[pick] % P)})
+        return pa.concat_tables([agg, cand])
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"name_id": pd.Series(dtype="int64"),
+                "rnk": pd.Series(dtype="int64"),
+                "custkey": pd.Series(dtype="int64"),
+                "balc": pd.Series(dtype="int64"),
+                "totc": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        tot = (df[df["kind"] == 0].groupby("name_id")["balc"].sum())
+        cand = df[df["kind"] == 1]
+        outs = []
+        for name_id, g in cand.groupby("name_id"):
+            g = g.sort_values(["balc", "custkey"],
+                              ascending=[False, True])
+            # expand multiplicity, take first k expanded rows
+            reps = np.repeat(np.arange(len(g)),
+                             g["mult"].to_numpy(np.int64))[:k]
+            gg = g.iloc[reps]
+            outs.append(pd.DataFrame({
+                "name_id": name_id,
+                "rnk": np.arange(1, len(gg) + 1, dtype=np.int64),
+                "custkey": gg["custkey"].to_numpy(np.int64),
+                "balc": gg["balc"].to_numpy(np.int64),
+                "totc": int(tot.get(name_id, 0))}))
+        if not outs:
+            return pd.DataFrame(cols)
+        return pd.concat(outs, ignore_index=True)
+
+    tagged = [(r, (lut_ref,)) for r in _read(
+        sf_dir, "customer",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+        .to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"n_name": pd.Series(dtype="object"),
+                          "rnk": pd.Series(dtype="int64"),
+                          "c_custkey": pd.Series(dtype="int64"),
+                          "c_acctbal": pd.Series(dtype="float64"),
+                          "share": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    totc = out["totc"].to_numpy(np.float64)
+    balc = out["balc"].to_numpy(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        share = np.where(totc == 0.0, np.nan, balc / totc)
+    name_col = pd.Series([names[i] for i in out["name_id"]],
+                         dtype="object")
+    res = pd.DataFrame({"n_name": name_col,
+                        "rnk": out["rnk"].astype("int64"),
+                        "c_custkey": out["custkey"].astype("int64"),
+                        "c_acctbal": balc / 100.0,
+                        "share": round_away(share, 6)})
+    # NULLS LAST single-key ordering on a possibly-NUL name: chained
+    # stable sorts with a hex key (CLAUDE.md NUL rule)
+    hexkey = res["n_name"].map(
+        lambda s: "zz" if s is None
+        else s.encode("utf-8", "surrogatepass").hex())
+    res = res.iloc[np.lexsort((res["rnk"].to_numpy(),
+                               hexkey.to_numpy()))]
+    return res.reset_index(drop=True)
+
+
+def q_daily_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Lag-1..max_lag autocorrelation of daily order revenue — the
+    seasonality screen run before fitting any time-series model. One
+    counts-per-day exchange (exact-cents sums; day = floor-divided
+    epoch µs, CLAUDE.md pre-1970 rule) gives the driver the daily
+    series (~#days rows); each lag's correlation is then computed over
+    the (x_t, x_{t+L}) pairs where BOTH days exist (calendar join, not
+    positional shift — gaps in the date range drop the pair, matching
+    the oracle's day-interval self-join). Pearson r is centered
+    two-pass over exact-integer cents. Lags with no pairs emit no row;
+    n<2 or a zero-variance side yields SQL NULL -> NaN."""
+    P = 8
+
+    _E = pa.table({"day": pa.array([], pa.int64()),
+                   "revc": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderdate" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("o_orderdate")),
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, 86_400_000_000)
+        cents = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        u, inv = np.unique(day, return_inverse=True)
+        s = np.zeros(u.size, np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"day": pa.array(u),
+                         "revc": pa.array(s),
+                         "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "revc": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        return df.groupby("day", as_index=False).agg(
+            revc=("revc", "sum"))
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderdate", "o_totalprice"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"lag": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "ac": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    d = (pd.concat(parts, ignore_index=True)
+         .sort_values("day").reset_index(drop=True))
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.float64)  # exact ints below 2^53
+    lags, ns, acs = [], [], []
+    for lag in range(1, max_lag + 1):
+        j = np.searchsorted(days, days + lag)
+        ok = (j < days.size) & (days[np.minimum(j, days.size - 1)]
+                                == days + lag)
+        a = rev[ok]
+        b = rev[np.minimum(j, days.size - 1)[ok]]
+        n = int(a.size)
+        if n == 0:
+            continue
+        ac = np.nan
+        if n >= 2:
+            da = a - a.mean()
+            db = b - b.mean()
+            va = float((da * da).sum())
+            vb = float((db * db).sum())
+            if va > 0 and vb > 0:
+                ac = float((da * db).sum()) / np.sqrt(va * vb)
+        lags.append(lag)
+        ns.append(n)
+        acs.append(ac)
+    if not lags:
+        return empty
+    return pd.DataFrame({"lag": pd.array(lags, "int64"),
+                         "n": pd.array(ns, "int64"),
+                         "ac": round_away(np.asarray(acs), 6)})

@@ -333,24 +333,15 @@ def _pairs_by_shift(group_ids: np.ndarray, vals: np.ndarray):
     return np.concatenate(ls), np.concatenate(rs)
 
 
-def q_triangle_count(sf_dir: str, P: int = 32,
-                     dense_limit: int = 32768) -> pd.DataFrame:
-    """Triangles in the supplier co-occurrence graph (suppliers sharing
-    an order are adjacent) — the MapReduce NodeIterator++ plan, NO
-    adjacency broadcast: (1) orderkey exchange builds per-order
-    supplier pairs (vectorized shift-pairing, never a per-order loop),
-    (2) edge-hash exchange dedups edges globally; each bucket ALSO
-    receives (3) the wedges keyed to it — every edge bucket emits its
-    u-side wedge candidates... concretely: edges are re-exchanged on
-    their SMALLEST node u, each u-bucket generates the wedges (v, w)
-    over u's sorted higher neighbors, and (4) the wedge stream joins
-    the edge buckets under the SAME packed-key partition function, so
-    each triangle (u<v<w) is counted exactly once where its closing
-    edge (v, w) lives. Driver folds P counts. Wedge volume Σ d(u)² is
-    the standard cost of this plan; skewed hubs pay it there, not on a
-    broadcast."""
+def _coorder_edge_refs(sf_dir: str, P: int = 32) -> list:
+    """Distinct supplier co-occurrence edges as P object-store bucket
+    refs of packed ``(min<<32)|max`` int64 keys — the shared first two
+    exchanges of the co-order graph family (triangles q140, k-core
+    q200): (1) orderkey exchange dedups (order, supplier) and emits
+    per-order pairs by vectorized shift-pairing, (2) edge-hash exchange
+    dedups edges globally. ``gather=False`` everywhere: the edge set
+    never transits the driver heap."""
     import pyarrow.compute as pc
-    import ray
 
     from .pairs import mix64
 
@@ -418,8 +409,31 @@ def q_triangle_count(sf_dir: str, P: int = 32,
 
     tagged = [(r, ()) for r in ds.to_arrow_refs()]
     s1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
-    edge_refs = hash_shuffle([(r, ()) for r in s1], split_pass,
-                             merge_edges, P=P, gather=False)
+    return hash_shuffle([(r, ()) for r in s1], split_pass,
+                        merge_edges, P=P, gather=False)
+
+
+def q_triangle_count(sf_dir: str, P: int = 32,
+                     dense_limit: int = 32768) -> pd.DataFrame:
+    """Triangles in the supplier co-occurrence graph (suppliers sharing
+    an order are adjacent) — the MapReduce NodeIterator++ plan, NO
+    adjacency broadcast: (1) orderkey exchange builds per-order
+    supplier pairs (vectorized shift-pairing, never a per-order loop),
+    (2) edge-hash exchange dedups edges globally; each bucket ALSO
+    receives (3) the wedges keyed to it — every edge bucket emits its
+    u-side wedge candidates... concretely: edges are re-exchanged on
+    their SMALLEST node u, each u-bucket generates the wedges (v, w)
+    over u's sorted higher neighbors, and (4) the wedge stream joins
+    the edge buckets under the SAME packed-key partition function, so
+    each triangle (u<v<w) is counted exactly once where its closing
+    edge (v, w) lives. Driver folds P counts. Wedge volume Σ d(u)² is
+    the standard cost of this plan; skewed hubs pay it there, not on a
+    broadcast."""
+    import ray
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    edge_refs = _coorder_edge_refs(sf_dir, P)
 
     # ---- dense-domain fast path -----------------------------------
     # The node domain here is the SUPPLIER DIM — bounded — and order
@@ -552,3 +566,82 @@ def q_triangle_count(sf_dir: str, P: int = 32,
                       for e, w in zip(edge_refs, routed)])
     return pd.DataFrame({"n_triangles": np.array([int(sum(counts))],
                                                  np.int64)})
+
+
+def q_k_core(sf_dir: str, k: int = 3, rounds: int = 6,
+             P: int = 32) -> pd.DataFrame:
+    """Bounded k-core peeling of the supplier co-occurrence graph:
+    ``rounds`` synchronous rounds of "drop every node whose degree in
+    the surviving subgraph is < k", then report survivors with their
+    induced degree. CONTRACT: exactly ``rounds`` peel rounds on BOTH
+    sides — the oracle unrolls them as chained CTEs (true k-core is
+    the fixpoint; on dense co-order graphs peeling converges in 2-3
+    rounds and the engine early-exits once a round removes nothing,
+    which IS the fixpoint of every later round).
+
+    Distributed shape (same layout discipline as PageRank above): the
+    distinct edge set is built once by ``_coorder_edge_refs`` and
+    stays pinned in the object store; each round broadcasts the alive
+    bool vector (``ray.put``, O(#suppliers)) and runs one degree task
+    per edge bucket (bincount over edges with both endpoints alive);
+    the driver folds P dense count vectors. Rows never move after the
+    edge build — per-round traffic is O(P·nodes), not O(edges)."""
+    import ray
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    edge_refs = _coorder_edge_refs(sf_dir, P)
+    empty = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                          "deg": pd.Series(dtype="int64")})
+
+    @ray.remote
+    def bucket_nodes(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.empty(0, np.int64)
+        kk = t.column("key").to_numpy()
+        u = (kk.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (kk.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        return np.unique(np.concatenate([u, v]))
+
+    nsets = ray.get([bucket_nodes.remote(r) for r in edge_refs])
+    live_sets = [x for x in nsets if x.size]
+    if not live_sets:
+        return empty
+    nodes = np.unique(np.concatenate(live_sets))
+    n = nodes.size
+
+    @ray.remote
+    def degree_task(t: pa.Table, nodes: np.ndarray,
+                    alive: np.ndarray) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.zeros(len(nodes), np.int64)
+        kk = t.column("key").to_numpy()
+        u = (kk.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (kk.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        iu = np.searchsorted(nodes, u)
+        iv = np.searchsorted(nodes, v)
+        keep = alive[iu] & alive[iv]
+        deg = np.bincount(iu[keep], minlength=len(nodes))
+        deg += np.bincount(iv[keep], minlength=len(nodes))
+        return deg.astype(np.int64)
+
+    nodes_ref = ray.put(nodes)
+    alive = np.ones(n, bool)
+    deg = np.zeros(n, np.int64)
+    for _ in range(rounds):
+        alive_ref = ray.put(alive)
+        deg = np.sum(ray.get([degree_task.remote(r, nodes_ref, alive_ref)
+                              for r in edge_refs]), axis=0)
+        nxt = alive & (deg >= k)
+        if (nxt == alive).all():
+            break  # fixpoint: every later round is identical
+        alive = nxt
+    # survivors' degree within the FINAL surviving subgraph
+    alive_ref = ray.put(alive)
+    deg = np.sum(ray.get([degree_task.remote(r, nodes_ref, alive_ref)
+                          for r in edge_refs]), axis=0)
+    keep = alive & (deg >= k)
+    if not keep.any():
+        return empty
+    return pd.DataFrame({"l_suppkey": nodes[keep],
+                         "deg": deg[keep].astype(np.int64)})
