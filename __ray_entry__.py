@@ -339,6 +339,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q197_topband_ties": analytics.q_topband_orders_ties,
         "q198_nation_balance_topshare": analytics.q_nation_balance_topshare,
         "q199_daily_autocorr": analytics.q_daily_autocorr,
+        "q200_supplier_kcore": graph.q_k_core,
+        "q201_long_words": textops.q_doc_long_words,
+        "q202_moving_range": analytics.q_moving_range,
+        "q203_anova_f": analytics.q_anova_f,
+        "q204_kruskal_wallis": rankstats.q_kruskal_wallis,
+        "q205_repeat_purchase": analytics.q_repeat_purchase,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -456,6 +462,42 @@ _WC = "len(regexp_extract_all(text, '\\w+'))"
 # reference word_count (utils/text.py:344-363) counts on the CLEANED
 # text — q11 must too (control chars/glitch can merge or drop words)
 _WCC = f"len(regexp_extract_all({_CLEAN_SQL}, '\\w+'))"
+
+
+def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled bounded k-core peel (q200's CONTRACT: exactly
+    ``rounds`` rounds on both sides; the engine early-exits only at
+    the fixpoint, where later rounds are identical)."""
+    head = """
+        WITH pairs AS (
+          SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                          greatest(a.l_suppkey, b.l_suppkey) AS v
+          FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_suppkey <> b.l_suppkey
+          WHERE a.l_orderkey IS NOT NULL
+            AND a.l_suppkey IS NOT NULL
+            AND b.l_suppkey IS NOT NULL),
+        dir AS (SELECT u AS node, v AS other FROM pairs
+                UNION ALL SELECT v, u FROM pairs),
+        alive0 AS (SELECT DISTINCT node FROM dir)"""
+    body = []
+    prev = "alive0"
+    for i in range(1, rounds + 1):
+        body.append(f"""
+        deg{i} AS (SELECT e.node, count(*) AS d FROM dir e
+                   JOIN {prev} a ON a.node = e.node
+                   JOIN {prev} b ON b.node = e.other
+                   GROUP BY e.node),
+        alive{i} AS (SELECT node FROM deg{i} WHERE d >= {k})""")
+        prev = f"alive{i}"
+    tail = f"""
+        SELECT e.node AS l_suppkey, count(*)::BIGINT AS deg
+        FROM dir e
+        JOIN {prev} a ON a.node = e.node
+        JOIN {prev} b ON b.node = e.other
+        GROUP BY 1 HAVING count(*) >= {k} ORDER BY 1"""
+    return head + "," + ",".join(body) + tail
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2632,6 +2674,107 @@ def oracle_sql() -> dict[str, str]:
             FROM lags, d a JOIN d b
                  ON b.day = a.day + lag * INTERVAL 1 DAY
             GROUP BY 1 ORDER BY 1
+        """,
+        "q200_supplier_kcore": _kcore_sql(),
+        "q203_anova_f": """
+            WITH s AS (
+                SELECT event_type AS g, value AS v FROM events
+                WHERE isfinite(value)),
+            pg AS (
+                SELECT g, count(*) AS n, avg(v) AS m,
+                       CASE WHEN min(v) = max(v) THEN 0
+                            ELSE var_samp(v) * (count(*) - 1) END
+                           AS ssw
+                FROM s GROUP BY g),
+            tot AS (SELECT sum(n) AS nn, count(*) AS k,
+                           sum(n * m) / sum(n) AS gm
+                    FROM pg),
+            agg AS (
+                SELECT max(k) AS k, max(nn) AS nn,
+                       sum(n * (m - gm) * (m - gm)) AS ssb,
+                       sum(coalesce(ssw, 0)) AS ssw
+                FROM pg, tot)
+            SELECT k::BIGINT AS k, nn::BIGINT AS n,
+                   round(CASE WHEN nn > k AND k > 1 AND ssw > 0
+                              THEN (ssb / (k - 1)) / (ssw / (nn - k))
+                         END, 6) AS f
+            FROM agg WHERE nn IS NOT NULL
+        """,
+        "q204_kruskal_wallis": """
+            WITH s AS (
+                SELECT event_type AS g, value AS v FROM events
+                WHERE isfinite(value)),
+            r AS (
+                SELECT g,
+                       rank() OVER (ORDER BY v)
+                           + (count(*) OVER (PARTITION BY v) - 1) / 2.0
+                           AS mr
+                FROM s),
+            pg AS (SELECT g, count(*) AS n, sum(mr) AS rg
+                   FROM r GROUP BY g),
+            tot AS (SELECT sum(n) AS nn, count(*) AS k FROM pg),
+            ties AS (
+                SELECT coalesce(sum(c * c * c - c), 0) AS tsum
+                FROM (SELECT count(*)::DOUBLE AS c FROM s GROUP BY v)
+                     t),
+            agg AS (SELECT sum(rg * rg / n) AS srg FROM pg)
+            SELECT k::BIGINT AS k, nn::BIGINT AS n,
+                   round(CASE WHEN nn > 1
+                              AND (1 - tsum / (nn::DOUBLE * nn * nn
+                                               - nn)) <> 0
+                              THEN ((12.0 / (nn * (nn + 1.0)))
+                                    * srg - 3 * (nn + 1.0))
+                                   / (1 - tsum / (nn::DOUBLE * nn * nn
+                                                  - nn))
+                         END, 6) AS h
+            FROM agg, tot, ties WHERE nn IS NOT NULL
+        """,
+        "q205_repeat_purchase": """
+            WITH s AS (
+                SELECT o_custkey, o_orderdate,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS rn
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND o_orderdate IS NOT NULL),
+            f AS (SELECT o_custkey, o_orderdate AS d1 FROM s
+                  WHERE rn = 1),
+            r AS (SELECT o_custkey, o_orderdate AS d2 FROM s
+                  WHERE rn = 2)
+            SELECT (year(d1) * 100 + month(d1))::BIGINT AS month,
+                   count(*)::BIGINT AS n_customers,
+                   count(*) FILTER (WHERE d2 IS NOT NULL AND
+                                    d2 <= d1 + INTERVAL 30 DAY)::BIGINT
+                       AS n_repeat,
+                   round(count(*) FILTER (WHERE d2 IS NOT NULL AND
+                                          d2 <= d1 + INTERVAL 30 DAY)
+                         ::DOUBLE / count(*), 6) AS rate
+            FROM f LEFT JOIN r USING (o_custkey)
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q201_long_words": """
+            SELECT doc_id, generate_subscripts(xs, 1)::BIGINT AS ord,
+                   unnest(xs) AS num
+            FROM (SELECT doc_id,
+                         regexp_extract_all(text, '[a-z]{6,}') AS xs
+                  FROM documents) d
+            ORDER BY 1, 2
+        """,
+        "q202_moving_range": """
+            WITH s AS (
+                SELECT user_id, value AS v, ts, event_id
+                FROM events WHERE isfinite(value)),
+            d AS (
+                SELECT user_id, v,
+                       abs(v - lag(v) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, event_id, v)) AS mr
+                FROM s)
+            SELECT user_id, count(*)::BIGINT AS n,
+                   round(avg(v), 6) AS xbar,
+                   round(avg(mr), 6) AS mrbar
+            FROM d GROUP BY user_id ORDER BY user_id NULLS LAST
         """,
         "q82_rollup_docs": """
             SELECT lang, source, grouping(lang, source)::BIGINT AS lvl,

@@ -7809,3 +7809,326 @@ def q_daily_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
     return pd.DataFrame({"lag": pd.array(lags, "int64"),
                          "n": pd.array(ns, "int64"),
                          "ac": round_away(np.asarray(acs), 6)})
+
+
+def q_moving_range(sf_dir: str) -> pd.DataFrame:
+    """I-MR control-chart statistics per user: the mean of the
+    time-ordered absolute successive differences (the "moving range",
+    the SPC dispersion estimate that needs no distributional
+    assumption) plus the plain mean. Window order is (ts, event_id,
+    value) — NULLS LAST like every window ORDER BY (q144 rule), with
+    NULL ts/event_id sentinel-filled to int64-max so the numeric
+    lexsort is exact past 2^53 (q116 rule); a (ts, event_id) tie with
+    differing values is ordered by value, so the lag sequence is
+    deterministic on both sides. One hash_shuffle co-locates each
+    user's rows; diffs are one vectorized masked-boundary pass per
+    bucket. Non-finite values excluded on both sides; single-event
+    users get SQL NULL mrbar -> NaN."""
+    P = 16
+
+    _E = pa.table({"user": pa.array([], pa.float64()),
+                   "isnull": pa.array([], pa.bool_()),
+                   "tsf": pa.array([], pa.int64()),
+                   "idf": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_finite(t.column("value")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        uid = np.asarray(t2.column("user_id").to_numpy(
+            zero_copy_only=False), np.float64)
+        isnull = np.isnan(uid)
+        ts = t2.column("ts")
+        tsf = pc.fill_null(pc.cast(ts, pa.int64()), _IMAX).to_numpy(
+            zero_copy_only=False)
+        idf = pc.fill_null(pc.cast(t2.column("event_id"), pa.int64()),
+                           _IMAX).to_numpy(zero_copy_only=False)
+        bucket = np.where(isnull, 0,
+                          np.abs(np.nan_to_num(uid)).astype(np.int64)
+                          % P).astype(np.int64)
+        return pa.table({"user": pa.array(uid),
+                         "isnull": pa.array(isnull),
+                         "tsf": pa.array(np.asarray(tsf, np.int64)),
+                         "idf": pa.array(np.asarray(idf, np.int64)),
+                         "v": pa.array(np.asarray(
+                             t2.column("value").to_numpy(
+                                 zero_copy_only=False), np.float64)),
+                         "bucket": pa.array(bucket)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"user": pd.Series(dtype="float64"),
+                "isnull": pd.Series(dtype="bool"),
+                "n": pd.Series(dtype="int64"),
+                "xbar": pd.Series(dtype="float64"),
+                "mrbar": pd.Series(dtype="float64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        uid = df["user"].to_numpy(np.float64)
+        # NULL users all hash to bucket 0 and sort together: key NaN
+        # as -inf so they form one leading run
+        ukey = np.where(df["isnull"].to_numpy(bool), -np.inf, uid)
+        order = np.lexsort((df["v"].to_numpy(np.float64),
+                            df["idf"].to_numpy(np.int64),
+                            df["tsf"].to_numpy(np.int64), ukey))
+        ukey_s = ukey[order]
+        v_s = df["v"].to_numpy(np.float64)[order]
+        newgrp = np.empty(len(ukey_s), bool)
+        newgrp[0] = True
+        newgrp[1:] = ukey_s[1:] != ukey_s[:-1]
+        gid = np.cumsum(newgrp) - 1
+        ng = gid[-1] + 1
+        n = np.bincount(gid, minlength=ng)
+        s = np.bincount(gid, weights=v_s, minlength=ng)
+        mr = np.abs(np.diff(v_s))
+        mr_gid = gid[1:][~newgrp[1:]]
+        mr_vals = mr[~newgrp[1:]]
+        mrs = np.bincount(mr_gid, weights=mr_vals, minlength=ng)
+        mrn = np.bincount(mr_gid, minlength=ng)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mrbar = np.where(mrn > 0, mrs / np.maximum(mrn, 1), np.nan)
+        firsts = np.nonzero(newgrp)[0]
+        return pd.DataFrame({
+            "user": ukey_s[firsts],
+            "isnull": ~np.isfinite(ukey_s[firsts]),
+            "n": n.astype(np.int64),
+            "xbar": s / n,
+            "mrbar": mrbar})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "value"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "xbar": pd.Series(dtype="float64"),
+                          "mrbar": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    isnull = out["isnull"].to_numpy(bool)
+    user = out["user"].to_numpy(np.float64).copy()
+    user[isnull] = np.nan
+    res = pd.DataFrame({"user_id": user,
+                        "n": out["n"].astype("int64"),
+                        "xbar": round_away(
+                            out["xbar"].to_numpy(np.float64), 6),
+                        "mrbar": round_away(
+                            out["mrbar"].to_numpy(np.float64), 6)})
+    if not isnull.any():
+        res["user_id"] = res["user_id"].astype("int64")
+    # NULLS LAST user ordering: NaN sorts last under argsort
+    return (res.iloc[np.argsort(res["user_id"].to_numpy(np.float64))]
+            .reset_index(drop=True))
+
+
+def q_anova_f(sf_dir: str) -> pd.DataFrame:
+    """One-way ANOVA F across event types (k-group generalization of
+    q133's Welch pair): F = (SSB/(k−1)) / (SSW/(N−k)) over
+    ``events.value`` grouped by event_type (NULL type IS a group,
+    like GROUP BY). Per-batch per-group CENTERED (n, mean, M2, min,
+    max) partials — q92's contract, naive Σx² cancels — Chan-merged
+    driver-side per group; group keys ride the exchange as exact
+    strings and fold through ``factorize_strings`` (pandas' NUL-
+    terminated string hash would merge 'fz' with 'fz\\x00...').
+    Exact min==max constancy flags decide SSW=0, not float M2≈0.
+    Non-finite values excluded on both sides (DuckDB var_samp raises);
+    empty input / k<2 / SSW=0 / N<=k yield SQL NULL-or-no-row exactly
+    as the oracle's WHERE + CASE do."""
+    from .pairs import factorize_strings
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    _E = pa.table({"g": pa.array([], pa.string()),
+                   "gnull": pa.array([], pa.bool_()),
+                   "n": pa.array([], pa.float64()),
+                   "m": pa.array([], pa.float64()),
+                   "m2": pa.array([], pa.float64()),
+                   "mn": pa.array([], pa.float64()),
+                   "mx": pa.array([], pa.float64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_finite(t.column("value")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        gs = t2.column("event_type").to_pandas()
+        codes, uniq = factorize_strings(gs, use_na_sentinel=False)
+        v = np.asarray(t2.column("value").to_numpy(
+            zero_copy_only=False), np.float64)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.float64)
+        s = np.zeros(k)
+        np.add.at(s, codes, v)
+        m = s / n
+        d = v - m[codes]
+        m2 = np.zeros(k)
+        np.add.at(m2, codes, d * d)
+        mn = np.full(k, np.inf)
+        mx = np.full(k, -np.inf)
+        np.minimum.at(mn, codes, v)
+        np.maximum.at(mx, codes, v)
+        names = [None if u is None or (isinstance(u, float)
+                                       and np.isnan(u)) else str(u)
+                 for u in uniq]
+        return pa.table({
+            "g": pa.array(names, pa.string()),
+            "gnull": pa.array([x is None for x in names]),
+            "n": pa.array(n), "m": pa.array(m), "m2": pa.array(m2),
+            "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "f": pd.Series(dtype="float64")})
+    if parts.empty:
+        return empty
+    key = parts["g"].where(~parts["gnull"].to_numpy(bool), None)
+    codes, uniq = factorize_strings(key, use_na_sentinel=False)
+    stats = []  # per group: (n, mean, M2exact, const)
+    for gi in range(len(uniq)):
+        g = parts[codes == gi]
+        n = m = m2 = 0.0
+        for r in g.itertuples(index=False):
+            if n == 0.0:
+                n, m, m2 = r.n, r.m, r.m2
+                continue
+            tot = n + r.n
+            dd = r.m - m
+            m2 += r.m2 + dd * dd * (n * r.n / tot)
+            m += dd * r.n / tot
+            n = tot
+        const = g["mn"].min() == g["mx"].max()
+        stats.append((n, m, 0.0 if const else m2))
+    karr = len(stats)
+    N = sum(s[0] for s in stats)
+    gm = sum(s[0] * s[1] for s in stats) / N
+    ssb = sum(s[0] * (s[1] - gm) ** 2 for s in stats)
+    ssw = sum(s[2] for s in stats)
+    f = np.nan
+    if N > karr and karr > 1 and ssw > 0:
+        f = (ssb / (karr - 1)) / (ssw / (N - karr))
+    return pd.DataFrame({"k": pd.array([karr], "int64"),
+                         "n": pd.array([int(N)], "int64"),
+                         "f": round_away(np.array([f]), 6)})
+
+
+def q_repeat_purchase(sf_dir: str, days: int = 30) -> pd.DataFrame:
+    """Repeat-purchase cohort rate: customers cohorted by the month of
+    their FIRST order; per cohort, the share whose SECOND order landed
+    within ``days`` days. The distributed primitive is "k smallest per
+    group" with k=2: each block emits its two earliest (date, orderkey)
+    pairs per customer — a bounded combiner, so the exchange carries
+    ≤ 2 rows per (block, customer) — and each bucket resolves the true
+    first/second from partials. Order-date ties break on o_orderkey
+    (mirrored in the oracle's row_number ORDER BY). NULL o_orderdate
+    rows are out of contract on both sides (the oracle's WHERE);
+    months floor-divide epoch µs -> calendar month like q130."""
+    P = 16
+
+    _E = pa.table({"cust": pa.array([], pa.int64()),
+                   "us": pa.array([], pa.int64()),
+                   "okey": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("o_custkey")),
+                             pc.is_valid(t.column("o_orderdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        cust = np.asarray(t2.column("o_custkey").to_numpy(
+            zero_copy_only=False), np.int64)
+        us = t2.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        okey = np.asarray(t2.column("o_orderkey").to_numpy(
+            zero_copy_only=False), np.int64)
+        # two earliest per customer: lexsort + first-two-of-run mask
+        order = np.lexsort((okey, us, cust))
+        c_s, u_s, k_s = cust[order], us[order], okey[order]
+        newg = np.empty(c_s.size, bool)
+        newg[0] = True
+        newg[1:] = c_s[1:] != c_s[:-1]
+        second = np.zeros(c_s.size, bool)
+        second[1:] = newg[:-1] & ~newg[1:]
+        pick = newg | second
+        return pa.table({"cust": pa.array(c_s[pick]),
+                         "us": pa.array(u_s[pick]),
+                         "okey": pa.array(k_s[pick]),
+                         "bucket": pa.array(c_s[pick] % P)})
+
+    DAY = 86_400_000_000
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"month": pd.Series(dtype="int64"),
+                "n_customers": pd.Series(dtype="int64"),
+                "n_repeat": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        cust = df["cust"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        okey = df["okey"].to_numpy(np.int64)
+        order = np.lexsort((okey, us, cust))
+        c_s, u_s = cust[order], us[order]
+        newg = np.empty(c_s.size, bool)
+        newg[0] = True
+        newg[1:] = c_s[1:] != c_s[:-1]
+        second = np.zeros(c_s.size, bool)
+        second[1:] = newg[:-1] & ~newg[1:]
+        first_us = u_s[newg]
+        # month of the first order (floor-divide epoch days -> civil
+        # month via the 1970-01 epoch month walk, q130 helper inline):
+        days_e = np.floor_divide(first_us, DAY)
+        d = pd.to_datetime(days_e * 86_400_000_000_000)
+        month = (d.year * 100 + d.month).astype(np.int64)
+        # repeat flag: customer has a second row AND it is within days
+        has2 = np.zeros(newg.sum(), bool)
+        gap_ok = np.zeros(newg.sum(), bool)
+        gi = np.cumsum(newg) - 1
+        s_idx = np.nonzero(second)[0]
+        has2[gi[s_idx]] = True
+        gap_ok[gi[s_idx]] = (u_s[s_idx] - first_us[gi[s_idx]]
+                             <= days * DAY)
+        rep = has2 & gap_ok
+        out = pd.DataFrame({"month": month, "rep": rep})
+        g = out.groupby("month", as_index=False).agg(
+            n_customers=("rep", "size"), n_repeat=("rep", "sum"))
+        g["n_customers"] = g["n_customers"].astype("int64")
+        g["n_repeat"] = g["n_repeat"].astype("int64")
+        return g
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+        .to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"month": pd.Series(dtype="int64"),
+                          "n_customers": pd.Series(dtype="int64"),
+                          "n_repeat": pd.Series(dtype="int64"),
+                          "rate": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("month", as_index=False)
+         .agg(n_customers=("n_customers", "sum"),
+              n_repeat=("n_repeat", "sum")))
+    g["rate"] = round_away(
+        g["n_repeat"].to_numpy(np.float64)
+        / g["n_customers"].to_numpy(np.float64), 6)
+    g["n_customers"] = g["n_customers"].astype("int64")
+    g["n_repeat"] = g["n_repeat"].astype("int64")
+    return g.sort_values("month").reset_index(drop=True)

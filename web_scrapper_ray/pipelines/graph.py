@@ -435,6 +435,19 @@ def q_triangle_count(sf_dir: str, P: int = 32,
 
     edge_refs = _coorder_edge_refs(sf_dir, P)
 
+    _EDGE = pa.table({"key": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+
+    def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if len(u) and (u.min() < 0 or v.min() < 0
+                       or u.max() >= int(lim) or v.max() >= int(lim)):
+            raise ValueError("suppkey outside [0, 2^32) packing domain")
+        return ((u.astype(np.uint64) << np.uint64(_KEY_BITS))
+                | v.astype(np.uint64)).view(np.int64)
+
+    def split_pass(t: pa.Table) -> pa.Table:
+        return t if t.num_rows else _EDGE
+
     # ---- dense-domain fast path -----------------------------------
     # The node domain here is the SUPPLIER DIM — bounded — and order
     # co-occurrence makes the graph near-complete, where the wedge

@@ -299,3 +299,114 @@ def q_spearman_orders(sf_dir: str) -> pd.DataFrame:
            if sxx > 0 and syy > 0 else np.nan)
     return pd.DataFrame({"n": pd.array([n], "int64"),
                          "rho": round_away(np.array([rho]), 6)})
+
+
+def q_kruskal_wallis(sf_dir: str) -> pd.DataFrame:
+    """Kruskal-Wallis H (rank one-way ANOVA) of ``events.value``
+    across ALL event types (NULL type IS a group, like GROUP BY):
+    H = (12/(N(N+1))) Σ R_g²/n_g − 3(N+1), divided by the tie
+    correction 1 − Σ(t³−t)/(N³−N). Same counts-per-distinct exchange
+    as q195, but each distinct value carries per-GROUP counts: split
+    emits (value, type, count) rows, buckets fold them, and the driver
+    pivots on ``factorize_strings`` codes (pandas' NUL-terminated
+    string hash would merge 'fz' with 'fz\\x00...'). Rank sums use the
+    exact 2·midrank integers, so R_g is exact below 2^53. All-tied
+    input (correction 0) or N<2 yields SQL NULL -> NaN."""
+    from .pairs import factorize_strings
+
+    P = 8
+
+    _E = pa.table({"v": pa.array([], pa.float64()),
+                   "g": pa.array([], pa.string()),
+                   "gnull": pa.array([], pa.bool_()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_finite(t.column("value")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        v = _norm_zero(t2.column("value").to_numpy(
+            zero_copy_only=False))
+        gs = t2.column("event_type").to_pandas()
+        codes, uniq = factorize_strings(gs, use_na_sentinel=False)
+        # per-(value, local group) counts via sorted run boundaries
+        # (a packed v-bits×k+code key could overflow int64 and ALIAS
+        # distinct pairs)
+        bits = v.view(np.int64)
+        order = np.lexsort((codes, bits))
+        b_s, c_s = bits[order], codes[order]
+        newg = np.empty(b_s.size, bool)
+        newg[0] = True
+        newg[1:] = (b_s[1:] != b_s[:-1]) | (c_s[1:] != c_s[:-1])
+        idx = np.nonzero(newg)[0]
+        cnt = np.diff(np.append(idx, b_s.size)).astype(np.int64)
+        rep = order[idx]
+        vv = v[rep]
+        gg = codes[rep]
+        names = [None if x is None or (isinstance(x, float)
+                                       and np.isnan(x)) else str(x)
+                 for x in uniq]
+        gname = [names[i] for i in gg]
+        return pa.table({"v": pa.array(vv),
+                         "g": pa.array(gname, pa.string()),
+                         "gnull": pa.array([x is None for x in gname]),
+                         "c": pa.array(cnt),
+                         "bucket": pa.array(_bucket_of(vv, P))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"v": pd.Series(dtype="float64"),
+                                 "g": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        key = df["g"].where(~df["gnull"].to_numpy(bool), None)
+        codes, uniq = factorize_strings(key, use_na_sentinel=False)
+        df = df.assign(gc=codes)
+        gr = df.groupby(["v", "gc"], as_index=False).agg(c=("c", "sum"))
+        gr["g"] = pd.Series([uniq[i] for i in gr["gc"]], dtype=object)
+        return gr[["v", "g", "c"]]
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"k": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "h": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["g"], use_na_sentinel=False)
+    df = df.assign(gc=codes).sort_values("v")
+    # pooled per-value totals -> 2·midrank prefix integers
+    vt = df.groupby("v", as_index=True)["c"].sum().sort_index()
+    u = vt.index.to_numpy(np.float64)
+    cnt = vt.to_numpy(np.float64)
+    less = np.concatenate(([0.0], np.cumsum(cnt)[:-1]))
+    mr2 = 2.0 * less + cnt + 1.0
+    pos = np.searchsorted(u, df["v"].to_numpy(np.float64))
+    # R2_g = Σ c·2·midrank (exact ints); n_g = Σ c
+    k = len(uniq)
+    r2 = np.zeros(k)
+    ng = np.zeros(k)
+    np.add.at(r2, df["gc"].to_numpy(), df["c"].to_numpy(np.float64)
+              * mr2[pos])
+    np.add.at(ng, df["gc"].to_numpy(), df["c"].to_numpy(np.float64))
+    N = float(cnt.sum())
+    tsum = float((cnt ** 3 - cnt).sum())
+    h = np.nan
+    if N > 1:
+        corr = 1.0 - tsum / (N ** 3 - N)
+        if corr != 0.0:
+            srg = float(((r2 / 2.0) ** 2 / ng).sum())
+            h = ((12.0 / (N * (N + 1.0))) * srg - 3.0 * (N + 1.0)) \
+                / corr
+    return pd.DataFrame({"k": pd.array([k], "int64"),
+                         "n": pd.array([int(N)], "int64"),
+                         "h": round_away(np.array([h]), 6)})

@@ -2017,3 +2017,56 @@ def q_doc_sentences(sf_dir: str, sep: str = ". ") -> pd.DataFrame:
                              "sentence": pd.Series(dtype="object"),
                              "n_chars": pd.Series(dtype="int64")})
     return out.sort_values(["doc_id", "pos"]).reset_index(drop=True)
+
+
+def q_doc_long_words(sf_dir: str) -> pd.DataFrame:
+    """``regexp_extract_all(text, '[a-z]{6,}')`` + UNNEST WITH
+    ORDINALITY twin: every long-word match in every document as
+    (doc_id, ord, num) rows — the all-matches explode q128's
+    single-match extract doesn't cover. Pure per-batch explode
+    (compiled-regex ``str.findall`` + repeat/arange like q153), zero
+    shuffle. Parity probed in DuckDB: a no-match document yields ZERO
+    rows (unnest of the empty list), NULL text yields zero rows;
+    greedy non-overlapping runs of a fixed character class are
+    identical in RE2 and Python re (no backrefs — RE2 has none)."""
+    import numpy as np
+    import pyarrow as pa
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "ord": pa.array([], pa.int64()),
+                          "num": pa.array([], pa.string())})
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return empty
+        df = t.to_pandas()
+        df = df[df["text"].notna()]
+        if df.empty:
+            return empty
+        matches = df["text"].str.findall(r"[a-z]{6,}")
+        counts = matches.str.len().to_numpy(np.int64)
+        if counts.sum() == 0:
+            return empty
+        # object dtype keeps a NULL doc_id as None through the repeat
+        ids = np.repeat(df["doc_id"].to_numpy(dtype=object), counts)
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        pos = np.arange(ends[-1], dtype=np.int64) - np.repeat(
+            starts, counts) + 1
+        flat = np.concatenate(
+            [np.asarray(m, dtype=object) for m in matches
+             if len(m)]) if counts.sum() else np.array([], object)
+        return pa.table({
+            "doc_id": pa.Array.from_pandas(
+                pd.Series(ids, dtype=object), type=pa.int64()),
+            "ord": pa.array(pos, pa.int64()),
+            "num": pa.Array.from_pandas(
+                pd.Series(flat, dtype=object), type=pa.string())})
+
+    out = ds.map_batches(explode, batch_format="pyarrow").to_pandas()
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "ord": pd.Series(dtype="int64"),
+                             "num": pd.Series(dtype="object")})
+    return out.sort_values(["doc_id", "ord"]).reset_index(drop=True)
