@@ -345,6 +345,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q203_anova_f": analytics.q_anova_f,
         "q204_kruskal_wallis": rankstats.q_kruskal_wallis,
         "q205_repeat_purchase": analytics.q_repeat_purchase,
+        "q206_duplicate_invoices": analytics.q_duplicate_invoices,
+        "q207_basket_rules": analytics.q_basket_rules,
+        "q208_sorted_neighborhood": dedup.q_sorted_neighborhood,
+        "q209_custkeys_intersect_all": relational.q_custkeys_intersect_all,
+        "q210_supplier_sssp": graph.q_sssp_bounded,
+        "q211_rolling_window_max": analytics.q_rolling_window_max,
+        "q212_asof_forward": relational.q_events_asof_forward,
+        "q213_cusum_changepoint": analytics.q_cusum_changepoint,
+        "q214_weekly_detrended": analytics.q_weekly_detrended,
+        "q215_recency_scores": analytics.q_recency_scores,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -497,6 +507,38 @@ def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
         JOIN {prev} a ON a.node = e.node
         JOIN {prev} b ON b.node = e.other
         GROUP BY 1 HAVING count(*) >= {k} ORDER BY 1"""
+    return head + "," + ",".join(body) + tail
+
+
+def _sssp_sql(rounds: int = 4) -> str:
+    """Unrolled bounded Bellman-Ford (q210's CONTRACT: exactly
+    ``rounds`` synchronous relaxation rounds on both sides; the engine
+    early-exits only at the fixpoint)."""
+    head = """
+        WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
+          FROM lineitem
+          WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
+        e0 AS (
+          SELECT a.s AS u, b.s AS v, count(*) AS c
+          FROM op a JOIN op b ON a.o = b.o AND b.s > a.s
+          GROUP BY 1, 2),
+        edges AS (SELECT u, v, 1.0 / c AS w FROM e0
+                  UNION ALL SELECT v, u, 1.0 / c FROM e0),
+        d0 AS (SELECT min(u) AS node, 0.0 AS d FROM edges)"""
+    body = []
+    for i in range(1, rounds + 1):
+        body.append(f"""
+        d{i} AS (
+          SELECT node, min(d) AS d FROM (
+            SELECT node, d FROM d{i - 1}
+            UNION ALL
+            SELECT e.v AS node, p.d + e.w AS d
+            FROM d{i - 1} p JOIN edges e ON e.u = p.node) x
+          GROUP BY node)""")
+    tail = f"""
+        SELECT node AS l_suppkey, round(d, 6) AS dist
+        FROM d{rounds} WHERE node IS NOT NULL ORDER BY 1"""
     return head + "," + ",".join(body) + tail
 
 
@@ -2676,6 +2718,152 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1 ORDER BY 1
         """,
         "q200_supplier_kcore": _kcore_sql(),
+        "q209_custkeys_intersect_all": """
+            SELECT o_custkey AS custkey FROM orders
+            INTERSECT ALL
+            SELECT c_custkey FROM customer
+            ORDER BY 1 NULLS LAST
+        """,
+        "q210_supplier_sssp": _sssp_sql(),
+        "q214_weekly_detrended": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            w AS (
+                SELECT day, revc,
+                       avg(revc) OVER (ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                           AS trend,
+                       count(*) OVER (ORDER BY day
+                           ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+                           AS wn
+                FROM d)
+            SELECT dayofweek(day)::BIGINT AS dow,
+                   count(*)::BIGINT AS n,
+                   round(avg(revc - trend), 6) AS detrended
+            FROM w WHERE wn = 7 GROUP BY 1 ORDER BY 1
+        """,
+        "q215_recency_scores": """
+            WITH s AS (
+                SELECT user_id, value AS v, epoch_us(ts) AS tu
+                FROM events
+                WHERE ts IS NOT NULL AND isfinite(value)),
+            t AS (SELECT max(tu) AS tmax FROM s)
+            SELECT user_id, count(*)::BIGINT AS n,
+                   round(sum(v * pow(2.0, -(tmax - tu)
+                                     / 604800000000.0)), 6) AS score
+            FROM s, t GROUP BY user_id ORDER BY user_id NULLS LAST
+        """,
+        "q211_rolling_window_max": """
+            SELECT user_id, event_id, value,
+                   max(value) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id, value
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS wmax
+            FROM events WHERE isfinite(value)
+            ORDER BY user_id NULLS LAST, event_id NULLS LAST, value
+        """,
+        "q212_asof_forward": """
+            SELECT o.o_orderkey, o.o_custkey, e.ts AS next_ts
+            FROM (SELECT o_orderkey, o_custkey, o_orderdate
+                  FROM orders
+                  WHERE o_orderkey IS NOT NULL
+                    AND o_custkey IS NOT NULL
+                    AND o_orderdate IS NOT NULL) o
+            ASOF JOIN (SELECT user_id, ts FROM events
+                       WHERE user_id IS NOT NULL
+                         AND ts IS NOT NULL) e
+              ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+            ORDER BY 1
+        """,
+        "q213_cusum_changepoint": """
+            WITH d AS (
+                SELECT date_trunc('day', o_orderdate) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            w AS (
+                SELECT CAST(epoch_us(day) / 86400000000 AS BIGINT)
+                           AS dayi,
+                       sum(revc) OVER (ORDER BY day) AS cum,
+                       row_number() OVER (ORDER BY day) AS k
+                FROM d),
+            tot AS (SELECT sum(revc) AS tot, count(*)::BIGINT AS n
+                    FROM d)
+            SELECT n AS n_days, dayi AS cp_day,
+                   round(abs(cum - k * tot / CAST(n AS DOUBLE)), 4)
+                       AS stat
+            FROM w, tot
+            ORDER BY abs(cum - k * tot / CAST(n AS DOUBLE)) DESC, dayi
+            LIMIT 1
+        """,
+        "q206_duplicate_invoices": """
+            -- +0.0 projection: a.o_totalprice may be -0.0 while the
+            -- engine's bit-keyed runs emit the normalized +0.0; IEEE
+            -- (-0.0)+0.0 = +0.0 on both sides
+            SELECT a.o_orderkey AS k1, b.o_orderkey AS k2,
+                   a.o_custkey, a.o_totalprice + 0.0 AS o_totalprice
+            FROM orders a JOIN orders b
+              ON a.o_custkey = b.o_custkey
+             AND b.o_orderkey > a.o_orderkey
+             AND a.o_totalprice = b.o_totalprice
+             AND abs(epoch_us(a.o_orderdate)
+                     - epoch_us(b.o_orderdate)) <= 604800000000
+            WHERE isfinite(a.o_totalprice) AND isfinite(b.o_totalprice)
+              AND a.o_custkey IS NOT NULL
+              AND a.o_orderdate IS NOT NULL
+              AND b.o_orderdate IS NOT NULL
+            ORDER BY 1, 2
+        """,
+        "q208_sorted_neighborhood": """
+            -- sorted-neighborhood blocking: rank by (32-codepoint
+            -- prefix, doc_id), compare each row with its next w=4
+            -- neighbors; levenshtein counts BYTES (engine compares
+            -- UTF-8 bytes of the same substr prefix)
+            WITH s AS (
+                SELECT doc_id, substr(text, 1, 32) AS key
+                FROM documents WHERE text IS NOT NULL),
+            r AS (
+                SELECT doc_id, key,
+                       row_number() OVER (ORDER BY key, doc_id) AS rk
+                FROM s)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   levenshtein(a.key, b.key)::BIGINT AS dist
+            FROM r a JOIN r b
+                 ON b.rk > a.rk AND b.rk <= a.rk + 4
+            WHERE levenshtein(a.key, b.key) <= 2
+            ORDER BY 1, 2
+        """,
+        "q207_basket_rules": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            pairs AS (
+                SELECT a.p AS pa_key, b.p AS pb_key, count(*) AS sup
+                FROM op a JOIN op b ON a.o = b.o AND b.p > a.p
+                GROUP BY 1, 2),
+            item AS (SELECT p, count(*) AS s FROM op GROUP BY p),
+            tot AS (SELECT count(DISTINCT o) AS n FROM op)
+            SELECT pa_key, pb_key, sup::BIGINT AS sup,
+                   round(sup * n / (ia.s * CAST(ib.s AS DOUBLE)), 6)
+                       AS lift
+            FROM pairs JOIN item ia ON ia.p = pairs.pa_key
+                       JOIN item ib ON ib.p = pairs.pb_key, tot
+            ORDER BY sup * n / (ia.s * CAST(ib.s AS DOUBLE)) DESC,
+                     pa_key, pb_key
+            LIMIT 20
+        """,
         "q203_anova_f": """
             WITH s AS (
                 SELECT event_type AS g, value AS v FROM events

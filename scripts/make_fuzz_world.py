@@ -305,6 +305,27 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "o_orderpriority": ["5-LOW"] * 3,
     })
 
+    # duplicate-invoice classes (q206): same cust + identical price at
+    # gaps 5d (pair), 4d (pair), 9d-from-first (NO pair); a -0.0/+0.0
+    # price pair (SQL equal); same price DIFFERENT cust (no pair); a
+    # duplicated orderkey row (self-pair excluded, fans other pairs)
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [900061, 900062, 900063, 900064, 900065,
+                       900066, 900066, 900068],
+        "o_custkey": [44, 44, 44, 45, 45, 46, 46, 47],
+        "o_orderstatus": ["O"] * 8,
+        "o_totalprice": [55.25, 55.25, 55.25, -0.0, 0.0,
+                         77.5, 77.5, 55.25],
+        "o_orderdate": [ts(40_000_000), ts(40_000_000 + 5 * 86_400),
+                        ts(40_000_000 + 9 * 86_400),
+                        ts(40_000_000 + 20 * 86_400),
+                        ts(40_000_000 + 21 * 86_400),
+                        ts(40_000_000 + 30 * 86_400),
+                        ts(40_000_000 + 33 * 86_400),
+                        ts(40_000_000 + 86_400)],
+        "o_orderpriority": ["5-LOW"] * 8,
+    })
+
     # WITH-TIES boundary class (q197): 12 orders in ONE price band
     # above everything else — the 10th row lands inside the band, so
     # WITH TIES must return all 12 (plain LIMIT 10 would return 10)

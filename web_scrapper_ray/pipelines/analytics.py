@@ -7721,19 +7721,11 @@ def q_nation_balance_topshare(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return res.reset_index(drop=True)
 
 
-def q_daily_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
-    """Lag-1..max_lag autocorrelation of daily order revenue — the
-    seasonality screen run before fitting any time-series model. One
-    counts-per-day exchange (exact-cents sums; day = floor-divided
-    epoch µs, CLAUDE.md pre-1970 rule) gives the driver the daily
-    series (~#days rows); each lag's correlation is then computed over
-    the (x_t, x_{t+L}) pairs where BOTH days exist (calendar join, not
-    positional shift — gaps in the date range drop the pair, matching
-    the oracle's day-interval self-join). Pearson r is centered
-    two-pass over exact-integer cents. Lags with no pairs emit no row;
-    n<2 or a zero-variance side yields SQL NULL -> NaN."""
-    P = 8
-
+def _daily_rev_cents(sf_dir: str, P: int = 8) -> pd.DataFrame:
+    """Shared counts-per-day exchange (q199 autocorrelation, q213
+    CUSUM): exact-cents daily order revenue, day = floor-divided epoch
+    µs (CLAUDE.md pre-1970 rule), non-finite prices excluded. Returns
+    the day-sorted (day, revc) frame — O(#days) rows."""
     _E = pa.table({"day": pa.array([], pa.int64()),
                    "revc": pa.array([], pa.int64()),
                    "bucket": pa.array([], pa.int64())})
@@ -7774,13 +7766,30 @@ def q_daily_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
         columns=["o_orderdate", "o_totalprice"]).to_arrow_refs()]
     parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
              if len(p)]
+    if not parts:
+        return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                             "revc": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("day").reset_index(drop=True))
+
+
+def q_daily_autocorr(sf_dir: str, max_lag: int = 7) -> pd.DataFrame:
+    """Lag-1..max_lag autocorrelation of daily order revenue — the
+    seasonality screen run before fitting any time-series model. One
+    counts-per-day exchange (exact-cents sums; day = floor-divided
+    epoch µs, CLAUDE.md pre-1970 rule) gives the driver the daily
+    series (~#days rows); each lag's correlation is then computed over
+    the (x_t, x_{t+L}) pairs where BOTH days exist (calendar join, not
+    positional shift — gaps in the date range drop the pair, matching
+    the oracle's day-interval self-join). Pearson r is centered
+    two-pass over exact-integer cents. Lags with no pairs emit no row;
+    n<2 or a zero-variance side yields SQL NULL -> NaN."""
     empty = pd.DataFrame({"lag": pd.Series(dtype="int64"),
                           "n": pd.Series(dtype="int64"),
                           "ac": pd.Series(dtype="float64")})
-    if not parts:
+    d = _daily_rev_cents(sf_dir)
+    if d.empty:
         return empty
-    d = (pd.concat(parts, ignore_index=True)
-         .sort_values("day").reset_index(drop=True))
     days = d["day"].to_numpy(np.int64)
     rev = d["revc"].to_numpy(np.float64)  # exact ints below 2^53
     lags, ns, acs = [], [], []
@@ -8132,3 +8141,547 @@ def q_repeat_purchase(sf_dir: str, days: int = 30) -> pd.DataFrame:
     g["n_customers"] = g["n_customers"].astype("int64")
     g["n_repeat"] = g["n_repeat"].astype("int64")
     return g.sort_values("month").reset_index(drop=True)
+
+
+def q_duplicate_invoices(sf_dir: str, days: int = 7) -> pd.DataFrame:
+    """Duplicate-invoice screen (the audit op behind double-payment
+    detection): unordered order pairs of the SAME customer with an
+    IDENTICAL total price at most ``days`` apart. Self band-join —
+    one custkey exchange co-locates each customer's orders, runs of
+    equal (customer, price-bits) sort by date, and each row's window
+    partner range comes from one searchsorted + ragged expansion (no
+    per-row loop, no quadratic blowup beyond true matches).
+
+    Parity contracts: price equality is on exact float64 BITS with
+    -0.0 normalized to +0.0 (SQL groups ±0 as equal; NaN is excluded
+    by the isfinite filter because DuckDB's NaN = NaN is TRUE — a
+    silent quadratic NaN clique otherwise); the window is raw epoch-µs
+    arithmetic (epoch_us both sides, NOT date_diff's boundary count);
+    duplicated rows pair with the multiset multiplicity of the SQL
+    join; self-pairs on one orderkey are excluded like b.key > a.key."""
+    P = 16
+    W = days * 86_400_000_000
+
+    _E = pa.table({"cust": pa.array([], pa.int64()),
+                   "pbits": pa.array([], pa.int64()),
+                   "us": pa.array([], pa.int64()),
+                   "okey": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("o_custkey")),
+                          pc.is_valid(t.column("o_orderdate"))),
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        cust = np.asarray(t2.column("o_custkey").to_numpy(
+            zero_copy_only=False), np.int64)
+        p = np.asarray(t2.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        p = np.where(p == 0.0, 0.0, p)  # -0.0 == 0.0 in SQL
+        return pa.table({
+            "cust": pa.array(cust),
+            "pbits": pa.array(p.view(np.int64)),
+            "us": pa.array(t2.column("o_orderdate").cast(
+                pa.int64()).to_numpy(zero_copy_only=False)),
+            "okey": pa.array(np.asarray(
+                t2.column("o_orderkey").to_numpy(zero_copy_only=False),
+                np.int64)),
+            "bucket": pa.array(cust % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"k1": pd.Series(dtype="int64"),
+                "k2": pd.Series(dtype="int64"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "pbits": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        cust = df["cust"].to_numpy(np.int64)
+        pb = df["pbits"].to_numpy(np.int64)
+        us = df["us"].to_numpy(np.int64)
+        ok = df["okey"].to_numpy(np.int64)
+        order = np.lexsort((ok, us, pb, cust))
+        c_s, p_s, u_s, k_s = (cust[order], pb[order], us[order],
+                              ok[order])
+        newg = np.empty(c_s.size, bool)
+        newg[0] = True
+        newg[1:] = (c_s[1:] != c_s[:-1]) | (p_s[1:] != p_s[:-1])
+        run_start = np.nonzero(newg)[0]
+        run_len = np.diff(np.append(run_start, c_s.size))
+        # only runs with >= 2 rows can pair — by the predicate (same
+        # customer AND bit-identical price) those are exactly the
+        # candidate duplicate groups, so iterating THEM is output-
+        # bounded, not input-bounded; dates are sorted within a run,
+        # one searchsorted per run gives every row's window end
+        k1s, k2s, custs, pbs = [], [], [], []
+        for rs, rl in zip(run_start[run_len >= 2],
+                          run_len[run_len >= 2]):
+            sl_u = u_s[rs:rs + rl]
+            sl_k = k_s[rs:rs + rl]
+            end = np.searchsorted(sl_u, sl_u + W, side="right")
+            lens = end - np.arange(rl) - 1
+            lens = np.maximum(lens, 0)
+            tot = int(lens.sum())
+            if tot == 0:
+                continue
+            rep = np.repeat(np.arange(rl), lens)
+            base = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            j = (rep + 1 + (np.arange(tot) - base[rep])).astype(
+                np.int64)
+            a = sl_k[rep]
+            b = sl_k[j]
+            keepm = a != b  # b.okey > a.okey drops same-key dup rows
+            if not keepm.any():
+                continue
+            k1s.append(np.minimum(a, b)[keepm])
+            k2s.append(np.maximum(a, b)[keepm])
+            custs.append(np.full(int(keepm.sum()), c_s[rs], np.int64))
+            pbs.append(np.full(int(keepm.sum()), p_s[rs], np.int64))
+        if not k1s:
+            return pd.DataFrame(cols)
+        return pd.DataFrame({"k1": np.concatenate(k1s),
+                             "k2": np.concatenate(k2s),
+                             "o_custkey": np.concatenate(custs),
+                             "pbits": np.concatenate(pbs)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice",
+                 "o_orderdate"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"k1": pd.Series(dtype="int64"),
+                          "k2": pd.Series(dtype="int64"),
+                          "o_custkey": pd.Series(dtype="int64"),
+                          "o_totalprice": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    out["o_totalprice"] = out.pop("pbits").to_numpy(np.int64).view(
+        np.float64)
+    return (out.sort_values(["k1", "k2"])
+            .reset_index(drop=True)[["k1", "k2", "o_custkey",
+                                     "o_totalprice"]])
+
+
+def q_basket_rules(sf_dir: str, topk: int = 20) -> pd.DataFrame:
+    """Market-basket association rules over order contents: the top-k
+    part pairs by LIFT = sup(ab)·N / (sup(a)·sup(b)) with support
+    counts (the Apriori screening pass). Three bounded stages: (1) one
+    orderkey exchange dedups (order, part) and emits per-order sorted
+    pairs by vectorized shift-pairing; (2) item supports + the global
+    basket count N fold driver-side (item domain = the part dim, small
+    by contract) and broadcast; (3) a pair-keyed exchange sums pair
+    supports and each bucket returns only its LOCAL top-k by
+    (lift DESC, pa, pb) — the driver folds P·k candidate rows, never
+    the pair table. Lift ties are totally ordered by (pa, pb) so the
+    LIMIT boundary is deterministic; the division is exact-int →
+    float64 on both sides, bit-identical."""
+    import ray
+
+    from .pairs import mix64
+
+    P = 16
+    lim = np.uint64(1) << np.uint64(32)
+
+    _E1 = pa.table({"okey": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_partkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E1
+        g = (pa.table({"okey": pc.cast(t2.column("l_orderkey"),
+                                       pa.int64()),
+                       "part": pc.cast(t2.column("l_partkey"),
+                                       pa.int64())})
+             .group_by(["okey", "part"]).aggregate([]))
+        return pa.table({"okey": g.column("okey"),
+                         "part": g.column("part"),
+                         "bucket": pc.bit_wise_and(g.column("okey"),
+                                                   P - 1)})
+
+    def merge1(*tabs) -> pa.Table:
+        """Per-bucket: distinct (order, part) → per-order pairs +
+        (part, n_orders) partials + basket count, all in one table
+        (kind 0 = pair, 1 = item, 2 = basket count)."""
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        E = pa.table({"kind": pa.array([], pa.int8()),
+                      "key": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+        if not live:
+            return E
+        df = (pa.concat_tables(live).to_pandas().drop_duplicates()
+              .sort_values(["okey", "part"]))
+        ok = df["okey"].to_numpy(np.int64)
+        pt = df["part"].to_numpy(np.int64)
+        from .graph import _pairs_by_shift
+        a, b = _pairs_by_shift(ok, pt)
+        if len(a) and (a.min() < 0 or b.max() >= int(lim)):
+            raise ValueError("partkey outside [0, 2^32) packing domain")
+        pkey = ((a.astype(np.uint64) << np.uint64(32))
+                | b.astype(np.uint64)).view(np.int64)
+        uk, cnt = np.unique(pkey, return_counts=True)
+        up, icnt = np.unique(pt, return_counts=True)
+        n_orders = int(np.unique(ok).size)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(uk.size, np.int8),
+                 np.ones(up.size, np.int8),
+                 np.full(1, 2, np.int8)])),
+            "key": pa.array(np.concatenate(
+                [uk, up, np.zeros(1, np.int64)])),
+            "n": pa.array(np.concatenate(
+                [cnt.astype(np.int64), icnt.astype(np.int64),
+                 np.full(1, n_orders, np.int64)]))})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey"]).to_arrow_refs()]
+    s1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+    s1_tabs = ray.get(list(s1))
+    empty = pd.DataFrame({"pa_key": pd.Series(dtype="int64"),
+                          "pb_key": pd.Series(dtype="int64"),
+                          "sup": pd.Series(dtype="int64"),
+                          "lift": pd.Series(dtype="float64")})
+    live = [t for t in s1_tabs if t.num_rows]
+    if not live:
+        return empty
+    cat = pa.concat_tables(live).to_pandas()
+    # item supports + N are already order-deduped (an order lives in
+    # exactly one bucket); fold driver-side and broadcast
+    items = cat[cat["kind"] == 1].groupby("key")["n"].sum()
+    N = int(cat[cat["kind"] == 2]["n"].sum())
+    item_keys = items.index.to_numpy(np.int64)
+    item_sup = items.to_numpy(np.int64)
+    bc = ray.put((item_keys, item_sup, N))
+
+    # pair-keyed exchange: route pair partials to their hash bucket,
+    # merge sums, compute lift, keep local top-k
+    def split2(t: pa.Table) -> pa.Table:
+        E = pa.table({"key": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return E
+        d = t.to_pandas()
+        d = d[d["kind"] == 0]
+        if d.empty:
+            return E
+        key = d["key"].to_numpy(np.int64)
+        return pa.table({"key": pa.array(key),
+                         "n": pa.array(d["n"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (mix64(key) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def merge2(*tabs) -> pd.DataFrame:
+        cols = {"pa_key": pd.Series(dtype="int64"),
+                "pb_key": pd.Series(dtype="int64"),
+                "sup": pd.Series(dtype="int64"),
+                "lift": pd.Series(dtype="float64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        ik, isup, n_all = ray.get(bc) if isinstance(
+            bc, ray.ObjectRef) else bc
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby("key", as_index=False).agg(n=("n", "sum")))
+        key = df["key"].to_numpy(np.int64)
+        sup = df["n"].to_numpy(np.int64)
+        ua = (key.view(np.uint64) >> np.uint64(32)).astype(np.int64)
+        ub = (key.view(np.uint64) & (lim - np.uint64(1))).astype(
+            np.int64)
+        sa = isup[np.searchsorted(ik, ua)]
+        sb = isup[np.searchsorted(ik, ub)]
+        lift = (sup * n_all).astype(np.float64) / (
+            (sa * sb).astype(np.float64))
+        order = np.lexsort((ub, ua, -lift))[:topk]
+        return pd.DataFrame({"pa_key": ua[order], "pb_key": ub[order],
+                             "sup": sup[order],
+                             "lift": lift[order]})
+
+    parts = [p for p in hash_shuffle([(r, ()) for r in s1], split2,
+                                     merge2, P=P) if len(p)]
+    if not parts:
+        return empty
+    allc = pd.concat(parts, ignore_index=True)
+    lift = allc["lift"].to_numpy(np.float64)
+    order = np.lexsort((allc["pb_key"].to_numpy(np.int64),
+                        allc["pa_key"].to_numpy(np.int64),
+                        -lift))[:topk]
+    out = allc.iloc[order].reset_index(drop=True)
+    out["lift"] = round_away(out["lift"].to_numpy(np.float64), 6)
+    return out
+
+
+def q_cusum_changepoint(sf_dir: str) -> pd.DataFrame:
+    """CUSUM changepoint screen on daily order revenue: the day k
+    maximizing |S_k − (k/n)·S_n| (cumulative sum's maximum deviation
+    from the no-change line — the classic level-shift detector), with
+    the statistic itself. Reuses q199's counts-per-day exchange
+    (``_daily_rev_cents``); the scan over ~#days rows is driver-side
+    prefix arithmetic on exact integer cents, and k·S_n/n is the same
+    exact-int → float64 expression on both sides (DuckDB's BIGINT
+    division is float), so the argmax ordering is bit-deterministic
+    with the (stat DESC, day) tie-break."""
+    d = _daily_rev_cents(sf_dir)
+    empty = pd.DataFrame({"n_days": pd.Series(dtype="int64"),
+                          "cp_day": pd.Series(dtype="int64"),
+                          "stat": pd.Series(dtype="float64")})
+    if d.empty:
+        return empty
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+    n = days.size
+    cum = np.cumsum(rev)
+    tot = int(cum[-1])
+    k = np.arange(1, n + 1, dtype=np.int64)
+    stat = np.abs(cum.astype(np.float64)
+                  - (k * tot).astype(np.float64) / n)
+    best = np.lexsort((days, -stat))[0]
+    return pd.DataFrame({
+        "n_days": pd.array([n], "int64"),
+        "cp_day": pd.array([int(days[best])], "int64"),
+        "stat": round_away(np.array([stat[best]]), 4)})
+
+
+def q_rolling_window_max(sf_dir: str) -> pd.DataFrame:
+    """Order-statistic window frame: max(value) OVER (PARTITION BY
+    user ORDER BY ts, event_id, value ROWS BETWEEN 2 PRECEDING AND
+    CURRENT ROW) — the ROWS-frame running max q49/q142's sum-based
+    rollers don't cover (a max can't be maintained by +/- deltas).
+    Same user exchange + sentinel window order as q202; the frame max
+    is two boundary-masked shifts, one vector op per frame row.
+    Non-finite values excluded on both sides (DuckDB max treats NaN
+    as greatest); NULL user_id/event_id ride int64-max sentinels and
+    restore to float64+NaN only when present (q116 dtype rule)."""
+    P = 16
+
+    _E = pa.table({"user": pa.array([], pa.float64()),
+                   "unull": pa.array([], pa.bool_()),
+                   "tsf": pa.array([], pa.int64()),
+                   "idf": pa.array([], pa.int64()),
+                   "idnull": pa.array([], pa.bool_()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.fill_null(pc.is_finite(t.column("value")),
+                                   False))
+        if t2.num_rows == 0:
+            return _E
+        uid = np.asarray(t2.column("user_id").to_numpy(
+            zero_copy_only=False), np.float64)
+        unull = np.isnan(uid)
+        eid = t2.column("event_id")
+        return pa.table({
+            "user": pa.array(uid),
+            "unull": pa.array(unull),
+            "tsf": pc.fill_null(pc.cast(t2.column("ts"), pa.int64()),
+                                _IMAX),
+            "idf": pc.fill_null(pc.cast(eid, pa.int64()), _IMAX),
+            "idnull": pc.is_null(eid),
+            "v": pc.cast(t2.column("value"), pa.float64()),
+            "bucket": pa.array(np.where(
+                unull, 0, np.abs(np.nan_to_num(uid)).astype(np.int64)
+                % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"user": pd.Series(dtype="float64"),
+                "unull": pd.Series(dtype="bool"),
+                "idf": pd.Series(dtype="int64"),
+                "idnull": pd.Series(dtype="bool"),
+                "v": pd.Series(dtype="float64"),
+                "wmax": pd.Series(dtype="float64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        uid = df["user"].to_numpy(np.float64)
+        ukey = np.where(df["unull"].to_numpy(bool), -np.inf, uid)
+        v = df["v"].to_numpy(np.float64)
+        order = np.lexsort((v, df["idf"].to_numpy(np.int64),
+                            df["tsf"].to_numpy(np.int64), ukey))
+        u_s = ukey[order]
+        v_s = v[order]
+        same1 = np.zeros(u_s.size, bool)
+        same1[1:] = u_s[1:] == u_s[:-1]
+        same2 = np.zeros(u_s.size, bool)
+        same2[2:] = u_s[2:] == u_s[:-2]
+        m1 = np.full(u_s.size, -np.inf)
+        m1[1:] = v_s[:-1]
+        m1[~same1] = -np.inf
+        m2 = np.full(u_s.size, -np.inf)
+        m2[2:] = v_s[:-2]
+        m2[~same2] = -np.inf
+        wmax = np.maximum(v_s, np.maximum(m1, m2))
+        out = df.iloc[order].reset_index(drop=True)
+        out["wmax"] = wmax
+        return out[["user", "unull", "idf", "idnull", "v", "wmax"]]
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "value"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "event_id": pd.Series(dtype="int64"),
+                          "value": pd.Series(dtype="float64"),
+                          "wmax": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    user = out["user"].to_numpy(np.float64).copy()
+    user[out["unull"].to_numpy(bool)] = np.nan
+    eid = out["idf"].to_numpy(np.int64).astype(np.float64)
+    eid[out["idnull"].to_numpy(bool)] = np.nan
+    res = pd.DataFrame({"user_id": user,
+                        "event_id": eid,
+                        "value": out["v"].to_numpy(np.float64),
+                        "wmax": out["wmax"].to_numpy(np.float64)})
+    if not out["unull"].any():
+        res["user_id"] = res["user_id"].astype("int64")
+    if not out["idnull"].any():
+        res["event_id"] = out["idf"].to_numpy(np.int64)
+    order = np.lexsort((res["value"].to_numpy(np.float64),
+                        out["idf"].to_numpy(np.int64),
+                        np.where(out["unull"].to_numpy(bool), np.inf,
+                                 out["user"].to_numpy(np.float64))))
+    return res.iloc[order].reset_index(drop=True)
+
+
+def q_weekly_detrended(sf_dir: str) -> pd.DataFrame:
+    """Seasonal decomposition screen: detrend daily revenue with a
+    CENTERED 7-row moving average (ROWS BETWEEN 3 PRECEDING AND 3
+    FOLLOWING — the symmetric frame q49/q142's trailing windows don't
+    cover), keep only full-frame rows, and report the mean residual
+    per weekday. Reuses the counts-per-day exchange
+    (``_daily_rev_cents``); the trend is a cumsum sliding difference
+    over exact integer cents (÷7 is the only float), and the weekday
+    is the floored (day+4) mod 7 of the epoch-day index (q191 rule,
+    0 = Sunday like dayofweek)."""
+    d = _daily_rev_cents(sf_dir)
+    empty = pd.DataFrame({"dow": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "detrended": pd.Series(dtype="float64")})
+    n = len(d)
+    if n < 7:
+        return empty
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+    cum = np.concatenate(([0], np.cumsum(rev)))
+    # centered 7-row window sums for rows 3..n-4 (full frames only)
+    core = np.arange(3, n - 3)
+    trend = (cum[core + 4] - cum[core - 3]).astype(np.float64) / 7.0
+    resid = rev[core].astype(np.float64) - trend
+    dow = np.mod(days[core] + 4, 7).astype(np.int64)
+    cnt = np.bincount(dow, minlength=7)
+    s = np.zeros(7)
+    np.add.at(s, dow, resid)
+    keep = cnt > 0
+    return pd.DataFrame({
+        "dow": np.arange(7, dtype=np.int64)[keep],
+        "n": cnt[keep].astype(np.int64),
+        "detrended": round_away(s[keep] / cnt[keep], 6)})
+
+
+def q_recency_scores(sf_dir: str, halflife_days: float = 7.0
+                     ) -> pd.DataFrame:
+    """Exponentially-decayed engagement score per user:
+    Σ value · 2^(−(T−ts)/halflife), T the global max event time — the
+    closed-form recency weighting that needs NO recursion (unlike an
+    EWMA over steps). Two passes: a max-reduce for T, then per-batch
+    per-user (n, Σ weighted) combiners folded driver-side (users are
+    a small domain; the fold is O(P·users)). Weights are the same
+    pow(2, −Δ/λ) float64 expression on both sides. NULL user_id IS a
+    group (float64+NaN dtype only when present, q74 rule); NULL ts or
+    non-finite values are excluded on both sides."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def tmax_part(t: pa.Table) -> pa.Table:
+        E = pa.table({"tmax": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("ts")),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"tmax": pa.array([int(us.max())])})
+
+    p1 = ds.map_batches(tmax_part, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "score": pd.Series(dtype="float64")})
+    if p1.empty:
+        return empty
+    tmax = int(p1["tmax"].max())
+    lam = halflife_days * 86_400_000_000.0
+
+    def part(t: pa.Table) -> pa.Table:
+        E = pa.table({"user": pa.array([], pa.float64()),
+                      "unull": pa.array([], pa.bool_()),
+                      "n": pa.array([], pa.int64()),
+                      "s": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("ts")),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        uid = np.asarray(t2.column("user_id").to_numpy(
+            zero_copy_only=False), np.float64)
+        unull = np.isnan(uid)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = np.asarray(t2.column("value").to_numpy(
+            zero_copy_only=False), np.float64)
+        w = v * np.power(2.0, -((tmax - us).astype(np.float64) / lam))
+        ukey = np.where(unull, -np.inf, uid)
+        uu, inv = np.unique(ukey, return_inverse=True)
+        cnt = np.bincount(inv, minlength=uu.size)
+        s = np.zeros(uu.size)
+        np.add.at(s, inv, w)
+        return pa.table({"user": pa.array(uu),
+                         "unull": pa.array(~np.isfinite(uu)),
+                         "n": pa.array(cnt.astype(np.int64)),
+                         "s": pa.array(s)})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    ukey = np.where(parts["unull"].to_numpy(bool), -np.inf,
+                    parts["user"].to_numpy(np.float64))
+    uu, inv = np.unique(ukey, return_inverse=True)
+    cnt = np.bincount(inv, weights=parts["n"].to_numpy(np.float64),
+                      minlength=uu.size).astype(np.int64)
+    s = np.zeros(uu.size)
+    np.add.at(s, inv, parts["s"].to_numpy(np.float64))
+    user = uu.copy()
+    user[~np.isfinite(uu)] = np.nan
+    res = pd.DataFrame({"user_id": user,
+                        "n": pd.array(cnt, "int64"),
+                        "score": round_away(s, 6)})
+    if np.isfinite(uu).all():
+        res["user_id"] = res["user_id"].astype("int64")
+    return (res.iloc[np.argsort(
+        np.where(np.isfinite(uu), uu, np.inf))].reset_index(drop=True))

@@ -594,3 +594,174 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     swap = out["doc_a"] > out["doc_b"]
     out.loc[swap, ["doc_a", "doc_b"]] = out.loc[swap, ["doc_b", "doc_a"]].values
     return out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def _lev_banded(A: np.ndarray, B: np.ndarray, la: np.ndarray,
+                lb: np.ndarray, d: int) -> np.ndarray:
+    """Banded Levenshtein over PAIR ARRAYS: A/B are (n, L) uint8 byte
+    matrices (rows zero-padded past their true lengths la/lb), d the
+    distance budget. Returns the exact distance where it is <= d and
+    a value > d otherwise — the classic |i-j| <= d band, vectorized
+    ACROSS pairs (one (n,)-wide op per DP cell; 2d+1 cells per row),
+    so cost is O(L·d) vector ops regardless of pair count."""
+    INF = np.int32(127)
+    n = A.shape[0]
+    if n == 0:
+        return np.empty(0, np.int32)
+    width = 2 * d + 1
+    L = int(la.max()) if n else 0
+    prev = np.full((n, width), INF, np.int32)
+    for k in range(d, width):
+        j = k - d
+        prev[:, k] = np.where(j <= lb, j, INF)
+    ans = np.full(n, INF, np.int32)
+    z = la == 0
+    ans[z] = np.where(lb[z] <= d, lb[z], INF).astype(np.int32)
+    for i in range(1, L + 1):
+        cur = np.full((n, width), INF, np.int32)
+        for k in range(width):
+            j = i + k - d
+            if j < 0 or j > int(lb.max()):
+                continue
+            valid = (j <= lb) & (i <= la)
+            cand = np.full(n, INF, np.int32)
+            if j == 0:
+                cand[valid] = i
+            else:
+                cost = (A[:, i - 1] != B[:, j - 1]).astype(np.int32)
+                cand = prev[:, k] + cost  # diagonal (i-1, j-1)
+                if k + 1 < width:
+                    cand = np.minimum(cand, prev[:, k + 1] + 1)
+                if k - 1 >= 0:
+                    cand = np.minimum(cand, cur[:, k - 1] + 1)
+                cand = np.where(valid, cand, INF)
+            cur[:, k] = np.minimum(cand, INF)
+        hit = la == i
+        if hit.any():
+            kk = d + (lb - la)
+            ok = hit & (kk >= 0) & (kk < width)
+            ans[ok] = cur[ok, kk[ok]]
+        prev = cur
+    return ans
+
+
+def q_sorted_neighborhood(sf_dir: str, w: int = 4, prefix: int = 32,
+                          budget: int = 2) -> pd.DataFrame:
+    """Sorted-neighborhood near-duplicate detection (SNM — the classic
+    record-linkage blocking method the hash-based families above don't
+    cover): documents sort globally by (32-codepoint text prefix,
+    doc_id); each row compares against its next ``w`` neighbors in
+    that order, and pairs whose prefix BYTES are within Levenshtein
+    ``budget`` are emitted as (doc_a, doc_b, dist), doc_a the lower-
+    RANK side like the oracle's ``b.rk > a.rk`` self-join.
+
+    Distributed shape — the HALO pattern: ONE Dataset.sort (the only
+    all-to-all; its output blocks concatenate in sort order), then one
+    task per sorted block joined with a w-row halo stitched from the
+    heads of the following blocks, so boundary pairs are counted
+    exactly once (left side always in the owning block) and nothing
+    but P·w halo rows moves after the sort. Levenshtein runs banded
+    and pair-vectorized (``_lev_banded``); DuckDB's levenshtein counts
+    BYTES (q105 rule), so the engine compares UTF-8 bytes of the same
+    32-codepoint prefix the oracle's substr() takes. Arrow's string
+    sort is bytewise like DuckDB's binary collation (probed — NUL and
+    multi-byte safe). NULL text is out of contract on both sides."""
+    import ray
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        E = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "key": pa.array([], pa.string())})
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return E
+        t2 = t.filter(pc.is_valid(t.column("text")))
+        if t2.num_rows == 0:
+            return E
+        return pa.table({
+            "doc_id": pc.cast(t2.column("doc_id"), pa.int64()),
+            "key": pc.utf8_slice_codeunits(t2.column("text"), 0,
+                                           prefix)})
+
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="int64")})
+    srt = (ds.map_batches(keyed, batch_format="pyarrow")
+           .sort(["key", "doc_id"]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def head(t: pa.Table, k: int) -> pa.Table:
+        return t.slice(0, min(k, t.num_rows)).combine_chunks()
+
+    heads = ray.get([head.remote(r, w) for r in refs])
+
+    @ray.remote
+    def block_pairs(t: pa.Table, halo: pa.Table, w: int, d: int):
+        if t.num_rows == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        ext = pa.concat_tables([t, halo]) if halo.num_rows else t
+        ids = ext.column("doc_id").to_numpy(zero_copy_only=False)
+        keys = ext.column("key").to_pandas().to_numpy(dtype=object)
+        kb = [k.encode("utf-8", "surrogatepass") for k in keys]
+        n_own = t.num_rows
+        n_ext = len(ids)
+        li, ri = [], []
+        for off in range(1, w + 1):
+            m = min(n_own, n_ext - off)
+            if m <= 0:
+                break
+            li.append(np.arange(m, dtype=np.int64))
+            ri.append(np.arange(m, dtype=np.int64) + off)
+        if not li:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        li = np.concatenate(li)
+        ri = np.concatenate(ri)
+        # one byte matrix per EXT ROW (loop is row-bounded, pairs just
+        # index into it)
+        lens = np.asarray([len(b) for b in kb], np.int64)
+        Lmax = int(lens.max()) if lens.size else 0
+        mat = np.zeros((n_ext, max(Lmax, 1)), np.uint8)
+        for r_, b in enumerate(kb):
+            if b:
+                mat[r_, :len(b)] = np.frombuffer(b, np.uint8)
+        la, lb = lens[li], lens[ri]
+        # cheap pre-filter: |len difference| > budget can't pass
+        pre = np.abs(la - lb) <= d
+        li, ri, la, lb = li[pre], ri[pre], la[pre], lb[pre]
+        if li.size == 0:
+            return pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                                 "doc_b": pd.Series(dtype="int64"),
+                                 "dist": pd.Series(dtype="int64")})
+        dist = _lev_banded(mat[li], mat[ri], la, lb, d)
+        keep = dist <= d
+        return pd.DataFrame({"doc_a": ids[li[keep]].astype(np.int64),
+                             "doc_b": ids[ri[keep]].astype(np.int64),
+                             "dist": dist[keep].astype(np.int64)})
+
+    # halo for block i = first w rows of the CONCAT of the following
+    # blocks (stitched from their heads — each non-empty head carries
+    # up to w rows, so the first few suffice)
+    E_HALO = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "key": pa.array([], pa.string())})
+    outs = []
+    for i, r in enumerate(refs):
+        pieces, have = [], 0
+        for h in heads[i + 1:]:
+            if have >= w:
+                break
+            if h.num_rows:
+                pieces.append(h)
+                have += h.num_rows
+        halo = (pa.concat_tables(pieces).slice(0, w).combine_chunks()
+                if pieces else E_HALO)
+        outs.append(block_pairs.remote(r, halo, w, budget))
+    parts = [p for p in ray.get(outs) if len(p)]
+    if not parts:
+        return empty
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

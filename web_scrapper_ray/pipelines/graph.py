@@ -333,14 +333,17 @@ def _pairs_by_shift(group_ids: np.ndarray, vals: np.ndarray):
     return np.concatenate(ls), np.concatenate(rs)
 
 
-def _coorder_edge_refs(sf_dir: str, P: int = 32) -> list:
+def _coorder_edge_refs(sf_dir: str, P: int = 32,
+                       with_counts: bool = False) -> list:
     """Distinct supplier co-occurrence edges as P object-store bucket
     refs of packed ``(min<<32)|max`` int64 keys — the shared first two
     exchanges of the co-order graph family (triangles q140, k-core
-    q200): (1) orderkey exchange dedups (order, supplier) and emits
-    per-order pairs by vectorized shift-pairing, (2) edge-hash exchange
-    dedups edges globally. ``gather=False`` everywhere: the edge set
-    never transits the driver heap."""
+    q200, SSSP q210): (1) orderkey exchange dedups (order, supplier)
+    and emits per-order pairs by vectorized shift-pairing, (2)
+    edge-hash exchange dedups edges globally. With ``with_counts``
+    each bucket table also carries ``n`` = the pair's distinct-shared-
+    order support (summed across stage-1 buckets). ``gather=False``
+    everywhere: the edge set never transits the driver heap."""
     import pyarrow.compute as pc
 
     from .pairs import mix64
@@ -381,15 +384,26 @@ def _coorder_edge_refs(sf_dir: str, P: int = 32) -> list:
     _EDGE = pa.table({"key": pa.array([], pa.int64()),
                       "bucket": pa.array([], pa.int64())})
 
+    _EDGEN = pa.table({"key": pa.array([], pa.int64()),
+                       "n": pa.array([], pa.int64()),
+                       "bucket": pa.array([], pa.int64())})
+
     def merge1(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return _EDGE
+            return _EDGEN if with_counts else _EDGE
         df = (pa.concat_tables(live).to_pandas()
               .drop_duplicates().sort_values(["okey", "supp"]))
         ok = df["okey"].to_numpy(np.int64)
         sp = df["supp"].to_numpy(np.int64)
         a, b = _pairs_by_shift(ok, sp)  # a < b (sorted within order)
+        if with_counts:
+            key, cnt = np.unique(_pack(a, b), return_counts=True)
+            return pa.table({"key": pa.array(key),
+                             "n": pa.array(cnt.astype(np.int64)),
+                             "bucket": pa.array(
+                                 (mix64(key) & np.uint64(P - 1))
+                                 .astype(np.int64))})
         key = np.unique(_pack(a, b))
         return pa.table({"key": pa.array(key),
                          "bucket": pa.array(
@@ -397,12 +411,21 @@ def _coorder_edge_refs(sf_dir: str, P: int = 32) -> list:
                              .astype(np.int64))})
 
     def split_pass(t: pa.Table) -> pa.Table:
-        return t if t.num_rows else _EDGE
+        return t if t.num_rows else (_EDGEN if with_counts else _EDGE)
 
     def merge_edges(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return pa.table({"key": pa.array([], pa.int64())})
+            return pa.table({"key": pa.array([], pa.int64())}) \
+                if not with_counts else \
+                pa.table({"key": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        if with_counts:
+            g = (pa.concat_tables(live).to_pandas()
+                 .groupby("key", as_index=False).agg(n=("n", "sum")))
+            return pa.table({"key": pa.array(
+                                 g["key"].to_numpy(np.int64)),
+                             "n": pa.array(g["n"].to_numpy(np.int64))})
         key = np.unique(np.concatenate(
             [x.column("key").to_numpy() for x in live]))
         return pa.table({"key": pa.array(key)})
@@ -658,3 +681,78 @@ def q_k_core(sf_dir: str, k: int = 3, rounds: int = 6,
         return empty
     return pd.DataFrame({"l_suppkey": nodes[keep],
                          "deg": deg[keep].astype(np.int64)})
+
+
+def q_sssp_bounded(sf_dir: str, rounds: int = 4,
+                   P: int = 32) -> pd.DataFrame:
+    """Bounded single-source shortest paths (Bellman-Ford, ``rounds``
+    synchronous relaxation rounds) over the WEIGHTED supplier co-order
+    graph: edge weight = 1/support (support = distinct shared orders),
+    source = the smallest supplier key in the edge set. CONTRACT:
+    exactly ``rounds`` rounds on both sides — the oracle unrolls the
+    identical min-relaxation recurrence as chained CTEs, and every
+    candidate distance is the same float64 expression (d[u] + 1.0/c)
+    on both sides, so the min is bit-deterministic. The engine
+    early-exits once a round changes nothing (the fixpoint of every
+    later round).
+
+    Distributed shape (q67's layout): counted edge buckets stay pinned
+    in the object store; each round broadcasts the distance vector and
+    runs one ``np.minimum.at`` relaxation task per bucket; the driver
+    folds P node-sized vectors."""
+    import ray
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    edge_refs = _coorder_edge_refs(sf_dir, P, with_counts=True)
+    empty = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                          "dist": pd.Series(dtype="float64")})
+
+    @ray.remote
+    def bucket_nodes(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.empty(0, np.int64)
+        kk = t.column("key").to_numpy()
+        u = (kk.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (kk.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        return np.unique(np.concatenate([u, v]))
+
+    nsets = ray.get([bucket_nodes.remote(r) for r in edge_refs])
+    live = [x for x in nsets if x.size]
+    if not live:
+        return empty
+    nodes = np.unique(np.concatenate(live))
+    n = nodes.size
+    nodes_ref = ray.put(nodes)
+
+    @ray.remote
+    def relax(t: pa.Table, nodes: np.ndarray,
+              dist: np.ndarray) -> np.ndarray:
+        out = np.full(len(nodes), np.inf)
+        if t.num_rows == 0:
+            return out
+        kk = t.column("key").to_numpy()
+        w = 1.0 / t.column("n").to_numpy().astype(np.float64)
+        u = (kk.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (kk.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        iu = np.searchsorted(nodes, u)
+        iv = np.searchsorted(nodes, v)
+        np.minimum.at(out, iv, dist[iu] + w)
+        np.minimum.at(out, iu, dist[iv] + w)
+        return out
+
+    dist = np.full(n, np.inf)
+    dist[0] = 0.0  # nodes sorted: index 0 IS the smallest supplier
+    for _ in range(rounds):
+        dref = ray.put(dist)
+        cand = np.minimum.reduce(
+            ray.get([relax.remote(r, nodes_ref, dref)
+                     for r in edge_refs]))
+        nxt = np.minimum(dist, cand)
+        if (nxt == dist).all():
+            break  # fixpoint: later rounds are identical
+        dist = nxt
+    keep = np.isfinite(dist)
+    from .pairs import round_away
+    return pd.DataFrame({"l_suppkey": nodes[keep],
+                         "dist": round_away(dist[keep], 6)})

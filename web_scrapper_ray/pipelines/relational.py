@@ -3757,3 +3757,160 @@ def q_custkeys_except_all(sf_dir: str) -> pd.DataFrame:
     out = _restore_null_int(pd.concat(parts, ignore_index=True), "custkey")
     return (out.sort_values("custkey", na_position="last")
             .reset_index(drop=True))
+
+
+def q_custkeys_intersect_all(sf_dir: str) -> pd.DataFrame:
+    """INTERSECT ALL — BAG intersection completing the q46/q47/q114/
+    q120 set-op family: each key keeps min(m, n) copies (probed DuckDB
+    semantics; NULLs meet like the set ops). Identical one-exchange
+    value-counts combiner as EXCEPT ALL above — only the fold differs
+    (min instead of clipped difference)."""
+    P = 32
+    sides = [("orders", "o_custkey", "n_keep"),
+             ("customer", "c_custkey", "n_drop")]
+
+    def split(block: pa.Table, col: str, side: str) -> pa.Table:
+        if block.num_rows == 0 or col not in block.schema.names:
+            keys = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        else:
+            vc = pc.value_counts(pc.fill_null(block.column(col), _NULL_INT))
+            keys = vc.field("values").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            cnt = vc.field("counts").to_numpy(
+                zero_copy_only=False).astype(np.int64)
+        z = np.zeros(len(keys), np.int64)
+        return pa.table({
+            "custkey": pa.array(keys),
+            "n_keep": pa.array(cnt if side == "n_keep" else z),
+            "n_drop": pa.array(cnt if side == "n_drop" else z),
+            "bucket": pa.array(
+                (mix64(keys.view(np.uint64)) % np.uint64(P)).astype(np.int64)),
+        })
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"custkey": pd.Series(dtype="int64")})
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("custkey", as_index=False).sum())
+        rep = np.minimum(g["n_keep"].to_numpy(), g["n_drop"].to_numpy())
+        return pd.DataFrame(
+            {"custkey": np.repeat(g["custkey"].to_numpy(), rep)})
+
+    inputs = []
+    for table, col, side in sides:
+        inputs += [(r, (col, side))
+                   for r in _read(sf_dir, table, columns=[col]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(inputs, split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"custkey": pd.Series(dtype="int64")})
+    out = _restore_null_int(pd.concat(parts, ignore_index=True), "custkey")
+    return (out.sort_values("custkey", na_position="last")
+            .reset_index(drop=True))
+
+
+def q_events_asof_forward(sf_dir: str) -> pd.DataFrame:
+    """FORWARD as-of join (q43's mirror — direction='forward'): for
+    each ORDER, the EARLIEST event of the same customer at-or-after
+    the order date (the "first activity after purchase" primitive;
+    the order->event direction is the one the data makes non-vacuous —
+    the event log postdates the order book, so event->forward-order
+    would never match). Same
+    partitioned-sorted-merge shape as q43: both sides hash-partition
+    on the key through ONE raw-task exchange, each bucket runs a
+    sorted ``merge_asof(direction="forward")``. Tie-safe (outputs the
+    matched DATE). Contract (mirrored in the oracle's WHERE): NULL
+    keys and NULL times are excluded on both sides — the q43 probe's
+    NULL-as-+infinity cases are a backward-asof artifact this variant
+    doesn't take on. NULL event_ids ride the int64-max sentinel and
+    restore to float64+NaN only when present (q116 rule)."""
+    from .pairs import hash_shuffle
+
+    P = 32
+
+    _E = pa.table({"side": pa.array([], pa.int8()),
+                   "key": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64()),
+                   "eid": pa.array([], pa.int64()),
+                   "enull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, side: int) -> pa.Table:
+        # side 0 = orders (probe side), side 1 = events (match side)
+        kcol, tcol = (("o_custkey", "o_orderdate") if side == 0
+                      else ("user_id", "ts"))
+        if t.num_rows == 0 or kcol not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column(kcol)),
+                             pc.is_valid(t.column(tcol)))
+        if side == 0:
+            keep = pc.and_kleene(keep,
+                                 pc.is_valid(t.column("o_orderkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        key = np.asarray(t2.column(kcol).to_numpy(
+            zero_copy_only=False), np.int64)
+        tt = t2.column(tcol).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if side == 0:
+            eidf = pc.cast(t2.column("o_orderkey"), pa.int64())
+            enull = pa.array(np.zeros(t2.num_rows, bool))
+        else:
+            eidf = pa.array(np.zeros(t2.num_rows, np.int64))
+            enull = pa.array(np.zeros(t2.num_rows, bool))
+        return pa.table({
+            "side": pa.array(np.full(t2.num_rows, side, np.int8)),
+            "key": pa.array(key),
+            "t": pa.array(np.asarray(tt, np.int64)),
+            "eid": eidf, "enull": enull,
+            "bucket": pa.array(key % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"o_orderkey": pd.Series(dtype="int64"),
+                "o_custkey": pd.Series(dtype="int64"),
+                "next_us": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        ev = df[df["side"] == 0].sort_values("t", kind="stable")
+        od = (df[df["side"] == 1][["key", "t"]]
+              .rename(columns={"t": "od"})
+              .sort_values("od", kind="stable"))
+        if ev.empty or od.empty:
+            return pd.DataFrame(cols)
+        m = pd.merge_asof(ev, od, left_on="t", right_on="od",
+                          by="key", direction="forward")
+        m = m[m["od"].notna()]
+        if m.empty:
+            return pd.DataFrame(cols)
+        return pd.DataFrame({
+            "o_orderkey": m["eid"].to_numpy(np.int64),
+            "o_custkey": m["key"].to_numpy(np.int64),
+            "next_us": m["od"].to_numpy(np.int64)})
+
+    inputs = [(r, (0,)) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+        .to_arrow_refs()]
+    inputs += [(r, (1,)) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(inputs, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                          "o_custkey": pd.Series(dtype="int64"),
+                          "next_ts": pd.Series(
+                              dtype="datetime64[us]")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    res = pd.DataFrame({
+        "o_orderkey": out["o_orderkey"].astype("int64"),
+        "o_custkey": out["o_custkey"].astype("int64"),
+        "next_ts": pd.Series(out["next_us"].to_numpy(np.int64)
+                             .view("datetime64[us]"))})
+    return (res.sort_values(["o_orderkey"])
+            .reset_index(drop=True))
