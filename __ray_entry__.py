@@ -355,6 +355,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q213_cusum_changepoint": analytics.q_cusum_changepoint,
         "q214_weekly_detrended": analytics.q_weekly_detrended,
         "q215_recency_scores": analytics.q_recency_scores,
+        "q216_systematic_sample": analytics.q_systematic_sample,
+        "q217_sequence_pattern": analytics.q_sequence_pattern,
+        "q218_best_split": rankstats.q_best_split,
+        "q219_rrf_fusion": analytics.q_rrf_fusion,
+        "q222_time_in_state": analytics.q_time_in_state,
+        "q223_dup_rate_by_source": dedup.q_dup_rate_by_source,
+        "q224_type_burstiness": analytics.q_type_burstiness,
+        "q220_er_clusters": dedup.q_er_clusters,
+        "q221_knn_classify": similarity.q_knn_classify,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -539,6 +548,38 @@ def _sssp_sql(rounds: int = 4) -> str:
     tail = f"""
         SELECT node AS l_suppkey, round(d, 6) AS dist
         FROM d{rounds} WHERE node IS NOT NULL ORDER BY 1"""
+    return head + "," + ",".join(body) + tail
+
+
+def _er_sql(rounds: int = 8) -> str:
+    """Unrolled bounded min-label propagation over the q208 SNM pair
+    graph (q220's CONTRACT: exactly ``rounds`` rounds on both sides;
+    the engine early-exits only at the fixpoint)."""
+    head = """
+        WITH s AS (
+            SELECT doc_id, substr(text, 1, 32) AS key
+            FROM documents WHERE text IS NOT NULL),
+        r AS (
+            SELECT doc_id, key,
+                   row_number() OVER (ORDER BY key, doc_id) AS rk
+            FROM s),
+        pairs AS (
+            SELECT a.doc_id AS u, b.doc_id AS v
+            FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
+            WHERE levenshtein(a.key, b.key) <= 2),
+        e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e)"""
+    body = []
+    for i in range(1, rounds + 1):
+        body.append(f"""
+        l{i} AS (
+            SELECT a.node, min(least(a.lbl, b.lbl)) AS lbl
+            FROM l{i - 1} a JOIN e ON e.u = a.node
+            JOIN l{i - 1} b ON b.node = e.v
+            GROUP BY a.node)""")
+    tail = f"""
+        SELECT node AS doc_id, lbl::BIGINT AS cluster_id
+        FROM l{rounds} ORDER BY 1"""
     return head + "," + ",".join(body) + tail
 
 
@@ -2725,6 +2766,114 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1 NULLS LAST
         """,
         "q210_supplier_sssp": _sssp_sql(),
+        "q220_er_clusters": _er_sql(),
+        "q223_dup_rate_by_source": """
+            -- IS NOT DISTINCT join: md5(NULL) = NULL must meet its
+            -- own group (the engine's sentinel hash does)
+            WITH s AS (SELECT source, md5(text) AS h FROM documents),
+            c AS (SELECT h, count(*) AS tot FROM s GROUP BY h)
+            SELECT source, count(*)::BIGINT AS n_docs,
+                   count(*) FILTER (WHERE tot > 1)::BIGINT AS n_dup,
+                   round(count(*) FILTER (WHERE tot > 1)::DOUBLE
+                         / count(*), 6) AS dup_rate
+            FROM s JOIN c ON s.h IS NOT DISTINCT FROM c.h
+            GROUP BY source ORDER BY source NULLS LAST
+        """,
+        "q222_time_in_state": """
+            WITH s AS (SELECT user_id, event_id, event_type, ts
+                       FROM events WHERE ts IS NOT NULL),
+            d AS (SELECT event_type,
+                         epoch_us(lead(ts) OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts, event_id, event_type))
+                             - epoch_us(ts) AS d
+                  FROM s)
+            SELECT event_type, count(d)::BIGINT AS n,
+                   round(sum(d) / 1000000.0, 6) AS total_s,
+                   round(sum(d) / 1000000.0 / count(d), 6) AS avg_s
+            FROM d WHERE d IS NOT NULL
+            GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q224_type_burstiness": """
+            WITH s AS (SELECT event_type,
+                              date_trunc('hour', ts) AS hour
+                       FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT event_type, hour, count(*)::BIGINT AS n
+                  FROM s GROUP BY 1, 2)
+            SELECT event_type, count(*)::BIGINT AS n_hours,
+                   round(var_samp(n) / avg(n), 6) AS fano
+            FROM c GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q219_rrf_fusion": """
+            WITH s AS (
+                SELECT event_id, value, ts FROM events
+                WHERE isfinite(value) AND ts IS NOT NULL
+                  AND event_id IS NOT NULL),
+            r AS (
+                SELECT event_id,
+                       row_number() OVER (ORDER BY value DESC,
+                                          event_id) AS r1,
+                       row_number() OVER (ORDER BY ts DESC,
+                                          event_id) AS r2
+                FROM s)
+            SELECT event_id, r1::BIGINT AS r1, r2::BIGINT AS r2,
+                   round(1.0 / (60 + r1) + 1.0 / (60 + r2), 9) AS rrf
+            FROM r
+            ORDER BY 1.0 / (60 + r1) + 1.0 / (60 + r2) DESC, event_id
+            LIMIT 20
+        """,
+        "q216_systematic_sample": """
+            WITH s AS (SELECT event_id, value FROM events
+                       WHERE isfinite(value)),
+            r AS (SELECT event_id, value,
+                         row_number() OVER (ORDER BY value, event_id)
+                             AS rn
+                  FROM s)
+            SELECT event_id, value FROM r
+            WHERE (rn - 1) % 50 = 0 ORDER BY value, event_id
+        """,
+        "q217_sequence_pattern": """
+            SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                              ORDER BY ts, event_id, event_type)
+                       AS seq,
+                   regexp_matches(
+                       string_agg(substr(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id, event_type),
+                       '^s.*p$') AS matched
+            FROM events
+            WHERE event_type IS NOT NULL
+            GROUP BY user_id
+            ORDER BY user_id NULLS LAST
+        """,
+        "q218_best_split": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE isfinite(value)),
+            c AS (SELECT v, count(*) AS n, sum(y) AS p
+                  FROM s GROUP BY v),
+            w AS (SELECT v,
+                         sum(n) OVER (ORDER BY v) AS nl,
+                         sum(p) OVER (ORDER BY v) AS pl,
+                         (SELECT sum(n) FROM c) AS nt,
+                         (SELECT sum(p) FROM c) AS pt
+                  FROM c),
+            g AS (
+                SELECT v, nl, nt - nl AS nr,
+                       (nl - (pl * pl + (nl - pl) * (nl - pl))
+                             / CAST(nl AS DOUBLE)
+                        + (nt - nl)
+                        - ((pt - pl) * (pt - pl)
+                           + ((nt - nl) - (pt - pl))
+                             * ((nt - nl) - (pt - pl)))
+                          / CAST(nt - nl AS DOUBLE)) / nt AS gini
+                FROM w WHERE nl < nt)
+            SELECT v AS threshold, nl::BIGINT AS n_left,
+                   nr::BIGINT AS n_right, round(gini, 6) AS gini
+            FROM g ORDER BY gini, v LIMIT 1
+        """,
         "q214_weekly_detrended": """
             WITH d AS (
                 SELECT date_trunc('day', o_orderdate) AS day,
@@ -3061,6 +3210,29 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
             ORDER BY doc_id
+        """,
+        "q221_knn_classify": """
+            WITH pool AS MATERIALIZED (
+                SELECT vec_id, embedding, label FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL
+                  AND vec_id >= 50),
+            q AS MATERIALIZED (
+                SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                WHERE embedding IS NOT NULL AND vec_id IS NOT NULL
+                  AND vec_id < 50),
+            s AS (SELECT q.qid, p.label,
+                         row_number() OVER (PARTITION BY q.qid
+                             ORDER BY list_cosine_similarity(
+                                 p.embedding, q.qe) DESC, p.vec_id)
+                             AS rn
+                  FROM pool p, q),
+            v AS (SELECT qid, label, count(*) AS c FROM s
+                  WHERE rn <= 3 GROUP BY 1, 2)
+            SELECT qid AS vec_id, label AS pred_label FROM (
+                SELECT qid, label,
+                       row_number() OVER (PARTITION BY qid
+                                          ORDER BY c DESC, label) AS r
+                FROM v) WHERE r = 1 ORDER BY 1
         """,
         "q24_knn_bruteforce": """
             -- NULL vectors drop on both sides; the filter lives in a

@@ -350,6 +350,24 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "p_retailprice": [-1.0, -1.0, -1.0, -2.0, -2.0],
     })
 
+    # SNM / ER-chain classes (q208/q220): four docs whose 32-char
+    # prefixes form a one-edit CHAIN (a~b~c~d adjacent in sorted order
+    # but a!~d directly) — min-label propagation needs >1 round to
+    # collapse them into one cluster; plus a NUL-embedded prefix that
+    # must sort/compare by BYTES, and an exact-prefix duplicate pair
+    tabs["documents"] = _rows(tabs["documents"], {
+        "doc_id": list(range(900011, 900017)),
+        "text": ["snm chain aaaaaaaaaaaaaaaaaaa 0 tail one",
+                 "snm chain aaaaaaaaaaaaaaaaaaa 1 tail two",
+                 "snm chain aaaaaaaaaaaaaaaaaab 1 tail three",
+                 "snm chain aaaaaaaaaaaaaaaaabb 1 tail four",
+                 "snm chain\x00aaaaaaaaaaaaaaaaaaa 0 nul",
+                 "snm chain aaaaaaaaaaaaaaaaaaa 0 tail one dup"],
+        "lang": ["en"] * 6,
+        "source": ["fz"] * 6,
+        "n_chars": [40, 40, 42, 41, 36, 44],
+    })
+
     # documents: NULL/empty/unicode/whitespace text, NULL lang/source,
     # duplicate doc text (dedup classes), zero n_chars
     tabs["documents"] = _rows(tabs["documents"], {

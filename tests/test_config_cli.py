@@ -113,3 +113,32 @@ def test_cli_scrape_subprocess(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-800:]
     assert json.loads(r.stdout.strip().splitlines()[-1])["records"] == 8
+
+
+def test_cli_query_subprocess(tmp_path):
+    """`wsr query` runs a registry pipeline end-to-end in its own
+    process and lands the result in the suffix-picked format."""
+    out = str(tmp_path / "q01.parquet")
+    r = subprocess.run(
+        [sys.executable, "-m", "web_scrapper_ray.cli", "--num-cpus", "2",
+         "query", "q01_lineitem_agg",
+         "--sf-dir", "/root/testdata/sf0.001", "--output", out],
+        capture_output=True, text=True, timeout=300,
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    info = json.loads(r.stdout.strip().splitlines()[-1])
+    assert info["rows"] > 0 and info["output"] == out
+    import pandas as pd
+
+    assert len(pd.read_parquet(out)) == info["rows"]
+    r2 = subprocess.run(
+        [sys.executable, "-m", "web_scrapper_ray.cli", "query", "list"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r2.returncode == 0
+    assert "q01_lineitem_agg" in r2.stdout.splitlines()
+    r3 = subprocess.run(
+        [sys.executable, "-m", "web_scrapper_ray.cli", "query", "nope"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r3.returncode == 2

@@ -156,6 +156,52 @@ def cmd_schedule(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_query(args: argparse.Namespace) -> int:
+    """Run any registered analytics/dedup/similarity pipeline from the
+    ``queries()`` registry over a parquet table directory — the batch
+    query surface next to `scrape` (crawl) and `export-data` (codec).
+    `wsr query list` enumerates; results print a one-line JSON summary
+    and optionally land in csv/parquet/json picked by --output suffix."""
+    import importlib
+    import os
+
+    try:
+        entry = importlib.import_module("__ray_entry__")
+    except ModuleNotFoundError:
+        # installed-package layout: the registry module lives at the
+        # repo root next to the package
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        entry = importlib.import_module("__ray_entry__")
+    qs = entry.queries()
+    if args.name == "list":
+        for name in qs:
+            print(name)
+        return 0
+    if args.name not in qs:
+        print(f"unknown query {args.name!r} (see `wsr query list`)",
+              file=sys.stderr)
+        return 2
+    _ensure_ray(args.num_cpus)
+    res = qs[args.name](args.sf_dir)
+    import pandas as pd
+
+    if not isinstance(res, pd.DataFrame):
+        res = res.to_pandas()
+    out = {"query": args.name, "rows": int(len(res)),
+           "columns": list(map(str, res.columns))}
+    if args.output:
+        if args.output.endswith(".parquet"):
+            res.to_parquet(args.output, index=False)
+        elif args.output.endswith(".json"):
+            res.to_json(args.output, orient="records")
+        else:
+            res.to_csv(args.output, index=False)
+        out["output"] = args.output
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="wsr", description="Ray-Data crawl engine CLI")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -178,6 +224,16 @@ def main(argv: list[str] | None = None) -> int:
                     help="write one reference-compatible json/csv file "
                          "instead of a streaming part directory")
     pe.set_defaults(fn=cmd_export_data)
+
+    pq = sub.add_parser("query",
+                        help="run a registered pipeline over parquet "
+                             "tables (or `list` to enumerate)")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    dest="sf_dir")
+    pq.add_argument("--output", default=None,
+                    help="write result (.csv/.parquet/.json by suffix)")
+    pq.set_defaults(fn=cmd_query)
 
     pj = sub.add_parser("schedule", help="manage scheduled jobs (cron/interval)")
     pj.add_argument("action", choices=["add", "list", "remove", "run-due",

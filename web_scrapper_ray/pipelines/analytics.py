@@ -6335,9 +6335,15 @@ def q_source_cosine_matrix(sf_dir: str) -> pd.DataFrame:
             object)
         word_code = g["word"].to_numpy(np.int64)
         cc = g["c"].to_numpy(np.float64)
-        # per-source norm partials over this vocab slice
-        nrm = (pd.DataFrame({"src": src_str, "nn": cc * cc})
-               .groupby("src", as_index=False, dropna=False)["nn"].sum())
+        # per-source norm partials over this vocab slice — NUL-safe
+        # code-keyed groupby (plain pandas object groupby merges 'fz'
+        # with 'fz\x00x' through its C-string hash, CLAUDE.md rule)
+        from .pairs import factorize_strings
+        scodes, suniq = factorize_strings(pd.Series(src_str))
+        nnsum = np.bincount(scodes, weights=cc * cc,
+                            minlength=len(suniq))
+        nrm = pd.DataFrame({"src": pd.Series(list(suniq), dtype=object),
+                            "nn": nnsum})
         # per-word cross products: sources per word are few; orient
         # every pair by the SQL a.source < b.source byte order
         order = np.lexsort((hexkey, word_code))
@@ -8685,3 +8691,528 @@ def q_recency_scores(sf_dir: str, halflife_days: float = 7.0
         res["user_id"] = res["user_id"].astype("int64")
     return (res.iloc[np.argsort(
         np.where(np.isfinite(uu), uu, np.inf))].reset_index(drop=True))
+
+
+def q_systematic_sample(sf_dir: str, k: int = 50) -> pd.DataFrame:
+    """Systematic (every k-th) sample by global (value, event_id)
+    rank — the deterministic grid sample next to q70's hash sample and
+    q106's weighted one. ONE Dataset.sort is the only all-to-all;
+    global indices then come from per-block row counts (driver folds P
+    integers, q60's offset idea) and each block emits its own
+    rank-hit rows — ranks never materialize. NULL event_ids ride the
+    int64-max sentinel (NULLS-LAST order, q116 rule); non-finite
+    values are excluded on both sides."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = pa.table({"idf": pa.array([], pa.int64()),
+                      "idnull": pa.array([], pa.bool_()),
+                      "value": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return E
+        t2 = t.filter(pc.fill_null(pc.is_finite(t.column("value")),
+                                   False))
+        if t2.num_rows == 0:
+            return E
+        eid = t2.column("event_id")
+        return pa.table({
+            "idf": pc.fill_null(pc.cast(eid, pa.int64()), _IMAX),
+            "idnull": pc.is_null(eid),
+            "value": pc.cast(t2.column("value"), pa.float64())})
+
+    srt = (ds.map_batches(prep, batch_format="pyarrow")
+           .sort(["value", "idf"]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    @ray.remote
+    def pick(t: pa.Table, off: int, k: int) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"idf": pd.Series(dtype="int64"),
+                                 "idnull": pd.Series(dtype="bool"),
+                                 "value": pd.Series(dtype="float64")})
+        # global 0-based index ≡ 0 (mod k)
+        first = (-off) % k
+        idx = np.arange(first, t.num_rows, k, dtype=np.int64)
+        return t.take(pa.array(idx)).to_pandas()
+
+    parts = ray.get([pick.remote(r, int(o), k)
+                     for r, o in zip(refs, offs)])
+    live = [p for p in parts if len(p)]
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "value": pd.Series(dtype="float64")})
+    if not live:
+        return empty
+    out = pd.concat(live, ignore_index=True)
+    eid = out["idf"].to_numpy(np.int64)
+    res = pd.DataFrame({"event_id": eid,
+                        "value": out["value"].to_numpy(np.float64)})
+    if out["idnull"].any():
+        e = eid.astype(np.float64)
+        e[out["idnull"].to_numpy(bool)] = np.nan
+        res["event_id"] = e
+    return (res.iloc[np.lexsort((out["idf"].to_numpy(np.int64),
+                                 res["value"].to_numpy(np.float64)))]
+            .reset_index(drop=True))
+
+
+def q_sequence_pattern(sf_dir: str,
+                       pattern: str = "^s.*p$") -> pd.DataFrame:
+    """Sequence-pattern mining: each user's time-ordered event-type
+    initials concatenated into a journey string, matched against an
+    anchored regex (did the journey start with signup and end with
+    purchase?) — the DFA-over-sequence op q74's fixed funnel can't
+    express. One user exchange; within each bucket the journey order
+    is built by CHAINED STABLE single-key sorts (type-bytes, then
+    event_id, then ts, then user — pandas multi-key object sorts hash
+    NUL-terminated, CLAUDE.md rule), and rows with NULL type drop
+    exactly like string_agg skips NULL elements. The regex runs
+    compiled over the per-user strings (RE2-compatible pattern — no
+    backreferences)."""
+    import re
+
+    P = 16
+    rx = re.compile(pattern)
+
+    _E = pa.table({"user": pa.array([], pa.float64()),
+                   "unull": pa.array([], pa.bool_()),
+                   "tsf": pa.array([], pa.int64()),
+                   "idf": pa.array([], pa.int64()),
+                   "typ": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("event_type")))
+        if t2.num_rows == 0:
+            return _E
+        uid = np.asarray(t2.column("user_id").to_numpy(
+            zero_copy_only=False), np.float64)
+        unull = np.isnan(uid)
+        return pa.table({
+            "user": pa.array(uid),
+            "unull": pa.array(unull),
+            "tsf": pc.fill_null(pc.cast(t2.column("ts"), pa.int64()),
+                                _IMAX),
+            "idf": pc.fill_null(pc.cast(t2.column("event_id"),
+                                        pa.int64()), _IMAX),
+            "typ": t2.column("event_type"),
+            "bucket": pa.array(np.where(
+                unull, 0, np.abs(np.nan_to_num(uid)).astype(np.int64)
+                % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"user": pd.Series(dtype="float64"),
+                "unull": pd.Series(dtype="bool"),
+                "seq": pd.Series(dtype="object"),
+                "matched": pd.Series(dtype="bool")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        # chained stable sorts, least-significant first: final order =
+        # (user, ts, id, type-bytes); the type key is hex-encoded so
+        # byte order survives pandas' object comparisons
+        df["tkey"] = df["typ"].map(
+            lambda s: s.encode("utf-8", "surrogatepass").hex())
+        df["ukey"] = np.where(df["unull"].to_numpy(bool), -np.inf,
+                              df["user"].to_numpy(np.float64))
+        df = df.sort_values("tkey", kind="stable")
+        df = df.sort_values("idf", kind="stable")
+        df = df.sort_values("tsf", kind="stable")
+        df = df.sort_values("ukey", kind="stable")
+        chars = df["typ"].str.slice(0, 1)
+        g = (pd.DataFrame({"ukey": df["ukey"].to_numpy(),
+                           "unull": df["unull"].to_numpy(bool),
+                           "ch": chars.to_numpy(dtype=object)})
+             .groupby("ukey", sort=True))
+        rows = []
+        for ukey, grp in g:
+            seq = "".join(grp["ch"].tolist())
+            rows.append((ukey, bool(grp["unull"].iloc[0]), seq,
+                         bool(rx.search(seq))))
+        out = pd.DataFrame(rows, columns=["user", "unull", "seq",
+                                          "matched"])
+        return out
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type"])
+        .to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "seq": pd.Series(dtype="object"),
+                          "matched": pd.Series(dtype="bool")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    user = out["user"].to_numpy(np.float64).copy()
+    user[out["unull"].to_numpy(bool)] = np.nan
+    res = pd.DataFrame({"user_id": user, "seq": out["seq"],
+                        "matched": out["matched"].astype(bool)})
+    if not out["unull"].any():
+        res["user_id"] = res["user_id"].astype("int64")
+    return (res.iloc[np.argsort(np.where(
+        out["unull"].to_numpy(bool), np.inf,
+        out["user"].to_numpy(np.float64)))].reset_index(drop=True))
+
+
+def q_rrf_fusion(sf_dir: str, kc: int = 60,
+                 topk: int = 20) -> pd.DataFrame:
+    """Reciprocal-rank fusion of two event rankings — the IR result-
+    merging op: r1 = rank by value DESC, r2 = rank by recency (ts
+    DESC), score = 1/(kc+r1) + 1/(kc+r2), top-k by (score DESC,
+    event_id). Two Dataset.sorts assign global ranks via q216's
+    block-offset trick (ranks never gather); ONE event-keyed exchange
+    joins the rank pairs and each bucket returns its local top-k —
+    the driver folds P·k rows. Every score is the same exact-int
+    1/(kc+r) float64 expression on both sides, so the ORDER BY is
+    bit-deterministic. Contract: finite value, non-NULL ts/event_id
+    (rank determinism needs the full tie-break chain)."""
+    import ray
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = pa.table({"event_id": pa.array([], pa.int64()),
+                      "negv": pa.array([], pa.float64()),
+                      "negts": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("event_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        v = np.asarray(t2.column("value").to_numpy(
+            zero_copy_only=False), np.float64)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(t2.column("event_id"), pa.int64()),
+            "negv": pa.array(-v),
+            "negts": pa.array(-np.asarray(us, np.int64))})
+
+    base = ds.map_batches(prep, batch_format="pyarrow").materialize()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    @ray.remote
+    def rank_rows(t: pa.Table, off: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64())})
+        return pa.table({
+            "event_id": t.column("event_id"),
+            "r": pa.array(off + 1 + np.arange(t.num_rows,
+                                              dtype=np.int64))})
+
+    def ranks(sort_col: str):
+        srt = base.sort([sort_col, "event_id"]).materialize()
+        refs = srt.to_arrow_refs()
+        counts = ray.get([nrows.remote(r) for r in refs])
+        offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        return [rank_rows.remote(r, int(o))
+                for r, o in zip(refs, offs)]
+
+    r1_refs = ranks("negv")
+    r2_refs = ranks("negts")
+
+    from .pairs import mix64
+    P = 16
+
+    def split(t: pa.Table, dim: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "r": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int8()),
+                             "bucket": pa.array([], pa.int64())})
+        eid = t.column("event_id").to_numpy(zero_copy_only=False)
+        return pa.table({
+            "event_id": t.column("event_id"), "r": t.column("r"),
+            "dim": pa.array(np.full(t.num_rows, dim, np.int8)),
+            "bucket": pa.array((mix64(np.asarray(eid, np.int64)
+                                      .view(np.uint64))
+                                & np.uint64(P - 1)).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"event_id": pd.Series(dtype="int64"),
+                "r1": pd.Series(dtype="int64"),
+                "r2": pd.Series(dtype="int64"),
+                "rrf": pd.Series(dtype="float64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        w = df.pivot_table(index="event_id", columns="dim",
+                           values="r", aggfunc="first")
+        r1 = w[0].to_numpy(np.int64)
+        r2 = w[1].to_numpy(np.int64)
+        rrf = 1.0 / (kc + r1) + 1.0 / (kc + r2)
+        eid = w.index.to_numpy(np.int64)
+        order = np.lexsort((eid, -rrf))[:topk]
+        return pd.DataFrame({"event_id": eid[order],
+                             "r1": r1[order], "r2": r2[order],
+                             "rrf": rrf[order]})
+
+    from .pairs import hash_shuffle as hs
+    inputs = [(r, (0,)) for r in r1_refs]
+    inputs += [(r, (1,)) for r in r2_refs]
+    parts = [p for p in hs(inputs, split, merge, P=P) if len(p)]
+    empty = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
+                          "r1": pd.Series(dtype="int64"),
+                          "r2": pd.Series(dtype="int64"),
+                          "rrf": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    allc = pd.concat(parts, ignore_index=True)
+    rrf = allc["rrf"].to_numpy(np.float64)
+    order = np.lexsort((allc["event_id"].to_numpy(np.int64),
+                        -rrf))[:topk]
+    out = allc.iloc[order].reset_index(drop=True)
+    out["rrf"] = round_away(out["rrf"].to_numpy(np.float64), 9)
+    out["r1"] = out["r1"].astype("int64")
+    out["r2"] = out["r2"].astype("int64")
+    return out
+
+
+def q_time_in_state(sf_dir: str) -> pd.DataFrame:
+    """Time-in-state accounting: each event opens a "state" named by
+    its type that lasts until the user's NEXT event (lead(ts) −
+    ts) — the session-replay summary op. Per-type totals and mean
+    dwell in seconds. One user exchange, q202's sentinel window order
+    (ts, event_id, event_type-bytes for full determinism), one masked
+    diff, then per-type sums keyed through ``factorize_strings``
+    (NUL-safe). Each user's LAST event has no successor — lead is
+    NULL and the row drops from avg/sum like SQL. Durations are exact
+    integer µs summed in int64; only the /1e6 and the mean divide are
+    float."""
+    from .pairs import factorize_strings
+
+    P = 16
+
+    _E = pa.table({"user": pa.array([], pa.float64()),
+                   "unull": pa.array([], pa.bool_()),
+                   "tsf": pa.array([], pa.int64()),
+                   "idf": pa.array([], pa.int64()),
+                   "typ": pa.array([], pa.string()),
+                   "tnull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        uid = np.asarray(t2.column("user_id").to_numpy(
+            zero_copy_only=False), np.float64)
+        unull = np.isnan(uid)
+        typ = t2.column("event_type")
+        return pa.table({
+            "user": pa.array(uid),
+            "unull": pa.array(unull),
+            "tsf": pc.cast(t2.column("ts"), pa.int64()),
+            "idf": pc.fill_null(pc.cast(t2.column("event_id"),
+                                        pa.int64()), _IMAX),
+            "typ": pc.fill_null(typ, ""),
+            "tnull": pc.is_null(typ),
+            "bucket": pa.array(np.where(
+                unull, 0, np.abs(np.nan_to_num(uid)).astype(np.int64)
+                % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"typ": pd.Series(dtype="object"),
+                "tnull": pd.Series(dtype="bool"),
+                "n": pd.Series(dtype="int64"),
+                "dur_us": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        df["tkey"] = df["typ"].map(
+            lambda s: s.encode("utf-8", "surrogatepass").hex())
+        df["ukey"] = np.where(df["unull"].to_numpy(bool), -np.inf,
+                              df["user"].to_numpy(np.float64))
+        df = df.sort_values("tkey", kind="stable")
+        df = df.sort_values("idf", kind="stable")
+        df = df.sort_values("tsf", kind="stable")
+        df = df.sort_values("ukey", kind="stable")
+        u_s = df["ukey"].to_numpy(np.float64)
+        ts_s = df["tsf"].to_numpy(np.int64)
+        samegrp = np.zeros(u_s.size, bool)
+        samegrp[:-1] = u_s[1:] == u_s[:-1]
+        dur = np.zeros(u_s.size, np.int64)
+        dur[:-1] = ts_s[1:] - ts_s[:-1]
+        keep = samegrp  # last event per user has no successor
+        if not keep.any():
+            return pd.DataFrame(cols)
+        typ = df["typ"].to_numpy(dtype=object)[keep]
+        tnull = df["tnull"].to_numpy(bool)[keep]
+        key = pd.Series(np.where(tnull, None, typ), dtype=object)
+        codes, uniq = factorize_strings(key, use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq))
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, dur[keep])
+        return pd.DataFrame({
+            "typ": pd.Series([u if u is not None else "" for u in uniq],
+                             dtype=object),
+            "tnull": [u is None for u in uniq],
+            "n": n.astype(np.int64), "dur_us": s})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_id", "event_type"])
+        .to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "total_s": pd.Series(dtype="float64"),
+                          "avg_s": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    from .pairs import factorize_strings as fs
+    out = pd.concat(parts, ignore_index=True)
+    key = out["typ"].where(~out["tnull"].to_numpy(bool), None)
+    codes, uniq = fs(key, use_na_sentinel=False)
+    # factorize hands NULL uniques back as float NaN (CLAUDE.md rule)
+    uniq = [None if u is None or (isinstance(u, float)
+                                  and np.isnan(u)) else u
+            for u in uniq]
+    n = np.bincount(codes, weights=out["n"].to_numpy(np.float64))
+    s = np.zeros(len(uniq), np.int64)
+    np.add.at(s, codes, out["dur_us"].to_numpy(np.int64))
+    res = pd.DataFrame({
+        "event_type": pd.Series(list(uniq), dtype=object),
+        "n": n.astype(np.int64),
+        "total_s": round_away(s / 1e6, 6),
+        "avg_s": round_away(s / 1e6 / n, 6)})
+    hexkey = res["event_type"].map(
+        lambda x: "zz" if x is None
+        else str(x).encode("utf-8", "surrogatepass").hex())
+    return (res.iloc[np.argsort(hexkey.to_numpy())]
+            .reset_index(drop=True))
+
+
+def q_type_burstiness(sf_dir: str) -> pd.DataFrame:
+    """Per-type burstiness (Fano factor): variance/mean of the
+    per-hour event counts over the hours each type is ACTIVE — the
+    dispersion screen separating steady feeds from bursty ones.
+    Two-level aggregate with a bounded intermediate: per-block
+    (type, hour, count) partials fold through one exchange keyed on
+    the type; the hour axis uses the floor-divided epoch hour
+    (CLAUDE.md pre-1970 rule). Counts are exact ints; var_samp uses
+    the exact-centered two-pass on the folded (small) hour vector.
+    Types with one active hour yield SQL NULL var -> NaN fano."""
+    from .pairs import factorize_strings
+
+    P = 8
+
+    _E = pa.table({"typ": pa.array([], pa.string()),
+                   "tnull": pa.array([], pa.bool_()),
+                   "hour": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = np.floor_divide(us, 3_600_000_000)
+        typ = t2.column("event_type").to_pandas()
+        codes, uniq = factorize_strings(typ, use_na_sentinel=False)
+        order = np.lexsort((hour, codes))
+        c_s, h_s = codes[order], hour[order]
+        newg = np.empty(c_s.size, bool)
+        newg[0] = True
+        newg[1:] = (c_s[1:] != c_s[:-1]) | (h_s[1:] != h_s[:-1])
+        idx = np.nonzero(newg)[0]
+        cnt = np.diff(np.append(idx, c_s.size)).astype(np.int64)
+        names = [None if u is None or (isinstance(u, float)
+                                       and np.isnan(u)) else str(u)
+                 for u in uniq]
+        gname = [names[c] for c in c_s[idx]]
+        return pa.table({
+            "typ": pa.array([x if x is not None else "" for x in gname],
+                            pa.string()),
+            "tnull": pa.array([x is None for x in gname]),
+            "hour": pa.array(h_s[idx]),
+            "n": pa.array(cnt),
+            "bucket": pa.array(np.abs(h_s[idx]) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"typ": pd.Series(dtype="object"),
+                                 "tnull": pd.Series(dtype="bool"),
+                                 "hour": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        key = df["typ"].where(~df["tnull"].to_numpy(bool), None)
+        from .pairs import factorize_strings as fs
+        codes, uniq = fs(key, use_na_sentinel=False)
+        uniq = [None if u is None or (isinstance(u, float)
+                                      and np.isnan(u)) else u
+                for u in uniq]
+        df = df.assign(gc=codes)
+        g = df.groupby(["gc", "hour"], as_index=False).agg(
+            n=("n", "sum"))
+        g["typ"] = pd.Series([uniq[i] if uniq[i] is not None else ""
+                              for i in g["gc"]], dtype=object)
+        g["tnull"] = [uniq[i] is None for i in g["gc"]]
+        return g[["typ", "tnull", "hour", "n"]]
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["ts", "event_type"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_hours": pd.Series(dtype="int64"),
+                          "fano": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    from .pairs import factorize_strings as fs
+    df = pd.concat(parts, ignore_index=True)
+    key = df["typ"].where(~df["tnull"].to_numpy(bool), None)
+    codes, uniq = fs(key, use_na_sentinel=False)
+    uniq = [None if u is None or (isinstance(u, float)
+                                  and np.isnan(u)) else u
+            for u in uniq]
+    rows = []
+    cnts = df["n"].to_numpy(np.float64)
+    for gi in range(len(uniq)):
+        c = cnts[codes == gi]
+        m = c.mean()
+        fano = np.nan
+        if c.size > 1:
+            d = c - m
+            fano = float((d * d).sum() / (c.size - 1)) / m
+        rows.append((uniq[gi], int(c.size), fano))
+    res = pd.DataFrame(rows, columns=["event_type", "n_hours", "fano"])
+    res["n_hours"] = res["n_hours"].astype("int64")
+    res["fano"] = round_away(res["fano"].to_numpy(np.float64), 6)
+    hexkey = res["event_type"].map(
+        lambda x: "zz" if x is None
+        else str(x).encode("utf-8", "surrogatepass").hex())
+    return (res.iloc[np.argsort(hexkey.to_numpy())]
+            .reset_index(drop=True))

@@ -765,3 +765,147 @@ def q_sorted_neighborhood(sf_dir: str, w: int = 4, prefix: int = 32,
         return empty
     return (pd.concat(parts, ignore_index=True)
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def q_er_clusters(sf_dir: str, rounds: int = 8) -> pd.DataFrame:
+    """Entity-resolution clustering over the sorted-neighborhood pair
+    graph: every document touched by a q208 pair gets the MIN doc_id
+    of its cluster after ``rounds`` synchronous min-label-propagation
+    rounds — the link-then-cluster half of record linkage (q126's CC
+    machinery applied to fuzzy-match edges). CONTRACT: exactly
+    ``rounds`` rounds on both sides (oracle unrolls them; the engine
+    early-exits only at the fixpoint); SNM clusters are tiny, so the
+    bound is slack in practice. The pair list is output-bounded by
+    construction, so the propagation runs vectorized on the fold —
+    at cluster scale the same rounds run as q126's bucketed scatter."""
+    pairs = q_sorted_neighborhood(sf_dir)
+    empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                          "cluster_id": pd.Series(dtype="int64")})
+    if pairs.empty:
+        return empty
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    lbl = nodes.copy()
+    for _ in range(rounds):
+        new = lbl.copy()
+        m = np.minimum(lbl[ia], lbl[ib])
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        if (new == lbl).all():
+            break  # fixpoint
+        lbl = new
+    return pd.DataFrame({"doc_id": nodes, "cluster_id": lbl})
+
+
+def q_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
+    """Curation dashboard metric: per SOURCE, how many docs share
+    their exact text (md5) with at least one other doc anywhere in
+    the corpus, and the resulting dup rate. One hash-keyed exchange:
+    split emits (md5, source-code-as-string, count) combiner rows,
+    each bucket resolves its hashes' GLOBAL dup flag (a hash lives in
+    exactly one bucket) and returns per-source (n, n_dup) partials;
+    the driver folds a source-domain-sized frame through
+    ``factorize_strings`` (NUL-safe — fuzz plants 'fz'/'fz\\x00x'
+    sources). NULL text hashes like SQL md5(NULL) = NULL — its own
+    key, and NULL source IS a group."""
+    P = 32
+
+    _E = pa.table({"h": pa.array([], pa.string()),
+                   "src": pa.array([], pa.string()),
+                   "snull": pa.array([], pa.bool_()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        texts = t.column("text").to_pylist()
+        srcs = t.column("source").to_pylist()
+        hs = ["\x00NULL" if x is None
+              else hashlib.md5(x.encode()).hexdigest() for x in texts]
+        key = pd.DataFrame({
+            "h": pd.Series(hs, dtype=object),
+            "src": pd.Series([s if s is not None else "" for s in srcs],
+                             dtype=object),
+            "snull": [s is None for s in srcs]})
+        codes, uniq = factorize_strings(
+            key["src"].where(~key["snull"].to_numpy(bool), None),
+            use_na_sentinel=False)
+        key = key.assign(sc=codes)
+        g = key.groupby(["h", "sc"], as_index=False).agg(
+            n=("snull", "size"), snull=("snull", "first"))
+        uniq = [None if u is None or (isinstance(u, float)
+                                      and np.isnan(u)) else u
+                for u in uniq]
+        srcv = [uniq[i] if uniq[i] is not None else "" for i in g["sc"]]
+        hb = np.frombuffer(
+            b"".join(h[:8].encode("utf-8", "surrogatepass").ljust(8)
+                     [:8] for h in g["h"]), np.uint64)
+        return pa.table({
+            "h": pa.array(g["h"].tolist(), pa.string()),
+            "src": pa.array(srcv, pa.string()),
+            "snull": pa.array([uniq[i] is None for i in g["sc"]]),
+            "n": pa.array(g["n"].to_numpy(np.int64)),
+            "bucket": pa.array((mix64(hb) % np.uint64(P))
+                               .astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"src": pd.Series(dtype="object"),
+                "snull": pd.Series(dtype="bool"),
+                "n": pd.Series(dtype="int64"),
+                "n_dup": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        hcodes, _hu = factorize_strings(df["h"])
+        tot = np.bincount(hcodes, weights=df["n"].to_numpy(np.float64))
+        isdup = tot[hcodes] > 1
+        key = df["src"].where(~df["snull"].to_numpy(bool), None)
+        scodes, suniq = factorize_strings(key, use_na_sentinel=False)
+        suniq = [None if u is None or (isinstance(u, float)
+                                       and np.isnan(u)) else u
+                 for u in suniq]
+        nn = df["n"].to_numpy(np.int64)
+        n = np.bincount(scodes, weights=nn, minlength=len(suniq))
+        nd = np.bincount(scodes, weights=nn * isdup,
+                         minlength=len(suniq))
+        return pd.DataFrame({
+            "src": pd.Series([u if u is not None else "" for u in suniq],
+                             dtype=object),
+            "snull": [u is None for u in suniq],
+            "n": n.astype(np.int64), "n_dup": nd.astype(np.int64)})
+
+    tagged = [(r, ()) for r in _docs(
+        sf_dir, ["source", "text"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "n_docs": pd.Series(dtype="int64"),
+                          "n_dup": pd.Series(dtype="int64"),
+                          "dup_rate": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    out = pd.concat(parts, ignore_index=True)
+    key = out["src"].where(~out["snull"].to_numpy(bool), None)
+    codes, uniq = factorize_strings(key, use_na_sentinel=False)
+    uniq = [None if u is None or (isinstance(u, float)
+                                  and np.isnan(u)) else u
+            for u in uniq]
+    n = np.bincount(codes, weights=out["n"].to_numpy(np.float64),
+                    minlength=len(uniq)).astype(np.int64)
+    nd = np.bincount(codes, weights=out["n_dup"].to_numpy(np.float64),
+                     minlength=len(uniq)).astype(np.int64)
+    from .pairs import round_away
+    res = pd.DataFrame({
+        "source": pd.Series(list(uniq), dtype=object),
+        "n_docs": n, "n_dup": nd,
+        "dup_rate": round_away(nd / n, 6)})
+    hexkey = res["source"].map(
+        lambda x: "zz" if x is None
+        else str(x).encode("utf-8", "surrogatepass").hex())
+    return (res.iloc[np.argsort(hexkey.to_numpy())]
+            .reset_index(drop=True))

@@ -410,3 +410,66 @@ def q_kruskal_wallis(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"k": pd.array([k], "int64"),
                          "n": pd.array([int(N)], "int64"),
                          "h": round_away(np.array([h]), 6)})
+
+
+def q_best_split(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
+    """Depth-1 decision-tree split finder: the threshold on
+    ``events.value`` minimizing weighted Gini impurity for predicting
+    event_type == target — the ML-preprocessing primitive behind
+    feature binning and tree induction. Same counts-per-distinct
+    exchange as q195 (per-value [target, other] counts); every
+    candidate split is then a prefix-sum row, and the arg-min runs on
+    a Gini expression built from EXACT integer counts with the same
+    operation order as the oracle (int squares → one double division
+    per side), so the (gini, threshold) ordering is bit-deterministic.
+    Rows with NULL type count as non-target (CASE ELSE 0); non-finite
+    values are excluded on both sides; a constant value column yields
+    zero rows (no valid split)."""
+    P = 8
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E2
+        keep = pc.fill_null(pc.is_finite(t.column("value")), False)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E2
+        v = _norm_zero(t2.column("value").to_numpy(
+            zero_copy_only=False))
+        g1 = pc.fill_null(pc.equal(t2.column("event_type"), target),
+                          False).to_numpy(zero_copy_only=False)
+        return _count_split(v, np.asarray(g1, bool), P)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    c = _fold_counts(hash_shuffle(tagged, split, _count_merge, P=P))
+    empty = pd.DataFrame({"threshold": pd.Series(dtype="float64"),
+                          "n_left": pd.Series(dtype="int64"),
+                          "n_right": pd.Series(dtype="int64"),
+                          "gini": pd.Series(dtype="float64")})
+    if len(c) < 2:
+        return empty
+    v = c["v"].to_numpy(np.float64)
+    n = (c["c1"] + c["c2"]).to_numpy(np.int64)
+    p = c["c1"].to_numpy(np.int64)
+    nl = np.cumsum(n)[:-1]          # split AFTER each distinct value
+    pl = np.cumsum(p)[:-1]
+    nt = int(n.sum())
+    pt = int(p.sum())
+    nr = nt - nl
+    pr = pt - pl
+    ql = nl - pl
+    qr = nr - pr
+    # same op order as the oracle: exact-int squares/sums, ONE double
+    # division per side, weighted by 1/nt
+    gini = (nl - (pl * pl + ql * ql).astype(np.float64)
+            / nl.astype(np.float64)
+            + nr - (pr * pr + qr * qr).astype(np.float64)
+            / nr.astype(np.float64)) / nt
+    best = np.lexsort((v[:-1], gini))[0]
+    return pd.DataFrame({
+        "threshold": np.array([v[best]]),
+        "n_left": pd.array([int(nl[best])], "int64"),
+        "n_right": pd.array([int(nr[best])], "int64"),
+        "gini": round_away(np.array([gini[best]]), 6)})

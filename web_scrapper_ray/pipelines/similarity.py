@@ -1155,3 +1155,84 @@ def q_reverse_top1_counts(sf_dir: str) -> pd.DataFrame:
     out["vec_id"] = out["vec_id"].astype(np.int64)
     out["rnn_count"] = out["rnn_count"].astype(np.int64)
     return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_knn_classify(sf_dir: str, split_id: int = 50,
+                   k: int = 3) -> pd.DataFrame:
+    """k-NN classification — the supervised layer over q24's search
+    primitive: every probe vector (vec_id < split_id) gets the
+    majority label of its k nearest cosine neighbors from the labeled
+    pool (vec_id >= split_id); label-count ties break on the smallest
+    label (so a 1-1-1 vote is deterministic). Same broadcast-probe
+    discipline as q24: the probe matrix rides one ``ray.put``, the
+    pool only streams through map_batches emitting k-row local top-k
+    partials per probe, the driver folds P·k·n_probe rows and votes.
+    Contract (oracle WHERE): NULL embeddings and NULL labels are out
+    of the pool; output label keeps the column's int32 dtype."""
+    import ray
+    import ray.data as rd
+
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "pred_label": pd.Series(dtype="int32")})
+    qt = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=(pc.field("vec_id") < split_id)
+        & pc.field("embedding").is_valid()
+        & pc.field("vec_id").is_valid(),
+        columns=["vec_id", "embedding"]).sort_by("vec_id")
+    qids, qmat = _batch_matrix(qt)
+    if len(qids) == 0:
+        return empty
+    qref = ray.put((qids.astype(np.int64), _unit(qmat)))
+
+    pool = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("embedding").is_valid()
+                & pads.field("label").is_valid()
+                & (pads.field("vec_id") >= split_id)))
+
+    _E = pa.table({"qid": pa.array([], pa.int64()),
+                   "sim": pa.array([], pa.float64()),
+                   "vid": pa.array([], pa.int64()),
+                   "label": pa.array([], pa.int64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "vec_id" not in batch.schema.names:
+            return _E
+        labels = batch.column("label").to_numpy(zero_copy_only=False)
+        ids, mat = _batch_matrix(batch.select(["vec_id", "embedding"]))
+        if len(ids) == 0:
+            return _E
+        qids_, qu = ray.get(qref)
+        sims = _unit(mat) @ qu.T  # (n_pool, n_probe)
+        rows_q, rows_s, rows_v, rows_l = [], [], [], []
+        for j in range(sims.shape[1]):
+            pick = _topk_idx(sims[:, j], ids, k)
+            rows_q.append(np.full(pick.size, qids_[j], np.int64))
+            rows_s.append(sims[pick, j])
+            rows_v.append(ids[pick].astype(np.int64))
+            rows_l.append(np.asarray(labels, np.int64)[pick])
+        return pa.table({"qid": pa.array(np.concatenate(rows_q)),
+                         "sim": pa.array(np.concatenate(rows_s)),
+                         "vid": pa.array(np.concatenate(rows_v)),
+                         "label": pa.array(np.concatenate(rows_l))})
+
+    parts = pool.map_batches(local_topk,
+                             batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    # global top-k per probe by (sim DESC, vid), then majority vote
+    # with (count DESC, label ASC)
+    order = np.lexsort((parts["vid"].to_numpy(np.int64),
+                        -parts["sim"].to_numpy(np.float64),
+                        parts["qid"].to_numpy(np.int64)))
+    s = parts.iloc[order]
+    top = s.groupby("qid", sort=True).head(k)
+    out_ids, out_lab = [], []
+    for qid, g in top.groupby("qid", sort=True):
+        vc = (g.groupby("label").size().reset_index(name="c")
+              .sort_values(["c", "label"], ascending=[False, True]))
+        out_ids.append(int(qid))
+        out_lab.append(int(vc["label"].iloc[0]))
+    return pd.DataFrame({"vec_id": pd.array(out_ids, "int64"),
+                         "pred_label": np.asarray(out_lab, np.int32)})
