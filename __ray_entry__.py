@@ -364,6 +364,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q224_type_burstiness": analytics.q_type_burstiness,
         "q220_er_clusters": dedup.q_er_clusters,
         "q221_knn_classify": similarity.q_knn_classify,
+        "q225_range_window_avg": analytics.q_range_window_avg,
+        "q226_daily_interp": analytics.q_daily_interp,
+        "q229_theilsen_slope": analytics.q_theilsen_slope,
+        "q232_seasonal_mase": analytics.q_mase,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2793,6 +2797,102 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(d) / 1000000.0 / count(d), 6) AS avg_s
             FROM d WHERE d IS NOT NULL
             GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q225_range_window_avg": """
+            WITH s AS (
+                SELECT o_orderkey AS k, o_custkey AS c,
+                       o_orderdate AS d,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                FROM orders
+                WHERE o_orderkey IS NOT NULL AND o_custkey IS NOT NULL
+                  AND o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice))
+            SELECT k AS o_orderkey,
+                   count(*) OVER w AS n_w,
+                   round(sum(cents) OVER w / 100.0
+                         / count(*) OVER w, 6) AS w_avg
+            FROM s
+            WINDOW w AS (PARTITION BY c ORDER BY d
+                         RANGE BETWEEN INTERVAL 30 DAY PRECEDING
+                               AND CURRENT ROW)
+            ORDER BY o_orderkey
+        """,
+        "q226_daily_interp": """
+            WITH d AS (
+                SELECT CAST(floor(epoch_us(o_orderdate)
+                                  / 86400000000.0) AS BIGINT) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            spine AS (
+                SELECT unnest(generate_series(
+                    (SELECT min(day) FROM d),
+                    (SELECT max(day) FROM d))) AS day),
+            j AS (SELECT s.day, d.revc
+                  FROM spine s LEFT JOIN d USING (day)),
+            f AS (SELECT day, revc,
+                         last_value(revc IGNORE NULLS) OVER (
+                             ORDER BY day ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND CURRENT ROW) AS pv,
+                         last_value(CASE WHEN revc IS NOT NULL
+                                         THEN day END IGNORE NULLS)
+                             OVER (ORDER BY day ROWS BETWEEN UNBOUNDED
+                                   PRECEDING AND CURRENT ROW) AS pd,
+                         first_value(revc IGNORE NULLS) OVER (
+                             ORDER BY day ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS nv,
+                         first_value(CASE WHEN revc IS NOT NULL
+                                          THEN day END IGNORE NULLS)
+                             OVER (ORDER BY day ROWS BETWEEN CURRENT
+                                   ROW AND UNBOUNDED FOLLOWING) AS nd
+                  FROM j)
+            SELECT day,
+                   round(CASE WHEN revc IS NOT NULL THEN revc / 100.0
+                              ELSE (pv + (nv - pv) * (day - pd)
+                                    / CAST(nd - pd AS DOUBLE))
+                                   / 100.0 END, 6) AS rev,
+                   (revc IS NULL) AS interpolated
+            FROM f ORDER BY day
+        """,
+        "q229_theilsen_slope": """
+            WITH d AS (
+                SELECT CAST(floor(epoch_us(o_orderdate)
+                                  / 86400000000.0) AS BIGINT) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            p AS (SELECT (b.revc - a.revc)
+                         / CAST(b.day - a.day AS DOUBLE) AS s
+                  FROM d a JOIN d b ON b.day > a.day)
+            SELECT count(*)::BIGINT AS n_pairs,
+                   round(quantile_cont(s, 0.5), 9) AS slope
+            FROM p
+        """,
+        "q232_seasonal_mase": """
+            WITH d AS (
+                SELECT CAST(floor(epoch_us(o_orderdate)
+                                  / 86400000000.0) AS BIGINT) AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            e1 AS (SELECT abs(a.revc - b.revc) AS ae
+                   FROM d a JOIN d b ON b.day = a.day - 1),
+            e7 AS (SELECT abs(a.revc - b.revc) AS ae
+                   FROM d a JOIN d b ON b.day = a.day - 7)
+            SELECT (SELECT count(*) FROM e7)::BIGINT AS n_seasonal,
+                   (SELECT count(*) FROM e1)::BIGINT AS n_naive,
+                   round((SELECT avg(ae) FROM e7)
+                         / (SELECT avg(ae) FROM e1), 6) AS mase
         """,
         "q224_type_burstiness": """
             WITH s AS (SELECT event_type,

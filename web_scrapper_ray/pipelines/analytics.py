@@ -9216,3 +9216,193 @@ def q_type_burstiness(sf_dir: str) -> pd.DataFrame:
         else str(x).encode("utf-8", "surrogatepass").hex())
     return (res.iloc[np.argsort(hexkey.to_numpy())]
             .reset_index(drop=True))
+
+
+def q_range_window_avg(sf_dir: str, days: int = 30) -> pd.DataFrame:
+    """Time-RANGE interval window (RANGE BETWEEN INTERVAL 30 DAY
+    PRECEDING AND CURRENT ROW): every order gets the count and average
+    of its CUSTOMER's order totals over the trailing calendar window —
+    the value-bounded frame q49's ROWS window can't express (frames
+    grow/shrink with order density, and ORDER BY peers share a frame).
+    One customer exchange; each bucket sorts once by (cust, date) and
+    resolves both frame edges per row with per-customer searchsorted
+    (lo = first date >= d-30d, hi = last PEER — side='right' includes
+    same-date ties exactly like RANGE CURRENT ROW). Sums are exact
+    int64 cents, so the windowed avg is the same sum/100.0/n double on
+    both sides regardless of DuckDB's segment-tree merge order.
+    Contract: non-NULL orderkey/custkey/orderdate, finite totalprice."""
+    P = 16
+    delta = np.int64(days) * 86_400_000_000
+
+    _E = pa.table({"cust": pa.array([], pa.int64()),
+                   "dus": pa.array([], pa.int64()),
+                   "okey": pa.array([], pa.int64()),
+                   "cents": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderdate" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                          pc.is_valid(t.column("o_custkey"))),
+            pc.and_kleene(pc.is_valid(t.column("o_orderdate")),
+                          pc.fill_null(pc.is_finite(
+                              t.column("o_totalprice")), False)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        cust = t2.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "cust": pa.array(cust),
+            "dus": t2.column("o_orderdate").cast(pa.int64()),
+            "okey": pc.cast(t2.column("o_orderkey"), pa.int64()),
+            "cents": pa.array(cents),
+            "bucket": pa.array(np.abs(cust) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"o_orderkey": pd.Series(dtype="int64"),
+                "n_w": pd.Series(dtype="int64"),
+                "w_avg": pd.Series(dtype="float64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        cust = df["cust"].to_numpy(np.int64)
+        dus = df["dus"].to_numpy(np.int64)
+        order = np.lexsort((dus, cust))
+        cust, dus = cust[order], dus[order]
+        okey = df["okey"].to_numpy(np.int64)[order]
+        cents = df["cents"].to_numpy(np.int64)[order]
+        pref = np.concatenate(([0], np.cumsum(cents)))
+        # per-customer segments; frame edges via slice searchsorted
+        seg = np.flatnonzero(np.concatenate(
+            ([True], cust[1:] != cust[:-1], [True])))
+        lo = np.empty(len(cust), np.int64)
+        hi = np.empty(len(cust), np.int64)
+        for s, e in zip(seg[:-1], seg[1:]):
+            d = dus[s:e]
+            lo[s:e] = s + np.searchsorted(d, d - delta, side="left")
+            hi[s:e] = s + np.searchsorted(d, d, side="right")
+        n = hi - lo
+        w_sum = pref[hi] - pref[lo]
+        return pd.DataFrame({
+            "o_orderkey": okey, "n_w": n,
+            "w_avg": round_away(w_sum / 100.0 / n, 6)})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_totalprice"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                             "n_w": pd.Series(dtype="int64"),
+                             "w_avg": pd.Series(dtype="float64")})
+    out = pd.concat(parts, ignore_index=True)
+    out["n_w"] = out["n_w"].astype("int64")
+    return out.sort_values("o_orderkey").reset_index(drop=True)
+
+
+def q_daily_interp(sf_dir: str) -> pd.DataFrame:
+    """Linear interpolation onto the dense daily spine — the
+    gap-filling twin of q145's LOCF: missing days between the first
+    and last observed day get the straight-line value between their
+    surrounding observations (sensor/timeseries repair before any
+    seasonal model). Reuses the shared counts-per-day exchange
+    (``_daily_rev_cents``, exact-int cents); the spine fill runs
+    vectorized on the O(#days) driver fold. The interpolation is the
+    SAME expression as the SQL twin — (pv + (nv-pv)*(day-pd)/(nd-pd))
+    / 100.0 with every term an exact int64 before the one double
+    division — so values are bit-identical."""
+    d = _daily_rev_cents(sf_dir)
+    empty = pd.DataFrame({"day": pd.Series(dtype="int64"),
+                          "rev": pd.Series(dtype="float64"),
+                          "interpolated": pd.Series(dtype="bool")})
+    if d.empty:
+        return empty
+    days = d["day"].to_numpy(np.int64)
+    revc = d["revc"].to_numpy(np.int64)
+    spine = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+    # index of the previous known day (>= for knowns), next known day
+    iprev = np.searchsorted(days, spine, side="right") - 1
+    inext = np.searchsorted(days, spine, side="left")
+    known = days[iprev] == spine
+    pd_, nd_ = days[iprev], days[np.minimum(inext, days.size - 1)]
+    pv, nv = revc[iprev], revc[np.minimum(inext, days.size - 1)]
+    rev = np.where(
+        known, revc[iprev] / 100.0,
+        (pv + (nv - pv) * (spine - pd_)
+         / (nd_ - pd_).astype(np.float64)) / 100.0)
+    return pd.DataFrame({"day": spine,
+                         "rev": round_away(rev, 6),
+                         "interpolated": ~known})
+
+
+def q_theilsen_slope(sf_dir: str) -> pd.DataFrame:
+    """Theil–Sen robust trend estimate over daily revenue: the MEDIAN
+    of all pairwise slopes (rev_j - rev_i)/(day_j - day_i), i<j — the
+    outlier-resistant alternative to q92's least-squares family. One
+    counts-per-day exchange; the O(#days²) pairwise slopes run
+    vectorized on the driver fold (#days, not #orders — at 100 TB the
+    day domain is still calendar-bounded). Every slope is one double
+    division of exact int64 cents/day deltas, and the median is the
+    quantile_cont(0.5) interpolation v0*(1-f)+v1*f in DuckDB's own op
+    order. Zero/one observed days → the SQL ungrouped-aggregate row
+    (n_pairs=0, slope NULL)."""
+    d = _daily_rev_cents(sf_dir)
+    one = pd.DataFrame({"n_pairs": pd.array([0], "int64"),
+                        "slope": pd.array([np.nan], "float64")})
+    if len(d) < 2:
+        return one
+    days = d["day"].to_numpy(np.int64)
+    revc = d["revc"].to_numpy(np.int64)
+    i, j = np.triu_indices(days.size, k=1)
+    s = (revc[j] - revc[i]) / (days[j] - days[i]).astype(np.float64)
+    s.sort()
+    rn = (s.size - 1) * 0.5
+    i0 = int(np.floor(rn))
+    i1 = int(np.ceil(rn))
+    med = s[i0] if i0 == i1 else s[i0] * 0.5 + s[i1] * 0.5
+    return pd.DataFrame({"n_pairs": pd.array([int(s.size)], "int64"),
+                         "slope": round_away(np.array([med]), 9)})
+
+
+def q_mase(sf_dir: str, season: int = 7) -> pd.DataFrame:
+    """Forecast-accuracy evaluation: MASE of the seasonal-naive
+    forecast (ŷ_t = y_{t-7}) against the one-step naive baseline
+    (ŷ_t = y_{t-1}) over daily revenue — the metric layer a forecast
+    pipeline runs after q214's decomposition. Lags are CALENDAR days
+    (a gap in the series drops the pair, matching the oracle's
+    day-interval self-join, q199 rule). Absolute errors are exact
+    int64 cents; the two means and their ratio are the only doubles,
+    in the oracle's own op order (sum/n each, then one divide). Empty
+    lag sets → SQL NULL mean → NaN ratio, still one output row."""
+    d = _daily_rev_cents(sf_dir)
+    one_cols = {"n_seasonal": pd.array([0], "int64"),
+                "n_naive": pd.array([0], "int64"),
+                "mase": pd.array([np.nan], "float64")}
+    if d.empty:
+        return pd.DataFrame(one_cols)
+    days = d["day"].to_numpy(np.int64)
+    revc = d["revc"].to_numpy(np.int64)
+
+    def lag_abs_errors(lag: int) -> np.ndarray:
+        j = np.searchsorted(days, days - lag)
+        ok = (days[np.minimum(j, days.size - 1)] == days - lag)
+        a = revc[ok]
+        b = revc[np.minimum(j, days.size - 1)[ok]]
+        return np.abs(a - b)
+    e7 = lag_abs_errors(season)
+    e1 = lag_abs_errors(1)
+    mase = np.nan
+    if e7.size and e1.size:
+        mase = (float(e7.sum()) / e7.size) / (float(e1.sum()) / e1.size)
+    return pd.DataFrame({"n_seasonal": pd.array([int(e7.size)], "int64"),
+                         "n_naive": pd.array([int(e1.size)], "int64"),
+                         "mase": round_away(np.array([mase]), 6)})
