@@ -366,8 +366,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q221_knn_classify": similarity.q_knn_classify,
         "q225_range_window_avg": analytics.q_range_window_avg,
         "q226_daily_interp": analytics.q_daily_interp,
+        "q227_winsorized_mean": analytics.q_winsorized_mean,
+        "q228_clustering_coefficient": graph.q_clustering_coefficient,
         "q229_theilsen_slope": analytics.q_theilsen_slope,
         "q232_seasonal_mase": analytics.q_mase,
+        "q230_dbscan": similarity.q_dbscan,
+        # approximate-index eval (recall vs exact ground truth) — no
+        # SQL twin by design; recall floor pinned by pytest
+        "q231_ann_recall_eval": similarity.q_ann_recall_eval,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -584,6 +590,52 @@ def _er_sql(rounds: int = 8) -> str:
     tail = f"""
         SELECT node AS doc_id, lbl::BIGINT AS cluster_id
         FROM l{rounds} ORDER BY 1"""
+    return head + "," + ",".join(body) + tail
+
+
+def _dbscan_sql(rounds: int = 8, thr: float = 0.35,
+                min_pts: int = 3) -> str:
+    """Unrolled bounded min-label propagation over the core-core
+    ε-graph (q230's CONTRACT: exactly ``rounds`` rounds on both
+    sides; the engine early-exits only at the fixpoint). Core self-
+    loops keep isolated cores alive through the propagation joins."""
+    head = f"""
+        WITH vv AS MATERIALIZED (
+            -- MATERIALIZED: inlined, the optimizer reorders the join
+            -- and evaluates list_cosine_similarity on NULL vectors
+            -- (q24 rule)
+            SELECT vec_id, embedding FROM embeddings
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+        e AS (
+            SELECT a.vec_id AS u, b.vec_id AS v
+            FROM vv a JOIN vv b ON a.vec_id <> b.vec_id
+             AND list_cosine_similarity(a.embedding, b.embedding)
+                 >= {thr}),
+        deg AS (SELECT u, count(*) AS n FROM e GROUP BY 1),
+        core AS (SELECT u FROM deg WHERE n >= {min_pts}),
+        ce AS (
+            SELECT e.u, e.v FROM e
+            JOIN core ca ON ca.u = e.u JOIN core cb ON cb.u = e.v
+            UNION ALL SELECT u, u FROM core),
+        l0 AS (SELECT u AS node, u AS lbl FROM core)"""
+    body = []
+    for i in range(1, rounds + 1):
+        body.append(f"""
+        l{i} AS (
+            SELECT a.node, min(least(a.lbl, b.lbl)) AS lbl
+            FROM l{i - 1} a JOIN ce ON ce.u = a.node
+            JOIN l{i - 1} b ON b.node = ce.v
+            GROUP BY a.node)""")
+    tail = f"""
+        SELECT node AS vec_id, 'core' AS role,
+               lbl::BIGINT AS cluster_id FROM l{rounds}
+        UNION ALL
+        SELECT e.u, 'border', min(l.lbl)::BIGINT
+        FROM e JOIN core c ON c.u = e.v
+        JOIN l{rounds} l ON l.node = e.v
+        WHERE e.u NOT IN (SELECT u FROM core)
+        GROUP BY e.u
+        ORDER BY 1"""
     return head + "," + ",".join(body) + tail
 
 
@@ -2771,6 +2823,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q210_supplier_sssp": _sssp_sql(),
         "q220_er_clusters": _er_sql(),
+        "q230_dbscan": _dbscan_sql(),
         "q223_dup_rate_by_source": """
             -- IS NOT DISTINCT join: md5(NULL) = NULL must meet its
             -- own group (the engine's sentinel hash does)
@@ -2857,6 +2910,54 @@ def oracle_sql() -> dict[str, str]:
                                    / 100.0 END, 6) AS rev,
                    (revc IS NULL) AS interpolated
             FROM f ORDER BY day
+        """,
+        "q227_winsorized_mean": """
+            -- contract (q124): NULL/NaN values out on both sides;
+            -- ±inf stay orderable; a NaN quantile bound (inf-inf
+            -- interpolation) fails both CASE comparisons -> no clamp
+            WITH v AS (SELECT event_type, value FROM events
+                       WHERE value IS NOT NULL AND NOT isnan(value)),
+            q AS (SELECT event_type,
+                         quantile_cont(value, 0.05) AS lo,
+                         quantile_cont(value, 0.95) AS hi
+                  FROM v GROUP BY event_type)
+            SELECT v.event_type, count(*)::BIGINT AS n,
+                   round(avg(CASE WHEN v.value < q.lo THEN q.lo
+                                  WHEN v.value > q.hi THEN q.hi
+                                  ELSE v.value END), 4) AS w_mean
+            FROM v JOIN q
+                 ON v.event_type IS NOT DISTINCT FROM q.event_type
+            GROUP BY v.event_type ORDER BY v.event_type
+        """,
+        "q228_clustering_coefficient": """
+            WITH pairs AS (
+              SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                              greatest(a.l_suppkey, b.l_suppkey) AS v
+              FROM lineitem a JOIN lineitem b
+                   ON a.l_orderkey = b.l_orderkey
+                  AND a.l_suppkey <> b.l_suppkey
+              WHERE a.l_orderkey IS NOT NULL
+                AND a.l_suppkey IS NOT NULL
+                AND b.l_suppkey IS NOT NULL),
+            tri AS (
+              SELECT e1.u AS a, e1.v AS b, e2.v AS c
+              FROM pairs e1
+              JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+              JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+            tn AS (SELECT a AS node FROM tri
+                   UNION ALL SELECT b FROM tri
+                   UNION ALL SELECT c FROM tri),
+            tc AS (SELECT node, count(*) AS t FROM tn GROUP BY 1),
+            deg AS (SELECT node, count(*) AS d FROM
+                    (SELECT u AS node FROM pairs
+                     UNION ALL SELECT v FROM pairs)
+                    GROUP BY 1)
+            SELECT deg.node AS l_suppkey, d::BIGINT AS degree,
+                   coalesce(t, 0)::BIGINT AS n_tri,
+                   round(2.0 * coalesce(t, 0) / (d * (d - 1.0)), 6)
+                       AS cc
+            FROM deg LEFT JOIN tc ON tc.node = deg.node
+            WHERE d >= 2 ORDER BY 1
         """,
         "q229_theilsen_slope": """
             WITH d AS (

@@ -2288,3 +2288,87 @@ def test_zorder_layout_prunes(ray_session, tmp_path):
     # morton interleave sanity: key order groups quadrants
     assert morton2(np.array([0], np.uint64), np.array([1], np.uint64))[0] == 1
     assert morton2(np.array([1], np.uint64), np.array([0], np.uint64))[0] == 2
+
+
+def test_dbscan_planted_blobs(ray_session, tmp_path):
+    """Plant two dense blobs, one chain of borderline points, and
+    isolated noise; DBSCAN must cluster each blob under its min
+    vec_id, mark low-degree members adjacent to cores as border, and
+    omit the noise entirely."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_dbscan
+
+    rng = np.random.default_rng(11)
+    rows = []
+    # blob A: ids 0..5 tightly around one direction
+    a = rng.normal(size=64)
+    for i in range(6):
+        rows.append((i, a + 0.05 * rng.normal(size=64)))
+    # blob B: ids 100..105 around an orthogonal-ish direction
+    b = rng.normal(size=64)
+    for i in range(6):
+        rows.append((100 + i, b + 0.05 * rng.normal(size=64)))
+    # noise: isolated gaussians
+    for i in range(30):
+        rows.append((500 + i, rng.normal(size=64)))
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    out = q_dbscan(str(tmp_path), threshold=0.9, min_pts=3)
+    got = dict(zip(out["vec_id"], out["cluster_id"]))
+    roles = dict(zip(out["vec_id"], out["role"]))
+    for i in range(6):
+        assert got[i] == 0 and roles[i] == "core"
+        assert got[100 + i] == 100 and roles[100 + i] == "core"
+    assert all(v < 500 for v in got)  # noise emits no row
+
+
+def test_dbscan_border_vs_core(ray_session, tmp_path):
+    """A point with exactly one core neighbor (degree < min_pts) is a
+    BORDER member of that core's cluster, not a core."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_dbscan
+
+    # deterministic geometry: v0 = e0; v1..v3 = 10°-rotations of e0
+    # in distinct planes (pairwise cos = cos²10° ≈ .970, to v0 =
+    # cos10° ≈ .985 — all ≥ .9); border b = .905·v1 ⊕ orthogonal rest
+    # → cos(b,v1) = .905 ≥ .9 but cos(b,v0) = .891 and cos(b,v2/3) =
+    # .878 < .9: exactly ONE core neighbor → border, never core
+    th = np.deg2rad(10.0)
+    vecs = {0: np.eye(64)[0]}
+    for i in (1, 2, 3):
+        v = np.cos(th) * np.eye(64)[0] + np.sin(th) * np.eye(64)[i]
+        vecs[i] = v
+    b = 0.905 * vecs[1] + np.sqrt(1 - 0.905 ** 2) * np.eye(64)[10]
+    vecs[50] = b
+    rows = sorted(vecs.items())
+    pq.write_table(pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1].tolist() for r in rows],
+                              pa.list_(pa.float32()))}),
+        str(tmp_path / "embeddings.parquet"))
+    out = q_dbscan(str(tmp_path), threshold=0.9, min_pts=3)
+    roles = dict(zip(out["vec_id"], out["role"]))
+    got = dict(zip(out["vec_id"], out["cluster_id"]))
+    for i in range(4):
+        assert roles[i] == "core" and got[i] == 0
+    assert roles[50] == "border" and got[50] == 0
+
+
+def test_ann_recall_eval(ray_session):
+    """Brute-force self-recall is exactly 1.0; the approximate methods
+    report a sane recall in [0, 1] with the documented floors."""
+    from web_scrapper_ray.pipelines.similarity import q_ann_recall_eval
+
+    out = q_ann_recall_eval(SF, query_ids=(0, 1, 2, 3), k=5)
+    r = dict(zip(out["method"], out["mean_recall"]))
+    assert r["bruteforce"] == 1.0
+    assert 0.15 <= r["lsh"] <= 1.0
+    assert 0.25 <= r["ivf"] <= 1.0
+    assert (out["n_probes"] == 4).all()

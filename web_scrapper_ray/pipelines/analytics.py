@@ -9406,3 +9406,49 @@ def q_mase(sf_dir: str, season: int = 7) -> pd.DataFrame:
     return pd.DataFrame({"n_seasonal": pd.array([int(e7.size)], "int64"),
                          "n_naive": pd.array([int(e1.size)], "int64"),
                          "mase": round_away(np.array([mase]), 6)})
+
+
+def q_winsorized_mean(sf_dir: str, lo_f: float = 0.05,
+                      hi_f: float = 0.95) -> pd.DataFrame:
+    """Winsorized mean of value per event_type — q124's robust-mean
+    sibling that CLAMPS the tails to the quantile_cont bounds instead
+    of dropping them (every row keeps its vote, outliers lose their
+    magnitude). Same one-shuffle grouped shape and NULL/NaN contract
+    as q124; a NaN bound (an inf−inf interpolation) disables that
+    side's clamp exactly like SQL's CASE comparison with NULL/NaN
+    going false — so an all-but-untouched group still averages its
+    raw values on both sides."""
+    from .relational import (_drop_null_nan_values, _null_safe_keys,
+                             _quantile_cont, _restore_null_keys)
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def winsor(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                              "n": pd.Series(dtype="int64"),
+                              "w_mean": pd.Series(dtype="float64")})
+        v = df["value"].to_numpy(np.float64)
+        if len(v) == 0:
+            return empty
+        vs = np.sort(v)
+        lo = _quantile_cont(vs, lo_f)
+        hi = _quantile_cont(vs, hi_f)
+        w = v.copy()
+        if not np.isnan(lo):
+            w[v < lo] = lo
+        if not np.isnan(hi):
+            w[v > hi] = hi
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "n": [np.int64(len(w))],
+            "w_mean": [round_away(np.array(w.sum() / len(w)), 4)[()]]})
+
+    out = (_null_safe_keys(ds.map_batches(_drop_null_nan_values,
+                                          batch_format="pyarrow"),
+                           ["event_type"])
+           .groupby("event_type")
+           .map_groups(winsor, batch_format="pandas").to_pandas())
+    out = _restore_null_keys(out, ["event_type"])
+    out["n"] = out["n"].astype("int64")
+    return out.sort_values("event_type",
+                           na_position="last").reset_index(drop=True)

@@ -756,3 +756,96 @@ def q_sssp_bounded(sf_dir: str, rounds: int = 4,
     from .pairs import round_away
     return pd.DataFrame({"l_suppkey": nodes[keep],
                          "dist": round_away(dist[keep], 6)})
+
+
+def q_clustering_coefficient(sf_dir: str, P: int = 32,
+                             dense_limit: int = 32768) -> pd.DataFrame:
+    """Per-node LOCAL clustering coefficient over the supplier
+    co-occurrence graph — q140's global triangle count refined to the
+    node level: cc(x) = 2·tri(x) / (deg(x)·(deg(x)−1)) for deg ≥ 2,
+    the "how clique-like is my neighborhood" scores that community
+    detection thresholds on.
+
+    Per-node triangle counts come from the closing-edge bitset scan
+    (q140's dense path): for each distinct edge (v, w), every common
+    neighbor u closes the triangle {u, v, w} — and crediting ONLY u at
+    edge (v, w) credits each node exactly once per triangle (a node is
+    the common neighbor of exactly its OPPOSITE edge). Each edge
+    bucket unpacks its adj[v] & adj[w] rows into a dense bit matrix
+    and folds one node-count-sized credit vector; the driver sums P
+    partials — O(P·nodes) traffic after the one-time edge build, the
+    same dim-bounded layout as q200/q67 (the node domain is the
+    SUPPLIER DIMENSION; a >32k-node graph needs q140's wedge plan
+    carrying the wedge center, the documented continuation)."""
+    import ray
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+    edge_refs = _coorder_edge_refs(sf_dir, P)
+    empty = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
+                          "degree": pd.Series(dtype="int64"),
+                          "n_tri": pd.Series(dtype="int64"),
+                          "cc": pd.Series(dtype="float64")})
+
+    @ray.remote
+    def bucket_nodes(t: pa.Table) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.empty(0, np.int64)
+        kk = t.column("key").to_numpy()
+        u = (kk.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (kk.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        return np.unique(np.concatenate([u, v]))
+
+    nsets = ray.get([bucket_nodes.remote(r) for r in edge_refs])
+    nodes = (np.unique(np.concatenate(nsets)) if nsets
+             else np.empty(0, np.int64))
+    n_nodes = len(nodes)
+    if n_nodes == 0:
+        return empty
+    if n_nodes > dense_limit:
+        raise NotImplementedError(
+            "clustering coefficient beyond the dim-bounded bitset "
+            "path: carry the wedge center through q140's wedge plan")
+    W = (n_nodes + 7) // 8
+    edge_tabs = ray.get(list(edge_refs))
+    keys = np.concatenate(
+        [t.column("key").to_numpy() for t in edge_tabs
+         if t.num_rows] or [np.empty(0, np.int64)])
+    eu = (keys.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+    ev = (keys.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+    iu = np.searchsorted(nodes, eu)
+    iv = np.searchsorted(nodes, ev)
+    A = np.zeros((n_nodes, W), np.uint8)
+    np.bitwise_or.at(A, (iu, iv >> 3), (1 << (iv & 7)).astype(np.uint8))
+    np.bitwise_or.at(A, (iv, iu >> 3), (1 << (iu & 7)).astype(np.uint8))
+    aref = ray.put(A)
+
+    @ray.remote
+    def credit(t: pa.Table, adj) -> np.ndarray:
+        if t.num_rows == 0:
+            return np.zeros(n_nodes, np.int64)
+        k = t.column("key").to_numpy()
+        v = np.searchsorted(nodes, (k.view(np.uint64)
+                                    >> np.uint64(_KEY_BITS))
+                            .astype(np.int64))
+        w = np.searchsorted(nodes, (k.view(np.uint64)
+                                    & (lim - np.uint64(1)))
+                            .astype(np.int64))
+        both = adj[v] & adj[w]
+        bits = np.unpackbits(both, axis=1, count=n_nodes,
+                             bitorder="little")
+        return bits.sum(axis=0, dtype=np.int64)
+
+    partials = ray.get([credit.remote(r, aref) for r in edge_refs])
+    tri = np.sum(partials, axis=0).astype(np.int64)
+    pop = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.int64)
+    deg = pop[A].sum(axis=1)
+    keep = deg >= 2
+    d = deg[keep].astype(np.float64)
+    cc = 2.0 * tri[keep] / (d * (d - 1.0))
+    from .pairs import round_away
+
+    return pd.DataFrame({"l_suppkey": nodes[keep],
+                         "degree": deg[keep],
+                         "n_tri": tri[keep],
+                         "cc": round_away(cc, 6)})

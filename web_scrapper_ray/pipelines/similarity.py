@@ -1236,3 +1236,101 @@ def q_knn_classify(sf_dir: str, split_id: int = 50,
         out_lab.append(int(vc["label"].iloc[0]))
     return pd.DataFrame({"vec_id": pd.array(out_ids, "int64"),
                          "pred_label": np.asarray(out_lab, np.int32)})
+
+
+def q_dbscan(sf_dir: str, threshold: float = 0.35, min_pts: int = 3,
+             rounds: int = 8) -> pd.DataFrame:
+    """Density-based clustering (DBSCAN) over the embedding corpus
+    with cosine similarity ≥ ``threshold`` as the ε-neighborhood — the
+    noise-aware alternative to q71's k-means for corpus curation:
+    CORE points (≥ min_pts neighbors) cluster transitively through
+    other cores, BORDER points (non-core touching a core) join their
+    smallest core neighbor's cluster, everything else is noise and
+    emits no row. cluster_id = min vec_id of the cluster's cores.
+
+    CONTRACT: exactly ``rounds`` min-label rounds over the core-core
+    graph on both sides (q220 discipline — the oracle unrolls them;
+    the engine early-exits only at the fixpoint). Scale shape: the
+    ε-graph comes from q27's blocked exact pair scan (swap in
+    q_neardup_cosine_lsh for the sub-quadratic candidate path at
+    corpus scale); degrees/labels/border votes are all vectorized
+    folds over the output-bounded pair list, never the corpus."""
+    pairs = q_neardup_cosine(sf_dir, threshold)
+    empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
+                          "role": pd.Series(dtype="object"),
+                          "cluster_id": pd.Series(dtype="int64")})
+    if pairs.empty:
+        return empty
+    a = pairs["vec_a"].to_numpy(np.int64)
+    b = pairs["vec_b"].to_numpy(np.int64)
+    nodes = np.unique(np.concatenate([a, b]))
+    ia = np.searchsorted(nodes, a)
+    ib = np.searchsorted(nodes, b)
+    deg = np.bincount(ia, minlength=nodes.size) \
+        + np.bincount(ib, minlength=nodes.size)
+    is_core = deg >= min_pts
+    # bounded synchronous min-label propagation over core-core edges
+    lbl = np.where(is_core, nodes, np.int64(np.iinfo(np.int64).max))
+    cc_m = is_core[ia] & is_core[ib]
+    ca, cb = ia[cc_m], ib[cc_m]
+    for _ in range(rounds):
+        new = lbl.copy()
+        if ca.size:
+            m = np.minimum(lbl[ca], lbl[cb])
+            np.minimum.at(new, ca, m)
+            np.minimum.at(new, cb, m)
+        if (new == lbl).all():
+            break  # fixpoint
+        lbl = new
+    rows = [pd.DataFrame({"vec_id": nodes[is_core],
+                          "role": "core",
+                          "cluster_id": lbl[is_core]})]
+    # border: non-core endpoint adjacent to a core — min core label
+    bm_a = (~is_core[ia]) & is_core[ib]   # a is border via core b
+    bm_b = (~is_core[ib]) & is_core[ia]
+    bn = np.concatenate([ia[bm_a], ib[bm_b]])
+    bl = np.concatenate([lbl[ib[bm_a]], lbl[ia[bm_b]]])
+    if bn.size:
+        blbl = np.full(nodes.size, np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(blbl, bn, bl)
+        bsel = np.unique(bn)
+        rows.append(pd.DataFrame({"vec_id": nodes[bsel],
+                                  "role": "border",
+                                  "cluster_id": blbl[bsel]}))
+    out = pd.concat(rows, ignore_index=True)
+    out["vec_id"] = out["vec_id"].astype("int64")
+    out["cluster_id"] = out["cluster_id"].astype("int64")
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
+def q_ann_recall_eval(sf_dir: str, query_ids: tuple = tuple(range(8)),
+                      k: int = 10) -> pd.DataFrame:
+    """ANN quality evaluation — the recall@k harness every approximate
+    index needs before it replaces the exact path in production: run
+    the same probe set through brute-force (q24, the ground truth),
+    LSH (q25) and IVF (q26), and report each method's mean recall@k =
+    |approx top-k ∩ exact top-k| / k averaged over probes. Approximate
+    recall is data/seed-dependent by design → no SQL twin; the
+    planted-recall pytest pins the floor. All three searches stream
+    the corpus through map_batches with broadcast probes (their own
+    documented scale shapes); the eval fold sees only 3·|probes|·k id
+    rows."""
+    truth = q_knn_bruteforce(sf_dir, query_ids=query_ids, k=k)
+    gt = {q: set(g["neighbor_id"]) for q, g in
+          truth.groupby("query_id", sort=True)}
+    rows = []
+    for method, fn in (("bruteforce", q_knn_bruteforce),
+                       ("lsh", q_knn_lsh), ("ivf", q_knn_ivf)):
+        res = (truth if method == "bruteforce"
+               else fn(sf_dir, query_ids=query_ids, k=k))
+        got = {q: set(g["neighbor_id"]) for q, g in
+               res.groupby("query_id", sort=True)}
+        recalls = [len(got.get(q, set()) & s) / max(len(s), 1)
+                   for q, s in sorted(gt.items())]
+        rows.append((method, len(recalls),
+                     float(np.mean(recalls)) if recalls else np.nan))
+    out = pd.DataFrame(rows, columns=["method", "n_probes",
+                                      "mean_recall"])
+    out["n_probes"] = out["n_probes"].astype("int64")
+    out["mean_recall"] = out["mean_recall"].round(6)
+    return out
