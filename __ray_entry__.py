@@ -371,9 +371,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q229_theilsen_slope": analytics.q_theilsen_slope,
         "q232_seasonal_mase": analytics.q_mase,
         "q230_dbscan": similarity.q_dbscan,
+        "q235_interval_overlap_join": relational.q_interval_overlap_join,
+        "q236_snapshot_diff": analytics.q_snapshot_diff,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
+        # trained-BPE corpus tokenization (iterative merge semantics,
+        # no SQL twin); Sennrich hand-example pytest pins the encoding
+        "q233_bpe_encode": textops.q_bpe_encode,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2910,6 +2915,40 @@ def oracle_sql() -> dict[str, str]:
                                    / 100.0 END, 6) AS rev,
                    (revc IS NULL) AS interpolated
             FROM f ORDER BY day
+        """,
+        "q235_interval_overlap_join": """
+            -- interval×interval overlap, arithmetic kept on the
+            -- ORDER side (o_orderdate ± interval) so event extremes
+            -- never overflow; count(e.event_id) skips NULL event_ids
+            SELECT o.o_orderkey,
+                   count(e.event_id)::BIGINT AS n_overlap
+            FROM orders o LEFT JOIN events e
+              ON e.user_id = o.o_custkey
+             AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+             AND e.ts > o.o_orderdate - INTERVAL 1 HOUR
+            GROUP BY o.o_orderkey ORDER BY o.o_orderkey NULLS LAST
+        """,
+        "q236_snapshot_diff": """
+            WITH b AS (
+                SELECT CAST(floor((min(epoch_us(ts))
+                                   + max(epoch_us(ts))) / 2.0)
+                            AS BIGINT) AS cut
+                FROM events WHERE ts IS NOT NULL),
+            s AS (SELECT user_id, epoch_us(ts) AS us FROM events
+                  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            o AS (SELECT user_id, count(*) AS n FROM s, b
+                  WHERE us < cut GROUP BY 1),
+            nn AS (SELECT user_id, count(*) AS n FROM s, b
+                   WHERE us >= cut GROUP BY 1)
+            SELECT coalesce(o.user_id, nn.user_id) AS user_id,
+                   coalesce(o.n, 0)::BIGINT AS n_old,
+                   coalesce(nn.n, 0)::BIGINT AS n_new,
+                   CASE WHEN o.user_id IS NULL THEN 'added'
+                        WHEN nn.user_id IS NULL THEN 'removed'
+                        WHEN o.n <> nn.n THEN 'changed'
+                        ELSE 'same' END AS status
+            FROM o FULL JOIN nn ON o.user_id = nn.user_id
+            ORDER BY 1
         """,
         "q227_winsorized_mean": """
             -- contract (q124): NULL/NaN values out on both sides;

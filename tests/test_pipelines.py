@@ -2372,3 +2372,35 @@ def test_ann_recall_eval(ray_session):
     assert 0.15 <= r["lsh"] <= 1.0
     assert 0.25 <= r["ivf"] <= 1.0
     assert (out["n_probes"] == 4).all()
+
+
+def test_bpe_encode_hand_example(ray_session, tmp_path):
+    """Sennrich hand-example: corpus 'aa aa aa' + 'aab' learns merges
+    (a,a) then (aa,</w>); encoding gives 1 symbol per 'aa' word and 3
+    for 'aab' (aa, b, </w>)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_bpe_encode
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["aa aa aa", "aab"], pa.string())}),
+        str(tmp_path / "documents.parquet"))
+    out = q_bpe_encode(str(tmp_path), n_merges=2)
+    got = {r.doc_id: (r.n_words, r.n_tokens)
+           for r in out.itertuples()}
+    assert got[1] == (3, 3)   # three 'aa' words, one symbol each
+    assert got[2] == (1, 3)   # aa + b + </w>
+
+
+def test_bpe_encode_matches_train_vocab(ray_session):
+    """Invariant on real data: token counts are bounded by chars+1 per
+    word and shrink monotonically as merges are added."""
+    from web_scrapper_ray.pipelines.textops import q_bpe_encode
+
+    few = q_bpe_encode(SF, n_merges=2)
+    many = q_bpe_encode(SF, n_merges=24)
+    m = few.merge(many, on="doc_id", suffixes=("_f", "_m"))
+    assert (m["n_tokens_m"] <= m["n_tokens_f"]).all()
+    assert (m["n_words_f"] == m["n_words_m"]).all()

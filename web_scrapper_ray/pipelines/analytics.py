@@ -9452,3 +9452,96 @@ def q_winsorized_mean(sf_dir: str, lo_f: float = 0.05,
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type",
                            na_position="last").reset_index(drop=True)
+
+
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Change-data-capture diff between two snapshots of the event
+    stream — the old/new reconciliation report every incremental
+    pipeline runs: the stream splits at its midpoint timestamp
+    (cut = floor((min+max)/2), both sides in the same float-floor op
+    order), each user's row count is compared across the halves, and
+    the user is classified added / removed / changed / same. Pass 1 is
+    a two-scalar min/max fold over block refs; pass 2 is one user
+    exchange of per-batch (user, n_old, n_new) combiner rows — at
+    100 TB the exchange carries users × blocks rows, never events.
+    Contract: NULL ts rows are outside both snapshots; NULL user_id
+    rows are not entities (SQL WHERE on both sides)."""
+    import ray
+
+    P = 16
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    refs = ds.materialize().to_arrow_refs()
+
+    @ray.remote
+    def mmx(t: pa.Table):
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return None
+        us = t.filter(pc.is_valid(t.column("ts"))).column("ts")
+        if len(us) == 0:
+            return None
+        v = us.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        return int(v.min()), int(v.max())
+
+    spans = [s for s in ray.get([mmx.remote(r) for r in refs]) if s]
+    empty = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                          "n_old": pd.Series(dtype="int64"),
+                          "n_new": pd.Series(dtype="int64"),
+                          "status": pd.Series(dtype="object")})
+    if not spans:
+        return empty
+    mn = min(s[0] for s in spans)
+    mx = max(s[1] for s in spans)
+    cut = int(np.floor((mn + mx) / 2.0))
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "n_old": pa.array([], pa.int64()),
+                   "n_new": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        old = us < cut
+        u, inv = np.unique(uid, return_inverse=True)
+        n_old = np.zeros(u.size, np.int64)
+        n_new = np.zeros(u.size, np.int64)
+        np.add.at(n_old, inv, old)
+        np.add.at(n_new, inv, ~old)
+        return pa.table({"user": pa.array(u),
+                         "n_old": pa.array(n_old),
+                         "n_new": pa.array(n_new),
+                         "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"user": pd.Series(dtype="int64"),
+                                 "n_old": pd.Series(dtype="int64"),
+                                 "n_new": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby("user", as_index=False)
+                .agg(n_old=("n_old", "sum"), n_new=("n_new", "sum")))
+
+    tagged = [(r, ()) for r in refs]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    if not parts:
+        return empty
+    g = pd.concat(parts, ignore_index=True)
+    no = g["n_old"].to_numpy(np.int64)
+    nn = g["n_new"].to_numpy(np.int64)
+    status = np.where(no == 0, "added",
+                      np.where(nn == 0, "removed",
+                               np.where(no != nn, "changed", "same")))
+    out = pd.DataFrame({"user_id": g["user"].to_numpy(np.int64),
+                        "n_old": no, "n_new": nn, "status": status})
+    return out.sort_values("user_id").reset_index(drop=True)

@@ -3914,3 +3914,134 @@ def q_events_asof_forward(sf_dir: str) -> pd.DataFrame:
                              .view("datetime64[us]"))})
     return (res.sort_values(["o_orderkey"])
             .reset_index(drop=True))
+
+
+def q_interval_overlap_join(sf_dir: str, order_days: int = 7,
+                            event_hours: int = 1) -> pd.DataFrame:
+    """Interval-OVERLAP join — both sides carry an interval (q50's
+    range join is point-in-interval): per order, count the customer's
+    event SESSIONS [ts, ts+1h) that overlap the order's fulfillment
+    window [orderdate, orderdate+7d) — `a.start < b.end AND b.start <
+    a.end`, the de-facto temporal-join primitive. One customer-keyed
+    exchange; each bucket sorts its events once by (user, ts) and
+    resolves every order row with two binary searches on the event
+    START column — same-length event intervals mean the sorted starts
+    serve BOTH overlap bounds, so the within-key cross product never
+    forms. LEFT semantics: every order row survives (NULL custkey /
+    orderdate rows count 0), duplicate orderkeys group-sum like SQL's
+    GROUP BY, and only non-NULL event_ids count (count(e.event_id))."""
+    P = 32
+    end_off = np.int64(order_days) * 86_400_000_000
+    ev_len = np.int64(event_hours) * 3_600_000_000
+
+    _EE = pa.table({"side": pa.array([], pa.int8()),
+                    "key": pa.array([], pa.int64()),
+                    "us": pa.array([], pa.int64()),
+                    "okey": pa.array([], pa.int64()),
+                    "oknull": pa.array([], pa.bool_()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split_ev(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _EE
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.is_valid(t.column("event_id")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _EE
+        key = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        n = len(key)
+        return pa.table({
+            "side": pa.array(np.zeros(n, np.int8)),
+            "key": pa.array(key),
+            "us": t2.column("ts").cast(pa.int64()),
+            "okey": pa.array(np.zeros(n, np.int64)),
+            "oknull": pa.array(np.zeros(n, bool)),
+            "bucket": pa.array(np.abs(key) % P)})
+
+    def split_od(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return _EE
+        cust = t.column("o_custkey")
+        date = t.column("o_orderdate")
+        # unmatched rows (NULL key or date) still emit count-0 rows;
+        # route them to bucket 0 with an impossible window
+        matchable = pc.fill_null(pc.and_kleene(pc.is_valid(cust),
+                                               pc.is_valid(date)),
+                                 False).to_numpy(zero_copy_only=False)
+        key = pc.fill_null(pc.cast(cust, pa.int64()), 0).to_numpy(
+            zero_copy_only=False).copy()
+        us = pc.fill_null(pc.cast(date, pa.int64()),
+                          np.iinfo(np.int64).max).to_numpy(
+            zero_copy_only=False).copy()
+        us[~matchable] = np.iinfo(np.int64).max  # empty window
+        okey = t.column("o_orderkey")
+        return pa.table({
+            "side": pa.array(np.ones(len(key), np.int8)),
+            "key": pa.array(key),
+            "us": pa.array(us),
+            "okey": pc.fill_null(pc.cast(okey, pa.int64()), _IMAX),
+            "oknull": pc.is_null(okey),
+            "bucket": pa.array(np.abs(key) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"okey": pd.Series(dtype="int64"),
+                "oknull": pd.Series(dtype="bool"),
+                "cnt": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        ism = df["side"].to_numpy(np.int8) == 1
+        od = df[ism]
+        if od.empty:
+            return pd.DataFrame(cols)
+        ev = df[~ism]
+        eu = ev["key"].to_numpy(np.int64)
+        es = ev["us"].to_numpy(np.int64)
+        order = np.lexsort((es, eu))
+        eu, es = eu[order], es[order]
+        ou = od["key"].to_numpy(np.int64)
+        ostart = od["us"].to_numpy(np.int64)
+        l = np.searchsorted(eu, ou, side="left")
+        r = np.searchsorted(eu, ou, side="right")
+        cnt = np.zeros(len(ou), np.int64)
+        sat = ostart != np.iinfo(np.int64).max
+        for i in np.flatnonzero(sat & (l < r)):
+            seg = es[l[i]:r[i]]
+            hi = np.searchsorted(seg, ostart[i] + end_off, side="left")
+            lo = np.searchsorted(seg, ostart[i] - ev_len, side="right")
+            cnt[i] = max(0, hi - lo)
+        return pd.DataFrame({"okey": od["okey"].to_numpy(np.int64),
+                             "oknull": od["oknull"].to_numpy(bool),
+                             "cnt": cnt})
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    od = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    tagged = [(r, ("E",)) for r in ev.to_arrow_refs()]
+    tagged += [(r, ("O",)) for r in od.to_arrow_refs()]
+
+    def split(t: pa.Table, side: str) -> pa.Table:
+        return split_ev(t) if side == "E" else split_od(t)
+
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
+                          "n_overlap": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    g = allp.groupby("okey", as_index=False).agg(
+        cnt=("cnt", "sum"), oknull=("oknull", "first"))
+    okey = g["okey"].to_numpy(np.int64)
+    res = pd.DataFrame({"o_orderkey": okey,
+                        "n_overlap": g["cnt"].to_numpy(np.int64)})
+    if g["oknull"].any():
+        e = okey.astype(np.float64)
+        e[g["oknull"].to_numpy(bool)] = np.nan
+        res["o_orderkey"] = e
+    return (res.iloc[np.argsort(okey)].reset_index(drop=True))

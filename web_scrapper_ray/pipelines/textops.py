@@ -2070,3 +2070,81 @@ def q_doc_long_words(sf_dir: str) -> pd.DataFrame:
                              "ord": pd.Series(dtype="int64"),
                              "num": pd.Series(dtype="object")})
     return out.sort_values(["doc_id", "ord"]).reset_index(drop=True)
+
+
+class _BPEEncoder:
+    """Stateful BPE ENCODER — the actor-pool half of the tokenizer
+    story (q100 trains the merge table; this class applies it). Ray
+    Data calls ``__init__`` once per actor: the merge table becomes a
+    rank dict and a per-actor word→length cache builds up across
+    batches (Zipf reuse makes the cache hit rate ~1 after warmup), so
+    per-batch work is a vectorized-ish loop over UNIQUE words only."""
+
+    def __init__(self, merges: list):
+        self.merges = [tuple(m) for m in merges]
+        self.cache: dict = {}
+
+    def _encode(self, word: str) -> int:
+        n = self.cache.get(word)
+        if n is not None:
+            return n
+        syms = list(word) + ["</w>"]
+        # Sennrich encode: apply merges in learned rank order,
+        # replacing every adjacent occurrence
+        for la, rb in self.merges:
+            if la not in syms:
+                continue
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == la
+                        and syms[i + 1] == rb):
+                    out.append(la + rb)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        self.cache[word] = len(syms)
+        return len(syms)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        _E = pa.table({"doc_id": pa.array([], pa.int64()),
+                       "n_words": pa.array([], pa.int64()),
+                       "n_tokens": pa.array([], pa.int64())})
+        if batch.num_rows == 0 or "doc_id" not in batch.schema.names:
+            return _E
+        ids, nw, nt = [], [], []
+        for d, t in zip(batch.column("doc_id").to_pylist(),
+                        batch.column("text").to_pylist()):
+            words = _TOKEN_RX.findall((t or "").lower())
+            ids.append(d)
+            nw.append(len(words))
+            nt.append(sum(self._encode(w) for w in words))
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "n_words": pa.array(nw, pa.int64()),
+                         "n_tokens": pa.array(nt, pa.int64())})
+
+
+def q_bpe_encode(sf_dir: str, n_merges: int = 24) -> pd.DataFrame:
+    """Tokenize the corpus with a TRAINED BPE merge table — the apply
+    side of q100 and the shape of every real tokenization pass before
+    pretraining: train once (vocab-bounded driver loop over the word
+    frequency table), then stream the corpus through an ACTOR-POOL
+    ``map_batches`` stage whose per-actor state (rank dict + word
+    cache) is built once in ``__init__``, never per batch. Returns
+    per-doc (n_words, n_tokens). No SQL twin (iterative merge
+    semantics); the Sennrich hand-example pytest pins the encoding."""
+    merges_df = q_bpe_train(sf_dir, n_merges=n_merges)
+    merges = list(zip(merges_df["left"], merges_df["right"]))
+    out = (_docs(sf_dir, ["doc_id", "text"])
+           .map_batches(_BPEEncoder, batch_format="pyarrow",
+                        concurrency=2,
+                        fn_constructor_kwargs={"merges": merges})
+           .to_pandas())
+    if out.empty:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "n_words": pd.Series(dtype="int64"),
+                             "n_tokens": pd.Series(dtype="int64")})
+    for c in ("doc_id", "n_words", "n_tokens"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("doc_id").reset_index(drop=True)
