@@ -373,12 +373,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q230_dbscan": similarity.q_dbscan,
         "q235_interval_overlap_join": relational.q_interval_overlap_join,
         "q236_snapshot_diff": analytics.q_snapshot_diff,
+        "q237_silhouette": similarity.q_silhouette,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
         # trained-BPE corpus tokenization (iterative merge semantics,
         # no SQL twin); Sennrich hand-example pytest pins the encoding
         "q233_bpe_encode": textops.q_bpe_encode,
+        # Poisson-bootstrap CI (hash-seeded draws, no SQL twin);
+        # determinism + split-invariance pytest
+        "q238_bootstrap_ci": rankstats.q_bootstrap_ci,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2927,6 +2931,49 @@ def oracle_sql() -> dict[str, str]:
              AND e.ts < o.o_orderdate + INTERVAL 7 DAY
              AND e.ts > o.o_orderdate - INTERVAL 1 HOUR
             GROUP BY o.o_orderkey ORDER BY o.o_orderkey NULLS LAST
+        """,
+        "q237_silhouette": """
+            -- exact cosine silhouette via label-sum closed form;
+            -- rid keys duplicate vec_ids apart (dots must stay
+            -- per-ROW); zero vectors out on both sides
+            WITH e AS MATERIALIZED (
+                SELECT row_number() OVER (ORDER BY vec_id) AS rid,
+                       label,
+                       list_transform(embedding,
+                                      x -> CAST(x AS DOUBLE)) AS v
+                FROM embeddings
+                WHERE vec_id IS NOT NULL AND label IS NOT NULL
+                  AND embedding IS NOT NULL),
+            nrm AS (SELECT rid, label, v,
+                           sqrt(list_sum(list_transform(v,
+                                x -> x * x))) AS nv
+                    FROM e),
+            u AS (SELECT rid, label,
+                         list_transform(v, x -> x / nv) AS uv
+                  FROM nrm WHERE nv > 0),
+            flat AS (SELECT rid, label, unnest(uv) AS x,
+                            unnest(range(1, len(uv) + 1)) AS i
+                     FROM u),
+            s AS (SELECT label, i, sum(x) AS sx
+                  FROM flat GROUP BY 1, 2),
+            cn AS (SELECT label, count(*) AS n FROM u GROUP BY 1),
+            dots AS (SELECT f.rid, f.label AS own, s.label AS other,
+                            sum(f.x * s.sx) AS dot
+                     FROM flat f JOIN s ON s.i = f.i
+                     GROUP BY 1, 2, 3),
+            a AS (SELECT d.rid, d.own,
+                         1.0 - (dot - 1.0) / (n - 1) AS aval
+                  FROM dots d JOIN cn ON cn.label = d.own
+                  WHERE d.other = d.own AND n > 1),
+            b AS (SELECT d.rid, d.own, min(1.0 - dot / n) AS bval
+                  FROM dots d JOIN cn ON cn.label = d.other
+                  WHERE d.other <> d.own GROUP BY 1, 2),
+            si AS (SELECT a.own AS label,
+                          (bval - aval) / greatest(aval, bval) AS sv
+                   FROM a JOIN b ON a.rid = b.rid AND a.own = b.own)
+            SELECT label, count(*)::BIGINT AS n,
+                   round(avg(sv), 6) AS mean_silhouette
+            FROM si GROUP BY 1 ORDER BY 1
         """,
         "q236_snapshot_diff": """
             WITH b AS (

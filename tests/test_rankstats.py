@@ -136,3 +136,31 @@ def test_kcore_triangle_survives(ray_session, tmp_path):
     out = q_k_core(sf, k=2, rounds=6)
     assert out["l_suppkey"].tolist() == [10, 11, 12]
     assert out["deg"].tolist() == [2, 2, 2]
+
+
+def test_bootstrap_ci_deterministic_and_sane(ray_session):
+    """Poisson-bootstrap CI: deterministic across runs, brackets the
+    point mean on the synthetic data, lo < hi."""
+    from web_scrapper_ray.pipelines.rankstats import q_bootstrap_ci
+
+    a = q_bootstrap_ci("/root/testdata/sf0.001", B=64)
+    b = q_bootstrap_ci("/root/testdata/sf0.001", B=64)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) > 0
+    assert (a["ci_lo"] < a["ci_hi"]).all()
+    assert ((a["ci_lo"] <= a["mean"]) & (a["mean"] <= a["ci_hi"])).all()
+
+
+def test_bootstrap_ci_split_invariant(ray_session, tmp_path):
+    """Row weights are content-hashed, so the CI is identical under a
+    different partitioning of the same rows."""
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.rankstats import q_bootstrap_ci
+
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    pq.write_table(t, str(tmp_path / "events.parquet"),
+                   row_group_size=97)
+    a = q_bootstrap_ci("/root/testdata/sf0.001", B=32)
+    b = q_bootstrap_ci(str(tmp_path), B=32)
+    pd.testing.assert_frame_equal(a, b)

@@ -473,3 +473,97 @@ def q_best_split(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
         "n_left": pd.array([int(nl[best])], "int64"),
         "n_right": pd.array([int(nr[best])], "int64"),
         "gini": round_away(np.array([gini[best]]), 6)})
+
+
+def q_bootstrap_ci(sf_dir: str, B: int = 200,
+                   alpha: float = 0.05) -> pd.DataFrame:
+    """Poisson-bootstrap confidence interval for the per-type mean of
+    ``events.value`` — THE distributed bootstrap: classical resampling
+    needs global multinomial draws, but Poisson(1) row weights are
+    independent per row, so every block draws its own weights and
+    replicate partials just add. Weights are DETERMINISTIC —
+    w(row, b) = Poisson⁻¹(u) with u from ``mix64(event_id ⊕ b·φ)`` —
+    so the result is partition-invariant and reproducible (pinned by
+    pytest, including split-invariance). One pass over block refs
+    emits (type, B sums, B weighted sums) partials; the driver folds
+    T×B cells and takes the percentile CI of the replicate means.
+    Contract: finite values, non-NULL event_type/event_id (the id
+    seeds the draw). No SQL twin — the oracle can't reproduce the
+    hash-uniform Poisson draws; rows-only driver check."""
+    import ray
+
+    from .pairs import factorize_strings, mix64
+
+    import math
+
+    # Poisson(1) inverse-CDF table (k ≤ 12 covers 1-1e-14 of the mass)
+    pk = np.cumsum([np.exp(-1.0) / math.factorial(k)
+                    for k in range(13)])
+    golden = np.uint64(0x9E3779B97F4A7C15)
+
+    @ray.remote
+    def partial(t: pa.Table):
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return None
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("event_type")),
+                          pc.is_valid(t.column("event_id"))),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return None
+        typ = pd.Series(t2.column("event_type").to_pylist(),
+                        dtype=object)
+        codes, uniq = factorize_strings(typ)
+        v = np.asarray(t2.column("value").to_numpy(
+            zero_copy_only=False), np.float64)
+        ids = t2.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).view(np.uint64)
+        T = len(uniq)
+        sw = np.zeros((T, B))
+        swx = np.zeros((T, B))
+        n = np.bincount(codes, minlength=T).astype(np.int64)
+        sx = np.zeros(T)
+        np.add.at(sx, codes, v)
+        for b in range(B):
+            u = (mix64(ids ^ (np.uint64(b + 1) * golden))
+                 >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+            w = np.searchsorted(pk, u).astype(np.float64)
+            np.add.at(sw[:, b], codes, w)
+            np.add.at(swx[:, b], codes, w * v)
+        return list(uniq), n, sx, sw, swx
+
+    refs = _read(sf_dir, "events",
+                 columns=["event_type", "event_id", "value"]
+                 ).materialize().to_arrow_refs()
+    parts = [p for p in ray.get([partial.remote(r) for r in refs]) if p]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n": pd.Series(dtype="int64"),
+                          "mean": pd.Series(dtype="float64"),
+                          "ci_lo": pd.Series(dtype="float64"),
+                          "ci_hi": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    types = sorted({u for p in parts for u in p[0]},
+                   key=lambda s: s.encode("utf-8",
+                                          "surrogatepass").hex())
+    tix = {t: i for i, t in enumerate(types)}
+    T = len(types)
+    n = np.zeros(T, np.int64)
+    sx = np.zeros(T)
+    sw = np.zeros((T, B))
+    swx = np.zeros((T, B))
+    for uniq, pn, psx, psw, pswx in parts:
+        ix = np.array([tix[u] for u in uniq])
+        n[ix] += pn
+        sx[ix] += psx
+        sw[ix] += psw
+        swx[ix] += pswx
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rep_means = swx / sw          # (T, B); empty replicate → NaN
+        lo = np.nanpercentile(rep_means, 100 * alpha / 2, axis=1)
+        hi = np.nanpercentile(rep_means, 100 * (1 - alpha / 2), axis=1)
+    return pd.DataFrame({"event_type": types, "n": n,
+                         "mean": round_away(sx / n, 6),
+                         "ci_lo": round_away(lo, 6),
+                         "ci_hi": round_away(hi, 6)})

@@ -1334,3 +1334,112 @@ def q_ann_recall_eval(sf_dir: str, query_ids: tuple = tuple(range(8)),
     out["n_probes"] = out["n_probes"].astype("int64")
     out["mean_recall"] = out["mean_recall"].round(6)
     return out
+
+
+def q_silhouette(sf_dir: str) -> pd.DataFrame:
+    """Clustering-quality evaluation: mean cosine-distance SILHOUETTE
+    per label — the metric layer over q71/q40 that says whether the
+    label structure is real. Exact in O(n·L), never O(n²): with unit
+    vectors, the mean cosine distance from x to cluster c is a CLOSED
+    FORM over the label SUM vector (1 − (x·S_c − [x∈c])/(n_c − [x∈c])),
+    so pass 1 folds per-batch (label, count, Σunit) combiners (q40's
+    shape) and pass 2 streams the corpus once against the broadcast
+    label-sum matrix. s(x) = (b−a)/max(a,b) with a = own-cluster mean
+    distance (labels with n=1 drop — silhouette undefined), b = min
+    over other labels. Zero vectors and NULL label/embedding are out
+    on both sides; ±ulp float drift vs the SQL twin's unnest-sum dots
+    is absorbed by round6 (continuous data, no knife edges)."""
+    import ray
+    import ray.data as rd
+
+    empty = pd.DataFrame({"label": pd.Series(dtype="int32"),
+                          "n": pd.Series(dtype="int64"),
+                          "mean_silhouette": pd.Series(dtype="float64")})
+
+    pool = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("embedding").is_valid()
+                & pads.field("label").is_valid()
+                & pads.field("vec_id").is_valid())).materialize()
+
+    def _mat(batch: pa.Table):
+        labels = np.asarray(batch.column("label").to_numpy(
+            zero_copy_only=False), np.int64)
+        _ids, mat = _batch_matrix(batch.select(["vec_id", "embedding"]))
+        mat = np.asarray(mat, np.float64)
+        nrm = np.sqrt((mat * mat).sum(axis=1))
+        keep = nrm > 0
+        return labels[keep], mat[keep] / nrm[keep, None]
+
+    @ray.remote
+    def partial(batch: pa.Table):
+        if batch.num_rows == 0 or "label" not in batch.schema.names:
+            return None
+        labels, u = _mat(batch)
+        if not len(labels):
+            return None
+        ul, inv = np.unique(labels, return_inverse=True)
+        cnt = np.bincount(inv)
+        sums = np.zeros((ul.size, u.shape[1]))
+        np.add.at(sums, inv, u)
+        return ul, cnt.astype(np.int64), sums
+
+    refs = pool.to_arrow_refs()
+    parts = [p for p in ray.get([partial.remote(r) for r in refs]) if p]
+    if not parts:
+        return empty
+    all_labels = np.unique(np.concatenate([p[0] for p in parts]))
+    L = all_labels.size
+    dim = parts[0][2].shape[1]
+    n_c = np.zeros(L, np.int64)
+    S = np.zeros((L, dim))
+    for ul, cnt, sums in parts:
+        ix = np.searchsorted(all_labels, ul)
+        n_c[ix] += cnt
+        S[ix] += sums
+    if L < 2:
+        return empty
+    bref = ray.put((all_labels, n_c, S))
+
+    @ray.remote
+    def score(batch: pa.Table):
+        if batch.num_rows == 0 or "label" not in batch.schema.names:
+            return None
+        labels, u = _mat(batch)
+        if not len(labels):
+            return None
+        al, nc, Sm = ray.get(bref)
+        ci = np.searchsorted(al, labels)
+        ok = nc[ci] > 1  # singleton clusters: silhouette undefined
+        if not ok.any():
+            return None
+        u, ci = u[ok], ci[ok]
+        dots = u @ Sm.T                       # (m, L)
+        m = len(ci)
+        own = dots[np.arange(m), ci]
+        a = 1.0 - (own - 1.0) / (nc[ci] - 1)
+        d_all = 1.0 - dots / nc[None, :]
+        d_all[np.arange(m), ci] = np.inf      # exclude own label
+        b = d_all.min(axis=1)
+        s = (b - a) / np.maximum(a, b)
+        lab = al[ci]
+        ul, inv = np.unique(lab, return_inverse=True)
+        return (ul, np.bincount(inv).astype(np.int64),
+                np.bincount(inv, weights=s))
+
+    outs = [p for p in ray.get([score.remote(r) for r in refs]) if p]
+    if not outs:
+        return empty
+    n_out = np.zeros(L, np.int64)
+    s_sum = np.zeros(L)
+    for ul, cnt, ssum in outs:
+        ix = np.searchsorted(all_labels, ul)
+        n_out[ix] += cnt
+        s_sum[ix] += ssum
+    keep = n_out > 0
+    from .pairs import round_away
+    return pd.DataFrame({
+        "label": all_labels[keep].astype(np.int32),
+        "n": n_out[keep],
+        "mean_silhouette": round_away(s_sum[keep] / n_out[keep], 6)})
