@@ -374,6 +374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q235_interval_overlap_join": relational.q_interval_overlap_join,
         "q236_snapshot_diff": analytics.q_snapshot_diff,
         "q237_silhouette": similarity.q_silhouette,
+        "q239_fk_orphans": relational.q_fk_orphans,
+        "q241_lexical_diversity": textops.q_lexical_diversity,
+        "q242_late_events": analytics.q_late_events,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -383,6 +386,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Poisson-bootstrap CI (hash-seeded draws, no SQL twin);
         # determinism + split-invariance pytest
         "q238_bootstrap_ci": rankstats.q_bootstrap_ci,
+        # sketch-accuracy eval (HLL vs exact; estimate side has no
+        # SQL twin) — error-bound pytest
+        "q240_sketch_accuracy": sketches.q_sketch_accuracy,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2974,6 +2980,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*)::BIGINT AS n,
                    round(avg(sv), 6) AS mean_silhouette
             FROM si GROUP BY 1 ORDER BY 1
+        """,
+        "q242_late_events": """
+            WITH s AS (
+                SELECT event_id, event_type, epoch_us(ts) AS us
+                FROM events
+                WHERE event_id IS NOT NULL AND ts IS NOT NULL),
+            w AS (SELECT event_type, us,
+                         max(us) OVER (ORDER BY event_id, us,
+                                       event_type
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING) AS wm
+                  FROM s)
+            SELECT event_type, count(*)::BIGINT AS n_events,
+                   count(*) FILTER (us + 3600000000 < wm)::BIGINT
+                       AS n_late
+            FROM w GROUP BY 1 ORDER BY 1 NULLS LAST
+        """,
+        "q241_lexical_diversity": """
+            WITH w AS (
+                SELECT source,
+                       unnest(regexp_extract_all(lower(text), '\\w+'))
+                           AS word
+                FROM documents),
+            f AS (SELECT source, word, count(*) AS c
+                  FROM w GROUP BY 1, 2)
+            SELECT source, sum(c)::BIGINT AS n_tokens,
+                   count(*)::BIGINT AS n_types,
+                   round(count(*) / CAST(sum(c) AS DOUBLE), 6) AS ttr,
+                   round(count(*) FILTER (c = 1)
+                         / CAST(count(*) AS DOUBLE), 6)
+                       AS hapax_share
+            FROM f GROUP BY source ORDER BY source NULLS LAST
+        """,
+        "q239_fk_orphans": """
+            WITH r1 AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (WHERE d.k IS NULL) AS o
+              FROM (SELECT o_custkey AS fk FROM orders
+                    WHERE o_custkey IS NOT NULL) f
+              LEFT JOIN (SELECT DISTINCT c_custkey AS k
+                         FROM customer) d ON d.k = f.fk),
+            r2 AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (WHERE d.k IS NULL) AS o
+              FROM (SELECT l_orderkey AS fk FROM lineitem
+                    WHERE l_orderkey IS NOT NULL) f
+              LEFT JOIN (SELECT DISTINCT o_orderkey AS k
+                         FROM orders) d ON d.k = f.fk),
+            r3 AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (WHERE d.k IS NULL) AS o
+              FROM (SELECT l_partkey AS fk FROM lineitem
+                    WHERE l_partkey IS NOT NULL) f
+              LEFT JOIN (SELECT DISTINCT p_partkey AS k
+                         FROM part) d ON d.k = f.fk),
+            r4 AS (
+              SELECT count(*) AS n,
+                     count(*) FILTER (WHERE d.k IS NULL) AS o
+              FROM (SELECT l_suppkey AS fk FROM lineitem
+                    WHERE l_suppkey IS NOT NULL) f
+              LEFT JOIN (SELECT DISTINCT s_suppkey AS k
+                         FROM supplier) d ON d.k = f.fk)
+            SELECT 'orders.o_custkey->customer' AS fk,
+                   n::BIGINT AS n_rows, o::BIGINT AS n_orphans FROM r1
+            UNION ALL SELECT 'lineitem.l_orderkey->orders', n::BIGINT,
+                   o::BIGINT FROM r2
+            UNION ALL SELECT 'lineitem.l_partkey->part', n::BIGINT,
+                   o::BIGINT FROM r3
+            UNION ALL SELECT 'lineitem.l_suppkey->supplier',
+                   n::BIGINT, o::BIGINT FROM r4
+            ORDER BY 1
         """,
         "q236_snapshot_diff": """
             WITH b AS (

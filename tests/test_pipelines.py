@@ -2404,3 +2404,22 @@ def test_bpe_encode_matches_train_vocab(ray_session):
     m = few.merge(many, on="doc_id", suffixes=("_f", "_m"))
     assert (m["n_tokens_m"] <= m["n_tokens_f"]).all()
     assert (m["n_words_f"] == m["n_words_m"]).all()
+
+
+def test_sketch_accuracy_bounds(ray_session):
+    """HLL estimate lands within the 2^14-register error envelope of
+    the exact per-type distinct counts, and the exact side matches a
+    pandas ground truth."""
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.sketches import q_sketch_accuracy
+
+    out = q_sketch_accuracy(SF)
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                      columns=["event_type", "user_id"]).to_pandas()
+    t = t.dropna()
+    truth = (t.drop_duplicates().groupby("event_type")["user_id"]
+             .size().to_dict())
+    got = dict(zip(out["event_type"], out["n_exact"]))
+    assert got == {k: int(v) for k, v in truth.items()}
+    assert (out["rel_err"].abs() <= 0.05).all()

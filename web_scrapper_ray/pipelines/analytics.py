@@ -9545,3 +9545,108 @@ def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     out = pd.DataFrame({"user_id": g["user"].to_numpy(np.int64),
                         "n_old": no, "n_new": nn, "status": status})
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def q_late_events(sf_dir: str, lateness_hours: int = 1) -> pd.DataFrame:
+    """Streaming-semantics audit: how many events arrive LATE — with
+    an event time more than ``lateness_hours`` behind the running
+    watermark (max event time seen over all strictly-preceding rows in
+    INGEST order = event_id) — the allowed-lateness accounting every
+    event-time streaming system does before dropping data. One
+    Dataset.sort on (event_id, ts, type-hex) is the only all-to-all
+    (full tie-break chain: tied ids may differ in type, and the hex
+    key keeps byte order through the sort — NULL types ride the 'zz'
+    NULLS-LAST sentinel); per-block running maxes then chain through
+    a driver-folded carry (q216's block-offset discipline — P ints,
+    never rows) and each block counts its own late rows per type. The
+    late test is ``us + L < wm`` on exact int64 µs (same rewrite in
+    the oracle — no subtraction from the int64-min carry sentinel)."""
+    import ray
+
+    L = np.int64(lateness_hours) * 3_600_000_000
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = pa.table({"idf": pa.array([], pa.int64()),
+                      "us": pa.array([], pa.int64()),
+                      "thex": pa.array([], pa.string()),
+                      "tnull": pa.array([], pa.bool_())})
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(pc.is_valid(t.column("event_id")),
+                             pc.is_valid(t.column("ts")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        typ = t2.column("event_type").to_pylist()
+        return pa.table({
+            "idf": pc.cast(t2.column("event_id"), pa.int64()),
+            "us": pc.cast(t2.column("ts"), pa.int64()),
+            "thex": pa.array(
+                ["zz" if s is None
+                 else s.encode("utf-8", "surrogatepass").hex()
+                 for s in typ], pa.string()),
+            "tnull": pa.array([s is None for s in typ])})
+
+    srt = (ds.map_batches(prep, batch_format="pyarrow")
+           .sort(["idf", "us", "thex"]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def block_max(t: pa.Table) -> int:
+        if t.num_rows == 0:
+            return np.iinfo(np.int64).min
+        return int(t.column("us").to_numpy(zero_copy_only=False).max())
+
+    maxes = ray.get([block_max.remote(r) for r in refs])
+    carries = np.concatenate(
+        ([np.iinfo(np.int64).min],
+         np.maximum.accumulate(np.asarray(maxes, np.int64))[:-1]))
+
+    @ray.remote
+    def late_counts(t: pa.Table, carry: int) -> pd.DataFrame:
+        cols = {"thex": pd.Series(dtype="object"),
+                "tnull": pd.Series(dtype="bool"),
+                "n": pd.Series(dtype="int64"),
+                "n_late": pd.Series(dtype="int64")}
+        if t.num_rows == 0:
+            return pd.DataFrame(cols)
+        us = t.column("us").to_numpy(zero_copy_only=False)
+        run = np.maximum.accumulate(us)
+        wm = np.concatenate(
+            ([carry], np.maximum(run[:-1],
+                                 np.int64(carry)))).astype(np.int64)
+        late = (us + L) < wm
+        df = pd.DataFrame({"thex": t.column("thex").to_pylist(),
+                           "tnull": t.column("tnull").to_numpy(
+                               zero_copy_only=False),
+                           "late": late})
+        g = df.groupby("thex", as_index=False).agg(
+            tnull=("tnull", "first"), n=("late", "size"),
+            n_late=("late", "sum"))
+        g["n"] = g["n"].astype("int64")
+        g["n_late"] = g["n_late"].astype("int64")
+        return g
+
+    parts = [p for p in ray.get(
+        [late_counts.remote(r, int(c))
+         for r, c in zip(refs, carries)]) if len(p)]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_events": pd.Series(dtype="int64"),
+                          "n_late": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    g = (allp.groupby("thex", as_index=False)
+         .agg(tnull=("tnull", "first"), n=("n", "sum"),
+              n_late=("n_late", "sum"))
+         .sort_values("thex"))  # hex keys sort by byte order, zz last
+    src = [None if nn else bytes.fromhex(h).decode("utf-8",
+                                                   "surrogatepass")
+           for h, nn in zip(g["thex"], g["tnull"])]
+    return pd.DataFrame({
+        "event_type": pd.Series(src, dtype=object),
+        "n_events": g["n"].to_numpy(np.int64),
+        "n_late": g["n_late"].to_numpy(np.int64)}).reset_index(
+        drop=True)

@@ -4045,3 +4045,90 @@ def q_interval_overlap_join(sf_dir: str, order_days: int = 7,
         e[g["oknull"].to_numpy(bool)] = np.nan
         res["o_orderkey"] = e
     return (res.iloc[np.argsort(okey)].reset_index(drop=True))
+
+
+def q_fk_orphans(sf_dir: str) -> pd.DataFrame:
+    """Referential-integrity audit across the whole star schema — the
+    data-quality sweep run before any pipeline trusts its joins: for
+    each FK relation, how many non-NULL FK values have NO matching
+    dimension row (orphans). One generic keyed exchange per relation:
+    the fact side pre-aggregates to per-batch (key, n) combiner rows
+    (distinct keys × batches cross the wire, never facts), the dim
+    side ships deduped keys, and each bucket counts its orphan mass
+    locally — an anti-join that never materializes matches, correct
+    under duplicate dim keys (EXISTS semantics) and at any dim size
+    (no driver-side key set, unlike a broadcast bloom)."""
+    import ray  # noqa: F401  (hash_shuffle tasks)
+
+    P = 16
+
+    _E = pa.table({"side": pa.array([], pa.int8()),
+                   "key": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def _split(t: pa.Table, col: str, side: int) -> pa.Table:
+        if t.num_rows == 0 or col not in t.schema.names:
+            return _E
+        k = t.column(col)
+        t2 = t.filter(pc.is_valid(k))
+        if t2.num_rows == 0:
+            return _E
+        kk = t2.column(col).cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        u, cnt = np.unique(kk, return_counts=True)
+        return pa.table({
+            "side": pa.array(np.full(u.size, side, np.int8)),
+            "key": pa.array(u),
+            "n": pa.array(cnt.astype(np.int64) if side == 0
+                          else np.ones(u.size, np.int64)),
+            "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"n_rows": pd.Series(dtype="int64"),
+                "n_orphans": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        fact = df[df["side"].to_numpy(np.int8) == 0]
+        if fact.empty:
+            return pd.DataFrame(cols)
+        dim_keys = np.unique(
+            df[df["side"].to_numpy(np.int8) == 1]["key"]
+            .to_numpy(np.int64))
+        fk = fact.groupby("key", as_index=False)["n"].sum()
+        hit = np.isin(fk["key"].to_numpy(np.int64), dim_keys)
+        n = fk["n"].to_numpy(np.int64)
+        return pd.DataFrame({"n_rows": [int(n.sum())],
+                             "n_orphans": [int(n[~hit].sum())]})
+
+    relations = [
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+    ]
+    rows = []
+    for name, ft, fc, dt, dc in relations:
+        tagged = [(r, (fc, 0)) for r in
+                  _read(sf_dir, ft, columns=[fc]).to_arrow_refs()]
+        tagged += [(r, (dc, 1)) for r in
+                   _read(sf_dir, dt, columns=[dc]).to_arrow_refs()]
+        parts = [p for p in hash_shuffle(tagged, _split, merge, P=P)
+                 if len(p)]
+        tot = orm = 0
+        if parts:
+            allp = pd.concat(parts, ignore_index=True)
+            tot = int(allp["n_rows"].sum())
+            orm = int(allp["n_orphans"].sum())
+        rows.append((name, tot, orm))
+    return pd.DataFrame({
+        "fk": [r[0] for r in rows],
+        "n_rows": pd.array([r[1] for r in rows], "int64"),
+        "n_orphans": pd.array([r[2] for r in rows], "int64"),
+    }).sort_values("fk").reset_index(drop=True)

@@ -358,3 +358,93 @@ def q_users_per_type_hll(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "event_type": names,
         "n_users_hll": np.array([ests[n] for n in names], np.int64)})
+
+
+def q_sketch_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Sketch-accuracy evaluation — the error report a pipeline runs
+    before trusting an approximate operator in production (q231's
+    recall harness, applied to cardinality sketches): per event_type,
+    the HLL estimate (q101) against the EXACT distinct user count, and
+    the signed relative error. The exact side is one (type, user)
+    exchange of per-batch deduped pairs (distinct pairs × batches
+    cross the wire, never events); a pair's global dedup lives in one
+    bucket, so per-type counts are additive bucket partials. Both
+    sides are deterministic (fixed mix64 hash) → rows-only driver
+    check + the error-bound pytest. Contract: NULL user/type out."""
+    import pyarrow.compute as pc
+
+    from .pairs import factorize_strings, hash_shuffle, round_away
+    from .relational import _read
+
+    P = 16
+
+    _E = pa.table({"typ": pa.array([], pa.string()),
+                   "user": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("event_type")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        df = pd.DataFrame({
+            "typ": pd.Series(t2.column("event_type").to_pylist(),
+                             dtype=object),
+            "user": t2.column("user_id").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        codes, uniq = factorize_strings(df["typ"])
+        key = pd.DataFrame({"c": codes, "user": df["user"]})
+        g = key.drop_duplicates()
+        u = g["user"].to_numpy(np.int64)
+        return pa.table({
+            "typ": pa.array([uniq[c] for c in g["c"]], pa.string()),
+            "user": pa.array(u),
+            "bucket": pa.array((mix64(u.view(np.uint64))
+                                & np.uint64(P - 1)).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"typ": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        from .pairs import coded_keys
+
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["typ"])
+        g = restore(cj.drop_duplicates()
+                    .groupby("typ", as_index=False)
+                    .agg(n=("user", "size")))
+        g["n"] = g["n"].astype("int64")
+        return g
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "user_id"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_exact": pd.Series(dtype="int64"),
+                          "n_hll": pd.Series(dtype="int64"),
+                          "rel_err": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    exact = (pd.concat(parts, ignore_index=True)
+             .groupby("typ", as_index=False).agg(n=("n", "sum")))
+    est = q_users_per_type_hll(sf_dir)
+    # Python-dict lookup keyed by the FULL string — pandas merge on
+    # object columns rides the NUL-terminated C-string hash
+    # (CLAUDE.md rule; fuzz plants 'fz' / 'fz\x00nul' event types)
+    emap = dict(zip(est["event_type"], est["n_users_hll"]))
+    m = exact.rename(columns={"typ": "event_type", "n": "n_exact"})
+    m["n_hll"] = np.array([int(emap.get(t, 0))
+                           for t in m["event_type"]], np.int64)
+    m["n_exact"] = m["n_exact"].astype("int64")
+    m["rel_err"] = round_away(
+        (m["n_hll"].to_numpy(np.float64)
+         - m["n_exact"].to_numpy(np.float64))
+        / m["n_exact"].to_numpy(np.float64), 6)
+    return (m[["event_type", "n_exact", "n_hll", "rel_err"]]
+            .sort_values("event_type").reset_index(drop=True))

@@ -2148,3 +2148,105 @@ def q_bpe_encode(sf_dir: str, n_merges: int = 24) -> pd.DataFrame:
     for c in ("doc_id", "n_words", "n_tokens"):
         out[c] = out[c].astype("int64")
     return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_lexical_diversity(sf_dir: str) -> pd.DataFrame:
+    """Per-source lexical diversity — the corpus-linguistics screen
+    next to q117's entropy and q175's Zipf slope: type/token ratio and
+    hapax-legomena share of each source's vocabulary. The exchange is
+    partitioned on the WORD hash (q181 discipline), so a given
+    (source, word)'s global count lives in exactly one bucket; each
+    bucket emits per-source (token-sum, type-count, hapax-count)
+    partials and the driver folds a source-domain-sized frame. Source
+    keys ride NUL-safe codes end-to-end (fuzz plants 'fz'/'fz\\x00x');
+    NULL source IS a group; sources whose docs tokenize to nothing
+    emit no row (the SQL unnest drops them)."""
+    from collections import Counter
+
+    from .pairs import factorize_strings, hash_shuffle, round_away, str_u64
+
+    P = 32
+    _NULL = "\x00NULLSRC"
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "word": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        counter: Counter = Counter()
+        for src, txt in zip(t.column("source").to_pylist(),
+                            t.column("text").to_pylist()):
+            key = _NULL if src is None else "S" + src
+            for w in _TOKEN_RX.findall((txt or "").lower()):
+                counter[(key, w)] += 1
+        if not counter:
+            return _E
+        srcs, words = zip(*counter.keys())
+        b = np.array([str_u64(w) & (P - 1) for w in words], np.int64)
+        return pa.table({"src": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(words), pa.string()),
+                         "c": pa.array(list(counter.values()),
+                                       pa.int64()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"src": pd.Series(dtype="object"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "n_types": pd.Series(dtype="int64"),
+                "n_hapax": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        from .pairs import coded_keys
+
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["src", "word"])
+        g = restore(cj.groupby(["src", "word"], as_index=False)
+                    ["c"].sum())
+        scodes, suniq = factorize_strings(g["src"])
+        c = g["c"].to_numpy(np.int64)
+        tok = np.bincount(scodes, weights=c,
+                          minlength=len(suniq)).astype(np.int64)
+        typ = np.bincount(scodes, minlength=len(suniq))
+        hap = np.bincount(scodes, weights=c == 1,
+                          minlength=len(suniq)).astype(np.int64)
+        return pd.DataFrame({"src": pd.Series(list(suniq),
+                                              dtype=object),
+                             "n_tokens": tok,
+                             "n_types": typ.astype(np.int64),
+                             "n_hapax": hap})
+
+    tagged = [(r, ()) for r in _docs(
+        sf_dir, ["source", "text"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "n_tokens": pd.Series(dtype="int64"),
+                          "n_types": pd.Series(dtype="int64"),
+                          "ttr": pd.Series(dtype="float64"),
+                          "hapax_share": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(allp["src"])
+    tok = np.bincount(codes, weights=allp["n_tokens"].to_numpy(
+        np.float64), minlength=len(uniq)).astype(np.int64)
+    typ = np.bincount(codes, weights=allp["n_types"].to_numpy(
+        np.float64), minlength=len(uniq)).astype(np.int64)
+    hap = np.bincount(codes, weights=allp["n_hapax"].to_numpy(
+        np.float64), minlength=len(uniq)).astype(np.int64)
+    src = [None if u == _NULL else u[1:] for u in uniq]
+    from .pairs import round_away
+    res = pd.DataFrame({
+        "source": pd.Series(src, dtype=object),
+        "n_tokens": tok, "n_types": typ,
+        "ttr": round_away(typ / tok.astype(np.float64), 6),
+        "hapax_share": round_away(hap / typ.astype(np.float64), 6)})
+    hexkey = res["source"].map(
+        lambda x: "zz" if x is None
+        else str(x).encode("utf-8", "surrogatepass").hex())
+    return (res.iloc[np.argsort(hexkey.to_numpy())]
+            .reset_index(drop=True))
