@@ -377,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q239_fk_orphans": relational.q_fk_orphans,
         "q241_lexical_diversity": textops.q_lexical_diversity,
         "q242_late_events": analytics.q_late_events,
+        "q244_source_cap_sample": textops.q_source_cap_sample,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -389,6 +390,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sketch-accuracy eval (HLL vs exact; estimate side has no
         # SQL twin) — error-bound pytest
         "q240_sketch_accuracy": sketches.q_sketch_accuracy,
+        # TTL-window streaming dedup (stateful recurrence — a
+        # suppressed event does NOT extend the window, so no SQL
+        # window expresses it); chain-semantics pytest
+        "q243_ttl_dedup": dedup.q_ttl_dedup,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -2980,6 +2985,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*)::BIGINT AS n,
                    round(avg(sv), 6) AS mean_silhouette
             FROM si GROUP BY 1 ORDER BY 1
+        """,
+        "q244_source_cap_sample": """
+            -- md5 of the doc_id string is the cross-language
+            -- deterministic selection order (mix64 has no SQL twin)
+            WITH s AS (
+                SELECT source, doc_id,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents WHERE doc_id IS NOT NULL),
+            r AS (SELECT source, doc_id,
+                         row_number() OVER (PARTITION BY source
+                                            ORDER BY h, doc_id) AS rn
+                  FROM s)
+            SELECT source, doc_id FROM r WHERE rn <= 5
+            ORDER BY source NULLS LAST, doc_id
         """,
         "q242_late_events": """
             WITH s AS (

@@ -2423,3 +2423,32 @@ def test_sketch_accuracy_bounds(ray_session):
     got = dict(zip(out["event_type"], out["n_exact"]))
     assert got == {k: int(v) for k, v in truth.items()}
     assert (out["rel_err"].abs() <= 0.05).all()
+
+
+def test_ttl_dedup_chain_semantics(ray_session, tmp_path):
+    """TTL dedup is a recurrence on KEPT events: a suppressed event
+    does not extend the window. Chain 0/40/80 min with TTL 60: 0 kept,
+    40 suppressed, 80 kept (>= 60 past the KEPT 0 — the lag-gap rule
+    would wrongly suppress it)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.dedup import q_ttl_dedup
+
+    mins = [0, 40, 80,           # user 1 type 'a': keep 0 and 80
+            0, 50, 110, 200]     # user 2 type 'b': keep 0, 110, 200
+    users = [1, 1, 1, 2, 2, 2, 2]
+    types = ["a", "a", "a", "b", "b", "b", "b"]
+    t = pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_id": pa.array(list(range(7)), pa.int64()),
+        "event_type": pa.array(types, pa.string()),
+        "ts": pa.array([m * 60_000_000 for m in mins],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0] * 7, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = q_ttl_dedup(str(tmp_path), ttl_hours=1)
+    got = {r.event_type: (r.n_kept, r.n_suppressed)
+           for r in out.itertuples()}
+    assert got == {"a": (2, 1), "b": (3, 1)}

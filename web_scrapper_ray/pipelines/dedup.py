@@ -909,3 +909,136 @@ def q_dup_rate_by_source(sf_dir: str) -> pd.DataFrame:
         else str(x).encode("utf-8", "surrogatepass").hex())
     return (res.iloc[np.argsort(hexkey.to_numpy())]
             .reset_index(drop=True))
+
+
+def q_ttl_dedup(sf_dir: str, ttl_hours: int = 1) -> pd.DataFrame:
+    """Streaming dedup with a TTL window — the stateful suppression
+    rule every event collector runs: within each (user, event_type)
+    key, an event is a DUPLICATE if the last KEPT event of that key is
+    less than ``ttl_hours`` old; kept events reset the clock. This is
+    a non-windowed recurrence (a suppressed event does NOT extend the
+    TTL), so no SQL window expresses it — the hand-built chain pytest
+    pins the semantics, including the case where a mid-burst event
+    outlives the FIRST kept event and reopens the window.
+
+    Distributed shape: one user exchange; each bucket orders its rows
+    by (user, type-bytes, ts, event_id) and walks each key's timeline
+    in JUMPS — ``searchsorted`` finds the next event past
+    last_kept + TTL, so the Python loop iterates per KEPT event
+    (bursts collapse), never per row. Returns per-type kept/suppressed
+    counts. Contract: non-NULL user/ts; NULL type is its own key."""
+    from .pairs import factorize_strings, hash_shuffle
+
+    P = 16
+    L = np.int64(ttl_hours) * 3_600_000_000
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "us": pa.array([], pa.int64()),
+                   "idf": pa.array([], pa.int64()),
+                   "typ": pa.array([], pa.string()),
+                   "tnull": pa.array([], pa.bool_()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("ts")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        typ = t2.column("event_type")
+        return pa.table({
+            "user": pa.array(uid),
+            "us": pc.cast(t2.column("ts"), pa.int64()),
+            "idf": pc.fill_null(pc.cast(t2.column("event_id"),
+                                        pa.int64()),
+                                np.iinfo(np.int64).max),
+            "typ": pc.fill_null(typ, ""),
+            "tnull": pc.is_null(typ),
+            "bucket": pa.array(np.abs(uid) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"typ": pd.Series(dtype="object"),
+                "tnull": pd.Series(dtype="bool"),
+                "n_kept": pd.Series(dtype="int64"),
+                "n_suppressed": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        key = df["typ"].where(~df["tnull"].to_numpy(bool), None)
+        tcodes, tuniq = factorize_strings(key, use_na_sentinel=False)
+        df = df.assign(tc=tcodes)
+        order = np.lexsort((df["idf"].to_numpy(np.int64),
+                            df["us"].to_numpy(np.int64),
+                            df["tc"].to_numpy(np.int64),
+                            df["user"].to_numpy(np.int64)))
+        user = df["user"].to_numpy(np.int64)[order]
+        tc = df["tc"].to_numpy(np.int64)[order]
+        us = df["us"].to_numpy(np.int64)[order]
+        seg = np.flatnonzero(np.concatenate(
+            ([True], (user[1:] != user[:-1]) | (tc[1:] != tc[:-1]),
+             [True])))
+        kept = np.zeros(len(tuniq), np.int64)
+        total = np.bincount(tc, minlength=len(tuniq)).astype(np.int64)
+        for s, e in zip(seg[:-1], seg[1:]):
+            t = us[s:e]
+            i = 0
+            k = 0
+            while i < e - s:        # one iteration per KEPT event
+                k += 1
+                i = int(np.searchsorted(t, t[i] + L, side="left"))
+            kept[tc[s]] += k
+        tun = [None if u is None or (isinstance(u, float)
+                                     and np.isnan(u)) else u
+               for u in tuniq]
+        return pd.DataFrame({
+            "typ": pd.Series(tun, dtype=object),
+            "tnull": [u is None for u in tun],
+            "n_kept": kept,
+            "n_suppressed": total - kept})
+
+    tagged = [(r, ()) for r in _docs_like(sf_dir)]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
+                          "n_kept": pd.Series(dtype="int64"),
+                          "n_suppressed": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    from .pairs import factorize_strings as _fs
+    allp = pd.concat(parts, ignore_index=True)
+    key = allp["typ"].where(~allp["tnull"].to_numpy(bool), None)
+    codes, uniq = _fs(key, use_na_sentinel=False)
+    uniq = [None if u is None or (isinstance(u, float)
+                                  and np.isnan(u)) else u
+            for u in uniq]
+    nk = np.bincount(codes, weights=allp["n_kept"].to_numpy(
+        np.float64), minlength=len(uniq)).astype(np.int64)
+    ns = np.bincount(codes, weights=allp["n_suppressed"].to_numpy(
+        np.float64), minlength=len(uniq)).astype(np.int64)
+    res = pd.DataFrame({"event_type": pd.Series(list(uniq),
+                                                dtype=object),
+                        "n_kept": nk, "n_suppressed": ns})
+    hexkey = res["event_type"].map(
+        lambda x: "zz" if x is None
+        else str(x).encode("utf-8", "surrogatepass").hex())
+    return (res.iloc[np.argsort(hexkey.to_numpy())]
+            .reset_index(drop=True))
+
+
+def _docs_like(sf_dir: str):
+    """Event block refs for the TTL dedup exchange."""
+    return [(r) for r in _read_events(sf_dir)]
+
+
+def _read_events(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "event_id", "event_type"]
+    ).to_arrow_refs()

@@ -2250,3 +2250,98 @@ def q_lexical_diversity(sf_dir: str) -> pd.DataFrame:
         else str(x).encode("utf-8", "surrogatepass").hex())
     return (res.iloc[np.argsort(hexkey.to_numpy())]
             .reset_index(drop=True))
+
+
+def q_source_cap_sample(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Capped per-group sampling — the over-representation guard in a
+    data-mixing plan (q72 decides the quota; this op ENFORCES a hard
+    per-source cap): keep at most ``k`` docs per source, selected by a
+    deterministic cross-language hash order (md5 of the doc_id string
+    — reproducible in SQL, unlike mix64), ties broken by doc_id. The
+    per-batch combiner keeps each source's local top-k, the source-
+    keyed exchange folds k × sources × batches rows (never the
+    corpus), and each bucket emits its final top-k — the classic
+    bounded-top-k-per-group plan. NULL source is a group; NULL doc_id
+    is out of contract (md5(NULL) orders as NULL)."""
+    from .pairs import factorize_strings, hash_shuffle
+
+    import hashlib as _hl
+
+    P = 16
+    _NULL = "\x00NULLSRC"
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "doc_id": pa.array([], pa.int64()),
+                   "h": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def _topk(src: np.ndarray, doc: np.ndarray,
+              h: np.ndarray) -> np.ndarray:
+        """Row indices of the per-source top-k by (h, doc)."""
+        codes, _u = factorize_strings(pd.Series(src, dtype=object))
+        order = np.lexsort((doc, h.astype("U32"), codes))
+        c_s = codes[order]
+        pos = np.arange(len(order))
+        seg_start = np.concatenate(
+            ([0], np.flatnonzero(c_s[1:] != c_s[:-1]) + 1))
+        rank = pos - np.repeat(seg_start, np.diff(
+            np.concatenate((seg_start, [len(order)]))))
+        return order[rank < k]
+
+    def split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("doc_id")))
+        if t2.num_rows == 0:
+            return _E
+        doc = t2.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        srcs = np.array(
+            [_NULL if s is None else "S" + s
+             for s in t2.column("source").to_pylist()], object)
+        h = np.array([_hl.md5(str(int(d)).encode()).hexdigest()
+                      for d in doc], object)
+        keep = _topk(srcs, doc, h)
+        hb = np.frombuffer(
+            b"".join(str(s).encode("utf-8", "surrogatepass")[:8]
+                     .ljust(8)[:8] for s in srcs[keep]), np.uint64)
+        from .pairs import mix64
+        return pa.table({
+            "src": pa.array(list(srcs[keep]), pa.string()),
+            "doc_id": pa.array(doc[keep]),
+            "h": pa.array(list(h[keep]), pa.string()),
+            "bucket": pa.array((mix64(hb) % np.uint64(P))
+                               .astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"src": pd.Series(dtype="object"),
+                "doc_id": pd.Series(dtype="int64"),
+                "h": pd.Series(dtype="object")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        keep = _topk(df["src"].to_numpy(object),
+                     df["doc_id"].to_numpy(np.int64),
+                     df["h"].to_numpy(object))
+        return df.iloc[np.sort(keep)].reset_index(drop=True)
+
+    tagged = [(r, ()) for r in _docs(
+        sf_dir, ["source", "doc_id"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"source": pd.Series(dtype="object"),
+                          "doc_id": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    src = [None if s == _NULL else s[1:] for s in allp["src"]]
+    res = pd.DataFrame({"source": pd.Series(src, dtype=object),
+                        "doc_id": allp["doc_id"].to_numpy(np.int64)})
+    hexkey = np.array([("zz" if s is None else
+                        s.encode("utf-8", "surrogatepass").hex())
+                       for s in src], object)
+    order = np.lexsort((res["doc_id"].to_numpy(np.int64), hexkey))
+    return res.iloc[order].reset_index(drop=True)
