@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q241_lexical_diversity": textops.q_lexical_diversity,
         "q242_late_events": analytics.q_late_events,
         "q244_source_cap_sample": textops.q_source_cap_sample,
+        "q245_itemsets3": analytics.q_itemsets3,
+        "q246_calibration_curve": analytics.q_calibration_curve,
+        "q247_auc": rankstats.q_auc,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -2985,6 +2988,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*)::BIGINT AS n,
                    round(avg(sv), 6) AS mean_silhouette
             FROM si GROUP BY 1 ORDER BY 1
+        """,
+        "q245_itemsets3": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            tri AS (
+                SELECT a.p AS pa_key, b.p AS pb_key, c.p AS pc_key,
+                       count(*) AS sup
+                FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
+                          JOIN op c ON c.o = a.o AND c.p > b.p
+                GROUP BY 1, 2, 3),
+            item AS (SELECT p, count(*) AS s FROM op GROUP BY p),
+            tot AS (SELECT count(DISTINCT o) AS n FROM op)
+            SELECT pa_key, pb_key, pc_key, sup::BIGINT AS sup,
+                   round(sup * n * n
+                         / (ia.s * ib.s * CAST(ic.s AS DOUBLE)), 6)
+                       AS lift
+            FROM tri JOIN item ia ON ia.p = pa_key
+                     JOIN item ib ON ib.p = pb_key
+                     JOIN item ic ON ic.p = pc_key, tot
+            ORDER BY sup DESC, pa_key, pb_key, pc_key LIMIT 20
+        """,
+        "q246_calibration_curve": """
+            WITH s AS (
+                SELECT event_id, value AS v,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events
+                WHERE event_id IS NOT NULL AND isfinite(value)),
+            t AS (SELECT y, v,
+                         ntile(10) OVER (ORDER BY v, event_id)
+                             AS decile
+                  FROM s)
+            SELECT decile::BIGINT AS decile, count(*)::BIGINT AS n,
+                   round(avg(v), 6) AS mean_score,
+                   round(sum(y) / CAST(count(*) AS DOUBLE), 6)
+                       AS pos_rate
+            FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "q247_auc": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'purchase' THEN 1
+                            ELSE 0 END AS y
+                FROM events WHERE isfinite(value)),
+            r AS (SELECT y,
+                         rank() OVER (ORDER BY v)
+                         + (count(*) OVER (PARTITION BY v) - 1) / 2.0
+                             AS mr
+                  FROM s),
+            agg AS (SELECT coalesce(sum(y), 0)::BIGINT AS n1,
+                           (count(*) - coalesce(sum(y), 0))::BIGINT
+                               AS n0,
+                           sum(CASE WHEN y = 1 THEN mr END) AS r1
+                    FROM r)
+            SELECT n1 AS n_pos, n0 AS n_neg,
+                   CASE WHEN n1 = 0 OR n0 = 0 THEN NULL
+                        ELSE round((r1 - n1 * (n1 + 1) / 2.0)
+                                   / (n1 * CAST(n0 AS DOUBLE)), 6)
+                   END AS auc
+            FROM agg
         """,
         "q244_source_cap_sample": """
             -- md5 of the doc_id string is the cross-language

@@ -9650,3 +9650,258 @@ def q_late_events(sf_dir: str, lateness_hours: int = 1) -> pd.DataFrame:
         "n_events": g["n"].to_numpy(np.int64),
         "n_late": g["n_late"].to_numpy(np.int64)}).reset_index(
         drop=True)
+
+
+def q_calibration_curve(sf_dir: str, k: int = 10,
+                        target: str = "purchase") -> pd.DataFrame:
+    """Model-calibration (reliability) curve — the eval every scored
+    dataset gets before its scores are trusted: rows are deciled by
+    the score (ntile(10) ORDER BY value, event_id — exact SQL tiling
+    via ``_ntile_of_ranks``) and each decile reports its size, mean
+    score and positive rate (event_type == target). One Dataset.sort
+    is the only all-to-all; global ranks come from block offsets
+    (q216 discipline) and each block emits per-decile (n, Σscore,
+    n_pos) partials — the driver folds P·k rows. Positive rates are
+    exact-int ratios; the mean score is the lone float fold (round6,
+    continuous data). Contract: finite value, non-NULL event_id."""
+    import ray
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        E = pa.table({"idf": pa.array([], pa.int64()),
+                      "v": pa.array([], pa.float64()),
+                      "pos": pa.array([], pa.bool_())})
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("event_id")),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return E
+        return pa.table({
+            "idf": pc.cast(t2.column("event_id"), pa.int64()),
+            "v": pc.cast(t2.column("value"), pa.float64()),
+            "pos": pc.fill_null(pc.equal(t2.column("event_type"),
+                                         target), False)})
+
+    srt = (ds.map_batches(prep, batch_format="pyarrow")
+           .sort(["v", "idf"]).materialize())
+    refs = srt.to_arrow_refs()
+
+    @ray.remote
+    def nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    counts = ray.get([nrows.remote(r) for r in refs])
+    n = int(sum(counts))
+    empty = pd.DataFrame({"decile": pd.Series(dtype="int64"),
+                          "n": pd.Series(dtype="int64"),
+                          "mean_score": pd.Series(dtype="float64"),
+                          "pos_rate": pd.Series(dtype="float64")})
+    if n == 0:
+        return empty
+    offs = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+    @ray.remote
+    def partial(t: pa.Table, off: int) -> pd.DataFrame:
+        if t.num_rows == 0:
+            return pd.DataFrame({"decile": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64"),
+                                 "s": pd.Series(dtype="float64"),
+                                 "p": pd.Series(dtype="int64")})
+        ranks = off + np.arange(t.num_rows, dtype=np.int64)
+        tile = _ntile_of_ranks(ranks, n, k)
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        pos = t.column("pos").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(tile, return_inverse=True)
+        return pd.DataFrame({
+            "decile": u,
+            "n": np.bincount(inv).astype(np.int64),
+            "s": np.bincount(inv, weights=v),
+            "p": np.bincount(inv, weights=pos).astype(np.int64)})
+
+    parts = [p for p in ray.get(
+        [partial.remote(r, int(o))
+         for r, o in zip(refs, offs)]) if len(p)]
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("decile", as_index=False)
+         .agg(n=("n", "sum"), s=("s", "sum"), p=("p", "sum")))
+    nn = g["n"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "decile": g["decile"].to_numpy(np.int64),
+        "n": nn,
+        "mean_score": round_away(
+            g["s"].to_numpy(np.float64) / nn, 6),
+        "pos_rate": round_away(
+            g["p"].to_numpy(np.float64) / nn, 6)})
+
+
+def q_itemsets3(sf_dir: str, topk: int = 20) -> pd.DataFrame:
+    """Frequent 3-ITEMSETS with lift — the Apriori step above q207's
+    pairs (rule mining needs the triple supports before it can score
+    A,B→C rules): top-k part triples by support, ties by keys, with
+    lift = sup·N² / (s_a·s_b·s_c). Stage 1 is q207's orderkey
+    exchange; triples are generated VECTORIZED per basket-size class
+    (baskets group by size, one fancy-index gather per class applies
+    the C(s,3) index LUT — no per-order Python loop; basket sizes are
+    bounded by the order's line count). Triple keys pack 3×21 bits
+    (part dim < 2^21 by contract — beyond it the same plan runs on a
+    (a,b,c) column triple with lexsort run-length counting). Stage 2
+    routes triple partials by key hash; each bucket sums supports and
+    returns its LOCAL top-k, driver folds P·k rows. All lift math is
+    exact int64 (< 2^53) → one double division, bit-identical."""
+    import ray
+
+    from itertools import combinations
+
+    from .pairs import mix64
+
+    P = 16
+    B21 = np.uint64(21)
+    lim21 = np.int64(1) << np.int64(21)
+
+    _E1 = pa.table({"okey": pa.array([], pa.int64()),
+                    "part": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split1(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return _E1
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_partkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E1
+        g = (pa.table({"okey": pc.cast(t2.column("l_orderkey"),
+                                       pa.int64()),
+                       "part": pc.cast(t2.column("l_partkey"),
+                                       pa.int64())})
+             .group_by(["okey", "part"]).aggregate([]))
+        return pa.table({"okey": g.column("okey"),
+                         "part": g.column("part"),
+                         "bucket": pc.bit_wise_and(g.column("okey"),
+                                                   P - 1)})
+
+    def merge1(*tabs) -> pa.Table:
+        E = pa.table({"kind": pa.array([], pa.int8()),
+                      "key": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return E
+        df = (pa.concat_tables(live).to_pandas().drop_duplicates()
+              .sort_values(["okey", "part"]))
+        ok = df["okey"].to_numpy(np.int64)
+        pt = df["part"].to_numpy(np.int64)
+        if len(pt) and (pt.min() < 0 or pt.max() >= int(lim21)):
+            raise ValueError("partkey outside [0, 2^21) triple-"
+                             "packing domain")
+        starts = np.flatnonzero(np.concatenate(
+            ([True], ok[1:] != ok[:-1])))
+        lens = np.diff(np.concatenate((starts, [len(ok)])))
+        keys = []
+        for s in np.unique(lens[lens >= 3]):
+            sel = starts[lens == s]
+            M = pt[sel[:, None] + np.arange(s)]       # (m, s) sorted
+            lut = np.array(list(combinations(range(int(s)), 3)))
+            T = M[:, lut]                             # (m, C(s,3), 3)
+            T = T.reshape(-1, 3).astype(np.uint64)
+            keys.append(((T[:, 0] << (B21 * np.uint64(2)))
+                         | (T[:, 1] << B21)
+                         | T[:, 2]).view(np.int64))
+        up, icnt = np.unique(pt, return_counts=True)
+        n_orders = int(np.unique(ok).size)
+        if keys:
+            uk, cnt = np.unique(np.concatenate(keys),
+                                return_counts=True)
+        else:
+            uk = np.empty(0, np.int64)
+            cnt = np.empty(0, np.int64)
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(uk.size, np.int8),
+                 np.ones(up.size, np.int8),
+                 np.full(1, 2, np.int8)])),
+            "key": pa.array(np.concatenate(
+                [uk, up, np.zeros(1, np.int64)])),
+            "n": pa.array(np.concatenate(
+                [cnt.astype(np.int64), icnt.astype(np.int64),
+                 np.full(1, n_orders, np.int64)]))})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_partkey"]).to_arrow_refs()]
+    s1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
+    s1_tabs = ray.get(list(s1))
+    empty = pd.DataFrame({"pa_key": pd.Series(dtype="int64"),
+                          "pb_key": pd.Series(dtype="int64"),
+                          "pc_key": pd.Series(dtype="int64"),
+                          "sup": pd.Series(dtype="int64"),
+                          "lift": pd.Series(dtype="float64")})
+    live = [t for t in s1_tabs if t.num_rows]
+    if not live:
+        return empty
+    cat = pa.concat_tables(live).to_pandas()
+    items = cat[cat["kind"] == 1].groupby("key")["n"].sum()
+    N = int(cat[cat["kind"] == 2]["n"].sum())
+    bc = ray.put((items.index.to_numpy(np.int64),
+                  items.to_numpy(np.int64), N))
+
+    def split2(t: pa.Table) -> pa.Table:
+        E = pa.table({"key": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return E
+        d = t.to_pandas()
+        d = d[d["kind"] == 0]
+        if d.empty:
+            return E
+        key = d["key"].to_numpy(np.int64)
+        return pa.table({"key": pa.array(key),
+                         "n": pa.array(d["n"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (mix64(key) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return empty.copy()
+        ik, isup, n_all = ray.get(bc) if isinstance(
+            bc, ray.ObjectRef) else bc
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby("key", as_index=False).agg(n=("n", "sum")))
+        key = df["key"].to_numpy(np.int64).view(np.uint64)
+        sup = df["n"].to_numpy(np.int64)
+        ua = (key >> (B21 * np.uint64(2))).astype(np.int64)
+        ub = ((key >> B21) & np.uint64(int(lim21) - 1)).astype(
+            np.int64)
+        uc = (key & np.uint64(int(lim21) - 1)).astype(np.int64)
+        sa = isup[np.searchsorted(ik, ua)]
+        sb = isup[np.searchsorted(ik, ub)]
+        sc = isup[np.searchsorted(ik, uc)]
+        # same op order as the oracle: (sup·N·N) int64-exact, one
+        # double division by ((sa·sb) int64 · double(sc))
+        lift = (sup * n_all * n_all).astype(np.float64) \
+            / ((sa * sb).astype(np.float64) * sc.astype(np.float64))
+        order = np.lexsort((uc, ub, ua, -sup))[:topk]
+        return pd.DataFrame({"pa_key": ua[order], "pb_key": ub[order],
+                             "pc_key": uc[order], "sup": sup[order],
+                             "lift": lift[order]})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in s1], split2, merge2, P=P) if len(p)]
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    order = np.lexsort((allp["pc_key"], allp["pb_key"],
+                        allp["pa_key"], -allp["sup"]))[:topk]
+    out = allp.iloc[order].reset_index(drop=True)
+    out["lift"] = round_away(out["lift"].to_numpy(np.float64), 6)
+    for c in ("pa_key", "pb_key", "pc_key", "sup"):
+        out[c] = out[c].astype("int64")
+    return out

@@ -567,3 +567,55 @@ def q_bootstrap_ci(sf_dir: str, B: int = 200,
                          "mean": round_away(sx / n, 6),
                          "ci_lo": round_away(lo, 6),
                          "ci_hi": round_away(hi, 6)})
+
+
+def q_auc(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
+    """Exact ROC AUC of ``value`` as a score for event_type == target
+    — the binary-classifier eval metric, computed by the rank-sum
+    identity AUC = (R₁ − n₁(n₁+1)/2) / (n₁n₀) with MID-ranks under
+    ties (the Mann-Whitney estimator q195 already distributes; AUC is
+    its probabilistic normalization). Same counts-per-distinct
+    exchange; mid-ranks ride as exact 2·rank integers and the one
+    float division happens in the oracle's own op order, so the value
+    is bit-identical. Rows with NULL type are non-target (CASE ELSE
+    0); non-finite scores are excluded on both sides; an empty class
+    → NULL AUC (one ungrouped-aggregate row either way)."""
+    P = 8
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E2
+        keep = pc.fill_null(pc.is_finite(t.column("value")), False)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E2
+        v = _norm_zero(t2.column("value").to_numpy(
+            zero_copy_only=False))
+        g1 = pc.fill_null(pc.equal(t2.column("event_type"), target),
+                          False).to_numpy(zero_copy_only=False)
+        return _count_split(v, np.asarray(g1, bool), P)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    c = _fold_counts(hash_shuffle(tagged, split, _count_merge, P=P))
+    if len(c) == 0:
+        return pd.DataFrame({"n_pos": pd.array([0], "int64"),
+                             "n_neg": pd.array([0], "int64"),
+                             "auc": pd.array([np.nan], "float64")})
+    c1 = c["c1"].to_numpy(np.int64)
+    call = (c["c1"] + c["c2"]).to_numpy(np.int64)
+    n1 = int(c1.sum())
+    n0 = int(call.sum()) - n1
+    if n1 == 0 or n0 == 0:
+        return pd.DataFrame({"n_pos": pd.array([n1], "int64"),
+                             "n_neg": pd.array([n0], "int64"),
+                             "auc": pd.array([np.nan], "float64")})
+    before = np.concatenate(([0], np.cumsum(call)[:-1]))
+    two_mr = 2 * before + call + 1          # exact 2·mid-rank ints
+    two_R1 = int((c1 * two_mr).sum())
+    auc = ((two_R1 / 2.0 - n1 * (n1 + 1) / 2.0)
+           / (n1 * float(n0)))
+    return pd.DataFrame({"n_pos": pd.array([n1], "int64"),
+                         "n_neg": pd.array([n0], "int64"),
+                         "auc": round_away(np.array([auc]), 6)})
