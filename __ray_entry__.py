@@ -379,6 +379,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q242_late_events": analytics.q_late_events,
         "q244_source_cap_sample": textops.q_source_cap_sample,
         "q245_itemsets3": analytics.q_itemsets3,
+        "q248_js_divergence": analytics.q_js_divergence,
+        "q249_pmi_collocations": textops.q_pmi_collocations,
         "q246_calibration_curve": analytics.q_calibration_curve,
         "q247_auc": rankstats.q_auc,
         # approximate-index eval (recall vs exact ground truth) — no
@@ -2988,6 +2990,63 @@ def oracle_sql() -> dict[str, str]:
             SELECT label, count(*)::BIGINT AS n,
                    round(avg(sv), 6) AS mean_silhouette
             FROM si GROUP BY 1 ORDER BY 1
+        """,
+        "q249_pmi_collocations": """
+            WITH w AS (
+                SELECT DISTINCT doc_id,
+                       unnest(regexp_extract_all(lower(text), '\\w+'))
+                           AS word
+                FROM documents WHERE doc_id IS NOT NULL),
+            pairs AS (
+                SELECT a.word AS wa, b.word AS wb, count(*) AS sup
+                FROM w a JOIN w b
+                     ON a.doc_id = b.doc_id AND a.word < b.word
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+            item AS (SELECT word, count(*) AS s FROM w GROUP BY 1),
+            tot AS (SELECT count(DISTINCT doc_id) AS n FROM w)
+            SELECT wa, wb, sup::BIGINT AS sup,
+                   round(ln(sup * n
+                            / (ia.s * CAST(ib.s AS DOUBLE))), 6)
+                       AS pmi
+            FROM pairs JOIN item ia ON ia.word = wa
+                       JOIN item ib ON ib.word = wb, tot
+            ORDER BY ln(sup * n / (ia.s * CAST(ib.s AS DOUBLE)))
+                     DESC, wa, wb
+            LIMIT 20
+        """,
+        "q248_js_divergence": """
+            WITH s AS (
+                SELECT event_type AS ty,
+                       ((CAST(floor(epoch_us(ts) / 86400000000.0)
+                              AS BIGINT) % 7) + 7) % 7 IN (2, 3)
+                           AS wk
+                FROM events WHERE ts IS NOT NULL),
+            c AS (SELECT ty,
+                         coalesce(sum(CASE WHEN NOT wk THEN 1 END),
+                                  0) AS cwd,
+                         coalesce(sum(CASE WHEN wk THEN 1 END), 0)
+                             AS cwe
+                  FROM s GROUP BY ty),
+            tot AS (SELECT coalesce(sum(cwd), 0) AS n1,
+                           coalesce(sum(cwe), 0) AS n2 FROM c),
+            pq AS (SELECT cwd / CAST(n1 AS DOUBLE) AS p,
+                          cwe / CAST(n2 AS DOUBLE) AS q
+                   FROM c, tot),
+            terms AS (
+                SELECT CASE WHEN p > 0
+                            THEN p * ln(p / ((p + q) / 2.0))
+                            ELSE 0 END AS tp,
+                       CASE WHEN q > 0
+                            THEN q * ln(q / ((p + q) / 2.0))
+                            ELSE 0 END AS tq
+                FROM pq)
+            SELECT (SELECT n1 FROM tot)::BIGINT AS n_weekday,
+                   (SELECT n2 FROM tot)::BIGINT AS n_weekend,
+                   CASE WHEN (SELECT n1 FROM tot) = 0
+                          OR (SELECT n2 FROM tot) = 0 THEN NULL
+                        ELSE round(0.5 * sum(tp) + 0.5 * sum(tq), 6)
+                   END AS js
+            FROM terms
         """,
         "q245_itemsets3": """
             WITH op AS (

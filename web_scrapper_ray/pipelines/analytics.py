@@ -9905,3 +9905,114 @@ def q_itemsets3(sf_dir: str, topk: int = 20) -> pd.DataFrame:
     for c in ("pa_key", "pb_key", "pc_key", "sup"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def q_js_divergence(sf_dir: str) -> pd.DataFrame:
+    """Distribution-drift metric: Jensen–Shannon divergence between
+    the WEEKDAY and WEEKEND event-type distributions — the bounded,
+    symmetric KL the drift monitors actually use (0 = identical
+    mixes, ln2 = disjoint). One (type, is_weekend) counts exchange
+    (partial per batch — the wire sees types × batches); the JS sum
+    runs over the type domain on the driver in the oracle's own
+    term order (p·ln(p/m), zero-probability terms drop). Weekend =
+    epoch-day mod 7 ∈ {2, 3} (day 0 = Thu 1970-01-01); the mod is
+    FLOORED on both sides so pre-1970 rows land on the same weekday
+    (CLAUDE.md negative-% rule). NULL type is a category; NULL ts
+    rows are out."""
+    from .pairs import factorize_strings
+
+    P = 8
+
+    _E = pa.table({"typ": pa.array([], pa.string()),
+                   "tnull": pa.array([], pa.bool_()),
+                   "wk": pa.array([], pa.bool_()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, 86_400_000_000)
+        wk = np.isin(np.mod(day, 7), (2, 3))
+        typ = pd.Series(t2.column("event_type").to_pylist(),
+                        dtype=object)
+        codes, uniq = factorize_strings(typ, use_na_sentinel=False)
+        uniq = [None if u is None or (isinstance(u, float)
+                                      and np.isnan(u)) else u
+                for u in uniq]
+        key = codes * 2 + wk
+        u, inv = np.unique(key, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        tc = (u // 2).astype(np.int64)
+        return pa.table({
+            "typ": pa.array([uniq[c] if uniq[c] is not None else ""
+                             for c in tc], pa.string()),
+            "tnull": pa.array([uniq[c] is None for c in tc]),
+            "wk": pa.array((u % 2).astype(bool)),
+            "n": pa.array(n),
+            "bucket": pa.array(tc % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"typ": pd.Series(dtype="object"),
+                "tnull": pd.Series(dtype="bool"),
+                "wk": pd.Series(dtype="bool"),
+                "n": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        key = df["typ"].where(~df["tnull"].to_numpy(bool), None)
+        codes, uniq = factorize_strings(key, use_na_sentinel=False)
+        g = (df.assign(tc=codes)
+             .groupby(["tc", "wk"], as_index=False).agg(n=("n", "sum")))
+        uniq = [None if u is None or (isinstance(u, float)
+                                      and np.isnan(u)) else u
+                for u in uniq]
+        return pd.DataFrame({
+            "typ": pd.Series([uniq[c] if uniq[c] is not None else ""
+                              for c in g["tc"]], dtype=object),
+            "tnull": [uniq[c] is None for c in g["tc"]],
+            "wk": g["wk"].astype(bool),
+            "n": g["n"].astype("int64")})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events", columns=["event_type", "ts"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    one = pd.DataFrame({"n_weekday": pd.array([0], "int64"),
+                        "n_weekend": pd.array([0], "int64"),
+                        "js": pd.array([np.nan], "float64")})
+    if not parts:
+        return one
+    allp = pd.concat(parts, ignore_index=True)
+    key = allp["typ"].where(~allp["tnull"].to_numpy(bool), None)
+    codes, uniq = factorize_strings(key, use_na_sentinel=False)
+    T = len(uniq)
+    cwd = np.zeros(T, np.int64)
+    cwe = np.zeros(T, np.int64)
+    wk = allp["wk"].to_numpy(bool)
+    nn = allp["n"].to_numpy(np.int64)
+    np.add.at(cwd, codes[~wk], nn[~wk])
+    np.add.at(cwe, codes[wk], nn[wk])
+    n1 = int(cwd.sum())
+    n2 = int(cwe.sum())
+    if n1 == 0 or n2 == 0:
+        return pd.DataFrame({"n_weekday": pd.array([n1], "int64"),
+                             "n_weekend": pd.array([n2], "int64"),
+                             "js": pd.array([np.nan], "float64")})
+    # oracle term order: p = c/n per side, m = (p+q)/2, p·ln(p/m)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        p = cwd / float(n1)
+        q = cwe / float(n2)
+        m = (p + q) / 2.0
+        tp = np.where(p > 0, p * np.log(p / m), 0.0)
+        tq = np.where(q > 0, q * np.log(q / m), 0.0)
+    js = 0.5 * float(tp.sum()) + 0.5 * float(tq.sum())
+    return pd.DataFrame({"n_weekday": pd.array([n1], "int64"),
+                         "n_weekend": pd.array([n2], "int64"),
+                         "js": round_away(np.array([js]), 6)})

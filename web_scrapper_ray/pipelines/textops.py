@@ -2345,3 +2345,147 @@ def q_source_cap_sample(sf_dir: str, k: int = 5) -> pd.DataFrame:
                        for s in src], object)
     order = np.lexsort((res["doc_id"].to_numpy(np.int64), hexkey))
     return res.iloc[order].reset_index(drop=True)
+
+
+def q_pmi_collocations(sf_dir: str, topk: int = 20,
+                       min_sup: int = 5) -> pd.DataFrame:
+    """PMI collocation mining — the corpus-linguistics twin of q207's
+    basket lift: top-k word pairs by pointwise mutual information
+    ln(sup·N / (s_a·s_b)) over document co-occurrence, support ≥
+    ``min_sup``. A document is ONE ROW, so pair generation needs no
+    exchange at all: each block emits its local (pair, n) / (word,
+    n_docs) / basket-count combiners straight from a per-doc distinct-
+    word pass; word supports + N fold driver-side (vocab-bounded, the
+    q100/q55 contract) and broadcast; one pair-keyed exchange sums
+    supports, applies the support floor, and keeps bucket-local top-k
+    by (PMI DESC, pair) — the driver folds P·k rows. Tokens are
+    ASCII \\w+ (byte order == codepoint order, so Python pair sorting
+    matches SQL's binary collation); PMI is one ln of exact-int
+    ratios in the oracle's own op order."""
+    import ray
+
+    from collections import Counter
+
+    from .pairs import hash_shuffle, mix64, round_away, str_u64
+
+    P = 32
+
+    @ray.remote
+    def stage1(t: pa.Table):
+        import pyarrow.compute as pc
+
+        E = pa.table({"kind": pa.array([], pa.int8()),
+                      "wa": pa.array([], pa.string()),
+                      "wb": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return E
+        t2 = t.filter(pc.is_valid(t.column("doc_id")))
+        # per-doc distinct words; pair generation is VECTORIZED via
+        # the within-group shift-pairing used by q207 — codes come
+        # from np.unique so they are ORDER-PRESERVING (pair (a<b) in
+        # code space == byte order in string space; ASCII tokens)
+        docs, words_all = [], []
+        n_docs = 0
+        for txt in t2.column("text").to_pylist():
+            ws = set(_TOKEN_RX.findall((txt or "").lower()))
+            if not ws:
+                continue
+            docs.extend([n_docs] * len(ws))
+            words_all.extend(ws)
+            n_docs += 1
+        if n_docs == 0:
+            return E
+        uniq, codes = np.unique(np.array(words_all, object),
+                                return_inverse=True)
+        from .graph import _pairs_by_shift
+
+        d = np.asarray(docs, np.int64)
+        order = np.lexsort((codes, d))
+        a, b = _pairs_by_shift(d[order], codes[order])
+        V = np.int64(len(uniq))
+        uk, cnt = np.unique(a * V + b, return_counts=True)
+        wcnt = np.bincount(codes, minlength=len(uniq))
+        return pa.table({
+            "kind": pa.array(np.concatenate(
+                [np.zeros(uk.size, np.int8),
+                 np.ones(len(uniq), np.int8),
+                 np.full(1, 2, np.int8)])),
+            "wa": pa.array(list(uniq[uk // V]) + list(uniq) + [""],
+                           pa.string()),
+            "wb": pa.array(list(uniq[uk % V])
+                           + [""] * (len(uniq) + 1), pa.string()),
+            "n": pa.array(np.concatenate(
+                [cnt.astype(np.int64), wcnt.astype(np.int64),
+                 np.full(1, n_docs, np.int64)]))})
+
+    refs = _docs(sf_dir, ["doc_id", "text"]).to_arrow_refs()
+    s1 = [stage1.remote(r) for r in refs]
+    s1_tabs = ray.get(s1)
+    empty = pd.DataFrame({"wa": pd.Series(dtype="object"),
+                          "wb": pd.Series(dtype="object"),
+                          "sup": pd.Series(dtype="int64"),
+                          "pmi": pd.Series(dtype="float64")})
+    live = [t for t in s1_tabs if t.num_rows]
+    if not live:
+        return empty
+    cat = pa.concat_tables(live).to_pandas()
+    kinds = cat["kind"].to_numpy(np.int8)
+    items = (cat[kinds == 1].groupby("wa")["n"].sum())
+    N = int(cat[kinds == 2]["n"].sum())
+    bc = ray.put((dict(items.items()), N))
+
+    def split2(t: pa.Table) -> pa.Table:
+        E = pa.table({"wa": pa.array([], pa.string()),
+                      "wb": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0:
+            return E
+        d = t.to_pandas()
+        d = d[d["kind"].to_numpy(np.int8) == 0]
+        if d.empty:
+            return E
+        b = np.array([str_u64(a + "\x1f" + bb) & (P - 1)
+                      for a, bb in zip(d["wa"], d["wb"])], np.int64)
+        return pa.table({"wa": pa.array(d["wa"].tolist(), pa.string()),
+                         "wb": pa.array(d["wb"].tolist(), pa.string()),
+                         "n": pa.array(d["n"].to_numpy(np.int64)),
+                         "bucket": pa.array(b)})
+
+    def merge2(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return empty.copy()
+        import ray as _ray
+
+        idict, n_all = _ray.get(bc) if not isinstance(bc, tuple) else bc
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby(["wa", "wb"], as_index=False)
+              .agg(n=("n", "sum")))
+        df = df[df["n"] >= min_sup]
+        if df.empty:
+            return empty.copy()
+        sup = df["n"].to_numpy(np.int64)
+        sa = np.array([idict[w] for w in df["wa"]], np.int64)
+        sb = np.array([idict[w] for w in df["wb"]], np.int64)
+        pmi = np.log((sup * n_all) / (sa * sb.astype(np.float64)))
+        order = np.lexsort((df["wb"].to_numpy(object),
+                            df["wa"].to_numpy(object), -pmi))[:topk]
+        out = df.iloc[order].reset_index(drop=True)
+        return pd.DataFrame({"wa": out["wa"], "wb": out["wb"],
+                             "sup": out["n"].astype("int64"),
+                             "pmi": pmi[order]})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in s1], split2, merge2, P=P) if len(p)]
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    pmi = allp["pmi"].to_numpy(np.float64)
+    order = np.lexsort((allp["wb"].to_numpy(object),
+                        allp["wa"].to_numpy(object), -pmi))[:topk]
+    out = allp.iloc[order].reset_index(drop=True)
+    out["pmi"] = round_away(out["pmi"].to_numpy(np.float64), 6)
+    out["sup"] = out["sup"].astype("int64")
+    return out
