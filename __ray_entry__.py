@@ -383,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q249_pmi_collocations": textops.q_pmi_collocations,
         "q246_calibration_curve": analytics.q_calibration_curve,
         "q247_auc": rankstats.q_auc,
+        "q250_kendall_tau": rankstats.q_kendall_tau,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3087,6 +3088,38 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(y) / CAST(count(*) AS DOUBLE), 6)
                        AS pos_rate
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "q250_kendall_tau": """
+            -- O(n²) sign-pair twin of the engine's Fenwick sweep;
+            -- row_number() OVER () only de-duplicates pairs (i<j) —
+            -- S is permutation-invariant
+            WITH s AS (
+                SELECT o_totalprice AS x, epoch_us(o_orderdate) AS y
+                FROM orders
+                WHERE isfinite(o_totalprice)
+                  AND o_orderdate IS NOT NULL),
+            r AS (SELECT x, y, row_number() OVER () AS rid FROM s),
+            cd AS (SELECT coalesce(sum(
+                       CASE WHEN (a.x < b.x AND a.y < b.y)
+                              OR (a.x > b.x AND a.y > b.y) THEN 1
+                            WHEN (a.x < b.x AND a.y > b.y)
+                              OR (a.x > b.x AND a.y < b.y) THEN -1
+                            ELSE 0 END), 0) AS sgn
+                   FROM r a JOIN r b ON b.rid > a.rid),
+            nn AS (SELECT count(*) AS n FROM s),
+            t1 AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS n1
+                   FROM (SELECT count(*) AS c FROM s GROUP BY x)),
+            t2 AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS n2
+                   FROM (SELECT count(*) AS c FROM s GROUP BY y))
+            SELECT n::BIGINT AS n,
+                   CASE WHEN n * (n - 1) // 2 > n1
+                         AND n * (n - 1) // 2 > n2
+                        THEN round(sgn / sqrt(
+                            CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                            * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)),
+                            6)
+                   END AS tau_b
+            FROM cd, nn, t1, t2
         """,
         "q247_auc": """
             WITH s AS (

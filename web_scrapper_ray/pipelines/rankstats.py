@@ -619,3 +619,119 @@ def q_auc(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
     return pd.DataFrame({"n_pos": pd.array([n1], "int64"),
                          "n_neg": pd.array([n0], "int64"),
                          "auc": round_away(np.array([auc]), 6)})
+
+
+def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
+    """Kendall τ-b between order totalprice and order date — the
+    third classical rank-association measure next to Spearman (q194)
+    and the regression family: τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with
+    full tie corrections. The exchange ships per-block (x, y, count)
+    JOINT-distinct cells (the 2-D generalization of the module's
+    counts-per-distinct contract); C − D is then an O(m log m) Fenwick
+    sweep over the cells — ascending x groups, each cell counting
+    already-inserted cells with smaller / larger y — never the O(n²)
+    pair loop the SQL twin runs. All counts are exact int64; the
+    denominator multiplies as double in the oracle's own op order.
+    Contract: finite price, non-NULL date; n < 2 or an all-tied axis
+    → NULL τ (zero denominator)."""
+    P = 8
+
+    _E = pa.table({"x": pa.array([], pa.float64()),
+                   "y": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                         False),
+            pc.is_valid(t.column("o_orderdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        x = _norm_zero(t2.column("o_totalprice").to_numpy(
+            zero_copy_only=False))
+        y = t2.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cells, inv = np.unique(np.stack([x.view(np.int64), y]),
+                               axis=1, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        xs = cells[0].view(np.float64)
+        return pa.table({"x": pa.array(xs),
+                         "y": pa.array(cells[1]),
+                         "n": pa.array(n),
+                         "bucket": pa.array(_bucket_of(xs, P))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
+        if not live:
+            return pd.DataFrame({"x": pd.Series(dtype="float64"),
+                                 "y": pd.Series(dtype="int64"),
+                                 "n": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby(["x", "y"], as_index=False)
+                .agg(n=("n", "sum")))
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_totalprice", "o_orderdate"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    one = pd.DataFrame({"n": pd.array([0], "int64"),
+                        "tau_b": pd.array([np.nan], "float64")})
+    if not parts:
+        return one
+    c = pd.concat(parts, ignore_index=True)
+    x = c["x"].to_numpy(np.float64)
+    y = c["y"].to_numpy(np.int64)
+    cnt = c["n"].to_numpy(np.int64)
+    n = int(cnt.sum())
+    if n < 2:
+        return pd.DataFrame({"n": pd.array([n], "int64"),
+                             "tau_b": pd.array([np.nan], "float64")})
+    order = np.lexsort((y, x))
+    x, y, cnt = x[order], y[order], cnt[order]
+    yr = np.searchsorted(np.unique(y), y)          # dense y ranks
+    m = int(yr.max()) + 1
+    bit = np.zeros(m + 1, np.int64)
+
+    def bit_add(i: int, v: int) -> None:
+        i += 1
+        while i <= m:
+            bit[i] += v
+            i += i & (-i)
+
+    def bit_sum(i: int) -> int:                    # counts with yr < i
+        s = 0
+        while i > 0:
+            s += bit[i]
+            i -= i & (-i)
+        return s
+
+    seg = np.flatnonzero(np.concatenate(
+        ([True], x[1:] != x[:-1], [True])))
+    C = D = 0
+    inserted = 0
+    for s, e in zip(seg[:-1], seg[1:]):
+        for i in range(s, e):
+            less = bit_sum(int(yr[i]))
+            eq = bit_sum(int(yr[i]) + 1) - less
+            C += int(cnt[i]) * less
+            D += int(cnt[i]) * (inserted - less - eq)
+        for i in range(s, e):
+            bit_add(int(yr[i]), int(cnt[i]))
+            inserted += int(cnt[i])
+    n0 = n * (n - 1) // 2
+    tx = np.bincount(np.searchsorted(np.unique(x), x),
+                     weights=cnt.astype(np.float64)).astype(np.int64)
+    ty = np.bincount(yr, weights=cnt.astype(np.float64)).astype(
+        np.int64)
+    n1 = int((tx * (tx - 1) // 2).sum())
+    n2 = int((ty * (ty - 1) // 2).sum())
+    tau = np.nan
+    if n0 > n1 and n0 > n2:
+        tau = (C - D) / np.sqrt(float(n0 - n1) * float(n0 - n2))
+    return pd.DataFrame({"n": pd.array([n], "int64"),
+                         "tau_b": round_away(np.array([tau]), 6)})
