@@ -83,7 +83,8 @@ def run_headline(num_cpus: int, out_dir: str) -> dict:
     }
 
 
-def run_queries(sf_dir: str) -> dict[str, float]:
+def run_queries(sf_dir: str) -> tuple[dict[str, float],
+                                      dict[str, float]]:
     import __ray_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -94,8 +95,9 @@ def run_queries(sf_dir: str) -> dict[str, float]:
 
     ensure_tier_crawl("t1")
     out = {}
+    spread = {}
     for name in qs:
-        best = None
+        best = worst = None
         for _ in range(max(1, BENCH_REPS)):
             t0 = time.time()
             res = qs[name](sf_dir)
@@ -104,8 +106,12 @@ def run_queries(sf_dir: str) -> dict[str, float]:
                 res = res.to_pandas()
             dt = time.time() - t0
             best = dt if best is None else min(best, dt)
+            worst = dt if worst is None else max(worst, dt)
         out[name] = round(best, 3)
-    return out
+        # rep spread = ambient-noise indicator for this query (the box
+        # varies ±30%; a large spread flags an untrustworthy sample)
+        spread[name] = round((worst - best) / best, 2) if best else 0.0
+    return out, spread
 
 
 def bench_once() -> dict:
@@ -119,14 +125,19 @@ def bench_once() -> dict:
     ctx.enable_progress_bars = False
     try:
         crawl = run_headline(NUM_CPUS, f"/tmp/wsr_bench_crawl_{NUM_CPUS}")
-        queries = run_queries(SF_DIR)
+        queries, spread = run_queries(SF_DIR)
         total = crawl["sec"] + sum(queries.values())
+        noisy = {k: v for k, v in spread.items() if v >= 0.5}
         return {
             "metric": "crawl+decode headline sec (bench world) + query battery sec",
             "value": round(total, 2),
             "unit": "sec",
             "queries": queries,
             "queries_best_of": max(1, BENCH_REPS),
+            # per-query rep spread ≥50% (ambient-noise flags; empty =
+            # clean sample); max spread over the whole battery
+            "noisy_queries": noisy,
+            "spread_max": max(spread.values()) if spread else 0.0,
             "sf": SF_DIR,
             "num_cpus": NUM_CPUS,
             "crawl": crawl,

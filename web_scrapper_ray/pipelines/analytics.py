@@ -9362,12 +9362,22 @@ def q_theilsen_slope(sf_dir: str) -> pd.DataFrame:
         return one
     days = d["day"].to_numpy(np.int64)
     revc = d["revc"].to_numpy(np.int64)
-    i, j = np.triu_indices(days.size, k=1)
-    s = (revc[j] - revc[i]) / (days[j] - days[i]).astype(np.float64)
-    s.sort()
+    n = days.size
+    # anchor-sliced fill (no O(m)-pair triu index materialization) +
+    # partition selection instead of a full sort — the med needs two
+    # order stats, not an ordering
+    m = n * (n - 1) // 2
+    s = np.empty(m)
+    pos = 0
+    for i in range(n - 1):
+        cnt = n - 1 - i
+        s[pos:pos + cnt] = (revc[i + 1:] - revc[i]) \
+            / (days[i + 1:] - days[i]).astype(np.float64)
+        pos += cnt
     rn = (s.size - 1) * 0.5
     i0 = int(np.floor(rn))
     i1 = int(np.ceil(rn))
+    s.partition([i0, i1])
     med = s[i0] if i0 == i1 else s[i0] * 0.5 + s[i1] * 0.5
     return pd.DataFrame({"n_pairs": pd.array([int(s.size)], "int64"),
                          "slope": round_away(np.array([med]), 9)})

@@ -4113,14 +4113,20 @@ def q_fk_orphans(sf_dir: str) -> pd.DataFrame:
         ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
          "supplier", "s_suppkey"),
     ]
-    rows = []
+    # all four relations' exchanges run CONCURRENTLY (gather=False →
+    # futures); sequential gathering would serialize 4× the local-mode
+    # per-exchange fixed cost
+    futs = []
     for name, ft, fc, dt, dc in relations:
         tagged = [(r, (fc, 0)) for r in
                   _read(sf_dir, ft, columns=[fc]).to_arrow_refs()]
         tagged += [(r, (dc, 1)) for r in
                    _read(sf_dir, dt, columns=[dc]).to_arrow_refs()]
-        parts = [p for p in hash_shuffle(tagged, _split, merge, P=P)
-                 if len(p)]
+        futs.append((name, hash_shuffle(tagged, _split, merge, P=P,
+                                        gather=False)))
+    rows = []
+    for name, fs in futs:
+        parts = [p for p in ray.get(fs) if len(p)]
         tot = orm = 0
         if parts:
             allp = pd.concat(parts, ignore_index=True)
