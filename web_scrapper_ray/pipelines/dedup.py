@@ -89,9 +89,9 @@ def minhash_signature(text: str) -> np.ndarray:
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from .relational import _read
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return _read(sf_dir, "documents", columns)  # memoized read
 
 
 def q_exact_dedup(sf_dir: str) -> pd.DataFrame:

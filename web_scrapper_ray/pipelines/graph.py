@@ -41,10 +41,9 @@ _KEY_BITS = 32  # (partkey << 32) | suppkey packing — guarded below
 
 
 def _read(sf_dir: str, table: str, columns=None):
-    import ray.data as rd
+    from .relational import _read as _rread
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
-                           columns=columns)
+    return _rread(sf_dir, table, columns)  # memoized materialized read
 
 
 def _unpack_edges(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:

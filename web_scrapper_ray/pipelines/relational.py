@@ -24,10 +24,34 @@ from .pairs import (coded_keys, factorize_strings, hash_shuffle, mix64,
                     round_away, str_u64)
 
 
+_READ_MEMO: dict = {}
+
+
 def _read(sf_dir: str, table: str, columns=None):
+    """Column-pruned table read, MEMOIZED as a materialized dataset
+    per (file identity, columns) within the process: a battery/driver
+    session reads the same immutable parquet dozens of times, and the
+    re-read + re-materialize was ~0.25–0.35 s of every query's fixed
+    cost. The key carries mtime+size so a rewritten file (tests
+    re-using a tmp dir) misses; FIFO eviction keeps ≤48 entries
+    pinned in the object store."""
     import ray.data as rd
 
-    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.abspath(path),
+               tuple(columns) if columns is not None else None,
+               st.st_mtime_ns, st.st_size)
+    except OSError:
+        return rd.read_parquet(path, columns=columns)
+    hit = _READ_MEMO.get(key)
+    if hit is None:
+        hit = rd.read_parquet(path, columns=columns).materialize()
+        if len(_READ_MEMO) >= 48:
+            _READ_MEMO.pop(next(iter(_READ_MEMO)))
+        _READ_MEMO[key] = hit
+    return hit
 
 
 # Ray's sort-based groupby cannot order a NULL key against a string

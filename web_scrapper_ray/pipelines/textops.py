@@ -31,9 +31,9 @@ _TOKEN_RX = re.compile(r"\w+", re.ASCII)
 
 
 def _docs(sf_dir: str, columns=None):
-    import ray.data as rd
+    from .relational import _read
 
-    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+    return _read(sf_dir, "documents", columns)  # memoized read
 
 
 def keyword_counter(texts) -> Counter:
