@@ -384,6 +384,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q246_calibration_curve": analytics.q_calibration_curve,
         "q247_auc": rankstats.q_auc,
         "q250_kendall_tau": rankstats.q_kendall_tau,
+        "q251_hill_tail_index": analytics.q_hill_tail_index,
+        "q252_eventually_follows": analytics.q_eventually_follows,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3088,6 +3090,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(y) / CAST(count(*) AS DOUBLE), 6)
                        AS pos_rate
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "q251_hill_tail_index": """
+            WITH s AS (
+                SELECT o_totalprice AS x, o_orderkey AS k
+                FROM orders
+                WHERE isfinite(o_totalprice) AND o_totalprice > 0
+                  AND o_orderkey IS NOT NULL),
+            t AS (SELECT x FROM s ORDER BY x DESC, k LIMIT 500),
+            m AS (SELECT min(x) AS xk, count(*) AS n FROM t),
+            a AS (SELECT sum(ln(x / xk)) AS ls FROM t, m)
+            SELECT (SELECT n FROM m)::BIGINT AS k,
+                   CASE WHEN (SELECT ls FROM a) > 0
+                        THEN round(1.0 + (SELECT n FROM m)
+                                   / (SELECT ls FROM a), 6)
+                   END AS alpha
+        """,
+        "q252_eventually_follows": """
+            WITH s AS (
+                SELECT user_id AS u, event_type AS ty, ts
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND event_type IS NOT NULL),
+            g AS (SELECT u, ty, min(ts) AS mn, max(ts) AS mx
+                  FROM s GROUP BY 1, 2)
+            SELECT a.ty AS type_a, b.ty AS type_b,
+                   count(*)::BIGINT AS n_users
+            FROM g a JOIN g b
+                 ON a.u = b.u AND a.ty <> b.ty AND a.mn < b.mx
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q250_kendall_tau": """
             -- O(n²) sign-pair twin of the engine's Fenwick sweep;

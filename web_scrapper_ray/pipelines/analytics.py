@@ -10026,3 +10026,166 @@ def q_js_divergence(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n_weekday": pd.array([n1], "int64"),
                          "n_weekend": pd.array([n2], "int64"),
                          "js": round_away(np.array([js]), 6)})
+
+
+def q_hill_tail_index(sf_dir: str, k: int = 500) -> pd.DataFrame:
+    """Hill estimator of the power-law tail index of order totals —
+    the heavy-tail screen run before trusting any mean-based metric
+    (α ≤ 2 means the variance doesn't exist): α = 1 + k / Σ ln(xᵢ/x_k)
+    over the k largest values. Distributed top-k WITHOUT a global
+    sort: each block emits its local (value, orderkey)-ordered top-k
+    combiner, the driver folds blocks×k rows and takes the exact
+    top-k (deterministic tie-break by orderkey). The log-sum runs in
+    the oracle's own op order (one ln per row against the k-th
+    value); an all-tied tail (Σ = 0) → SQL NULL → NaN. Contract:
+    finite positive totals, non-NULL orderkey."""
+    import ray
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    _E = pa.table({"x": pa.array([], pa.float64()),
+                   "okey": pa.array([], pa.int64())})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(
+                pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                             False),
+                pc.fill_null(pc.greater(t.column("o_totalprice"),
+                                        pa.scalar(0.0)), False)),
+            pc.is_valid(t.column("o_orderkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        x = np.asarray(t2.column("o_totalprice").to_numpy(
+            zero_copy_only=False), np.float64)
+        okey = t2.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        order = np.lexsort((okey, -x))[:k]
+        return pa.table({"x": pa.array(x[order]),
+                         "okey": pa.array(okey[order])})
+
+    parts = (ds.map_batches(local_topk, batch_format="pyarrow")
+             .to_pandas())
+    one = pd.DataFrame({"k": pd.array([0], "int64"),
+                        "alpha": pd.array([np.nan], "float64")})
+    if parts.empty:
+        return one
+    x = parts["x"].to_numpy(np.float64)
+    okey = parts["okey"].to_numpy(np.int64)
+    order = np.lexsort((okey, -x))[:k]
+    x = x[order]
+    xk = x[-1]
+    lsum = float(np.log(x / xk).sum())
+    alpha = 1.0 + x.size / lsum if lsum > 0 else np.nan
+    return pd.DataFrame({"k": pd.array([int(x.size)], "int64"),
+                         "alpha": round_away(np.array([alpha]), 6)})
+
+
+def q_eventually_follows(sf_dir: str) -> pd.DataFrame:
+    """Process-mining eventually-follows matrix — the relation behind
+    every process-discovery algorithm (q116's transition counts are
+    DIRECTLY-follows; this is the transitive version): for each
+    ordered type pair (A, B), how many users have SOME A event before
+    SOME B event — equivalently min_ts(A) < max_ts(B) per user, an
+    O(types²) test over the per-user (type, min, max) summary, never
+    the event pairs. One user exchange of per-batch (user, type, min,
+    max) combiners; each bucket folds its users' type summaries and
+    emits per-pair counts on factorized codes (NUL-safe); the driver
+    sums a types² frame. Contract: non-NULL user/ts/type."""
+    from .pairs import factorize_strings
+
+    P = 16
+
+    _E = pa.table({"user": pa.array([], pa.int64()),
+                   "typ": pa.array([], pa.string()),
+                   "mn": pa.array([], pa.int64()),
+                   "mx": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_type" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("user_id")),
+                          pc.is_valid(t.column("ts"))),
+            pc.is_valid(t.column("event_type")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        typ = pd.Series(t2.column("event_type").to_pylist(),
+                        dtype=object)
+        codes, uniq = factorize_strings(typ)
+        key = pd.DataFrame({"u": uid, "c": codes, "us": us})
+        g = key.groupby(["u", "c"], as_index=False).agg(
+            mn=("us", "min"), mx=("us", "max"))
+        u = g["u"].to_numpy(np.int64)
+        return pa.table({
+            "user": pa.array(u),
+            "typ": pa.array([uniq[c] for c in g["c"]], pa.string()),
+            "mn": pa.array(g["mn"].to_numpy(np.int64)),
+            "mx": pa.array(g["mx"].to_numpy(np.int64)),
+            "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"type_a": pd.Series(dtype="object"),
+                "type_b": pd.Series(dtype="object"),
+                "n_users": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["typ"])
+        g = (df.assign(c=codes)
+             .groupby(["user", "c"], as_index=False)
+             .agg(mn=("mn", "min"), mx=("mx", "max")))
+        T = len(uniq)
+        cnt = np.zeros((T, T), np.int64)
+        u = g["user"].to_numpy(np.int64)
+        c = g["c"].to_numpy(np.int64)
+        mn = g["mn"].to_numpy(np.int64)
+        mx = g["mx"].to_numpy(np.int64)
+        seg = np.flatnonzero(np.concatenate(
+            ([True], u[1:] != u[:-1], [True])))
+        for s, e in zip(seg[:-1], seg[1:]):
+            cc, mm, xx = c[s:e], mn[s:e], mx[s:e]
+            # pair (a, b): some a before some b ⇔ mn_a < mx_b
+            hit = mm[:, None] < xx[None, :]
+            np.fill_diagonal(hit, False)
+            ia, ib = np.nonzero(hit)
+            np.add.at(cnt, (cc[ia], cc[ib]), 1)
+        ia, ib = np.nonzero(cnt)
+        return pd.DataFrame({
+            "type_a": pd.Series([uniq[i] for i in ia], dtype=object),
+            "type_b": pd.Series([uniq[i] for i in ib], dtype=object),
+            "n_users": cnt[ia, ib]})
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["user_id", "ts", "event_type"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"type_a": pd.Series(dtype="object"),
+                          "type_b": pd.Series(dtype="object"),
+                          "n_users": pd.Series(dtype="int64")})
+    if not parts:
+        return empty
+    allp = pd.concat(parts, ignore_index=True)
+    from .pairs import coded_keys
+    cj, restore = coded_keys(allp, ["type_a", "type_b"])
+    out = restore(cj.groupby(["type_a", "type_b"], as_index=False)
+                  .agg(n_users=("n_users", "sum")))
+    out["n_users"] = out["n_users"].astype("int64")
+    ka = out["type_a"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    kb = out["type_b"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    order = pd.DataFrame({"a": ka, "b": kb}).sort_values(
+        ["a", "b"]).index
+    return out.loc[order].reset_index(drop=True)
