@@ -386,6 +386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q250_kendall_tau": rankstats.q_kendall_tau,
         "q251_hill_tail_index": analytics.q_hill_tail_index,
         "q252_eventually_follows": analytics.q_eventually_follows,
+        "q253_vocab_containment": textops.q_vocab_containment,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -402,6 +403,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # suppressed event does NOT extend the window, so no SQL
         # window expresses it); chain-semantics pytest
         "q243_ttl_dedup": dedup.q_ttl_dedup,
+        # MinHash estimate-vs-exact calibration (hash-deterministic,
+        # no SQL twin) — error-bound pytest
+        "q254_minhash_accuracy": dedup.q_minhash_accuracy,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)
@@ -3090,6 +3094,28 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(y) / CAST(count(*) AS DOUBLE), 6)
                        AS pos_rate
             FROM t GROUP BY 1 ORDER BY 1
+        """,
+        "q253_vocab_containment": """
+            WITH w AS (
+                SELECT DISTINCT source,
+                       unnest(regexp_extract_all(lower(text), '\\w+'))
+                           AS word
+                FROM documents WHERE source IS NOT NULL),
+            v AS (SELECT source, count(*) AS nv FROM w GROUP BY 1),
+            i AS (SELECT a.source AS sa, b.source AS sb,
+                         count(*) AS ninter
+                  FROM w a JOIN w b
+                       ON a.word = b.word AND a.source < b.source
+                  GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b,
+                   ninter::BIGINT AS n_common,
+                   round(ninter / CAST(va.nv AS DOUBLE), 6)
+                       AS containment_a,
+                   round(ninter / CAST(vb.nv AS DOUBLE), 6)
+                       AS containment_b
+            FROM i JOIN v va ON va.source = sa
+                   JOIN v vb ON vb.source = sb
+            ORDER BY 1, 2
         """,
         "q251_hill_tail_index": """
             WITH s AS (

@@ -2452,3 +2452,18 @@ def test_ttl_dedup_chain_semantics(ray_session, tmp_path):
     got = {r.event_type: (r.n_kept, r.n_suppressed)
            for r in out.itertuples()}
     assert got == {"a": (2, 1), "b": (3, 1)}
+
+
+def test_minhash_accuracy_bounds(ray_session):
+    """64-perm MinHash estimates stay within the binomial envelope of
+    the exact Jaccard over the verified near-dup pairs (σ ≈ 0.06 at
+    j=0.5; 4σ bound on the max)."""
+    from web_scrapper_ray.pipelines.dedup import q_minhash_accuracy
+
+    out = q_minhash_accuracy(SF)
+    assert len(out) == 1
+    r = out.iloc[0]
+    if r["n_pairs"] == 0:
+        return
+    assert r["mean_abs_err"] <= 0.10
+    assert r["max_abs_err"] <= 0.30

@@ -1058,3 +1058,66 @@ def _read_events(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"),
         columns=["user_id", "ts", "event_id", "event_type"]
     ).to_arrow_refs()
+
+
+def q_minhash_accuracy(sf_dir: str) -> pd.DataFrame:
+    """Sketch-accuracy eval for MinHash (q240's discipline applied to
+    the similarity sketch): over q21's verified near-dup pairs,
+    compare the 64-perm MinHash Jaccard ESTIMATE (matching-coordinate
+    fraction) against the exact shingle Jaccard the verify step
+    already computed — the calibration every LSH threshold choice
+    rests on (σ ≈ √(j(1-j)/64) ≈ 0.06 at j=0.5). The pair list is
+    output-bounded; the signatures come from ONE pushdown read of the
+    candidate docs streamed through map_batches (never the corpus).
+    Estimates are hash-deterministic → rows-only + error-bound
+    pytest."""
+    import pyarrow.dataset as pads
+    import ray
+
+    pairs = q_minhash_lsh_pairs(sf_dir)
+    empty = pd.DataFrame({"n_pairs": pd.array([0], "int64"),
+                          "mean_exact": pd.array([np.nan], "float64"),
+                          "mean_est": pd.array([np.nan], "float64"),
+                          "mean_abs_err": pd.array([np.nan],
+                                                   "float64"),
+                          "max_abs_err": pd.array([np.nan],
+                                                  "float64")})
+    if pairs.empty:
+        return empty
+    ids = np.unique(np.concatenate(
+        [pairs["doc_a"].to_numpy(np.int64),
+         pairs["doc_b"].to_numpy(np.int64)]))
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"],
+        filter=pads.field("doc_id").isin(ids.tolist()))
+
+    def sigs(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.uint64()))})
+        out = [minhash_signature(x).tolist()
+               for x in t.column("text").to_pylist()]
+        return pa.table({"doc_id": pc.cast(t.column("doc_id"),
+                                           pa.int64()),
+                         "sig": pa.array(out, pa.list_(pa.uint64()))})
+
+    import pyarrow.compute as pc
+
+    stab = ds.map_batches(sigs, batch_format="pyarrow").to_pandas()
+    smap = {int(d): np.asarray(s, np.uint64)
+            for d, s in zip(stab["doc_id"], stab["sig"])}
+    a = pairs["doc_a"].to_numpy(np.int64)
+    b = pairs["doc_b"].to_numpy(np.int64)
+    exact = pairs["jaccard"].to_numpy(np.float64)
+    est = np.array([(smap[int(x)] == smap[int(y)]).mean()
+                    for x, y in zip(a, b)])
+    err = np.abs(est - exact)
+    return pd.DataFrame({
+        "n_pairs": pd.array([int(len(err))], "int64"),
+        "mean_exact": np.round([exact.mean()], 6),
+        "mean_est": np.round([est.mean()], 6),
+        "mean_abs_err": np.round([err.mean()], 6),
+        "max_abs_err": np.round([err.max()], 6)})

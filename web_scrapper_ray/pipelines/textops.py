@@ -2489,3 +2489,141 @@ def q_pmi_collocations(sf_dir: str, topk: int = 20,
     out["pmi"] = round_away(out["pmi"].to_numpy(np.float64), 6)
     out["sup"] = out["sup"].astype("int64")
     return out
+
+
+def q_vocab_containment(sf_dir: str) -> pd.DataFrame:
+    """Cross-source vocabulary CONTAINMENT — the asymmetric
+    contamination screen (|V_a∩V_b| / |V_a| vs / |V_b|) that q181's
+    cosine can't express (a tiny source fully inside a big one has
+    low cosine but containment 1.0). Same word-hash exchange as q181:
+    each bucket owns a vocab slice, emits per-pair intersection
+    partials (source domain² bounded) and per-source vocab-size
+    partials; the driver folds sources² rows. Source keys ride
+    NUL-safe codes; pairs orient by source BYTE order (a < b), NULL
+    source is out of contract (q181 rule)."""
+    from .pairs import coded_keys, factorize_strings, hash_shuffle, str_u64
+
+    P = 32
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "word": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("source")))
+        seen = set()
+        for src, txt in zip(t2.column("source").to_pylist(),
+                            t2.column("text").to_pylist()):
+            for w in _TOKEN_RX.findall((txt or "").lower()):
+                seen.add((src, w))
+        if not seen:
+            return _E
+        srcs, words = zip(*seen)
+        b = np.array([str_u64(w) & (P - 1) for w in words], np.int64)
+        return pa.table({"src": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(words), pa.string()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"sa": pd.Series(dtype="object"),
+                "sb": pd.Series(dtype="object"),
+                "inter": pd.Series(dtype="int64"),
+                "nv": pd.Series(dtype="int64"),
+                "is_size": pd.Series(dtype="bool")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        cj, restore = coded_keys(df, ["src", "word"])
+        g = restore(cj.drop_duplicates())
+        src = g["src"].to_numpy(object)
+        hexkey = np.array([v.encode("utf-8", "surrogatepass").hex()
+                           for v in src], object)
+        wcodes, _wu = factorize_strings(g["word"])
+        # per-source vocab-size partial over this slice
+        scodes, suniq = factorize_strings(g["src"])
+        nv = np.bincount(scodes, minlength=len(suniq)).astype(np.int64)
+        # per-word source lists → oriented pair intersections
+        order = np.lexsort((hexkey, wcodes))
+        wc, ss = wcodes[order], src[order]
+        rows_a, rows_b = [], []
+        n = len(wc)
+        i = 0
+        while i < n:
+            j = i + 1
+            while j < n and wc[j] == wc[i]:
+                j += 1
+            for a in range(i, j - 1):
+                for b2 in range(a + 1, j):
+                    rows_a.append(ss[a])
+                    rows_b.append(ss[b2])
+            i = j
+        pairs = pd.DataFrame({"sa": np.array(rows_a, object),
+                              "sb": np.array(rows_b, object)})
+        if len(pairs):
+            pj, prestore = coded_keys(pairs, ["sa", "sb"])
+            pg = prestore(pj.groupby(["sa", "sb"], as_index=False)
+                          .size().rename(columns={"size": "inter"}))
+        else:
+            pg = pd.DataFrame({"sa": pd.Series(dtype=object),
+                               "sb": pd.Series(dtype=object),
+                               "inter": pd.Series(dtype="int64")})
+        out = pd.DataFrame({
+            "sa": pd.concat([pg["sa"],
+                             pd.Series(list(suniq), dtype=object)],
+                            ignore_index=True),
+            "sb": pd.concat([pg["sb"],
+                             pd.Series(list(suniq), dtype=object)],
+                            ignore_index=True),
+            "inter": np.concatenate([pg["inter"].to_numpy(np.int64),
+                                     np.zeros(len(suniq), np.int64)]),
+            "nv": np.concatenate([np.zeros(len(pg), np.int64), nv]),
+            "is_size": np.concatenate([np.zeros(len(pg), bool),
+                                       np.ones(len(suniq), bool)])})
+        return out
+
+    tagged = [(r, ()) for r in _docs(
+        sf_dir, ["source", "text"]).to_arrow_refs()]
+    parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
+             if len(p)]
+    empty = pd.DataFrame({"source_a": pd.Series(dtype="object"),
+                          "source_b": pd.Series(dtype="object"),
+                          "n_common": pd.Series(dtype="int64"),
+                          "containment_a": pd.Series(dtype="float64"),
+                          "containment_b": pd.Series(dtype="float64")})
+    if not parts:
+        return empty
+    from .pairs import coded_keys as ck
+    allp = pd.concat(parts, ignore_index=True)
+    sizes = allp[allp["is_size"]]
+    scode, suniq = factorize_strings(sizes["sa"])
+    nv = np.bincount(scode, weights=sizes["nv"].to_numpy(np.float64),
+                     minlength=len(suniq)).astype(np.int64)
+    nmap = dict(zip(suniq, nv))
+    ip = allp[~allp["is_size"]]
+    if ip.empty:
+        return empty
+    pj, prestore = ck(ip[["sa", "sb"]].assign(
+        inter=ip["inter"].to_numpy(np.int64)), ["sa", "sb"])
+    pg = prestore(pj.groupby(["sa", "sb"], as_index=False)
+                  .agg(inter=("inter", "sum")))
+    inter = pg["inter"].to_numpy(np.int64)
+    na = np.array([nmap[s] for s in pg["sa"]], np.int64)
+    nb = np.array([nmap[s] for s in pg["sb"]], np.int64)
+    from .pairs import round_away
+    res = pd.DataFrame({
+        "source_a": pg["sa"], "source_b": pg["sb"],
+        "n_common": inter,
+        "containment_a": round_away(inter / na.astype(np.float64), 6),
+        "containment_b": round_away(inter / nb.astype(np.float64), 6)})
+    ka = res["source_a"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    kb = res["source_b"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    order = pd.DataFrame({"a": ka, "b": kb}).sort_values(
+        ["a", "b"]).index
+    return res.loc[order].reset_index(drop=True)
