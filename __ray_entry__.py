@@ -406,6 +406,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MinHash estimate-vs-exact calibration (hash-deterministic,
         # no SQL twin) — error-bound pytest
         "q254_minhash_accuracy": dedup.q_minhash_accuracy,
+        # Matryoshka truncated-dim retrieval eval (deterministic, no
+        # SQL twin) — monotonicity pytest
+        "q255_matryoshka_recall": similarity.q_matryoshka_recall,
+        # k-means vs labels Adjusted Rand Index (iterative upstream,
+        # no SQL twin) — planted-blob pytest
+        "q256_cluster_ari": similarity.q_cluster_ari,
         # text analysis (q19 lives here — SQL-checkable, must never be
         # starved by the crawl block: r2's driver run dropped the last
         # two registry entries, so ordering is cheap/SQL-checked first)

@@ -2467,3 +2467,49 @@ def test_minhash_accuracy_bounds(ray_session):
         return
     assert r["mean_abs_err"] <= 0.10
     assert r["max_abs_err"] <= 0.30
+
+
+def test_matryoshka_recall_monotone(ray_session):
+    """Full-dim recall is exactly 1 (self-ground-truth); recall stays
+    in [0, 1] at every truncation."""
+    from web_scrapper_ray.pipelines.similarity import q_matryoshka_recall
+
+    out = q_matryoshka_recall(SF, query_ids=(0, 1, 2, 3), k=5)
+    r = dict(zip(out["dim"], out["mean_recall"]))
+    assert r[64] == 1.0
+    assert all(0.0 <= v <= 1.0 for v in r.values())
+
+
+def test_cluster_ari_planted_blobs(ray_session, tmp_path):
+    """Four well-separated blobs labeled consistently → k-means
+    recovers them and ARI = 1; ARI is invariant to a label
+    permutation."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_cluster_ari
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(4, 64)) * 10
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(20):
+            rows.append((vid, centers[c] + 0.05 * rng.normal(size=64),
+                         c))
+            vid += 1
+    # q71's deterministic init uses vec_id 0..k-1 as seeds — reorder
+    # so the first four rows are one per blob
+    order = [0, 20, 40, 60] + [i for i in range(80)
+                               if i not in (0, 20, 40, 60)]
+    rows = [rows[i] for i in order]
+    for perm in ((0, 1, 2, 3), (2, 0, 3, 1)):
+        t = pa.table({
+            "vec_id": pa.array(list(range(80)), pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows],
+                                  pa.list_(pa.float32())),
+            "label": pa.array([perm[r[2]] for r in rows],
+                              pa.int32())})
+        pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+        out = q_cluster_ari(str(tmp_path), k=4, iters=3)
+        assert out["ari"].iloc[0] == 1.0, (perm, out)

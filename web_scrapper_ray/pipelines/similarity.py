@@ -130,14 +130,19 @@ def _merge_topk(partials: pd.DataFrame, k: int) -> pd.DataFrame:
     return top[["query_id", "rank", "neighbor_id"]].reset_index(drop=True)
 
 
-def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -> pd.DataFrame:
+def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3),
+                     k: int = 5, dim_slice: int = 0) -> pd.DataFrame:
     """Top-k cosine neighbors for each query vector (excluding self).
-    Returns (query_id, rank, neighbor_id); ties broken by neighbor_id."""
+    Returns (query_id, rank, neighbor_id); ties broken by neighbor_id.
+    ``dim_slice`` > 0 keeps only the first d coordinates (renormalized
+    on BOTH sides) — the Matryoshka-truncation eval hook (q255)."""
     import ray
 
     qids, qmat = _query_matrix(sf_dir, query_ids)
     if len(qids) == 0:  # none of the requested ids exist
         return _EMPTY_KNN.copy()
+    if dim_slice and dim_slice < qmat.shape[1]:
+        qmat = _unit(qmat[:, :dim_slice])
     qref = ray.put((qids, qmat))
 
     def local_topk(batch: pa.Table) -> pa.Table:
@@ -145,6 +150,8 @@ def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3), k: int = 5) -
         ids, mat = _batch_matrix(batch)
         if len(ids) == 0:
             return _EMPTY_TOPK
+        if dim_slice and dim_slice < mat.shape[1]:
+            mat = mat[:, :dim_slice]
         sims = _unit(mat) @ qmat_.T  # (n, nq)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, len(ids))
@@ -1443,3 +1450,111 @@ def q_silhouette(sf_dir: str) -> pd.DataFrame:
         "label": all_labels[keep].astype(np.int32),
         "n": n_out[keep],
         "mean_silhouette": round_away(s_sum[keep] / n_out[keep], 6)})
+
+
+def q_matryoshka_recall(sf_dir: str, query_ids: tuple = tuple(range(8)),
+                        k: int = 10,
+                        dims: tuple = (64, 32, 16, 8)) -> pd.DataFrame:
+    """Matryoshka / truncated-dimension retrieval eval — how much
+    recall@k survives keeping only the first d coordinates of every
+    embedding (the memory-for-recall trade hierarchical-embedding
+    deployments make): for each d, brute-force top-k on the truncated
+    renormalized vectors vs the full-dimension ground truth. One
+    streamed scan per d with broadcast probes (q24's discipline — the
+    corpus crosses nothing, per-batch top-k partials fold on the
+    driver). Deterministic → rows-only + monotonicity pytest."""
+    rows = []
+    gt = None
+    for d in dims:
+        res = q_knn_bruteforce(sf_dir, query_ids=query_ids, k=k,
+                               dim_slice=int(d))
+        got = {q: set(g["neighbor_id"]) for q, g in
+               res.groupby("query_id", sort=True)}
+        if gt is None:
+            gt = got          # first (largest) d IS the ground truth
+        recalls = [len(got.get(q, set()) & s) / max(len(s), 1)
+                   for q, s in sorted(gt.items())]
+        rows.append((int(d), len(recalls),
+                     round(float(np.mean(recalls)), 6)
+                     if recalls else np.nan))
+    return pd.DataFrame({
+        "dim": pd.array([r[0] for r in rows], "int64"),
+        "n_probes": pd.array([r[1] for r in rows], "int64"),
+        "mean_recall": [r[2] for r in rows]})
+
+
+def q_cluster_ari(sf_dir: str, k: int = 4,
+                  iters: int = 2) -> pd.DataFrame:
+    """Clustering-agreement eval: Adjusted Rand Index between q71's
+    k-means assignment and the embedding LABELS — the
+    external-validity twin of q237's internal silhouette (does the
+    unsupervised structure recover the known classes?). The centroids
+    come from q71's deterministic contract; ONE more streaming pass
+    assigns vectors and pre-combines per-batch (cluster, label, n)
+    contingency partials — k×L×batches rows fold on the driver, and
+    ARI is exact-int pair counting with two float divisions. No SQL
+    twin (k-means is iterative); the planted-blob pytest pins ARI=1
+    and label-permutation invariance."""
+    cents = q_kmeans(sf_dir, k=k, iters=iters)
+    empty = pd.DataFrame({"n": pd.array([0], "int64"),
+                          "ari": pd.array([np.nan], "float64")})
+    if cents.empty:
+        return empty
+    d = int(cents["pos"].max())  # q71's pos is 1-based
+    C = np.zeros((k, d))
+    C[cents["cluster"].to_numpy(np.int64),
+      cents["pos"].to_numpy(np.int64) - 1] = cents["c"].to_numpy(
+        np.float64)
+    import ray
+    import ray.data as rd
+
+    cref = ray.put(C)
+    pool = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("embedding").is_valid()
+                & pads.field("label").is_valid()
+                & pads.field("vec_id").is_valid()))
+
+    def contingency(t: pa.Table) -> pa.Table:
+        E = pa.table({"cl": pa.array([], pa.int64()),
+                      "lab": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "label" not in t.schema.names:
+            return E
+        labels = np.asarray(t.column("label").to_numpy(
+            zero_copy_only=False), np.int64)
+        _ids, mat = _batch_matrix(t.select(["vec_id", "embedding"]))
+        if not len(labels):
+            return E
+        cm = ray.get(cref)
+        d2 = ((mat[:, None, :] - cm[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        key = assign * (labels.max() + 1) + labels
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "cl": pa.array((u // (labels.max() + 1)).astype(np.int64)),
+            "lab": pa.array((u % (labels.max() + 1)).astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64))})
+
+    parts = pool.map_batches(contingency,
+                             batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    g = parts.groupby(["cl", "lab"], as_index=False).agg(n=("n", "sum"))
+    nij = g["n"].to_numpy(np.int64)
+    n = int(nij.sum())
+    if n < 2:
+        return pd.DataFrame({"n": pd.array([n], "int64"),
+                             "ari": pd.array([np.nan], "float64")})
+    a = g.groupby("cl")["n"].sum().to_numpy(np.int64)
+    b = g.groupby("lab")["n"].sum().to_numpy(np.int64)
+    sum_ij = int((nij * (nij - 1) // 2).sum())
+    sum_a = int((a * (a - 1) // 2).sum())
+    sum_b = int((b * (b - 1) // 2).sum())
+    n2 = n * (n - 1) // 2
+    exp = sum_a * sum_b / n2
+    mx = (sum_a + sum_b) / 2.0
+    ari = (sum_ij - exp) / (mx - exp) if mx != exp else np.nan
+    return pd.DataFrame({"n": pd.array([n], "int64"),
+                         "ari": np.round([ari], 6)})
