@@ -387,6 +387,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q251_hill_tail_index": analytics.q_hill_tail_index,
         "q252_eventually_follows": analytics.q_eventually_follows,
         "q253_vocab_containment": textops.q_vocab_containment,
+        "q257_kaplan_meier": analytics.q_kaplan_meier,
+        "q258_quadratic_fit": analytics.q_quadratic_fit,
+        "q259_markov_stationary": analytics.q_markov_stationary,
+        "q260_degree_assortativity": graph.q_degree_assortativity,
+        "q261_sax_symbols": analytics.q_sax_symbols,
+        "q262_hits_hubs": graph.q_hits_hubs,
+        "q263_greedy_source_cover": textops.q_greedy_source_cover,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3122,6 +3129,190 @@ def oracle_sql() -> dict[str, str]:
             FROM i JOIN v va ON va.source = sa
                    JOIN v vb ON vb.source = sb
             ORDER BY 1, 2
+        """,
+        "q257_kaplan_meier": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            pu AS (
+                SELECT user_id, min(ts) AS st, max(ts) AS la,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS pt
+                FROM e GROUP BY user_id),
+            dur AS (
+                SELECT (epoch_us(coalesce(pt, la)) - epoch_us(st))
+                           // 3600000000 AS h,
+                       (pt IS NOT NULL) AS obs
+                FROM pu),
+            g AS (
+                SELECT h, count(*)::BIGINT AS m,
+                       (count(*) FILTER (WHERE obs))::BIGINT AS d
+                FROM dur GROUP BY h),
+            k AS (
+                SELECT h, d,
+                       (sum(m) OVER (ORDER BY h DESC))::BIGINT
+                           AS n_risk
+                FROM g),
+            k2 AS (
+                SELECT h, d, n_risk,
+                       product(1.0 - d::DOUBLE / n_risk)
+                           OVER (ORDER BY h) AS surv
+                FROM k)
+            SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
+            FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q263_greedy_source_cover": """
+            WITH w AS (
+                SELECT DISTINCT source, word FROM (
+                    SELECT source,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '\\w+')) AS word
+                    FROM documents WHERE source IS NOT NULL)),
+            r1 AS (SELECT source, count(*)::BIGINT AS gain FROM w
+                   GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+            w2 AS (SELECT * FROM w WHERE word NOT IN
+                       (SELECT word FROM w
+                        WHERE source = (SELECT source FROM r1))),
+            r2 AS (SELECT source, count(*)::BIGINT AS gain FROM w2
+                   GROUP BY source ORDER BY gain DESC, source LIMIT 1),
+            w3 AS (SELECT * FROM w2 WHERE word NOT IN
+                       (SELECT word FROM w2
+                        WHERE source = (SELECT source FROM r2))),
+            r3 AS (SELECT source, count(*)::BIGINT AS gain FROM w3
+                   GROUP BY source ORDER BY gain DESC, source LIMIT 1)
+            SELECT 1::BIGINT AS round, * FROM r1
+            UNION ALL SELECT 2::BIGINT, * FROM r2
+            UNION ALL SELECT 3::BIGINT, * FROM r3
+            ORDER BY round
+        """,
+        "q262_hits_hubs": """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+            ed AS (
+                SELECT p AS src, s AS dst, 0 AS phase FROM e
+                UNION ALL
+                SELECT s AS src, p AS dst, 1 AS phase FROM e),
+            it(i, node, val) AS (
+                SELECT 0, p, 1.0::DOUBLE
+                FROM (SELECT DISTINCT p FROM e)
+                UNION ALL
+                SELECT i + 1, ed.dst, sum(val)
+                FROM it JOIN ed
+                     ON ed.src = it.node AND ed.phase = i % 2
+                WHERE i < 12
+                GROUP BY i + 1, ed.dst)
+            SELECT node::BIGINT AS partkey,
+                   round(val / (SELECT sum(val) FROM it WHERE i = 12),
+                         6) AS hub
+            FROM it WHERE i = 12 ORDER BY 1
+        """,
+        "q261_sax_symbols": """
+            WITH d AS (
+                SELECT epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000 AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            s AS (
+                SELECT day, revc,
+                       avg(revc) OVER () AS mu,
+                       stddev_pop(revc) OVER () AS sd
+                FROM d)
+            SELECT day::BIGINT AS day,
+                   CASE WHEN sd = 0 THEN NULL
+                        WHEN (revc - mu) / sd < -0.6744897501960817
+                            THEN 0
+                        WHEN (revc - mu) / sd < 0 THEN 1
+                        WHEN (revc - mu) / sd < 0.6744897501960817
+                            THEN 2
+                        ELSE 3 END::BIGINT AS sym
+            FROM s ORDER BY day
+        """,
+        "q260_degree_assortativity": """
+            WITH e AS (
+                SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL AND l_suppkey IS NOT NULL),
+            dp AS (SELECT p, count(*)::DOUBLE AS degp
+                   FROM e GROUP BY p),
+            dsup AS (SELECT s, count(*)::DOUBLE AS degs
+                     FROM e GROUP BY s)
+            SELECT count(*)::BIGINT AS n_edges,
+                   round(corr(dp.degp, dsup.degs), 6) AS assort
+            FROM e JOIN dp USING (p) JOIN dsup USING (s)
+        """,
+        "q259_markov_stationary": """
+            WITH RECURSIVE tr AS (
+                SELECT src, dst, count(*)::DOUBLE AS n FROM (
+                    SELECT event_type AS src,
+                           lead(event_type) OVER (
+                               PARTITION BY user_id
+                               ORDER BY ts, event_id) AS dst
+                    FROM events
+                    WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL) s
+                WHERE dst IS NOT NULL GROUP BY src, dst),
+            mat AS (
+                SELECT src, dst,
+                       n / sum(n) OVER (PARTITION BY src) AS w
+                FROM tr),
+            it(i, t, p) AS (
+                SELECT 0, src,
+                       1.0::DOUBLE /
+                           (SELECT count(DISTINCT src) FROM tr)
+                FROM (SELECT DISTINCT src FROM tr)
+                UNION ALL
+                SELECT i + 1, m.dst, sum(it.p * m.w)
+                FROM it JOIN mat m ON m.src = it.t
+                WHERE i < 12 GROUP BY i + 1, m.dst)
+            SELECT t AS event_type,
+                   round(p / (SELECT sum(p) FROM it WHERE i = 12), 6)
+                       AS prob
+            FROM it WHERE i = 12 ORDER BY 1
+        """,
+        "q258_quadratic_fit": """
+            WITH t AS (
+                SELECT l_returnflag AS flag,
+                       CASE WHEN ok THEN l_quantity END AS x1,
+                       CASE WHEN ok THEN l_quantity * l_quantity END
+                           AS x2,
+                       CASE WHEN ok THEN l_extendedprice END AS y
+                FROM (SELECT *,
+                             (l_quantity IS NOT NULL
+                              AND l_extendedprice IS NOT NULL
+                              AND isfinite(l_quantity)
+                              AND isfinite(l_extendedprice)) AS ok
+                      FROM lineitem)),
+            a AS (
+                SELECT flag, count(x1)::BIGINT AS n,
+                       count(DISTINCT x1) AS ndist,
+                       var_pop(x1) AS v11, covar_pop(x1, x2) AS v12,
+                       var_pop(x2) AS v22,
+                       covar_pop(x1, y) AS g1, covar_pop(x2, y) AS g2,
+                       avg(x1) AS m1, avg(x2) AS m2, avg(y) AS my
+                FROM t GROUP BY flag),
+            b AS (
+                SELECT flag, n, ndist,
+                       (v11 * v22 - v12 * v12) AS det,
+                       (v22 * g1 - v12 * g2) AS nb1,
+                       (v11 * g2 - v12 * g1) AS nb2,
+                       m1, m2, my
+                FROM a)
+            SELECT flag, n,
+                   CASE WHEN ndist >= 3
+                        THEN round(nb1 / det, 6) END AS b1,
+                   CASE WHEN ndist >= 3
+                        THEN round(nb2 / det, 6) END AS b2,
+                   CASE WHEN ndist >= 3
+                        THEN round(my - (nb1 / det) * m1
+                                      - (nb2 / det) * m2, 6)
+                        END AS icept
+            FROM b ORDER BY flag
         """,
         "q251_hill_tail_index": """
             WITH s AS (

@@ -10189,3 +10189,325 @@ def q_eventually_follows(sf_dir: str) -> pd.DataFrame:
     order = pd.DataFrame({"a": ka, "b": kb}).sort_values(
         ["a", "b"]).index
     return out.loc[order].reset_index(drop=True)
+
+
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier survival curve of hours-to-first-purchase, the
+    product-limit estimator every churn/retention analysis starts
+    from: per user, duration = first 'purchase' ts − first event ts,
+    right-CENSORED at the user's last event when no purchase exists.
+    Distributed as per-batch per-user (min ts, max ts, min purchase
+    ts) partials → one user-keyed raw-task exchange → per-bucket
+    duration histogram (hour, at-risk count m, death count d), so the
+    driver folds hours × buckets tiny rows, never users. S(h) =
+    Π_{h'≤h} (1 − d/n_risk) runs as a sequential cumprod ascending h —
+    the exact op order of the oracle's windowed ``product()`` — with
+    n_risk the reverse running sum of m (deaths and same-hour censored
+    both count as at-risk, the standard KM tie convention). Durations
+    are ≥ 0 by construction so the hour bin's truncating ``//``
+    equals floor even for pre-1970 timestamps. Rows with a NULL
+    user_id or ts are out of contract on both sides; a NULL
+    event_type simply never matches 'purchase'."""
+    B = 32
+    HOUR = 3_600_000_000
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+    cols = {"h": pd.Series(dtype="int64"),
+            "n_risk": pd.Series(dtype="int64"),
+            "d": pd.Series(dtype="int64"),
+            "surv": pd.Series(dtype="float64")}
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "st": pa.array([], pa.int64()),
+                   "la": pa.array([], pa.int64()),
+                   "pt": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        if not pc.all(keep).as_py():
+            t = t.filter(keep)
+        if t.num_rows == 0:
+            return _E
+        uid = t.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ts = t.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        is_p = pc.fill_null(
+            pc.equal(t.column("event_type"), "purchase"),
+            False).to_numpy(zero_copy_only=False)
+        pt = np.where(is_p, ts, _IMAX)
+        g = (pd.DataFrame({"u": uid, "st": ts, "la": ts, "pt": pt})
+             .groupby("u", sort=False)
+             .agg(st=("st", "min"), la=("la", "max"), pt=("pt", "min"))
+             .reset_index())
+        u = g["u"].to_numpy(np.int64)
+        return pa.table({"user_id": pa.array(u),
+                         "st": pa.array(g["st"].to_numpy(np.int64)),
+                         "la": pa.array(g["la"].to_numpy(np.int64)),
+                         "pt": pa.array(g["pt"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (u % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "m": pd.Series(dtype="int64"),
+                                 "d": pd.Series(dtype="int64")})
+        t = pa.concat_tables(live).to_pandas()
+        g = (t.groupby("user_id", sort=False)
+             .agg(st=("st", "min"), la=("la", "max"), pt=("pt", "min")))
+        obs = g["pt"].to_numpy(np.int64) != _IMAX
+        end = np.where(obs, g["pt"].to_numpy(np.int64),
+                       g["la"].to_numpy(np.int64))
+        h = (end - g["st"].to_numpy(np.int64)) // HOUR
+        hist = (pd.DataFrame({"h": h, "m": 1,
+                              "d": obs.astype(np.int64)})
+                .groupby("h", as_index=False).sum())
+        return hist
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("h", as_index=False).sum()
+         .sort_values("h").reset_index(drop=True))
+    m = g["m"].to_numpy(np.int64)
+    d = g["d"].to_numpy(np.int64)
+    n_risk = np.cumsum(m[::-1])[::-1]
+    surv = np.cumprod(1.0 - d.astype(np.float64) / n_risk)
+    keep = d > 0
+    return pd.DataFrame({
+        "h": g["h"].to_numpy(np.int64)[keep],
+        "n_risk": n_risk[keep].astype(np.int64),
+        "d": d[keep],
+        "surv": round_away(surv[keep], 6)})
+
+
+def q_quadratic_fit(sf_dir: str) -> pd.DataFrame:
+    """Per-returnflag QUADRATIC least-squares fit of extendedprice on
+    (quantity, quantity²) — the 2-feature normal-equations twin of
+    q92's simple regression (SQL has no regr_* for more than one
+    regressor, so the oracle solves the same 2×2 system from
+    var_pop/covar_pop). One streaming pass of per-batch per-group
+    CENTERED moment partials (Chan's parallel merge — q92's rule: raw
+    Σx² cancels catastrophically), exchange sees flags × batches rows.
+    Rank guard: the Vandermonde system is singular iff the group has
+    < 3 DISTINCT quantities, an EXACT integer condition mirrored on
+    both sides (a float det≈0 test would diverge in the last ulp) —
+    partials carry the first 3 distinct quantity values per group so
+    the merged distinct count saturates at 3. Non-finite or NULL
+    (quantity, price) pairs are masked INSIDE the aggregate (DuckDB
+    var_pop raises on NaN/±inf); the group row itself still surfaces
+    with n=0 and NULL coefficients, like SQL GROUP BY."""
+    from .pairs import factorize_strings
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    _M = ("n", "m1", "m2", "my", "s11", "s12", "s22", "c1", "c2",
+          "q_a", "q_b", "q_c")
+    _EMPTY = pa.table({"flag": pa.array([], pa.string()),
+                       **{c: pa.array([], pa.float64()) for c in _M}})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_returnflag" not in t.schema.names:
+            return _EMPTY
+        ok = pc.and_(
+            pc.fill_null(pc.is_finite(t.column("l_quantity")), False),
+            pc.fill_null(pc.is_finite(t.column("l_extendedprice")),
+                         False))
+        df = pd.DataFrame({
+            "flag": t.column("l_returnflag").to_pandas(),
+            "q": t.column("l_quantity").to_numpy(zero_copy_only=False),
+            "y": t.column("l_extendedprice").to_numpy(
+                zero_copy_only=False),
+            "ok": ok.to_numpy(zero_copy_only=False)})
+
+        def mom(g: pd.DataFrame) -> pd.Series:
+            g = g[g["ok"]]
+            base = {c: 0.0 for c in _M}
+            base.update({"q_a": np.nan, "q_b": np.nan, "q_c": np.nan})
+            if not len(g):
+                return pd.Series(base)
+            x1 = g["q"].to_numpy(np.float64)
+            x2 = x1 * x1
+            y = g["y"].to_numpy(np.float64)
+            m1, m2, my = x1.mean(), x2.mean(), y.mean()
+            d1, d2, dy = x1 - m1, x2 - m2, y - my
+            dq = np.unique(x1)[:3]
+            return pd.Series({
+                "n": float(len(x1)), "m1": m1, "m2": m2, "my": my,
+                "s11": float(d1 @ d1), "s12": float(d1 @ d2),
+                "s22": float(d2 @ d2), "c1": float(d1 @ dy),
+                "c2": float(d2 @ dy),
+                "q_a": dq[0] if dq.size > 0 else np.nan,
+                "q_b": dq[1] if dq.size > 1 else np.nan,
+                "q_c": dq[2] if dq.size > 2 else np.nan})
+
+        codes, uniq = factorize_strings(df["flag"],
+                                        use_na_sentinel=False)
+        g = (df.assign(_c=codes).groupby("_c")
+             .apply(mom, include_groups=False).reset_index())
+        g["flag"] = uniq.to_numpy()[g["_c"].to_numpy()]
+        return pa.table({"flag": pa.Array.from_pandas(
+                             g["flag"], type=pa.string()),
+                         **{c: pa.array(g[c].to_numpy()
+                                        .astype(np.float64))
+                            for c in _M}})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"flag": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "b1": pd.Series(dtype="float64"),
+            "b2": pd.Series(dtype="float64"),
+            "icept": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+
+    def chan2(g: pd.DataFrame) -> pd.Series:
+        n = m1 = m2 = my = s11 = s12 = s22 = c1 = c2 = 0.0
+        dq: set = set()
+        for r in g.itertuples(index=False):
+            for v in (r.q_a, r.q_b, r.q_c):
+                if v == v and len(dq) < 3:
+                    dq.add(v)
+            nb = r.n
+            if nb == 0.0:
+                continue
+            if n == 0.0:
+                n, m1, m2, my = nb, r.m1, r.m2, r.my
+                s11, s12, s22, c1, c2 = r.s11, r.s12, r.s22, r.c1, r.c2
+                continue
+            tot = n + nb
+            e1, e2, ey = r.m1 - m1, r.m2 - m2, r.my - my
+            w = n * nb / tot
+            s11 += r.s11 + e1 * e1 * w
+            s12 += r.s12 + e1 * e2 * w
+            s22 += r.s22 + e2 * e2 * w
+            c1 += r.c1 + e1 * ey * w
+            c2 += r.c2 + e2 * ey * w
+            m1 += e1 * nb / tot
+            m2 += e2 * nb / tot
+            my += ey * nb / tot
+            n = tot
+        return pd.Series({"n": n, "m1": m1, "m2": m2, "my": my,
+                          "s11": s11, "s12": s12, "s22": s22,
+                          "c1": c1, "c2": c2, "ndist": float(len(dq))})
+
+    pcodes, puniq = factorize_strings(parts["flag"],
+                                      use_na_sentinel=False)
+    m = (parts.assign(_c=pcodes).groupby("_c")
+         .apply(chan2, include_groups=False).reset_index())
+    m["flag"] = puniq.to_numpy()[m["_c"].to_numpy()]
+    n = m["n"].to_numpy()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        # population (÷n) moments — the oracle's var_pop/covar_pop
+        v11, v12, v22 = (m["s11"].to_numpy() / n,
+                         m["s12"].to_numpy() / n,
+                         m["s22"].to_numpy() / n)
+        g1, g2 = m["c1"].to_numpy() / n, m["c2"].to_numpy() / n
+        det = v11 * v22 - v12 * v12
+        b1 = (v22 * g1 - v12 * g2) / det
+        b2 = (v11 * g2 - v12 * g1) / det
+        icept = (m["my"].to_numpy() - b1 * m["m1"].to_numpy()
+                 - b2 * m["m2"].to_numpy())
+    full_rank = m["ndist"].to_numpy() >= 3.0
+    b1 = np.where(full_rank, b1, np.nan)
+    b2 = np.where(full_rank, b2, np.nan)
+    icept = np.where(full_rank, icept, np.nan)
+    out = pd.DataFrame({"flag": m["flag"],
+                        "n": n.astype(np.int64),
+                        "b1": round_away(b1, 6),
+                        "b2": round_away(b2, 6),
+                        "icept": round_away(icept, 6)})
+    out["flag"] = out["flag"].astype(object).where(
+        out["flag"].notna(), None)
+    return out.reset_index(drop=True)
+
+
+def q_markov_stationary(sf_dir: str, iters: int = 12) -> pd.DataFrame:
+    """Stationary distribution of the per-user event-type Markov chain
+    by power iteration — 12 unnormalized steps of d·P from a uniform
+    start over source types, then one final L1 normalization (leak
+    through sink types is linear, so normalizing once at the end is
+    EXACTLY the per-step-renormalized direction). The transition
+    counts come from the same distributed exchange as q116 (computed
+    fresh here — the (src,dst,n) matrix is types² rows at any corpus
+    scale, so the iteration itself is driver-side by design); the
+    oracle is a recursive CTE running the identical join-aggregate
+    recursion. Types that appear only as destinations hold an all-zero
+    row (their mass vanishes next step), mirroring the SQL join
+    dropping them; if every reachable type is a sink the recursion
+    dries up before step 12 and BOTH sides return zero rows. Float op
+    order differs between np.dot and SQL's join-sum only in the last
+    ulp per step; round(…, 6) absorbs 12 steps of it."""
+    from .relational import q_event_transitions
+
+    cols = {"event_type": pd.Series(dtype="object"),
+            "prob": pd.Series(dtype="float64")}
+    tm = q_event_transitions(sf_dir)
+    if tm.empty:
+        return pd.DataFrame(cols)
+    types = sorted({*tm["src"], *tm["dst"]})
+    idx = {t: i for i, t in enumerate(types)}  # Python str hash is
+    k = len(types)                             # full-bytes (NUL-safe)
+    P = np.zeros((k, k), np.float64)
+    si = np.fromiter((idx[s] for s in tm["src"]), np.int64,
+                     len(tm))
+    di = np.fromiter((idx[t] for t in tm["dst"]), np.int64,
+                     len(tm))
+    np.add.at(P, (si, di), tm["n"].to_numpy(np.float64))
+    row = P.sum(axis=1)          # integer-valued: exact in any order
+    has_out = row > 0
+    W = np.divide(P, row[:, None], out=np.zeros_like(P),
+                  where=has_out[:, None])
+    n_src = int(has_out.sum())
+    d = np.where(has_out, 1.0 / n_src, 0.0)
+    for _ in range(iters):
+        d = d @ W
+        if not d.any():
+            return pd.DataFrame(cols)
+    tot = float(d.sum())
+    nz = d > 0
+    out = pd.DataFrame({
+        "event_type": pd.Series([types[i] for i in
+                                 np.flatnonzero(nz)], dtype=object),
+        "prob": round_away(d[nz] / tot, 6)})
+    return out.reset_index(drop=True)
+
+
+def q_sax_symbols(sf_dir: str) -> pd.DataFrame:
+    """SAX symbolization of the daily-revenue series — the discretized
+    representation behind classic time-series indexing/motif search:
+    z-normalize the per-day order revenue and map each day to a
+    4-letter alphabet via the standard Gaussian breakpoints
+    (±0.6744897501960817, 0 — the N(0,1) quartiles). Reuses the
+    exact-cents counts-per-day exchange (q199's helper): the wide work
+    is the day groupby; the z-scoring touches only the ~#days series.
+    Parity: cents sums and the constant-series mean are EXACT integers
+    on both sides, so sd == 0.0 is an exact flag (whole-series NULL
+    symbols, float64 column like a DuckDB all-NULL BIGINT); breakpoint
+    comparisons sit on continuous revenue z-scores where the two
+    sides' last-ulp sd difference is measure-zero."""
+    BP = np.array([-0.6744897501960817, 0.0, 0.6744897501960817])
+    d = _daily_rev_cents(sf_dir)
+    if d.empty:
+        return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                             "sym": pd.Series(dtype="int64")})
+    days = d["day"].to_numpy(np.int64)
+    x = d["revc"].to_numpy(np.float64)
+    mu = x.sum() / x.size  # exact-int sum below 2^53, like SQL avg
+    sd = float(np.sqrt(np.mean((x - mu) ** 2)))
+    if sd == 0.0:
+        return pd.DataFrame({"day": days,
+                             "sym": np.full(days.size, np.nan)})
+    z = (x - mu) / sd
+    # CASE z < b0 → 0 | z < b1 → 1 | z < b2 → 2 | else 3
+    sym = np.searchsorted(BP, z, side="right").astype(np.int64)
+    return pd.DataFrame({"day": days, "sym": sym})

@@ -848,3 +848,216 @@ def q_clustering_coefficient(sf_dir: str, P: int = 32,
                          "degree": deg[keep],
                          "n_tri": tri[keep],
                          "cc": round_away(cc, 6)})
+
+
+def _bipartite_edge_refs(sf_dir: str, P: int = 32) -> list:
+    """Distinct (part, supplier) edges as per-bucket packed-key
+    ObjectRefs, KEEPING the two node spaces separate (unlike
+    ``_edge_buckets``, which unions them into one undirected space).
+    Each distinct edge lands in exactly one bucket, so per-bucket
+    degree/contribution partials fold without double counting."""
+    import pyarrow.compute as pc
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    def split(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or "l_partkey" not in block.schema.names:
+            keys = np.empty(0, np.uint64)
+        else:
+            keep = pc.and_kleene(pc.is_valid(block.column("l_partkey")),
+                                 pc.is_valid(block.column("l_suppkey")))
+            block = block.filter(pc.fill_null(keep, False))
+            p = block.column("l_partkey").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            s = block.column("l_suppkey").to_numpy(
+                zero_copy_only=False).astype(np.uint64)
+            if len(p) and (p.max() >= lim or s.max() >= lim):
+                raise ValueError("part/supp key >= 2^32 — pack overflow")
+            keys = np.unique((p << np.uint64(_KEY_BITS)) | s)
+        return pa.table({
+            "key": pa.array(keys.view(np.int64), pa.int64()),
+            "bucket": pa.array((mix64(keys) % np.uint64(P))
+                               .astype(np.int64))})
+
+    def merge(*tabs) -> np.ndarray:
+        live = [t for t in tabs if t.num_rows]
+        if not live:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(
+            [t.column("key").to_numpy(zero_copy_only=False)
+             for t in live]))
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey"])
+    return hash_shuffle([(r, ()) for r in li.to_arrow_refs()],
+                        split, merge, P=P, gather=False)
+
+
+def q_degree_assortativity(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Bipartite degree assortativity of the part–supplier graph: the
+    Pearson correlation, over DISTINCT (part, supplier) edges, between
+    the part's supplier-degree and the supplier's part-degree — the
+    standard mixing diagnostic (negative = hubs attach to leaves).
+    One packed-key hash exchange dedups edges globally (each distinct
+    edge lands in exactly ONE bucket); per-bucket partial degree
+    counts fold into two dimension-sized degree tables (parts and
+    suppliers are the small side of this graph at any lineitem scale —
+    the same broadcast bound as q67's rank vector); a second task wave
+    over the SAME bucket refs joins degrees locally via searchsorted
+    and emits centered Chan moment partials, so the driver merges P
+    tiny rows. corr = Sxy/√(Sxx·Syy) with EXACT min==max constancy
+    flags (q92's rule) → NULL like DuckDB's corr on a constant side or
+    n < 2; an ungrouped SQL aggregate emits exactly one row even on
+    empty input (q136's rule), mirrored here."""
+    import ray
+
+    from .pairs import round_away
+
+    edge_refs = _bipartite_edge_refs(sf_dir, P)
+
+    @ray.remote
+    def degree_partial(keys: np.ndarray):
+        if not len(keys):
+            e = np.empty(0, np.int64)
+            return (e, e), (e, e)
+        pn, sn = _unpack_edges(keys)
+        up, cp = np.unique(pn, return_counts=True)
+        us, cs = np.unique(sn, return_counts=True)
+        return (up, cp.astype(np.int64)), (us, cs.astype(np.int64))
+
+    one = lambda n, a: pd.DataFrame(  # noqa: E731
+        {"n_edges": pd.array([n], "int64"),
+         "assort": pd.array([a], "float64")})
+
+    dp: dict = {}
+    ds: dict = {}
+    deg_parts = ray.get([degree_partial.remote(r) for r in edge_refs])
+    for (up, cp), (us, cs) in deg_parts:
+        for k, c in zip(up.tolist(), cp.tolist()):
+            dp[k] = dp.get(k, 0) + c
+        for k, c in zip(us.tolist(), cs.tolist()):
+            ds[k] = ds.get(k, 0) + c
+    if not dp:
+        return one(0, np.nan)
+    pk = np.fromiter(dp.keys(), np.int64, len(dp))
+    po = np.argsort(pk)
+    pk, pv = pk[po], np.fromiter(dp.values(), np.int64, len(dp))[po]
+    sk = np.fromiter(ds.keys(), np.int64, len(ds))
+    so = np.argsort(sk)
+    sk, sv = sk[so], np.fromiter(ds.values(), np.int64, len(ds))[so]
+    pref, sref = ray.put((pk, pv)), ray.put((sk, sv))
+
+    @ray.remote
+    def moment_partial(keys: np.ndarray, ptab, stab):
+        if not len(keys):
+            return None
+        pn, sn = _unpack_edges(keys)
+        pk, pv = ptab
+        sk, sv = stab
+        x = pv[np.searchsorted(pk, pn)].astype(np.float64)
+        y = sv[np.searchsorted(sk, sn)].astype(np.float64)
+        mx, my = x.mean(), y.mean()
+        dx, dy = x - mx, y - my
+        return (float(len(x)), mx, my, float(dx @ dx),
+                float(dx @ dy), float(dy @ dy),
+                float(x.min()), float(x.max()),
+                float(y.min()), float(y.max()))
+
+    moms = [m for m in ray.get(
+        [moment_partial.remote(r, pref, sref) for r in edge_refs])
+        if m is not None]
+    n = mx = my = sxx = sxy = syy = 0.0
+    xmin = ymin = np.inf
+    xmax = ymax = -np.inf
+    for nb, bmx, bmy, bxx, bxy, byy, bx0, bx1, by0, by1 in moms:
+        xmin, xmax = min(xmin, bx0), max(xmax, bx1)
+        ymin, ymax = min(ymin, by0), max(ymax, by1)
+        if n == 0.0:
+            n, mx, my, sxx, sxy, syy = nb, bmx, bmy, bxx, bxy, byy
+            continue
+        tot = n + nb
+        dx, dy = bmx - mx, bmy - my
+        w = n * nb / tot
+        sxx += bxx + dx * dx * w
+        sxy += bxy + dx * dy * w
+        syy += byy + dy * dy * w
+        mx += dx * nb / tot
+        my += dy * nb / tot
+        n = tot
+    if n < 2.0 or xmin == xmax or ymin == ymax:
+        return one(int(n), np.nan)
+    assort = sxy / np.sqrt(sxx * syy)
+    return one(int(n), round_away(np.array([assort]), 6)[0])
+
+
+def q_hits_hubs(sf_dir: str, rounds: int = 6, P: int = 32
+                ) -> pd.DataFrame:
+    """HITS hub scores of parts in the bipartite part–supplier graph —
+    the link-analysis complement to q67's PageRank (hubs point at good
+    authorities; 6 alternating rounds of hub = E·auth, auth = Eᵀ·hub
+    from hub₀ ≡ 1). Same layout discipline as PageRank: distinct edge
+    buckets stay in the object store, each round is one task wave per
+    bucket scattering np.bincount partials over dense node indices,
+    and the driver holds only the two dimension-sized score vectors
+    (parts/suppliers are the small side at any lineitem scale). No
+    per-round normalization — leak-free growth is linear, so the
+    single final L1 normalization is exactly the per-round-normalized
+    direction, and it keeps every intermediate INTEGER-valued (exact
+    on both sides until 2^53; beyond that the normalized round(…, 6)
+    absorbs the last-ulp summation-order drift vs the oracle's
+    recursive join-aggregate)."""
+    import ray
+
+    from .pairs import round_away
+
+    cols = {"partkey": pd.Series(dtype="int64"),
+            "hub": pd.Series(dtype="float64")}
+    edge_refs = _bipartite_edge_refs(sf_dir, P)
+
+    @ray.remote
+    def bucket_nodes(keys: np.ndarray):
+        if not len(keys):
+            e = np.empty(0, np.int64)
+            return e, e
+        pn, sn = _unpack_edges(keys)
+        return np.unique(pn), np.unique(sn)
+
+    parts = np.empty(0, np.int64)
+    supps = np.empty(0, np.int64)
+    for ref in [bucket_nodes.remote(r) for r in edge_refs]:
+        up, us = ray.get(ref)
+        if len(up):
+            parts = np.union1d(parts, up)
+        if len(us):
+            supps = np.union1d(supps, us)
+    if not len(parts):
+        return pd.DataFrame(cols)
+    pref, sref = ray.put(parts), ray.put(supps)
+
+    @ray.remote
+    def dense(keys: np.ndarray, ptab, stab):
+        pn, sn = _unpack_edges(keys)
+        return (np.searchsorted(ptab, pn).astype(np.int64),
+                np.searchsorted(stab, sn).astype(np.int64))
+
+    dense_refs = [dense.remote(r, pref, sref) for r in edge_refs]
+
+    @ray.remote
+    def scatter(idx, vec: np.ndarray, n: int, side: int) -> np.ndarray:
+        pi, si = idx
+        src, dst = (pi, si) if side == 0 else (si, pi)
+        out = np.zeros(n, np.float64)
+        np.add.at(out, dst, vec[src])
+        return out
+
+    hub = np.ones(len(parts), np.float64)
+    for _ in range(rounds):
+        aref = ray.put(hub)
+        auth = sum(ray.get([scatter.remote(d, aref, len(supps), 0)
+                            for d in dense_refs]))
+        bref = ray.put(auth)
+        hub = sum(ray.get([scatter.remote(d, bref, len(parts), 1)
+                           for d in dense_refs]))
+    tot = float(hub.sum())
+    # parts holds _unpack_edges' even node codes (2·partkey) — decode
+    return pd.DataFrame({"partkey": parts >> 1,
+                         "hub": round_away(hub / tot, 6)})

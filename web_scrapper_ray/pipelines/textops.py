@@ -2627,3 +2627,112 @@ def q_vocab_containment(sf_dir: str) -> pd.DataFrame:
     order = pd.DataFrame({"a": ka, "b": kb}).sort_values(
         ["a", "b"]).index
     return res.loc[order].reset_index(drop=True)
+
+
+def q_greedy_source_cover(sf_dir: str, k: int = 3, P: int = 32
+                          ) -> pd.DataFrame:
+    """Greedy maximum-coverage selection of document SOURCES by
+    vocabulary — the classic data-mixture primitive (pick the source
+    adding the most unseen words, k rounds): round r reports (r,
+    source, marginal gain in distinct words). Distributed like q253:
+    one word-hash exchange builds distinct (source, word) bucket
+    tables that STAY in the object store (gather=False); each round is
+    one task wave re-deriving the bucket's covered-word set from the
+    broadcast picked-source list (3 rounds × P tasks — recompute beats
+    carrying per-bucket mutable state) and emitting per-source
+    uncovered counts, so the driver folds sources × buckets tiny rows.
+    A source whose words are all covered emits no row (SQL's filtered
+    GROUP BY drops it); ties break by gain DESC then source UTF-8
+    BYTE order (DuckDB's binary collation). NULL source is out of
+    contract (q181/q253 rule)."""
+    import ray
+
+    from .pairs import hash_shuffle, str_u64
+
+    cols = {"round": pd.Series(dtype="int64"),
+            "source": pd.Series(dtype="object"),
+            "gain": pd.Series(dtype="int64")}
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "word": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("source")))
+        seen = set()
+        for src, txt in zip(t2.column("source").to_pylist(),
+                            t2.column("text").to_pylist()):
+            for w in _TOKEN_RX.findall((txt or "").lower()):
+                seen.add((src, w))
+        if not seen:
+            return _E
+        srcs, words = zip(*seen)
+        b = np.array([str_u64(w) & (P - 1) for w in words], np.int64)
+        return pa.table({"src": pa.array(list(srcs), pa.string()),
+                         "word": pa.array(list(words), pa.string()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _E.drop_columns(["bucket"])
+        t = pa.concat_tables(live)
+        # Python-set dedup, NOT pandas drop_duplicates: pandas hashes
+        # object strings as NUL-terminated C strings and would merge
+        # 'w' with 'w\\x00x' (CLAUDE.md factorize_strings rule)
+        seen = sorted(set(zip(t.column("src").to_pylist(),
+                              t.column("word").to_pylist())))
+        return pa.table({
+            "src": pa.array([s for s, _ in seen], pa.string()),
+            "word": pa.array([w for _, w in seen], pa.string())})
+
+    bucket_refs = hash_shuffle(
+        [(r, ()) for r in _docs(
+            sf_dir, columns=["source", "text"]).to_arrow_refs()],
+        split, merge, P=P, gather=False)
+
+    @ray.remote
+    def gains(tab: pa.Table, picked: tuple) -> pd.DataFrame:
+        if tab.num_rows == 0:
+            return pd.DataFrame({"source": pd.Series(dtype="object"),
+                                 "gain": pd.Series(dtype="int64")})
+        df = tab.to_pandas()
+        pick = set(picked)
+        covered = set(df.loc[[s in pick for s in df["src"]], "word"])
+        live = df[[w not in covered for w in df["word"]]]
+        out = (live.groupby(live["src"].map(
+            lambda s: s.encode("utf-8", "surrogatepass")),
+            as_index=True)["word"].count())
+        return pd.DataFrame({"source": [b.decode("utf-8",
+                                                 "surrogatepass")
+                                        for b in out.index],
+                             "gain": out.to_numpy(np.int64)})
+
+    picked: list = []
+    rows = []
+    for r in range(1, k + 1):
+        parts = [p for p in ray.get(
+            [gains.remote(ref, tuple(picked)) for ref in bucket_refs])
+            if len(p)]
+        if not parts:
+            break
+        agg: dict = {}
+        for p in parts:
+            for s, g in zip(p["source"], p["gain"]):
+                agg[s] = agg.get(s, 0) + int(g)
+        best = min(agg.items(),
+                   key=lambda kv: (-kv[1],
+                                   kv[0].encode("utf-8",
+                                                "surrogatepass")))
+        rows.append({"round": r, "source": best[0], "gain": best[1]})
+        picked.append(best[0])
+    if not rows:
+        return pd.DataFrame(cols)
+    out = pd.DataFrame(rows)
+    out["round"] = out["round"].astype(np.int64)
+    out["gain"] = out["gain"].astype(np.int64)
+    return out
