@@ -130,6 +130,20 @@ def _image_features(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _image_quality(sf_dir: str):
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.stages.multimodal import ImageQuality
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "bytes"])
+    out = ds.map_batches(
+        ImageQuality, batch_format="pyarrow", batch_size=128, concurrency=2
+    ).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _entities(sf_dir: str):
     import os
 
@@ -394,6 +408,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q261_sax_symbols": analytics.q_sax_symbols,
         "q262_hits_hubs": graph.q_hits_hubs,
         "q263_greedy_source_cover": textops.q_greedy_source_cover,
+        "q264_weighted_jaccard": textops.q_weighted_jaccard,
+        "q265_loo_source_impact": textops.q_loo_source_impact,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -496,6 +512,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q37_phash_neardup": _phash_neardup,
         "q36_phash_dup_groups": _phash_dup_groups,
         "q35_image_features": _image_features,
+        "q266_image_quality": _image_quality,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,
     }
@@ -3160,6 +3177,44 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q264_weighted_jaccard": """
+            WITH c AS (
+                SELECT source, word, count(*)::BIGINT AS c FROM (
+                    SELECT source,
+                           unnest(regexp_extract_all(lower(text),
+                                                     '\\w+')) AS word
+                    FROM documents WHERE source IS NOT NULL)
+                GROUP BY source, word),
+            tot AS (SELECT source, sum(c)::BIGINT AS t
+                    FROM c GROUP BY source),
+            mins AS (
+                SELECT a.source AS sa, b.source AS sb,
+                       sum(least(a.c, b.c))::BIGINT AS m
+                FROM c a JOIN c b
+                     ON a.word = b.word AND a.source < b.source
+                GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b,
+                   round(m / CAST(ta.t + tb.t - m AS DOUBLE), 6)
+                       AS wjaccard
+            FROM mins JOIN tot ta ON ta.source = sa
+                      JOIN tot tb ON tb.source = sb
+            ORDER BY 1, 2
+        """,
+        "q265_loo_source_impact": """
+            WITH d AS (
+                SELECT source, n_chars FROM documents
+                WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+            s AS (SELECT source, count(*)::BIGINT AS ns,
+                         sum(n_chars)::DOUBLE AS ts
+                  FROM d GROUP BY source),
+            g AS (SELECT count(*)::BIGINT AS n,
+                         sum(n_chars)::DOUBLE AS t FROM d)
+            SELECT source, ns AS n_docs,
+                   CASE WHEN g.n - ns > 0
+                        THEN round((g.t - ts) / (g.n - ns)
+                                   - g.t / g.n, 6) END AS loo_delta
+            FROM s, g ORDER BY source
         """,
         "q263_greedy_source_cover": """
             WITH w AS (

@@ -264,6 +264,33 @@ def test_multimodal_stages(ray_session):
     assert len(frames) == 3
 
 
+def test_image_quality_stage(ray_session):
+    """Flat image → zero Laplacian variance and zero contrast; a
+    checkerboard is sharper (higher lap_var) than the flat one;
+    brightness equals the constructed luma."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray import codecs
+    from web_scrapper_ray.stages.multimodal import ImageQuality
+
+    flat = np.full((16, 16, 3), 100, np.uint8)
+    checker = np.zeros((16, 16, 3), np.uint8)
+    checker[::2, ::2] = 255
+    checker[1::2, 1::2] = 255
+    ds = rd.from_arrow(pa.Table.from_pylist([
+        {"image_id": "flat", "bytes": codecs.png_encode(flat)},
+        {"image_id": "checker", "bytes": codecs.png_encode(checker)},
+    ]))
+    out = (ds.map_batches(ImageQuality, batch_format="pyarrow",
+                          concurrency=1, num_cpus=0.5)
+           .to_pandas().set_index("image_id"))
+    assert out.loc["flat", "lap_var"] == 0.0
+    assert out.loc["flat", "contrast"] == 0.0
+    assert abs(out.loc["flat", "brightness"] - 100.0) < 1e-9
+    assert out.loc["checker", "lap_var"] > 1000.0
+
+
 def test_simhash_neardup_pairs_planted(ray_session, tmp_path):
     """Near-identical texts land within the hamming ball; the planted
     twin is recovered by the banded simhash near-dup operator."""

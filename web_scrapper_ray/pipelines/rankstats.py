@@ -526,7 +526,9 @@ def q_bootstrap_ci(sf_dir: str, B: int = 200,
         sx = np.zeros(T)
         np.add.at(sx, codes, v)
         for b in range(B):
-            u = (mix64(ids ^ (np.uint64(b + 1) * golden))
+            with np.errstate(over="ignore"):  # deliberate u64 wraparound
+                salt = np.uint64(b + 1) * golden
+            u = (mix64(ids ^ salt)
                  >> np.uint64(11)).astype(np.float64) / float(1 << 53)
             w = np.searchsorted(pk, u).astype(np.float64)
             np.add.at(sw[:, b], codes, w)

@@ -2736,3 +2736,190 @@ def q_greedy_source_cover(sf_dir: str, k: int = 3, P: int = 32
     out["round"] = out["round"].astype(np.int64)
     out["gain"] = out["gain"].astype(np.int64)
     return out
+
+
+def q_weighted_jaccard(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Weighted (multiset) Jaccard between source vocabularies —
+    Σ_w min(c_a, c_b) / Σ_w max(c_a, c_b) over per-source token
+    COUNTS, the frequency-aware upgrade of q253's set containment
+    (a source quoting another's rare words a thousand times moves
+    this score, not that one). Identity Σmax = T_a + T_b − Σmin turns
+    the pair score into one Σmin exchange plus per-source token
+    totals: each word-hash bucket owns its vocabulary slice GLOBALLY
+    (counts for a word from every batch land in the same bucket), so
+    per-pair Σmin partials are exact and the driver folds sources²
+    × buckets tiny rows. All sums are exact integers — both sides
+    compute the same division, round(…, 6) is belt-and-braces. Pairs
+    orient by source UTF-8 byte order (a < b); pairs sharing no word
+    emit no row, like the oracle's join. NULL source is out of
+    contract (q253 rule)."""
+    import ray  # noqa: F401  (hash_shuffle spawns the tasks)
+
+    from .pairs import hash_shuffle, str_u64
+
+    cols = {"source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "wjaccard": pd.Series(dtype="float64")}
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "word": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("source")))
+        cnt: dict = {}
+        for src, txt in zip(t2.column("source").to_pylist(),
+                            t2.column("text").to_pylist()):
+            for w in _TOKEN_RX.findall((txt or "").lower()):
+                key = (src, w)
+                cnt[key] = cnt.get(key, 0) + 1
+        if not cnt:
+            return _E
+        keys = list(cnt.keys())
+        b = np.array([str_u64(w) & (P - 1) for _, w in keys], np.int64)
+        return pa.table({
+            "src": pa.array([s for s, _ in keys], pa.string()),
+            "word": pa.array([w for _, w in keys], pa.string()),
+            "c": pa.array(np.fromiter(cnt.values(), np.int64,
+                                      len(cnt))),
+            "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        out_cols = {"sa": pd.Series(dtype="object"),
+                    "sb": pd.Series(dtype="object"),
+                    "msum": pd.Series(dtype="int64"),
+                    "tot": pd.Series(dtype="int64"),
+                    "is_tot": pd.Series(dtype="bool")}
+        if not live:
+            return pd.DataFrame(out_cols)
+        t = pa.concat_tables(live)
+        # global per-(source, word) counts for this vocab slice —
+        # Python dicts: exact full-byte string keys (NUL rule)
+        cnt: dict = {}
+        for s, w, c in zip(t.column("src").to_pylist(),
+                           t.column("word").to_pylist(),
+                           t.column("c").to_pylist()):
+            key = (s, w)
+            cnt[key] = cnt.get(key, 0) + c
+        by_word: dict = {}
+        tot: dict = {}
+        for (s, w), c in cnt.items():
+            by_word.setdefault(w, []).append((s, c))
+            tot[s] = tot.get(s, 0) + c
+        mins: dict = {}
+        for w, lst in by_word.items():
+            if len(lst) < 2:
+                continue
+            lst = sorted(lst, key=lambda x: x[0].encode(
+                "utf-8", "surrogatepass"))
+            for i in range(len(lst)):
+                for j in range(i + 1, len(lst)):
+                    pair = (lst[i][0], lst[j][0])
+                    mins[pair] = (mins.get(pair, 0)
+                                  + min(lst[i][1], lst[j][1]))
+        rows = ([{"sa": a, "sb": b, "msum": m, "tot": 0,
+                  "is_tot": False} for (a, b), m in mins.items()]
+                + [{"sa": s, "sb": "", "msum": 0, "tot": c,
+                    "is_tot": True} for s, c in tot.items()])
+        return pd.DataFrame(rows)
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in _docs(
+            sf_dir, columns=["source", "text"]).to_arrow_refs()],
+        split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame(cols)
+    allp = pd.concat(parts, ignore_index=True)
+    totals: dict = {}
+    mins: dict = {}
+    for r in allp.itertuples(index=False):
+        if r.is_tot:
+            totals[r.sa] = totals.get(r.sa, 0) + int(r.tot)
+        else:
+            pair = (r.sa, r.sb)
+            mins[pair] = mins.get(pair, 0) + int(r.msum)
+    if not mins:
+        return pd.DataFrame(cols)
+    out = pd.DataFrame(
+        [{"source_a": a, "source_b": b,
+          "wjaccard": m / float(totals[a] + totals[b] - m)}
+         for (a, b), m in mins.items()])
+    from .pairs import round_away
+    out["wjaccard"] = round_away(out["wjaccard"].to_numpy(), 6)
+    ka = out["source_a"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    kb = out["source_b"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    order = pd.DataFrame({"a": ka, "b": kb}).sort_values(
+        ["a", "b"]).index
+    return out.loc[order].reset_index(drop=True)
+
+
+def q_loo_source_impact(sf_dir: str) -> pd.DataFrame:
+    """Leave-one-source-out impact on mean document length — the
+    cheapest data-attribution screen (how much would the corpus mean
+    shift if source s were dropped): Δ_s = mean(n_chars | ≠s) −
+    mean(n_chars). All sums are exact int64 (one per-batch per-source
+    (count, sum) combiner; the exchange sees sources × batches rows),
+    so both sides perform the identical two divisions. The only-source
+    case (N − n_s = 0) is SQL NULL → NaN."""
+    from .pairs import factorize_strings, round_away
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "t": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "source" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("source")),
+                       pc.is_valid(t.column("n_chars")))
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E
+        df = pd.DataFrame({
+            "src": t2.column("source").to_pandas(),
+            "v": t2.column("n_chars").cast(pa.int64()).to_numpy(
+                zero_copy_only=False)})
+        codes, uniq = factorize_strings(df["src"])
+        g = (df.assign(_c=codes).groupby("_c")["v"]
+             .agg(["count", "sum"]).reset_index())
+        return pa.table({
+            "src": pa.array(uniq.to_numpy()[g["_c"].to_numpy()],
+                            pa.string()),
+            "n": pa.array(g["count"].to_numpy(np.int64)),
+            "t": pa.array(g["sum"].to_numpy(np.int64))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "loo_delta": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"])
+    g = (parts.assign(_c=codes).groupby("_c")[["n", "t"]]
+         .sum().reset_index())
+    src = uniq.to_numpy()[g["_c"].to_numpy()]
+    n = g["n"].to_numpy(np.int64)
+    t = g["t"].to_numpy(np.int64)
+    N, T = int(n.sum()), int(t.sum())
+    with np.errstate(invalid="ignore", divide="ignore"):
+        delta = np.where(N - n > 0,
+                         (T - t) / (N - n).astype(np.float64)
+                         - T / float(N), np.nan)
+    out = pd.DataFrame({"source": pd.Series(src, dtype=object),
+                        "n_docs": n,
+                        "loo_delta": round_away(delta, 6)})
+    key = out["source"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    return out.loc[key.sort_values().index].reset_index(drop=True)

@@ -132,3 +132,34 @@ class SampleFrames:
             "frame_index": pa.array(idxs, pa.int32()),
             "bytes": pa.array(frames, pa.binary()),
         })
+
+
+class ImageQuality:
+    """Per-image quality screens used to filter training corpora:
+    brightness (luma mean), contrast (luma std), and a blur proxy
+    (variance of the 4-neighbor Laplacian — near 0 for flat or
+    heavily blurred images, large for sharp detail). Pure numpy over
+    the decoded pixels; images smaller than 3×3 have no Laplacian
+    interior and report 0.0."""
+
+    _LUMA = np.array([0.299, 0.587, 0.114])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        bright, contrast, lap_var = [], [], []
+        for payload in batch.column("bytes").to_pylist():
+            px = codecs.decode_image(payload).astype(np.float64)
+            y = px @ self._LUMA
+            bright.append(float(y.mean()))
+            contrast.append(float(y.std()))
+            if y.shape[0] >= 3 and y.shape[1] >= 3:
+                lap = (4.0 * y[1:-1, 1:-1] - y[:-2, 1:-1]
+                       - y[2:, 1:-1] - y[1:-1, :-2] - y[1:-1, 2:])
+                lap_var.append(float(lap.var()))
+            else:
+                lap_var.append(0.0)
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "brightness": pa.array(bright, pa.float64()),
+            "contrast": pa.array(contrast, pa.float64()),
+            "lap_var": pa.array(lap_var, pa.float64()),
+        })
