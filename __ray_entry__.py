@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q263_greedy_source_cover": textops.q_greedy_source_cover,
         "q264_weighted_jaccard": textops.q_weighted_jaccard,
         "q265_loo_source_impact": textops.q_loo_source_impact,
+        "q267_holt_linear": analytics.q_holt_linear,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -432,6 +433,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Matryoshka truncated-dim retrieval eval (deterministic, no
         # SQL twin) — monotonicity pytest
         "q255_matryoshka_recall": similarity.q_matryoshka_recall,
+        # isotonic PAVA fit (sequential pooling recursion, no SQL
+        # window twin) — hand-example + monotonicity pytest
+        "q268_isotonic_enrate": textops.q_isotonic_enrate,
+        # ZCA whitening + self-certifying covariance eval (driver
+        # eigendecomposition, no SQL twin) — near-identity pytest
+        "q269_whitening_eval": similarity.q_whitening_eval,
+        # MMR diversity re-rank (greedy, no SQL twin) — determinism +
+        # diversity-vs-topk pytest
+        "q270_mmr_select": similarity.q_mmr_select,
         # k-means vs labels Adjusted Rand Index (iterative upstream,
         # no SQL twin) — planted-blob pytest
         "q256_cluster_ari": similarity.q_cluster_ari,
@@ -3177,6 +3187,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q267_holt_linear": """
+            WITH RECURSIVE d AS (
+                SELECT row_number() OVER (ORDER BY day) AS rn,
+                       revc::DOUBLE AS y FROM (
+                    SELECT date_trunc('day', o_orderdate) AS day,
+                           sum(CAST(round(o_totalprice * 100)
+                                    AS BIGINT)) AS revc
+                    FROM orders
+                    WHERE o_orderdate IS NOT NULL
+                      AND isfinite(o_totalprice)
+                    GROUP BY 1)),
+            it(i, s, b) AS (
+                SELECT 1::BIGINT,
+                       (SELECT y FROM d WHERE rn = 1),
+                       (SELECT y FROM d WHERE rn = 2)
+                           - (SELECT y FROM d WHERE rn = 1)
+                WHERE (SELECT count(*) FROM d) >= 2
+                UNION ALL
+                SELECT i + 1,
+                       0.5 * d.y + 0.5 * (s + b),
+                       0.3 * (0.5 * d.y + 0.5 * (s + b) - s)
+                           + 0.7 * b
+                FROM it JOIN d ON d.rn = i + 1
+                WHERE i < (SELECT count(*) FROM d))
+            SELECT i AS n, round(s, 6) AS level, round(b, 6) AS trend,
+                   round(s + 7.0 * b, 6) AS forecast7
+            FROM it WHERE i = (SELECT count(*) FROM d)
         """,
         "q264_weighted_jaccard": """
             WITH c AS (

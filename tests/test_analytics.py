@@ -1451,3 +1451,73 @@ def test_nation_market_share_ratio_semantics(ray_session, tmp_path):
     out = q_nation_market_share(str(tmp_path))
     got = dict(zip(out["o_year"], out["mkt_share"]))
     assert got == {1995: 0.3, 1996: 0.0}
+
+
+def test_isotonic_enrate_pools_violators(ray_session, tmp_path):
+    """q268: a rate dip at x=20 pools into its neighbors; output rates
+    are non-decreasing; total doc count is preserved."""
+    from web_scrapper_ray.pipelines.textops import q_isotonic_enrate
+
+    rows = []
+    # x=10: 1/4 en; x=20: 0/4 en (violator -> pools with x=10);
+    # x=30: 3/4 en; x=40: 4/4 en
+    spec = [(10, 1), (20, 0), (30, 3), (40, 4)]
+    did = 0
+    for x, n_en in spec:
+        for i in range(4):
+            rows.append({"doc_id": did, "text": "t",
+                         "lang": "en" if i < n_en else "de",
+                         "source": "s", "n_chars": x})
+            did += 1
+    _write(tmp_path, "documents", pa.Table.from_pylist(rows))
+    out = q_isotonic_enrate(str(tmp_path))
+    assert out["n"].sum() == 16
+    rates = out["rate"].to_numpy()
+    assert (rates[1:] >= rates[:-1]).all()
+    # the pooled first block spans x 10..20 with rate 1/8
+    assert out.iloc[0]["x_lo"] == 10 and out.iloc[0]["x_hi"] == 20
+    assert abs(out.iloc[0]["rate"] - 0.125) < 1e-12
+
+
+def test_whitening_eval_near_identity(ray_session):
+    """q269: whitened covariance of the sf0.001 embeddings is within
+    eps-tolerance of the identity."""
+    from web_scrapper_ray.pipelines.similarity import q_whitening_eval
+
+    out = q_whitening_eval("/root/testdata/sf0.001")
+    assert out["n"].iloc[0] > 0
+    assert out["diag_err"].iloc[0] < 1e-3
+    assert out["offdiag_max"].iloc[0] < 1e-3
+
+
+def test_mmr_select_diversity_and_determinism(ray_session):
+    """q270: MMR output is deterministic across runs, k rows, and its
+    max intra-set similarity is <= plain top-k's (diversity bought)."""
+    from web_scrapper_ray.pipelines.similarity import (
+        q_knn_bruteforce, q_mmr_select)
+
+    sf = "/root/testdata/sf0.001"
+    a = q_mmr_select(sf, k=10)
+    b = q_mmr_select(sf, k=10)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 10 and a["vec_id"].is_unique
+    # relevance ranks never increase within MMR output rank order
+    assert a["mmr_score"].iloc[0] >= a["mmr_score"].iloc[-1]
+
+    import numpy as np
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    def max_pairwise(ids):
+        t = pads.dataset(f"{sf}/embeddings.parquet").to_table(
+            filter=pc.field("vec_id").isin([int(i) for i in ids]),
+            columns=["vec_id", "embedding"])
+        M = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        M = M / np.linalg.norm(M, axis=1, keepdims=True)
+        S = M @ M.T
+        np.fill_diagonal(S, -1)
+        return S.max()
+
+    topk = q_knn_bruteforce(sf, query_ids=(0,), k=10)
+    assert max_pairwise(a["vec_id"]) <= max_pairwise(
+        topk["neighbor_id"]) + 1e-9

@@ -10511,3 +10511,40 @@ def q_sax_symbols(sf_dir: str) -> pd.DataFrame:
     # CASE z < b0 → 0 | z < b1 → 1 | z < b2 → 2 | else 3
     sym = np.searchsorted(BP, z, side="right").astype(np.int64)
     return pd.DataFrame({"day": days, "sym": sym})
+
+
+def q_holt_linear(sf_dir: str) -> pd.DataFrame:
+    """Holt double-exponential smoothing of daily revenue (level +
+    trend, 7-day-ahead forecast) — the simplest trend-aware
+    forecaster. Classic sequential recurrence: s_t = αy_t +
+    (1−α)(s_{t−1}+b_{t−1}), b_t = β(s_t−s_{t−1}) + (1−β)b_{t−1},
+    s₁ = y₁, b₁ = y₂−y₁. The wide work is the exact-cents per-day
+    exchange (q199's helper); the recursion itself is inherently
+    sequential over the ~#days series, so it runs driver-side — and
+    the oracle runs the IDENTICAL recursion as a recursive CTE joining
+    the row_number'd series, so every +/× happens in the same IEEE
+    order on both sides (round 6 is belt-and-braces). The coefficients
+    are LITERALS mirrored in the SQL text: 1.0 − 0.3 differs from the
+    literal 0.7 by one ulp and the drift compounds over thousands of
+    steps on 1e8-magnitude cents. Needs ≥ 2 days; otherwise zero rows
+    on both sides."""
+    A, OMA, B, OMB = 0.5, 0.5, 0.3, 0.7  # = the oracle's literals
+    cols = {"n": pd.Series(dtype="int64"),
+            "level": pd.Series(dtype="float64"),
+            "trend": pd.Series(dtype="float64"),
+            "forecast7": pd.Series(dtype="float64")}
+    d = _daily_rev_cents(sf_dir)
+    if len(d) < 2:
+        return pd.DataFrame(cols)
+    y = d.sort_values("day")["revc"].to_numpy(np.float64)
+    s = y[0]
+    b = y[1] - y[0]
+    for t in range(1, y.size):
+        s_new = A * y[t] + OMA * (s + b)
+        b = B * (s_new - s) + OMB * b
+        s = s_new
+    return pd.DataFrame({
+        "n": pd.array([y.size], "int64"),
+        "level": round_away(np.array([s]), 6),
+        "trend": round_away(np.array([b]), 6),
+        "forecast7": round_away(np.array([s + 7.0 * b]), 6)})

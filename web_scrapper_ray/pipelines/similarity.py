@@ -1558,3 +1558,144 @@ def q_cluster_ari(sf_dir: str, k: int = 4,
     ari = (sum_ij - exp) / (mx - exp) if mx != exp else np.nan
     return pd.DataFrame({"n": pd.array([n], "int64"),
                          "ari": np.round([ari], 6)})
+
+
+def q_whitening_eval(sf_dir: str, eps: float = 1e-6) -> pd.DataFrame:
+    """ZCA whitening of the embedding table with a self-certifying
+    eval — the preprocessing step dense-retrieval stacks run so no
+    principal direction dominates the dot products: (1) ONE streamed
+    pass of per-batch covariance partials (n, Σx, centered outer-
+    product Chan merge is unnecessary — dim is small, raw Σxxᵀ over
+    mean-magnitude embeddings is well-conditioned, and both passes
+    use the same accumulators so the eval is against the pipeline's
+    own output); (2) driver eigendecomposition of the dim×dim matrix
+    (the only non-distributed step — O(dim³), dim ≪ corpus);
+    (3) a second streamed pass applies the broadcast W = V·diag(
+    1/√(λ+eps))·Vᵀ and accumulates the whitened covariance. Reports
+    how close that lands to identity (mean |diag−1|, max |off-diag|).
+    Deterministic → rows-only; near-identity floor pinned by pytest."""
+    ds = _emb(sf_dir)
+
+    def cov_partial(t: pa.Table, W=None) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.list_(pa.float64())),
+                             "sxx": pa.array([], pa.list_(pa.float64()))})
+        X = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        if W is not None:
+            X = X @ W
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "sx": pa.array([X.sum(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+            "sxx": pa.array([(X.T @ X).ravel().tolist()],
+                            pa.list_(pa.float64()))})
+
+    def fold(parts: pd.DataFrame):
+        n = int(parts["n"].sum())
+        sx = np.sum(np.stack(parts["sx"].to_numpy()), axis=0)
+        sxx = np.sum(np.stack(parts["sxx"].to_numpy()), axis=0)
+        d = sx.size
+        mu = sx / n
+        cov = sxx.reshape(d, d) / n - np.outer(mu, mu)
+        return n, cov
+
+    p1 = ds.map_batches(cov_partial, batch_format="pyarrow").to_pandas()
+    one = pd.DataFrame({"n": pd.array([0], "int64"),
+                        "dim": pd.array([0], "int64"),
+                        "diag_err": pd.array([np.nan], "float64"),
+                        "offdiag_max": pd.array([np.nan], "float64")})
+    if p1.empty:
+        return one
+    n, cov = fold(p1)
+    lam, V = np.linalg.eigh(cov)
+    W = V @ np.diag(1.0 / np.sqrt(np.maximum(lam, 0.0) + eps)) @ V.T
+
+    p2 = ds.map_batches(cov_partial, batch_format="pyarrow",
+                        fn_kwargs={"W": W}).to_pandas()
+    _, cov_w = fold(p2)
+    d = cov_w.shape[0]
+    diag_err = float(np.abs(np.diag(cov_w) - 1.0).mean())
+    off = cov_w - np.diag(np.diag(cov_w))
+    return pd.DataFrame({
+        "n": pd.array([n], "int64"),
+        "dim": pd.array([d], "int64"),
+        "diag_err": pd.array([round(diag_err, 6)], "float64"),
+        "offdiag_max": pd.array([round(float(np.abs(off).max()), 6)],
+                                "float64")})
+
+
+def q_mmr_select(sf_dir: str, query_id: int = 0, pool: int = 50,
+                 k: int = 10, lam: float = 0.7) -> pd.DataFrame:
+    """Maximal Marginal Relevance selection — the diversity-aware
+    re-ranker used to assemble eval/demo sets (greedy pick maximizing
+    λ·sim(q,d) − (1−λ)·max_{s∈selected} sim(d,s)): stage 1 streams the
+    corpus once, each batch emitting its local top-``pool`` by cosine
+    WITH the candidate unit vectors (pool×dim ≪ corpus — q24's
+    broadcast-query discipline plus a small payload); the driver folds
+    blocks×pool rows into the exact global pool (sim DESC, vec_id tie
+    break) and runs the inherently sequential k-step greedy on the
+    pool×pool similarity matrix. Deterministic → rows-only; diversity
+    vs plain top-k pinned by pytest. The query vector itself is
+    excluded from candidates."""
+    qids, Q = _query_matrix(sf_dir, [query_id])
+    empty = pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                          "vec_id": pd.Series(dtype="int64"),
+                          "relevance": pd.Series(dtype="float64"),
+                          "mmr_score": pd.Series(dtype="float64")})
+    if not len(qids):
+        return empty
+    q = Q[0]
+
+    _E = pa.table({"vec_id": pa.array([], pa.int64()),
+                   "sim": pa.array([], pa.float64()),
+                   "vec": pa.array([], pa.list_(pa.float64()))})
+
+    def local_pool(t: pa.Table, qv: np.ndarray) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return _E
+        ids, mat = _batch_matrix(t)
+        if not len(ids):
+            return _E
+        keep = ids != query_id
+        ids, mat = ids[keep], _unit(mat[keep])
+        if not len(ids):
+            return _E
+        sims = mat @ qv
+        idx = _topk_idx(sims, ids, pool)
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "sim": pa.array(sims[idx], pa.float64()),
+                         "vec": pa.array([v.tolist() for v in mat[idx]],
+                                         pa.list_(pa.float64()))})
+
+    parts = (_emb(sf_dir)
+             .map_batches(local_pool, batch_format="pyarrow",
+                          fn_kwargs={"qv": q}).to_pandas())
+    if parts.empty:
+        return empty
+    order = np.lexsort((parts["vec_id"].to_numpy(np.int64),
+                        -parts["sim"].to_numpy(np.float64)))[:pool]
+    ids = parts["vec_id"].to_numpy(np.int64)[order]
+    sims = parts["sim"].to_numpy(np.float64)[order]
+    V = np.stack(parts["vec"].to_numpy()[order])
+    S = V @ V.T  # pool×pool candidate similarities
+    chosen: list = []
+    picked_scores: list = []
+    avail = np.ones(ids.size, bool)
+    for _ in range(min(k, ids.size)):
+        if chosen:
+            red = S[:, chosen].max(axis=1)
+        else:
+            red = np.zeros(ids.size)
+        score = lam * sims - (1.0 - lam) * red
+        # deterministic: best marginal score, then smaller vec_id
+        cand = np.flatnonzero(avail)
+        best = cand[np.lexsort((ids[cand], -score[cand]))[0]]
+        chosen.append(int(best))
+        picked_scores.append(float(score[best]))  # at-selection value
+        avail[best] = False
+    return pd.DataFrame({
+        "rank": pd.array(np.arange(1, len(chosen) + 1), "int64"),
+        "vec_id": ids[chosen],
+        "relevance": np.round(sims[chosen], 6),
+        "mmr_score": np.round(np.array(picked_scores), 6)})

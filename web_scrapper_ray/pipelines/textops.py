@@ -2923,3 +2923,75 @@ def q_loo_source_impact(sf_dir: str) -> pd.DataFrame:
     key = out["source"].map(lambda s: s.encode(
         "utf-8", "surrogatepass").hex())
     return out.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def q_isotonic_enrate(sf_dir: str) -> pd.DataFrame:
+    """Isotonic (PAVA) calibration of P(lang = 'en') as a function of
+    document length — the monotone-fit step behind isotonic score
+    calibration (q246 reports raw reliability deciles; this POOLS
+    adjacent violators into the least-squares monotone staircase).
+    Distributed as per-batch (n_chars → count, positives) integer
+    partials — the exchange sees distinct-length × batches rows, never
+    documents — then the weighted pool-adjacent-violators stack runs
+    driver-side over the ~distinct-lengths series (PAVA is inherently
+    sequential; the series is value-domain-bounded, not corpus-
+    bounded). Output: one row per pooled block (x_lo, x_hi, n, rate),
+    rates exact-integer ratios, non-decreasing by construction. No SQL
+    twin (PAVA's pooling recursion isn't expressible as a window);
+    pinned by a hand-example pytest. Contract: n_chars non-NULL."""
+    from .pairs import round_away
+
+    ds = _docs(sf_dir, columns=["n_chars", "lang"])
+
+    _E = pa.table({"x": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "pos": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if t.num_rows == 0 or "n_chars" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("n_chars")))
+        if t2.num_rows == 0:
+            return _E
+        x = t2.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        y = pc.fill_null(pc.equal(t2.column("lang"), "en"),
+                         False).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(x, return_inverse=True)
+        n = np.bincount(inv, minlength=u.size)
+        pos = np.bincount(inv, weights=y.astype(np.float64),
+                          minlength=u.size).astype(np.int64)
+        return pa.table({"x": pa.array(u),
+                         "n": pa.array(n.astype(np.int64)),
+                         "pos": pa.array(pos)})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"x_lo": pd.Series(dtype="int64"),
+            "x_hi": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "rate": pd.Series(dtype="float64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    g = (parts.groupby("x", as_index=False).sum()
+         .sort_values("x").reset_index(drop=True))
+    # weighted PAVA: stack of (x_lo, x_hi, n, pos); pool while the
+    # last block's rate exceeds the incoming one
+    stack: list = []
+    for x, n, pos in zip(g["x"].to_numpy(np.int64),
+                         g["n"].to_numpy(np.int64),
+                         g["pos"].to_numpy(np.int64)):
+        blk = [int(x), int(x), int(n), int(pos)]
+        # pool on >=: exact integer cross-multiplication, no float
+        # rate comparisons
+        while stack and (stack[-1][3] * blk[2] >= blk[3] * stack[-1][2]):
+            prev = stack.pop()
+            blk = [prev[0], blk[1], prev[2] + blk[2], prev[3] + blk[3]]
+        stack.append(blk)
+    out = pd.DataFrame(stack, columns=["x_lo", "x_hi", "n", "pos"])
+    out["rate"] = round_away(
+        out["pos"].to_numpy(np.float64) / out["n"].to_numpy(np.float64),
+        6)
+    return out.drop(columns=["pos"]).astype(
+        {"x_lo": "int64", "x_hi": "int64", "n": "int64"})
