@@ -411,6 +411,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q264_weighted_jaccard": textops.q_weighted_jaccard,
         "q265_loo_source_impact": textops.q_loo_source_impact,
         "q267_holt_linear": analytics.q_holt_linear,
+        "q271_page_hinkley": analytics.q_page_hinkley,
+        "q272_hard_negatives": similarity.q_hard_negatives,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3187,6 +3189,55 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q272_hard_negatives": """
+            -- NULL embeddings/labels drop on both sides; MATERIALIZED
+            -- for the q24/q230 optimizer-reorder rule
+            WITH e2 AS MATERIALIZED (
+                SELECT vec_id, embedding, label FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                  FROM e2 WHERE vec_id IN (0, 1, 2, 3)),
+            s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                         e.label AS neighbor_label,
+                         list_cosine_similarity(e.embedding, q.qe)
+                             AS sim
+                  FROM e2 e, q
+                  WHERE e.vec_id <> q.qid AND e.label <> q.ql)
+            SELECT query_id, rank, neighbor_id, neighbor_label FROM (
+                SELECT query_id, neighbor_id, neighbor_label,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC,
+                                                   neighbor_id) AS rank
+                FROM s)
+            WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q271_page_hinkley": """
+            WITH d AS (
+                SELECT epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000 AS day,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            w AS (SELECT day,
+                         sum(revc) OVER (ORDER BY day) AS cum,
+                         row_number() OVER (ORDER BY day) AS k
+                  FROM d),
+            tot AS (SELECT sum(revc) AS tot, count(*)::BIGINT AS n
+                    FROM d),
+            m AS (SELECT day,
+                         cum - k * tot.tot / CAST(tot.n AS DOUBLE)
+                             AS mt
+                  FROM w, tot),
+            p AS (SELECT day,
+                         mt - min(mt) OVER (ORDER BY day) AS ph
+                  FROM m)
+            SELECT (SELECT count(*) FROM p)::BIGINT AS n,
+                   round(ph, 6) AS ph_max, day::BIGINT AS day
+            FROM p ORDER BY ph DESC, day LIMIT 1
         """,
         "q267_holt_linear": """
             WITH RECURSIVE d AS (

@@ -10548,3 +10548,39 @@ def q_holt_linear(sf_dir: str) -> pd.DataFrame:
         "level": round_away(np.array([s]), 6),
         "trend": round_away(np.array([b]), 6),
         "forecast7": round_away(np.array([s + 7.0 * b]), 6)})
+
+
+def q_page_hinkley(sf_dir: str) -> pd.DataFrame:
+    """Page–Hinkley-style maximum-RISE statistic over daily revenue —
+    the one-sided upward-shift detector: with deviation walk m_t =
+    S_t − t·μ (cumulative cents minus the no-change line), PH =
+    max_t (m_t − min_{i≤t} m_i), the walk's largest climb from any
+    earlier trough. Complements q213's CUSUM (which takes max |m_t|
+    directly — a different extremum of the same walk). Deliberately
+    uses the GLOBAL mean, not the textbook running mean: S_t and t·μ
+    are the same exact-int → float64 single ops on both sides (q213's
+    rule), whereas a running-mean walk accumulates through DuckDB's
+    windowed tree-sum in a different op order and drifts past the
+    rounding boundary at 1e9 magnitudes (measured). The min-prefix and
+    argmax then compare bit-identical floats; the day exchange is the
+    wide work, the ~#days scan is driver-side. Zero days → zero rows
+    on both sides."""
+    cols = {"n": pd.Series(dtype="int64"),
+            "ph_max": pd.Series(dtype="float64"),
+            "day": pd.Series(dtype="int64")}
+    d = _daily_rev_cents(sf_dir)
+    if d.empty:
+        return pd.DataFrame(cols)
+    d = d.sort_values("day").reset_index(drop=True)
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+    n = days.size
+    cum = np.cumsum(rev)
+    tot = int(cum[-1])
+    k = np.arange(1, n + 1, dtype=np.int64)
+    mt = cum.astype(np.float64) - (k * tot).astype(np.float64) / n
+    ph = mt - np.minimum.accumulate(mt)
+    i = int(np.lexsort((days, -ph))[0])
+    return pd.DataFrame({"n": pd.array([n], "int64"),
+                         "ph_max": round_away(np.array([ph[i]]), 6),
+                         "day": pd.array([days[i]], "int64")})

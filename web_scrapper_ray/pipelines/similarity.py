@@ -1699,3 +1699,85 @@ def q_mmr_select(sf_dir: str, query_id: int = 0, pool: int = 50,
         "vec_id": ids[chosen],
         "relevance": np.round(sims[chosen], 6),
         "mmr_score": np.round(np.array(picked_scores), 6)})
+
+
+def q_hard_negatives(sf_dir: str, query_ids: tuple = (0, 1, 2, 3),
+                     k: int = 5) -> pd.DataFrame:
+    """Hard-negative mining — for each query embedding, the top-k most
+    cosine-similar vectors whose LABEL differs (the contrastive-
+    training staple: negatives the model most confuses). q24's
+    broadcast-query streamed scan with a label mask per query; the
+    exchange never carries more than k·batches candidate rows. A query
+    with a NULL label emits no rows (SQL ``label <> NULL`` is NULL);
+    NULL-label candidates are excluded the same way. The chosen
+    neighbors' labels ride through the partials (int32, the parquet
+    dtype — CLAUDE.md cast rule)."""
+    import ray
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=(pc.field("vec_id").isin([int(q) for q in query_ids])
+                & pc.field("embedding").is_valid()
+                & pc.field("label").is_valid()),
+        columns=["vec_id", "embedding", "label"]).sort_by("vec_id")
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "rank": pd.Series(dtype="int64"),
+                          "neighbor_id": pd.Series(dtype="int64"),
+                          "neighbor_label": pd.Series(dtype="int32")})
+    if t.num_rows == 0:
+        return empty
+    qids, qmat = _batch_matrix(t)
+    qmat = _unit(qmat)
+    qlab = t.column("label").to_numpy(zero_copy_only=False)
+    qref = ray.put((qids, qmat, qlab))
+
+    _E = pa.table({"query_id": pa.array([], pa.int64()),
+                   "neighbor_id": pa.array([], pa.int64()),
+                   "neighbor_label": pa.array([], pa.int32()),
+                   "sim": pa.array([], pa.float64())})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_, qlab_ = ray.get(qref)
+        lab_valid = pc.is_valid(batch.column("label"))
+        if not pc.all(lab_valid).as_py():
+            batch = batch.filter(lab_valid)
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return _E
+        lab = batch.filter(pc.is_valid(batch.column("embedding"))) \
+                   .column("label").to_numpy(zero_copy_only=False)
+        sims = _unit(mat) @ qmat_.T
+        out_q, out_n, out_l, out_s = [], [], [], []
+        for j, q in enumerate(qids_):
+            neg = np.flatnonzero((lab != qlab_[j]) & (ids != q))
+            if not len(neg):
+                continue
+            col = sims[neg, j]
+            for i in _topk_idx(col, ids[neg], min(k, len(neg))):
+                out_q.append(int(q))
+                out_n.append(int(ids[neg][i]))
+                out_l.append(int(lab[neg][i]))
+                out_s.append(float(col[i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "neighbor_label": pa.array(out_l, pa.int32()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=pads.field("embedding").is_valid())
+    partials = ds.map_batches(local_topk,
+                              batch_format="pyarrow").to_pandas()
+    if partials.empty:
+        return empty
+    p = partials.sort_values(["query_id", "sim", "neighbor_id"],
+                             ascending=[True, False, True])
+    top = p.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = (top.groupby("query_id").cumcount() + 1).astype(
+        np.int64)
+    out = top[["query_id", "rank", "neighbor_id",
+               "neighbor_label"]].reset_index(drop=True)
+    out["neighbor_label"] = out["neighbor_label"].astype(np.int32)
+    return out
