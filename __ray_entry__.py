@@ -413,6 +413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q267_holt_linear": analytics.q_holt_linear,
         "q271_page_hinkley": analytics.q_page_hinkley,
         "q272_hard_negatives": similarity.q_hard_negatives,
+        "q273_user_erasure_audit": analytics.q_user_erasure_audit,
+        "q274_psi_value_drift": analytics.q_psi_value_drift,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3189,6 +3191,64 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q273_user_erasure_audit": """
+            WITH u AS (
+                SELECT user_id, count(*)::BIGINT AS n FROM events
+                WHERE user_id IS NOT NULL
+                GROUP BY user_id ORDER BY n DESC, user_id LIMIT 1),
+            o AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey = (SELECT user_id FROM u))
+            SELECT (SELECT user_id FROM u)::BIGINT AS user_id,
+                   (SELECT n FROM u)::BIGINT AS n_events,
+                   (SELECT count(*) FROM o)::BIGINT AS n_orders,
+                   (SELECT count(*) FROM lineitem
+                    WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+                   )::BIGINT AS n_lineitems
+            WHERE EXISTS (SELECT 1 FROM u)
+        """,
+        "q274_psi_value_drift": """
+            WITH f AS (
+                SELECT ((CAST(floor(epoch_us(ts) / 86400000000.0)
+                              AS BIGINT) % 7) + 7) % 7 IN (2, 3)
+                           AS wk,
+                       value AS v
+                FROM events
+                WHERE ts IS NOT NULL AND isfinite(value)),
+            e AS (SELECT quantile_disc(v, [0.1, 0.2, 0.3, 0.4, 0.5,
+                                           0.6, 0.7, 0.8, 0.9]) AS ed
+                  FROM f WHERE NOT wk),
+            b AS (SELECT wk,
+                         CASE WHEN v >= ed[9] THEN 9
+                              WHEN v >= ed[8] THEN 8
+                              WHEN v >= ed[7] THEN 7
+                              WHEN v >= ed[6] THEN 6
+                              WHEN v >= ed[5] THEN 5
+                              WHEN v >= ed[4] THEN 4
+                              WHEN v >= ed[3] THEN 3
+                              WHEN v >= ed[2] THEN 2
+                              WHEN v >= ed[1] THEN 1
+                              ELSE 0 END AS bin
+                  FROM f, e),
+            g AS (SELECT unnest(generate_series(0, 9)) AS bin),
+            c AS (SELECT bin,
+                         (count(*) FILTER (WHERE NOT wk))::BIGINT
+                             AS n_ref,
+                         (count(*) FILTER (WHERE wk))::BIGINT AS n_cur
+                  FROM b GROUP BY bin),
+            cc AS (SELECT g.bin, coalesce(n_ref, 0)::BIGINT AS n_ref,
+                          coalesce(n_cur, 0)::BIGINT AS n_cur
+                   FROM g LEFT JOIN c USING (bin)),
+            tot AS (SELECT sum(n_ref)::BIGINT AS nr,
+                           sum(n_cur)::BIGINT AS nc FROM cc)
+            SELECT bin::BIGINT AS bin, n_ref, n_cur,
+                   CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+                       round((n_ref / CAST(nr AS DOUBLE)
+                              - n_cur / CAST(nc AS DOUBLE))
+                             * ln((n_ref / CAST(nr AS DOUBLE))
+                                  / (n_cur / CAST(nc AS DOUBLE))), 6)
+                   END AS term
+            FROM cc, tot WHERE nr > 0 ORDER BY bin
         """,
         "q272_hard_negatives": """
             -- NULL embeddings/labels drop on both sides; MATERIALIZED

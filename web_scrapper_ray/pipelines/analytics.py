@@ -10584,3 +10584,179 @@ def q_page_hinkley(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"n": pd.array([n], "int64"),
                          "ph_max": round_away(np.array([ph[i]]), 6),
                          "day": pd.array([days[i]], "int64")})
+
+
+def q_psi_value_drift(sf_dir: str) -> pd.DataFrame:
+    """Population Stability Index of the event-value distribution,
+    weekend vs weekday — the model-monitoring staple (PSI > 0.2 ⇒
+    investigate): decile edges come from the WEEKDAY (reference) side
+    via exact distributed order statistics (`relational.
+    _grouped_order_stats`, the q61/q99 rank-refinement machinery — no
+    global sort), using DuckDB's quantile_disc rank rule index =
+    ceil(p·n)−1 (probed exhaustively n ≤ 5000); a second streamed pass
+    bins BOTH sides against the broadcast edges (edges are actual data
+    values, so the ≥-comparisons are bit-exact). Emits one row per
+    decile bin with counts and its PSI term (p−q)·ln(p/q), NULL when
+    either side's bin is empty (the SQL convention — summing non-NULL
+    terms gives the headline PSI). Weekday parity uses q248's
+    floored-mod day rule; non-finite values and NULL ts are out of
+    contract on both sides. Zero reference rows → zero rows."""
+    import math
+
+    import ray
+
+    from .relational import _grouped_order_stats
+
+    PS = [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    cols = {"bin": pd.Series(dtype="int64"),
+            "n_ref": pd.Series(dtype="int64"),
+            "n_cur": pd.Series(dtype="int64"),
+            "term": pd.Series(dtype="float64")}
+
+    _E = pa.table({"event_type": pa.array([], pa.string()),
+                   "value": pa.array([], pa.float64())})
+
+    def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.fill_null(pc.is_finite(t.column("value")),
+                                    False))
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, 86_400_000_000)
+        wk = np.isin(np.mod(day, 7), (2, 3))
+        return pa.table({
+            "event_type": pa.array(np.where(wk, "cur", "ref")),
+            "value": pa.array(t2.column("value").to_numpy(
+                zero_copy_only=False).astype(np.float64))})
+
+    ds = (_read(sf_dir, "events", columns=["ts", "value"])
+          .map_batches(tag, batch_format="pyarrow").materialize())
+
+    def ranks_of(name, counts):
+        if name != "ref":
+            return []
+        n = counts[0]
+        return sorted({min(n - 1, max(0, math.ceil(p * n) - 1))
+                       for p in PS})
+
+    counts, values = _grouped_order_stats(ds, ranks_of)
+    n_ref = counts.get("ref", (0,))[0]
+    if n_ref == 0:
+        return pd.DataFrame(cols)
+    n_cur = counts.get("cur", (0,))[0]
+    edges = np.array(
+        [values[("ref", min(n_ref - 1, max(0, math.ceil(p * n_ref)
+                                           - 1)))]
+         for p in PS], np.float64)
+
+    def bin_counts(t: pa.Table, ed: np.ndarray):
+        out = np.zeros((2, 10), np.int64)
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return out
+        v = t.column("value").to_numpy(zero_copy_only=False)
+        cur = np.array([s == "cur" for s in
+                        t.column("event_type").to_pylist()])
+        b = np.searchsorted(ed, v, side="right")  # = #edges ≤ v
+        np.add.at(out[0], b[~cur], 1)
+        np.add.at(out[1], b[cur], 1)
+        return out
+
+    eref = ray.put(edges)
+    tot = sum(ray.get([ray.remote(bin_counts).remote(r, eref)
+                       for r in ds.to_arrow_refs()]))
+    nr, nc = tot[0], tot[1]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = nr / float(n_ref)
+        q = nc / float(n_cur) if n_cur else np.full(10, np.nan)
+        term = np.where((nr > 0) & (nc > 0),
+                        (p - q) * np.log(p / q), np.nan)
+    return pd.DataFrame({"bin": np.arange(10, dtype=np.int64),
+                         "n_ref": nr, "n_cur": nc,
+                         "term": round_away(term, 6)})
+
+
+def q_user_erasure_audit(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Right-to-be-forgotten cascade audit for the MOST ACTIVE user —
+    the compliance dry-run every deletion pipeline needs: how many
+    rows would an erasure of user u touch across the three linked
+    tables (events by user_id, orders by custkey, lineitems by the
+    victim's orderkeys). Three stages, each the scale-appropriate
+    shape: (1) argmax user via per-batch count partials through a
+    user-keyed raw-task exchange with per-bucket top-1 (driver folds P
+    candidates, never the user dimension); (2) the victim's orders by
+    predicate-pushdown read (one customer — a few rows is the
+    contract); (3) lineitem membership count with the broadcast
+    orderkey set via vectorized ``pc.is_in`` per batch. Ties break to
+    the smallest user_id; empty events → zero rows on both sides."""
+    import ray
+
+    cols = {"user_id": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "n_orders": pd.Series(dtype="int64"),
+            "n_lineitems": pd.Series(dtype="int64")}
+
+    _E = pa.table({"u": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("user_id")))
+        if t2.num_rows == 0:
+            return _E
+        u, c = np.unique(t2.column("user_id").cast(pa.int64())
+                         .to_numpy(zero_copy_only=False),
+                         return_counts=True)
+        return pa.table({"u": pa.array(u),
+                         "n": pa.array(c.astype(np.int64)),
+                         "bucket": pa.array(u % P)})
+
+    def merge(*tabs):
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return None
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby("u", as_index=False)["n"].sum())
+        i = np.lexsort((df["u"].to_numpy(), -df["n"].to_numpy()))[0]
+        return int(df["u"].iloc[i]), int(df["n"].iloc[i])
+
+    cands = [c for c in hash_shuffle(
+        [(r, ()) for r in _read(
+            sf_dir, "events", columns=["user_id"]).to_arrow_refs()],
+        split, merge, P=P) if c is not None]
+    if not cands:
+        return pd.DataFrame(cols)
+    victim, n_events = min(cands, key=lambda c: (-c[1], c[0]))
+
+    import os
+
+    import pyarrow.dataset as pads
+
+    ot = pads.dataset(os.path.join(sf_dir, "orders.parquet")).to_table(
+        filter=pc.field("o_custkey") == victim,
+        columns=["o_orderkey"])
+    okeys = ot.column("o_orderkey").drop_null()
+    n_orders = ot.num_rows
+    kref = ray.put(okeys)
+
+    def li_count(t: pa.Table, keys) -> int:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return 0
+        return int(pc.sum(pc.is_in(t.column("l_orderkey"),
+                                   value_set=keys).cast(pa.int8()))
+                   .as_py() or 0)
+
+    n_li = sum(ray.get([ray.remote(li_count).remote(r, kref)
+                        for r in _read(
+                            sf_dir, "lineitem",
+                            columns=["l_orderkey"]).to_arrow_refs()]))
+    return pd.DataFrame({"user_id": pd.array([victim], "int64"),
+                         "n_events": pd.array([n_events], "int64"),
+                         "n_orders": pd.array([n_orders], "int64"),
+                         "n_lineitems": pd.array([n_li], "int64")})
