@@ -1521,3 +1521,136 @@ def test_mmr_select_diversity_and_determinism(ray_session):
     topk = q_knn_bruteforce(sf, query_ids=(0,), k=10)
     assert max_pairwise(a["vec_id"]) <= max_pairwise(
         topk["neighbor_id"]) + 1e-9
+
+
+def _us(day: int, hour: int = 0) -> int:
+    return day * 86_400_000_000 + hour * 3_600_000_000
+
+
+def test_kaplan_meier_hand_example(ray_session, tmp_path):
+    """q257: observed at 0h and 2h, one censored at 5h — the KM
+    staircase is 2/3 then 1/3, censored-only hours emit no row."""
+    from web_scrapper_ray.pipelines.analytics import q_kaplan_meier
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["view", "purchase", "view", "view",
+                                "purchase"]),
+        "ts": pa.array([_us(0, 0), _us(0, 2), _us(0, 0), _us(0, 5),
+                        _us(0, 0)], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_kaplan_meier(str(tmp_path))
+    assert out["h"].tolist() == [0, 2]
+    assert out["n_risk"].tolist() == [3, 2]
+    assert out["d"].tolist() == [1, 1]
+    assert out["surv"].tolist() == [0.666667, 0.333333]
+
+
+def test_quadratic_fit_exact_recovery(ray_session, tmp_path):
+    """q258: y = 2 + 3q + 4q² recovers exactly; a 2-distinct-quantity
+    group is rank-deficient -> NULL coefficients but a surfaced row."""
+    from web_scrapper_ray.pipelines.analytics import q_quadratic_fit
+
+    q = [1.0, 2.0, 3.0, 4.0]
+    y = [2 + 3 * x + 4 * x * x for x in q]
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * 4 + ["B"] * 3),
+        "l_quantity": pa.array(q + [5.0, 5.0, 6.0], pa.float64()),
+        "l_extendedprice": pa.array(y + [1.0, 2.0, 3.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_quadratic_fit(str(tmp_path)).set_index("flag")
+    assert out.loc["A", "b1"] == 3.0 and out.loc["A", "b2"] == 4.0
+    assert out.loc["A", "icept"] == 2.0 and out.loc["A", "n"] == 4
+    assert np.isnan(out.loc["B", "b1"]) and out.loc["B", "n"] == 3
+
+
+def test_markov_stationary_two_cycle(ray_session, tmp_path):
+    """q259: a deterministic a→b→a cycle has the uniform stationary
+    distribution."""
+    from web_scrapper_ray.pipelines.analytics import q_markov_stationary
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["a", "b", "a", "b"]),
+        "ts": pa.array([_us(0, h) for h in range(4)],
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_markov_stationary(str(tmp_path))
+    got = dict(zip(out["event_type"], out["prob"]))
+    assert got == {"a": 0.5, "b": 0.5}
+
+
+def test_hits_hubs_small_graph(ray_session, tmp_path):
+    """q262: matches a direct numpy alternating iteration on the same
+    bipartite graph."""
+    from web_scrapper_ray.pipelines.graph import q_hits_hubs
+
+    edges = [(1, 1), (2, 1), (2, 2)]
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([e[0] for e in edges] * 2, pa.int64()),
+        "l_suppkey": pa.array([e[1] for e in edges] * 2, pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_hits_hubs(str(tmp_path))
+    E = np.array([[1, 0], [1, 1]], np.float64)  # parts × suppliers
+    hub = np.ones(2)
+    for _ in range(6):
+        auth = E.T @ hub
+        hub = E @ auth
+    want = hub / hub.sum()
+    got = out.set_index("partkey")["hub"]
+    assert abs(got.loc[1] - round(want[0], 6)) < 1e-9
+    assert abs(got.loc[2] - round(want[1], 6)) < 1e-9
+
+
+def test_holt_linear_constant_trend(ray_session, tmp_path):
+    """q267: a perfectly linear daily series keeps level=last value,
+    trend=step, forecast7 = level + 7·step."""
+    from web_scrapper_ray.pipelines.analytics import q_holt_linear
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([_us(0), _us(1), _us(2)],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([0.10, 0.20, 0.30], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_holt_linear(str(tmp_path))
+    assert out["n"].iloc[0] == 3
+    assert out["level"].iloc[0] == 30.0
+    assert out["trend"].iloc[0] == 10.0
+    assert out["forecast7"].iloc[0] == 100.0
+
+
+def test_page_hinkley_single_jump(ray_session, tmp_path):
+    """q271: [10, 10, 40] climbs 20 cents from its trough at the last
+    day."""
+    from web_scrapper_ray.pipelines.analytics import q_page_hinkley
+
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([_us(0), _us(1), _us(2)],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([0.10, 0.10, 0.40], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_page_hinkley(str(tmp_path))
+    assert out["n"].iloc[0] == 3
+    assert out["ph_max"].iloc[0] == 20.0
+    assert out["day"].iloc[0] == 2
+
+
+def test_user_erasure_audit_cascade(ray_session, tmp_path):
+    """q273: the most active user's cascade counts events, their
+    orders, and lineitems of those orderkeys only."""
+    from web_scrapper_ray.pipelines.analytics import q_user_erasure_audit
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([100, 101, 200], pa.int64()),
+        "o_custkey": pa.array([7, 7, 8], pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([100, 100, 101, 200, None],
+                               pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_user_erasure_audit(str(tmp_path))
+    assert out.iloc[0].tolist() == [7, 3, 2, 3]
