@@ -144,6 +144,28 @@ def _image_quality(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _pixel_dup_groups(sf_dir: str):
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.pipelines.dedup import pixel_dup_groups_ds
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "bytes"])
+    return pixel_dup_groups_ds(ds)
+
+
+def _tile_phash_neardup(sf_dir: str):
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.pipelines.dedup import tile_neardup_pairs_ds
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "bytes"])
+    return tile_neardup_pairs_ds(ds)
+
+
 def _entities(sf_dir: str):
     import os
 
@@ -414,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q271_page_hinkley": analytics.q_page_hinkley,
         "q272_hard_negatives": similarity.q_hard_negatives,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
+        "q275_decayed_type_scores": analytics.q_decayed_type_scores,
         "q274_psi_value_drift": analytics.q_psi_value_drift,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
@@ -527,6 +550,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q36_phash_dup_groups": _phash_dup_groups,
         "q35_image_features": _image_features,
         "q266_image_quality": _image_quality,
+        "q276_pixel_dup_groups": _pixel_dup_groups,
+        "q277_tile_phash_neardup": _tile_phash_neardup,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,
     }
@@ -3191,6 +3216,16 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q275_decayed_type_scores": """
+            WITH t AS (
+                SELECT event_type, epoch_us(ts) AS us FROM events
+                WHERE ts IS NOT NULL),
+            mx AS (SELECT max(us) AS m FROM t)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(sum(pow(2.0, (us - mx.m)
+                                      / 604800000000.0)), 6) AS score
+            FROM t, mx GROUP BY event_type ORDER BY event_type
         """,
         "q273_user_erasure_audit": """
             WITH u AS (

@@ -2540,3 +2540,54 @@ def test_cluster_ari_planted_blobs(ray_session, tmp_path):
         pq.write_table(t, str(tmp_path / "embeddings.parquet"))
         out = q_cluster_ari(str(tmp_path), k=4, iters=3)
         assert out["ari"].iloc[0] == 1.0, (perm, out)
+
+
+def test_pixel_dup_groups_reencoded(ray_session):
+    """q276: pixel-identical images group together even when the
+    payload bytes differ (extra rows are distinct)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray import codecs
+    from web_scrapper_ray.pipelines.dedup import pixel_dup_groups_ds
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    other = rng.integers(0, 256, size=(24, 24, 3), dtype=np.uint8)
+    rows = [
+        {"image_id": "a", "bytes": codecs.png_encode(px)},
+        {"image_id": "b", "bytes": codecs.png_encode(px)},  # same pixels
+        {"image_id": "c", "bytes": codecs.png_encode(other)},
+    ]
+    out = pixel_dup_groups_ds(
+        rd.from_arrow(pa.Table.from_pylist(rows)))
+    assert len(out) == 1
+    assert out.iloc[0]["n"] == 2 and out.iloc[0]["keep_image_id"] == "a"
+
+
+def test_tile_neardup_local_edit(ray_session):
+    """q277: an image with ONE edited tile region still matches its
+    original on >= 12 of 16 tiles; an unrelated image does not pair."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray import codecs
+    from web_scrapper_ray.pipelines.dedup import tile_neardup_pairs_ds
+
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    edited = base.copy()
+    edited[0:16, 0:16] = 255 - edited[0:16, 0:16]  # invert tile (0,0)
+    unrelated = rng.integers(0, 256, size=(64, 64, 3), dtype=np.uint8)
+    rows = [
+        {"image_id": "orig", "bytes": codecs.png_encode(base)},
+        {"image_id": "edit", "bytes": codecs.png_encode(edited)},
+        {"image_id": "zzz", "bytes": codecs.png_encode(unrelated)},
+    ]
+    out = tile_neardup_pairs_ds(
+        rd.from_arrow(pa.Table.from_pylist(rows)), min_match=12)
+    pairs = set(zip(out["image_a"], out["image_b"]))
+    assert ("edit", "orig") in pairs
+    assert all("zzz" not in p for pair in pairs for p in pair)
+    got = out.set_index(["image_a", "image_b"])["n_tiles"]
+    assert got.loc[("edit", "orig")] == 15

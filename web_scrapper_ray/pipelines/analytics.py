@@ -10760,3 +10760,83 @@ def q_user_erasure_audit(sf_dir: str, P: int = 32) -> pd.DataFrame:
                          "n_events": pd.array([n_events], "int64"),
                          "n_orders": pd.array([n_orders], "int64"),
                          "n_lineitems": pd.array([n_li], "int64")})
+
+
+def q_decayed_type_scores(sf_dir: str) -> pd.DataFrame:
+    """Exponentially time-decayed event-type frequency (half-life
+    7 days, anchored at the corpus max ts) — the recency-weighted
+    heavy-hitter score streaming rankers keep instead of raw counts.
+    Two passes: a max-ts fold (one scalar per block), then per-batch
+    per-type partial sums of 2^((t−t_max)/H) — each term is the
+    identical pow() on both sides; only the summation order differs
+    (round 6; scores are O(n) bounded and continuous). NULL ts rows
+    are out of contract; a NULL event_type is its own SQL group."""
+    import ray
+
+    from .pairs import factorize_strings
+
+    H = 604_800_000_000.0  # 7 days in µs
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "score": pd.Series(dtype="float64")}
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    refs = ds.to_arrow_refs()
+
+    def block_max(t: pa.Table):
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return None
+        m = pc.max(t.column("ts").cast(pa.int64()))
+        return m.as_py()
+
+    maxes = [m for m in ray.get(
+        [ray.remote(block_max).remote(r) for r in refs])
+        if m is not None]
+    if not maxes:
+        return pd.DataFrame(cols)
+    tmax = max(maxes)
+
+    def partial(t: pa.Table, tm: int) -> pa.Table:
+        empty = pa.table({"event_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64()),
+                          "s": pa.array([], pa.float64())})
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return empty
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return empty
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        w = np.power(2.0, (us - tm) / H)
+        typ = pd.Series(t2.column("event_type").to_pylist(),
+                        dtype=object)
+        codes, uniq = factorize_strings(typ, use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq))
+        s = np.bincount(codes, weights=w, minlength=len(uniq))
+        return pa.table({
+            "event_type": pa.Array.from_pandas(
+                pd.Series(np.asarray(uniq, dtype=object)),
+                type=pa.string()),
+            "n": pa.array(n.astype(np.int64)),
+            "s": pa.array(s)})
+
+    parts = [p for p in ray.get(
+        [ray.remote(partial).remote(r, tmax) for r in refs])
+        if p.num_rows]
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pa.concat_tables(parts).to_pandas()
+    codes, uniq = factorize_strings(df["event_type"],
+                                    use_na_sentinel=False)
+    g = (df.assign(_c=codes).groupby("_c")[["n", "s"]]
+         .sum().reset_index())
+    out = pd.DataFrame({
+        "event_type": pd.Series(uniq.to_numpy()[g["_c"].to_numpy()],
+                                dtype=object),
+        "n": g["n"].to_numpy(np.int64),
+        "score": round_away(g["s"].to_numpy(np.float64), 6)})
+    out["event_type"] = out["event_type"].astype(object).where(
+        out["event_type"].notna(), None)
+    key = out["event_type"].map(
+        lambda s: "" if s is None else "1" + s.encode(
+            "utf-8", "surrogatepass").hex())
+    return out.loc[key.sort_values().index].reset_index(drop=True)

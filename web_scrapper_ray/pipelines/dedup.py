@@ -1121,3 +1121,138 @@ def q_minhash_accuracy(sf_dir: str) -> pd.DataFrame:
         "mean_est": np.round([est.mean()], 6),
         "mean_abs_err": np.round([err.mean()], 6),
         "max_abs_err": np.round([err.max()], 6)})
+
+
+def pixel_dup_groups_ds(ds, P: int = 16) -> pd.DataFrame:
+    """Exact pixel-content image dedup groups: decode each block's
+    images ONCE inside the split task (bytes never re-shuffle —
+    only 16-byte pixel hashes and ids cross the exchange), bucket by
+    pixel-hash, and each bucket emits only hashes holding ≥ 2 images.
+    Catches byte-different but pixel-identical payloads (re-encoded
+    containers) that byte-level URL dedup and perceptual pHash
+    grouping both miss-classify. Returns (pixel_hash, n, keep_image_id
+    = min id)."""
+    from ..stages.multimodal import PixelHash
+    from .pairs import hash_shuffle, str_u64
+
+    stage = PixelHash()
+    _E = pa.table({"pixel_hash": pa.array([], pa.string()),
+                   "image_id": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bytes" not in t.schema.names:
+            return _E
+        hashed = stage(t)
+        hs = hashed.column("pixel_hash").to_pylist()
+        return pa.table({
+            "pixel_hash": hashed.column("pixel_hash"),
+            "image_id": hashed.column("image_id").cast(pa.string()),
+            "bucket": pa.array(
+                np.array([str_u64(h) % P for h in hs], np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"pixel_hash": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "keep_image_id": pd.Series(dtype="object")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        g = df.groupby("pixel_hash")["image_id"]  # hex keys: NUL-free
+        out = pd.DataFrame({"n": g.count(), "keep_image_id": g.min()})
+        out = out[out["n"] >= 2].reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out[["pixel_hash", "n", "keep_image_id"]]
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    if not parts:
+        return pd.DataFrame({"pixel_hash": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "keep_image_id": pd.Series(dtype="object")})
+    return (pd.concat(parts, ignore_index=True)
+            .sort_values("pixel_hash").reset_index(drop=True))
+
+
+def tile_neardup_pairs_ds(ds, min_match: int = 12, grid: int = 4,
+                          P: int = 16) -> pd.DataFrame:
+    """Crop-localized near-dup image pairs: per-tile 64-bit pHashes
+    (TilePHash stage, computed inside the split task — bytes never
+    cross the exchange), one hash exchange keyed by (tile_idx,
+    tile_hash), per-bucket pair generation within exact-collision
+    groups, and a driver fold of per-pair match counts. A pair
+    sharing ≥ ``min_match`` of the grid² tiles is a near-dup robust
+    to LOCAL edits (logo swap, caption strip) that push a whole-image
+    pHash outside its hamming ball. Collision groups are small by
+    construction (exact 64-bit equality); a pathologically dup-heavy
+    corpus bounds work by the same candidate-count contract as the
+    q21 banding family."""
+    from ..stages.multimodal import TilePHash
+    from .pairs import hash_shuffle, mix64
+
+    stage = TilePHash(grid=grid)
+    _E = pa.table({"image_id": pa.array([], pa.string()),
+                   "tile_idx": pa.array([], pa.int32()),
+                   "tile_hash": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "bytes" not in t.schema.names:
+            return _E
+        tiles = stage(t)
+        th = tiles.column("tile_hash").to_numpy(zero_copy_only=False)
+        ti = tiles.column("tile_idx").to_numpy(zero_copy_only=False)
+        key = th.view(np.uint64) ^ (ti.astype(np.uint64)
+                                    * np.uint64(0x9E3779B97F4A7C15))
+        return pa.table({
+            "image_id": tiles.column("image_id"),
+            "tile_idx": tiles.column("tile_idx"),
+            "tile_hash": tiles.column("tile_hash"),
+            "bucket": pa.array((mix64(key) % np.uint64(P))
+                               .astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"a": pd.Series(dtype="object"),
+                "b": pd.Series(dtype="object"),
+                "m": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        pairs: dict = {}
+        for _, g in df.groupby(["tile_idx", "tile_hash"],
+                               sort=False):
+            ids = sorted(g["image_id"].tolist())
+            if len(ids) < 2:
+                continue
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    k = (ids[i], ids[j])
+                    pairs[k] = pairs.get(k, 0) + 1
+        if not pairs:
+            return pd.DataFrame(cols)
+        return pd.DataFrame(
+            [{"a": a, "b": b, "m": m} for (a, b), m in pairs.items()])
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"image_a": pd.Series(dtype="object"),
+            "image_b": pd.Series(dtype="object"),
+            "n_tiles": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    agg: dict = {}
+    for p in parts:
+        for a, b, m in zip(p["a"], p["b"], p["m"]):
+            agg[(a, b)] = agg.get((a, b), 0) + int(m)
+    rows = [{"image_a": a, "image_b": b, "n_tiles": m}
+            for (a, b), m in agg.items() if m >= min_match]
+    if not rows:
+        return pd.DataFrame(cols)
+    out = pd.DataFrame(rows)
+    out["n_tiles"] = out["n_tiles"].astype(np.int64)
+    return out.sort_values(["image_a", "image_b"]).reset_index(
+        drop=True)

@@ -163,3 +163,59 @@ class ImageQuality:
             "contrast": pa.array(contrast, pa.float64()),
             "lap_var": pa.array(lap_var, pa.float64()),
         })
+
+
+class PixelHash:
+    """Exact pixel-content fingerprint: decode → blake2b over the raw
+    pixel buffer + shape. Catches images that are byte-different on
+    the wire (re-encoded, different container) but pixel-identical —
+    the exact-dedup complement to pHash's perceptual grouping."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        hashes = []
+        for payload in batch.column("bytes").to_pylist():
+            px = codecs.decode_image(payload)
+            h = hashlib.blake2b(digest_size=16)
+            h.update(np.asarray(px.shape, np.int64).tobytes())
+            h.update(np.ascontiguousarray(px).tobytes())
+            hashes.append(h.hexdigest())
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "pixel_hash": pa.array(hashes, pa.string()),
+        })
+
+
+class TilePHash:
+    """Crop-localized perceptual hashes: decode → split into a
+    ``grid×grid`` tile mosaic → 64-bit pHash per tile. Two images
+    sharing ≥ m tile hashes are near-dups robust to LOCAL edits
+    (logo swap, caption strip) that flip enough bits of a whole-image
+    pHash to evade its hamming ball."""
+
+    def __init__(self, grid: int = 4):
+        self.grid = grid
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, tidx, hashes = [], [], []
+        g = self.grid
+        for iid, payload in zip(batch.column("image_id").to_pylist(),
+                                batch.column("bytes").to_pylist()):
+            px = codecs.decode_image(payload)
+            h, w = px.shape[:2]
+            ys = [h * i // g for i in range(g + 1)]
+            xs = [w * i // g for i in range(g + 1)]
+            for r in range(g):
+                for c in range(g):
+                    tile = px[ys[r]:ys[r + 1], xs[c]:xs[c + 1]]
+                    if tile.size == 0:  # image smaller than the grid
+                        continue
+                    ids.append(iid)
+                    tidx.append(r * g + c)
+                    hashes.append(codecs.phash64(tile))
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "tile_idx": pa.array(tidx, pa.int32()),
+            "tile_hash": pa.array(hashes, pa.int64()),
+        })
