@@ -435,6 +435,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q267_holt_linear": analytics.q_holt_linear,
         "q271_page_hinkley": analytics.q_page_hinkley,
         "q272_hard_negatives": similarity.q_hard_negatives,
+        "q278_label_mrr": similarity.q_label_mrr,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
         "q275_decayed_type_scores": analytics.q_decayed_type_scores,
         "q274_psi_value_drift": analytics.q_psi_value_drift,
@@ -3284,6 +3285,23 @@ def oracle_sql() -> dict[str, str]:
                                   / (n_cur / CAST(nc AS DOUBLE))), 6)
                    END AS term
             FROM cc, tot WHERE nr > 0 ORDER BY bin
+        """,
+        "q278_label_mrr": """
+            WITH e2 AS MATERIALIZED (
+                SELECT vec_id, embedding, label FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+                  FROM e2 WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+            s AS (SELECT q.qid AS query_id, (e.label = q.ql) AS same,
+                         row_number() OVER (
+                             PARTITION BY q.qid
+                             ORDER BY list_cosine_similarity(
+                                          e.embedding, q.qe) DESC,
+                                      e.vec_id) AS rnk
+                  FROM e2 e, q WHERE e.vec_id <> q.qid)
+            SELECT query_id, min(rnk)::BIGINT AS first_rank,
+                   round(1.0 / min(rnk), 6) AS rr
+            FROM s WHERE same GROUP BY query_id ORDER BY query_id
         """,
         "q272_hard_negatives": """
             -- NULL embeddings/labels drop on both sides; MATERIALIZED

@@ -1781,3 +1781,109 @@ def q_hard_negatives(sf_dir: str, query_ids: tuple = (0, 1, 2, 3),
                "neighbor_label"]].reset_index(drop=True)
     out["neighbor_label"] = out["neighbor_label"].astype(np.int32)
     return out
+
+
+def q_label_mrr(sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4, 5, 6,
+                                                 7)) -> pd.DataFrame:
+    """Mean-reciprocal-rank retrieval eval with labels as relevance —
+    for each probe, the rank of the FIRST same-label neighbor in
+    cosine order (the standard leave-one-out retrieval metric when
+    labels are the only ground truth). Exact at any scale WITHOUT a
+    global sort: pass 1 streams per-batch best-same-label candidates
+    (one row per query per batch); pass 2 counts, per query, the
+    candidates ordered strictly before that winner ((sim, id)
+    lexicographic — q24's tie rule), so first_rank = count + 1.
+    Probes or candidates with NULL embedding/label drop on both
+    sides; a probe with no same-label candidate emits no row."""
+    import ray
+    import ray.data as rd
+
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=(pc.field("vec_id").isin([int(q) for q in query_ids])
+                & pc.field("embedding").is_valid()
+                & pc.field("label").is_valid()),
+        columns=["vec_id", "embedding", "label"]).sort_by("vec_id")
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "first_rank": pd.Series(dtype="int64"),
+                          "rr": pd.Series(dtype="float64")})
+    if t.num_rows == 0:
+        return empty
+    qids, qmat = _batch_matrix(t)
+    qmat = _unit(qmat)
+    qlab = t.column("label").to_numpy(zero_copy_only=False)
+    qref = ray.put((qids, qmat, qlab))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("embedding").is_valid()
+                & pads.field("label").is_valid())).materialize()
+    refs = ds.to_arrow_refs()
+
+    def prep(batch: pa.Table):
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return None
+        lab = batch.filter(pc.is_valid(batch.column("embedding"))) \
+                   .column("label").to_numpy(zero_copy_only=False)
+        return ids, _unit(mat), lab
+
+    def best_same(batch: pa.Table):
+        got = prep(batch)
+        if got is None:
+            return {}
+        ids, mat, lab = got
+        qids_, qmat_, qlab_ = ray.get(qref)
+        sims = mat @ qmat_.T
+        out = {}
+        for j, q in enumerate(qids_):
+            m = np.flatnonzero((lab == qlab_[j]) & (ids != q))
+            if not len(m):
+                continue
+            col = sims[m, j]
+            i = m[np.lexsort((ids[m], -col))[0]]
+            out[int(q)] = (float(sims[i, j]), int(ids[i]))
+        return out
+
+    best: dict = {}
+    for part in ray.get([ray.remote(best_same).remote(r)
+                         for r in refs]):
+        for q, (s, i) in part.items():
+            if q not in best or (s, -i) > (best[q][0], -best[q][1]):
+                best[q] = (s, i)
+    if not best:
+        return empty
+    bref = ray.put(best)
+
+    def count_before(batch: pa.Table):
+        got = prep(batch)
+        if got is None:
+            return {}
+        ids, mat, lab = got
+        qids_, qmat_, _ = ray.get(qref)
+        winners = ray.get(bref)
+        sims = mat @ qmat_.T
+        out = {}
+        for j, q in enumerate(qids_):
+            if int(q) not in winners:
+                continue
+            s_star, id_star = winners[int(q)]
+            col = sims[:, j]
+            mask = ids != q
+            before = ((col > s_star)
+                      | ((col == s_star) & (ids < id_star))) & mask
+            out[int(q)] = int(before.sum())
+        return out
+
+    totals: dict = {q: 0 for q in best}
+    for part in ray.get([ray.remote(count_before).remote(r)
+                         for r in refs]):
+        for q, c in part.items():
+            totals[q] += c
+    from .pairs import round_away
+
+    rows = sorted((q, totals[q] + 1) for q in totals)
+    return pd.DataFrame({
+        "query_id": pd.array([q for q, _ in rows], "int64"),
+        "first_rank": pd.array([r for _, r in rows], "int64"),
+        "rr": round_away(np.array([1.0 / r for _, r in rows]), 6)})
