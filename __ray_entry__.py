@@ -438,6 +438,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q278_label_mrr": similarity.q_label_mrr,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
         "q275_decayed_type_scores": analytics.q_decayed_type_scores,
+        "q279_props_key_profile": textops.q_props_key_profile,
+        "q281_negative_sampling_dist": textops.q_negative_sampling_dist,
         "q274_psi_value_drift": analytics.q_psi_value_drift,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
@@ -464,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # isotonic PAVA fit (sequential pooling recursion, no SQL
         # window twin) — hand-example + monotonicity pytest
         "q268_isotonic_enrate": textops.q_isotonic_enrate,
+        # zlib redundancy screen (no SQL compressor) — ordering pytest
+        "q280_compression_ratio": textops.q_compression_ratio,
         # ZCA whitening + self-certifying covariance eval (driver
         # eigendecomposition, no SQL twin) — near-identity pytest
         "q269_whitening_eval": similarity.q_whitening_eval,
@@ -3217,6 +3221,24 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q281_negative_sampling_dist": """
+            WITH w AS (
+                SELECT word, count(*)::BIGINT AS c FROM (
+                    SELECT unnest(regexp_extract_all(lower(text),
+                                                     '\\w+')) AS word
+                    FROM documents) GROUP BY word),
+            tot AS (SELECT sum(pow(c, 0.75)) AS z FROM w)
+            SELECT word, c AS n, round(pow(c, 0.75) / tot.z, 6)
+                       AS prob
+            FROM w, tot ORDER BY c DESC, word LIMIT 50
+        """,
+        "q279_props_key_profile": """
+            SELECT key, count(*)::BIGINT AS n FROM (
+                SELECT unnest(json_keys(props)) AS key
+                FROM events
+                WHERE props IS NOT NULL AND json_valid(props))
+            GROUP BY key ORDER BY key
         """,
         "q275_decayed_type_scores": """
             WITH t AS (

@@ -2591,3 +2591,30 @@ def test_tile_neardup_local_edit(ray_session):
     assert all("zzz" not in p for pair in pairs for p in pair)
     got = out.set_index(["image_a", "image_b"])["n_tiles"]
     assert got.loc[("edit", "orig")] == 15
+
+
+def test_compression_ratio_ordering(ray_session, tmp_path):
+    """q280: repetitive text compresses far below prose, prose below
+    random bytes; NULL/empty texts drop."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.textops import q_compression_ratio
+
+    rng = np.random.default_rng(3)
+    rand = "".join(chr(32 + int(x)) for x in rng.integers(0, 90, 4000))
+    rows = [
+        {"doc_id": 1, "text": "spam ham " * 500},
+        {"doc_id": 2, "text": ("the quick brown fox jumps over a "
+                               "lazy dog and keeps going ") * 60},
+        {"doc_id": 3, "text": rand},
+        {"doc_id": 4, "text": None},
+        {"doc_id": 5, "text": ""},
+    ]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "documents.parquet"))
+    out = q_compression_ratio(str(tmp_path)).set_index("doc_id")
+    assert sorted(out.index) == [1, 2, 3]
+    assert out.loc[1, "ratio"] < out.loc[2, "ratio"] < out.loc[3, "ratio"]
+    assert out.loc[3, "ratio"] > 0.5
+    assert (out["n_compressed"] < out["n_bytes"]).loc[[1, 2]].all()

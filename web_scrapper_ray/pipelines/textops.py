@@ -369,6 +369,23 @@ def _rewrite_infnan(s: str) -> str:
     return "".join(out)
 
 
+def _loads_yy(s):
+    """Parse like yyjson (inf/nan tokens allowed, duplicate object
+    keys preserved via _JPairs); None when unparseable."""
+    import json
+
+    try:
+        return json.loads(s, object_pairs_hook=_JPairs)
+    except (ValueError, TypeError, RecursionError):
+        if not (s and _INFNAN.search(s)):
+            return None
+        try:
+            return json.loads(_rewrite_infnan(s),
+                              object_pairs_hook=_JPairs)
+        except (ValueError, TypeError, RecursionError):
+            return None
+
+
 def json_extract_string_py(s: str | None, path: str = "k") -> str | None:
     """One-row ``json_extract_string(s, '$.{path}')`` twin — the unit
     the q113 batch fn maps and the DuckDB-probe parity test targets."""
@@ -376,15 +393,7 @@ def json_extract_string_py(s: str | None, path: str = "k") -> str | None:
 
     if s is None:
         return None
-    try:
-        obj = json.loads(s, object_pairs_hook=_JPairs)
-    except (ValueError, TypeError, RecursionError):
-        if not (s and _INFNAN.search(s)):
-            return None
-        try:
-            obj = json.loads(_rewrite_infnan(s), object_pairs_hook=_JPairs)
-        except (ValueError, TypeError, RecursionError):
-            return None
+    obj = _loads_yy(s)
     if not isinstance(obj, _JPairs):
         return None
     hit = next((vv for kk, vv in obj if kk == path), None)
@@ -2995,3 +3004,183 @@ def q_isotonic_enrate(sf_dir: str) -> pd.DataFrame:
         6)
     return out.drop(columns=["pos"]).astype(
         {"x_lo": "int64", "x_hi": "int64", "n": "int64"})
+
+
+def q_props_key_profile(sf_dir: str) -> pd.DataFrame:
+    """Schema profile of the semi-structured ``events.props`` column:
+    how many events carry each top-level JSON key — the first question
+    asked of any JSON payload column before promoting keys to real
+    columns. DuckDB ``json_keys`` parity (probed): duplicate keys in
+    one object count TWICE (yyjson keeps the raw document — Python's
+    dict-collapsing json.loads would silently merge them, hence the
+    _JPairs pairs-hook loader), non-object roots contribute nothing,
+    validity is the q17-parity yyjson ruleset. Per-batch key-count
+    partials fold driver-side (keys are schema-dimension-sized); keys
+    are exact full-byte strings (NUL-safe dict fold, byte-order
+    output)."""
+    import os
+
+    import ray.data as rd
+
+    from ..functions.validators import is_valid_json_batch
+    from .pairs import factorize_strings
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"),
+                         columns=["props"])
+
+    _E = pa.table({"key": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "props" not in t.schema.names:
+            return _E
+        vals = t.column("props").to_pylist()
+        ok = is_valid_json_batch(vals)
+        cnt: dict = {}
+        for s, v in zip(vals, ok):
+            if not v or s is None:
+                continue
+            obj = _loads_yy(s)
+            if isinstance(obj, _JPairs):
+                for k, _ in obj:
+                    cnt[k] = cnt.get(k, 0) + 1
+        if not cnt:
+            return _E
+        return pa.table({
+            "key": pa.array(list(cnt.keys()), pa.string()),
+            "n": pa.array(np.fromiter(cnt.values(), np.int64,
+                                      len(cnt)))})
+
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"key": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64")}
+    if parts.empty:
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["key"])
+    g = (parts.assign(_c=codes).groupby("_c")["n"].sum()
+         .reset_index())
+    out = pd.DataFrame({
+        "key": pd.Series(uniq.to_numpy()[g["_c"].to_numpy()],
+                         dtype=object),
+        "n": g["n"].to_numpy(np.int64)})
+    hexk = out["key"].map(lambda s: s.encode(
+        "utf-8", "surrogatepass").hex())
+    return out.loc[hexk.sort_values().index].reset_index(drop=True)
+
+
+def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
+    """Per-document zlib compression ratio — the cheap redundancy
+    screen training-data pipelines run alongside q63's repetition
+    filter (boilerplate and template spam compress far below prose;
+    ratios near 1 flag already-compressed or high-entropy junk).
+    Stateless vectorized-per-batch stage: compressed size over UTF-8
+    byte size, level 6. NULL or empty text is out of contract
+    (dropped). Deterministic within an environment → rows-only;
+    ordering (repetitive ≪ prose < random) pinned by pytest."""
+    import zlib
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    _E = pa.table({"doc_id": pa.array([], pa.int64()),
+                   "n_bytes": pa.array([], pa.int64()),
+                   "n_compressed": pa.array([], pa.int64()),
+                   "ratio": pa.array([], pa.float64())})
+
+    def comp(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        ids, nb, nc = [], [], []
+        for did, txt in zip(t.column("doc_id").to_pylist(),
+                            t.column("text").to_pylist()):
+            if did is None or not txt:
+                continue
+            raw = txt.encode("utf-8", "surrogatepass")
+            ids.append(did)
+            nb.append(len(raw))
+            nc.append(len(zlib.compress(raw, 6)))
+        nb_a = np.array(nb, np.int64)
+        nc_a = np.array(nc, np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bytes": pa.array(nb_a),
+            "n_compressed": pa.array(nc_a),
+            "ratio": pa.array(np.round(nc_a / nb_a, 6))})
+
+    out = ds.map_batches(comp, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_negative_sampling_dist(sf_dir: str, k: int = 50,
+                             power: float = 0.75, P: int = 32
+                             ) -> pd.DataFrame:
+    """word2vec-style negative-sampling distribution: P(w) ∝
+    count(w)^0.75, reported for the top-k words — the smoothed unigram
+    table every skip-gram/contrastive text trainer builds first. One
+    word-hash exchange: each bucket owns its vocab slice, folds global
+    counts, and emits BOTH its Σ count^0.75 partial (the denominator
+    needs every word, not just the head) and its local top-k
+    candidates — any global top-k word is in its bucket's top-k, so
+    the driver folds P·k candidates plus P scalars. pow() terms are
+    identical doubles on both sides; only the denominator's summation
+    order differs (round 6 on O(1e-3) probabilities). Ties at the k
+    boundary break by UTF-8 byte order like the oracle's ORDER BY."""
+    from .pairs import hash_shuffle, round_away, str_u64
+
+    cols = {"word": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "prob": pd.Series(dtype="float64")}
+
+    _E = pa.table({"word": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        cnt: dict = {}
+        for txt in t.column("text").to_pylist():
+            for w in _TOKEN_RX.findall((txt or "").lower()):
+                cnt[w] = cnt.get(w, 0) + 1
+        if not cnt:
+            return _E
+        words = list(cnt.keys())
+        return pa.table({
+            "word": pa.array(words, pa.string()),
+            "c": pa.array(np.fromiter(cnt.values(), np.int64,
+                                      len(cnt))),
+            "bucket": pa.array(np.array(
+                [str_u64(w) & (P - 1) for w in words], np.int64))})
+
+    def merge(*tabs):
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return 0.0, []
+        t = pa.concat_tables(live)
+        cnt: dict = {}
+        for w, c in zip(t.column("word").to_pylist(),
+                        t.column("c").to_pylist()):
+            cnt[w] = cnt.get(w, 0) + c
+        z = float(np.power(np.fromiter(cnt.values(), np.float64,
+                                       len(cnt)), power).sum())
+        top = sorted(cnt.items(),
+                     key=lambda kv: (-kv[1], kv[0].encode(
+                         "utf-8", "surrogatepass")))[:k]
+        return z, top
+
+    parts = hash_shuffle(
+        [(r, ()) for r in _docs(
+            sf_dir, columns=["text"]).to_arrow_refs()],
+        split, merge, P=P)
+    z = sum(p[0] for p in parts)
+    cands = [kv for p in parts for kv in p[1]]
+    if not cands or z == 0.0:
+        return pd.DataFrame(cols)
+    cands.sort(key=lambda kv: (-kv[1], kv[0].encode(
+        "utf-8", "surrogatepass")))
+    top = cands[:k]
+    return pd.DataFrame({
+        "word": pd.Series([w for w, _ in top], dtype=object),
+        "n": pd.array([c for _, c in top], "int64"),
+        "prob": round_away(
+            np.power(np.array([c for _, c in top], np.float64),
+                     power) / z, 6)})
