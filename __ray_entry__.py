@@ -436,6 +436,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q271_page_hinkley": analytics.q_page_hinkley,
         "q272_hard_negatives": similarity.q_hard_negatives,
         "q278_label_mrr": similarity.q_label_mrr,
+        "q282_holt_backtest": analytics.q_holt_backtest,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
         "q275_decayed_type_scores": analytics.q_decayed_type_scores,
         "q279_props_key_profile": textops.q_props_key_profile,
@@ -468,6 +469,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q268_isotonic_enrate": textops.q_isotonic_enrate,
         # zlib redundancy screen (no SQL compressor) — ordering pytest
         "q280_compression_ratio": textops.q_compression_ratio,
+        # Mahalanobis top-k outliers (driver eig, no SQL twin) —
+        # planted-outlier pytest
+        "q283_mahalanobis_outliers": similarity.q_mahalanobis_outliers,
         # ZCA whitening + self-certifying covariance eval (driver
         # eigendecomposition, no SQL twin) — near-identity pytest
         "q269_whitening_eval": similarity.q_whitening_eval,
@@ -3346,6 +3350,40 @@ def oracle_sql() -> dict[str, str]:
                                                    neighbor_id) AS rank
                 FROM s)
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q282_holt_backtest": """
+            WITH RECURSIVE d AS (
+                SELECT row_number() OVER (ORDER BY day) AS rn,
+                       revc::DOUBLE AS y FROM (
+                    SELECT date_trunc('day', o_orderdate) AS day,
+                           sum(CAST(round(o_totalprice * 100)
+                                    AS BIGINT)) AS revc
+                    FROM orders
+                    WHERE o_orderdate IS NOT NULL
+                      AND isfinite(o_totalprice)
+                    GROUP BY 1)),
+            org AS (
+                SELECT unnest(generate_series(
+                    greatest(2, (SELECT count(*) FROM d) - 8),
+                    (SELECT count(*) FROM d) - 1)) AS o),
+            it(o, i, s, b) AS (
+                SELECT o, 1::BIGINT,
+                       (SELECT y FROM d WHERE rn = 1),
+                       (SELECT y FROM d WHERE rn = 2)
+                           - (SELECT y FROM d WHERE rn = 1)
+                FROM org
+                UNION ALL
+                SELECT it.o, i + 1,
+                       0.5 * d.y + 0.5 * (s + b),
+                       0.3 * (0.5 * d.y + 0.5 * (s + b) - s)
+                           + 0.7 * b
+                FROM it JOIN d ON d.rn = i + 1 WHERE i < it.o),
+            fc AS (SELECT it.o, s + b AS f FROM it WHERE i = it.o),
+            er AS (SELECT abs(f - d.y) AS e
+                   FROM fc JOIN d ON d.rn = fc.o + 1)
+            SELECT count(*)::BIGINT AS n_origins,
+                   round(avg(e), 6) AS mae
+            FROM er HAVING count(*) > 0
         """,
         "q271_page_hinkley": """
             WITH d AS (

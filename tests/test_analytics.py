@@ -1654,3 +1654,25 @@ def test_user_erasure_audit_cascade(ray_session, tmp_path):
     }), str(tmp_path / "lineitem.parquet"))
     out = q_user_erasure_audit(str(tmp_path))
     assert out.iloc[0].tolist() == [7, 3, 2, 3]
+
+
+def test_mahalanobis_planted_outlier(ray_session, tmp_path):
+    """q283: a point far along a low-variance direction ranks first,
+    beating a same-L2 point along the high-variance axis."""
+    from web_scrapper_ray.pipelines.similarity import (
+        q_mahalanobis_outliers)
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, (200, 4))
+    base[:, 3] *= 0.01           # dim 3 is nearly constant
+    base[0] = [8.0, 0, 0, 0]     # far along the WIDE axis
+    base[1] = [0, 0, 0, 0.8]     # same-ish magnitude, NARROW axis
+    rows = [{"vec_id": i, "embedding": base[i].tolist(), "label": 0}
+            for i in range(len(base))]
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(tmp_path / "embeddings.parquet"))
+    out = q_mahalanobis_outliers(str(tmp_path), k=5)
+    assert len(out) == 5 and out["rank"].tolist() == [1, 2, 3, 4, 5]
+    # the narrow-axis point dominates: its Mahalanobis blows up
+    assert out.iloc[0]["vec_id"] == 1
+    assert 0 in set(out["vec_id"])  # wide-axis point still surfaces

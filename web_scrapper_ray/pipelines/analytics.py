@@ -10840,3 +10840,40 @@ def q_decayed_type_scores(sf_dir: str) -> pd.DataFrame:
         lambda s: "" if s is None else "1" + s.encode(
             "utf-8", "surrogatepass").hex())
     return out.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def q_holt_backtest(sf_dir: str, n_origins: int = 8) -> pd.DataFrame:
+    """Rolling-origin backtest of the q267 Holt forecaster — the
+    honest way to score a forecasting rule: refit on each expanding
+    window ending at the last ``n_origins`` days, forecast one step,
+    and report the mean absolute error. The oracle runs the SAME
+    multi-track recursion (one recursive CTE carrying (origin, i, s,
+    b) state per origin — each track stops at its own horizon), with
+    the q267 literal-coefficient rule; the engine's per-origin driver
+    recursions touch only the ~#days cents series from one exchange.
+    |error| terms are identical doubles; only the 8-term MAE sum
+    order differs (round 6, 1e-8 abs noise on 1e8 magnitudes).
+    Origins need ≥ 2 history points; fewer than one usable origin →
+    zero rows on both sides."""
+    A, OMA, B, OMB = 0.5, 0.5, 0.3, 0.7
+    cols = {"n_origins": pd.Series(dtype="int64"),
+            "mae": pd.Series(dtype="float64")}
+    d = _daily_rev_cents(sf_dir)
+    n = len(d)
+    if n < 3:
+        return pd.DataFrame(cols)
+    y = d.sort_values("day")["revc"].to_numpy(np.float64)
+    errs = []
+    for origin in range(max(2, n - n_origins), n):
+        s = y[0]
+        b = y[1] - y[0]
+        for t in range(1, origin):
+            s_new = A * y[t] + OMA * (s + b)
+            b = B * (s_new - s) + OMB * b
+            s = s_new
+        errs.append(abs((s + b) - y[origin]))
+    if not errs:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n_origins": pd.array([len(errs)], "int64"),
+        "mae": round_away(np.array([float(np.mean(errs))]), 6)})

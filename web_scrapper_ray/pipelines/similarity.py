@@ -1887,3 +1887,76 @@ def q_label_mrr(sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4, 5, 6,
         "query_id": pd.array([q for q, _ in rows], "int64"),
         "first_rank": pd.array([r for _, r in rows], "int64"),
         "rr": round_away(np.array([1.0 / r for _, r in rows]), 6)})
+
+
+def q_mahalanobis_outliers(sf_dir: str, k: int = 10,
+                           eps: float = 1e-6) -> pd.DataFrame:
+    """Top-k multivariate outliers by Mahalanobis distance — the
+    covariance-aware anomaly screen (a point far along a LOW-variance
+    direction outranks one equally far along a high-variance one,
+    which plain L2 can't see). Same two-pass layout as the q269
+    whitening eval: streamed covariance partials → dim×dim driver
+    inverse via eigendecomposition → broadcast (μ, Σ⁻¹) second pass
+    emitting per-batch local top-k (d², vec_id); the driver folds
+    blocks×k rows. Deterministic → rows-only; a planted off-manifold
+    point pins rank 1 in pytest."""
+    import ray
+
+    ds = _emb(sf_dir)
+
+    def cov_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return pa.table({"n": pa.array([], pa.int64()),
+                             "sx": pa.array([], pa.list_(pa.float64())),
+                             "sxx": pa.array([], pa.list_(pa.float64()))})
+        X = np.asarray(t.column("embedding").to_pylist(), np.float64)
+        return pa.table({
+            "n": pa.array([X.shape[0]], pa.int64()),
+            "sx": pa.array([X.sum(axis=0).tolist()],
+                           pa.list_(pa.float64())),
+            "sxx": pa.array([(X.T @ X).ravel().tolist()],
+                            pa.list_(pa.float64()))})
+
+    p1 = ds.map_batches(cov_partial, batch_format="pyarrow").to_pandas()
+    empty = pd.DataFrame({"rank": pd.Series(dtype="int64"),
+                          "vec_id": pd.Series(dtype="int64"),
+                          "dist2": pd.Series(dtype="float64")})
+    if p1.empty:
+        return empty
+    n = int(p1["n"].sum())
+    sx = np.sum(np.stack(p1["sx"].to_numpy()), axis=0)
+    sxx = np.sum(np.stack(p1["sxx"].to_numpy()), axis=0)
+    d = sx.size
+    mu = sx / n
+    cov = sxx.reshape(d, d) / n - np.outer(mu, mu)
+    lam, V = np.linalg.eigh(cov)
+    Minv = V @ np.diag(1.0 / (np.maximum(lam, 0.0) + eps)) @ V.T
+    bref = ray.put((mu, Minv))
+
+    _E = pa.table({"vec_id": pa.array([], pa.int64()),
+                   "dist2": pa.array([], pa.float64())})
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "embedding" not in t.schema.names:
+            return _E
+        mu_, M_ = ray.get(bref)
+        ids, mat = _batch_matrix(t)
+        if not len(ids):
+            return _E
+        Xc = mat - mu_
+        d2 = np.einsum("ij,jk,ik->i", Xc, M_, Xc)
+        idx = _topk_idx(d2, ids, min(k, len(ids)))
+        return pa.table({"vec_id": pa.array(ids[idx], pa.int64()),
+                         "dist2": pa.array(d2[idx], pa.float64())})
+
+    parts = ds.map_batches(local_topk,
+                           batch_format="pyarrow").to_pandas()
+    if parts.empty:
+        return empty
+    order = np.lexsort((parts["vec_id"].to_numpy(np.int64),
+                        -parts["dist2"].to_numpy(np.float64)))[:k]
+    return pd.DataFrame({
+        "rank": pd.array(np.arange(1, len(order) + 1), "int64"),
+        "vec_id": parts["vec_id"].to_numpy(np.int64)[order],
+        "dist2": np.round(parts["dist2"].to_numpy(np.float64)[order],
+                          6)})
