@@ -437,6 +437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q272_hard_negatives": similarity.q_hard_negatives,
         "q278_label_mrr": similarity.q_label_mrr,
         "q282_holt_backtest": analytics.q_holt_backtest,
+        "q284_wasserstein_drift": rankstats.q_wasserstein_distance,
+        "q285_langid_eval": textops.q_langid_eval,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
         "q275_decayed_type_scores": analytics.q_decayed_type_scores,
         "q279_props_key_profile": textops.q_props_key_profile,
@@ -944,6 +946,29 @@ def oracle_sql() -> dict[str, str]:
         "q17_json_valid": """
             SELECT event_id, coalesce(json_valid(props), false) AS valid_json
             FROM events ORDER BY event_id
+        """,
+        "q285_langid_eval": f"""
+            WITH p AS (
+                SELECT (CASE WHEN 10 * {_NSTOP} > len({_TOKS})
+                             THEN 1 ELSE 0 END) AS pred_en,
+                       (CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                           AS act_en
+                FROM documents),
+            c AS (SELECT
+                (count(*) FILTER (WHERE pred_en = 1 AND act_en = 1)
+                )::BIGINT AS tp,
+                (count(*) FILTER (WHERE pred_en = 1 AND act_en = 0)
+                )::BIGINT AS fp,
+                (count(*) FILTER (WHERE pred_en = 0 AND act_en = 1)
+                )::BIGINT AS fn,
+                (count(*) FILTER (WHERE pred_en = 0 AND act_en = 0)
+                )::BIGINT AS tn
+                FROM p)
+            SELECT tp, fp, fn, tn,
+                   round((2.0 * tp / (2 * tp + fp + fn)
+                          + 2.0 * tn / (2 * tn + fn + fp)) / 2.0, 6)
+                       AS macro_f1
+            FROM c
         """,
         "q18_phone_digits": """
             SELECT c_custkey, digits,
@@ -3350,6 +3375,29 @@ def oracle_sql() -> dict[str, str]:
                                                    neighbor_id) AS rank
                 FROM s)
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q284_wasserstein_drift": """
+            WITH s AS (
+                SELECT value AS v,
+                       CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                           END AS g1
+                FROM events
+                WHERE event_type IN ('click', 'purchase')
+                  AND isfinite(value)),
+            c AS (
+                SELECT v, count(*) FILTER (WHERE g1 = 1) AS c1,
+                       count(*) FILTER (WHERE g1 = 0) AS c2
+                FROM s GROUP BY v),
+            tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+            k AS (
+                SELECT sum(c.c1) OVER (ORDER BY c.v) / tot.n1 AS f1,
+                       sum(c.c2) OVER (ORDER BY c.v) / tot.n2 AS f2,
+                       lead(c.v) OVER (ORDER BY c.v) - c.v AS dv
+                FROM c, tot)
+            SELECT coalesce((SELECT n1 FROM tot), 0)::BIGINT AS n1,
+                   coalesce((SELECT n2 FROM tot), 0)::BIGINT AS n2,
+                   (SELECT round(sum(abs(f1 - f2) * dv), 6) FROM k
+                    WHERE dv IS NOT NULL) AS w1
         """,
         "q282_holt_backtest": """
             WITH RECURSIVE d AS (

@@ -3184,3 +3184,55 @@ def q_negative_sampling_dist(sf_dir: str, k: int = 50,
         "prob": round_away(
             np.power(np.array([c for _, c in top], np.float64),
                      power) / z, 6)})
+
+
+def q_langid_eval(sf_dir: str) -> pd.DataFrame:
+    """Confusion matrix + macro-F1 of the q16 stopword language
+    heuristic against the stored ``lang`` labels — the accuracy
+    harness that turns the heuristic into a measurable classifier
+    (binary task: 'en' vs everything else; NULL lang counts as
+    not-en, NULL text predicts not-en, both the SQL CASE semantics).
+    One streamed pass of per-batch 4-cell confusion partials; the
+    driver folds P tiny tuples and computes the two class F1s from
+    exact-integer ratios. An ungrouped SQL aggregate emits exactly
+    one row even on empty input (q136 rule) — counts 0, NULL F1."""
+    from ..functions.text import STOP_WORDS
+    from .pairs import round_away
+
+    ds = _docs(sf_dir, columns=["text", "lang"])
+
+    def confusion(t: pa.Table) -> pa.Table:
+        tp = fp = fn = tn = 0
+        if t.num_rows and "text" in t.schema.names:
+            for txt, lang in zip(t.column("text").to_pylist(),
+                                 t.column("lang").to_pylist()):
+                toks = _TOKEN_RX.findall((txt or "").lower())
+                ns = sum(1 for w in toks if w in STOP_WORDS)
+                pred = 10 * ns > len(toks)
+                act = lang == "en"
+                if pred and act:
+                    tp += 1
+                elif pred:
+                    fp += 1
+                elif act:
+                    fn += 1
+                else:
+                    tn += 1
+        return pa.table({"tp": pa.array([tp], pa.int64()),
+                         "fp": pa.array([fp], pa.int64()),
+                         "fn": pa.array([fn], pa.int64()),
+                         "tn": pa.array([tn], pa.int64())})
+
+    p = ds.map_batches(confusion, batch_format="pyarrow").to_pandas()
+    tp, fp = int(p["tp"].sum()), int(p["fp"].sum())
+    fn, tn = int(p["fn"].sum()), int(p["tn"].sum())
+    den_en = 2 * tp + fp + fn
+    den_ot = 2 * tn + fn + fp
+    macro = np.nan
+    if den_en > 0 and den_ot > 0:
+        macro = (2.0 * tp / den_en + 2.0 * tn / den_ot) / 2.0
+    return pd.DataFrame({"tp": pd.array([tp], "int64"),
+                         "fp": pd.array([fp], "int64"),
+                         "fn": pd.array([fn], "int64"),
+                         "tn": pd.array([tn], "int64"),
+                         "macro_f1": round_away(np.array([macro]), 6)})
