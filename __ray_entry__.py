@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q282_holt_backtest": analytics.q_holt_backtest,
         "q284_wasserstein_drift": rankstats.q_wasserstein_distance,
         "q285_langid_eval": textops.q_langid_eval,
+        "q286_binary_segmentation": analytics.q_binary_segmentation,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
         "q275_decayed_type_scores": analytics.q_decayed_type_scores,
         "q279_props_key_profile": textops.q_props_key_profile,
@@ -450,6 +451,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trained-BPE corpus tokenization (iterative merge semantics,
         # no SQL twin); Sennrich hand-example pytest pins the encoding
         "q233_bpe_encode": textops.q_bpe_encode,
+        # tokenizer fertility per lang (BPE upstream, no SQL twin) —
+        # per-lang ratio pytest
+        "q287_bpe_fertility": textops.q_bpe_fertility,
         # Poisson-bootstrap CI (hash-seeded draws, no SQL twin);
         # determinism + split-invariance pytest
         "q238_bootstrap_ci": rankstats.q_bootstrap_ci,
@@ -3375,6 +3379,56 @@ def oracle_sql() -> dict[str, str]:
                                                    neighbor_id) AS rank
                 FROM s)
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q286_binary_segmentation": """
+            WITH d AS (
+                SELECT epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000 AS dayi,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            w AS (SELECT dayi, revc,
+                         row_number() OVER (ORDER BY dayi) AS rn
+                  FROM d),
+            nn AS (SELECT count(*)::BIGINT AS n,
+                          sum(revc) AS tot FROM w),
+            g AS (SELECT dayi, rn,
+                         abs(sum(revc) OVER (ORDER BY rn)
+                             - rn * nn.tot / CAST(nn.n AS DOUBLE))
+                             AS stat
+                  FROM w, nn WHERE nn.n >= 2),
+            cp1 AS (SELECT dayi, rn, stat FROM g
+                    ORDER BY stat DESC, dayi LIMIT 1),
+            seg AS (SELECT w.dayi, w.revc,
+                           (w.rn <= (SELECT rn FROM cp1)) AS ls,
+                           row_number() OVER (
+                               PARTITION BY w.rn <= (SELECT rn
+                                                     FROM cp1)
+                               ORDER BY w.rn) AS k
+                    FROM w WHERE (SELECT count(*) FROM w) >= 2),
+            st AS (SELECT ls, count(*)::BIGINT AS m,
+                          sum(revc) AS tot FROM seg GROUP BY ls),
+            s1 AS (SELECT seg.dayi, seg.ls,
+                          abs(sum(seg.revc) OVER (PARTITION BY seg.ls
+                                                  ORDER BY seg.k)
+                              - seg.k * st.tot
+                                / CAST(st.m AS DOUBLE)) AS stat
+                   FROM seg JOIN st USING (ls)),
+            s2 AS (SELECT dayi, ls, stat,
+                          row_number() OVER (
+                              PARTITION BY ls
+                              ORDER BY stat DESC, dayi) AS rk
+                   FROM s1)
+            SELECT 1::BIGINT AS rank, dayi::BIGINT AS day,
+                   round(stat, 6) AS stat FROM cp1
+            UNION ALL
+            SELECT CASE WHEN ls THEN 2 ELSE 3 END::BIGINT,
+                   dayi::BIGINT, round(stat, 6)
+            FROM s2 WHERE rk = 1
+            ORDER BY rank
         """,
         "q284_wasserstein_drift": """
             WITH s AS (

@@ -2618,3 +2618,26 @@ def test_compression_ratio_ordering(ray_session, tmp_path):
     assert out.loc[1, "ratio"] < out.loc[2, "ratio"] < out.loc[3, "ratio"]
     assert out.loc[3, "ratio"] > 0.5
     assert (out["n_compressed"] < out["n_bytes"]).loc[[1, 2]].all()
+
+
+def test_bpe_fertility_groups(ray_session):
+    """q287: per-lang fertility is Σtokens/Σwords of q233's per-doc
+    counts, grouped over the real sf0.001 corpus."""
+    import pyarrow.dataset as pads
+
+    from web_scrapper_ray.pipelines.textops import (q_bpe_encode,
+                                                    q_bpe_fertility)
+
+    sf = "/root/testdata/sf0.001"
+    out = q_bpe_fertility(sf)
+    per_doc = q_bpe_encode(sf)
+    lang = pads.dataset(f"{sf}/documents.parquet").to_table(
+        columns=["doc_id", "lang"]).to_pandas()
+    df = per_doc.merge(lang, on="doc_id")
+    df = df[df["n_words"] > 0]
+    for _, r in out.iterrows():
+        sub = df[df["lang"] == r["lang"]]
+        assert len(sub) == r["n_docs"]
+        want = sub["n_tokens"].sum() / sub["n_words"].sum()
+        assert abs(r["fertility"] - round(want, 6)) < 1e-9
+    assert (out["fertility"] >= 1.0).all()

@@ -10877,3 +10877,58 @@ def q_holt_backtest(sf_dir: str, n_origins: int = 8) -> pd.DataFrame:
     return pd.DataFrame({
         "n_origins": pd.array([len(errs)], "int64"),
         "mae": round_away(np.array([float(np.mean(errs))]), 6)})
+
+
+def q_binary_segmentation(sf_dir: str) -> pd.DataFrame:
+    """Binary-segmentation changepoint detection on daily revenue —
+    the recursive step every multi-changepoint method builds on q213's
+    single CUSUM: find the global max-deviation day, split there, and
+    report each half's own best candidate (rank 1 = global, 2 = left
+    half, 3 = right half). All statistics stay in q213's exact-int
+    form (prefix cents − k·segment-total/m as one int→float op chain),
+    so argmax ordering is bit-deterministic against the oracle's
+    windowed integer sums; the day exchange is the wide work and the
+    ~#days recursion is driver-side. A half with no rows emits no
+    candidate; fewer than 2 days → zero rows."""
+    cols = {"rank": pd.Series(dtype="int64"),
+            "day": pd.Series(dtype="int64"),
+            "stat": pd.Series(dtype="float64")}
+    d = _daily_rev_cents(sf_dir)
+    n = len(d)
+    if n < 2:
+        return pd.DataFrame(cols)
+    d = d.sort_values("day").reset_index(drop=True)
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+
+    def best(lo: int, hi: int):
+        """argmax of |S_k − k·S/m| within rows [lo, hi) (exact-int →
+        float ops in the oracle's order); None when empty."""
+        m = hi - lo
+        if m < 1:
+            return None
+        seg = rev[lo:hi]
+        cum = np.cumsum(seg)
+        tot = int(cum[-1])
+        k = np.arange(1, m + 1, dtype=np.int64)
+        stat = np.abs(cum.astype(np.float64)
+                      - (k * tot).astype(np.float64) / m)
+        i = int(np.lexsort((days[lo:hi], -stat))[0])
+        return lo + i, float(stat[i])
+
+    g = best(0, n)
+    rows = [{"rank": 1, "day": int(days[g[0]]), "stat": g[1]}]
+    split = g[0] + 1  # left = rows 1..k (inclusive of the cp day)
+    left = best(0, split)
+    if left is not None:
+        rows.append({"rank": 2, "day": int(days[left[0]]),
+                     "stat": left[1]})
+    right = best(split, n)
+    if right is not None:
+        rows.append({"rank": 3, "day": int(days[right[0]]),
+                     "stat": right[1]})
+    out = pd.DataFrame(rows)
+    out["rank"] = out["rank"].astype(np.int64)
+    out["day"] = out["day"].astype(np.int64)
+    out["stat"] = round_away(out["stat"].to_numpy(np.float64), 6)
+    return out

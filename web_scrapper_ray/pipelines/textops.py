@@ -3236,3 +3236,53 @@ def q_langid_eval(sf_dir: str) -> pd.DataFrame:
                          "fn": pd.array([fn], "int64"),
                          "tn": pd.array([tn], "int64"),
                          "macro_f1": round_away(np.array([macro]), 6)})
+
+
+def q_bpe_fertility(sf_dir: str, n_merges: int = 24) -> pd.DataFrame:
+    """Tokenizer fertility by language — tokens-per-word of the
+    trained q100 BPE per ``lang`` group, the first number checked when
+    a tokenizer is suspected of fragmenting a language's text (high
+    fertility = wasted context window for that slice). Reuses q233's
+    actor-pool encode verbatim (per-doc counts stream back; the
+    per-doc frame is already q233's driver contract) and folds
+    exact-int (Σtokens, Σwords) per lang; fertility is one exact-int
+    division. Docs that tokenize to zero words don't contribute;
+    NULL lang is its own group."""
+    import os
+
+    import pyarrow.dataset as pads
+
+    from .pairs import factorize_strings, round_away
+
+    per_doc = q_bpe_encode(sf_dir, n_merges=n_merges)
+    cols = {"lang": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "fertility": pd.Series(dtype="float64")}
+    if per_doc.empty:
+        return pd.DataFrame(cols)
+    lang_t = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet")).to_table(
+        columns=["doc_id", "lang"]).to_pandas()
+    df = per_doc.merge(lang_t, on="doc_id", how="left")
+    df = df[df["n_words"] > 0]
+    if df.empty:
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(df["lang"],
+                                    use_na_sentinel=False)
+    g = (df.assign(_c=codes).groupby("_c")
+         .agg(n_docs=("doc_id", "count"),
+              tw=("n_words", "sum"), tt=("n_tokens", "sum"))
+         .reset_index())
+    out = pd.DataFrame({
+        "lang": pd.Series(uniq.to_numpy()[g["_c"].to_numpy()],
+                          dtype=object),
+        "n_docs": g["n_docs"].to_numpy(np.int64),
+        "fertility": round_away(
+            g["tt"].to_numpy(np.float64)
+            / g["tw"].to_numpy(np.float64), 6)})
+    out["lang"] = out["lang"].astype(object).where(
+        out["lang"].notna(), None)
+    key = out["lang"].map(lambda s: "" if s is None
+                          else "1" + s.encode("utf-8",
+                                              "surrogatepass").hex())
+    return out.loc[key.sort_values().index].reset_index(drop=True)
