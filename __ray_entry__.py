@@ -440,6 +440,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q284_wasserstein_drift": rankstats.q_wasserstein_distance,
         "q285_langid_eval": textops.q_langid_eval,
         "q286_binary_segmentation": analytics.q_binary_segmentation,
+        "q288_did_estimate": analytics.q_did_estimate,
         "q273_user_erasure_audit": analytics.q_user_erasure_audit,
         "q275_decayed_type_scores": analytics.q_decayed_type_scores,
         "q279_props_key_profile": textops.q_props_key_profile,
@@ -478,6 +479,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Mahalanobis top-k outliers (driver eig, no SQL twin) —
         # planted-outlier pytest
         "q283_mahalanobis_outliers": similarity.q_mahalanobis_outliers,
+        # product-quantization ADC recall eval (seeded codebooks, no
+        # SQL twin) — determinism + floor pytest
+        "q289_pq_recall_eval": similarity.q_pq_recall_eval,
         # ZCA whitening + self-certifying covariance eval (driver
         # eigendecomposition, no SQL twin) — near-identity pytest
         "q269_whitening_eval": similarity.q_whitening_eval,
@@ -3379,6 +3383,52 @@ def oracle_sql() -> dict[str, str]:
                                                    neighbor_id) AS rank
                 FROM s)
             WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "q288_did_estimate": """
+            WITH d AS (
+                SELECT epoch_us(date_trunc('day', o_orderdate))
+                           // 86400000000 AS dayi,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            w AS (SELECT dayi, revc,
+                         row_number() OVER (ORDER BY dayi) AS rn
+                  FROM d),
+            nn AS (SELECT count(*)::BIGINT AS n,
+                          sum(revc) AS tot FROM w),
+            g AS (SELECT dayi, rn,
+                         abs(sum(revc) OVER (ORDER BY rn)
+                             - rn * nn.tot / CAST(nn.n AS DOUBLE))
+                             AS stat
+                  FROM w, nn WHERE nn.n >= 2),
+            cp1 AS (SELECT dayi, rn FROM g
+                    ORDER BY stat DESC, dayi LIMIT 1),
+            lab AS (SELECT revc,
+                           (rn > (SELECT rn FROM cp1)) AS post,
+                           (((dayi % 7) + 7) % 7) IN (2, 3) AS we
+                    FROM w),
+            m AS (SELECT
+                sum(revc) FILTER (WHERE we AND post)
+                    / CAST(count(*) FILTER (WHERE we AND post)
+                           AS DOUBLE) AS we_post,
+                sum(revc) FILTER (WHERE we AND NOT post)
+                    / CAST(count(*) FILTER (WHERE we AND NOT post)
+                           AS DOUBLE) AS we_pre,
+                sum(revc) FILTER (WHERE NOT we AND post)
+                    / CAST(count(*) FILTER (WHERE NOT we AND post)
+                           AS DOUBLE) AS wd_post,
+                sum(revc) FILTER (WHERE NOT we AND NOT post)
+                    / CAST(count(*) FILTER (WHERE NOT we
+                                            AND NOT post)
+                           AS DOUBLE) AS wd_pre
+                FROM lab)
+            SELECT (SELECT dayi FROM cp1)::BIGINT AS cp_day,
+                   round((we_post - we_pre) - (wd_post - wd_pre), 6)
+                       AS did
+            FROM m WHERE EXISTS (SELECT 1 FROM cp1)
         """,
         "q286_binary_segmentation": """
             WITH d AS (

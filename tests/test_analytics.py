@@ -1676,3 +1676,15 @@ def test_mahalanobis_planted_outlier(ray_session, tmp_path):
     # the narrow-axis point dominates: its Mahalanobis blows up
     assert out.iloc[0]["vec_id"] == 1
     assert 0 in set(out["vec_id"])  # wide-axis point still surfaces
+
+
+def test_pq_recall_eval_deterministic_floor(ray_session):
+    """q289: PQ-ADC recall over sf0.001 is deterministic and beats
+    random-selection recall (k/n ≈ 0.02) by a wide margin."""
+    from web_scrapper_ray.pipelines.similarity import q_pq_recall_eval
+
+    a = q_pq_recall_eval("/root/testdata/sf0.001")
+    b = q_pq_recall_eval("/root/testdata/sf0.001")
+    pd.testing.assert_frame_equal(a, b)
+    assert a["n_probes"].iloc[0] == 8
+    assert a["mean_recall"].iloc[0] >= 0.2

@@ -10932,3 +10932,46 @@ def q_binary_segmentation(sf_dir: str) -> pd.DataFrame:
     out["day"] = out["day"].astype(np.int64)
     out["stat"] = round_away(out["stat"].to_numpy(np.float64), 6)
     return out
+
+
+def q_did_estimate(sf_dir: str) -> pd.DataFrame:
+    """Difference-in-differences around the detected changepoint —
+    the causal-inference primitive layered on q213's CUSUM: split the
+    daily series at the max-deviation day (pre ≤ cp < post), treat
+    weekend days (q248's floored-mod rule) as the treated group and
+    weekdays as control, and report DiD = (ȳ_we,post − ȳ_we,pre) −
+    (ȳ_wd,post − ȳ_wd,pre). Every mean is an exact-int cents sum over
+    one division, so both sides compute identical doubles and the
+    composition is exact (round 6 is belt-and-braces). Any empty cell
+    → SQL NULL mean → NULL DiD; fewer than 2 days → zero rows."""
+    cols = {"cp_day": pd.Series(dtype="int64"),
+            "did": pd.Series(dtype="float64")}
+    d = _daily_rev_cents(sf_dir)
+    n = len(d)
+    if n < 2:
+        return pd.DataFrame(cols)
+    d = d.sort_values("day").reset_index(drop=True)
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+    cum = np.cumsum(rev)
+    tot = int(cum[-1])
+    k = np.arange(1, n + 1, dtype=np.int64)
+    stat = np.abs(cum.astype(np.float64)
+                  - (k * tot).astype(np.float64) / n)
+    cp = int(np.lexsort((days, -stat))[0])
+    post = np.arange(n) > cp
+    weekend = np.isin(np.mod(days, 7), (2, 3))
+
+    def cell_mean(mask: np.ndarray) -> float:
+        if not mask.any():
+            return np.nan
+        return float(int(rev[mask].sum()) / int(mask.sum()))
+
+    m_we_post = cell_mean(weekend & post)
+    m_we_pre = cell_mean(weekend & ~post)
+    m_wd_post = cell_mean(~weekend & post)
+    m_wd_pre = cell_mean(~weekend & ~post)
+    did = (m_we_post - m_we_pre) - (m_wd_post - m_wd_pre)
+    return pd.DataFrame({
+        "cp_day": pd.array([int(days[cp])], "int64"),
+        "did": round_away(np.array([did]), 6)})

@@ -1960,3 +1960,119 @@ def q_mahalanobis_outliers(sf_dir: str, k: int = 10,
         "vec_id": parts["vec_id"].to_numpy(np.int64)[order],
         "dist2": np.round(parts["dist2"].to_numpy(np.float64)[order],
                           6)})
+
+
+def q_pq_recall_eval(sf_dir: str,
+                     query_ids: tuple = (0, 1, 2, 3, 4, 5, 6, 7),
+                     k: int = 10, m: int = 8, ksub: int = 16
+                     ) -> pd.DataFrame:
+    """Product-quantization recall eval — the memory/recall trade of
+    the standard ANN compression (split each unit vector into ``m``
+    subspaces, k-means each to ``ksub`` codes → m bytes per vector):
+    PQ-ADC retrieval (per-query lookup tables over the broadcast
+    codebooks, asymmetric distance = Σ subspace table entries) scored
+    against the exact q24 ground truth. The corpus streams twice —
+    codebook training reads only the q26 seeded ≤2000-row sample;
+    the eval pass quantizes AND scores each batch in one go, emitting
+    per-batch top-k partials, so codes never materialize corpus-wide.
+    Deterministic (seeded) → rows-only; determinism + sanity floor
+    pinned by pytest."""
+    import ray
+
+    import pyarrow.parquet as pq_
+
+    ds = _emb(sf_dir)
+    n_rows = pq_.read_metadata(
+        os.path.join(sf_dir, "embeddings.parquet")).num_rows
+    empty = pd.DataFrame({"n_probes": pd.Series(dtype="int64"),
+                          "m_subspaces": pd.Series(dtype="int64"),
+                          "mean_recall": pd.Series(dtype="float64")})
+    if n_rows == 0:
+        return empty
+    gt = q_knn_bruteforce(sf_dir, query_ids=query_ids, k=k)
+    if gt.empty:
+        return empty
+    qids, qmat = _query_matrix(sf_dir, query_ids)
+    # deterministic hash sample, NOT ds.random_sample: Ray's sampler
+    # is seeded per block, so dynamic block-split decisions under load
+    # change WHICH rows it picks (observed flake) — a vec_id-hash
+    # filter is block-layout-independent
+    mod = max(1, n_rows // 2000)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids, mat = _batch_matrix(t)
+        if not len(ids):
+            return pa.table({"embedding": pa.array(
+                [], pa.list_(pa.float64()))})
+        keep = mix64(ids.view(np.uint64)) % np.uint64(mod) == 0
+        return pa.table({"embedding": pa.array(
+            [v.tolist() for v in mat[keep]],
+            pa.list_(pa.float64()))})
+
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    smat = np.stack(sample["embedding"].to_numpy()).astype(np.float64)
+    smat = _unit(smat)
+    d = smat.shape[1]
+    sub = d // m
+    rng = np.random.default_rng(42)
+    books = []
+    for s in range(m):
+        X = smat[:, s * sub:(s + 1) * sub]
+        C = X[rng.choice(len(X), size=min(ksub, len(X)),
+                         replace=False)].copy()
+        for _ in range(5):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                mem = X[assign == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append(C)
+    bref = ray.put((books, qids, _unit(qmat)))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        books_, qids_, qmat_ = ray.get(bref)
+        ids, mat = _batch_matrix(batch)
+        if not len(ids):
+            return _EMPTY_TOPK
+        unit = _unit(mat)
+        # quantize the batch once
+        codes = np.empty((len(ids), len(books_)), np.int64)
+        for s, C in enumerate(books_):
+            X = unit[:, s * sub:(s + 1) * sub]
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d2, axis=1)
+        out_q, out_n, out_s = [], [], []
+        for j, q in enumerate(qids_):
+            # ADC tables: −||q_sub − c||² so larger = closer (reuse
+            # the (sim DESC, id) top-k rule)
+            score = np.zeros(len(ids))
+            for s, C in enumerate(books_):
+                qsub = qmat_[j, s * sub:(s + 1) * sub]
+                tab = -((C - qsub) ** 2).sum(axis=1)
+                score += tab[codes[:, s]]
+            mask = ids != q
+            cand = np.flatnonzero(mask)
+            for i in _topk_idx(score[cand], ids[cand],
+                               min(k, cand.size)):
+                out_q.append(int(q))
+                out_n.append(int(ids[cand][i]))
+                out_s.append(float(score[cand][i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64())})
+
+    partials = ds.map_batches(local_topk,
+                              batch_format="pyarrow").to_pandas()
+    approx = _merge_topk(partials, k)
+    gset = {q: set(g["neighbor_id"]) for q, g in
+            gt.groupby("query_id", sort=True)}
+    aset = {q: set(g["neighbor_id"]) for q, g in
+            approx.groupby("query_id", sort=True)}
+    recalls = [len(aset.get(q, set()) & s) / max(len(s), 1)
+               for q, s in sorted(gset.items())]
+    return pd.DataFrame({
+        "n_probes": pd.array([len(recalls)], "int64"),
+        "m_subspaces": pd.array([m], "int64"),
+        "mean_recall": pd.array(
+            [round(float(np.mean(recalls)), 6)], "float64")})
