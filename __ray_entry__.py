@@ -446,6 +446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q279_props_key_profile": textops.q_props_key_profile,
         "q281_negative_sampling_dist": textops.q_negative_sampling_dist,
         "q274_psi_value_drift": analytics.q_psi_value_drift,
+        "q290_nelson_aalen": analytics.q_nelson_aalen,
+        "q291_common_neighbors": graph.q_common_neighbors,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3258,6 +3260,63 @@ def oracle_sql() -> dict[str, str]:
                 FROM k)
             SELECT h::BIGINT AS h, n_risk, d, round(surv, 6) AS surv
             FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q290_nelson_aalen": """
+            WITH e AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            pu AS (
+                SELECT user_id, min(ts) AS st, max(ts) AS la,
+                       min(CASE WHEN event_type = 'purchase'
+                                THEN ts END) AS pt
+                FROM e GROUP BY user_id),
+            dur AS (
+                SELECT (epoch_us(coalesce(pt, la)) - epoch_us(st))
+                           // 3600000000 AS h,
+                       (pt IS NOT NULL) AS obs
+                FROM pu),
+            g AS (
+                SELECT h, count(*)::BIGINT AS m,
+                       (count(*) FILTER (WHERE obs))::BIGINT AS d
+                FROM dur GROUP BY h),
+            k AS (
+                SELECT h, d,
+                       (sum(m) OVER (ORDER BY h DESC))::BIGINT
+                           AS n_risk
+                FROM g),
+            k2 AS (
+                SELECT h, d, n_risk,
+                       sum(d::DOUBLE / n_risk) OVER (ORDER BY h)
+                           AS cumhaz
+                FROM k)
+            SELECT h::BIGINT AS h, n_risk, d,
+                   round(cumhaz, 6) AS cumhaz,
+                   round(exp(-cumhaz), 6) AS surv_na
+            FROM k2 WHERE d > 0 ORDER BY h
+        """,
+        "q291_common_neighbors": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            e AS (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            adj AS (
+                SELECT u, v FROM e
+                UNION ALL SELECT v AS u, u AS v FROM e),
+            cn AS (
+                SELECT a.u AS p1, b.u AS p2, count(*)::BIGINT
+                           AS n_common
+                FROM adj a JOIN adj b ON a.v = b.v AND a.u < b.u
+                GROUP BY 1, 2),
+            ne AS (
+                SELECT cn.p1, cn.p2, cn.n_common
+                FROM cn LEFT JOIN e ON cn.p1 = e.u AND cn.p2 = e.v
+                WHERE e.u IS NULL)
+            SELECT p1, p2, n_common FROM ne
+            ORDER BY n_common DESC, p1, p2 LIMIT 50
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

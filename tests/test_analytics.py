@@ -1688,3 +1688,44 @@ def test_pq_recall_eval_deterministic_floor(ray_session):
     pd.testing.assert_frame_equal(a, b)
     assert a["n_probes"].iloc[0] == 8
     assert a["mean_recall"].iloc[0] >= 0.2
+
+
+def test_nelson_aalen_hand_example(ray_session, tmp_path):
+    """q290: same fixture as the KM hand example — cumhaz climbs
+    1/3 then 1/3 + 1/2 = 5/6; surv_na = exp(-H); the censored-only
+    hour (h=5) emits no row but stays in the at-risk denominator."""
+    import math
+
+    from web_scrapper_ray.pipelines.analytics import q_nelson_aalen
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "event_type": pa.array(["view", "purchase", "view", "view",
+                                "purchase"]),
+        "ts": pa.array([_us(0, 0), _us(0, 2), _us(0, 0), _us(0, 5),
+                        _us(0, 0)], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_nelson_aalen(str(tmp_path))
+    assert out["h"].tolist() == [0, 2]
+    assert out["n_risk"].tolist() == [3, 2]
+    assert out["d"].tolist() == [1, 1]
+    assert out["cumhaz"].tolist() == [0.333333, 0.833333]
+    assert out["surv_na"].tolist() == [
+        round(math.exp(-1 / 3), 6),
+        round(math.exp(-(1 / 3 + 1 / 2)), 6)]
+
+
+def test_common_neighbors_hand_example(ray_session, tmp_path):
+    """q291: orders {1,2}, {2,3}, {3,4} → edges (1,2),(2,3),(3,4);
+    non-edges with a shared neighbor are exactly (1,3) via 2 and
+    (2,4) via 3; the adjacent pairs and the zero-overlap pair (1,4)
+    never surface."""
+    from web_scrapper_ray.pipelines.graph import q_common_neighbors
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 20, 20, 30, 30], pa.int64()),
+        "l_partkey": pa.array([1, 2, 2, 3, 3, 4], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_common_neighbors(str(tmp_path))
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, 3, 1), (2, 4, 1)]

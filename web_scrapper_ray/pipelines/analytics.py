@@ -10191,30 +10191,17 @@ def q_eventually_follows(sf_dir: str) -> pd.DataFrame:
     return out.loc[order].reset_index(drop=True)
 
 
-def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
-    """Kaplan–Meier survival curve of hours-to-first-purchase, the
-    product-limit estimator every churn/retention analysis starts
-    from: per user, duration = first 'purchase' ts − first event ts,
-    right-CENSORED at the user's last event when no purchase exists.
-    Distributed as per-batch per-user (min ts, max ts, min purchase
-    ts) partials → one user-keyed raw-task exchange → per-bucket
-    duration histogram (hour, at-risk count m, death count d), so the
-    driver folds hours × buckets tiny rows, never users. S(h) =
-    Π_{h'≤h} (1 − d/n_risk) runs as a sequential cumprod ascending h —
-    the exact op order of the oracle's windowed ``product()`` — with
-    n_risk the reverse running sum of m (deaths and same-hour censored
-    both count as at-risk, the standard KM tie convention). Durations
-    are ≥ 0 by construction so the hour bin's truncating ``//``
-    equals floor even for pre-1970 timestamps. Rows with a NULL
-    user_id or ts are out of contract on both sides; a NULL
-    event_type simply never matches 'purchase'."""
-    B = 32
+def _survival_hist(sf_dir: str, B: int = 32) -> pd.DataFrame | None:
+    """Shared first stage of the survival estimators (KM q257,
+    Nelson–Aalen q290): hours-to-first-purchase duration histogram
+    (h, m=at-risk entries, d=deaths), right-censored at the user's
+    last event. Per-batch per-user (min ts, max ts, min purchase ts)
+    partials → one user-keyed raw-task exchange → per-bucket duration
+    histogram, so the driver folds hours × buckets tiny rows, never
+    users. Returns the h-ascending histogram, or None on empty
+    input."""
     HOUR = 3_600_000_000
     ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
-    cols = {"h": pd.Series(dtype="int64"),
-            "n_risk": pd.Series(dtype="int64"),
-            "d": pd.Series(dtype="int64"),
-            "surv": pd.Series(dtype="float64")}
 
     _E = pa.table({"user_id": pa.array([], pa.int64()),
                    "st": pa.array([], pa.int64()),
@@ -10273,10 +10260,32 @@ def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
         [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
         if len(p)]
     if not parts:
-        return pd.DataFrame(cols)
-    g = (pd.concat(parts, ignore_index=True)
-         .groupby("h", as_index=False).sum()
-         .sort_values("h").reset_index(drop=True))
+        return None
+    return (pd.concat(parts, ignore_index=True)
+            .groupby("h", as_index=False).sum()
+            .sort_values("h").reset_index(drop=True))
+
+
+def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
+    """Kaplan–Meier survival curve of hours-to-first-purchase, the
+    product-limit estimator every churn/retention analysis starts
+    from: per user, duration = first 'purchase' ts − first event ts,
+    right-CENSORED at the user's last event when no purchase exists.
+    Distributed via ``_survival_hist`` (user exchange → duration
+    histogram). S(h) = Π_{h'≤h} (1 − d/n_risk) runs as a sequential
+    cumprod ascending h — the exact op order of the oracle's windowed
+    ``product()`` — with n_risk the reverse running sum of m (deaths
+    and same-hour censored both count as at-risk, the standard KM tie
+    convention). Durations are ≥ 0 by construction so the hour bin's
+    truncating ``//`` equals floor even for pre-1970 timestamps. Rows
+    with a NULL user_id or ts are out of contract on both sides; a
+    NULL event_type simply never matches 'purchase'."""
+    g = _survival_hist(sf_dir)
+    if g is None:
+        return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                             "n_risk": pd.Series(dtype="int64"),
+                             "d": pd.Series(dtype="int64"),
+                             "surv": pd.Series(dtype="float64")})
     m = g["m"].to_numpy(np.int64)
     d = g["d"].to_numpy(np.int64)
     n_risk = np.cumsum(m[::-1])[::-1]
@@ -10287,6 +10296,40 @@ def q_kaplan_meier(sf_dir: str) -> pd.DataFrame:
         "n_risk": n_risk[keep].astype(np.int64),
         "d": d[keep],
         "surv": round_away(surv[keep], 6)})
+
+
+def q_nelson_aalen(sf_dir: str) -> pd.DataFrame:
+    """Nelson–Aalen cumulative hazard over the same
+    hours-to-first-purchase durations as q257's Kaplan–Meier: H(h) =
+    Σ_{h'≤h} d/n_risk, plus the Breslow/Fleming–Harrington survival
+    transform S(h) = exp(−H(h)) — the estimator of choice when the
+    hazard itself (conversion intensity per hour at risk) is the
+    quantity of interest. Reuses ``_survival_hist``'s user exchange +
+    duration histogram, so the driver only folds the tiny
+    (hour, m, d) table. The hazard sum runs as a sequential
+    ``np.cumsum`` ascending h — the oracle's cumulative windowed
+    ``sum() OVER (ORDER BY h)`` streams in the same order, and the
+    d = 0 rows contribute an exact 0.0 on both sides. exp() is then
+    applied to bit-identical H values. NULL contract identical to
+    q257."""
+    g = _survival_hist(sf_dir)
+    if g is None:
+        return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                             "n_risk": pd.Series(dtype="int64"),
+                             "d": pd.Series(dtype="int64"),
+                             "cumhaz": pd.Series(dtype="float64"),
+                             "surv_na": pd.Series(dtype="float64")})
+    m = g["m"].to_numpy(np.int64)
+    d = g["d"].to_numpy(np.int64)
+    n_risk = np.cumsum(m[::-1])[::-1]
+    cumhaz = np.cumsum(d.astype(np.float64) / n_risk)
+    keep = d > 0
+    return pd.DataFrame({
+        "h": g["h"].to_numpy(np.int64)[keep],
+        "n_risk": n_risk[keep].astype(np.int64),
+        "d": d[keep],
+        "cumhaz": round_away(cumhaz[keep], 6),
+        "surv_na": round_away(np.exp(-cumhaz[keep]), 6)})
 
 
 def q_quadratic_fit(sf_dir: str) -> pd.DataFrame:

@@ -333,7 +333,9 @@ def _pairs_by_shift(group_ids: np.ndarray, vals: np.ndarray):
 
 
 def _coorder_edge_refs(sf_dir: str, P: int = 32,
-                       with_counts: bool = False) -> list:
+                       with_counts: bool = False,
+                       on: str = "l_orderkey",
+                       val: str = "l_suppkey") -> list:
     """Distinct supplier co-occurrence edges as P object-store bucket
     refs of packed ``(min<<32)|max`` int64 keys — the shared first two
     exchanges of the co-order graph family (triangles q140, k-core
@@ -341,30 +343,35 @@ def _coorder_edge_refs(sf_dir: str, P: int = 32,
     and emits per-order pairs by vectorized shift-pairing, (2)
     edge-hash exchange dedups edges globally. With ``with_counts``
     each bucket table also carries ``n`` = the pair's distinct-shared-
-    order support (summed across stage-1 buckets). ``gather=False``
-    everywhere: the edge set never transits the driver heap."""
+    order support (summed across stage-1 buckets). ``on`` picks the
+    co-occurrence key and ``val`` the paired node column — the
+    co-order supplier graph by default; (on='l_orderkey',
+    val='l_partkey') gives the sparse co-order PART graph (link
+    prediction q291).
+    ``gather=False`` everywhere: the edge set never transits the
+    driver heap."""
     import pyarrow.compute as pc
 
     from .pairs import mix64
 
     lim = np.uint64(1) << np.uint64(_KEY_BITS)
 
-    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_suppkey"])
+    ds = _read(sf_dir, "lineitem", columns=[on, val])
 
     _E1 = pa.table({"okey": pa.array([], pa.int64()),
                     "supp": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64())})
 
     def split1(t: pa.Table) -> pa.Table:
-        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+        if t.num_rows == 0 or on not in t.schema.names:
             return _E1
-        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
-                             pc.is_valid(t.column("l_suppkey")))
+        keep = pc.and_kleene(pc.is_valid(t.column(on)),
+                             pc.is_valid(t.column(val)))
         t = t.filter(pc.fill_null(keep, False))
         if t.num_rows == 0:
             return _E1
-        g = (pa.table({"okey": pc.cast(t.column("l_orderkey"), pa.int64()),
-                       "supp": pc.cast(t.column("l_suppkey"), pa.int64())})
+        g = (pa.table({"okey": pc.cast(t.column(on), pa.int64()),
+                       "supp": pc.cast(t.column(val), pa.int64())})
              .group_by(["okey", "supp"]).aggregate([]))
         return pa.table({"okey": g.column("okey"), "supp": g.column("supp"),
                          "bucket": pc.bit_wise_and(g.column("okey"),
@@ -1061,3 +1068,129 @@ def q_hits_hubs(sf_dir: str, rounds: int = 6, P: int = 32
     # parts holds _unpack_edges' even node codes (2·partkey) — decode
     return pd.DataFrame({"partkey": parts >> 1,
                          "hub": round_away(hub / tot, 6)})
+
+
+def q_common_neighbors(sf_dir: str, k: int = 50,
+                       P: int = 32) -> pd.DataFrame:
+    """Common-neighbors link prediction over the co-order PART graph
+    (parts appearing in the same order are adjacent): the top-k
+    NON-adjacent part pairs ranked by how many neighbors they share —
+    the classic "predict the missing co-purchase" scoring that
+    market-basket completion starts from.
+
+    Plan — the wedge layout of triangle counting (q140), counted
+    instead of closed: common-neighbors(v, w) is exactly the number
+    of wedges v–u–w, so (1) ``_coorder_edge_refs(val='l_partkey')``
+    builds the distinct edge set in the object store (order exchange →
+    per-order pairs → edge-hash dedup), (2) a center-node exchange
+    routes BOTH directions of each edge to their center u's bucket and
+    pairs each u's sorted neighbors by vectorized shift-pairing, (3)
+    the wedge stream is re-exchanged under the SAME packed-key
+    partition function as the edge buckets, so each bucket counts its
+    wedge keys globally (same key ⇒ same bucket), anti-joins the
+    co-located edge slice with one sorted ``searchsorted`` membership
+    test, and emits only its local top-k — the driver folds P·k rows.
+    Zero-overlap pairs never form a wedge, matching SQL's inner join.
+    Tie order matches the oracle exactly: n_common DESC, (p1, p2)
+    ASC. Wedge volume Σ d(u)² is the standard cost of this plan;
+    skewed hubs pay it inside their bucket, never on the driver."""
+    import ray
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+    cols = {"p1": pd.Series(dtype="int64"),
+            "p2": pd.Series(dtype="int64"),
+            "n_common": pd.Series(dtype="int64")}
+
+    edge_refs = _coorder_edge_refs(sf_dir, P, on="l_orderkey",
+                                   val="l_partkey")
+
+    def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
+        if len(u) and (u.min() < 0 or v.min() < 0
+                       or u.max() >= int(lim) or v.max() >= int(lim)):
+            raise ValueError("partkey outside [0, 2^32) packing domain")
+        return ((u.astype(np.uint64) << np.uint64(_KEY_BITS))
+                | v.astype(np.uint64)).view(np.int64)
+
+    _EDGE = pa.table({"key": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+
+    # stage 2: route both edge directions to their center node u and
+    # pair each u's sorted neighbors — one wedge per common neighbor
+    def split_center(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _EDGE
+        key = t.column("key").to_numpy()
+        u = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (key.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        c = np.concatenate([u, v])          # center
+        o = np.concatenate([v, u])          # the other endpoint
+        return pa.table({"key": pa.array(_pack(c, o)),
+                         "bucket": pa.array(
+                             (mix64(c) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def merge_wedges(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return _EDGE
+        key = np.sort(np.concatenate(
+            [x.column("key").to_numpy() for x in live]))
+        c = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        o = (key.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        # neighbors o are sorted within each center run (packed sort)
+        wv, ww = _pairs_by_shift(c, o)
+        wkey = _pack(wv, ww)
+        return pa.table({"key": pa.array(wkey),
+                         "bucket": pa.array(
+                             (mix64(wkey) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    wedge_refs = hash_shuffle([(r, ()) for r in edge_refs],
+                              split_center, merge_wedges, P=P,
+                              gather=False)
+
+    def split_pass(t: pa.Table) -> pa.Table:
+        return t if t.num_rows else _EDGE
+
+    def merge_concat(*tabs) -> pa.Table:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pa.table({"key": pa.array([], pa.int64())})
+        return pa.concat_tables(live)
+
+    bucket_refs = hash_shuffle([(r, ()) for r in wedge_refs],
+                               split_pass, merge_concat, P=P,
+                               gather=False)
+
+    @ray.remote
+    def topk_bucket(wtab: pa.Table, etab: pa.Table):
+        if wtab.num_rows == 0:
+            return (np.empty(0, np.int64),) * 3
+        wkey, cnt = np.unique(wtab.column("key").to_numpy(),
+                              return_counts=True)
+        ekey = etab.column("key").to_numpy()  # sorted (np.unique)
+        if len(ekey):
+            pos = np.clip(np.searchsorted(ekey, wkey), 0,
+                          len(ekey) - 1)
+            m = ekey[pos] != wkey  # keep NON-edges only
+        else:
+            m = np.ones(len(wkey), bool)
+        wkey, cnt = wkey[m], cnt[m].astype(np.int64)
+        if not len(wkey):
+            return (np.empty(0, np.int64),) * 3
+        p1 = (wkey.view(np.uint64)
+              >> np.uint64(_KEY_BITS)).astype(np.int64)
+        p2 = (wkey.view(np.uint64) & (lim - np.uint64(1))).astype(
+            np.int64)
+        o = np.lexsort((p2, p1, -cnt))[:k]
+        return cnt[o], p1[o], p2[o]
+
+    outs = ray.get([topk_bucket.remote(w, e)
+                    for w, e in zip(bucket_refs, edge_refs)])
+    c = np.concatenate([o[0] for o in outs])
+    p1 = np.concatenate([o[1] for o in outs])
+    p2 = np.concatenate([o[2] for o in outs])
+    if not len(c):
+        return pd.DataFrame(cols)
+    o = np.lexsort((p2, p1, -c))[:k]
+    return pd.DataFrame({"p1": p1[o], "p2": p2[o], "n_common": c[o]})
