@@ -448,6 +448,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q274_psi_value_drift": analytics.q_psi_value_drift,
         "q290_nelson_aalen": analytics.q_nelson_aalen,
         "q291_common_neighbors": graph.q_common_neighbors,
+        "q292_pr_curve": rankstats.q_pr_curve,
+        "q293_ndcg_eval": similarity.q_ndcg_eval,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3317,6 +3319,60 @@ def oracle_sql() -> dict[str, str]:
                 WHERE e.u IS NULL)
             SELECT p1, p2, n_common FROM ne
             ORDER BY n_common DESC, p1, p2 LIMIT 50
+        """,
+        "q292_pr_curve": """
+            WITH e AS (
+                SELECT value,
+                       coalesce(event_type = 'purchase', FALSE) AS pos
+                FROM events WHERE isfinite(value)),
+            g AS (
+                SELECT value,
+                       (count(*) FILTER (WHERE pos))::BIGINT AS np,
+                       (count(*) FILTER (WHERE NOT pos))::BIGINT AS nn
+                FROM e GROUP BY value),
+            c AS (
+                SELECT value, np,
+                       (sum(np) OVER (ORDER BY value DESC))::BIGINT
+                           AS tp,
+                       (sum(nn) OVER (ORDER BY value DESC))::BIGINT
+                           AS fp
+                FROM g),
+            p AS (SELECT sum(np)::BIGINT AS ptot FROM g)
+            SELECT value AS threshold, tp, fp,
+                   round(tp::DOUBLE / (tp + fp), 6) AS prec,
+                   round(tp::DOUBLE / p.ptot, 6) AS rec
+            FROM c, p WHERE np > 0
+            ORDER BY threshold DESC LIMIT 200
+        """,
+        "q293_ndcg_eval": """
+            WITH e2 AS MATERIALIZED (
+                SELECT vec_id, embedding, label FROM embeddings
+                WHERE embedding IS NOT NULL AND label IS NOT NULL),
+            q AS (SELECT vec_id AS qid, embedding AS qe,
+                         label AS ql
+                  FROM e2 WHERE vec_id IN (0, 1, 2, 3, 4, 5, 6, 7)),
+            s AS (SELECT q.qid, e.vec_id AS nid,
+                         (e.label = q.ql) AS rel,
+                         list_cosine_similarity(e.embedding, q.qe)
+                             AS sim
+                  FROM e2 e, q WHERE e.vec_id <> q.qid),
+            r AS (SELECT qid, nid, rel,
+                         row_number() OVER (
+                             PARTITION BY qid
+                             ORDER BY sim DESC, nid) AS rank
+                  FROM s),
+            t AS (SELECT qid, rank, nid, rel,
+                         CASE WHEN rel THEN 1.0 / log2(rank + 1)
+                              ELSE 0.0 END AS gain
+                  FROM r WHERE rank <= 10),
+            w AS (SELECT qid, rank, nid, rel, gain,
+                         sum(gain) OVER (PARTITION BY qid
+                                         ORDER BY rank) AS dcg
+                  FROM t)
+            SELECT qid AS query_id, rank, nid AS neighbor_id,
+                   rel::BIGINT AS rel, round(gain, 6) AS gain,
+                   round(dcg, 6) AS running_dcg
+            FROM w ORDER BY query_id, rank
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

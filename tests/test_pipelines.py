@@ -2641,3 +2641,26 @@ def test_bpe_fertility_groups(ray_session):
         want = sub["n_tokens"].sum() / sub["n_words"].sum()
         assert abs(r["fertility"] - round(want, 6)) < 1e-9
     assert (out["fertility"] >= 1.0).all()
+
+
+def test_ndcg_eval_hand_example(ray_session, tmp_path):
+    """q293: rel hits at ranks 1 and 3 → gains 1, 0, 1/log2(4)=0.5
+    and running DCG 1, 1, 1.5."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_ndcg_eval
+
+    pq.write_table(pa.table({
+        "vec_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "embedding": pa.array([[1.0, 0.0], [1.0, 0.1], [1.0, 0.2],
+                               [0.0, 1.0]],
+                              pa.list_(pa.float32())),
+        "label": pa.array([1, 1, 0, 1], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_ndcg_eval(str(tmp_path), query_ids=(0,), k=3)
+    assert out["rank"].tolist() == [1, 2, 3]
+    assert out["neighbor_id"].tolist() == [1, 2, 3]
+    assert out["rel"].tolist() == [1, 0, 1]
+    assert out["gain"].tolist() == [1.0, 0.0, 0.5]
+    assert out["running_dcg"].tolist() == [1.0, 1.0, 1.5]

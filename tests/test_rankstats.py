@@ -164,3 +164,26 @@ def test_bootstrap_ci_split_invariant(ray_session, tmp_path):
     a = q_bootstrap_ci("/root/testdata/sf0.001", B=32)
     b = q_bootstrap_ci(str(tmp_path), B=32)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_pr_curve_hand_example(ray_session, tmp_path):
+    """q292: thresholds only at positive scores, exact cumulative
+    TP/FP descending value; NULL type is a negative, NaN value is
+    excluded on both sides."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.rankstats import q_pr_curve
+
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase", "view", "purchase", None,
+                                "purchase", "view"]),
+        "value": pa.array([5.0, 4.0, 3.0, 2.0, 1.0, float("nan")],
+                          pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_pr_curve(str(tmp_path))
+    assert out["threshold"].tolist() == [5.0, 3.0, 1.0]
+    assert out["tp"].tolist() == [1, 2, 3]
+    assert out["fp"].tolist() == [0, 1, 2]
+    assert out["prec"].tolist() == [1.0, 0.666667, 0.6]
+    assert out["rec"].tolist() == [0.333333, 0.666667, 1.0]

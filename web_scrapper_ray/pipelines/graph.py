@@ -567,7 +567,7 @@ def q_triangle_count(sf_dir: str, P: int = 32,
     def merge_wedges(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return _EDGE
+            return _WEDGE
         key = np.sort(np.concatenate(
             [x.column("key").to_numpy() for x in live]))
         u = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
@@ -1113,6 +1113,9 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
 
     _EDGE = pa.table({"key": pa.array([], pa.int64()),
                       "bucket": pa.array([], pa.int64())})
+    _WEDGE = pa.table({"key": pa.array([], pa.int64()),
+                       "n": pa.array([], pa.int64()),
+                       "bucket": pa.array([], pa.int64())})
 
     # stage 2: route both edge directions to their center node u and
     # pair each u's sorted neighbors — one wedge per common neighbor
@@ -1132,15 +1135,18 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
     def merge_wedges(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return _EDGE
+            return _WEDGE
         key = np.sort(np.concatenate(
             [x.column("key").to_numpy() for x in live]))
         c = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
         o = (key.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
         # neighbors o are sorted within each center run (packed sort)
         wv, ww = _pairs_by_shift(c, o)
-        wkey = _pack(wv, ww)
+        wkey, wn = np.unique(_pack(wv, ww), return_counts=True)
+        # combiner: same (v, w) from different centers in this bucket
+        # collapses to one (key, n) row before the re-exchange
         return pa.table({"key": pa.array(wkey),
+                         "n": pa.array(wn.astype(np.int64)),
                          "bucket": pa.array(
                              (mix64(wkey) & np.uint64(P - 1))
                              .astype(np.int64))})
@@ -1150,12 +1156,13 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
                               gather=False)
 
     def split_pass(t: pa.Table) -> pa.Table:
-        return t if t.num_rows else _EDGE
+        return t if t.num_rows else _WEDGE
 
     def merge_concat(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return pa.table({"key": pa.array([], pa.int64())})
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
         return pa.concat_tables(live)
 
     bucket_refs = hash_shuffle([(r, ()) for r in wedge_refs],
@@ -1166,8 +1173,10 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
     def topk_bucket(wtab: pa.Table, etab: pa.Table):
         if wtab.num_rows == 0:
             return (np.empty(0, np.int64),) * 3
-        wkey, cnt = np.unique(wtab.column("key").to_numpy(),
-                              return_counts=True)
+        raw = wtab.column("key").to_numpy()
+        wkey, inv = np.unique(raw, return_inverse=True)
+        cnt = np.bincount(inv, weights=wtab.column("n").to_numpy()
+                          ).astype(np.int64)
         ekey = etab.column("key").to_numpy()  # sorted (np.unique)
         if len(ekey):
             pos = np.clip(np.searchsorted(ekey, wkey), 0,

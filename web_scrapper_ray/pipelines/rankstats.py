@@ -772,3 +772,60 @@ def q_wasserstein_distance(sf_dir: str, a: str = "click",
         "n1": pd.array([n1], "int64"),
         "n2": pd.array([n2], "int64"),
         "w1": round_away(np.array([w1]), 6)})
+
+
+def q_pr_curve(sf_dir: str, target: str = "purchase",
+               limit: int = 200) -> pd.DataFrame:
+    """Precision–recall curve points of ``value`` as a score for
+    event_type == target — the eval companion to the exact ROC AUC
+    (q247): one row per distinct POSITIVE score (the only thresholds
+    where the PR curve bends), carrying the exact cumulative TP/FP at
+    threshold ≥ v and the precision/recall ratios. Same
+    counts-per-distinct exchange as q195/q218/q247; the prefix sums
+    run over EXACT int64 counts descending value (the oracle's
+    cumulative window in the same order) and each output ratio is ONE
+    double division of those ints, so values are bit-identical. Rows
+    with NULL type are non-target; non-finite scores are excluded on
+    both sides. Top ``limit`` thresholds by value DESC."""
+    P = 8
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E2
+        keep = pc.fill_null(pc.is_finite(t.column("value")), False)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E2
+        v = _norm_zero(t2.column("value").to_numpy(
+            zero_copy_only=False))
+        g1 = pc.fill_null(pc.equal(t2.column("event_type"), target),
+                          False).to_numpy(zero_copy_only=False)
+        return _count_split(v, np.asarray(g1, bool), P)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    c = _fold_counts(hash_shuffle(tagged, split, _count_merge, P=P))
+    empty = pd.DataFrame({"threshold": pd.Series(dtype="float64"),
+                          "tp": pd.Series(dtype="int64"),
+                          "fp": pd.Series(dtype="int64"),
+                          "prec": pd.Series(dtype="float64"),
+                          "rec": pd.Series(dtype="float64")})
+    if len(c) == 0:
+        return empty
+    v = c["v"].to_numpy(np.float64)[::-1]          # value DESC
+    np_ = c["c1"].to_numpy(np.int64)[::-1]
+    nn = c["c2"].to_numpy(np.int64)[::-1]
+    tp = np.cumsum(np_)
+    fp = np.cumsum(nn)
+    ptot = int(np_.sum())
+    keep = np_ > 0                                 # curve bends only
+    if not keep.any():                             # at positives
+        return empty
+    v, tp, fp = v[keep][:limit], tp[keep][:limit], fp[keep][:limit]
+    return pd.DataFrame({
+        "threshold": v,
+        "tp": tp,
+        "fp": fp,
+        "prec": round_away(tp.astype(np.float64) / (tp + fp), 6),
+        "rec": round_away(tp.astype(np.float64) / ptot, 6)})

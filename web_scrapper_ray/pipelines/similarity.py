@@ -2076,3 +2076,101 @@ def q_pq_recall_eval(sf_dir: str,
         "m_subspaces": pd.array([m], "int64"),
         "mean_recall": pd.array(
             [round(float(np.mean(recalls)), 6)], "float64")})
+
+
+def q_ndcg_eval(sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4, 5, 6,
+                                                 7),
+                k: int = 10) -> pd.DataFrame:
+    """NDCG-style ranking eval with labels as binary relevance: for
+    each probe, the top-k cosine neighbors (q24's exact tie rule —
+    sim DESC, id ASC), each row carrying rel = (label match), gain =
+    rel / log2(rank + 1) and the running DCG — the per-rank form of
+    the retrieval metric, emitted as ROWS so every float is a
+    deterministic function of exact integers (rank, rel) and the
+    cumulative sum runs ascending rank exactly like the oracle's
+    sequential window. One streamed pass of per-batch local top-k
+    partials with labels riding along; the driver merges
+    k·n_batches·n_queries tiny rows. Probes or candidates with NULL
+    embedding/label drop on both sides."""
+    import ray
+    import ray.data as rd
+
+    from .pairs import round_away
+
+    empty = pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                          "rank": pd.Series(dtype="int64"),
+                          "neighbor_id": pd.Series(dtype="int64"),
+                          "rel": pd.Series(dtype="int64"),
+                          "gain": pd.Series(dtype="float64"),
+                          "running_dcg": pd.Series(dtype="float64")})
+    t = pads.dataset(os.path.join(sf_dir, "embeddings.parquet")).to_table(
+        filter=(pc.field("vec_id").isin([int(q) for q in query_ids])
+                & pc.field("embedding").is_valid()
+                & pc.field("label").is_valid()),
+        columns=["vec_id", "embedding", "label"]).sort_by("vec_id")
+    if t.num_rows == 0:
+        return empty
+    qids, qmat = _batch_matrix(t)
+    qmat = _unit(qmat)
+    qlab = dict(zip(
+        qids.tolist(),
+        t.column("label").to_numpy(zero_copy_only=False).tolist()))
+    qref = ray.put((qids, qmat))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+        filter=(pads.field("embedding").is_valid()
+                & pads.field("label").is_valid())).materialize()
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qmat_ = ray.get(qref)
+        valid = batch.filter(pc.is_valid(batch.column("embedding")))
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64()),
+                             "lab": pa.array([], pa.int64())})
+        lab = valid.column("label").to_numpy(zero_copy_only=False)
+        sims = _unit(mat) @ qmat_.T
+        out_q, out_n, out_s, out_l = [], [], [], []
+        kk = min(k + 1, len(ids))
+        for j, q in enumerate(qids_):
+            col = sims[:, j]
+            for i in _topk_idx(col, ids, kk):
+                out_q.append(int(q))
+                out_n.append(int(ids[i]))
+                out_s.append(float(col[i]))
+                out_l.append(int(lab[i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "sim": pa.array(out_s, pa.float64()),
+                         "lab": pa.array(out_l, pa.int64())})
+
+    partials = ds.map_batches(local_topk,
+                              batch_format="pyarrow").to_pandas()
+    partials = partials[partials["query_id"]
+                        != partials["neighbor_id"]]
+    if not len(partials):
+        return empty
+    partials = partials.sort_values(
+        ["query_id", "sim", "neighbor_id"],
+        ascending=[True, False, True])
+    top = partials.groupby("query_id", as_index=False).head(k).copy()
+    top["rank"] = top.groupby("query_id").cumcount() + 1
+    rel = (top["lab"].to_numpy(np.int64)
+           == top["query_id"].map(qlab).to_numpy(np.int64))
+    gain = np.where(rel,
+                    1.0 / np.log2(top["rank"].to_numpy(np.int64) + 1),
+                    0.0)
+    dcg = (pd.Series(gain, index=top.index)
+           .groupby(top["query_id"].to_numpy()).cumsum()
+           .to_numpy())
+    return pd.DataFrame({
+        "query_id": top["query_id"].to_numpy(np.int64),
+        "rank": top["rank"].to_numpy(np.int64),
+        "neighbor_id": top["neighbor_id"].to_numpy(np.int64),
+        "rel": rel.astype(np.int64),
+        "gain": round_away(gain, 6),
+        "running_dcg": round_away(dcg, 6)}).reset_index(drop=True)
