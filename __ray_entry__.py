@@ -450,6 +450,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q291_common_neighbors": graph.q_common_neighbors,
         "q292_pr_curve": rankstats.q_pr_curve,
         "q293_ndcg_eval": similarity.q_ndcg_eval,
+        "q294_ewma_chart": analytics.q_ewma_chart,
+        "q295_source_skewness": textops.q_source_skewness,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3373,6 +3375,68 @@ def oracle_sql() -> dict[str, str]:
                    rel::BIGINT AS rel, round(gain, 6) AS gain,
                    round(dcg, 6) AS running_dcg
             FROM w ORDER BY query_id, rank
+        """,
+        "q294_ewma_chart": """
+            WITH RECURSIVE d AS (
+                SELECT row_number() OVER (ORDER BY day) AS rn,
+                       CAST(epoch_us(day) / 86400000000 AS BIGINT)
+                           AS dayi,
+                       revc, revc::DOUBLE AS y FROM (
+                    SELECT date_trunc('day', o_orderdate) AS day,
+                           sum(CAST(round(o_totalprice * 100)
+                                    AS BIGINT)) AS revc
+                    FROM orders
+                    WHERE o_orderdate IS NOT NULL
+                      AND isfinite(o_totalprice)
+                    GROUP BY 1)),
+            st AS (SELECT count(*)::BIGINT AS n,
+                          sum(revc)::HUGEINT AS s1,
+                          sum(revc::HUGEINT * revc)::HUGEINT AS s2
+                   FROM d),
+            sg AS (SELECT sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                               / CAST(n * n AS DOUBLE)) AS sigma
+                   FROM st),
+            it(i, s, resid) AS (
+                SELECT 1::BIGINT, (SELECT y FROM d WHERE rn = 1),
+                       0.0::DOUBLE
+                WHERE (SELECT count(*) FROM d) >= 1
+                UNION ALL
+                SELECT i + 1, 0.25 * d.y + 0.75 * s, d.y - s
+                FROM it JOIN d ON d.rn = i + 1
+                WHERE i < (SELECT count(*) FROM d))
+            SELECT d.dayi AS day, d.revc::BIGINT AS revc,
+                   round(it.s, 6) AS ewma,
+                   round(it.resid, 6) AS resid,
+                   (abs(it.resid) > 3.0 * sg.sigma)::BIGINT AS viol
+            FROM it JOIN d ON d.rn = it.i, sg
+            ORDER BY day
+        """,
+        "q295_source_skewness": """
+            WITH x AS (
+                SELECT source, n_chars FROM documents
+                WHERE n_chars IS NOT NULL),
+            g AS (
+                SELECT source, count(*)::BIGINT AS n,
+                       sum(n_chars)::HUGEINT AS s1,
+                       sum(n_chars::HUGEINT * n_chars) AS s2,
+                       sum(n_chars::HUGEINT * n_chars * n_chars)
+                           AS s3,
+                       min(n_chars) AS mn, max(n_chars) AS mx
+                FROM x GROUP BY source)
+            SELECT source, n,
+                   CASE WHEN mn = mx THEN NULL ELSE
+                     round((CAST(s3 AS DOUBLE) / n
+                            - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s2 AS DOUBLE) / n)
+                            + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n)
+                                  * (CAST(s1 AS DOUBLE) / n))
+                           / pow(CAST(s2 AS DOUBLE) / n
+                                 - (CAST(s1 AS DOUBLE) / n)
+                                   * (CAST(s1 AS DOUBLE) / n),
+                                 1.5), 6)
+                   END AS skew
+            FROM g ORDER BY source
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

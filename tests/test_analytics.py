@@ -1729,3 +1729,42 @@ def test_common_neighbors_hand_example(ray_session, tmp_path):
     out = q_common_neighbors(str(tmp_path))
     assert list(map(tuple, out.itertuples(index=False))) == [
         (1, 3, 1), (2, 4, 1)]
+
+
+def test_ewma_chart_hand_example(ray_session, tmp_path):
+    """q294: y = [100, 200, 100] cents-days → ewma 100, 125, 118.75;
+    resid 0, 100, -25; σ = √(2000/... ) population std of y; only the
+    +100 jump beyond 3σ would flag (here σ≈47.1 → 3σ≈141.4, none)."""
+    from web_scrapper_ray.pipelines.analytics import q_ewma_chart
+
+    ts = [pd.Timestamp("2024-01-0%d" % d).to_pydatetime()
+          for d in (1, 2, 3)]
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array(ts, pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 1.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_ewma_chart(str(tmp_path))
+    assert out["revc"].tolist() == [100, 200, 100]
+    assert out["ewma"].tolist() == [100.0, 125.0, 118.75]
+    assert out["resid"].tolist() == [0.0, 100.0, -25.0]
+    assert out["viol"].tolist() == [0, 0, 0]
+
+
+def test_source_skewness_hand_example(ray_session, tmp_path):
+    """q295: symmetric lengths → skew 0; right-skewed [1,1,1,9] →
+    positive; constant group → NULL; NULL source is a group."""
+    from web_scrapper_ray.pipelines.textops import q_source_skewness
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "a", "b", "b", "b", "b",
+                            "c", "c", None]),
+        "n_chars": pa.array([1, 2, 3, 1, 1, 1, 9, 5, 5, 7],
+                            pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_source_skewness(str(tmp_path))
+    assert out["source"].tolist() == ["a", "b", "c", None]
+    assert out["n"].tolist() == [3, 4, 2, 1]
+    assert out["skew"].tolist()[0] == 0.0
+    assert out["skew"].tolist()[1] > 1.0
+    assert pd.isna(out["skew"].tolist()[2])
+    assert pd.isna(out["skew"].tolist()[3])

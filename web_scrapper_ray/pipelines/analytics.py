@@ -11018,3 +11018,49 @@ def q_did_estimate(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({
         "cp_day": pd.array([int(days[cp])], "int64"),
         "did": round_away(np.array([did]), 6)})
+
+
+def q_ewma_chart(sf_dir: str) -> pd.DataFrame:
+    """EWMA control chart over daily revenue — the process-monitoring
+    chart next to the moving-range chart (q202) and CUSUM (q213):
+    s₁ = y₁, s_t = 0.25·y_t + 0.75·s_{t−1}, residual r_t = y_t −
+    s_{t−1}, flagged when |r_t| > 3σ with σ the population std of the
+    daily series. The wide work is the exact-cents per-day exchange
+    (q199's helper); the recursion is inherently sequential over the
+    ~#days series and runs driver-side, mirrored by the oracle's
+    recursive CTE so every +/× happens in the same IEEE order (q267's
+    rule: the 0.25/0.75 coefficients are LITERALS in both texts — and
+    exactly representable, so no ulp drift even in principle). σ comes
+    from EXACT integer power sums accumulated as Python ints (no
+    int64 overflow on squared 1e9-cent days) with the one
+    cast-to-double per operand in the oracle's own op order. Zero
+    days → zero rows on both sides."""
+    A, OMA = 0.25, 0.75  # = the oracle's literals (binary-exact)
+    cols = {"day": pd.Series(dtype="int64"),
+            "revc": pd.Series(dtype="int64"),
+            "ewma": pd.Series(dtype="float64"),
+            "resid": pd.Series(dtype="float64"),
+            "viol": pd.Series(dtype="int64")}
+    d = _daily_rev_cents(sf_dir)
+    if d.empty:
+        return pd.DataFrame(cols)
+    d = d.sort_values("day").reset_index(drop=True)
+    days = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+    y = rev.astype(np.float64)
+    n = y.size
+    s1 = int(rev.sum())
+    s2 = sum(int(v) * int(v) for v in rev.tolist())
+    sigma = float(np.sqrt(float(n * s2 - s1 * s1) / float(n * n)))
+    ewma = np.empty(n, np.float64)
+    resid = np.empty(n, np.float64)
+    ewma[0], resid[0] = y[0], 0.0
+    for t in range(1, n):
+        resid[t] = y[t] - ewma[t - 1]
+        ewma[t] = A * y[t] + OMA * ewma[t - 1]
+    return pd.DataFrame({
+        "day": days,
+        "revc": rev,
+        "ewma": round_away(ewma, 6),
+        "resid": round_away(resid, 6),
+        "viol": (np.abs(resid) > 3.0 * sigma).astype(np.int64)})

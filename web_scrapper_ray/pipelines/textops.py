@@ -3286,3 +3286,113 @@ def q_bpe_fertility(sf_dir: str, n_merges: int = 24) -> pd.DataFrame:
                           else "1" + s.encode("utf-8",
                                               "surrogatepass").hex())
     return out.loc[key.sort_values().index].reset_index(drop=True)
+
+
+def q_source_skewness(sf_dir: str) -> pd.DataFrame:
+    """Per-source skewness of document length (n_chars) — the
+    data-quality screen that catches a source whose length
+    distribution grew a heavy tail (truncation bugs, boilerplate
+    floods) before the mean moves. Third-moment statistics are where
+    float accumulation order bites hardest, so the partials are EXACT
+    integer power sums (Σx, Σx², Σx³ per batch per source — int64
+    with a loud overflow guard; the cross-batch fold accumulates as
+    Python ints, unbounded), and the final skew =
+    (E[x³] − 3·m·E[x²] + 2m³) / (E[x²] − m²)^1.5 applies ONE
+    cast-to-double per exact operand in the oracle's literal op
+    order. Constant groups (min == max, an exact integer flag — never
+    a float var≈0 test) emit NULL skew; NULL source IS a group (SQL
+    GROUP BY), carried on NUL-safe codes; NULL n_chars rows drop on
+    both sides."""
+    import pyarrow.compute as pc
+
+    from .pairs import factorize_strings, round_away
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "s1": pa.array([], pa.int64()),
+                   "s2": pa.array([], pa.int64()),
+                   "s3": pa.array([], pa.int64()),
+                   "mn": pa.array([], pa.int64()),
+                   "mx": pa.array([], pa.int64())})
+    _NULL = "\x00NULLSRC"
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_chars" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("n_chars")))
+        if t2.num_rows == 0:
+            return _E
+        x = t2.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        mabs = int(np.abs(x).max()) if len(x) else 0
+        if mabs ** 3 * len(x) >= 2 ** 62:
+            # int64 partial would overflow — the wide-length
+            # continuation splits the batch / carries decimal128
+            raise ValueError("n_chars cube-sum exceeds int64 partial")
+        src = pd.Series(t2.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s1 = np.zeros(k, np.int64)
+        s2 = np.zeros(k, np.int64)
+        s3 = np.zeros(k, np.int64)
+        np.add.at(s1, codes, x)
+        np.add.at(s2, codes, x * x)
+        np.add.at(s3, codes, x * x * x)
+        mn = np.full(k, np.iinfo(np.int64).max, np.int64)
+        mx = np.full(k, np.iinfo(np.int64).min, np.int64)
+        np.minimum.at(mn, codes, x)
+        np.maximum.at(mx, codes, x)
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "s1": pa.array(s1),
+                         "s2": pa.array(s2), "s3": pa.array(s3),
+                         "mn": pa.array(mn), "mx": pa.array(mx)})
+
+    parts = _docs(sf_dir, columns=["source", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "skew": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"], use_na_sentinel=False)
+    k = len(uniq)
+    n = [0] * k
+    s1 = [0] * k
+    s2 = [0] * k
+    s3 = [0] * k
+    mn = [None] * k
+    mx = [None] * k
+    for c, nn, a, b, cc, lo, hi in zip(
+            codes, parts["n"].tolist(), parts["s1"].tolist(),
+            parts["s2"].tolist(), parts["s3"].tolist(),
+            parts["mn"].tolist(), parts["mx"].tolist()):
+        n[c] += nn          # Python-int fold: exact at any magnitude
+        s1[c] += a
+        s2[c] += b
+        s3[c] += cc
+        mn[c] = lo if mn[c] is None else min(mn[c], lo)
+        mx[c] = hi if mx[c] is None else max(mx[c], hi)
+    out_src, out_n, out_sk = [], [], []
+    order = sorted(range(k),          # SQL ORDER BY source NULLS LAST
+                   key=lambda i: (uniq[i] == _NULL, uniq[i]))
+    for i in order:
+        key = uniq[i]
+        src = None if key == _NULL else key[1:]
+        ni = n[i]
+        if mn[i] == mx[i]:
+            sk = np.nan
+        else:
+            m1 = float(s1[i]) / ni
+            e2 = float(s2[i]) / ni
+            e3 = float(s3[i]) / ni
+            sk = ((e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1)
+                  / (e2 - m1 * m1) ** 1.5)
+        out_src.append(src)
+        out_n.append(ni)
+        out_sk.append(sk)
+    return pd.DataFrame({
+        "source": pd.Series(out_src, dtype=object),
+        "n": pd.array(out_n, "int64"),
+        "skew": round_away(np.array(out_sk, np.float64), 6)})
