@@ -452,6 +452,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q293_ndcg_eval": similarity.q_ndcg_eval,
         "q294_ewma_chart": analytics.q_ewma_chart,
         "q295_source_skewness": textops.q_source_skewness,
+        "q296_item_cf": graph.q_item_cf,
+        "q297_lang_rebalance": textops.q_lang_rebalance,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3437,6 +3439,53 @@ def oracle_sql() -> dict[str, str]:
                                  1.5), 6)
                    END AS skew
             FROM g ORDER BY source
+        """,
+        "q296_item_cf": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            d AS (SELECT p, count(*)::BIGINT AS dp FROM op GROUP BY p),
+            e AS (
+                SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS n
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+                GROUP BY 1, 2),
+            s AS (
+                SELECT e.p1, e.p2, e.n,
+                       round(e.n / sqrt(d1.dp * d2.dp), 6) AS sim
+                FROM e JOIN d d1 ON e.p1 = d1.p
+                       JOIN d d2 ON e.p2 = d2.p)
+            SELECT p1, p2, n, sim FROM s
+            ORDER BY sim DESC, p1, p2 LIMIT 50
+        """,
+        "q297_lang_rebalance": """
+            WITH x AS (
+                SELECT lang, doc_id FROM documents
+                WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+            c AS (SELECT lang, count(*)::BIGINT AS n_before
+                  FROM x GROUP BY lang),
+            t AS (SELECT sum(n_before)::BIGINT AS tot,
+                         count(*)::BIGINT AS l FROM c),
+            p AS (SELECT lang, n_before,
+                         least(1.0, (tot::DOUBLE / l) / n_before)
+                             AS p_keep,
+                         CAST(floor(least(1.0, (tot::DOUBLE / l)
+                                               / n_before)
+                                    * 4503599627370496.0) AS BIGINT)
+                             AS thr
+                  FROM c, t),
+            k AS (SELECT x.lang, count(*)::BIGINT AS n_kept
+                  FROM x JOIN p ON x.lang = p.lang
+                  WHERE ('0x' || substr(md5(CAST(x.doc_id
+                                                 AS VARCHAR)),
+                                        1, 13))::BIGINT < p.thr
+                  GROUP BY x.lang)
+            SELECT p.lang, p.n_before,
+                   coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+                   round(p.p_keep, 6) AS p_keep
+            FROM p LEFT JOIN k ON p.lang = k.lang
+            ORDER BY p.lang
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -1768,3 +1768,44 @@ def test_source_skewness_hand_example(ray_session, tmp_path):
     assert out["skew"].tolist()[1] > 1.0
     assert pd.isna(out["skew"].tolist()[2])
     assert pd.isna(out["skew"].tolist()[3])
+
+
+def test_item_cf_hand_example(ray_session, tmp_path):
+    """q296: parts 1,2 share both orders; each also pairs once with 3.
+    sim(1,2) = 2/√(2·2) = 1.0; sim(1,3) = sim(2,3) = 1/√(2·1)."""
+    from web_scrapper_ray.pipelines.graph import q_item_cf
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([10, 10, 20, 20, 20], pa.int64()),
+        "l_partkey": pa.array([1, 2, 1, 2, 3], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_item_cf(str(tmp_path))
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, 2, 2, 1.0),
+        (1, 3, 1, 0.707107),
+        (2, 3, 1, 0.707107)]
+
+
+def test_lang_rebalance_uniform_targets(ray_session, tmp_path):
+    """q297: the minority lang keeps everything (p=1); the majority is
+    thinned toward N/L; the keep decision is a pure function of
+    doc_id so re-running (or re-partitioning) cannot change it."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.textops import q_lang_rebalance
+
+    n_en, n_de = 40, 10
+    ids = list(range(n_en + n_de))
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(["en"] * n_en + ["de"] * n_de),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_lang_rebalance(str(tmp_path))
+    assert out["lang"].tolist() == ["de", "en"]
+    assert out["n_before"].tolist() == [10, 40]
+    assert out["p_keep"].tolist() == [1.0, 0.625]
+    thr = int(np.floor(0.625 * 4503599627370496.0))
+    exp = sum(1 for i in range(n_en)
+              if int(hashlib.md5(str(i).encode()).hexdigest()[:13],
+                     16) < thr)
+    assert out["n_kept"].tolist() == [10, exp]

@@ -1203,3 +1203,116 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
         return pd.DataFrame(cols)
     o = np.lexsort((p2, p1, -c))[:k]
     return pd.DataFrame({"p1": p1[o], "p2": p2[o], "n_common": c[o]})
+
+
+def q_item_cf(sf_dir: str, k: int = 50, P: int = 32) -> pd.DataFrame:
+    """Item–item collaborative-filtering similarity over order
+    baskets — the recommender primitive: sim(p, q) = |O(p) ∩ O(q)| /
+    √(|O(p)|·|O(q)|), the cosine of the parts' order-incidence
+    vectors, top-k pairs. Pair intersection counts come from
+    ``_coorder_edge_refs(with_counts=True)`` (order exchange →
+    per-order pairs → edge exchange summing distinct-shared-order
+    support); per-part order degrees from one more packed-key
+    exchange whose buckets hold globally-distinct (order, part) keys,
+    so per-bucket part counts are exact and the driver folds only the
+    dimension-sized part domain. Scoring fans out per edge bucket
+    with the broadcast degree table: ONE double division of exact
+    ints per pair (n / sqrt(dp·dq), the oracle's own op order),
+    rounded to 6dp BEFORE ranking so the (sim DESC, p1, p2) order is
+    bit-deterministic, local top-k per bucket, driver folds P·k
+    rows."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .pairs import round_away
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+    cols = {"p1": pd.Series(dtype="int64"),
+            "p2": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "sim": pd.Series(dtype="float64")}
+
+    edge_refs = _coorder_edge_refs(sf_dir, P, with_counts=True,
+                                   on="l_orderkey", val="l_partkey")
+
+    # ---- per-part order degree: distinct (order, part) exchange ----
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split_op(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_partkey")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        o = t2.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        p = t2.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        if len(o) and (o.min() < 0 or p.min() < 0
+                       or o.max() >= int(lim) or p.max() >= int(lim)):
+            raise ValueError("order/part key outside packing domain")
+        key = np.unique((o.astype(np.uint64) << np.uint64(_KEY_BITS))
+                        | p.astype(np.uint64)).view(np.int64)
+        return pa.table({"key": pa.array(key),
+                         "bucket": pa.array(
+                             (mix64(key) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def merge_deg(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"p": pd.Series(dtype="int64"),
+                                 "dp": pd.Series(dtype="int64")})
+        key = np.unique(np.concatenate(    # same key → same bucket ⇒
+            [x.column("key").to_numpy() for x in live]))  # global dedup
+        part = (key.view(np.uint64)
+                & (lim - np.uint64(1))).astype(np.int64)
+        u, c = np.unique(part, return_counts=True)
+        return pd.DataFrame({"p": u, "dp": c.astype(np.int64)})
+
+    li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+    degs = [d for d in hash_shuffle([(r, ()) for r in
+                                     li.to_arrow_refs()],
+                                    split_op, merge_deg, P=P)
+            if len(d)]
+    if not degs:
+        return pd.DataFrame(cols)
+    dg = (pd.concat(degs, ignore_index=True)
+          .groupby("p", as_index=False)["dp"].sum())
+    ptab = dg["p"].to_numpy(np.int64)          # sorted (groupby key)
+    dtab = dg["dp"].to_numpy(np.int64)
+    dref = ray.put((ptab, dtab))
+
+    @ray.remote
+    def topk_bucket(etab: pa.Table, deg):
+        if etab.num_rows == 0:
+            return (np.empty(0, np.int64), np.empty(0, np.int64),
+                    np.empty(0, np.int64), np.empty(0, np.float64))
+        ptab_, dtab_ = deg
+        key = etab.column("key").to_numpy()
+        n = etab.column("n").to_numpy()
+        p1 = (key.view(np.uint64)
+              >> np.uint64(_KEY_BITS)).astype(np.int64)
+        p2 = (key.view(np.uint64) & (lim - np.uint64(1))).astype(
+            np.int64)
+        d1 = dtab_[np.searchsorted(ptab_, p1)]
+        d2 = dtab_[np.searchsorted(ptab_, p2)]
+        sim = round_away(n.astype(np.float64)
+                         / np.sqrt((d1 * d2).astype(np.float64)), 6)
+        o = np.lexsort((p2, p1, -sim))[:k]
+        return n[o], p1[o], p2[o], sim[o]
+
+    outs = ray.get([topk_bucket.remote(r, dref) for r in edge_refs])
+    n = np.concatenate([o[0] for o in outs])
+    if not len(n):
+        return pd.DataFrame(cols)
+    p1 = np.concatenate([o[1] for o in outs])
+    p2 = np.concatenate([o[2] for o in outs])
+    sim = np.concatenate([o[3] for o in outs])
+    o = np.lexsort((p2, p1, -sim))[:k]
+    return pd.DataFrame({"p1": p1[o], "p2": p2[o],
+                         "n": n[o].astype(np.int64), "sim": sim[o]})

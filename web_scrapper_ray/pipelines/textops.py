@@ -3396,3 +3396,99 @@ def q_source_skewness(sf_dir: str) -> pd.DataFrame:
         "source": pd.Series(out_src, dtype=object),
         "n": pd.array(out_n, "int64"),
         "skew": round_away(np.array(out_sk, np.float64), 6)})
+
+
+def q_lang_rebalance(sf_dir: str) -> pd.DataFrame:
+    """Deterministic hash resampling to a uniform language mix — the
+    data-mixing realization next to q72's allocation math: each lang's
+    acceptance probability is p = min(1, target/actual) with target =
+    N/L docs per language, and a doc survives iff the first 52 bits
+    of md5(doc_id) fall below ⌊p·2⁵²⌋ — the same
+    cross-language-deterministic coin as q244's md5 selection order
+    (never Python's salted hash; identical keeps on any cluster
+    shape, any partitioning). Two streamed passes: per-batch per-lang
+    count partials (driver folds the lang domain), then a broadcast
+    threshold filter counting keeps. p's divisions run in the
+    oracle's own op order on exact ints; thresholds are exact int64
+    (52-bit mantissa — no double rounding at the boundary). NULL lang
+    or doc_id rows are out of contract on both sides."""
+    import hashlib
+
+    from .pairs import round_away
+
+    _E = pa.table({"lang": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.schema.names:
+            return _E
+        import pyarrow.compute as pc
+        keep = pc.and_kleene(pc.is_valid(t.column("lang")),
+                             pc.is_valid(t.column("doc_id")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"lang": t2.column("lang")})
+             .group_by(["lang"]).aggregate([([], "count_all")]))
+        return pa.table({"lang": g.column("lang"),
+                         "n": g.column("count_all").cast(pa.int64())})
+
+    ds = _docs(sf_dir, columns=["lang", "doc_id"])
+    parts = ds.map_batches(count_partial,
+                           batch_format="pyarrow").to_pandas()
+    cols = {"lang": pd.Series(dtype="object"),
+            "n_before": pd.Series(dtype="int64"),
+            "n_kept": pd.Series(dtype="int64"),
+            "p_keep": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    from .pairs import factorize_strings
+
+    codes, uniq = factorize_strings(parts["lang"])
+    cnt: dict = {}
+    for c, nn in zip(codes, parts["n"].tolist()):
+        cnt[uniq[c]] = cnt.get(uniq[c], 0) + nn
+    tot = sum(cnt.values())
+    L = len(cnt)
+    TWO52 = 4503599627370496.0
+    pk = {lg: min(1.0, (float(tot) / L) / n) for lg, n in cnt.items()}
+    thr = {lg: int(np.floor(p * TWO52)) for lg, p in pk.items()}
+
+    def kept_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "lang" not in t.schema.names:
+            return _E
+        import pyarrow.compute as pc
+        keep = pc.and_kleene(pc.is_valid(t.column("lang")),
+                             pc.is_valid(t.column("doc_id")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        langs = t2.column("lang").to_pylist()
+        ids = t2.column("doc_id").to_pylist()
+        agg: dict = {}
+        for lg, i in zip(langs, ids):
+            h = int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+            if h < thr[lg]:
+                agg[lg] = agg.get(lg, 0) + 1
+        if not agg:
+            return _E
+        return pa.table({"lang": pa.array(list(agg.keys()),
+                                          pa.string()),
+                         "n": pa.array(list(agg.values()),
+                                       pa.int64())})
+
+    kparts = ds.map_batches(kept_partial,
+                            batch_format="pyarrow").to_pandas()
+    kept: dict = {}
+    if len(kparts):
+        kc, ku = factorize_strings(kparts["lang"])
+        for c, nn in zip(kc, kparts["n"].tolist()):
+            kept[ku[c]] = kept.get(ku[c], 0) + nn
+    langs = sorted(cnt.keys())
+    return pd.DataFrame({
+        "lang": pd.Series(langs, dtype=object),
+        "n_before": pd.array([cnt[lg] for lg in langs], "int64"),
+        "n_kept": pd.array([kept.get(lg, 0) for lg in langs],
+                           "int64"),
+        "p_keep": round_away(np.array([pk[lg] for lg in langs],
+                                      np.float64), 6)})
