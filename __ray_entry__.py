@@ -454,6 +454,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q295_source_skewness": textops.q_source_skewness,
         "q296_item_cf": graph.q_item_cf,
         "q297_lang_rebalance": textops.q_lang_rebalance,
+        "q298_target_encoding": analytics.q_target_encoding,
+        "q299_feature_hash_eval": textops.q_feature_hash_eval,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3486,6 +3488,42 @@ def oracle_sql() -> dict[str, str]:
                    round(p.p_keep, 6) AS p_keep
             FROM p LEFT JOIN k ON p.lang = k.lang
             ORDER BY p.lang
+        """,
+        "q298_target_encoding": """
+            WITH x AS (
+                SELECT o_orderpriority AS priority,
+                       CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents
+                FROM orders WHERE isfinite(o_totalprice)),
+            g AS (SELECT priority, count(*)::BIGINT AS n,
+                         sum(cents)::HUGEINT AS s
+                  FROM x GROUP BY priority),
+            t AS (SELECT sum(n)::BIGINT AS tn,
+                         sum(s)::HUGEINT AS ts FROM g)
+            SELECT priority, n,
+                   round(CAST(s AS DOUBLE) / n, 6) AS mean_cents,
+                   round((CAST(s AS DOUBLE)
+                          + 20.0 * (CAST(ts AS DOUBLE) / tn))
+                         / (n + 20.0), 6) AS enc_cents
+            FROM g, t ORDER BY priority
+        """,
+        "q299_feature_hash_eval": """
+            WITH w AS (
+                SELECT DISTINCT unnest(regexp_extract_all(
+                    lower(text), '\w+')) AS word
+                FROM documents),
+            b AS (SELECT word,
+                         ('0x' || substr(md5(word), 1, 13))::BIGINT
+                             % 4096 AS fb
+                  FROM w),
+            g AS (SELECT fb, count(*)::BIGINT AS c FROM b GROUP BY fb)
+            SELECT (SELECT count(*) FROM w)::BIGINT AS n_words,
+                   (SELECT count(*) FROM g)::BIGINT AS n_used,
+                   (SELECT max(c) FROM g)::BIGINT AS max_load,
+                   round(((SELECT count(*) FROM w)
+                          - (SELECT count(*) FROM g))::DOUBLE
+                         / (SELECT count(*) FROM w), 6)
+                       AS collision_share
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -1809,3 +1809,42 @@ def test_lang_rebalance_uniform_targets(ray_session, tmp_path):
               if int(hashlib.md5(str(i).encode()).hexdigest()[:13],
                      16) < thr)
     assert out["n_kept"].tolist() == [10, exp]
+
+
+def test_target_encoding_shrinks_toward_global(ray_session, tmp_path):
+    """q298: the 1-row category's encoding lands near the global mean
+    (pseudo-count dominates); the big category barely moves; NULL
+    priority is its own group."""
+    from web_scrapper_ray.pipelines.analytics import q_target_encoding
+
+    pq.write_table(pa.table({
+        "o_orderpriority": pa.array(["A"] * 40 + ["B"] + [None]),
+        "o_totalprice": pa.array([1.0] * 40 + [101.0, 1.0],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_target_encoding(str(tmp_path))
+    assert out["priority"].tolist() == ["A", "B", None]
+    assert out["n"].tolist() == [40, 1, 1]
+    g = (40 * 100 + 10100 + 100) / 42.0
+    a, b = out["enc_cents"].tolist()[:2]
+    assert abs(a - 100) < abs(b - 100)          # A stays near its mean
+    assert abs(b - g) < abs(10100 - g) * 0.1    # B shrinks to global
+
+
+def test_feature_hash_eval_collisions(ray_session, tmp_path):
+    """q299: B=2 forces collisions; n_words is the distinct vocab and
+    max_load + used buckets follow the md5 coin exactly."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.textops import q_feature_hash_eval
+
+    pq.write_table(pa.table({
+        "text": pa.array(["alpha beta gamma", "beta delta", None]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_feature_hash_eval(str(tmp_path), B=2)
+    words = ["alpha", "beta", "gamma", "delta"]
+    fb = [int(hashlib.md5(w.encode()).hexdigest()[:13], 16) % 2
+          for w in words]
+    assert out["n_words"].tolist() == [4]
+    assert out["n_used"].tolist() == [len(set(fb))]
+    assert out["max_load"].tolist() == [max(fb.count(0), fb.count(1))]

@@ -11064,3 +11064,82 @@ def q_ewma_chart(sf_dir: str) -> pd.DataFrame:
         "ewma": round_away(ewma, 6),
         "resid": round_away(resid, 6),
         "viol": (np.abs(resid) > 3.0 * sigma).astype(np.int64)})
+
+
+def q_target_encoding(sf_dir: str, m: float = 20.0) -> pd.DataFrame:
+    """Smoothed target encoding of order priority — the categorical
+    feature-engineering primitive: enc(c) = (Σy_c + m·ȳ) / (n_c + m),
+    the per-category target mean shrunk toward the global mean by a
+    pseudo-count m=20 (James–Stein style; raw means of rare levels
+    leak noise). Targets ride as EXACT cents ints in per-batch
+    per-priority (n, Σ) partials folded driver-side as Python ints;
+    the global mean and each encoding then apply one cast-to-double
+    per operand in the oracle's literal op order, so every float is
+    bit-identical. NULL priority IS a group (SQL GROUP BY), carried
+    on NUL-safe codes; non-finite prices are excluded on both
+    sides."""
+    from .pairs import factorize_strings
+
+    _E = pa.table({"pri": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.int64())})
+    _NULL = "\x00NULLPRI"
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        keep = pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                            False)
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E
+        cents = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        pri = pd.Series(t2.column("o_orderpriority").to_pylist(),
+                        dtype=object)
+        keyed = pri.where(pri.isna(), "P" + pri).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        s = np.zeros(k, np.int64)
+        np.add.at(s, codes, cents)
+        return pa.table({"pri": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    parts = _read(sf_dir, "orders",
+                  columns=["o_orderpriority", "o_totalprice"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"priority": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "mean_cents": pd.Series(dtype="float64"),
+            "enc_cents": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["pri"],
+                                    use_na_sentinel=False)
+    k = len(uniq)
+    n = [0] * k
+    s = [0] * k
+    for c, nn, ss in zip(codes, parts["n"].tolist(),
+                         parts["s"].tolist()):
+        n[c] += nn                     # Python-int fold: exact
+        s[c] += ss
+    tot_n = sum(n)
+    tot_s = sum(s)
+    g = float(tot_s) / tot_n
+    order = sorted(range(k),           # SQL ORDER BY priority NULLS LAST
+                   key=lambda i: (uniq[i] == _NULL, uniq[i]))
+    out_p, out_n, out_m, out_e = [], [], [], []
+    for i in order:
+        key = uniq[i]
+        out_p.append(None if key == _NULL else key[1:])
+        out_n.append(n[i])
+        out_m.append(float(s[i]) / n[i])
+        out_e.append((float(s[i]) + m * g) / (n[i] + m))
+    return pd.DataFrame({
+        "priority": pd.Series(out_p, dtype=object),
+        "n": pd.array(out_n, "int64"),
+        "mean_cents": round_away(np.array(out_m, np.float64), 6),
+        "enc_cents": round_away(np.array(out_e, np.float64), 6)})

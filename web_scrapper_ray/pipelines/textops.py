@@ -3492,3 +3492,71 @@ def q_lang_rebalance(sf_dir: str) -> pd.DataFrame:
                            "int64"),
         "p_keep": round_away(np.array([pk[lg] for lg in langs],
                                       np.float64), 6)})
+
+
+def q_feature_hash_eval(sf_dir: str, B: int = 4096) -> pd.DataFrame:
+    """Feature-hashing collision eval — before committing a hashing
+    trick vectorizer, measure what a B-bucket table does to THIS
+    corpus's vocabulary: distinct words, buckets actually used, the
+    hottest bucket's load, and the collision share (words that lost
+    their identity). The word exchange is q181's discipline
+    (hash-partitioned on the word, so per-bucket distincts are
+    global); each exchange bucket maps its words through the
+    md5-prefix coin (q244/q297's cross-language-deterministic hash —
+    never Python's salted ``hash``) into feature buckets and emits a
+    (feature-bucket, count) partial; the driver folds a B-sized
+    array. All outputs are exact ints but the one final share
+    division. NULL/empty texts tokenize to nothing on both sides."""
+    import hashlib
+
+    from .pairs import hash_shuffle, round_away, str_u64
+
+    P = 32
+
+    _E = pa.table({"word": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        words = set()
+        for txt in t.column("text").to_pylist():
+            words.update(_TOKEN_RX.findall((txt or "").lower()))
+        if not words:
+            return _E
+        w = sorted(words)
+        b = np.array([str_u64(x) & (P - 1) for x in w], np.int64)
+        return pa.table({"word": pa.array(w, pa.string()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        out = np.zeros(B, np.int64)
+        if not live:
+            return out
+        words = set()
+        for x in live:
+            words.update(x.column("word").to_pylist())
+        for w in words:    # distinct here IS global (word-keyed bucket)
+            fb = int(hashlib.md5(w.encode()).hexdigest()[:13],
+                     16) % B
+            out[fb] += 1
+        return out
+
+    tagged = [(r, ()) for r in
+              _docs(sf_dir, columns=["text"]).to_arrow_refs()]
+    load = sum(hash_shuffle(tagged, split, merge, P=P))
+    n_words = int(load.sum())
+    n_used = int((load > 0).sum())
+    if n_words == 0:                    # SQL ungrouped aggregates
+        return pd.DataFrame({
+            "n_words": pd.array([0], "int64"),
+            "n_used": pd.array([0], "int64"),
+            "max_load": pd.array([None], "Int64"),
+            "collision_share": pd.array([np.nan], "float64")})
+    return pd.DataFrame({
+        "n_words": pd.array([n_words], "int64"),
+        "n_used": pd.array([n_used], "int64"),
+        "max_load": pd.array([int(load.max())], "int64"),
+        "collision_share": round_away(np.array(
+            [float(n_words - n_used) / n_words]), 6)})
