@@ -456,6 +456,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q297_lang_rebalance": textops.q_lang_rebalance,
         "q298_target_encoding": analytics.q_target_encoding,
         "q299_feature_hash_eval": textops.q_feature_hash_eval,
+        "q300_split_leakage": analytics.q_split_leakage,
+        "q301_heaps_law": textops.q_heaps_law,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3524,6 +3526,49 @@ def oracle_sql() -> dict[str, str]:
                           - (SELECT count(*) FROM g))::DOUBLE
                          / (SELECT count(*) FROM w), 6)
                        AS collision_share
+        """,
+        "q300_split_leakage": """
+            WITH e AS (
+                SELECT event_id, user_id FROM events
+                WHERE event_id IS NOT NULL AND user_id IS NOT NULL),
+            s AS (
+                SELECT user_id,
+                       (('0x' || substr(md5(CAST(event_id
+                                                 AS VARCHAR)),
+                                        1, 13))::BIGINT
+                        < 3602879701896396) AS tr
+                FROM e),
+            u AS (SELECT user_id, max(tr::INT) AS a,
+                         max((NOT tr)::INT) AS b
+                  FROM s GROUP BY user_id),
+            t AS (SELECT count(*)::BIGINT AS n_users,
+                         sum(a)::BIGINT AS n_tr,
+                         sum(b)::BIGINT AS n_te,
+                         (count(*) FILTER (WHERE a = 1 AND b = 1))
+                             ::BIGINT AS n_both
+                  FROM u)
+            SELECT n_users, n_tr AS n_train_users,
+                   n_te AS n_test_users, n_both AS n_leaked,
+                   round(n_both::DOUBLE / n_users, 6) AS leak_share
+            FROM t
+        """,
+        "q301_heaps_law": """
+            WITH d AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '\w+') AS ws
+                FROM documents WHERE doc_id IS NOT NULL),
+            tok AS (SELECT doc_id, unnest(ws) AS word FROM d),
+            ty AS (SELECT word, min(doc_id) AS md FROM tok
+                   GROUP BY word),
+            cp(c) AS (VALUES (125), (250), (500), (1000), (2000),
+                             (4000), (8000), (16000), (32000),
+                             (64000))
+            SELECT c::BIGINT AS checkpoint,
+                   (SELECT count(*) FROM tok
+                    WHERE doc_id < cp.c)::BIGINT AS n_tokens,
+                   (SELECT count(*) FROM ty
+                    WHERE md < cp.c)::BIGINT AS n_types
+            FROM cp ORDER BY 1
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

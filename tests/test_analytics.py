@@ -1848,3 +1848,47 @@ def test_feature_hash_eval_collisions(ray_session, tmp_path):
     assert out["n_words"].tolist() == [4]
     assert out["n_used"].tolist() == [len(set(fb))]
     assert out["max_load"].tolist() == [max(fb.count(0), fb.count(1))]
+
+
+def test_split_leakage_hand_example(ray_session, tmp_path):
+    """q300: user 1's events land on both sides of the md5 coin by
+    construction (picked ids), user 2 is train-only — exactly one
+    leaked user."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.analytics import q_split_leakage
+
+    thr = int(np.floor(0.8 * 4503599627370496.0))
+
+    def side(e):
+        return int(hashlib.md5(str(e).encode()).hexdigest()[:13],
+                   16) < thr
+
+    ids = list(range(200))
+    tr = next(e for e in ids if side(e))
+    te = next(e for e in ids if not side(e))
+    tr2 = next(e for e in ids if side(e) and e != tr)
+    pq.write_table(pa.table({
+        "event_id": pa.array([tr, te, tr2], pa.int64()),
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_split_leakage(str(tmp_path))
+    assert out["n_users"].tolist() == [2]
+    assert out["n_train_users"].tolist() == [2]
+    assert out["n_test_users"].tolist() == [1]
+    assert out["n_leaked"].tolist() == [1]
+    assert out["leak_share"].tolist() == [0.5]
+
+
+def test_heaps_law_hand_example(ray_session, tmp_path):
+    """q301: doc 100 contributes before the 125 checkpoint, doc 300
+    only from 500 up; types count first occurrences only."""
+    from web_scrapper_ray.pipelines.textops import q_heaps_law
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 300], pa.int64()),
+        "text": pa.array(["a b a", "b c d"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_heaps_law(str(tmp_path))
+    assert out["n_tokens"].tolist()[:3] == [3, 3, 6]
+    assert out["n_types"].tolist()[:3] == [2, 2, 4]

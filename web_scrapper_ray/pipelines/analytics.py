@@ -11143,3 +11143,81 @@ def q_target_encoding(sf_dir: str, m: float = 20.0) -> pd.DataFrame:
         "n": pd.array(out_n, "int64"),
         "mean_cents": round_away(np.array(out_m, np.float64), 6),
         "enc_cents": round_away(np.array(out_e, np.float64), 6)})
+
+
+def q_split_leakage(sf_dir: str, train_frac: float = 0.8,
+                    P: int = 32) -> pd.DataFrame:
+    """Train/test split leakage audit — the data-hygiene check every
+    eval pipeline needs: an 80/20 ROW-level split (the md5(event_id)
+    coin at a 52-bit exact threshold, q297's rule — deterministic
+    under any partitioning) leaks users across the boundary, and this
+    op counts exactly how badly: users present in train, in test, and
+    in BOTH (the leaked set a group-aware split would empty). One
+    user-keyed raw-task exchange of per-batch (user, saw_train,
+    saw_test) OR-partials; each bucket counts its users' side
+    membership, the driver folds P count-rows. All outputs exact ints
+    but the one share division. NULL event_id or user_id rows are out
+    of contract on both sides."""
+    import hashlib
+
+    from .pairs import hash_shuffle
+
+    TWO52 = 4503599627370496.0
+    thr = int(np.floor(train_frac * TWO52))
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "tr": pa.array([], pa.int64()),
+                   "te": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("user_id")),
+                             pc.is_valid(t.column("event_id")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t2.column("event_id").to_pylist()
+        is_tr = np.array(
+            [int(hashlib.md5(str(e).encode()).hexdigest()[:13], 16)
+             < thr for e in eid], bool)
+        g = (pd.DataFrame({"u": uid, "tr": is_tr, "te": ~is_tr})
+             .groupby("u", sort=False)
+             .agg(tr=("tr", "max"), te=("te", "max")).reset_index())
+        u = g["u"].to_numpy(np.int64)
+        return pa.table({"user_id": pa.array(u),
+                         "tr": pa.array(
+                             g["tr"].to_numpy(np.int64)),
+                         "te": pa.array(
+                             g["te"].to_numpy(np.int64)),
+                         "bucket": pa.array((u % P).astype(np.int64))})
+
+    def merge(*tabs):
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(3, np.int64)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("user_id", sort=False)
+             .agg(tr=("tr", "max"), te=("te", "max")))
+        tr = g["tr"].to_numpy(np.int64)
+        te = g["te"].to_numpy(np.int64)
+        return np.array([int(tr.sum()), int(te.sum()),
+                         int((tr & te).sum())], np.int64)
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+    tot = sum(hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                           split, merge, P=P))
+    n_tr, n_te, n_both = (int(x) for x in np.atleast_1d(tot)[:3]) \
+        if np.ndim(tot) else (0, 0, 0)
+    n_users = n_tr + n_te - n_both
+    share = np.nan if n_users == 0 \
+        else float(n_both) / n_users
+    return pd.DataFrame({
+        "n_users": pd.array([n_users], "int64"),
+        "n_train_users": pd.array([n_tr], "int64"),
+        "n_test_users": pd.array([n_te], "int64"),
+        "n_leaked": pd.array([n_both], "int64"),
+        "leak_share": round_away(np.array([share], np.float64), 6)})

@@ -3560,3 +3560,98 @@ def q_feature_hash_eval(sf_dir: str, B: int = 4096) -> pd.DataFrame:
         "max_load": pd.array([int(load.max())], "int64"),
         "collision_share": round_away(np.array(
             [float(n_words - n_used) / n_words]), 6)})
+
+
+def q_heaps_law(sf_dir: str) -> pd.DataFrame:
+    """Heaps'-law vocabulary growth curve — how many distinct word
+    types the corpus has after its first c documents (by doc_id), at
+    doubling checkpoints. The classic sequential scan becomes two
+    embarrassingly-parallel folds: token counts are per-batch
+    per-checkpoint sums, and the type curve rides the word-keyed
+    exchange (q181 discipline) carrying each word's MIN doc_id — a
+    word counts toward checkpoint c iff its first occurrence is
+    below c, so per-bucket ``searchsorted`` over the sorted min-ids
+    gives exact per-checkpoint type counts and the driver folds
+    P × #checkpoints ints. Checkpoints past the corpus end report the
+    full totals (SQL's filter semantics). NULL doc_id rows are out of
+    contract; NULL texts tokenize to nothing."""
+    import pyarrow.compute as pc
+
+    from .pairs import hash_shuffle, str_u64
+
+    CP = (125, 250, 500, 1000, 2000, 4000, 8000, 16000, 32000, 64000)
+    P = 32
+
+    _E = pa.table({"word": pa.array([], pa.string()),
+                   "mind": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E, np.zeros(len(CP), np.int64)
+        t2 = t.filter(pc.is_valid(t.column("doc_id")))
+        if t2.num_rows == 0:
+            return _E, np.zeros(len(CP), np.int64)
+        ids = t2.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        toks = np.zeros(len(CP), np.int64)
+        first: dict = {}
+        for did, txt in zip(ids, t2.column("text").to_pylist()):
+            ws = _TOKEN_RX.findall((txt or "").lower())
+            for j, c in enumerate(CP):
+                if did < c:
+                    toks[j] += len(ws)
+            for w in ws:
+                old = first.get(w)
+                if old is None or did < old:
+                    first[w] = did
+        if not first:
+            return _E, toks
+        w = sorted(first)
+        b = np.array([str_u64(x) & (P - 1) for x in w], np.int64)
+        return (pa.table({"word": pa.array(w, pa.string()),
+                          "mind": pa.array(
+                              [first[x] for x in w], pa.int64()),
+                          "bucket": pa.array(b)}),
+                toks)
+
+    # hash_shuffle's split returns one table; carry the token partial
+    # through a tiny driver-side accumulator instead (split runs in
+    # tasks — so run the two folds as separate passes)
+    tok_parts: list = []
+
+    def split_words(t: pa.Table) -> pa.Table:
+        tab, _ = split(t)
+        return tab
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(len(CP), np.int64)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("word", sort=False)["mind"].min())
+        mind = np.sort(g.to_numpy(np.int64))
+        return np.searchsorted(mind, np.array(CP, np.int64),
+                               side="left").astype(np.int64)
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        _, toks = split(t)
+        return pa.table({"j": pa.array(
+            np.arange(len(CP), dtype=np.int64)),
+            "n": pa.array(toks)})
+
+    tp = ds.map_batches(tok_partial, batch_format="pyarrow").to_pandas()
+    toks = np.zeros(len(CP), np.int64)
+    if len(tp):
+        np.add.at(toks, tp["j"].to_numpy(np.int64),
+                  tp["n"].to_numpy(np.int64))
+    types = sum(hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                             split_words, merge, P=P))
+    types = np.asarray(types, np.int64) if np.ndim(types) \
+        else np.zeros(len(CP), np.int64)
+    return pd.DataFrame({
+        "checkpoint": pd.array(list(CP), "int64"),
+        "n_tokens": pd.array(toks.tolist(), "int64"),
+        "n_types": pd.array(types.tolist(), "int64")})
