@@ -458,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q299_feature_hash_eval": textops.q_feature_hash_eval,
         "q300_split_leakage": analytics.q_split_leakage,
         "q301_heaps_law": textops.q_heaps_law,
+        "q302_near_amount_pairs": analytics.q_near_amount_pairs,
+        "q303_daily_mix_jaccard": analytics.q_daily_mix_jaccard,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3569,6 +3571,48 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM ty
                     WHERE md < cp.c)::BIGINT AS n_types
             FROM cp ORDER BY 1
+        """,
+        "q302_near_amount_pairs": """
+            -- the engine's band routing is internal layout; the
+            -- oracle states the bare predicate (DuckDB IEJoin)
+            WITH x AS (
+                SELECT o_orderkey AS k,
+                       CAST(round(o_totalprice * 100) AS BIGINT) AS c
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                  AND isfinite(o_totalprice))
+            SELECT least(a.k, b.k) AS k1,
+                   greatest(a.k, b.k) AS k2,
+                   abs(a.c - b.c) AS diff_cents
+            FROM x a JOIN x b
+              ON a.k < b.k AND abs(a.c - b.c) <= 50
+            ORDER BY diff_cents, k1, k2 LIMIT 100
+        """,
+        "q303_daily_mix_jaccard": """
+            WITH e AS (
+                SELECT CAST(epoch_us(date_trunc('day', ts))
+                            / 86400000000 AS BIGINT) AS d,
+                       event_type AS ty
+                FROM events WHERE ts IS NOT NULL),
+            g AS (SELECT d, ty, count(*)::BIGINT AS c
+                  FROM e GROUP BY d, ty),
+            t AS (SELECT d, sum(c)::BIGINT AS tot FROM g GROUP BY d),
+            m AS (SELECT a.d AS day,
+                         sum(least(a.c, b.c))::BIGINT AS smin
+                  FROM g a JOIN g b
+                    ON a.d = b.d + 1
+                   AND a.ty IS NOT DISTINCT FROM b.ty
+                  GROUP BY a.d),
+            p AS (SELECT ta.d AS day, ta.tot AS tot_a,
+                         tb.tot AS tot_b
+                  FROM t ta JOIN t tb ON ta.d = tb.d + 1)
+            SELECT p.day, coalesce(m.smin, 0)::BIGINT AS smin,
+                   (p.tot_a + p.tot_b - coalesce(m.smin, 0))::BIGINT
+                       AS smax,
+                   round(coalesce(m.smin, 0)::DOUBLE
+                         / (p.tot_a + p.tot_b
+                            - coalesce(m.smin, 0)), 6) AS jaccard
+            FROM p LEFT JOIN m ON p.day = m.day ORDER BY p.day
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -1892,3 +1892,38 @@ def test_heaps_law_hand_example(ray_session, tmp_path):
     out = q_heaps_law(str(tmp_path))
     assert out["n_tokens"].tolist()[:3] == [3, 3, 6]
     assert out["n_types"].tolist()[:3] == [2, 2, 4]
+
+
+def test_near_amount_pairs_band_straddle(ray_session, tmp_path):
+    """q302: 10.20 vs 10.60 straddles a 50-cent band boundary (1020 //
+    50 = 20, 1060 // 50 = 21) and must still pair; 10.20 vs 11.00
+    (80 cents) must not; equal amounts on distinct orders pair at
+    diff 0."""
+    from web_scrapper_ray.pipelines.analytics import q_near_amount_pairs
+
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([10.20, 10.60, 11.00, 10.20],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_near_amount_pairs(str(tmp_path))
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (1, 4, 0), (1, 2, 40), (2, 3, 40), (2, 4, 40)]
+
+
+def test_daily_mix_jaccard_hand_example(ray_session, tmp_path):
+    """q303: day 0 {a:2, b:1} vs day 1 {a:1, c:1} → Σmin=1, Σmax=4;
+    the gap before day 3 emits no row."""
+    from web_scrapper_ray.pipelines.analytics import q_daily_mix_jaccard
+
+    DAY = 86_400_000_000
+    us = [0, 1, 2, DAY, DAY + 1, 3 * DAY]
+    pq.write_table(pa.table({
+        "ts": pa.array(us, pa.timestamp("us")),
+        "event_type": pa.array(["a", "a", "b", "a", "c", "a"]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_daily_mix_jaccard(str(tmp_path))
+    assert out["day"].tolist() == [1]
+    assert out["smin"].tolist() == [1]
+    assert out["smax"].tolist() == [4]
+    assert out["jaccard"].tolist() == [0.25]

@@ -11221,3 +11221,213 @@ def q_split_leakage(sf_dir: str, train_frac: float = 0.8,
         "n_test_users": pd.array([n_te], "int64"),
         "n_leaked": pd.array([n_both], "int64"),
         "leak_share": round_away(np.array([share], np.float64), 6)})
+
+
+def q_near_amount_pairs(sf_dir: str, eps_cents: int = 50,
+                        k: int = 100, P: int = 32) -> pd.DataFrame:
+    """Epsilon band-join: pairs of orders whose totals differ by at
+    most eps (50 cents) — the reconciliation screen for near-miss
+    duplicate invoices that q206's exact-equality test cannot see.
+    The distributed shape is the classic ε-join: amounts become exact
+    cents ints, each row routes to its band ⌊c/ε⌋ AND band+1 (any
+    qualifying pair spans adjacent bands), and each bucket forms its
+    sorted-window pairs locally — with exactly-once global counting
+    via the max-band rule: a pair is emitted only in the single
+    bucket hash(max(band_a, band_b)) routes to, where it is
+    guaranteed present. Buckets emit local top-k by (diff, k1, k2);
+    the driver folds P·k rows. The oracle runs the same predicate as
+    a plain inequality join — bands are engine-internal layout, not
+    semantics. Bands use FLOOR division (negative amounts stay
+    adjacency-correct). NULL keys / non-finite prices are out of
+    contract on both sides."""
+    import ray
+
+    from .pairs import hash_shuffle, mix64
+
+    _E = pa.table({"c": pa.array([], pa.int64()),
+                   "key": pa.array([], pa.int64()),
+                   "band": pa.array([], pa.int64()),
+                   "route": pa.array([], pa.int8()),
+                   "bucket": pa.array([], pa.int64())})
+    cols = {"k1": pd.Series(dtype="int64"),
+            "k2": pd.Series(dtype="int64"),
+            "diff_cents": pd.Series(dtype="int64")}
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_totalprice" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("o_orderkey")),
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                         False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        c = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        key = t2.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        band = np.floor_divide(c, eps_cents)
+        c2 = np.concatenate([c, c])
+        k2_ = np.concatenate([key, key])
+        b2 = np.concatenate([band, band])          # row's OWN band
+        rt = np.concatenate([np.zeros(len(c), np.int8),
+                             np.ones(len(c), np.int8)])
+        dest = np.concatenate([band, band + 1])    # route band, band+1
+        return pa.table({"c": pa.array(c2), "key": pa.array(k2_),
+                         "band": pa.array(b2),
+                         "route": pa.array(rt, pa.int8()),
+                         "bucket": pa.array(
+                             (mix64(dest) & np.uint64(P - 1))
+                             .astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        # every routed row shares this bucket — recover the id for
+        # the exactly-once max-band test below
+        bucket_id = int(live[0].column("bucket")[0].as_py())
+        t = pa.concat_tables(
+            [x.drop_columns(["bucket"]) for x in live]).to_pandas()
+        t = t.sort_values(["c", "key"]).reset_index(drop=True)
+        c = t["c"].to_numpy(np.int64)
+        key = t["key"].to_numpy(np.int64)
+        band = t["band"].to_numpy(np.int64)
+        route = t["route"].to_numpy(np.int8)
+        hi = np.searchsorted(c, c + eps_cents, side="right")
+        lo = np.arange(len(c)) + 1
+        reps = np.maximum(hi - lo, 0)
+        if not reps.sum():
+            return pd.DataFrame(cols)
+        a = np.repeat(np.arange(len(c)), reps)
+        b = np.concatenate([np.arange(l, h) for l, h in
+                            zip(lo, hi) if h > l])
+        # exactly-once rule: count only where hash(max band) is
+        # THIS bucket
+        mx = np.maximum(band[a], band[b])
+        m = ((mix64(mx) & np.uint64(P - 1)).astype(np.int64)
+             == bucket_id)
+        # ...and only via each row's ONE required copy (native when
+        # the row sits in the max band, probe when one below) — a row
+        # whose two routes hash to the same bucket must not pair
+        # twice, while genuine duplicate source rows keep SQL's
+        # join multiplicity
+        m &= route[a] == (band[a] != mx)
+        m &= route[b] == (band[b] != mx)
+        m &= key[a] != key[b]      # distinct orders only
+        a, b = a[m], b[m]
+        if not len(a):
+            return pd.DataFrame(cols)
+        k1 = np.minimum(key[a], key[b])
+        kk2 = np.maximum(key[a], key[b])
+        diff = np.abs(c[a] - c[b])
+        o = np.lexsort((kk2, k1, diff))[:k]
+        return pd.DataFrame({"k1": k1[o], "k2": kk2[o],
+                             "diff_cents": diff[o]})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_totalprice"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    live = [p for p in parts if len(p)]
+    if not live:
+        return pd.DataFrame(cols)
+    out = pd.concat(live, ignore_index=True)
+    o = np.lexsort((out["k2"].to_numpy(), out["k1"].to_numpy(),
+                    out["diff_cents"].to_numpy()))[:k]
+    return out.iloc[o].reset_index(drop=True)
+
+
+def q_daily_mix_jaccard(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Day-over-day event-type-mix similarity — the drift screen that
+    catches a pipeline swapping its traffic mix overnight: weighted
+    (multiset) Jaccard Σ_t min(c_d[t], c_{d−1}[t]) / Σ_t max(...)
+    between each calendar day and the previous one (q264's Σmax =
+    tot_a + tot_b − Σmin identity covers types present on only one
+    side). One day-keyed exchange of per-batch (day, type, count)
+    partials; the driver folds the tiny day×type table, builds the
+    dense day-ordered count matrix on NUL-safe type codes and takes
+    vectorized column mins between calendar-ADJACENT rows. All counts
+    exact ints; one division per day pair. NULL event_type IS a type
+    (SQL GROUP BY); NULL ts rows are excluded on both sides; days
+    with no predecessor emit no row."""
+    from .pairs import factorize_strings, hash_shuffle
+
+    DAY = 86_400_000_000
+    _NULL = "\x00NULLTY"
+
+    _E = pa.table({"day": pa.array([], pa.int64()),
+                   "ty": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, DAY)
+        ty = pd.Series(t2.column("event_type").to_pylist(),
+                       dtype=object)
+        keyed = ty.where(ty.isna(), "T" + ty).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        g = (pd.DataFrame({"day": day, "tc": codes})
+             .groupby(["day", "tc"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "day": pa.array(g["day"].to_numpy(np.int64)),
+            "ty": pa.array([uniq[i] for i in g["tc"]], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (np.abs(g["day"].to_numpy(np.int64)) % P))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"day": pd.Series(dtype="int64"),
+                                 "ty": pd.Series(dtype="object"),
+                                 "c": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["ty"],
+                                        use_na_sentinel=False)
+        g = (pd.DataFrame({"day": df["day"], "tc": codes,
+                           "c": df["c"]})
+             .groupby(["day", "tc"], sort=False, as_index=False)
+             ["c"].sum())
+        g["ty"] = [uniq[i] for i in g["tc"]]
+        return g[["day", "ty", "c"]]
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"day": pd.Series(dtype="int64"),
+            "smin": pd.Series(dtype="int64"),
+            "smax": pd.Series(dtype="int64"),
+            "jaccard": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["ty"], use_na_sentinel=False)
+    days = np.sort(df["day"].unique())
+    didx = {int(d): i for i, d in enumerate(days)}
+    M = np.zeros((len(days), len(uniq)), np.int64)
+    np.add.at(M, (df["day"].map(didx).to_numpy(np.int64), codes),
+              df["c"].to_numpy(np.int64))
+    if len(days) < 2:
+        return pd.DataFrame(cols)
+    adj = days[1:] == days[:-1] + 1
+    smin = np.minimum(M[1:], M[:-1]).sum(axis=1)[adj]
+    tot = M.sum(axis=1)
+    smax = (tot[1:] + tot[:-1])[adj] - smin
+    return pd.DataFrame({
+        "day": days[1:][adj],
+        "smin": smin,
+        "smax": smax,
+        "jaccard": round_away(
+            smin.astype(np.float64) / smax, 6)})
