@@ -460,6 +460,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q301_heaps_law": textops.q_heaps_law,
         "q302_near_amount_pairs": analytics.q_near_amount_pairs,
         "q303_daily_mix_jaccard": analytics.q_daily_mix_jaccard,
+        "q304_ship_lag_percentiles": analytics.q_ship_lag_percentiles,
+        "q305_late_rate_wilson": analytics.q_late_rate_wilson,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3613,6 +3615,57 @@ def oracle_sql() -> dict[str, str]:
                          / (p.tot_a + p.tot_b
                             - coalesce(m.smin, 0)), 6) AS jaccard
             FROM p LEFT JOIN m ON p.day = m.day ORDER BY p.day
+        """,
+        "q304_ship_lag_percentiles": """
+            WITH j AS (
+                SELECT CAST(epoch_us(date_trunc('month',
+                                                o_orderdate))
+                            // 86400000000 AS BIGINT) AS month,
+                       (epoch_us(date_trunc('day', l_shipdate))
+                            // 86400000000
+                        - epoch_us(date_trunc('day', o_orderdate))
+                            // 86400000000) AS lag
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderdate IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                  AND o_orderkey IS NOT NULL)
+            SELECT month, count(*)::BIGINT AS n,
+                   quantile_disc(lag, 0.5)::BIGINT AS p50,
+                   quantile_disc(lag, 0.9)::BIGINT AS p90
+            FROM j GROUP BY month ORDER BY month
+        """,
+        "q305_late_rate_wilson": """
+            WITH j AS (
+                SELECT CAST(epoch_us(date_trunc('month',
+                                                o_orderdate))
+                            // 86400000000 AS BIGINT) AS month,
+                       (epoch_us(date_trunc('day', l_shipdate))
+                            // 86400000000
+                        - epoch_us(date_trunc('day', o_orderdate))
+                            // 86400000000) AS lag
+                FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                WHERE o_orderdate IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                  AND o_orderkey IS NOT NULL),
+            t AS (SELECT month, count(*)::BIGINT AS n,
+                         (count(*) FILTER (WHERE lag > 1095))::BIGINT
+                             AS k
+                  FROM j GROUP BY month)
+            SELECT month, n, k AS n_late,
+                   round(k::DOUBLE / n, 6) AS late_rate,
+                   round((k::DOUBLE / n + 1.96 * 1.96 / (2.0 * n)
+                          - 1.96 * sqrt(((k::DOUBLE / n)
+                                         * (1.0 - (k::DOUBLE / n))
+                                         + 1.96 * 1.96 / (4.0 * n))
+                                        / n))
+                         / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_lo,
+                   round((k::DOUBLE / n + 1.96 * 1.96 / (2.0 * n)
+                          + 1.96 * sqrt(((k::DOUBLE / n)
+                                         * (1.0 - (k::DOUBLE / n))
+                                         + 1.96 * 1.96 / (4.0 * n))
+                                        / n))
+                         / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
+            FROM t ORDER BY month
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

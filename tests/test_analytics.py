@@ -1927,3 +1927,56 @@ def test_daily_mix_jaccard_hand_example(ray_session, tmp_path):
     assert out["smin"].tolist() == [1]
     assert out["smax"].tolist() == [4]
     assert out["jaccard"].tolist() == [0.25]
+
+
+def test_ship_lag_percentiles_disc_rule(ray_session, tmp_path):
+    """q304: lags 10,20,30,40 in one month → p50 = ceil(.5·4)−1 =
+    index 1 → 20; p90 = index ⌈3.6⌉−1 = 3 → 40; join fans out per
+    lineitem row."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_ship_lag_percentiles)
+
+    DAY = 86_400_000_000
+    od = pd.Timestamp("2024-03-05").value // 1000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array([od], pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_shipdate": pa.array([od + 10 * DAY, od + 20 * DAY,
+                                od + 30 * DAY, od + 40 * DAY],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_ship_lag_percentiles(str(tmp_path))
+    m0 = int(pd.Timestamp("2024-03-01").value // 1000 // DAY)
+    assert out["month"].tolist() == [m0]
+    assert out["n"].tolist() == [4]
+    assert out["p50"].tolist() == [20]
+    assert out["p90"].tolist() == [40]
+
+
+def test_late_rate_wilson_bounds(ray_session, tmp_path):
+    """q305: 1 late of 4 → rate .25, Wilson 95% ≈ [.0456, .6994] —
+    and the interval brackets the rate."""
+    from web_scrapper_ray.pipelines.analytics import q_late_rate_wilson
+
+    DAY = 86_400_000_000
+    od = pd.Timestamp("2024-03-05").value // 1000
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array([1], pa.int64()),
+        "o_orderdate": pa.array([od], pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 1, 1], pa.int64()),
+        "l_shipdate": pa.array([od + 10 * DAY, od + 20 * DAY,
+                                od + 30 * DAY, od + 2000 * DAY],
+                               pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_late_rate_wilson(str(tmp_path))
+    assert out["n"].tolist() == [4]
+    assert out["n_late"].tolist() == [1]
+    assert out["late_rate"].tolist() == [0.25]
+    lo, hi = out["wilson_lo"][0], out["wilson_hi"][0]
+    assert 0.04 < lo < 0.05 and 0.69 < hi < 0.71
+    assert lo < 0.25 < hi

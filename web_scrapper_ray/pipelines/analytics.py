@@ -11431,3 +11431,182 @@ def q_daily_mix_jaccard(sf_dir: str, P: int = 16) -> pd.DataFrame:
         "smax": smax,
         "jaccard": round_away(
             smin.astype(np.float64) / smax, 6)})
+
+
+def _month_lag_counts(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Shared exchange of the ship-lag family (q304/q305): order→ship
+    lag in whole days, counted per order MONTH. One orderkey-bucketed
+    side-tagged exchange joins orders(orderkey, orderdate) to
+    lineitem(orderkey, shipdate) — pandas merge inside each bucket
+    reproduces SQL's inner-join fan-out under duplicate keys — and
+    emits (month, lag, count) partials; the driver folds the
+    months × distinct-lags counts table (the module's
+    counts-per-distinct contract, q195's scale).
+    Months come from calendar truncation (numpy datetime64[M] —
+    pre-1970-correct, labeled as the month start's epoch day). NULL
+    keys/dates drop on both sides."""
+    DAY = 86_400_000_000
+
+    _E = pa.table({"okey": pa.array([], pa.int64()),
+                   "side": pa.array([], pa.int8()),
+                   "d": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split_orders(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("o_orderkey")),
+                             pc.is_valid(t.column("o_orderdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        k = t2.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"okey": pa.array(k),
+                         "side": pa.array(
+                             np.zeros(len(k), np.int8), pa.int8()),
+                         "d": pa.array(np.floor_divide(us, DAY)),
+                         "bucket": pa.array((k % P).astype(np.int64))})
+
+    def split_lines(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_orderkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("l_orderkey")),
+                             pc.is_valid(t.column("l_shipdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        k = t2.column("l_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({"okey": pa.array(k),
+                         "side": pa.array(
+                             np.ones(len(k), np.int8), pa.int8()),
+                         "d": pa.array(np.floor_divide(us, DAY)),
+                         "bucket": pa.array((k % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        cols = {"month": pd.Series(dtype="int64"),
+                "lag": pd.Series(dtype="int64"),
+                "c": pd.Series(dtype="int64")}
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        o = df[df["side"] == 0][["okey", "d"]]
+        li = df[df["side"] == 1][["okey", "d"]]
+        if not len(o) or not len(li):
+            return pd.DataFrame(cols)
+        j = li.merge(o, on="okey", suffixes=("_s", "_o"))
+        if not len(j):
+            return pd.DataFrame(cols)
+        od = j["d_o"].to_numpy(np.int64)
+        month = (od.astype("datetime64[D]").astype("datetime64[M]")
+                 .astype("datetime64[D]").astype(np.int64))
+        lag = j["d_s"].to_numpy(np.int64) - od
+        g = (pd.DataFrame({"month": month, "lag": lag})
+             .groupby(["month", "lag"], sort=False).size()
+             .reset_index(name="c"))
+        return g
+
+    o_refs = [(r, ()) for r in _read(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_orderdate"]).to_arrow_refs()]
+    l_refs = [(r, ()) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_shipdate"]).to_arrow_refs()]
+    from .pairs import hash_shuffle
+
+    def split(t: pa.Table, which: int) -> pa.Table:
+        return split_orders(t) if which == 0 else split_lines(t)
+
+    parts = [p for p in hash_shuffle(
+        [(r, (0,)) for r, _ in o_refs] + [(r, (1,)) for r, _ in l_refs],
+        split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"month": pd.Series(dtype="int64"),
+                             "lag": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .groupby(["month", "lag"], as_index=False)["c"].sum()
+            .sort_values(["month", "lag"]).reset_index(drop=True))
+
+
+def q_ship_lag_percentiles(sf_dir: str) -> pd.DataFrame:
+    """Monthly order→ship lag p50/p90 — the fulfillment-SLA report:
+    exact discrete quantiles per order month over the joined
+    orders⋈lineitem lag distribution. The lag domain is small ints,
+    so the counts-per-(month, lag) exchange (``_month_lag_counts``)
+    makes each month's quantile a cumsum lookup with DuckDB's
+    quantile_disc rank rule index = ceil(p·n)−1 (probed, q99/q274) —
+    no per-group sort, no row materialization."""
+    g = _month_lag_counts(sf_dir)
+    cols = {"month": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "p50": pd.Series(dtype="int64"),
+            "p90": pd.Series(dtype="int64")}
+    if not len(g):
+        return pd.DataFrame(cols)
+    out_m, out_n, p50, p90 = [], [], [], []
+    for m, sub in g.groupby("month", sort=True):
+        lag = sub["lag"].to_numpy(np.int64)      # sorted within month
+        c = sub["c"].to_numpy(np.int64)
+        cum = np.cumsum(c)
+        n = int(cum[-1])
+        out_m.append(int(m))
+        out_n.append(n)
+        for p, acc in ((0.5, p50), (0.9, p90)):
+            idx = int(np.ceil(p * n)) - 1        # quantile_disc rule
+            acc.append(int(lag[np.searchsorted(cum, idx,
+                                               side="right")]))
+    return pd.DataFrame({"month": pd.array(out_m, "int64"),
+                         "n": pd.array(out_n, "int64"),
+                         "p50": pd.array(p50, "int64"),
+                         "p90": pd.array(p90, "int64")})
+
+
+def q_late_rate_wilson(sf_dir: str,
+                       late_days: int = 1095) -> pd.DataFrame:
+    """Monthly late-shipment rate with a 95% Wilson score interval —
+    the uncertainty-aware SLA metric (a 3-shipment month's 33% late
+    rate should not outrank a 3000-shipment month's 5%): late = lag >
+    3 years (this corpus's ship lags are ~1000 days); k, n are exact
+    ints from the shared (month, lag) counts
+    and the Wilson bounds apply the z = 1.96 literal formula in the
+    oracle's exact op order, so every float is bit-identical."""
+    g = _month_lag_counts(sf_dir)
+    cols = {"month": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "n_late": pd.Series(dtype="int64"),
+            "late_rate": pd.Series(dtype="float64"),
+            "wilson_lo": pd.Series(dtype="float64"),
+            "wilson_hi": pd.Series(dtype="float64")}
+    if not len(g):
+        return pd.DataFrame(cols)
+    tot = g.groupby("month", sort=True)["c"].sum()
+    late = (g[g["lag"] > late_days]
+            .groupby("month", sort=True)["c"].sum()
+            .reindex(tot.index, fill_value=0))
+    t = pd.DataFrame({"month": tot.index.to_numpy(np.int64),
+                      "n": tot.to_numpy(np.int64),
+                      "k": late.to_numpy(np.int64)})
+    n = t["n"].to_numpy(np.int64).astype(np.float64)
+    k = t["k"].to_numpy(np.int64).astype(np.float64)
+    ph = k / n
+    z = 1.96
+    lo = ((ph + z * z / (2.0 * n)
+           - z * np.sqrt((ph * (1.0 - ph) + z * z / (4.0 * n)) / n))
+          / (1.0 + z * z / n))
+    hi = ((ph + z * z / (2.0 * n)
+           + z * np.sqrt((ph * (1.0 - ph) + z * z / (4.0 * n)) / n))
+          / (1.0 + z * z / n))
+    return pd.DataFrame({
+        "month": t["month"].to_numpy(np.int64),
+        "n": t["n"].to_numpy(np.int64),
+        "n_late": t["k"].to_numpy(np.int64),
+        "late_rate": round_away(ph, 6),
+        "wilson_lo": round_away(lo, 6),
+        "wilson_hi": round_away(hi, 6)})
