@@ -462,6 +462,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q303_daily_mix_jaccard": analytics.q_daily_mix_jaccard,
         "q304_ship_lag_percentiles": analytics.q_ship_lag_percentiles,
         "q305_late_rate_wilson": analytics.q_late_rate_wilson,
+        "q307_shuffle_quality": textops.q_shuffle_quality,
+        # 1-bit sign-quantization Hamming recall (data-dependent
+        # approximate index eval, no SQL twin) — planted sign-
+        # separable-cluster pytest pins perfect recall
+        "q306_binary_hash_recall": similarity.q_binary_hash_recall,
         # approximate-index eval (recall vs exact ground truth) — no
         # SQL twin by design; recall floor pinned by pytest
         "q231_ann_recall_eval": similarity.q_ann_recall_eval,
@@ -3666,6 +3671,36 @@ def oracle_sql() -> dict[str, str]:
                                         / n))
                          / (1.0 + 1.96 * 1.96 / n), 6) AS wilson_hi
             FROM t ORDER BY month
+        """,
+        "q307_shuffle_quality": """
+            WITH d AS (
+                SELECT doc_id, source,
+                       md5(CAST(doc_id AS VARCHAR)) AS h
+                FROM documents WHERE doc_id IS NOT NULL),
+            a AS (SELECT source,
+                         lag(source) OVER (ORDER BY doc_id) AS prev,
+                         row_number() OVER (ORDER BY doc_id) AS rn
+                  FROM d),
+            b AS (SELECT source,
+                         lag(source) OVER (ORDER BY h, doc_id)
+                             AS prev,
+                         row_number() OVER (ORDER BY h, doc_id)
+                             AS rn
+                  FROM d),
+            t AS (SELECT
+                (SELECT count(*) FROM d)::BIGINT AS n,
+                (SELECT count(*) FILTER (WHERE rn > 1
+                     AND source IS NOT DISTINCT FROM prev)
+                 FROM a)::BIGINT AS same_adj_seq,
+                (SELECT count(*) FILTER (WHERE rn > 1
+                     AND source IS NOT DISTINCT FROM prev)
+                 FROM b)::BIGINT AS same_adj_shuf)
+            SELECT n, same_adj_seq, same_adj_shuf,
+                   round(same_adj_seq::DOUBLE
+                         / greatest(n - 1, 1), 6) AS rate_seq,
+                   round(same_adj_shuf::DOUBLE
+                         / greatest(n - 1, 1), 6) AS rate_shuf
+            FROM t
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -1980,3 +1980,26 @@ def test_late_rate_wilson_bounds(ray_session, tmp_path):
     lo, hi = out["wilson_lo"][0], out["wilson_hi"][0]
     assert 0.04 < lo < 0.05 and 0.69 < hi < 0.71
     assert lo < 0.25 < hi
+
+
+def test_shuffle_quality_hand_example(ray_session, tmp_path):
+    """q307: ingest order aaab has 2 same-source adjacencies; the md5
+    order's count matches a direct recomputation; NULL sources
+    compare NULL-equals-NULL."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.textops import q_shuffle_quality
+
+    srcs = ["a", "a", "a", "b", None, None]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "source": pa.array(srcs),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_shuffle_quality(str(tmp_path))
+    assert out["n"].tolist() == [6]
+    assert out["same_adj_seq"].tolist() == [3]   # aa, aa, NULL-NULL
+    order = sorted(range(6), key=lambda i: (
+        hashlib.md5(str(i).encode()).hexdigest(), i))
+    exp = sum(1 for x, y in zip(order, order[1:])
+              if srcs[x] == srcs[y])
+    assert out["same_adj_shuf"].tolist() == [exp]

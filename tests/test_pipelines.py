@@ -2664,3 +2664,37 @@ def test_ndcg_eval_hand_example(ray_session, tmp_path):
     assert out["rel"].tolist() == [1, 0, 1]
     assert out["gain"].tolist() == [1.0, 0.0, 0.5]
     assert out["running_dcg"].tolist() == [1.0, 1.0, 1.5]
+
+
+def test_binary_hash_recall_sign_separable(ray_session, tmp_path):
+    """q306: clusters in disjoint orthants — sign codes separate them
+    perfectly, so Hamming retrieval reproduces the exact top-k."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import (
+        q_binary_hash_recall)
+
+    rng = np.random.default_rng(7)
+    dim = 16
+    vecs, ids = [], []
+    # exactly k non-probe members per cluster: the exact top-k and
+    # the Hamming top-k must then retrieve the SAME set (all other
+    # candidates live in a different orthant)
+    for c in range(4):
+        sign = np.where(rng.standard_normal(dim) > 0, 1.0, -1.0)
+        for i in range(6):
+            vecs.append((sign * (1.0 + 0.05 * rng.random(dim)))
+                        .astype(np.float32).tolist())
+            ids.append(c * 6 + i)
+    pq.write_table(pa.table({
+        "vec_id": pa.array(ids, pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([i // 6 for i in ids], pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_binary_hash_recall(str(tmp_path), query_ids=(0, 6, 12),
+                               k=5)
+    assert out["n_probes"].tolist() == [3]
+    assert out["mean_recall"].tolist() == [1.0]
+    assert out["mean_hamming"].tolist() == [0.0]

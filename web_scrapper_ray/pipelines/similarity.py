@@ -2174,3 +2174,77 @@ def q_ndcg_eval(sf_dir: str, query_ids: tuple = (0, 1, 2, 3, 4, 5, 6,
         "rel": rel.astype(np.int64),
         "gain": round_away(gain, 6),
         "running_dcg": round_away(dcg, 6)}).reset_index(drop=True)
+
+
+def q_binary_hash_recall(sf_dir: str,
+                         query_ids: tuple = tuple(range(8)),
+                         k: int = 10) -> pd.DataFrame:
+    """1-bit (sign) quantization eval — the most aggressive embedding
+    compression in production use (32× smaller, Hamming-rankable with
+    XOR+popcount): quantize every vector to its coordinate sign bits,
+    rank candidates by Hamming distance to each probe's code (ties by
+    id), and report recall@k against the exact cosine top-k (q24
+    ground truth) plus the retrieved set's mean Hamming distance.
+    Per-batch work is vectorized byte ops against the broadcast query
+    codes (``np.packbits`` once per batch, XOR + POP-table popcount),
+    local top-k partials only — the 8-byte-per-vector code path is
+    exactly what scales to 10¹⁰ rows. Data-dependent by design → no
+    SQL twin; the planted pytest pins perfect recall on sign-separable
+    clusters."""
+    import ray
+
+    POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.int64)
+
+    qids, qmat = _query_matrix(sf_dir, query_ids)
+    empty = pd.DataFrame({"n_probes": pd.Series(dtype="int64"),
+                          "mean_recall": pd.Series(dtype="float64"),
+                          "mean_hamming": pd.Series(dtype="float64")})
+    if len(qids) == 0:
+        return empty
+    qcodes = np.packbits(qmat > 0, axis=1)
+    qref = ray.put((qids, qcodes))
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        qids_, qcodes_ = ray.get(qref)
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "ham": pa.array([], pa.int64())})
+        codes = np.packbits(mat > 0, axis=1)
+        out_q, out_n, out_h = [], [], []
+        kk = min(k + 1, len(ids))
+        for j, q in enumerate(qids_):
+            ham = POP[codes ^ qcodes_[j][None, :]].sum(axis=1)
+            order = np.lexsort((ids, ham))[:kk]
+            for i in order:
+                out_q.append(int(q))
+                out_n.append(int(ids[i]))
+                out_h.append(int(ham[i]))
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "ham": pa.array(out_h, pa.int64())})
+
+    partials = _emb(sf_dir).map_batches(
+        local_topk, batch_format="pyarrow").to_pandas()
+    partials = partials[partials["query_id"]
+                        != partials["neighbor_id"]]
+    if not len(partials):
+        return empty
+    partials = partials.sort_values(
+        ["query_id", "ham", "neighbor_id"])
+    top = partials.groupby("query_id", as_index=False).head(k)
+
+    truth = q_knn_bruteforce(sf_dir, query_ids=query_ids, k=k)
+    gt = {q: set(g["neighbor_id"]) for q, g in
+          truth.groupby("query_id", sort=True)}
+    got = {q: set(g["neighbor_id"]) for q, g in
+           top.groupby("query_id", sort=True)}
+    recalls = [len(got.get(q, set()) & s) / max(len(s), 1)
+               for q, s in sorted(gt.items())]
+    return pd.DataFrame({
+        "n_probes": pd.array([len(recalls)], "int64"),
+        "mean_recall": np.round([float(np.mean(recalls))], 6),
+        "mean_hamming": np.round(
+            [float(top["ham"].mean())], 6)})

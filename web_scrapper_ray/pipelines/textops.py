@@ -3655,3 +3655,119 @@ def q_heaps_law(sf_dir: str) -> pd.DataFrame:
         "checkpoint": pd.array(list(CP), "int64"),
         "n_tokens": pd.array(toks.tolist(), "int64"),
         "n_types": pd.array(types.tolist(), "int64")})
+
+
+def q_shuffle_quality(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Shuffle-quality eval — before training, verify the shuffled
+    data order actually decorrelates source runs: the share of
+    ADJACENT pairs sharing a source, in ingest order (by doc_id)
+    versus after the deterministic md5(doc_id) shuffle (q244's coin).
+    Adjacency is inherently sequential, but a global sort is not
+    needed: both orders use an ORDER-PRESERVING RANGE exchange —
+    doc_id ranges from a min/max pre-pass, md5 order by its first
+    byte (uniform by construction) — so each bucket sorts locally,
+    counts its within-bucket adjacent matches, and returns (count,
+    n, first-source, last-source); the driver chains the P bucket
+    boundaries in range order. Source NULLs compare SQL-style (NULL
+    IS NOT DISTINCT FROM NULL) on NUL-safe codes. Exact ints; one
+    division per rate. NULL doc_id rows are out of contract."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"k1": pa.array([], pa.int64()),
+                   "k2": pa.array([], pa.int64()),
+                   "src": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    # pre-pass: doc_id min/max for the range split (tiny driver fold)
+    def mm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        v = t.filter(pc.is_valid(t.column("doc_id"))).column("doc_id")
+        if len(v) == 0:
+            return pa.table({"lo": pa.array([], pa.int64()),
+                             "hi": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([pc.min(v).as_py()],
+                                        pa.int64()),
+                         "hi": pa.array([pc.max(v).as_py()],
+                                        pa.int64())})
+
+    mmf = ds.map_batches(mm, batch_format="pyarrow").to_pandas()
+    cols = {"n": pd.Series(dtype="int64"),
+            "same_adj_seq": pd.Series(dtype="int64"),
+            "same_adj_shuf": pd.Series(dtype="int64"),
+            "rate_seq": pd.Series(dtype="float64"),
+            "rate_shuf": pd.Series(dtype="float64")}
+    if not len(mmf):
+        return pd.DataFrame(cols)
+    lo, hi = int(mmf["lo"].min()), int(mmf["hi"].max())
+    span = max(hi - lo + 1, 1)
+
+    def split(t: pa.Table, mode: str) -> pa.Table:
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("doc_id")))
+        if t2.num_rows == 0:
+            return _E
+        ids = t2.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        src = pd.Series(t2.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        if mode == "seq":
+            k1, k2 = ids, ids
+            b = (ids - lo) * P // span           # ordered ranges
+        else:
+            h = np.array([int(hashlib.md5(str(i).encode())
+                              .hexdigest()[:13], 16) for i in ids],
+                         np.int64)
+            k1, k2 = h, ids                      # (md5, id) order
+            b = h * P >> 52                      # top bits = range
+        return pa.table({"k1": pa.array(k1), "k2": pa.array(k2),
+                         "src": pa.array(list(keyed), pa.string()),
+                         "bucket": pa.array(b.astype(np.int64))})
+
+    def merge(*tabs) -> tuple:
+        live = [x for x in tabs if x.num_rows]
+        if not live:
+            return (-1, 0, 0, None, None)
+        bid = int(live[0].column("bucket")[0].as_py())
+        t = pa.concat_tables(
+            [x.drop_columns(["bucket"]) for x in live]).to_pandas()
+        t = t.sort_values(["k1", "k2"]).reset_index(drop=True)
+        codes, _ = factorize_strings(t["src"], use_na_sentinel=False)
+        same = int((codes[1:] == codes[:-1]).sum())
+        return (bid, len(t), same, t["src"].iloc[0],
+                t["src"].iloc[-1])
+
+    def chain(parts) -> tuple:
+        parts = sorted([p for p in parts if p[0] >= 0])
+        n = sum(p[1] for p in parts)
+        same = sum(p[2] for p in parts)
+        for a, b in zip(parts[:-1], parts[1:]):
+            if a[4] == b[3]:                    # boundary pair
+                same += 1
+        return n, same
+
+    refs = ds.to_arrow_refs()
+    n, same_seq = chain(hash_shuffle(
+        [(r, ("seq",)) for r in refs], split, merge, P=P))
+    n2, same_sh = chain(hash_shuffle(
+        [(r, ("shuf",)) for r in refs], split, merge, P=P))
+    if n == 0:
+        return pd.DataFrame(cols)
+    pairs = max(n - 1, 1)
+    return pd.DataFrame({
+        "n": pd.array([n], "int64"),
+        "same_adj_seq": pd.array([same_seq], "int64"),
+        "same_adj_shuf": pd.array([same_sh], "int64"),
+        "rate_seq": round_away(
+            np.array([same_seq / pairs], np.float64), 6),
+        "rate_shuf": round_away(
+            np.array([same_sh / pairs], np.float64), 6)})
