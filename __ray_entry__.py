@@ -463,6 +463,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q304_ship_lag_percentiles": analytics.q_ship_lag_percentiles,
         "q305_late_rate_wilson": analytics.q_late_rate_wilson,
         "q307_shuffle_quality": textops.q_shuffle_quality,
+        "q309_pk_dup_audit": analytics.q_pk_dup_audit,
+        # Markov removal-effect attribution (absorbing-chain linear
+        # solves on the journey graph — no SQL twin); hand-example
+        # pytest pins the closed-form effects
+        "q308_markov_attribution": analytics.q_markov_attribution,
         # 1-bit sign-quantization Hamming recall (data-dependent
         # approximate index eval, no SQL twin) — planted sign-
         # separable-cluster pytest pins perfect recall
@@ -3701,6 +3706,35 @@ def oracle_sql() -> dict[str, str]:
                    round(same_adj_shuf::DOUBLE
                          / greatest(n - 1, 1), 6) AS rate_shuf
             FROM t
+        """,
+        "q309_pk_dup_audit": """
+            WITH a AS (
+                SELECT 'customer' AS tbl, count(*)::BIGINT AS n_rows,
+                       count(c_custkey)::BIGINT AS nn,
+                       count(DISTINCT c_custkey)::BIGINT AS n_keys
+                FROM customer
+                UNION ALL
+                SELECT 'events', count(*), count(event_id),
+                       count(DISTINCT event_id) FROM events
+                UNION ALL
+                SELECT 'nation', count(*), count(n_nationkey),
+                       count(DISTINCT n_nationkey) FROM nation
+                UNION ALL
+                SELECT 'orders', count(*), count(o_orderkey),
+                       count(DISTINCT o_orderkey) FROM orders
+                UNION ALL
+                SELECT 'part', count(*), count(p_partkey),
+                       count(DISTINCT p_partkey) FROM part
+                UNION ALL
+                SELECT 'region', count(*), count(r_regionkey),
+                       count(DISTINCT r_regionkey) FROM region
+                UNION ALL
+                SELECT 'supplier', count(*), count(s_suppkey),
+                       count(DISTINCT s_suppkey) FROM supplier)
+            SELECT tbl, n_rows, n_keys,
+                   (n_rows - nn)::BIGINT AS n_null_keys,
+                   (nn - n_keys)::BIGINT AS n_dup_rows
+            FROM a ORDER BY tbl
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2003,3 +2003,54 @@ def test_shuffle_quality_hand_example(ray_session, tmp_path):
     exp = sum(1 for x, y in zip(order, order[1:])
               if srcs[x] == srcs[y])
     assert out["same_adj_shuf"].tolist() == [exp]
+
+
+def test_markov_attribution_closed_form(ray_session, tmp_path):
+    """q308: journeys [A,purchase], [B], [A,B,purchase] → p_conv =
+    2/3, removal effects A = 3/4, B = 1/2, shares 0.6 / 0.4 (hand
+    absorbing-chain solve)."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_markov_attribution)
+
+    rows = [(1, 0, "A"), (1, 1, "purchase"),
+            (2, 0, "B"),
+            (3, 0, "A"), (3, 1, "B"), (3, 2, "purchase")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_markov_attribution(str(tmp_path))
+    got = {r.channel: r for r in out.itertuples(index=False)}
+    assert set(got) == {"A", "B"}
+    assert got["A"].p_conv == round(2 / 3, 6)
+    assert got["A"].removal_effect == 0.75
+    assert got["B"].removal_effect == 0.5
+    assert got["A"].attribution == 0.6
+    assert got["B"].attribution == 0.4
+
+
+def test_pk_dup_audit_counts(ray_session, tmp_path):
+    """q309: planted dup key + NULL key are counted per table; clean
+    tables report zeros."""
+    from web_scrapper_ray.pipelines.analytics import q_pk_dup_audit
+
+    pq.write_table(pa.table({"c_custkey": pa.array(
+        [1, 2, 2, None], pa.int64())}),
+        str(tmp_path / "customer.parquet"))
+    for tbl, col in (("events", "event_id"),
+                     ("nation", "n_nationkey"),
+                     ("orders", "o_orderkey"), ("part", "p_partkey"),
+                     ("region", "r_regionkey"),
+                     ("supplier", "s_suppkey")):
+        pq.write_table(pa.table({col: pa.array([1, 2], pa.int64())}),
+                       str(tmp_path / f"{tbl}.parquet"))
+    out = q_pk_dup_audit(str(tmp_path))
+    cust = out[out["tbl"] == "customer"].iloc[0]
+    assert (cust["n_rows"], cust["n_keys"], cust["n_null_keys"],
+            cust["n_dup_rows"]) == (4, 2, 1, 1)
+    rest = out[out["tbl"] != "customer"]
+    assert (rest["n_dup_rows"] == 0).all()
+    assert (rest["n_null_keys"] == 0).all()

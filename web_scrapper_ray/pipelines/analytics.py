@@ -11610,3 +11610,234 @@ def q_late_rate_wilson(sf_dir: str,
         "late_rate": round_away(ph, 6),
         "wilson_lo": round_away(lo, 6),
         "wilson_hi": round_away(hi, 6)})
+
+
+def q_markov_attribution(sf_dir: str) -> pd.DataFrame:
+    """First-order Markov REMOVAL-EFFECT attribution — the standard
+    data-driven alternative to last-touch (q182): model user journeys
+    as START → event types → absorption at the first 'purchase'
+    (CONV) or at journey end (END), and credit each channel c by how
+    much the conversion probability drops when c is removed
+    (transitions into c die): effect(c) = 1 − P(conv | drop c) /
+    P(conv), normalized to attribution shares. The wide work is one
+    user-keyed exchange (q116's sort-once shifted-compare layout,
+    truncated at each user's first purchase, vectorized per bucket —
+    no per-user loop); buckets emit (src, dst, n) counts so the
+    driver solves the (channels+1)-state absorption system — a
+    types-sized linear solve, like q259's power iteration. Types are
+    prefix-sentinel-coded (full-byte NUL safety). Iterative linear
+    algebra on journey graphs has no SQL twin; the hand-example
+    pytest pins the closed-form removal effects. NULL user/ts/type
+    rows are out of contract."""
+    from .pairs import factorize_strings, hash_shuffle
+
+    B = 64
+    START, CONV, END = "\x00START", "\x00CONV", "\x00END"
+    TARGET = "purchase"
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "dst": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(pc.fill_null(t2.column("event_id"),
+                                             _IMAX), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t2.column("event_type"),
+                                  pa.string()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"src": pd.Series(dtype="object"),
+                "dst": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="stable").reset_index(drop=True)
+        u = df["user_id"].to_numpy(np.int64)
+        ty = df["event_type"].to_numpy(object)
+        isp = np.array([x == TARGET for x in ty], bool)
+        n = len(u)
+        first = np.zeros(n, bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        fidx = np.flatnonzero(first)
+        cp = np.cumsum(isp)
+        base = np.repeat(cp[fidx] - isp[fidx],
+                         np.diff(np.append(fidx, n)))
+        purch_incl = cp - base          # purchases up to i inclusive
+        srcs, dsts = [], []
+        # START -> first event (or CONV when the journey opens with
+        # the purchase)
+        for f in fidx:
+            srcs.append(START)
+            dsts.append(CONV if isp[f] else "T" + ty[f])
+        # consecutive transitions until the first purchase
+        same = np.zeros(n - 1, bool) if n > 1 else np.zeros(0, bool)
+        if n > 1:
+            same = (u[1:] == u[:-1]) & (purch_incl[:-1] == 0)
+        for i in np.flatnonzero(same):
+            srcs.append("T" + ty[i])
+            dsts.append(CONV if isp[i + 1] else "T" + ty[i + 1])
+        # unconverted journeys end at END
+        lidx = np.append(fidx[1:] - 1, n - 1)
+        tot_p = cp[lidx] - (cp[fidx] - isp[fidx])
+        for li in lidx[tot_p == 0]:
+            srcs.append("T" + ty[li])
+            dsts.append(END)
+        g = (pd.DataFrame({"src": srcs, "dst": dsts})
+             .groupby(["src", "dst"], sort=False).size()
+             .reset_index(name="n"))
+        return g
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"channel": pd.Series(dtype="object"),
+            "removal_effect": pd.Series(dtype="float64"),
+            "attribution": pd.Series(dtype="float64"),
+            "p_conv": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    tm = pd.concat(parts, ignore_index=True)
+    codes, _ = factorize_strings(
+        pd.concat([tm["src"], tm["dst"]], ignore_index=True))
+    tm = (tm.assign(sc=codes[:len(tm)], dc=codes[len(tm):])
+          .groupby(["sc", "dc"], as_index=False)
+          .agg(src=("src", "first"), dst=("dst", "first"),
+               n=("n", "sum")))
+    states = sorted({*tm["src"], *tm["dst"]})
+    idx = {s: i for i, s in enumerate(states)}
+    k = len(states)
+    M = np.zeros((k, k), np.float64)
+    M[[idx[s] for s in tm["src"]],
+      [idx[d] for d in tm["dst"]]] = tm["n"].to_numpy(np.float64)
+    row = M.sum(axis=1)
+    conv_i = idx.get(CONV)
+    if conv_i is None or START not in idx:
+        return pd.DataFrame(cols)
+
+    def p_conv(drop: int | None) -> float:
+        # transient states: everything with outgoing mass except
+        # CONV/END (absorbing) and the dropped channel
+        trans = [i for i in range(k)
+                 if row[i] > 0 and i != conv_i and i != drop]
+        if idx[START] not in trans:
+            return 0.0
+        pos = {s: j for j, s in enumerate(trans)}
+        Q = np.zeros((len(trans), len(trans)))
+        r = np.zeros(len(trans))
+        for s in trans:
+            W = M[s] / row[s]
+            r[pos[s]] = W[conv_i]
+            for d in trans:
+                Q[pos[s], pos[d]] = W[d]
+        p = np.linalg.solve(np.eye(len(trans)) - Q, r)
+        return float(p[pos[idx[START]]])
+
+    full = p_conv(None)
+    chans = [s for s in states if s.startswith("T")]
+    effects = []
+    for c in chans:
+        eff = np.nan if full <= 0 else 1.0 - p_conv(idx[c]) / full
+        effects.append(eff)
+    tot_eff = float(np.nansum(effects))
+    attr = [np.nan if (np.isnan(e) or tot_eff <= 0) else e / tot_eff
+            for e in effects]
+    return pd.DataFrame({
+        "channel": pd.Series([c[1:] for c in chans], dtype=object),
+        "removal_effect": np.round(np.array(effects, np.float64), 6),
+        "attribution": np.round(np.array(attr, np.float64), 6),
+        "p_conv": np.round(np.full(len(chans), full), 6)})
+
+
+def q_pk_dup_audit(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Primary-key integrity audit across every base table — the
+    ingestion-quality twin of q239's FK-orphan audit: per table, the
+    row count, distinct non-NULL key count, NULL-key rows and
+    duplicate rows (rows beyond the first per key — what an upsert
+    would have collapsed). Per-batch (key, count) combiners → one
+    key-hash exchange per table (same key ⇒ same bucket, so bucket
+    distinct-counts are global) → the driver folds P three-int rows
+    per table. Exact ints throughout; fuzz worlds plant duplicate
+    dimension rows so this audit is load-bearing there."""
+    from .pairs import hash_shuffle, mix64
+
+    SPECS = (("customer", "c_custkey"), ("events", "event_id"),
+             ("nation", "n_nationkey"), ("orders", "o_orderkey"),
+             ("part", "p_partkey"), ("region", "r_regionkey"),
+             ("supplier", "s_suppkey"))
+
+    _E = pa.table({"key": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "nulls": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def make_split(col: str):
+        def split(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.schema.names:
+                return _E
+            v = t.column(col)
+            n_null = t.num_rows - len(v.drop_null())
+            k = v.drop_null().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            u, c = np.unique(k, return_counts=True)
+            nulls = np.zeros(len(u), np.int64)
+            if not len(u):          # NULL-only block still reports
+                return pa.table({
+                    "key": pa.array([0], pa.int64()),
+                    "c": pa.array([0], pa.int64()),
+                    "nulls": pa.array([n_null], pa.int64()),
+                    "bucket": pa.array([0], pa.int64())})
+            nulls[0] = n_null       # ride the null count on one row
+            return pa.table({"key": pa.array(u),
+                             "c": pa.array(c.astype(np.int64)),
+                             "nulls": pa.array(nulls),
+                             "bucket": pa.array(
+                                 (mix64(u) & np.uint64(P - 1))
+                                 .astype(np.int64))})
+        return split
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(3, np.int64)
+        df = pa.concat_tables(live).to_pandas()
+        nulls = int(df["nulls"].sum())
+        df = df[df["c"] > 0]
+        if not len(df):
+            return np.array([0, 0, nulls], np.int64)
+        g = df.groupby("key")["c"].sum()
+        return np.array([int(g.sum()), len(g), nulls], np.int64)
+
+    rows = []
+    for tbl, col in SPECS:
+        ds = _read(sf_dir, tbl, columns=[col])
+        tot = sum(hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                               make_split(col), merge, P=P))
+        nn, nk, nnull = (int(x) for x in np.atleast_1d(tot)[:3])
+        rows.append((tbl, nn + nnull, nk, nnull, nn - nk))
+    return pd.DataFrame(rows, columns=["tbl", "n_rows", "n_keys",
+                                       "n_null_keys", "n_dup_rows"]
+                        ).astype({"n_rows": "int64",
+                                  "n_keys": "int64",
+                                  "n_null_keys": "int64",
+                                  "n_dup_rows": "int64"})
