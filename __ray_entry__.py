@@ -464,6 +464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q305_late_rate_wilson": analytics.q_late_rate_wilson,
         "q307_shuffle_quality": textops.q_shuffle_quality,
         "q309_pk_dup_audit": analytics.q_pk_dup_audit,
+        "q310_brand_homophily": graph.q_brand_homophily,
+        "q311_exp_arrival_ks": rankstats.q_exp_arrival_ks,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -3735,6 +3737,77 @@ def oracle_sql() -> dict[str, str]:
                    (n_rows - nn)::BIGINT AS n_null_keys,
                    (nn - n_keys)::BIGINT AS n_dup_rows
             FROM a ORDER BY tbl
+        """,
+        "q310_brand_homophily": """
+            WITH op AS (
+                SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem
+                WHERE l_orderkey IS NOT NULL
+                  AND l_partkey IS NOT NULL),
+            e AS (
+                SELECT DISTINCT a.p AS u, b.p AS v
+                FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+            pd AS (SELECT p_partkey AS k, min(p_brand) AS brand
+                   FROM part WHERE p_partkey IS NOT NULL
+                   GROUP BY p_partkey),
+            eb AS (SELECT pu.brand AS bu, pv.brand AS bv
+                   FROM e LEFT JOIN pd pu ON e.u = pu.k
+                          LEFT JOIN pd pv ON e.v = pv.k),
+            m AS (SELECT count(*)::BIGINT AS m,
+                         (count(*) FILTER (
+                             WHERE bu IS NOT DISTINCT FROM bv))
+                             ::BIGINT AS same
+                  FROM eb),
+            bc AS (SELECT brand, count(*)::BIGINT AS c FROM (
+                       SELECT bu AS brand FROM eb
+                       UNION ALL SELECT bv FROM eb)
+                   GROUP BY brand),
+            sq AS (SELECT sum(c::HUGEINT * c) AS s2 FROM bc)
+            SELECT m.m AS m_edges, m.same AS same_brand,
+                   round(m.same::DOUBLE / m.m, 6) AS obs,
+                   round(CAST(sq.s2 AS DOUBLE)
+                         / CAST(4 * m.m * m.m AS DOUBLE), 6) AS exp,
+                   round((m.same::DOUBLE / m.m
+                          - CAST(sq.s2 AS DOUBLE)
+                            / CAST(4 * m.m * m.m AS DOUBLE))
+                         / (1.0 - CAST(sq.s2 AS DOUBLE)
+                                  / CAST(4 * m.m * m.m AS DOUBLE)),
+                         6) AS homophily
+            FROM m, sq WHERE m.m > 0
+        """,
+        "q311_exp_arrival_ks": """
+            WITH e AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            gp AS (SELECT (lead(us) OVER (
+                       PARTITION BY user_id
+                       ORDER BY us, event_id) - us) AS gap
+                   FROM e),
+            g2 AS (SELECT gap FROM gp WHERE gap IS NOT NULL),
+            c AS (SELECT gap, count(*)::BIGINT AS c FROM g2
+                  GROUP BY gap),
+            t AS (SELECT sum(gap)::HUGEINT AS s,
+                         count(*)::BIGINT AS n FROM g2),
+            w AS (SELECT gap, c,
+                         (sum(c) OVER (ORDER BY gap))::BIGINT AS cum
+                  FROM c),
+            k AS (SELECT
+                max(greatest(
+                    abs(cum::DOUBLE / t.n
+                        - (1.0 - exp(-(gap::DOUBLE
+                                       / (CAST(t.s AS DOUBLE)
+                                          / t.n))))),
+                    abs((cum - c)::DOUBLE / t.n
+                        - (1.0 - exp(-(gap::DOUBLE
+                                       / (CAST(t.s AS DOUBLE)
+                                          / t.n))))))) AS d,
+                max(t.n) AS n,
+                max(CAST(t.s AS DOUBLE) / t.n) AS mean
+                FROM w, t)
+            SELECT n AS n_gaps, round(mean, 6) AS mean_gap_us,
+                   round(d, 6) AS ks_d
+            FROM k WHERE n IS NOT NULL
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

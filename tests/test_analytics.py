@@ -2054,3 +2054,44 @@ def test_pk_dup_audit_counts(ray_session, tmp_path):
     rest = out[out["tbl"] != "customer"]
     assert (rest["n_dup_rows"] == 0).all()
     assert (rest["n_null_keys"] == 0).all()
+
+
+def test_brand_homophily_perfect_sort(ray_session, tmp_path):
+    """q310: baskets never mix brands → obs = 1 and H = 1; a missing
+    part row lands in the NULL-brand group."""
+    from web_scrapper_ray.pipelines.graph import q_brand_homophily
+
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2], pa.int64()),
+        "l_partkey": pa.array([10, 11, 20, 21], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([10, 11, 20, 21], pa.int64()),
+        "p_brand": pa.array(["X", "X", "Y", "Y"]),
+    }), str(tmp_path / "part.parquet"))
+    out = q_brand_homophily(str(tmp_path))
+    assert out["m_edges"].tolist() == [2]
+    assert out["same_brand"].tolist() == [2]
+    assert out["obs"].tolist() == [1.0]
+    assert out["homophily"].tolist() == [1.0]
+
+
+def test_exp_arrival_ks_exact_exponential_grid(ray_session, tmp_path):
+    """q311: gaps all equal → EDF jumps 0→1 at the mean, theory is
+    1−e⁻¹ there, so D = max(1−e⁻¹, ... ) = 1/e-side value — pinned
+    against a direct computation."""
+    import math
+
+    from web_scrapper_ray.pipelines.rankstats import q_exp_arrival_ks
+
+    ts = [0, 1_000_000, 2_000_000, 3_000_000]
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_exp_arrival_ks(str(tmp_path))
+    assert out["n_gaps"].tolist() == [3]
+    assert out["mean_gap_us"].tolist() == [1_000_000.0]
+    f = 1.0 - math.exp(-1.0)
+    assert out["ks_d"].tolist() == [round(max(abs(1.0 - f), f), 6)]

@@ -1316,3 +1316,99 @@ def q_item_cf(sf_dir: str, k: int = 50, P: int = 32) -> pd.DataFrame:
     o = np.lexsort((p2, p1, -sim))[:k]
     return pd.DataFrame({"p1": p1[o], "p2": p2[o],
                          "n": n[o].astype(np.int64), "sim": sim[o]})
+
+
+def q_brand_homophily(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Attribute homophily of the co-order part graph — do baskets
+    mix brands, or do same-brand parts cluster? Coleman-style index
+    H = (obs − exp) / (1 − exp), with obs the share of edges joining
+    same-brand endpoints and exp the chance share under the
+    endpoint-brand distribution, computed from EXACT integers: exp =
+    Σ_b cnt_b² / (2m)², so the float work is two divisions and one
+    ratio in the oracle's literal op order (never a float sum over
+    brands). Edges come from q291's distinct-edge exchange (object
+    store); the brand lookup is the deduplicated part DIMENSION
+    (min-brand per key — fuzz worlds plant duplicate part rows)
+    broadcast once via ``ray.put``; per-bucket tasks return (m,
+    same, brand-count partial) and the driver folds P small rows.
+    Endpoints missing from part (FK orphans) carry a NULL brand,
+    which IS a brand value (NULL-equals-NULL, SQL IS NOT
+    DISTINCT)."""
+    import pyarrow.compute as pc
+
+    import ray
+
+    from .pairs import factorize_strings, round_away
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+
+    edge_refs = _coorder_edge_refs(sf_dir, P, on="l_orderkey",
+                                   val="l_partkey")
+
+    # dedup'd part dimension: min non-NULL brand per key (SQL min
+    # ignores NULLs; all-NULL stays NULL)
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    pt = pt[pt["p_partkey"].notna()]
+    pt["p_partkey"] = pt["p_partkey"].astype(np.int64)
+    grp = pt.groupby("p_partkey", sort=True)["p_brand"] \
+            .agg(lambda s: None if s.dropna().empty
+                 else s.dropna().min())
+    keys = grp.index.to_numpy(np.int64)
+    codes, uniq = factorize_strings(
+        pd.Series(grp.to_numpy(object), dtype=object),
+        use_na_sentinel=False)
+    # NULL brand gets its own code; endpoints missing from part get
+    # code len(uniq) (a distinct NULL-brand slot ONLY when no part
+    # row has a NULL brand — merge them when both mean NULL)
+    null_code = None
+    for i, uv in enumerate(uniq):
+        if uv is None or (isinstance(uv, float) and np.isnan(uv)):
+            null_code = i
+    miss = null_code if null_code is not None else len(uniq)
+    n_codes = max(len(uniq), miss + 1)
+    bref = ray.put((keys, codes.astype(np.int64), miss, n_codes))
+
+    @ray.remote
+    def bucket_stats(etab, lookup):
+        keys_, codes_, miss_, n_codes_ = lookup
+        if etab.num_rows == 0:
+            return 0, 0, np.zeros(n_codes_, np.int64)
+        k = etab.column("key").to_numpy()
+        u = (k.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(
+            np.int64)
+        v = (k.view(np.uint64) & (lim - np.uint64(1))).astype(
+            np.int64)
+
+        def code_of(x):
+            pos = np.searchsorted(keys_, x)
+            pos_c = np.clip(pos, 0, max(len(keys_) - 1, 0))
+            hit = (len(keys_) > 0) & (np.take(keys_, pos_c) == x)
+            return np.where(hit, np.take(codes_, pos_c), miss_)
+
+        cu, cv = code_of(u), code_of(v)
+        cnt = np.bincount(np.concatenate([cu, cv]),
+                          minlength=n_codes_).astype(np.int64)
+        return len(k), int((cu == cv).sum()), cnt
+
+    outs = ray.get([bucket_stats.remote(r, bref) for r in edge_refs])
+    m = sum(o[0] for o in outs)
+    same = sum(o[1] for o in outs)
+    cols = {"m_edges": pd.Series(dtype="int64"),
+            "same_brand": pd.Series(dtype="int64"),
+            "obs": pd.Series(dtype="float64"),
+            "exp": pd.Series(dtype="float64"),
+            "homophily": pd.Series(dtype="float64")}
+    if m == 0:
+        return pd.DataFrame(cols)
+    cnt = sum((o[2] for o in outs), np.zeros(1, np.int64))
+    s2 = sum(int(c) * int(c) for c in cnt)       # exact Σ cnt_b²
+    obs = float(same) / m
+    exp = float(s2) / float(4 * m * m)
+    h = (obs - exp) / (1.0 - exp) if exp != 1.0 else np.nan
+    return pd.DataFrame({
+        "m_edges": pd.array([m], "int64"),
+        "same_brand": pd.array([same], "int64"),
+        "obs": round_away(np.array([obs]), 6),
+        "exp": round_away(np.array([exp]), 6),
+        "homophily": round_away(np.array([h]), 6)})

@@ -829,3 +829,88 @@ def q_pr_curve(sf_dir: str, target: str = "purchase",
         "fp": fp,
         "prec": round_away(tp.astype(np.float64) / (tp + fp), 6),
         "rec": round_away(tp.astype(np.float64) / ptot, 6)})
+
+
+def q_exp_arrival_ks(sf_dir: str, B: int = 64) -> pd.DataFrame:
+    """One-sample Kolmogorov–Smirnov test of inter-arrival
+    exponentiality — the "is this traffic Poisson?" screen: per-user
+    consecutive event gaps (µs), fitted rate 1/mean, and D = the max
+    over distinct gap values of the EDF-vs-theory discrepancy taken
+    on BOTH sides of each step. One user-keyed exchange sorts each
+    bucket once (q116's layout) and emits (gap, count) partials; the
+    driver folds the counts-per-distinct table (the module contract).
+    The mean comes from exact integer sums, each theory value
+    1 − e^(−gap/mean) is a single identical expression per distinct
+    gap, EDF steps are exact-int divisions, and max() is
+    order-insensitive — so D is bit-identical to the oracle's window
+    form. Users with < 2 events contribute nothing; zero gaps → zero
+    rows on both sides. NULL user/ts rows are out of contract."""
+    _EG = pa.table({"gap": pa.array([], pa.int64()),
+                    "c": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _EG
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _EG
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(pc.fill_null(
+                t2.column("event_id"),
+                np.iinfo(np.int64).max), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"gap": pd.Series(dtype="int64"),
+                "c": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .sort_values(["user_id", "ts", "event_id"],
+                           kind="stable"))
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        if len(u) < 2:
+            return pd.DataFrame(cols)
+        same = u[1:] == u[:-1]
+        gaps = (ts[1:] - ts[:-1])[same]
+        if not len(gaps):
+            return pd.DataFrame(cols)
+        g, c = np.unique(gaps, return_counts=True)
+        return pd.DataFrame({"gap": g, "c": c.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"n_gaps": pd.Series(dtype="int64"),
+            "mean_gap_us": pd.Series(dtype="float64"),
+            "ks_d": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("gap", as_index=False)["c"].sum()
+         .sort_values("gap").reset_index(drop=True))
+    gap = g["gap"].to_numpy(np.int64)
+    c = g["c"].to_numpy(np.int64)
+    n = int(c.sum())
+    S = sum(int(x) * int(y) for x, y in zip(gap, c))  # exact Σ gaps
+    mean = float(S) / n
+    F = 1.0 - np.exp(-(gap.astype(np.float64) / mean))
+    cum = np.cumsum(c)
+    hi = np.abs(cum.astype(np.float64) / n - F)
+    lo = np.abs((cum - c).astype(np.float64) / n - F)
+    d = float(np.maximum(hi, lo).max())
+    return pd.DataFrame({
+        "n_gaps": pd.array([n], "int64"),
+        "mean_gap_us": round_away(np.array([mean]), 6),
+        "ks_d": round_away(np.array([d]), 6)})
