@@ -466,6 +466,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q309_pk_dup_audit": analytics.q_pk_dup_audit,
         "q310_brand_homophily": graph.q_brand_homophily,
         "q311_exp_arrival_ks": rankstats.q_exp_arrival_ks,
+        "q312_token_budget_mix": textops.q_token_budget_mix,
+        "q313_fd_histogram": rankstats.q_fd_histogram,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -3808,6 +3810,57 @@ def oracle_sql() -> dict[str, str]:
             SELECT n AS n_gaps, round(mean, 6) AS mean_gap_us,
                    round(d, 6) AS ks_d
             FROM k WHERE n IS NOT NULL
+        """,
+        "q312_token_budget_mix": """
+            WITH g AS (
+                SELECT source,
+                       sum(coalesce(n_chars, 0))::BIGINT AS chars,
+                       count(*)::BIGINT AS docs,
+                       (count(*) FILTER (
+                            WHERE coalesce(lang = 'en', FALSE)))
+                           ::BIGINT AS en
+                FROM documents GROUP BY source),
+            r AS (SELECT source, chars,
+                         en::DOUBLE / docs AS en_share,
+                         row_number() OVER (
+                             ORDER BY en::DOUBLE / docs DESC,
+                                      source) AS rank,
+                         coalesce(sum(chars) OVER (
+                             ORDER BY en::DOUBLE / docs DESC,
+                                      source
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING), 0)::BIGINT
+                             AS cum_before
+                  FROM g),
+            b AS (SELECT (sum(chars) // 2)::BIGINT AS budget FROM g)
+            SELECT source, rank, round(en_share, 6) AS en_share,
+                   chars,
+                   least(chars, budget - cum_before)::BIGINT
+                       AS chars_taken
+            FROM r, b WHERE cum_before < budget
+            ORDER BY rank
+        """,
+        "q313_fd_histogram": """
+            WITH x AS (
+                SELECT value AS v FROM events
+                WHERE event_type = 'purchase' AND isfinite(value)),
+            s AS (SELECT count(*)::BIGINT AS n, min(v) AS mn,
+                         max(v) AS mx,
+                         quantile_disc(v, 0.25) AS q1,
+                         quantile_disc(v, 0.75) AS q3
+                  FROM x),
+            p AS (SELECT n, mn, mx,
+                         2.0 * (q3 - q1) / pow(n, 1.0 / 3.0) AS w
+                  FROM s WHERE (q3 - q1) > 0),
+            b AS (SELECT least(
+                       CAST(floor((x.v - p.mn) / p.w) AS BIGINT),
+                       CAST(ceil((p.mx - p.mn) / p.w) AS BIGINT)
+                           - 1) AS bin,
+                         p.mn AS mn, p.w AS w
+                  FROM x, p)
+            SELECT bin, round(mn + bin * w, 6) AS lo,
+                   count(*)::BIGINT AS n
+            FROM b GROUP BY bin, mn, w ORDER BY bin
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2095,3 +2095,42 @@ def test_exp_arrival_ks_exact_exponential_grid(ray_session, tmp_path):
     assert out["mean_gap_us"].tolist() == [1_000_000.0]
     f = 1.0 - math.exp(-1.0)
     assert out["ks_d"].tolist() == [round(max(abs(1.0 - f), f), 6)]
+
+
+def test_token_budget_mix_boundary(ray_session, tmp_path):
+    """q312: budget = 15//2 = 7 chars; best source taken whole (4),
+    second partially (3 of 6); the third never surfaces. An
+    exact-boundary budget stops BEFORE a zero-take row."""
+    from web_scrapper_ray.pipelines.textops import q_token_budget_mix
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "b", "b", "c"]),
+        "lang": pa.array(["en", "en", "en", "de", "de"]),
+        "n_chars": pa.array([2, 2, 3, 3, 5], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_token_budget_mix(str(tmp_path))
+    assert out["source"].tolist() == ["a", "b"]
+    assert out["chars_taken"].tolist() == [4, 3]
+    assert out["en_share"].tolist() == [1.0, 0.5]
+
+
+def test_fd_histogram_hand_example(ray_session, tmp_path):
+    """q313: values 0..8 (n=9): q1 = idx ceil(2.25)-1 = 2, q3 = idx 6
+    → IQR 4, w = 8/9^(1/3); the max clamps into the last bin."""
+    from web_scrapper_ray.pipelines.rankstats import q_fd_histogram
+
+    vals = [float(i) for i in range(9)]
+    pq.write_table(pa.table({
+        "event_type": pa.array(["purchase"] * 9),
+        "value": pa.array(vals, pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_fd_histogram(str(tmp_path))
+    w = 2.0 * 4.0 / 9.0 ** (1.0 / 3.0)
+    nbins = int(np.ceil(8.0 / w))
+    exp = np.minimum(np.floor(np.array(vals) / w).astype(int),
+                     nbins - 1)
+    import collections
+    cnt = collections.Counter(exp)
+    assert out["bin"].tolist() == sorted(cnt)
+    assert out["n"].tolist() == [cnt[b] for b in sorted(cnt)]
+    assert int(out["n"].sum()) == 9

@@ -11828,11 +11828,22 @@ def q_pk_dup_audit(sf_dir: str, P: int = 16) -> pd.DataFrame:
         g = df.groupby("key")["c"].sum()
         return np.array([int(g.sum()), len(g), nulls], np.int64)
 
-    rows = []
+    import ray
+
+    # launch all seven table exchanges concurrently (gather=False
+    # returns futures), one ray.get over everything
+    futs = {}
     for tbl, col in SPECS:
         ds = _read(sf_dir, tbl, columns=[col])
-        tot = sum(hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
-                               make_split(col), merge, P=P))
+        futs[tbl] = hash_shuffle(
+            [(r, ()) for r in ds.to_arrow_refs()],
+            make_split(col), merge, P=P, gather=False)
+    got = ray.get([f for fs in futs.values() for f in fs])
+    rows = []
+    i = 0
+    for tbl, col in SPECS:
+        tot = sum(got[i:i + len(futs[tbl])])
+        i += len(futs[tbl])
         nn, nk, nnull = (int(x) for x in np.atleast_1d(tot)[:3])
         rows.append((tbl, nn + nnull, nk, nnull, nn - nk))
     return pd.DataFrame(rows, columns=["tbl", "n_rows", "n_keys",

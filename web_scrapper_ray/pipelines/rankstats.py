@@ -914,3 +914,66 @@ def q_exp_arrival_ks(sf_dir: str, B: int = 64) -> pd.DataFrame:
         "n_gaps": pd.array([n], "int64"),
         "mean_gap_us": round_away(np.array([mean]), 6),
         "ks_d": round_away(np.array([d]), 6)})
+
+
+def q_fd_histogram(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
+    """Freedman–Diaconis histogram of purchase values — the
+    data-driven binning every distribution report should use instead
+    of a magic bin count: width w = 2·IQR/n^(1/3) with the IQR from
+    EXACT discrete quartiles (quantile_disc rank rule ceil(p·n)−1 —
+    actual data values, q99/q274's contract), bin = ⌊(v − min)/w⌋
+    clamped into [0, ⌈(max−min)/w⌉−1] so the max lands in the last
+    bin. Same counts-per-distinct exchange as q195: quartiles, edges
+    AND the per-bin fold all come from the distinct-value counts —
+    the raw rows are never re-scanned. Every float (w, the per-value
+    bin quotient) is the same expression over identical doubles on
+    both sides, so ⌊·⌋ is knife-edge-free. Non-finite values are
+    excluded; zero IQR (w = 0) emits zero rows on both sides."""
+    P = 8
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return _E2
+        keep = pc.and_kleene(
+            pc.equal(t.column("event_type"), target),
+            pc.fill_null(pc.is_finite(t.column("value")), False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E2
+        v = _norm_zero(t2.column("value").to_numpy(
+            zero_copy_only=False))
+        return _count_split(v, np.ones(len(v), bool), P)
+
+    tagged = [(r, ()) for r in _read(
+        sf_dir, "events",
+        columns=["event_type", "value"]).to_arrow_refs()]
+    c = _fold_counts(hash_shuffle(tagged, split, _count_merge, P=P))
+    cols = {"bin": pd.Series(dtype="int64"),
+            "lo": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64")}
+    if not len(c):
+        return pd.DataFrame(cols)
+    v = c["v"].to_numpy(np.float64)
+    cnt = (c["c1"] + c["c2"]).to_numpy(np.int64)
+    cum = np.cumsum(cnt)
+    n = int(cum[-1])
+    q1 = float(v[np.searchsorted(cum, int(np.ceil(0.25 * n)) - 1,
+                                 side="right")])
+    q3 = float(v[np.searchsorted(cum, int(np.ceil(0.75 * n)) - 1,
+                                 side="right")])
+    iqr = q3 - q1
+    if iqr <= 0:
+        return pd.DataFrame(cols)
+    w = 2.0 * iqr / n ** (1.0 / 3.0)
+    mn, mx = float(v[0]), float(v[-1])
+    nbins = int(np.ceil((mx - mn) / w))
+    b = np.minimum(np.floor((v - mn) / w).astype(np.int64),
+                   max(nbins - 1, 0))
+    g = np.zeros(max(nbins, 1), np.int64)
+    np.add.at(g, b, cnt)
+    keep = g > 0
+    bins = np.flatnonzero(keep).astype(np.int64)
+    return pd.DataFrame({
+        "bin": bins,
+        "lo": round_away(mn + bins.astype(np.float64) * w, 6),
+        "n": g[keep]})

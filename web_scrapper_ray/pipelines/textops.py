@@ -3771,3 +3771,92 @@ def q_shuffle_quality(sf_dir: str, P: int = 32) -> pd.DataFrame:
             np.array([same_seq / pairs], np.float64), 6),
         "rate_shuf": round_away(
             np.array([same_sh / pairs], np.float64), 6)})
+
+
+def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
+    """Greedy data-mixture selection under a token budget — the
+    fractional-knapsack step of corpus curation: rank sources by
+    English share (the quality proxy this corpus carries), then take
+    whole sources in rank order until HALF the corpus's characters
+    are spent, taking a partial slice of the boundary source. All
+    quantities are exact ints (budget = Σchars // 2, takes are
+    least/greatest clamps) except the one ranking ratio; rank ties
+    break by source. One pass of per-batch per-source (chars, docs,
+    en_docs) partials (NUL-safe codes), driver-side greedy over the
+    source domain. NULL n_chars counts 0 chars; NULL source IS a
+    group; NULL lang is simply not 'en'."""
+    import pyarrow.compute as pc
+
+    from .pairs import factorize_strings, round_away
+
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "chars": pa.array([], pa.int64()),
+                   "docs": pa.array([], pa.int64()),
+                   "en": pa.array([], pa.int64())})
+    _NULL = "\x00NULLSRC"
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "source" not in t.schema.names:
+            return _E
+        ch = pc.fill_null(t.column("n_chars"), 0).cast(
+            pa.int64()).to_numpy(zero_copy_only=False)
+        en = pc.fill_null(pc.equal(t.column("lang"), "en"),
+                          False).to_numpy(zero_copy_only=False)
+        src = pd.Series(t.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        k = len(uniq)
+        chars = np.zeros(k, np.int64)
+        np.add.at(chars, codes, ch)
+        docs = np.bincount(codes, minlength=k).astype(np.int64)
+        enc = np.zeros(k, np.int64)
+        np.add.at(enc, codes, en.astype(np.int64))
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "chars": pa.array(chars),
+                         "docs": pa.array(docs),
+                         "en": pa.array(enc)})
+
+    parts = _docs(sf_dir, columns=["source", "lang", "n_chars"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "rank": pd.Series(dtype="int64"),
+            "en_share": pd.Series(dtype="float64"),
+            "chars": pd.Series(dtype="int64"),
+            "chars_taken": pd.Series(dtype="int64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"],
+                                    use_na_sentinel=False)
+    k = len(uniq)
+    chars = [0] * k
+    docs = [0] * k
+    en = [0] * k
+    for c, ch, d, e in zip(codes, parts["chars"].tolist(),
+                           parts["docs"].tolist(),
+                           parts["en"].tolist()):
+        chars[c] += ch      # Python-int fold: exact
+        docs[c] += d
+        en[c] += e
+    share = [float(en[i]) / docs[i] for i in range(k)]
+    # rank: share DESC, source ASC (NULL last, SQL default)
+    order = sorted(range(k),
+                   key=lambda i: (-share[i], uniq[i] == _NULL,
+                                  uniq[i]))
+    budget = sum(chars) // 2
+    out, cum_before = [], 0
+    for r, i in enumerate(order, start=1):
+        if cum_before >= budget:     # SQL: WHERE cum_before < budget
+            break
+        take = min(chars[i], budget - cum_before)
+        key = uniq[i]
+        out.append((None if key == _NULL else key[1:], r, share[i],
+                    chars[i], take))
+        cum_before += chars[i]
+    return pd.DataFrame({
+        "source": pd.Series([o[0] for o in out], dtype=object),
+        "rank": pd.array([o[1] for o in out], "int64"),
+        "en_share": round_away(
+            np.array([o[2] for o in out], np.float64), 6),
+        "chars": pd.array([o[3] for o in out], "int64"),
+        "chars_taken": pd.array([o[4] for o in out], "int64")})
