@@ -468,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q311_exp_arrival_ks": rankstats.q_exp_arrival_ks,
         "q312_token_budget_mix": textops.q_token_budget_mix,
         "q313_fd_histogram": rankstats.q_fd_histogram,
+        "q314_blocking_quality": dedup.q_blocking_quality,
+        "q315_dup_cluster_sizes": dedup.q_dup_cluster_sizes,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -3861,6 +3863,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT bin, round(mn + bin * w, 6) AS lo,
                    count(*)::BIGINT AS n
             FROM b GROUP BY bin, mn, w ORDER BY bin
+        """,
+        "q314_blocking_quality": """
+            WITH s AS (
+                SELECT doc_id, text, substr(text, 1, 32) AS key
+                FROM documents WHERE text IS NOT NULL),
+            r AS (SELECT doc_id, text, key,
+                         row_number() OVER (ORDER BY key, doc_id)
+                             AS rk
+                  FROM s),
+            nn AS (SELECT count(*)::BIGINT AS n FROM s),
+            cand AS (
+                SELECT count(*)::BIGINT AS c,
+                       (count(*) FILTER (WHERE a.text = b.text))
+                           ::BIGINT AS f
+                FROM r a JOIN r b
+                     ON b.rk > a.rk AND b.rk <= a.rk + 4),
+            tr AS (SELECT coalesce(sum(g * (g - 1) // 2), 0)::BIGINT
+                       AS t
+                   FROM (SELECT count(*)::BIGINT AS g FROM s
+                         GROUP BY text))
+            SELECT nn.n AS n_docs,
+                   (nn.n * (nn.n - 1) // 2)::BIGINT AS total_pairs,
+                   cand.c AS cand_pairs, tr.t AS true_pairs,
+                   cand.f AS found_true,
+                   CASE WHEN nn.n > 1 THEN
+                       round(1.0 - cand.c::DOUBLE
+                             / (nn.n * (nn.n - 1) // 2), 6)
+                   END AS reduction_ratio,
+                   CASE WHEN tr.t > 0 THEN
+                       round(cand.f::DOUBLE / tr.t, 6)
+                   END AS pair_completeness
+            FROM nn, cand, tr WHERE nn.n > 0
+        """,
+        "q315_dup_cluster_sizes": """
+            SELECT g AS size, count(*)::BIGINT AS n_groups
+            FROM (SELECT count(*)::BIGINT AS g FROM documents
+                  WHERE text IS NOT NULL GROUP BY text)
+            GROUP BY g ORDER BY g
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2134,3 +2134,36 @@ def test_fd_histogram_hand_example(ray_session, tmp_path):
     assert out["bin"].tolist() == sorted(cnt)
     assert out["n"].tolist() == [cnt[b] for b in sorted(cnt)]
     assert int(out["n"].sum()) == 9
+
+
+def test_blocking_quality_counts(ray_session, tmp_path):
+    """q314: groups aaa×3 and zzz×2 sort contiguously, so all 4 true
+    pairs sit within the w=4 window (pair completeness 1.0) while
+    the window prunes most of the n(n−1)/2 comparison space."""
+    from web_scrapper_ray.pipelines.dedup import q_blocking_quality
+
+    docs = (["aaa", "aaa", "aaa"]
+            + [f"m{i:02d}" for i in range(6)]   # spacers
+            + ["zzz", "zzz"])
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(len(docs))), pa.int64()),
+        "text": pa.array(docs),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_blocking_quality(str(tmp_path))
+    assert out["true_pairs"].tolist() == [4]
+    assert out["found_true"].tolist() == [4]
+    assert out["pair_completeness"].tolist() == [1.0]
+    assert out["cand_pairs"][0] < out["total_pairs"][0]
+
+
+def test_dup_cluster_sizes_census(ray_session, tmp_path):
+    """q315: 3×'a', 2×'b', 1×'c' → sizes {3:1, 2:1, 1:1}; NULL text
+    is out of the census."""
+    from web_scrapper_ray.pipelines.dedup import q_dup_cluster_sizes
+
+    pq.write_table(pa.table({
+        "text": pa.array(["a", "a", "a", "b", "b", "c", None]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_dup_cluster_sizes(str(tmp_path))
+    assert out["size"].tolist() == [1, 2, 3]
+    assert out["n_groups"].tolist() == [1, 1, 1]

@@ -1256,3 +1256,165 @@ def tile_neardup_pairs_ds(ds, min_match: int = 12, grid: int = 4,
     out["n_tiles"] = out["n_tiles"].astype(np.int64)
     return out.sort_values(["image_a", "image_b"]).reset_index(
         drop=True)
+
+
+def _text_hash_sizes(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Exact-duplicate group sizes (non-NULL text, keyed on md5 —
+    q20's content-identity rule): per-batch (hash, count) combiners →
+    one hash exchange (same hash ⇒ same bucket, so bucket group
+    sizes are global) → per-bucket size histogram; the driver folds
+    P tiny (size, n_groups) frames. Shared by the blocking-quality
+    eval (q314) and the dup-cluster census (q315)."""
+    from .pairs import str_u64
+
+    _E = pa.table({"h": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("text")))
+        if t2.num_rows == 0:
+            return _E
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in t2.column("text").to_pylist()]
+        g = pd.Series(hs).value_counts()
+        h = list(g.index)
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "c": pa.array(g.to_numpy(np.int64)),
+                         "bucket": pa.array(np.array(
+                             [str_u64(x) & (P - 1) for x in h],
+                             np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"size": pd.Series(dtype="int64"),
+                                 "n_groups": pd.Series(dtype="int64")})
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("h")["c"].sum())
+        u, n = np.unique(g.to_numpy(np.int64), return_counts=True)
+        return pd.DataFrame({"size": u,
+                             "n_groups": n.astype(np.int64)})
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in _docs(sf_dir, ["text"]).to_arrow_refs()],
+        split, merge, P=P) if len(p)]
+    if not parts:
+        return pd.DataFrame({"size": pd.Series(dtype="int64"),
+                             "n_groups": pd.Series(dtype="int64")})
+    return (pd.concat(parts, ignore_index=True)
+            .groupby("size", as_index=False)["n_groups"].sum()
+            .sort_values("size").reset_index(drop=True))
+
+
+def q_dup_cluster_sizes(sf_dir: str) -> pd.DataFrame:
+    """Exact-duplicate cluster-size census — the first question after
+    any dedup run: how big are the duplicate families (size ≥ 2) and
+    how many singletons are there? One (hash, count) exchange
+    (``_text_hash_sizes``); exact ints end-to-end."""
+    g = _text_hash_sizes(sf_dir)
+    return g
+
+
+def q_blocking_quality(sf_dir: str, w: int = 4,
+                       prefix: int = 32) -> pd.DataFrame:
+    """Blocking-quality eval of the sorted-neighborhood method (q208)
+    — the two numbers every record-linkage blocking scheme is judged
+    by: REDUCTION RATIO (how much of the n²/2 comparison space the
+    window avoids) and PAIR COMPLETENESS (what share of true
+    duplicate pairs the window still catches). Truth = identical full
+    text (Σ C(g,2) over q20's md5 groups, one hash exchange);
+    candidates = q208's (prefix, doc_id) sort windows counted via the
+    same ONE-sort + w-row-halo layout, with found-true tested by md5
+    equality inside each window. All counts exact int64; two
+    divisions. NULL text is out of contract (q208's rule)."""
+    import ray
+
+    from .pairs import round_away
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def keyed(t: pa.Table) -> pa.Table:
+        E = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "key": pa.array([], pa.string()),
+                      "h": pa.array([], pa.string())})
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return E
+        t2 = t.filter(pc.is_valid(t.column("text")))
+        if t2.num_rows == 0:
+            return E
+        hs = [hashlib.md5(x.encode()).hexdigest()
+              for x in t2.column("text").to_pylist()]
+        return pa.table({
+            "doc_id": pc.cast(t2.column("doc_id"), pa.int64()),
+            "key": pc.utf8_slice_codeunits(t2.column("text"), 0,
+                                           prefix),
+            "h": pa.array(hs, pa.string())})
+
+    srt = (ds.map_batches(keyed, batch_format="pyarrow")
+           .sort(["key", "doc_id"]).materialize())
+    refs = srt.to_arrow_refs()
+    tabs = ray.get(list(refs))
+    sizes = [t.num_rows for t in tabs]
+    n = int(sum(sizes))
+    cols = {"n_docs": pd.Series(dtype="int64"),
+            "total_pairs": pd.Series(dtype="int64"),
+            "cand_pairs": pd.Series(dtype="int64"),
+            "true_pairs": pd.Series(dtype="int64"),
+            "found_true": pd.Series(dtype="int64"),
+            "reduction_ratio": pd.Series(dtype="float64"),
+            "pair_completeness": pd.Series(dtype="float64")}
+    if n == 0:
+        return pd.DataFrame(cols)
+
+    # halo: each block sees the next w rows of the global order
+    halos = []
+    for i in range(len(tabs)):
+        need, got = w, []
+        for j in range(i + 1, len(tabs)):
+            if need <= 0:
+                break
+            take = tabs[j].slice(0, min(need, tabs[j].num_rows))
+            got.append(take)
+            need -= take.num_rows
+        halos.append(pa.concat_tables([tabs[i]] + got)
+                     if got else tabs[i])
+
+    @ray.remote
+    def count_block(tab: pa.Table, own: int):
+        if own == 0:
+            return 0, 0
+        h = np.array(tab.column("h").to_pylist(), dtype=object)
+        m = len(h)
+        i = np.arange(own, dtype=np.int64)
+        cand = int(np.maximum(np.minimum(i + w, m - 1) - i, 0).sum())
+        found = 0
+        for d in range(1, w + 1):      # w shifted equality passes,
+            if own + d > m:            # never a per-row loop
+                lim = m - d
+            else:
+                lim = own
+            if lim > 0:
+                found += int((h[:lim] == h[d:d + lim]).sum())
+        return cand, found
+
+    outs = ray.get([count_block.remote(hl, sz)
+                    for hl, sz in zip(halos, sizes)])
+    cand = sum(o[0] for o in outs)
+    found = sum(o[1] for o in outs)
+    g = _text_hash_sizes(sf_dir)
+    true_pairs = int(sum(int(s) * (int(s) - 1) // 2 * int(ng)
+                         for s, ng in zip(g["size"], g["n_groups"])))
+    total = n * (n - 1) // 2
+    rr = np.nan if total == 0 else 1.0 - float(cand) / total
+    pc_ = np.nan if true_pairs == 0 else float(found) / true_pairs
+    return pd.DataFrame({
+        "n_docs": pd.array([n], "int64"),
+        "total_pairs": pd.array([total], "int64"),
+        "cand_pairs": pd.array([cand], "int64"),
+        "true_pairs": pd.array([true_pairs], "int64"),
+        "found_true": pd.array([found], "int64"),
+        "reduction_ratio": round_away(np.array([rr]), 6),
+        "pair_completeness": round_away(np.array([pc_]), 6)})
