@@ -144,6 +144,42 @@ def _image_quality(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _dhash_dup_groups(sf_dir: str):
+    """q316: exact dHash collision groups over the crawl corpus — the
+    gradient-sign member of the perceptual-hash family (brightness /
+    contrast-shift-robust, unlike q276's exact pixel hash)."""
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.stages.multimodal import DHash
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "bytes"])
+    h = ds.map_batches(DHash, batch_format="pyarrow", batch_size=128,
+                       concurrency=2).to_pandas()
+    g = (h.groupby("dhash", sort=False)
+         .agg(n=("image_id", "size"), keeper=("image_id", "min"))
+         .reset_index())
+    g = g[g["n"] >= 2].sort_values(["keeper"]).reset_index(drop=True)
+    g["n"] = g["n"].astype("int64")
+    return g[["keeper", "n", "dhash"]]
+
+
+def _border_screen(sf_dir: str):
+    """q317: letterbox/pillarbox bar extents + content fraction per
+    crawl image (crop-before-train screen)."""
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.stages.multimodal import BorderScreen
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "bytes"])
+    out = ds.map_batches(BorderScreen, batch_format="pyarrow",
+                         batch_size=128, concurrency=2).to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
 def _pixel_dup_groups(sf_dir: str):
     import ray.data as rd
 
@@ -602,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q35_image_features": _image_features,
         "q266_image_quality": _image_quality,
         "q276_pixel_dup_groups": _pixel_dup_groups,
+        "q316_dhash_dup_groups": _dhash_dup_groups,
+        "q317_border_screen": _border_screen,
         "q277_tile_phash_neardup": _tile_phash_neardup,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,

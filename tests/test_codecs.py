@@ -204,3 +204,54 @@ def test_png_decode_multi_chunk_idat():
             out.append(chunk(tag, payload))
     rechunked = b"".join(out)
     assert np.array_equal(codecs.png_decode(rechunked), px)
+
+
+def test_dhash_brightness_invariant_and_crop_sensitive():
+    """q316's stage: dHash survives a re-encode AND a non-clipping
+    global brightness shift (gradient signs unchanged); a crop that
+    shifts the block grid flips bits."""
+    import numpy as np
+
+    from web_scrapper_ray import codecs
+    from web_scrapper_ray.stages.multimodal import DHash
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(10, 200, (48, 72, 3), np.uint8)
+    d0 = DHash.dhash64(px)
+    # re-encode roundtrip (png is lossless)
+    d1 = DHash.dhash64(codecs.decode_image(codecs.png_encode(px)))
+    assert d1 == d0
+    shifted = (px.astype(int) + 30).astype(np.uint8)
+    assert DHash.dhash64(shifted) == d0
+    cropped = px[8:, 12:]
+    assert DHash.dhash64(cropped) != d0
+
+
+def test_border_screen_letterbox():
+    """q317's stage: a 12-row top/bottom letterbox and an 8-col
+    pillarbox are measured exactly; a full-frame image reports zero
+    bars and content 1.0."""
+    import numpy as np
+    import pyarrow as pa
+
+    from web_scrapper_ray import codecs
+    from web_scrapper_ray.stages.multimodal import BorderScreen
+
+    rng = np.random.default_rng(5)
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[12:52, 8:56] = rng.integers(1, 255, (40, 48, 3), np.uint8)
+    full = rng.integers(1, 255, (16, 16, 3), np.uint8)
+    batch = pa.table({
+        "image_id": pa.array(["boxed", "full"]),
+        "bytes": pa.array([codecs.png_encode(img),
+                           codecs.png_encode(full)], pa.binary()),
+    })
+    out = BorderScreen()(batch).to_pandas().set_index("image_id")
+    assert out.loc["boxed", "bar_top"] == 12
+    assert out.loc["boxed", "bar_bottom"] == 12
+    assert out.loc["boxed", "bar_left"] == 8
+    assert out.loc["boxed", "bar_right"] == 8
+    assert out.loc["boxed", "content_frac"] == round(
+        40 * 48 / 4096, 6)
+    assert out.loc["full", "bar_top"] == 0
+    assert out.loc["full", "content_frac"] == 1.0

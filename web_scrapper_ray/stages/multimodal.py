@@ -219,3 +219,90 @@ class TilePHash:
             "tile_idx": pa.array(tidx, pa.int32()),
             "tile_hash": pa.array(hashes, pa.int64()),
         })
+
+
+class DHash:
+    """Difference hash (dHash): decode → luma → resize to 9×8 by
+    block averaging → 64 bits of horizontal gradient sign. Invariant
+    to global brightness/contrast shifts (the gradient SIGN survives
+    any monotone per-pixel remap), which pixel hashing (exact) and
+    pHash (DCT magnitudes) are not — the standard cheap third member
+    of the perceptual-hash family. Pure numpy; reference behavior for
+    the 9×8 buckets follows the common integer block-mean
+    formulation."""
+
+    _LUMA = np.array([0.299, 0.587, 0.114])
+
+    @classmethod
+    def dhash64(cls, px: np.ndarray) -> int:
+        y = px.astype(np.float64) @ cls._LUMA
+        h, w = y.shape
+        ys = [h * i // 8 for i in range(9)]
+        xs = [w * i // 9 for i in range(10)]
+        m = np.empty((8, 9), np.float64)
+        for r in range(8):
+            for c in range(9):
+                blk = y[ys[r]:ys[r + 1], xs[c]:xs[c + 1]]
+                m[r, c] = blk.mean() if blk.size else 0.0
+        bits = (m[:, 1:] > m[:, :-1]).astype(np.uint64).ravel()
+        out = np.uint64(0)
+        for b in bits:
+            out = (out << np.uint64(1)) | b
+        return int(out.view(np.int64))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes = [self.dhash64(codecs.decode_image(p))
+                  for p in batch.column("bytes").to_pylist()]
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "dhash": pa.array(hashes, pa.int64()),
+        })
+
+
+class BorderScreen:
+    """Letterbox/pillarbox detector: count uniform border rows (top +
+    bottom) and columns (left + right) — a row/column is a "bar" when
+    its pixels are all equal to their edge's corner value (exact
+    match on the decoded integers; encoded bars are flat by
+    construction). Emits per-image bar extents and the content
+    fraction, the crop-before-train screen for video thumbnails and
+    padded scans."""
+
+    @staticmethod
+    def _bars(y: np.ndarray) -> int:
+        """Leading rows entirely equal to the top-left corner value."""
+        if y.size == 0:
+            return 0
+        uniform = (y == y[0, 0]).all(axis=1)
+        return int(len(uniform) if uniform.all()
+                   else uniform.argmin())
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, top, bot, left, right, frac = [], [], [], [], [], []
+        for iid, payload in zip(batch.column("image_id").to_pylist(),
+                                batch.column("bytes").to_pylist()):
+            px = codecs.decode_image(payload)
+            g = px.sum(axis=2) if px.ndim == 3 else px
+            h, w = g.shape
+            t = self._bars(g)
+            b = self._bars(g[::-1])
+            lf = self._bars(g.T)
+            r = self._bars(g.T[::-1])
+            t, b = min(t, h), min(b, h - t)
+            lf, r = min(lf, w), min(r, w - lf)
+            ids.append(iid)
+            top.append(t)
+            bot.append(b)
+            left.append(lf)
+            right.append(r)
+            content = max(h - t - b, 0) * max(w - lf - r, 0)
+            frac.append(content / float(h * w) if h * w else 0.0)
+        return pa.table({
+            "image_id": pa.array(ids, pa.string()),
+            "bar_top": pa.array(top, pa.int32()),
+            "bar_bottom": pa.array(bot, pa.int32()),
+            "bar_left": pa.array(left, pa.int32()),
+            "bar_right": pa.array(right, pa.int32()),
+            "content_frac": pa.array(np.round(frac, 6),
+                                     pa.float64()),
+        })
