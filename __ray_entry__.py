@@ -180,6 +180,75 @@ def _border_screen(sf_dir: str):
     return out.sort_values("image_id").reset_index(drop=True)
 
 
+def _caption_quality(sf_dir: str):
+    """q318: per-image caption quality screen over the crawl's
+    image+caption table (the north-rule pairing): word/char counts,
+    alphanumeric share, and a placeholder flag (empty / 'image' /
+    'photo' / numeric-only alt-text) — the curation pass that keeps
+    captionless crops out of a training set. Vectorized per batch;
+    captions are never shipped separately from their image row."""
+    import re
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    rx_word = re.compile(r"\w+", re.ASCII)
+    placeholders = {"", "image", "photo", "picture", "img",
+                    "untitled"}
+
+    def screen(batch: pa.Table) -> pa.Table:
+        caps = batch.column("caption").to_pylist()
+        nw, nc, alpha, ph = [], [], [], []
+        for c in caps:
+            c = c or ""
+            words = rx_word.findall(c.lower())
+            nw.append(len(words))
+            nc.append(len(c))
+            n_alpha = sum(ch.isalnum() for ch in c)
+            alpha.append(round(n_alpha / len(c), 6) if c else 0.0)
+            ph.append(int(c.strip().lower() in placeholders
+                          or c.strip().isdigit()))
+        return pa.table({
+            "image_id": batch.column("image_id"),
+            "n_words": pa.array(nw, pa.int64()),
+            "n_chars": pa.array(nc, pa.int64()),
+            "alpha_share": pa.array(alpha, pa.float64()),
+            "placeholder": pa.array(ph, pa.int64())})
+
+    res = ensure_tier_crawl("t1")
+    out = rd.read_parquet(res["images_dir"],
+                          columns=["image_id", "caption"])         .map_batches(screen, batch_format="pyarrow").to_pandas()
+    return out.sort_values("image_id").reset_index(drop=True)
+
+
+def _caption_dedup(sf_dir: str):
+    """q319: boilerplate-caption census — captions shared by ≥ 2
+    images (the 'stock alt-text' screen: a caption attached to many
+    distinct images carries no supervision signal). Exact grouping
+    on the caption bytes; emits (caption, n_images, keeper)."""
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    res = ensure_tier_crawl("t1")
+    df = rd.read_parquet(res["images_dir"],
+                         columns=["image_id", "caption"]).to_pandas()
+    from web_scrapper_ray.pipelines.pairs import coded_keys
+
+    cj, restore = coded_keys(df, ["caption"])
+    g = restore(cj.groupby("caption", as_index=False)
+                .agg(n_images=("image_id", "size"),
+                     keeper=("image_id", "min")))
+    g = g[g["n_images"] >= 2].sort_values(
+        ["n_images", "caption"],
+        ascending=[False, True]).reset_index(drop=True)
+    g["n_images"] = g["n_images"].astype("int64")
+    return g[["caption", "n_images", "keeper"]]
+
+
 def _pixel_dup_groups(sf_dir: str):
     import ray.data as rd
 
@@ -640,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q276_pixel_dup_groups": _pixel_dup_groups,
         "q316_dhash_dup_groups": _dhash_dup_groups,
         "q317_border_screen": _border_screen,
+        "q318_caption_quality": _caption_quality,
+        "q319_caption_dedup": _caption_dedup,
         "q277_tile_phash_neardup": _tile_phash_neardup,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,

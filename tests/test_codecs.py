@@ -255,3 +255,23 @@ def test_border_screen_letterbox():
         40 * 48 / 4096, 6)
     assert out.loc["full", "bar_top"] == 0
     assert out.loc["full", "content_frac"] == 1.0
+
+
+def test_caption_screens_via_entry(ray_session):
+    """q318/q319 surface smoke: quality screen emits one row per
+    crawl image with sane ranges; caption dedup returns the (empty
+    on this world) boilerplate census with a stable schema."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "wsr_entry", "/root/repo/__ray_entry__.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    qs = mod.queries()
+    q = qs["q318_caption_quality"]("/root/testdata/sf0.001")
+    assert len(q) > 0
+    assert (q["alpha_share"] <= 1.0).all()
+    assert (q["n_words"] >= 0).all()
+    d = qs["q319_caption_dedup"]("/root/testdata/sf0.001")
+    assert list(d.columns) == ["caption", "n_images", "keeper"]
+    assert (d["n_images"] >= 2).all()

@@ -567,7 +567,7 @@ def q_triangle_count(sf_dir: str, P: int = 32,
     def merge_wedges(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return _WEDGE
+            return _EDGE
         key = np.sort(np.concatenate(
             [x.column("key").to_numpy() for x in live]))
         u = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
