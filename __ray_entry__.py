@@ -575,6 +575,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q313_fd_histogram": rankstats.q_fd_histogram,
         "q314_blocking_quality": dedup.q_blocking_quality,
         "q315_dup_cluster_sizes": dedup.q_dup_cluster_sizes,
+        "q320_numeric_profile": analytics.q_numeric_profile,
+        "q321_dup_row_census": analytics.q_dup_row_census,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4010,6 +4012,81 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT count(*)::BIGINT AS g FROM documents
                   WHERE text IS NOT NULL GROUP BY text)
             GROUP BY g ORDER BY g
+        """,
+        "q320_numeric_profile": """
+            WITH p AS (
+                SELECT 'events' AS tbl, 'value' AS col,
+                       count(*)::BIGINT AS n,
+                       (count(*) - count(value))::BIGINT AS n_null,
+                       (count(value) - count(*) FILTER (
+                            WHERE isfinite(value)))::BIGINT
+                           AS n_nonfinite,
+                       min(value) FILTER (WHERE isfinite(value))
+                           AS mn,
+                       max(value) FILTER (WHERE isfinite(value))
+                           AS mx
+                FROM events
+                UNION ALL
+                SELECT 'lineitem', 'l_quantity', count(*),
+                       count(*) - count(l_quantity),
+                       count(l_quantity) - count(*) FILTER (
+                           WHERE isfinite(l_quantity)),
+                       min(l_quantity) FILTER (
+                           WHERE isfinite(l_quantity)),
+                       max(l_quantity) FILTER (
+                           WHERE isfinite(l_quantity))
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem', 'l_extendedprice', count(*),
+                       count(*) - count(l_extendedprice),
+                       count(l_extendedprice) - count(*) FILTER (
+                           WHERE isfinite(l_extendedprice)),
+                       min(l_extendedprice) FILTER (
+                           WHERE isfinite(l_extendedprice)),
+                       max(l_extendedprice) FILTER (
+                           WHERE isfinite(l_extendedprice))
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem', 'l_discount', count(*),
+                       count(*) - count(l_discount),
+                       count(l_discount) - count(*) FILTER (
+                           WHERE isfinite(l_discount)),
+                       min(l_discount) FILTER (
+                           WHERE isfinite(l_discount)),
+                       max(l_discount) FILTER (
+                           WHERE isfinite(l_discount))
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem', 'l_tax', count(*),
+                       count(*) - count(l_tax),
+                       count(l_tax) - count(*) FILTER (
+                           WHERE isfinite(l_tax)),
+                       min(l_tax) FILTER (WHERE isfinite(l_tax)),
+                       max(l_tax) FILTER (WHERE isfinite(l_tax))
+                FROM lineitem
+                UNION ALL
+                SELECT 'orders', 'o_totalprice', count(*),
+                       count(*) - count(o_totalprice),
+                       count(o_totalprice) - count(*) FILTER (
+                           WHERE isfinite(o_totalprice)),
+                       min(o_totalprice) FILTER (
+                           WHERE isfinite(o_totalprice)),
+                       max(o_totalprice) FILTER (
+                           WHERE isfinite(o_totalprice))
+                FROM orders)
+            SELECT * FROM p ORDER BY tbl, col
+        """,
+        "q321_dup_row_census": """
+            WITH g AS (
+                SELECT count(*)::BIGINT AS c FROM events
+                GROUP BY event_id, ts, user_id, event_type, value,
+                         props)
+            SELECT (SELECT count(*) FROM events)::BIGINT AS n_rows,
+                   count(*)::BIGINT AS n_distinct,
+                   ((SELECT count(*) FROM events) - count(*))
+                       ::BIGINT AS n_dup_rows,
+                   max(c)::BIGINT AS max_multiplicity
+            FROM g
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2167,3 +2167,48 @@ def test_dup_cluster_sizes_census(ray_session, tmp_path):
     out = q_dup_cluster_sizes(str(tmp_path))
     assert out["size"].tolist() == [1, 2, 3]
     assert out["n_groups"].tolist() == [1, 1, 1]
+
+
+def test_numeric_profile_nonfinite(ray_session, tmp_path):
+    """q320: NULL / NaN / inf are counted separately and min/max see
+    finite values only."""
+    from web_scrapper_ray.pipelines.analytics import q_numeric_profile
+
+    pq.write_table(pa.table({
+        "value": pa.array([1.0, -5.0, None, float("nan"),
+                           float("inf")], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    pq.write_table(pa.table({
+        "l_quantity": pa.array([2.0], pa.float64()),
+        "l_extendedprice": pa.array([3.0], pa.float64()),
+        "l_discount": pa.array([0.1], pa.float64()),
+        "l_tax": pa.array([0.0], pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([7.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_numeric_profile(str(tmp_path))
+    ev = out[out["col"] == "value"].iloc[0]
+    assert (ev["n"], ev["n_null"], ev["n_nonfinite"]) == (5, 1, 2)
+    assert (ev["mn"], ev["mx"]) == (-5.0, 1.0)
+
+
+def test_dup_row_census_group_semantics(ray_session, tmp_path):
+    """q321: NULLs group together, NaN with NaN, −0.0 with 0.0 — the
+    probed DuckDB GROUP BY rules."""
+    from web_scrapper_ray.pipelines.analytics import q_dup_row_census
+
+    nan = float("nan")
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "ts": pa.array([0, 0, 0, 0, 0], pa.timestamp("us")),
+        "user_id": pa.array([None, None, 7, 7, 7], pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "c"]),
+        "value": pa.array([nan, nan, 0.0, -0.0, 1.0], pa.float64()),
+        "props": pa.array([None, None, "{}", "{}", None]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_dup_row_census(str(tmp_path))
+    assert out["n_rows"].tolist() == [5]
+    assert out["n_distinct"].tolist() == [3]
+    assert out["n_dup_rows"].tolist() == [2]
+    assert out["max_multiplicity"].tolist() == [2]

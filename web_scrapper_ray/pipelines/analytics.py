@@ -11852,3 +11852,159 @@ def q_pk_dup_audit(sf_dir: str, P: int = 16) -> pd.DataFrame:
                                   "n_keys": "int64",
                                   "n_null_keys": "int64",
                                   "n_dup_rows": "int64"})
+
+
+def q_numeric_profile(sf_dir: str) -> pd.DataFrame:
+    """Numeric column profiler — the `describe()` every engine ships,
+    distributed: per (table, column), row count, NULL count, non-
+    finite count, and the exact min/max over finite values. One
+    streamed pass per table of per-batch per-column partials (counts
+    + running min/max — no shuffle at all; the driver folds
+    #columns × #batches tiny rows). min/max are actual data values,
+    so floats compare bit-exactly. Covers the numeric columns of
+    lineitem, orders and events."""
+    SPECS = (
+        ("events", ("value",)),
+        ("lineitem", ("l_quantity", "l_extendedprice", "l_discount",
+                      "l_tax")),
+        ("orders", ("o_totalprice",)),
+    )
+
+    rows = []
+    for tbl, cols in SPECS:
+        _ECOLS = pa.table({"col": pa.array([], pa.string()),
+                           "n": pa.array([], pa.int64()),
+                           "nulls": pa.array([], pa.int64()),
+                           "nonfin": pa.array([], pa.int64()),
+                           "mn": pa.array([], pa.float64()),
+                           "mx": pa.array([], pa.float64())})
+
+        def partial(t: pa.Table, cols=cols) -> pa.Table:
+            if t.num_rows == 0:
+                return _ECOLS
+            out = {"col": [], "n": [], "nulls": [], "nonfin": [],
+                   "mn": [], "mx": []}
+            for c in cols:
+                if c not in t.schema.names:
+                    continue
+                v = t.column(c)
+                n = len(v)
+                nulls = v.null_count
+                fin = pc.fill_null(pc.is_finite(v), False)
+                vf = v.filter(fin)
+                nonfin = n - nulls - len(vf)
+                out["col"].append(c)
+                out["n"].append(n)
+                out["nulls"].append(nulls)
+                out["nonfin"].append(nonfin)
+                out["mn"].append(pc.min(vf).as_py()
+                                 if len(vf) else np.nan)
+                out["mx"].append(pc.max(vf).as_py()
+                                 if len(vf) else np.nan)
+            return pa.table({
+                "col": pa.array(out["col"], pa.string()),
+                "n": pa.array(out["n"], pa.int64()),
+                "nulls": pa.array(out["nulls"], pa.int64()),
+                "nonfin": pa.array(out["nonfin"], pa.int64()),
+                "mn": pa.array(
+                    [None if x is None or (isinstance(x, float)
+                                           and np.isnan(x)) else
+                     float(x) for x in out["mn"]], pa.float64()),
+                "mx": pa.array(
+                    [None if x is None or (isinstance(x, float)
+                                           and np.isnan(x)) else
+                     float(x) for x in out["mx"]], pa.float64())})
+
+        parts = _read(sf_dir, tbl, columns=list(cols)).map_batches(
+            partial, batch_format="pyarrow").to_pandas()
+        for c in cols:
+            sub = parts[parts["col"] == c]
+            if not len(sub):
+                continue
+            mn = sub["mn"].dropna()
+            mx = sub["mx"].dropna()
+            rows.append((
+                tbl, c, int(sub["n"].sum()), int(sub["nulls"].sum()),
+                int(sub["nonfin"].sum()),
+                float(mn.min()) if len(mn) else np.nan,
+                float(mx.max()) if len(mx) else np.nan))
+    return pd.DataFrame(rows, columns=["tbl", "col", "n", "n_null",
+                                       "n_nonfinite", "mn", "mx"]
+                        ).astype({"n": "int64", "n_null": "int64",
+                                  "n_nonfinite": "int64"})
+
+
+def q_dup_row_census(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Full-row duplicate census over events — the ingestion
+    double-delivery check: rows identical across ALL six columns
+    under SQL GROUP BY equality (NULLs group together; NaN groups
+    with NaN; −0.0 with 0.0 — both probed). Each row canonicalizes to
+    ``repr``-encoded fields (ints exact, shortest-roundtrip float
+    repr, escaped strings — unambiguous without delimiters) → md5 →
+    the (hash, count) exchange (same hash ⇒ same bucket ⇒ global
+    counts); the driver folds P (rows, distinct, max-mult) triples.
+    Exact ints throughout."""
+    import hashlib
+
+    from .pairs import hash_shuffle, str_u64
+
+    _E = pa.table({"h": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "event_id" not in t.schema.names:
+            return _E
+        eid = t.column("event_id").to_pylist()
+        ts = t.column("ts").cast(pa.int64()).to_pylist()
+        uid = t.column("user_id").to_pylist()
+        ty = t.column("event_type").to_pylist()
+        val = t.column("value").to_pylist()
+        pr = t.column("props").to_pylist()
+        keys = []
+        for row in zip(eid, ts, uid, ty, val, pr):
+            e, s_, u, y, v, p = row
+            if isinstance(v, float):
+                if v != v:
+                    v = "NaN"          # NaN groups with NaN
+                elif v == 0.0:
+                    v = 0.0            # −0.0 groups with 0.0
+            keys.append(hashlib.md5(
+                repr((e, s_, u, y, v, p)).encode()).hexdigest())
+        g = pd.Series(keys).value_counts()
+        h = list(g.index)
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "c": pa.array(g.to_numpy(np.int64)),
+                         "bucket": pa.array(np.array(
+                             [str_u64(x) & (P - 1) for x in h],
+                             np.int64))})
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(3, np.int64)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("h")["c"].sum())
+        v = g.to_numpy(np.int64)
+        return np.array([int(v.sum()), len(v), int(v.max())],
+                        np.int64)
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value", "props"])
+    parts = [np.atleast_1d(p) for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)]
+    n = sum(int(p[0]) for p in parts)
+    nd = sum(int(p[1]) for p in parts)
+    mx = max((int(p[2]) for p in parts), default=0)
+    cols = {"n_rows": pd.Series(dtype="int64"),
+            "n_distinct": pd.Series(dtype="int64"),
+            "n_dup_rows": pd.Series(dtype="int64"),
+            "max_multiplicity": pd.Series(dtype="int64")}
+    if n == 0:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n_rows": pd.array([n], "int64"),
+        "n_distinct": pd.array([nd], "int64"),
+        "n_dup_rows": pd.array([n - nd], "int64"),
+        "max_multiplicity": pd.array([mx], "int64")})
