@@ -577,6 +577,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q315_dup_cluster_sizes": dedup.q_dup_cluster_sizes,
         "q320_numeric_profile": analytics.q_numeric_profile,
         "q321_dup_row_census": analytics.q_dup_row_census,
+        "q322_hubness": similarity.q_hubness,
+        "q323_top_share": analytics.q_top_share,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4087,6 +4089,54 @@ def oracle_sql() -> dict[str, str]:
                        ::BIGINT AS n_dup_rows,
                    max(c)::BIGINT AS max_multiplicity
             FROM g
+        """,
+        "q322_hubness": """
+            WITH e2 AS MATERIALIZED (
+                SELECT vec_id, embedding FROM embeddings
+                WHERE embedding IS NOT NULL),
+            s AS (SELECT a.vec_id AS q, b.vec_id AS nbr,
+                         list_cosine_similarity(b.embedding,
+                                                a.embedding) AS sim
+                  FROM e2 a, e2 b WHERE a.vec_id <> b.vec_id),
+            r AS (SELECT q, nbr,
+                         row_number() OVER (PARTITION BY q
+                                            ORDER BY sim DESC, nbr)
+                             AS rk
+                  FROM s),
+            occ AS (SELECT nbr, count(*)::BIGINT AS k FROM r
+                    WHERE rk <= 10 GROUP BY nbr),
+            allp AS (SELECT e2.vec_id,
+                            coalesce(occ.k, 0)::BIGINT AS k
+                     FROM e2 LEFT JOIN occ
+                          ON e2.vec_id = occ.nbr)
+            SELECT k AS k_occurrence, count(*)::BIGINT AS n_points
+            FROM allp GROUP BY k ORDER BY k
+        """,
+        "q323_top_share": """
+            WITH c AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100)
+                                AS BIGINT))::BIGINT AS rev
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY o_custkey),
+            r AS (SELECT rev,
+                         row_number() OVER (ORDER BY rev DESC,
+                                            o_custkey) AS rk
+                  FROM c),
+            t AS (SELECT count(*)::BIGINT AS n,
+                         sum(rev)::BIGINT AS tot FROM c)
+            SELECT t.n AS n_customers,
+                   CAST(ceil(0.01 * t.n) AS BIGINT) AS k_top,
+                   (SELECT sum(rev) FROM r
+                    WHERE rk <= ceil(0.01 * t.n))::BIGINT
+                       AS top_rev_cents,
+                   t.tot AS total_rev_cents,
+                   round((SELECT sum(rev) FROM r
+                          WHERE rk <= ceil(0.01 * t.n))::DOUBLE
+                         / t.tot, 6) AS top_share
+            FROM t WHERE t.n > 0
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

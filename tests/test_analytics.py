@@ -2212,3 +2212,22 @@ def test_dup_row_census_group_semantics(ray_session, tmp_path):
     assert out["n_distinct"].tolist() == [3]
     assert out["n_dup_rows"].tolist() == [2]
     assert out["max_multiplicity"].tolist() == [2]
+
+
+def test_top_share_hand_example(ray_session, tmp_path):
+    """q323: 100 customers, top-1% = 1 customer (the 9900-cent
+    whale) → share = 9900/(9900+99·100)."""
+    from web_scrapper_ray.pipelines.analytics import q_top_share
+
+    n = 100
+    keys = list(range(n))
+    prices = [99.0] + [1.0] * (n - 1)
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(keys, pa.int64()),
+        "o_totalprice": pa.array(prices, pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_top_share(str(tmp_path))
+    assert out["n_customers"].tolist() == [100]
+    assert out["k_top"].tolist() == [1]
+    assert out["top_rev_cents"].tolist() == [9900]
+    assert out["top_share"].tolist() == [round(9900 / 19800, 6)]

@@ -2698,3 +2698,31 @@ def test_binary_hash_recall_sign_separable(ray_session, tmp_path):
     assert out["n_probes"].tolist() == [3]
     assert out["mean_recall"].tolist() == [1.0]
     assert out["mean_hamming"].tolist() == [0.0]
+
+
+def test_hubness_planted_hub(ray_session, tmp_path):
+    """q322: one centroid point near every cluster is retrieved by
+    all probes (k-occurrence = n−1); distant satellites mostly
+    retrieve the hub + their twin."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines.similarity import q_hubness
+
+    hub = np.ones(8)
+    vecs = [hub.tolist()]
+    rng = np.random.default_rng(2)
+    for i in range(6):
+        v = hub + 0.01 * rng.standard_normal(8)
+        vecs.append(v.tolist())
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(7)), pa.int64()),
+        "embedding": pa.array([[float(x) for x in v] for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * 7, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_hubness(str(tmp_path), k=2)
+    # every point lands in some top-2 lists; total occurrences = 7*2
+    assert int((out["k_occurrence"] * out["n_points"]).sum()) == 14
+    assert int(out["n_points"].sum()) == 7

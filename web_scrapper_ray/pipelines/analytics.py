@@ -12008,3 +12008,76 @@ def q_dup_row_census(sf_dir: str, P: int = 32) -> pd.DataFrame:
         "n_distinct": pd.array([nd], "int64"),
         "n_dup_rows": pd.array([n - nd], "int64"),
         "max_multiplicity": pd.array([mx], "int64")})
+
+
+def q_top_share(sf_dir: str, frac: float = 0.01) -> pd.DataFrame:
+    """Revenue concentration: the share of total order revenue held
+    by the top 1% of customers — the single Lorenz-curve point
+    management actually asks for (q143's Gini compresses the whole
+    curve; this reads one end of it). One custkey exchange of exact-
+    cents per-customer partials; the driver folds the customer-domain
+    totals, ranks (rev DESC, custkey) and sums the top ⌈frac·n⌉
+    exactly. One final division. NULL custkey / non-finite prices
+    are out of contract."""
+    from .pairs import hash_shuffle
+
+    P = 16
+    _E = pa.table({"cust": pa.array([], pa.int64()),
+                   "rev": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("o_custkey")),
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                         False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        c = t2.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"cust": pa.array(u), "rev": pa.array(s),
+                         "bucket": pa.array((u % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"cust": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby("cust", as_index=False)["rev"].sum())
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"n_customers": pd.Series(dtype="int64"),
+            "k_top": pd.Series(dtype="int64"),
+            "top_rev_cents": pd.Series(dtype="int64"),
+            "total_rev_cents": pd.Series(dtype="int64"),
+            "top_share": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    rev = df["rev"].to_numpy(np.int64)
+    cust = df["cust"].to_numpy(np.int64)
+    n = len(rev)
+    kt = int(np.ceil(frac * n))
+    o = np.lexsort((cust, -rev))[:kt]
+    top = int(rev[o].sum())
+    tot = int(rev.sum())
+    share = np.nan if tot == 0 else float(top) / tot
+    return pd.DataFrame({
+        "n_customers": pd.array([n], "int64"),
+        "k_top": pd.array([kt], "int64"),
+        "top_rev_cents": pd.array([top], "int64"),
+        "total_rev_cents": pd.array([tot], "int64"),
+        "top_share": round_away(np.array([share]), 6)})

@@ -2248,3 +2248,36 @@ def q_binary_hash_recall(sf_dir: str,
         "mean_recall": np.round([float(np.mean(recalls))], 6),
         "mean_hamming": np.round(
             [float(top["ham"].mean())], 6)})
+
+
+def q_hubness(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Retrieval hubness census — the embedding-space pathology check
+    (Radovanović et al.): with every point as a probe, N_k(x) = how
+    many probes retrieve x in their exact top-k; a healthy space has
+    a tight distribution, a hubby one grows heavy right tails (hubs)
+    and a mass at zero (anti-hubs). Exact by construction: the probe
+    set is the whole (valid) corpus run through q24's streamed
+    brute-force scan (broadcast probe matrix, per-batch local top-k
+    partials, q24's tie rule), then one occurrence fold and a
+    histogram over exact ints. At 10¹⁰ rows the same op runs with a
+    deterministic probe SAMPLE (md5 order) — the histogram is then an
+    estimate; here the corpus is the embeddings DIM table, so the
+    full quadratic scan is the documented contract."""
+    t = pads.dataset(os.path.join(
+        sf_dir, "embeddings.parquet")).to_table(
+        filter=pc.field("embedding").is_valid(),
+        columns=["vec_id"])
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    cols = {"k_occurrence": pd.Series(dtype="int64"),
+            "n_points": pd.Series(dtype="int64")}
+    if not len(ids):
+        return pd.DataFrame(cols)
+    res = q_knn_bruteforce(sf_dir, query_ids=tuple(int(i)
+                                                   for i in ids),
+                           k=k)
+    occ = res.groupby("neighbor_id").size()
+    kocc = occ.reindex(pd.Index(ids), fill_value=0).to_numpy(
+        np.int64)
+    u, n = np.unique(kocc, return_counts=True)
+    return pd.DataFrame({"k_occurrence": u,
+                         "n_points": n.astype(np.int64)})
