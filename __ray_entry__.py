@@ -579,6 +579,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q321_dup_row_census": analytics.q_dup_row_census,
         "q322_hubness": similarity.q_hubness,
         "q323_top_share": analytics.q_top_share,
+        "q324_length_quantile_report": textops.q_length_quantile_report,
+        "q325_double_fire_rate": analytics.q_double_fire_rate,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4137,6 +4139,48 @@ def oracle_sql() -> dict[str, str]:
                           WHERE rk <= ceil(0.01 * t.n))::DOUBLE
                          / t.tot, 6) AS top_share
             FROM t WHERE t.n > 0
+        """,
+        "q324_length_quantile_report": """
+            WITH x AS (
+                SELECT source, n_chars FROM documents
+                WHERE n_chars IS NOT NULL),
+            t AS (SELECT count(*)::BIGINT AS ntot FROM x),
+            g AS (SELECT source, count(*)::BIGINT AS n,
+                         quantile_disc(n_chars, 0.25)::BIGINT AS p25,
+                         quantile_disc(n_chars, 0.5)::BIGINT AS p50,
+                         quantile_disc(n_chars, 0.75)::BIGINT AS p75
+                  FROM x GROUP BY source),
+            r AS (SELECT g.*,
+                         (SELECT count(*) FROM x
+                          WHERE x.n_chars < g.p50)::BIGINT AS below
+                  FROM g)
+            SELECT source, n, p25, p50, p75,
+                   round(below::DOUBLE / t.ntot, 6)
+                       AS pooled_rank_p50
+            FROM r, t ORDER BY source
+        """,
+        "q325_double_fire_rate": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us,
+                       event_id
+                FROM events
+                WHERE user_id IS NOT NULL
+                  AND event_type IS NOT NULL AND ts IS NOT NULL),
+            w AS (SELECT event_type AS ty, us,
+                         lag(event_type) OVER (
+                             PARTITION BY user_id
+                             ORDER BY us, event_id) AS pty,
+                         lag(us) OVER (
+                             PARTITION BY user_id
+                             ORDER BY us, event_id) AS pus
+                  FROM e),
+            p AS (SELECT ty, (us - pus <= 1000000) AS fast FROM w
+                  WHERE pty IS NOT NULL AND ty = pty)
+            SELECT ty AS event_type, count(*)::BIGINT AS n_pairs,
+                   (count(*) FILTER (WHERE fast))::BIGINT AS n_fast,
+                   round((count(*) FILTER (WHERE fast))::DOUBLE
+                         / count(*), 6) AS fast_rate
+            FROM p GROUP BY ty ORDER BY ty
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2231,3 +2231,44 @@ def test_top_share_hand_example(ray_session, tmp_path):
     assert out["k_top"].tolist() == [1]
     assert out["top_rev_cents"].tolist() == [9900]
     assert out["top_share"].tolist() == [round(9900 / 19800, 6)]
+
+
+def test_length_quantile_report_hand(ray_session, tmp_path):
+    """q324: source a = 1..4 (p25=1, p50=2, p75=3, disc rule), source
+    b = 10,20 (p50 = 10); pooled rank of b's median counts all six
+    values below 10 → 4/6."""
+    from web_scrapper_ray.pipelines.textops import (
+        q_length_quantile_report)
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "a", "a", "b", "b"]),
+        "n_chars": pa.array([1, 2, 3, 4, 10, 20], pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_length_quantile_report(str(tmp_path))
+    a = out[out["source"] == "a"].iloc[0]
+    assert (a["p25"], a["p50"], a["p75"]) == (1, 2, 3)
+    assert a["pooled_rank_p50"] == round(1 / 6, 6)
+    b = out[out["source"] == "b"].iloc[0]
+    assert (b["p25"], b["p50"], b["p75"]) == (10, 10, 20)
+    assert b["pooled_rank_p50"] == round(4 / 6, 6)
+
+
+def test_double_fire_rate_hand(ray_session, tmp_path):
+    """q325: user 1 fires view twice 0.5 s apart (fast), then view →
+    purchase (type change, no pair), purchase again 5 s later (slow
+    pair)."""
+    from web_scrapper_ray.pipelines.analytics import q_double_fire_rate
+
+    us = [0, 500_000, 2_000_000, 7_000_000]
+    pq.write_table(pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "user_id": pa.array([1, 1, 1, 1], pa.int64()),
+        "event_type": pa.array(["view", "view", "purchase",
+                                "purchase"]),
+        "ts": pa.array(us, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_double_fire_rate(str(tmp_path))
+    assert out["event_type"].tolist() == ["purchase", "view"]
+    assert out["n_pairs"].tolist() == [1, 1]
+    assert out["n_fast"].tolist() == [0, 1]
+    assert out["fast_rate"].tolist() == [0.0, 1.0]

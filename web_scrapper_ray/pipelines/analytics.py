@@ -12081,3 +12081,105 @@ def q_top_share(sf_dir: str, frac: float = 0.01) -> pd.DataFrame:
         "top_rev_cents": pd.array([top], "int64"),
         "total_rev_cents": pd.array([tot], "int64"),
         "top_share": round_away(np.array([share]), 6)})
+
+
+def q_double_fire_rate(sf_dir: str, window_us: int = 1_000_000,
+                       B: int = 64) -> pd.DataFrame:
+    """Double-fire (accidental duplicate event) rate per event type —
+    the client-side instrumentation bug every event pipeline screens
+    for: among consecutive SAME-TYPE events of one user, the share
+    arriving within 1 s of the previous one. One user-keyed exchange
+    sorts each bucket once (q116's layout); consecutive same-user
+    same-type pairs fold to per-type (n_pairs, n_fast) int partials.
+    Type keys ride NUL-safe codes; one division per type. NULL
+    user/ts/type rows are out of contract on both sides."""
+    from .pairs import factorize_strings, hash_shuffle
+
+    _E = pa.table({"event_id": pa.array([], pa.int64()),
+                   "user_id": pa.array([], pa.int64()),
+                   "event_type": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(pc.fill_null(t2.column("event_id"),
+                                             _IMAX), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t2.column("event_type"),
+                                  pa.string()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"ty": pd.Series(dtype="object"),
+                "n_pairs": pd.Series(dtype="int64"),
+                "n_fast": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .sort_values(["user_id", "ts", "event_id"],
+                           kind="stable").reset_index(drop=True))
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        ty = df["event_type"].to_numpy(object)
+        if len(u) < 2:
+            return pd.DataFrame(cols)
+        same_user = u[1:] == u[:-1]
+        tcodes, _ = factorize_strings(pd.Series(ty, dtype=object))
+        same_type = tcodes[1:] == tcodes[:-1]
+        m = same_user & same_type
+        if not m.any():
+            return pd.DataFrame(cols)
+        fast = ((ts[1:] - ts[:-1]) <= window_us) & m
+        codes, uniq = factorize_strings(
+            pd.Series(ty[1:][m], dtype=object))
+        k = len(uniq)
+        pairs = np.bincount(codes, minlength=k).astype(np.int64)
+        nf = np.zeros(k, np.int64)
+        np.add.at(nf, codes, fast[m].astype(np.int64))
+        return pd.DataFrame({"ty": pd.Series(list(uniq),
+                                             dtype=object),
+                             "n_pairs": pairs, "n_fast": nf})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n_pairs": pd.Series(dtype="int64"),
+            "n_fast": pd.Series(dtype="int64"),
+            "fast_rate": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    from .pairs import factorize_strings as _fs
+
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = _fs(df["ty"])
+    agg_p = [0] * len(uniq)
+    agg_f = [0] * len(uniq)
+    for c, p_, f_ in zip(codes, df["n_pairs"].tolist(),
+                         df["n_fast"].tolist()):
+        agg_p[c] += p_
+        agg_f[c] += f_
+    order = sorted(range(len(uniq)), key=lambda i: uniq[i])
+    return pd.DataFrame({
+        "event_type": pd.Series([uniq[i] for i in order],
+                                dtype=object),
+        "n_pairs": pd.array([agg_p[i] for i in order], "int64"),
+        "n_fast": pd.array([agg_f[i] for i in order], "int64"),
+        "fast_rate": round_away(np.array(
+            [float(agg_f[i]) / agg_p[i] for i in order],
+            np.float64), 6)})

@@ -3860,3 +3860,109 @@ def q_token_budget_mix(sf_dir: str) -> pd.DataFrame:
             np.array([o[2] for o in out], np.float64), 6),
         "chars": pd.array([o[3] for o in out], "int64"),
         "chars_taken": pd.array([o[4] for o in out], "int64")})
+
+
+def q_length_quantile_report(sf_dir: str) -> pd.DataFrame:
+    """Per-source document-length quantile report with POOLED
+    context — the quantile-normalization table a cross-source length
+    harmonizer starts from: each source's exact p25/p50/p75 of
+    n_chars (quantile_disc rank rule ceil(p·n)−1, q99/q274) plus the
+    pooled percentile rank of the source median (share of ALL
+    lengths strictly below it — an exact-int count ratio, so a
+    source that skews long is visible at a glance). One exchange of
+    per-batch (source, n_chars, count) combiners partitioned on the
+    LENGTH value (so pooled below-counts per distinct length are
+    global per bucket); the driver folds the distinct-length domain
+    per source. NULL n_chars drops; NULL source IS a group."""
+    import pyarrow.compute as pc
+
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    P = 16
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "v": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_chars" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("n_chars")))
+        if t2.num_rows == 0:
+            return _E
+        x = t2.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        src = pd.Series(t2.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        g = (pd.DataFrame({"sc": codes, "v": x})
+             .groupby(["sc", "v"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "src": pa.array([uniq[i] for i in g["sc"]], pa.string()),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                np.abs(g["v"].to_numpy(np.int64)) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"src": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        from .pairs import coded_keys
+
+        cj, restore = coded_keys(df, ["src"])
+        return restore(cj.groupby(["src", "v"], as_index=False)
+                       ["c"].sum())
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in _docs(sf_dir,
+                                columns=["source", "n_chars"])
+         .to_arrow_refs()], split, merge, P=P) if len(p)]
+    cols = {"source": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "p25": pd.Series(dtype="int64"),
+            "p50": pd.Series(dtype="int64"),
+            "p75": pd.Series(dtype="int64"),
+            "pooled_rank_p50": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["src"], use_na_sentinel=False)
+    df = df.assign(sc=codes)
+    pooled = (df.groupby("v", as_index=False)["c"].sum()
+              .sort_values("v").reset_index(drop=True))
+    pv = pooled["v"].to_numpy(np.int64)
+    pcum = np.cumsum(pooled["c"].to_numpy(np.int64))
+    ntot = int(pcum[-1])
+    out = []
+    for sc in sorted(set(codes),
+                     key=lambda i: (uniq[i] == _NULL, uniq[i])):
+        sub = (df[df["sc"] == sc].groupby("v", as_index=False)
+               ["c"].sum().sort_values("v"))
+        v = sub["v"].to_numpy(np.int64)
+        cum = np.cumsum(sub["c"].to_numpy(np.int64))
+        n = int(cum[-1])
+        qs = []
+        for pq_ in (0.25, 0.5, 0.75):
+            idx = int(np.ceil(pq_ * n)) - 1      # quantile_disc rule
+            qs.append(int(v[np.searchsorted(cum, idx,
+                                            side="right")]))
+        med = qs[1]
+        pos = np.searchsorted(pv, med, side="left")
+        below = int(pcum[pos - 1]) if pos > 0 else 0
+        key = uniq[sc]
+        out.append((None if key == _NULL else key[1:], n,
+                    qs[0], qs[1], qs[2], float(below) / ntot))
+    return pd.DataFrame({
+        "source": pd.Series([o[0] for o in out], dtype=object),
+        "n": pd.array([o[1] for o in out], "int64"),
+        "p25": pd.array([o[2] for o in out], "int64"),
+        "p50": pd.array([o[3] for o in out], "int64"),
+        "p75": pd.array([o[4] for o in out], "int64"),
+        "pooled_rank_p50": round_away(
+            np.array([o[5] for o in out], np.float64), 6)})
