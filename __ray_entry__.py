@@ -581,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q323_top_share": analytics.q_top_share,
         "q324_length_quantile_report": textops.q_length_quantile_report,
         "q325_double_fire_rate": analytics.q_double_fire_rate,
+        "q326_range_partitioner": layout.q_range_partitioner,
+        "q327_skew_advisor": layout.q_skew_advisor,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4181,6 +4183,50 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE fast))::DOUBLE
                          / count(*), 6) AS fast_rate
             FROM p GROUP BY ty ORDER BY ty
+        """,
+        "q326_range_partitioner": """
+            -- TeraSort partitioner manifest: md5-deterministic
+            -- sample -> quantile splitters -> interval counts
+            WITH x AS (
+                SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+                           AS cents,
+                       md5(CAST(o_orderkey AS VARCHAR)) AS h
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                  AND isfinite(o_totalprice)),
+            s AS (SELECT cents FROM x ORDER BY h, cents LIMIT 256),
+            cuts AS (SELECT DISTINCT cut FROM (
+                SELECT quantile_disc(cents, 0.125) AS cut FROM s
+                UNION ALL SELECT quantile_disc(cents, 0.25) FROM s
+                UNION ALL SELECT quantile_disc(cents, 0.375) FROM s
+                UNION ALL SELECT quantile_disc(cents, 0.5) FROM s
+                UNION ALL SELECT quantile_disc(cents, 0.625) FROM s
+                UNION ALL SELECT quantile_disc(cents, 0.75) FROM s
+                UNION ALL SELECT quantile_disc(cents, 0.875)
+                    FROM s)),
+            b AS (SELECT (SELECT count(*) FROM cuts
+                          WHERE cut <= x.cents)::BIGINT AS part,
+                         cents
+                  FROM x)
+            SELECT part, count(*)::BIGINT AS n,
+                   min(cents) AS mn_cents, max(cents) AS mx_cents
+            FROM b GROUP BY part ORDER BY part
+        """,
+        "q327_skew_advisor": """
+            WITH x AS (
+                SELECT user_id,
+                       ('0x' || substr(md5(CAST(user_id
+                                                AS VARCHAR)),
+                                       1, 13))::BIGINT % 32
+                           AS bucket
+                FROM events WHERE user_id IS NOT NULL),
+            g AS (SELECT bucket, count(*)::BIGINT AS n_rows,
+                         count(DISTINCT user_id)::BIGINT AS n_keys
+                  FROM x GROUP BY bucket),
+            t AS (SELECT sum(n_rows)::BIGINT AS tot FROM g)
+            SELECT bucket, n_rows, n_keys,
+                   round(n_rows::DOUBLE / t.tot, 6) AS load_share
+            FROM g, t ORDER BY bucket
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2272,3 +2272,41 @@ def test_double_fire_rate_hand(ray_session, tmp_path):
     assert out["n_pairs"].tolist() == [1, 1]
     assert out["n_fast"].tolist() == [0, 1]
     assert out["fast_rate"].tolist() == [0.0, 1.0]
+
+
+def test_range_partitioner_global_order(ray_session, tmp_path):
+    """q326: partition manifests prove the global order — max of
+    part i never exceeds min of part i+1, counts add to n."""
+    from web_scrapper_ray.pipelines.layout import q_range_partitioner
+
+    rng = np.random.default_rng(11)
+    n = 400
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(n)), pa.int64()),
+        "o_totalprice": pa.array(
+            rng.uniform(1, 1000, n).round(2), pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_range_partitioner(str(tmp_path))
+    assert int(out["n"].sum()) == n
+    mx = out["mx_cents"].to_numpy()
+    mn = out["mn_cents"].to_numpy()
+    assert (mx[:-1] <= mn[1:]).all()
+
+
+def test_skew_advisor_hot_key(ray_session, tmp_path):
+    """q327: one user with 90 of 100 rows makes its md5 bucket carry
+    ~90% of the load with a single key."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.layout import q_skew_advisor
+
+    users = [7] * 90 + list(range(100, 110))
+    pq.write_table(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_skew_advisor(str(tmp_path))
+    hot = int(hashlib.md5(b"7").hexdigest()[:13], 16) % 32
+    row = out[out["bucket"] == hot].iloc[0]
+    assert row["n_rows"] >= 90
+    assert int(out["n_rows"].sum()) == 100
+    assert row["load_share"] >= 0.9

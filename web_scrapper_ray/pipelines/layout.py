@@ -206,3 +206,180 @@ def q_zorder_layout(sf_dir: str, partitions: int = 64) -> pd.DataFrame:
     for c in out.columns:
         out[c] = out[c].astype(np.int64)
     return out.sort_values("partition").reset_index(drop=True)
+
+
+def q_range_partitioner(sf_dir: str, P: int = 8,
+                        sample_k: int = 256) -> pd.DataFrame:
+    """TeraSort-style sampled range partitioner over order totals —
+    the layout primitive behind every distributed total-order sort:
+    (1) a DETERMINISTIC sample (the sample_k orders with the lowest
+    md5(orderkey) — per-batch local top-k partials, driver merge;
+    q244's cross-language coin, so the splitters are identical on any
+    partitioning), (2) splitters = the sample's P−1 quantile_disc
+    cut points, (3) one range exchange routing every row to its
+    splitter interval (searchsorted right), (4) per-partition
+    manifests (n, exact min/max cents). The manifest IS the proof of
+    global order: max(part i) ≤ min(part i+1). Non-finite prices and
+    NULL keys are out of contract."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import _read
+    from .pairs import hash_shuffle
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey",
+                                          "o_totalprice"])
+    cols = {"part": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "mn_cents": pd.Series(dtype="int64"),
+            "mx_cents": pd.Series(dtype="int64")}
+
+    def prep(t: pa.Table):
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("o_orderkey")),
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                         False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return None
+        k = t2.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        return k, cents
+
+    # pass 1: deterministic md5 sample — per-batch local top-k
+    def sample_partial(t: pa.Table) -> pa.Table:
+        E = pa.table({"h": pa.array([], pa.string()),
+                      "cents": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return E
+        got = prep(t)
+        if got is None:
+            return E
+        k, cents = got
+        h = [hashlib.md5(str(x).encode()).hexdigest() for x in k]
+        # tie-break by cents (duplicate orderkeys share the md5)
+        o = np.lexsort((cents, np.array(h, dtype=object)))[:sample_k]
+        return pa.table({"h": pa.array([h[i] for i in o],
+                                       pa.string()),
+                         "cents": pa.array(cents[o])})
+
+    sm = ds.map_batches(sample_partial,
+                        batch_format="pyarrow").to_pandas()
+    if not len(sm):
+        return pd.DataFrame(cols)
+    sm = sm.sort_values(["h", "cents"]).head(sample_k)
+    sv = np.sort(sm["cents"].to_numpy(np.int64))
+    ns = len(sv)
+    # splitters: quantile_disc(i/P) of the sample, i = 1..P-1
+    cuts = np.array(sorted({int(sv[int(np.ceil(i / P * ns)) - 1])
+                            for i in range(1, P)}), np.int64)
+
+    def split(t: pa.Table) -> pa.Table:
+        E = pa.table({"cents": pa.array([], pa.int64()),
+                      "bucket": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "o_orderkey" not in t.schema.names:
+            return E
+        got = prep(t)
+        if got is None:
+            return E
+        _, cents = got
+        b = np.searchsorted(cuts, cents, side="right")
+        return pa.table({"cents": pa.array(cents),
+                         "bucket": pa.array(b.astype(np.int64))})
+
+    def merge(*tabs) -> tuple:
+        live = [x for x in tabs if x.num_rows]
+        if not live:
+            return (-1, 0, 0, 0)
+        bid = int(live[0].column("bucket")[0].as_py())
+        c = np.concatenate([x.column("cents").to_numpy()
+                            for x in live])
+        return (bid, len(c), int(c.min()), int(c.max()))
+
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=len(cuts) + 1)
+    rows = sorted(p for p in parts if p[0] >= 0)
+    return pd.DataFrame({
+        "part": pd.array([r[0] for r in rows], "int64"),
+        "n": pd.array([r[1] for r in rows], "int64"),
+        "mn_cents": pd.array([r[2] for r in rows], "int64"),
+        "mx_cents": pd.array([r[3] for r in rows], "int64")})
+
+
+def q_skew_advisor(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Shuffle-skew advisor for the user_id grouping key — before a
+    32-way hash exchange, see exactly what each bucket would carry:
+    rows, distinct keys and load share per bucket under the
+    md5-prefix partitioner (the engine's cross-language deterministic
+    hash, q297/q300). A hot key shows up as a bucket whose rows
+    dwarf its key count — the signal to salt it. Per-batch
+    (bucket, user, count) combiners → one bucket-keyed exchange
+    (distinct users per bucket are global there) → the driver folds
+    P three-int rows. Exact ints; one division per bucket. NULL
+    user_id rows are out of contract."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .pairs import hash_shuffle
+    from .relational import _read
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("user_id")))
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        uu, cc = np.unique(u, return_counts=True)
+        b = np.array([int(hashlib.md5(str(x).encode())
+                          .hexdigest()[:13], 16) % P for x in uu],
+                     np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "c": pa.array(cc.astype(np.int64)),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> tuple:
+        live = [x for x in tabs if x.num_rows]
+        if not live:
+            return (-1, 0, 0)
+        bid = int(live[0].column("bucket")[0].as_py())
+        df = pa.concat_tables(
+            [x.drop_columns(["bucket"]) for x in live]).to_pandas()
+        g = df.groupby("user_id")["c"].sum()
+        return (bid, int(g.sum()), len(g))
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    parts = sorted(p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if p[0] >= 0)
+    cols = {"bucket": pd.Series(dtype="int64"),
+            "n_rows": pd.Series(dtype="int64"),
+            "n_keys": pd.Series(dtype="int64"),
+            "load_share": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    tot = sum(p[1] for p in parts)
+    from .pairs import round_away
+
+    return pd.DataFrame({
+        "bucket": pd.array([p[0] for p in parts], "int64"),
+        "n_rows": pd.array([p[1] for p in parts], "int64"),
+        "n_keys": pd.array([p[2] for p in parts], "int64"),
+        "load_share": round_away(np.array(
+            [float(p[1]) / tot for p in parts], np.float64), 6)})
