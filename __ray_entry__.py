@@ -583,6 +583,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q325_double_fire_rate": analytics.q_double_fire_rate,
         "q326_range_partitioner": layout.q_range_partitioner,
         "q327_skew_advisor": layout.q_skew_advisor,
+        "q328_daily_ohlc": analytics.q_daily_ohlc,
+        "q329_dau_mau": analytics.q_dau_mau,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4227,6 +4229,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT bucket, n_rows, n_keys,
                    round(n_rows::DOUBLE / t.tot, 6) AS load_share
             FROM g, t ORDER BY bucket
+        """,
+        "q328_daily_ohlc": """
+            WITH e AS (
+                SELECT CAST(epoch_us(date_trunc('day', ts))
+                            // 86400000000 AS BIGINT) AS day,
+                       epoch_us(ts) AS us, event_id, value
+                FROM events
+                WHERE ts IS NOT NULL AND event_id IS NOT NULL
+                  AND isfinite(value)),
+            r AS (SELECT day, value,
+                         row_number() OVER (
+                             PARTITION BY day
+                             ORDER BY us, event_id) AS rn_a,
+                         row_number() OVER (
+                             PARTITION BY day
+                             ORDER BY us DESC, event_id DESC)
+                             AS rn_d
+                  FROM e),
+            a AS (SELECT day, count(*)::BIGINT AS n,
+                         min(value) AS lo, max(value) AS hi
+                  FROM e GROUP BY day)
+            SELECT a.day, round(o.value, 6) AS open,
+                   round(a.hi, 6) AS high, round(a.lo, 6) AS low,
+                   round(c.value, 6) AS close, a.n
+            FROM a JOIN r o ON a.day = o.day AND o.rn_a = 1
+                   JOIN r c ON a.day = c.day AND c.rn_d = 1
+            ORDER BY a.day
+        """,
+        "q329_dau_mau": """
+            WITH e AS (
+                SELECT user_id,
+                       CAST(epoch_us(date_trunc('day', ts))
+                            // 86400000000 AS BIGINT) AS day,
+                       CAST(epoch_us(date_trunc('month', ts))
+                            // 86400000000 AS BIGINT) AS month
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            ud AS (SELECT DISTINCT user_id, day, month FROM e),
+            dau AS (SELECT month, count(*)::BIGINT AS dau_sum
+                    FROM ud GROUP BY month),
+            mau AS (SELECT month,
+                           count(DISTINCT user_id)::BIGINT AS mau
+                    FROM ud GROUP BY month),
+            nd AS (SELECT month,
+                          count(DISTINCT day)::BIGINT AS n_days
+                   FROM ud GROUP BY month)
+            SELECT dau.month, nd.n_days, mau.mau,
+                   round(dau.dau_sum::DOUBLE / nd.n_days, 6)
+                       AS dau_avg,
+                   round(dau.dau_sum::DOUBLE / nd.n_days / mau.mau,
+                         6) AS stickiness
+            FROM dau JOIN mau USING (month) JOIN nd USING (month)
+            ORDER BY month
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

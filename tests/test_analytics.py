@@ -2310,3 +2310,39 @@ def test_skew_advisor_hot_key(ray_session, tmp_path):
     assert row["n_rows"] >= 90
     assert int(out["n_rows"].sum()) == 100
     assert row["load_share"] >= 0.9
+
+
+def test_daily_ohlc_tie_order(ray_session, tmp_path):
+    """q328: open/close follow (ts, event_id) order exactly — equal
+    timestamps break by event_id; NaN values are excluded."""
+    from web_scrapper_ray.pipelines.analytics import q_daily_ohlc
+
+    pq.write_table(pa.table({
+        "event_id": pa.array([2, 1, 3, 4], pa.int64()),
+        "ts": pa.array([0, 0, 500, 900], pa.timestamp("us")),
+        "value": pa.array([5.0, 1.0, float("nan"), 9.0],
+                          pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_daily_ohlc(str(tmp_path))
+    assert out["open"].tolist() == [1.0]    # eid 1 wins the ts tie
+    assert out["close"].tolist() == [9.0]
+    assert out["high"].tolist() == [9.0]
+    assert out["low"].tolist() == [1.0]
+    assert out["n"].tolist() == [3]
+
+
+def test_dau_mau_hand(ray_session, tmp_path):
+    """q329: 2 days; user 1 active both days, user 2 once → ΣDAU=3,
+    MAU=2, stickiness = (3/2)/2."""
+    from web_scrapper_ray.pipelines.analytics import q_dau_mau
+
+    DAY = 86_400_000_000
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+        "ts": pa.array([0, 10, DAY, DAY + 5], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_dau_mau(str(tmp_path))
+    assert out["n_days"].tolist() == [2]
+    assert out["mau"].tolist() == [2]
+    assert out["dau_avg"].tolist() == [1.5]
+    assert out["stickiness"].tolist() == [0.75]

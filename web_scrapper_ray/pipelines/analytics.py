@@ -12183,3 +12183,210 @@ def q_double_fire_rate(sf_dir: str, window_us: int = 1_000_000,
         "fast_rate": round_away(np.array(
             [float(agg_f[i]) / agg_p[i] for i in order],
             np.float64), 6)})
+
+
+def q_daily_ohlc(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Daily OHLC downsample of event values — the classic
+    time-series compaction (open/high/low/close per calendar day),
+    with open/close selected by the exact (ts, event_id) order so ties
+    are deterministic. Per-batch per-day combiners carry (first-key,
+    open, last-key, close, min, max, n) — the textbook associative
+    OHLC merge — through one day-keyed exchange; the driver folds
+    #days rows. Non-finite values are excluded on both sides (SQL
+    min/NaN quirks never enter); NULL ts/event_id rows are out of
+    contract."""
+    from .pairs import hash_shuffle, round_away
+
+    DAY = 86_400_000_000
+    _E = pa.table({"day": pa.array([], pa.int64()),
+                   "k1": pa.array([], pa.int64()),
+                   "e1": pa.array([], pa.int64()),
+                   "o": pa.array([], pa.float64()),
+                   "k2": pa.array([], pa.int64()),
+                   "e2": pa.array([], pa.int64()),
+                   "cl": pa.array([], pa.float64()),
+                   "lo": pa.array([], pa.float64()),
+                   "hi": pa.array([], pa.float64()),
+                   "n": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("ts")),
+                               pc.is_valid(t.column("event_id"))),
+                       pc.fill_null(pc.is_finite(t.column("value")),
+                                    False))
+        t2 = t.filter(keep)
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        eid = t2.column("event_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = t2.column("value").to_numpy(zero_copy_only=False)
+        day = np.floor_divide(us, DAY)
+        df = pd.DataFrame({"day": day, "us": us, "eid": eid, "v": v})
+        df = df.sort_values(["day", "us", "eid"],
+                            kind="stable").reset_index(drop=True)
+        g = df.groupby("day", sort=True)
+        first = g.head(1).reset_index(drop=True)
+        last = g.tail(1).reset_index(drop=True)
+        agg = g["v"].agg(["min", "max", "size"]).reset_index()
+        u = first["day"].to_numpy(np.int64)
+        return pa.table({
+            "day": pa.array(u),
+            "k1": pa.array(first["us"].to_numpy(np.int64)),
+            "e1": pa.array(first["eid"].to_numpy(np.int64)),
+            "o": pa.array(first["v"].to_numpy(np.float64)),
+            "k2": pa.array(last["us"].to_numpy(np.int64)),
+            "e2": pa.array(last["eid"].to_numpy(np.int64)),
+            "cl": pa.array(last["v"].to_numpy(np.float64)),
+            "lo": pa.array(agg["min"].to_numpy(np.float64)),
+            "hi": pa.array(agg["max"].to_numpy(np.float64)),
+            "n": pa.array(agg["size"].to_numpy(np.int64)),
+            "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"day": pd.Series(dtype="int64"),
+                "open": pd.Series(dtype="float64"),
+                "high": pd.Series(dtype="float64"),
+                "low": pd.Series(dtype="float64"),
+                "close": pd.Series(dtype="float64"),
+                "n": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        out = []
+        for day, sub in df.groupby("day", sort=True):
+            fo = sub.loc[sub[["k1", "e1"]].apply(tuple, axis=1)
+                         .idxmin()]
+            la = sub.loc[sub[["k2", "e2"]].apply(tuple, axis=1)
+                         .idxmax()]
+            out.append((int(day), float(fo["o"]),
+                        float(sub["hi"].max()),
+                        float(sub["lo"].min()), float(la["cl"]),
+                        int(sub["n"].sum())))
+        return pd.DataFrame(out, columns=["day", "open", "high",
+                                          "low", "close", "n"])
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "value"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"day": pd.Series(dtype="int64"),
+            "open": pd.Series(dtype="float64"),
+            "high": pd.Series(dtype="float64"),
+            "low": pd.Series(dtype="float64"),
+            "close": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    out = (pd.concat(parts, ignore_index=True)
+           .sort_values("day").reset_index(drop=True))
+    for c in ("open", "high", "low", "close"):
+        out[c] = round_away(out[c].to_numpy(np.float64), 6)
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
+def q_dau_mau(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """DAU/MAU stickiness per month — the product-health ratio: mean
+    daily active users over monthly active users. Distinct-user
+    counting at two granularities rides ONE user-keyed exchange:
+    per-batch distinct (user, day) pairs → user buckets, where each
+    user's day set is globally assembled, contributing exact
+    (day-count, month-presence) partials — no double counting under
+    any partitioning. The driver folds per-month (Σ DAU, MAU,
+    n_days); stickiness = (ΣDAU/days)/MAU with the divisions in the
+    oracle's literal order. NULL user/ts out of contract."""
+    from .pairs import hash_shuffle, round_away
+
+    DAY = 86_400_000_000
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "day": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, DAY)
+        g = (pd.DataFrame({"u": u, "d": day})
+             .drop_duplicates())
+        uu = g["u"].to_numpy(np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "day": pa.array(g["d"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (uu % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"month": pd.Series(dtype="int64"),
+                "dau_sum": pd.Series(dtype="int64"),
+                "mau": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .drop_duplicates())              # global (user, day)
+        d = df["day"].to_numpy(np.int64)
+        month = (d.astype("datetime64[D]").astype("datetime64[M]")
+                 .astype("datetime64[D]").astype(np.int64))
+        df = df.assign(month=month)
+        dau = df.groupby("month").size()       # Σ over days of DAU
+        mau = df.drop_duplicates(["user_id", "month"]) \
+                .groupby("month").size()
+        return pd.DataFrame({"month": dau.index.to_numpy(np.int64),
+                             "dau_sum": dau.to_numpy(np.int64),
+                             "mau": mau.to_numpy(np.int64)})
+
+    # distinct days per month must come from ALL users, not one
+    # bucket — fold day sets separately (tiny): reuse the same split
+    def merge_days(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"day": pd.Series(dtype="int64")})
+        d = np.unique(np.concatenate(
+            [x.column("day").to_numpy() for x in live]))
+        return pd.DataFrame({"day": d})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    refs = [(r, ()) for r in ds.to_arrow_refs()]
+    parts = [p for p in hash_shuffle(refs, split, merge, P=P)
+             if len(p)]
+    dparts = [p for p in hash_shuffle(refs, split, merge_days, P=P)
+              if len(p)]
+    cols = {"month": pd.Series(dtype="int64"),
+            "n_days": pd.Series(dtype="int64"),
+            "mau": pd.Series(dtype="int64"),
+            "dau_avg": pd.Series(dtype="float64"),
+            "stickiness": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("month", as_index=False).sum())
+    days = np.unique(np.concatenate(
+        [p["day"].to_numpy(np.int64) for p in dparts]))
+    dmonth = (days.astype("datetime64[D]").astype("datetime64[M]")
+              .astype("datetime64[D]").astype(np.int64))
+    nd = pd.Series(dmonth).value_counts().sort_index()
+    g = g.sort_values("month").reset_index(drop=True)
+    ndays = nd.reindex(g["month"].to_numpy()).to_numpy(np.int64)
+    dau_avg = g["dau_sum"].to_numpy(np.int64).astype(np.float64) \
+        / ndays
+    stick = dau_avg / g["mau"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "month": g["month"].to_numpy(np.int64),
+        "n_days": ndays,
+        "mau": g["mau"].to_numpy(np.int64),
+        "dau_avg": round_away(dau_avg, 6),
+        "stickiness": round_away(stick, 6)})
