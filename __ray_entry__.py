@@ -585,6 +585,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q327_skew_advisor": layout.q_skew_advisor,
         "q328_daily_ohlc": analytics.q_daily_ohlc,
         "q329_dau_mau": analytics.q_dau_mau,
+        "q330_pii_rate": textops.q_pii_rate,
+        "q331_sentence_stats": textops.q_sentence_stats,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4282,6 +4284,47 @@ def oracle_sql() -> dict[str, str]:
                          6) AS stickiness
             FROM dau JOIN mau USING (month) JOIN nd USING (month)
             ORDER BY month
+        """,
+        "q330_pii_rate": """
+            WITH x AS (
+                SELECT source,
+                       coalesce(regexp_matches(lower(text),
+                           '[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}'
+                       ), FALSE) AS em,
+                       coalesce(regexp_matches(text,
+                           '\d{3}[-.]\d{3}[-.]\d{4}'), FALSE)
+                           AS ph
+                FROM documents),
+            g AS (SELECT source, count(*)::BIGINT AS n_docs,
+                         (count(*) FILTER (WHERE em))::BIGINT
+                             AS n_email,
+                         (count(*) FILTER (WHERE ph))::BIGINT
+                             AS n_phone
+                  FROM x GROUP BY source)
+            SELECT source, n_docs, n_email, n_phone,
+                   round(1000.0 * n_email / n_docs, 6)
+                       AS email_per_1k,
+                   round(1000.0 * n_phone / n_docs, 6)
+                       AS phone_per_1k
+            FROM g ORDER BY source
+        """,
+        "q331_sentence_stats": """
+            WITH x AS (
+                SELECT lang,
+                       coalesce(length(regexp_extract_all(
+                           text, '[.!?]+')), 0)::BIGINT AS s,
+                       coalesce(length(regexp_extract_all(
+                           lower(text), '\w+')), 0)::BIGINT AS w
+                FROM documents),
+            g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+                         sum(s)::BIGINT AS n_sentences,
+                         sum(w)::BIGINT AS n_words
+                  FROM x GROUP BY lang)
+            SELECT lang, n_docs, n_sentences, n_words,
+                   CASE WHEN n_sentences > 0 THEN
+                       round(n_words::DOUBLE / n_sentences, 6)
+                   END AS words_per_sentence
+            FROM g ORDER BY lang
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

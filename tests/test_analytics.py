@@ -2346,3 +2346,38 @@ def test_dau_mau_hand(ray_session, tmp_path):
     assert out["mau"].tolist() == [2]
     assert out["dau_avg"].tolist() == [1.5]
     assert out["stickiness"].tolist() == [0.75]
+
+
+def test_pii_rate_hand(ray_session, tmp_path):
+    """q330: the email doc and the dotted-phone doc are each counted
+    once per source; a doc with both counts in both columns."""
+    from web_scrapper_ray.pipelines.textops import q_pii_rate
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "a", "a", "b"]),
+        "text": pa.array(["write Bob@Example.COM today",
+                          "call 555-123-4567 or 999.888.7777",
+                          "nothing here",
+                          "x@y.io and 111-222-3333"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_pii_rate(str(tmp_path))
+    a = out[out["source"] == "a"].iloc[0]
+    assert (a["n_docs"], a["n_email"], a["n_phone"]) == (3, 1, 1)
+    b = out[out["source"] == "b"].iloc[0]
+    assert (b["n_email"], b["n_phone"]) == (1, 1)
+    assert b["email_per_1k"] == 1000.0
+
+
+def test_sentence_stats_hand(ray_session, tmp_path):
+    """q331: 'Hi there. Bye!?' is 2 sentence runs, 3 words; a NULL
+    text doc still counts toward n_docs."""
+    from web_scrapper_ray.pipelines.textops import q_sentence_stats
+
+    pq.write_table(pa.table({
+        "lang": pa.array(["en", "en"]),
+        "text": pa.array(["Hi there. Bye!?", None]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_sentence_stats(str(tmp_path))
+    r = out.iloc[0]
+    assert (r["n_docs"], r["n_sentences"], r["n_words"]) == (2, 2, 3)
+    assert r["words_per_sentence"] == 1.5

@@ -3966,3 +3966,152 @@ def q_length_quantile_report(sf_dir: str) -> pd.DataFrame:
         "p75": pd.array([o[4] for o in out], "int64"),
         "pooled_rank_p50": round_away(
             np.array([o[5] for o in out], np.float64), 6)})
+
+
+_EMAIL_RX = re.compile(r"[a-z0-9._%+\-]+@[a-z0-9.\-]+\.[a-z]{2,}")
+_PHONE_RX = re.compile(r"\d{3}[-.]\d{3}[-.]\d{4}")
+
+
+def q_pii_rate(sf_dir: str) -> pd.DataFrame:
+    """PII exposure rate per source — the redaction-priority report
+    upstream of q77's scrubber: per source, how many documents
+    contain an email or a phone pattern (both regexes probed for
+    Python-re ↔ DuckDB-RE2 parity), and the per-1000-doc rates. One
+    streamed pass of per-batch per-source int partials on NUL-safe
+    codes; two divisions per source. NULL text matches nothing; NULL
+    source IS a group."""
+    from .pairs import factorize_strings, round_away
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "em": pa.array([], pa.int64()),
+                   "ph": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        src = pd.Series(t.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        em = np.zeros(k, np.int64)
+        ph = np.zeros(k, np.int64)
+        for c, txt in zip(codes, t.column("text").to_pylist()):
+            if not txt:
+                continue
+            low = txt.lower()
+            if _EMAIL_RX.search(low):
+                em[c] += 1
+            if _PHONE_RX.search(txt):
+                ph[c] += 1
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "em": pa.array(em),
+                         "ph": pa.array(ph)})
+
+    parts = _docs(sf_dir, columns=["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_email": pd.Series(dtype="int64"),
+            "n_phone": pd.Series(dtype="int64"),
+            "email_per_1k": pd.Series(dtype="float64"),
+            "phone_per_1k": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"],
+                                    use_na_sentinel=False)
+    k = len(uniq)
+    n = [0] * k
+    em = [0] * k
+    ph = [0] * k
+    for c, a, b, d in zip(codes, parts["n"].tolist(),
+                          parts["em"].tolist(),
+                          parts["ph"].tolist()):
+        n[c] += a
+        em[c] += b
+        ph[c] += d
+    order = sorted(range(k), key=lambda i: (uniq[i] == _NULL,
+                                            uniq[i]))
+    return pd.DataFrame({
+        "source": pd.Series(
+            [None if uniq[i] == _NULL else uniq[i][1:]
+             for i in order], dtype=object),
+        "n_docs": pd.array([n[i] for i in order], "int64"),
+        "n_email": pd.array([em[i] for i in order], "int64"),
+        "n_phone": pd.array([ph[i] for i in order], "int64"),
+        "email_per_1k": round_away(np.array(
+            [1000.0 * em[i] / n[i] for i in order], np.float64), 6),
+        "phone_per_1k": round_away(np.array(
+            [1000.0 * ph[i] / n[i] for i in order], np.float64), 6)})
+
+
+_SENT_RX = re.compile(r"[.!?]+")
+
+
+def q_sentence_stats(sf_dir: str) -> pd.DataFrame:
+    """Sentence-shape stats per language — the readability companion
+    to q91: per lang, documents, sentence count (runs of [.!?]+, the
+    regex mirrored in SQL), word count, and words-per-sentence. All
+    counts exact ints from one streamed pass of per-batch per-lang
+    partials; one division. NULL lang IS a group; NULL text counts a
+    document with zero sentences/words."""
+    from .pairs import factorize_strings, round_away
+
+    _NULL = "\x00NULLLANG"
+    _E = pa.table({"lang": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.int64()),
+                   "w": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        lg = pd.Series(t.column("lang").to_pylist(), dtype=object)
+        keyed = lg.where(lg.isna(), "L" + lg).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        sc = np.zeros(k, np.int64)
+        wc = np.zeros(k, np.int64)
+        for c, txt in zip(codes, t.column("text").to_pylist()):
+            if not txt:
+                continue
+            sc[c] += len(_SENT_RX.findall(txt))
+            wc[c] += len(_TOKEN_RX.findall(txt.lower()))
+        return pa.table({"lang": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "s": pa.array(sc),
+                         "w": pa.array(wc)})
+
+    parts = _docs(sf_dir, columns=["lang", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cols = {"lang": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_sentences": pd.Series(dtype="int64"),
+            "n_words": pd.Series(dtype="int64"),
+            "words_per_sentence": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["lang"],
+                                    use_na_sentinel=False)
+    k = len(uniq)
+    n = [0] * k
+    sc = [0] * k
+    wc = [0] * k
+    for c, a, b, d in zip(codes, parts["n"].tolist(),
+                          parts["s"].tolist(), parts["w"].tolist()):
+        n[c] += a
+        sc[c] += b
+        wc[c] += d
+    order = sorted(range(k), key=lambda i: (uniq[i] == _NULL,
+                                            uniq[i]))
+    return pd.DataFrame({
+        "lang": pd.Series([None if uniq[i] == _NULL else uniq[i][1:]
+                           for i in order], dtype=object),
+        "n_docs": pd.array([n[i] for i in order], "int64"),
+        "n_sentences": pd.array([sc[i] for i in order], "int64"),
+        "n_words": pd.array([wc[i] for i in order], "int64"),
+        "words_per_sentence": round_away(np.array(
+            [np.nan if sc[i] == 0 else float(wc[i]) / sc[i]
+             for i in order], np.float64), 6)})
