@@ -587,6 +587,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q329_dau_mau": analytics.q_dau_mau,
         "q330_pii_rate": textops.q_pii_rate,
         "q331_sentence_stats": textops.q_sentence_stats,
+        "q332_nonascii_share": textops.q_nonascii_share,
+        "q333_term_burstiness": textops.q_term_burstiness,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4325,6 +4327,39 @@ def oracle_sql() -> dict[str, str]:
                        round(n_words::DOUBLE / n_sentences, 6)
                    END AS words_per_sentence
             FROM g ORDER BY lang
+        """,
+        "q332_nonascii_share": """
+            WITH x AS (
+                SELECT source,
+                       coalesce(length(text), 0)::BIGINT AS ch,
+                       coalesce(length(text)
+                                - length(regexp_replace(text,
+                                    '[^\\x00-\\x7F]', '', 'g')),
+                                0)::BIGINT AS na
+                FROM documents),
+            g AS (SELECT source, sum(ch)::BIGINT AS n_chars,
+                         sum(na)::BIGINT AS n_nonascii
+                  FROM x GROUP BY source)
+            SELECT source, n_chars, n_nonascii,
+                   CASE WHEN n_chars > 0 THEN
+                       round(n_nonascii::DOUBLE / n_chars, 6)
+                   END AS nonascii_share
+            FROM g ORDER BY source
+        """,
+        "q333_term_burstiness": """
+            -- df counts physical document ROWS (row_number), not
+            -- doc_id values — duplicate rows are separate documents
+            WITH dd AS (SELECT row_number() OVER () AS rid, text
+                        FROM documents),
+            d AS (SELECT rid, unnest(regexp_extract_all(
+                      lower(text), '\w+')) AS word
+                  FROM dd),
+            g AS (SELECT word, count(*)::BIGINT AS cf,
+                         count(DISTINCT rid)::BIGINT AS df
+                  FROM d GROUP BY word)
+            SELECT word, cf, df,
+                   round(cf::DOUBLE / df, 6) AS burstiness
+            FROM g ORDER BY cf DESC, word LIMIT 30
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

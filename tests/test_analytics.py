@@ -2381,3 +2381,35 @@ def test_sentence_stats_hand(ray_session, tmp_path):
     r = out.iloc[0]
     assert (r["n_docs"], r["n_sentences"], r["n_words"]) == (2, 2, 3)
     assert r["words_per_sentence"] == 1.5
+
+
+def test_nonascii_share_hand(ray_session, tmp_path):
+    """q332: 'héllo✓' has 2 non-ASCII of 6 chars; pure-ASCII source
+    reports 0."""
+    from web_scrapper_ray.pipelines.textops import q_nonascii_share
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "b"]),
+        "text": pa.array(["héllo✓", "plain"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_nonascii_share(str(tmp_path))
+    a = out[out["source"] == "a"].iloc[0]
+    assert (a["n_chars"], a["n_nonascii"]) == (6, 2)
+    assert a["nonascii_share"] == round(2 / 6, 6)
+    assert out[out["source"] == "b"].iloc[0]["nonascii_share"] == 0.0
+
+
+def test_term_burstiness_hand(ray_session, tmp_path):
+    """q333: 'x' appears 4 times in 1 doc (burstiness 4); 'y' once in
+    each of 2 docs (burstiness 1); duplicate rows are separate
+    documents."""
+    from web_scrapper_ray.pipelines.textops import q_term_burstiness
+
+    pq.write_table(pa.table({
+        "text": pa.array(["x x x x y", "y", "y"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_term_burstiness(str(tmp_path))
+    got = {r.word: (r.cf, r.df, r.burstiness)
+           for r in out.itertuples(index=False)}
+    assert got["x"] == (4, 1, 4.0)
+    assert got["y"] == (3, 3, 1.0)

@@ -4115,3 +4115,136 @@ def q_sentence_stats(sf_dir: str) -> pd.DataFrame:
         "words_per_sentence": round_away(np.array(
             [np.nan if sc[i] == 0 else float(wc[i]) / sc[i]
              for i in order], np.float64), 6)})
+
+
+def q_nonascii_share(sf_dir: str) -> pd.DataFrame:
+    """Non-ASCII character share per source — the multilingual-
+    hygiene screen that separates genuinely non-English sources from
+    mojibake floods: per source, total characters, non-ASCII
+    characters (codepoints > 0x7F, parity probed against DuckDB's
+    regexp_replace strip) and the share. One streamed pass of exact
+    int partials on NUL-safe source codes; one division. NULL text
+    contributes zero chars; NULL source IS a group."""
+    from .pairs import factorize_strings, round_away
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "chars": pa.array([], pa.int64()),
+                   "na": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        src = pd.Series(t.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        k = len(uniq)
+        ch = np.zeros(k, np.int64)
+        na = np.zeros(k, np.int64)
+        for c, txt in zip(codes, t.column("text").to_pylist()):
+            if not txt:
+                continue
+            ch[c] += len(txt)
+            na[c] += sum(1 for x in txt if ord(x) > 0x7F)
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "chars": pa.array(ch), "na": pa.array(na)})
+
+    parts = _docs(sf_dir, columns=["source", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n_chars": pd.Series(dtype="int64"),
+            "n_nonascii": pd.Series(dtype="int64"),
+            "nonascii_share": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"],
+                                    use_na_sentinel=False)
+    k = len(uniq)
+    ch = [0] * k
+    na = [0] * k
+    for c, a, b in zip(codes, parts["chars"].tolist(),
+                       parts["na"].tolist()):
+        ch[c] += a
+        na[c] += b
+    order = sorted(range(k), key=lambda i: (uniq[i] == _NULL,
+                                            uniq[i]))
+    return pd.DataFrame({
+        "source": pd.Series(
+            [None if uniq[i] == _NULL else uniq[i][1:]
+             for i in order], dtype=object),
+        "n_chars": pd.array([ch[i] for i in order], "int64"),
+        "n_nonascii": pd.array([na[i] for i in order], "int64"),
+        "nonascii_share": round_away(np.array(
+            [np.nan if ch[i] == 0 else float(na[i]) / ch[i]
+             for i in order], np.float64), 6)})
+
+
+def q_term_burstiness(sf_dir: str, k: int = 30) -> pd.DataFrame:
+    """Term burstiness — collection frequency over document frequency
+    for the top-k most frequent words: cf/df ≈ 1 marks an evenly
+    sprinkled (function) word, large cf/df marks a bursty topical
+    term that clumps in few documents (the Church–Gale signal TF-IDF
+    misses). One word-keyed exchange of per-batch (word, cf, df)
+    combiners (each bucket's totals are global); per-bucket local
+    top-k by (cf DESC, word) and a driver fold of P·k rows. Exact
+    ints, one division."""
+    from .pairs import hash_shuffle, round_away, str_u64
+
+    P = 32
+    _E = pa.table({"word": pa.array([], pa.string()),
+                   "cf": pa.array([], pa.int64()),
+                   "df": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        cf: Counter = Counter()
+        df: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            ws = _TOKEN_RX.findall((txt or "").lower())
+            cf.update(ws)
+            df.update(set(ws))
+        if not cf:
+            return _E
+        w = sorted(cf)
+        b = np.array([str_u64(x) & (P - 1) for x in w], np.int64)
+        return pa.table({"word": pa.array(w, pa.string()),
+                         "cf": pa.array([cf[x] for x in w],
+                                        pa.int64()),
+                         "df": pa.array([df[x] for x in w],
+                                        pa.int64()),
+                         "bucket": pa.array(b)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"word": pd.Series(dtype="object"),
+                "cf": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("word", as_index=False)[["cf", "df"]].sum())
+        g = g.sort_values(["cf", "word"],
+                          ascending=[False, True]).head(k)
+        return g
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in _docs(sf_dir, columns=["text"])
+         .to_arrow_refs()], split, merge, P=P) if len(p)]
+    cols = {"word": pd.Series(dtype="object"),
+            "cf": pd.Series(dtype="int64"),
+            "df": pd.Series(dtype="int64"),
+            "burstiness": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .sort_values(["cf", "word"], ascending=[False, True])
+         .head(k).reset_index(drop=True))
+    return pd.DataFrame({
+        "word": g["word"].astype(object),
+        "cf": g["cf"].astype("int64"),
+        "df": g["df"].astype("int64"),
+        "burstiness": round_away(
+            g["cf"].to_numpy(np.int64).astype(np.float64)
+            / g["df"].to_numpy(np.int64), 6)})
