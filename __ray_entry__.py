@@ -589,6 +589,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q331_sentence_stats": textops.q_sentence_stats,
         "q332_nonascii_share": textops.q_nonascii_share,
         "q333_term_burstiness": textops.q_term_burstiness,
+        "q334_rank_overlap_rbo": analytics.q_rank_overlap_rbo,
+        "q335_conversion_path_length": analytics.q_conversion_path_length,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4360,6 +4362,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT word, cf, df,
                    round(cf::DOUBLE / df, 6) AS burstiness
             FROM g ORDER BY cf DESC, word LIMIT 30
+        """,
+        "q334_rank_overlap_rbo": """
+            WITH li AS (
+                SELECT l_suppkey AS s,
+                       CAST(epoch_us(date_trunc('month',
+                                                l_shipdate))
+                            // 86400000000 AS BIGINT) AS m,
+                       CAST(round(l_extendedprice
+                                  * (1 - l_discount) * 100)
+                            AS BIGINT) AS c
+                FROM lineitem
+                WHERE l_suppkey IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                  AND isfinite(l_extendedprice)
+                  AND isfinite(l_discount)),
+            g AS (SELECT m, s, sum(c)::BIGINT AS rev FROM li
+                  GROUP BY m, s),
+            mm AS (SELECT max(m) AS mb,
+                          max(m) FILTER (WHERE m < (SELECT max(m)
+                                                    FROM g)) AS ma
+                   FROM g),
+            ra AS (SELECT s, row_number() OVER (
+                       ORDER BY rev DESC, s) AS d
+                   FROM g, mm WHERE g.m = mm.ma),
+            rb AS (SELECT s, row_number() OVER (
+                       ORDER BY rev DESC, s) AS d
+                   FROM g, mm WHERE g.m = mm.mb),
+            dep AS (SELECT unnest(range(1, 21)) AS d),
+            ov AS (SELECT dep.d,
+                          (SELECT count(*) FROM ra, rb
+                           WHERE ra.s = rb.s AND ra.d <= dep.d
+                             AND rb.d <= dep.d)::BIGINT AS ov
+                   FROM dep),
+            w AS (SELECT d, ov,
+                         pow(0.9, d - 1) * (ov::DOUBLE / d) AS term
+                  FROM ov),
+            acc AS (SELECT d, ov,
+                           sum(term) OVER (ORDER BY d) AS num,
+                           sum(pow(0.9, d - 1)) OVER (ORDER BY d)
+                               AS den
+                    FROM w)
+            SELECT mm.ma AS month_a, mm.mb AS month_b,
+                   acc.ov AS overlap_at_k,
+                   round(acc.num / acc.den, 6) AS rbo
+            FROM acc, mm WHERE acc.d = 20 AND mm.ma IS NOT NULL
+        """,
+        "q335_conversion_path_length": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us,
+                       event_id
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            r AS (SELECT user_id, event_type,
+                         row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY us, event_id) AS rn
+                  FROM e),
+            c AS (SELECT user_id, min(rn) - 1 AS path_len
+                  FROM r
+                  WHERE coalesce(event_type = 'purchase', FALSE)
+                  GROUP BY user_id)
+            SELECT path_len::BIGINT AS path_len,
+                   count(*)::BIGINT AS n_users
+            FROM c GROUP BY path_len ORDER BY path_len
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

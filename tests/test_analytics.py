@@ -2413,3 +2413,52 @@ def test_term_burstiness_hand(ray_session, tmp_path):
            for r in out.itertuples(index=False)}
     assert got["x"] == (4, 1, 4.0)
     assert got["y"] == (3, 3, 1.0)
+
+
+def test_rank_overlap_rbo_identical_and_disjoint(ray_session,
+                                                 tmp_path):
+    """q334: identical month rankings → RBO 1.0; the hand case pins
+    the truncated-depth formula."""
+    from web_scrapper_ray.pipelines.analytics import q_rank_overlap_rbo
+
+    DAY = 86_400_000_000
+    jan = pd.Timestamp("2024-01-05").value // 1000
+    feb = pd.Timestamp("2024-02-05").value // 1000
+    n = 25                      # > k, so identical rankings score 1
+    supp, ship, price = [], [], []
+    for i in range(n):
+        for m0 in (jan, feb):
+            supp.append(i + 1)
+            ship.append(m0 + i * DAY // n)
+            price.append(1000.0 - i)
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array(supp, pa.int64()),
+        "l_shipdate": pa.array(ship, pa.timestamp("us")),
+        "l_extendedprice": pa.array(price, pa.float64()),
+        "l_discount": pa.array([0.0] * len(supp), pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_rank_overlap_rbo(str(tmp_path))
+    assert out["rbo"].tolist() == [1.0]
+    assert out["overlap_at_k"].tolist() == [20]
+
+
+def test_conversion_path_length_hand(ray_session, tmp_path):
+    """q335: user 1 buys as its 3rd event (len 2), user 2 lands on a
+    purchase (len 0), user 3 never converts (no row)."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_conversion_path_length)
+
+    rows = [(1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+            (1, 3, "view"),
+            (2, 0, "purchase"),
+            (3, 0, "view")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_conversion_path_length(str(tmp_path))
+    assert out["path_len"].tolist() == [0, 2]
+    assert out["n_users"].tolist() == [1, 1]

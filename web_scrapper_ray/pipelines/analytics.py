@@ -12390,3 +12390,202 @@ def q_dau_mau(sf_dir: str, P: int = 16) -> pd.DataFrame:
         "mau": g["mau"].to_numpy(np.int64),
         "dau_avg": round_away(dau_avg, 6),
         "stickiness": round_away(stick, 6)})
+
+
+def q_rank_overlap_rbo(sf_dir: str, k: int = 20,
+                       p: float = 0.9) -> pd.DataFrame:
+    """Rank-biased overlap between the LAST two months' top-k
+    supplier revenue rankings — the IR-grade answer to "did the
+    leaderboard really change?" (plain set overlap ignores order;
+    RBO weights agreement at the top): RBO@k = (1−p)/... truncated
+    form Σ_{d=1..k} p^{d−1}·|A_d ∩ B_d|/d, normalized by the same
+    sum with perfect overlap. Revenue per (month, supplier) rides an
+    exact-cents supplier-keyed exchange (lineitem price × (1−disc)
+    cents rounding mirrored from q01's rule); the driver ranks the
+    two month slices (rev DESC, suppkey) and runs the depth sum
+    ascending d — the oracle's cumulative window order. Overlaps are
+    exact ints; p powers are literal-mirrored."""
+    from .pairs import hash_shuffle, round_away
+
+    P = 16
+    _E = pa.table({"month": pa.array([], pa.int64()),
+                   "supp": pa.array([], pa.int64()),
+                   "revc": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("l_suppkey")),
+                          pc.is_valid(t.column("l_shipdate"))),
+            pc.and_kleene(
+                pc.fill_null(pc.is_finite(
+                    t.column("l_extendedprice")), False),
+                pc.fill_null(pc.is_finite(t.column("l_discount")),
+                             False)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, 86_400_000_000)
+        month = (day.astype("datetime64[D]").astype("datetime64[M]")
+                 .astype("datetime64[D]").astype(np.int64))
+        sp = t2.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ep = t2.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        dc = t2.column("l_discount").to_numpy(zero_copy_only=False)
+        # price×(1−disc) lands ON the half-cent grid — SQL round()
+        # is half-AWAY (CLAUDE.md rule; np.round would flip 112.5)
+        cents = round_away(ep * (1.0 - dc) * 100.0, 0).astype(
+            np.int64)
+        g = (pd.DataFrame({"m": month, "s": sp, "c": cents})
+             .groupby(["m", "s"], as_index=False)["c"].sum())
+        sk = g["s"].to_numpy(np.int64)
+        return pa.table({"month": pa.array(g["m"].to_numpy(np.int64)),
+                         "supp": pa.array(sk),
+                         "revc": pa.array(g["c"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (sk % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"month": pd.Series(dtype="int64"),
+                                 "supp": pd.Series(dtype="int64"),
+                                 "revc": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby(["month", "supp"], as_index=False)
+                ["revc"].sum())
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+    parts = [x for x in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(x)]
+    cols = {"month_a": pd.Series(dtype="int64"),
+            "month_b": pd.Series(dtype="int64"),
+            "overlap_at_k": pd.Series(dtype="int64"),
+            "rbo": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = (pd.concat(parts, ignore_index=True)
+          .groupby(["month", "supp"], as_index=False)["revc"].sum())
+    months = np.sort(df["month"].unique())
+    if len(months) < 2:
+        return pd.DataFrame(cols)
+    ma, mb = int(months[-2]), int(months[-1])
+
+    def ranked(m):
+        sub = df[df["month"] == m]
+        o = np.lexsort((sub["supp"].to_numpy(np.int64),
+                        -sub["revc"].to_numpy(np.int64)))[:k]
+        return sub["supp"].to_numpy(np.int64)[o]
+
+    A, B = ranked(ma), ranked(mb)
+    sa: set = set()
+    sb: set = set()
+    num = 0.0
+    den = 0.0
+    ov_k = 0
+    for d in range(1, k + 1):
+        if d <= len(A):
+            sa.add(int(A[d - 1]))
+        if d <= len(B):
+            sb.add(int(B[d - 1]))
+        ov = len(sa & sb)
+        if d == k:
+            ov_k = ov
+        w = p ** (d - 1)
+        num = num + w * (float(ov) / d)
+        den = den + w
+    return pd.DataFrame({
+        "month_a": pd.array([ma], "int64"),
+        "month_b": pd.array([mb], "int64"),
+        "overlap_at_k": pd.array([ov_k], "int64"),
+        "rbo": round_away(np.array([num / den]), 6)})
+
+
+def q_conversion_path_length(sf_dir: str, B: int = 64) -> pd.DataFrame:
+    """Conversion path-length histogram — how many events a
+    converting user takes BEFORE the first purchase (0 = landed and
+    bought): per user, count events strictly before the first
+    purchase in exact (ts, event_id) order, histogrammed. One
+    user-keyed exchange (q116's sort-once layout); each bucket emits
+    its local (length, n_users) partial and the driver folds a tiny
+    histogram. Non-converting users emit no row (SQL's filter). NULL
+    user/ts rows are out of contract; NULL event_id rides the
+    int64-max sentinel (sorts last, NULLS LAST)."""
+    from .pairs import hash_shuffle
+
+    _E = pa.table({"event_id": pa.array([], pa.int64()),
+                   "user_id": pa.array([], pa.int64()),
+                   "event_type": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(pc.fill_null(t2.column("event_id"),
+                                             _IMAX), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t2.column("event_type"),
+                                  pa.string()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"path_len": pd.Series(dtype="int64"),
+                "n_users": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .sort_values(["user_id", "ts", "event_id"],
+                           kind="stable").reset_index(drop=True))
+        u = df["user_id"].to_numpy(np.int64)
+        isp = pc.fill_null(pc.equal(
+            pa.array(df["event_type"].to_numpy(object)),
+            "purchase"), False).to_numpy(zero_copy_only=False)
+        n = len(u)
+        first = np.zeros(n, bool)
+        first[0] = True
+        first[1:] = u[1:] != u[:-1]
+        fidx = np.flatnonzero(first)
+        pos = np.arange(n) - np.repeat(fidx,
+                                       np.diff(np.append(fidx, n)))
+        # first purchase position per user (if any)
+        dfp = pd.DataFrame({"u": u, "pos": pos, "isp": isp})
+        conv = (dfp[dfp["isp"]].groupby("u", sort=False)["pos"]
+                .min())
+        if not len(conv):
+            return pd.DataFrame(cols)
+        lens, cnt = np.unique(conv.to_numpy(np.int64),
+                              return_counts=True)
+        return pd.DataFrame({"path_len": lens,
+                             "n_users": cnt.astype(np.int64)})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"path_len": pd.Series(dtype="int64"),
+            "n_users": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    return (pd.concat(parts, ignore_index=True)
+            .groupby("path_len", as_index=False)["n_users"].sum()
+            .sort_values("path_len").reset_index(drop=True))
