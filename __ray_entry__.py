@@ -591,6 +591,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q333_term_burstiness": textops.q_term_burstiness,
         "q334_rank_overlap_rbo": analytics.q_rank_overlap_rbo,
         "q335_conversion_path_length": analytics.q_conversion_path_length,
+        "q336_hour_anomalies": analytics.q_hour_anomalies,
+        "q337_item_novelty_rate": analytics.q_item_novelty_rate,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4426,6 +4428,43 @@ def oracle_sql() -> dict[str, str]:
             SELECT path_len::BIGINT AS path_len,
                    count(*)::BIGINT AS n_users
             FROM c GROUP BY path_len ORDER BY path_len
+        """,
+        "q336_hour_anomalies": """
+            WITH e AS (
+                SELECT CAST(epoch_us(date_trunc('hour', ts))
+                            // 3600000000 AS BIGINT) AS h
+                FROM events WHERE ts IS NOT NULL),
+            g AS (SELECT h, count(*)::BIGINT AS c FROM e
+                  GROUP BY h),
+            t AS (SELECT sum(c)::BIGINT AS s,
+                         count(*)::BIGINT AS n FROM g),
+            z AS (SELECT h, c,
+                         round((c - (CAST(s AS DOUBLE) / n))
+                               / sqrt(CAST(s AS DOUBLE) / n), 6)
+                             AS z
+                  FROM g, t)
+            SELECT h AS hour, c AS n, z FROM z
+            ORDER BY abs(z) DESC, hour LIMIT 10
+        """,
+        "q337_item_novelty_rate": """
+            WITH x AS (
+                SELECT DISTINCT l_partkey AS p,
+                       CAST(epoch_us(date_trunc('month',
+                                                l_shipdate))
+                            // 86400000000 AS BIGINT) AS m
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL
+                  AND l_shipdate IS NOT NULL),
+            act AS (SELECT m, count(*)::BIGINT AS n_active FROM x
+                    GROUP BY m),
+            fst AS (SELECT p, min(m) AS fm FROM x GROUP BY p),
+            nw AS (SELECT fm AS m, count(*)::BIGINT AS n_new
+                   FROM fst GROUP BY fm)
+            SELECT act.m AS month, act.n_active,
+                   coalesce(nw.n_new, 0)::BIGINT AS n_new,
+                   round(coalesce(nw.n_new, 0)::DOUBLE
+                         / act.n_active, 6) AS novelty_share
+            FROM act LEFT JOIN nw ON act.m = nw.m ORDER BY month
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

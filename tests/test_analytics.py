@@ -2462,3 +2462,38 @@ def test_conversion_path_length_hand(ray_session, tmp_path):
     out = q_conversion_path_length(str(tmp_path))
     assert out["path_len"].tolist() == [0, 2]
     assert out["n_users"].tolist() == [1, 1]
+
+
+def test_hour_anomalies_spike(ray_session, tmp_path):
+    """q336: a 10-event spike hour against 1-event hours tops the |z|
+    ranking."""
+    from web_scrapper_ray.pipelines.analytics import q_hour_anomalies
+
+    HOUR = 3_600_000_000
+    us = [0] * 10 + [HOUR, 2 * HOUR, 3 * HOUR]
+    pq.write_table(pa.table({
+        "ts": pa.array(us, pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_hour_anomalies(str(tmp_path))
+    lam = 13 / 4
+    assert out["hour"].tolist()[0] == 0
+    assert out["n"].tolist()[0] == 10
+    assert out["z"].tolist()[0] == round((10 - lam) / lam ** 0.5, 6)
+
+
+def test_item_novelty_rate_hand(ray_session, tmp_path):
+    """q337: part 1 ships in both months, part 2 only in month 2 →
+    month-2 novelty = 1/2."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_item_novelty_rate)
+
+    jan = pd.Timestamp("2024-01-10").value // 1000
+    feb = pd.Timestamp("2024-02-10").value // 1000
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2], pa.int64()),
+        "l_shipdate": pa.array([jan, feb, feb], pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_item_novelty_rate(str(tmp_path))
+    assert out["n_active"].tolist() == [1, 2]
+    assert out["n_new"].tolist() == [1, 1]
+    assert out["novelty_share"].tolist() == [1.0, 0.5]

@@ -12589,3 +12589,144 @@ def q_conversion_path_length(sf_dir: str, B: int = 64) -> pd.DataFrame:
     return (pd.concat(parts, ignore_index=True)
             .groupby("path_len", as_index=False)["n_users"].sum()
             .sort_values("path_len").reset_index(drop=True))
+
+
+def q_hour_anomalies(sf_dir: str, k: int = 10,
+                     P: int = 16) -> pd.DataFrame:
+    """Top-k anomalous traffic hours under a homogeneous-Poisson
+    null: hourly event counts, λ = the mean count over OBSERVED
+    hours, score z = (c − λ)/√λ — the monitoring screen that flags
+    both spikes and droughts (of hours that have any traffic). One
+    hour-keyed exchange of per-batch (hour, count) combiners; counts
+    and the hour domain are exact ints, λ and each z are the same
+    two-literal expression on both sides, ranked |z| DESC with exact
+    tie order (hour ASC). Pre-1970 hours floor-divide (CLAUDE.md
+    rule). NULL ts rows are out of contract."""
+    from .pairs import hash_shuffle, round_away
+
+    HOUR = 3_600_000_000
+    _E = pa.table({"h": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = np.floor_divide(us, HOUR)
+        u, cc = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(u),
+                         "c": pa.array(cc.astype(np.int64)),
+                         "bucket": pa.array(np.abs(u) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"h": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby("h", as_index=False)["c"].sum())
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"hour": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64"),
+            "z": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("h", as_index=False)["c"].sum())
+    c = g["c"].to_numpy(np.int64)
+    h = g["h"].to_numpy(np.int64)
+    lam = float(int(c.sum())) / len(c)
+    z = (c.astype(np.float64) - lam) / np.sqrt(lam)
+    zr = round_away(z, 6)
+    o = np.lexsort((h, -np.abs(zr)))[:k]
+    return pd.DataFrame({"hour": h[o], "n": c[o], "z": zr[o]})
+
+
+def q_item_novelty_rate(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Item novelty influx per ship month — the cold-start curve a
+    recommender's coverage planning needs: per month, how many
+    distinct parts shipped at all, how many shipped for the FIRST
+    time, and the novelty share. The whole curve rides each part's
+    (first-month, month-set) through one part-keyed exchange:
+    per-batch distinct (part, month) pairs → part buckets (global
+    month sets per part) → per-bucket (month, active, new) partials;
+    the driver folds months × buckets ints. One division per
+    month."""
+    from .pairs import hash_shuffle, round_away
+
+    DAY = 86_400_000_000
+    _E = pa.table({"part": pa.array([], pa.int64()),
+                   "month": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                             pc.is_valid(t.column("l_shipdate")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        p_ = t2.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, DAY)
+        month = (day.astype("datetime64[D]").astype("datetime64[M]")
+                 .astype("datetime64[D]").astype(np.int64))
+        g = (pd.DataFrame({"p": p_, "m": month}).drop_duplicates())
+        pp = g["p"].to_numpy(np.int64)
+        return pa.table({"part": pa.array(pp),
+                         "month": pa.array(g["m"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (pp % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"month": pd.Series(dtype="int64"),
+                "active": pd.Series(dtype="int64"),
+                "new": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas().drop_duplicates()
+        act = df.groupby("month").size()
+        first = df.groupby("part")["month"].min()
+        new = first.value_counts().sort_index()
+        out = pd.DataFrame({
+            "month": act.index.to_numpy(np.int64),
+            "active": act.to_numpy(np.int64)})
+        out["new"] = (new.reindex(act.index, fill_value=0)
+                      .to_numpy(np.int64))
+        return out
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"month": pd.Series(dtype="int64"),
+            "n_active": pd.Series(dtype="int64"),
+            "n_new": pd.Series(dtype="int64"),
+            "novelty_share": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("month", as_index=False)[["active", "new"]].sum()
+         .sort_values("month").reset_index(drop=True))
+    act = g["active"].to_numpy(np.int64)
+    new = g["new"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "month": g["month"].to_numpy(np.int64),
+        "n_active": act,
+        "n_new": new,
+        "novelty_share": round_away(
+            new.astype(np.float64) / act, 6)})
