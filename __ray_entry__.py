@@ -249,6 +249,46 @@ def _caption_dedup(sf_dir: str):
     return g[["caption", "n_images", "keeper"]]
 
 
+def _image_format_census(sf_dir: str):
+    """q339: image format × megapixel-bucket census over the crawl
+    corpus — the storage/em-decode planning table (which codecs and
+    sizes dominate the pipeline). Distributed as per-batch
+    (fmt, size-bucket) count combiners over the COLUMN data only
+    (bytes never leave the store); buckets are ⌊log2(w·h/1024)⌋
+    clamped at 0."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+
+    def census(batch: pa.Table) -> pa.Table:
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        px = w.astype(np.int64) * h.astype(np.int64)
+        b = np.maximum(np.log2(np.maximum(px, 1) / 1024.0), 0.0)
+        b = np.floor(b).astype(np.int64)
+        g = (pd.DataFrame({"fmt": batch.column("fmt").to_pylist(),
+                           "sb": b})
+             .groupby(["fmt", "sb"], sort=False).size()
+             .reset_index(name="n"))
+        return pa.table({"fmt": pa.array(g["fmt"], pa.string()),
+                         "size_bucket": pa.array(
+                             g["sb"].to_numpy(np.int64)),
+                         "n": pa.array(g["n"].to_numpy(np.int64))})
+
+    res = ensure_tier_crawl("t1")
+    df = rd.read_parquet(res["images_dir"],
+                         columns=["fmt", "w", "h"])         .map_batches(census, batch_format="pyarrow").to_pandas()
+    out = (df.groupby(["fmt", "size_bucket"], as_index=False)
+           ["n"].sum()
+           .sort_values(["fmt", "size_bucket"])
+           .reset_index(drop=True))
+    out["n"] = out["n"].astype("int64")
+    return out
+
+
 def _pixel_dup_groups(sf_dir: str):
     import ray.data as rd
 
@@ -593,6 +633,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q335_conversion_path_length": analytics.q_conversion_path_length,
         "q336_hour_anomalies": analytics.q_hour_anomalies,
         "q337_item_novelty_rate": analytics.q_item_novelty_rate,
+        "q338_near_purchase_rate": analytics.q_near_purchase_rate,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -729,6 +770,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q317_border_screen": _border_screen,
         "q318_caption_quality": _caption_quality,
         "q319_caption_dedup": _caption_dedup,
+        "q339_image_format_census": _image_format_census,
         "q277_tile_phash_neardup": _tile_phash_neardup,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,
@@ -4465,6 +4507,31 @@ def oracle_sql() -> dict[str, str]:
                    round(coalesce(nw.n_new, 0)::DOUBLE
                          / act.n_active, 6) AS novelty_share
             FROM act LEFT JOIN nw ON act.m = nw.m ORDER BY month
+        """,
+        "q338_near_purchase_rate": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us
+                FROM events
+                WHERE user_id IS NOT NULL
+                  AND event_type IS NOT NULL AND ts IS NOT NULL),
+            np_ AS (SELECT user_id, event_type, us FROM e
+                    WHERE event_type <> 'purchase'),
+            pu AS (SELECT user_id, us FROM e
+                   WHERE event_type = 'purchase'),
+            f AS (SELECT np_.event_type,
+                         (EXISTS (SELECT 1 FROM pu
+                                  WHERE pu.user_id = np_.user_id
+                                    AND pu.us BETWEEN
+                                        np_.us - 300000000
+                                        AND np_.us + 300000000))
+                             AS near
+                  FROM np_)
+            SELECT event_type, count(*)::BIGINT AS n,
+                   (count(*) FILTER (WHERE near))::BIGINT
+                       AS n_near_purchase,
+                   round((count(*) FILTER (WHERE near))::DOUBLE
+                         / count(*), 6) AS near_rate
+            FROM f GROUP BY event_type ORDER BY event_type
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2497,3 +2497,25 @@ def test_item_novelty_rate_hand(ray_session, tmp_path):
     assert out["n_active"].tolist() == [1, 2]
     assert out["n_new"].tolist() == [1, 1]
     assert out["novelty_share"].tolist() == [1.0, 0.5]
+
+
+def test_near_purchase_rate_window(ray_session, tmp_path):
+    """q338: the click 4 min before the purchase is near, the view 10
+    min before is not; the purchase itself never counts as an
+    event."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_near_purchase_rate)
+
+    MIN = 60_000_000
+    rows = [(1, 0, "view"), (1, 6 * MIN, "click"),
+            (1, 10 * MIN, "purchase"), (2, 0, "click")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_near_purchase_rate(str(tmp_path))
+    got = {r.event_type: (r.n, r.n_near_purchase)
+           for r in out.itertuples(index=False)}
+    assert got["click"] == (2, 1)
+    assert got["view"] == (1, 0)

@@ -12730,3 +12730,113 @@ def q_item_novelty_rate(sf_dir: str, P: int = 32) -> pd.DataFrame:
         "n_new": new,
         "novelty_share": round_away(
             new.astype(np.float64) / act, 6)})
+
+
+def q_near_purchase_rate(sf_dir: str, window_us: int = 300_000_000,
+                         B: int = 64) -> pd.DataFrame:
+    """Purchase-proximity rate per event type — which behaviors
+    cluster around buying: for each non-purchase event, does the SAME
+    user purchase within ±5 minutes? One user-keyed exchange
+    (q116's layout); each bucket sorts its users' purchase times once
+    and answers every event with two vectorized ``searchsorted``
+    probes (an interval semi-join, never an event×purchase blowup);
+    per-type (n, n_near) int partials fold driver-side on NUL-safe
+    codes. One division per type. NULL user/ts/type rows are out of
+    contract."""
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "event_type": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t2.column("event_type"),
+                                  pa.string()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"ty": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "near": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .sort_values(["user_id", "ts"], kind="stable")
+              .reset_index(drop=True))
+        u = df["user_id"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        ty = df["event_type"].to_numpy(object)
+        isp = np.array([x == "purchase" for x in ty], bool)
+        # purchase times, offset per user so probes stay in-user:
+        # encode key = user * LARGE + clipped-ts? exact per-user probe
+        # via contiguous runs instead
+        near = np.zeros(len(u), bool)
+        first = np.zeros(len(u), bool)
+        if len(u):
+            first[0] = True
+            first[1:] = u[1:] != u[:-1]
+        starts = np.flatnonzero(first)
+        ends = np.append(starts[1:], len(u))
+        for s0, e0 in zip(starts, ends):   # user-sized loop; probes
+            pt = ts[s0:e0][isp[s0:e0]]     # vectorized within
+            if not len(pt):
+                continue
+            lo = np.searchsorted(pt, ts[s0:e0] - window_us, "left")
+            hi = np.searchsorted(pt, ts[s0:e0] + window_us, "right")
+            near[s0:e0] = hi > lo
+        m = ~isp
+        codes, uniq = factorize_strings(pd.Series(ty[m],
+                                                  dtype=object))
+        k = len(uniq)
+        n = np.bincount(codes, minlength=k).astype(np.int64)
+        nr = np.zeros(k, np.int64)
+        np.add.at(nr, codes, near[m].astype(np.int64))
+        return pd.DataFrame({"ty": pd.Series(list(uniq),
+                                             dtype=object),
+                             "n": n, "near": nr})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "n_near_purchase": pd.Series(dtype="int64"),
+            "near_rate": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    from .pairs import factorize_strings as _fs
+    from .pairs import round_away as _ra
+
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = _fs(df["ty"])
+    n = [0] * len(uniq)
+    nr = [0] * len(uniq)
+    for c, a, b in zip(codes, df["n"].tolist(), df["near"].tolist()):
+        n[c] += a
+        nr[c] += b
+    order = sorted(range(len(uniq)), key=lambda i: uniq[i])
+    return pd.DataFrame({
+        "event_type": pd.Series([uniq[i] for i in order],
+                                dtype=object),
+        "n": pd.array([n[i] for i in order], "int64"),
+        "n_near_purchase": pd.array([nr[i] for i in order],
+                                    "int64"),
+        "near_rate": _ra(np.array(
+            [float(nr[i]) / n[i] for i in order], np.float64), 6)})
