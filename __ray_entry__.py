@@ -634,6 +634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q336_hour_anomalies": analytics.q_hour_anomalies,
         "q337_item_novelty_rate": analytics.q_item_novelty_rate,
         "q338_near_purchase_rate": analytics.q_near_purchase_rate,
+        "q340_eccentricity_sample": graph.q_eccentricity_sample,
+        "q341_srm_check": analytics.q_srm_check,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4532,6 +4534,49 @@ def oracle_sql() -> dict[str, str]:
                    round((count(*) FILTER (WHERE near))::DOUBLE
                          / count(*), 6) AS near_rate
             FROM f GROUP BY event_type ORDER BY event_type
+        """,
+        "q340_eccentricity_sample": """
+            WITH RECURSIVE ps AS (
+                SELECT DISTINCT l_partkey AS p, l_suppkey AS s
+                FROM lineitem
+                WHERE l_partkey IS NOT NULL
+                  AND l_suppkey IS NOT NULL),
+            dp AS (SELECT DISTINCT p FROM ps),
+            seeds AS (SELECT p FROM dp
+                      ORDER BY md5(CAST(p AS VARCHAR)), p LIMIT 4),
+            edges AS (SELECT 2 * p AS a, 2 * s + 1 AS b FROM ps
+                      UNION ALL SELECT 2 * s + 1, 2 * p FROM ps),
+            bfs(seed, node, d) AS (
+                SELECT 2 * p, 2 * p, 0 FROM seeds
+                UNION
+                SELECT bfs.seed, e.b, bfs.d + 1
+                FROM bfs JOIN edges e ON e.a = bfs.node
+                WHERE bfs.d < 8),
+            m AS (SELECT seed, node, min(d) AS dist FROM bfs
+                  GROUP BY seed, node)
+            SELECT (seed / 2)::BIGINT AS seed_part,
+                   max(dist)::BIGINT AS ecc,
+                   count(*)::BIGINT AS n_reached
+            FROM m GROUP BY seed ORDER BY seed_part
+        """,
+        "q341_srm_check": """
+            WITH u AS (SELECT DISTINCT user_id FROM events
+                       WHERE user_id IS NOT NULL),
+            s AS (SELECT (('0x' || substr(md5(CAST(user_id
+                                                   AS VARCHAR)),
+                                          1, 13))::BIGINT
+                          < 2251799813685248) AS a
+                  FROM u),
+            t AS (SELECT (count(*) FILTER (WHERE a))::BIGINT AS na,
+                         (count(*) FILTER (WHERE NOT a))::BIGINT
+                             AS nb
+                  FROM s)
+            SELECT na AS n_a, nb AS n_b,
+                   round((na - nb)::DOUBLE * (na - nb) / (na + nb),
+                         6) AS chi2,
+                   (((na - nb)::DOUBLE * (na - nb) / (na + nb))
+                    > 9.0)::BIGINT AS srm_flag
+            FROM t WHERE na + nb > 0
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2519,3 +2519,42 @@ def test_near_purchase_rate_window(ray_session, tmp_path):
            for r in out.itertuples(index=False)}
     assert got["click"] == (2, 1)
     assert got["view"] == (1, 0)
+
+
+def test_eccentricity_sample_path_graph(ray_session, tmp_path):
+    """q340: a part–supplier path p1–s1–p2–s2–p3 gives the end part
+    eccentricity 4 (bipartite hops) and full reach 5."""
+    from web_scrapper_ray.pipelines.graph import q_eccentricity_sample
+
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([10, 10, 20, 20], pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_eccentricity_sample(str(tmp_path), n_seeds=3)
+    assert set(out["seed_part"]) == {1, 2, 3}
+    got = {r.seed_part: (r.ecc, r.n_reached)
+           for r in out.itertuples(index=False)}
+    assert got[1] == (4, 5)
+    assert got[2] == (2, 5)
+    assert got[3] == (4, 5)
+
+
+def test_srm_check_balanced_split(ray_session, tmp_path):
+    """q341: the md5 coin splits 200 users near 50/50; χ² stays far
+    below the flag threshold; counts match a direct recount."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.analytics import q_srm_check
+
+    users = list(range(200))
+    pq.write_table(pa.table({
+        "user_id": pa.array(users * 2, pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_srm_check(str(tmp_path))
+    thr = int(np.floor(0.5 * 4503599627370496.0))
+    na = sum(1 for u in users
+             if int(hashlib.md5(str(u).encode()).hexdigest()[:13],
+                    16) < thr)
+    assert out["n_a"].tolist() == [na]
+    assert out["n_b"].tolist() == [200 - na]
+    assert out["srm_flag"].tolist() == [0]

@@ -12840,3 +12840,65 @@ def q_near_purchase_rate(sf_dir: str, window_us: int = 300_000_000,
                                     "int64"),
         "near_rate": _ra(np.array(
             [float(nr[i]) / n[i] for i in order], np.float64), 6)})
+
+
+def q_srm_check(sf_dir: str) -> pd.DataFrame:
+    """Sample-ratio-mismatch check — the first A/B-test sanity gate:
+    split users 50/50 on the md5 coin (q297/q300's deterministic
+    hash), then test whether the observed arm sizes are consistent
+    with the intended ratio via χ² = (n_a − n_b)²/(n_a + n_b) (the
+    1-dof two-cell statistic). A FAILED check means the assignment
+    or logging pipeline is biased — before any metric is read. One
+    user-keyed exchange dedups users globally; counts exact, one
+    float expression. NULL user_id rows are out of contract."""
+    import hashlib
+
+    from .pairs import hash_shuffle, round_away
+
+    P = 32
+    TWO52 = 4503599627370496.0
+    thr = int(np.floor(0.5 * TWO52))
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("user_id")))
+        if t2.num_rows == 0:
+            return _E
+        u = np.unique(t2.column("user_id").cast(pa.int64())
+                      .to_numpy(zero_copy_only=False))
+        return pa.table({"user_id": pa.array(u),
+                         "bucket": pa.array(
+                             (u % P).astype(np.int64))})
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(2, np.int64)
+        u = np.unique(np.concatenate(
+            [x.column("user_id").to_numpy() for x in live]))
+        a = sum(1 for x in u
+                if int(hashlib.md5(str(x).encode())
+                       .hexdigest()[:13], 16) < thr)
+        return np.array([a, len(u) - a], np.int64)
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    tot = sum(hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                           split, merge, P=P))
+    na, nb = (int(x) for x in np.atleast_1d(tot)[:2]) \
+        if np.ndim(tot) else (0, 0)
+    cols = {"n_a": pd.Series(dtype="int64"),
+            "n_b": pd.Series(dtype="int64"),
+            "chi2": pd.Series(dtype="float64"),
+            "srm_flag": pd.Series(dtype="int64")}
+    if na + nb == 0:
+        return pd.DataFrame(cols)
+    chi2 = float(na - nb) * (na - nb) / (na + nb)
+    return pd.DataFrame({
+        "n_a": pd.array([na], "int64"),
+        "n_b": pd.array([nb], "int64"),
+        "chi2": round_away(np.array([chi2]), 6),
+        "srm_flag": pd.array([int(chi2 > 9.0)], "int64")})

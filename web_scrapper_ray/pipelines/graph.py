@@ -1412,3 +1412,96 @@ def q_brand_homophily(sf_dir: str, P: int = 32) -> pd.DataFrame:
         "obs": round_away(np.array([obs]), 6),
         "exp": round_away(np.array([exp]), 6),
         "homophily": round_away(np.array([h]), 6)})
+
+
+def q_eccentricity_sample(sf_dir: str, n_seeds: int = 4,
+                          rounds: int = 8) -> pd.DataFrame:
+    """Eccentricity sample — BFS depth to exhaustion (capped at 8
+    bipartite hops, mirrored by the oracle's recursion bound) from
+    ``n_seeds`` deterministically-chosen parts (lowest md5, the
+    engine's cross-language coin): per seed, the farthest reachable
+    node's distance and the reachable-set size — the cheap diameter /
+    connectivity probe for the part–supplier graph. All seeds run
+    SIMULTANEOUSLY: the hop state is one N×seeds matrix broadcast per
+    round, one min-scatter task per edge bucket (q138's layout
+    column-extended), so the edge set streams once per round
+    regardless of seed count. Seeds outside the graph report
+    (0, 1) — themselves."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    import ray
+
+    li = _read(sf_dir, "lineitem", columns=["l_partkey",
+                                            "l_suppkey"])
+
+    def dparts(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return pa.table({"p": pa.array([], pa.int64())})
+        keep = pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                             pc.is_valid(t.column("l_suppkey")))
+        v = t.filter(pc.fill_null(keep, False)).column("l_partkey")
+        return (pa.table({"p": pc.cast(v, pa.int64())})
+                .group_by(["p"]).aggregate([]))
+
+    ps = np.unique(li.map_batches(
+        dparts, batch_format="pyarrow").to_pandas()["p"]
+        .to_numpy(np.int64))
+    cols = {"seed_part": pd.Series(dtype="int64"),
+            "ecc": pd.Series(dtype="int64"),
+            "n_reached": pd.Series(dtype="int64")}
+    if not len(ps):
+        return pd.DataFrame(cols)
+    hs = [hashlib.md5(str(x).encode()).hexdigest() for x in ps]
+    o = np.lexsort((ps, np.array(hs, dtype=object)))[:n_seeds]
+    seeds = np.sort(ps[o])
+
+    dense_refs, nodes = _edge_buckets(sf_dir)
+    N = len(nodes)
+    SENT = np.iinfo(np.int64).max
+    k = len(seeds)
+    codes = seeds * 2                      # parts are even codes
+    pos = np.searchsorted(nodes, codes) if N else np.zeros(k, int)
+    ing = (pos < N)
+    if N:
+        ing &= nodes[np.clip(pos, 0, max(N - 1, 0))] == codes
+    D = np.full((N, k), SENT, np.int64)
+    for j in np.flatnonzero(ing):
+        D[pos[j], j] = 0
+
+    @ray.remote
+    def scatter(edges, d: np.ndarray) -> np.ndarray:
+        src, dst = edges
+        n, kk = d.shape
+        out = np.full((n, kk), np.iinfo(np.int64).max, np.int64)
+        v = d[src]
+        live = v != np.iinfo(np.int64).max
+        v = np.where(live, v + 1, v)       # no SENT+1 overflow
+        np.minimum.at(out, dst, v)
+        return out
+
+    if N and ing.any():
+        for _ in range(rounds):
+            ref = ray.put(D)
+            parts = ray.get([scatter.remote(e, ref)
+                             for e in dense_refs])
+            nd = D
+            for p_ in parts:
+                nd = np.minimum(nd, p_)
+            if np.array_equal(nd, D):
+                break
+            D = nd
+    out = []
+    for j, sp in enumerate(seeds):
+        if not ing[j]:
+            out.append((int(sp), 0, 1))
+            continue
+        fin = D[:, j] != SENT
+        out.append((int(sp), int(D[fin, j].max()),
+                    int(fin.sum())))
+    return pd.DataFrame(out, columns=["seed_part", "ecc",
+                                      "n_reached"]
+                        ).astype({"seed_part": "int64",
+                                  "ecc": "int64",
+                                  "n_reached": "int64"})
