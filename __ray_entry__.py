@@ -636,6 +636,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q338_near_purchase_rate": analytics.q_near_purchase_rate,
         "q340_eccentricity_sample": graph.q_eccentricity_sample,
         "q341_srm_check": analytics.q_srm_check,
+        "q342_cohort_ltv": analytics.q_cohort_ltv,
+        "q343_type_conversion_lift": analytics.q_type_conversion_lift,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4577,6 +4579,46 @@ def oracle_sql() -> dict[str, str]:
                    (((na - nb)::DOUBLE * (na - nb) / (na + nb))
                     > 9.0)::BIGINT AS srm_flag
             FROM t WHERE na + nb > 0
+        """,
+        "q342_cohort_ltv": """
+            WITH p AS (
+                SELECT user_id, date_trunc('month', ts) AS mon,
+                       CAST(round(value * 100) AS BIGINT) AS cents
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                  AND coalesce(event_type = 'purchase', FALSE)
+                  AND isfinite(value)),
+            c AS (SELECT user_id, min(mon) AS coh FROM p
+                  GROUP BY user_id)
+            SELECT CAST(epoch_us(c.coh) // 86400000000 AS BIGINT)
+                       AS cohort_month,
+                   datediff('month', c.coh, p.mon)::BIGINT
+                       AS month_offset,
+                   sum(p.cents)::BIGINT AS revenue_cents,
+                   count(*)::BIGINT AS n_purchases
+            FROM p JOIN c USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q343_type_conversion_lift": """
+            WITH ut AS (
+                SELECT DISTINCT user_id, event_type FROM events
+                WHERE user_id IS NOT NULL
+                  AND event_type IS NOT NULL),
+            pu AS (SELECT DISTINCT user_id FROM ut
+                   WHERE event_type = 'purchase'),
+            t AS (SELECT count(DISTINCT user_id)::BIGINT AS nu,
+                         (SELECT count(*) FROM pu)::BIGINT AS np
+                  FROM ut),
+            g AS (SELECT ut.event_type, count(*)::BIGINT AS nx,
+                         (count(*) FILTER (
+                              WHERE ut.user_id IN
+                                  (SELECT user_id FROM pu)))
+                             ::BIGINT AS nxp
+                  FROM ut GROUP BY ut.event_type)
+            SELECT event_type, nx AS n_users, nxp AS n_converted,
+                   round((nxp::DOUBLE / nx)
+                         / (t.np::DOUBLE / t.nu), 6) AS lift
+            FROM g, t ORDER BY event_type
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

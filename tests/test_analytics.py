@@ -2558,3 +2558,52 @@ def test_srm_check_balanced_split(ray_session, tmp_path):
     assert out["n_a"].tolist() == [na]
     assert out["n_b"].tolist() == [200 - na]
     assert out["srm_flag"].tolist() == [0]
+
+
+def test_cohort_ltv_offsets(ray_session, tmp_path):
+    """q342: user 1's purchases cohort at Jan with offsets 0 and 2;
+    user 2 cohorts at Feb; views never enter."""
+    from web_scrapper_ray.pipelines.analytics import q_cohort_ltv
+
+    def ts(s):
+        return pd.Timestamp(s).value // 1000
+
+    rows = [(1, ts("2024-01-10"), "purchase", 10.0),
+            (1, ts("2024-03-05"), "purchase", 5.0),
+            (1, ts("2024-02-01"), "view", 99.0),
+            (2, ts("2024-02-02"), "purchase", 7.0)]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_cohort_ltv(str(tmp_path))
+    jan = ts("2024-01-01") // 86_400_000_000
+    feb = ts("2024-02-01") // 86_400_000_000
+    got = {(r.cohort_month, r.month_offset):
+           (r.revenue_cents, r.n_purchases)
+           for r in out.itertuples(index=False)}
+    assert got[(jan, 0)] == (1000, 1)
+    assert got[(jan, 2)] == (500, 1)
+    assert got[(feb, 0)] == (700, 1)
+
+
+def test_type_conversion_lift_hand(ray_session, tmp_path):
+    """q343: 2 of 4 users purchase (base 1/2); both clickers
+    purchased (lift 2); neither scroller did (lift 0)."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_type_conversion_lift)
+
+    rows = [(1, "click"), (1, "purchase"),
+            (2, "click"), (2, "purchase"),
+            (3, "scroll"), (4, "scroll")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array([r[1] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_type_conversion_lift(str(tmp_path))
+    got = {r.event_type: r.lift for r in out.itertuples(index=False)}
+    assert got["click"] == 2.0
+    assert got["scroll"] == 0.0
+    assert got["purchase"] == 2.0

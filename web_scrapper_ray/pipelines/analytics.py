@@ -12902,3 +12902,187 @@ def q_srm_check(sf_dir: str) -> pd.DataFrame:
         "n_b": pd.array([nb], "int64"),
         "chi2": round_away(np.array([chi2]), 6),
         "srm_flag": pd.array([int(chi2 > 9.0)], "int64")})
+
+
+def q_cohort_ltv(sf_dir: str, B: int = 32) -> pd.DataFrame:
+    """Cohort LTV triangle — the revenue twin of the retention
+    triangle (q83): users cohorted by FIRST-purchase month, purchase
+    value (exact half-away cents, CLAUDE.md round rule) summed per
+    (cohort, month-offset). One user-keyed exchange: each bucket
+    derives its users' cohort locally (global per user) and emits
+    exact-int (cohort, offset, cents, n_purchases) partials; the
+    driver folds the tiny triangle. Non-finite values and NULL
+    user/ts rows are out of contract; month offsets count calendar
+    months."""
+    from .pairs import hash_shuffle
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.int64()),
+                   "cents": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("ts"))),
+                       pc.and_(pc.fill_null(pc.equal(
+                           t.column("event_type"), "purchase"),
+                           False),
+                           pc.fill_null(pc.is_finite(
+                               t.column("value")), False)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        v = t2.column("value").to_numpy(zero_copy_only=False)
+        cents = round_away(v * 100.0, 0).astype(np.int64)
+        return pa.table({"user_id": pa.array(u),
+                         "ts": pa.array(us),
+                         "cents": pa.array(cents),
+                         "bucket": pa.array((u % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"cohort": pd.Series(dtype="int64"),
+                "offset": pd.Series(dtype="int64"),
+                "cents": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        day = np.floor_divide(df["ts"].to_numpy(np.int64),
+                              86_400_000_000)
+        mon = day.astype("datetime64[D]").astype("datetime64[M]")
+        df = df.assign(mon=mon.astype(np.int64))  # month index
+        coh = df.groupby("user_id")["mon"].transform("min")
+        df = df.assign(cohort=coh, offset=df["mon"] - coh)
+        g = (df.groupby(["cohort", "offset"], as_index=False)
+             .agg(cents=("cents", "sum"), n=("cents", "size")))
+        return g
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "value"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"cohort_month": pd.Series(dtype="int64"),
+            "month_offset": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "n_purchases": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby(["cohort", "offset"], as_index=False)
+         [["cents", "n"]].sum()
+         .sort_values(["cohort", "offset"]).reset_index(drop=True))
+    # cohort label back to month-start epoch day (oracle convention)
+    lab = (g["cohort"].to_numpy(np.int64).astype("datetime64[M]")
+           .astype("datetime64[D]").astype(np.int64))
+    return pd.DataFrame({
+        "cohort_month": lab,
+        "month_offset": g["offset"].to_numpy(np.int64),
+        "revenue_cents": g["cents"].to_numpy(np.int64),
+        "n_purchases": g["n"].to_numpy(np.int64)})
+
+
+def q_type_conversion_lift(sf_dir: str, B: int = 32) -> pd.DataFrame:
+    """Conversion lift per event type — does doing X make a user more
+    likely to (ever) purchase than the base rate: lift(X) =
+    [P(purchase | did X)] / [P(purchase)], over users. One user-keyed
+    exchange of per-batch per-user (type-set, purchased) OR-partials
+    on NUL-safe type codes; each bucket emits per-type exact
+    (n_users_with_X, n_with_X_and_purchase) ints plus the base
+    counts. Two divisions + one ratio per type in the oracle's
+    literal order. NULL user/type rows are out of contract; the
+    'purchase' row itself is reported too (lift = 1/base rate
+    sanity)."""
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "event_type": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("event_type")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        g = (pa.table({"user_id": pc.cast(t2.column("user_id"),
+                                          pa.int64()),
+                       "event_type": pc.cast(
+                           t2.column("event_type"), pa.string())})
+             .group_by(["user_id", "event_type"]).aggregate([]))
+        u = g.column("user_id").to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": g.column("user_id"),
+                         "event_type": g.column("event_type"),
+                         "bucket": pa.array((u % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"ty": pd.Series(dtype="object"),
+                "nx": pd.Series(dtype="int64"),
+                "nxp": pd.Series(dtype="int64"),
+                "nu": pd.Series(dtype="int64"),
+                "np_": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        # dedupe on CODES — pandas drop_duplicates hashes object
+        # strings NUL-terminated and would merge 'fz' with
+        # 'fz\x00nul' (CLAUDE.md rule)
+        codes, uniq = factorize_strings(df["event_type"])
+        df = (df.assign(tc=codes)
+              .drop_duplicates(["user_id", "tc"]))
+        purch = df[df["event_type"] == "purchase"]["user_id"]
+        pset = set(purch.tolist())
+        nu = df["user_id"].nunique()
+        np_u = len(pset)
+        out = []
+        for tc, users in df.groupby("tc")["user_id"]:
+            us = set(users.tolist())
+            out.append((uniq[tc], len(us),
+                        sum(1 for x in us if x in pset), nu, np_u))
+        return pd.DataFrame(out, columns=["ty", "nx", "nxp", "nu",
+                                          "np_"])
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n_users": pd.Series(dtype="int64"),
+            "n_converted": pd.Series(dtype="int64"),
+            "lift": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["ty"])
+    k = len(uniq)
+    nx = [0] * k
+    nxp = [0] * k
+    for c, a, b in zip(codes, df["nx"].tolist(), df["nxp"].tolist()):
+        nx[c] += a
+        nxp[c] += b
+    # (nu, np_) ride identically on every row of a bucket — one per
+    # bucket frame
+    nu = sum(int(p["nu"].iloc[0]) for p in parts)
+    np_u = sum(int(p["np_"].iloc[0]) for p in parts)
+    if nu == 0:
+        return pd.DataFrame(cols)
+    base = float(np_u) / nu
+    order = sorted(range(k), key=lambda i: uniq[i])
+    lifts = [np.nan if base == 0
+             else (float(nxp[i]) / nx[i]) / base for i in order]
+    return pd.DataFrame({
+        "event_type": pd.Series([uniq[i] for i in order],
+                                dtype=object),
+        "n_users": pd.array([nx[i] for i in order], "int64"),
+        "n_converted": pd.array([nxp[i] for i in order], "int64"),
+        "lift": round_away(np.array(lifts, np.float64), 6)})
