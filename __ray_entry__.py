@@ -638,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q341_srm_check": analytics.q_srm_check,
         "q342_cohort_ltv": analytics.q_cohort_ltv,
         "q343_type_conversion_lift": analytics.q_type_conversion_lift,
+        "q344_split_balance_ks": rankstats.q_split_balance_ks,
+        "q345_churn_curve": analytics.q_churn_curve,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4619,6 +4621,67 @@ def oracle_sql() -> dict[str, str]:
                    round((nxp::DOUBLE / nx)
                          / (t.np::DOUBLE / t.nu), 6) AS lift
             FROM g, t ORDER BY event_type
+        """,
+        "q344_split_balance_ks": """
+            WITH x AS (
+                SELECT lang, n_chars,
+                       (('0x' || substr(md5(CAST(doc_id
+                                                 AS VARCHAR)),
+                                        1, 13))::BIGINT
+                        < 3602879701896396) AS tr
+                FROM documents
+                WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+            c AS (SELECT lang, n_chars AS v,
+                         (count(*) FILTER (WHERE tr))::BIGINT AS c1,
+                         (count(*) FILTER (WHERE NOT tr))::BIGINT
+                             AS c2
+                  FROM x GROUP BY lang, n_chars),
+            t AS (SELECT lang, sum(c1)::BIGINT AS n1,
+                         sum(c2)::BIGINT AS n2
+                  FROM c GROUP BY lang),
+            w AS (SELECT c.lang, c.v,
+                         (sum(c.c1) OVER (PARTITION BY c.lang
+                                          ORDER BY c.v))::BIGINT
+                             AS f1,
+                         (sum(c.c2) OVER (PARTITION BY c.lang
+                                          ORDER BY c.v))::BIGINT
+                             AS f2
+                  FROM c),
+            d AS (SELECT w.lang,
+                         max(abs(w.f1::DOUBLE / t.n1
+                                 - w.f2::DOUBLE / t.n2)) AS ks_d
+                  FROM w JOIN t ON w.lang IS NOT DISTINCT
+                                   FROM t.lang
+                  WHERE t.n1 > 0 AND t.n2 > 0
+                  GROUP BY w.lang)
+            SELECT t.lang, t.n1 AS n_train, t.n2 AS n_test,
+                   round(d.ks_d, 6) AS ks_d
+            FROM t LEFT JOIN d ON t.lang IS NOT DISTINCT
+                                  FROM d.lang
+            ORDER BY t.lang
+        """,
+        "q345_churn_curve": """
+            WITH um AS (
+                SELECT DISTINCT user_id,
+                       CAST(epoch_us(date_trunc('month', ts))
+                            // 86400000000 AS BIGINT) AS mlab,
+                       datediff('month', DATE '1970-01-01',
+                                date_trunc('month', ts))::BIGINT
+                           AS midx
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+            a AS (SELECT midx, mlab, count(*)::BIGINT AS n_active,
+                         (count(*) FILTER (WHERE NOT EXISTS (
+                              SELECT 1 FROM um n
+                              WHERE n.user_id = um.user_id
+                                AND n.midx = um.midx + 1)))
+                             ::BIGINT AS n_churned
+                  FROM um GROUP BY midx, mlab),
+            mx AS (SELECT max(midx) AS mm FROM um)
+            SELECT mlab AS month, n_active, n_churned,
+                   round(n_churned::DOUBLE / n_active, 6)
+                       AS churn_rate
+            FROM a, mx WHERE midx < mx.mm ORDER BY month
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

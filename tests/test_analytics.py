@@ -2607,3 +2607,54 @@ def test_type_conversion_lift_hand(ray_session, tmp_path):
     assert got["click"] == 2.0
     assert got["scroll"] == 0.0
     assert got["purchase"] == 2.0
+
+
+def test_churn_curve_hand(ray_session, tmp_path):
+    """q345: users {1,2} active in Jan, only 1 returns in Feb → Jan
+    churn 1/2; Feb (last month) is right-censored out."""
+    from web_scrapper_ray.pipelines.analytics import q_churn_curve
+
+    def ts(s):
+        return pd.Timestamp(s).value // 1000
+
+    pq.write_table(pa.table({
+        "user_id": pa.array([1, 2, 1], pa.int64()),
+        "ts": pa.array([ts("2024-01-03"), ts("2024-01-20"),
+                        ts("2024-02-10")], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_churn_curve(str(tmp_path))
+    jan = ts("2024-01-01") // 86_400_000_000
+    assert out["month"].tolist() == [jan]
+    assert out["n_active"].tolist() == [2]
+    assert out["n_churned"].tolist() == [1]
+    assert out["churn_rate"].tolist() == [0.5]
+
+
+def test_split_balance_ks_deterministic(ray_session, tmp_path):
+    """q344: the KS gap matches a direct recomputation over the md5
+    split — and is invariant to file row order."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.rankstats import q_split_balance_ks
+
+    n = 60
+    ids = list(range(n))
+    lens = [(i * 37) % 100 + 1 for i in ids]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "lang": pa.array(["en"] * n),
+        "n_chars": pa.array(lens, pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_split_balance_ks(str(tmp_path))
+    thr = int(np.floor(0.8 * 4503599627370496.0))
+    tr = [int(hashlib.md5(str(i).encode()).hexdigest()[:13], 16)
+          < thr for i in ids]
+    a = sorted(l for l, t in zip(lens, tr) if t)
+    b = sorted(l for l, t in zip(lens, tr) if not t)
+    vals = sorted(set(lens))
+    d = max(abs(sum(1 for x in a if x <= v) / len(a)
+                - sum(1 for x in b if x <= v) / len(b))
+            for v in vals)
+    assert out["n_train"].tolist() == [len(a)]
+    assert out["n_test"].tolist() == [len(b)]
+    assert abs(out["ks_d"][0] - d) < 1e-9

@@ -13086,3 +13086,88 @@ def q_type_conversion_lift(sf_dir: str, B: int = 32) -> pd.DataFrame:
         "n_users": pd.array([nx[i] for i in order], "int64"),
         "n_converted": pd.array([nxp[i] for i in order], "int64"),
         "lift": round_away(np.array(lifts, np.float64), 6)})
+
+
+def q_churn_curve(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Monthly churn curve — of the users active in month m, the
+    share with NO activity in month m+1 (the complement of q83's
+    retention, on calendar months): exact ints from each user's
+    global month set, assembled through one user-keyed exchange
+    (q329's layout); every bucket emits per-month (active,
+    churned-to-next) partials, the driver folds months × buckets
+    ints. The LAST month emits no row (its churn is right-censored).
+    One division per month."""
+    from .pairs import hash_shuffle, round_away
+
+    DAY = 86_400_000_000
+    _E = pa.table({"user_id": pa.array([], pa.int64()),
+                   "month": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("user_id")),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, DAY)
+        mon = (day.astype("datetime64[D]").astype("datetime64[M]")
+               .astype(np.int64))                # month INDEX
+        g = pd.DataFrame({"u": u, "m": mon}).drop_duplicates()
+        uu = g["u"].to_numpy(np.int64)
+        return pa.table({"user_id": pa.array(uu),
+                         "month": pa.array(g["m"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             (uu % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"month": pd.Series(dtype="int64"),
+                "active": pd.Series(dtype="int64"),
+                "churned": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas().drop_duplicates()
+        # per user: months present; churn at m iff m+1 absent
+        df = df.sort_values(["user_id", "month"])
+        u = df["user_id"].to_numpy(np.int64)
+        m = df["month"].to_numpy(np.int64)
+        nxt = np.zeros(len(u), bool)
+        if len(u) > 1:
+            nxt[:-1] = (u[1:] == u[:-1]) & (m[1:] == m[:-1] + 1)
+        g = (pd.DataFrame({"m": m, "ch": ~nxt})
+             .groupby("m", as_index=False)
+             .agg(active=("ch", "size"), churned=("ch", "sum")))
+        return g.rename(columns={"m": "month"})
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"month": pd.Series(dtype="int64"),
+            "n_active": pd.Series(dtype="int64"),
+            "n_churned": pd.Series(dtype="int64"),
+            "churn_rate": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("month", as_index=False)[["active", "churned"]]
+         .sum().sort_values("month").reset_index(drop=True))
+    g = g.iloc[:-1]                       # last month right-censored
+    if not len(g):
+        return pd.DataFrame(cols)
+    lab = (g["month"].to_numpy(np.int64).astype("datetime64[M]")
+           .astype("datetime64[D]").astype(np.int64))
+    act = g["active"].to_numpy(np.int64)
+    ch = g["churned"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "month": lab,
+        "n_active": act,
+        "n_churned": ch,
+        "churn_rate": round_away(ch.astype(np.float64) / act, 6)})

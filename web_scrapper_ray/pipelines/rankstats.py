@@ -977,3 +977,112 @@ def q_fd_histogram(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
         "bin": bins,
         "lo": round_away(mn + bins.astype(np.float64) * w, 6),
         "n": g[keep]})
+
+
+def q_split_balance_ks(sf_dir: str,
+                       train_frac: float = 0.8) -> pd.DataFrame:
+    """Split-balance audit: after the deterministic 80/20 md5 row
+    split (q300's coin), does each language's TRAIN length
+    distribution still match its TEST one? Per lang, the two-sample
+    KS distance over n_chars — a big D means the split broke a
+    stratum and eval numbers will lie. One exchange of per-batch
+    (lang, length, train-count, test-count) combiners partitioned on
+    the length value (q195's counts-per-distinct contract, lang
+    riding NUL-safe codes); the driver folds per-lang distinct-length
+    tables and takes exact-int EDF max-gaps. NULL doc_id/n_chars out
+    of contract; NULL lang IS a group."""
+    import hashlib
+
+    from .pairs import factorize_strings
+
+    P = 16
+    TWO52 = 4503599627370496.0
+    thr = int(np.floor(train_frac * TWO52))
+    _NULL = "\x00NULLLANG"
+    _EL = pa.table({"lang": pa.array([], pa.string()),
+                    "v": pa.array([], pa.int64()),
+                    "c1": pa.array([], pa.int64()),
+                    "c2": pa.array([], pa.int64()),
+                    "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "n_chars" not in t.schema.names:
+            return _EL
+        keep = pc.and_kleene(pc.is_valid(t.column("doc_id")),
+                             pc.is_valid(t.column("n_chars")))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _EL
+        ids = t2.column("doc_id").to_pylist()
+        tr = np.array([int(hashlib.md5(str(i).encode())
+                           .hexdigest()[:13], 16) < thr
+                       for i in ids], bool)
+        x = t2.column("n_chars").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        lg = pd.Series(t2.column("lang").to_pylist(), dtype=object)
+        keyed = lg.where(lg.isna(), "L" + lg).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        g = (pd.DataFrame({"lc": codes, "v": x, "tr": tr})
+             .groupby(["lc", "v"], sort=False)
+             .agg(c1=("tr", "sum"), c2=("tr", "size"))
+             .reset_index())
+        g["c2"] = g["c2"] - g["c1"]
+        return pa.table({
+            "lang": pa.array([uniq[i] for i in g["lc"]],
+                             pa.string()),
+            "v": pa.array(g["v"].to_numpy(np.int64)),
+            "c1": pa.array(g["c1"].to_numpy(np.int64)),
+            "c2": pa.array(g["c2"].to_numpy(np.int64)),
+            "bucket": pa.array(np.abs(g["v"].to_numpy(np.int64))
+                               % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"lang": pd.Series(dtype="object"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "c1": pd.Series(dtype="int64"),
+                                 "c2": pd.Series(dtype="int64")})
+        df = pa.concat_tables(live).to_pandas()
+        from .pairs import coded_keys
+
+        cj, restore = coded_keys(df, ["lang"])
+        return restore(cj.groupby(["lang", "v"], as_index=False)
+                       [["c1", "c2"]].sum())
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"lang": pd.Series(dtype="object"),
+            "n_train": pd.Series(dtype="int64"),
+            "n_test": pd.Series(dtype="int64"),
+            "ks_d": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    codes, uniq = factorize_strings(df["lang"],
+                                    use_na_sentinel=False)
+    df = df.assign(lc=codes)
+    out = []
+    for lc in sorted(set(codes), key=lambda i: (uniq[i] == _NULL,
+                                                uniq[i])):
+        sub = (df[df["lc"] == lc].groupby("v", as_index=False)
+               [["c1", "c2"]].sum().sort_values("v"))
+        n1 = int(sub["c1"].sum())
+        n2 = int(sub["c2"].sum())
+        d = np.nan
+        if n1 > 0 and n2 > 0:
+            f1 = np.cumsum(sub["c1"].to_numpy(np.float64)) / n1
+            f2 = np.cumsum(sub["c2"].to_numpy(np.float64)) / n2
+            d = float(np.abs(f1 - f2).max())
+        key = uniq[lc]
+        out.append((None if key == _NULL else key[1:], n1, n2, d))
+    from .pairs import round_away as _ra
+
+    return pd.DataFrame({
+        "lang": pd.Series([o[0] for o in out], dtype=object),
+        "n_train": pd.array([o[1] for o in out], "int64"),
+        "n_test": pd.array([o[2] for o in out], "int64"),
+        "ks_d": _ra(np.array([o[3] for o in out], np.float64), 6)})
