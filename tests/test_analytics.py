@@ -2657,4 +2657,4 @@ def test_split_balance_ks_deterministic(ray_session, tmp_path):
             for v in vals)
     assert out["n_train"].tolist() == [len(a)]
     assert out["n_test"].tolist() == [len(b)]
-    assert abs(out["ks_d"][0] - d) < 1e-9
+    assert out["ks_d"][0] == round(d, 6)   # engine rounds to 6dp
