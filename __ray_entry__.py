@@ -640,6 +640,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q343_type_conversion_lift": analytics.q_type_conversion_lift,
         "q344_split_balance_ks": rankstats.q_split_balance_ks,
         "q345_churn_curve": analytics.q_churn_curve,
+        "q346_whale_curve": analytics.q_whale_curve,
+        "q347_nation_hhi": analytics.q_nation_hhi,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4682,6 +4684,53 @@ def oracle_sql() -> dict[str, str]:
                    round(n_churned::DOUBLE / n_active, 6)
                        AS churn_rate
             FROM a, mx WHERE midx < mx.mm ORDER BY month
+        """,
+        "q346_whale_curve": """
+            WITH c AS (
+                SELECT o_custkey,
+                       sum(CAST(round(o_totalprice * 100)
+                                AS BIGINT))::BIGINT AS rev
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY o_custkey),
+            r AS (SELECT rev, ntile(10) OVER (
+                      ORDER BY rev DESC, o_custkey) AS tile
+                  FROM c),
+            t AS (SELECT sum(rev)::BIGINT AS tot FROM c)
+            SELECT tile::BIGINT AS decile,
+                   count(*)::BIGINT AS n_customers,
+                   sum(rev)::BIGINT AS revenue_cents,
+                   round(sum(rev)::DOUBLE / t.tot, 6) AS rev_share
+            FROM r, t GROUP BY tile, t.tot ORDER BY tile
+        """,
+        "q347_nation_hhi": """
+            WITH li AS (
+                SELECT l_suppkey AS s,
+                       CAST(round(l_extendedprice
+                                  * (1 - l_discount) * 100)
+                            AS BIGINT) AS c
+                FROM lineitem
+                WHERE l_suppkey IS NOT NULL
+                  AND isfinite(l_extendedprice)
+                  AND isfinite(l_discount)),
+            g AS (SELECT s, sum(c)::BIGINT AS rev FROM li
+                  GROUP BY s),
+            sd AS (SELECT s_suppkey AS k,
+                          min(s_nationkey) AS nk
+                   FROM supplier WHERE s_suppkey IS NOT NULL
+                   GROUP BY s_suppkey),
+            j AS (SELECT g.rev, sd.nk FROM g
+                  LEFT JOIN sd ON g.s = sd.k),
+            h AS (SELECT nk, count(*)::BIGINT AS n_suppliers,
+                         sum(rev)::BIGINT AS t,
+                         sum(rev::HUGEINT * rev) AS s2
+                  FROM j GROUP BY nk)
+            SELECT CAST(nk AS DOUBLE) AS nationkey, n_suppliers,
+                   t AS total_cents,
+                   round(CAST(s2 AS DOUBLE)
+                         / (CAST(t AS DOUBLE) * t), 6) AS hhi
+            FROM h ORDER BY nationkey
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

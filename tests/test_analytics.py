@@ -2658,3 +2658,45 @@ def test_split_balance_ks_deterministic(ray_session, tmp_path):
     assert out["n_train"].tolist() == [len(a)]
     assert out["n_test"].tolist() == [len(b)]
     assert out["ks_d"][0] == round(d, 6)   # engine rounds to 6dp
+
+
+def test_whale_curve_tiling(ray_session, tmp_path):
+    """q346: 12 customers → first two deciles get 2 members (ntile
+    tiling), the whale decile holds most of the revenue."""
+    from web_scrapper_ray.pipelines.analytics import q_whale_curve
+
+    n = 12
+    pq.write_table(pa.table({
+        "o_custkey": pa.array(list(range(n)), pa.int64()),
+        "o_totalprice": pa.array([1000.0] + [1.0] * (n - 1),
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_whale_curve(str(tmp_path))
+    assert out["n_customers"].tolist() == [2, 2] + [1] * 8
+    assert out["revenue_cents"].tolist()[0] == 100000 + 100
+    assert out["rev_share"].tolist()[0] > 0.99
+
+
+def test_nation_hhi_concentration(ray_session, tmp_path):
+    """q347: nation 1's two equal suppliers give HHI 0.5; nation 2's
+    monopoly gives 1.0; an unknown supplier lands in the NULL
+    nation."""
+    from web_scrapper_ray.pipelines.analytics import q_nation_hhi
+
+    pq.write_table(pa.table({
+        "l_suppkey": pa.array([1, 2, 3, 9], pa.int64()),
+        "l_extendedprice": pa.array([10.0, 10.0, 5.0, 2.0],
+                                    pa.float64()),
+        "l_discount": pa.array([0.0] * 4, pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3], pa.int64()),
+        "s_nationkey": pa.array([1, 1, 2], pa.int32()),
+    }), str(tmp_path / "supplier.parquet"))
+    out = q_nation_hhi(str(tmp_path))
+    got = {r.nationkey if not pd.isna(r.nationkey) else None:
+           (r.n_suppliers, r.hhi)
+           for r in out.itertuples(index=False)}
+    assert got[1.0] == (2, 0.5)
+    assert got[2.0] == (1, 1.0)
+    assert got[None] == (1, 1.0)

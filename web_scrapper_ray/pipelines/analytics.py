@@ -13171,3 +13171,168 @@ def q_churn_curve(sf_dir: str, P: int = 32) -> pd.DataFrame:
         "n_active": act,
         "n_churned": ch,
         "churn_rate": round_away(ch.astype(np.float64) / act, 6)})
+
+
+def q_whale_curve(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Whale curve — revenue concentration by customer decile: rank
+    customers by exact-cents order revenue (rev DESC, custkey), slice
+    into SQL ntile(10) tiles (`_ntile_of_ranks`, the probed DuckDB
+    tiling), and report each decile's size, revenue and share. The
+    full Lorenz view behind q323's single top-1% point. One custkey
+    exchange of exact-cents partials; the driver ranks the
+    dimension-sized customer domain; shares are one division per
+    decile."""
+    from .pairs import hash_shuffle, round_away
+
+    P = 16
+    _E = pa.table({"cust": pa.array([], pa.int64()),
+                   "rev": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "o_custkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("o_custkey")),
+            pc.fill_null(pc.is_finite(t.column("o_totalprice")),
+                         False))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        c = t2.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.round(np.asarray(
+            t2.column("o_totalprice").to_numpy(zero_copy_only=False),
+            np.float64) * 100.0).astype(np.int64)
+        u, inv = np.unique(c, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, cents)
+        return pa.table({"cust": pa.array(u), "rev": pa.array(s),
+                         "bucket": pa.array((u % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"cust": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby("cust", as_index=False)["rev"].sum())
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"decile": pd.Series(dtype="int64"),
+            "n_customers": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "rev_share": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    rev = df["rev"].to_numpy(np.int64)
+    cust = df["cust"].to_numpy(np.int64)
+    n = len(rev)
+    o = np.lexsort((cust, -rev))
+    tiles = _ntile_of_ranks(np.arange(n, dtype=np.int64), n, k)
+    g = (pd.DataFrame({"tile": tiles, "rev": rev[o]})
+         .groupby("tile", as_index=False)
+         .agg(n_customers=("rev", "size"),
+              revenue_cents=("rev", "sum")))
+    tot = int(rev.sum())
+    return pd.DataFrame({
+        "decile": g["tile"].to_numpy(np.int64),
+        "n_customers": g["n_customers"].to_numpy(np.int64),
+        "revenue_cents": g["revenue_cents"].to_numpy(np.int64),
+        "rev_share": round_away(
+            g["revenue_cents"].to_numpy(np.int64).astype(np.float64)
+            / tot, 6)})
+
+
+def q_nation_hhi(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Supplier-revenue Herfindahl index per nation — how
+    concentrated each nation's supply base is (HHI > 0.25 ⇒ one or
+    two suppliers dominate): HHI = Σ_s (rev_s/T)² = Σ rev_s² / T²,
+    the exact-integer-numerator trick (q310's rule — never a float
+    sum over suppliers). Supplier revenue rides a suppkey exchange
+    of exact half-away cents (q334's rounding rule); the
+    supplier→nation map is the broadcast dedup'd supplier dimension.
+    Python-int squares cross any magnitude; ONE division per nation.
+    Suppliers missing from the dimension group under NULL nation
+    (SQL LEFT JOIN)."""
+    from .pairs import hash_shuffle, round_away
+
+    _E = pa.table({"supp": pa.array([], pa.int64()),
+                   "rev": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_suppkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.is_valid(t.column("l_suppkey")),
+            pc.and_kleene(
+                pc.fill_null(pc.is_finite(
+                    t.column("l_extendedprice")), False),
+                pc.fill_null(pc.is_finite(t.column("l_discount")),
+                             False)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        s = t2.column("l_suppkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        ep = t2.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        dc = t2.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = round_away(ep * (1.0 - dc) * 100.0, 0).astype(
+            np.int64)
+        u, inv = np.unique(s, return_inverse=True)
+        sm = np.zeros(len(u), np.int64)
+        np.add.at(sm, inv, cents)
+        return pa.table({"supp": pa.array(u), "rev": pa.array(sm),
+                         "bucket": pa.array((u % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"supp": pd.Series(dtype="int64"),
+                                 "rev": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby("supp", as_index=False)["rev"].sum())
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_suppkey", "l_extendedprice", "l_discount"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"nationkey": pd.Series(dtype="float64"),
+            "n_suppliers": pd.Series(dtype="int64"),
+            "total_cents": pd.Series(dtype="int64"),
+            "hhi": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True) \
+        .groupby("supp", as_index=False)["rev"].sum()
+    sup = _read(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = sup[sup["s_suppkey"].notna()]
+    nmap = (sup.assign(k=sup["s_suppkey"].astype(np.int64))
+            .groupby("k")["s_nationkey"]
+            .agg(lambda x: None if x.dropna().empty
+                 else int(x.dropna().min())))
+    df["nation"] = df["supp"].map(nmap)       # missing → NaN (NULL)
+    out = []
+    for nk, sub in df.groupby("nation", dropna=False, sort=True):
+        rv = sub["rev"].tolist()
+        T = sum(int(x) for x in rv)
+        s2 = sum(int(x) * int(x) for x in rv)
+        hhi = np.nan if T == 0 else float(s2) / (float(T) * T)
+        out.append((None if pd.isna(nk) else float(nk), len(rv),
+                    T, hhi))
+    out.sort(key=lambda r: (r[0] is None,
+                            r[0] if r[0] is not None else 0))
+    return pd.DataFrame({
+        "nationkey": pd.array([r[0] for r in out], "float64"),
+        "n_suppliers": pd.array([r[1] for r in out], "int64"),
+        "total_cents": pd.array([r[2] for r in out], "int64"),
+        "hhi": round_away(np.array([r[3] for r in out],
+                                   np.float64), 6)})
