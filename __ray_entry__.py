@@ -642,6 +642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q345_churn_curve": analytics.q_churn_curve,
         "q346_whale_curve": analytics.q_whale_curve,
         "q347_nation_hhi": analytics.q_nation_hhi,
+        "q348_dedup_savings": dedup.q_dedup_savings,
+        "q349_join_cardinality_est": analytics.q_join_cardinality_est,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4731,6 +4733,51 @@ def oracle_sql() -> dict[str, str]:
                    round(CAST(s2 AS DOUBLE)
                          / (CAST(t AS DOUBLE) * t), 6) AS hhi
             FROM h ORDER BY nationkey
+        """,
+        "q348_dedup_savings": """
+            WITH x AS (SELECT text FROM documents
+                       WHERE text IS NOT NULL),
+            g AS (SELECT count(*)::BIGINT AS c,
+                         length(text)::BIGINT AS ch
+                  FROM x GROUP BY text),
+            t AS (SELECT sum(c)::BIGINT AS nd,
+                         count(*)::BIGINT AS ng,
+                         sum(c * ch)::BIGINT AS cb,
+                         sum(ch)::BIGINT AS ca
+                  FROM g)
+            SELECT nd AS n_docs, ng AS n_kept,
+                   cb AS chars_before, ca AS chars_after,
+                   round((nd - ng)::DOUBLE / nd, 6) AS doc_savings,
+                   CASE WHEN cb > 0 THEN
+                       round((cb - ca)::DOUBLE / cb, 6)
+                   END AS char_savings
+            FROM t WHERE nd > 0
+        """,
+        "q349_join_cardinality_est": """
+            WITH ok AS (SELECT o_orderkey AS k FROM orders
+                        WHERE o_orderkey IS NOT NULL),
+            lk AS (SELECT l_orderkey AS k FROM lineitem
+                   WHERE l_orderkey IS NOT NULL),
+            a AS (SELECT k, count(*)::BIGINT AS a FROM ok
+                  GROUP BY k),
+            b AS (SELECT k, count(*)::BIGINT AS b FROM lk
+                  GROUP BY k),
+            j AS (SELECT coalesce(a.k, b.k) AS k,
+                         coalesce(a.a, 0) AS a,
+                         coalesce(b.b, 0) AS b
+                  FROM a FULL JOIN b ON a.k = b.k),
+            e AS (SELECT sum(a * b)::BIGINT AS exact,
+                         sum(CASE WHEN ('0x' || substr(
+                                 md5(CAST(k AS VARCHAR)), 1, 13))
+                                 ::BIGINT % 8 = 0
+                                  THEN a * b ELSE 0 END)::BIGINT
+                             AS samp
+                  FROM j)
+            SELECT exact AS exact_rows, samp AS sampled_rows,
+                   (samp * 8)::BIGINT AS estimate,
+                   round(abs(samp * 8 - exact)::DOUBLE / exact, 6)
+                       AS rel_err
+            FROM e WHERE exact > 0
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2700,3 +2700,46 @@ def test_nation_hhi_concentration(ray_session, tmp_path):
     assert got[1.0] == (2, 0.5)
     assert got[2.0] == (1, 1.0)
     assert got[None] == (1, 1.0)
+
+
+def test_dedup_savings_hand(ray_session, tmp_path):
+    """q348: 3 copies of a 4-char doc + 1 unique 2-char doc → keep 2
+    of 4 docs, chars 14 → 6."""
+    from web_scrapper_ray.pipelines.dedup import q_dedup_savings
+
+    pq.write_table(pa.table({
+        "text": pa.array(["aaaa", "aaaa", "aaaa", "bb", None]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_dedup_savings(str(tmp_path))
+    assert out["n_docs"].tolist() == [4]
+    assert out["n_kept"].tolist() == [2]
+    assert out["chars_before"].tolist() == [14]
+    assert out["chars_after"].tolist() == [6]
+    assert out["doc_savings"].tolist() == [0.5]
+    assert out["char_savings"].tolist() == [round(8 / 14, 6)]
+
+
+def test_join_cardinality_est_exact_books(ray_session, tmp_path):
+    """q349: exact join size is Σ a·b over shared keys; the estimate
+    matches a direct recomputation of the md5 key sample."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.analytics import (
+        q_join_cardinality_est)
+
+    okeys = [1, 1, 2, 3]
+    lkeys = [1, 2, 2, 2, 4]
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(okeys, pa.int64()),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(lkeys, pa.int64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_join_cardinality_est(str(tmp_path))
+    assert out["exact_rows"].tolist() == [2 * 1 + 1 * 3]
+    prods = {1: 2, 2: 3}
+    samp = sum(v for k, v in prods.items()
+               if int(hashlib.md5(str(k).encode())
+                      .hexdigest()[:13], 16) % 8 == 0)
+    assert out["sampled_rows"].tolist() == [samp]
+    assert out["estimate"].tolist() == [samp * 8]

@@ -13336,3 +13336,88 @@ def q_nation_hhi(sf_dir: str, P: int = 32) -> pd.DataFrame:
         "total_cents": pd.array([r[2] for r in out], "int64"),
         "hhi": round_away(np.array([r[3] for r in out],
                                    np.float64), 6)})
+
+
+def q_join_cardinality_est(sf_dir: str, frac_bits: int = 3,
+                           P: int = 16) -> pd.DataFrame:
+    """Sampled join-cardinality estimation eval — the optimizer
+    primitive, self-certifying: estimate |orders ⋈ lineitem| from a
+    1/8 KEY-sample on each side (orderkeys whose md5 prefix has its
+    low 3 bits zero — the same key surviving on BOTH sides makes
+    this a correlated/co-sampled estimator, the standard join-sample
+    trick; independent row samples would square the rate), scale by
+    8, and report the exact size beside it with the relative error.
+    One orderkey exchange carries per-key (order-rows,
+    lineitem-rows) counts, so the exact join size is Σ a·b, the
+    sample the same sum over surviving keys — exact ints, two
+    divisions. NULL keys out of contract."""
+    import hashlib
+
+    from .pairs import hash_shuffle, round_away
+
+    RATE = 1 << frac_bits
+
+    _E = pa.table({"k": pa.array([], pa.int64()),
+                   "a": pa.array([], pa.int64()),
+                   "b": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def mk_split(col: str, side: int):
+        def split(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.schema.names:
+                return _E
+            v = t.column(col).drop_null().cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+            if not len(v):
+                return _E
+            u, c = np.unique(v, return_counts=True)
+            z = np.zeros(len(u), np.int64)
+            a = c.astype(np.int64) if side == 0 else z
+            b = c.astype(np.int64) if side == 1 else z
+            return pa.table({"k": pa.array(u), "a": pa.array(a),
+                             "b": pa.array(b),
+                             "bucket": pa.array(
+                                 (u % P).astype(np.int64))})
+        return split
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(2, np.int64)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("k", as_index=False)[["a", "b"]].sum())
+        prod = g["a"].to_numpy(np.int64) * g["b"].to_numpy(np.int64)
+        exact = int(prod.sum())
+        keys = g["k"].to_numpy(np.int64)
+        insample = np.array(
+            [int(hashlib.md5(str(k).encode()).hexdigest()[:13], 16)
+             % RATE == 0 for k in keys], bool)
+        samp = int(prod[insample].sum())
+        return np.array([exact, samp], np.int64)
+
+    o_refs = [(r, (0,)) for r in _read(
+        sf_dir, "orders", columns=["o_orderkey"]).to_arrow_refs()]
+    l_refs = [(r, (1,)) for r in _read(
+        sf_dir, "lineitem",
+        columns=["l_orderkey"]).to_arrow_refs()]
+
+    def split(t: pa.Table, side: int) -> pa.Table:
+        return mk_split("o_orderkey" if side == 0 else "l_orderkey",
+                        side)(t)
+
+    tot = sum(hash_shuffle(o_refs + l_refs, split, merge, P=P))
+    exact, samp = ((int(x) for x in np.atleast_1d(tot)[:2])
+                   if np.ndim(tot) else (0, 0))
+    cols = {"exact_rows": pd.Series(dtype="int64"),
+            "sampled_rows": pd.Series(dtype="int64"),
+            "estimate": pd.Series(dtype="int64"),
+            "rel_err": pd.Series(dtype="float64")}
+    if exact == 0:
+        return pd.DataFrame(cols)
+    est = samp * RATE
+    return pd.DataFrame({
+        "exact_rows": pd.array([exact], "int64"),
+        "sampled_rows": pd.array([samp], "int64"),
+        "estimate": pd.array([est], "int64"),
+        "rel_err": round_away(np.array(
+            [abs(est - exact) / float(exact)]), 6)})

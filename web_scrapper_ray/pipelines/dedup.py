@@ -1418,3 +1418,81 @@ def q_blocking_quality(sf_dir: str, w: int = 4,
         "found_true": pd.array([found], "int64"),
         "reduction_ratio": round_away(np.array([rr]), 6),
         "pair_completeness": round_away(np.array([pc_]), 6)})
+
+
+def q_dedup_savings(sf_dir: str, P: int = 32) -> pd.DataFrame:
+    """Exact-dedup savings report — the before/after sheet a dedup
+    run is judged by: documents and characters before, after keeping
+    ONE copy per identical text (q20's md5 identity), and the
+    savings shares. One (hash, count, chars) exchange — copies of a
+    text share its length, so the kept chars per group are just the
+    group's char value; every number is an exact int and the two
+    shares are one division each. NULL text is out of contract
+    here (no bytes to save)."""
+    from .pairs import hash_shuffle, round_away, str_u64
+
+    _E = pa.table({"h": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "ch": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("text")))
+        if t2.num_rows == 0:
+            return _E
+        texts = t2.column("text").to_pylist()
+        agg: dict = {}
+        for x in texts:
+            hx = hashlib.md5(x.encode()).hexdigest()
+            cur = agg.get(hx)
+            if cur is None:
+                agg[hx] = [1, len(x)]
+            else:
+                cur[0] += 1
+        h = sorted(agg)
+        return pa.table({"h": pa.array(h, pa.string()),
+                         "c": pa.array([agg[x][0] for x in h],
+                                       pa.int64()),
+                         "ch": pa.array([agg[x][1] for x in h],
+                                        pa.int64()),
+                         "bucket": pa.array(np.array(
+                             [str_u64(x) & (P - 1) for x in h],
+                             np.int64))})
+
+    def merge(*tabs) -> np.ndarray:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return np.zeros(4, np.int64)
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby("h", as_index=False)
+              .agg(c=("c", "sum"), ch=("ch", "first")))
+        n_docs = int(df["c"].sum())
+        n_groups = len(df)
+        before = int((df["c"] * df["ch"]).sum())
+        after = int(df["ch"].sum())
+        return np.array([n_docs, n_groups, before, after], np.int64)
+
+    ds = _docs(sf_dir, ["text"])
+    tot = sum(hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                           split, merge, P=P))
+    nd, ng, cb, ca = ((int(x) for x in np.atleast_1d(tot)[:4])
+                      if np.ndim(tot) else (0, 0, 0, 0))
+    cols = {"n_docs": pd.Series(dtype="int64"),
+            "n_kept": pd.Series(dtype="int64"),
+            "chars_before": pd.Series(dtype="int64"),
+            "chars_after": pd.Series(dtype="int64"),
+            "doc_savings": pd.Series(dtype="float64"),
+            "char_savings": pd.Series(dtype="float64")}
+    if nd == 0:
+        return pd.DataFrame(cols)
+    return pd.DataFrame({
+        "n_docs": pd.array([nd], "int64"),
+        "n_kept": pd.array([ng], "int64"),
+        "chars_before": pd.array([cb], "int64"),
+        "chars_after": pd.array([ca], "int64"),
+        "doc_savings": round_away(np.array(
+            [float(nd - ng) / nd]), 6),
+        "char_savings": round_away(np.array(
+            [np.nan if cb == 0 else float(cb - ca) / cb]), 6)})
