@@ -644,6 +644,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q347_nation_hhi": analytics.q_nation_hhi,
         "q348_dedup_savings": dedup.q_dedup_savings,
         "q349_join_cardinality_est": analytics.q_join_cardinality_est,
+        "q350_prefix_suggest": textops.q_prefix_suggest,
+        "q351_weekday_hour_heatmap": analytics.q_weekday_hour_heatmap,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4778,6 +4780,28 @@ def oracle_sql() -> dict[str, str]:
                    round(abs(samp * 8 - exact)::DOUBLE / exact, 6)
                        AS rel_err
             FROM e WHERE exact > 0
+        """,
+        "q350_prefix_suggest": """
+            WITH w AS (
+                SELECT unnest(regexp_extract_all(lower(text),
+                                                 '\w+')) AS word
+                FROM documents),
+            g AS (SELECT word, count(*)::BIGINT AS c FROM w
+                  GROUP BY word),
+            p AS (SELECT substr(word, 1, 3) AS prefix, word, c,
+                         row_number() OVER (
+                             PARTITION BY substr(word, 1, 3)
+                             ORDER BY c DESC, word) AS rn
+                  FROM g)
+            SELECT prefix, word AS suggestion, c AS n
+            FROM p WHERE rn = 1 AND c >= 5 ORDER BY prefix
+        """,
+        "q351_weekday_hour_heatmap": """
+            SELECT dayofweek(ts)::BIGINT AS weekday,
+                   hour(ts)::BIGINT AS hour,
+                   count(*)::BIGINT AS n
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

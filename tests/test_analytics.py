@@ -2743,3 +2743,35 @@ def test_join_cardinality_est_exact_books(ray_session, tmp_path):
                       .hexdigest()[:13], 16) % 8 == 0)
     assert out["sampled_rows"].tolist() == [samp]
     assert out["estimate"].tolist() == [samp * 8]
+
+
+def test_prefix_suggest_ties(ray_session, tmp_path):
+    """q350: within prefix 'app', 'apple' (6) beats 'appla' (5); the
+    count tie at 5 would break lexicographically; sub-threshold
+    prefixes drop."""
+    from web_scrapper_ray.pipelines.textops import q_prefix_suggest
+
+    text = " ".join(["apple"] * 6 + ["appla"] * 5 + ["zz"] * 2)
+    pq.write_table(pa.table({"text": pa.array([text])}),
+                   str(tmp_path / "documents.parquet"))
+    out = q_prefix_suggest(str(tmp_path))
+    assert out["prefix"].tolist() == ["app"]
+    assert out["suggestion"].tolist() == ["apple"]
+    assert out["n"].tolist() == [6]
+
+
+def test_weekday_hour_heatmap_pre1970(ray_session, tmp_path):
+    """q351: epoch 0 is Thursday 00:00 (weekday 4); one hour BEFORE
+    epoch is Wednesday 23:00 — floored, never truncated."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_weekday_hour_heatmap)
+
+    HOUR = 3_600_000_000
+    pq.write_table(pa.table({
+        "ts": pa.array([0, -HOUR], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_weekday_hour_heatmap(str(tmp_path))
+    got = {(r.weekday, r.hour): r.n
+           for r in out.itertuples(index=False)}
+    assert got[(4, 0)] == 1     # Thursday 00
+    assert got[(3, 23)] == 1    # Wednesday 23

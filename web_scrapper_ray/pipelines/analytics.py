@@ -13421,3 +13421,64 @@ def q_join_cardinality_est(sf_dir: str, frac_bits: int = 3,
         "estimate": pd.array([est], "int64"),
         "rel_err": round_away(np.array(
             [abs(est - exact) / float(exact)]), 6)})
+
+
+def q_weekday_hour_heatmap(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Weekday × hour traffic heatmap — the calendar load profile
+    behind capacity planning: event counts per (ISO-ish weekday with
+    0 = Sunday, hour of day), computed with FLOORED division and
+    FLOORED modulo so pre-1970 timestamps land in the right cell
+    (CLAUDE.md's truncated-vs-floored rule; q248's weekday
+    convention). One (cell, count) exchange of per-batch combiners —
+    the driver folds ≤ 168 rows. NULL ts out of contract."""
+    from .pairs import hash_shuffle
+
+    HOUR = 3_600_000_000
+    DAY = 86_400_000_000
+    _E = pa.table({"cell": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("ts")))
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, DAY)
+        # epoch day 0 = Thursday; weekday 0 = Sunday ⇒ +4 shift
+        wd = np.mod(day + 4, 7)          # np.mod floors (CLAUDE.md)
+        hr = np.mod(np.floor_divide(us, HOUR), 24)
+        cell = wd * 24 + hr
+        u, cc = np.unique(cell, return_counts=True)
+        return pa.table({"cell": pa.array(u),
+                         "c": pa.array(cc.astype(np.int64)),
+                         "bucket": pa.array(u % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"cell": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        return (pa.concat_tables(live).to_pandas()
+                .groupby("cell", as_index=False)["c"].sum())
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"weekday": pd.Series(dtype="int64"),
+            "hour": pd.Series(dtype="int64"),
+            "n": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .groupby("cell", as_index=False)["c"].sum()
+         .sort_values("cell").reset_index(drop=True))
+    cell = g["cell"].to_numpy(np.int64)
+    return pd.DataFrame({
+        "weekday": cell // 24,
+        "hour": cell % 24,
+        "n": g["c"].to_numpy(np.int64)})

@@ -4248,3 +4248,74 @@ def q_term_burstiness(sf_dir: str, k: int = 30) -> pd.DataFrame:
         "burstiness": round_away(
             g["cf"].to_numpy(np.int64).astype(np.float64)
             / g["df"].to_numpy(np.int64), 6)})
+
+
+def q_prefix_suggest(sf_dir: str, plen: int = 3,
+                     min_count: int = 5) -> pd.DataFrame:
+    """Autocomplete suggestion table: for every ``plen``-character
+    prefix, the corpus's most frequent completion (count ties break
+    lexicographically) — the search-suggest index built as one
+    aggregation: (word, count) combiners ride the word-keyed
+    exchange, each bucket re-keys its counts by prefix and emits
+    per-prefix local argmax candidates... but a prefix spans MANY
+    word buckets, so the bucket emits its per-prefix best and the
+    driver takes the final argmax over P candidates per prefix —
+    exactly-once because a word lives in one bucket and the final
+    fold is associative. Counts exact; prefixes shorter than plen
+    are their whole word. Suggestions below ``min_count`` drop."""
+    from .pairs import hash_shuffle, str_u64
+
+    P = 32
+    _E = pa.table({"word": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        cf: Counter = Counter()
+        for txt in t.column("text").to_pylist():
+            cf.update(_TOKEN_RX.findall((txt or "").lower()))
+        if not cf:
+            return _E
+        w = sorted(cf)
+        return pa.table({"word": pa.array(w, pa.string()),
+                         "c": pa.array([cf[x] for x in w],
+                                       pa.int64()),
+                         "bucket": pa.array(np.array(
+                             [str_u64(x) & (P - 1) for x in w],
+                             np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"prefix": pd.Series(dtype="object"),
+                "word": pd.Series(dtype="object"),
+                "c": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        g = (pa.concat_tables(live).to_pandas()
+             .groupby("word", as_index=False)["c"].sum())
+        g["prefix"] = g["word"].str[:plen]
+        g = g.sort_values(["prefix", "c", "word"],
+                          ascending=[True, False, True])
+        return (g.groupby("prefix", as_index=False).head(1)
+                [["prefix", "word", "c"]])
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in _docs(sf_dir, columns=["text"])
+         .to_arrow_refs()], split, merge, P=P) if len(p)]
+    cols = {"prefix": pd.Series(dtype="object"),
+            "suggestion": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    df = df.sort_values(["prefix", "c", "word"],
+                        ascending=[True, False, True])
+    best = df.groupby("prefix", as_index=False).head(1)
+    best = best[best["c"] >= min_count]
+    return pd.DataFrame({
+        "prefix": best["prefix"].astype(object).to_numpy(),
+        "suggestion": best["word"].astype(object).to_numpy(),
+        "n": best["c"].astype("int64").to_numpy()}
+    ).reset_index(drop=True)
