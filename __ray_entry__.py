@@ -289,6 +289,39 @@ def _image_format_census(sf_dir: str):
     return out
 
 
+def _cross_site_dups(sf_dir: str):
+    """q353: pixel-identical images appearing on MULTIPLE sites (the
+    CDN-mirror / hotlink signal a crawl dedup wants to know about —
+    same-site duplicates are usually templates, cross-site ones are
+    shared assets): decode+hash via the PixelHash actor pool
+    (q276's stage), then group hashes and count distinct site ids
+    (the image_id's site field). Emits only groups spanning ≥ 2
+    sites plus a summary-friendly keeper id."""
+    import pandas as pd
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.stages.multimodal import PixelHash
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"],
+                         columns=["image_id", "bytes"])
+    h = ds.map_batches(PixelHash, batch_format="pyarrow",
+                       batch_size=128, concurrency=2).to_pandas()
+    h["site"] = h["image_id"].str.split("-").str[1]
+    g = (h.groupby("pixel_hash")
+         .agg(n_images=("image_id", "size"),
+              n_sites=("site", "nunique"),
+              keeper=("image_id", "min"))
+         .reset_index())
+    g = g[g["n_sites"] >= 2].sort_values(
+        ["n_images", "keeper"],
+        ascending=[False, True]).reset_index(drop=True)
+    g["n_images"] = g["n_images"].astype("int64")
+    g["n_sites"] = g["n_sites"].astype("int64")
+    return g[["keeper", "n_images", "n_sites"]]
+
+
 def _pixel_dup_groups(sf_dir: str):
     import ray.data as rd
 
@@ -646,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q349_join_cardinality_est": analytics.q_join_cardinality_est,
         "q350_prefix_suggest": textops.q_prefix_suggest,
         "q351_weekday_hour_heatmap": analytics.q_weekday_hour_heatmap,
+        "q352_brand_diversity_trend": analytics.q_brand_diversity_trend,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -783,6 +817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q318_caption_quality": _caption_quality,
         "q319_caption_dedup": _caption_dedup,
         "q339_image_format_census": _image_format_census,
+        "q353_cross_site_dups": _cross_site_dups,
         "q277_tile_phash_neardup": _tile_phash_neardup,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,
@@ -4802,6 +4837,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*)::BIGINT AS n
             FROM events WHERE ts IS NOT NULL
             GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "q352_brand_diversity_trend": """
+            WITH pd AS (SELECT p_partkey AS k,
+                               min(p_brand) AS brand
+                        FROM part WHERE p_partkey IS NOT NULL
+                        GROUP BY p_partkey),
+            li AS (
+                SELECT CAST(epoch_us(date_trunc('month',
+                                                l_shipdate))
+                            // 86400000000 AS BIGINT) AS m,
+                       pd.brand,
+                       CAST(round(l_extendedprice
+                                  * (1 - l_discount) * 100)
+                            AS BIGINT) AS c
+                FROM lineitem LEFT JOIN pd ON l_partkey = pd.k
+                WHERE l_partkey IS NOT NULL
+                  AND l_shipdate IS NOT NULL
+                  AND isfinite(l_extendedprice)
+                  AND isfinite(l_discount)),
+            g AS (SELECT m, brand, sum(c)::BIGINT AS rev FROM li
+                  GROUP BY m, brand),
+            h AS (SELECT m, count(*)::BIGINT AS n_brands,
+                         sum(rev)::BIGINT AS t,
+                         sum(rev::HUGEINT * rev) AS s2
+                  FROM g GROUP BY m)
+            SELECT m AS month, n_brands, t AS total_cents,
+                   round(1.0 - CAST(s2 AS DOUBLE)
+                         / (CAST(t AS DOUBLE) * t), 6) AS diversity
+            FROM h WHERE t <> 0 ORDER BY month
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2775,3 +2775,27 @@ def test_weekday_hour_heatmap_pre1970(ray_session, tmp_path):
            for r in out.itertuples(index=False)}
     assert got[(4, 0)] == 1     # Thursday 00
     assert got[(3, 23)] == 1    # Wednesday 23
+
+
+def test_brand_diversity_trend_hand(ray_session, tmp_path):
+    """q352: Jan splits 50/50 between two brands (diversity 0.5);
+    Feb is a monopoly (0.0); a part missing from the dimension is
+    the NULL brand."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_brand_diversity_trend)
+
+    jan = pd.Timestamp("2024-01-05").value // 1000
+    feb = pd.Timestamp("2024-02-05").value // 1000
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 2, 1], pa.int64()),
+        "l_shipdate": pa.array([jan, jan, feb], pa.timestamp("us")),
+        "l_extendedprice": pa.array([10.0, 10.0, 7.0], pa.float64()),
+        "l_discount": pa.array([0.0] * 3, pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2], pa.int64()),
+        "p_brand": pa.array(["X", "Y"]),
+    }), str(tmp_path / "part.parquet"))
+    out = q_brand_diversity_trend(str(tmp_path))
+    assert out["n_brands"].tolist() == [2, 1]
+    assert out["diversity"].tolist() == [0.5, 0.0]

@@ -13482,3 +13482,118 @@ def q_weekday_hour_heatmap(sf_dir: str, P: int = 16) -> pd.DataFrame:
         "weekday": cell // 24,
         "hour": cell % 24,
         "n": g["c"].to_numpy(np.int64)})
+
+
+def q_brand_diversity_trend(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Brand revenue diversity per ship month — 1 − HHI over brand
+    revenue shares, the diversification trend a category manager
+    watches (falling diversity = one brand eating the mix). Same
+    exact-integer discipline as q347: per-month brand revenues ride
+    a (month, brand) exchange as half-away cents; diversity =
+    1 − Σrev²/T² with Python-int squares — never a float sum over
+    brands. The part→brand map is the broadcast dedup'd dimension
+    (q310's min-brand rule; unknown parts = NULL brand, a real
+    group)."""
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    _E = pa.table({"month": pa.array([], pa.int64()),
+                   "bc": pa.array([], pa.int64()),
+                   "rev": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
+        .to_pandas()
+    pt = pt[pt["p_partkey"].notna()]
+    grp = (pt.assign(k=pt["p_partkey"].astype(np.int64))
+           .groupby("k")["p_brand"]
+           .agg(lambda s: None if s.dropna().empty
+                else s.dropna().min()))
+    keys = grp.index.to_numpy(np.int64)
+    bcodes, buniq = factorize_strings(
+        pd.Series(grp.to_numpy(object), dtype=object),
+        use_na_sentinel=False)
+    null_code = None
+    for i, uv in enumerate(buniq):
+        if uv is None or (isinstance(uv, float) and np.isnan(uv)):
+            null_code = i
+    miss = null_code if null_code is not None else len(buniq)
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "l_partkey" not in t.schema.names:
+            return _E
+        keep = pc.and_kleene(
+            pc.and_kleene(pc.is_valid(t.column("l_partkey")),
+                          pc.is_valid(t.column("l_shipdate"))),
+            pc.and_kleene(
+                pc.fill_null(pc.is_finite(
+                    t.column("l_extendedprice")), False),
+                pc.fill_null(pc.is_finite(t.column("l_discount")),
+                             False)))
+        t2 = t.filter(pc.fill_null(keep, False))
+        if t2.num_rows == 0:
+            return _E
+        pk = t2.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        pos = np.searchsorted(keys, pk)
+        posc = np.clip(pos, 0, max(len(keys) - 1, 0))
+        hit = (len(keys) > 0) & (np.take(keys, posc) == pk)
+        bc = np.where(hit, np.take(bcodes, posc), miss)
+        us = t2.column("l_shipdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day = np.floor_divide(us, 86_400_000_000)
+        month = (day.astype("datetime64[D]").astype("datetime64[M]")
+                 .astype("datetime64[D]").astype(np.int64))
+        ep = t2.column("l_extendedprice").to_numpy(
+            zero_copy_only=False)
+        dc = t2.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = round_away(ep * (1.0 - dc) * 100.0, 0).astype(
+            np.int64)
+        g = (pd.DataFrame({"m": month, "bc": bc, "c": cents})
+             .groupby(["m", "bc"], as_index=False)["c"].sum())
+        return pa.table({"month": pa.array(g["m"].to_numpy(np.int64)),
+                         "bc": pa.array(g["bc"].to_numpy(np.int64)),
+                         "rev": pa.array(g["c"].to_numpy(np.int64)),
+                         "bucket": pa.array(
+                             np.abs(g["m"].to_numpy(np.int64)) % P)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"month": pd.Series(dtype="int64"),
+                "n_brands": pd.Series(dtype="int64"),
+                "t": pd.Series(dtype="object"),
+                "s2": pd.Series(dtype="object")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .groupby(["month", "bc"], as_index=False)["rev"].sum())
+        out = []
+        for m, sub in df.groupby("month"):
+            rv = sub["rev"].tolist()
+            T = sum(int(x) for x in rv)
+            s2 = sum(int(x) * int(x) for x in rv)
+            out.append((int(m), len(rv), T, s2))
+        return pd.DataFrame(out, columns=["month", "n_brands", "t",
+                                          "s2"])
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_partkey", "l_shipdate", "l_extendedprice",
+                        "l_discount"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"month": pd.Series(dtype="int64"),
+            "n_brands": pd.Series(dtype="int64"),
+            "total_cents": pd.Series(dtype="int64"),
+            "diversity": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    g = (pd.concat(parts, ignore_index=True)
+         .sort_values("month").reset_index(drop=True))
+    g = g[[int(t) != 0 for t in g["t"]]]   # SQL: WHERE t <> 0
+    div = [1.0 - float(s2) / (float(t) * t)
+           for t, s2 in zip(g["t"], g["s2"])]
+    return pd.DataFrame({
+        "month": g["month"].to_numpy(np.int64),
+        "n_brands": g["n_brands"].astype("int64").to_numpy(),
+        "total_cents": np.array([int(x) for x in g["t"]], np.int64),
+        "diversity": round_away(np.array(div, np.float64), 6)})
