@@ -680,6 +680,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q350_prefix_suggest": textops.q_prefix_suggest,
         "q351_weekday_hour_heatmap": analytics.q_weekday_hour_heatmap,
         "q352_brand_diversity_trend": analytics.q_brand_diversity_trend,
+        "q354_behavior_coverage": analytics.q_behavior_coverage,
+        "q355_revenue_jumps": analytics.q_revenue_jumps,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -4866,6 +4868,64 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - CAST(s2 AS DOUBLE)
                          / (CAST(t AS DOUBLE) * t), 6) AS diversity
             FROM h WHERE t <> 0 ORDER BY month
+        """,
+        "q354_behavior_coverage": """
+            WITH e AS (
+                SELECT user_id, event_type, epoch_us(ts) AS us,
+                       event_id
+                FROM events
+                WHERE user_id IS NOT NULL
+                  AND event_type IS NOT NULL AND ts IS NOT NULL),
+            w AS (SELECT user_id, event_type AS dst,
+                         lag(event_type) OVER (
+                             PARTITION BY user_id
+                             ORDER BY us, event_id) AS src
+                  FROM e),
+            b AS (SELECT src, dst,
+                         (('0x' || substr(md5(CAST(user_id
+                                                   AS VARCHAR)),
+                                          1, 13))::BIGINT
+                          < 3602879701896396) AS tr
+                  FROM w WHERE src IS NOT NULL),
+            g AS (SELECT src, dst,
+                         (count(*) FILTER (WHERE tr))::BIGINT AS tr,
+                         (count(*) FILTER (WHERE NOT tr))::BIGINT
+                             AS te
+                  FROM b GROUP BY src, dst),
+            tv AS (SELECT * FROM g WHERE te > 0),
+            t AS (SELECT count(*)::BIGINT AS n_te,
+                         (count(*) FILTER (WHERE tr > 0))::BIGINT
+                             AS n_cov,
+                         sum(te)::BIGINT AS mt,
+                         coalesce(sum(te) FILTER (WHERE tr > 0),
+                                  0)::BIGINT AS mc
+                  FROM tv)
+            SELECT n_te AS n_test_bigrams, n_cov AS n_covered,
+                   round(n_cov::DOUBLE / n_te, 6)
+                       AS vocab_coverage,
+                   round(mc::DOUBLE / mt, 6) AS mass_coverage
+            FROM t WHERE n_te > 0
+        """,
+        "q355_revenue_jumps": """
+            WITH d AS (
+                SELECT CAST(epoch_us(date_trunc('day',
+                                                o_orderdate))
+                            // 86400000000 AS BIGINT) AS day,
+                       sum(CAST(round(o_totalprice * 100)
+                                AS BIGINT))::BIGINT AS revc
+                FROM orders
+                WHERE o_orderdate IS NOT NULL
+                  AND isfinite(o_totalprice)
+                GROUP BY 1),
+            w AS (SELECT day, revc,
+                         (revc - lag(revc) OVER (ORDER BY day))
+                             ::BIGINT AS change_cents,
+                         (day - lag(day) OVER (ORDER BY day))
+                             ::BIGINT AS gap_days
+                  FROM d)
+            SELECT day, revc, change_cents, gap_days
+            FROM w WHERE change_cents IS NOT NULL
+            ORDER BY abs(change_cents) DESC, day LIMIT 10
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

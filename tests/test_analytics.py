@@ -2799,3 +2799,53 @@ def test_brand_diversity_trend_hand(ray_session, tmp_path):
     out = q_brand_diversity_trend(str(tmp_path))
     assert out["n_brands"].tolist() == [2, 1]
     assert out["diversity"].tolist() == [0.5, 0.0]
+
+
+def test_behavior_coverage_hand(ray_session, tmp_path):
+    """q354: split users by the md5 coin; the test side's one novel
+    bigram is uncovered while the shared one is covered — pinned by
+    direct recomputation."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.analytics import (
+        q_behavior_coverage)
+
+    thr = int(np.floor(0.8 * 4503599627370496.0))
+
+    def is_tr(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:13],
+                   16) < thr
+
+    tr_u = next(u for u in range(50) if is_tr(u))
+    te_u = next(u for u in range(50) if not is_tr(u))
+    rows = [(tr_u, 0, "a"), (tr_u, 1, "b"),          # train: a→b
+            (te_u, 0, "a"), (te_u, 1, "b"),          # test: a→b, b→c
+            (te_u, 2, "c")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_behavior_coverage(str(tmp_path))
+    assert out["n_test_bigrams"].tolist() == [2]
+    assert out["n_covered"].tolist() == [1]
+    assert out["vocab_coverage"].tolist() == [0.5]
+    assert out["mass_coverage"].tolist() == [0.5]
+
+
+def test_revenue_jumps_hand(ray_session, tmp_path):
+    """q355: days 0,1,3 with revenues 1, 5, 2 → changes +4 (gap 1)
+    and −3 (gap 2), ranked by magnitude."""
+    from web_scrapper_ray.pipelines.analytics import q_revenue_jumps
+
+    DAY = 86_400_000_000
+    pq.write_table(pa.table({
+        "o_orderdate": pa.array([0, DAY, 3 * DAY],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 5.0, 2.0], pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_revenue_jumps(str(tmp_path))
+    assert out["change_cents"].tolist() == [400, -300]
+    assert out["gap_days"].tolist() == [1, 2]

@@ -13597,3 +13597,143 @@ def q_brand_diversity_trend(sf_dir: str, P: int = 16) -> pd.DataFrame:
         "n_brands": g["n_brands"].astype("int64").to_numpy(),
         "total_cents": np.array([int(x) for x in g["t"]], np.int64),
         "diversity": round_away(np.array(div, np.float64), 6)})
+
+
+def q_behavior_coverage(sf_dir: str, train_frac: float = 0.8,
+                        B: int = 64) -> pd.DataFrame:
+    """Behavioral-vocabulary coverage across the user split — the
+    sequence-model analogue of OOV rate: split USERS 80/20 on the
+    md5 coin (group-aware, q300's lesson), collect each side's set
+    of consecutive event-type bigrams, and report how much of the
+    test side's bigram vocabulary (and bigram MASS) the train side
+    covers. One user-keyed exchange (q116's sort-once layout)
+    emits per-bucket (bigram-code pair → train/test counts) partials
+    on NUL-safe codes; the driver folds the tiny bigram domain.
+    Exact ints, two divisions."""
+    import hashlib
+
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    TWO52 = 4503599627370496.0
+    thr = int(np.floor(train_frac * TWO52))
+
+    _E = pa.table({"event_id": pa.array([], pa.int64()),
+                   "user_id": pa.array([], pa.int64()),
+                   "event_type": pa.array([], pa.string()),
+                   "ts": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "user_id" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        uid = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "event_id": pc.cast(pc.fill_null(t2.column("event_id"),
+                                             _IMAX), pa.int64()),
+            "user_id": pc.cast(t2.column("user_id"), pa.int64()),
+            "event_type": pc.cast(t2.column("event_type"),
+                                  pa.string()),
+            "ts": pc.cast(t2.column("ts"), pa.int64()),
+            "bucket": pa.array((uid % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"src": pd.Series(dtype="object"),
+                "dst": pd.Series(dtype="object"),
+                "tr": pd.Series(dtype="int64"),
+                "te": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = (pa.concat_tables(live).to_pandas()
+              .sort_values(["user_id", "ts", "event_id"],
+                           kind="stable").reset_index(drop=True))
+        u = df["user_id"].to_numpy(np.int64)
+        ty = df["event_type"].to_numpy(object)
+        if len(u) < 2:
+            return pd.DataFrame(cols)
+        same = u[1:] == u[:-1]
+        users = np.unique(u)
+        tr_users = {int(x) for x in users
+                    if int(hashlib.md5(str(x).encode())
+                           .hexdigest()[:13], 16) < thr}
+        is_tr = np.array([int(x) in tr_users for x in u[1:]], bool)
+        m = same
+        g = (pd.DataFrame({"src": ty[:-1][m], "dst": ty[1:][m],
+                           "tr": is_tr[m],
+                           "te": ~is_tr[m]})
+             .groupby(["src", "dst"], as_index=False, sort=False)
+             [["tr", "te"]].sum())
+        from .pairs import coded_keys
+
+        cj, restore = coded_keys(g, ["src", "dst"])
+        g2 = restore(cj.groupby(["src", "dst"], as_index=False)
+                     [["tr", "te"]].sum())
+        g2["tr"] = g2["tr"].astype("int64")
+        g2["te"] = g2["te"].astype("int64")
+        return g2
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"n_test_bigrams": pd.Series(dtype="int64"),
+            "n_covered": pd.Series(dtype="int64"),
+            "vocab_coverage": pd.Series(dtype="float64"),
+            "mass_coverage": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    from .pairs import coded_keys
+
+    df = pd.concat(parts, ignore_index=True)
+    cj, restore = coded_keys(df, ["src", "dst"])
+    g = (cj.groupby(["src", "dst"], as_index=False)
+         [["tr", "te"]].sum())
+    te_vocab = g[g["te"] > 0]
+    n_te = len(te_vocab)
+    if n_te == 0:
+        return pd.DataFrame(cols)
+    cov = te_vocab[te_vocab["tr"] > 0]
+    mass_total = int(te_vocab["te"].sum())
+    mass_cov = int(cov["te"].sum())
+    return pd.DataFrame({
+        "n_test_bigrams": pd.array([n_te], "int64"),
+        "n_covered": pd.array([len(cov)], "int64"),
+        "vocab_coverage": round_away(np.array(
+            [float(len(cov)) / n_te]), 6),
+        "mass_coverage": round_away(np.array(
+            [float(mass_cov) / mass_total]), 6)})
+
+
+def q_revenue_jumps(sf_dir: str, k: int = 10) -> pd.DataFrame:
+    """Top-k day-over-day revenue jumps — the "what happened on
+    Tuesday?" triage list: daily exact-cents revenue (q199's
+    exchange), the signed change versus the PREVIOUS OBSERVED day
+    (SQL lag), the calendar gap between them, ranked by |change|
+    with exact tie order (day ASC). All ints; the driver scans the
+    ~#days series."""
+    cols = {"day": pd.Series(dtype="int64"),
+            "revc": pd.Series(dtype="int64"),
+            "change_cents": pd.Series(dtype="int64"),
+            "gap_days": pd.Series(dtype="int64")}
+    d = _daily_rev_cents(sf_dir)
+    if len(d) < 2:
+        return pd.DataFrame(cols)
+    d = d.sort_values("day").reset_index(drop=True)
+    day = d["day"].to_numpy(np.int64)
+    rev = d["revc"].to_numpy(np.int64)
+    ch = rev[1:] - rev[:-1]
+    gap = day[1:] - day[:-1]
+    o = np.lexsort((day[1:], -np.abs(ch)))[:k]
+    return pd.DataFrame({
+        "day": day[1:][o],
+        "revc": rev[1:][o],
+        "change_cents": ch[o],
+        "gap_days": gap[o]})
