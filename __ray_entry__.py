@@ -682,6 +682,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q352_brand_diversity_trend": analytics.q_brand_diversity_trend,
         "q354_behavior_coverage": analytics.q_behavior_coverage,
         "q355_revenue_jumps": analytics.q_revenue_jumps,
+        "q356_cross_source_dups": dedup.q_cross_source_dups,
+        "q357_constancy_screen": analytics.q_constancy_screen,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -3382,6 +3384,54 @@ def oracle_sql() -> dict[str, str]:
                      DESC, wa, wb
             LIMIT 20
         """,
+        "q357_constancy_screen": """
+            WITH u AS (
+                SELECT 'documents' AS tbl, 'lang' AS col,
+                       coalesce('V' || lang, chr(1) || 'NULLVAL')
+                           AS k
+                FROM documents
+                UNION ALL
+                SELECT 'documents', 'source',
+                       coalesce('V' || source, chr(1) || 'NULLVAL')
+                FROM documents
+                UNION ALL
+                SELECT 'events', 'event_type',
+                       coalesce('V' || event_type,
+                                chr(1) || 'NULLVAL')
+                FROM events
+                UNION ALL
+                SELECT 'lineitem', 'l_returnflag',
+                       coalesce('V' || l_returnflag,
+                                chr(1) || 'NULLVAL')
+                FROM lineitem
+                UNION ALL
+                SELECT 'lineitem', 'l_linestatus',
+                       coalesce('V' || l_linestatus,
+                                chr(1) || 'NULLVAL')
+                FROM lineitem
+                UNION ALL
+                SELECT 'orders', 'o_orderpriority',
+                       coalesce('V' || o_orderpriority,
+                                chr(1) || 'NULLVAL')
+                FROM orders),
+            g AS (SELECT tbl, col, k, count(*)::BIGINT AS c
+                  FROM u GROUP BY tbl, col, k),
+            t AS (SELECT tbl, col, sum(c)::BIGINT AS n_rows,
+                         count(*)::BIGINT AS n_distinct
+                  FROM g GROUP BY tbl, col),
+            m AS (SELECT tbl, col, k, c,
+                         row_number() OVER (
+                             PARTITION BY tbl, col
+                             ORDER BY c DESC, k) AS rn
+                  FROM g)
+            SELECT t.tbl, t.col, t.n_rows, t.n_distinct,
+                   CASE WHEN m.k LIKE 'V%'
+                        THEN substr(m.k, 2) END AS mode_value,
+                   m.c AS mode_count,
+                   round(m.c::DOUBLE / t.n_rows, 6) AS mode_share
+            FROM t JOIN m ON t.tbl = m.tbl AND t.col = m.col
+            WHERE m.rn = 1 ORDER BY t.tbl, t.col
+        """,
         "q248_js_divergence": """
             WITH s AS (
                 SELECT event_type AS ty,
@@ -4926,6 +4976,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT day, revc, change_cents, gap_days
             FROM w WHERE change_cents IS NOT NULL
             ORDER BY abs(change_cents) DESC, day LIMIT 10
+        """,
+        "q356_cross_source_dups": """
+            WITH d AS (
+                SELECT DISTINCT md5(text) AS h, source,
+                       coalesce('S' || source,
+                                chr(1) || 'NULLSRC') AS k
+                FROM documents WHERE text IS NOT NULL),
+            p AS (SELECT a.source AS source_a,
+                         b.source AS source_b
+                  FROM d a JOIN d b ON a.h = b.h AND a.k < b.k),
+            g AS (SELECT source_a, source_b,
+                         count(*)::BIGINT AS n_shared_docs
+                  FROM p GROUP BY source_a, source_b)
+            SELECT source_a, source_b, n_shared_docs FROM g
+            ORDER BY n_shared_docs DESC,
+                     coalesce('S' || source_a, chr(1) || 'NULLSRC'),
+                     coalesce('S' || source_b, chr(1) || 'NULLSRC')
+            LIMIT 20
         """,
         "q281_negative_sampling_dist": """
             WITH w AS (

@@ -2849,3 +2849,48 @@ def test_revenue_jumps_hand(ray_session, tmp_path):
     out = q_revenue_jumps(str(tmp_path))
     assert out["change_cents"].tolist() == [400, -300]
     assert out["gap_days"].tolist() == [1, 2]
+
+
+def test_cross_source_dups_hand(ray_session, tmp_path):
+    """q356: the same text in sources a, b and NULL yields 3 pairs
+    (NULL sentinel sorts first); within-source dups score nothing."""
+    from web_scrapper_ray.pipelines.dedup import q_cross_source_dups
+
+    pq.write_table(pa.table({
+        "source": pa.array(["a", "b", None, "a", "a"]),
+        "text": pa.array(["same", "same", "same", "solo", "solo"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_cross_source_dups(str(tmp_path))
+    pairs = list(map(tuple, out[["source_a", "source_b"]]
+                     .itertuples(index=False)))
+    assert (None, "a") in pairs
+    assert (None, "b") in pairs
+    assert ("a", "b") in pairs
+    assert len(pairs) == 3
+    assert out["n_shared_docs"].tolist() == [1, 1, 1]
+
+
+def test_constancy_screen_mode_and_nulls(ray_session, tmp_path):
+    """q357: a near-constant lang column reports mode share; NULL is
+    a value and can BE the mode."""
+    from web_scrapper_ray.pipelines.analytics import q_constancy_screen
+
+    pq.write_table(pa.table({
+        "lang": pa.array(["en"] * 8 + ["de", None]),
+        "source": pa.array([None] * 6 + ["s"] * 4),
+    }), str(tmp_path / "documents.parquet"))
+    for tbl, col in (("events", "event_type"),
+                     ("lineitem", "l_returnflag"),
+                     ("orders", "o_orderpriority")):
+        pq.write_table(pa.table({col: pa.array(["x", "y"])}),
+                       str(tmp_path / f"{tbl}.parquet"))
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["x", "y"]),
+        "l_linestatus": pa.array(["z", "z"]),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_constancy_screen(str(tmp_path))
+    lang = out[(out["col"] == "lang")].iloc[0]
+    assert (lang["mode_value"], lang["mode_count"]) == ("en", 8)
+    assert lang["mode_share"] == 0.8
+    src = out[(out["col"] == "source")].iloc[0]
+    assert pd.isna(src["mode_value"]) and src["mode_count"] == 6

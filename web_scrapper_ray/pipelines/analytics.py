@@ -13737,3 +13737,99 @@ def q_revenue_jumps(sf_dir: str, k: int = 10) -> pd.DataFrame:
         "revc": rev[1:][o],
         "change_cents": ch[o],
         "gap_days": gap[o]})
+
+
+def q_constancy_screen(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Near-constant categorical column screen — the AutoML prep
+    check that flags columns carrying (almost) no signal: per
+    categorical column across four tables, the distinct-value count
+    and the MODE share (most common value's fraction, NULL being a
+    value). Per-batch (column, value, count) combiners ride a
+    value-keyed exchange (global counts per value in one bucket);
+    buckets emit local (distinct, mode-candidate) partials and the
+    driver folds P rows per column — mode ties break by value
+    (sentinel byte order, the oracle's coalesce-key rule). Exact
+    ints; one division per column."""
+    from .pairs import factorize_strings, hash_shuffle, round_away, \
+        str_u64
+
+    SPECS = (("documents", "lang"), ("documents", "source"),
+             ("events", "event_type"), ("lineitem", "l_returnflag"),
+             ("lineitem", "l_linestatus"),
+             ("orders", "o_orderpriority"))
+    _NULL = "\x00NULLVAL"
+    _E = pa.table({"v": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def mk_split(col: str):
+        def split(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or col not in t.schema.names:
+                return _E
+            vs = pd.Series(t.column(col).to_pylist(), dtype=object)
+            keyed = vs.where(vs.isna(), "V" + vs).fillna(_NULL)
+            codes, uniq = factorize_strings(keyed,
+                                            use_na_sentinel=False)
+            cc = np.bincount(codes,
+                             minlength=len(uniq)).astype(np.int64)
+            return pa.table({"v": pa.array(list(uniq), pa.string()),
+                             "c": pa.array(cc),
+                             "bucket": pa.array(np.array(
+                                 [str_u64(x) & (P - 1)
+                                  for x in uniq], np.int64))})
+        return split
+
+    def merge(*tabs) -> tuple:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return (0, 0, 0, None)
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["v"])
+        g: dict = {}
+        for c, n in zip(codes, df["c"].tolist()):
+            g[c] = g.get(c, 0) + n
+        n_distinct = len(g)
+        total = sum(g.values())
+        # mode tie rule: highest count, then smallest value bytes
+        top = max(g.values())
+        kmin = min((k for k, v in g.items() if v == top),
+                   key=lambda k: uniq[k])
+        return (total, n_distinct, top, uniq[kmin])
+
+    import ray
+
+    futs = {}
+    for tbl, col in SPECS:
+        ds = _read(sf_dir, tbl, columns=[col])
+        futs[(tbl, col)] = hash_shuffle(
+            [(r, ()) for r in ds.to_arrow_refs()],
+            mk_split(col), merge, P=P, gather=False)
+    got = ray.get([f for fs in futs.values() for f in fs])
+    rows = []
+    i = 0
+    for tbl, col in SPECS:
+        chunk = got[i:i + len(futs[(tbl, col)])]
+        i += len(futs[(tbl, col)])
+        total = sum(c[0] for c in chunk)
+        nd = sum(c[1] for c in chunk)
+        if total == 0:
+            continue
+        # global mode: each bucket's value set is disjoint, so its
+        # local mode is exact there; fold with the same tie rule
+        top = max(c[2] for c in chunk if c[3] is not None)
+        kbest = min((c for c in chunk
+                     if c[3] is not None and c[2] == top),
+                    key=lambda c: c[3])
+        mode_key = kbest[3]
+        rows.append((tbl, col, total, nd,
+                     None if mode_key == _NULL else mode_key[1:],
+                     kbest[2], float(kbest[2]) / total))
+    from .pairs import round_away as _ra
+
+    return pd.DataFrame(rows, columns=[
+        "tbl", "col", "n_rows", "n_distinct", "mode_value",
+        "mode_count", "mode_share"]).astype(
+        {"n_rows": "int64", "n_distinct": "int64",
+         "mode_count": "int64"}).assign(
+        mode_share=lambda d: _ra(
+            d["mode_share"].to_numpy(np.float64), 6))

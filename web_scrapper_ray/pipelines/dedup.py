@@ -1496,3 +1496,93 @@ def q_dedup_savings(sf_dir: str, P: int = 32) -> pd.DataFrame:
             [float(nd - ng) / nd]), 6),
         "char_savings": round_away(np.array(
             [np.nan if cb == 0 else float(cb - ca) / cb]), 6)})
+
+
+def q_cross_source_dups(sf_dir: str, k: int = 20,
+                        P: int = 32) -> pd.DataFrame:
+    """Cross-source duplicated content — which SOURCE PAIRS share
+    identical documents (syndication / scraping-each-other signal;
+    within-source dups are usually templates): per md5 text group,
+    the distinct sources present; every unordered source pair in a
+    group scores one shared document. One (hash → source set)
+    exchange (q20's identity, hash-keyed so groups are global);
+    buckets emit per-pair counts on NUL-safe coded names and the
+    driver folds + ranks top-k (n DESC, pair ASC). NULL text out of
+    contract; NULL source IS a source value."""
+    from .pairs import factorize_strings, hash_shuffle, str_u64
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"h": pa.array([], pa.string()),
+                   "src": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return _E
+        t2 = t.filter(pc.is_valid(t.column("text")))
+        if t2.num_rows == 0:
+            return _E
+        texts = t2.column("text").to_pylist()
+        srcs = t2.column("source").to_pylist()
+        seen = set()
+        hs, ss = [], []
+        for x, s_ in zip(texts, srcs):
+            hx = hashlib.md5(x.encode()).hexdigest()
+            key = _NULL if s_ is None else "S" + s_
+            if (hx, key) not in seen:
+                seen.add((hx, key))
+                hs.append(hx)
+                ss.append(key)
+        return pa.table({"h": pa.array(hs, pa.string()),
+                         "src": pa.array(ss, pa.string()),
+                         "bucket": pa.array(np.array(
+                             [str_u64(x) & (P - 1) for x in hs],
+                             np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"sa": pd.Series(dtype="object"),
+                "sb": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["src"])
+        df = df.assign(sc=codes).drop_duplicates(["h", "sc"])
+        cnt: dict = {}
+        for _, sub in df.groupby("h")["sc"]:
+            # orient pairs by NAME (byte order, matching SQL), not
+            # by first-appearance code
+            scs = sorted(set(sub.tolist()), key=lambda c: uniq[c])
+            for i in range(len(scs)):
+                for j in range(i + 1, len(scs)):
+                    cnt[(scs[i], scs[j])] = \
+                        cnt.get((scs[i], scs[j]), 0) + 1
+        if not cnt:
+            return pd.DataFrame(cols)
+        rows = [(uniq[a], uniq[b], n)
+                for (a, b), n in cnt.items()]
+        return pd.DataFrame(rows, columns=["sa", "sb", "n"])
+
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in _docs(sf_dir, ["source", "text"])
+         .to_arrow_refs()], split, merge, P=P) if len(p)]
+    cols = {"source_a": pd.Series(dtype="object"),
+            "source_b": pd.Series(dtype="object"),
+            "n_shared_docs": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    from .pairs import coded_keys
+
+    df = pd.concat(parts, ignore_index=True)
+    cj, restore = coded_keys(df, ["sa", "sb"])
+    g = restore(cj.groupby(["sa", "sb"], as_index=False)["n"].sum())
+    g = g.sort_values(["n", "sa", "sb"],
+                      ascending=[False, True, True]).head(k)
+    out_a = [None if x == _NULL else x[1:] for x in g["sa"]]
+    out_b = [None if x == _NULL else x[1:] for x in g["sb"]]
+    return pd.DataFrame({
+        "source_a": pd.Series(out_a, dtype=object),
+        "source_b": pd.Series(out_b, dtype=object),
+        "n_shared_docs": g["n"].astype("int64").to_numpy()}
+    ).reset_index(drop=True)
