@@ -684,6 +684,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q355_revenue_jumps": analytics.q_revenue_jumps,
         "q356_cross_source_dups": dedup.q_cross_source_dups,
         "q357_constancy_screen": analytics.q_constancy_screen,
+        "q359_hour_uniformity": analytics.q_hour_uniformity,
+        # pHash-vs-pixel-truth threshold sweep over crawl images
+        # (crawl corpus, no SQL twin); planted-twin pytest
+        "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
         # Markov removal-effect attribution (absorbing-chain linear
         # solves on the journey graph — no SQL twin); hand-example
         # pytest pins the closed-form effects
@@ -3431,6 +3435,24 @@ def oracle_sql() -> dict[str, str]:
                    round(m.c::DOUBLE / t.n_rows, 6) AS mode_share
             FROM t JOIN m ON t.tbl = m.tbl AND t.col = m.col
             WHERE m.rn = 1 ORDER BY t.tbl, t.col
+        """,
+        "q359_hour_uniformity": """
+            WITH e AS (
+                SELECT event_type,
+                       hour(ts)::BIGINT AS h
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            g AS (SELECT event_type, h, count(*)::BIGINT AS c
+                  FROM e GROUP BY event_type, h),
+            t AS (SELECT event_type, sum(c)::BIGINT AS n,
+                         sum(c::HUGEINT * c) AS s2
+                  FROM g GROUP BY event_type)
+            SELECT event_type, n,
+                   round(CAST(24 * s2 - n::HUGEINT * n AS DOUBLE)
+                         / n, 6) AS chi2,
+                   ((CAST(24 * s2 - n::HUGEINT * n AS DOUBLE) / n)
+                    > 35.17)::BIGINT AS nonuniform
+            FROM t ORDER BY event_type
         """,
         "q248_js_divergence": """
             WITH s AS (

@@ -2894,3 +2894,23 @@ def test_constancy_screen_mode_and_nulls(ray_session, tmp_path):
     assert lang["mode_share"] == 0.8
     src = out[(out["col"] == "source")].iloc[0]
     assert pd.isna(src["mode_value"]) and src["mode_count"] == 6
+
+
+def test_hour_uniformity_exact_form(ray_session, tmp_path):
+    """q359: all events in one hour maximizes χ² = (24·n² − n²)/n =
+    23n; a perfectly uniform type scores 0."""
+    from web_scrapper_ray.pipelines.analytics import q_hour_uniformity
+
+    HOUR = 3_600_000_000
+    spikes = [("spike", 0)] * 48
+    flat = [("flat", h * HOUR) for h in range(24)]
+    rows = spikes + flat
+    pq.write_table(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    out = q_hour_uniformity(str(tmp_path))
+    got = {r.event_type: (r.chi2, r.nonuniform)
+           for r in out.itertuples(index=False)}
+    assert got["spike"] == (23.0 * 48, 1)
+    assert got["flat"] == (0.0, 0)

@@ -275,3 +275,34 @@ def test_caption_screens_via_entry(ray_session):
     d = qs["q319_caption_dedup"]("/root/testdata/sf0.001")
     assert list(d.columns) == ["caption", "n_images", "keeper"]
     assert (d["n_images"] >= 2).all()
+
+
+def test_phash_threshold_sweep_planted(ray_session, tmp_path):
+    """q358: a re-encode-identical twin is a true pair found at every
+    threshold; a noisy non-dup widens pred_pairs only at large t."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray import codecs
+    from web_scrapper_ray.pipelines.dedup import (
+        q_phash_threshold_sweep)
+
+    rng = np.random.default_rng(9)
+    base = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    other = rng.integers(0, 255, (32, 32, 3), np.uint8)
+    imgs = [("a", base), ("b", base.copy()), ("c", other)]
+    pq.write_table(pa.table({
+        "image_id": pa.array([i for i, _ in imgs]),
+        "bytes": pa.array([codecs.png_encode(px) for _, px in imgs],
+                          pa.binary()),
+        "phash": pa.array([codecs.phash64(px) for _, px in imgs],
+                          pa.int64()),
+    }), str(tmp_path / "images.parquet"))
+    out = q_phash_threshold_sweep("unused",
+                                  images_dir=str(tmp_path))
+    r0 = out[out["threshold"] == 0].iloc[0]
+    assert r0["true_pairs"] == 1
+    assert r0["tp"] == 1
+    assert r0["recall"] == 1.0
+    assert r0["precision"] == 1.0

@@ -13833,3 +13833,90 @@ def q_constancy_screen(sf_dir: str, P: int = 16) -> pd.DataFrame:
          "mode_count": "int64"}).assign(
         mode_share=lambda d: _ra(
             d["mode_share"].to_numpy(np.float64), 6))
+
+
+def q_hour_uniformity(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Hour-of-day uniformity χ² per event type — which behaviors
+    actually have a daily rhythm: against the uniform-over-24-hours
+    null, χ² = Σ(o_h − n/24)²/(n/24) telescopes to the EXACT-integer
+    form (24·Σo_h² − n²)/n — one double division, no float sum over
+    bins (the module's Σ-of-squares discipline, q347/q352). One
+    (type, hour) exchange keyed on the type (a type's 24 bins
+    co-locate); NUL-safe codes; flagged against the 23-dof α=0.05
+    critical value 35.17 (literal both sides). Floored hour rule
+    (pre-1970). NULL ts/type out of contract."""
+    from .pairs import factorize_strings, hash_shuffle, round_away, \
+        str_u64
+
+    HOUR = 3_600_000_000
+    _E = pa.table({"ty": pa.array([], pa.string()),
+                   "h": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "ts" not in t.schema.names:
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.is_valid(t.column("event_type")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hr = np.mod(np.floor_divide(us, HOUR), 24)
+        ty = pd.Series(t2.column("event_type").to_pylist(),
+                       dtype=object)
+        codes, uniq = factorize_strings(ty)
+        g = (pd.DataFrame({"tc": codes, "h": hr})
+             .groupby(["tc", "h"], sort=False).size()
+             .reset_index(name="c"))
+        names = [uniq[i] for i in g["tc"]]
+        return pa.table({"ty": pa.array(names, pa.string()),
+                         "h": pa.array(g["h"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64)),
+                         "bucket": pa.array(np.array(
+                             [str_u64(x) & (P - 1) for x in names],
+                             np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"ty": pd.Series(dtype="object"),
+                "n": pd.Series(dtype="int64"),
+                "s2": pd.Series(dtype="object")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["ty"])
+        out = []
+        for tc, sub in df.assign(tc=codes).groupby("tc"):
+            g = sub.groupby("h")["c"].sum()
+            n = int(g.sum())
+            s2 = sum(int(x) * int(x) for x in g)
+            out.append((uniq[tc], n, s2))
+        return pd.DataFrame(out, columns=["ty", "n", "s2"])
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "chi2": pd.Series(dtype="float64"),
+            "nonuniform": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    df = pd.concat(parts, ignore_index=True)
+    # each type lives in ONE bucket — rows are already global
+    rows = []
+    for ty, n, s2 in zip(df["ty"], df["n"], df["s2"]):
+        chi2 = float(24 * int(s2) - int(n) * int(n)) / int(n)
+        rows.append((ty, int(n), chi2))
+    rows.sort(key=lambda r: r[0])
+    return pd.DataFrame({
+        "event_type": pd.Series([r[0] for r in rows], dtype=object),
+        "n": pd.array([r[1] for r in rows], "int64"),
+        "chi2": round_away(np.array([r[2] for r in rows],
+                                    np.float64), 6),
+        "nonuniform": pd.array([int(r[2] > 35.17) for r in rows],
+                               "int64")})

@@ -1586,3 +1586,77 @@ def q_cross_source_dups(sf_dir: str, k: int = 20,
         "source_b": pd.Series(out_b, dtype=object),
         "n_shared_docs": g["n"].astype("int64").to_numpy()}
     ).reset_index(drop=True)
+
+
+def q_phash_threshold_sweep(sf_dir: str,
+                            thresholds: tuple = (0, 2, 4, 6, 8,
+                                                 10),
+                            images_dir: str | None = None
+                            ) -> pd.DataFrame:
+    """pHash-threshold tuning table — precision/recall of "hamming ≤
+    t" near-dup prediction against PIXEL-identity ground truth, per
+    threshold: the sheet that picks the production hamming radius.
+    Runs over the crawl's image table (phash already a column; truth
+    via the PixelHash stage once); the corpus is the crawl-images
+    dimension, so the pair space is the documented exact all-pairs
+    contract (banding is the scale path, q37). Exact pair counts;
+    two divisions per threshold."""
+    import ray.data as rd
+
+    from .pairs import round_away
+    from ..stages.multimodal import PixelHash
+    from ..pipelines.crawl import ensure_tier_crawl
+
+    if images_dir is None:
+        images_dir = ensure_tier_crawl("t1")["images_dir"]
+    ds = rd.read_parquet(images_dir,
+                         columns=["image_id", "bytes", "phash"])
+    ph = ds.map_batches(PixelHash, batch_format="pyarrow",
+                        batch_size=128, concurrency=2).to_pandas()
+    meta = rd.read_parquet(images_dir,
+                           columns=["image_id", "phash"]).to_pandas()
+    df = meta.merge(ph, on="image_id")
+    h = df["phash"].to_numpy(np.int64).view(np.uint64)
+    codes, _ = pd.factorize(df["pixel_hash"])
+    n = len(h)
+    cols = {"threshold": pd.Series(dtype="int64"),
+            "pred_pairs": pd.Series(dtype="int64"),
+            "true_pairs": pd.Series(dtype="int64"),
+            "tp": pd.Series(dtype="int64"),
+            "precision": pd.Series(dtype="float64"),
+            "recall": pd.Series(dtype="float64")}
+    if n < 2:
+        return pd.DataFrame(cols)
+    POP = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                        axis=1).sum(axis=1).astype(np.int64)
+    hb = h.view(np.uint8).reshape(n, 8)
+    rows = []
+    true_total = 0
+    # exact all-pairs over the dimension-sized image set (vectorized
+    # per row) — hamming matrix folded into per-threshold counts
+    ham_counts = np.zeros(65, np.int64)
+    ham_counts_true = np.zeros(65, np.int64)
+    for i in range(n - 1):
+        d = POP[hb[i][None, :] ^ hb[i + 1:]].sum(axis=1)
+        same = codes[i + 1:] == codes[i]
+        np.add.at(ham_counts, d, 1)
+        np.add.at(ham_counts_true, d[same], 1)
+        true_total += int(same.sum())
+    cum = np.cumsum(ham_counts)
+    cum_t = np.cumsum(ham_counts_true)
+    for t in thresholds:
+        pred = int(cum[t])
+        tp = int(cum_t[t])
+        rows.append((t, pred, true_total, tp,
+                     np.nan if pred == 0 else tp / pred,
+                     np.nan if true_total == 0
+                     else tp / true_total))
+    out = pd.DataFrame(rows, columns=["threshold", "pred_pairs",
+                                      "true_pairs", "tp",
+                                      "precision", "recall"])
+    out["precision"] = round_away(
+        out["precision"].to_numpy(np.float64), 6)
+    out["recall"] = round_away(out["recall"].to_numpy(np.float64), 6)
+    for c in ("threshold", "pred_pairs", "true_pairs", "tp"):
+        out[c] = out[c].astype("int64")
+    return out
