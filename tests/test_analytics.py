@@ -2032,6 +2032,75 @@ def test_markov_attribution_closed_form(ray_session, tmp_path):
     assert got["B"].attribution == 0.4
 
 
+def test_markov_attribution_same_bucket_sentinels(ray_session,
+                                                  tmp_path):
+    """q308 regression (r4 ADVICE): users 1 and 65 land in the SAME
+    uid%64 bucket; journeys [A,purchase] and [A] must yield
+    p_conv=0.5, not 1.0 — a raw-string per-bucket groupby merges the
+    NUL-prefixed CONV/END sentinels under pandas' NUL-terminated
+    hashing. Also plants a NUL-bearing event type next to its prefix
+    twin in one bucket."""
+    from web_scrapper_ray.pipelines.analytics import (
+        q_markov_attribution)
+
+    rows = [(1, 0, "A"), (1, 1, "purchase"),
+            (65, 0, "A"),
+            (2, 0, "fz"), (2, 1, "purchase"),
+            (66, 0, "fz\x00nul")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_markov_attribution(str(tmp_path))
+    got = {r.channel: r for r in out.itertuples(index=False)}
+    assert set(got) == {"A", "fz", "fz\x00nul"}
+    # 4 journeys: A→CONV, A→END, fz→CONV, fznul→END ⇒
+    # p_conv = (2/4)(1/2) + (1/4)(1) = 1/2
+    assert got["A"].p_conv == 0.5
+    # dropping A or fz leaves p=0.25 ⇒ effect 0.5 each; fznul never
+    # converts ⇒ effect 0
+    assert got["A"].removal_effect == 0.5
+    assert got["fz"].removal_effect == 0.5
+    assert got["fz\x00nul"].removal_effect == 0.0
+
+
+def test_behavior_coverage_nul_adjacency(ray_session, tmp_path):
+    """q354 regression (r4 ADVICE): a test user's fz\\x00nul→click
+    bigram must NOT be covered by a train-side fz→click bigram —
+    the first per-bucket aggregation has to be code-keyed."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.analytics import (
+        q_behavior_coverage)
+
+    thr = int(np.floor(0.8 * 4503599627370496.0))
+
+    def is_tr(u):
+        return int(hashlib.md5(str(u).encode()).hexdigest()[:13],
+                   16) < thr
+
+    tr_u = next(u for u in range(50) if is_tr(u))
+    te_u = next(u for u in range(tr_u + 64, tr_u + 64 * 40, 64)
+                if not is_tr(u))
+    rows = [(tr_u, 0, "fz"), (tr_u, 1, "click"),
+            (te_u, 0, "fz\x00nul"), (te_u, 1, "click")]
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_behavior_coverage(str(tmp_path))
+    assert out["n_test_bigrams"].tolist() == [1]
+    assert out["n_covered"].tolist() == [0]
+    assert out["vocab_coverage"].tolist() == [0.0]
+    assert out["mass_coverage"].tolist() == [0.0]
+
+
 def test_pk_dup_audit_counts(ray_session, tmp_path):
     """q309: planted dup key + NULL key are counted per table; clean
     tables report zeros."""

@@ -11701,10 +11701,22 @@ def q_markov_attribution(sf_dir: str) -> pd.DataFrame:
         for li in lidx[tot_p == 0]:
             srcs.append("T" + ty[li])
             dsts.append(END)
-        g = (pd.DataFrame({"src": srcs, "dst": dsts})
-             .groupby(["src", "dst"], sort=False).size()
+        # code-keyed groupby (q343 pattern): the raw-string groupby
+        # would merge the NUL-prefixed sentinels "\x00CONV"/"\x00END"
+        # (and any NUL-bearing event type with its prefix twin) under
+        # pandas' NUL-terminated string hashing.
+        from .pairs import factorize_strings
+
+        codes, uniques = factorize_strings(
+            pd.Series(srcs + dsts, dtype=object))
+        half = len(srcs)
+        g = (pd.DataFrame({"sc": codes[:half], "dc": codes[half:]})
+             .groupby(["sc", "dc"], sort=False).size()
              .reset_index(name="n"))
-        return g
+        uarr = np.asarray(uniques, dtype=object)
+        g["src"] = uarr[g["sc"].to_numpy()]
+        g["dst"] = uarr[g["dc"].to_numpy()]
+        return g[["src", "dst", "n"]]
 
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "event_type", "ts"])
@@ -13665,19 +13677,30 @@ def q_behavior_coverage(sf_dir: str, train_frac: float = 0.8,
                            .hexdigest()[:13], 16) < thr}
         is_tr = np.array([int(x) in tr_users for x in u[1:]], bool)
         m = same
-        g = (pd.DataFrame({"src": ty[:-1][m], "dst": ty[1:][m],
+        # first aggregation must already be code-keyed (q343 pattern):
+        # a raw-string groupby would irreversibly merge ('fz', X) with
+        # ('fz\x00nul', X) before any NUL-safe regroup could help.
+        from .pairs import factorize_strings
+
+        srcs = ty[:-1][m]
+        dsts = ty[1:][m]
+        codes, uniques = factorize_strings(
+            pd.Series(np.concatenate([srcs, dsts]) if len(srcs)
+                      else [], dtype=object))
+        half = len(srcs)
+        g = (pd.DataFrame({"sc": codes[:half], "dc": codes[half:],
                            "tr": is_tr[m],
                            "te": ~is_tr[m]})
-             .groupby(["src", "dst"], as_index=False, sort=False)
+             .groupby(["sc", "dc"], as_index=False, sort=False)
              [["tr", "te"]].sum())
-        from .pairs import coded_keys
-
-        cj, restore = coded_keys(g, ["src", "dst"])
-        g2 = restore(cj.groupby(["src", "dst"], as_index=False)
-                     [["tr", "te"]].sum())
-        g2["tr"] = g2["tr"].astype("int64")
-        g2["te"] = g2["te"].astype("int64")
-        return g2
+        uarr = np.asarray(uniques, dtype=object)
+        g["src"] = (uarr[g["sc"].to_numpy()] if len(g)
+                    else pd.Series(dtype=object))
+        g["dst"] = (uarr[g["dc"].to_numpy()] if len(g)
+                    else pd.Series(dtype=object))
+        g["tr"] = g["tr"].astype("int64")
+        g["te"] = g["te"].astype("int64")
+        return g[["src", "dst", "tr", "te"]]
 
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "event_type", "ts"])

@@ -1609,8 +1609,7 @@ def q_phash_threshold_sweep(sf_dir: str,
 
     if images_dir is None:
         images_dir = ensure_tier_crawl("t1")["images_dir"]
-    ds = rd.read_parquet(images_dir,
-                         columns=["image_id", "bytes", "phash"])
+    ds = rd.read_parquet(images_dir, columns=["image_id", "bytes"])
     ph = ds.map_batches(PixelHash, batch_format="pyarrow",
                         batch_size=128, concurrency=2).to_pandas()
     meta = rd.read_parquet(images_dir,
