@@ -139,6 +139,59 @@ def test_neardup_cosine_exact_and_lsh_planted(ray_session, tmp_path):
     assert len(got_lsh & got_exact) >= 4  # ≥0.8 recall on 5 planted pairs
 
 
+def test_neardup_cosine_size_gate_switch(ray_session, tmp_path,
+                                         monkeypatch):
+    """q27's 100-TB size gate: above ``auto_lsh_rows`` the exact O(N²)
+    plan must hand off to the widened LSH candidate path, and on a
+    seeded mid-size world the switched result must MATCH the exact
+    path bit-for-bit (planted near-dups are far from the 0.95
+    boundary, so 16×12 LSH recall ≈ 1)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from web_scrapper_ray.pipelines import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(400, 48))
+    rows = [{"vec_id": i, "embedding": v.tolist()}
+            for i, v in enumerate(base)]
+    for i in range(12):
+        v = base[i] + 0.01 * rng.normal(size=48)
+        rows.append({"vec_id": 5000 + i, "embedding": v.tolist()})
+    d = str(tmp_path)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([r["vec_id"] for r in rows], pa.int64()),
+            "embedding": pa.array([r["embedding"] for r in rows],
+                                  pa.list_(pa.float32())),
+        }),
+        f"{d}/embeddings.parquet",
+    )
+    exact = similarity.q_neardup_cosine(d, threshold=0.95,
+                                        auto_lsh_rows=None)
+
+    fired = {}
+    real_lsh = similarity.q_neardup_cosine_lsh
+
+    def spy(*args, **kwargs):
+        fired["yes"] = kwargs
+        return real_lsh(*args, **kwargs)
+
+    monkeypatch.setattr(similarity, "q_neardup_cosine_lsh", spy)
+    gated = similarity.q_neardup_cosine(d, threshold=0.95,
+                                        auto_lsh_rows=100)
+    assert fired and fired["yes"] == {"n_tables": 16, "n_planes": 12}
+    pd.testing.assert_frame_equal(gated.reset_index(drop=True),
+                                  exact.reset_index(drop=True))
+
+    # under the gate: exact path, no LSH call
+    fired.clear()
+    ungated = similarity.q_neardup_cosine(d, threshold=0.95)
+    assert not fired
+    pd.testing.assert_frame_equal(ungated.reset_index(drop=True),
+                                  exact.reset_index(drop=True))
+
+
 def test_phash_neardup_hamming_ball(ray_session):
     """Planted near-dups: a lossy re-encode of the same pixels must land
     within the hamming ball; unrelated images must not."""
@@ -377,6 +430,45 @@ def test_neardup_clusters_transitive(ray_session, tmp_path):
     assert bool(by_doc.loc[1, "keep"]) and not bool(by_doc.loc[2, "keep"])
     # singleton keeps itself
     assert by_doc.loc[50, "cluster_id"] == 50 and bool(by_doc.loc[50, "keep"])
+
+
+def test_cc_min_label_giant_component(ray_session):
+    """Distributed CC (graph.cc_min_label): a planted 20k-node chain —
+    a pair list far past driver-union-find comfort with diameter ≫ any
+    fixed round count — resolves to one component rooted at the min
+    id; pointer jumping keeps the round count logarithmic. Plus random
+    shuffled forests checked against a reference union-find."""
+    import numpy as np
+
+    from web_scrapper_ray.pipelines.graph import cc_min_label
+
+    n = 20_000
+    ids = np.arange(n, dtype=np.int64) * 7 + 3   # non-contiguous ids
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(n)
+    a, b = ids[perm[:-1]], ids[perm[1:]]         # one long chain
+    nodes, roots = cc_min_label(a, b)
+    assert len(nodes) == n
+    assert (roots == ids.min()).all()
+
+    # random forest: 3 components by construction
+    groups = [np.arange(0, 500), np.arange(500, 1200),
+              np.arange(1200, 1201)]  # incl. a singleton with an edge
+    ea, eb = [], []
+    for g in groups:
+        if len(g) > 1:
+            p = rng.permutation(g)
+            ea.append(p[:-1])
+            eb.append(p[1:])
+        else:
+            ea.append(g)
+            eb.append(g)  # self-edge
+    a2 = np.concatenate(ea).astype(np.int64)
+    b2 = np.concatenate(eb).astype(np.int64)
+    nodes2, roots2 = cc_min_label(a2, b2)
+    lookup = dict(zip(nodes2.tolist(), roots2.tolist()))
+    for g in groups:
+        assert {lookup[int(x)] for x in g} == {int(g.min())}
 
 
 def test_doc_chunks_matches_naive(ray_session):

