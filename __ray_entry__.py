@@ -1015,6 +1015,26 @@ def _dbscan_sql(rounds: int = 8, thr: float = 0.35,
     return head + "," + ",".join(body) + tail
 
 
+def perrow_queries() -> dict[str, Callable[[str], Any]]:
+    """Dataset-returning cores for queries whose RESULT is corpus-sized
+    (one row per document) — the scale-safe oracle contract: the gate
+    streams each of these to parquet with ``Dataset.write_parquet``
+    and hash-compares against DuckDB over the files, so the full
+    answer never rides ``to_pandas()`` through the driver. Every key
+    here also has a ``queries()``/``oracle_sql()`` twin (the driver's
+    row-compare contract at small sf is unchanged)."""
+    from web_scrapper_ray.pipelines import textops
+
+    return {
+        "q10_token_count": textops.q_token_count_ds,
+        "q11_reading_time": textops.q_reading_time_ds,
+        "q12_clean_text": textops.q_clean_text_ds,
+        "q14_fingerprint": textops.q_fingerprint_ds,
+        "q15_quality": textops.q_quality_ds,
+        "q16_lang_id": textops.q_lang_id_ds,
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "q01_lineitem_agg": f"""

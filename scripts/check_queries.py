@@ -127,8 +127,76 @@ def main() -> int:
             failures += 1
         else:
             print(f"PASS {name}: rows={len(mine)} [{dt:.1f}s]")
+    failures += hash_mode(con, entrymod, sf_dir, only)
     ray.shutdown()
     return 1 if failures else 0
+
+
+def hash_mode(con, entrymod, sf_dir: str, only) -> int:
+    """Scale-safe oracle contract for per-row-result queries: the
+    engine result is STREAMED to parquet (``Dataset.write_parquet`` —
+    never ``to_pandas`` through the driver) and DuckDB computes the
+    same order-insensitive (count, sum-of-row-hash) aggregate over the
+    files and over the oracle SQL. At 100× the result IS the dataset;
+    this is the compare that still works there."""
+    import shutil
+    import tempfile
+
+    if not hasattr(entrymod, "perrow_queries"):
+        return 0
+    perrow = entrymod.perrow_queries()
+    sqls = entrymod.oracle_sql()
+    failures = 0
+    tmp_root = tempfile.mkdtemp(prefix="wsr_hashgate_")
+    try:
+        for name, ds_fn in perrow.items():
+            if only and name not in only:
+                continue
+            t0 = time.time()
+            try:
+                sql = sqls[name].rstrip().rstrip(";")
+                out_dir = os.path.join(tmp_root, name)
+                ds_fn(sf_dir).write_parquet(out_dir)
+                desc = con.execute(
+                    f"DESCRIBE SELECT * FROM ({sql})").fetchall()
+                types = {r[0]: r[1] for r in desc}
+                eng_cols = {r[0] for r in con.execute(
+                    "DESCRIBE SELECT * FROM read_parquet("
+                    f"'{out_dir}/*.parquet')").fetchall()}
+                if eng_cols != set(types):
+                    print(f"HASH FAIL {name}: cols {sorted(eng_cols)} "
+                          f"vs {sorted(types)}")
+                    failures += 1
+                    continue
+                # cast both sides to the ORACLE's type (hash is
+                # type-sensitive); round doubles like normalize() does
+                exprs = []
+                for c in sorted(types):
+                    e = f'"{c}"::{types[c]}'
+                    if types[c] in ("DOUBLE", "FLOAT", "REAL"):
+                        e = f"round({e}::DOUBLE, 9)"
+                    exprs.append(e)
+                agg = (f"SELECT count(*)::BIGINT AS n, "
+                       f"sum(hash({', '.join(exprs)}))::HUGEINT AS h "
+                       f"FROM ")
+                mine = con.execute(
+                    agg + f"read_parquet('{out_dir}/*.parquet')"
+                ).fetchone()
+                theirs = con.execute(agg + f"({sql})").fetchone()
+            except Exception as e:
+                print(f"HASH FAIL {name}: {type(e).__name__}: {e}")
+                failures += 1
+                continue
+            dt = time.time() - t0
+            if mine != theirs:
+                print(f"HASH FAIL {name}: engine (n,h)={mine} "
+                      f"vs oracle {theirs}")
+                failures += 1
+            else:
+                print(f"HASH PASS {name}: rows={mine[0]} [{dt:.1f}s]")
+    finally:
+        shutil.rmtree(tmp_root, ignore_errors=True)
+    return failures
 
 
 if __name__ == "__main__":

@@ -50,8 +50,11 @@ def keyword_counter(texts) -> Counter:
     return counter
 
 
-def q_token_count(sf_dir: str) -> pd.DataFrame:
-    """Fully vectorized: pyarrow.compute regex kernel, zero Python rows."""
+def q_token_count_ds(sf_dir: str):
+    """Dataset-returning core of q10 (the scale-safe contract: per-row
+    results are corpus-sized, so the gate hash-compares a streamed
+    parquet write instead of riding ``to_pandas`` through the
+    driver). Fully vectorized: pyarrow.compute regex kernel."""
     import pyarrow.compute as pc
 
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -61,17 +64,18 @@ def q_token_count(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_tokens": pc.cast(n, pa.int64())})
 
-    out = ds.map_batches(count, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
+    return ds.map_batches(count, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def q_token_count(sf_dir: str) -> pd.DataFrame:
+    """Fully vectorized: pyarrow.compute regex kernel, zero Python rows."""
+    out = q_token_count_ds(sf_dir).to_pandas()
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def q_reading_time(sf_dir: str) -> pd.DataFrame:
-    """Reference F2 semantics: max(1, banker's-round(word_count/200)),
-    counted on the CLEANED text like reference word_count — but with
-    the ASCII tokenizer so the count matches the RE2 oracle exactly
-    (same q13/q15/q16 rule; `estimate_reading_time` remains the
-    unicode reference-parity scalar for the T-surface)."""
+def q_reading_time_ds(sf_dir: str):
+    """Dataset-returning core of q11 (scale-safe gate contract)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def rt(batch: pa.Table) -> pa.Table:
@@ -80,13 +84,23 @@ def q_reading_time(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "reading_min": pa.array(vals, pa.int64())})
 
-    return ds.map_batches(rt, batch_format="pyarrow").to_pandas().sort_values(
+    return ds.map_batches(rt, batch_format="pyarrow")
+
+
+def q_reading_time(sf_dir: str) -> pd.DataFrame:
+    """Reference F2 semantics: max(1, banker's-round(word_count/200)),
+    counted on the CLEANED text like reference word_count — but with
+    the ASCII tokenizer so the count matches the RE2 oracle exactly
+    (same q13/q15/q16 rule; `estimate_reading_time` remains the
+    unicode reference-parity scalar for the T-surface)."""
+    return q_reading_time_ds(sf_dir).to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
 
-def q_clean_text(sf_dir: str) -> pd.DataFrame:
-    """Reference T7 clean_text over the corpus — vectorized with
+def q_clean_text_ds(sf_dir: str):
+    """Dataset-returning core of q12 (scale-safe gate contract):
+    reference T7 clean_text over the corpus — vectorized with
     pyarrow.compute replace/trim kernels (RE2), mirroring the scalar
     `clean_text` step-for-step (nbsp pre-replace, whitespace collapse,
     trim, the reference's quote-glitch replace, control strip). Known
@@ -113,13 +127,20 @@ def q_clean_text(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"), "clean": s})
 
     return ds.map_batches(clean, batch_format="pyarrow",
-                          zero_copy_batch=True).to_pandas().sort_values(
+                          zero_copy_batch=True)
+
+
+def q_clean_text(sf_dir: str) -> pd.DataFrame:
+    """See :func:`q_clean_text_ds` (driver-materialized form for the
+    oracle row-compare)."""
+    return q_clean_text_ds(sf_dir).to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
 
-def q_fingerprint(sf_dir: str) -> pd.DataFrame:
-    """Document fingerprint = md5 hex of the raw text (content-hash
+def q_fingerprint_ds(sf_dir: str):
+    """Dataset-returning core of q14 (scale-safe gate contract):
+    document fingerprint = md5 hex of the raw text (content-hash
     column reused by exact dedup)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -129,7 +150,13 @@ def q_fingerprint(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "fp": pa.array(fps, pa.string())})
 
-    return ds.map_batches(fp, batch_format="pyarrow").to_pandas().sort_values(
+    return ds.map_batches(fp, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str) -> pd.DataFrame:
+    """Document fingerprint = md5 hex of the raw text (content-hash
+    column reused by exact dedup)."""
+    return q_fingerprint_ds(sf_dir).to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
@@ -147,8 +174,9 @@ def quality_stats(text: str | None) -> tuple[int, int, bool] | None:
     return len(toks), ns, (10 <= len(toks) <= 1000 and 20 * ns > len(toks))
 
 
-def q_quality(sf_dir: str) -> pd.DataFrame:
-    """Quality signals with integer-exact rules: token count, stopword
+def q_quality_ds(sf_dir: str):
+    """Dataset-returning core of q15 (scale-safe gate contract):
+    quality signals with integer-exact rules — token count, stopword
     count, is_good = (10 ≤ n_tokens ≤ 1000) ∧ (20·n_stop > n_tokens)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -172,7 +200,13 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
             "is_good": pa.array(good, pa.bool_()),
         })
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas() \
+    return ds.map_batches(score, batch_format="pyarrow")
+
+
+def q_quality(sf_dir: str) -> pd.DataFrame:
+    """Quality signals with integer-exact rules: token count, stopword
+    count, is_good = (10 ≤ n_tokens ≤ 1000) ∧ (20·n_stop > n_tokens)."""
+    out = q_quality_ds(sf_dir).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     # NULL booleans: Arrow→pandas hands None, DuckDB→pandas hands
     # np.nan inside the object column — normalize to the oracle's
@@ -183,8 +217,9 @@ def q_quality(sf_dir: str) -> pd.DataFrame:
     return out
 
 
-def q_lang_id(sf_dir: str) -> pd.DataFrame:
-    """Stopword-ratio language heuristic: 'en' iff 10·n_stop > n_tokens."""
+def q_lang_id_ds(sf_dir: str):
+    """Dataset-returning core of q16 (scale-safe gate contract):
+    stopword-ratio language heuristic, 'en' iff 10·n_stop > n_tokens."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def lang(batch: pa.Table) -> pa.Table:
@@ -198,7 +233,12 @@ def q_lang_id(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
                          "lang_pred": pa.array(preds)})
 
-    return ds.map_batches(lang, batch_format="pyarrow").to_pandas().sort_values(
+    return ds.map_batches(lang, batch_format="pyarrow")
+
+
+def q_lang_id(sf_dir: str) -> pd.DataFrame:
+    """Stopword-ratio language heuristic: 'en' iff 10·n_stop > n_tokens."""
+    return q_lang_id_ds(sf_dir).to_pandas().sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
