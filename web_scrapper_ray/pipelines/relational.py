@@ -323,26 +323,63 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
             pc.cast(pc.fill_null(pc.bit_wise_and(t.column("user_id"),
                                                  B - 1), 0), pa.int32()))
 
-    def sessions_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["user_id", "ts"], na_position="last")
-        gap = (g.groupby("user_id", dropna=False)["ts"].diff()
-               .dt.total_seconds().fillna(0.0))
-        sid = (gap > 1800).groupby(g["user_id"].to_numpy(),
-                                   dropna=False).cumsum()
-        per = (g.assign(sid=sid.to_numpy())
-                .groupby(["user_id", "sid"], dropna=False)
-                .size().rename("n").reset_index())
-        out = per.groupby("user_id", dropna=False)["n"].agg(
-            n_sessions="size", n_events="sum", max_session_events="max"
-        ).reset_index()
-        for c in ("n_sessions", "n_events", "max_session_events"):
-            out[c] = out[c].astype("int64")
-        return out
+    _IMAX = np.iinfo(np.int64).max
+
+    def sessions_bucket(g: pa.Table) -> pa.Table:
+        # pure Arrow/numpy (no Arrow→pandas copy on the hot path):
+        # lexsort (user NULLS LAST, ts NULLS LAST within user), run
+        # boundaries via diff, reduceat per-user folds
+        empty = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "n_sessions": pa.array([], pa.int64()),
+            "n_events": pa.array([], pa.int64()),
+            "max_session_events": pa.array([], pa.int64())})
+        n = g.num_rows
+        if n == 0:
+            return empty
+        uid = g.column("user_id")
+        unull = pc.is_null(uid).to_numpy(zero_copy_only=False)
+        uidk = pc.fill_null(pc.cast(uid, pa.int64()),
+                            _IMAX).to_numpy(zero_copy_only=False)
+        ts = g.column("ts")
+        tnull = pc.is_null(ts).to_numpy(zero_copy_only=False)
+        tsk = pc.fill_null(pc.cast(ts, pa.int64()),
+                           _IMAX).to_numpy(zero_copy_only=False)
+        order = np.lexsort((tsk, unull.astype(np.int8), uidk))
+        uidk, unull = uidk[order], unull[order]
+        tsk, tnull = tsk[order], tnull[order]
+        new_user = np.ones(n, bool)
+        new_user[1:] = (uidk[1:] != uidk[:-1]) | (unull[1:]
+                                                  != unull[:-1])
+        # NaT gaps behave like the SQL/pandas contract: a diff
+        # touching a NULL ts is no-gap (fillna(0) semantics)
+        gap_big = np.zeros(n, bool)
+        if n > 1:
+            gap_big[1:] = ((tsk[1:] - tsk[:-1] > 1_800_000_000)
+                           & ~tnull[1:] & ~tnull[:-1])
+        new_sess = new_user | gap_big
+        sess_starts = np.flatnonzero(new_sess)
+        sess_len = np.diff(np.append(sess_starts, n))
+        user_of_sess = new_user[sess_starts]  # first session per user
+        ustarts = np.flatnonzero(user_of_sess)
+        n_sessions = np.diff(np.append(ustarts, len(sess_starts)))
+        n_events = np.add.reduceat(sess_len, ustarts)
+        max_events = np.maximum.reduceat(sess_len, ustarts)
+        urow = sess_starts[ustarts]
+        out_uid = pa.array(
+            [None if unull[i] else int(uidk[i]) for i in urow],
+            pa.int64())
+        return pa.table({
+            "user_id": out_uid,
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "n_events": pa.array(n_events.astype(np.int64)),
+            "max_session_events": pa.array(
+                max_events.astype(np.int64))})
 
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(sessions_bucket, batch_format="pandas")
+        .map_groups(sessions_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
@@ -732,14 +769,40 @@ def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
         od.map_batches(tag_od, batch_format="pyarrow")
     )
 
-    def join_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["side"] == "L"][["key"]]
-        right = g[g["side"] == "R"][["key", "payload"]]
-        m = left.merge(right, on="key", how="inner")
-        out = m.groupby("payload").size().reset_index(name="n_items")
-        return out.rename(columns={"payload": "o_orderpriority"})
+    def join_bucket(g: pa.Table) -> pa.Table:
+        # Arrow/numpy join: sorted-left searchsorted match counting,
+        # NUL-safe coded payload groupby (no Arrow→pandas table copy)
+        from .pairs import factorize_strings
 
-    per_bucket = both.groupby("bucket").map_groups(join_bucket, batch_format="pandas")
+        empty = pa.table({
+            "o_orderpriority": pa.array([], pa.string()),
+            "n_items": pa.array([], pa.int64())})
+        if g.num_rows == 0:
+            return empty
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keyc = g.column("key")
+        knull = pc.is_null(keyc).to_numpy(zero_copy_only=False)
+        keys = pc.fill_null(pc.cast(keyc, pa.int64()),
+                            0).to_numpy(zero_copy_only=False)
+        Lm = (side == "L") & ~knull   # SQL inner join: NULL ≠ NULL
+        Rm = (side == "R") & ~knull
+        lk = np.sort(keys[Lm])
+        rk = keys[Rm]
+        lo = np.searchsorted(lk, rk, "left")
+        cnt = np.searchsorted(lk, rk, "right") - lo
+        m = cnt > 0
+        if not m.any():
+            return empty
+        pays = g.column("payload").to_numpy(zero_copy_only=False)[Rm][m]
+        codes, uniq = factorize_strings(
+            pd.Series(pays, dtype=object), use_na_sentinel=False)
+        tot = np.bincount(codes, weights=cnt[m]).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": pa.array(list(uniq), pa.string()),
+            "n_items": pa.array(tot)})
+
+    per_bucket = both.groupby("bucket").map_groups(
+        join_bucket, batch_format="pyarrow")
     # merge the per-bucket partials (small) on the driver
     parts = per_bucket.to_pandas()
     out = parts.groupby("o_orderpriority", as_index=False)["n_items"].sum()
@@ -894,34 +957,77 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
                                 "user_id": pd.Series(dtype="int64"),
                                 "last_order_ts": pd.Series(dtype="float64")})
 
-    def asof_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty or "side" not in g.columns:
+    _EMPTY_ASOF_PA = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "eid_null": pa.array([], pa.bool_()),
+        "user_id": pa.array([], pa.int64()),
+        "last_order_ts": pa.array([], pa.float64())})
+
+    def asof_bucket(g: pa.Table) -> pa.Table:
+        # Arrow/numpy backward-asof (no per-bucket pandas copy): union
+        # scan sorted by (key, t, side) with right-before-left on
+        # ties; a segmented cummax of right positions yields each
+        # event's most recent order, validated by key equality.
+        if g.num_rows == 0 or "side" not in g.schema.names:
             # schema-less empty blocks flow through the sort groupby
-            return _EMPTY_ASOF.copy()
-        left = g[g["side"] == "E"][["key", "t", "event_id",
-                                    "eid_null"]].sort_values("t")
-        # ties at +max: the NULL-substitute sorts LAST so merge_asof's
-        # last-tied-row pick mirrors DuckDB's NULLS-LAST partition max
-        right = (g[g["side"] == "O"][["key", "t", "t_null"]]
-                 .rename(columns={"t": "order_t"})
-                 .sort_values(["order_t", "t_null"]))
-        if left.empty or right.empty:
-            return _EMPTY_ASOF.copy()
-        m = pd.merge_asof(left, right, left_on="t", right_on="order_t",
-                          by="key", direction="backward")
-        m = m.dropna(subset=["order_t"])  # ASOF JOIN is inner
-        ts = m["order_t"].astype("datetime64[s]").astype("int64").astype("float64")
-        ts[m["t_null"].astype(bool)] = np.nan  # matched a NULL-date order
-        return pd.DataFrame({
-            # event_id stays EXACT int64 (sentinel for NULL); the driver
-            # floats it only when a NULL is actually present
-            "event_id": m["event_id"].astype("int64"),
-            "eid_null": m["eid_null"].astype(bool),
-            "user_id": m["key"].astype("int64"),
-            "last_order_ts": ts,
+            return _EMPTY_ASOF_PA
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        keys = g.column("key").to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        tval = g.column("t").to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        is_l = side == "E"
+        is_r = ~is_l
+        if not is_l.any() or not is_r.any():
+            return _EMPTY_ASOF_PA
+        # right side pre-sorted by (key, order_t, t_null): the
+        # NULL-substitute (TMAX, t_null=True) sorts LAST among ties,
+        # mirroring DuckDB's NULLS-LAST partition max
+        rtnull = g.column("t_null").to_numpy(
+            zero_copy_only=False)[is_r].astype(bool)
+        rk, rt = keys[is_r], tval[is_r]
+        rorder = np.lexsort((rtnull, rt, rk))
+        rk, rt, rtnull = rk[rorder], rt[rorder], rtnull[rorder]
+        lk, lt = keys[is_l], tval[is_l]
+        evid = g.column("event_id").to_numpy(
+            zero_copy_only=False)[is_l].astype(np.int64)
+        evnull = g.column("eid_null").to_numpy(
+            zero_copy_only=False)[is_l].astype(bool)
+        nL, nR = len(lk), len(rk)
+        ukey = np.concatenate([rk, lk])
+        ut = np.concatenate([rt, lt])
+        uside = np.concatenate([np.zeros(nR, np.int8),
+                                np.ones(nL, np.int8)])
+        # stable lexsort: ties beyond (key, t, side) keep concat order,
+        # i.e. the right side's (order_t, t_null) order — so cummax
+        # picks merge_asof's last-tied-row
+        uorder = np.lexsort((uside, ut, ukey))
+        rpos = np.full(nR + nL, -1, np.int64)
+        src_idx = uorder  # position in concat array
+        rmask = uside[uorder] == 0
+        rpos[rmask] = src_idx[rmask]  # index into concat = index into rk
+        best = np.maximum.accumulate(rpos)
+        lmask = ~rmask
+        cand = best[lmask]
+        lsel = src_idx[lmask] - nR  # back to left-array index
+        ok = cand >= 0
+        ok[ok] &= rk[cand[ok]] == ukey[uorder][lmask][ok]
+        mi = cand[ok]
+        li = lsel[ok]
+        # epoch µs → epoch SECONDS, floored like datetime64[us]→[s]
+        ts = np.floor_divide(rt[mi], 1_000_000).astype(np.float64)
+        ts[rtnull[mi]] = np.nan  # matched a NULL-date order
+        return pa.table({
+            # event_id stays EXACT int64 (sentinel for NULL); the
+            # driver floats it only when a NULL is actually present
+            "event_id": pa.array(evid[li]),
+            "eid_null": pa.array(evnull[li]),
+            "user_id": pa.array(lk[li]),
+            "last_order_ts": pa.array(ts),
         })
 
-    out = both.groupby("bucket").map_groups(asof_bucket, batch_format="pandas").to_pandas()
+    out = both.groupby("bucket").map_groups(
+        asof_bucket, batch_format="pyarrow").to_pandas()
     if out.empty or "event_id" not in out.columns:
         # an all-empty-group result can arrive column-less
         return _EMPTY_ASOF.drop(columns=["eid_null"]).copy()
@@ -973,29 +1079,75 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
             pc.cast(pc.fill_null(pc.bit_wise_and(t.column("user_id"),
                                                  B - 1), 0), pa.int32()))
 
-    def roll_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        if g.empty or "event_id" not in g.columns:
+    _EMPTY_ROLL = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "eid_null": pa.array([], pa.bool_()),
+        "user_id": pa.array([], pa.float64()),
+        "rolling_avg": pa.array([], pa.float64())})
+
+    def roll_bucket(g: pa.Table) -> pa.Table:
+        # Arrow/numpy rolling mean (no per-bucket pandas copy): lexsort
+        # (user NULLS-LAST, ts NULLS-LAST, event_id), then a ≤window
+        # shifted-add with per-user boundary masking — fresh per-row
+        # sums (no cumsum cancellation), NULL values skipped like SQL
+        # avg skips NULL (all-NULL window → NaN).
+        if g.num_rows == 0 or "event_id" not in g.schema.names:
             # schema-less empty blocks flow through the sort groupby
-            return pd.DataFrame({"event_id": pd.Series(dtype="int64"),
-                                 "eid_null": pd.Series(dtype="bool"),
-                                 "user_id": pd.Series(dtype="int64"),
-                                 "rolling_avg": pd.Series(dtype="float64")})
-        g = g.sort_values(["user_id", "ts", "event_id"],
-                          na_position="last")
-        avg = (g.groupby("user_id", dropna=False)["value"]
-                .rolling(window, min_periods=1).mean()
-                .reset_index(level=0, drop=True).round(4))
-        return pd.DataFrame({
-            "event_id": g["event_id"].astype("int64"),
-            "eid_null": g["eid_null"].astype(bool),
-            "user_id": g["user_id"],
-            "rolling_avg": avg,
+            return _EMPTY_ROLL
+        uid = g.column("user_id")
+        unull = pc.is_null(uid).to_numpy(zero_copy_only=False)
+        uidk = pc.fill_null(pc.cast(uid, pa.int64()),
+                            _IMAX).to_numpy(zero_copy_only=False)
+        ts = g.column("ts")
+        tsk = pc.fill_null(pc.cast(ts, pa.int64()),
+                           _IMAX).to_numpy(zero_copy_only=False)
+        eid = g.column("event_id").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        evnull = g.column("eid_null").to_numpy(
+            zero_copy_only=False).astype(bool)
+        vcol = g.column("value")
+        vnull = pc.is_null(vcol).to_numpy(zero_copy_only=False)
+        vv = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        n = g.num_rows
+        order = np.lexsort((eid, tsk, unull.astype(np.int8), uidk))
+        uidk, unull = uidk[order], unull[order]
+        vv, vnull = vv[order], vnull[order]
+        eid, evnull = eid[order], evnull[order]
+        new_user = np.ones(n, bool)
+        new_user[1:] = (uidk[1:] != uidk[:-1]) | (unull[1:]
+                                                  != unull[:-1])
+        seg_start = np.maximum.accumulate(
+            np.where(new_user, np.arange(n), 0))
+        idx = np.arange(n)
+        wsum = np.where(vnull, 0.0, vv)
+        wcnt = (~vnull).astype(np.int64)
+        for k in range(1, window):
+            valid = idx - k >= seg_start
+            src = np.maximum(idx - k, 0)
+            wsum = wsum + np.where(valid & ~vnull[src], vv[src], 0.0)
+            wcnt = wcnt + (valid & ~vnull[src]).astype(np.int64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            avg = np.where(wcnt > 0, wsum / np.maximum(wcnt, 1),
+                           np.nan)
+        avg = np.round(avg, 4)
+        out_uid = uidk.astype(np.float64)
+        out_uid[unull] = np.nan
+        if not unull.any():
+            uid_arr = pa.array(uidk)
+        else:
+            uid_arr = pa.array(out_uid)
+        return pa.table({
+            "event_id": pa.array(eid),
+            "eid_null": pa.array(evnull),
+            "user_id": uid_arr,
+            "rolling_avg": pa.array(avg),
         })
 
     out = (
         ds.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(roll_bucket, batch_format="pandas")
+        .map_groups(roll_bucket, batch_format="pyarrow")
         .to_pandas()
     )
     out = out.sort_values("event_id").reset_index(drop=True)
@@ -1044,24 +1196,71 @@ def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
         od.map_batches(tag_od, batch_format="pyarrow")
     )
 
-    def range_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        orders = g[g["side"] == "O"][["key", "t", "rid"]].rename(
-            columns={"t": "o_t", "rid": "o_orderkey"})
-        events = g[g["side"] == "E"][["key", "t"]]
-        if orders.empty:
-            return pd.DataFrame({"o_orderkey": pd.Series(dtype="int64"),
-                                 "n_events_24h": pd.Series(dtype="int64")})
-        if events.empty:
-            return pd.DataFrame({"o_orderkey": orders["o_orderkey"].astype("int64"),
-                                 "n_events_24h": 0})
-        m = orders.merge(events, on="key", how="left")
-        hit = (m["t"] >= m["o_t"]) & (m["t"] < m["o_t"] + pd.Timedelta(days=1))
-        counts = (m.assign(hit=hit.fillna(False).astype("int64"))
-                  .groupby("o_orderkey", as_index=False)["hit"].sum())
-        return pd.DataFrame({"o_orderkey": counts["o_orderkey"].astype("int64"),
-                             "n_events_24h": counts["hit"].astype("int64")})
+    _EMPTY_RANGE = pa.table({
+        "o_orderkey": pa.array([], pa.int64()),
+        "n_events_24h": pa.array([], pa.int64())})
 
-    out = both.groupby("bucket").map_groups(range_bucket, batch_format="pandas").to_pandas()
+    def range_bucket(g: pa.Table) -> pa.Table:
+        # Arrow/numpy interval count (no per-bucket pandas copy/merge
+        # fan-out): a (key, t, flag) union scan — two zero-flag probe
+        # rows per order at [o_t, o_t+24h), one-flag rows per event —
+        # lexsorted with probes before events at equal t; the cumsum
+        # of flags at the two probe positions differences to the
+        # events-in-window count. NULL-key/-date orders count 0 (the
+        # window test is never true); NULL events never hit.
+        if g.num_rows == 0 or "side" not in g.schema.names:
+            return _EMPTY_RANGE
+        side = g.column("side").to_numpy(zero_copy_only=False)
+        is_o = side == "O"
+        if not is_o.any():
+            return _EMPTY_RANGE
+        keyc = g.column("key")
+        knull = pc.is_null(keyc).to_numpy(zero_copy_only=False)
+        keys = pc.fill_null(pc.cast(keyc, pa.int64()),
+                            0).to_numpy(zero_copy_only=False)
+        tc = g.column("t")
+        tnull = pc.is_null(tc).to_numpy(zero_copy_only=False)
+        tus = pc.fill_null(pc.cast(tc, pa.int64()),
+                           0).to_numpy(zero_copy_only=False)
+        okeys = g.column("rid").to_numpy(
+            zero_copy_only=False)[is_o].astype(np.int64)
+        n_ord = int(is_o.sum())
+        counts = np.zeros(n_ord, np.int64)
+        vo = (~knull & ~tnull)[is_o]
+        is_e = ~is_o
+        ve = (~knull & ~tnull) & is_e
+        if vo.any() and ve.any():
+            ok = keys[is_o][vo]
+            ot = tus[is_o][vo]
+            ek = keys[ve]
+            et = tus[ve]
+            DAY = 86_400_000_000
+            uk = np.concatenate([ok, ok, ek])
+            ut = np.concatenate([ot, ot + DAY, et])
+            flag = np.concatenate([
+                np.zeros(2 * len(ok), np.int64),
+                np.ones(len(ek), np.int64)])
+            order = np.lexsort((flag, ut, uk))
+            cum = np.cumsum(flag[order])
+            inv = np.empty(len(uk), np.int64)
+            inv[order] = np.arange(len(uk))
+            c_lo = cum[inv[: len(ok)]]
+            c_hi = cum[inv[len(ok): 2 * len(ok)]]
+            # a probe's cum includes only events sorted BEFORE it and
+            # events of OTHER keys earlier in key order; the key-range
+            # difference cancels those foreign-key events exactly
+            counts[vo] = c_hi - c_lo
+        return pa.table({
+            "o_orderkey": pa.array(okeys),
+            "n_events_24h": pa.array(counts)})
+
+    out = both.groupby("bucket").map_groups(
+        range_bucket, batch_format="pyarrow").to_pandas()
+    # SQL GROUP BY o_orderkey: duplicate order rows (possibly in
+    # DIFFERENT custkey buckets) merge into one row, counts summed
+    out = (out.groupby("o_orderkey", as_index=False)["n_events_24h"]
+           .sum())
+    out["n_events_24h"] = out["n_events_24h"].astype("int64")
     return out.sort_values("o_orderkey").reset_index(drop=True)
 
 
