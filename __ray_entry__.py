@@ -1168,7 +1168,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY custkey
         """,
         "q45_brand_revenue_native_join": """
-            SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            -- exact-int revenue: price/discount are 2dp, so
+            -- price*(1-disc) is exact in 1e-4 units; float sums of
+            -- ~1e10 dollars are order-sensitive in the last cent at
+            -- sf>=1 (engine does the identical int arithmetic)
+            SELECT p_brand,
+                   round(sum(round(l_extendedprice * 100)::BIGINT
+                             * (100 - round(l_discount * 100)::BIGINT))
+                         / 10000.0, 2) AS revenue,
                    count(*)::BIGINT AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand ORDER BY p_brand

@@ -3,6 +3,7 @@
 compare row count + column names + order-insensitive values.
 
 Usage: python scripts/check_queries.py [sf_dir] [query_name ...]
+       python scripts/check_queries.py SF_DIR --exclude name [name ...]
 """
 
 from __future__ import annotations
@@ -54,7 +55,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    rest = sys.argv[2:]
+    exclude: set = set()
+    if rest and rest[0] == "--exclude":
+        exclude = set(rest[1:])
+        only = set()
+    else:
+        only = set(rest)
 
     import ray
 
@@ -77,7 +84,7 @@ def main() -> int:
     sqls = entrymod.oracle_sql()
     failures = 0
     for name, fn in qs.items():
-        if only and name not in only:
+        if (only and name not in only) or name in exclude:
             continue
         t0 = time.time()
         try:
@@ -127,12 +134,13 @@ def main() -> int:
             failures += 1
         else:
             print(f"PASS {name}: rows={len(mine)} [{dt:.1f}s]")
-    failures += hash_mode(con, entrymod, sf_dir, only)
+    failures += hash_mode(con, entrymod, sf_dir, only, exclude)
     ray.shutdown()
     return 1 if failures else 0
 
 
-def hash_mode(con, entrymod, sf_dir: str, only) -> int:
+def hash_mode(con, entrymod, sf_dir: str, only,
+              exclude=frozenset()) -> int:
     """Scale-safe oracle contract for per-row-result queries: the
     engine result is STREAMED to parquet (``Dataset.write_parquet`` —
     never ``to_pandas`` through the driver) and DuckDB computes the
@@ -150,7 +158,7 @@ def hash_mode(con, entrymod, sf_dir: str, only) -> int:
     tmp_root = tempfile.mkdtemp(prefix="wsr_hashgate_")
     try:
         for name, ds_fn in perrow.items():
-            if only and name not in only:
+            if (only and name not in only) or name in exclude:
                 continue
             t0 = time.time()
             try:

@@ -82,6 +82,17 @@ def replicate_table(name: str, t: pa.Table, r: int) -> pa.Table:
         t = _regen_name(t, "c_custkey", "c_name", "Customer")
     elif name == "supplier":
         t = _regen_name(t, "s_suppkey", "s_name", "Supplier")
+    elif name == "part" and r > 0:
+        # distance-2 replica tag (doubled letter, pairwise levenshtein
+        # 2 between replicas and 3 vs the base): without it, p_name
+        # cliques inflate the within-1-edit fuzzy join (q105)
+        # QUADRATICALLY instead of linearly with the replica count
+        tag = chr(ord("a") + (r - 1) % 26) * 2
+        names = pa.array(
+            [None if v is None else f"{v} {tag}"
+             for v in t.column("p_name").to_pylist()], pa.string())
+        t = t.set_column(t.schema.get_field_index("p_name"),
+                         "p_name", names)
     elif name == "documents" and r > 0:
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         texts = t.column("text").to_pylist()

@@ -641,17 +641,34 @@ def q_brand_revenue_native_join(sf_dir: str) -> pd.DataFrame:
                      on=("l_partkey",), right_on=("p_partkey",))
 
     def revenue(batch: pa.Table) -> pa.Table:
-        rev = pc.multiply(batch.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0), batch.column("l_discount")))
-        return pa.table({"p_brand": batch.column("p_brand"), "revenue": rev})
+        # EXACT integer ten-thousandths of a dollar: price has 2dp and
+        # discount 2dp, so price·(1−disc) is exact in 1e-4 units —
+        # float sums of ~1e10 dollars are order-sensitive in the last
+        # cent at 10× data (seen live at sf1.0), int sums are not. The
+        # oracle SQL does the identical int arithmetic.
+        cents = pc.round(pc.multiply(batch.column("l_extendedprice"),
+                                     pa.scalar(100.0)))
+        disc = pc.round(pc.multiply(batch.column("l_discount"),
+                                    pa.scalar(100.0)))
+        rev4 = pc.multiply(pc.cast(cents, pa.int64()),
+                           pc.subtract(pa.scalar(100, pa.int64()),
+                                       pc.cast(disc, pa.int64())))
+        return pa.table({"p_brand": batch.column("p_brand"),
+                         "revenue4": rev4})
 
     out = (
         joined.map_batches(revenue, batch_format="pyarrow")
         .groupby("p_brand")
-        .aggregate(Sum("revenue", alias_name="revenue"), Count(alias_name="n_items"))
+        .aggregate(Sum("revenue4", alias_name="revenue4"),
+                   Count(alias_name="n_items"))
         .to_pandas()
     )
-    out["revenue"] = out["revenue"].round(2)
+    from .pairs import round_away
+
+    out["revenue"] = round_away(
+        out["revenue4"].to_numpy(np.float64) / 10000.0, 2)
+    out = out.drop(columns=["revenue4"])[
+        ["p_brand", "revenue", "n_items"]]
     return out.sort_values("p_brand").reset_index(drop=True)
 
 
