@@ -187,3 +187,134 @@ def test_robots_probe_no_retry_and_cached(world_server):
     assert (body, status) == (None, 404)
     assert len(_WorldHandler.log) - n0 == 1  # exactly one attempt
     assert sleeps == []                      # and no backoff sleeps
+
+
+class _HardenedHandler(BaseHTTPRequestHandler):
+    """The same synthetic world served the way the messy real web
+    serves it: every page request 302-redirects once, and the final
+    response is gzip-encoded with an explicit charset — ISO-8859-1
+    when the page is representable in it, UTF-8 otherwise. robots.txt
+    stays plain. requests resolves all three implicitly (the
+    reference's content.py:106 ``response.text`` path); the backend
+    must hand downstream the identical UTF-8 string the store backend
+    serves."""
+
+    store = None
+    lock = threading.Lock()
+
+    def do_GET(self):  # noqa: N802
+        import gzip as _gzip
+
+        host = (self.headers.get("Host") or "").rsplit(":", 1)[0]
+        if self.path == "/robots.txt":
+            body, status = self.store.get(f"http://{host}{self.path}",
+                                          host)
+            if body is None:
+                self.send_response(404)
+                self.end_headers()
+                return
+            self.send_response(status)
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        if not self.path.startswith("/__hop"):
+            self.send_response(302)
+            self.send_header("Location", "/__hop" + self.path)
+            self.end_headers()
+            return
+        real = self.path[len("/__hop"):]
+        body, status = self.store.get(f"http://{host}{real}", host)
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        try:
+            text = body.decode("utf-8")
+        except UnicodeDecodeError:
+            # binary payloads (images) ship raw with a binary type —
+            # the backend must never charset-mangle them
+            self.send_response(status)
+            self.send_header("Content-Type", "application/octet-stream")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        try:
+            payload, charset = text.encode("iso-8859-1"), "ISO-8859-1"
+        except UnicodeEncodeError:
+            payload, charset = body, "utf-8"
+        gz = _gzip.compress(payload)
+        self.send_response(status)
+        self.send_header("Content-Type", f"text/html; charset={charset}")
+        self.send_header("Content-Encoding", "gzip")
+        self.send_header("Content-Length", str(len(gz)))
+        self.end_headers()
+        self.wfile.write(gz)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def hardened_server(ray_session):
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.sources.site_store import SiteStore
+
+    world = synth.ensure_world("t2")
+    _HardenedHandler.store = SiteStore(world)
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _HardenedHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield world, f"127.0.0.1:{srv.server_port}"
+    srv.shutdown()
+
+
+def test_http_backend_redirect_gzip_charset(hardened_server):
+    """Unit surface: one fetch through a redirect hop, gzip encoding
+    and an ISO-8859-1 charset must yield byte-identical UTF-8 to the
+    store's body."""
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.sources.site_store import SiteStore
+
+    world, netloc = hardened_server
+    seeds = pq.read_table(world + "/seeds.parquet").column("url").to_pylist()
+    be = HTTPBackend(rewrite_netloc=netloc, timeout=5,
+                     sleep=lambda s: None)
+    store = SiteStore(world)
+    checked = 0
+    for u in seeds[:6]:
+        want, want_status = store.get(u, None)
+        if want is None or want_status != 200:
+            continue  # deliberately-broken world pages keep their status
+        got, status = be.get(u)
+        assert status == 200 and got == want, u
+        checked += 1
+    assert checked >= 3
+
+
+def test_crawl_parity_hardened_http_site(hardened_server, tmp_path):
+    """Full crawl parity through the redirecting, gzipped, latin-1
+    site: identical crawl log and articles vs the store backend."""
+    from web_scrapper_ray import synth
+    from web_scrapper_ray.pipelines.crawl import CrawlConfig, run_crawl
+
+    world, netloc = hardened_server
+    spec = synth.TIERS["t2"]
+    seeds = [synth.listing_url(spec, i, 1) for i in (0, 1, 2)]
+
+    def one(backend, out):
+        cfg = CrawlConfig(world_dir=world, out_dir=str(tmp_path / out),
+                          seeds=seeds, opts={"max_pages": 2},
+                          politeness=True, fetch_backend=backend)
+        return run_crawl(cfg)
+
+    res_store = one(None, "store")
+    res_http = one({"kind": "http", "rewrite_netloc": netloc,
+                    "backoff": False, "timeout": 5}, "http")
+
+    log_s = pq.read_table(res_store["crawl_log"]).drop_columns(["fetch_ts"])
+    log_h = pq.read_table(res_http["crawl_log"]).drop_columns(["fetch_ts"])
+    assert log_s.equals(log_h)
+    arts_s = pq.read_table(res_store["articles"])
+    arts_h = pq.read_table(res_http["articles"])
+    assert arts_s.equals(arts_h)

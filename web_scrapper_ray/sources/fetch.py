@@ -150,6 +150,28 @@ class HTTPBackend:
         # canonical URLs are plain GETs over HTTP (no re-canonicalization)
         return self.get(url_canon, host)
 
+    @staticmethod
+    def _body(resp) -> bytes:
+        """Reference decode parity (content.py:106 ``response.text``):
+        for text responses, decode with the Content-Type charset (or
+        requests' ISO-8859-1 text/* default) and re-encode UTF-8, so
+        the downstream ``body.decode()`` sees the reference's exact
+        string — a latin-1 site parses identically instead of dying in
+        the per-page guard. Redirect chains and gzip/deflate
+        content-encoding are already resolved by requests at this
+        point (`resp.content` is the final, decoded payload). Binary
+        and untyped responses pass through raw — image bytes must
+        never ride a charset guess."""
+        ctype = (resp.headers.get("Content-Type") or "").lower()
+        is_text = ("text/" in ctype or "html" in ctype
+                   or "xml" in ctype or "charset" in ctype)
+        if is_text:
+            try:
+                return resp.text.encode("utf-8")
+            except (LookupError, UnicodeError):
+                pass  # unknown codec → raw bytes, page guard decides
+        return resp.content
+
     def get(self, url: str, host: Optional[str] = None,
             attempts: Optional[int] = None) -> tuple[Optional[bytes], int]:
         """``attempts`` overrides the retry budget (robots probes use 1 —
@@ -167,7 +189,7 @@ class HTTPBackend:
                                         headers=extra or None)
                 last_status = resp.status_code
                 resp.raise_for_status()
-                return resp.content, resp.status_code
+                return self._body(resp), resp.status_code
             except self._requests.RequestException:
                 # reference: retried (incl. HTTPError from
                 # raise_for_status), re-raised after the final attempt —
