@@ -2383,10 +2383,13 @@ def oracle_sql() -> dict[str, str]:
             FROM r GROUP BY 1 = 1
         """,
         "q144_rfm_segments": """
+            -- exact-int cents (q45 rule): the ntile ORDER BY mon is
+            -- last-ulp-sensitive under float partial sums at sf>=1
             WITH c AS (SELECT o_custkey AS k,
                               max(o_orderdate) AS last_dt,
                               count(*)::BIGINT AS freq,
-                              sum(o_totalprice) AS mon
+                              sum(round(o_totalprice * 100)::BIGINT)
+                                  AS mon
                        FROM orders WHERE o_custkey IS NOT NULL
                        GROUP BY 1)
             SELECT k AS c_custkey,
@@ -2663,21 +2666,24 @@ def oracle_sql() -> dict[str, str]:
             FROM an GROUP BY 1 ORDER BY 1
         """,
         "q164_top_revenue_supplier": """
+            -- exact-int revenue (q45 rule): the max-equality tie set
+            -- is order-sensitive under float partial sums at sf>=1
             WITH rev AS (
                 SELECT l_suppkey AS sk,
-                       sum(l_extendedprice * (1 - l_discount)) AS total
+                       sum(round(l_extendedprice * 100)::BIGINT
+                           * (100 - round(l_discount * 100)::BIGINT))
+                           AS total4
                 FROM lineitem
                 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
                   AND l_shipdate < TIMESTAMP '1996-04-01'
                   AND l_suppkey IS NOT NULL
                 GROUP BY 1),
-            -- window max over ONE scan: a scalar subquery re-evaluates
-            -- the CTE and parallel sum order shifts the last ulp
-            m AS (SELECT sk, total, max(total) OVER () AS mx FROM rev)
+            m AS (SELECT sk, total4, max(total4) OVER () AS mx
+                  FROM rev)
             SELECT s_suppkey, s_name,
-                   round(total, 2) AS total_revenue
+                   round(total4 / 10000.0, 2) AS total_revenue
             FROM supplier JOIN m ON s_suppkey = sk
-            WHERE total = mx
+            WHERE total4 = mx
             ORDER BY 1
         """,
         "q165_user_time_weighted_avg": """
@@ -2744,14 +2750,20 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY 1, 2, 3
         """,
         "q170_important_parts": """
+            -- exact-int revenue (q45 rule): per-part sums land on
+            -- REAL x.xx5 half-boundaries; the threshold compare is
+            -- cross-multiplied into pure integers (1.5 = 3/2)
             WITH pv AS (
                 SELECT l_partkey AS pk,
-                       sum(l_extendedprice * (1 - l_discount)) AS val
+                       sum(round(l_extendedprice * 100)::BIGINT
+                           * (100 - round(l_discount * 100)::BIGINT))
+                           AS val4
                 FROM lineitem WHERE l_partkey IS NOT NULL
                 GROUP BY 1),
-            g AS (SELECT sum(val) AS tot, count(val) AS cnt FROM pv)
-            SELECT pk AS p_partkey, round(val, 2) AS value
-            FROM pv, g WHERE val > tot * 1.5 / cnt
+            g AS (SELECT sum(val4) AS tot4, count(val4) AS cnt FROM pv)
+            SELECT pk AS p_partkey, round(val4 / 10000.0, 2) AS value
+            FROM pv, g
+            WHERE val4::HUGEINT * 2 * cnt > tot4::HUGEINT * 3
             ORDER BY 1
         """,
         "q171_brand_size_suppliers": """

@@ -1809,7 +1809,7 @@ def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
     _E = pa.table({"key": pa.array([], pa.int64()),
                    "dt": pa.array([], pa.int64()),
                    "freq": pa.array([], pa.int64()),
-                   "mon": pa.array([], pa.float64()),
+                   "mon": pa.array([], pa.int64()),
                    "nv": pa.array([], pa.int64()),
                    "bucket": pa.array([], pa.int64())})
 
@@ -1822,8 +1822,14 @@ def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
         dt = pc.fill_null(pc.cast(t.column("o_orderdate"), pa.int64()),
                           np.iinfo(np.int64).min)  # min: max() ignores
         price = t.column("o_totalprice")
+        # EXACT integer cents (q45 rule): the ntile ORDER BY (mon, k)
+        # is last-ulp-sensitive under float partial sums at sf>=1 —
+        # adjacent near-equal monetary totals swapped order and moved
+        # a quartile boundary
+        mon_c = pc.cast(pc.round(pc.multiply(
+            pc.fill_null(price, 0.0), pa.scalar(100.0))), pa.int64())
         g = (pa.table({"key": t.column("o_custkey"), "dt": dt,
-                       "mon0": pc.fill_null(price, 0.0),
+                       "mon0": mon_c,
                        "nv": pc.cast(pc.is_valid(price), pa.int64())})
              .group_by(["key"])
              .aggregate([("dt", "max"), ([], "count_all"),
@@ -1832,7 +1838,7 @@ def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
             "key": g.column("key"),
             "dt": g.column("dt_max"),
             "freq": pc.cast(g.column("count_all"), pa.int64()),
-            "mon": pc.cast(g.column("mon0_sum"), pa.float64()),
+            "mon": pc.cast(g.column("mon0_sum"), pa.int64()),
             "nv": pc.cast(g.column("nv_sum"), pa.int64()),
             "bucket": pc.bit_wise_and(g.column("key"), P - 1)})
 
@@ -1841,7 +1847,7 @@ def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
         empty = pa.table({"key": pa.array([], pa.int64()),
                           "dt": pa.array([], pa.int64()),
                           "freq": pa.array([], pa.int64()),
-                          "mon": pa.array([], pa.float64()),
+                          "mon": pa.array([], pa.int64()),
                           "mnull": pa.array([], pa.int8())})
         if not live:
             return empty
@@ -1854,8 +1860,8 @@ def q_rfm_segments(sf_dir: str, k: int = 4) -> pd.DataFrame:
         dt[dt == np.iinfo(np.int64).min] = np.iinfo(np.int64).max
         freq = np.zeros(nc, np.int64)
         np.add.at(freq, codes, df["freq"].to_numpy(np.int64))
-        mon = np.zeros(nc, np.float64)
-        np.add.at(mon, codes, df["mon"].to_numpy(np.float64))
+        mon = np.zeros(nc, np.int64)
+        np.add.at(mon, codes, df["mon"].to_numpy(np.int64))
         nv = np.zeros(nc, np.int64)
         np.add.at(nv, codes, df["nv"].to_numpy(np.int64))
         return pa.table({"key": pa.array(uniq.to_numpy(np.int64)),
@@ -4585,7 +4591,7 @@ def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
 
     _E = pa.table({"key": pa.array([], pa.int64()),
                    "side": pa.array([], pa.int8()),
-                   "s": pa.array([], pa.float64()),
+                   "s": pa.array([], pa.int64()),
                    "nv": pa.array([], pa.int64()),
                    "name": pa.array([], pa.string()),
                    "bucket": pa.array([], pa.int64())})
@@ -4603,7 +4609,7 @@ def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
             return pa.table({
                 "key": key,
                 "side": pa.array(np.ones(n, np.int8)),
-                "s": pa.array(np.zeros(n, np.float64)),
+                "s": pa.array(np.zeros(n, np.int64)),
                 "nv": pa.array(np.zeros(n, np.int64)),
                 "name": t2.column("s_name"),
                 "bucket": pc.bit_wise_and(key, P - 1)})
@@ -4616,11 +4622,18 @@ def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
         t2 = t.filter(pc.fill_null(keep, False))
         if t2.num_rows == 0:
             return _E
-        rev = pc.multiply(t2.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0, pa.float64()),
-                                      t2.column("l_discount")))
+        # EXACT integer ten-thousandths (q45 rule): the max-equality
+        # tie set is order-sensitive under float partial sums at sf>=1
+        # (replicated suppliers with identical term multisets landed on
+        # different last-ulp totals and fell out of the tie)
+        cents = pc.cast(pc.round(pc.multiply(
+            t2.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t2.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
         g = (pa.table({"key": pc.cast(t2.column("l_suppkey"), pa.int64()),
-                       "r": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+                       "r": pc.cast(pc.fill_null(rev, 0), pa.int64()),
                        "v": pc.cast(pc.is_valid(rev), pa.int64())})
              .group_by("key").aggregate([("r", "sum"), ("v", "sum")]))
         n = g.num_rows
@@ -4636,7 +4649,7 @@ def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         empty = pd.DataFrame({"key": pd.Series(dtype="int64"),
                               "name": pd.Series(dtype="object"),
-                              "total": pd.Series(dtype="float64"),
+                              "total": pd.Series(dtype="int64"),
                               "isnull": pd.Series(dtype="bool")})
         if not live:
             return empty
@@ -4646,10 +4659,11 @@ def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
         if part.empty or supp.empty:
             return empty
         agg = part.groupby("key", as_index=False).agg(
-            s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
-        # nv==0 means SQL NULL total (all inputs NULL) — distinct from
-        # a genuine NaN total, which DuckDB's max() treats as GREATEST
-        agg = agg.assign(total=agg["s"].to_numpy(np.float64),
+            s=("s", "sum"), nv=("nv", "sum"))
+        # nv==0 means SQL NULL total (all inputs NULL); totals are
+        # exact int64 ten-thousandths (finite-price contract — the
+        # Arrow cast raises loudly on a non-finite price)
+        agg = agg.assign(total=agg["s"].to_numpy(np.int64),
                          isnull=agg["nv"].to_numpy() == 0)
         j = supp.merge(agg[["key", "total", "isnull"]], on="key")
         return j[["key", "name", "total", "isnull"]]
@@ -4671,17 +4685,15 @@ def q_top_revenue_supplier(sf_dir: str) -> pd.DataFrame:
         return empty
     df = pd.concat(parts, ignore_index=True)
     df = df[~df["isnull"].to_numpy(bool)]  # NULL total: never equal
-    vals = df["total"].to_numpy(np.float64)
+    vals = df["total"].to_numpy(np.int64)
     if len(vals) == 0:
         return empty
-    if np.any(np.isnan(vals)):
-        sel = df[np.isnan(vals)]  # DuckDB total order: NaN is max
-    else:
-        sel = df[vals == vals.max()]
+    sel = df[vals == vals.max()]  # exact-int tie set
     out = pd.DataFrame({"s_suppkey": sel["key"].to_numpy(np.int64),
                         "s_name": sel["name"],
                         "total_revenue": round_away(
-                            sel["total"].to_numpy(np.float64), 2)})
+                            sel["total"].to_numpy(np.float64)
+                            / 10000.0, 2)})
     return out.sort_values("s_suppkey").reset_index(drop=True)
 
 
@@ -5260,7 +5272,7 @@ def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
     P = 32
 
     _E = pa.table({"key": pa.array([], pa.int64()),
-                   "s": pa.array([], pa.float64()),
+                   "s": pa.array([], pa.int64()),
                    "nv": pa.array([], pa.int64()),
                    "bucket": pa.array([], pa.int64())})
 
@@ -5271,11 +5283,17 @@ def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
                                    False))
         if t2.num_rows == 0:
             return _E
-        rev = pc.multiply(t2.column("l_extendedprice"),
-                          pc.subtract(pa.scalar(1.0, pa.float64()),
-                                      t2.column("l_discount")))
+        # EXACT integer ten-thousandths (q45 rule): per-part sums land
+        # on REAL x.xx5 half-boundaries (2dp-grid data), where a float
+        # partial-sum order flips round() at sf>=1
+        cents = pc.cast(pc.round(pc.multiply(
+            t2.column("l_extendedprice"), pa.scalar(100.0))), pa.int64())
+        disc = pc.cast(pc.round(pc.multiply(
+            t2.column("l_discount"), pa.scalar(100.0))), pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             disc))
         g = (pa.table({"key": pc.cast(t2.column("l_partkey"), pa.int64()),
-                       "r": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
+                       "r": pc.cast(pc.fill_null(rev, 0), pa.int64()),
                        "v": pc.cast(pc.is_valid(rev), pa.int64())})
              .group_by("key").aggregate([("r", "sum"), ("v", "sum")]))
         return pa.table({"key": g.column("key"),
@@ -5285,7 +5303,7 @@ def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
                                                    P - 1)})
 
     _O = pa.table({"key": pa.array([], pa.int64()),
-                   "val": pa.array([], pa.float64())})
+                   "val": pa.array([], pa.int64())})
 
     def merge(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
@@ -5293,10 +5311,10 @@ def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
             return _O
         df = pa.concat_tables(live).to_pandas()
         g = df.groupby("key", as_index=False).agg(
-            s=("s", lambda x: x.to_numpy().sum()), nv=("nv", "sum"))
+            s=("s", "sum"), nv=("nv", "sum"))
         g = g[g["nv"].to_numpy() > 0]  # all-NULL part: SQL NULL total
         return pa.table({"key": pa.array(g["key"].to_numpy(np.int64)),
-                         "val": pa.array(g["s"].to_numpy(np.float64))})
+                         "val": pa.array(g["s"].to_numpy(np.int64))})
 
     tagged = [(r, ()) for r in _read(
         sf_dir, "lineitem",
@@ -5307,20 +5325,26 @@ def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
     @ray.remote
     def local_sum(t: pa.Table):
         if t.num_rows == 0 or "val" not in t.schema.names:
-            return 0.0, 0
+            return 0, 0
         v = t.column("val").to_numpy(zero_copy_only=False)
-        return float(v.sum()), len(v)
+        return int(v.sum()), len(v)
 
     @ray.remote
-    def keep_above(t: pa.Table, thr: float) -> pd.DataFrame:
+    def keep_above(t: pa.Table, tot4: int, cnt: int,
+                   num: int, den: int) -> pd.DataFrame:
+        # exact-int predicate: val4 > tot4·(num/den)/cnt  ⇔
+        # val4·den·cnt > tot4·num — object-int math sidesteps int64
+        # overflow on the cross-multiplied terms
         if t.num_rows == 0 or "val" not in t.schema.names:
             return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
                                  "value": pd.Series(dtype="float64")})
         v = t.column("val").to_numpy(zero_copy_only=False)
         k = t.column("key").to_numpy(zero_copy_only=False)
-        m = v > thr
+        m = (v.astype(object) * (den * cnt)) > (tot4 * num)
+        m = m.astype(bool)
         return pd.DataFrame({"p_partkey": k[m],
-                             "value": round_away(v[m], 2)})
+                             "value": round_away(
+                                 v[m].astype(np.float64) / 10000.0, 2)})
 
     partials = ray.get([local_sum.remote(r) for r in refs])
     n = sum(p[1] for p in partials)
@@ -5328,8 +5352,13 @@ def q_important_parts(sf_dir: str, mult: float = 1.5) -> pd.DataFrame:
                           "value": pd.Series(dtype="float64")})
     if n == 0:
         return empty
-    thr = sum(p[0] for p in partials) * mult / n
-    parts = [p for p in ray.get([keep_above.remote(r, thr) for r in refs])
+    tot4 = sum(p[0] for p in partials)
+    from fractions import Fraction
+
+    frac = Fraction(mult).limit_denominator(1_000_000)
+    parts = [p for p in ray.get(
+        [keep_above.remote(r, tot4, n, frac.numerator,
+                           frac.denominator) for r in refs])
              if len(p)]
     if not parts:
         return empty

@@ -467,12 +467,16 @@ def q_best_split(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
             / nl.astype(np.float64)
             + nr - (pr * pr + qr * qr).astype(np.float64)
             / nr.astype(np.float64)) / nt
-    best = np.lexsort((v[:-1], gini))[0]
+    # the oracle's ORDER BY gini binds to the ROUNDED alias — 6dp
+    # ties (real at sf≥1) break by v ASC on the rounded value, not
+    # the raw one
+    gini_r = round_away(gini, 6)
+    best = np.lexsort((v[:-1], gini_r))[0]
     return pd.DataFrame({
         "threshold": np.array([v[best]]),
         "n_left": pd.array([int(nl[best])], "int64"),
         "n_right": pd.array([int(nr[best])], "int64"),
-        "gini": round_away(np.array([gini[best]]), 6)})
+        "gini": np.array([gini_r[best]])})
 
 
 def q_bootstrap_ci(sf_dir: str, B: int = 200,

@@ -610,16 +610,35 @@ def q_top_customers_per_segment(sf_dir: str, k: int = 5) -> pd.DataFrame:
     na_position='last')."""
     ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_custkey", "c_acctbal"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["c_acctbal", "c_custkey"], ascending=[False, True],
-                          na_position="last").head(k)
-        g = g.copy()
-        g["rank"] = range(1, len(g) + 1)
-        return g[["c_mktsegment", "rank", "c_custkey", "c_acctbal"]]
+    def topk(g: pa.Table) -> pa.Table:
+        # Arrow/numpy per-group top-k: lexsort (NULL/NaN balances
+        # last, balance DESC, custkey ASC), slice k, rank 1..n
+        bal = g.column("c_acctbal")
+        bna = pc.fill_null(pc.or_kleene(pc.is_null(bal),
+                                        pc.is_nan(bal)), True) \
+            .to_numpy(zero_copy_only=False).astype(bool)
+        b = pc.fill_null(bal, 0.0).to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        b = np.where(bna, 0.0, b)
+        ckc = g.column("c_custkey")
+        # NULL custkeys tie-break LAST (pandas na_position parity),
+        # and the original (nullable) values ride through take
+        ck = pc.fill_null(pc.cast(ckc, pa.int64()),
+                          np.iinfo(np.int64).max) \
+            .to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -b, bna.astype(np.int8)))[:k]
+        return pa.table({
+            "c_mktsegment": g.column("c_mktsegment").take(
+                pa.array(order)),
+            "rank": pa.array(np.arange(1, len(order) + 1,
+                                       dtype=np.int64)),
+            "c_custkey": ckc.take(pa.array(order)),
+            "c_acctbal": bal.take(pa.array(order)),
+        })
 
     out = (_null_safe_keys(ds, ["c_mktsegment"])
            .groupby("c_mktsegment")
-           .map_groups(topk, batch_format="pandas").to_pandas())
+           .map_groups(topk, batch_format="pyarrow").to_pandas())
     out = _restore_null_keys(out, ["c_mktsegment"])
     return out.sort_values(["c_mktsegment", "rank"],
                            na_position="last").reset_index(drop=True)
@@ -703,17 +722,21 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
 
     drop_nan = _drop_null_nan_values
 
-    def quants(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df["value"].to_numpy())
-        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
-                             "p50": [round(_quantile_cont(v, 0.5), 4)],
-                             "p95": [round(_quantile_cont(v, 0.95), 4)]})
+    def quants(g: pa.Table) -> pa.Table:
+        v = np.sort(g.column("value").to_numpy(zero_copy_only=False)
+                    .astype(np.float64))
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "p50": pa.array([round(_quantile_cont(v, 0.5), 4)],
+                            pa.float64()),
+            "p95": pa.array([round(_quantile_cont(v, 0.95), 4)],
+                            pa.float64())})
 
     out = (_null_safe_keys(ds.map_batches(drop_nan,
                                           batch_format="pyarrow"),
                            ["event_type"])
            .groupby("event_type")
-           .map_groups(quants, batch_format="pandas").to_pandas())
+           .map_groups(quants, batch_format="pyarrow").to_pandas())
     out = _restore_null_keys(out, ["event_type"])
     return out.sort_values("event_type",
                            na_position="last").reset_index(drop=True)
@@ -2041,22 +2064,27 @@ def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
     WHERE)."""
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def mad_group(df: pd.DataFrame) -> pd.DataFrame:
-        v = df["value"].to_numpy()
+    _EMPTY_MAD = pa.table({"event_type": pa.array([], pa.string()),
+                           "med": pa.array([], pa.float64()),
+                           "mad": pa.array([], pa.float64()),
+                           "n_outliers": pa.array([], pa.int64())})
+
+    def mad_group(g: pa.Table) -> pa.Table:
+        v = g.column("value").to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
         v = v[~np.isnan(v)]
         if len(v) == 0:
-            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
-                                 "med": pd.Series(dtype="float64"),
-                                 "mad": pd.Series(dtype="float64"),
-                                 "n_outliers": pd.Series(dtype="int64")})
+            return _EMPTY_MAD
         med = _quantile_cont(np.sort(v), 0.5)
         ad = np.abs(v - med)
         # NaN deviations (|inf − inf|) sort LAST like DuckDB's median
         mad = _quantile_cont(np.sort(ad), 0.5)
-        return pd.DataFrame({"event_type": [df["event_type"].iloc[0]],
-                             "med": [float(round_away(med, 6))],
-                             "mad": [float(round_away(mad, 6))],
-                             "n_outliers": [int((ad > 3 * mad).sum())]})
+        return pa.table({
+            "event_type": g.column("event_type").slice(0, 1),
+            "med": pa.array([float(round_away(med, 6))], pa.float64()),
+            "mad": pa.array([float(round_away(mad, 6))], pa.float64()),
+            "n_outliers": pa.array([int((ad > 3 * mad).sum())],
+                                   pa.int64())})
 
     def drop_nulls(t: pa.Table) -> pa.Table:
         if t.num_rows == 0 or "event_type" not in t.schema.names:
@@ -2068,7 +2096,7 @@ def q_mad_outliers(sf_dir: str) -> pd.DataFrame:
 
     out = (ds.map_batches(drop_nulls, batch_format="pyarrow")
            .groupby("event_type")
-           .map_groups(mad_group, batch_format="pandas").to_pandas())
+           .map_groups(mad_group, batch_format="pyarrow").to_pandas())
     if out.empty:
         return pd.DataFrame({"event_type": pd.Series(dtype="object"),
                              "med": pd.Series(dtype="float64"),
@@ -3229,15 +3257,17 @@ def q_brand_name_concat(sf_dir: str) -> pd.DataFrame:
         return pa.table({"p_brand": g.column("p_brand"),
                          "p_name": g.column("p_name")})
 
-    def concat_group(df: pd.DataFrame) -> pd.DataFrame:
-        names = sorted(set(df["p_name"]))
-        return pd.DataFrame({"p_brand": [df["p_brand"].iloc[0]],
-                             "names": ["|".join(names)],
-                             "n_names": np.array([len(names)], np.int64)})
+    def concat_group(g: pa.Table) -> pa.Table:
+        # Python-set sort on full byte strings (no pandas hash table)
+        names = sorted(set(g.column("p_name").to_pylist()))
+        return pa.table({
+            "p_brand": g.column("p_brand").slice(0, 1),
+            "names": pa.array(["|".join(names)], pa.string()),
+            "n_names": pa.array([len(names)], pa.int64())})
 
     out = (ds.map_batches(distinct_pairs, batch_format="pyarrow")
            .groupby("p_brand")
-           .map_groups(concat_group, batch_format="pandas")
+           .map_groups(concat_group, batch_format="pyarrow")
            .to_pandas())
     if out.empty:
         return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
