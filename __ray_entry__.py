@@ -874,7 +874,7 @@ def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
     ``rounds`` rounds on both sides; the engine early-exits only at
     the fixpoint, where later rounds are identical)."""
     head = """
-        WITH pairs AS (
+        WITH pairs AS MATERIALIZED (
           SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
                           greatest(a.l_suppkey, b.l_suppkey) AS v
           FROM lineitem a JOIN lineitem b
@@ -883,18 +883,18 @@ def _kcore_sql(k: int = 3, rounds: int = 6) -> str:
           WHERE a.l_orderkey IS NOT NULL
             AND a.l_suppkey IS NOT NULL
             AND b.l_suppkey IS NOT NULL),
-        dir AS (SELECT u AS node, v AS other FROM pairs
+        dir AS MATERIALIZED (SELECT u AS node, v AS other FROM pairs
                 UNION ALL SELECT v, u FROM pairs),
-        alive0 AS (SELECT DISTINCT node FROM dir)"""
+        alive0 AS MATERIALIZED (SELECT DISTINCT node FROM dir)"""
     body = []
     prev = "alive0"
     for i in range(1, rounds + 1):
         body.append(f"""
-        deg{i} AS (SELECT e.node, count(*) AS d FROM dir e
+        deg{i} AS MATERIALIZED (SELECT e.node, count(*) AS d FROM dir e
                    JOIN {prev} a ON a.node = e.node
                    JOIN {prev} b ON b.node = e.other
                    GROUP BY e.node),
-        alive{i} AS (SELECT node FROM deg{i} WHERE d >= {k})""")
+        alive{i} AS MATERIALIZED (SELECT node FROM deg{i} WHERE d >= {k})""")
         prev = f"alive{i}"
     tail = f"""
         SELECT e.node AS l_suppkey, count(*)::BIGINT AS deg
@@ -910,21 +910,21 @@ def _sssp_sql(rounds: int = 4) -> str:
     ``rounds`` synchronous relaxation rounds on both sides; the engine
     early-exits only at the fixpoint)."""
     head = """
-        WITH op AS (
+        WITH op AS MATERIALIZED (
           SELECT DISTINCT l_orderkey AS o, l_suppkey AS s
           FROM lineitem
           WHERE l_orderkey IS NOT NULL AND l_suppkey IS NOT NULL),
-        e0 AS (
+        e0 AS MATERIALIZED (
           SELECT a.s AS u, b.s AS v, count(*) AS c
           FROM op a JOIN op b ON a.o = b.o AND b.s > a.s
           GROUP BY 1, 2),
-        edges AS (SELECT u, v, 1.0 / c AS w FROM e0
+        edges AS MATERIALIZED (SELECT u, v, 1.0 / c AS w FROM e0
                   UNION ALL SELECT v, u, 1.0 / c FROM e0),
-        d0 AS (SELECT min(u) AS node, 0.0 AS d FROM edges)"""
+        d0 AS MATERIALIZED (SELECT min(u) AS node, 0.0 AS d FROM edges)"""
     body = []
     for i in range(1, rounds + 1):
         body.append(f"""
-        d{i} AS (
+        d{i} AS MATERIALIZED (
           SELECT node, min(d) AS d FROM (
             SELECT node, d FROM d{i - 1}
             UNION ALL
@@ -942,23 +942,23 @@ def _er_sql(rounds: int = 8) -> str:
     graph (q220's CONTRACT: exactly ``rounds`` rounds on both sides;
     the engine early-exits only at the fixpoint)."""
     head = """
-        WITH s AS (
+        WITH s AS MATERIALIZED (
             SELECT doc_id, substr(text, 1, 32) AS key
             FROM documents WHERE text IS NOT NULL),
-        r AS (
+        r AS MATERIALIZED (
             SELECT doc_id, key,
                    row_number() OVER (ORDER BY key, doc_id) AS rk
             FROM s),
-        pairs AS (
+        pairs AS MATERIALIZED (
             SELECT a.doc_id AS u, b.doc_id AS v
             FROM r a JOIN r b ON b.rk > a.rk AND b.rk <= a.rk + 4
             WHERE levenshtein(a.key, b.key) <= 2),
-        e AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-        l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e)"""
+        e AS MATERIALIZED (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        l0 AS MATERIALIZED (SELECT DISTINCT u AS node, u AS lbl FROM e)"""
     body = []
     for i in range(1, rounds + 1):
         body.append(f"""
-        l{i} AS (
+        l{i} AS MATERIALIZED (
             SELECT a.node, min(least(a.lbl, b.lbl)) AS lbl
             FROM l{i - 1} a JOIN e ON e.u = a.node
             JOIN l{i - 1} b ON b.node = e.v
@@ -982,22 +982,22 @@ def _dbscan_sql(rounds: int = 8, thr: float = 0.35,
             -- (q24 rule)
             SELECT vec_id, embedding FROM embeddings
             WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
-        e AS (
+        e AS MATERIALIZED (
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM vv a JOIN vv b ON a.vec_id <> b.vec_id
              AND list_cosine_similarity(a.embedding, b.embedding)
                  >= {thr}),
-        deg AS (SELECT u, count(*) AS n FROM e GROUP BY 1),
-        core AS (SELECT u FROM deg WHERE n >= {min_pts}),
-        ce AS (
+        deg AS MATERIALIZED (SELECT u, count(*) AS n FROM e GROUP BY 1),
+        core AS MATERIALIZED (SELECT u FROM deg WHERE n >= {min_pts}),
+        ce AS MATERIALIZED (
             SELECT e.u, e.v FROM e
             JOIN core ca ON ca.u = e.u JOIN core cb ON cb.u = e.v
             UNION ALL SELECT u, u FROM core),
-        l0 AS (SELECT u AS node, u AS lbl FROM core)"""
+        l0 AS MATERIALIZED (SELECT u AS node, u AS lbl FROM core)"""
     body = []
     for i in range(1, rounds + 1):
         body.append(f"""
-        l{i} AS (
+        l{i} AS MATERIALIZED (
             SELECT a.node, min(least(a.lbl, b.lbl)) AS lbl
             FROM l{i - 1} a JOIN ce ON ce.u = a.node
             JOIN l{i - 1} b ON b.node = ce.v

@@ -74,11 +74,7 @@ def main() -> int:
 
     import __ray_entry__ as entrymod
 
-    con = duckdb.connect()
-    for t in TABLES:
-        p = os.path.join(sf_dir, f"{t}.parquet")
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = _fresh_con(sf_dir)
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
@@ -103,7 +99,13 @@ def main() -> int:
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
             failures += 1
+            con = _fresh_con(sf_dir, con)
             continue
+        if _temp_spill_bytes() > 4 << 30:
+            # DuckDB temp files live for the CONNECTION lifetime — a
+            # heavy oracle's spill is only reclaimed on close (a
+            # cumulative 77 GB filled the disk at sf1.0)
+            con = _fresh_con(sf_dir, con)
         probs = []
         if len(mine) != len(theirs):
             probs.append(f"rows {len(mine)} vs {len(theirs)}")
@@ -137,6 +139,29 @@ def main() -> int:
     failures += hash_mode(con, entrymod, sf_dir, only, exclude)
     ray.shutdown()
     return 1 if failures else 0
+
+
+def _fresh_con(sf_dir: str, old=None):
+    if old is not None:
+        old.close()
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def _temp_spill_bytes() -> int:
+    tot = 0
+    try:
+        for f in os.listdir(".tmp"):
+            if f.startswith("duckdb_temp"):
+                tot += os.path.getsize(os.path.join(".tmp", f))
+    except OSError:
+        pass
+    return tot
 
 
 def hash_mode(con, entrymod, sf_dir: str, only,
