@@ -3528,16 +3528,22 @@ def oracle_sql() -> dict[str, str]:
             FROM terms
         """,
         "q245_itemsets3": """
-            WITH op AS (
+            -- MATERIALIZED pair-then-extend: the flat triple join
+            -- plans the p-inequality as a PIECEWISE_MERGE_JOIN
+            -- near-cross-product at sf>=1 (78 GB spill); pinning the
+            -- (a,b) pair build first keeps every join an o-hash join
+            WITH op AS MATERIALIZED (
                 SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                 FROM lineitem
                 WHERE l_orderkey IS NOT NULL
                   AND l_partkey IS NOT NULL),
+            pr AS MATERIALIZED (
+                SELECT a.o AS o, a.p AS pa_key, b.p AS pb_key
+                FROM op a JOIN op b ON b.o = a.o AND b.p > a.p),
             tri AS (
-                SELECT a.p AS pa_key, b.p AS pb_key, c.p AS pc_key,
+                SELECT pa_key, pb_key, c.p AS pc_key,
                        count(*) AS sup
-                FROM op a JOIN op b ON b.o = a.o AND b.p > a.p
-                          JOIN op c ON c.o = a.o AND c.p > b.p
+                FROM pr JOIN op c ON c.o = pr.o AND c.p > pr.pb_key
                 GROUP BY 1, 2, 3),
             item AS (SELECT p, count(*) AS s FROM op GROUP BY p),
             tot AS (SELECT count(DISTINCT o) AS n FROM op)

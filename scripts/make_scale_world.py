@@ -114,18 +114,21 @@ def replicate_table(name: str, t: pa.Table, r: int) -> pa.Table:
         vecs = emb.to_pylist()
         rng = np.random.default_rng(1_000_003 * r + 17)
         out = []
-        ang = np.deg2rad(25.0)
         for k, v in zip(ids, vecs):
             if v is None or (int(k) % EXACT_COPY_MOD) == 0:
                 out.append(v)
                 continue
             a = np.asarray(v, np.float64)
             g = rng.normal(size=a.shape)
+            # jittered per-vector angle: a FIXED angle gives every
+            # replica the same cosine-to-base up to the last ulp,
+            # manufacturing exact near-ties that flip float-kernel
+            # orderings between engine and oracle (q293 at sf1)
+            ang = np.deg2rad(18.0 + 14.0 * rng.random())
             na = np.linalg.norm(a)
             if na == 0:
                 out.append(v)
                 continue
-            # orthogonalize g against a, rotate by ~25°
             g = g - (g @ a) / (na * na) * a
             ng = np.linalg.norm(g)
             if ng == 0:
