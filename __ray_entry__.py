@@ -3926,19 +3926,28 @@ def oracle_sql() -> dict[str, str]:
             FROM cp ORDER BY 1
         """,
         "q302_near_amount_pairs": """
-            -- the engine's band routing is internal layout; the
-            -- oracle states the bare predicate (DuckDB IEJoin)
-            WITH x AS (
+            -- band via bucket-equality joins: the bare |diff|<=50
+            -- predicate plans as a PIECEWISE_MERGE_JOIN on a.k<b.k
+            -- (a 1e12-pair sweep at sf1). Width-51 buckets partition
+            -- the axis, so every qualifying pair is same-bucket
+            -- (counted once via a.k<b.k) or adjacent-bucket (counted
+            -- once by orientation) - identical pair set, hash joins
+            WITH x AS MATERIALIZED (
                 SELECT o_orderkey AS k,
                        CAST(round(o_totalprice * 100) AS BIGINT) AS c
                 FROM orders
                 WHERE o_orderkey IS NOT NULL
-                  AND isfinite(o_totalprice))
-            SELECT least(a.k, b.k) AS k1,
-                   greatest(a.k, b.k) AS k2,
-                   abs(a.c - b.c) AS diff_cents
-            FROM x a JOIN x b
-              ON a.k < b.k AND abs(a.c - b.c) <= 50
+                  AND isfinite(o_totalprice)),
+            xb AS MATERIALIZED (SELECT k, c, c // 51 AS b FROM x),
+            cand AS (
+              SELECT a.k AS ka, b.k AS kb, abs(a.c - b.c) AS d
+              FROM xb a JOIN xb b ON b.b = a.b AND a.k < b.k
+              UNION ALL
+              SELECT a.k, b.k, abs(a.c - b.c)
+              FROM xb a JOIN xb b ON b.b = a.b + 1)
+            SELECT least(ka, kb) AS k1, greatest(ka, kb) AS k2,
+                   d AS diff_cents
+            FROM cand WHERE d <= 50
             ORDER BY diff_cents, k1, k2 LIMIT 100
         """,
         "q303_daily_mix_jaccard": """
