@@ -6215,49 +6215,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT pos, round(v, 6) AS v FROM v3 ORDER BY pos
         """,
         "q80_semdedup": """
-            WITH ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
-                               CAST(unnest(embedding) AS DOUBLE) AS v
-                        FROM embeddings),
-            c0 AS (SELECT vec_id AS cluster, pos, v AS c FROM ex WHERE vec_id < 8),
-            d1 AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
-                   FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
-            a1 AS (SELECT vec_id, cluster FROM (
+            -- MATERIALIZED kmeans chain (round CTEs are referenced
+            -- twice: inlining doubles the plan per round at sf>=1)
+            -- and list_inner_product pair dots (the unnest pair join
+            -- was 3e9 intermediate rows / 40 GB spill at sf1)
+            WITH ex AS MATERIALIZED (
+                SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+                       CAST(unnest(embedding) AS DOUBLE) AS v
+                FROM embeddings),
+            c0 AS MATERIALIZED (
+                SELECT vec_id AS cluster, pos, v AS c FROM ex WHERE vec_id < 8),
+            d1 AS MATERIALIZED (
+                SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                FROM ex e JOIN c0 c USING (pos) GROUP BY 1, 2),
+            a1 AS MATERIALIZED (SELECT vec_id, cluster FROM (
                        SELECT vec_id, cluster,
                               row_number() OVER (PARTITION BY vec_id
                                                  ORDER BY d2, cluster) AS rn
                        FROM d1) WHERE rn = 1),
-            m1 AS (SELECT a.cluster, e.pos, avg(e.v) AS c
-                   FROM a1 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
-            c1 AS (SELECT c0.cluster, c0.pos, coalesce(m1.c, c0.c) AS c
-                   FROM c0 LEFT JOIN m1 ON c0.cluster = m1.cluster
-                                       AND c0.pos = m1.pos),
-            d2_ AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
-                    FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
-            a2 AS (SELECT vec_id, cluster FROM (
+            m1 AS MATERIALIZED (
+                SELECT a.cluster, e.pos, avg(e.v) AS c
+                FROM a1 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+            c1 AS MATERIALIZED (
+                SELECT c0.cluster, c0.pos, coalesce(m1.c, c0.c) AS c
+                FROM c0 LEFT JOIN m1 ON c0.cluster = m1.cluster
+                                    AND c0.pos = m1.pos),
+            d2_ AS MATERIALIZED (
+                SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                FROM ex e JOIN c1 c USING (pos) GROUP BY 1, 2),
+            a2 AS MATERIALIZED (SELECT vec_id, cluster FROM (
                        SELECT vec_id, cluster,
                               row_number() OVER (PARTITION BY vec_id
                                                  ORDER BY d2, cluster) AS rn
                        FROM d2_) WHERE rn = 1),
-            m2 AS (SELECT a.cluster, e.pos, avg(e.v) AS c
-                   FROM a2 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
-            c2 AS (SELECT c1.cluster, c1.pos, coalesce(m2.c, c1.c) AS c
-                   FROM c1 LEFT JOIN m2 ON c1.cluster = m2.cluster
-                                       AND c1.pos = m2.pos),
-            d3 AS (SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
-                   FROM ex e JOIN c2 c USING (pos) GROUP BY 1, 2),
-            a3 AS (SELECT vec_id, cluster FROM (
+            m2 AS MATERIALIZED (
+                SELECT a.cluster, e.pos, avg(e.v) AS c
+                FROM a2 a JOIN ex e USING (vec_id) GROUP BY 1, 2),
+            c2 AS MATERIALIZED (
+                SELECT c1.cluster, c1.pos, coalesce(m2.c, c1.c) AS c
+                FROM c1 LEFT JOIN m2 ON c1.cluster = m2.cluster
+                                    AND c1.pos = m2.pos),
+            d3 AS MATERIALIZED (
+                SELECT e.vec_id, c.cluster, sum((e.v - c.c) * (e.v - c.c)) AS d2
+                FROM ex e JOIN c2 c USING (pos) GROUP BY 1, 2),
+            a3 AS MATERIALIZED (SELECT vec_id, cluster FROM (
                        SELECT vec_id, cluster,
                               row_number() OVER (PARTITION BY vec_id
                                                  ORDER BY d2, cluster) AS rn
                        FROM d3) WHERE rn = 1),
-            nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nm FROM ex GROUP BY 1),
+            nrm AS MATERIALIZED (
+                SELECT vec_id, sqrt(sum(v * v)) AS nm FROM ex GROUP BY 1),
+            emb2 AS MATERIALIZED (
+                SELECT vec_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS lv
+                FROM embeddings),
             dots AS (SELECT ai.vec_id AS vi, aj.vec_id AS vj,
-                            sum(ei.v * ej.v) AS dot
+                            list_inner_product(ei.lv, ej.lv) AS dot
                      FROM a3 ai JOIN a3 aj ON ai.cluster = aj.cluster
                                           AND aj.vec_id < ai.vec_id
-                     JOIN ex ei ON ei.vec_id = ai.vec_id
-                     JOIN ex ej ON ej.vec_id = aj.vec_id AND ej.pos = ei.pos
-                     GROUP BY 1, 2),
+                     JOIN emb2 ei ON ei.vec_id = ai.vec_id
+                     JOIN emb2 ej ON ej.vec_id = aj.vec_id),
             dup AS (SELECT DISTINCT d.vi AS vec_id
                     FROM dots d
                     JOIN nrm ni ON ni.vec_id = d.vi
