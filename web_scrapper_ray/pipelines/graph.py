@@ -1184,8 +1184,13 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
                        "bucket": pa.array([], pa.int64())})
 
     # stage 2: route both edge directions to their center node u and
-    # pair each u's sorted neighbors — one wedge per common neighbor
-    def split_center(t: pa.Table) -> pa.Table:
+    # pair each u's sorted neighbors — one wedge per common neighbor.
+    # Centers are processed in W WAVES (filter by center-bucket mod W):
+    # the full Σd(u)² wedge stream at 10× data overflowed the object
+    # store when materialized at once (measured: ~1.6e9 wedges → >50 GB
+    # in flight at 32 CPUs); waves bound in-flight wedges to ~1/W while
+    # per-output-bucket accumulators fold counts incrementally.
+    def split_center(t: pa.Table, wave: int, W: int) -> pa.Table:
         if t.num_rows == 0:
             return _EDGE
         key = t.column("key").to_numpy()
@@ -1193,10 +1198,10 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
         v = (key.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
         c = np.concatenate([u, v])          # center
         o = np.concatenate([v, u])          # the other endpoint
-        return pa.table({"key": pa.array(_pack(c, o)),
-                         "bucket": pa.array(
-                             (mix64(c) & np.uint64(P - 1))
-                             .astype(np.int64))})
+        cb = (mix64(c) & np.uint64(P - 1)).astype(np.int64)
+        m = (cb % W) == wave
+        return pa.table({"key": pa.array(_pack(c[m], o[m])),
+                         "bucket": pa.array(cb[m])})
 
     def merge_wedges(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
@@ -1217,23 +1222,52 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
                              (mix64(wkey) & np.uint64(P - 1))
                              .astype(np.int64))})
 
-    wedge_refs = hash_shuffle([(r, ()) for r in edge_refs],
-                              split_center, merge_wedges, P=P,
-                              gather=False)
+    _ACC = pa.table({"key": pa.array([], pa.int64()),
+                     "n": pa.array([], pa.int64())})
 
     def split_pass(t: pa.Table) -> pa.Table:
         return t if t.num_rows else _WEDGE
 
-    def merge_concat(*tabs) -> pa.Table:
+    def merge_sum(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "n": pa.array([], pa.int64())})
-        return pa.concat_tables(live)
+            return _ACC
+        key = np.concatenate([x.column("key").to_numpy()
+                              for x in live])
+        n = np.concatenate([x.column("n").to_numpy() for x in live])
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"key": pa.array(uk), "n": pa.array(cnt)})
 
-    bucket_refs = hash_shuffle([(r, ()) for r in wedge_refs],
-                               split_pass, merge_concat, P=P,
-                               gather=False)
+    import ray as _ray
+
+    @_ray.remote
+    def add_acc(old, new: pa.Table) -> pa.Table:
+        if old is None or old.num_rows == 0:
+            return new
+        if new.num_rows == 0:
+            return old
+        key = np.concatenate([old.column("key").to_numpy(),
+                              new.column("key").to_numpy()])
+        n = np.concatenate([old.column("n").to_numpy(),
+                            new.column("n").to_numpy()])
+        uk, inv = np.unique(key, return_inverse=True)
+        cnt = np.bincount(inv, weights=n).astype(np.int64)
+        return pa.table({"key": pa.array(uk), "n": pa.array(cnt)})
+
+    W = max(1, int(os.environ.get("WSR_WEDGE_WAVES", "4")))
+    acc: list = [None] * P
+    for wave in range(W):
+        wave_refs = hash_shuffle([(r, (wave, W)) for r in edge_refs],
+                                 split_center, merge_wedges, P=P,
+                                 gather=False)
+        slices = hash_shuffle([(r, ()) for r in wave_refs],
+                              split_pass, merge_sum, P=P,
+                              gather=False)
+        for b in range(P):
+            acc[b] = (slices[b] if acc[b] is None
+                      else add_acc.remote(acc[b], slices[b]))
+    bucket_refs = acc
 
     @ray.remote
     def topk_bucket(wtab: pa.Table, etab: pa.Table):
