@@ -1284,7 +1284,9 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
             uk, inv = np.unique(ids, return_inverse=True)
             dvec = np.bincount(inv, weights=cts)
             wedges = float((dvec * dvec).sum())
-            W = max(1, min(P, int(np.ceil(wedges / 4e8))))
+            # 8e8 wedges ≈ 13 GB of (key,n) rows per wave — safe now
+            # that the barrier makes the bound real
+            W = max(1, min(P, int(np.ceil(wedges / 8e8))))
         else:
             W = 1
     acc: list = [None] * P
@@ -1298,6 +1300,13 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
         for b in range(P):
             acc[b] = (slices[b] if acc[b] is None
                       else add_acc.remote(acc[b], slices[b]))
+        if W > 1:
+            # BARRIER: gather=False hands back futures, so without a
+            # wait every wave's tasks submit at once and the full
+            # wedge volume is in flight again — exactly what waves
+            # exist to prevent. Completing acc also drops this wave's
+            # intermediate refs for eviction.
+            _ray.wait(list(acc), num_returns=len(acc))
     bucket_refs = acc
 
     @ray.remote
