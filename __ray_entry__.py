@@ -685,6 +685,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q356_cross_source_dups": dedup.q_cross_source_dups,
         "q357_constancy_screen": analytics.q_constancy_screen,
         "q359_hour_uniformity": analytics.q_hour_uniformity,
+        "q360_benford_screen": analytics.q_benford_screen,
+        "q361_k_anonymity": analytics.q_k_anonymity,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3474,6 +3476,73 @@ def oracle_sql() -> dict[str, str]:
                    round(m.c::DOUBLE / t.n_rows, 6) AS mode_share
             FROM t JOIN m ON t.tbl = m.tbl AND t.col = m.col
             WHERE m.rn = 1 ORDER BY t.tbl, t.col
+        """,
+        "q360_benford_screen": """
+            WITH v AS (
+                SELECT round(o_totalprice * 100)::BIGINT AS cents
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                      AND isfinite(o_totalprice)
+                      AND o_totalprice > 0
+                      AND round(o_totalprice * 100) >= 1),
+            c AS (SELECT substr(cents::VARCHAR, 1, 1)::BIGINT AS digit,
+                         count(*)::BIGINT AS n_obs
+                  FROM v GROUP BY 1),
+            t AS (SELECT coalesce(sum(n_obs), 0)::BIGINT AS n FROM c),
+            d0(digit, p0) AS (VALUES
+                (1, '0.3010299956639812'),
+                (2, '0.17609125905568124'),
+                (3, '0.12493873660829992'),
+                (4, '0.09691001300805642'),
+                (5, '0.07918124604762482'),
+                (6, '0.06694678963061323'),
+                (7, '0.05799194697768673'),
+                (8, '0.05115252244738129'),
+                (9, '0.04575749056067514')),
+            d AS (SELECT digit, CAST(p0 AS DOUBLE) AS p FROM d0)
+            SELECT d.digit::BIGINT AS digit,
+                   coalesce(c.n_obs, 0)::BIGINT AS n_obs,
+                   CASE WHEN t.n = 0 THEN NULL
+                        ELSE round(coalesce(c.n_obs, 0)
+                                   / CAST(t.n AS DOUBLE), 6)
+                   END AS share,
+                   round(d.p, 6) AS benford_p,
+                   CASE WHEN t.n = 0 THEN NULL
+                        ELSE round(
+                            (coalesce(c.n_obs, 0) - t.n * d.p)
+                            * (coalesce(c.n_obs, 0) - t.n * d.p)
+                            / (t.n * d.p), 6)
+                   END AS chi2_term
+            FROM d LEFT JOIN c ON c.digit = d.digit CROSS JOIN t
+            ORDER BY d.digit
+        """,
+        "q361_k_anonymity": """
+            WITH g AS (
+                SELECT c_nationkey, c_mktsegment,
+                       count(*)::BIGINT AS sz
+                FROM customer GROUP BY c_nationkey, c_mktsegment),
+            t AS (SELECT coalesce(sum(sz), 0)::BIGINT AS n_rows,
+                         count(*)::BIGINT AS n_groups,
+                         CAST(min(sz) AS DOUBLE) AS min_sz
+                  FROM g),
+            ks(k) AS (VALUES (2), (5), (10))
+            SELECT ks.k::BIGINT AS k,
+                   coalesce(sum(CASE WHEN g.sz < ks.k
+                                     THEN 1 END), 0)::BIGINT
+                       AS groups_below,
+                   coalesce(sum(CASE WHEN g.sz < ks.k
+                                     THEN g.sz END), 0)::BIGINT
+                       AS rows_below,
+                   CASE WHEN t.n_rows = 0 THEN NULL
+                        ELSE round(
+                            coalesce(sum(CASE WHEN g.sz < ks.k
+                                              THEN g.sz END), 0)
+                            / CAST(t.n_rows AS DOUBLE), 6)
+                   END AS pct_rows_below,
+                   t.n_rows, t.n_groups, t.min_sz AS min_group_size
+            FROM ks CROSS JOIN t LEFT JOIN g ON TRUE
+            GROUP BY ks.k, t.n_rows, t.n_groups, t.min_sz
+            ORDER BY k
         """,
         "q359_hour_uniformity": """
             WITH e AS (

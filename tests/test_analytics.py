@@ -2983,3 +2983,62 @@ def test_hour_uniformity_exact_form(ray_session, tmp_path):
            for r in out.itertuples(index=False)}
     assert got["spike"] == (23.0 * 48, 1)
     assert got["flat"] == (0.0, 0)
+
+
+def test_benford_screen_hand(ray_session, tmp_path):
+    """q360: leading digit comes from the exact-cents int (0.19 → 19
+    cents → digit 1); non-finite/non-positive totals are out of
+    contract; empty input still yields the 9 digit rows."""
+    from web_scrapper_ray.pipelines.analytics import q_benford_screen
+
+    vals = [1.0, 19.99, 123.0, 0.19, 900.0, -5.0, float("nan"),
+            float("inf"), 0.0, None]
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array(vals, pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_benford_screen(str(tmp_path))
+    got = dict(zip(out["digit"], out["n_obs"]))
+    assert got == {1: 4, 2: 0, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0,
+                   9: 1}
+    assert out["share"].iloc[0] == 0.8
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({
+        "o_totalprice": pa.array([], pa.float64()),
+    }), str(empty / "orders.parquet"))
+    out2 = q_benford_screen(str(empty))
+    assert len(out2) == 9 and out2["n_obs"].sum() == 0
+    assert out2["share"].isna().all() and out2["chi2_term"].isna().all()
+
+
+def test_k_anonymity_hand(ray_session, tmp_path):
+    """q361: NULL QI values are real groups; thresholds 2/5/10 count
+    groups and rows below k; empty input keeps the 3-row contract."""
+    from web_scrapper_ray.pipelines.analytics import q_k_anonymity
+
+    nk = [1, 1, 1, 1, 1, 2, None]
+    seg = ["A", "A", "A", "A", "A", "B", None]
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array(nk, pa.int32()),
+        "c_mktsegment": pa.array(seg, pa.string()),
+    }), str(tmp_path / "customer.parquet"))
+    out = q_k_anonymity(str(tmp_path))
+    assert list(out["k"]) == [2, 5, 10]
+    # groups: (1,A)=5 rows, (2,B)=1, (NULL,NULL)=1
+    assert list(out["groups_below"]) == [2, 2, 3]
+    assert list(out["rows_below"]) == [2, 2, 7]
+    assert out["n_rows"].iloc[0] == 7 and out["n_groups"].iloc[0] == 3
+    assert out["min_group_size"].iloc[0] == 1.0
+
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    pq.write_table(pa.table({
+        "c_nationkey": pa.array([], pa.int32()),
+        "c_mktsegment": pa.array([], pa.string()),
+    }), str(empty / "customer.parquet"))
+    out2 = q_k_anonymity(str(empty))
+    assert len(out2) == 3
+    assert list(out2["rows_below"]) == [0, 0, 0]
+    assert out2["pct_rows_below"].isna().all()
+    assert out2["min_group_size"].isna().all()

@@ -13972,3 +13972,145 @@ def q_hour_uniformity(sf_dir: str, P: int = 16) -> pd.DataFrame:
                                     np.float64), 6),
         "nonuniform": pd.array([int(r[2] > 35.17) for r in rows],
                                "int64")})
+
+
+_BENFORD_P = np.array([
+    0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+    0.09691001300805642, 0.07918124604762482, 0.06694678963061323,
+    0.05799194697768673, 0.05115252244738129, 0.04575749056067514,
+], np.float64)  # log10(1 + 1/d), d = 1..9 — literal on BOTH sides
+
+
+def q_benford_screen(sf_dir: str) -> pd.DataFrame:
+    """Benford first-significant-digit screen over order totals — the
+    classic fraud/data-quality test. Each block bincounts the leading
+    decimal digit of the EXACT-cents integer (``round(price*100)`` on
+    both sides — the digit is derived from ints, never from float
+    log10, whose power-of-ten boundaries are libm-dependent) and only
+    a 9-vector crosses the wire (``tree_sum``). Expected shares are
+    hardcoded float literals shared verbatim with the oracle SQL, so
+    no libm log10 divergence can enter the χ² terms. Contract:
+    finite, strictly positive totals with cents ≥ 1; empty input
+    still emits the 9 digit rows (share/χ² NULL)."""
+    from .pairs import round_away, tree_sum
+
+    def block_counts(block: pa.Table):
+        if block.num_rows == 0 or \
+                "o_totalprice" not in block.schema.names:
+            return None
+        x = block.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        x = x[np.isfinite(x) & (x > 0)]
+        if x.size == 0:
+            return None
+        # SQL round() is half-away; x > 0 makes floor(x+0.5) identical
+        cents = np.floor(x * 100.0 + 0.5).astype(np.int64)
+        cents = cents[cents >= 1]
+        if cents.size == 0:
+            return None
+        d = cents.copy()
+        while True:  # pure-int leading digit: ≤19 vectorized passes
+            big = d >= 10
+            if not big.any():
+                break
+            d[big] //= 10
+        return np.bincount(d, minlength=10)[1:10].astype(np.float64)
+
+    total = tree_sum(_read(sf_dir, "orders", columns=["o_totalprice"]),
+                     block_counts, name="benford")
+    c = (np.zeros(9, np.int64) if total is None
+         else np.asarray(total).astype(np.int64))
+    n = int(c.sum())
+    digits = np.arange(1, 10, dtype=np.int64)
+    if n == 0:
+        share = np.full(9, np.nan)
+        chi2 = np.full(9, np.nan)
+    else:
+        share = c / float(n)
+        e = n * _BENFORD_P
+        chi2 = (c - e) * (c - e) / e
+    return pd.DataFrame({
+        "digit": digits,
+        "n_obs": c,
+        "share": round_away(share, 6),
+        "benford_p": round_away(_BENFORD_P.copy(), 6),
+        "chi2_term": round_away(chi2, 6)})
+
+
+def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
+    """k-anonymity audit of the (c_nationkey, c_mktsegment)
+    quasi-identifier pair — the privacy screen a dataset release
+    pipeline runs before publishing. One hash exchange keyed on the
+    QI pair (NULL keys are real groups, SQL GROUP BY semantics; NUL
+    bytes survive via hex-encoded segment keys); each bucket reduces
+    its groups to fixed-size per-threshold partials (groups/rows
+    below k for k ∈ {2, 5, 10}, plus n/min), so the driver folds
+    P small rows — the group-size table itself never leaves the
+    buckets. Always emits the 3 threshold rows (q143 contract);
+    min_group_size is DOUBLE on both sides (NULL on empty)."""
+    from .pairs import hash_shuffle, round_away, str_u64
+
+    KS = (2, 5, 10)
+    P = 8
+    _NKNULL = np.iinfo(np.int64).min
+    _E = pa.table({"nk": pa.array([], pa.int64()),
+                   "seg": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "c_nationkey" not in t.schema.names:
+            return _E
+        nk = pc.fill_null(t.column("c_nationkey").cast(pa.int64()),
+                          _NKNULL).to_numpy(zero_copy_only=False)
+        seg = t.column("c_mktsegment").to_pylist()
+        segk = ["N" if s is None
+                else "S" + s.encode("utf-8", "surrogatepass").hex()
+                for s in seg]
+        g = (pd.DataFrame({"nk": nk, "seg": segk})
+             .groupby(["nk", "seg"], sort=False).size()
+             .reset_index(name="c"))
+        bucket = np.array([str_u64(f"{a}|{b}") & (P - 1)
+                           for a, b in zip(g["nk"], g["seg"])],
+                          np.int64)
+        return pa.table({"nk": pa.array(g["nk"].to_numpy(np.int64)),
+                         "seg": pa.array(g["seg"], pa.string()),
+                         "c": pa.array(g["c"].to_numpy(np.int64)),
+                         "bucket": pa.array(bucket)})
+
+    def merge(*tabs) -> tuple:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return (0, 0, None) + (0, 0) * len(KS)
+        df = pa.concat_tables(live).to_pandas()
+        sz = df.groupby(["nk", "seg"], sort=False)["c"].sum().to_numpy()
+        out = [int(sz.sum()), int(len(sz)), int(sz.min())]
+        for k in KS:
+            below = sz < k
+            out += [int(below.sum()), int(sz[below].sum())]
+        return tuple(out)
+
+    ds = _read(sf_dir, "customer",
+               columns=["c_nationkey", "c_mktsegment"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    n_rows = sum(p[0] for p in parts)
+    n_groups = sum(p[1] for p in parts)
+    mins = [p[2] for p in parts if p[2] is not None]
+    min_sz = float(min(mins)) if mins else np.nan
+    rows = []
+    for i, k in enumerate(KS):
+        gb = sum(p[3 + 2 * i] for p in parts)
+        rb = sum(p[4 + 2 * i] for p in parts)
+        pct = (np.nan if n_rows == 0
+               else float(round_away(np.array([rb / float(n_rows)]),
+                                     6)[0]))
+        rows.append((k, gb, rb, pct))
+    return pd.DataFrame({
+        "k": pd.array([r[0] for r in rows], "int64"),
+        "groups_below": pd.array([r[1] for r in rows], "int64"),
+        "rows_below": pd.array([r[2] for r in rows], "int64"),
+        "pct_rows_below": np.array([r[3] for r in rows], np.float64),
+        "n_rows": pd.array([n_rows] * 3, "int64"),
+        "n_groups": pd.array([n_groups] * 3, "int64"),
+        "min_group_size": np.array([min_sz] * 3, np.float64)})
