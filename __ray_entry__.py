@@ -687,6 +687,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q359_hour_uniformity": analytics.q_hour_uniformity,
         "q360_benford_screen": analytics.q_benford_screen,
         "q361_k_anonymity": analytics.q_k_anonymity,
+        "q362_scd2_history": analytics.q_scd2_history,
+        "q363_gap_fill_locf": analytics.q_gap_fill_locf,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3543,6 +3545,62 @@ def oracle_sql() -> dict[str, str]:
             FROM ks CROSS JOIN t LEFT JOIN g ON TRUE
             GROUP BY ks.k, t.n_rows, t.n_groups, t.min_sz
             ORDER BY k
+        """,
+        "q362_scd2_history": """
+            WITH e AS (
+                SELECT user_id, event_type, ts,
+                       coalesce(event_id, 9223372036854775807) AS eid
+                FROM events
+                WHERE user_id IS NOT NULL AND ts IS NOT NULL
+                      AND event_type IS NOT NULL),
+            o AS (
+                SELECT user_id, event_type, ts, eid,
+                       lag(event_type) OVER (
+                           PARTITION BY user_id
+                           ORDER BY ts, eid, event_type) AS prev_ty
+                FROM e),
+            s AS (
+                SELECT user_id, event_type, ts, eid
+                FROM o
+                WHERE prev_ty IS NULL OR prev_ty <> event_type),
+            f AS (
+                SELECT user_id, event_type AS attr,
+                       epoch_us(ts)::BIGINT AS valid_from_us,
+                       epoch_us(lead(ts) OVER w)::BIGINT
+                           AS valid_to_us,
+                       row_number() OVER w AS version
+                FROM s WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, eid, event_type))
+            SELECT user_id, attr, valid_from_us, valid_to_us,
+                   version::BIGINT AS version
+            FROM f ORDER BY user_id, version
+        """,
+        "q363_gap_fill_locf": """
+            WITH e AS (
+                SELECT event_type AS ty,
+                       epoch_us(date_trunc('hour', ts))
+                           // 3600000000 AS h,
+                       value AS v
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL
+                      AND isfinite(value)),
+            g AS (SELECT ty, h, max(v) AS v FROM e GROUP BY ty, h),
+            b AS (SELECT ty, min(h) AS h0, max(h) AS h1
+                  FROM g GROUP BY ty),
+            grid AS (SELECT ty, unnest(generate_series(h0, h1)) AS h
+                     FROM b),
+            j AS (SELECT grid.ty, grid.h, g.v
+                  FROM grid LEFT JOIN g
+                       ON g.ty = grid.ty AND g.h = grid.h),
+            f AS (SELECT ty, h,
+                         last_value(v IGNORE NULLS) OVER (
+                             PARTITION BY ty ORDER BY h
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS vmax,
+                         (v IS NULL)::BIGINT AS is_gap
+                  FROM j)
+            SELECT ty AS event_type, h::BIGINT AS h, vmax, is_gap
+            FROM f ORDER BY event_type, h
         """,
         "q359_hour_uniformity": """
             WITH e AS (

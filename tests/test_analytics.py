@@ -3042,3 +3042,49 @@ def test_k_anonymity_hand(ray_session, tmp_path):
     assert list(out2["rows_below"]) == [0, 0, 0]
     assert out2["pct_rows_below"].isna().all()
     assert out2["min_group_size"].isna().all()
+
+
+def test_scd2_history_hand(ray_session, tmp_path):
+    """q362: consecutive equal types collapse into one version;
+    valid_to chains to the next run's start and the last version
+    stays open (NaN)."""
+    from web_scrapper_ray.pipelines.analytics import q_scd2_history
+
+    rows = [(1, 100, "A"), (1, 200, "A"), (1, 300, "B"),
+            (1, 400, "A"), (2, 50, "C")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_scd2_history(str(tmp_path))
+    u1 = out[out["user_id"] == 1].sort_values("version")
+    assert list(u1["attr"]) == ["A", "B", "A"]
+    assert list(u1["valid_from_us"]) == [100, 300, 400]
+    assert list(u1["valid_to_us"])[:2] == [300.0, 400.0]
+    assert np.isnan(u1["valid_to_us"].iloc[2])
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and np.isnan(u2["valid_to_us"].iloc[0])
+
+
+def test_gap_fill_locf_hand(ray_session, tmp_path):
+    """q363: missing grid hours carry the previous observed hour's
+    max; non-finite values are out of contract."""
+    from web_scrapper_ray.pipelines.analytics import q_gap_fill_locf
+
+    HOUR = 3_600_000_000
+    rows = [("a", 0, 1.0), ("a", 0, 3.0), ("a", 3 * HOUR, 2.0),
+            ("a", 1, float("inf")), ("b", HOUR, 5.0)]
+    pq.write_table(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_gap_fill_locf(str(tmp_path))
+    a = out[out["event_type"] == "a"]
+    assert list(a["h"]) == [0, 1, 2, 3]
+    assert list(a["vmax"]) == [3.0, 3.0, 3.0, 2.0]
+    assert list(a["is_gap"]) == [0, 1, 1, 0]
+    b = out[out["event_type"] == "b"]
+    assert list(b["h"]) == [1] and list(b["vmax"]) == [5.0]

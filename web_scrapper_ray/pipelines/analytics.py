@@ -14114,3 +14114,193 @@ def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
         "n_rows": pd.array([n_rows] * 3, "int64"),
         "n_groups": pd.array([n_groups] * 3, "int64"),
         "min_group_size": np.array([min_sz] * 3, np.float64)})
+
+
+def q_scd2_history(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Slowly-changing-dimension type-2 build: collapse each user's
+    event-type timeline into validity intervals [valid_from, valid_to)
+    with a per-user version counter — the dimension-history shape every
+    warehouse load needs. One hash exchange on user_id (a user's whole
+    timeline co-locates); inside a bucket the total order is built as
+    CHAINED stable single-column sorts (ts, then event_id with the
+    int64-max NULLS-LAST sentinel, then event_type bytes as the final
+    tie-break — the NUL-safe multi-key discipline), runs are detected
+    with vectorized adjacent compares, and each run emits one interval.
+    Epoch-µs output: valid_from_us is non-null BIGINT; valid_to_us is
+    the next run's start (NULL on the open current version → float64,
+    the nullable-BIGINT dtype contract). Contract: NULL user/ts/type
+    rows are out of the dimension source."""
+    from .pairs import hash_shuffle, mix64
+
+    _IM = np.iinfo(np.int64).max
+    _E = pa.table({"u": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.int64()),
+                   "eid": pa.array([], pa.int64()),
+                   "ty": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"user_id", "ts", "event_type"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("ts"))),
+                       pc.is_valid(t.column("event_type")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ts = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        eid = (pc.fill_null(t2.column("event_id").cast(pa.int64()),
+                            _IM).to_numpy(zero_copy_only=False)
+               .astype(np.int64)
+               if "event_id" in t2.schema.names
+               else np.full(len(u), _IM, np.int64))
+        return pa.table({
+            "u": pa.array(u), "ts": pa.array(ts), "eid": pa.array(eid),
+            "ty": t2.column("event_type"),
+            "bucket": pa.array((mix64(u) % P).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"user_id": pd.Series(dtype="int64"),
+                "attr": pd.Series(dtype="object"),
+                "valid_from_us": pd.Series(dtype="int64"),
+                "valid_to_us": pd.Series(dtype="float64"),
+                "version": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        # chained stable sorts, last key first: ty bytes → eid → ts → u
+        df = df.sort_values("ty", kind="stable")
+        for k in ("eid", "ts", "u"):
+            df = df.sort_values(k, kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        ty = df["ty"].to_numpy(object)
+        new_run = np.ones(len(df), bool)
+        new_run[1:] = (u[1:] != u[:-1]) | (ty[1:] != ty[:-1])
+        idx = np.flatnonzero(new_run)
+        ru, rts, rty = u[idx], ts[idx], ty[idx]
+        vt = np.full(len(idx), np.nan)
+        if len(idx) > 1:
+            same = ru[1:] == ru[:-1]
+            vt[:-1][same] = rts[1:][same].astype(np.float64)
+        new_user = np.ones(len(idx), bool)
+        if len(idx) > 1:
+            new_user[1:] = ru[1:] != ru[:-1]
+        starts = np.flatnonzero(new_user)
+        version = (np.arange(len(idx), dtype=np.int64)
+                   - np.repeat(starts, np.diff(
+                       np.append(starts, len(idx)))) + 1)
+        return pd.DataFrame({"user_id": ru, "attr": rty,
+                             "valid_from_us": rts,
+                             "valid_to_us": vt,
+                             "version": version})
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "ts", "event_id", "event_type"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    if not parts:
+        return merge()
+    out = pd.concat(parts, ignore_index=True)
+    for k in ("version", "user_id"):
+        out = out.sort_values(k, kind="stable")
+    return out.reset_index(drop=True)
+
+
+def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Hourly time-grid resample with last-observation-carried-forward
+    — the gap-fill every monitoring/feature pipeline needs. Per event
+    type: bin finite-valued events to epoch hours (FLOOR division over
+    raw µs, the pre-1970 rule), take the per-hour MAX (order-exact, no
+    float-sum parity risk), densify over [min_hour, max_hour] and fill
+    gaps by carrying the previous observed hour's value (vectorized
+    searchsorted — never a Python loop over grid cells). One exchange
+    keyed on the type (its whole timeline co-locates); NUL-safe coded
+    group keys. Contract: NULL ts/type and non-finite values are out;
+    the grid is anchored on observed hours so no leading gap exists."""
+    from .pairs import factorize_strings, hash_shuffle, str_u64
+
+    HOUR = 3_600_000_000
+    _E = pa.table({"ty": pa.array([], pa.string()),
+                   "h": pa.array([], pa.int64()),
+                   "v": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"event_type", "ts", "value"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        v = t.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        ts_ok = pc.and_(pc.is_valid(t.column("ts")),
+                        pc.is_valid(t.column("event_type"))).to_numpy(
+            zero_copy_only=False)
+        keep = np.isfinite(v) & ts_ok
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        v = v[keep]
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = np.floor_divide(us, HOUR)
+        ty = pd.Series(t2.column("event_type").to_pylist(),
+                       dtype=object)
+        codes, uniq = factorize_strings(ty)
+        g = (pd.DataFrame({"tc": codes, "h": h, "v": v})
+             .groupby(["tc", "h"], sort=False)["v"].max()
+             .reset_index())
+        names = [uniq[i] for i in g["tc"]]
+        return pa.table({
+            "ty": pa.array(names, pa.string()),
+            "h": pa.array(g["h"].to_numpy(np.int64)),
+            "v": pa.array(g["v"].to_numpy(np.float64)),
+            "bucket": pa.array(np.array(
+                [str_u64(x) & (P - 1) for x in names], np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"event_type": pd.Series(dtype="object"),
+                "h": pd.Series(dtype="int64"),
+                "vmax": pd.Series(dtype="float64"),
+                "is_gap": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["ty"])
+        frames = []
+        for tc, sub in df.assign(tc=codes).groupby("tc"):
+            obs = sub.groupby("h")["v"].max().sort_index()
+            oh = obs.index.to_numpy(np.int64)
+            ov = obs.to_numpy(np.float64)
+            grid = np.arange(oh[0], oh[-1] + 1, dtype=np.int64)
+            pos = np.searchsorted(oh, grid, side="right") - 1
+            filled = ov[pos]
+            gap = np.ones(len(grid), bool)
+            gap[oh - oh[0]] = False
+            frames.append(pd.DataFrame({
+                "event_type": np.full(len(grid), uniq[tc], object),
+                "h": grid, "vmax": filled,
+                "is_gap": gap.astype(np.int64)}))
+        return (pd.concat(frames, ignore_index=True) if frames
+                else pd.DataFrame(cols))
+
+    ds = _read(sf_dir, "events",
+               columns=["event_type", "ts", "value"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    if not parts:
+        return merge()
+    out = pd.concat(parts, ignore_index=True)
+    out = out.sort_values("h", kind="stable")
+    # single-column object sort is comparison-based and exact
+    key = out["event_type"].map(
+        lambda s: s.encode("utf-8", "surrogatepass").hex())
+    out = out.loc[key.sort_values(kind="stable").index]
+    return out.reset_index(drop=True)
