@@ -689,6 +689,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q361_k_anonymity": analytics.q_k_anonymity,
         "q362_scd2_history": analytics.q_scd2_history,
         "q363_gap_fill_locf": analytics.q_gap_fill_locf,
+        "q364_calibration_brier": analytics.q_calibration_brier,
+        "q365_contamination_13gram": textops.q_contamination_13gram,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3601,6 +3603,81 @@ def oracle_sql() -> dict[str, str]:
                   FROM j)
             SELECT ty AS event_type, h::BIGINT AS h, vmax, is_gap
             FROM f ORDER BY event_type, h
+        """,
+        "q364_calibration_brier": """
+            WITH u AS (
+                SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS y
+                FROM events WHERE user_id IS NOT NULL
+                GROUP BY user_id),
+            s AS (
+                SELECT y,
+                       (('0x' || substr(md5('cal|'
+                            || user_id::VARCHAR), 1, 13))::BIGINT)
+                           % 1000 AS m
+                FROM u),
+            b AS (
+                SELECT m // 100 AS bin,
+                       count(*)::BIGINT AS n,
+                       sum(m)::BIGINT AS sm,
+                       sum(y)::BIGINT AS pos,
+                       sum((2 * m + 1) * (2 * m + 1))::BIGINT AS a,
+                       (2 * sum(CASE WHEN y = 1 THEN m ELSE 0 END)
+                        + sum(y))::BIGINT AS bb
+                FROM s GROUP BY 1),
+            bins(bin) AS (VALUES (0), (1), (2), (3), (4), (5), (6),
+                                 (7), (8), (9))
+            SELECT bins.bin::BIGINT AS bin,
+                   coalesce(b.n, 0)::BIGINT AS n,
+                   CASE WHEN b.n IS NULL THEN NULL
+                        ELSE round(CAST(2 * b.sm + b.n AS DOUBLE)
+                                   / (2000.0 * b.n), 6)
+                   END AS mean_p,
+                   CASE WHEN b.n IS NULL THEN NULL
+                        ELSE round(b.pos / CAST(b.n AS DOUBLE), 6)
+                   END AS frac_pos,
+                   CASE WHEN b.n IS NULL THEN NULL
+                        ELSE round((b.a / 4000000.0 - b.bb / 1000.0
+                                    + b.pos) / b.n, 6)
+                   END AS brier
+            FROM bins LEFT JOIN b ON b.bin = bins.bin
+            ORDER BY bin
+        """,
+        "q365_contamination_13gram": """
+            WITH d AS (
+                SELECT doc_id, source, text,
+                       (doc_id % 100 = 0) AS bench
+                FROM documents WHERE doc_id IS NOT NULL),
+            tok AS (
+                SELECT doc_id, source, bench,
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                           x -> x <> '') AS ts
+                FROM d),
+            g AS (
+                SELECT DISTINCT doc_id, source, bench,
+                       array_to_string(list_slice(ts, i, i + 12),
+                                       ' ') AS gram
+                FROM (SELECT doc_id, source, bench, ts,
+                             unnest(range(1, len(ts) - 11)) AS i
+                      FROM tok WHERE len(ts) >= 13)),
+            bg AS (SELECT DISTINCT gram FROM g WHERE bench),
+            cont AS (SELECT DISTINCT g.doc_id, g.source
+                     FROM g
+                     WHERE NOT bench
+                           AND gram IN (SELECT gram FROM bg)),
+            tot AS (SELECT source, count(*)::BIGINT AS n_docs
+                    FROM d WHERE NOT bench GROUP BY source),
+            c AS (SELECT source, count(*)::BIGINT AS n_cont
+                  FROM cont GROUP BY source)
+            SELECT t.source, t.n_docs,
+                   coalesce(c.n_cont, 0)::BIGINT AS n_contaminated,
+                   round(coalesce(c.n_cont, 0)
+                         / CAST(t.n_docs AS DOUBLE), 6) AS rate
+            FROM tot t
+            LEFT JOIN c ON c.source IS NOT DISTINCT FROM t.source
+            ORDER BY t.source
         """,
         "q359_hour_uniformity": """
             WITH e AS (

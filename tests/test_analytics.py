@@ -3088,3 +3088,56 @@ def test_gap_fill_locf_hand(ray_session, tmp_path):
     assert list(a["is_gap"]) == [0, 1, 1, 0]
     b = out[out["event_type"] == "b"]
     assert list(b["h"]) == [1] and list(b["vmax"]) == [5.0]
+
+
+def test_calibration_brier_exact(ray_session, tmp_path):
+    """q364: bins follow the md5 quantized score; Brier terms are the
+    exact-int telescoped forms (a perfectly-labeled bin scores the
+    squared distance of its grid score to the label)."""
+    import hashlib
+
+    from web_scrapper_ray.pipelines.analytics import q_calibration_brier
+
+    users = [1, 2, 3, 4]
+    types = ["purchase", "view", "purchase", "view"]
+    pq.write_table(pa.table({
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(types),
+    }), str(tmp_path / "events.parquet"))
+    out = q_calibration_brier(str(tmp_path))
+    assert list(out["bin"]) == list(range(10))
+    assert out["n"].sum() == 4
+    for u, ty in zip(users, types):
+        m = int(hashlib.md5(f"cal|{u}".encode()).hexdigest()[:13],
+                16) % 1000
+        b = m // 100
+        row = out[out["bin"] == b].iloc[0]
+        assert row["n"] >= 1
+        if row["n"] == 1:
+            p = (m + 0.5) / 1000.0
+            y = 1.0 if ty == "purchase" else 0.0
+            assert abs(row["brier"] - (p - y) ** 2) < 2e-6
+    assert out.loc[out["n"] == 0, "brier"].isna().all()
+
+
+def test_contamination_13gram_planted(ray_session, tmp_path):
+    """q365: a doc sharing a 13-token run with a benchmark doc
+    (doc_id % 100 == 0) is flagged; a disjoint doc and a short doc
+    are not; benchmark docs are excluded from the population."""
+    from web_scrapper_ray.pipelines.textops import q_contamination_13gram
+
+    bench = " ".join(f"w{i}" for i in range(20))
+    dirty = "intro " + " ".join(f"w{i}" for i in range(5, 18)) + " outro"
+    clean = " ".join(f"x{i}" for i in range(30))
+    short = "only a few tokens here"
+    pq.write_table(pa.table({
+        "doc_id": pa.array([100, 1, 2, 3], pa.int64()),
+        "source": pa.array(["s", "s", "s", "t"]),
+        "text": pa.array([bench, dirty, clean, short]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_contamination_13gram(str(tmp_path))
+    s = out[out["source"] == "s"].iloc[0]
+    assert (s["n_docs"], s["n_contaminated"]) == (2, 1)
+    assert s["rate"] == 0.5
+    t = out[out["source"] == "t"].iloc[0]
+    assert (t["n_docs"], t["n_contaminated"]) == (1, 0)

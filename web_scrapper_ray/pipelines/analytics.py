@@ -14304,3 +14304,86 @@ def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
         lambda s: s.encode("utf-8", "surrogatepass").hex())
     out = out.loc[key.sort_values(kind="stable").index]
     return out.reset_index(drop=True)
+
+
+def q_calibration_brier(sf_dir: str, P: int = 8) -> pd.DataFrame:
+    """Calibration report + per-bin Brier score for a deterministic
+    purchase-propensity score — the model-eval table every scoring
+    pipeline emits. The score stands in for a model head: the 52-bit
+    md5 coin (the module's SQL-provable deterministic-randomness
+    pattern) quantized to the 1/1000 grid, p = (m + 0.5)/1000, so
+    every Brier term is exact integer arithmetic until ONE final
+    float expression per bin (Σ(2m+1)², 2Σm_pos+n_pos carried as
+    ints — no float sum ever crosses rows). Label = user ever fired
+    a 'purchase'. One exchange on user (per-user label OR + md5 once
+    per user inside the bucket); the driver folds P fixed-size
+    10×5 partials. All 10 bins always emit (NULL metrics when
+    empty)."""
+    import hashlib
+
+    from .pairs import hash_shuffle, mix64, round_away
+
+    _E = pa.table({"u": pa.array([], pa.int64()),
+                   "y": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"user_id", "event_type"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("user_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        y = pc.equal(pc.fill_null(t2.column("event_type"), ""),
+                     "purchase").to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({"u": u, "y": y.astype(np.int64)})
+             .groupby("u", sort=False)["y"].max().reset_index())
+        return pa.table({
+            "u": pa.array(g["u"].to_numpy(np.int64)),
+            "y": pa.array(g["y"].to_numpy(np.int64)),
+            "bucket": pa.array((mix64(g["u"].to_numpy(np.int64))
+                                % P).astype(np.int64))})
+
+    def merge(*tabs) -> np.ndarray:
+        acc = np.zeros((10, 5), np.int64)  # n, sm, pos, A, bb
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return acc
+        df = pa.concat_tables(live).to_pandas()
+        g = df.groupby("u", sort=False)["y"].max()
+        for u, y in g.items():
+            m = int(hashlib.md5(f"cal|{int(u)}".encode()
+                                ).hexdigest()[:13], 16) % 1000
+            b = m // 100
+            acc[b, 0] += 1
+            acc[b, 1] += m
+            acc[b, 2] += int(y)
+            acc[b, 3] += (2 * m + 1) * (2 * m + 1)
+            acc[b, 4] += 2 * m * int(y) + int(y)
+        return acc
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    acc = np.zeros((10, 5), np.int64)
+    for p in parts:
+        acc += np.asarray(p, np.int64)
+    n, sm, pos, a, bb = (acc[:, i] for i in range(5))
+    mean_p = np.full(10, np.nan)
+    frac = np.full(10, np.nan)
+    brier = np.full(10, np.nan)
+    for i in range(10):
+        if n[i] > 0:
+            mean_p[i] = float(2 * sm[i] + n[i]) / (2000.0 * n[i])
+            frac[i] = pos[i] / float(n[i])
+            brier[i] = (a[i] / 4000000.0 - bb[i] / 1000.0
+                        + pos[i]) / n[i]
+    return pd.DataFrame({
+        "bin": np.arange(10, dtype=np.int64),
+        "n": n.astype(np.int64),
+        "mean_p": round_away(mean_p, 6),
+        "frac_pos": round_away(frac, 6),
+        "brier": round_away(brier, 6)})

@@ -19,6 +19,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.text import STOP_WORDS, clean_text, estimate_reading_time
 
@@ -4359,3 +4360,140 @@ def q_prefix_suggest(sf_dir: str, plen: int = 3,
         "suggestion": best["word"].astype(object).to_numpy(),
         "n": best["c"].astype("int64").to_numpy()}
     ).reset_index(drop=True)
+
+
+_WS_RX = re.compile(r"[ \t\n\r\f\v]+")  # ASCII class == RE2 oracle
+
+
+def q_contamination_13gram(sf_dir: str, k: int = 13,
+                           P: int = 32) -> pd.DataFrame:
+    """Benchmark decontamination screen — the standard LLM-corpus
+    hygiene pass: flag training documents sharing any 13-token
+    shingle with the held-out benchmark set (here the deterministic
+    doc_id % 100 == 0 slice — np.fmod, SQL's truncated %). One hash
+    exchange keyed on the shingle (str_u64 bucket): benchmark and
+    candidate shingles co-locate, each bucket set-intersects on FULL
+    shingle bytes (exact — no hash-collision false positives), and
+    only flagged (doc_id, source) pairs leave the buckets; a doc
+    flagged in several buckets dedups on its int key. Per-source
+    totals ride a separate streamed partial pass. At 100 TB the
+    exchange would ship 8-byte shingle hashes with an in-bucket
+    byte-verify; at oracle scale the exact strings are the contract.
+    Whitespace tokenization on the ASCII class only (Python-re ↔
+    RE2 parity); docs with < 13 tokens have no shingles."""
+    from .pairs import factorize_strings, hash_shuffle, round_away, \
+        str_u64
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"gram": pa.array([], pa.string()),
+                   "bench": pa.array([], pa.bool_()),
+                   "doc": pa.array([], pa.int64()),
+                   "src": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"doc_id", "text", "source"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        ids = t2.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        srcs = t2.column("source").to_pylist()
+        texts = t2.column("text").to_pylist()
+        grams, bench, docs, src_out = [], [], [], []
+        for d, s, txt in zip(ids, srcs, texts):
+            toks = [x for x in _WS_RX.split(txt or "") if x]
+            if len(toks) < k:
+                continue
+            is_b = np.fmod(d, 100) == 0
+            skey = _NULL if s is None else "S" + s
+            seen = set()
+            for i in range(len(toks) - k + 1):
+                g = " ".join(toks[i:i + k])
+                if g not in seen:
+                    seen.add(g)
+                    grams.append(g)
+                    bench.append(bool(is_b))
+                    docs.append(int(d))
+                    src_out.append(skey)
+        return pa.table({
+            "gram": pa.array(grams, pa.string()),
+            "bench": pa.array(bench, pa.bool_()),
+            "doc": pa.array(docs, pa.int64()),
+            "src": pa.array(src_out, pa.string()),
+            "bucket": pa.array(np.array(
+                [str_u64(g) & (P - 1) for g in grams], np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"doc": pd.Series(dtype="int64"),
+                "src": pd.Series(dtype="object")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        bg = set(df.loc[df["bench"], "gram"])
+        if not bg:
+            return pd.DataFrame(cols)
+        cand = df[~df["bench"] & df["gram"].isin(bg)]
+        hit = cand.drop_duplicates("doc")  # int key — NUL-safe
+        return pd.DataFrame({"doc": hit["doc"].to_numpy(np.int64),
+                             "src": hit["src"].to_numpy(object)})
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+
+    # per-source totals of the scored (non-benchmark) population
+    def totals(t: pa.Table) -> pa.Table:
+        _ET = pa.table({"src": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "doc_id" not in t.schema.names:
+            return _ET
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        ok = pd.notna(ids)
+        ids64 = np.asarray(pd.Series(ids)[ok], np.float64)
+        nb = np.fmod(ids64, 100) != 0
+        srcs = pd.Series(t.column("source").to_pylist(),
+                         dtype=object)[ok][nb]
+        keyed = srcs.where(srcs.isna(), "S" + srcs).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n)})
+
+    tparts = ds.map_batches(totals, batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_contaminated": pd.Series(dtype="int64"),
+            "rate": pd.Series(dtype="float64")}
+    if not len(tparts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(tparts["src"],
+                                    use_na_sentinel=False)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, codes, tparts["n"].to_numpy(np.int64))
+    cont = np.zeros(len(uniq), np.int64)
+    if parts:
+        hits = pd.concat(parts, ignore_index=True)
+        hits = hits.drop_duplicates("doc")
+        lut = {s: i for i, s in enumerate(uniq)}
+        for s in hits["src"]:
+            if s in lut:  # scored population only
+                cont[lut[s]] += 1
+    order = sorted(range(len(uniq)),
+                   key=lambda i: (uniq[i] == _NULL, uniq[i]))
+    order = [i for i in order if tot[i] > 0]
+    return pd.DataFrame({
+        "source": pd.Series(
+            [None if uniq[i] == _NULL else uniq[i][1:]
+             for i in order], dtype=object),
+        "n_docs": pd.array([int(tot[i]) for i in order], "int64"),
+        "n_contaminated": pd.array([int(cont[i]) for i in order],
+                                   "int64"),
+        "rate": round_away(np.array(
+            [cont[i] / float(tot[i]) for i in order], np.float64),
+            6)})
