@@ -691,6 +691,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q363_gap_fill_locf": analytics.q_gap_fill_locf,
         "q364_calibration_brier": analytics.q_calibration_brier,
         "q365_contamination_13gram": textops.q_contamination_13gram,
+        "q366_repetition_ratio": textops.q_repetition_ratio,
+        "q367_gini_revenue": analytics.q_gini_revenue,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3678,6 +3680,74 @@ def oracle_sql() -> dict[str, str]:
             FROM tot t
             LEFT JOIN c ON c.source IS NOT DISTINCT FROM t.source
             ORDER BY t.source
+        """,
+        "q366_repetition_ratio": """
+            WITH d AS (
+                SELECT doc_id, source, text
+                FROM documents WHERE doc_id IS NOT NULL),
+            tok AS (
+                SELECT doc_id, source,
+                       list_filter(regexp_split_to_array(
+                           coalesce(text, ''), '[ \t\n\r\f\v]+'),
+                           x -> x <> '') AS ts
+                FROM d),
+            g AS (
+                SELECT doc_id, source,
+                       array_to_string(list_slice(ts, i, i + 2),
+                                       ' ') AS gram
+                FROM (SELECT doc_id, source, ts,
+                             unnest(range(1, len(ts) - 1)) AS i
+                      FROM tok WHERE len(ts) >= 3)),
+            perdoc AS (
+                SELECT doc_id, source,
+                       count(*)::BIGINT AS tot,
+                       count(DISTINCT gram)::BIGINT AS dst
+                FROM g GROUP BY doc_id, source),
+            s AS (
+                SELECT source,
+                       count(*)::BIGINT AS n_docs,
+                       sum(tot)::BIGINT AS total_3grams,
+                       sum(tot - dst)::BIGINT AS dup_3grams,
+                       sum((5 * (tot - dst) > tot)::INT)::BIGINT
+                           AS n_high_rep
+                FROM perdoc GROUP BY source)
+            SELECT source, n_docs, total_3grams, dup_3grams,
+                   round(dup_3grams
+                         / CAST(total_3grams AS DOUBLE), 6)
+                       AS dup_rate,
+                   n_high_rep
+            FROM s ORDER BY source
+        """,
+        "q367_gini_revenue": """
+            WITH o AS (
+                SELECT o_custkey,
+                       round(o_totalprice * 100)::BIGINT AS cents
+                FROM orders
+                WHERE o_totalprice IS NOT NULL
+                      AND isfinite(o_totalprice)
+                      AND o_custkey IS NOT NULL),
+            j AS (
+                SELECT c.c_nationkey AS nk, o.cents
+                FROM o JOIN customer c ON c.c_custkey = o.o_custkey),
+            r AS (
+                SELECT nk, cents,
+                       row_number() OVER (PARTITION BY nk
+                                          ORDER BY cents) AS i
+                FROM j),
+            g AS (
+                SELECT nk, count(*)::BIGINT AS n,
+                       sum(cents) AS sx,
+                       sum(i::HUGEINT * cents) AS six
+                FROM r GROUP BY nk)
+            SELECT CAST(nk AS DOUBLE) AS nationkey, n,
+                   CASE WHEN sx = 0 THEN NULL
+                        ELSE round(
+                            CAST(2 * six - (n + 1)::HUGEINT * sx
+                                 AS DOUBLE)
+                            / (CAST(n AS DOUBLE)
+                               * CAST(sx AS DOUBLE)), 6)
+                   END AS gini
+            FROM g ORDER BY nationkey
         """,
         "q359_hour_uniformity": """
             WITH e AS (

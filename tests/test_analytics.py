@@ -3141,3 +3141,46 @@ def test_contamination_13gram_planted(ray_session, tmp_path):
     assert s["rate"] == 0.5
     t = out[out["source"] == "t"].iloc[0]
     assert (t["n_docs"], t["n_contaminated"]) == (1, 0)
+
+
+def test_repetition_ratio_hand(ray_session, tmp_path):
+    """q366: 'a b a b a b' has 4 3-grams, 2 distinct → dup_rate 0.5
+    and the doc counts as high-repetition (5·2 > 4); an all-distinct
+    doc scores 0; a 2-token doc is unscored."""
+    from web_scrapper_ray.pipelines.textops import q_repetition_ratio
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "source": pa.array(["s", "s", "s"]),
+        "text": pa.array(["a b a b a b", "p q r s t", "x y"]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_repetition_ratio(str(tmp_path))
+    s = out.iloc[0]
+    assert (s["n_docs"], s["total_3grams"], s["dup_3grams"]) == (2, 7, 2)
+    assert abs(s["dup_rate"] - 2 / 7) < 2e-6
+    assert s["n_high_rep"] == 1
+
+
+def test_gini_revenue_exact(ray_session, tmp_path):
+    """q367: equal revenues → gini 0; a single-customer-takes-all
+    nation approaches (n−1)/n; duplicate customer rows fan orders
+    out like SQL's join."""
+    from web_scrapper_ray.pipelines.analytics import q_gini_revenue
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array([1, 2, 3, 4, 4], pa.int64()),
+        "c_nationkey": pa.array([0, 0, 1, 1, 1], pa.int32()),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "o_totalprice": pa.array([10.0, 10.0, 0.0, 100.0],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_gini_revenue(str(tmp_path))
+    n0 = out[out["nationkey"] == 0.0].iloc[0]
+    assert n0["n"] == 2 and n0["gini"] == 0.0
+    # nation 1: order of cust 4 joins TWICE (dup dim row): x = [0,
+    # 10000, 10000]; gini = (2*(2*10000+3*10000) - 4*20000)/(3*20000)
+    n1 = out[out["nationkey"] == 1.0].iloc[0]
+    assert n1["n"] == 3
+    assert abs(n1["gini"] - (2 * 50000 - 80000) / 60000.0) < 2e-6

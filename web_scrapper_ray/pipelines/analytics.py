@@ -14387,3 +14387,115 @@ def q_calibration_brier(sf_dir: str, P: int = 8) -> pd.DataFrame:
         "mean_p": round_away(mean_p, 6),
         "frac_pos": round_away(frac, 6),
         "brier": round_away(brier, 6)})
+
+
+def q_gini_revenue(sf_dir: str, P: int = 8) -> pd.DataFrame:
+    """Gini coefficient of order revenue per customer nation — the
+    inequality measure behind the whale-curve family (q346), computed
+    EXACT: order totals become integer cents (round(price·100), the
+    sf1 money rule), the rank-weighted numerator 2Σi·x₍ᵢ₎ − (n+1)Σx
+    is accumulated as Python ints (the i·x dot product is chunked so
+    every int64 partial provably fits — Σi·x alone overflows int64 at
+    sf1 row counts), and ONE double division lands at the end, in
+    the oracle's own operand order. Customer nation is the broadcast
+    small side (duplicate custkey rows fan out multiplicatively like
+    SQL's join — per-batch pandas merge on int keys); one exchange
+    keyed on nation co-locates each nation's distribution; ties in
+    the rank order don't affect Σi·x, so the in-bucket np.sort is
+    exact. Bounded-cardinality per-group sort by contract (nations
+    are a fixed dimension — the unbounded-group case uses q99's
+    rank-refinement instead). NULL/non-finite totals are out;
+    Σx = 0 yields NULL."""
+    import ray
+
+    from .pairs import hash_shuffle, round_away
+
+    _NKNULL = np.iinfo(np.int64).min
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    dim = pd.DataFrame({
+        "ck": cust["c_custkey"].to_numpy(np.int64),
+        "nk": cust["c_nationkey"].astype("float64")
+        .fillna(float(_NKNULL)).to_numpy(np.float64)
+        .astype(np.int64)})
+    dim_ref = ray.put(dim)
+
+    _E = pa.table({"nk": pa.array([], pa.int64()),
+                   "cents": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, dref) -> pa.Table:
+        need = {"o_custkey", "o_totalprice"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        x = t.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = np.isfinite(x) & pc.is_valid(
+            t.column("o_custkey")).to_numpy(zero_copy_only=False)
+        if not keep.any():
+            return _E
+        ck = pc.fill_null(t.column("o_custkey").cast(pa.int64()),
+                          0).to_numpy(
+            zero_copy_only=False)[keep].astype(np.int64)
+        x = x[keep]
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        df = pd.DataFrame({"ck": ck, "cents": cents})
+        j = df.merge(dref, on="ck", how="inner")  # int keys: NUL-safe
+        if not len(j):
+            return _E
+        nk = j["nk"].to_numpy(np.int64)
+        return pa.table({
+            "nk": pa.array(nk),
+            "cents": pa.array(j["cents"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (nk.astype(np.uint64) % np.uint64(P))
+                .astype(np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live).to_pandas()
+        out = []
+        for nk, sub in df.groupby("nk", sort=False):
+            xs = np.sort(sub["cents"].to_numpy(np.int64))
+            n = len(xs)
+            cmax = int(np.abs(xs).max(initial=0))
+            # int64-provable chunked exact sums (CLAUDE.md sf1 rule)
+            ch = max(1, (1 << 62) // max(1, cmax))
+            sx = sum(int(xs[s0:s0 + ch].sum(dtype=np.int64))
+                     for s0 in range(0, n, ch))
+            chd = max(1, (1 << 62) // max(1, cmax * n))
+            idx = np.arange(1, n + 1, dtype=np.int64)
+            six = sum(int(np.dot(idx[s0:s0 + chd],
+                                 xs[s0:s0 + chd]))
+                      for s0 in range(0, n, chd))
+            out.append((int(nk), n, sx, six))
+        return out
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice"])
+    parts = hash_shuffle(
+        [(r, (dim_ref,)) for r in ds.to_arrow_refs()],
+        split, merge, P=P)
+    rows = [r for p in parts for r in p]
+    cols = {"nationkey": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64"),
+            "gini": pd.Series(dtype="float64")}
+    if not rows:
+        return pd.DataFrame(cols)
+    rows.sort(key=lambda r: (r[0] == _NKNULL, r[0]))
+    nk_out, n_out, g_out = [], [], []
+    for nk, n, sx, six in rows:
+        nk_out.append(np.nan if nk == _NKNULL else float(nk))
+        n_out.append(n)
+        if sx == 0:
+            g_out.append(np.nan)
+        else:
+            num = 2 * six - (n + 1) * sx
+            g_out.append(float(num) / (float(n) * float(sx)))
+    return pd.DataFrame({
+        "nationkey": np.array(nk_out, np.float64),
+        "n": pd.array(n_out, "int64"),
+        "gini": round_away(np.array(g_out, np.float64), 6)})

@@ -4497,3 +4497,91 @@ def q_contamination_13gram(sf_dir: str, k: int = 13,
         "rate": round_away(np.array(
             [cont[i] / float(tot[i]) for i in order], np.float64),
             6)})
+
+
+def q_repetition_ratio(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Within-document repetition screen (the Gopher-class quality
+    rule): per source, the fraction of 3-gram occurrences that are
+    repeats of an earlier 3-gram in the SAME document. Per-source
+    rates are RATIO-OF-SUMS (Σdup / Σtotal — exact ints, one final
+    division; a mean of per-doc float ratios would be order-sensitive
+    in SQL), and the high-repetition doc count compares per-doc
+    ratios by exact cross-multiplication (5·dup > total ↔ ratio >
+    0.2). Pure streamed pass — per-doc work stays in its batch, only
+    per-source int partials cross the wire, no shuffle at all. Docs
+    with < 3 tokens are unscored; NULL source is a group; NULL
+    doc_id is out of contract."""
+    from .pairs import factorize_strings, round_away
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "tot": pa.array([], pa.int64()),
+                   "dup": pa.array([], pa.int64()),
+                   "hi": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        need = {"doc_id", "text", "source"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        src = pd.Series(t2.column("source").to_pylist(), dtype=object)
+        keyed = src.where(src.isna(), "S" + src).fillna(_NULL)
+        codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
+        m = len(uniq)
+        n = np.zeros(m, np.int64)
+        tot = np.zeros(m, np.int64)
+        dup = np.zeros(m, np.int64)
+        hi = np.zeros(m, np.int64)
+        for c, txt in zip(codes, t2.column("text").to_pylist()):
+            toks = [x for x in _WS_RX.split(txt or "") if x]
+            t3 = len(toks) - k + 1
+            if t3 < 1:
+                continue
+            seen = {" ".join(toks[i:i + k]) for i in range(t3)}
+            d3 = t3 - len(seen)
+            n[c] += 1
+            tot[c] += t3
+            dup[c] += d3
+            hi[c] += int(5 * d3 > t3)
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "tot": pa.array(tot),
+                         "dup": pa.array(dup), "hi": pa.array(hi)})
+
+    parts = _docs(sf_dir, columns=["doc_id", "source", "text"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "total_3grams": pd.Series(dtype="int64"),
+            "dup_3grams": pd.Series(dtype="int64"),
+            "dup_rate": pd.Series(dtype="float64"),
+            "n_high_rep": pd.Series(dtype="int64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"],
+                                    use_na_sentinel=False)
+    m = len(uniq)
+    agg = np.zeros((m, 4), np.int64)
+    for j, colname in enumerate(["n", "tot", "dup", "hi"]):
+        np.add.at(agg[:, j], codes, parts[colname].to_numpy(np.int64))
+    order = sorted(range(m), key=lambda i: (uniq[i] == _NULL,
+                                            uniq[i]))
+    order = [i for i in order if agg[i, 0] > 0]
+    return pd.DataFrame({
+        "source": pd.Series(
+            [None if uniq[i] == _NULL else uniq[i][1:]
+             for i in order], dtype=object),
+        "n_docs": pd.array([int(agg[i, 0]) for i in order], "int64"),
+        "total_3grams": pd.array([int(agg[i, 1]) for i in order],
+                                 "int64"),
+        "dup_3grams": pd.array([int(agg[i, 2]) for i in order],
+                               "int64"),
+        "dup_rate": round_away(np.array(
+            [agg[i, 2] / float(agg[i, 1]) for i in order],
+            np.float64), 6),
+        "n_high_rep": pd.array([int(agg[i, 3]) for i in order],
+                               "int64")})
