@@ -693,6 +693,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q365_contamination_13gram": textops.q_contamination_13gram,
         "q366_repetition_ratio": textops.q_repetition_ratio,
         "q367_gini_revenue": analytics.q_gini_revenue,
+        "q368_bloom_semijoin": analytics.q_bloom_semijoin,
+        "q369_cuped_adjustment": analytics.q_cuped_adjustment,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3748,6 +3750,71 @@ def oracle_sql() -> dict[str, str]:
                                * CAST(sx AS DOUBLE)), 6)
                    END AS gini
             FROM g ORDER BY nationkey
+        """,
+        "q368_bloom_semijoin": """
+            WITH p AS (
+                SELECT DISTINCT p_partkey
+                FROM part
+                WHERE p_partkey IS NOT NULL AND p_size >= 45),
+            l AS (
+                SELECT l_returnflag AS f,
+                       round(l_extendedprice * 100)::BIGINT AS cents
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                      AND isfinite(l_extendedprice)
+                      AND l_partkey IN (SELECT p_partkey FROM p))
+            SELECT f AS returnflag, count(*)::BIGINT AS n_items,
+                   sum(cents)::BIGINT AS revenue_cents
+            FROM l GROUP BY f ORDER BY f
+        """,
+        "q369_cuped_adjustment": """
+            WITH o AS (
+                SELECT o_custkey AS ck,
+                       sum(CASE WHEN o_orderdate
+                                     < TIMESTAMP '2024-01-15'
+                                THEN round(o_totalprice
+                                           * 100)::BIGINT
+                                ELSE 0 END)::BIGINT AS x,
+                       sum(CASE WHEN o_orderdate
+                                     >= TIMESTAMP '2024-01-15'
+                                THEN round(o_totalprice
+                                           * 100)::BIGINT
+                                ELSE 0 END)::BIGINT AS y
+                FROM orders
+                WHERE o_custkey IS NOT NULL
+                      AND o_totalprice IS NOT NULL
+                      AND isfinite(o_totalprice)
+                      AND o_orderdate IS NOT NULL
+                GROUP BY o_custkey),
+            j AS (
+                SELECT c.c_mktsegment AS seg, o.x, o.y
+                FROM o JOIN customer c ON c.c_custkey = o.ck),
+            g AS (
+                SELECT seg, count(*)::BIGINT AS n,
+                       sum(x) AS sx, sum(y) AS sy,
+                       sum(x::HUGEINT * x) AS sxx,
+                       sum(y::HUGEINT * y) AS syy,
+                       sum(x::HUGEINT * y) AS sxy
+                FROM j GROUP BY seg),
+            m AS (
+                SELECT seg, n,
+                       n::HUGEINT * sxy - sx::HUGEINT * sy AS cov,
+                       n::HUGEINT * sxx - sx::HUGEINT * sx AS vx,
+                       n::HUGEINT * syy - sy::HUGEINT * sy AS vy
+                FROM g)
+            SELECT seg AS segment, n,
+                   CASE WHEN vx = 0 THEN NULL
+                        ELSE round(CAST(cov AS DOUBLE)
+                                   / CAST(vx AS DOUBLE), 6)
+                   END AS theta,
+                   CASE WHEN vx = 0 OR vy = 0 THEN NULL
+                        ELSE round(
+                            (CAST(cov AS DOUBLE)
+                             * CAST(cov AS DOUBLE))
+                            / (CAST(vx AS DOUBLE)
+                               * CAST(vy AS DOUBLE)), 6)
+                   END AS var_reduction
+            FROM m ORDER BY segment
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3184,3 +3184,65 @@ def test_gini_revenue_exact(ray_session, tmp_path):
     n1 = out[out["nationkey"] == 1.0].iloc[0]
     assert n1["n"] == 3
     assert abs(n1["gini"] - (2 * 50000 - 80000) / 60000.0) < 2e-6
+
+
+def test_bloom_semijoin_exact(ray_session, tmp_path):
+    """q368: bloom pruning is lossless — qualifying parts keep their
+    lineitems, non-qualifying (and bloom-false-positive) partkeys are
+    exactly filtered; duplicate dimension rows do NOT fan out."""
+    from web_scrapper_ray.pipelines.analytics import q_bloom_semijoin
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 1, 2, 3], pa.int64()),
+        "p_size": pa.array([50, 50, 10, 45], pa.int32()),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 3, 99], pa.int64()),
+        "l_returnflag": pa.array(["A", "A", "A", "B", "B"]),
+        "l_extendedprice": pa.array([10.0, 20.0, 999.0, 5.5, 7.0],
+                                    pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_bloom_semijoin(str(tmp_path))
+    a = out[out["returnflag"] == "A"].iloc[0]
+    assert (a["n_items"], a["revenue_cents"]) == (2, 3000)
+    b = out[out["returnflag"] == "B"].iloc[0]
+    assert (b["n_items"], b["revenue_cents"]) == (1, 550)
+
+
+def test_cuped_exact(ray_session, tmp_path):
+    """q369: perfectly correlated pre/post revenue gives var_reduction
+    1 and theta = slope; uncorrelated orthogonal case gives theta 0."""
+    from web_scrapper_ray.pipelines.analytics import q_cuped_adjustment
+
+    # seg A: y = 2x exactly -> theta 2, reduction 1
+    ck = [1, 2, 3, 4, 5, 6]
+    seg = ["A", "A", "A", "B", "B", "B"]
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(ck, pa.int64()),
+        "c_mktsegment": pa.array(seg),
+    }), str(tmp_path / "customer.parquet"))
+    import datetime as dt
+    pre = dt.datetime(2024, 1, 1)
+    post = dt.datetime(2024, 1, 20)
+    rows = [
+        (1, 10.0, pre), (1, 20.0, post),
+        (2, 20.0, pre), (2, 40.0, post),
+        (3, 30.0, pre), (3, 60.0, post),
+        # seg B: x varies, y constant -> cov 0, theta 0
+        (4, 10.0, pre), (4, 5.0, post),
+        (5, 20.0, pre), (5, 5.0, post),
+        (6, 30.0, pre), (6, 5.0, post),
+    ]
+    pq.write_table(pa.table({
+        "o_custkey": pa.array([r[0] for r in rows], pa.int64()),
+        "o_totalprice": pa.array([r[1] for r in rows], pa.float64()),
+        "o_orderdate": pa.array([r[2] for r in rows],
+                                pa.timestamp("us")),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_cuped_adjustment(str(tmp_path))
+    a = out[out["segment"] == "A"].iloc[0]
+    assert a["n"] == 3 and a["theta"] == 2.0 and \
+        a["var_reduction"] == 1.0
+    b = out[out["segment"] == "B"].iloc[0]
+    assert b["theta"] == 0.0
+    assert np.isnan(b["var_reduction"])  # var(y)=0

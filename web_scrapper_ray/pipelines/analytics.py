@@ -14418,7 +14418,6 @@ def q_gini_revenue(sf_dir: str, P: int = 8) -> pd.DataFrame:
         "nk": cust["c_nationkey"].astype("float64")
         .fillna(float(_NKNULL)).to_numpy(np.float64)
         .astype(np.int64)})
-    dim_ref = ray.put(dim)
 
     _E = pa.table({"nk": pa.array([], pa.int64()),
                    "cents": pa.array([], pa.int64()),
@@ -14499,3 +14498,306 @@ def q_gini_revenue(sf_dir: str, P: int = 8) -> pd.DataFrame:
         "nationkey": np.array(nk_out, np.float64),
         "n": pd.array(n_out, "int64"),
         "gini": round_away(np.array(g_out, np.float64), 6)})
+
+
+def q_bloom_semijoin(sf_dir: str, min_size: int = 45,
+                     P: int = 16) -> pd.DataFrame:
+    """Bloom-filtered distributed semi-join — the scale technique for
+    'filter the 100-TB fact table by a selective dimension subset'
+    without shipping the fact table into a full join exchange:
+
+    1. the bloom filter over qualifying part keys (p_size ≥ min_size)
+       is built DISTRIBUTED — each part block contributes a 0/1 bit
+       vector, ``tree_sum`` merges them additively and >0 recovers the
+       OR, so the driver never materializes the key list;
+    2. every lineitem block prunes against the broadcast bloom (128 KB
+       regardless of dimension size; bloom negatives are guaranteed
+       true negatives, so pruning is lossless);
+    3. only the surviving ~selectivity fraction enters one hash
+       exchange on partkey, where co-located part keys verify
+       candidates EXACTLY — bloom false positives die here, so the
+       result is byte-identical to SQL's IN semi-join (set semantics:
+       duplicate dimension rows do NOT fan out).
+
+    Money stays exact-int cents end-to-end (sum emitted as BIGINT —
+    no float ever). NULL returnflag is a group; NULL partkey/price
+    rows are out of contract."""
+    import ray
+
+    from .pairs import hash_shuffle, mix64, tree_sum
+
+    M = 1 << 20  # bloom bits
+    K = 4        # hashes
+    _NULLF = "\x00NULLFLAG"
+
+    def _positions(keys: np.ndarray) -> np.ndarray:
+        k = keys.astype(np.uint64)
+        h1 = mix64(k)
+        h2 = mix64(k ^ np.uint64(0x9E3779B97F4A7C15)) | np.uint64(1)
+        pos = np.empty((K, len(keys)), np.int64)
+        for i in range(K):
+            pos[i] = ((h1 + np.uint64(i) * h2)
+                      % np.uint64(M)).astype(np.int64)
+        return pos
+
+    def block_bits(block: pa.Table):
+        need = {"p_partkey", "p_size"}
+        if block.num_rows == 0 or not need <= set(block.schema.names):
+            return None
+        keep = pc.and_(pc.is_valid(block.column("p_partkey")),
+                       pc.greater_equal(
+                           pc.fill_null(block.column("p_size"),
+                                        -(1 << 30)), min_size))
+        b2 = block.filter(keep)
+        if b2.num_rows == 0:
+            return None
+        keys = b2.column("p_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        bits = np.zeros(M, np.float64)
+        bits[_positions(keys).ravel()] = 1.0
+        return bits
+
+    part_ds = _read(sf_dir, "part", columns=["p_partkey", "p_size"])
+    vec = tree_sum(part_ds, block_bits, name="bloom")
+    bloom = (np.zeros(M, bool) if vec is None
+             else np.asarray(vec) > 0)
+    bloom_ref = ray.put(bloom)
+
+    _E = pa.table({"pk": pa.array([], pa.int64()),
+                   "dim": pa.array([], pa.bool_()),
+                   "flag": pa.array([], pa.string()),
+                   "cents": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table, bref) -> pa.Table:
+        if t.num_rows == 0:
+            return _E
+        names = set(t.schema.names)
+        if "p_partkey" in names:  # dimension side: qualifying keys
+            keep = pc.and_(pc.is_valid(t.column("p_partkey")),
+                           pc.greater_equal(
+                               pc.fill_null(t.column("p_size"),
+                                            -(1 << 30)), min_size))
+            t2 = t.filter(keep)
+            if t2.num_rows == 0:
+                return _E
+            pk = np.unique(t2.column("p_partkey").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)
+                           .astype(np.int64))
+            n = len(pk)
+            return pa.table({
+                "pk": pa.array(pk),
+                "dim": pa.array(np.ones(n, bool)),
+                "flag": pa.array([""] * n, pa.string()),
+                "cents": pa.array(np.zeros(n, np.int64)),
+                "bucket": pa.array(
+                    (mix64(pk) % np.uint64(P)).astype(np.int64))})
+        if "l_partkey" not in names:
+            return _E
+        x = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(x)
+                & pc.is_valid(t.column("l_partkey")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        x = x[keep]
+        pk = t2.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        # lossless bloom prune: only candidates enter the exchange
+        hit = bref[_positions(pk)].all(axis=0)
+        if not hit.any():
+            return _E
+        t3 = t2.filter(pa.array(hit))
+        pk = pk[hit]
+        x = x[hit]
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        flags = pd.Series(t3.column("l_returnflag").to_pylist(),
+                          dtype=object)
+        fkey = flags.where(flags.isna(), "S" + flags).fillna(_NULLF)
+        return pa.table({
+            "pk": pa.array(pk),
+            "dim": pa.array(np.zeros(len(pk), bool)),
+            "flag": pa.array(list(fkey), pa.string()),
+            "cents": pa.array(cents),
+            "bucket": pa.array(
+                (mix64(pk) % np.uint64(P)).astype(np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live).to_pandas()
+        dimkeys = set(df.loc[df["dim"], "pk"].tolist())
+        fact = df[~df["dim"] & df["pk"].isin(dimkeys)]
+        if not len(fact):
+            return []
+        from .pairs import factorize_strings
+        codes, uniq = factorize_strings(fact["flag"],
+                                        use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        cents = np.zeros(len(uniq), np.int64)
+        np.add.at(cents, codes, fact["cents"].to_numpy(np.int64))
+        return [(uniq[i], int(n[i]), int(cents[i]))
+                for i in range(len(uniq))]
+
+    line_ds = _read(sf_dir, "lineitem",
+                    columns=["l_partkey", "l_returnflag",
+                             "l_extendedprice"])
+    inputs = ([(r, (bloom_ref,)) for r in line_ds.to_arrow_refs()]
+              + [(r, (bloom_ref,)) for r in part_ds.to_arrow_refs()])
+    parts = hash_shuffle(inputs, split, merge, P=P)
+    agg: dict = {}
+    for p in parts:
+        for fk, n, c in p:
+            a = agg.setdefault(fk, [0, 0])
+            a[0] += n
+            a[1] += c
+    cols = {"returnflag": pd.Series(dtype="object"),
+            "n_items": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64")}
+    if not agg:
+        return pd.DataFrame(cols)
+    keys = sorted(agg, key=lambda s: (s == _NULLF, s))
+    return pd.DataFrame({
+        "returnflag": pd.Series(
+            [None if k == _NULLF else k[1:] for k in keys],
+            dtype=object),
+        "n_items": pd.array([agg[k][0] for k in keys], "int64"),
+        "revenue_cents": pd.array([agg[k][1] for k in keys],
+                                  "int64")})
+
+
+def q_cuped_adjustment(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """CUPED variance reduction per market segment — the experiment-
+    analysis primitive: with per-customer pre-period revenue x
+    (orders before the cutoff) and post-period revenue y, θ =
+    cov(x,y)/var(x) and the achievable variance reduction is corr².
+    EXACT-INT MONEY DISCIPLINE (sf1 rule): revenues are integer
+    cents, all five moments (Σx, Σy, Σx², Σy², Σxy) accumulate as
+    Python ints (per-term x·y ~ 1e22 overflows int64; the oracle's
+    HUGEINT holds the telescoped n·Σxy − ΣxΣy forms, probed ≤ 2e32),
+    and each output is ONE double expression over exact ints in the
+    oracle's operand order — cov² overflows even HUGEINT, so BOTH
+    sides square in doubles. One exchange on custkey builds the
+    per-customer (x, y) pairs; the segment dimension is the broadcast
+    small side (duplicate rows duplicate the observation, SQL join
+    semantics); the driver folds P per-segment moment partials.
+    var(x)=0 → θ NULL; var(x)·var(y)=0 → reduction NULL."""
+    from .pairs import hash_shuffle, mix64, round_away
+
+    CUT_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, µs
+    _NULLS = "\x00NULLSEG"
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    seg = cust["c_mktsegment"].astype(object)
+    dim = pd.DataFrame({
+        "ck": cust["c_custkey"].to_numpy(np.int64),
+        "seg": seg.where(seg.notna(), None).map(
+            lambda s: _NULLS if s is None else "S" + s)})
+
+    _E = pa.table({"ck": pa.array([], pa.int64()),
+                   "x": pa.array([], pa.int64()),
+                   "y": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"o_custkey", "o_totalprice", "o_orderdate"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        v = t.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(v)
+                & pc.is_valid(t.column("o_custkey")).to_numpy(
+                    zero_copy_only=False)
+                & pc.is_valid(t.column("o_orderdate")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        v = v[keep]
+        ck = t2.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        us = t2.column("o_orderdate").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        cents = np.where(v >= 0, np.floor(v * 100.0 + 0.5),
+                         -np.floor(-v * 100.0 + 0.5)).astype(np.int64)
+        pre = us < CUT_US
+        g = (pd.DataFrame({"ck": ck,
+                           "x": np.where(pre, cents, 0),
+                           "y": np.where(pre, 0, cents)})
+             .groupby("ck", sort=False).sum().reset_index())
+        cks = g["ck"].to_numpy(np.int64)
+        return pa.table({
+            "ck": pa.array(cks),
+            "x": pa.array(g["x"].to_numpy(np.int64)),
+            "y": pa.array(g["y"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (mix64(cks) % np.uint64(P)).astype(np.int64))})
+
+    def make_merge(dref):
+        def merge(*tabs) -> list:
+            live = [x.drop_columns(["bucket"])
+                    for x in tabs if x.num_rows]
+            if not live:
+                return []
+            df = (pa.concat_tables(live).to_pandas()
+                  .groupby("ck", sort=False).sum().reset_index())
+            j = df.merge(dref, on="ck", how="inner")
+            if not len(j):
+                return []
+            out = []
+            for sk, sub in j.groupby("seg", sort=False):
+                xs = sub["x"].tolist()
+                ys = sub["y"].tolist()
+                n = len(xs)
+                sx = sum(int(a) for a in xs)
+                sy = sum(int(b) for b in ys)
+                sxx = sum(int(a) * int(a) for a in xs)
+                syy = sum(int(b) * int(b) for b in ys)
+                sxy = sum(int(a) * int(b) for a, b in zip(xs, ys))
+                out.append((sk, n, sx, sy, sxx, syy, sxy))
+            return out
+        return merge
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_custkey", "o_totalprice", "o_orderdate"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, make_merge(dim), P=P)
+    agg: dict = {}
+    for p in parts:
+        for sk, n, sx, sy, sxx, syy, sxy in p:
+            a = agg.setdefault(sk, [0, 0, 0, 0, 0, 0])
+            a[0] += n
+            a[1] += sx
+            a[2] += sy
+            a[3] += sxx
+            a[4] += syy
+            a[5] += sxy
+    cols = {"segment": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "theta": pd.Series(dtype="float64"),
+            "var_reduction": pd.Series(dtype="float64")}
+    if not agg:
+        return pd.DataFrame(cols)
+    keys = sorted(agg, key=lambda s: (s == _NULLS, s))
+    th, vr = [], []
+    for k in keys:
+        n, sx, sy, sxx, syy, sxy = agg[k]
+        cov = n * sxy - sx * sy
+        vx = n * sxx - sx * sx
+        vy = n * syy - sy * sy
+        th.append(float(cov) / float(vx) if vx != 0 else np.nan)
+        vr.append((float(cov) * float(cov))
+                  / (float(vx) * float(vy))
+                  if vx != 0 and vy != 0 else np.nan)
+    return pd.DataFrame({
+        "segment": pd.Series(
+            [None if k == _NULLS else k[1:] for k in keys],
+            dtype=object),
+        "n": pd.array([agg[k][0] for k in keys], "int64"),
+        "theta": round_away(np.array(th, np.float64), 6),
+        "var_reduction": round_away(np.array(vr, np.float64), 6)})
