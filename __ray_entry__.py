@@ -695,6 +695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q367_gini_revenue": analytics.q_gini_revenue,
         "q368_bloom_semijoin": analytics.q_bloom_semijoin,
         "q369_cuped_adjustment": analytics.q_cuped_adjustment,
+        "q370_rank_fusion": analytics.q_rank_fusion,
+        "q371_label_centroid_drift": similarity.q_label_centroid_drift,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3815,6 +3817,65 @@ def oracle_sql() -> dict[str, str]:
                                * CAST(vy AS DOUBLE)), 6)
                    END AS var_reduction
             FROM m ORDER BY segment
+        """,
+        "q370_rank_fusion": """
+            WITH j AS (
+                SELECT p.p_brand AS brand,
+                       round(l.l_extendedprice * 100)::BIGINT
+                           AS cents
+                FROM lineitem l
+                JOIN part p ON p.p_partkey = l.l_partkey
+                WHERE l.l_extendedprice IS NOT NULL
+                      AND isfinite(l.l_extendedprice)),
+            g AS (
+                SELECT brand, count(*)::BIGINT AS n,
+                       sum(cents)::BIGINT AS rc
+                FROM j GROUP BY brand),
+            r AS (
+                SELECT brand, n, rc,
+                       rank() OVER (ORDER BY rc DESC) AS r_rev,
+                       rank() OVER (ORDER BY n DESC) AS r_cnt
+                FROM g)
+            SELECT brand, n AS n_items, rc AS revenue_cents,
+                   r_rev::BIGINT AS r_rev, r_cnt::BIGINT AS r_cnt,
+                   round(1.0 / (60 + r_rev) + 1.0 / (60 + r_cnt), 6)
+                       AS rrf
+            FROM r ORDER BY rrf DESC, brand
+        """,
+        "q371_label_centroid_drift": """
+            WITH e AS (
+                SELECT label, embedding FROM embeddings
+                WHERE embedding IS NOT NULL),
+            u AS (
+                SELECT label, unnest(embedding)::DOUBLE AS x,
+                       unnest(range(1, len(embedding) + 1)) AS i
+                FROM e),
+            lc AS (
+                SELECT label, i, sum(x) AS s, count(*)::BIGINT AS c
+                FROM u GROUP BY label, i),
+            g AS (
+                SELECT i, sum(s) AS gs, sum(c)::BIGINT AS gc
+                FROM lc GROUP BY i),
+            d AS (
+                SELECT lc.label,
+                       lc.s / lc.c AS cl, g.gs / g.gc AS cg
+                FROM lc JOIN g ON g.i = lc.i),
+            m AS (
+                SELECT label,
+                       sum(cl * cg) AS dot, sum(cl * cl) AS nl,
+                       sum(cg * cg) AS ng,
+                       sum((cl - cg) * (cl - cg)) AS l2s
+                FROM d GROUP BY label),
+            cnt AS (SELECT label, count(*)::BIGINT AS n
+                    FROM e GROUP BY label)
+            SELECT CAST(m.label AS DOUBLE) AS label, cnt.n,
+                   CASE WHEN nl > 0 AND ng > 0
+                        THEN round(dot / sqrt(nl * ng), 6)
+                        ELSE NULL END AS cos_to_global,
+                   round(sqrt(l2s), 6) AS l2_to_global
+            FROM m JOIN cnt
+                 ON cnt.label IS NOT DISTINCT FROM m.label
+            ORDER BY label
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3246,3 +3246,49 @@ def test_cuped_exact(ray_session, tmp_path):
     b = out[out["segment"] == "B"].iloc[0]
     assert b["theta"] == 0.0
     assert np.isnan(b["var_reduction"])  # var(y)=0
+
+
+def test_rank_fusion_hand(ray_session, tmp_path):
+    """q370: ties share a rank (SQL rank()); the fused score is
+    1/(60+r1) + 1/(60+r2); dup dimension rows fan the join."""
+    from web_scrapper_ray.pipelines.analytics import q_rank_fusion
+
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3], pa.int64()),
+        "p_brand": pa.array(["X", "Y", "Z"]),
+    }), str(tmp_path / "part.parquet"))
+    pq.write_table(pa.table({
+        "l_partkey": pa.array([1, 1, 2, 2, 3], pa.int64()),
+        "l_extendedprice": pa.array([50.0, 50.0, 30.0, 70.0, 100.0],
+                                    pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_rank_fusion(str(tmp_path))
+    g = {r.brand: r for r in out.itertuples(index=False)}
+    # revenue: X=100, Y=100, Z=100 -> all rank 1; counts: X=2,Y=2,Z=1
+    assert {g[b].r_rev for b in "XYZ"} == {1}
+    assert (g["X"].r_cnt, g["Y"].r_cnt, g["Z"].r_cnt) == (1, 1, 3)
+    assert abs(g["Z"].rrf - (1 / 61 + 1 / 63)) < 2e-6
+
+
+def test_label_centroid_drift_hand(ray_session, tmp_path):
+    """q371: a label sitting at the global centroid has cos 1 and
+    l2 0; an orthogonal label drifts."""
+    from web_scrapper_ray.pipelines.similarity import \
+        q_label_centroid_drift
+
+    vecs = [[1.0, 0.0], [1.0, 0.0], [0.0, 1.0], [2.0, 1.0]]
+    labs = [0, 0, 1, 2]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(4), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_label_centroid_drift(str(tmp_path))
+    assert list(out["label"]) == [0.0, 1.0, 2.0]
+    cg = np.array([1.0, 0.5])
+    c0 = np.array([1.0, 0.0])
+    exp_cos = float(c0 @ cg / np.sqrt((c0 @ c0) * (cg @ cg)))
+    got = out[out["label"] == 0.0].iloc[0]
+    assert abs(got["cos_to_global"] - exp_cos) < 2e-6
+    g2 = out[out["label"] == 2.0].iloc[0]
+    assert abs(g2["l2_to_global"] - np.sqrt(1.0 + 0.25)) < 2e-6

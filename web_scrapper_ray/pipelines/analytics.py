@@ -14801,3 +14801,102 @@ def q_cuped_adjustment(sf_dir: str, P: int = 16) -> pd.DataFrame:
         "n": pd.array([agg[k][0] for k in keys], "int64"),
         "theta": round_away(np.array(th, np.float64), 6),
         "var_reduction": round_away(np.array(vr, np.float64), 6)})
+
+
+def q_rank_fusion(sf_dir: str, kc: int = 60, P: int = 8) -> pd.DataFrame:
+    """Reciprocal rank fusion of two brand rankings (revenue rank ⊕
+    item-count rank, RRF constant 60) — the standard search/result
+    merging primitive (Cormack et al.). Revenue is exact-int cents;
+    ranks are SQL rank() semantics (ties share the rank = 1 + count
+    of strictly-greater values, computed vectorized); the fused score
+    is a FIXED two-term float expression per row — no float aggregate
+    ever forms, so parity is exact. Part brand is the broadcast small
+    side with duplicate-row multiplicity (q08 rule); one streamed
+    pass over lineitem emits per-brand int partials and the driver
+    ranks the ~|brands| rows. NULL brand is a group; NULL
+    partkey/price rows are out of contract."""
+    from .pairs import factorize_strings, round_away
+
+    _NULLB = "\x00NULLBRAND"
+    part = _read(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"]).to_pandas()
+    pk = part["p_partkey"]
+    ok = pk.notna()
+    br = part["p_brand"].astype(object)
+    dim = pd.DataFrame({
+        "pk": pk[ok].to_numpy(np.int64),
+        "brand": br[ok].where(br[ok].notna(), None).map(
+            lambda s: _NULLB if s is None else "S" + s)})
+
+    _E = pa.table({"brand": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "cents": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table, dimdf=dim) -> pa.Table:
+        need = {"l_partkey", "l_extendedprice"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        x = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(x)
+                & pc.is_valid(t.column("l_partkey")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        x = x[keep]
+        lpk = t2.column("l_partkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        j = (pd.DataFrame({"pk": lpk, "cents": cents})
+             .merge(dimdf, on="pk", how="inner"))  # dup rows fan out
+        if not len(j):
+            return _E
+        codes, uniq = factorize_strings(j["brand"],
+                                        use_na_sentinel=False)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        c = np.zeros(len(uniq), np.int64)
+        np.add.at(c, codes, j["cents"].to_numpy(np.int64))
+        return pa.table({"brand": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "cents": pa.array(c)})
+
+    parts = _read(sf_dir, "lineitem",
+                  columns=["l_partkey", "l_extendedprice"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"brand": pd.Series(dtype="object"),
+            "n_items": pd.Series(dtype="int64"),
+            "revenue_cents": pd.Series(dtype="int64"),
+            "r_rev": pd.Series(dtype="int64"),
+            "r_cnt": pd.Series(dtype="int64"),
+            "rrf": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["brand"],
+                                    use_na_sentinel=False)
+    m = len(uniq)
+    n = np.zeros(m, np.int64)
+    c = np.zeros(m, np.int64)
+    np.add.at(n, codes, parts["n"].to_numpy(np.int64))
+    np.add.at(c, codes, parts["cents"].to_numpy(np.int64))
+    # SQL rank(): 1 + count of strictly greater
+    r_rev = 1 + (c[:, None] < c[None, :]).sum(axis=1)
+    r_cnt = 1 + (n[:, None] < n[None, :]).sum(axis=1)
+    rrf = 1.0 / (kc + r_rev) + 1.0 / (kc + r_cnt)
+    out = pd.DataFrame({
+        "brand": pd.Series(
+            [None if u == _NULLB else u[1:] for u in uniq],
+            dtype=object),
+        "n_items": n, "revenue_cents": c,
+        "r_rev": r_rev.astype(np.int64),
+        "r_cnt": r_cnt.astype(np.int64),
+        "rrf": round_away(rrf, 6)})
+    key = out["brand"].map(
+        lambda s: (1, "") if s is None
+        else (0, s.encode("utf-8", "surrogatepass").hex()))
+    out = (out.assign(_k=key)
+           .sort_values("_k", kind="stable")
+           .sort_values("rrf", kind="stable", ascending=False)
+           .drop(columns="_k"))
+    return out.reset_index(drop=True)

@@ -2295,3 +2295,110 @@ def q_hubness(sf_dir: str, k: int = 10) -> pd.DataFrame:
     u, n = np.unique(kocc, return_counts=True)
     return pd.DataFrame({"k_occurrence": u,
                          "n_points": n.astype(np.int64)})
+
+
+def q_label_centroid_drift(sf_dir: str, P: int = 8) -> pd.DataFrame:
+    """Per-label embedding centroid drift vs the global centroid —
+    the segment-shift monitor a training-data pipeline runs per
+    ingest batch (is one label's embedding mass moving away from the
+    corpus?). Distributed moment shape: each block folds to per-label
+    (count, Σvec) partials (np.add.at on label codes — embeddings
+    never leave their block), one exchange keyed on label merges
+    them, and the driver sees |labels| rows. The global centroid is
+    the fold of the per-label sums (Σ_label Σvec / Σn — the oracle
+    computes the same ratio from its per-label partials; float-sum
+    association differs only in the last ulp, continuous-valued → 6dp
+    round). Outputs cosine-to-global and L2 distance; zero-norm
+    centroids yield NULL cosine. NULL embeddings are out of contract
+    (flatten() would shift coordinates); NULL label is a group."""
+    import ray
+
+    from .pairs import hash_shuffle, round_away
+
+    _LNULL = np.iinfo(np.int64).min
+
+    _E = pa.table({"lab": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.list_(pa.float64())),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"label", "embedding"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        valid = pc.is_valid(t.column("embedding"))
+        t2 = t.filter(valid) if not pc.all(valid).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        lab = pc.fill_null(t2.column("label").cast(pa.int64()),
+                           _LNULL).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = t2.column("embedding").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(lab), -1).astype(np.float64)
+        ul, codes = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), mat.shape[1]), np.float64)
+        np.add.at(sums, codes, mat)
+        cnt = np.bincount(codes, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "lab": pa.array(ul),
+            "n": pa.array(cnt),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+            "bucket": pa.array(
+                (ul.astype(np.uint64) % np.uint64(P))
+                .astype(np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live)
+        lab = df.column("lab").to_numpy(zero_copy_only=False)
+        n = df.column("n").to_numpy(zero_copy_only=False)
+        svecs = df.column("s").to_pylist()
+        out: dict = {}
+        for L, c, s in zip(lab, n, svecs):
+            a = out.get(int(L))
+            v = np.asarray(s, np.float64)
+            if a is None:
+                out[int(L)] = [int(c), v]
+            else:
+                a[0] += int(c)
+                a[1] = a[1] + v
+        return [(L, a[0], a[1]) for L, a in out.items()]
+
+    from .relational import _read
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    rows = [r for p in parts for r in p]
+    cols = {"label": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64"),
+            "cos_to_global": pd.Series(dtype="float64"),
+            "l2_to_global": pd.Series(dtype="float64")}
+    if not rows:
+        return pd.DataFrame(cols)
+    rows.sort(key=lambda r: (r[0] == _LNULL, r[0]))
+    gs = rows[0][2] * 0.0
+    gn = 0
+    for _, c, s in rows:
+        gs = gs + s
+        gn += c
+    cg = gs / gn
+    ng = float(np.dot(cg, cg))
+    lab_o, n_o, cos_o, l2_o = [], [], [], []
+    for L, c, s in rows:
+        cl = s / c
+        lab_o.append(np.nan if L == _LNULL else float(L))
+        n_o.append(c)
+        nl = float(np.dot(cl, cl))
+        dot = float(np.dot(cl, cg))
+        cos_o.append(dot / math.sqrt(nl * ng)
+                     if nl > 0 and ng > 0 else np.nan)
+        l2_o.append(math.sqrt(float(np.dot(cl - cg, cl - cg))))
+    return pd.DataFrame({
+        "label": np.array(lab_o, np.float64),
+        "n": pd.array(n_o, "int64"),
+        "cos_to_global": round_away(np.array(cos_o, np.float64), 6),
+        "l2_to_global": round_away(np.array(l2_o, np.float64), 6)})
