@@ -14418,6 +14418,7 @@ def q_gini_revenue(sf_dir: str, P: int = 8) -> pd.DataFrame:
         "nk": cust["c_nationkey"].astype("float64")
         .fillna(float(_NKNULL)).to_numpy(np.float64)
         .astype(np.int64)})
+    dim_ref = ray.put(dim)
 
     _E = pa.table({"nk": pa.array([], pa.int64()),
                    "cents": pa.array([], pa.int64()),
