@@ -697,6 +697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q369_cuped_adjustment": analytics.q_cuped_adjustment,
         "q370_rank_fusion": analytics.q_rank_fusion,
         "q371_label_centroid_drift": similarity.q_label_centroid_drift,
+        "q372_independence_residuals": analytics.q_independence_residuals,
+        "q373_weighted_median": analytics.q_weighted_median,
+        "q374_poisson_bootstrap": analytics.q_poisson_bootstrap,
+        "q375_mad_outliers": analytics.q_mad_outliers,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -3876,6 +3880,132 @@ def oracle_sql() -> dict[str, str]:
             FROM m JOIN cnt
                  ON cnt.label IS NOT DISTINCT FROM m.label
             ORDER BY label
+        """,
+        "q372_independence_residuals": """
+            WITH e AS (
+                SELECT event_type AS ty,
+                       ((epoch_us(date_trunc('day', ts))
+                         // 86400000000) % 7 + 7) % 7 AS wd
+                FROM events
+                WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+            o AS (SELECT ty, wd, count(*)::BIGINT AS obs
+                  FROM e GROUP BY ty, wd),
+            r AS (SELECT ty, sum(obs)::BIGINT AS rt
+                  FROM o GROUP BY ty),
+            c AS (SELECT wd, sum(obs)::BIGINT AS ct
+                  FROM o GROUP BY wd),
+            n AS (SELECT sum(obs)::BIGINT AS nt FROM o),
+            wds(wd) AS (VALUES (0), (1), (2), (3), (4), (5), (6)),
+            grid AS (SELECT r.ty, wds.wd::BIGINT AS wd, r.rt
+                     FROM r CROSS JOIN wds),
+            f AS (SELECT grid.ty, grid.wd,
+                         coalesce(o.obs, 0)::BIGINT AS obs,
+                         CAST(grid.rt::HUGEINT * c.ct AS DOUBLE)
+                             / n.nt AS e
+                  FROM grid
+                  LEFT JOIN o ON o.ty = grid.ty AND o.wd = grid.wd
+                  JOIN c ON c.wd = grid.wd CROSS JOIN n)
+            SELECT ty AS event_type, wd, obs,
+                   round(e, 6) AS expected,
+                   round((obs - e) / sqrt(e), 6) AS std_resid
+            FROM f ORDER BY event_type, wd
+        """,
+        "q373_weighted_median": """
+            WITH l AS (
+                SELECT l_returnflag AS f,
+                       round(l_extendedprice * 100)::BIGINT AS cents,
+                       round(l_quantity * 100)::BIGINT AS w
+                FROM lineitem
+                WHERE l_extendedprice IS NOT NULL
+                      AND isfinite(l_extendedprice)
+                      AND l_quantity IS NOT NULL
+                      AND isfinite(l_quantity)
+                      AND round(l_quantity * 100) >= 1),
+            g AS (SELECT f, cents, sum(w)::BIGINT AS w
+                  FROM l GROUP BY f, cents),
+            s AS (SELECT f, cents, w,
+                         sum(w) OVER (PARTITION BY f ORDER BY cents
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS cw,
+                         sum(w) OVER (PARTITION BY f) AS tw
+                  FROM g)
+            SELECT f AS returnflag, min(tw)::BIGINT AS total_w,
+                   (min(cents) FILTER (WHERE 2 * cw >= tw))::BIGINT
+                       AS wmedian_cents
+            FROM s GROUP BY f ORDER BY f
+        """,
+        "q374_poisson_bootstrap": """
+            WITH o AS (
+                SELECT o_orderkey AS okey, o_custkey AS ck,
+                       round(o_totalprice * 100)::BIGINT AS cents
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                      AND o_custkey IS NOT NULL
+                      AND o_totalprice IS NOT NULL
+                      AND isfinite(o_totalprice)),
+            j AS (SELECT c.c_mktsegment AS seg, o.okey, o.cents
+                  FROM o JOIN customer c ON c.c_custkey = o.ck),
+            r AS (SELECT seg, okey, cents,
+                         unnest(range(0, 32)) AS b
+                  FROM j),
+            w AS (SELECT seg, b, cents,
+                         ('0x' || substr(md5('pb|' || b::VARCHAR
+                             || '|' || okey::VARCHAR), 1, 13))
+                             ::BIGINT AS u
+                  FROM r),
+            ww AS (SELECT seg, b, cents,
+                          CASE WHEN u < 1656781714176974 THEN 0
+                               WHEN u < 3313563428353948 THEN 1
+                               WHEN u < 4141954285442435 THEN 2
+                               WHEN u < 4418084571138597 THEN 3
+                               WHEN u < 4487117142562638 THEN 4
+                               ELSE 5 END AS w
+                   FROM w),
+            rep AS (SELECT seg, b,
+                           sum(w::BIGINT * cents)::BIGINT AS sw,
+                           sum(w)::BIGINT AS nw
+                    FROM ww GROUP BY seg, b),
+            rm AS (SELECT seg, b,
+                          CASE WHEN nw > 0
+                               THEN CAST(sw AS DOUBLE) / nw
+                          END AS mean_b
+                   FROM rep),
+            ci AS (SELECT seg, quantile_disc(mean_b, 0.025) AS lo,
+                          quantile_disc(mean_b, 0.975) AS hi
+                   FROM rm GROUP BY seg),
+            tot AS (SELECT seg, count(*)::BIGINT AS n,
+                           sum(cents)::BIGINT AS sc
+                    FROM j GROUP BY seg)
+            SELECT t.seg AS segment, t.n,
+                   round(CAST(t.sc AS DOUBLE) / t.n, 6)
+                       AS mean_cents,
+                   round(ci.lo, 6) AS ci_lo,
+                   round(ci.hi, 6) AS ci_hi
+            FROM tot t
+            JOIN ci ON ci.seg IS NOT DISTINCT FROM t.seg
+            ORDER BY t.seg
+        """,
+        "q375_mad_outliers": """
+            WITH e AS (
+                SELECT event_type AS ty, value AS x
+                FROM events
+                WHERE event_type IS NOT NULL AND isfinite(value)),
+            m AS (SELECT ty, quantile_disc(x, 0.5) AS med
+                  FROM e GROUP BY ty),
+            a AS (SELECT e.ty, abs(e.x - m.med) AS ad
+                  FROM e JOIN m ON m.ty = e.ty),
+            d AS (SELECT ty, quantile_disc(ad, 0.5) AS mad
+                  FROM a GROUP BY ty),
+            f AS (SELECT a.ty, count(*)::BIGINT AS n,
+                         sum((a.ad > 5.1891 * d.mad)::INT)::BIGINT
+                             AS n_out
+                  FROM a JOIN d ON d.ty = a.ty GROUP BY a.ty)
+            SELECT f.ty AS event_type, f.n, m.med, d.mad,
+                   f.n_out AS n_outliers,
+                   round(f.n_out / CAST(f.n AS DOUBLE), 6)
+                       AS outlier_rate
+            FROM f JOIN m ON m.ty = f.ty JOIN d ON d.ty = f.ty
+            ORDER BY event_type
         """,
         "q359_hour_uniformity": """
             WITH e AS (

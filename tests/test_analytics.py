@@ -3292,3 +3292,66 @@ def test_label_centroid_drift_hand(ray_session, tmp_path):
     assert abs(got["cos_to_global"] - exp_cos) < 2e-6
     g2 = out[out["label"] == 2.0].iloc[0]
     assert abs(g2["l2_to_global"] - np.sqrt(1.0 + 0.25)) < 2e-6
+
+
+def test_weighted_median_hand(ray_session, tmp_path):
+    """q373: the weighted median is the first value whose cumulative
+    weight reaches half the total (2·cum ≥ W, exact ints)."""
+    from web_scrapper_ray.pipelines.analytics import q_weighted_median
+
+    pq.write_table(pa.table({
+        "l_returnflag": pa.array(["A"] * 3 + ["B"] * 2),
+        "l_extendedprice": pa.array([1.0, 2.0, 3.0, 5.0, 6.0],
+                                    pa.float64()),
+        "l_quantity": pa.array([1.0, 1.0, 10.0, 1.0, 1.0],
+                               pa.float64()),
+    }), str(tmp_path / "lineitem.parquet"))
+    out = q_weighted_median(str(tmp_path))
+    a = out[out["returnflag"] == "A"].iloc[0]
+    # weights (centi): 100,100,1000 → cum at 300¢ (=3.0) crosses 600
+    assert (a["total_w"], a["wmedian_cents"]) == (1200, 300)
+    b = out[out["returnflag"] == "B"].iloc[0]
+    assert b["wmedian_cents"] == 500  # even split → lower value
+
+
+def test_mad_outliers_hand(ray_session, tmp_path):
+    """q375: a gross outlier is flagged; med/mad follow the
+    lower-middle quantile_disc rule."""
+    from web_scrapper_ray.pipelines.analytics import q_mad_outliers
+
+    vals = [10.0, 11.0, 12.0, 13.0, 1000.0]
+    pq.write_table(pa.table({
+        "event_type": pa.array(["t"] * 5),
+        "value": pa.array(vals, pa.float64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_mad_outliers(str(tmp_path))
+    r = out.iloc[0]
+    assert r["med"] == 12.0 and r["mad"] == 1.0
+    assert r["n_outliers"] == 1 and r["outlier_rate"] == 0.2
+
+
+def test_poisson_bootstrap_props(ray_session, tmp_path):
+    """q374: CI brackets the point estimate on a well-behaved
+    sample, weights are deterministic (two runs agree), and the
+    full-sample mean is the exact ratio."""
+    from web_scrapper_ray.pipelines.analytics import q_poisson_bootstrap
+
+    n = 200
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+        "c_mktsegment": pa.array(["S"] * n),
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(n), pa.int64()),
+        "o_custkey": pa.array(range(n), pa.int64()),
+        "o_totalprice": pa.array([10.0 + (i % 7) for i in range(n)],
+                                 pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out1 = q_poisson_bootstrap(str(tmp_path))
+    out2 = q_poisson_bootstrap(str(tmp_path))
+    pd.testing.assert_frame_equal(out1, out2)
+    r = out1.iloc[0]
+    exp = sum(round((10.0 + (i % 7)) * 100) for i in range(n)) / n
+    assert abs(r["mean_cents"] - exp) < 1e-6
+    assert r["ci_lo"] <= r["mean_cents"] <= r["ci_hi"]
+    assert r["ci_hi"] - r["ci_lo"] < 200  # tight CI for tight data

@@ -14901,3 +14901,419 @@ def q_rank_fusion(sf_dir: str, kc: int = 60, P: int = 8) -> pd.DataFrame:
            .sort_values("rrf", kind="stable", ascending=False)
            .drop(columns="_k"))
     return out.reset_index(drop=True)
+
+
+def q_independence_residuals(sf_dir: str) -> pd.DataFrame:
+    """Pearson standardized residuals of the event_type × weekday
+    contingency table — the independence heatmap behind a χ² test,
+    emitted PER CELL so no order-sensitive float sum ever forms (the
+    χ² total is a float Σ over cells; the residual (o−e)/√e is a
+    fixed expression over exact ints per cell — the q359 Σ-of-
+    squares discipline taken one step further). Weekday is the
+    floored-epoch-day mod 7 (pre-1970 rule, 0 = Thursday). One
+    streamed pass of per-block (type, weekday) int partials — cell
+    cardinality is |types|·7, so the driver fold is tiny; marginals
+    and residuals are computed once from exact counts. Zero cells of
+    observed (type, weekday) pairs emit with their expected mass;
+    weekdays with zero GLOBAL mass are skipped (√0 guard, matching
+    the oracle's inner join). NULL ts/type out of contract."""
+    from .pairs import factorize_strings, round_away
+
+    DAY = 86_400_000_000
+    _E = pa.table({"ty": pa.array([], pa.string()),
+                   "wd": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        need = {"event_type", "ts"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.is_valid(t.column("event_type")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wd = np.mod(np.floor_divide(us, DAY), 7)  # np.mod floors ✓
+        ty = pd.Series(t2.column("event_type").to_pylist(),
+                       dtype=object)
+        codes, uniq = factorize_strings(ty)
+        g = (pd.DataFrame({"tc": codes, "wd": wd})
+             .groupby(["tc", "wd"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "ty": pa.array([uniq[i] for i in g["tc"]], pa.string()),
+            "wd": pa.array(g["wd"].to_numpy(np.int64)),
+            "c": pa.array(g["c"].to_numpy(np.int64))})
+
+    parts = _read(sf_dir, "events", columns=["event_type", "ts"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"event_type": pd.Series(dtype="object"),
+            "wd": pd.Series(dtype="int64"),
+            "obs": pd.Series(dtype="int64"),
+            "expected": pd.Series(dtype="float64"),
+            "std_resid": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["ty"])
+    k = len(uniq)
+    obs = np.zeros((k, 7), np.int64)
+    np.add.at(obs, (codes, parts["wd"].to_numpy(np.int64)),
+              parts["c"].to_numpy(np.int64))
+    rt = obs.sum(axis=1)
+    ct = obs.sum(axis=0)
+    n = int(obs.sum())
+    live_wd = [w for w in range(7) if ct[w] > 0]
+    order = sorted(range(k), key=lambda i: uniq[i].encode(
+        "utf-8", "surrogatepass").hex())
+    rows = []
+    for i in order:
+        for w in live_wd:
+            e = float(int(rt[i]) * int(ct[w])) / n
+            o = int(obs[i, w])
+            rows.append((uniq[i], w, o, e, (o - e) / np.sqrt(e)))
+    return pd.DataFrame({
+        "event_type": pd.Series([r[0] for r in rows], dtype=object),
+        "wd": pd.array([r[1] for r in rows], "int64"),
+        "obs": pd.array([r[2] for r in rows], "int64"),
+        "expected": round_away(np.array([r[3] for r in rows],
+                                        np.float64), 6),
+        "std_resid": round_away(np.array([r[4] for r in rows],
+                                         np.float64), 6)})
+
+
+def q_weighted_median(sf_dir: str, P: int = 8) -> pd.DataFrame:
+    """Quantity-weighted median line price per returnflag — the
+    weighted order statistic (unweighted selection is q99/q102).
+    EXACT-INT end to end: prices and weights become integer
+    centi-units, ties collapse BEFORE the cumulative walk (removing
+    any row-order dependence), the in-bucket cumsum is int64 and the
+    crossing test 2·cum ≥ W is an integer compare — no float ever.
+    One exchange keyed on the flag; per-block (flag, cents) partials
+    pre-combine so the exchange ships the collapsed distribution,
+    not rows. Bounded-cardinality per-group sort by contract (q99's
+    rank-refinement is the unbounded path). Non-finite prices,
+    non-positive weights out of contract; NULL flag is a group."""
+    from .pairs import hash_shuffle, str_u64
+
+    _NULLF = "\x00NULLFLAG"
+    _E = pa.table({"f": pa.array([], pa.string()),
+                   "cents": pa.array([], pa.int64()),
+                   "w": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"l_returnflag", "l_extendedprice", "l_quantity"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        x = t.column("l_extendedprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        q = t.column("l_quantity").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        wq = np.where(q >= 0, np.floor(q * 100.0 + 0.5),
+                      -np.floor(-q * 100.0 + 0.5))
+        keep = np.isfinite(x) & np.isfinite(q) & (wq >= 1)
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        x = x[keep]
+        wq = wq[keep].astype(np.int64)
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        flags = t2.column("l_returnflag").to_pylist()
+        # hex-encoded keys: NUL-bearing flags survive pandas groupby
+        fkey = [_NULLF if s is None
+                else "S" + s.encode("utf-8", "surrogatepass").hex()
+                for s in flags]
+        g = (pd.DataFrame({"f": fkey, "cents": cents, "w": wq})
+             .groupby(["f", "cents"], sort=False)["w"].sum()
+             .reset_index())
+        return pa.table({
+            "f": pa.array(list(g["f"]), pa.string()),
+            "cents": pa.array(g["cents"].to_numpy(np.int64)),
+            "w": pa.array(g["w"].to_numpy(np.int64)),
+            "bucket": pa.array(np.array(
+                [str_u64(s) & (P - 1) for s in g["f"]], np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live).to_pandas()
+        out = []
+        from .pairs import factorize_strings
+        codes, uniq = factorize_strings(df["f"])
+        for fc, sub in df.assign(fc=codes).groupby("fc"):
+            g = sub.groupby("cents")["w"].sum().sort_index()
+            wts = g.to_numpy(np.int64)
+            cs = g.index.to_numpy(np.int64)
+            cw = np.cumsum(wts)
+            tw = int(cw[-1])
+            med = int(cs[np.flatnonzero(2 * cw >= tw)[0]])
+            out.append((uniq[fc], tw, med))
+        return out
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_extendedprice",
+                        "l_quantity"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    rows = [r for p in parts for r in p]
+    cols = {"returnflag": pd.Series(dtype="object"),
+            "total_w": pd.Series(dtype="int64"),
+            "wmedian_cents": pd.Series(dtype="int64")}
+    if not rows:
+        return pd.DataFrame(cols)
+    rows.sort(key=lambda r: (r[0] == _NULLF, r[0]))
+    return pd.DataFrame({
+        "returnflag": pd.Series(
+            [None if r[0] == _NULLF
+             else bytes.fromhex(r[0][1:]).decode("utf-8",
+                                                 "surrogatepass")
+             for r in rows], dtype=object),
+        "total_w": pd.array([r[1] for r in rows], "int64"),
+        "wmedian_cents": pd.array([r[2] for r in rows], "int64")})
+
+
+_POIS1_T = (1656781714176974, 3313563428353948, 4141954285442435,
+            4418084571138597, 4487117142562638)  # floor(cdf·2^52)
+
+
+def q_poisson_bootstrap(sf_dir: str, B: int = 32) -> pd.DataFrame:
+    """Percentile bootstrap CI for the per-segment mean order value,
+    via the POISSON BOOTSTRAP — the bootstrap that distributes: each
+    replicate's resample weight w ~ Poisson(1) is drawn per
+    (replicate, orderkey) from the 52-bit md5 coin against EXACT
+    integer CDF thresholds (floor(cdf·2^52) literals on both sides —
+    the module's SQL-provable randomness pattern), so every row can
+    compute all B weights locally and no replicate ever needs a
+    global resample pass. Per (segment, replicate) the weighted sum
+    stays integer cents; each replicate mean is ONE double division;
+    the CI bounds are quantile_disc ELEMENT SELECTIONS over the B
+    replicate means (no float aggregate anywhere). Streamed pass of
+    per-block (segment × B) int partials; the segment dimension is
+    the broadcast small side with duplicate-row fanout. Replicates
+    whose total weight is 0 are dropped from the selection (SQL
+    NULL-mean rows, quantile ignores them). Contract: NULL
+    orderkey/custkey/price and non-finite prices are out."""
+    import hashlib
+
+    from .pairs import round_away
+
+    _NULLS = "\x00NULLSEG"
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = cust["c_custkey"]
+    ok = ck.notna()
+    seg = cust["c_mktsegment"].astype(object)
+    dim = pd.DataFrame({
+        "ck": ck[ok].to_numpy(np.int64),
+        "seg": seg[ok].where(seg[ok].notna(), None).map(
+            lambda s: _NULLS if s is None
+            else "S" + s.encode("utf-8", "surrogatepass").hex())})
+
+    _E = pa.table({"seg": pa.array([], pa.string()),
+                   "b": pa.array([], pa.int64()),
+                   "sw": pa.array([], pa.int64()),
+                   "nw": pa.array([], pa.int64()),
+                   "sc": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table, dimdf=dim, reps=B) -> pa.Table:
+        need = {"o_orderkey", "o_custkey", "o_totalprice"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        x = t.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(x)
+                & pc.is_valid(t.column("o_custkey")).to_numpy(
+                    zero_copy_only=False)
+                & pc.is_valid(t.column("o_orderkey")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        x = x[keep]
+        okey = t2.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ckey = t2.column("o_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        j = (pd.DataFrame({"ck": ckey, "okey": okey, "cents": cents})
+             .merge(dimdf, on="ck", how="inner"))
+        if not len(j):
+            return _E
+        segk = j["seg"].to_numpy(object)
+        okey = j["okey"].to_numpy(np.int64)
+        cents = j["cents"].to_numpy(np.int64)
+        w = np.empty((len(j), reps), np.int64)
+        for r in range(len(j)):
+            okb = str(int(okey[r]))
+            for b in range(reps):
+                u = int(hashlib.md5(
+                    f"pb|{b}|{okb}".encode()).hexdigest()[:13], 16)
+                k = 0
+                for thr in _POIS1_T:
+                    if u < thr:
+                        break
+                    k += 1
+                w[r, b] = k
+        codes, uniq = pd.factorize(pd.Series(segk, dtype=object))
+        # seg keys are hex-encoded → pandas NUL hash bug can't bite
+        m = len(uniq)
+        sw = np.zeros((m, reps), np.int64)
+        nw = np.zeros((m, reps), np.int64)
+        for b in range(reps):
+            np.add.at(sw[:, b], codes, w[:, b] * cents)
+            np.add.at(nw[:, b], codes, w[:, b])
+        sc = np.zeros(m, np.int64)
+        nn = np.zeros(m, np.int64)
+        np.add.at(sc, codes, cents)
+        np.add.at(nn, codes, np.ones(len(j), np.int64))
+        segs, bs, sws, nws, scs, ns = [], [], [], [], [], []
+        for i in range(m):
+            for b in range(reps):
+                segs.append(uniq[i])
+                bs.append(b)
+                sws.append(int(sw[i, b]))
+                nws.append(int(nw[i, b]))
+                scs.append(int(sc[i]) if b == 0 else 0)
+                ns.append(int(nn[i]) if b == 0 else 0)
+        return pa.table({"seg": pa.array(segs, pa.string()),
+                         "b": pa.array(bs, pa.int64()),
+                         "sw": pa.array(sws, pa.int64()),
+                         "nw": pa.array(nws, pa.int64()),
+                         "sc": pa.array(scs, pa.int64()),
+                         "n": pa.array(ns, pa.int64())})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    cols = {"segment": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "mean_cents": pd.Series(dtype="float64"),
+            "ci_lo": pd.Series(dtype="float64"),
+            "ci_hi": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    agg: dict = {}
+    for seg0, b, sw, nw, sc, n in parts.itertuples(index=False):
+        a = agg.setdefault(seg0, [np.zeros(B, object),
+                                  np.zeros(B, object), 0, 0])
+        a[0][b] += sw
+        a[1][b] += nw
+        a[2] += sc
+        a[3] += n
+    keys = sorted(agg, key=lambda s: (s == _NULLS, s))
+    rows = []
+    for k in keys:
+        sw, nw, sc, n = agg[k]
+        means = np.array([float(int(sw[b])) / int(nw[b])
+                          for b in range(B) if int(nw[b]) > 0],
+                         np.float64)
+        means.sort()
+        nb = len(means)
+        if nb == 0:
+            lo = hi = np.nan
+        else:
+            lo = means[int(np.ceil(0.025 * nb)) - 1] \
+                if int(np.ceil(0.025 * nb)) >= 1 else means[0]
+            hi = means[int(np.ceil(0.975 * nb)) - 1]
+        name = (None if k == _NULLS
+                else bytes.fromhex(k[1:]).decode("utf-8",
+                                                 "surrogatepass"))
+        rows.append((name, n, float(sc) / n if n else np.nan,
+                     lo, hi))
+    return pd.DataFrame({
+        "segment": pd.Series([r[0] for r in rows], dtype=object),
+        "n": pd.array([r[1] for r in rows], "int64"),
+        "mean_cents": round_away(np.array([r[2] for r in rows],
+                                          np.float64), 6),
+        "ci_lo": round_away(np.array([r[3] for r in rows],
+                                     np.float64), 6),
+        "ci_hi": round_away(np.array([r[4] for r in rows],
+                                     np.float64), 6)})
+
+
+def q_mad_outliers(sf_dir: str, thr: float = 5.1891,
+                   P: int = 8) -> pd.DataFrame:
+    """Median-absolute-deviation outlier screen per event type — the
+    robust z-score rule (|x − med| > 3.5·1.4826·MAD, the 5.1891
+    literal shared verbatim with the oracle). Both the median and the
+    MAD are quantile_disc ELEMENT SELECTIONS (index ceil(n/2)−1, the
+    probed lower-middle rule — no float aggregation ever), and the
+    outlier test is a fixed per-row double expression, so parity is
+    exact. ONE exchange keyed on the type: a type's values co-locate
+    once and both selection passes plus the count run in-bucket
+    (bounded-cardinality per-group sort by contract; q99's
+    rank-refinement is the unbounded path). Non-finite values are
+    out of contract (DuckDB NaN comparison semantics diverge from
+    IEEE); NULL type is out like q359."""
+    from .pairs import factorize_strings, hash_shuffle, round_away, \
+        str_u64
+
+    _E = pa.table({"ty": pa.array([], pa.string()),
+                   "x": pa.array([], pa.float64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"event_type", "value"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        x = t.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(x)
+                & pc.is_valid(t.column("event_type")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return _E
+        t2 = t.filter(pa.array(keep))
+        ty = t2.column("event_type").to_pylist()
+        return pa.table({
+            "ty": pa.array(ty, pa.string()),
+            "x": pa.array(x[keep]),
+            "bucket": pa.array(np.array(
+                [str_u64(s) & (P - 1) for s in ty], np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["ty"])
+        out = []
+        for tc, sub in df.assign(tc=codes).groupby("tc"):
+            xs = np.sort(sub["x"].to_numpy(np.float64))
+            n = len(xs)
+            med = float(xs[int(np.ceil(0.5 * n)) - 1])
+            ad = np.sort(np.abs(xs - med))
+            mad = float(ad[int(np.ceil(0.5 * n)) - 1])
+            n_out = int((np.abs(xs - med) > thr * mad).sum())
+            out.append((uniq[tc], n, med, mad, n_out))
+        return out
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    rows = [r for p in parts for r in p]
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "med": pd.Series(dtype="float64"),
+            "mad": pd.Series(dtype="float64"),
+            "n_outliers": pd.Series(dtype="int64"),
+            "outlier_rate": pd.Series(dtype="float64")}
+    if not rows:
+        return pd.DataFrame(cols)
+    rows.sort(key=lambda r: r[0].encode("utf-8",
+                                        "surrogatepass").hex())
+    return pd.DataFrame({
+        "event_type": pd.Series([r[0] for r in rows], dtype=object),
+        "n": pd.array([r[1] for r in rows], "int64"),
+        "med": np.array([r[2] for r in rows], np.float64),
+        "mad": np.array([r[3] for r in rows], np.float64),
+        "n_outliers": pd.array([r[4] for r in rows], "int64"),
+        "outlier_rate": round_away(np.array(
+            [r[4] / float(r[1]) for r in rows], np.float64), 6)})
