@@ -701,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q373_weighted_median": analytics.q_weighted_median,
         "q374_poisson_bootstrap": analytics.q_poisson_bootstrap,
         "q375_mad_outliers": analytics.q_mad_outliers,
+        "q376_boolean_retrieval": textops.q_boolean_retrieval,
+        "q377_bm25_topk": textops.q_bm25_topk,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -4006,6 +4008,87 @@ def oracle_sql() -> dict[str, str]:
                        AS outlier_rate
             FROM f JOIN m ON m.ty = f.ty JOIN d ON d.ty = f.ty
             ORDER BY event_type
+        """,
+        "q376_boolean_retrieval": f"""
+            WITH toks AS (
+                SELECT doc_id, source, {_TOKS} AS ts
+                FROM documents WHERE doc_id IS NOT NULL),
+            dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w
+                   FROM toks),
+            dfq AS (SELECT w, count(*)::BIGINT AS df
+                    FROM dt
+                    WHERE length(w) > 2
+                          AND w NOT IN ({_STOPLIST_SQL})
+                    GROUP BY w),
+            terms AS (SELECT w FROM dfq
+                      ORDER BY df DESC, w ASC LIMIT 3),
+            nt AS (SELECT count(*)::BIGINT AS c FROM terms),
+            hits AS (SELECT dt.doc_id
+                     FROM dt JOIN terms ON terms.w = dt.w
+                     GROUP BY dt.doc_id
+                     HAVING count(*) = (SELECT c FROM nt)
+                            AND (SELECT c FROM nt) > 0),
+            t AS (SELECT source, count(*)::BIGINT AS n_docs
+                  FROM toks GROUP BY source),
+            h AS (SELECT tk.source, count(*)::BIGINT AS n_hits
+                  FROM hits JOIN toks tk ON tk.doc_id = hits.doc_id
+                  GROUP BY tk.source),
+            ts AS (SELECT string_agg(w, ' '
+                              ORDER BY df DESC, w ASC) AS terms
+                   FROM (SELECT w, df FROM dfq
+                         ORDER BY df DESC, w ASC LIMIT 3))
+            SELECT t.source, t.n_docs,
+                   coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+                   round(coalesce(h.n_hits, 0)
+                         / CAST(t.n_docs AS DOUBLE), 6) AS hit_rate,
+                   (SELECT terms FROM ts) AS terms
+            FROM t LEFT JOIN h
+                 ON h.source IS NOT DISTINCT FROM t.source
+            ORDER BY t.source
+        """,
+        "q377_bm25_topk": f"""
+            WITH toks AS (
+                SELECT doc_id, {_TOKS} AS ts
+                FROM documents WHERE doc_id IS NOT NULL),
+            n AS (SELECT count(*)::BIGINT AS nd,
+                         coalesce(sum(len(ts)), 0)::BIGINT AS tl
+                  FROM toks),
+            dt AS (SELECT DISTINCT doc_id, unnest(ts) AS w
+                   FROM toks),
+            dfq AS (SELECT w, count(*)::BIGINT AS df
+                    FROM dt
+                    WHERE length(w) > 2
+                          AND w NOT IN ({_STOPLIST_SQL})
+                    GROUP BY w),
+            terms AS (SELECT w, df,
+                             row_number() OVER (ORDER BY df DESC,
+                                                w ASC) AS ti
+                      FROM dfq ORDER BY df DESC, w ASC LIMIT 3),
+            tf AS (SELECT s.doc_id, len(s.ts)::BIGINT AS dl, t.ti,
+                          t.df,
+                          len(list_filter(s.ts, x -> x = t.w))
+                              ::BIGINT AS tf
+                   FROM toks s CROSS JOIN terms t),
+            comp AS (
+                SELECT doc_id, dl, ti,
+                       CASE WHEN tf > 0 THEN
+                           ln(1 + (n.nd - df + 0.5) / (df + 0.5))
+                           * (tf * 2.2)
+                           / (tf + 1.2 * (0.25 + 0.75 * dl
+                               / (CAST(n.tl AS DOUBLE) / n.nd)))
+                       ELSE 0.0 END AS s
+                FROM tf CROSS JOIN n),
+            p AS (SELECT doc_id, min(dl)::BIGINT AS dl,
+                         coalesce(max(CASE WHEN ti = 1
+                                           THEN s END), 0) AS s1,
+                         coalesce(max(CASE WHEN ti = 2
+                                           THEN s END), 0) AS s2,
+                         coalesce(max(CASE WHEN ti = 3
+                                           THEN s END), 0) AS s3
+                  FROM comp GROUP BY doc_id)
+            SELECT doc_id, dl, round(s1 + s2 + s3, 6) AS bm25
+            FROM p WHERE s1 + s2 + s3 > 0
+            ORDER BY bm25 DESC, doc_id LIMIT 10
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3355,3 +3355,43 @@ def test_poisson_bootstrap_props(ray_session, tmp_path):
     assert abs(r["mean_cents"] - exp) < 1e-6
     assert r["ci_lo"] <= r["mean_cents"] <= r["ci_hi"]
     assert r["ci_hi"] - r["ci_lo"] < 200  # tight CI for tight data
+
+
+def test_boolean_retrieval_hand(ray_session, tmp_path):
+    """q376: the top-3 df terms are selected (df DESC, token ASC);
+    only docs containing ALL of them count as hits."""
+    from web_scrapper_ray.pipelines.textops import q_boolean_retrieval
+
+    docs = ["alpha beta gamma", "alpha beta gamma delta",
+            "alpha beta", "alpha other words here"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "source": pa.array(["s"] * 4),
+        "text": pa.array(docs),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_boolean_retrieval(str(tmp_path))
+    r = out.iloc[0]
+    # df: alpha=4, beta=3, gamma=2 → terms 'alpha beta gamma'
+    assert r["terms"] == "alpha beta gamma"
+    assert (r["n_docs"], r["n_hits"]) == (4, 2)
+
+
+def test_bm25_topk_hand(ray_session, tmp_path):
+    """q377: higher tf of the rarest query term wins; scores are
+    positive only for docs matching ≥1 term."""
+    from web_scrapper_ray.pipelines.textops import q_bm25_topk
+
+    docs = ["apple apple apple banana cherry",
+            "apple banana cherry",
+            "banana cherry",
+            "unrelated words entirely"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "source": pa.array(["s"] * 4),
+        "text": pa.array(docs),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_bm25_topk(str(tmp_path))
+    assert 3 not in set(out["doc_id"])
+    assert len(out) == 3
+    assert out["bm25"].iloc[0] >= out["bm25"].iloc[-1]
+    assert out.iloc[0]["doc_id"] == 0  # tf-heavy doc ranks first

@@ -12,6 +12,7 @@ Integer-arithmetic score rules keep the DuckDB oracle SQL bit-exact.
 from __future__ import annotations
 
 import hashlib
+import math
 import os
 import re
 from collections import Counter
@@ -4585,3 +4586,251 @@ def q_repetition_ratio(sf_dir: str, k: int = 3) -> pd.DataFrame:
             np.float64), 6),
         "n_high_rep": pd.array([int(agg[i, 3]) for i in order],
                                "int64")})
+
+
+def _corpus_df_stats(sf_dir: str, k: int = 3, P: int = 32):
+    """Shared pass 1 of the IR pair (q376/q377): exact document
+    frequencies via a token-keyed exchange with per-bucket top-k
+    (the driver folds P·k rows, never the vocabulary), plus the
+    corpus scalars (N docs, total token mass) from per-block
+    partials. Tokenization is the q13 keyword contract (ASCII \\w,
+    lowered, len>2, non-stopword) so the SQL twins share macros.
+    Returns (terms, N, total_len) where terms is the top-k list of
+    (token, df) by (df DESC, token ASC)."""
+    from .pairs import hash_shuffle, str_u64
+
+    _E = pa.table({"w": pa.array([], pa.string()),
+                   "df": pa.array([], pa.int64()),
+                   "nd": pa.array([], pa.int64()),
+                   "tl": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"doc_id", "text"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        dfc: Counter = Counter()
+        nd = 0
+        tl = 0
+        for txt in t2.column("text").to_pylist():
+            nd += 1
+            toks = _TOKEN_RX.findall((txt or "").lower())
+            tl += len(toks)
+            seen = {w for w in toks
+                    if len(w) > 2 and w not in STOP_WORDS}
+            dfc.update(seen)
+        ws = list(dfc)
+        if not ws:  # scalar-only partial (no eligible tokens)
+            return pa.table({"w": pa.array([""], pa.string()),
+                             "df": pa.array([0], pa.int64()),
+                             "nd": pa.array([nd], pa.int64()),
+                             "tl": pa.array([tl], pa.int64()),
+                             "bucket": pa.array([0], pa.int64())})
+        n = len(ws)
+        # corpus scalars ride row 0 of each block's partial
+        return pa.table({
+            "w": pa.array(ws, pa.string()),
+            "df": pa.array([dfc[w] for w in ws], pa.int64()),
+            "nd": pa.array([nd] + [0] * (n - 1), pa.int64()),
+            "tl": pa.array([tl] + [0] * (n - 1), pa.int64()),
+            "bucket": pa.array([str_u64(w) & (P - 1) for w in ws],
+                               pa.int64())})
+
+    def merge(*tabs) -> tuple:
+        live = [x for x in tabs if x.num_rows]
+        if not live:
+            return ((), 0, 0)
+        df = pa.concat_tables(
+            [x.drop_columns(["bucket"]) for x in live]).to_pandas()
+        nd = int(df["nd"].sum())
+        tl = int(df["tl"].sum())
+        toks = df[(df["df"] > 0)]
+        if len(toks):
+            # hex keys — NUL-bearing tokens can't merge wrongly
+            hx = toks["w"].map(
+                lambda s: s.encode("utf-8", "surrogatepass").hex())
+            g = (pd.DataFrame({"hx": hx,
+                               "df": toks["df"].to_numpy(np.int64)})
+                 .groupby("hx")["df"].sum())
+            top = sorted(g.items(), key=lambda it: (-it[1], it[0]))[:k]
+            top = tuple((bytes.fromhex(h).decode("utf-8",
+                                                 "surrogatepass"),
+                         int(c)) for h, c in top)
+        else:
+            top = ()
+        return (top, nd, tl)
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    nd = sum(p[1] for p in parts)
+    tl = sum(p[2] for p in parts)
+    cand = [t for p in parts for t in p[0]]
+    cand.sort(key=lambda it: (-it[1],
+                              it[0].encode("utf-8",
+                                           "surrogatepass").hex()))
+    return cand[:k], nd, tl
+
+
+def q_boolean_retrieval(sf_dir: str, k: int = 3) -> pd.DataFrame:
+    """Conjunctive (AND) boolean retrieval over the corpus — search
+    primitive: pick the k=3 highest-document-frequency keyword terms
+    (deterministic tie order: df DESC, token bytes ASC), then count
+    per source how many documents contain ALL of them. Pass 1 is the
+    shared exact-df exchange (`_corpus_df_stats`); pass 2 broadcasts
+    the 3 terms and streams per-source int partials — a membership
+    test per doc, no exchange at all. NULL doc_id out of contract;
+    NULL source is a group."""
+    from .pairs import factorize_strings, round_away
+
+    terms, nd, tl = _corpus_df_stats(sf_dir, k=k)
+    tset = [t for t, _ in terms]
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"src": pa.array([], pa.string()),
+                   "n": pa.array([], pa.int64()),
+                   "h": pa.array([], pa.int64())})
+
+    def partial(t: pa.Table, want=tuple(tset)) -> pa.Table:
+        need = {"doc_id", "text", "source"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        src = pd.Series(t2.column("source").to_pylist(), dtype=object)
+        keyed = src.map(lambda s: _NULL if s is None
+                        else "S" + s.encode("utf-8",
+                                            "surrogatepass").hex())
+        codes, uniq = pd.factorize(keyed)
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        h = np.zeros(len(uniq), np.int64)
+        for c, txt in zip(codes, t2.column("text").to_pylist()):
+            toks = set(_TOKEN_RX.findall((txt or "").lower()))
+            if want and all(w in toks for w in want):
+                h[c] += 1
+        return pa.table({"src": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "h": pa.array(h)})
+
+    parts = _docs(sf_dir, columns=["doc_id", "source", "text"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object"),
+            "n_docs": pd.Series(dtype="int64"),
+            "n_hits": pd.Series(dtype="int64"),
+            "hit_rate": pd.Series(dtype="float64"),
+            "terms": pd.Series(dtype="object")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"],
+                                    use_na_sentinel=False)
+    n = np.zeros(len(uniq), np.int64)
+    h = np.zeros(len(uniq), np.int64)
+    np.add.at(n, codes, parts["n"].to_numpy(np.int64))
+    np.add.at(h, codes, parts["h"].to_numpy(np.int64))
+    order = sorted(range(len(uniq)),
+                   key=lambda i: (uniq[i] == _NULL, uniq[i]))
+    order = [i for i in order if n[i] > 0]
+    tstr = " ".join(tset) if tset else None
+    return pd.DataFrame({
+        "source": pd.Series(
+            [None if uniq[i] == _NULL
+             else bytes.fromhex(uniq[i][1:]).decode(
+                 "utf-8", "surrogatepass") for i in order],
+            dtype=object),
+        "n_docs": pd.array([int(n[i]) for i in order], "int64"),
+        "n_hits": pd.array([int(h[i]) for i in order], "int64"),
+        "hit_rate": round_away(np.array(
+            [h[i] / float(n[i]) for i in order], np.float64), 6),
+        "terms": pd.Series([tstr] * len(order), dtype=object)})
+
+
+def q_bm25_topk(sf_dir: str, k: int = 3, topn: int = 10,
+                k1: float = 1.2, b: float = 0.75) -> pd.DataFrame:
+    """Okapi BM25 top-N retrieval for the corpus's own top-df keyword
+    query — the ranked-search primitive over the same two-pass plan
+    as q376: pass 1 exact df + corpus scalars, pass 2 broadcasts the
+    scored terms and every block emits only its LOCAL top-N partial
+    (the driver folds P·N rows — classic distributed top-k). The
+    score is a FIXED 3-term expression in the deterministic term
+    order (pivoted on both sides — no float aggregate of data-
+    dependent width), mirrored op-for-op against the oracle:
+    idf·(tf·(k1+1)) / (tf + k1·(1−b + b·dl/avgdl)); ln's last-ulp
+    libm variation is continuous-valued → 6dp round. Ties break on
+    doc_id; the ORDER BY binds to the ROUNDED score (q218 rule)."""
+    from .pairs import round_away
+
+    terms, nd, tl = _corpus_df_stats(sf_dir, k=k)
+    cols = {"doc_id": pd.Series(dtype="int64"),
+            "dl": pd.Series(dtype="int64"),
+            "bm25": pd.Series(dtype="float64")}
+    if not terms or nd == 0 or tl == 0:
+        return pd.DataFrame(cols)
+    avgdl = float(tl) / nd
+    idfs = tuple(math.log(1.0 + (nd - dfv + 0.5) / (dfv + 0.5))
+                 for _, dfv in terms)
+    tws = tuple(t for t, _ in terms)
+
+    _E = pa.table({"doc_id": pa.array([], pa.int64()),
+                   "dl": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.float64())})
+
+    def partial(t: pa.Table, want=tws, idf=idfs) -> pa.Table:
+        need = {"doc_id", "text"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        ids = t2.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        out_id, out_dl, out_s = [], [], []
+        for did, txt in zip(ids, t2.column("text").to_pylist()):
+            toks = _TOKEN_RX.findall((txt or "").lower())
+            dl = len(toks)
+            cnt = Counter(toks)
+            s = 0.0
+            for w, iv in zip(want, idf):
+                tf = cnt.get(w, 0)
+                if tf > 0:
+                    s += (iv * (tf * (k1 + 1.0))
+                          / (tf + k1 * ((1.0 - b)
+                                        + b * dl / avgdl)))
+                else:
+                    s += 0.0
+            if s > 0:
+                out_id.append(int(did))
+                out_dl.append(dl)
+                out_s.append(s)
+        if not out_id:
+            return _E
+        df = pd.DataFrame({"doc_id": out_id, "dl": out_dl,
+                           "s": out_s})
+        df["r"] = round_away(df["s"].to_numpy(np.float64), 6)
+        df = (df.sort_values("doc_id", kind="stable")
+              .sort_values("r", kind="stable", ascending=False)
+              .head(topn))
+        return pa.table({"doc_id": pa.array(
+            df["doc_id"].to_numpy(np.int64)),
+            "dl": pa.array(df["dl"].to_numpy(np.int64)),
+            "s": pa.array(df["s"].to_numpy(np.float64))})
+
+    parts = _docs(sf_dir, columns=["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(cols)
+    parts = parts.copy()
+    parts["r"] = round_away(parts["s"].to_numpy(np.float64), 6)
+    parts = (parts.sort_values("doc_id", kind="stable")
+             .sort_values("r", kind="stable", ascending=False)
+             .head(topn))
+    return pd.DataFrame({
+        "doc_id": parts["doc_id"].to_numpy(np.int64),
+        "dl": parts["dl"].to_numpy(np.int64),
+        "bm25": parts["r"].to_numpy(np.float64)}).reset_index(
+        drop=True)
