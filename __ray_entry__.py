@@ -703,6 +703,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q375_mad_outliers": analytics.q_mad_outliers,
         "q376_boolean_retrieval": textops.q_boolean_retrieval,
         "q377_bm25_topk": textops.q_bm25_topk,
+        "q378_load_fairness": analytics.q_load_fairness,
+        "q379_filter_verdicts": textops.q_filter_verdicts,
+        # MMR diversified re-rank (greedy sequential selection — no
+        # SQL twin); planted-cluster pytest pins diversification
+        "q380_mmr_rerank": similarity.q_mmr_rerank,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -4089,6 +4094,86 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, dl, round(s1 + s2 + s3, 6) AS bm25
             FROM p WHERE s1 + s2 + s3 > 0
             ORDER BY bm25 DESC, doc_id LIMIT 10
+        """,
+        "q378_load_fairness": """
+            WITH e AS (
+                SELECT event_type AS ty, user_id AS u
+                FROM events
+                WHERE event_type IS NOT NULL
+                      AND user_id IS NOT NULL),
+            g AS (SELECT ty, u, count(*)::BIGINT AS x
+                  FROM e GROUP BY ty, u),
+            s AS (SELECT ty, count(*)::BIGINT AS nu,
+                         sum(x)::BIGINT AS sx,
+                         sum(x::HUGEINT * x) AS sxx,
+                         max(x)::BIGINT AS mx
+                  FROM g GROUP BY ty)
+            SELECT ty AS event_type, nu AS n_users,
+                   sx AS n_events,
+                   round(CAST(sx::HUGEINT * sx AS DOUBLE)
+                         / (CAST(nu AS DOUBLE)
+                            * CAST(sxx AS DOUBLE)), 6) AS jain,
+                   round(CAST(mx::HUGEINT * nu AS DOUBLE) / sx, 6)
+                       AS max_over_mean
+            FROM s ORDER BY ty
+        """,
+        "q379_filter_verdicts": f"""
+            WITH d AS (
+                SELECT doc_id, source, coalesce(text, '') AS text
+                FROM documents WHERE doc_id IS NOT NULL),
+            m AS (
+                SELECT doc_id, source,
+                       len(regexp_extract_all(text, '\\w+'))
+                           ::BIGINT AS n,
+                       length(array_to_string(
+                           regexp_extract_all(text, '\\w+'), ''))
+                           ::BIGINT AS chars,
+                       len(list_filter({_TOKS},
+                           x -> list_contains([{_STOPLIST_SQL}], x)))
+                           ::BIGINT AS nstop,
+                       list_filter(regexp_split_to_array(text,
+                           '[ \t\n\r\f\v]+'), x -> x <> '') AS wt,
+                       len(regexp_extract_all(text,
+                           '[^\\w\t\n\f\r ]'))::BIGINT AS nsym,
+                       length(text)::BIGINT AS call
+                FROM d),
+            gr AS (
+                SELECT doc_id,
+                       array_to_string(list_slice(wt, i, i + 2),
+                                       ' ') AS gram
+                FROM (SELECT doc_id, wt,
+                             unnest(range(1, len(wt) - 1)) AS i
+                      FROM m WHERE len(wt) >= 3)),
+            dd AS (SELECT doc_id, count(*)::BIGINT AS tot3,
+                          count(DISTINCT gram)::BIGINT AS dst
+                   FROM gr GROUP BY doc_id),
+            g3 AS (
+                SELECT m.source, m.n, m.chars, m.nstop, m.nsym,
+                       m.call,
+                       coalesce(dd.tot3, 0) AS tot3,
+                       coalesce(dd.tot3 - dd.dst, 0) AS dup
+                FROM m LEFT JOIN dd ON dd.doc_id = m.doc_id),
+            v AS (
+                SELECT source,
+                       (n < 50 OR n > 100000) AS r1,
+                       ((3 * n > chars) OR (chars > 10 * n)) AS r2,
+                       (20 * nstop < n) AS r3,
+                       (5 * dup > tot3) AS r4,
+                       (10 * nsym > call) AS r5
+                FROM g3)
+            SELECT source,
+                   count(*)::BIGINT AS n_docs,
+                   sum((NOT (r1 OR r2 OR r3 OR r4 OR r5))::INT)
+                       ::BIGINT AS n_kept,
+                   sum(r1::INT)::BIGINT AS r1_size,
+                   sum(r2::INT)::BIGINT AS r2_shape,
+                   sum(r3::INT)::BIGINT AS r3_stopword,
+                   sum(r4::INT)::BIGINT AS r4_repetition,
+                   sum(r5::INT)::BIGINT AS r5_symbol,
+                   round(sum((NOT (r1 OR r2 OR r3 OR r4 OR r5))
+                             ::INT) / CAST(count(*) AS DOUBLE), 6)
+                       AS keep_rate
+            FROM v GROUP BY source ORDER BY source
         """,
         "q359_hour_uniformity": """
             WITH e AS (

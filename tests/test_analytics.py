@@ -3395,3 +3395,74 @@ def test_bm25_topk_hand(ray_session, tmp_path):
     assert len(out) == 3
     assert out["bm25"].iloc[0] >= out["bm25"].iloc[-1]
     assert out.iloc[0]["doc_id"] == 0  # tf-heavy doc ranks first
+
+
+def test_load_fairness_exact(ray_session, tmp_path):
+    """q378: even load → jain 1; one-user monopoly of n users →
+    jain 1/n and max/mean = n."""
+    from web_scrapper_ray.pipelines.analytics import q_load_fairness
+
+    rows = ([("even", u) for u in (1, 2, 3, 4)]
+            + [("skew", 9)] * 8 + [("skew", 10), ("skew", 11)])
+    pq.write_table(pa.table({
+        "event_type": pa.array([r[0] for r in rows]),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_load_fairness(str(tmp_path))
+    g = {r.event_type: r for r in out.itertuples(index=False)}
+    assert g["even"].jain == 1.0 and g["even"].max_over_mean == 1.0
+    # skew: x = [8,1,1] → J = 100/(3·66) = 0.505051
+    assert abs(g["skew"].jain - 100 / 198) < 2e-6
+    assert abs(g["skew"].max_over_mean - 2.4) < 2e-6
+
+
+def test_filter_verdicts_rules(ray_session, tmp_path):
+    """q379: each rule fires on its planted doc; a clean doc keeps."""
+    from web_scrapper_ray.pipelines.textops import q_filter_verdicts
+
+    clean = " ".join(f"word{i} the" for i in range(40))
+    short = "tiny doc"
+    rep = ("spam ham eggs " * 40)  # long enough, heavy 3-gram dup
+    sym = ("the word " * 30) + ("@#$%^&*()!" * 40)
+    pq.write_table(pa.table({
+        "doc_id": pa.array(range(4), pa.int64()),
+        "source": pa.array(["s"] * 4),
+        "text": pa.array([clean, short, rep, sym]),
+    }), str(tmp_path / "documents.parquet"))
+    out = q_filter_verdicts(str(tmp_path))
+    r = out.iloc[0]
+    assert r["n_docs"] == 4
+    assert r["r1_size"] >= 1       # short doc
+    assert r["r4_repetition"] >= 1  # repeated doc
+    assert r["r5_symbol"] >= 1     # symbol doc
+    assert r["n_kept"] >= 1        # clean doc survives
+
+
+def test_mmr_rerank_diversifies(ray_session, tmp_path):
+    """q380: with a cluster of near-copies of the query and one
+    distinct-direction vector, plain relevance would fill the top
+    slots with the copies; MMR pulls the diverse vector up."""
+    from web_scrapper_ray.pipelines.similarity import q_mmr_rerank
+
+    rng = np.random.default_rng(7)
+    query = np.array([1.0, 0.0, 0.0, 0.0])
+    clus = np.array([0.8, 0.6, 0.0, 0.0])   # rel .8, tight cluster
+    div = np.array([0.75, 0.0, 0.661, 0.0])  # rel .75, far from clus
+    vecs = [query]  # vec_id 0 = query
+    for i in range(6):  # near-copies of the cluster center
+        v = clus + rng.normal(0, 0.005, 4)
+        vecs.append(v / np.linalg.norm(v))
+    vecs.append(div / np.linalg.norm(div))  # vec_id 7
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array([0] * len(vecs), pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_mmr_rerank(str(tmp_path), k=3)
+    assert len(out) == 3
+    assert out.iloc[0]["rank"] == 1
+    # the diverse vector is selected by step 2 or 3
+    assert 7 in set(out["vec_id"][:3])
+    out2 = q_mmr_rerank(str(tmp_path), k=3)
+    pd.testing.assert_frame_equal(out, out2)  # deterministic

@@ -15317,3 +15317,96 @@ def q_mad_outliers(sf_dir: str, thr: float = 5.1891,
         "n_outliers": pd.array([r[4] for r in rows], "int64"),
         "outlier_rate": round_away(np.array(
             [r[4] / float(r[1]) for r in rows], np.float64), 6)})
+
+
+def q_load_fairness(sf_dir: str, P: int = 16) -> pd.DataFrame:
+    """Jain's fairness index of per-user event load, per event type —
+    the skew audit for partition/load planning (J = (Σx)²/(n·Σx²),
+    1 = perfectly even, 1/n = one user owns everything). EXACT:
+    per-(type,user) counts finalize inside one hash exchange keyed on
+    the pair, each bucket folds to per-type (n_users, Σx, Σx², max)
+    partials — all mergeable, so types spanning buckets recombine on
+    the driver (the q50 regroup rule) — and the index is one double
+    division over exact ints (HUGEINT squares in the oracle). Also
+    emits max/mean — the straggler ratio. NULL type/user out of
+    contract."""
+    from .pairs import factorize_strings, hash_shuffle, round_away, \
+        str_u64
+
+    _E = pa.table({"ty": pa.array([], pa.string()),
+                   "u": pa.array([], pa.int64()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"event_type", "user_id"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("event_type")),
+                       pc.is_valid(t.column("user_id")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ty = pd.Series(t2.column("event_type").to_pylist(),
+                       dtype=object)
+        codes, uniq = factorize_strings(ty)
+        g = (pd.DataFrame({"tc": codes, "u": u})
+             .groupby(["tc", "u"], sort=False).size()
+             .reset_index(name="c"))
+        names = [uniq[i] for i in g["tc"]]
+        bucket = np.array(
+            [(str_u64(n) ^ int(np.uint64(uu) * np.uint64(
+                0x9E3779B97F4A7C15) >> np.uint64(40))) & (P - 1)
+             for n, uu in zip(names, g["u"])], np.int64)
+        return pa.table({"ty": pa.array(names, pa.string()),
+                         "u": pa.array(g["u"].to_numpy(np.int64)),
+                         "c": pa.array(g["c"].to_numpy(np.int64)),
+                         "bucket": pa.array(bucket)})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["ty"])
+        out = []
+        for tc, sub in df.assign(tc=codes).groupby(
+                ["tc", "u"], sort=False)["c"].sum().groupby(level=0):
+            xs = sub.to_numpy(np.int64)
+            sx = sum(int(v) for v in xs)
+            sxx = sum(int(v) * int(v) for v in xs)
+            out.append((uniq[tc], len(xs), sx, sxx, int(xs.max())))
+        return out
+
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    agg: dict = {}
+    for p in parts:
+        for ty, nu, sx, sxx, mx in p:
+            key = ty.encode("utf-8", "surrogatepass").hex()
+            a = agg.setdefault(key, [ty, 0, 0, 0, 0])
+            a[1] += nu
+            a[2] += sx
+            a[3] += sxx
+            a[4] = max(a[4], mx)
+    cols = {"event_type": pd.Series(dtype="object"),
+            "n_users": pd.Series(dtype="int64"),
+            "n_events": pd.Series(dtype="int64"),
+            "jain": pd.Series(dtype="float64"),
+            "max_over_mean": pd.Series(dtype="float64")}
+    if not agg:
+        return pd.DataFrame(cols)
+    rows = [agg[k] for k in sorted(agg)]
+    return pd.DataFrame({
+        "event_type": pd.Series([r[0] for r in rows], dtype=object),
+        "n_users": pd.array([r[1] for r in rows], "int64"),
+        "n_events": pd.array([r[2] for r in rows], "int64"),
+        "jain": round_away(np.array(
+            [float(r[2] * r[2]) / (float(r[1]) * float(r[3]))
+             for r in rows], np.float64), 6),
+        "max_over_mean": round_away(np.array(
+            [float(r[4] * r[1]) / r[2] for r in rows],
+            np.float64), 6)})

@@ -2402,3 +2402,90 @@ def q_label_centroid_drift(sf_dir: str, P: int = 8) -> pd.DataFrame:
         "n": pd.array(n_o, "int64"),
         "cos_to_global": round_away(np.array(cos_o, np.float64), 6),
         "l2_to_global": round_away(np.array(l2_o, np.float64), 6)})
+
+
+def q_mmr_rerank(sf_dir: str, pool: int = 20, k: int = 5,
+                 lam: float = 0.7) -> pd.DataFrame:
+    """Maximal-Marginal-Relevance diversified re-ranking (Carbonell &
+    Goldstein) — the de-dup step between retrieval and an LLM context
+    window: greedily pick k results maximizing λ·rel(q,d) −
+    (1−λ)·max_{s∈S} sim(d,s). Two stages: (1) the candidate pool is
+    a distributed cosine top-`pool` against the broadcast query (the
+    q24 partial-top-k pattern — corpus streams, driver folds P·pool
+    rows); (2) the greedy selection is inherently sequential over k
+    steps × pool candidates — O(k·pool) on the driver by design,
+    with the pool vectors fetched via one pushdown read. Query = the
+    corpus's minimum vec_id (deterministic). No SQL twin (greedy
+    sequential dependence); the planted-cluster pytest pins the
+    diversification behavior. Ties break to the lower vec_id at both
+    stages."""
+    from ray.data.aggregate import Min
+
+    ds = _emb(sf_dir)
+    # deterministic query: the minimum vec_id (streamed min)
+    agg = ds.aggregate(Min("vec_id"))
+    qid = agg.get("min(vec_id)") if isinstance(agg, dict) else agg
+    cols = {"rank": pd.Series(dtype="int64"),
+            "vec_id": pd.Series(dtype="int64"),
+            "rel": pd.Series(dtype="float64"),
+            "mmr": pd.Series(dtype="float64")}
+    if qid is None:
+        return pd.DataFrame(cols)
+    qids, qmat = _query_matrix(sf_dir, [int(qid)])
+    if len(qids) == 0:
+        return pd.DataFrame(cols)
+    qv = _unit(qmat.astype(np.float64))[0]
+
+    def topk_part(batch: pa.Table, q=None) -> pa.Table:
+        ids, mat = _batch_matrix(batch)
+        if len(ids) == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "rel": pa.array([], pa.float64())})
+        um = _unit(mat)
+        rel = um @ q
+        keep = ids != int(qid)
+        ids, rel = ids[keep], rel[keep]
+        if len(ids) > pool:
+            part = np.argpartition(-rel, pool - 1)[:pool]
+            ids, rel = ids[part], rel[part]
+        return pa.table({"vec_id": pa.array(ids.astype(np.int64)),
+                         "rel": pa.array(rel.astype(np.float64))})
+
+    import functools
+    parts = ds.map_batches(
+        functools.partial(topk_part, q=qv),
+        batch_format="pyarrow").to_pandas()
+    if not len(parts):
+        return pd.DataFrame(cols)
+    parts = (parts.sort_values("vec_id", kind="stable")
+             .sort_values("rel", kind="stable", ascending=False)
+             .head(pool))
+    cand_ids = parts["vec_id"].to_numpy(np.int64)
+    rels = parts["rel"].to_numpy(np.float64)
+    vids, vmat = _query_matrix(sf_dir, [int(i) for i in cand_ids])
+    lut = {int(v): i for i, v in enumerate(vids)}
+    um = _unit(vmat.astype(np.float64))
+    order = np.array([lut[int(i)] for i in cand_ids])
+    um = um[order]
+    sims = um @ um.T
+    chosen: list = []
+    avail = list(range(len(cand_ids)))
+    out = []
+    for step in range(min(k, len(avail))):
+        best, best_s = None, -np.inf
+        for i in avail:
+            div = max((float(sims[i, j]) for j in chosen),
+                      default=0.0)
+            s = lam * float(rels[i]) - (1.0 - lam) * div
+            if s > best_s or (s == best_s and best is not None
+                              and cand_ids[i] < cand_ids[best]):
+                best, best_s = i, s
+        chosen.append(best)
+        avail.remove(best)
+        out.append((step + 1, int(cand_ids[best]),
+                    float(rels[best]), float(best_s)))
+    return pd.DataFrame({
+        "rank": pd.array([r[0] for r in out], "int64"),
+        "vec_id": pd.array([r[1] for r in out], "int64"),
+        "rel": np.round([r[2] for r in out], 6),
+        "mmr": np.round([r[3] for r in out], 6)})

@@ -4834,3 +4834,112 @@ def q_bm25_topk(sf_dir: str, k: int = 3, topn: int = 10,
         "dl": parts["dl"].to_numpy(np.int64),
         "bm25": parts["r"].to_numpy(np.float64)}).reset_index(
         drop=True)
+
+
+_SYM_RX = re.compile(r"[^\w\t\n\f\r ]", re.ASCII)
+# explicit class: Python ASCII \s includes \v, RE2 \s does not —
+# spell the whitespace set out so both sides agree on every byte
+
+
+def q_filter_verdicts(sf_dir: str) -> pd.DataFrame:
+    """The composite C4/Gopher-style quality-filter pass — the
+    keep/drop verdict table a training-corpus build runs per doc,
+    with per-rule firing counts per source. Five rules, every one an
+    EXACT integer test (cross-multiplied thresholds — no float ever):
+      R1 size: n_tokens < 50 or > 100000 (ASCII \\w tokens, raw text)
+      R2 shape: mean token length outside [3,10] ⇔
+                3·n > chars or chars > 10·n
+      R3 stopwords: 20·n_stop < n_tokens (q15's threshold shape)
+      R4 repetition: duplicate 3-gram mass > 0.2 ⇔ 5·dup > total
+                     (whitespace shingles, the q366 contract)
+      R5 symbols: non-word-non-space chars > 10% ⇔ 10·sym > chars_all
+    keep = no rule fired. One streamed pass of per-source int
+    partials (per-doc work stays in its batch; no shuffle). NULL text
+    fires R1 (0 tokens); NULL doc_id out of contract; NULL source is
+    a group."""
+    from .pairs import factorize_strings, round_away
+
+    _NULL = "\x00NULLSRC"
+    _E = pa.table({"src": pa.array([], pa.string())} | {
+        c: pa.array([], pa.int64())
+        for c in ("n", "k", "r1", "r2", "r3", "r4", "r5")})
+
+    def partial(t: pa.Table) -> pa.Table:
+        need = {"doc_id", "text", "source"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        src = pd.Series(t2.column("source").to_pylist(), dtype=object)
+        keyed = src.map(lambda s: _NULL if s is None
+                        else "S" + s.encode("utf-8",
+                                            "surrogatepass").hex())
+        codes, uniq = pd.factorize(keyed)
+        m = len(uniq)
+        acc = np.zeros((m, 7), np.int64)  # n k r1..r5
+        for c, txt in zip(codes, t2.column("text").to_pylist()):
+            raw = txt or ""
+            toks = _TOKEN_RX.findall(raw)
+            n = len(toks)
+            chars = sum(len(w) for w in toks)
+            low = raw.lower()
+            ltoks = _TOKEN_RX.findall(low)
+            nstop = sum(1 for w in ltoks if w in STOP_WORDS)
+            wtoks = [x for x in _WS_RX.split(raw) if x]
+            t3 = len(wtoks) - 2
+            dup = (t3 - len({" ".join(wtoks[i:i + 3])
+                             for i in range(t3)})) if t3 >= 1 else 0
+            tot3 = max(t3, 0)
+            nsym = len(_SYM_RX.findall(raw))
+            call = len(raw)
+            r1 = n < 50 or n > 100000
+            r2 = (3 * n > chars) or (chars > 10 * n)
+            r3 = 20 * nstop < n
+            r4 = 5 * dup > tot3
+            r5 = 10 * nsym > call
+            acc[c, 0] += 1
+            fired = (r1, r2, r3, r4, r5)
+            if not any(fired):
+                acc[c, 1] += 1
+            for j, f in enumerate(fired):
+                if f:
+                    acc[c, 2 + j] += 1
+        return pa.table({"src": pa.array(list(uniq), pa.string())} | {
+            nm: pa.array(acc[:, j])
+            for j, nm in enumerate(("n", "k", "r1", "r2", "r3",
+                                    "r4", "r5"))})
+
+    parts = _docs(sf_dir, columns=["doc_id", "source", "text"]
+                  ).map_batches(partial,
+                                batch_format="pyarrow").to_pandas()
+    cols = {"source": pd.Series(dtype="object")} | {
+        c: pd.Series(dtype="int64")
+        for c in ("n_docs", "n_kept", "r1_size", "r2_shape",
+                  "r3_stopword", "r4_repetition", "r5_symbol")}
+    cols["keep_rate"] = pd.Series(dtype="float64")
+    if not len(parts):
+        return pd.DataFrame(cols)
+    codes, uniq = factorize_strings(parts["src"],
+                                    use_na_sentinel=False)
+    m = len(uniq)
+    acc = np.zeros((m, 7), np.int64)
+    for j, nm in enumerate(("n", "k", "r1", "r2", "r3", "r4", "r5")):
+        np.add.at(acc[:, j], codes, parts[nm].to_numpy(np.int64))
+    order = sorted(range(m), key=lambda i: (uniq[i] == _NULL,
+                                            uniq[i]))
+    order = [i for i in order if acc[i, 0] > 0]
+    out = {"source": pd.Series(
+        [None if uniq[i] == _NULL
+         else bytes.fromhex(uniq[i][1:]).decode("utf-8",
+                                                "surrogatepass")
+         for i in order], dtype=object)}
+    for j, nm in enumerate(("n_docs", "n_kept", "r1_size",
+                            "r2_shape", "r3_stopword",
+                            "r4_repetition", "r5_symbol")):
+        out[nm] = pd.array([int(acc[i, j]) for i in order], "int64")
+    out["keep_rate"] = round_away(np.array(
+        [acc[i, 1] / float(acc[i, 0]) for i in order],
+        np.float64), 6)
+    return pd.DataFrame(out)
