@@ -708,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # MMR diversified re-rank (greedy sequential selection — no
         # SQL twin); planted-cluster pytest pins diversification
         "q380_mmr_rerank": similarity.q_mmr_rerank,
+        "q381_label_dispersion": similarity.q_label_dispersion,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -4174,6 +4175,37 @@ def oracle_sql() -> dict[str, str]:
                              ::INT) / CAST(count(*) AS DOUBLE), 6)
                        AS keep_rate
             FROM v GROUP BY source ORDER BY source
+        """,
+        "q381_label_dispersion": """
+            WITH e AS (
+                SELECT label, embedding FROM embeddings
+                WHERE embedding IS NOT NULL),
+            v AS (
+                SELECT label, embedding::DOUBLE[] AS emb,
+                       sqrt(list_inner_product(
+                           embedding::DOUBLE[],
+                           embedding::DOUBLE[])) AS nrm
+                FROM e),
+            w AS (SELECT label, emb, nrm FROM v WHERE nrm > 0),
+            un AS (
+                SELECT label, unnest(emb) / nrm AS x,
+                       unnest(range(1, len(emb) + 1)) AS i
+                FROM w),
+            s AS (SELECT label, i, sum(x) AS sx
+                  FROM un GROUP BY label, i),
+            ss AS (SELECT label, sum(sx * sx) AS ss2
+                   FROM s GROUP BY label),
+            n AS (SELECT label, count(*)::BIGINT AS n
+                  FROM w GROUP BY label)
+            SELECT CAST(n.label AS DOUBLE) AS label, n.n,
+                   CASE WHEN n.n < 2 THEN NULL
+                        ELSE round((ss.ss2 - n.n)
+                                   / (CAST(n.n AS DOUBLE)
+                                      * (n.n - 1)), 6)
+                   END AS mean_pairwise_cos
+            FROM n LEFT JOIN ss
+                 ON ss.label IS NOT DISTINCT FROM n.label
+            ORDER BY label
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3466,3 +3466,25 @@ def test_mmr_rerank_diversifies(ray_session, tmp_path):
     assert 7 in set(out["vec_id"][:3])
     out2 = q_mmr_rerank(str(tmp_path), k=3)
     pd.testing.assert_frame_equal(out, out2)  # deterministic
+
+
+def test_label_dispersion_exact(ray_session, tmp_path):
+    """q381: identical unit vectors → mean pairwise cos 1; an
+    orthogonal pair → 0; singleton → NULL."""
+    from web_scrapper_ray.pipelines.similarity import \
+        q_label_dispersion
+
+    vecs = [[1.0, 0.0], [1.0, 0.0], [1.0, 0.0],
+            [1.0, 0.0], [0.0, 1.0],
+            [0.5, 0.5]]
+    labs = [0, 0, 0, 1, 1, 2]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(range(6), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array(labs, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    out = q_label_dispersion(str(tmp_path))
+    g = {r.label: r for r in out.itertuples(index=False)}
+    assert abs(g[0.0].mean_pairwise_cos - 1.0) < 2e-6
+    assert abs(g[1.0].mean_pairwise_cos - 0.0) < 2e-6
+    assert np.isnan(g[2.0].mean_pairwise_cos)

@@ -2489,3 +2489,102 @@ def q_mmr_rerank(sf_dir: str, pool: int = 20, k: int = 5,
         "vec_id": pd.array([r[1] for r in out], "int64"),
         "rel": np.round([r[2] for r in out], 6),
         "mmr": np.round([r[3] for r in out], 6)})
+
+
+def q_label_dispersion(sf_dir: str, P: int = 8) -> pd.DataFrame:
+    """Within-label embedding dispersion: the mean pairwise cosine
+    similarity of each label's vectors — the compactness/diversity
+    diagnostic next to q371's centroid drift — computed WITHOUT pairs
+    via the moment identity  mean_{i≠j} uᵢ·uⱼ = (‖Σu‖² − n)/(n(n−1))
+    on unit-normalized vectors: each block contributes per-label
+    (count, Σu) partials, one exchange on label, O(N·d) total work
+    where the naive form is O(N²·d). Zero-norm vectors are excluded
+    (not unit-normalizable; the oracle filters the same rows);
+    singleton labels yield NULL. Float-vector sums are continuous-
+    valued → 6dp round (q371 rule). NULL embedding out of contract;
+    NULL label is a group."""
+    from .pairs import hash_shuffle, round_away
+    from .relational import _read
+
+    _LNULL = np.iinfo(np.int64).min
+
+    _E = pa.table({"lab": pa.array([], pa.int64()),
+                   "n": pa.array([], pa.int64()),
+                   "s": pa.array([], pa.list_(pa.float64())),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"label", "embedding"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        valid = pc.is_valid(t.column("embedding"))
+        t2 = t.filter(valid) if not pc.all(valid).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        lab = pc.fill_null(t2.column("label").cast(pa.int64()),
+                           _LNULL).to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        flat = t2.column("embedding").combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False)
+        mat = flat.reshape(len(lab), -1).astype(np.float64)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        keep = norms > 0
+        if not keep.any():
+            return _E
+        lab = lab[keep]
+        um = mat[keep] / norms[keep][:, None]
+        ul, codes = np.unique(lab, return_inverse=True)
+        sums = np.zeros((len(ul), um.shape[1]), np.float64)
+        np.add.at(sums, codes, um)
+        cnt = np.bincount(codes, minlength=len(ul)).astype(np.int64)
+        return pa.table({
+            "lab": pa.array(ul),
+            "n": pa.array(cnt),
+            "s": pa.array(list(sums), pa.list_(pa.float64())),
+            "bucket": pa.array(
+                (ul.astype(np.uint64) % np.uint64(P))
+                .astype(np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live)
+        lab = df.column("lab").to_numpy(zero_copy_only=False)
+        n = df.column("n").to_numpy(zero_copy_only=False)
+        svecs = df.column("s").to_pylist()
+        acc: dict = {}
+        for L, c, s in zip(lab, n, svecs):
+            a = acc.get(int(L))
+            v = np.asarray(s, np.float64)
+            if a is None:
+                acc[int(L)] = [int(c), v]
+            else:
+                a[0] += int(c)
+                a[1] = a[1] + v
+        return [(L, a[0], a[1]) for L, a in acc.items()]
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                         split, merge, P=P)
+    rows = [r for p in parts for r in p]
+    cols = {"label": pd.Series(dtype="float64"),
+            "n": pd.Series(dtype="int64"),
+            "mean_pairwise_cos": pd.Series(dtype="float64")}
+    if not rows:
+        return pd.DataFrame(cols)
+    rows.sort(key=lambda r: (r[0] == _LNULL, r[0]))
+    lab_o, n_o, d_o = [], [], []
+    for L, c, s in rows:
+        lab_o.append(np.nan if L == _LNULL else float(L))
+        n_o.append(c)
+        if c < 2:
+            d_o.append(np.nan)
+        else:
+            ss = float(np.dot(s, s))
+            d_o.append((ss - c) / (float(c) * (c - 1)))
+    return pd.DataFrame({
+        "label": np.array(lab_o, np.float64),
+        "n": pd.array(n_o, "int64"),
+        "mean_pairwise_cos": round_away(np.array(d_o, np.float64),
+                                        6)})
