@@ -709,6 +709,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL twin); planted-cluster pytest pins diversification
         "q380_mmr_rerank": similarity.q_mmr_rerank,
         "q381_label_dispersion": similarity.q_label_dispersion,
+        "q382_markov_accuracy": analytics.q_markov_accuracy,
+        "q384_rolling_distinct": analytics.q_rolling_distinct,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -4206,6 +4208,69 @@ def oracle_sql() -> dict[str, str]:
             FROM n LEFT JOIN ss
                  ON ss.label IS NOT DISTINCT FROM n.label
             ORDER BY label
+        """,
+        "q382_markov_accuracy": """
+            WITH e AS (
+                SELECT user_id, event_type, ts,
+                       coalesce(event_id, 9223372036854775807) AS eid
+                FROM events
+                WHERE user_id IS NOT NULL
+                      AND event_type IS NOT NULL
+                      AND ts IS NOT NULL),
+            o AS (
+                SELECT event_type AS prev,
+                       lead(event_type) OVER w AS nxt,
+                       lead(ts) OVER w AS nts
+                FROM e WINDOW w AS (PARTITION BY user_id
+                                    ORDER BY ts, eid, event_type)),
+            b AS (SELECT prev, nxt, nts FROM o
+                  WHERE nxt IS NOT NULL),
+            tr AS (SELECT prev, nxt, count(*)::BIGINT AS c
+                   FROM b
+                   WHERE nts < TIMESTAMP '2024-01-22'
+                   GROUP BY prev, nxt),
+            pred AS (SELECT prev, nxt AS p FROM (
+                         SELECT prev, nxt,
+                                row_number() OVER (
+                                    PARTITION BY prev
+                                    ORDER BY c DESC, nxt ASC) AS rn
+                         FROM tr) WHERE rn = 1),
+            te AS (SELECT prev, nxt, count(*)::BIGINT AS c
+                   FROM b
+                   WHERE nts >= TIMESTAMP '2024-01-22'
+                   GROUP BY prev, nxt),
+            acc AS (SELECT te.prev, pred.p,
+                           sum(te.c)::BIGINT AS n_test,
+                           coalesce(sum(CASE WHEN te.nxt = pred.p
+                                             THEN te.c END), 0)
+                               ::BIGINT AS n_correct
+                    FROM te LEFT JOIN pred ON pred.prev = te.prev
+                    GROUP BY te.prev, pred.p)
+            SELECT prev AS prev_type, p AS predicted, n_test,
+                   n_correct,
+                   round(n_correct / CAST(n_test AS DOUBLE), 6)
+                       AS accuracy
+            FROM acc ORDER BY prev_type
+        """,
+        "q384_rolling_distinct": """
+            WITH e AS (
+                SELECT epoch_us(date_trunc('hour', ts))
+                           // 3600000000 AS h,
+                       user_id AS u
+                FROM events
+                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+            hu AS (SELECT DISTINCT h, u FROM e),
+            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hu),
+            grid AS (SELECT unnest(generate_series(h0, h1)) AS w
+                     FROM b),
+            j AS (SELECT g.w, hu.u
+                  FROM grid g
+                  JOIN hu ON hu.h BETWEEN g.w - 23 AND g.w),
+            c AS (SELECT w, count(DISTINCT u)::BIGINT AS du
+                  FROM j GROUP BY w)
+            SELECT g.w AS h,
+                   coalesce(c.du, 0)::BIGINT AS distinct_users_24h
+            FROM grid g LEFT JOIN c ON c.w = g.w ORDER BY h
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3488,3 +3488,49 @@ def test_label_dispersion_exact(ray_session, tmp_path):
     assert abs(g[0.0].mean_pairwise_cos - 1.0) < 2e-6
     assert abs(g[1.0].mean_pairwise_cos - 0.0) < 2e-6
     assert np.isnan(g[2.0].mean_pairwise_cos)
+
+
+def test_markov_accuracy_hand(ray_session, tmp_path):
+    """q382: the majority next-type from the train window predicts
+    the test window; ties break to the byte-smaller type."""
+    from web_scrapper_ray.pipelines.analytics import q_markov_accuracy
+
+    import datetime as dt
+    tr = dt.datetime(2024, 1, 10)
+    te = dt.datetime(2024, 1, 25)
+    # user 1 train: A->B, A->B, A->C ; test: A->B, A->C
+    seq = [(1, tr, "A"), (1, tr, "B"), (1, tr, "A"), (1, tr, "B"),
+           (1, tr, "A"), (1, tr, "C"),
+           (1, te, "A"), (1, te, "B"), (1, te, "A"), (1, te, "C")]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in seq], pa.int64()),
+        "ts": pa.array([r[1] for r in seq], pa.timestamp("us")),
+        "event_id": pa.array(range(len(seq)), pa.int64()),
+        "event_type": pa.array([r[2] for r in seq]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_markov_accuracy(str(tmp_path))
+    a = out[out["prev_type"] == "A"].iloc[0]
+    assert a["predicted"] == "B"
+    assert (a["n_test"], a["n_correct"]) == (2, 1)
+    assert a["accuracy"] == 0.5
+
+
+def test_rolling_distinct_hand(ray_session, tmp_path):
+    """q384: a user counts once per window even with many events;
+    the window is trailing-24h inclusive; gaps zero-fill."""
+    from web_scrapper_ray.pipelines.analytics import q_rolling_distinct
+
+    HOUR = 3_600_000_000
+    rows = [(0, 1), (0, 1), (0, 2), (23 * HOUR, 3),
+            (25 * HOUR, 1)]
+    pq.write_table(pa.table({
+        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+    }), str(tmp_path / "events.parquet"))
+    out = q_rolling_distinct(str(tmp_path))
+    got = dict(zip(out["h"], out["distinct_users_24h"]))
+    assert got[0] == 2           # users 1,2
+    assert got[23] == 3          # users 1,2,3 within the window
+    assert got[24] == 1          # hour 0 fell out; user 3 remains
+    assert got[25] == 2          # users 3 and 1(again)
+    assert len(out) == 26

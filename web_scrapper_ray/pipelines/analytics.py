@@ -15410,3 +15410,246 @@ def q_load_fairness(sf_dir: str, P: int = 16) -> pd.DataFrame:
         "max_over_mean": round_away(np.array(
             [float(r[4] * r[1]) / r[2] for r in rows],
             np.float64), 6)})
+
+
+def q_markov_accuracy(sf_dir: str, B: int = 32) -> pd.DataFrame:
+    """Train/eval split for a majority-bigram next-event model — the
+    sequence-model eval shape: bigrams whose successor fires before
+    the cutoff train a per-type argmax predictor (count DESC, type
+    bytes ASC tie rule); later bigrams score it. One user-keyed
+    exchange builds adjacency with the full deterministic order
+    (ts, event-id sentinel, type bytes — the q362 total order) and
+    emits code-keyed (prev, next, train/test count) partials; the
+    driver folds the |types|² bigram domain, takes the argmax and
+    one division per type. Exact ints throughout. Output rows are
+    the types observed as a test-bigram source; a type with no
+    training mass predicts NULL and scores 0."""
+    from .pairs import factorize_strings, hash_shuffle, round_away
+
+    CUT_US = 1_705_881_600_000_000  # 2024-01-22 00:00:00 UTC
+    _IM = np.iinfo(np.int64).max
+    _E = pa.table({"u": pa.array([], pa.int64()),
+                   "ts": pa.array([], pa.int64()),
+                   "eid": pa.array([], pa.int64()),
+                   "ty": pa.array([], pa.string()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"user_id", "event_type", "ts"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        eid = (pc.fill_null(t2.column("event_id").cast(pa.int64()),
+                            _IM).to_numpy(zero_copy_only=False)
+               .astype(np.int64)
+               if "event_id" in t2.schema.names
+               else np.full(len(u), _IM, np.int64))
+        return pa.table({
+            "u": pa.array(u),
+            "ts": pa.array(t2.column("ts").cast(pa.int64())
+                           .to_numpy(zero_copy_only=False)),
+            "eid": pa.array(eid),
+            "ty": t2.column("event_type"),
+            "bucket": pa.array((u % B).astype(np.int64))})
+
+    def merge(*tabs) -> pd.DataFrame:
+        cols = {"prev": pd.Series(dtype="object"),
+                "nxt": pd.Series(dtype="object"),
+                "tr": pd.Series(dtype="int64"),
+                "te": pd.Series(dtype="int64")}
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame(cols)
+        df = pa.concat_tables(live).to_pandas()
+        df = df.sort_values("ty", kind="stable")
+        for k in ("eid", "ts", "u"):
+            df = df.sort_values(k, kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        ts = df["ts"].to_numpy(np.int64)
+        ty = df["ty"].to_numpy(object)
+        if len(u) < 2:
+            return pd.DataFrame(cols)
+        same = u[1:] == u[:-1]
+        prevs = ty[:-1][same]
+        nxts = ty[1:][same]
+        is_tr = (ts[1:][same] < CUT_US)
+        codes, uniq = factorize_strings(pd.Series(
+            np.concatenate([prevs, nxts]) if len(prevs) else [],
+            dtype=object))
+        half = len(prevs)
+        g = (pd.DataFrame({"pc": codes[:half], "nc": codes[half:],
+                           "tr": is_tr, "te": ~is_tr})
+             .groupby(["pc", "nc"], as_index=False, sort=False)
+             [["tr", "te"]].sum())
+        uarr = np.asarray(uniq, dtype=object)
+        return pd.DataFrame({
+            "prev": uarr[g["pc"].to_numpy()] if len(g) else
+            pd.Series(dtype=object),
+            "nxt": uarr[g["nc"].to_numpy()] if len(g) else
+            pd.Series(dtype=object),
+            "tr": g["tr"].astype("int64"),
+            "te": g["te"].astype("int64")})
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if len(p)]
+    cols = {"prev_type": pd.Series(dtype="object"),
+            "predicted": pd.Series(dtype="object"),
+            "n_test": pd.Series(dtype="int64"),
+            "n_correct": pd.Series(dtype="int64"),
+            "accuracy": pd.Series(dtype="float64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    allb = pd.concat(parts, ignore_index=True)
+    # fold across buckets on hex keys (bigram domain is tiny)
+    hp = allb["prev"].map(
+        lambda s: s.encode("utf-8", "surrogatepass").hex())
+    hn = allb["nxt"].map(
+        lambda s: s.encode("utf-8", "surrogatepass").hex())
+    g = (pd.DataFrame({"hp": hp, "hn": hn,
+                       "tr": allb["tr"].to_numpy(np.int64),
+                       "te": allb["te"].to_numpy(np.int64)})
+         .groupby(["hp", "hn"], as_index=False).sum())
+    name = {}
+    for h, s in zip(pd.concat([hp, hn]), pd.concat(
+            [allb["prev"], allb["nxt"]])):
+        name.setdefault(h, s)
+    pred: dict = {}
+    for hprev, sub in g[g["tr"] > 0].groupby("hp"):
+        best = sub.sort_values("hn").sort_values(
+            "tr", kind="stable", ascending=False).iloc[0]
+        pred[hprev] = best["hn"]
+    rows = []
+    for hprev, sub in g[g["te"] > 0].groupby("hp"):
+        n_test = int(sub["te"].sum())
+        p = pred.get(hprev)
+        n_corr = int(sub.loc[sub["hn"] == p, "te"].sum()) \
+            if p is not None else 0
+        rows.append((name[hprev],
+                     name[p] if p is not None else None,
+                     n_test, n_corr))
+    rows.sort(key=lambda r: r[0].encode("utf-8",
+                                        "surrogatepass").hex())
+    return pd.DataFrame({
+        "prev_type": pd.Series([r[0] for r in rows], dtype=object),
+        "predicted": pd.Series([r[1] for r in rows], dtype=object),
+        "n_test": pd.array([r[2] for r in rows], "int64"),
+        "n_correct": pd.array([r[3] for r in rows], "int64"),
+        "accuracy": round_away(np.array(
+            [r[3] / float(r[2]) for r in rows], np.float64), 6)})
+
+
+def q_rolling_distinct(sf_dir: str, W: int = 24,
+                       P: int = 32) -> pd.DataFrame:
+    """EXACT trailing-24h distinct-user count at every hour of the
+    observed range — the sliding-window cardinality that sketches
+    (q25's HLL) only approximate. Replication shape: each distinct
+    (hour, user) pair is emitted into the ≤W windows it can serve,
+    hash-bucketed on (window, user) so the global dedup is a local
+    set-union per bucket — per-window partial counts are then
+    ADDITIVE across buckets (each (window, user) lives in exactly
+    one), and the driver folds (window → count) onto the dense hour
+    grid with zero-fill. Work is ≤ W·|distinct pairs| — no window
+    ever rescans the corpus, no count-distinct shuffle per hour.
+    Floored-epoch-hour rule (pre-1970); NULL ts/user out of
+    contract."""
+    from .pairs import hash_shuffle, mix64
+
+    HOUR = 3_600_000_000
+    _E = pa.table({"w": pa.array([], pa.int64()),
+                   "u": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"ts", "user_id"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.and_(pc.is_valid(t.column("ts")),
+                       pc.is_valid(t.column("user_id")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = np.floor_divide(us, HOUR)
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        hu = pd.DataFrame({"h": h, "u": u}).drop_duplicates()
+        hh = hu["h"].to_numpy(np.int64)
+        uu = hu["u"].to_numpy(np.int64)
+        w = (hh[:, None] + np.arange(W, dtype=np.int64)[None, :]
+             ).ravel()
+        ur = np.repeat(uu, W)
+        bucket = ((mix64(w) ^ mix64(ur)) % np.uint64(P)).astype(
+            np.int64)
+        return pa.table({"w": pa.array(w), "u": pa.array(ur),
+                         "bucket": pa.array(bucket)})
+
+    def merge(*tabs) -> pd.DataFrame:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return pd.DataFrame({"w": pd.Series(dtype="int64"),
+                                 "c": pd.Series(dtype="int64")})
+        df = (pa.concat_tables(live).to_pandas()
+              .drop_duplicates())  # int keys — exact (w,u) dedup
+        g = df.groupby("w").size().reset_index(name="c")
+        return pd.DataFrame({"w": g["w"].to_numpy(np.int64),
+                             "c": g["c"].to_numpy(np.int64)})
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
+        if len(p)]
+    cols = {"h": pd.Series(dtype="int64"),
+            "distinct_users_24h": pd.Series(dtype="int64")}
+    if not parts:
+        return pd.DataFrame(cols)
+    allc = (pd.concat(parts, ignore_index=True)
+            .groupby("w")["c"].sum())
+
+    # windows are emitted h..h+W−1, so replication leaves phantom
+    # tails past the last REAL hour — recover the true [h0, h1] with
+    # a tiny per-block min/max pass and clip the grid to it
+    def hour_bounds(block: pa.Table):
+        need = {"ts", "user_id"}
+        if block.num_rows == 0 or \
+                not need <= set(block.schema.names):
+            return None
+        keep = pc.and_(pc.is_valid(block.column("ts")),
+                       pc.is_valid(block.column("user_id")))
+        b2 = block.filter(keep)
+        if b2.num_rows == 0:
+            return None
+        us = b2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        h = np.floor_divide(us, HOUR)
+        # encode (min, max) as a mergeable additive pair via ±inf
+        return np.array([-float(h.min()), float(h.max())])
+
+    import ray
+
+    refs = ds.to_arrow_refs()
+    bt = ray.remote(hour_bounds)
+    vals = [v for v in ray.get([bt.remote(r) for r in refs])
+            if v is not None]
+    if not vals:
+        return pd.DataFrame(cols)
+    arr = np.vstack(vals)
+    h0 = -int(arr[:, 0].max())
+    h1 = int(arr[:, 1].max())
+    grid = np.arange(h0, h1 + 1, dtype=np.int64)
+    counts = np.zeros(len(grid), np.int64)
+    sel = (allc.index >= h0) & (allc.index <= h1)
+    idx = allc.index.to_numpy(np.int64)[sel] - h0
+    counts[idx] = allc.to_numpy(np.int64)[sel]
+    return pd.DataFrame({"h": grid,
+                         "distinct_users_24h": counts})
