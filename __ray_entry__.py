@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q380_mmr_rerank": similarity.q_mmr_rerank,
         "q381_label_dispersion": similarity.q_label_dispersion,
         "q382_markov_accuracy": analytics.q_markov_accuracy,
+        "q383_segment_flows": analytics.q_segment_flows,
         "q384_rolling_distinct": analytics.q_rolling_distinct,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
@@ -4271,6 +4272,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT g.w AS h,
                    coalesce(c.du, 0)::BIGINT AS distinct_users_24h
             FROM grid g LEFT JOIN c ON c.w = g.w ORDER BY h
+        """,
+        "q383_segment_flows": """
+            WITH e AS (
+                SELECT user_id AS u, event_type AS ty,
+                       CAST(floor((epoch_us(date_trunc('day', ts))
+                                   // 86400000000) / 7.0) AS BIGINT)
+                           AS wk
+                FROM events
+                WHERE user_id IS NOT NULL
+                      AND event_type IS NOT NULL
+                      AND ts IS NOT NULL),
+            w AS (SELECT u, wk, ty, count(*)::BIGINT AS c
+                  FROM e GROUP BY u, wk, ty),
+            dom AS (SELECT u, wk, ty FROM (
+                        SELECT u, wk, ty,
+                               row_number() OVER (
+                                   PARTITION BY u, wk
+                                   ORDER BY c DESC, ty ASC) AS rn
+                        FROM w) WHERE rn = 1),
+            f AS (SELECT a.ty AS from_type, b.ty AS to_type
+                  FROM dom a
+                  JOIN dom b ON b.u = a.u AND b.wk = a.wk + 1)
+            SELECT from_type, to_type, count(*)::BIGINT AS n_users
+            FROM f GROUP BY from_type, to_type
+            ORDER BY from_type, to_type
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3534,3 +3534,27 @@ def test_rolling_distinct_hand(ray_session, tmp_path):
     assert got[24] == 1          # hour 0 fell out; user 3 remains
     assert got[25] == 2          # users 3 and 1(again)
     assert len(out) == 26
+
+
+def test_segment_flows_hand(ray_session, tmp_path):
+    """q383: dominant type per (user, week) with the (count DESC,
+    type ASC) tie rule; only consecutive weeks pair."""
+    from web_scrapper_ray.pipelines.analytics import q_segment_flows
+
+    WEEK = 7 * 86_400_000_000
+    rows = [
+        (1, 0, "A"), (1, 0, "A"), (1, 0, "B"),         # wk0: A
+        (1, WEEK, "B"),                                 # wk1: B
+        (1, 3 * WEEK, "C"),                             # wk3 (gap)
+        (2, 0, "A"), (2, 0, "B"),                       # wk0 tie → A
+        (2, WEEK, "A"),                                 # wk1: A
+    ]
+    pq.write_table(pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "event_type": pa.array([r[2] for r in rows]),
+    }), str(tmp_path / "events.parquet"))
+    out = q_segment_flows(str(tmp_path))
+    got = {(r.from_type, r.to_type): r.n_users
+           for r in out.itertuples(index=False)}
+    assert got == {("A", "B"): 1, ("A", "A"): 1}

@@ -15653,3 +15653,107 @@ def q_rolling_distinct(sf_dir: str, W: int = 24,
     counts[idx] = allc.to_numpy(np.int64)[sel]
     return pd.DataFrame({"h": grid,
                          "distinct_users_24h": counts})
+
+
+def q_segment_flows(sf_dir: str, B: int = 32) -> pd.DataFrame:
+    """Week-over-week user segment flows — the alluvial/Sankey input:
+    each user's segment in an epoch week is their DOMINANT event type
+    (count DESC, type bytes ASC — deterministic argmax), and flows
+    count users transitioning segment A → segment B between
+    CONSECUTIVE weeks. One user-keyed exchange: a user's whole
+    timeline co-locates, the per-(user, week) argmax and the w→w+1
+    pairing are local to the bucket, and only (from, to, count) int
+    partials leave it — the driver folds a |types|² matrix. Epoch
+    weeks are floored day/7 (pre-1970 rule). NULL user/type/ts out
+    of contract."""
+    from .pairs import factorize_strings, hash_shuffle
+
+    DAY = 86_400_000_000
+    _E = pa.table({"u": pa.array([], pa.int64()),
+                   "wk": pa.array([], pa.int64()),
+                   "ty": pa.array([], pa.string()),
+                   "c": pa.array([], pa.int64()),
+                   "bucket": pa.array([], pa.int64())})
+
+    def split(t: pa.Table) -> pa.Table:
+        need = {"user_id", "event_type", "ts"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E
+        keep = pc.and_(pc.and_(pc.is_valid(t.column("user_id")),
+                               pc.is_valid(t.column("event_type"))),
+                       pc.is_valid(t.column("ts")))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _E
+        u = t2.column("user_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        us = t2.column("ts").cast(pa.int64()).to_numpy(
+            zero_copy_only=False)
+        wk = np.floor_divide(np.floor_divide(us, DAY), 7)
+        ty = pd.Series(t2.column("event_type").to_pylist(),
+                       dtype=object)
+        codes, uniq = factorize_strings(ty)
+        g = (pd.DataFrame({"u": u, "wk": wk, "tc": codes})
+             .groupby(["u", "wk", "tc"], sort=False).size()
+             .reset_index(name="c"))
+        return pa.table({
+            "u": pa.array(g["u"].to_numpy(np.int64)),
+            "wk": pa.array(g["wk"].to_numpy(np.int64)),
+            "ty": pa.array([uniq[i] for i in g["tc"]], pa.string()),
+            "c": pa.array(g["c"].to_numpy(np.int64)),
+            "bucket": pa.array(
+                (g["u"].to_numpy(np.int64) % B).astype(np.int64))})
+
+    def merge(*tabs) -> list:
+        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
+        if not live:
+            return []
+        df = pa.concat_tables(live).to_pandas()
+        codes, uniq = factorize_strings(df["ty"])
+        df = (df.assign(tc=codes)
+              .groupby(["u", "wk", "tc"], as_index=False)["c"].sum())
+        # deterministic argmax: count DESC, type hex ASC
+        hx = np.array([uniq[i].encode("utf-8", "surrogatepass").hex()
+                       for i in df["tc"]], dtype=object)
+        df = (df.assign(hx=hx)
+              .sort_values("hx", kind="stable")
+              .sort_values("c", kind="stable", ascending=False)
+              .drop_duplicates(["u", "wk"]))  # int+int keys — safe
+        df = df.sort_values(["u", "wk"], kind="stable")
+        u = df["u"].to_numpy(np.int64)
+        wk = df["wk"].to_numpy(np.int64)
+        hxv = df["hx"].to_numpy(object)
+        flows: dict = {}
+        names: dict = {}
+        tc = df["tc"].to_numpy(np.int64)
+        for i in range(len(u) - 1):
+            if u[i + 1] == u[i] and wk[i + 1] == wk[i] + 1:
+                key = (hxv[i], hxv[i + 1])
+                flows[key] = flows.get(key, 0) + 1
+                names[hxv[i]] = uniq[tc[i]]
+                names[hxv[i + 1]] = uniq[tc[i + 1]]
+        return [(names[a], names[b], n)
+                for (a, b), n in flows.items()]
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts"])
+    parts = [p for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if p]
+    cols = {"from_type": pd.Series(dtype="object"),
+            "to_type": pd.Series(dtype="object"),
+            "n_users": pd.Series(dtype="int64")}
+    agg: dict = {}
+    for p in parts:
+        for a, b, n in p:
+            k = (a.encode("utf-8", "surrogatepass").hex(),
+                 b.encode("utf-8", "surrogatepass").hex())
+            e = agg.setdefault(k, [a, b, 0])
+            e[2] += n
+    if not agg:
+        return pd.DataFrame(cols)
+    rows = [agg[k] for k in sorted(agg)]
+    return pd.DataFrame({
+        "from_type": pd.Series([r[0] for r in rows], dtype=object),
+        "to_type": pd.Series([r[1] for r in rows], dtype=object),
+        "n_users": pd.array([r[2] for r in rows], "int64")})
