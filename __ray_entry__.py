@@ -698,7 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q370_rank_fusion": analytics.q_rank_fusion,
         "q371_label_centroid_drift": similarity.q_label_centroid_drift,
         "q372_independence_residuals": analytics.q_independence_residuals,
-        "q373_weighted_median": analytics.q_weighted_median,
+        "q373_permutation_fdr": analytics.q_permutation_fdr,
         "q374_poisson_bootstrap": analytics.q_poisson_bootstrap,
         "q375_mad_outliers": analytics.q_mad_outliers,
         "q376_boolean_retrieval": textops.q_boolean_retrieval,
@@ -3921,30 +3921,6 @@ def oracle_sql() -> dict[str, str]:
                    round((obs - e) / sqrt(e), 6) AS std_resid
             FROM f ORDER BY event_type, wd
         """,
-        "q373_weighted_median": """
-            WITH l AS (
-                SELECT l_returnflag AS f,
-                       round(l_extendedprice * 100)::BIGINT AS cents,
-                       round(l_quantity * 100)::BIGINT AS w
-                FROM lineitem
-                WHERE l_extendedprice IS NOT NULL
-                      AND isfinite(l_extendedprice)
-                      AND l_quantity IS NOT NULL
-                      AND isfinite(l_quantity)
-                      AND round(l_quantity * 100) >= 1),
-            g AS (SELECT f, cents, sum(w)::BIGINT AS w
-                  FROM l GROUP BY f, cents),
-            s AS (SELECT f, cents, w,
-                         sum(w) OVER (PARTITION BY f ORDER BY cents
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS cw,
-                         sum(w) OVER (PARTITION BY f) AS tw
-                  FROM g)
-            SELECT f AS returnflag, min(tw)::BIGINT AS total_w,
-                   (min(cents) FILTER (WHERE 2 * cw >= tw))::BIGINT
-                       AS wmedian_cents
-            FROM s GROUP BY f ORDER BY f
-        """,
         "q374_poisson_bootstrap": """
             WITH o AS (
                 SELECT o_orderkey AS okey, o_custkey AS ck,
@@ -4297,6 +4273,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT from_type, to_type, count(*)::BIGINT AS n_users
             FROM f GROUP BY from_type, to_type
             ORDER BY from_type, to_type
+        """,
+        "q373_permutation_fdr": """
+            WITH o AS (
+                SELECT o_orderkey AS okey,
+                       o_orderpriority AS pri,
+                       round(o_totalprice * 100)::BIGINT AS cents
+                FROM orders
+                WHERE o_orderkey IS NOT NULL
+                      AND o_totalprice IS NOT NULL
+                      AND isfinite(o_totalprice)),
+            g AS (SELECT pri, count(*)::BIGINT AS n,
+                         sum(cents)::BIGINT AS s
+                  FROM o GROUP BY pri),
+            tot AS (SELECT sum(n)::BIGINT AS nn,
+                           sum(s)::BIGINT AS ss,
+                           count(*)::BIGINT AS m
+                    FROM g),
+            gg AS (SELECT pri, n, s,
+                          (n::HUGEINT * 4503599627370496)
+                              // (SELECT nn FROM tot) AS thr,
+                          abs(((SELECT nn FROM tot) - n)::HUGEINT
+                              * s - n::HUGEINT
+                              * ((SELECT ss FROM tot) - s)) AS tobs
+                   FROM g),
+            r AS (SELECT okey, cents, unnest(range(0, 32)) AS b
+                  FROM o),
+            u AS (SELECT b, cents,
+                         ('0x' || substr(md5('pf|' || b::VARCHAR
+                             || '|' || okey::VARCHAR), 1, 13))
+                             ::BIGINT AS u
+                  FROM r),
+            cell AS (SELECT gg.pri, u.b,
+                            sum(CASE WHEN u.u < gg.thr
+                                     THEN 1 ELSE 0 END)::BIGINT
+                                AS n1,
+                            sum(CASE WHEN u.u < gg.thr
+                                     THEN u.cents ELSE 0 END)
+                                ::BIGINT AS s1
+                     FROM u CROSS JOIN gg GROUP BY gg.pri, u.b),
+            tb AS (SELECT pri, b,
+                          abs(((SELECT nn FROM tot) - n1)::HUGEINT
+                              * s1 - n1::HUGEINT
+                              * ((SELECT ss FROM tot) - s1)) AS t
+                   FROM cell),
+            ce AS (SELECT tb.pri,
+                          sum((tb.t >= gg.tobs)::INT)::BIGINT AS c
+                   FROM tb JOIN gg
+                        ON gg.pri IS NOT DISTINCT FROM tb.pri
+                   GROUP BY tb.pri),
+            bh AS (SELECT pri, c,
+                          row_number() OVER (ORDER BY c, pri)
+                              AS rk
+                   FROM ce),
+            kk AS (SELECT coalesce(max(rk), 0) AS k
+                   FROM bh, tot
+                   WHERE 10 * tot.m * (1 + c) <= rk * 33)
+            SELECT bh.pri AS priority, g.n,
+                   bh.c AS c_exceed,
+                   round((1 + bh.c) / 33.0, 6) AS p_value,
+                   (bh.rk <= (SELECT k FROM kk))::BIGINT
+                       AS bh_reject
+            FROM bh JOIN g ON g.pri IS NOT DISTINCT FROM bh.pri
+            ORDER BY priority
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3558,3 +3558,26 @@ def test_segment_flows_hand(ray_session, tmp_path):
     got = {(r.from_type, r.to_type): r.n_users
            for r in out.itertuples(index=False)}
     assert got == {("A", "B"): 1, ("A", "A"): 1}
+
+
+def test_permutation_fdr_detects_effect(ray_session, tmp_path):
+    """q373: a huge group-mean gap survives the randomization null
+    (p = 1/(B+1)) and is BH-rejected; the test is deterministic."""
+    from web_scrapper_ray.pipelines.analytics import q_permutation_fdr
+
+    n = 60
+    pri = ["HIGH"] * n + ["LOW"] * n
+    val = [1000.0] * n + [1.0] * n
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(range(2 * n), pa.int64()),
+        "o_orderpriority": pa.array(pri),
+        "o_totalprice": pa.array(val, pa.float64()),
+    }), str(tmp_path / "orders.parquet"))
+    out = q_permutation_fdr(str(tmp_path))
+    out2 = q_permutation_fdr(str(tmp_path))
+    pd.testing.assert_frame_equal(out, out2)
+    h = out[out["priority"] == "HIGH"].iloc[0]
+    assert h["c_exceed"] == 0
+    assert abs(h["p_value"] - 1 / 33) < 2e-6
+    assert h["bh_reject"] == 1
+    assert out["bh_reject"].sum() == 2  # both sides of the same gap

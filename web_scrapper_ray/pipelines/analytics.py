@@ -14982,105 +14982,6 @@ def q_independence_residuals(sf_dir: str) -> pd.DataFrame:
                                         np.float64), 6),
         "std_resid": round_away(np.array([r[4] for r in rows],
                                          np.float64), 6)})
-
-
-def q_weighted_median(sf_dir: str, P: int = 8) -> pd.DataFrame:
-    """Quantity-weighted median line price per returnflag — the
-    weighted order statistic (unweighted selection is q99/q102).
-    EXACT-INT end to end: prices and weights become integer
-    centi-units, ties collapse BEFORE the cumulative walk (removing
-    any row-order dependence), the in-bucket cumsum is int64 and the
-    crossing test 2·cum ≥ W is an integer compare — no float ever.
-    One exchange keyed on the flag; per-block (flag, cents) partials
-    pre-combine so the exchange ships the collapsed distribution,
-    not rows. Bounded-cardinality per-group sort by contract (q99's
-    rank-refinement is the unbounded path). Non-finite prices,
-    non-positive weights out of contract; NULL flag is a group."""
-    from .pairs import hash_shuffle, str_u64
-
-    _NULLF = "\x00NULLFLAG"
-    _E = pa.table({"f": pa.array([], pa.string()),
-                   "cents": pa.array([], pa.int64()),
-                   "w": pa.array([], pa.int64()),
-                   "bucket": pa.array([], pa.int64())})
-
-    def split(t: pa.Table) -> pa.Table:
-        need = {"l_returnflag", "l_extendedprice", "l_quantity"}
-        if t.num_rows == 0 or not need <= set(t.schema.names):
-            return _E
-        x = t.column("l_extendedprice").to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        q = t.column("l_quantity").to_numpy(
-            zero_copy_only=False).astype(np.float64)
-        wq = np.where(q >= 0, np.floor(q * 100.0 + 0.5),
-                      -np.floor(-q * 100.0 + 0.5))
-        keep = np.isfinite(x) & np.isfinite(q) & (wq >= 1)
-        if not keep.any():
-            return _E
-        t2 = t.filter(pa.array(keep))
-        x = x[keep]
-        wq = wq[keep].astype(np.int64)
-        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
-                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
-        flags = t2.column("l_returnflag").to_pylist()
-        # hex-encoded keys: NUL-bearing flags survive pandas groupby
-        fkey = [_NULLF if s is None
-                else "S" + s.encode("utf-8", "surrogatepass").hex()
-                for s in flags]
-        g = (pd.DataFrame({"f": fkey, "cents": cents, "w": wq})
-             .groupby(["f", "cents"], sort=False)["w"].sum()
-             .reset_index())
-        return pa.table({
-            "f": pa.array(list(g["f"]), pa.string()),
-            "cents": pa.array(g["cents"].to_numpy(np.int64)),
-            "w": pa.array(g["w"].to_numpy(np.int64)),
-            "bucket": pa.array(np.array(
-                [str_u64(s) & (P - 1) for s in g["f"]], np.int64))})
-
-    def merge(*tabs) -> list:
-        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
-        if not live:
-            return []
-        df = pa.concat_tables(live).to_pandas()
-        out = []
-        from .pairs import factorize_strings
-        codes, uniq = factorize_strings(df["f"])
-        for fc, sub in df.assign(fc=codes).groupby("fc"):
-            g = sub.groupby("cents")["w"].sum().sort_index()
-            wts = g.to_numpy(np.int64)
-            cs = g.index.to_numpy(np.int64)
-            cw = np.cumsum(wts)
-            tw = int(cw[-1])
-            med = int(cs[np.flatnonzero(2 * cw >= tw)[0]])
-            out.append((uniq[fc], tw, med))
-        return out
-
-    ds = _read(sf_dir, "lineitem",
-               columns=["l_returnflag", "l_extendedprice",
-                        "l_quantity"])
-    parts = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
-                         split, merge, P=P)
-    rows = [r for p in parts for r in p]
-    cols = {"returnflag": pd.Series(dtype="object"),
-            "total_w": pd.Series(dtype="int64"),
-            "wmedian_cents": pd.Series(dtype="int64")}
-    if not rows:
-        return pd.DataFrame(cols)
-    rows.sort(key=lambda r: (r[0] == _NULLF, r[0]))
-    return pd.DataFrame({
-        "returnflag": pd.Series(
-            [None if r[0] == _NULLF
-             else bytes.fromhex(r[0][1:]).decode("utf-8",
-                                                 "surrogatepass")
-             for r in rows], dtype=object),
-        "total_w": pd.array([r[1] for r in rows], "int64"),
-        "wmedian_cents": pd.array([r[2] for r in rows], "int64")})
-
-
-_POIS1_T = (1656781714176974, 3313563428353948, 4141954285442435,
-            4418084571138597, 4487117142562638)  # floor(cdf·2^52)
-
-
 def q_poisson_bootstrap(sf_dir: str, B: int = 32) -> pd.DataFrame:
     """Percentile bootstrap CI for the per-segment mean order value,
     via the POISSON BOOTSTRAP — the bootstrap that distributes: each
@@ -15757,3 +15658,178 @@ def q_segment_flows(sf_dir: str, B: int = 32) -> pd.DataFrame:
         "from_type": pd.Series([r[0] for r in rows], dtype=object),
         "to_type": pd.Series([r[1] for r in rows], dtype=object),
         "n_users": pd.array([r[2] for r in rows], "int64")})
+
+
+def q_permutation_fdr(sf_dir: str, B: int = 32,
+                      fdr_q10: int = 1) -> pd.DataFrame:
+    """Randomization test per order priority (does this priority's
+    mean order value differ from the rest?) with Benjamini–Hochberg
+    FDR control across the m priorities — the multiple-testing
+    discipline a metrics pipeline needs, built ENTIRELY on exact
+    integers so the oracle is bit-for-bit:
+
+    * statistic T = |n₂·S₁ − n₁·S₂| (cross-multiplied mean gap in
+      integer cents — never a float mean);
+    * B deterministic relabelings share ONE md5 draw u(b, orderkey)
+      (the 52-bit coin), each test comparing u against its own
+      exact-integer threshold floor(n_p·2⁵²/n) — Bernoulli(n_p/n)
+      relabeling, the distributed randomization-test standard (an
+      exact global permutation would need a shuffle per replicate);
+    * the empirical p-value (1 + #{T_b ≥ T})/(B+1) stays a rational
+      — BH's p₍ᵢ₎ ≤ i·q/m at q = 0.1 becomes the integer test
+      10·m·(1+c₍ᵢ₎) ≤ i·(B+1), and the rejection set is
+      tie-order-invariant (k = max passing rank).
+
+    Two passes: tiny per-group (count, Σcents) observables, then one
+    streamed pass emitting m×B int partials per block (the md5 loop
+    is the q374 cost shape). NULL priority is a test group; NULL
+    key/price and non-finite prices are out of contract."""
+    import hashlib
+
+    from .pairs import round_away
+
+    _NULLP = "\x00NULLPRI"
+    TWO52 = 1 << 52
+
+    def keyed(v):
+        return (_NULLP if v is None
+                else "S" + v.encode("utf-8", "surrogatepass").hex())
+
+    _E1 = pa.table({"p": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.int64())})
+
+    def obs_partial(t: pa.Table) -> pa.Table:
+        need = {"o_orderkey", "o_orderpriority", "o_totalprice"}
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return _E1
+        x = t.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(x)
+                & pc.is_valid(t.column("o_orderkey")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return _E1
+        t2 = t.filter(pa.array(keep))
+        x = x[keep]
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        pk = [keyed(v) for v in
+              t2.column("o_orderpriority").to_pylist()]
+        codes, uniq = pd.factorize(pd.Series(pk, dtype=object))
+        n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, cents)
+        return pa.table({"p": pa.array(list(uniq), pa.string()),
+                         "n": pa.array(n), "s": pa.array(s)})
+
+    ds = _read(sf_dir, "orders",
+               columns=["o_orderkey", "o_orderpriority",
+                        "o_totalprice"])
+    obs = ds.map_batches(obs_partial,
+                         batch_format="pyarrow").to_pandas()
+    cols = {"priority": pd.Series(dtype="object"),
+            "n": pd.Series(dtype="int64"),
+            "c_exceed": pd.Series(dtype="int64"),
+            "p_value": pd.Series(dtype="float64"),
+            "bh_reject": pd.Series(dtype="int64")}
+    if not len(obs):
+        return pd.DataFrame(cols)
+    agg: dict = {}
+    for pkey, n, s in obs.itertuples(index=False):
+        a = agg.setdefault(pkey, [0, 0])
+        a[0] += int(n)
+        a[1] += int(s)
+    groups = sorted(agg)  # hex-keyed → byte order
+    N = sum(a[0] for a in agg.values())
+    S = sum(a[1] for a in agg.values())
+    m = len(groups)
+    if N == 0:
+        return pd.DataFrame(cols)
+    thr = [agg[g][0] * TWO52 // N for g in groups]
+    t_obs = [abs((N - agg[g][0]) * agg[g][1]
+                 - agg[g][0] * (S - agg[g][1])) for g in groups]
+
+    def perm_partial(t: pa.Table, thrs=tuple(thr), reps=B
+                     ) -> pa.Table:
+        need = {"o_orderkey", "o_orderpriority", "o_totalprice"}
+        mloc = len(thrs)
+        empty = pa.table({
+            "cell": pa.array([], pa.int64()),
+            "n1": pa.array([], pa.int64()),
+            "s1": pa.array([], pa.int64())})
+        if t.num_rows == 0 or not need <= set(t.schema.names):
+            return empty
+        x = t.column("o_totalprice").to_numpy(
+            zero_copy_only=False).astype(np.float64)
+        keep = (np.isfinite(x)
+                & pc.is_valid(t.column("o_orderkey")).to_numpy(
+                    zero_copy_only=False))
+        if not keep.any():
+            return empty
+        t2 = t.filter(pa.array(keep))
+        x = x[keep]
+        okey = t2.column("o_orderkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        cents = np.where(x >= 0, np.floor(x * 100.0 + 0.5),
+                         -np.floor(-x * 100.0 + 0.5)).astype(np.int64)
+        u = np.empty((len(okey), reps), np.int64)
+        for r in range(len(okey)):
+            ok = str(int(okey[r]))
+            for b in range(reps):
+                u[r, b] = int(hashlib.md5(
+                    f"pf|{b}|{ok}".encode()).hexdigest()[:13], 16)
+        tarr = np.asarray(thrs, np.int64)
+        n1 = np.zeros((mloc, reps), np.int64)
+        s1 = np.zeros((mloc, reps), np.int64)
+        for g in range(mloc):
+            memb = u < tarr[g]
+            n1[g] = memb.sum(axis=0)
+            s1[g] = (memb * cents[:, None]).sum(axis=0)
+        cell = np.arange(mloc * reps, dtype=np.int64)
+        return pa.table({"cell": pa.array(cell),
+                         "n1": pa.array(n1.reshape(-1)),
+                         "s1": pa.array(s1.reshape(-1))})
+
+    pp = ds.map_batches(perm_partial,
+                        batch_format="pyarrow").to_pandas()
+    n1 = np.zeros(m * B, np.int64)
+    s1 = np.zeros(m * B, np.int64)
+    if len(pp):
+        np.add.at(n1, pp["cell"].to_numpy(np.int64),
+                  pp["n1"].to_numpy(np.int64))
+        np.add.at(s1, pp["cell"].to_numpy(np.int64),
+                  pp["s1"].to_numpy(np.int64))
+    n1 = n1.reshape(m, B)
+    s1 = s1.reshape(m, B)
+    c_exc = []
+    for g in range(m):
+        c = 0
+        for b in range(B):
+            tb = abs((N - int(n1[g, b])) * int(s1[g, b])
+                     - int(n1[g, b]) * (S - int(s1[g, b])))
+            if tb >= t_obs[g]:
+                c += 1
+        c_exc.append(c)
+    # BH at q = 0.1 on exact rationals: sort by (c, group bytes)
+    order = sorted(range(m), key=lambda i: (c_exc[i], groups[i]))
+    k = 0
+    for rank, i in enumerate(order, start=1):
+        if 10 * m * (1 + c_exc[i]) <= rank * (B + 1) * fdr_q10:
+            k = rank
+    reject = {order[r - 1]: int(r <= k)
+              for r in range(1, m + 1)}
+    rows = sorted(range(m), key=lambda i: (groups[i] == _NULLP,
+                                           groups[i]))
+    return pd.DataFrame({
+        "priority": pd.Series(
+            [None if groups[i] == _NULLP
+             else bytes.fromhex(groups[i][1:]).decode(
+                 "utf-8", "surrogatepass") for i in rows],
+            dtype=object),
+        "n": pd.array([agg[groups[i]][0] for i in rows], "int64"),
+        "c_exceed": pd.array([c_exc[i] for i in rows], "int64"),
+        "p_value": round_away(np.array(
+            [(1 + c_exc[i]) / float(B + 1) for i in rows],
+            np.float64), 6),
+        "bh_reject": pd.array([reject[i] for i in rows], "int64")})
