@@ -13987,7 +13987,10 @@ def q_benford_screen(sf_dir: str) -> pd.DataFrame:
     decimal digit of the EXACT-cents integer (``round(price*100)`` on
     both sides — the digit is derived from ints, never from float
     log10, whose power-of-ten boundaries are libm-dependent) and only
-    a 9-vector crosses the wire (``tree_sum``). Expected shares are
+    a 9-vector crosses the wire (``tree_sum``). Companion to q179's
+    integer-part Benford audit: this variant works on the cents grid
+    (sub-unit amounts keep a leading digit) and adds the per-digit
+    χ² decomposition against shared-literal expectations. Expected shares are
     hardcoded float literals shared verbatim with the oracle SQL, so
     no libm log10 divergence can enter the χ² terms. Contract:
     finite, strictly positive totals with cents ≥ 1; empty input
@@ -14391,8 +14394,12 @@ def q_calibration_brier(sf_dir: str, P: int = 8) -> pd.DataFrame:
 
 def q_gini_revenue(sf_dir: str, P: int = 8) -> pd.DataFrame:
     """Gini coefficient of order revenue per customer nation — the
-    inequality measure behind the whale-curve family (q346), computed
-    EXACT: order totals become integer cents (round(price·100), the
+    GROUPED variant of q143's global Gini (q143 runs one distributed
+    sort + prefix-offset rank pass for the single global coefficient;
+    this plan co-locates each nation's distribution in a keyed bucket
+    — right when the group count is bounded and every group needs its
+    own coefficient; q346's whale curve is the cumulative view),
+    computed EXACT: order totals become integer cents (round(price·100), the
     sf1 money rule), the rank-weighted numerator 2Σi·x₍ᵢ₎ − (n+1)Σx
     is accumulated as Python ints (the i·x dot product is chunked so
     every int64 partial provably fits — Σi·x alone overflows int64 at
@@ -14990,7 +14997,10 @@ def q_poisson_bootstrap(sf_dir: str, B: int = 32) -> pd.DataFrame:
     integer CDF thresholds (floor(cdf·2^52) literals on both sides —
     the module's SQL-provable randomness pattern), so every row can
     compute all B weights locally and no replicate ever needs a
-    global resample pass. Per (segment, replicate) the weighted sum
+    global resample pass (q238 pioneered the technique for event
+    values with mix64 draws and a rows-only check; this variant's
+    md5-threshold draws are SQL-reproducible, making the bootstrap
+    itself oracle-checkable). Per (segment, replicate) the weighted sum
     stays integer cents; each replicate mean is ONE double division;
     the CI bounds are quantile_disc ELEMENT SELECTIONS over the B
     replicate means (no float aggregate anywhere). Streamed pass of
