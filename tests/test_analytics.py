@@ -3292,28 +3292,6 @@ def test_label_centroid_drift_hand(ray_session, tmp_path):
     assert abs(got["cos_to_global"] - exp_cos) < 2e-6
     g2 = out[out["label"] == 2.0].iloc[0]
     assert abs(g2["l2_to_global"] - np.sqrt(1.0 + 0.25)) < 2e-6
-
-
-def test_weighted_median_hand(ray_session, tmp_path):
-    """q373: the weighted median is the first value whose cumulative
-    weight reaches half the total (2·cum ≥ W, exact ints)."""
-    from web_scrapper_ray.pipelines.analytics import q_weighted_median
-
-    pq.write_table(pa.table({
-        "l_returnflag": pa.array(["A"] * 3 + ["B"] * 2),
-        "l_extendedprice": pa.array([1.0, 2.0, 3.0, 5.0, 6.0],
-                                    pa.float64()),
-        "l_quantity": pa.array([1.0, 1.0, 10.0, 1.0, 1.0],
-                               pa.float64()),
-    }), str(tmp_path / "lineitem.parquet"))
-    out = q_weighted_median(str(tmp_path))
-    a = out[out["returnflag"] == "A"].iloc[0]
-    # weights (centi): 100,100,1000 → cum at 300¢ (=3.0) crosses 600
-    assert (a["total_w"], a["wmedian_cents"]) == (1200, 300)
-    b = out[out["returnflag"] == "B"].iloc[0]
-    assert b["wmedian_cents"] == 500  # even split → lower value
-
-
 def test_mad_outliers_hand(ray_session, tmp_path):
     """q375: a gross outlier is flagged; med/mad follow the
     lower-middle quantile_disc rule."""

@@ -14989,6 +14989,10 @@ def q_independence_residuals(sf_dir: str) -> pd.DataFrame:
                                         np.float64), 6),
         "std_resid": round_away(np.array([r[4] for r in rows],
                                          np.float64), 6)})
+_POIS1_T = (1656781714176974, 3313563428353948, 4141954285442435,
+            4418084571138597, 4487117142562638)  # floor(cdf·2^52)
+
+
 def q_poisson_bootstrap(sf_dir: str, B: int = 32) -> pd.DataFrame:
     """Percentile bootstrap CI for the per-segment mean order value,
     via the POISSON BOOTSTRAP — the bootstrap that distributes: each
