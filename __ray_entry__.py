@@ -711,7 +711,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q381_label_dispersion": similarity.q_label_dispersion,
         "q382_markov_accuracy": analytics.q_markov_accuracy,
         "q383_segment_flows": analytics.q_segment_flows,
-        "q384_rolling_distinct": analytics.q_rolling_distinct,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -4228,26 +4227,6 @@ def oracle_sql() -> dict[str, str]:
                    round(n_correct / CAST(n_test AS DOUBLE), 6)
                        AS accuracy
             FROM acc ORDER BY prev_type
-        """,
-        "q384_rolling_distinct": """
-            WITH e AS (
-                SELECT epoch_us(date_trunc('hour', ts))
-                           // 3600000000 AS h,
-                       user_id AS u
-                FROM events
-                WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-            hu AS (SELECT DISTINCT h, u FROM e),
-            b AS (SELECT min(h) AS h0, max(h) AS h1 FROM hu),
-            grid AS (SELECT unnest(generate_series(h0, h1)) AS w
-                     FROM b),
-            j AS (SELECT g.w, hu.u
-                  FROM grid g
-                  JOIN hu ON hu.h BETWEEN g.w - 23 AND g.w),
-            c AS (SELECT w, count(DISTINCT u)::BIGINT AS du
-                  FROM j GROUP BY w)
-            SELECT g.w AS h,
-                   coalesce(c.du, 0)::BIGINT AS distinct_users_24h
-            FROM grid g LEFT JOIN c ON c.w = g.w ORDER BY h
         """,
         "q383_segment_flows": """
             WITH e AS (

@@ -3491,29 +3491,6 @@ def test_markov_accuracy_hand(ray_session, tmp_path):
     assert a["predicted"] == "B"
     assert (a["n_test"], a["n_correct"]) == (2, 1)
     assert a["accuracy"] == 0.5
-
-
-def test_rolling_distinct_hand(ray_session, tmp_path):
-    """q384: a user counts once per window even with many events;
-    the window is trailing-24h inclusive; gaps zero-fill."""
-    from web_scrapper_ray.pipelines.analytics import q_rolling_distinct
-
-    HOUR = 3_600_000_000
-    rows = [(0, 1), (0, 1), (0, 2), (23 * HOUR, 3),
-            (25 * HOUR, 1)]
-    pq.write_table(pa.table({
-        "ts": pa.array([r[0] for r in rows], pa.timestamp("us")),
-        "user_id": pa.array([r[1] for r in rows], pa.int64()),
-    }), str(tmp_path / "events.parquet"))
-    out = q_rolling_distinct(str(tmp_path))
-    got = dict(zip(out["h"], out["distinct_users_24h"]))
-    assert got[0] == 2           # users 1,2
-    assert got[23] == 3          # users 1,2,3 within the window
-    assert got[24] == 1          # hour 0 fell out; user 3 remains
-    assert got[25] == 2          # users 3 and 1(again)
-    assert len(out) == 26
-
-
 def test_segment_flows_hand(ray_session, tmp_path):
     """q383: dominant type per (user, week) with the (count DESC,
     type ASC) tie rule; only consecutive weeks pair."""

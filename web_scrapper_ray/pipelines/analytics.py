@@ -14223,7 +14223,10 @@ def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
     raw µs, the pre-1970 rule), take the per-hour MAX (order-exact, no
     float-sum parity risk), densify over [min_hour, max_hour] and fill
     gaps by carrying the previous observed hour's value (vectorized
-    searchsorted — never a Python loop over grid cells). One exchange
+    searchsorted — never a Python loop over grid cells). Sibling of
+    q145's per-user daily ASOF spine and q112's zero-fill: this is
+    the per-type dense hourly grid with carry-forward semantics and
+    explicit gap flags. One exchange
     keyed on the type (its whole timeline co-locates); NUL-safe coded
     group keys. Contract: NULL ts/type and non-finite values are out;
     the grid is anchored on observed hours so no leading gap exists."""
@@ -14818,7 +14821,10 @@ def q_rank_fusion(sf_dir: str, kc: int = 60, P: int = 8) -> pd.DataFrame:
     ranks are SQL rank() semantics (ties share the rank = 1 + count
     of strictly-greater values, computed vectorized); the fused score
     is a FIXED two-term float expression per row — no float aggregate
-    ever forms, so parity is exact. Part brand is the broadcast small
+    ever forms, so parity is exact. Aggregate-domain companion to
+    q219's row-level RRF: q219 fuses two GLOBAL event rankings
+    (distributed sorts, unique tie-break chain); this one fuses
+    grouped aggregates where SQL rank() ties are the point. Part brand is the broadcast small
     side with duplicate-row multiplicity (q08 rule); one streamed
     pass over lineitem emits per-brand int partials and the driver
     ranks the ~|brands| rows. NULL brand is a group; NULL
@@ -14916,7 +14922,10 @@ def q_independence_residuals(sf_dir: str) -> pd.DataFrame:
     emitted PER CELL so no order-sensitive float sum ever forms (the
     χ² total is a float Σ over cells; the residual (o−e)/√e is a
     fixed expression over exact ints per cell — the q359 Σ-of-
-    squares discipline taken one step further). Weekday is the
+    squares discipline taken one step further). The per-cell
+    decomposition of q136's global type×hour χ² statistic, on the
+    weekday axis — WHICH cells drive the dependence, not just
+    whether it exists. Weekday is the
     floored-epoch-day mod 7 (pre-1970 rule, 0 = Thursday). One
     streamed pass of per-block (type, weekday) int partials — cell
     cardinality is |types|·7, so the driver fold is tiny; marginals
@@ -15461,115 +15470,6 @@ def q_markov_accuracy(sf_dir: str, B: int = 32) -> pd.DataFrame:
         "n_correct": pd.array([r[3] for r in rows], "int64"),
         "accuracy": round_away(np.array(
             [r[3] / float(r[2]) for r in rows], np.float64), 6)})
-
-
-def q_rolling_distinct(sf_dir: str, W: int = 24,
-                       P: int = 32) -> pd.DataFrame:
-    """EXACT trailing-24h distinct-user count at every hour of the
-    observed range — the sliding-window cardinality that sketches
-    (q25's HLL) only approximate. Replication shape: each distinct
-    (hour, user) pair is emitted into the ≤W windows it can serve,
-    hash-bucketed on (window, user) so the global dedup is a local
-    set-union per bucket — per-window partial counts are then
-    ADDITIVE across buckets (each (window, user) lives in exactly
-    one), and the driver folds (window → count) onto the dense hour
-    grid with zero-fill. Work is ≤ W·|distinct pairs| — no window
-    ever rescans the corpus, no count-distinct shuffle per hour.
-    Floored-epoch-hour rule (pre-1970); NULL ts/user out of
-    contract."""
-    from .pairs import hash_shuffle, mix64
-
-    HOUR = 3_600_000_000
-    _E = pa.table({"w": pa.array([], pa.int64()),
-                   "u": pa.array([], pa.int64()),
-                   "bucket": pa.array([], pa.int64())})
-
-    def split(t: pa.Table) -> pa.Table:
-        need = {"ts", "user_id"}
-        if t.num_rows == 0 or not need <= set(t.schema.names):
-            return _E
-        keep = pc.and_(pc.is_valid(t.column("ts")),
-                       pc.is_valid(t.column("user_id")))
-        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
-        if t2.num_rows == 0:
-            return _E
-        us = t2.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        h = np.floor_divide(us, HOUR)
-        u = t2.column("user_id").cast(pa.int64()).to_numpy(
-            zero_copy_only=False).astype(np.int64)
-        hu = pd.DataFrame({"h": h, "u": u}).drop_duplicates()
-        hh = hu["h"].to_numpy(np.int64)
-        uu = hu["u"].to_numpy(np.int64)
-        w = (hh[:, None] + np.arange(W, dtype=np.int64)[None, :]
-             ).ravel()
-        ur = np.repeat(uu, W)
-        bucket = ((mix64(w) ^ mix64(ur)) % np.uint64(P)).astype(
-            np.int64)
-        return pa.table({"w": pa.array(w), "u": pa.array(ur),
-                         "bucket": pa.array(bucket)})
-
-    def merge(*tabs) -> pd.DataFrame:
-        live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
-        if not live:
-            return pd.DataFrame({"w": pd.Series(dtype="int64"),
-                                 "c": pd.Series(dtype="int64")})
-        df = (pa.concat_tables(live).to_pandas()
-              .drop_duplicates())  # int keys — exact (w,u) dedup
-        g = df.groupby("w").size().reset_index(name="c")
-        return pd.DataFrame({"w": g["w"].to_numpy(np.int64),
-                             "c": g["c"].to_numpy(np.int64)})
-
-    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
-    parts = [p for p in hash_shuffle(
-        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
-        if len(p)]
-    cols = {"h": pd.Series(dtype="int64"),
-            "distinct_users_24h": pd.Series(dtype="int64")}
-    if not parts:
-        return pd.DataFrame(cols)
-    allc = (pd.concat(parts, ignore_index=True)
-            .groupby("w")["c"].sum())
-
-    # windows are emitted h..h+W−1, so replication leaves phantom
-    # tails past the last REAL hour — recover the true [h0, h1] with
-    # a tiny per-block min/max pass and clip the grid to it
-    def hour_bounds(block: pa.Table):
-        need = {"ts", "user_id"}
-        if block.num_rows == 0 or \
-                not need <= set(block.schema.names):
-            return None
-        keep = pc.and_(pc.is_valid(block.column("ts")),
-                       pc.is_valid(block.column("user_id")))
-        b2 = block.filter(keep)
-        if b2.num_rows == 0:
-            return None
-        us = b2.column("ts").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        h = np.floor_divide(us, HOUR)
-        # encode (min, max) as a mergeable additive pair via ±inf
-        return np.array([-float(h.min()), float(h.max())])
-
-    import ray
-
-    refs = ds.to_arrow_refs()
-    bt = ray.remote(hour_bounds)
-    vals = [v for v in ray.get([bt.remote(r) for r in refs])
-            if v is not None]
-    if not vals:
-        return pd.DataFrame(cols)
-    arr = np.vstack(vals)
-    h0 = -int(arr[:, 0].max())
-    h1 = int(arr[:, 1].max())
-    grid = np.arange(h0, h1 + 1, dtype=np.int64)
-    counts = np.zeros(len(grid), np.int64)
-    sel = (allc.index >= h0) & (allc.index <= h1)
-    idx = allc.index.to_numpy(np.int64)[sel] - h0
-    counts[idx] = allc.to_numpy(np.int64)[sel]
-    return pd.DataFrame({"h": grid,
-                         "distinct_users_24h": counts})
-
-
 def q_segment_flows(sf_dir: str, B: int = 32) -> pd.DataFrame:
     """Week-over-week user segment flows — the alluvial/Sankey input:
     each user's segment in an epoch week is their DOMINANT event type
