@@ -1049,7 +1049,7 @@ def perrow_queries() -> dict[str, Callable[[str], Any]]:
     answer never rides ``to_pandas()`` through the driver. Every key
     here also has a ``queries()``/``oracle_sql()`` twin (the driver's
     row-compare contract at small sf is unchanged)."""
-    from web_scrapper_ray.pipelines import textops
+    from web_scrapper_ray.pipelines import analytics, textops
 
     return {
         "q10_token_count": textops.q_token_count_ds,
@@ -1058,6 +1058,8 @@ def perrow_queries() -> dict[str, Callable[[str], Any]]:
         "q14_fingerprint": textops.q_fingerprint_ds,
         "q15_quality": textops.q_quality_ds,
         "q16_lang_id": textops.q_lang_id_ds,
+        "q362_scd2_history": analytics.q_scd2_history_ds,
+        "q363_gap_fill_locf": analytics.q_gap_fill_locf_ds,
     }
 
 

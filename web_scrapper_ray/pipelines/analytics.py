@@ -14119,7 +14119,8 @@ def q_k_anonymity(sf_dir: str) -> pd.DataFrame:
         "min_group_size": np.array([min_sz] * 3, np.float64)})
 
 
-def q_scd2_history(sf_dir: str, P: int = 16) -> pd.DataFrame:
+def q_scd2_history(sf_dir: str, P: int = 16,
+                   as_refs: bool = False):
     """Slowly-changing-dimension type-2 build: collapse each user's
     event-type timeline into validity intervals [valid_from, valid_to)
     with a per-user version counter — the dimension-history shape every
@@ -14166,15 +14167,16 @@ def q_scd2_history(sf_dir: str, P: int = 16) -> pd.DataFrame:
             "ty": t2.column("event_type"),
             "bucket": pa.array((mix64(u) % P).astype(np.int64))})
 
-    def merge(*tabs) -> pd.DataFrame:
-        cols = {"user_id": pd.Series(dtype="int64"),
-                "attr": pd.Series(dtype="object"),
-                "valid_from_us": pd.Series(dtype="int64"),
-                "valid_to_us": pd.Series(dtype="float64"),
-                "version": pd.Series(dtype="int64")}
+    def merge(*tabs) -> pa.Table:
+        _EO = pa.table({
+            "user_id": pa.array([], pa.int64()),
+            "attr": pa.array([], pa.string()),
+            "valid_from_us": pa.array([], pa.int64()),
+            "valid_to_us": pa.array([], pa.int64()),
+            "version": pa.array([], pa.int64())})
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return pd.DataFrame(cols)
+            return _EO
         df = pa.concat_tables(live).to_pandas()
         # chained stable sorts, last key first: ty bytes → eid → ts → u
         df = df.sort_values("ty", kind="stable")
@@ -14198,25 +14200,45 @@ def q_scd2_history(sf_dir: str, P: int = 16) -> pd.DataFrame:
         version = (np.arange(len(idx), dtype=np.int64)
                    - np.repeat(starts, np.diff(
                        np.append(starts, len(idx)))) + 1)
-        return pd.DataFrame({"user_id": ru, "attr": rty,
-                             "valid_from_us": rts,
-                             "valid_to_us": vt,
-                             "version": version})
+        # nullable-int valid_to: the open interval is a real NULL in
+        # the Arrow/parquet contract; to_pandas turns it into the
+        # driver contract's float64+NaN automatically
+        vt_ints = [None if np.isnan(v) else int(v) for v in vt]
+        return pa.table({"user_id": pa.array(ru),
+                         "attr": pa.array(list(rty), pa.string()),
+                         "valid_from_us": pa.array(rts),
+                         "valid_to_us": pa.array(vt_ints, pa.int64()),
+                         "version": pa.array(version)})
 
     ds = _read(sf_dir, "events",
                columns=["user_id", "ts", "event_id", "event_type"])
+    if as_refs:
+        import ray.data as rd
+
+        futs = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                            split, merge, P=P, gather=False)
+        return rd.from_arrow_refs(futs)
     parts = [p for p in hash_shuffle(
         [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
-        if len(p)]
+        if p.num_rows]
     if not parts:
-        return merge()
-    out = pd.concat(parts, ignore_index=True)
+        return merge().to_pandas()
+    out = pa.concat_tables(parts).to_pandas()
     for k in ("version", "user_id"):
         out = out.sort_values(k, kind="stable")
     return out.reset_index(drop=True)
 
 
-def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
+def q_scd2_history_ds(sf_dir: str, P: int = 16):
+    """Dataset-returning core of q362 (the scale-safe per-row oracle
+    contract): the per-bucket interval tables stay in the object
+    store as ObjectRefs and stream straight to parquet — at 100× the
+    history IS the dataset and never transits the driver heap."""
+    return q_scd2_history(sf_dir, P=P, as_refs=True)
+
+
+def q_gap_fill_locf(sf_dir: str, P: int = 16,
+                    as_refs: bool = False):
     """Hourly time-grid resample with last-observation-carried-forward
     — the gap-fill every monitoring/feature pipeline needs. Per event
     type: bin finite-valued events to epoch hours (FLOOR division over
@@ -14269,14 +14291,15 @@ def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
             "bucket": pa.array(np.array(
                 [str_u64(x) & (P - 1) for x in names], np.int64))})
 
-    def merge(*tabs) -> pd.DataFrame:
-        cols = {"event_type": pd.Series(dtype="object"),
-                "h": pd.Series(dtype="int64"),
-                "vmax": pd.Series(dtype="float64"),
-                "is_gap": pd.Series(dtype="int64")}
+    _EO = pa.table({"event_type": pa.array([], pa.string()),
+                    "h": pa.array([], pa.int64()),
+                    "vmax": pa.array([], pa.float64()),
+                    "is_gap": pa.array([], pa.int64())})
+
+    def merge(*tabs) -> pa.Table:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
-            return pd.DataFrame(cols)
+            return _EO
         df = pa.concat_tables(live).to_pandas()
         codes, uniq = factorize_strings(df["ty"])
         frames = []
@@ -14293,17 +14316,30 @@ def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
                 "event_type": np.full(len(grid), uniq[tc], object),
                 "h": grid, "vmax": filled,
                 "is_gap": gap.astype(np.int64)}))
-        return (pd.concat(frames, ignore_index=True) if frames
-                else pd.DataFrame(cols))
+        if not frames:
+            return _EO
+        out = pd.concat(frames, ignore_index=True)
+        return pa.table({
+            "event_type": pa.array(list(out["event_type"]),
+                                   pa.string()),
+            "h": pa.array(out["h"].to_numpy(np.int64)),
+            "vmax": pa.array(out["vmax"].to_numpy(np.float64)),
+            "is_gap": pa.array(out["is_gap"].to_numpy(np.int64))})
 
     ds = _read(sf_dir, "events",
                columns=["event_type", "ts", "value"])
+    if as_refs:
+        import ray.data as rd
+
+        futs = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                            split, merge, P=P, gather=False)
+        return rd.from_arrow_refs(futs)
     parts = [p for p in hash_shuffle(
         [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=P)
-        if len(p)]
+        if p.num_rows]
     if not parts:
-        return merge()
-    out = pd.concat(parts, ignore_index=True)
+        return merge().to_pandas()
+    out = pa.concat_tables(parts).to_pandas()
     out = out.sort_values("h", kind="stable")
     # single-column object sort is comparison-based and exact
     key = out["event_type"].map(
@@ -14311,6 +14347,13 @@ def q_gap_fill_locf(sf_dir: str, P: int = 16) -> pd.DataFrame:
     out = out.loc[key.sort_values(kind="stable").index]
     return out.reset_index(drop=True)
 
+
+
+def q_gap_fill_locf_ds(sf_dir: str, P: int = 16):
+    """Dataset-returning core of q363 (scale-safe per-row oracle
+    contract): per-type dense grids stream from the merge tasks to
+    parquet without a driver concat."""
+    return q_gap_fill_locf(sf_dir, P=P, as_refs=True)
 
 def q_calibration_brier(sf_dir: str, P: int = 8) -> pd.DataFrame:
     """Calibration report + per-bin Brier score for a deterministic
