@@ -711,6 +711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q381_label_dispersion": similarity.q_label_dispersion,
         "q382_markov_accuracy": analytics.q_markov_accuracy,
         "q383_segment_flows": analytics.q_segment_flows,
+        "q385_ring_rebalance": analytics.q_ring_rebalance,
         # pHash-vs-pixel-truth threshold sweep over crawl images
         # (crawl corpus, no SQL twin); planted-twin pytest
         "q358_phash_threshold_sweep": dedup.q_phash_threshold_sweep,
@@ -4317,6 +4318,56 @@ def oracle_sql() -> dict[str, str]:
                        AS bh_reject
             FROM bh JOIN g ON g.pri IS NOT DISTINCT FROM bh.pri
             ORDER BY priority
+        """,
+        "q385_ring_rebalance": """
+            WITH k AS (
+                SELECT c_custkey AS key, count(*)::BIGINT AS m
+                FROM customer WHERE c_custkey IS NOT NULL
+                GROUP BY c_custkey),
+            kn AS (SELECT key, m, unnest(range(0, 17)) AS nd
+                   FROM k),
+            h AS (SELECT key, m, nd,
+                         ('0x' || substr(md5('ring|' || nd::VARCHAR
+                             || '|' || key::VARCHAR), 1, 13))
+                             ::BIGINT AS hv
+                  FROM kn),
+            a17 AS (SELECT key, m, nd FROM (
+                        SELECT key, m, nd,
+                               row_number() OVER (
+                                   PARTITION BY key
+                                   ORDER BY hv DESC, nd ASC) AS rn
+                        FROM h) WHERE rn = 1),
+            a16 AS (SELECT key, m, nd FROM (
+                        SELECT key, m, nd,
+                               row_number() OVER (
+                                   PARTITION BY key
+                                   ORDER BY hv DESC, nd ASC) AS rn
+                        FROM h WHERE nd < 16) WHERE rn = 1),
+            mv AS (SELECT
+                       coalesce(sum(CASE WHEN a17.nd <> a16.nd
+                                         THEN a16.m END), 0)::BIGINT
+                           AS moved,
+                       coalesce(sum(a16.m), 0)::BIGINT AS total
+                   FROM a16 JOIN a17 ON a17.key = a16.key),
+            lb AS (SELECT nd, sum(m)::BIGINT AS c
+                   FROM a16 GROUP BY nd),
+            la AS (SELECT nd, sum(m)::BIGINT AS c
+                   FROM a17 GROUP BY nd),
+            grid(node) AS (VALUES (0), (1), (2), (3), (4), (5),
+                                  (6), (7), (8), (9), (10), (11),
+                                  (12), (13), (14), (15), (16))
+            SELECT grid.node::BIGINT AS node,
+                   coalesce(lb.c, 0)::BIGINT AS n_before,
+                   coalesce(la.c, 0)::BIGINT AS n_after,
+                   mv.moved AS moved_keys,
+                   round(mv.moved / CAST(mv.total AS DOUBLE), 6)
+                       AS moved_frac
+            FROM grid
+            LEFT JOIN lb ON lb.nd = grid.node
+            LEFT JOIN la ON la.nd = grid.node
+            CROSS JOIN mv
+            WHERE mv.total > 0
+            ORDER BY node
         """,
         "q359_hour_uniformity": """
             WITH e AS (

@@ -3536,3 +3536,24 @@ def test_permutation_fdr_detects_effect(ray_session, tmp_path):
     assert abs(h["p_value"] - 1 / 33) < 2e-6
     assert h["bh_reject"] == 1
     assert out["bh_reject"].sum() == 2  # both sides of the same gap
+
+
+def test_ring_rebalance_props(ray_session, tmp_path):
+    """q385: HRW moves only keys whose argmax IS the new node
+    (~1/17), loads are conserved, and the run is deterministic."""
+    from web_scrapper_ray.pipelines.analytics import q_ring_rebalance
+
+    n = 500
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(range(n), pa.int64()),
+    }), str(tmp_path / "customer.parquet"))
+    out = q_ring_rebalance(str(tmp_path))
+    out2 = q_ring_rebalance(str(tmp_path))
+    pd.testing.assert_frame_equal(out, out2)
+    assert len(out) == 17
+    assert out["n_before"].sum() == n and out["n_after"].sum() == n
+    assert out[out["node"] == 16]["n_before"].iloc[0] == 0
+    moved = out["moved_keys"].iloc[0]
+    # HRW: moved == keys now owned by node 16
+    assert moved == out[out["node"] == 16]["n_after"].iloc[0]
+    assert moved < n * 3 / 17  # ~n/17 expected, generous bound

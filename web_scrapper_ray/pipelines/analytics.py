@@ -15790,3 +15790,83 @@ def q_permutation_fdr(sf_dir: str, B: int = 32,
             [(1 + c_exc[i]) / float(B + 1) for i in rows],
             np.float64), 6),
         "bh_reject": pd.array([reject[i] for i in rows], "int64")})
+
+
+def q_ring_rebalance(sf_dir: str, n_before: int = 16,
+                     n_after: int = 17) -> pd.DataFrame:
+    """Rendezvous (highest-random-weight) hashing rebalance audit —
+    the partition-planning question 'what moves when a node joins':
+    every customer key is assigned to argmax_node md5('ring|node|key')
+    under N=16 and N=17 nodes, and the report shows per-node load
+    before/after plus the moved-key count (HRW's guarantee: only keys
+    whose argmax IS the new node move — ~1/17 of them — unlike
+    modulo hashing's ~16/17 reshuffle; the md5 draws are the module's
+    SQL-provable 52-bit coins, so the oracle reproduces the exact
+    assignment). One streamed pass of per-block fixed-size partials
+    (n_after loads + moved counter); ties on the 52-bit draw break to
+    the smaller node id on both sides. NULL keys out of contract."""
+    import hashlib
+
+    from .pairs import round_away
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"node": pa.array([], pa.int64()),
+                          "nb": pa.array([], pa.int64()),
+                          "na": pa.array([], pa.int64()),
+                          "mv": pa.array([], pa.int64())})
+        if t.num_rows == 0 or "c_custkey" not in t.schema.names:
+            return empty
+        keep = pc.is_valid(t.column("c_custkey"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return empty
+        keys = t2.column("c_custkey").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        nb = np.zeros(n_after, np.int64)
+        na = np.zeros(n_after, np.int64)
+        moved = 0
+        for k in keys:
+            ks = str(int(k))
+            hs = [int(hashlib.md5(f"ring|{nd}|{ks}".encode()
+                                  ).hexdigest()[:13], 16)
+                  for nd in range(n_after)]
+            b = max(range(n_before),
+                    key=lambda nd: (hs[nd], -nd))
+            a = max(range(n_after),
+                    key=lambda nd: (hs[nd], -nd))
+            nb[b] += 1
+            na[a] += 1
+            moved += int(a != b)
+        return pa.table({
+            "node": pa.array(np.arange(n_after, dtype=np.int64)),
+            "nb": pa.array(nb), "na": pa.array(na),
+            "mv": pa.array([moved] + [0] * (n_after - 1),
+                           pa.int64())})
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey"])
+    parts = ds.map_batches(partial,
+                           batch_format="pyarrow").to_pandas()
+    cols = {"node": pd.Series(dtype="int64"),
+            "n_before": pd.Series(dtype="int64"),
+            "n_after": pd.Series(dtype="int64"),
+            "moved_keys": pd.Series(dtype="int64"),
+            "moved_frac": pd.Series(dtype="float64")}
+    if not len(parts):
+        return pd.DataFrame(cols)
+    nb = np.zeros(n_after, np.int64)
+    na = np.zeros(n_after, np.int64)
+    np.add.at(nb, parts["node"].to_numpy(np.int64),
+              parts["nb"].to_numpy(np.int64))
+    np.add.at(na, parts["node"].to_numpy(np.int64),
+              parts["na"].to_numpy(np.int64))
+    moved = int(parts["mv"].sum())
+    total = int(nb.sum())
+    if total == 0:
+        return pd.DataFrame(cols)
+    frac = moved / float(total)
+    return pd.DataFrame({
+        "node": np.arange(n_after, dtype=np.int64),
+        "n_before": nb,
+        "n_after": na,
+        "moved_keys": pd.array([moved] * n_after, "int64"),
+        "moved_frac": round_away(np.full(n_after, frac), 6)})
