@@ -169,6 +169,24 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "l_shipdate": [ts(-86400.5), None, ts(0), ts(1), ts(2), ts(3)],
     })
 
+    # NUL-pair flag/status strings (round-4 leg: any lineitem groupby
+    # on returnflag/linestatus — q368/q370/q176/q01 families — must
+    # key on full bytes; 'N' and 'N\x00x' are DISTINCT groups in SQL
+    # and silently merge under pandas' C-string hashing)
+    tabs["lineitem"] = _rows(tabs["lineitem"], {
+        "l_orderkey": [900002] * 4,
+        "l_partkey": [1, 2, 3, 1],
+        "l_suppkey": [2, 2, 2, 2],
+        "l_linenumber": [1, 2, 3, 4],
+        "l_quantity": [1.0, 2.0, 3.0, 4.0],
+        "l_extendedprice": [10.25, 20.5, 30.75, 41.0],
+        "l_discount": [0.0, 0.1, 0.2, 0.3],
+        "l_tax": [0.0] * 4,
+        "l_returnflag": ["N\x00x", "N", "N\x00x", None],
+        "l_linestatus": ["F\x00z", "F", "F", "F\x00z"],
+        "l_shipdate": [ts(10), ts(11), ts(12), ts(13)],
+    })
+
     # part: unicode names (q105 byte-distance class), NULL name/brand,
     # duplicate names, empty string
     tabs["part"] = _rows(tabs["part"], {

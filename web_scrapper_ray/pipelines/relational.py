@@ -837,16 +837,40 @@ def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
         codes, uniq = factorize_strings(
             pd.Series(pays, dtype=object), use_na_sentinel=False)
         tot = np.bincount(codes, weights=cnt[m]).astype(np.int64)
+        # fast-path factorize hands NULL uniques back as float NaN —
+        # sanitize before emitting the string column (CLAUDE.md rule);
+        # NULL priority IS a SQL group and must survive the join
+        uarr = [None if u is None
+                or (isinstance(u, float) and np.isnan(u)) else u
+                for u in np.asarray(uniq, dtype=object)]
         return pa.table({
-            "o_orderpriority": pa.array(list(uniq), pa.string()),
+            "o_orderpriority": pa.array(uarr, pa.string()),
             "n_items": pa.array(tot)})
 
     per_bucket = both.groupby("bucket").map_groups(
         join_bucket, batch_format="pyarrow")
-    # merge the per-bucket partials (small) on the driver
+    # merge the per-bucket partials (small) on the driver — code-keyed
+    # (a raw pandas groupby would NUL-merge '1-URGENT' with
+    # '1-URGENT\x00z' and silently DROP the NULL-priority group)
+    from .pairs import factorize_strings
+
     parts = per_bucket.to_pandas()
-    out = parts.groupby("o_orderpriority", as_index=False)["n_items"].sum()
-    return out.sort_values("o_orderpriority").reset_index(drop=True)
+    codes, uniq = factorize_strings(parts["o_orderpriority"],
+                                    use_na_sentinel=False)
+    tot = np.zeros(len(uniq), np.int64)
+    np.add.at(tot, codes, parts["n_items"].to_numpy(np.int64))
+    uarr = [None if u is None
+            or (isinstance(u, float) and np.isnan(u)) else u
+            for u in np.asarray(uniq, dtype=object)]
+    order = sorted(range(len(uarr)),
+                   key=lambda i: (uarr[i] is None,  # NULLS LAST
+                                  "" if uarr[i] is None
+                                  else uarr[i].encode(
+                                      "utf-8", "surrogatepass").hex()))
+    return pd.DataFrame({
+        "o_orderpriority": pd.Series([uarr[i] for i in order],
+                                     dtype=object),
+        "n_items": pd.array([int(tot[i]) for i in order], "int64")})
 
 
 def _set_op_membership(sf_dir: str) -> pd.DataFrame:
