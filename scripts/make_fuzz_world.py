@@ -187,6 +187,50 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "l_shipdate": [ts(10), ts(11), ts(12), ts(13)],
     })
 
+    # NUL-pair BRAND strings on joinable parts (q370/q45/q149/q166
+    # class: brand aggregates must keep 'BB' and 'BB\x00b' apart
+    # through every merge, including broadcast-dim lookups)
+    tabs["part"] = _rows(tabs["part"], {
+        "p_partkey": [900011, 900012],
+        "p_name": ["fz brandpair a", "fz brandpair b"],
+        "p_brand": ["BB", "BB\x00b"],
+        "p_type": ["t"] * 2,
+        "p_size": [1, 2],
+        "p_retailprice": [1.0, 2.0],
+    })
+    tabs["lineitem"] = _rows(tabs["lineitem"], {
+        "l_orderkey": [900003] * 2,
+        "l_partkey": [900011, 900012],
+        "l_suppkey": [3, 3],
+        "l_linenumber": [1, 2],
+        "l_quantity": [1.0, 1.0],
+        "l_extendedprice": [5.25, 5.25],
+        "l_discount": [0.0, 0.0],
+        "l_tax": [0.0] * 2,
+        "l_returnflag": ["N", "N"],
+        "l_linestatus": ["F", "F"],
+        "l_shipdate": [ts(14), ts(15)],
+    })
+
+    # NUL-pair MARKET SEGMENTS on customers WITH orders (q369/q374/
+    # q42/q02 class: segment group keys must stay byte-distinct
+    # through per-customer aggregation and the driver folds)
+    tabs["customer"] = _rows(tabs["customer"], {
+        "c_custkey": [900011, 900012],
+        "c_name": ["fz segpair a", "fz segpair b"],
+        "c_nationkey": [0, 1],
+        "c_acctbal": [1.0, 2.0],
+        "c_mktsegment": ["FZ", "FZ\x00s"],
+    })
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [900041, 900042, 900043],
+        "o_custkey": [900011, 900012, 900012],
+        "o_orderstatus": ["O"] * 3,
+        "o_totalprice": [10.0, 20.0, 30.0],
+        "o_orderdate": [ts(30), ts(31), ts(32)],
+        "o_orderpriority": ["2-HIGH"] * 3,
+    })
+
     # part: unicode names (q105 byte-distance class), NULL name/brand,
     # duplicate names, empty string
     tabs["part"] = _rows(tabs["part"], {

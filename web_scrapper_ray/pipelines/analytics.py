@@ -14748,10 +14748,13 @@ def q_cuped_adjustment(sf_dir: str, P: int = 16) -> pd.DataFrame:
     cust = _read(sf_dir, "customer",
                  columns=["c_custkey", "c_mktsegment"]).to_pandas()
     seg = cust["c_mktsegment"].astype(object)
+    # hex-encoded segment keys: the in-bucket pandas groupby would
+    # otherwise NUL-merge 'FZ' with 'FZ\x00s' (fuzz-planted pair)
     dim = pd.DataFrame({
         "ck": cust["c_custkey"].to_numpy(np.int64),
         "seg": seg.where(seg.notna(), None).map(
-            lambda s: _NULLS if s is None else "S" + s)})
+            lambda s: _NULLS if s is None
+            else "S" + s.encode("utf-8", "surrogatepass").hex())})
 
     _E = pa.table({"ck": pa.array([], pa.int64()),
                    "x": pa.array([], pa.int64()),
@@ -14850,8 +14853,10 @@ def q_cuped_adjustment(sf_dir: str, P: int = 16) -> pd.DataFrame:
                   if vx != 0 and vy != 0 else np.nan)
     return pd.DataFrame({
         "segment": pd.Series(
-            [None if k == _NULLS else k[1:] for k in keys],
-            dtype=object),
+            [None if k == _NULLS
+             else bytes.fromhex(k[1:]).decode("utf-8",
+                                              "surrogatepass")
+             for k in keys], dtype=object),
         "n": pd.array([agg[k][0] for k in keys], "int64"),
         "theta": round_away(np.array(th, np.float64), 6),
         "var_reduction": round_away(np.array(vr, np.float64), 6)})
