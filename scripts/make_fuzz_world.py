@@ -194,7 +194,7 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "p_partkey": [900011, 900012],
         "p_name": ["fz brandpair a", "fz brandpair b"],
         "p_brand": ["BB", "BB\x00b"],
-        "p_type": ["t"] * 2,
+        "p_type": ["tt", "tt\x00p"],
         "p_size": [1, 2],
         "p_retailprice": [1.0, 2.0],
     })
@@ -225,7 +225,7 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
     tabs["orders"] = _rows(tabs["orders"], {
         "o_orderkey": [900041, 900042, 900043],
         "o_custkey": [900011, 900012, 900012],
-        "o_orderstatus": ["O"] * 3,
+        "o_orderstatus": ["O", "O\x00s", "O"],
         "o_totalprice": [10.0, 20.0, 30.0],
         "o_orderdate": [ts(30), ts(31), ts(32)],
         "o_orderpriority": ["2-HIGH"] * 3,
@@ -428,6 +428,18 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "lang": ["en"] * 6,
         "source": ["fz"] * 6,
         "n_chars": [40, 40, 42, 41, 36, 44],
+    })
+
+    # NUL-pair lang codes (q297/q331/q344/q285 class: language keys
+    # must stay byte-distinct through rebalance/split machinery)
+    tabs["documents"] = _rows(tabs["documents"], {
+        "doc_id": [900021, 900022, 900023],
+        "text": ["the and for lang pair one",
+                 "the and for lang pair two",
+                 "the and for lang pair three"],
+        "lang": ["xx", "xx\x00l", "xx"],
+        "source": ["fz"] * 3,
+        "n_chars": [25, 25, 27],
     })
 
     # documents: NULL/empty/unicode/whitespace text, NULL lang/source,
