@@ -212,6 +212,27 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "l_shipdate": [ts(14), ts(15)],
     })
 
+    # NUL-pair supplier names WITH revenue (q164-class name outputs)
+    tabs["supplier"] = _rows(tabs["supplier"], {
+        "s_suppkey": [900011, 900012],
+        "s_name": ["fzs", "fzs\x00n"],
+        "s_nationkey": [0, 1],
+        "s_acctbal": [1.0, 2.0],
+    })
+    tabs["lineitem"] = _rows(tabs["lineitem"], {
+        "l_orderkey": [900003] * 2,
+        "l_partkey": [900011, 900012],
+        "l_suppkey": [900011, 900012],
+        "l_linenumber": [3, 4],
+        "l_quantity": [1.0, 1.0],
+        "l_extendedprice": [7.25, 7.25],
+        "l_discount": [0.0, 0.0],
+        "l_tax": [0.0] * 2,
+        "l_returnflag": ["N", "N"],
+        "l_linestatus": ["F", "F"],
+        "l_shipdate": [ts(16), ts(17)],
+    })
+
     # NUL-pair MARKET SEGMENTS on customers WITH orders (q369/q374/
     # q42/q02 class: segment group keys must stay byte-distinct
     # through per-customer aggregation and the driver folds)

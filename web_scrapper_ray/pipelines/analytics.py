@@ -15328,10 +15328,12 @@ def q_load_fairness(sf_dir: str, P: int = 16) -> pd.DataFrame:
              .groupby(["tc", "u"], sort=False).size()
              .reset_index(name="c"))
         names = [uniq[i] for i in g["tc"]]
+        from .pairs import mix64
+
+        umix = mix64(g["u"].to_numpy(np.int64))
         bucket = np.array(
-            [(str_u64(n) ^ int(np.uint64(uu) * np.uint64(
-                0x9E3779B97F4A7C15) >> np.uint64(40))) & (P - 1)
-             for n, uu in zip(names, g["u"])], np.int64)
+            [(str_u64(n) ^ int(m)) & (P - 1)
+             for n, m in zip(names, umix)], np.int64)
         return pa.table({"ty": pa.array(names, pa.string()),
                          "u": pa.array(g["u"].to_numpy(np.int64)),
                          "c": pa.array(g["c"].to_numpy(np.int64)),
