@@ -212,6 +212,17 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "l_shipdate": [ts(14), ts(15)],
     })
 
+    # pre-1970 order dates on an ordered customer (calendar month/
+    # day binning in the orderdate family must floor, not truncate)
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [900051, 900052],
+        "o_custkey": [900011, 900011],
+        "o_orderstatus": ["O", "O"],
+        "o_totalprice": [5.0, 6.0],
+        "o_orderdate": [ts(-86400 * 40 - 0.5), ts(-86400 * 400)],
+        "o_orderpriority": ["2-HIGH", "2-HIGH"],
+    })
+
     # NUL-pair supplier names WITH revenue (q164-class name outputs)
     tabs["supplier"] = _rows(tabs["supplier"], {
         "s_suppkey": [900011, 900012],
