@@ -223,6 +223,20 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "o_orderpriority": ["2-HIGH", "2-HIGH"],
     })
 
+    # extreme int64 user ids (beyond 2^53: any engine stage that
+    # round-trips ids through float64 loses them — q49's mixed
+    # per-bucket schema crashed Ray's unifying safe-cast here).
+    # ts sits near the 1.7e9 centering epoch and values are NOT
+    # collinear (the documented q92 ill-conditioning class is an
+    # artifact, not a parity signal)
+    tabs["events"] = _rows(tabs["events"], {
+        "event_id": [900701, 900702, 900703, 900704],
+        "ts": [ts(1_700_004_000 + i) for i in range(4)],
+        "user_id": [1 << 62, -(1 << 62), -(1 << 63) + 1, 1 << 62],
+        "event_type": ["fz_bigid"] * 4,
+        "value": [1.0, 7.5, 2.25, 7.5],
+    })
+
     # NUL-pair supplier names WITH revenue (q164-class name outputs)
     tabs["supplier"] = _rows(tabs["supplier"], {
         "s_suppkey": [900011, 900012],

@@ -1146,7 +1146,8 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
     _EMPTY_ROLL = pa.table({
         "event_id": pa.array([], pa.int64()),
         "eid_null": pa.array([], pa.bool_()),
-        "user_id": pa.array([], pa.float64()),
+        "uid_i": pa.array([], pa.int64()),
+        "uid_null": pa.array([], pa.bool_()),
         "rolling_avg": pa.array([], pa.float64())})
 
     def roll_bucket(g: pa.Table) -> pa.Table:
@@ -1195,16 +1196,15 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
             avg = np.where(wcnt > 0, wsum / np.maximum(wcnt, 1),
                            np.nan)
         avg = np.round(avg, 4)
-        out_uid = uidk.astype(np.float64)
-        out_uid[unull] = np.nan
-        if not unull.any():
-            uid_arr = pa.array(uidk)
-        else:
-            uid_arr = pa.array(out_uid)
+        # carry the EXACT int64 id + null flag: emitting float64 from
+        # some buckets and int64 from others hands Ray mixed schemas,
+        # and the unifying safe-cast rejects ids beyond 2^53 (fuzz
+        # big-id class); dtype is decided ONCE at the driver
         return pa.table({
             "event_id": pa.array(eid),
             "eid_null": pa.array(evnull),
-            "user_id": uid_arr,
+            "uid_i": pa.array(uidk),
+            "uid_null": pa.array(unull),
             "rolling_avg": pa.array(avg),
         })
 
@@ -1221,7 +1221,14 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
         ev = out["event_id"].to_numpy().astype("float64")
         ev[out["eid_null"].to_numpy()] = np.nan
         out["event_id"] = ev
-    return out.drop(columns=["eid_null"])
+    if out["uid_null"].any():
+        uf = out["uid_i"].to_numpy().astype("float64")  # lossy like
+        uf[out["uid_null"].to_numpy()] = np.nan         # DuckDB cast
+        out["user_id"] = uf
+    else:
+        out["user_id"] = out["uid_i"].to_numpy()
+    out = out[["event_id", "user_id", "rolling_avg"]]
+    return out
 
 
 def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
