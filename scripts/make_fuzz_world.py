@@ -237,6 +237,45 @@ def build(out_dir: str, src: str = "/root/testdata/sf0.001") -> None:
         "value": [1.0, 7.5, 2.25, 7.5],
     })
 
+    # >2^53 surrogate keys where the schema allows sparse ids:
+    # orderkey (join machinery), doc_id (text/dedup), vec_id
+    # (similarity) — any float64 round-trip loses them. partkey/
+    # suppkey stay in the dense packing domain BY CONTRACT (the
+    # graph/itemset family packs them and raises loudly past 2^32).
+    tabs["orders"] = _rows(tabs["orders"], {
+        "o_orderkey": [(1 << 62) + 3],
+        "o_custkey": [900011],
+        "o_orderstatus": ["O"],
+        "o_totalprice": [12.5],
+        "o_orderdate": [ts(40)],
+        "o_orderpriority": ["2-HIGH"],
+    })
+    tabs["lineitem"] = _rows(tabs["lineitem"], {
+        "l_orderkey": [(1 << 62) + 3, (1 << 62) + 3],
+        "l_partkey": [1, 2],
+        "l_suppkey": [1, 1],
+        "l_linenumber": [1, 2],
+        "l_quantity": [1.0, 2.0],
+        "l_extendedprice": [3.25, 4.5],
+        "l_discount": [0.0, 0.0],
+        "l_tax": [0.0, 0.0],
+        "l_returnflag": ["N", "N"],
+        "l_linestatus": ["F", "F"],
+        "l_shipdate": [ts(41), ts(42)],
+    })
+    tabs["documents"] = _rows(tabs["documents"], {
+        "doc_id": [(1 << 62) + 11],
+        "text": ["fz big doc id body words"],
+        "lang": ["en"],
+        "source": ["fz"],
+        "n_chars": [24],
+    })
+    tabs["embeddings"] = _rows(tabs["embeddings"], {
+        "vec_id": [(1 << 62) + 13],
+        "embedding": [[0.1, 0.2, 0.3, 0.4] * 16],
+        "label": [0],
+    })
+
     # NUL-pair supplier names WITH revenue (q164-class name outputs)
     tabs["supplier"] = _rows(tabs["supplier"], {
         "s_suppkey": [900011, 900012],

@@ -1377,7 +1377,8 @@ def q_item_cf(sf_dir: str, k: int = 50, P: int = 32) -> pd.DataFrame:
                                    on="l_orderkey", val="l_partkey")
 
     # ---- per-part order degree: distinct (order, part) exchange ----
-    _E = pa.table({"key": pa.array([], pa.int64()),
+    _E = pa.table({"o": pa.array([], pa.int64()),
+                   "p": pa.array([], pa.int64()),
                    "bucket": pa.array([], pa.int64())})
 
     def split_op(t: pa.Table) -> pa.Table:
@@ -1389,29 +1390,34 @@ def q_item_cf(sf_dir: str, k: int = 50, P: int = 32) -> pd.DataFrame:
         if t2.num_rows == 0:
             return _E
         o = t2.column("l_orderkey").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
+            zero_copy_only=False).astype(np.int64)
         p = t2.column("l_partkey").cast(pa.int64()).to_numpy(
-            zero_copy_only=False)
-        if len(o) and (o.min() < 0 or p.min() < 0
-                       or o.max() >= int(lim) or p.max() >= int(lim)):
-            raise ValueError("order/part key outside packing domain")
-        key = np.unique((o.astype(np.uint64) << np.uint64(_KEY_BITS))
-                        | p.astype(np.uint64)).view(np.int64)
-        return pa.table({"key": pa.array(key),
+            zero_copy_only=False).astype(np.int64)
+        # two-column pair dedup — orderkeys are NOT in the dense
+        # packing domain (fuzz plants >2^53 surrogates; 100-TB order
+        # counts pass 2^32): lexsort-mask instead of bit packing
+        order = np.lexsort((p, o))
+        o, p = o[order], p[order]
+        keep = np.ones(len(o), bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        o, p = o[keep], p[keep]
+        return pa.table({"o": pa.array(o), "p": pa.array(p),
                          "bucket": pa.array(
-                             (mix64(key) & np.uint64(P - 1))
-                             .astype(np.int64))})
+                             (mix64(mix64(o) ^ p.astype(np.uint64))
+                              & np.uint64(P - 1)).astype(np.int64))})
 
     def merge_deg(*tabs) -> pd.DataFrame:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         if not live:
             return pd.DataFrame({"p": pd.Series(dtype="int64"),
                                  "dp": pd.Series(dtype="int64")})
-        key = np.unique(np.concatenate(    # same key → same bucket ⇒
-            [x.column("key").to_numpy() for x in live]))  # global dedup
-        part = (key.view(np.uint64)
-                & (lim - np.uint64(1))).astype(np.int64)
-        u, c = np.unique(part, return_counts=True)
+        o = np.concatenate([x.column("o").to_numpy() for x in live])
+        p = np.concatenate([x.column("p").to_numpy() for x in live])
+        order = np.lexsort((p, o))   # same pair → same bucket ⇒
+        o, p = o[order], p[order]    # lexsort-mask dedup is global
+        keep = np.ones(len(o), bool)
+        keep[1:] = (o[1:] != o[:-1]) | (p[1:] != p[:-1])
+        u, c = np.unique(p[keep], return_counts=True)
         return pd.DataFrame({"p": u, "dp": c.astype(np.int64)})
 
     li = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
