@@ -193,6 +193,23 @@ def hash_mode(con, entrymod, sf_dir: str, only,
                 desc = con.execute(
                     f"DESCRIBE SELECT * FROM ({sql})").fetchall()
                 types = {r[0]: r[1] for r in desc}
+                have_files = os.path.isdir(out_dir) and any(
+                    f.endswith(".parquet")
+                    for f in os.listdir(out_dir))
+                if not have_files:
+                    # empty Dataset.write_parquet writes no files —
+                    # an empty engine result matches an empty oracle
+                    agg0 = ("SELECT count(*)::BIGINT, "
+                            "sum(1)::HUGEINT FROM ")
+                    theirs = con.execute(agg0 + f"({sql})").fetchone()
+                    if theirs[0] != 0:
+                        print(f"HASH FAIL {name}: engine empty vs "
+                              f"oracle rows={theirs[0]}")
+                        failures += 1
+                    else:
+                        print(f"HASH PASS {name}: rows=0 "
+                              f"[{time.time() - t0:.1f}s]")
+                    continue
                 eng_cols = {r[0] for r in con.execute(
                     "DESCRIBE SELECT * FROM read_parquet("
                     f"'{out_dir}/*.parquet')").fetchall()}

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .pairs import hash_shuffle, round_away
-from .relational import _IMAX, _read
+from .relational import _IMAX, _read, _with_cols
 
 
 def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -372,6 +372,9 @@ def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
                            ["event_type"])
            .groupby("event_type")
            .map_groups(trim, batch_format="pandas").to_pandas())
+    out = _with_cols(out, {"event_type": "object",
+                           "trimmed_mean": "float64",
+                           "n_kept": "int64"})
     out = _restore_null_keys(out, ["event_type"])
     out["n_kept"] = out["n_kept"].astype("int64")
     return out.sort_values("event_type",
@@ -9487,6 +9490,8 @@ def q_winsorized_mean(sf_dir: str, lo_f: float = 0.05,
                            ["event_type"])
            .groupby("event_type")
            .map_groups(winsor, batch_format="pandas").to_pandas())
+    out = _with_cols(out, {"event_type": "object",
+                           "n": "int64", "w_mean": "float64"})
     out = _restore_null_keys(out, ["event_type"])
     out["n"] = out["n"].astype("int64")
     return out.sort_values("event_type",
@@ -11244,6 +11249,15 @@ def q_split_leakage(sf_dir: str, train_frac: float = 0.8,
     n_users = n_tr + n_te - n_both
     share = np.nan if n_users == 0 \
         else float(n_both) / n_users
+    if n_users == 0:
+        # empty-input contract: SQL's ungrouped aggregate still emits
+        # one row, with NULL sums (n_tr/n_te) but integer counts
+        return pd.DataFrame({
+            "n_users": pd.array([0], "int64"),
+            "n_train_users": np.array([np.nan]),
+            "n_test_users": np.array([np.nan]),
+            "n_leaked": pd.array([0], "int64"),
+            "leak_share": np.array([np.nan])})
     return pd.DataFrame({
         "n_users": pd.array([n_users], "int64"),
         "n_train_users": pd.array([n_tr], "int64"),
@@ -11958,10 +11972,13 @@ def q_numeric_profile(sf_dir: str) -> pd.DataFrame:
 
         parts = _read(sf_dir, tbl, columns=list(cols)).map_batches(
             partial, batch_format="pyarrow").to_pandas()
+        parts = _with_cols(parts, {
+            "col": "object", "n": "int64", "nulls": "int64",
+            "nonfin": "int64", "mn": "float64", "mx": "float64"})
         for c in cols:
             sub = parts[parts["col"] == c]
-            if not len(sub):
-                continue
+            # the oracle emits every profiled column even over an
+            # empty table (zero counts, NULL min/max) — mirror it
             mn = sub["mn"].dropna()
             mx = sub["mx"].dropna()
             rows.append((
@@ -12042,8 +12059,13 @@ def q_dup_row_census(sf_dir: str, P: int = 32) -> pd.DataFrame:
             "n_distinct": pd.Series(dtype="int64"),
             "n_dup_rows": pd.Series(dtype="int64"),
             "max_multiplicity": pd.Series(dtype="int64")}
+    del cols  # ungrouped aggregate: SQL emits one row even on empty
     if n == 0:
-        return pd.DataFrame(cols)
+        return pd.DataFrame({
+            "n_rows": pd.array([0], "int64"),
+            "n_distinct": pd.array([0], "int64"),
+            "n_dup_rows": pd.array([0], "int64"),
+            "max_multiplicity": np.array([np.nan])})  # max() → NULL
     return pd.DataFrame({
         "n_rows": pd.array([n], "int64"),
         "n_distinct": pd.array([nd], "int64"),

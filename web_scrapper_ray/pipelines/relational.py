@@ -134,6 +134,17 @@ def _restore_null_keys(df: pd.DataFrame, cols: list) -> pd.DataFrame:
     return df
 
 
+def _with_cols(df: pd.DataFrame, cols: dict) -> pd.DataFrame:
+    """Zero-block Datasets reach the driver COLUMN-LESS (Ray never ran
+    the mapped fn on an empty input — CLAUDE.md rule), so driver code
+    that indexes expected columns crashes on a fully-empty table.
+    Restore the declared schema as a typed empty frame."""
+    if not len(df) and not all(c in df.columns for c in cols):
+        return pd.DataFrame({c: pd.Series(dtype=t)
+                             for c, t in cols.items()})
+    return df
+
+
 def _hour_start(ts_col) -> pa.Array:
     """Epoch seconds of date_trunc('hour', ts). FLOOR division over the
     raw microseconds — int64 truncation toward zero would bin pre-1970
@@ -382,6 +393,9 @@ def q_user_sessions(sf_dir: str) -> pd.DataFrame:
         .map_groups(sessions_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    out = _with_cols(out, {"user_id": "int64", "n_sessions": "int64",
+                           "n_events": "int64",
+                           "max_session_events": "int64"})
     return out.sort_values("user_id").reset_index(drop=True)
 
 
@@ -695,11 +709,11 @@ def q_distinct_event_types(sf_dir: str) -> pd.DataFrame:
     """Set op: distinct values of one column (Dataset.unique → shuffle).
     NULL sorts last (DuckDB ASC default) instead of crashing sorted()."""
     ds = _read(sf_dir, "events", columns=["event_type"])
-    vals = ds.unique("event_type")
+    vals = ds.unique("event_type") or []  # None on zero blocks
     out = sorted(v for v in vals if v is not None)
     if len(out) != len(vals):
         out.append(None)
-    return pd.DataFrame({"event_type": out})
+    return pd.DataFrame({"event_type": pd.Series(out, dtype=object)})
 
 
 def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
@@ -737,6 +751,8 @@ def q_event_value_quantiles(sf_dir: str) -> pd.DataFrame:
                            ["event_type"])
            .groupby("event_type")
            .map_groups(quants, batch_format="pyarrow").to_pandas())
+    out = _with_cols(out, {"event_type": "object",
+                           "p50": "float64", "p95": "float64"})
     out = _restore_null_keys(out, ["event_type"])
     return out.sort_values("event_type",
                            na_position="last").reset_index(drop=True)
@@ -771,6 +787,9 @@ def q_events_value_stats(sf_dir: str) -> pd.DataFrame:
                    Std("value", alias_name="std_value"))
         .to_pandas()
     )
+    out = _with_cols(out, {"event_type": "object", "n": "int64",
+                           "avg_value": "float64",
+                           "std_value": "float64"})
     out = _restore_null_keys(out, ["event_type"])
     out["avg_value"] = out["avg_value"].astype("float64").round(4)
     out["std_value"] = out["std_value"].astype("float64").round(4)
@@ -1019,7 +1038,8 @@ def q_events_asof_join(sf_dir: str) -> pd.DataFrame:
     _EMPTY_ASOF = pd.DataFrame({"event_id": pd.Series(dtype="int64"),
                                 "eid_null": pd.Series(dtype="bool"),
                                 "user_id": pd.Series(dtype="int64"),
-                                "last_order_ts": pd.Series(dtype="float64")})
+                                "last_order_ts": pd.Series(dtype="int64")})
+    # (empty contract: DuckDB's NULL-free — vacuously — BIGINT)
 
     _EMPTY_ASOF_PA = pa.table({
         "event_id": pa.array([], pa.int64()),
@@ -1214,6 +1234,9 @@ def q_rolling_avg(sf_dir: str, window: int = 5) -> pd.DataFrame:
         .map_groups(roll_bucket, batch_format="pyarrow")
         .to_pandas()
     )
+    out = _with_cols(out, {"event_id": "int64", "eid_null": "bool",
+                           "uid_i": "int64", "uid_null": "bool",
+                           "rolling_avg": "float64"})
     out = out.sort_values("event_id").reset_index(drop=True)
     if out["eid_null"].any():
         # DuckDB nullable-BIGINT dtype parity: float64+NaN only when a
@@ -1381,6 +1404,8 @@ def q_top_percentile_events(sf_dir: str, frac: float = 0.01,
     refs = ds.to_arrow_refs()
 
     def block_minmax(t: pa.Table):
+        if t.num_rows == 0 or "value" not in t.schema.names:
+            return np.inf, -np.inf, 0, 0, 0
         v = t.column("value").to_numpy(zero_copy_only=False)
         fin = v[np.isfinite(v)]
         npos = int((v == np.inf).sum())
@@ -2618,7 +2643,8 @@ def q_next_event_gap(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events",
                columns=["event_id", "user_id", "event_type", "ts"])
     cols = {"event_id": pd.Series(dtype="int64"),
-            "next_gap_us": pd.Series(dtype="float64")}
+            "next_gap_us": pd.Series(dtype="int64")}
+    # (empty contract: vacuously NULL-free lead-diff stays BIGINT)
 
     def split(t: pa.Table) -> pa.Table:
         empty = pa.table({"event_id": pa.array([], pa.int64()),

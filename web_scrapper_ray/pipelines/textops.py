@@ -285,9 +285,11 @@ def q_json_valid(sf_dir: str) -> pd.DataFrame:
         return pa.table({"event_id": batch.column("event_id"),
                          "valid_json": pa.array(mask, pa.bool_())})
 
-    return ds.map_batches(valid, batch_format="pyarrow").to_pandas().sort_values(
-        "event_id"
-    ).reset_index(drop=True)
+    from .relational import _with_cols
+
+    out = ds.map_batches(valid, batch_format="pyarrow").to_pandas()
+    out = _with_cols(out, {"event_id": "int64", "valid_json": "bool"})
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 class _JPairs(list):
@@ -469,8 +471,11 @@ def q_json_field(sf_dir: str, path: str = "k") -> pd.DataFrame:
         return pa.table({"event_id": batch.column("event_id"),
                          "k": pa.array(out, pa.string())})
 
-    return (ds.map_batches(extract, batch_format="pyarrow").to_pandas()
-            .sort_values("event_id").reset_index(drop=True))
+    from .relational import _with_cols
+
+    out = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
+    out = _with_cols(out, {"event_id": "int64", "k": "object"})
+    return out.sort_values("event_id").reset_index(drop=True)
 
 
 def q_phone_digits(sf_dir: str) -> pd.DataFrame:
