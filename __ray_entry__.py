@@ -367,6 +367,14 @@ def _entities(sf_dir: str):
                              num_cpus=0.5).to_pandas()
     finally:
         ctx.enable_tensor_extension_casting = prev
+    if not len(out):  # zero-block empty arrives column-less
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"),
+             **{f"n_{c}": pd.Series(dtype="int64")
+                for c in ("emails", "urls", "dates", "people",
+                          "organizations", "locations")}})
     for col in ("emails", "urls", "dates", "people", "organizations", "locations"):
         # NULL list (NULL text) → NULL count, float64 like the
         # oracle's nullable BIGINT

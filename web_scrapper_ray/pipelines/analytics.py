@@ -492,12 +492,12 @@ def q_grouping_sets_docs(sf_dir: str) -> pd.DataFrame:
     parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
     if parts.empty:
         # unlike ROLLUP, GROUPING SETS without the () set emits NOTHING
-        # over an empty table
+        # over an empty table (vacuously NULL-free sum → int64)
         return pd.DataFrame({"lang": pd.Series(dtype="object"),
                              "source": pd.Series(dtype="object"),
                              "lvl": pd.Series(dtype="int64"),
                              "n_docs": pd.Series(dtype="int64"),
-                             "sum_chars": pd.Series(dtype="float64")})
+                             "sum_chars": pd.Series(dtype="int64")})
     parts, restore = coded_keys(parts, ["lang", "source"])
     # min_count=1 keeps an all-NULL-chars set as SQL NULL, not 0
     by_lang = (parts.groupby("lang", as_index=False)
@@ -5854,9 +5854,11 @@ def q_zipf_slope(sf_dir: str, k: int = 100) -> pd.DataFrame:
         return pa.table({"word": pa.array(list(words)),
                          "n": pa.array(list(ns), pa.int64())})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("word").aggregate(Sum("n", alias_name="f"))
-           .to_pandas())
+    agg = _with_cols((ds.map_batches(partial, batch_format="pyarrow")
+                      .groupby("word")
+                      .aggregate(Sum("n", alias_name="f"))
+                      .to_pandas()),
+                     {"word": "object", "f": "int64"})
     agg = agg[agg["f"].notna()]
     if agg.empty:
         return pd.DataFrame({"zipf_slope": [np.nan],
@@ -6972,7 +6974,9 @@ def q_gram_novelty(sf_dir: str) -> pd.DataFrame:
         sf_dir, "documents", columns=["doc_id", "text"]).to_arrow_refs()]
     parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
              if len(p)]
-    ids = _read(sf_dir, "documents", columns=["doc_id"]).to_pandas()
+    ids = _with_cols(_read(sf_dir, "documents",
+                           columns=["doc_id"]).to_pandas(),
+                     {"doc_id": "int64"})
     ids = ids[ids["doc_id"].notna()].astype({"doc_id": np.int64})
     if not parts:
         agg = pd.DataFrame({"doc": pd.Series(dtype="int64"),

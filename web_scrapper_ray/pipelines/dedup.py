@@ -26,7 +26,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .pairs import factorize_strings, hash_shuffle, mix64
-from .relational import _NULL_KEY
+from .relational import _NULL_KEY, _with_cols
 
 _TOKEN_RX = re.compile(r"\w+")
 N_PERM = 64
@@ -118,6 +118,9 @@ def q_exact_dedup(sf_dir: str) -> pd.DataFrame:
         .aggregate(Min("doc_id", alias_name="keep_doc_id"), Count(alias_name="n_docs"))
         .to_pandas()
     )
+    out = _with_cols(out, {"content_hash": "object",
+                           "keep_doc_id": "int64",
+                           "n_docs": "int64"})
     out = _restore_null_keys(out, ["content_hash"])
     return out.sort_values("content_hash",
                            na_position="last").reset_index(drop=True)
@@ -458,9 +461,10 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": pa.array(vals, pa.int64())})
 
-    return ds.map_batches(sig, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id"
-    ).reset_index(drop=True)
+    return _with_cols(
+        ds.map_batches(sig, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "simhash": "int64"}).sort_values(
+        "doc_id").reset_index(drop=True)
 
 
 def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
@@ -497,6 +501,7 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
         .map_groups(keep_min, batch_format="pandas")
         .to_pandas()  # final deduplicated corpus — the result itself
     )
+    out = _with_cols(out, {"doc_id": "int64", "text": "object"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -549,7 +554,9 @@ def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             "keep": pa.array(clusters == ids),
         })
 
-    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    out = _with_cols(
+        ds.map_batches(assign, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 

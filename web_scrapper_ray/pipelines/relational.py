@@ -48,6 +48,19 @@ def _read(sf_dir: str, table: str, columns=None):
     hit = _READ_MEMO.get(key)
     if hit is None:
         hit = rd.read_parquet(path, columns=columns).materialize()
+        if hit.count() == 0:
+            # a fully-empty table materializes to ZERO blocks and Ray
+            # then SKIPS every mapped fn — downstream drivers receive
+            # column-less frames. Substitute ONE empty TYPED block so
+            # the per-block empty guards (the house `_E` tables) run
+            # and typed empties flow end to end.
+            import pyarrow.parquet as _pq
+
+            sch = _pq.read_schema(path)
+            names = list(columns) if columns is not None                 else sch.names
+            empty = pa.table(
+                {n: pa.array([], sch.field(n).type) for n in names})
+            hit = rd.from_arrow(empty).materialize()
         if len(_READ_MEMO) >= 48:
             _READ_MEMO.pop(next(iter(_READ_MEMO)))
         _READ_MEMO[key] = hit

@@ -40,6 +40,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
 from .pairs import mix64
+from .relational import _with_cols
 
 _DIM_CACHE: dict = {}
 
@@ -343,8 +344,12 @@ def q_neardup_cosine_lsh(sf_dir: str, threshold: float = 0.95,
 
     code_refs = (ds.map_batches(codes, batch_format="pyarrow")
                  .materialize().to_arrow_refs())
-    parts = hash_shuffle([(r, ()) for r in code_refs],
-                         lambda block: block, merge, P=P)
+    parts = hash_shuffle(
+        [(r, ()) for r in code_refs],
+        # a skipped-empty block arrives SCHEMA-LESS (CLAUDE.md rule)
+        lambda block: (block if "bucket" in block.schema.names
+                       else _EMPTY_CODES),
+        merge, P=P)
     cand = pd.concat(parts, ignore_index=True)
     if cand.empty:
         return _EMPTY.copy()
@@ -606,7 +611,9 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
                          "n": pa.array(out_n, pa.int64()),
                          "vsum": pa.array(out_s, pa.list_(pa.float64()))})
 
-    parts = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
+    parts = _with_cols(
+        ds.map_batches(partial, batch_format="pyarrow").to_pandas(),
+        {"label": "int64", "n": "int64", "vsum": "object"})
     rows = []
     for lb, grp in parts.groupby("label", dropna=False):
         total = np.sum(np.stack(grp["vsum"].to_numpy()), axis=0)
@@ -615,9 +622,15 @@ def q_label_centroids(sf_dir: str) -> pd.DataFrame:
         for pos, v in enumerate(total / n, start=1):
             rows.append((lb_out, pos, round(float(v), 6)))
     out = pd.DataFrame(rows, columns=["label", "pos", "c"])
+    if not len(out):  # typed empty (object dtypes otherwise)
+        return pd.DataFrame({"label": pd.Series(dtype="int32"),
+                             "pos": pd.Series(dtype="int64"),
+                             "c": pd.Series(dtype="float64")})
     # match the parquet dtype (nullable only when a NULL group exists)
     out["label"] = out["label"].astype(
         "int32" if out["label"].notna().all() else "Int32")
+    out["pos"] = out["pos"].astype("int64")
+    out["c"] = out["c"].astype("float64")
     return out
 
 
@@ -654,7 +667,10 @@ def q_quantize_embeddings(sf_dir: str) -> pd.DataFrame:
             "q": pa.array(q.reshape(-1)),
         })
 
-    out = _emb(sf_dir).map_batches(quant, batch_format="pyarrow").to_pandas()
+    out = _with_cols(
+        _emb(sf_dir).map_batches(quant,
+                                 batch_format="pyarrow").to_pandas(),
+        {"vec_id": "int64", "pos": "int64", "q": "int64"})
     return out.sort_values(["vec_id", "pos"]).reset_index(drop=True)
 
 

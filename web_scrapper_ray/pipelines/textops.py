@@ -22,6 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .relational import _with_cols as _wc
 from ..functions.text import STOP_WORDS, clean_text, estimate_reading_time
 
 # ASCII \w to match the DuckDB (RE2) oracle token-for-token: Python's
@@ -72,7 +73,8 @@ def q_token_count_ds(sf_dir: str):
 
 def q_token_count(sf_dir: str) -> pd.DataFrame:
     """Fully vectorized: pyarrow.compute regex kernel, zero Python rows."""
-    out = q_token_count_ds(sf_dir).to_pandas()
+    out = _wc(q_token_count_ds(sf_dir).to_pandas(),
+              {"doc_id": "int64", "n_tokens": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -95,7 +97,9 @@ def q_reading_time(sf_dir: str) -> pd.DataFrame:
     the ASCII tokenizer so the count matches the RE2 oracle exactly
     (same q13/q15/q16 rule; `estimate_reading_time` remains the
     unicode reference-parity scalar for the T-surface)."""
-    return q_reading_time_ds(sf_dir).to_pandas().sort_values(
+    return _wc(q_reading_time_ds(sf_dir).to_pandas(),
+               {"doc_id": "int64",
+                "reading_min": "int64"}).sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
@@ -135,7 +139,8 @@ def q_clean_text_ds(sf_dir: str):
 def q_clean_text(sf_dir: str) -> pd.DataFrame:
     """See :func:`q_clean_text_ds` (driver-materialized form for the
     oracle row-compare)."""
-    return q_clean_text_ds(sf_dir).to_pandas().sort_values(
+    return _wc(q_clean_text_ds(sf_dir).to_pandas(),
+               {"doc_id": "int64", "clean": "object"}).sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
@@ -158,7 +163,8 @@ def q_fingerprint_ds(sf_dir: str):
 def q_fingerprint(sf_dir: str) -> pd.DataFrame:
     """Document fingerprint = md5 hex of the raw text (content-hash
     column reused by exact dedup)."""
-    return q_fingerprint_ds(sf_dir).to_pandas().sort_values(
+    return _wc(q_fingerprint_ds(sf_dir).to_pandas(),
+               {"doc_id": "int64", "fp": "object"}).sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
@@ -208,7 +214,9 @@ def q_quality_ds(sf_dir: str):
 def q_quality(sf_dir: str) -> pd.DataFrame:
     """Quality signals with integer-exact rules: token count, stopword
     count, is_good = (10 ≤ n_tokens ≤ 1000) ∧ (20·n_stop > n_tokens)."""
-    out = q_quality_ds(sf_dir).to_pandas() \
+    out = _wc(q_quality_ds(sf_dir).to_pandas(),
+              {"doc_id": "int64", "n_tokens": "int64",
+               "n_stop": "int64", "is_good": "bool"}) \
         .sort_values("doc_id").reset_index(drop=True)
     # NULL booleans: Arrow→pandas hands None, DuckDB→pandas hands
     # np.nan inside the object column — normalize to the oracle's
@@ -240,7 +248,9 @@ def q_lang_id_ds(sf_dir: str):
 
 def q_lang_id(sf_dir: str) -> pd.DataFrame:
     """Stopword-ratio language heuristic: 'en' iff 10·n_stop > n_tokens."""
-    return q_lang_id_ds(sf_dir).to_pandas().sort_values(
+    return _wc(q_lang_id_ds(sf_dir).to_pandas(),
+               {"doc_id": "int64",
+                "lang_pred": "object"}).sort_values(
         "doc_id"
     ).reset_index(drop=True)
 
@@ -267,6 +277,7 @@ def q_keywords_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
         .aggregate(Sum("n", alias_name="n_total"))
         .to_pandas()
     )
+    agg = _wc(agg, {"word": "object", "n_total": "int64"})
     agg = agg.sort_values(["n_total", "word"], ascending=[False, True]).head(k)
     return agg.reset_index(drop=True)
 
@@ -543,8 +554,9 @@ def q_bpe_token_count(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "n_bpe_tokens": pc.cast(n, pa.int64())})
 
-    out = ds.map_batches(count, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
+    out = _wc(ds.map_batches(count, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas(),
+              {"doc_id": "int64", "n_bpe_tokens": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -584,8 +596,10 @@ def q_doc_chunks(sf_dir: str, chunk_tokens: int = 32) -> pd.DataFrame:
                          "chunk_idx": pa.array(idx),
                          "chunk_tokens": pa.array(tok)})
 
-    out = ds.map_batches(chunks, batch_format="pyarrow",
-                         zero_copy_batch=True).to_pandas()
+    out = _wc(ds.map_batches(chunks, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas(),
+              {"doc_id": "int64", "chunk_idx": "int64",
+               "chunk_tokens": "int64"})
     return out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
 
 
@@ -627,10 +641,10 @@ def q_tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
         return pa.table({"term": pa.array(list(terms)),
                          "n": pa.array(list(ns), pa.int64())})
 
-    df_tab = (
+    df_tab = _wc((
         _docs(sf_dir, ["text"]).map_batches(df_partial, batch_format="pyarrow")
         .groupby("term").aggregate(Sum("n", alias_name="df")).to_pandas()
-    )
+    ), {"term": "object", "df": "int64"})
     import math
 
     idf = {t: math.log(n_docs / d)
@@ -653,7 +667,10 @@ def q_tfidf_topk(sf_dir: str, k: int = 5) -> pd.DataFrame:
                          "term": pa.array(out_t, pa.string()),
                          "score": pa.array(out_s, pa.float64())})
 
-    out = ds.map_batches(score, batch_format="pyarrow").to_pandas()
+    out = _wc(ds.map_batches(score, batch_format="pyarrow")
+              .to_pandas(),
+              {"doc_id": "int64", "term": "object",
+               "score": "float64"})
     return out.sort_values(["doc_id", "term"]).reset_index(drop=True)
 
 
@@ -694,8 +711,8 @@ def q_decontaminate(sf_dir: str, n: int = 8, holdout_mod: int = 50) -> pd.DataFr
         return pa.table({"gram": pa.array(sorted(s), pa.string())})
 
     bench_set = set(
-        bench_ds.map_batches(bench_grams, batch_format="pyarrow")
-        .to_pandas()["gram"])
+        _wc(bench_ds.map_batches(bench_grams, batch_format="pyarrow")
+            .to_pandas(), {"gram": "object"})["gram"])
     bref = ray.put(bench_set)
 
     ds = _docs(sf_dir, ["doc_id", "text"]).map_batches(
@@ -711,7 +728,10 @@ def q_decontaminate(sf_dir: str, n: int = 8, holdout_mod: int = 50) -> pd.DataFr
                          "contaminated": pa.array(
                              [c > 0 for c in counts], pa.bool_())})
 
-    out = ds.map_batches(hits, batch_format="pyarrow").to_pandas()
+    out = _wc(ds.map_batches(hits, batch_format="pyarrow")
+              .to_pandas(),
+              {"doc_id": "int64", "n_hits": "int64",
+               "contaminated": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -757,14 +777,20 @@ def q_shard_pack(sf_dir: str, k: int = 8) -> pd.DataFrame:
     nt = (_docs(sf_dir, ["doc_id", "text"])
           .map_batches(counts, batch_format="pyarrow", zero_copy_batch=True)
           .materialize())
-    hist = (nt.map_batches(hist_partial, batch_format="pyarrow")
-            .to_pandas().groupby("n_tokens", as_index=False)["cnt"].sum()
+    hist = (_wc(nt.map_batches(hist_partial, batch_format="pyarrow")
+                .to_pandas(), {"n_tokens": "int64", "cnt": "int64"})
+            .groupby("n_tokens", as_index=False)["cnt"].sum()
             .sort_values("n_tokens", ascending=False))
     # offset[n] = number of docs with token count strictly greater than n
     offsets = dict(zip(hist["n_tokens"],
                        np.concatenate(([0], hist["cnt"].cumsum().to_numpy()[:-1]))))
 
     def split(block: pa.Table) -> pa.Table:
+        if block.num_rows == 0 or \
+                "n_tokens" not in block.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64())})
         n = block.column("n_tokens").to_numpy(zero_copy_only=False)
         return block.append_column("bucket", pa.array(n % P, pa.int64()))
 
@@ -918,6 +944,8 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
         .map_groups(head_k, batch_format="pandas")
         .to_pandas()
     )
+    out = _wc(out, {"lang": "object", "doc_id": "int64",
+                    "rank": "int64"})
     out = _restore_null_keys(out, ["lang"])
     out["rank"] = out["rank"].astype("int64")
     return out.sort_values(["lang", "rank"],
@@ -953,9 +981,11 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
             "n_docs": pa.array(n, pa.int64()),
         })
 
-    df = (_docs(sf_dir, ["source"])
-          .map_batches(tag, batch_format="pyarrow")
-          .to_pandas())
+    df = _wc((_docs(sf_dir, ["source"])
+              .map_batches(tag, batch_format="pyarrow")
+              .to_pandas()),
+             {"source": "object", "split": "object",
+              "n_docs": "int64"})
     # code-keyed fold: pandas string groupby hashes NUL-terminated C
     # strings and would merge NUL-prefix source pairs (split is a
     # derived 3-value string — it can only differ when source differs,
@@ -965,10 +995,12 @@ def q_hash_split(sf_dir: str) -> pd.DataFrame:
     codes, uniq = factorize_strings(df["source"], use_na_sentinel=False)
     out = (df.assign(_c=codes)
            .groupby(["_c", "split"], as_index=False)["n_docs"].sum())
-    src = uniq.to_numpy()[out["_c"].to_numpy()]
-    out["source"] = [None if (v is None or (isinstance(v, float)
-                                            and np.isnan(v))) else v
-                     for v in src]
+    src = uniq.to_numpy()[out["_c"].to_numpy().astype(np.int64)] \
+        if len(out) else np.array([], dtype=object)
+    out["source"] = pd.Series(
+        [None if (v is None or (isinstance(v, float)
+                                and np.isnan(v))) else v
+         for v in src], index=out.index, dtype=object)
     out["n_docs"] = out["n_docs"].astype("int64")
     return (out[["source", "split", "n_docs"]]
             .sort_values("split", kind="mergesort")
@@ -1032,9 +1064,13 @@ def q_repetition_filter(sf_dir: str, dup_permille_max: int = 500,
             "top_permille": pa.array(topp), "flagged": pa.array(flagged),
         })
 
-    out = (_docs(sf_dir, ["doc_id", "text"])
-           .map_batches(stats, batch_format="pyarrow")
-           .to_pandas())
+    out = _wc((_docs(sf_dir, ["doc_id", "text"])
+               .map_batches(stats, batch_format="pyarrow")
+               .to_pandas()),
+              {"doc_id": "int64", "n_tokens": "int64",
+               "n_distinct": "int64", "top_count": "int64",
+               "dup_permille": "int64", "top_permille": "int64",
+               "flagged": "int64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1180,7 +1216,10 @@ def q_boilerplate_ngrams(sf_dir: str, n: int = 3, df_min: int = 4,
                          "n_frequent": pa.array(nf),
                          "flagged": pa.array(nf >= flag_min)})
 
-    out = ds.map_batches(count, batch_format="pyarrow").to_pandas()
+    out = _wc(ds.map_batches(count, batch_format="pyarrow")
+              .to_pandas(),
+              {"doc_id": "int64", "n_frequent": "int64",
+               "flagged": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1218,9 +1257,11 @@ def q_source_quality_filter(sf_dir: str) -> pd.DataFrame:
                          "n": pa.array(ns, pa.int64()),
                          "n_good": pa.array(ngs, pa.int64())})
 
-    stats = (_docs(sf_dir, ["source", "text"])
-             .map_batches(partial, batch_format="pyarrow")
-             .to_pandas())
+    stats = _wc((_docs(sf_dir, ["source", "text"])
+                 .map_batches(partial, batch_format="pyarrow")
+                 .to_pandas()),
+                {"source": "object", "n": "int64",
+                 "n_good": "int64"})
     # code-keyed fold (pandas string groupby merges NUL-prefix pairs);
     # the keep map is a Python dict, which hashes full strings exactly
     from .pairs import factorize_strings
@@ -1243,9 +1284,11 @@ def q_source_quality_filter(sf_dir: str) -> pd.DataFrame:
             "keep": pa.array([km[s] for s in srcs], pa.bool_()),
         })
 
-    out = (_docs(sf_dir, ["doc_id", "source"])
-           .map_batches(tag, batch_format="pyarrow")
-           .to_pandas())
+    out = _wc((_docs(sf_dir, ["doc_id", "source"])
+               .map_batches(tag, batch_format="pyarrow")
+               .to_pandas()),
+              {"doc_id": "int64", "source": "object",
+               "keep": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -1274,9 +1317,9 @@ def q_consistent_sample(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.table({"doc_id": pa.array(ids[order]),
                          "h": pa.array(hs[order])})
 
-    parts = (_docs(sf_dir, ["doc_id", "text"])
-             .map_batches(bottomk, batch_format="pyarrow")
-             .to_pandas())
+    parts = _wc((_docs(sf_dir, ["doc_id", "text"])
+                 .map_batches(bottomk, batch_format="pyarrow")
+                 .to_pandas()), {"doc_id": "int64", "h": "object"})
     top = parts.sort_values(["h", "doc_id"]).head(k)
     return top.sort_values("doc_id").reset_index(drop=True)
 
@@ -3153,7 +3196,10 @@ def q_compression_ratio(sf_dir: str) -> pd.DataFrame:
             "n_compressed": pa.array(nc_a),
             "ratio": pa.array(np.round(nc_a / nb_a, 6))})
 
-    out = ds.map_batches(comp, batch_format="pyarrow").to_pandas()
+    out = _wc(ds.map_batches(comp, batch_format="pyarrow")
+              .to_pandas(),
+              {"doc_id": "int64", "n_bytes": "int64",
+               "n_compressed": "int64", "ratio": "float64"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
@@ -3270,7 +3316,10 @@ def q_langid_eval(sf_dir: str) -> pd.DataFrame:
                          "fn": pa.array([fn], pa.int64()),
                          "tn": pa.array([tn], pa.int64())})
 
-    p = ds.map_batches(confusion, batch_format="pyarrow").to_pandas()
+    p = _wc(ds.map_batches(confusion, batch_format="pyarrow")
+            .to_pandas(),
+            {"tp": "int64", "fp": "int64", "fn": "int64",
+             "tn": "int64"})
     tp, fp = int(p["tp"].sum()), int(p["fp"].sum())
     fn, tn = int(p["fn"].sum()), int(p["tn"].sum())
     den_en = 2 * tp + fp + fn
@@ -3599,7 +3648,7 @@ def q_feature_hash_eval(sf_dir: str, B: int = 4096) -> pd.DataFrame:
         return pd.DataFrame({
             "n_words": pd.array([0], "int64"),
             "n_used": pd.array([0], "int64"),
-            "max_load": pd.array([None], "Int64"),
+            "max_load": np.array([np.nan]),  # NULL max → float64
             "collision_share": pd.array([np.nan], "float64")})
     return pd.DataFrame({
         "n_words": pd.array([n_words], "int64"),
@@ -3752,8 +3801,15 @@ def q_shuffle_quality(sf_dir: str, P: int = 32) -> pd.DataFrame:
             "same_adj_shuf": pd.Series(dtype="int64"),
             "rate_seq": pd.Series(dtype="float64"),
             "rate_shuf": pd.Series(dtype="float64")}
-    if not len(mmf):
-        return pd.DataFrame(cols)
+    if not len(mmf) or mmf["lo"].isna().all():
+        # SQL's ungrouped aggregate still emits one row on empty
+        # (counts 0, 0/greatest(n,1) rates = 0.0)
+        return pd.DataFrame({
+            "n": pd.array([0], "int64"),
+            "same_adj_seq": pd.array([0], "int64"),
+            "same_adj_shuf": pd.array([0], "int64"),
+            "rate_seq": pd.array([0.0], "float64"),
+            "rate_shuf": pd.array([0.0], "float64")})
     lo, hi = int(mmf["lo"].min()), int(mmf["hi"].max())
     span = max(hi - lo + 1, 1)
 
