@@ -1056,9 +1056,12 @@ def perrow_queries() -> dict[str, Callable[[str], Any]]:
     streams each of these to parquet with ``Dataset.write_parquet``
     and hash-compares against DuckDB over the files, so the full
     answer never rides ``to_pandas()`` through the driver. Every key
-    here also has a ``queries()``/``oracle_sql()`` twin (the driver's
-    row-compare contract at small sf is unchanged)."""
+    here also has a ``queries()`` twin (the driver's row-compare
+    contract at small sf is unchanged) and either an ``oracle_sql()``
+    twin (hash-compared) or a ``perrow_rowcount_sql()`` entry
+    (count-checked — hash-based values with no SQL twin)."""
     from web_scrapper_ray.pipelines import analytics, textops
+    from web_scrapper_ray.pipelines import dedup as _dedup
 
     return {
         "q10_token_count": textops.q_token_count_ds,
@@ -1069,6 +1072,24 @@ def perrow_queries() -> dict[str, Callable[[str], Any]]:
         "q16_lang_id": textops.q_lang_id_ds,
         "q362_scd2_history": analytics.q_scd2_history_ds,
         "q363_gap_fill_locf": analytics.q_gap_fill_locf_ds,
+        "q48_dedup_corpus": _dedup.q_dedup_corpus_ds,
+        "q23_simhash": _dedup.q_simhash_ds,
+        "q53_neardup_clusters": _dedup.q_neardup_clusters_ds,
+    }
+
+
+def perrow_rowcount_sql() -> dict[str, str]:
+    """Weaker streamed contract for ``perrow_queries`` entries whose
+    VALUES have no SQL twin (hash-based upstream — blake2b simhash,
+    banding candidates): the gate still streams the Dataset to parquet
+    (never ``to_pandas`` through the driver) but checks ROW COUNT
+    against this SQL instead of a value hash. Both queries emit
+    exactly one row per document by contract; their values are
+    pytested against sequential references and the driver's rows-only
+    check at sf0.01."""
+    return {
+        "q23_simhash": "SELECT count(*)::BIGINT FROM documents",
+        "q53_neardup_clusters": "SELECT count(*)::BIGINT FROM documents",
     }
 
 

@@ -179,6 +179,9 @@ def hash_mode(con, entrymod, sf_dir: str, only,
         return 0
     perrow = entrymod.perrow_queries()
     sqls = entrymod.oracle_sql()
+    # hash-based values with no SQL twin: streamed count-only check
+    count_sqls = (entrymod.perrow_rowcount_sql()
+                  if hasattr(entrymod, "perrow_rowcount_sql") else {})
     failures = 0
     tmp_root = tempfile.mkdtemp(prefix="wsr_hashgate_")
     try:
@@ -186,6 +189,30 @@ def hash_mode(con, entrymod, sf_dir: str, only,
             if (only and name not in only) or name in exclude:
                 continue
             t0 = time.time()
+            if name not in sqls:
+                try:
+                    want = con.execute(count_sqls[name]).fetchone()[0]
+                    out_dir = os.path.join(tmp_root, name)
+                    ds_fn(sf_dir).write_parquet(out_dir)
+                    have_files = os.path.isdir(out_dir) and any(
+                        f.endswith(".parquet")
+                        for f in os.listdir(out_dir))
+                    got = (con.execute(
+                        "SELECT count(*)::BIGINT FROM read_parquet("
+                        f"'{out_dir}/*.parquet')").fetchone()[0]
+                        if have_files else 0)
+                except Exception as e:
+                    print(f"HASH FAIL {name}: {type(e).__name__}: {e}")
+                    failures += 1
+                    continue
+                if got != want:
+                    print(f"HASH FAIL {name}: engine rows={got} vs "
+                          f"count-SQL {want}")
+                    failures += 1
+                else:
+                    print(f"HASH PASS {name}: rows={got} [count-only, "
+                          f"{time.time() - t0:.1f}s]")
+                continue
             try:
                 sql = sqls[name].rstrip().rstrip(";")
                 out_dir = os.path.join(tmp_root, name)

@@ -471,6 +471,77 @@ def test_cc_min_label_giant_component(ray_session):
         assert {lookup[int(x)] for x in g} == {int(g.min())}
 
 
+def test_cc_min_label_refs_bucketed_giant_component(ray_session):
+    """graph.cc_min_label_refs — the edge-bucket handoff: a planted
+    giant component whose pair list (500k edges with cross-bucket
+    duplicate replicas, the banding-shuffle contract) is handed over
+    ONLY as per-bucket object-store refs; the driver receives nothing
+    larger than the node table. Verified against cc_min_label on the
+    same (deduplicated) edge set."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    from web_scrapper_ray.pipelines.graph import cc_min_label, \
+        cc_min_label_refs
+
+    n = 100_000
+    ids = np.arange(n, dtype=np.int64) * 3 + 11
+    rng = np.random.default_rng(13)
+    perm = rng.permutation(n)
+    a = ids[perm[:-1]]
+    b = ids[perm[1:]]                      # one long chain, diameter n
+    # replicate ~4x with shuffled assignment to 16 buckets — replicas
+    # of a pair land in DIFFERENT buckets like probe-band replicas do
+    rep = rng.integers(0, len(a), size=500_000)
+    ra, rb = a[rep], b[rep]
+    bkt = rng.integers(0, 16, size=len(ra))
+    refs = []
+    for p in range(16):
+        m = bkt == p
+        refs.append(ray.put(pa.table({
+            "doc_a": pa.array(ra[m]), "doc_b": pa.array(rb[m]),
+            "hamming": pa.array(np.zeros(int(m.sum()), np.int64))})))
+    nodes, roots = cc_min_label_refs(refs)
+    ref_nodes, ref_roots = cc_min_label(a, b)
+    # replication drops some chain edges → components may split vs the
+    # full chain; compare against the reference run on the SAME edges
+    nodes2, roots2 = cc_min_label(ra, rb)
+    assert np.array_equal(nodes, nodes2)
+    assert np.array_equal(roots, roots2)
+    # and with every edge present, both forms give the one giant comp
+    full = [ray.put(pa.table({"doc_a": pa.array(a),
+                              "doc_b": pa.array(b)}))]
+    nf, rf = cc_min_label_refs(full)
+    assert np.array_equal(nf, ref_nodes) and np.array_equal(rf, ref_roots)
+    assert (rf == ids.min()).all()
+
+
+def test_dedup_corpus_and_clusters_ds_twins(ray_session):
+    """The q48/q23/q53 ``_ds`` twins stream the same rows their
+    gathering wrappers return (scale-safe perrow contract)."""
+    from web_scrapper_ray.pipelines.dedup import (
+        q_dedup_corpus, q_dedup_corpus_ds, q_neardup_clusters,
+        q_neardup_clusters_ds, q_simhash, q_simhash_ds)
+
+    got = (q_dedup_corpus_ds(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = q_dedup_corpus(SF)
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64"}), want)
+    got = (q_simhash_ds(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "simhash": "int64"}),
+        q_simhash(SF))
+    got = (q_neardup_clusters_ds(SF).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "cluster_id": "int64",
+                    "keep": "bool"}),
+        q_neardup_clusters(SF))
+
+
 def test_doc_chunks_matches_naive(ray_session):
     """q54 context-window chunking: per-doc naive ceil-split ground truth."""
     import re

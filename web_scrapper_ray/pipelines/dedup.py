@@ -315,7 +315,8 @@ def _probe_radius(max_hamming: int) -> int:
     return -(-(max_hamming // N_HBANDS) // 2)
 
 
-def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
+def phash_neardup_pairs_ds(ds, max_hamming: int = 10,
+                           as_refs: bool = False):
     """Hamming-ball near-dup over 64-bit perceptual hashes (SURVEY.md
     §2.7 D4 stretch), streaming form: ``ds`` is a Ray Dataset with
     (image_id, phash) columns — typically a parquet read of the images
@@ -427,7 +428,15 @@ def phash_neardup_pairs_ds(ds, max_hamming: int = 10) -> pd.DataFrame:
                           "image_b": pd.Series(dtype="object"),
                           "hamming": pd.Series(dtype="int64")})
     if not refs:
-        return empty
+        return [] if as_refs else empty
+    if as_refs:
+        # scale-safe handoff: per-bucket pair DataFrames stay in the
+        # object store as ObjectRefs for a duplicate-tolerant consumer
+        # (cc_min_label_refs) — a close pair shares up to 17 probe
+        # buckets, so CROSS-bucket replicas remain; only the gathering
+        # path below pays the global dedup
+        return hash_shuffle([(r, ()) for r in refs], bands, pair_fn,
+                            P=P, gather=False)
     parts = [p for p in hash_shuffle([(r, ()) for r in refs],
                                      bands, pair_fn, P=P) if len(p)]
     if not parts:
@@ -452,8 +461,14 @@ def phash_neardup_pairs(ids, phashes, max_hamming: int = 10) -> pd.DataFrame:
     return phash_neardup_pairs_ds(rd.from_arrow(table), max_hamming)
 
 
-def q_simhash(sf_dir: str) -> pd.DataFrame:
-    """SimHash signature per document (int64, same convention as phash)."""
+def q_simhash_ds(sf_dir: str):
+    """Dataset-returning core of q23 (the scale-safe per-row oracle
+    contract: the signature table is corpus-sized — one row per
+    document — so the gate streams it to parquet and count-checks it
+    instead of riding ``to_pandas`` through the driver; the VALUES
+    have no SQL twin — blake2b token hashes — so the streamed check is
+    count+schema, with exactness pytested against a sequential
+    reference simhash)."""
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -461,21 +476,29 @@ def q_simhash(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": batch.column("doc_id"),
                          "simhash": pa.array(vals, pa.int64())})
 
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def q_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash signature per document (int64, same convention as phash)."""
     return _with_cols(
-        ds.map_batches(sig, batch_format="pyarrow").to_pandas(),
+        q_simhash_ds(sf_dir).to_pandas(),
         {"doc_id": "int64", "simhash": "int64"}).sort_values(
         "doc_id").reset_index(drop=True)
 
 
-def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
-    """The training-data op behind exact dedup: EMIT the deduplicated
-    corpus (keep min doc_id per content hash). Keeper selection happens
-    INSIDE the one hash shuffle — no driver-side keeper set, no second
-    corpus pass: rows carry (doc_id, text, content_hash), are coarsened
-    into ~P hash partitions (a content_hash never straddles partitions),
-    and each partition keeps its per-hash min-doc_id row with one
-    vectorized sort + drop_duplicates. Scales as one all-to-all of the
-    corpus; the driver touches only the final result."""
+def q_dedup_corpus_ds(sf_dir: str):
+    """Dataset-returning core of q48 (the scale-safe per-row oracle
+    contract): the deduplicated corpus IS the dataset — the gate
+    streams it to parquet with ``Dataset.write_parquet`` and
+    hash-compares against DuckDB over the files, so the result never
+    transits the driver heap. Keeper selection happens INSIDE the one
+    hash shuffle — no driver-side keeper set, no second corpus pass:
+    rows carry (doc_id, text, content_hash), are coarsened into ~P
+    hash partitions (a content_hash never straddles partitions), and
+    each partition keeps its per-hash min-doc_id row with one
+    vectorized sort + drop_duplicates. Scales as one all-to-all of
+    the corpus."""
     ds = _docs(sf_dir, ["doc_id", "text"])
     P = 64
 
@@ -495,45 +518,52 @@ def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
                 .drop_duplicates("content_hash", keep="first"))
         return out[["doc_id", "text"]]
 
-    out = (
-        ds.map_batches(add_hash, batch_format="pyarrow")
-        .groupby("bucket")
-        .map_groups(keep_min, batch_format="pandas")
-        .to_pandas()  # final deduplicated corpus — the result itself
-    )
-    out = _with_cols(out, {"doc_id": "int64", "text": "object"})
+    return (ds.map_batches(add_hash, batch_format="pyarrow")
+              .groupby("bucket")
+              .map_groups(keep_min, batch_format="pandas"))
+
+
+def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:
+    """Gathering wrapper over :func:`q_dedup_corpus_ds` — the driver's
+    small-sf row-compare contract; corpus-scale consumers use the
+    streamed ``_ds`` twin (perrow_queries)."""
+    out = _with_cols(q_dedup_corpus_ds(sf_dir).to_pandas(),
+                     {"doc_id": "int64", "text": "object"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
-def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
-    """Near-duplicate CLUSTERS — the unit real training-data dedup
-    operates on (cluster near-dups transitively, keep one exemplar):
-    connected components of the simhash near-dup graph at hamming ≤
-    ``max_hamming``. Returns (doc_id, cluster_id, keep) for EVERY doc:
-    cluster_id = min doc_id of the component, keep = (doc_id ==
-    cluster_id) — chains A~B~C cluster together even when A≁C.
+def q_neardup_clusters_ds(sf_dir: str, max_hamming: int = 6):
+    """Dataset-returning core of q53 — near-duplicate CLUSTERS, the
+    unit real training-data dedup operates on (cluster near-dups
+    transitively, keep one exemplar): connected components of the
+    simhash near-dup graph at hamming ≤ ``max_hamming``. One row per
+    doc: (doc_id, cluster_id, keep) with cluster_id = min doc_id of
+    the component, keep = (doc_id == cluster_id) — chains A~B~C
+    cluster together even when A≁C.
 
-    Scale shape: the pair list comes from the EXACT multi-probe banding
-    (guaranteed recall, raw-task shuffle); components are resolved by
-    the DISTRIBUTED min-label propagation (``graph.cc_min_label``:
-    object-store edge buckets, scatter-min tasks per round, pointer
-    jumping on the O(|clustered docs|) label vector — no driver-side
-    union-find); the resulting doc→cluster map — O(clustered docs),
-    not O(corpus) — is broadcast once and applied to the corpus as a
-    streaming vectorized map_batches. Approximate upstream (simhash)
-    → rows-only driver check; transitivity pytest'd."""
+    Scale shape — NOTHING corpus-scale transits the driver: the pair
+    list comes from the EXACT multi-probe banding (guaranteed recall)
+    as per-bucket ObjectRefs straight out of the raw-task shuffle
+    (``_simhash_pair_refs``), components are resolved by the
+    distributed min-label propagation over those refs
+    (``graph.cc_min_label_refs``: scatter-min tasks per bucket per
+    round, pointer jumping on the O(|clustered docs|) label vector —
+    no driver-side union-find, no driver-side edge list), and the
+    resulting doc→cluster map — O(clustered docs), not O(corpus) — is
+    broadcast once and applied to the corpus as a streaming vectorized
+    map_batches. The per-doc RESULT streams through the parquet+hash
+    gate contract (perrow_queries). Approximate upstream (simhash) →
+    rows-only/count checks; transitivity pytest'd."""
     import ray
 
-    from .graph import cc_min_label
+    from .graph import cc_min_label_refs
 
-    hit = _SIMHASH_PAIR_MEMO.get((os.path.abspath(sf_dir),
+    refs = _SIMHASH_REF_MEMO.get((os.path.abspath(sf_dir),
                                   max_hamming))
-    pairs = (hit.copy() if hit is not None
-             else q_simhash_neardup(sf_dir, max_hamming))
+    if refs is None:
+        refs = _simhash_pair_refs(sf_dir, max_hamming)
 
-    nodes, roots = cc_min_label(
-        pairs["doc_a"].to_numpy(np.int64),
-        pairs["doc_b"].to_numpy(np.int64))
+    nodes, roots = cc_min_label_refs(refs)
     cref = ray.put((nodes, roots))
 
     ds = _docs(sf_dir, ["doc_id"])
@@ -554,8 +584,14 @@ def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             "keep": pa.array(clusters == ids),
         })
 
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """Gathering wrapper over :func:`q_neardup_clusters_ds` (driver
+    row-compare contract at small sf)."""
     out = _with_cols(
-        ds.map_batches(assign, batch_format="pyarrow").to_pandas(),
+        q_neardup_clusters_ds(sf_dir, max_hamming).to_pandas(),
         {"doc_id": "int64", "cluster_id": "int64", "keep": "bool"})
     return out.sort_values("doc_id").reset_index(drop=True)
 
@@ -571,21 +607,25 @@ def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
                                n_bands=32, rows_per_band=2)
 
 
-_SIMHASH_PAIR_MEMO: dict = {}
+_SIMHASH_REF_MEMO: dict = {}  # (sf_dir, h) → per-bucket pair-table ObjectRefs
 
 
-def q_simhash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
-    """SimHash near-duplicate PAIRS over documents (the multi-table
-    hamming-ball extension promised above): multi-probe banding of the
-    64-bit signature — identical machinery to the phash near-dup path —
-    candidates from band-bucket collisions, exact hamming verify.
-    Returns (doc_a, doc_b, hamming), doc_a < doc_b. Every call
-    computes fresh (so its own timing stays honest) but PUBLISHES the
-    result per (sf_dir, max_hamming); q53's transitive-closure layer
-    consumes the published scan instead of re-running it — the scan
-    is pure in the on-disk table, which a driver/bench session never
-    mutates."""
-    memo_key = (os.path.abspath(sf_dir), max_hamming)
+def _simhash_pair_refs(sf_dir: str, max_hamming: int) -> list:
+    """Per-bucket simhash near-dup PAIR TABLES as ObjectRefs — the
+    edge-bucket handoff: signatures → multi-probe banding shuffle
+    (``gather=False``) → one chained task per bucket converts the
+    string ids back to int64 (doc_a < doc_b) IN the object store, so
+    the pair list never transits the driver heap. Cross-bucket
+    duplicate pairs remain by contract (a close pair shares up to 17
+    probe buckets): consumers must be duplicate-tolerant
+    (``cc_min_label_refs``'s scatter-min is idempotent; q51's
+    gathering path pays the global dedup itself). PUBLISHES the refs
+    per (sf_dir, max_hamming) — q53's transitive-closure layer
+    consumes the published scan (pinned in the object store while the
+    memo holds the refs) instead of re-running it; every direct call
+    computes fresh so timings stay honest."""
+    import ray
+
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def sig(batch: pa.Table) -> pa.Table:
@@ -596,24 +636,58 @@ def q_simhash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
             "phash": pa.array(vals, pa.int64()),
         })
 
-    pairs = phash_neardup_pairs_ds(
-        ds.map_batches(sig, batch_format="pyarrow"), max_hamming)
-    if pairs.empty:
-        out = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
-                            "doc_b": pd.Series(dtype="int64"),
-                            "hamming": pd.Series(dtype="int64")})
-        _SIMHASH_PAIR_MEMO[memo_key] = out
-        return out.copy()
-    out = pd.DataFrame({
-        "doc_a": pairs["image_a"].astype("int64"),
-        "doc_b": pairs["image_b"].astype("int64"),
-        "hamming": pairs["hamming"].astype("int64"),
-    })
-    swap = out["doc_a"] > out["doc_b"]
-    out.loc[swap, ["doc_a", "doc_b"]] = out.loc[swap, ["doc_b", "doc_a"]].values
-    out = out.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
-    _SIMHASH_PAIR_MEMO[memo_key] = out
-    return out.copy()
+    futs = phash_neardup_pairs_ds(
+        ds.map_batches(sig, batch_format="pyarrow"), max_hamming,
+        as_refs=True)
+
+    _EP = pa.table({"doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64())})
+
+    @ray.remote
+    def to_int(df: pd.DataFrame) -> pa.Table:
+        if df is None or not len(df):
+            return _EP
+        # str(doc_id) → int64 is exact past 2^53 (string parse)
+        a = df["image_a"].astype("int64").to_numpy()
+        b = df["image_b"].astype("int64").to_numpy()
+        h = df["hamming"].to_numpy(np.int64)
+        swap = a > b  # pairing ordered by STRING id — reorder as ints
+        return pa.table({"doc_a": pa.array(np.where(swap, b, a)),
+                         "doc_b": pa.array(np.where(swap, a, b)),
+                         "hamming": pa.array(h)})
+
+    refs = [to_int.remote(f) for f in futs]
+    _SIMHASH_REF_MEMO[(os.path.abspath(sf_dir), max_hamming)] = refs
+    return refs
+
+
+def q_simhash_neardup(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
+    """SimHash near-duplicate PAIRS over documents (the multi-table
+    hamming-ball extension promised above): multi-probe banding of the
+    64-bit signature — identical machinery to the phash near-dup path —
+    candidates from band-bucket collisions, exact hamming verify.
+    Returns (doc_a, doc_b, hamming), doc_a < doc_b. The PAIR LIST is
+    this query's result, so the driver gathers it (small by contract
+    outside planted-clique worlds); the banding scan itself is
+    published as object-store bucket refs (``_simhash_pair_refs``)
+    for q53's transitive-closure layer."""
+    import ray
+
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "hamming": pd.Series(dtype="int64")})
+    refs = _simhash_pair_refs(sf_dir, max_hamming)
+    parts = [t for t in ray.get(refs) if t.num_rows]
+    if not parts:
+        return empty
+    out = pa.concat_tables(parts).to_pandas()
+    # cross-bucket probe replicas of the same pair: dedupe on the two
+    # INT columns (NUL-safe by construction)
+    out = (out.drop_duplicates(["doc_a", "doc_b"])
+              .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+    return _with_cols(out, {"doc_a": "int64", "doc_b": "int64",
+                            "hamming": "int64"})
 
 
 def _lev_banded(A: np.ndarray, B: np.ndarray, la: np.ndarray,

@@ -144,24 +144,65 @@ def _edge_buckets(sf_dir: str, P: int = 32):
     return dense_refs, nodes
 
 
+def _minlabel_fixpoint(dense_refs: list, N: int) -> np.ndarray:
+    """Shared min-label-propagation loop behind :func:`cc_min_label`
+    and :func:`cc_min_label_refs`. ``dense_refs`` are ObjectRefs (or
+    pending task futures) of ``(src_idx, dst_idx)`` int64 index-array
+    pairs — BOTH undirected directions included, indices into the
+    sorted node table. Each round is one label broadcast + one
+    scatter-min task per edge bucket returning a node-count-sized
+    partial, followed by driver-side POINTER JUMPING on the O(N)
+    index-valued label vector (``label[label]`` until stable), which
+    compresses chains so the loop converges in O(log N) rounds instead
+    of O(diameter). Labels are INDICES into the node table (pointer
+    jumping needs label values to be addressable; the table is sorted,
+    so the min index IS the min id). Returns the fixpoint label
+    vector."""
+    import ray
+
+    _SENT = np.iinfo(np.int64).max
+
+    @ray.remote
+    def min_partial(edges, lab: np.ndarray, n: int) -> np.ndarray:
+        src, dst = edges
+        out = np.full(n, _SENT, np.int64)
+        np.minimum.at(out, dst, lab[src])
+        return out
+
+    label = np.arange(N, dtype=np.int64)
+    while True:
+        lref = ray.put(label)
+        parts = ray.get([min_partial.remote(r, lref, N)
+                         for r in dense_refs])
+        new = (np.minimum(label, np.minimum.reduce(parts))
+               if parts else label)
+        while True:  # pointer jumping: halve chain depth per step
+            nn = new[new]
+            if np.array_equal(nn, new):
+                break
+            new = nn
+        if np.array_equal(new, label):
+            break
+        label = new
+    return label
+
+
 def cc_min_label(a: np.ndarray, b: np.ndarray, P: int = 16):
-    """Distributed connected components over an explicit edge list,
-    run to the FIXPOINT: returns ``(nodes, roots)`` — the sorted
-    unique node ids and, aligned, the MIN node id of each node's
-    component.
+    """Distributed connected components over an explicit DRIVER-side
+    edge list, run to the FIXPOINT: returns ``(nodes, roots)`` — the
+    sorted unique node ids and, aligned, the MIN node id of each
+    node's component.
 
     Scale shape (q126's layout generalized to unbounded diameter):
     edges are bucketed by source index and ``ray.put`` into the object
-    store ONCE; each round is one label broadcast + one scatter-min
-    task per bucket returning a node-count-sized partial, followed by
-    driver-side POINTER JUMPING on the O(|nodes|) index-valued label
-    vector (``label[label]`` until stable), which compresses chains so
-    the loop converges in O(log |nodes|) rounds instead of
-    O(diameter). The driver never holds more than the label vector and
-    P node-count partials; the edge list itself transits the driver
-    only because the candidate-pair contract already delivers it there
-    — at cluster scale the same rounds run over edge buckets written
-    straight from the pair-generation shuffle."""
+    store ONCE, then resolved by :func:`_minlabel_fixpoint` (label
+    broadcast + scatter-min partials + pointer jumping, O(log n)
+    rounds). The driver never holds more than the label vector and P
+    node-count partials beyond the input arrays themselves. Callers
+    whose pair list is corpus-scale should hand bucket ObjectRefs
+    straight from their pair-generation shuffle to
+    :func:`cc_min_label_refs` instead — then no edge representation
+    ever transits the driver heap."""
     import ray
 
     nodes = np.unique(np.concatenate([
@@ -180,33 +221,72 @@ def cc_min_label(a: np.ndarray, b: np.ndarray, P: int = 16):
         if m.any():
             refs.append(ray.put((s[m], d[m])))
 
-    _SENT = np.iinfo(np.int64).max
+    label = _minlabel_fixpoint(refs, N)
+    return nodes, nodes[label]
+
+
+def _pair_arrays(part):
+    """(a, b) int64 arrays from one per-bucket pair container — a
+    pa.Table or DataFrame whose first two columns are the endpoints
+    (doc_a/doc_b by convention); empty- and None-safe."""
+    empty = np.empty(0, np.int64)
+    if part is None:
+        return empty, empty
+    if isinstance(part, pa.Table):
+        if part.num_rows == 0:
+            return empty, empty
+        a = part.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = part.column(1).to_numpy(zero_copy_only=False).astype(np.int64)
+        return a, b
+    if len(part) == 0:
+        return empty, empty
+    cols = list(part.columns)
+    return (part[cols[0]].to_numpy(np.int64),
+            part[cols[1]].to_numpy(np.int64))
+
+
+def cc_min_label_refs(pair_refs: list):
+    """:func:`cc_min_label` for EDGE BUCKETS already in the object
+    store — the scale-safe handoff from a candidate-pair shuffle: the
+    pair list NEVER transits the driver. ``pair_refs`` are ObjectRefs
+    of per-bucket pair tables ((doc_a, doc_b) leading int64 columns;
+    extra columns ignored). Duplicate pairs ACROSS buckets are fine —
+    scatter-min is idempotent over replicas, so banding shuffles can
+    hand their buckets over without a global dedup pass.
+
+    Driver footprint: the O(|nodes|) sorted node table + label vector
+    and per-bucket node-id partials — never an edge list. Edge buckets
+    are converted to dense-index form by one task per bucket (the
+    original pair refs are released when those tasks finish), then
+    resolved by the shared :func:`_minlabel_fixpoint` rounds."""
+    import ray
+
+    empty = np.empty(0, np.int64)
+    if not pair_refs:
+        return empty, empty.copy()
 
     @ray.remote
-    def min_partial(edges, lab: np.ndarray, n: int) -> np.ndarray:
-        src, dst = edges
-        out = np.full(n, _SENT, np.int64)
-        np.minimum.at(out, dst, lab[src])
-        return out
+    def part_nodes(part) -> np.ndarray:
+        a, b = _pair_arrays(part)
+        return np.unique(np.concatenate([a, b]))
 
-    # labels are INDICES into nodes (not ids): pointer jumping needs
-    # label values to be addressable, and nodes is sorted so the min
-    # index IS the min id
-    label = np.arange(N, dtype=np.int64)
-    while True:
-        lref = ray.put(label)
-        parts = ray.get([min_partial.remote(r, lref, N)
-                         for r in refs])
-        new = (np.minimum(label, np.minimum.reduce(parts))
-               if parts else label)
-        while True:  # pointer jumping: halve chain depth per step
-            nn = new[new]
-            if np.array_equal(nn, new):
-                break
-            new = nn
-        if np.array_equal(new, label):
-            break
-        label = new
+    nodes = empty
+    for p in ray.get([part_nodes.remote(r) for r in pair_refs]):
+        if len(p):
+            nodes = np.union1d(nodes, p)
+    if len(nodes) == 0:
+        return nodes, nodes.copy()
+    nref = ray.put(nodes)
+
+    @ray.remote
+    def to_dense(part, node_tab: np.ndarray):
+        a, b = _pair_arrays(part)
+        ia = np.searchsorted(node_tab, a).astype(np.int64)
+        ib = np.searchsorted(node_tab, b).astype(np.int64)
+        return (np.concatenate([ia, ib]), np.concatenate([ib, ia]))
+
+    dense_refs = [to_dense.remote(r, nref) for r in pair_refs]
+    label = _minlabel_fixpoint(dense_refs, len(nodes))
     return nodes, nodes[label]
 
 

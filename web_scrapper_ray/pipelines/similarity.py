@@ -200,9 +200,20 @@ def q_neardup_cosine(sf_dir: str, threshold: float = 0.95,
     import ray
 
     emb = _emb(sf_dir)
-    if auto_lsh_rows is not None and emb.count() > auto_lsh_rows:
-        return q_neardup_cosine_lsh(sf_dir, threshold,
-                                    n_tables=16, n_planes=12)
+    if auto_lsh_rows is not None:
+        n_rows = emb.count()
+        if n_rows > auto_lsh_rows:
+            # no silent caps: the result becomes approximate here —
+            # say so at runtime instead of switching plans silently
+            import warnings
+            warnings.warn(
+                f"q_neardup_cosine: {n_rows} rows > auto_lsh_rows="
+                f"{auto_lsh_rows}; switching to the approximate "
+                "16-table hyperplane-LSH plan (per-pair recall ~0.997 "
+                "at cos=0.95). Pass auto_lsh_rows=None to force the "
+                "exact all-pairs plan.", stacklevel=2)
+            return q_neardup_cosine_lsh(sf_dir, threshold,
+                                        n_tables=16, n_planes=12)
     refs = emb.to_arrow_refs()  # refs only — blocks stay put
     if not refs:
         return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),

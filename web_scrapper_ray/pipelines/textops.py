@@ -4515,12 +4515,20 @@ def q_contamination_13gram(sf_dir: str, k: int = 13,
                         "n": pa.array([], pa.int64())})
         if t.num_rows == 0 or "doc_id" not in t.schema.names:
             return _ET
-        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
-        ok = pd.notna(ids)
-        ids64 = np.asarray(pd.Series(ids)[ok], np.float64)
+        # keep ids INTEGER end-to-end (the >2^53 surrogate-key
+        # contract): filter NULLs in Arrow, THEN to_numpy — a
+        # null-bearing int64 column round-trips through float64 and
+        # misclassifies non-representable ids between the scored and
+        # benchmark populations (split() uses this same exact path)
+        keep = pc.is_valid(t.column("doc_id"))
+        t2 = t.filter(keep) if not pc.all(keep).as_py() else t
+        if t2.num_rows == 0:
+            return _ET
+        ids64 = t2.column("doc_id").cast(pa.int64()).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         nb = np.fmod(ids64, 100) != 0
-        srcs = pd.Series(t.column("source").to_pylist(),
-                         dtype=object)[ok][nb]
+        srcs = pd.Series(t2.column("source").to_pylist(),
+                         dtype=object)[nb]
         keyed = srcs.where(srcs.isna(), "S" + srcs).fillna(_NULL)
         codes, uniq = factorize_strings(keyed, use_na_sentinel=False)
         n = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
