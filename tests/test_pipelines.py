@@ -517,6 +517,20 @@ def test_cc_min_label_refs_bucketed_giant_component(ray_session):
     assert (rf == ids.min()).all()
 
 
+def test_common_neighbors_blocked_equals_waves(ray_session, monkeypatch):
+    """q291's default broadcast-CSR blocked plan and the wave-exchange
+    fallback must produce the identical exact top-k (routing is by
+    edge count; forcing WSR_CN_BLOCK_MAX_EDGES=0 exercises the wave
+    path on the same input)."""
+    from web_scrapper_ray.pipelines.graph import q_common_neighbors
+
+    blocked = q_common_neighbors(SF)
+    monkeypatch.setenv("WSR_CN_BLOCK_MAX_EDGES", "0")
+    waves = q_common_neighbors(SF)
+    pd.testing.assert_frame_equal(blocked, waves)
+    assert len(blocked) > 0
+
+
 def test_dedup_corpus_and_clusters_ds_twins(ray_session):
     """The q48/q23/q53 ``_ds`` twins stream the same rows their
     gathering wrappers return (scale-safe perrow contract)."""

@@ -16,7 +16,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from .pairs import hash_shuffle, round_away
-from .relational import _IMAX, _read, _with_cols
+from .relational import _IMAX, _read, _read_pd, _with_cols
 
 
 def q_shipping_priority(sf_dir: str, k: int = 10) -> pd.DataFrame:
@@ -340,12 +340,15 @@ def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
 
     from .relational import _drop_null_nan_values as drop_nan
 
-    def trim(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df["value"].to_numpy(np.float64))
+    _TE = pa.table({"event_type": pa.array([], pa.string()),
+                    "trimmed_mean": pa.array([], pa.float64()),
+                    "n_kept": pa.array([], pa.int64())})
+
+    def trim(t: pa.Table) -> pa.Table:
+        v = np.sort(t.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64))
         if len(v) == 0:
-            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
-                                 "trimmed_mean": pd.Series(dtype="float64"),
-                                 "n_kept": pd.Series(dtype="int64")})
+            return _TE
         lo = _quantile_cont(v, 0.05)
         hi = _quantile_cont(v, 0.95)
         # DuckDB BETWEEN compares in its TOTAL order (NaN above +inf):
@@ -358,20 +361,20 @@ def q_trimmed_mean(sf_dir: str) -> pd.DataFrame:
         if len(kept) == 0:
             # NaN lo → every BETWEEN false → SQL's inner-join group
             # VANISHES
-            return pd.DataFrame({"event_type": pd.Series(dtype="object"),
-                                 "trimmed_mean": pd.Series(dtype="float64"),
-                                 "n_kept": pd.Series(dtype="int64")})
-        return pd.DataFrame({
-            "event_type": [df["event_type"].iloc[0]],
-            "trimmed_mean": [round_away(
-                np.array(kept.sum() / len(kept)), 4)[()]],
-            "n_kept": [np.int64(len(kept))]})
+            return _TE
+        return pa.table({
+            "event_type": pa.array([t.column("event_type")[0].as_py()],
+                                   pa.string()),
+            "trimmed_mean": pa.array([float(round_away(
+                np.array(kept.sum() / len(kept)), 4)[()])],
+                pa.float64()),
+            "n_kept": pa.array([len(kept)], pa.int64())})
 
     out = (_null_safe_keys(ds.map_batches(drop_nan,
                                           batch_format="pyarrow"),
                            ["event_type"])
            .groupby("event_type")
-           .map_groups(trim, batch_format="pandas").to_pandas())
+           .map_groups(trim, batch_format="pyarrow").to_pandas())
     out = _with_cols(out, {"event_type": "object",
                            "trimmed_mean": "float64",
                            "n_kept": "int64"})
@@ -532,17 +535,23 @@ def q_first_number(sf_dir: str) -> pd.DataFrame:
     pandas .str.extract per batch, nothing shuffles."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def extract(df: pd.DataFrame) -> pd.DataFrame:
-        if df.empty or "text" not in df.columns:
-            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                 "first_num": pd.Series(dtype="object")})
-        m = df["text"].str.extract(r"([0-9]+)", expand=False)
-        # no-match → '' like DuckDB; NULL text stays NULL
-        out = m.where(m.notna() | df["text"].isna(), "")
-        return pd.DataFrame({"doc_id": df["doc_id"],
-                             "first_num": out.astype(object)})
+    def extract(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "text" not in t.schema.names:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "first_num": pa.array([], pa.string())})
+        txt = t.column("text")
+        # RE2 kernel, same explicit ASCII class as the oracle; named
+        # group because extract_regex returns a struct of captures
+        m = pc.struct_field(
+            pc.extract_regex(txt, r"(?P<num>[0-9]+)"), "num")
+        # no-match → '' like DuckDB; NULL text stays NULL (is_valid
+        # false routes to m, which is NULL there too)
+        out = pc.if_else(pc.and_(pc.is_valid(txt), pc.is_null(m)),
+                         pa.scalar("", pa.string()), m)
+        return pa.table({"doc_id": t.column("doc_id"),
+                         "first_num": out})
 
-    out = ds.map_batches(extract, batch_format="pandas").to_pandas()
+    out = ds.map_batches(extract, batch_format="pyarrow").to_pandas()
     if out.empty:
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "first_num": pd.Series(dtype="object")})
@@ -954,13 +963,11 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
 
     # ---- tiny dims, driver-side: region ⋈ nation (duplicate rows of
     # either dim fan out multiplicatively, like the SQL join) ---------
-    reg = _read(sf_dir, "region", columns=["r_regionkey", "r_name"]) \
-        .to_pandas()
+    reg = _read_pd(sf_dir, "region", columns=["r_regionkey", "r_name"])
     reg = reg[(reg["r_name"] == region) & reg["r_regionkey"].notna()]
     rmult = reg.groupby("r_regionkey").size()
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name", "n_regionkey"]) \
-        .to_pandas()
+    nat = _read_pd(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"])
     nat = nat[nat["n_nationkey"].notna() & nat["n_regionkey"].notna()]
     nat = nat.assign(w=nat["n_regionkey"].map(rmult).fillna(0)
                      .astype(np.int64))
@@ -2700,25 +2707,31 @@ def q_price_outlier_fences(sf_dir: str) -> pd.DataFrame:
 
     ds = _read(sf_dir, "part", columns=["p_brand", "p_retailprice"])
 
-    def fences(df: pd.DataFrame) -> pd.DataFrame:
-        v = np.sort(df["p_retailprice"].to_numpy(np.float64))
+    _FE = pa.table({"p_brand": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "q1": pa.array([], pa.float64()),
+                    "q3": pa.array([], pa.float64()),
+                    "n_outliers": pa.array([], pa.int64())})
+
+    def fences(t: pa.Table) -> pa.Table:
+        v = np.sort(t.column("p_retailprice").to_numpy(
+            zero_copy_only=False).astype(np.float64))
         if len(v) == 0:
-            return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
-                                 "n": pd.Series(dtype="int64"),
-                                 "q1": pd.Series(dtype="float64"),
-                                 "q3": pd.Series(dtype="float64"),
-                                 "n_outliers": pd.Series(dtype="int64")})
+            return _FE
         q1 = _quantile_cont(v, 0.25)
         q3 = _quantile_cont(v, 0.75)
         lo = q1 - 1.5 * (q3 - q1)
         hi = q3 + 1.5 * (q3 - q1)
         lo_m = np.ones(len(v), bool) if np.isnan(lo) else (v < lo)
         hi_m = np.zeros(len(v), bool) if np.isnan(hi) else (v > hi)
-        return pd.DataFrame({
-            "p_brand": [df["p_brand"].iloc[0]],
-            "n": [np.int64(len(v))],
-            "q1": [q1], "q3": [q3],
-            "n_outliers": [np.int64(int((lo_m | hi_m).sum()))]})
+        return pa.table({
+            "p_brand": pa.array([t.column("p_brand")[0].as_py()],
+                                pa.string()),
+            "n": pa.array([len(v)], pa.int64()),
+            "q1": pa.array([float(q1)], pa.float64()),
+            "q3": pa.array([float(q3)], pa.float64()),
+            "n_outliers": pa.array([int((lo_m | hi_m).sum())],
+                                   pa.int64())})
 
     def drop_bad(t: pa.Table) -> pa.Table:
         # q57-family contract: drop NULL/NaN prices, keep ±inf;
@@ -2733,7 +2746,10 @@ def q_price_outlier_fences(sf_dir: str) -> pd.DataFrame:
                                           batch_format="pyarrow"),
                            ["p_brand"])
            .groupby("p_brand")
-           .map_groups(fences, batch_format="pandas").to_pandas())
+           .map_groups(fences, batch_format="pyarrow").to_pandas())
+    out = _with_cols(out, {"p_brand": "object", "n": "int64",
+                           "q1": "float64", "q3": "float64",
+                           "n_outliers": "int64"})
     out = _restore_null_keys(out, ["p_brand"])
     out["n"] = out["n"].astype("int64")
     out["n_outliers"] = out["n_outliers"].astype("int64")
@@ -2955,8 +2971,8 @@ def q_returned_item_revenue(sf_dir: str) -> pd.DataFrame:
     df = pd.concat(parts, ignore_index=True)
 
     # ---- tiny dim: ⋈ nation on nationkey (dup rows fan out) ---------
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_pd(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"])
     nat = nat[nat["n_nationkey"].notna()]
     nat = nat.assign(cnat=nat["n_nationkey"].astype(np.int64))
     df = df[~df["cnatnull"].to_numpy()]  # inner join drops NULL keys
@@ -3580,7 +3596,9 @@ def q_idle_rich_customers(sf_dir: str,
             "s": pa.array([pc.sum(sv).as_py() or 0.0], pa.float64()),
             "n": pa.array([pos.num_rows], pa.int64())})
 
-    agg = cust.map_batches(partial, batch_format="pyarrow").to_pandas()
+    agg = _with_cols(
+        cust.map_batches(partial, batch_format="pyarrow").to_pandas(),
+        {"s": "float64", "n": "int64"})
     n_pos = int(agg["n"].sum())
     thr = (agg["s"].to_numpy(np.float64).sum() / n_pos) if n_pos else None
 
@@ -3707,8 +3725,8 @@ def q_two_nation_volume(sf_dir: str, nat_a: str = "NATION_3",
     hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(),
                    pa.timestamp("us"))
 
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_pd(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"])
     nat = nat[nat["n_nationkey"].notna()
               & nat["n_name"].isin([nat_a, nat_b])]
     ndim = pd.DataFrame({
@@ -4196,17 +4214,16 @@ def q_nation_market_share(sf_dir: str, nation: str = "NATION_5",
                    pa.timestamp("us"))
 
     # tiny dims, driver-side
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name", "n_regionkey"]) \
-        .to_pandas()
+    nat = _read_pd(sf_dir, "nation",
+                columns=["n_nationkey", "n_name", "n_regionkey"])
     nat = nat[nat["n_nationkey"].notna()]
     # supplier side: every nation row, flagged (dup rows fan out)
     sdim = pd.DataFrame({
         "nkey": nat["n_nationkey"].astype(np.int64).to_numpy(),
         "is_n": (nat["n_name"].to_numpy(object) == nation)})
     # customer side: region semi-join (dup region rows multiply)
-    reg = _read(sf_dir, "region",
-                columns=["r_regionkey", "r_name"]).to_pandas()
+    reg = _read_pd(sf_dir, "region",
+                columns=["r_regionkey", "r_name"])
     reg = reg[(reg["r_name"] == region) & reg["r_regionkey"].notna()]
     rmult = reg.groupby("r_regionkey").size()
     natr = nat[nat["n_regionkey"].notna()]
@@ -5386,8 +5403,8 @@ def q_brand_size_supplier_counts(sf_dir: str) -> pd.DataFrame:
 
     P = 32
 
-    bad = _read(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
-                ).to_pandas()
+    bad = _read_pd(sf_dir, "supplier", columns=["s_suppkey", "s_acctbal"]
+                )
     bal = bad["s_acctbal"].to_numpy(np.float64)
     badset = np.unique(
         bad["s_suppkey"].to_numpy()[np.nan_to_num(bal, nan=0.0) < 0])
@@ -5646,8 +5663,8 @@ def q_dominant_red_suppliers(sf_dir: str) -> pd.DataFrame:
     hi = pa.scalar(pd.Timestamp("1997-01-01").to_pydatetime(),
                    pa.timestamp("us"))
 
-    red = _read(sf_dir, "part", columns=["p_partkey", "p_name"]
-                ).to_pandas()
+    red = _read_pd(sf_dir, "part", columns=["p_partkey", "p_name"]
+                )
     nm = red["p_name"]
     isred = nm.notna() & nm.str.startswith("red", na=False)
     redset = np.unique(red.loc[isred & red["p_partkey"].notna(),
@@ -6014,8 +6031,8 @@ def q_nation_theil_index(sf_dir: str) -> pd.DataFrame:
 
     P = 32
 
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_pd(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"])
     nat = nat[nat["n_nationkey"].notna()]
 
     def _cust_refs():
@@ -6974,8 +6991,8 @@ def q_gram_novelty(sf_dir: str) -> pd.DataFrame:
         sf_dir, "documents", columns=["doc_id", "text"]).to_arrow_refs()]
     parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
              if len(p)]
-    ids = _with_cols(_read(sf_dir, "documents",
-                           columns=["doc_id"]).to_pandas(),
+    ids = _with_cols(_read_pd(sf_dir, "documents",
+                           columns=["doc_id"]),
                      {"doc_id": "int64"})
     ids = ids[ids["doc_id"].notna()].astype({"doc_id": np.int64})
     if not parts:
@@ -7596,8 +7613,8 @@ def q_nation_balance_topshare(sf_dir: str, k: int = 3) -> pd.DataFrame:
     import ray
 
     P = 8
-    nat = _read(sf_dir, "nation",
-                columns=["n_nationkey", "n_name"]).to_pandas()
+    nat = _read_pd(sf_dir, "nation",
+                columns=["n_nationkey", "n_name"])
     # key -> ragged [(name_id, mult)] as FLAT ARRAYS (sorted keys +
     # offsets) so blocks join via searchsorted, never a Python row
     # loop; names factorized driver-side so NUL-containing names ride
@@ -9469,13 +9486,15 @@ def q_winsorized_mean(sf_dir: str, lo_f: float = 0.05,
 
     ds = _read(sf_dir, "events", columns=["event_type", "value"])
 
-    def winsor(df: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame({"event_type": pd.Series(dtype="object"),
-                              "n": pd.Series(dtype="int64"),
-                              "w_mean": pd.Series(dtype="float64")})
-        v = df["value"].to_numpy(np.float64)
+    _WE = pa.table({"event_type": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                    "w_mean": pa.array([], pa.float64())})
+
+    def winsor(t: pa.Table) -> pa.Table:
+        v = t.column("value").to_numpy(
+            zero_copy_only=False).astype(np.float64)
         if len(v) == 0:
-            return empty
+            return _WE
         vs = np.sort(v)
         lo = _quantile_cont(vs, lo_f)
         hi = _quantile_cont(vs, hi_f)
@@ -9484,16 +9503,18 @@ def q_winsorized_mean(sf_dir: str, lo_f: float = 0.05,
             w[v < lo] = lo
         if not np.isnan(hi):
             w[v > hi] = hi
-        return pd.DataFrame({
-            "event_type": [df["event_type"].iloc[0]],
-            "n": [np.int64(len(w))],
-            "w_mean": [round_away(np.array(w.sum() / len(w)), 4)[()]]})
+        return pa.table({
+            "event_type": pa.array([t.column("event_type")[0].as_py()],
+                                   pa.string()),
+            "n": pa.array([len(w)], pa.int64()),
+            "w_mean": pa.array([float(round_away(
+                np.array(w.sum() / len(w)), 4)[()])], pa.float64())})
 
     out = (_null_safe_keys(ds.map_batches(_drop_null_nan_values,
                                           batch_format="pyarrow"),
                            ["event_type"])
            .groupby("event_type")
-           .map_groups(winsor, batch_format="pandas").to_pandas())
+           .map_groups(winsor, batch_format="pyarrow").to_pandas())
     out = _with_cols(out, {"event_type": "object",
                            "n": "int64", "w_mean": "float64"})
     out = _restore_null_keys(out, ["event_type"])
@@ -13379,8 +13400,8 @@ def q_nation_hhi(sf_dir: str, P: int = 32) -> pd.DataFrame:
         return pd.DataFrame(cols)
     df = pd.concat(parts, ignore_index=True) \
         .groupby("supp", as_index=False)["rev"].sum()
-    sup = _read(sf_dir, "supplier",
-                columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    sup = _read_pd(sf_dir, "supplier",
+                columns=["s_suppkey", "s_nationkey"])
     sup = sup[sup["s_suppkey"].notna()]
     nmap = (sup.assign(k=sup["s_suppkey"].astype(np.int64))
             .groupby("k")["s_nationkey"]
@@ -13568,8 +13589,7 @@ def q_brand_diversity_trend(sf_dir: str, P: int = 16) -> pd.DataFrame:
                    "rev": pa.array([], pa.int64()),
                    "bucket": pa.array([], pa.int64())})
 
-    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
-        .to_pandas()
+    pt = _read_pd(sf_dir, "part", columns=["p_partkey", "p_brand"])
     pt = pt[pt["p_partkey"].notna()]
     grp = (pt.assign(k=pt["p_partkey"].astype(np.int64))
            .groupby("k")["p_brand"]
@@ -14490,8 +14510,8 @@ def q_gini_revenue(sf_dir: str, P: int = 8) -> pd.DataFrame:
     from .pairs import hash_shuffle, round_away
 
     _NKNULL = np.iinfo(np.int64).min
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_nationkey"]).to_pandas()
+    cust = _read_pd(sf_dir, "customer",
+                 columns=["c_custkey", "c_nationkey"])
     dim = pd.DataFrame({
         "ck": cust["c_custkey"].to_numpy(np.int64),
         "nk": cust["c_nationkey"].astype("float64")
@@ -14771,8 +14791,8 @@ def q_cuped_adjustment(sf_dir: str, P: int = 16) -> pd.DataFrame:
     CUT_US = 1_705_276_800_000_000  # 2024-01-15 00:00:00 UTC, µs
     _NULLS = "\x00NULLSEG"
 
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _read_pd(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
     seg = cust["c_mktsegment"].astype(object)
     # hex-encoded segment keys: the in-bucket pandas groupby would
     # otherwise NUL-merge 'FZ' with 'FZ\x00s' (fuzz-planted pair)
@@ -14906,8 +14926,8 @@ def q_rank_fusion(sf_dir: str, kc: int = 60, P: int = 8) -> pd.DataFrame:
     from .pairs import factorize_strings, round_away
 
     _NULLB = "\x00NULLBRAND"
-    part = _read(sf_dir, "part",
-                 columns=["p_partkey", "p_brand"]).to_pandas()
+    part = _read_pd(sf_dir, "part",
+                 columns=["p_partkey", "p_brand"])
     pk = part["p_partkey"]
     ok = pk.notna()
     br = part["p_brand"].astype(object)
@@ -15101,8 +15121,8 @@ def q_poisson_bootstrap(sf_dir: str, B: int = 32) -> pd.DataFrame:
     from .pairs import round_away
 
     _NULLS = "\x00NULLSEG"
-    cust = _read(sf_dir, "customer",
-                 columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    cust = _read_pd(sf_dir, "customer",
+                 columns=["c_custkey", "c_mktsegment"])
     ck = cust["c_custkey"]
     ok = ck.notna()
     seg = cust["c_mktsegment"].astype(object)

@@ -513,14 +513,22 @@ def q_dedup_corpus_ds(sf_dir: str):
         return (batch.append_column("content_hash", pa.array(hs))
                      .append_column("bucket", buckets))
 
-    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        out = (g.sort_values(["content_hash", "doc_id"])
-                .drop_duplicates("content_hash", keep="first"))
-        return out[["doc_id", "text"]]
+    def keep_min(g: pa.Table) -> pa.Table:
+        # hashes are md5 hex / the NULL sentinel — no NULs, so the
+        # bytewise Arrow sort and object-equality first-row mask are
+        # exact; first row per hash after (hash, doc_id) sort = keeper
+        order = pc.sort_indices(
+            g, sort_keys=[("content_hash", "ascending"),
+                          ("doc_id", "ascending")])
+        g2 = g.take(order)
+        h = g2.column("content_hash").to_numpy(zero_copy_only=False)
+        first = np.concatenate([[True], h[1:] != h[:-1]]) \
+            if len(h) else np.zeros(0, bool)
+        return g2.filter(pa.array(first)).select(["doc_id", "text"])
 
     return (ds.map_batches(add_hash, batch_format="pyarrow")
               .groupby("bucket")
-              .map_groups(keep_min, batch_format="pandas"))
+              .map_groups(keep_min, batch_format="pyarrow"))
 
 
 def q_dedup_corpus(sf_dir: str) -> pd.DataFrame:

@@ -407,9 +407,10 @@ def q_bfs_hops(sf_dir: str, rounds: int = 4) -> pd.DataFrame:
             .group_by(["c"]).aggregate([])
         return g
 
-    seeds = np.unique(part.map_batches(
-        seed_codes, batch_format="pyarrow").to_pandas()["c"]
-        .to_numpy(np.int64))
+    seeds_df = part.map_batches(
+        seed_codes, batch_format="pyarrow").to_pandas()
+    seeds = (np.unique(seeds_df["c"].to_numpy(np.int64))
+             if "c" in seeds_df.columns else np.empty(0, np.int64))
 
     _EMPTY = pd.DataFrame({"node": pd.Series(dtype="object"),
                            "hops": pd.Series(dtype="int64")})
@@ -1216,6 +1217,128 @@ def q_hits_hubs(sf_dir: str, rounds: int = 6, P: int = 32
                          "hub": round_away(hub / tot, 6)})
 
 
+def _common_neighbors_blocked(edge_refs: list, k: int) -> pd.DataFrame:
+    """Exact common-neighbors top-k via broadcast-CSR row blocks — the
+    shuffle-free plan for graphs whose adjacency fits a broadcast (the
+    caller gates on edge count): one task builds the dense-coded CSR
+    in the object store; B independent tasks each expand the second
+    hop for a contiguous row block (vectorized two-level CSR gather,
+    sort + run-length = the exact A² row slice), drop adjacent pairs
+    with a block-local sorted-key anti-join, and emit their local
+    top-k; the driver folds B·k rows. Pair (v, w) with v < w is
+    counted once — and completely — inside v's block (the count sums
+    over ALL centers u regardless of where u lives), so no cross-block
+    combine exists. The wedge work Σd(u)² is unchanged vs the wave
+    plan; what disappears is the two-exchange object-store traffic
+    (~24 B/wedge), which dominated its wall time (sf1: measured
+    ~100–130 s waves vs ~26 s blocked at 2.98e9 wedges). Blocks are
+    cut by CUMULATIVE wedge cost, not row count, so skewed rows can't
+    blow a task's memory; per-block transient ≈ WSR_CN_BLOCK_WEDGES ×
+    ~50 B (keep target × concurrency under worker heap: 64M × 32
+    tasks OOM-killed workers on this 128 GB box; 16M is safe)."""
+    import ray
+
+    lim = np.uint64(1) << np.uint64(_KEY_BITS)
+    cols = {"p1": pd.Series(dtype="int64"),
+            "p2": pd.Series(dtype="int64"),
+            "n_common": pd.Series(dtype="int64")}
+    target = int(os.environ.get("WSR_CN_BLOCK_WEDGES", 16_000_000))
+
+    @ray.remote(num_returns=2)
+    def build_csr(*tabs):
+        keys = [t.column("key").to_numpy() for t in tabs if t.num_rows]
+        if not keys:
+            return None, np.zeros(1, np.int64)
+        key = np.concatenate(keys)
+        u = (key.view(np.uint64) >> np.uint64(_KEY_BITS)).astype(np.int64)
+        v = (key.view(np.uint64) & (lim - np.uint64(1))).astype(np.int64)
+        nodes = np.unique(np.concatenate([u, v]))
+        iu = np.searchsorted(nodes, u).astype(np.int64)
+        iv = np.searchsorted(nodes, v).astype(np.int64)
+        src = np.concatenate([iu, iv])
+        dst = np.concatenate([iv, iu])
+        N = len(nodes)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        deg = np.bincount(src, minlength=N)
+        indptr = np.zeros(N + 1, np.int64)
+        np.cumsum(deg, out=indptr[1:])
+        # cut row blocks by cumulative wedge cost Σ_{u∈N(v)} d(u)
+        roww = (np.add.reduceat(deg[dst], indptr[:-1])
+                if len(dst) else np.zeros(N, np.int64))
+        roww[deg == 0] = 0  # reduceat repeats on empty slices
+        cw = np.cumsum(roww, dtype=np.float64)
+        nblk = max(1, int(np.ceil(cw[-1] / target))) if cw[-1] else 1
+        cuts = [int(np.searchsorted(cw, cw[-1] * i / nblk))
+                for i in range(nblk)] + [N]
+        bounds = np.unique(np.array(cuts, np.int64))
+        return (nodes, indptr, dst.astype(np.int32)), bounds
+
+    csr_ref, bounds_ref = build_csr.remote(*edge_refs)
+    bounds = ray.get(bounds_ref)
+    if len(bounds) < 2:
+        return pd.DataFrame(cols)
+
+    @ray.remote
+    def block_topk(csr, lo: int, hi: int):
+        E = (np.empty(0, np.int64),) * 3
+        if csr is None:
+            return E
+        nodes, indptr, indices = csr
+        N = np.int64(len(nodes))
+        deg = np.diff(indptr)
+        first = indices[indptr[lo]:indptr[hi]].astype(np.int64)
+        d2 = deg[first]
+        total = int(d2.sum())
+        if total == 0:
+            return E
+        # two-level CSR gather: all neighbors-of-neighbors of the block
+        starts = indptr[first]
+        offs = np.cumsum(d2) - d2
+        gidx = (np.arange(total, dtype=np.int64)
+                - np.repeat(offs, d2) + np.repeat(starts, d2))
+        w = indices[gidx].astype(np.int64)
+        row1 = np.repeat(np.arange(lo, hi, dtype=np.int64) - lo,
+                         deg[lo:hi])
+        rowloc = np.repeat(row1, d2)
+        key = rowloc * N + w
+        key.sort()
+        bnd = np.flatnonzero(
+            np.concatenate([[True], key[1:] != key[:-1]]))
+        uk = key[bnd]
+        cnt = np.diff(np.concatenate(
+            [bnd, [len(key)]])).astype(np.int64)
+        vloc = uk // N
+        wn = uk - vloc * N
+        vglob = vloc + lo
+        keep = wn > vglob                 # v < w once, and drops w == v
+        uk, cnt, vglob, wn = uk[keep], cnt[keep], vglob[keep], wn[keep]
+        # anti-join against the block rows' own adjacency (CSR holds
+        # both directions, rows and in-row neighbors both ascending →
+        # e_key is globally sorted)
+        e_key = row1 * N + first
+        if len(e_key) and len(uk):
+            pos = np.clip(np.searchsorted(e_key, uk), 0,
+                          len(e_key) - 1)
+            non_edge = e_key[pos] != uk
+            cnt, vglob, wn = cnt[non_edge], vglob[non_edge], \
+                wn[non_edge]
+        if not len(cnt):
+            return E
+        o = np.lexsort((wn, vglob, -cnt))[:k]
+        return cnt[o], nodes[vglob[o]], nodes[wn[o]]
+
+    outs = ray.get([block_topk.remote(csr_ref, int(lo), int(hi))
+                    for lo, hi in zip(bounds[:-1], bounds[1:])])
+    c = np.concatenate([o[0] for o in outs])
+    p1 = np.concatenate([o[1] for o in outs])
+    p2 = np.concatenate([o[2] for o in outs])
+    if not len(c):
+        return pd.DataFrame(cols)
+    o = np.lexsort((p2, p1, -c))[:k]
+    return pd.DataFrame({"p1": p1[o], "p2": p2[o], "n_common": c[o]})
+
+
 def q_common_neighbors(sf_dir: str, k: int = 50,
                        P: int = 32) -> pd.DataFrame:
     """Common-neighbors link prediction over the co-order PART graph
@@ -1249,6 +1372,20 @@ def q_common_neighbors(sf_dir: str, k: int = 50,
 
     edge_refs = _coorder_edge_refs(sf_dir, P, on="l_orderkey",
                                    val="l_partkey")
+
+    @ray.remote
+    def _nrows(t: pa.Table) -> int:
+        return t.num_rows
+
+    n_edges = sum(ray.get([_nrows.remote(r) for r in edge_refs])) \
+        if edge_refs else 0
+    if n_edges <= int(os.environ.get("WSR_CN_BLOCK_MAX_EDGES",
+                                     60_000_000)):
+        # default plan: adjacency fits a broadcast (≤ ~1 GB CSR) →
+        # shuffle-free blocked A² (same exact result; sf1 measured
+        # ~26 s vs ~100–130 s for the wave plan, ~4×). The
+        # wave-exchange plan below remains the out-of-broadcast path.
+        return _common_neighbors_blocked(edge_refs, k)
 
     def _pack(u: np.ndarray, v: np.ndarray) -> np.ndarray:
         if len(u) and (u.min() < 0 or v.min() < 0
@@ -1573,8 +1710,9 @@ def q_brand_homophily(sf_dir: str, P: int = 32) -> pd.DataFrame:
 
     # dedup'd part dimension: min non-NULL brand per key (SQL min
     # ignores NULLs; all-NULL stays NULL)
-    pt = _read(sf_dir, "part", columns=["p_partkey", "p_brand"]) \
-        .to_pandas()
+    from .relational import _read_pd
+
+    pt = _read_pd(sf_dir, "part", columns=["p_partkey", "p_brand"])
     pt = pt[pt["p_partkey"].notna()]
     pt["p_partkey"] = pt["p_partkey"].astype(np.int64)
     grp = pt.groupby("p_partkey", sort=True)["p_brand"] \
@@ -1671,9 +1809,9 @@ def q_eccentricity_sample(sf_dir: str, n_seeds: int = 4,
         return (pa.table({"p": pc.cast(v, pa.int64())})
                 .group_by(["p"]).aggregate([]))
 
-    ps = np.unique(li.map_batches(
-        dparts, batch_format="pyarrow").to_pandas()["p"]
-        .to_numpy(np.int64))
+    ps_df = li.map_batches(dparts, batch_format="pyarrow").to_pandas()
+    ps = (np.unique(ps_df["p"].to_numpy(np.int64))
+          if "p" in ps_df.columns else np.empty(0, np.int64))
     cols = {"seed_part": pd.Series(dtype="int64"),
             "ecc": pd.Series(dtype="int64"),
             "n_reached": pd.Series(dtype="int64")}

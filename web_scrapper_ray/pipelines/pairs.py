@@ -221,16 +221,18 @@ def verify_pairs(ds, pairs: np.ndarray,
                          "pair_id": pa.array(out_id, pa.int64()),
                          "payload": pa.array(out_p, payload_type)})
 
-    def verify(g: pd.DataFrame) -> pd.DataFrame:
+    def verify(g: pa.Table) -> pd.DataFrame:
         _, pb = ray.get(bref)
-        payload = dict(zip((int(v) for v in g["pair_id"]), g["payload"]))
-        out = verify_fn(payload, pb[int(g["bucket"].iloc[0])])
+        payload = dict(zip(
+            (int(v) for v in g.column("pair_id").to_pylist()),
+            g.column("payload").to_pylist()))
+        out = verify_fn(payload, pb[g.column("bucket")[0].as_py()])
         return out if len(out) else empty
 
     return (
         ds.map_batches(replicate, batch_format="pyarrow")
         .groupby("bucket")
-        .map_groups(verify, batch_format="pandas")
+        .map_groups(verify, batch_format="pyarrow")
         .to_pandas()
     )
 

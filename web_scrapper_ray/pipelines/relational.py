@@ -147,6 +147,23 @@ def _restore_null_keys(df: pd.DataFrame, cols: list) -> pd.DataFrame:
     return df
 
 
+def _read_pd(sf_dir: str, table: str, columns=None) -> pd.DataFrame:
+    """``_read_pd(...)`` that KEEPS the declared schema on
+    empty tables: Ray's ``to_pandas()`` returns a COLUMN-LESS frame
+    for a 0-row dataset even when the dataset has a schema (the
+    empty-block concat drops it), so every driver-side dimension read
+    crashes on a fully-empty table. Build the typed empty from the
+    dataset schema instead — the degenerate-world contract."""
+    ds = _read(sf_dir, table, columns)
+    df = ds.to_pandas()
+    if not len(df) and not len(df.columns):
+        sch = ds.schema()
+        df = pa.table({n: pa.array([], t)
+                       for n, t in zip(sch.names, sch.types)}
+                      ).to_pandas()
+    return df
+
+
 def _with_cols(df: pd.DataFrame, cols: dict) -> pd.DataFrame:
     """Zero-block Datasets reach the driver COLUMN-LESS (Ray never ran
     the mapped fn on an empty input — CLAUDE.md rule), so driver code
@@ -201,6 +218,13 @@ def q_lineitem_agg(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _with_cols(out, {"l_returnflag": "object",
+                           "l_linestatus": "object",
+                           "sum_qty": "float64",
+                           "sum_base_price": "float64",
+                           "sum_disc_price": "float64",
+                           "avg_qty": "float64",
+                           "count_order": "int64"})
     out = _restore_null_keys(out, keys)
     # rounding pins the value-hash against float summation order
     for col, nd in [("sum_qty", 2), ("sum_base_price", 2), ("sum_disc_price", 2),
@@ -219,7 +243,7 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
     import ray
     from ray.data.aggregate import Count, Sum
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    cust = _read_pd(sf_dir, "customer", columns=["c_custkey", "c_name"])
     # a NULL c_custkey never matches any order (SQL join NULL ≠ NULL);
     # keeping it would also poison the isin→astype(int64) below, since
     # pandas isin DOES match NaN against a NaN dict key
@@ -244,7 +268,10 @@ def q_top_customers(sf_dir: str) -> pd.DataFrame:
                           ascending=[False, True]).head(10)
         return pa.Table.from_pandas(t, preserve_index=False)
 
-    partials = agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas()
+    partials = _with_cols(
+        agg.map_batches(topk_partial, batch_format="pyarrow").to_pandas(),
+        {"o_custkey": "int64", "revenue": "float64",
+         "n_orders": "int64", "c_name": "object"})
     out = partials.sort_values(["revenue", "o_custkey"],
                                ascending=[False, True]).head(10)
     out = out.rename(columns={"o_custkey": "c_custkey"})
@@ -260,7 +287,11 @@ def q_orders_filter_topk(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(100)
-    return top.to_pandas()[["o_orderkey", "o_custkey", "o_totalprice"]]
+    return _with_cols(top.to_pandas(),
+                      {"o_orderkey": "int64", "o_custkey": "int64",
+                       "o_totalprice": "float64",
+                       "o_orderstatus": "object"}
+                      )[["o_orderkey", "o_custkey", "o_totalprice"]]
 
 
 def q_events_window(sf_dir: str) -> pd.DataFrame:
@@ -424,9 +455,9 @@ def q_suppliers_per_region(sf_dir: str) -> pd.DataFrame:
     import ray
     from .pairs import factorize_strings, round_away
 
-    nation = _read(sf_dir, "nation",
-                   columns=["n_nationkey", "n_regionkey"]).to_pandas()
-    region = _read(sf_dir, "region").to_pandas()
+    nation = _read_pd(sf_dir, "nation",
+                   columns=["n_nationkey", "n_regionkey"])
+    region = _read_pd(sf_dir, "region")
     nr = (nation[nation["n_nationkey"].notna()
                  & nation["n_regionkey"].notna()]
           .merge(region[region["r_regionkey"].notna()],
@@ -524,6 +555,10 @@ def q_part_type_stats(sf_dir: str) -> pd.DataFrame:
         )
         .to_pandas()
     )
+    out = _with_cols(out, {"p_type": "object", "n_parts": "int64",
+                           "avg_size": "float64",
+                           "min_price": "float64",
+                           "max_price": "float64"})
     out["avg_size"] = out["avg_size"].round(4)
     out["min_price"] = out["min_price"].round(2)
     out["max_price"] = out["max_price"].round(2)
@@ -666,6 +701,9 @@ def q_top_customers_per_segment(sf_dir: str, k: int = 5) -> pd.DataFrame:
     out = (_null_safe_keys(ds, ["c_mktsegment"])
            .groupby("c_mktsegment")
            .map_groups(topk, batch_format="pyarrow").to_pandas())
+    out = _with_cols(out, {"c_mktsegment": "object", "rank": "int64",
+                           "c_custkey": "int64",
+                           "c_acctbal": "float64"})
     out = _restore_null_keys(out, ["c_mktsegment"])
     return out.sort_values(["c_mktsegment", "rank"],
                            na_position="last").reset_index(drop=True)
@@ -680,6 +718,13 @@ def q_brand_revenue_native_join(sf_dir: str) -> pd.DataFrame:
     li = _read(sf_dir, "lineitem",
                columns=["l_partkey", "l_extendedprice", "l_discount"])
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    if li.count() == 0 or part.count() == 0:
+        # a fully-empty join side reaches Ray's hash-shuffle join as a
+        # schema-less partition and the key column can't resolve —
+        # inner join with an empty side is statically empty anyway
+        return pd.DataFrame({"p_brand": pd.Series(dtype="object"),
+                             "revenue": pd.Series(dtype="float64"),
+                             "n_items": pd.Series(dtype="int64")})
     # num_partitions=8: measured 3.4s vs 5.4s at 16 on this box — the
     # native join's per-partition actor setup dominates at local scale;
     # at cluster scale size this to data volume, not the local floor
@@ -886,7 +931,9 @@ def q_order_priority_join(sf_dir: str) -> pd.DataFrame:
     # '1-URGENT\x00z' and silently DROP the NULL-priority group)
     from .pairs import factorize_strings
 
-    parts = per_bucket.to_pandas()
+    parts = _with_cols(per_bucket.to_pandas(),
+                       {"o_orderpriority": "object",
+                        "n_items": "int64"})
     codes, uniq = factorize_strings(parts["o_orderpriority"],
                                     use_na_sentinel=False)
     tot = np.zeros(len(uniq), np.int64)
@@ -1363,6 +1410,8 @@ def q_orders_events_range_join(sf_dir: str) -> pd.DataFrame:
 
     out = both.groupby("bucket").map_groups(
         range_bucket, batch_format="pyarrow").to_pandas()
+    out = _with_cols(out, {"o_orderkey": "int64",
+                           "n_events_24h": "int64"})
     # SQL GROUP BY o_orderkey: duplicate order rows (possibly in
     # DIFFERENT custkey buckets) merge into one row, counts summed
     out = (out.groupby("o_orderkey", as_index=False)["n_events_24h"]
@@ -2320,7 +2369,9 @@ def q_bloom_semijoin(sf_dir: str, cutoff: float = 475000.0) -> pd.DataFrame:
                                  np.uint64(1) << (bit & np.uint64(63)))
         return pa.table({"words": pa.array([words.tobytes()], pa.binary())})
 
-    parts = od.map_batches(bloom_partial, batch_format="pyarrow").to_pandas()
+    parts = _with_cols(
+        od.map_batches(bloom_partial, batch_format="pyarrow").to_pandas(),
+        {"words": "object"})
     bloom = np.zeros(M_BITS // 64, dtype=np.uint64)
     for w in parts["words"]:
         bloom |= np.frombuffer(w, dtype=np.uint64)
@@ -3086,6 +3137,14 @@ def q_part_heavy_left_join(sf_dir: str, min_qty: float = 45.0) -> pd.DataFrame:
         "n_ship": pa.array([0], pa.int64()),
         "ship_qty": pa.array([0.0], pa.float64())}))
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    if part.count() == 0:
+        # empty LEFT side reaches the native join schema-less (the
+        # sentinel trick only pins the right side); LEFT JOIN of an
+        # empty left is statically empty
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_brand": pd.Series(dtype="object"),
+                             "n_ship": pd.Series(dtype="float64"),
+                             "ship_qty": pd.Series(dtype="float64")})
     joined = part.join(agg.union(sentinel), join_type="left_outer",
                        num_partitions=8,
                        on=("p_partkey",), right_on=("l_partkey",))
@@ -3124,6 +3183,11 @@ def q_parts_never_heavy(sf_dir: str, min_qty: float = 45.0) -> pd.DataFrame:
                                                              pa.int64())}))
     probe = li.map_batches(heavy_keys, batch_format="pyarrow").union(sentinel)
     part = _read(sf_dir, "part", columns=["p_partkey", "p_brand"])
+    if part.count() == 0:
+        # empty LEFT side of the native anti join (see the left_outer
+        # twin above) — statically empty
+        return pd.DataFrame({"p_partkey": pd.Series(dtype="int64"),
+                             "p_brand": pd.Series(dtype="object")})
     out = part.join(probe, join_type="left_anti", num_partitions=8,
                     on=("p_partkey",), right_on=("l_partkey",)).to_pandas()
     out = out[["p_partkey", "p_brand"]]
@@ -3474,9 +3538,11 @@ def q_customer_orders_full_join(sf_dir: str) -> pd.DataFrame:
     ).to_arrow_refs()]
     parts = [p for p in hash_shuffle(tagged, split, merge, P=P) if len(p)]
     if not parts:
+        # empty output is vacuously NULL-free → nullable BIGINTs stay
+        # int64, like DuckDB hands back an empty result (q43/q97 rule)
         return pd.DataFrame({"custkey": pd.Series(dtype="int64"),
                              "c_mktsegment": pd.Series(dtype="object"),
-                             "n_orders": pd.Series(dtype="float64"),
+                             "n_orders": pd.Series(dtype="int64"),
                              "total_price": pd.Series(dtype="float64")})
     out = pd.concat(parts, ignore_index=True)
     out["c_mktsegment"] = out["c_mktsegment"].astype(object).where(

@@ -11,10 +11,12 @@ order.  (The reference quirk that relative URLs absolutize against
 
 from __future__ import annotations
 
+import collections
 import json
 
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .. import extract
 from ..functions.urlnorm import canonicalize_batch, host_of
@@ -23,6 +25,9 @@ from ..oracle import BIZ_SELECTORS, ECOM_SELECTORS
 from ..sources.fetch import worker_backend
 
 _OUT_COLS = ["row_kind", "seed_index", "dom_idx", "url", "payload", "outcome"]
+
+_SeedRow = collections.namedtuple("_SeedRow",
+                                  ["seed_index", "url", "host"])
 
 
 def _empty_df() -> pd.DataFrame:
@@ -34,13 +39,17 @@ def _empty_df() -> pd.DataFrame:
 
 def _make_scrape_fn(world_dir: str, kind: str, selectors: dict,
                     first_seed_url: str, backend_spec: dict | None = None):
-    def scrape(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) == 0:
+    def scrape(group: pa.Table) -> pd.DataFrame:
+        if group.num_rows == 0:
             return _empty_df()
         store = worker_backend(world_dir, backend_spec)
-        group = group.sort_values(["seed_index"])
+        group = group.take(pc.sort_indices(
+            group, sort_keys=[("seed_index", "ascending")]))
         out: list[dict] = []
-        for r in group.itertuples(index=False):
+        for r in map(_SeedRow._make,
+                     zip(group.column("seed_index").to_pylist(),
+                         group.column("url").to_pylist(),
+                         group.column("host").to_pylist())):
             # per-seed guard with buffered commit (reference base.py:
             # 188-199 wraps each URL in try/except and marks it failed;
             # a decode/parse/extract error must cost ONE seed's records,
@@ -109,7 +118,8 @@ def run_page_scrape(world_dir: str, seeds: list[str], kind: str,
         }
     )
     fn = _make_scrape_fn(world_dir, kind, selectors, seeds[0], fetch_backend)
-    out = rd.from_arrow(t).groupby("host").map_groups(fn, batch_format="pandas")
+    out = rd.from_arrow(t).groupby("host").map_groups(fn,
+                                                      batch_format="pyarrow")
     rows = out.map_batches(
         lambda b: b.filter(pc.equal(b.column("row_kind"), "record")),
         batch_format="pyarrow",

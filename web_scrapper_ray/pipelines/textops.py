@@ -523,8 +523,10 @@ def q_phone_digits(sf_dir: str) -> pd.DataFrame:
                          "digits": pa.array(digs, pa.string()),
                          "valid": pa.array(valid, pa.bool_())})
 
-    out = (ds.map_batches(digits, batch_format="pyarrow").to_pandas()
-           .sort_values("c_custkey", na_position="last")
+    out = _wc(ds.map_batches(digits, batch_format="pyarrow").to_pandas(),
+              {"c_custkey": "int64", "digits": "object",
+               "valid": "bool"})  # empty BOOLEAN arrives bool-dtyped
+    out = (out.sort_values("c_custkey", na_position="last")
            .reset_index(drop=True))
     if out["valid"].dtype == object:
         # NULL boolean arrives as NaN from DuckDB→pandas (VARCHAR NULL
@@ -926,14 +928,19 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
                          # in the downstream sort-based groupby)
                          "rank_key": pa.array(keys, pa.string())})
 
-    def head_k(g: pd.DataFrame) -> pd.DataFrame:
+    def head_k(g: pa.Table) -> pa.Table:
         # NULL rank_key (NULL text → SQL md5(NULL) is NULL) sorts
-        # last, DuckDB's ORDER BY default
-        g = g.sort_values(["rank_key", "doc_id"],
-                          na_position="last").head(per_group)
-        out = g[["lang", "doc_id"]].copy()
-        out["rank"] = range(1, len(g) + 1)
-        return out
+        # last, DuckDB's ORDER BY default; Arrow string sort is
+        # bytewise like pandas on the hex keys
+        order = pc.sort_indices(
+            g, sort_keys=[("rank_key", "ascending"),
+                          ("doc_id", "ascending")],
+            null_placement="at_end")
+        top = g.take(order.slice(0, min(per_group, g.num_rows)))
+        return pa.table({
+            "lang": top.column("lang"),
+            "doc_id": top.column("doc_id"),
+            "rank": pa.array(np.arange(1, top.num_rows + 1), pa.int64())})
 
     from .relational import _null_safe_keys, _restore_null_keys
 
@@ -941,7 +948,7 @@ def q_stratified_sample(sf_dir: str, per_group: int = 5) -> pd.DataFrame:
         _null_safe_keys(ds.map_batches(add_rank_key,
                                        batch_format="pyarrow"), ["lang"])
         .groupby("lang")
-        .map_groups(head_k, batch_format="pandas")
+        .map_groups(head_k, batch_format="pyarrow")
         .to_pandas()
     )
     out = _wc(out, {"lang": "object", "doc_id": "int64",
