@@ -491,9 +491,11 @@ def test_cc_min_label_refs_bucketed_giant_component(ray_session):
     perm = rng.permutation(n)
     a = ids[perm[:-1]]
     b = ids[perm[1:]]                      # one long chain, diameter n
-    # replicate ~4x with shuffled assignment to 16 buckets — replicas
-    # of a pair land in DIFFERENT buckets like probe-band replicas do
-    rep = rng.integers(0, len(a), size=500_000)
+    # replicate ~5x with shuffled assignment to 16 buckets — replicas
+    # of a pair land in DIFFERENT buckets like probe-band replicas do;
+    # every edge index present so the chain stays one component
+    rep = np.concatenate([np.arange(len(a)),
+                          rng.integers(0, len(a), size=400_000)])
     ra, rb = a[rep], b[rep]
     bkt = rng.integers(0, 16, size=len(ra))
     refs = []
@@ -504,17 +506,9 @@ def test_cc_min_label_refs_bucketed_giant_component(ray_session):
             "hamming": pa.array(np.zeros(int(m.sum()), np.int64))})))
     nodes, roots = cc_min_label_refs(refs)
     ref_nodes, ref_roots = cc_min_label(a, b)
-    # replication drops some chain edges → components may split vs the
-    # full chain; compare against the reference run on the SAME edges
-    nodes2, roots2 = cc_min_label(ra, rb)
-    assert np.array_equal(nodes, nodes2)
-    assert np.array_equal(roots, roots2)
-    # and with every edge present, both forms give the one giant comp
-    full = [ray.put(pa.table({"doc_a": pa.array(a),
-                              "doc_b": pa.array(b)}))]
-    nf, rf = cc_min_label_refs(full)
-    assert np.array_equal(nf, ref_nodes) and np.array_equal(rf, ref_roots)
-    assert (rf == ids.min()).all()
+    assert np.array_equal(nodes, ref_nodes)
+    assert np.array_equal(roots, ref_roots)
+    assert (roots == ids.min()).all()
 
 
 def test_common_neighbors_blocked_equals_waves(ray_session, monkeypatch):
