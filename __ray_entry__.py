@@ -1005,18 +1005,23 @@ def _er_sql(rounds: int = 8) -> str:
 
 
 def _dbscan_sql(rounds: int = 8, thr: float = 0.35,
-                min_pts: int = 3) -> str:
+                min_pts: int = 3,
+                sample_p: float | None = None) -> str:
     """Unrolled bounded min-label propagation over the core-core
     ε-graph (q230's CONTRACT: exactly ``rounds`` rounds on both
     sides; the engine early-exits only at the fixpoint). Core self-
     loops keep isolated cores alive through the propagation joins."""
+    from web_scrapper_ray.pipelines.pairs import sql_coin
+
+    coin = ("" if sample_p is None
+            else f" AND {sql_coin('vec_id', sample_p)}")
     head = f"""
         WITH vv AS MATERIALIZED (
             -- MATERIALIZED: inlined, the optimizer reorders the join
             -- and evaluates list_cosine_similarity on NULL vectors
             -- (q24 rule)
             SELECT vec_id, embedding FROM embeddings
-            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL),
+            WHERE vec_id IS NOT NULL AND embedding IS NOT NULL{coin}),
         e AS MATERIALIZED (
             SELECT a.vec_id AS u, b.vec_id AS v
             FROM vv a JOIN vv b ON a.vec_id <> b.vec_id
@@ -1090,6 +1095,79 @@ def perrow_rowcount_sql() -> dict[str, str]:
     return {
         "q23_simhash": "SELECT count(*)::BIGINT FROM documents",
         "q53_neardup_clusters": "SELECT count(*)::BIGINT FROM documents",
+    }
+
+
+def sampled_oracles() -> dict[str, dict]:
+    """Bounded oracle contracts for the queries whose FULL SQL twin is
+    super-quadratic in the input (sf1-infeasible: q105's n² byte-
+    levenshtein cross join, q230's ε-cosine graph, q250's n² sign
+    pairs). When ``table`` at the gate's sf_dir exceeds
+    ``max_full_rows``, the gate swaps in these twins: engine and SQL
+    restrict the INPUT to the same deterministic md5-coin sample
+    (``pairs.md5_coin_mask`` ↔ ``pairs.sql_coin``, probed identical),
+    so the quadratic oracle runs on (p·n)² rows while the engine code
+    path under test is the production one. Below the threshold the
+    full compare runs as always (sf0.01 + fuzz stay exact-full)."""
+    from web_scrapper_ray.pipelines import rankstats, relational, \
+        similarity
+    from web_scrapper_ray.pipelines.pairs import sql_coin
+
+    q105 = f"""
+        WITH sp AS MATERIALIZED (
+            SELECT p_partkey, p_name FROM part
+            WHERE {sql_coin('p_partkey', 0.02)})
+        SELECT p1.p_partkey AS a_partkey, p2.p_partkey AS b_partkey,
+               levenshtein(p1.p_name, p2.p_name)::BIGINT AS dist
+        FROM sp p1, sp p2
+        WHERE p1.p_partkey < p2.p_partkey
+          AND levenshtein(p1.p_name, p2.p_name) <= 1
+        ORDER BY 1, 2
+    """
+    q250 = f"""
+        WITH s AS (
+            SELECT o_totalprice AS x, epoch_us(o_orderdate) AS y
+            FROM orders
+            WHERE isfinite(o_totalprice)
+              AND o_orderdate IS NOT NULL
+              AND {sql_coin('o_orderkey', 0.004)}),
+        r AS (SELECT x, y, row_number() OVER () AS rid FROM s),
+        cd AS (SELECT coalesce(sum(
+                   CASE WHEN (a.x < b.x AND a.y < b.y)
+                          OR (a.x > b.x AND a.y > b.y) THEN 1
+                        WHEN (a.x < b.x AND a.y > b.y)
+                          OR (a.x > b.x AND a.y < b.y) THEN -1
+                        ELSE 0 END), 0) AS sgn
+               FROM r a JOIN r b ON b.rid > a.rid),
+        nn AS (SELECT count(*) AS n FROM s),
+        t1 AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS n1
+               FROM (SELECT count(*) AS c FROM s GROUP BY x)),
+        t2 AS (SELECT coalesce(sum(c * (c - 1) // 2), 0) AS n2
+               FROM (SELECT count(*) AS c FROM s GROUP BY y))
+        SELECT n::BIGINT AS n,
+               CASE WHEN n * (n - 1) // 2 > n1
+                     AND n * (n - 1) // 2 > n2
+                    THEN round(sgn / sqrt(
+                        CAST(n * (n - 1) // 2 - n1 AS DOUBLE)
+                        * CAST(n * (n - 1) // 2 - n2 AS DOUBLE)),
+                        6)
+               END AS tau_b
+        FROM cd, nn, t1, t2
+    """
+    return {
+        "q105_fuzzy_name_join": {
+            "fn": lambda d: relational.q_fuzzy_name_join(
+                d, sample_p=0.02),
+            "sql": q105, "table": "part", "max_full_rows": 30_000},
+        "q250_kendall_tau": {
+            "fn": lambda d: rankstats.q_kendall_tau(
+                d, sample_p=0.004),
+            "sql": q250, "table": "orders",
+            "max_full_rows": 200_000},
+        "q230_dbscan": {
+            "fn": lambda d: similarity.q_dbscan(d, sample_p=0.01),
+            "sql": _dbscan_sql(sample_p=0.01),
+            "table": "embeddings", "max_full_rows": 60_000},
     }
 
 

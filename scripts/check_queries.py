@@ -78,10 +78,25 @@ def main() -> int:
 
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    # bounded twins for quadratic-oracle queries on big worlds: same
+    # deterministic md5-coin input sample on both sides, so the sf1
+    # gate runs them oracle-checked instead of --exclude'd
+    sampled = (entrymod.sampled_oracles()
+               if hasattr(entrymod, "sampled_oracles") else {})
     failures = 0
     for name, fn in qs.items():
         if (only and name not in only) or name in exclude:
             continue
+        tag = ""
+        if name in sampled:
+            sp = sampled[name]
+            n_tab = con.execute(
+                f"SELECT count(*) FROM {sp['table']}").fetchone()[0]
+            if n_tab > sp["max_full_rows"]:
+                fn = sp["fn"]
+                sqls = dict(sqls)
+                sqls[name] = sp["sql"]
+                tag = " [sampled]"
         t0 = time.time()
         try:
             mine = normalize(to_pandas(fn(sf_dir)))
@@ -135,7 +150,7 @@ def main() -> int:
             print(f"FAIL {name}: {'; '.join(probs)}")
             failures += 1
         else:
-            print(f"PASS {name}: rows={len(mine)} [{dt:.1f}s]")
+            print(f"PASS {name}: rows={len(mine)}{tag} [{dt:.1f}s]")
     failures += hash_mode(con, entrymod, sf_dir, only, exclude)
     ray.shutdown()
     return 1 if failures else 0

@@ -57,6 +57,50 @@ def str_u64(s: str) -> int:
                         digest_size=8).digest(), "big")
 
 
+def md5_coin_mask(values, p: float) -> np.ndarray:
+    """Deterministic per-key Bernoulli(p) coin, the house pattern:
+    ``int(md5(str(v))[:13], 16) < floor(p·2^52)`` — SQL twin
+    ``('0x'||substr(md5(v::VARCHAR),1,13))::BIGINT < floor(p·2^52)``
+    (probed identical; BIGINT::VARCHAR prints the same decimal string
+    str() does). 52-bit thresholds stay exact in both float worlds;
+    NULL/NaN keys draw False (SQL: md5(NULL) is NULL → predicate
+    NULL → row out). Used by the sampled-oracle contracts (bounded
+    sf1 twins of the quadratic-oracle queries)."""
+    import hashlib
+
+    thr = int(p * (1 << 52))
+    out = np.zeros(len(values), bool)
+    for i, v in enumerate(values):
+        if v is None or (isinstance(v, float) and np.isnan(v)):
+            continue
+        out[i] = int(hashlib.md5(
+            str(v).encode()).hexdigest()[:13], 16) < thr
+    return out
+
+
+def coin_filter(col: str, p: float, drop: bool = False):
+    """``map_batches`` stage keeping rows whose ``col`` passes
+    :func:`md5_coin_mask` (the sampled-oracle input restriction);
+    ``drop=True`` removes the coin column afterwards when it is not
+    part of the query's own contract."""
+    def fn(t: pa.Table) -> pa.Table:
+        if t.num_rows and col in t.schema.names:
+            m = md5_coin_mask(t.column(col).to_pylist(), p)
+            t = t.filter(pa.array(m))
+        if drop and col in t.schema.names:
+            t = t.drop_columns([col])
+        return t
+    return fn
+
+
+def sql_coin(expr: str, p: float) -> str:
+    """SQL twin of :func:`md5_coin_mask` for ``expr`` (a VARCHAR-
+    castable column): exact-integer 52-bit threshold compare."""
+    thr = int(p * (1 << 52))
+    return (f"('0x' || substr(md5(({expr})::VARCHAR), 1, 13))::BIGINT"
+            f" < {thr}")
+
+
 def factorize_strings(values, use_na_sentinel: bool = True):
     """``pd.factorize`` twin that keys on FULL string bytes.
 

@@ -627,7 +627,8 @@ def q_auc(sf_dir: str, target: str = "purchase") -> pd.DataFrame:
                          "auc": round_away(np.array([auc]), 6)})
 
 
-def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
+def q_kendall_tau(sf_dir: str,
+                  sample_p: float | None = None) -> pd.DataFrame:
     """Kendall τ-b between order totalprice and order date — the
     third classical rank-association measure next to Spearman (q194)
     and the regression family: τ-b = (C − D) / √((n₀−n₁)(n₀−n₂)) with
@@ -680,9 +681,20 @@ def q_kendall_tau(sf_dir: str) -> pd.DataFrame:
                 .groupby(["x", "y"], as_index=False)
                 .agg(n=("n", "sum")))
 
-    tagged = [(r, ()) for r in _read(
-        sf_dir, "orders",
-        columns=["o_totalprice", "o_orderdate"]).to_arrow_refs()]
+    src = _read(sf_dir, "orders",
+                columns=(["o_totalprice", "o_orderdate"]
+                         if sample_p is None else
+                         ["o_orderkey", "o_totalprice", "o_orderdate"]))
+    if sample_p is not None:
+        # bounded sf1 oracle contract: same md5-coin row sample on
+        # both sides makes the SQL twin's O(n²) sign-pair join
+        # (p·n)²-sized (sampled_oracles)
+        from .pairs import coin_filter
+
+        src = src.map_batches(
+            coin_filter("o_orderkey", sample_p, drop=True),
+            batch_format="pyarrow")
+    tagged = [(r, ()) for r in src.to_arrow_refs()]
     parts = [p for p in hash_shuffle(tagged, split, merge, P=P)
              if len(p)]
     one = pd.DataFrame({"n": pd.array([0], "int64"),

@@ -3214,7 +3214,8 @@ def _ed_le1(a, b) -> bool:
     return a[i:] == b[i + 1:]
 
 
-def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
+def q_fuzzy_name_join(sf_dir: str, P: int = 32,
+                      sample_p: float | None = None) -> pd.DataFrame:
     """Fuzzy self-join: part-key pairs whose names are within ONE edit
     (SQL twin: cross join + ``levenshtein(a, b) <= 1``) — without the
     quadratic cross join. Deletion-neighborhood banding: every name
@@ -3237,9 +3238,15 @@ def q_fuzzy_name_join(sf_dir: str, P: int = 32) -> pd.DataFrame:
     encoded name."""
     import hashlib
 
-    from .pairs import hash_shuffle
+    from .pairs import coin_filter, hash_shuffle
 
     part = _read(sf_dir, "part", columns=["p_partkey", "p_name"])
+    if sample_p is not None:
+        # bounded sf1 oracle contract: both sides restrict the input
+        # to the same deterministic md5-coin sample of part keys, so
+        # the SQL twin's cross join is (p·n)²-sized (sampled_oracles)
+        part = part.map_batches(coin_filter("p_partkey", sample_p),
+                                batch_format="pyarrow")
 
     def variants(name: bytes) -> list:
         vs = {name}

@@ -178,8 +178,8 @@ N_CHUNKS = 8  # chunk groups per side → G(G+1)/2 pair tasks
 
 
 def q_neardup_cosine(sf_dir: str, threshold: float = 0.95,
-                     auto_lsh_rows: int | None = 200_000
-                     ) -> pd.DataFrame:
+                     auto_lsh_rows: int | None = 200_000,
+                     sample_p: float | None = None) -> pd.DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, vec_a < vec_b.
 
     Exact all-pairs (matches the SQL oracle) as a distributed blocked
@@ -200,6 +200,13 @@ def q_neardup_cosine(sf_dir: str, threshold: float = 0.95,
     import ray
 
     emb = _emb(sf_dir)
+    if sample_p is not None:
+        # bounded sf1 oracle contract (q230's sampled twin): the same
+        # deterministic md5-coin sample of vec_ids on both sides
+        from .pairs import coin_filter
+
+        emb = emb.map_batches(coin_filter("vec_id", sample_p),
+                              batch_format="pyarrow")
     if auto_lsh_rows is not None:
         n_rows = emb.count()
         if n_rows > auto_lsh_rows:
@@ -1287,7 +1294,8 @@ def q_knn_classify(sf_dir: str, split_id: int = 50,
 
 
 def q_dbscan(sf_dir: str, threshold: float = 0.35, min_pts: int = 3,
-             rounds: int = 8) -> pd.DataFrame:
+             rounds: int = 8,
+             sample_p: float | None = None) -> pd.DataFrame:
     """Density-based clustering (DBSCAN) over the embedding corpus
     with cosine similarity ≥ ``threshold`` as the ε-neighborhood — the
     noise-aware alternative to q71's k-means for corpus curation:
@@ -1303,7 +1311,7 @@ def q_dbscan(sf_dir: str, threshold: float = 0.35, min_pts: int = 3,
     q_neardup_cosine_lsh for the sub-quadratic candidate path at
     corpus scale); degrees/labels/border votes are all vectorized
     folds over the output-bounded pair list, never the corpus."""
-    pairs = q_neardup_cosine(sf_dir, threshold)
+    pairs = q_neardup_cosine(sf_dir, threshold, sample_p=sample_p)
     empty = pd.DataFrame({"vec_id": pd.Series(dtype="int64"),
                           "role": pd.Series(dtype="object"),
                           "cluster_id": pd.Series(dtype="int64")})
