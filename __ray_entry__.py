@@ -1065,7 +1065,8 @@ def perrow_queries() -> dict[str, Callable[[str], Any]]:
     contract at small sf is unchanged) and either an ``oracle_sql()``
     twin (hash-compared) or a ``perrow_rowcount_sql()`` entry
     (count-checked — hash-based values with no SQL twin)."""
-    from web_scrapper_ray.pipelines import analytics, textops
+    from web_scrapper_ray.pipelines import analytics, relational, \
+        textops
     from web_scrapper_ray.pipelines import dedup as _dedup
 
     return {
@@ -1080,6 +1081,7 @@ def perrow_queries() -> dict[str, Callable[[str], Any]]:
         "q48_dedup_corpus": _dedup.q_dedup_corpus_ds,
         "q23_simhash": _dedup.q_simhash_ds,
         "q53_neardup_clusters": _dedup.q_neardup_clusters_ds,
+        "q95_running_total": relational.q_running_total_ds,
     }
 
 
@@ -1111,6 +1113,7 @@ def sampled_oracles() -> dict[str, dict]:
     full compare runs as always (sf0.01 + fuzz stay exact-full)."""
     from web_scrapper_ray.pipelines import rankstats, relational, \
         similarity
+    from web_scrapper_ray.pipelines import graph as _graph
     from web_scrapper_ray.pipelines.pairs import sql_coin
 
     q105 = f"""
@@ -1154,11 +1157,52 @@ def sampled_oracles() -> dict[str, dict]:
                END AS tau_b
         FROM cd, nn, t1, t2
     """
+    q228 = f"""
+        WITH pairs AS MATERIALIZED (
+          SELECT DISTINCT least(a.l_suppkey, b.l_suppkey) AS u,
+                          greatest(a.l_suppkey, b.l_suppkey) AS v
+          FROM lineitem a JOIN lineitem b
+               ON a.l_orderkey = b.l_orderkey
+              AND a.l_suppkey <> b.l_suppkey
+          WHERE a.l_orderkey IS NOT NULL
+            AND a.l_suppkey IS NOT NULL
+            AND b.l_suppkey IS NOT NULL
+            AND {sql_coin('a.l_suppkey', 0.3)}
+            AND {sql_coin('b.l_suppkey', 0.3)}),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM pairs e1
+          JOIN pairs e2 ON e2.u = e1.u AND e2.v > e1.v
+          JOIN pairs e3 ON e3.u = e1.v AND e3.v = e2.v),
+        tn AS (SELECT a AS node FROM tri
+               UNION ALL SELECT b FROM tri
+               UNION ALL SELECT c FROM tri),
+        tc AS (SELECT node, count(*) AS t FROM tn GROUP BY 1),
+        deg AS (SELECT node, count(*) AS d FROM
+                (SELECT u AS node FROM pairs
+                 UNION ALL SELECT v FROM pairs)
+                GROUP BY 1)
+        SELECT deg.node AS l_suppkey, d::BIGINT AS degree,
+               coalesce(t, 0)::BIGINT AS n_tri,
+               round(2.0 * coalesce(t, 0) / (d * (d - 1.0)), 6)
+                   AS cc
+        FROM deg LEFT JOIN tc ON tc.node = deg.node
+        WHERE d >= 2 ORDER BY 1
+    """
     return {
         "q105_fuzzy_name_join": {
             "fn": lambda d: relational.q_fuzzy_name_join(
                 d, sample_p=0.02),
             "sql": q105, "table": "part", "max_full_rows": 30_000},
+        "q228_clustering_coefficient": {
+            # the FULL oracle needs ~100 GB (RAM or spill) — feasible
+            # standalone on this box only without a live Ray session
+            # (probed: 285 s, BASELINE.md); the induced-subgraph coin
+            # sample keeps the triple self-join ~p² smaller
+            "fn": lambda d: _graph.q_clustering_coefficient(
+                d, sample_p=0.3),
+            "sql": q228, "table": "lineitem",
+            "max_full_rows": 1_000_000},
         "q250_kendall_tau": {
             "fn": lambda d: rankstats.q_kendall_tau(
                 d, sample_p=0.004),

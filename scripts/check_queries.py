@@ -160,6 +160,23 @@ def _fresh_con(sf_dir: str, old=None):
     if old is not None:
         old.close()
     con = duckdb.connect()
+    # explicit spill config: without it the heavy oracles (q228's
+    # ~100 GB wedge join) hit 'bad allocation' instead of spilling —
+    # probed: with these two settings q228's sf1 oracle completes in
+    # ~285 s on an idle box
+    try:
+        os.makedirs("/tmp/wsr_duckspill", exist_ok=True)
+        con.execute("SET temp_directory='/tmp/wsr_duckspill'")
+        con.execute("SET max_temp_directory_size='70GiB'")
+        # default memory_limit is 80% of TOTAL RAM, but the gate's
+        # Ray session reserves a ~38 GiB object store — a limit that
+        # counts reserved-but-idle shm dies with 'bad allocation'
+        # instead of spilling. 85 GiB + 65 GiB spill covers q228's
+        # ~100 GB wedge join (the object store is lazily allocated
+        # and near-empty while an oracle runs)
+        con.execute("SET memory_limit='75GiB'")
+    except Exception:
+        pass
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):

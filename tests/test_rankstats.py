@@ -187,3 +187,26 @@ def test_pr_curve_hand_example(ray_session, tmp_path):
     assert out["fp"].tolist() == [0, 1, 2]
     assert out["prec"].tolist() == [1.0, 0.666667, 0.6]
     assert out["rec"].tolist() == [0.333333, 0.666667, 1.0]
+
+
+def test_md5_coin_mask_matches_duckdb_sql_coin():
+    """The sampled-oracle coin: pairs.md5_coin_mask and pairs.sql_coin
+    must draw IDENTICAL Bernoulli outcomes per key (the whole bounded-
+    oracle contract rests on this), incl. negative and >2^53 keys;
+    NULL draws False/NULL-out on both sides."""
+    import duckdb
+    import numpy as np
+
+    from web_scrapper_ray.pipelines.pairs import md5_coin_mask, sql_coin
+
+    keys = [0, 1, 7, -5, 123456789, 2**62, -(2**62), 999983]
+    for p in (0.02, 0.004, 0.5, 1.0):
+        mine = md5_coin_mask(keys, p)
+        con = duckdb.connect()
+        got = con.execute(
+            "SELECT " + sql_coin("v", p)
+            + " FROM (SELECT unnest(?::BIGINT[]) AS v)",
+            [keys]).df().iloc[:, 0].to_numpy(bool)
+        assert np.array_equal(mine, got), (p, mine, got)
+    # NULL key: engine False, SQL NULL (row excluded either way)
+    assert not md5_coin_mask([None], 0.9).any()

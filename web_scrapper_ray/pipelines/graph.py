@@ -500,10 +500,14 @@ def _pairs_by_shift(group_ids: np.ndarray, vals: np.ndarray):
     return np.concatenate(ls), np.concatenate(rs)
 
 
+_COORDER_MEMO: dict = {}
+
+
 def _coorder_edge_refs(sf_dir: str, P: int = 32,
                        with_counts: bool = False,
                        on: str = "l_orderkey",
-                       val: str = "l_suppkey") -> list:
+                       val: str = "l_suppkey",
+                       sample_val_p: float | None = None) -> list:
     """Distinct supplier co-occurrence edges as P object-store bucket
     refs of packed ``(min<<32)|max`` int64 keys — the shared first two
     exchanges of the co-order graph family (triangles q140, k-core
@@ -525,6 +529,14 @@ def _coorder_edge_refs(sf_dir: str, P: int = 32,
     lim = np.uint64(1) << np.uint64(_KEY_BITS)
 
     ds = _read(sf_dir, "lineitem", columns=[on, val])
+    if sample_val_p is not None:
+        # sampled-oracle contract: induced subgraph on the md5-coin
+        # sample of node VALUES (both endpoints of a surviving edge
+        # pass the coin) — identical predicate in the SQL twin
+        from .pairs import coin_filter
+
+        ds = ds.map_batches(coin_filter(val, sample_val_p),
+                            batch_format="pyarrow")
 
     _E1 = pa.table({"okey": pa.array([], pa.int64()),
                     "supp": pa.array([], pa.int64()),
@@ -604,10 +616,30 @@ def _coorder_edge_refs(sf_dir: str, P: int = 32,
             [x.column("key").to_numpy() for x in live]))
         return pa.table({"key": pa.array(key)})
 
+    # MEMOIZED like relational._read: the distinct edge set is a pure
+    # function of the on-disk lineitem table, and the co-order graph
+    # family (q140/q200/q210/q228/q260/q262/q291/q310) each paid the
+    # two exchanges again (~0.3–0.5 s at sf0.1, ~1.7 s at sf1). Keyed
+    # on file identity incl. mtime/size; FIFO-capped — the pinned
+    # bucket refs are the (small) distinct edge set, not the fact
+    # table.
+    try:
+        st = os.stat(os.path.join(sf_dir, "lineitem.parquet"))
+        memo_key = (os.path.abspath(sf_dir), P, with_counts, on, val,
+                    sample_val_p, st.st_mtime_ns, st.st_size)
+    except OSError:
+        memo_key = None
+    if memo_key is not None and memo_key in _COORDER_MEMO:
+        return _COORDER_MEMO[memo_key]
     tagged = [(r, ()) for r in ds.to_arrow_refs()]
     s1 = hash_shuffle(tagged, split1, merge1, P=P, gather=False)
-    return hash_shuffle([(r, ()) for r in s1], split_pass,
+    refs = hash_shuffle([(r, ()) for r in s1], split_pass,
                         merge_edges, P=P, gather=False)
+    if memo_key is not None:
+        if len(_COORDER_MEMO) >= 8:
+            _COORDER_MEMO.pop(next(iter(_COORDER_MEMO)))
+        _COORDER_MEMO[memo_key] = refs
+    return refs
 
 
 def q_triangle_count(sf_dir: str, P: int = 32,
@@ -933,7 +965,9 @@ def q_sssp_bounded(sf_dir: str, rounds: int = 4,
 
 
 def q_clustering_coefficient(sf_dir: str, P: int = 32,
-                             dense_limit: int = 32768) -> pd.DataFrame:
+                             dense_limit: int = 32768,
+                             sample_p: float | None = None
+                             ) -> pd.DataFrame:
     """Per-node LOCAL clustering coefficient over the supplier
     co-occurrence graph — q140's global triangle count refined to the
     node level: cc(x) = 2·tri(x) / (deg(x)·(deg(x)−1)) for deg ≥ 2,
@@ -954,7 +988,7 @@ def q_clustering_coefficient(sf_dir: str, P: int = 32,
     import ray
 
     lim = np.uint64(1) << np.uint64(_KEY_BITS)
-    edge_refs = _coorder_edge_refs(sf_dir, P)
+    edge_refs = _coorder_edge_refs(sf_dir, P, sample_val_p=sample_p)
     empty = pd.DataFrame({"l_suppkey": pd.Series(dtype="int64"),
                           "degree": pd.Series(dtype="int64"),
                           "n_tri": pd.Series(dtype="int64"),

@@ -2551,23 +2551,14 @@ def q_corr_matrix(sf_dir: str) -> pd.DataFrame:
                          for c, v in zip(out_cols, vals)})
 
 
-def q_running_total(sf_dir: str) -> pd.DataFrame:
-    """Per-customer cumulative spend (SQL ``sum() OVER (PARTITION BY
-    o_custkey ORDER BY o_orderdate, o_orderkey)`` twin). Distributed
-    shape: ONE raw-task ``hash_shuffle`` co-locates each customer's
-    orders into coarse buckets; each bucket lexsorts once and computes
-    every customer's running sum in two vectorized np ops (segmented
-    cumsum — cross-customer carry subtracted via group offsets), no
-    per-group dispatch. Prices are exact-2dp grid values, so the sum
-    runs in int64 CENTS — bit-exact against the oracle's identical
-    cents form at any prefix length, immune to float sum order."""
+def _running_total_parts(sf_dir: str):
+    """Shared pipeline of q95 (read + split/merge closures): the
+    gathering wrapper and the streamed ``_ds`` twin must run the
+    identical exchange."""
     B = 64
     ds = _read(sf_dir, "orders",
                columns=["o_orderkey", "o_custkey", "o_orderdate",
                         "o_totalprice"])
-    cols = {"o_orderkey": pd.Series(dtype="int64"),
-            "o_custkey": pd.Series(dtype="int64"),
-            "running_spend": pd.Series(dtype="float64")}
 
     def split(t: pa.Table) -> pa.Table:
         empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
@@ -2595,10 +2586,14 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
             "bucket": pa.array((cust % B).astype(np.int64)),
         })
 
-    def merge(*tabs) -> pd.DataFrame:
+    _ERT = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                     "o_custkey": pa.array([], pa.int64()),
+                     "running_spend": pa.array([], pa.float64())})
+
+    def merge(*tabs) -> pa.Table:
         live = [t.drop_columns(["bucket"]) for t in tabs if t.num_rows]
         if not live:
-            return pd.DataFrame(cols)
+            return _ERT
         t = pa.concat_tables(live)
         cust = t.column("o_custkey").to_numpy(zero_copy_only=False)
         ts = t.column("ts").to_numpy(zero_copy_only=False)
@@ -2611,15 +2606,49 @@ def q_running_total(sf_dir: str) -> pd.DataFrame:
         counts = np.diff(np.r_[starts, len(cust)])
         carry = np.repeat(cs[starts] - cents[starts], counts)
         running = (cs - carry).astype(np.float64) / 100.0
-        return pd.DataFrame({"o_orderkey": okey, "o_custkey": cust,
-                             "running_spend": round_away(running, 2)})
+        return pa.table({"o_orderkey": pa.array(okey),
+                         "o_custkey": pa.array(cust),
+                         "running_spend": pa.array(
+                             round_away(running, 2))})
 
-    parts = [p for p in hash_shuffle(
-        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B) if len(p)]
+    return ds, split, merge, B
+
+
+def q_running_total(sf_dir: str) -> pd.DataFrame:
+    """Per-customer cumulative spend (SQL ``sum() OVER (PARTITION BY
+    o_custkey ORDER BY o_orderdate, o_orderkey)`` twin). Distributed
+    shape: ONE raw-task ``hash_shuffle`` co-locates each customer's
+    orders into coarse buckets; each bucket lexsorts once and computes
+    every customer's running sum in two vectorized np ops (segmented
+    cumsum — cross-customer carry subtracted via group offsets), no
+    per-group dispatch. Prices are exact-2dp grid values, so the sum
+    runs in int64 CENTS — bit-exact against the oracle's identical
+    cents form at any prefix length, immune to float sum order."""
+    cols = {"o_orderkey": pd.Series(dtype="int64"),
+            "o_custkey": pd.Series(dtype="int64"),
+            "running_spend": pd.Series(dtype="float64")}
+    ds, split, merge, B = _running_total_parts(sf_dir)
+    parts = [p.to_pandas() for p in hash_shuffle(
+        [(r, ()) for r in ds.to_arrow_refs()], split, merge, P=B)
+        if p.num_rows]
     if not parts:
         return pd.DataFrame(cols)
     return (pd.concat(parts, ignore_index=True)
             .sort_values("o_orderkey").reset_index(drop=True))
+
+
+def q_running_total_ds(sf_dir: str):
+    """Dataset-returning core of q95 (the scale-safe per-row oracle
+    contract): the per-customer running-spend table is ORDER-sized —
+    the gate streams the per-bucket merge outputs straight from the
+    object store to parquet (``hash_shuffle(gather=False)`` →
+    ``from_arrow_refs``), never through the driver heap."""
+    import ray.data as rd
+
+    ds, split, merge, B = _running_total_parts(sf_dir)
+    refs = hash_shuffle([(r, ()) for r in ds.to_arrow_refs()],
+                        split, merge, P=B, gather=False)
+    return rd.from_arrow_refs(refs)
 
 
 def q_cube_agg(sf_dir: str) -> pd.DataFrame:
