@@ -417,6 +417,27 @@ def _phash_neardup(sf_dir: str):
     return phash_neardup_pairs_ds(ds, 10)
 
 
+def _image_neardup_clusters(sf_dir: str):
+    """q386: transitive near-dup CLUSTERS over the crawl image corpus
+    (the image-payload twin of q53): exact multi-probe hamming banding
+    of the 64-bit pHash → object-store pair buckets →
+    ``cc_min_label_refs`` → one streamed per-image (image_id,
+    cluster_id, keep) assignment; exemplar = lexicographically
+    smallest image_id of the component. Rows-only (crawl corpus —
+    not a DuckDB view); transitivity + exemplar contract pytested
+    against a brute-force union-find."""
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.crawl import ensure_tier_crawl
+    from web_scrapper_ray.pipelines.dedup import \
+        phash_neardup_clusters_ds
+
+    res = ensure_tier_crawl("t1")
+    ds = rd.read_parquet(res["images_dir"], columns=["image_id", "phash"])
+    return (phash_neardup_clusters_ds(ds, 10).to_pandas()
+            .sort_values("image_id").reset_index(drop=True))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from web_scrapper_ray.pipelines import (analytics, dedup, graph,
                                             layout, rankstats, relational,
@@ -861,6 +882,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q319_caption_dedup": _caption_dedup,
         "q339_image_format_census": _image_format_census,
         "q353_cross_site_dups": _cross_site_dups,
+        "q386_image_neardup_clusters": _image_neardup_clusters,
         "q277_tile_phash_neardup": _tile_phash_neardup,
         "q33_shop_products": _shop_products,
         "q34_directory_businesses": _directory_businesses,

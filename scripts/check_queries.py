@@ -171,9 +171,9 @@ def _fresh_con(sf_dir: str, old=None):
         # default memory_limit is 80% of TOTAL RAM, but the gate's
         # Ray session reserves a ~38 GiB object store — a limit that
         # counts reserved-but-idle shm dies with 'bad allocation'
-        # instead of spilling. 85 GiB + 65 GiB spill covers q228's
-        # ~100 GB wedge join (the object store is lazily allocated
-        # and near-empty while an oracle runs)
+        # instead of spilling. 75 GiB + 70 GiB spill lets heavy oracles
+        # make progress (q228's full ~100 GB wedge join still exceeds
+        # the box WITH a Ray session up - its sampled contract covers sf1)
         con.execute("SET memory_limit='75GiB'")
     except Exception:
         pass

@@ -511,6 +511,51 @@ def test_cc_min_label_refs_bucketed_giant_component(ray_session):
     assert (roots == ids.min()).all()
 
 
+def test_image_neardup_clusters_brute_force(ray_session):
+    """q386 (phash_neardup_clusters_ds): transitive image clusters
+    match a brute-force union-find over the exact hamming-ball pair
+    set; exemplar = lexicographically smallest image_id; non-clustered
+    images keep themselves."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from web_scrapper_ray.pipelines.dedup import (
+        phash_neardup_clusters_ds, phash_neardup_pairs)
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ids = [f"img{i:04d}" for i in range(n)]
+    base = rng.integers(0, 2**63, size=n, dtype=np.int64)
+    # plant a chain a~b~c (1-bit steps) and an exact pair
+    base[10] = base[7] ^ 1
+    base[13] = base[10] ^ 2
+    base[200] = base[100]
+    t = pa.table({"image_id": pa.array(ids),
+                  "phash": pa.array(base, pa.int64())})
+    out = (phash_neardup_clusters_ds(rd.from_arrow(t), 6).to_pandas()
+           .set_index("image_id"))
+    assert len(out) == n
+    # brute-force reference
+    pairs = phash_neardup_pairs(ids, base.tolist(), 6)
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["image_a"], pairs["image_b"]):
+        parent[find(a)] = find(b)
+    want = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+    got = out["cluster_id"].to_dict()
+    assert got == want
+    assert bool(out.loc["img0007", "keep"])
+    assert not bool(out.loc["img0013", "keep"])
+    assert out.loc["img0013", "cluster_id"] == "img0007"
+    assert out.loc["img0200", "cluster_id"] == "img0100"
+
+
 def test_common_neighbors_blocked_equals_waves(ray_session, monkeypatch):
     """q291's default broadcast-CSR blocked plan and the wave-exchange
     fallback must produce the identical exact top-k (routing is by

@@ -604,6 +604,79 @@ def q_neardup_clusters(sf_dir: str, max_hamming: int = 6) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def phash_neardup_clusters_ds(ds, max_hamming: int = 10):
+    """Transitive near-duplicate CLUSTERS over an (image_id, phash)
+    Dataset — the IMAGE-corpus twin of q53 (cluster near-dups
+    transitively, keep one exemplar): connected components of the
+    exact multi-probe hamming-banding pair graph, exemplar = the
+    lexicographically smallest image_id of the component (numpy
+    byte-wise string order; crawl-corpus op, no SQL twin). Returns a
+    Dataset of (image_id, cluster_id, keep) — one row per input image.
+
+    Scale shape mirrors q53's: banding-shuffle pair buckets stay in
+    the object store (``as_refs=True``), string ids are factorized to
+    dense codes AGAINST the sorted clustered-id table (O(clustered
+    images) on the driver — the same bound as the CC label vector;
+    sorted table ⇒ min code IS the lexicographic min id), components
+    resolve via ``cc_min_label_refs`` (contracted min-label rounds,
+    no driver edge list), and the per-image assignment is one
+    broadcast + streaming vectorized map_batches."""
+    import ray
+
+    from .graph import cc_min_label_refs
+
+    futs = phash_neardup_pairs_ds(ds, max_hamming, as_refs=True)
+
+    @ray.remote
+    def part_ids(df: pd.DataFrame):
+        if df is None or not len(df):
+            return np.empty(0, object)
+        return np.unique(np.concatenate(
+            [df["image_a"].to_numpy(object),
+             df["image_b"].to_numpy(object)]))
+
+    ids = np.empty(0, object)
+    for p in ray.get([part_ids.remote(f) for f in futs]):
+        if len(p):
+            ids = np.union1d(ids, p)
+    tref = ray.put(ids)
+
+    _EC = pa.table({"doc_a": pa.array([], pa.int64()),
+                    "doc_b": pa.array([], pa.int64())})
+
+    @ray.remote
+    def to_codes(df: pd.DataFrame, tab: np.ndarray) -> pa.Table:
+        if df is None or not len(df):
+            return _EC
+        a = np.searchsorted(tab, df["image_a"].to_numpy(object))
+        b = np.searchsorted(tab, df["image_b"].to_numpy(object))
+        return pa.table({"doc_a": pa.array(a.astype(np.int64)),
+                         "doc_b": pa.array(b.astype(np.int64))})
+
+    nodes, roots = cc_min_label_refs(
+        [to_codes.remote(f, tref) for f in futs])
+    clus = ids.copy()
+    if len(nodes):
+        clus[nodes] = ids[roots]
+    cref = ray.put((ids, clus))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        tab, cl = ray.get(cref)
+        iid = batch.column("image_id").to_numpy(
+            zero_copy_only=False).astype(object)
+        out = iid.copy()
+        if len(tab):
+            pos = np.searchsorted(tab, iid)
+            posc = np.minimum(pos, len(tab) - 1)
+            hit = tab[posc] == iid
+            out[hit] = cl[posc[hit]]
+        return pa.table({"image_id": pa.array(iid, pa.string()),
+                         "cluster_id": pa.array(out, pa.string()),
+                         "keep": pa.array((out == iid).astype(bool))})
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def q_ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.3) -> pd.DataFrame:
     """n-gram Jaccard near-dup as its own operator: banded-MinHash
     candidates + exact 3-gram-shingle Jaccard verify. The banding is

@@ -1323,7 +1323,12 @@ def _common_neighbors_blocked(edge_refs: list, k: int) -> pd.DataFrame:
                 if len(dst) else np.zeros(N, np.int64))
         roww[deg == 0] = 0  # reduceat repeats on empty slices
         cw = np.cumsum(roww, dtype=np.float64)
-        nblk = max(1, int(np.ceil(cw[-1] / target))) if cw[-1] else 1
+        # adaptive target: small graphs split into ~64 blocks so every
+        # core works (2 waves at 32 CPUs); big graphs keep the memory
+        # bound (target × concurrency under worker heap)
+        eff_target = min(target, max(2e6, cw[-1] / 64.0))
+        nblk = max(1, int(np.ceil(cw[-1] / eff_target))) if cw[-1] \
+            else 1
         cuts = [int(np.searchsorted(cw, cw[-1] * i / nblk))
                 for i in range(nblk)] + [N]
         bounds = np.unique(np.array(cuts, np.int64))
