@@ -13621,10 +13621,15 @@ def q_brand_diversity_trend(sf_dir: str, P: int = 16) -> pd.DataFrame:
             return _E
         pk = t2.column("l_partkey").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
-        pos = np.searchsorted(keys, pk)
-        posc = np.clip(pos, 0, max(len(keys) - 1, 0))
-        hit = (len(keys) > 0) & (np.take(keys, posc) == pk)
-        bc = np.where(hit, np.take(bcodes, posc), miss)
+        if len(keys) == 0:
+            # part-empty world: np.take on an empty axis raises even
+            # under an all-False hit mask — every key is missing-dim
+            bc = np.full(len(pk), miss, np.int64)
+        else:
+            pos = np.searchsorted(keys, pk)
+            posc = np.clip(pos, 0, len(keys) - 1)
+            hit = np.take(keys, posc) == pk
+            bc = np.where(hit, np.take(bcodes, posc), miss)
         us = t2.column("l_shipdate").cast(pa.int64()).to_numpy(
             zero_copy_only=False)
         day = np.floor_divide(us, 86_400_000_000)

@@ -1805,9 +1805,14 @@ def q_brand_homophily(sf_dir: str, P: int = 32) -> pd.DataFrame:
             np.int64)
 
         def code_of(x):
+            if len(keys_) == 0:
+                # np.take on an empty axis raises even when hit would
+                # be all-False — part-empty world, every edge endpoint
+                # is a missing-dim node
+                return np.full(len(x), miss_, np.int64)
             pos = np.searchsorted(keys_, x)
-            pos_c = np.clip(pos, 0, max(len(keys_) - 1, 0))
-            hit = (len(keys_) > 0) & (np.take(keys_, pos_c) == x)
+            pos_c = np.clip(pos, 0, len(keys_) - 1)
+            hit = np.take(keys_, pos_c) == x
             return np.where(hit, np.take(codes_, pos_c), miss_)
 
         cu, cv = code_of(u), code_of(v)
