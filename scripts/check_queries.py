@@ -160,23 +160,17 @@ def _fresh_con(sf_dir: str, old=None):
     if old is not None:
         old.close()
     con = duckdb.connect()
-    # explicit spill config: without it the heavy oracles (q228's
-    # ~100 GB wedge join) hit 'bad allocation' instead of spilling —
-    # probed: with these two settings q228's sf1 oracle completes in
-    # ~285 s on an idle box
-    try:
-        os.makedirs("/tmp/wsr_duckspill", exist_ok=True)
-        con.execute("SET temp_directory='/tmp/wsr_duckspill'")
-        con.execute("SET max_temp_directory_size='70GiB'")
-        # default memory_limit is 80% of TOTAL RAM, but the gate's
-        # Ray session reserves a ~38 GiB object store — a limit that
-        # counts reserved-but-idle shm dies with 'bad allocation'
-        # instead of spilling. 75 GiB + 70 GiB spill lets heavy oracles
-        # make progress (q228's full ~100 GB wedge join still exceeds
-        # the box WITH a Ray session up - its sampled contract covers sf1)
-        con.execute("SET memory_limit='75GiB'")
-    except Exception:
-        pass
+    # NOTE (round 5): an explicit spill config (temp_directory +
+    # max_temp_directory_size + memory_limit='75GiB') was tried here
+    # and REVERTED: a sub-default memory_limit changes DuckDB's
+    # aggregation/join plans — q126's sf1 oracle started spilling to
+    # death (70 GiB) and q134's float revenue sum changed summation
+    # order and flipped a half-cent at the rounding boundary — and
+    # the off-cwd temp dir broke _temp_spill_bytes' accounting (disk
+    # hit 95%). The ~100 GB q228 full oracle that motivated it is
+    # covered by its SAMPLED contract at sf1 instead; default memory
+    # behavior (spill to cwd .tmp, connection recycled by the spill
+    # guard below) is the contract the whole battery was tuned on.
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
         if os.path.exists(p):
