@@ -2414,9 +2414,12 @@ def oracle_sql() -> dict[str, str]:
             FROM a, b
         """,
         "q134_local_supplier_volume": """
+            -- exact-int revenue (q45 form): the float sum flipped a
+            -- half-cent at sf1 run-to-run with summation order
             SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2)
-                     AS revenue
+                   round(sum(round(l_extendedprice * 100)::BIGINT
+                             * (100 - round(l_discount * 100)::BIGINT))
+                         / 10000.0, 2) AS revenue
             FROM customer, orders, lineitem, supplier, nation, region
             WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
               AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey

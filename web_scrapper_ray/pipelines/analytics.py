@@ -1067,7 +1067,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                 "side": pa.array(np.zeros(n, np.int8)),
                 "cnat": t.column("cnat"),
                 "suppkey": pa.array(np.full(n, -1, np.int64)),
-                "rev": pa.array(np.zeros(n, np.float64)),
+                "rev": pa.array(np.zeros(n, np.int64)),
                 "revnull": pa.array(np.zeros(n, bool)),
                 "bucket": pc.bit_wise_and(t.column("orderkey"), P - 1)})
         if "l_orderkey" not in t.schema.names:
@@ -1076,23 +1076,30 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
                              pc.is_valid(t.column("l_suppkey")))
         t2 = t.filter(pc.fill_null(keep, False))
         n = t2.num_rows
-        rev = pc.multiply(
-            t2.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0, pa.float64()),
-                        t2.column("l_discount")))
+        # EXACT-INT money (CLAUDE.md sf>=1 rule, the q45 form):
+        # price/discount sit on a 2dp grid, so the revenue term is
+        # exact in 1e-4-dollar units — float sums flipped a half-cent
+        # at the sf1 rounding boundary run-to-run
+        cents = pc.round(pc.multiply(t2.column("l_extendedprice"),
+                                     pa.scalar(100.0)))
+        disc = pc.round(pc.multiply(t2.column("l_discount"),
+                                    pa.scalar(100.0)))
+        rev4 = pc.multiply(pc.cast(cents, pa.int64()),
+                           pc.subtract(pa.scalar(100, pa.int64()),
+                                       pc.cast(disc, pa.int64())))
         return pa.table({
             "okey": pc.cast(t2.column("l_orderkey"), pa.int64()),
             "side": pa.array(np.ones(n, np.int8)),
             "cnat": pa.array(np.zeros(n, np.int64)),
             "suppkey": pc.cast(t2.column("l_suppkey"), pa.int64()),
-            "rev": pc.cast(pc.fill_null(rev, 0.0), pa.float64()),
-            "revnull": pc.is_null(rev),
+            "rev": pc.cast(pc.fill_null(rev4, 0), pa.int64()),
+            "revnull": pc.is_null(rev4),
             "bucket": pc.bit_wise_and(pc.cast(t2.column("l_orderkey"),
                                               pa.int64()), P - 1)})
 
     _O2 = pa.table({"suppkey": pa.array([], pa.int64()),
                     "cnat": pa.array([], pa.int64()),
-                    "s": pa.array([], pa.float64()),
+                    "s": pa.array([], pa.int64()),
                     "nv": pa.array([], pa.int64())})
 
     def merge2(*tabs) -> pa.Table:
@@ -1106,7 +1113,8 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
             return _O2
         j = line.merge(ords, on="okey")
         valid = ~j["revnull"].to_numpy()
-        j = j.assign(rv=np.where(valid, j["rev"].to_numpy(), 0.0),
+        j = j.assign(rv=np.where(valid, j["rev"].to_numpy(),
+                                 np.int64(0)),
                      nv=valid.astype(np.int64))
         g = j.groupby(["suppkey", "cnat"], as_index=False) \
              .agg(s=("rv", lambda x: x.to_numpy().sum()),
@@ -1114,7 +1122,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
         return pa.table({"suppkey": pa.array(g["suppkey"]
                                              .to_numpy(np.int64)),
                          "cnat": pa.array(g["cnat"].to_numpy(np.int64)),
-                         "s": pa.array(g["s"].to_numpy(np.float64)),
+                         "s": pa.array(g["s"].to_numpy(np.int64)),
                          "nv": pa.array(g["nv"].to_numpy(np.int64))})
 
     tagged2 = [(r, (True,)) for r in stage1]
@@ -1129,7 +1137,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
     _E3 = pa.table({"skey": pa.array([], pa.int64()),
                     "side": pa.array([], pa.int8()),
                     "cnat": pa.array([], pa.int64()),
-                    "s": pa.array([], pa.float64()),
+                    "s": pa.array([], pa.int64()),
                     "nv": pa.array([], pa.int64()),
                     "bucket": pa.array([], pa.int64())})
 
@@ -1159,14 +1167,14 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
             "skey": t2.column("s_suppkey"),
             "side": pa.array(np.ones(n, np.int8)),
             "cnat": pc.cast(t2.column("s_nationkey"), pa.int64()),
-            "s": pa.array(np.zeros(n, np.float64)),
+            "s": pa.array(np.zeros(n, np.int64)),
             "nv": pa.array(np.zeros(n, np.int64)),
             "bucket": pc.bit_wise_and(t2.column("s_suppkey"), P - 1)})
 
     def merge3(*tabs) -> pd.DataFrame:
         live = [x.drop_columns(["bucket"]) for x in tabs if x.num_rows]
         empty = pd.DataFrame({"nat": pd.Series(dtype="int64"),
-                              "s": pd.Series(dtype="float64"),
+                              "s": pd.Series(dtype="int64"),
                               "nv": pd.Series(dtype="int64")})
         if not live:
             return empty
@@ -1189,7 +1197,7 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
              .agg(s=("sw", lambda x: x.to_numpy().sum()),
                   nv=("nw", "sum")))
         return pd.DataFrame({"nat": g["cnat"].to_numpy(np.int64),
-                             "s": g["s"].to_numpy(np.float64),
+                             "s": g["s"].to_numpy(np.int64),
                              "nv": g["nv"].to_numpy(np.int64)})
 
     tagged3 = [(r, (True,)) for r in stage2]
@@ -1220,7 +1228,9 @@ def q_local_supplier_volume(sf_dir: str, region: str = "ASIA",
          .groupby("_c", as_index=False)
          .agg(s=("sw", lambda x: x.to_numpy().sum()), nv=("nw", "sum")))
     names = pd.Series(uniq.to_numpy()[g["_c"].to_numpy()], dtype=object)
-    rev = g["s"].to_numpy(np.float64).copy()
+    # ONE division of the exact val4-int sum (~7e11 at sf1 — far
+    # inside float64's exact-integer range)
+    rev = g["s"].to_numpy(np.int64).astype(np.float64) / 10000.0
     rev[g["nv"].to_numpy() == 0] = np.nan  # all-NULL terms: SQL NULL sum
     # fast-path factorize hands a NULL unique back as float NaN
     out = pd.DataFrame({"n_name": names.where(names.notna(), None),
